@@ -1,0 +1,27 @@
+"""Operator modules. Importing this package registers every query.
+
+Each module maps a slice of SURVEY.md §2's inventory:
+  weather.py      reference pipeline surface recast onto `events` (§2.2-2.3)
+  aggregates.py   full aggregation set + rollup/cube/grouping sets (§2.6)
+  joins.py        broadcast/sort-merge/semi/anti/outer/range joins (§2.6)
+  windows.py      window (OVER) functions, top-k (§2.6)
+  setops.py       union/intersect/except/distinct (§2.6)
+  scalars.py      string/date/math/array/json scalar functions (§2.6)
+  dedup.py        exact + near-duplicate dedup (§2.6 LLM rows)
+  similarity.py   embedding similarity search (§2.6 LLM rows)
+  text.py         text analysis: tokens, tf-idf, lang-id, quality (§2.6)
+  multimodal.py   text+vector+binary multimodal columns (§2.6)
+"""
+
+from weather_stream_processor_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup,
+    joins,
+    multimodal,
+    scalars,
+    setops,
+    similarity,
+    text,
+    weather,
+    windows,
+)

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Defaults are tuned for the test harness (local[N], one JVM) but every
+setting is the one you would also want on a 1000-executor cluster against
+~100 TB: AQE on (runtime shuffle coalescing + skew-join splitting),
+UTC session timezone (oracle comparability), Arrow for the few Pandas-UDF
+operators, and shuffle partitions sized to the parallelism at hand rather
+than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "weather-stream-processor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    On a real cluster, drop ``master`` and let spark-submit supply it; AQE
+    then re-sizes shuffles at runtime so ``shuffle_partitions`` is only the
+    upper bound for the coalescer.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's
+        # reader rejects; read as long and convert in load_table (ns -> us
+        # truncation, matching DuckDB's coercion of the same file)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

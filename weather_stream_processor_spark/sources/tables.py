@@ -1,0 +1,53 @@
+"""Batch parquet sources for the fixture star schema + stream tables.
+
+At 100 TB these tables would be date-partitioned (``l_shipdate`` /
+``o_orderdate`` / ``ts``) and the fact tables bucketed on their join keys
+(see ``docs/SCALE.md``); the loaders keep a single call site so that swap
+is one change. Scans stay declarative (``spark.read.parquet``) so Catalyst
+performs column pruning and predicate pushdown into the parquet reader —
+never pre-``collect`` or pre-cache here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H dims
+# grow with SF but region/nation are constant; customer/supplier/part grow —
+# at 100 TB only region/nation stay broadcast-safe unconditionally).
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # `ts` is TIMESTAMP(NANOS) in the fixture parquet; with
+        # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-nanos
+        # LongType. Integer-divide to micros (DuckDB coerces the same way)
+        # and restore TimestampType inside the plan — pure codegen, no UDF.
+        from pyspark.sql import functions as F, types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
