@@ -1,1 +1,233 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Aggregation surface (SURVEY §2.6 'aggregations').
+
+The reference's only distributed aggregate is one grouped SUM
+(``/root/reference/weather_processor.py:139-141``); this module completes
+the category: full agg set, distinct aggregation, grouping sets / rollup /
+cube, pivot, approximate sketches.
+
+Scale notes (100 TB): every query here is a single hash-aggregate with
+map-side partial aggregation — Catalyst plans partial+final HashAggregate
+around one shuffle on the grouping key, so data movement is one combined
+row per (mapper, group). `count_distinct` adds an expand+two-phase plan;
+for high-cardinality distincts at scale prefer `approx_count_distinct`
+(HLL++, constant memory) — both shapes are registered. Rollup/cube expand
+the input ~|grouping sets| times before the same single shuffle; fine for
+low-cardinality grouping columns, never on high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "TPC-H Q1 shape: the canonical scan->filter->hash-agg plan. The "
+        "shipdate filter pushes into the parquet scan; 8 aggregates share "
+        "one partial+final HashAggregate pair over a 2-low-cardinality-key "
+        "shuffle (at most |flags|x|statuses| groups regardless of input TB)."
+    ),
+    tags=("aggregation", "headline"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_global_stats",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_suppkey) AS n_suppliers,
+               ROUND(SUM(l_extendedprice), 2) AS total_price,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(MIN(l_extendedprice), 2) AS min_price,
+               ROUND(MAX(l_extendedprice), 2) AS max_price
+        FROM lineitem
+    """,
+    doc=(
+        "Global (ungrouped) aggregation with exact distinct counts. Plan: "
+        "partial agg per partition -> single-row final; the distincts add "
+        "an Expand + two-phase aggregate keyed on the distinct columns."
+    ),
+    tags=("aggregation",),
+)
+def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "approx_count_distinct_parts",
+    oracle=None,  # HLL sketch values differ engine-to-engine by design
+    doc=(
+        "approx_count_distinct (HyperLogLog++, rsd=0.01) per returnflag — "
+        "the constant-memory alternative to exact distinct for 100 TB "
+        "cardinality estimation. No oracle: sketch estimates are "
+        "engine-specific; tests assert it lands within 5%% of exact."
+    ),
+    tags=("aggregation", "approx"),
+)
+def approx_count_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@register(
+    "count_distinct_users_by_type",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Grouped exact distinct over the stream-analog table.",
+    tags=("aggregation", "reference"),
+)
+def count_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "rollup_flag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP: hierarchical subtotals ((flag,status),(flag),()) in one pass.",
+    tags=("aggregation", "grouping-sets"),
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "cube_flag_status",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 2^k grouping-set combinations in one Expand+agg pass.",
+    tags=("aggregation", "grouping-sets"),
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "grouping_sets_order_priorities",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL API (same Catalyst Expand plan).",
+    tags=("aggregation", "grouping-sets", "sql-api"),
+)
+def grouping_sets_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "pivot_qty_by_status",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_open,
+               ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_finished
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Pivot (wide conditional aggregation). Spark's native pivot() with an "
+        "explicit value list — same plan as FILTER'd aggs, no second scan."
+    ),
+    tags=("aggregation", "pivot"),
+)
+def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_open"),
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_finished"),
+        )
+    )

@@ -1,1 +1,317 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Join surface (SURVEY §2.6 'joins'). Absent from the reference entirely;
+built here Catalyst-first with explicit physical intent per query:
+
+- dimension joins annotate `F.broadcast` on the small side (at 100 TB,
+  region/nation are always broadcast-safe; customer/supplier/part only up
+  to executor memory — AQE converts to broadcast at runtime when the
+  post-filter size allows);
+- fact-fact joins (lineitem ⋈ orders) stay shuffle/sort-merge on the join
+  key — at scale both sides would be bucketed on orderkey so the shuffle
+  disappears (see docs/SCALE.md);
+- semi/anti joins use the dedicated left_semi/left_anti types (no
+  row-multiplication, build side only keeps keys);
+- the non-equi band join keeps an equality conjunct so Catalyst can hash
+  on it instead of falling back to BroadcastNestedLoopJoin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table, load_tables
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(c.c_acctbal), 6) AS avg_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
+    doc=(
+        "Star-schema dimension join: fact side streams, nation/region are "
+        "broadcast (constant-size at any SF) — zero shuffle until the final "
+        "low-cardinality aggregation."
+    ),
+    tags=("join", "broadcast", "headline"),
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n, r = load_tables(spark, sf_dir, "customer", "nation", "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape: filtered dim ⋈ fact ⋈ fact, grouped revenue, "
+        "deterministic top-10 (revenue rounded before ranking; orderkey "
+        "tie-break). Customer side is broadcast after its segment filter; "
+        "orders⋈lineitem is the sort-merge/bucketed pair at scale. TopK is "
+        "TakeOrderedAndProject — per-partition heaps, no global sort."
+    ),
+    tags=("join", "headline", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, li = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape: six-way join with a two-column join conjunct "
+        "(supplier nation = customer nation). Catalyst reorders so the "
+        "region filter prunes nation before the fact joins."
+    ),
+    tags=("join", "headline"),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, li, s, n, r = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 200000)
+    """,
+    doc=(
+        "Left-semi join (EXISTS): probe side emitted at most once per row, "
+        "build side reduced to distinct keys — no row multiplication."
+    ),
+    tags=("join", "semi"),
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    big = o.filter(F.col("o_totalprice") > 200000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no jumbo order.",
+    tags=("join", "anti"),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    jumbo = o.filter(F.col("o_totalprice") > 400000)
+    return c.join(jumbo, c.c_custkey == jumbo.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "outer_join_order_counts",
+    oracle="""
+        SELECT c.c_custkey, c.c_name,
+               COUNT(o.o_orderkey) AS n_orders,
+               ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spent
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+    """,
+    doc=(
+        "Left-outer join preserving customers with zero orders; COUNT over "
+        "the nullable key counts matches only."
+    ),
+    tags=("join", "outer"),
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "range_join_ship_latency",
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n_lineitems,
+               ROUND(AVG(date_diff('day', o.o_orderdate, l.l_shipdate)), 6) AS avg_latency_days
+        FROM orders o
+        JOIN lineitem l
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY o.o_orderpriority
+    """,
+    doc=(
+        "Range join with an equality conjunct: Catalyst hashes on "
+        "l_orderkey = o_orderkey and applies the ship-window band as a "
+        "post-join filter — never a nested-loop. Pure-range joins (no equi "
+        "key) should bucketize the range dimension first (see "
+        "theta_join_price_band)."
+    ),
+    tags=("join", "range"),
+)
+def range_join_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, li = load_tables(spark, sf_dir, "orders", "lineitem")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 6).alias(
+                "avg_latency_days"
+            ),
+        )
+    )
+
+
+@register(
+    "theta_join_price_band",
+    oracle="""
+        SELECT a.p_brand,
+               COUNT(*) AS n_pairs
+        FROM part a
+        JOIN part b
+          ON a.p_brand = b.p_brand
+         AND a.p_partkey < b.p_partkey
+         AND abs(a.p_size - b.p_size) <= 1
+        GROUP BY a.p_brand
+    """,
+    doc=(
+        "Theta join: self-join of part on a size band. The brand equality "
+        "conjunct keeps it a hash join (the band + key inequality are "
+        "post-join filters); a band join with NO equality key must be "
+        "rewritten onto a bucketized equi key exactly like this to avoid "
+        "the O(n^2) nested loop at scale."
+    ),
+    tags=("join", "theta"),
+)
+def theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 1),
+        )
+        .groupBy(F.col("a.p_brand").alias("p_brand"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "cross_join_region_pairs",
+    oracle="""
+        SELECT a.r_name AS region_a, b.r_name AS region_b
+        FROM region a CROSS JOIN region b
+        WHERE a.r_regionkey < b.r_regionkey
+    """,
+    doc=(
+        "Explicit cross join (tiny dims only — BroadcastNestedLoopJoin). "
+        "Registered to cover the operator; at scale cross joins are always "
+        "a design smell unless one side is O(1)."
+    ),
+    tags=("join", "cross"),
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+    )

@@ -1,1 +1,223 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Scalar function coverage (SURVEY §2.6 'scalar fns' + reference T1/T9/T10).
+
+Everything stays inside whole-stage codegen — no UDFs. Each query batches a
+family of functions whose semantics are identical (or made identical by
+explicit casts) between Spark and DuckDB:
+
+- integer-returning date parts differ in width (Spark INT vs DuckDB
+  BIGINT) — cast Spark side to BIGINT;
+- day-of-week numbering differs (Spark dayofweek is 1=Sunday, DuckDB
+  dayofweek is 0=Sunday) — both sides use ISO weekday instead;
+- ceil/floor on DOUBLE return BIGINT in Spark, DOUBLE in DuckDB — cast;
+- libm-backed fns (sqrt/ln/pow) are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+
+@register(
+    "string_functions",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               substring(p_type, 1, 4) AS type_prefix,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+               CAST(length(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+               concat(p_brand, ':', p_type) AS brand_type,
+               replace(p_name, ' ', '_') AS name_snake,
+               trim('  ' || p_name || ' ') AS name_trimmed,
+               (p_name LIKE '%%re%%') AS has_re,
+               starts_with(p_name, 're') AS starts_re
+        FROM part
+    """,
+    doc=(
+        "T1-family string surface: lower/upper/length/substring/"
+        "regexp_extract/split/concat/replace/trim/LIKE/startswith — all "
+        "codegen'd Column expressions, no Python."
+    ),
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("name_trimmed"),
+        F.col("p_name").like("%re%").alias("has_re"),
+        F.col("p_name").startswith("re").alias("starts_re"),
+    )
+
+
+@register(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(day(o_orderdate) AS BIGINT) AS order_day,
+               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+               CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+               date_trunc('month', o_orderdate) AS month_start,
+               o_orderdate + INTERVAL 30 DAY AS due_date,
+               CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INTEGER)
+                   AS days_since_epoch_start
+        FROM orders
+    """,
+    doc=(
+        "T5-family datetime surface: parts, ISO weekday (numbering unified "
+        "across engines), truncation, interval arithmetic, datediff."
+    ),
+    tags=("scalar", "datetime"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("iso_weekday"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@register(
+    "math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(abs(l_extendedprice - 50000), 2) AS abs_dev,
+               CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               ROUND(sqrt(l_extendedprice), 6) AS price_sqrt,
+               ROUND(ln(l_extendedprice + 1), 6) AS price_ln,
+               ROUND(pow(1 - l_discount, 2), 6) AS disc_sq,
+               l_linenumber % 3 AS line_mod,
+               ROUND(greatest(l_discount, l_tax), 2) AS max_rate,
+               ROUND(least(l_discount, l_tax), 2) AS min_rate,
+               CAST(sign(l_extendedprice - 50000) AS DOUBLE) AS dev_sign
+        FROM lineitem
+    """,
+    doc="T9-family math surface: abs/ceil/floor/sqrt/ln/pow/mod/greatest/least/sign.",
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("abs_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 - F.col("l_discount"), 2), 6).alias("disc_sq"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+        F.round(F.greatest("l_discount", "l_tax"), 2).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 2).alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 50000).alias("dev_sign"),
+    )
+
+
+@register(
+    "case_when_price_buckets",
+    oracle="""
+        SELECT CASE
+                 WHEN o_totalprice < 50000 THEN 'small'
+                 WHEN o_totalprice < 150000 THEN 'medium'
+                 WHEN o_totalprice < 300000 THEN 'large'
+                 ELSE 'jumbo'
+               END AS price_bucket,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + aggregation (conditional expression surface).",
+    tags=("scalar", "case"),
+)
+def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "in_like_between_filters",
+    oracle="""
+        SELECT p_partkey, p_name, p_brand, p_size, p_retailprice
+        FROM part
+        WHERE p_size IN (5, 11, 28)
+          AND p_name LIKE '%%o%%'
+          AND p_retailprice BETWEEN 500 AND 2000
+          AND p_brand IS NOT NULL
+    """,
+    doc=(
+        "T4-family predicate surface: IN, LIKE, BETWEEN, IS NOT NULL in one "
+        "conjunction — IN/BETWEEN/null-test push into the parquet scan."
+    ),
+    tags=("scalar", "filter"),
+)
+def in_like_between_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").isin(5, 11, 28)
+        & F.col("p_name").like("%o%")
+        & F.col("p_retailprice").between(500, 2000)
+        & F.col("p_brand").isNotNull()
+    ).select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+
+
+@register(
+    "json_wire_roundtrip",
+    oracle="""
+        SELECT event_id,
+               CAST(event_id AS VARCHAR) AS event_id_str,
+               CAST(to_json(struct_pack(event_id := event_id,
+                                        event_type := event_type)) AS VARCHAR) AS wire_value
+        FROM events
+    """,
+    doc=(
+        "T1+T10: the producer's wire serialization "
+        "(weather_stream.py:72-74) as to_json(struct(...)) — plus the "
+        "binary->string cast direction. Field order fixed by the struct."
+    ),
+    tags=("scalar", "json", "reference"),
+)
+def json_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").cast("string").alias("event_id_str"),
+        F.to_json(F.struct("event_id", "event_type")).alias("wire_value"),
+    )

@@ -1,1 +1,101 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Set operations (SURVEY §2.6 'set ops'). Absent from the reference.
+
+Scale notes: UNION is plan-level concatenation (zero shuffle); DISTINCT /
+INTERSECT / EXCEPT each shuffle on the full row — at 100 TB prefer
+aggregating before deduplicating (as union_nationkey_counts does) and keep
+set ops on key columns, not wide rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_tables
+
+
+@register(
+    "union_distinct_nationkeys",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="UNION (distinct): concat + one shuffle-dedup on the key column only.",
+    tags=("setop",),
+)
+def union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "union_all_nationkey_counts",
+    oracle="""
+        SELECT nationkey, COUNT(*) AS n
+        FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION ALL
+            SELECT s_nationkey AS nationkey FROM supplier
+        )
+        GROUP BY nationkey
+    """,
+    doc="UNION ALL + aggregate: the scale-friendly shape (no row-level dedup).",
+    tags=("setop",),
+)
+def union_all_nationkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = load_tables(spark, sf_dir, "customer", "supplier")
+    u = c.select(F.col("c_nationkey").alias("nationkey")).unionByName(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return u.groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "intersect_nationkeys",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct semantics) — nations with both customers and suppliers.",
+    tags=("setop",),
+)
+def intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, s = load_tables(spark, sf_dir, "customer", "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@register(
+    "except_sources",
+    oracle="""
+        SELECT source FROM documents WHERE lang = 'zh'
+        EXCEPT
+        SELECT source FROM documents WHERE lang = 'fr'
+    """,
+    doc="EXCEPT (distinct semantics) — sources with Chinese docs but no French docs.",
+    tags=("setop",),
+)
+def except_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (d,) = load_tables(spark, sf_dir, "documents")
+    return d.filter(F.col("lang") == "zh").select("source").subtract(
+        d.filter(F.col("lang") == "fr").select("source")
+    )
+
+
+@register(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    doc="DISTINCT projection on a single low-cardinality column.",
+    tags=("setop", "distinct"),
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (c,) = load_tables(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct()

@@ -1,1 +1,198 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Window (OVER) functions + top-k (SURVEY §2.6 'window functions',
+'sorts/limits/top-k'). Absent from the reference; standard Catalyst Window
+operator here.
+
+Scale notes: a Window is one shuffle on partitionBy + an in-partition sort.
+Every query partitions on a real key (customer/user) so no single-reducer
+global window exists anywhere; the only global ordering (global_topk) uses
+orderBy+limit which Spark plans as TakeOrderedAndProject (per-partition
+heaps, O(k) merge on the driver), not a full sort. All orderings carry an
+id tie-break so results are deterministic for the oracle hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+
+@register(
+    "top3_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    doc=(
+        "Per-group top-k via row_number — the scalable top-k idiom (one "
+        "shuffle on the group key; WindowGroupLimit pushes the k-filter "
+        "into the sort at the executor in Spark 3.5+)."
+    ),
+    tags=("window", "topk", "headline"),
+)
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "rank_orders_by_status",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_rank,
+               DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC) AS price_dense_rank
+        FROM orders
+    """,
+    doc="rank vs dense_rank; both depend only on sort-key values, so ties are deterministic.",
+    tags=("window",),
+)
+def rank_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+@register(
+    "lag_lead_order_gaps",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               date_diff('day',
+                         LAG(o_orderdate) OVER w,
+                         o_orderdate) AS days_since_prev,
+               LEAD(o_orderkey) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc=(
+        "lag/lead: per-customer inter-order gap in days and next-order "
+        "pointer. Ordering tie-broken on orderkey (orderdate has "
+        "day-resolution duplicates)."
+    ),
+    tags=("window",),
+)
+def lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff("o_orderdate", prev_date).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "running_sum_by_user",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               ROUND(SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 5) AS running_value
+        FROM events
+    """,
+    doc=(
+        "Running sum per user over event time — the reference's "
+        "accumulate-forever semantics (weather_processor.py:139-141) as a "
+        "bounded, replayable window frame instead of unbounded stream state."
+    ),
+    tags=("window", "reference"),
+)
+def running_sum_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts", F.round(F.sum("value").over(w), 5).alias("running_value")
+    )
+
+
+@register(
+    "moving_avg_by_user",
+    oracle="""
+        SELECT user_id, event_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 6) AS moving_avg
+        FROM events
+    """,
+    doc="Explicit ROWS frame: trailing 4-row moving average per user.",
+    tags=("window", "frame"),
+)
+def moving_avg_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 6).alias("moving_avg")
+    )
+
+
+@register(
+    "ntile_order_quartiles",
+    oracle="""
+        SELECT o_orderkey,
+               NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS price_quartile
+        FROM orders
+    """,
+    doc=(
+        "ntile quartiles. NOTE: single unpartitioned window = one-reducer "
+        "sort; registered for coverage, but at 100 TB use approx "
+        "percentile cutoffs + a join instead (see percentile_bucketing)."
+    ),
+    tags=("window",),
+)
+def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc=(
+        "Global top-k: orderBy+limit plans as TakeOrderedAndProject "
+        "(per-partition k-heaps, no global sort) — verified in plan tests."
+    ),
+    tags=("topk", "sort"),
+)
+def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )

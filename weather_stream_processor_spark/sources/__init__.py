@@ -1,3 +1,3 @@
-from weather_stream_processor_spark.sources.tables import TABLES, load_table
+from weather_stream_processor_spark.sources.tables import TABLES, load_table, load_tables
 
-__all__ = ["TABLES", "load_table"]
+__all__ = ["TABLES", "load_table", "load_tables"]
