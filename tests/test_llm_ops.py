@@ -1,0 +1,69 @@
+"""Quality gates for the operators the DuckDB oracle can't express:
+hash-based near-dup (MinHash LSH, SimHash), approximate sketches, and
+LSH ANN — each checked against its exact counterpart."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    from weather_stream_processor_spark.registry import all_queries
+
+    return all_queries()[name].builder(spark, sf)
+
+
+def test_minhash_verified_pairs_equal_exact_jaccard(spark):
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _run(spark, "ngram_jaccard_pairs").collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _run(spark, "minhash_lsh_near_dup").collect()
+    }
+    # LSH+verify can only miss candidates, never invent pairs; at the
+    # fixtures' near-dup similarity (~0.99) the banding threshold (~0.59)
+    # should catch everything.
+    assert lsh <= exact
+    assert lsh == exact, f"LSH missed {exact - lsh}"
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    exact = [r.vec_id for r in _run(spark, "cosine_topk_exact").collect()]
+    ann = [r.vec_id for r in _run(spark, "ann_lsh_topk").collect()]
+    recall = len(set(exact) & set(ann)) / len(exact)
+    assert recall >= 0.5, f"recall@10 too low: {recall} (ann={ann}, exact={exact})"
+
+
+def test_simhash_deterministic_across_runs(spark):
+    a = {(r.doc_id, r.simhash) for r in _run(spark, "simhash_buckets").collect()}
+    b = {(r.doc_id, r.simhash) for r in _run(spark, "simhash_buckets").collect()}
+    assert a == b
+    assert len(a) > 0
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    for r in _run(spark, "approx_count_distinct_parts").collect():
+        assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
+
+
+def test_multimodal_codec_seam_raises(spark):
+    import pytest
+
+    from weather_stream_processor_spark.operators.multimodal import decode_payload
+
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG", "image")
+
+
+def test_multimodal_features_deterministic(spark):
+    a = sorted(
+        (r.asset_id, r.n_bytes, r.header_sum)
+        for r in _run(spark, "multimodal_asset_features").collect()
+    )
+    b = sorted(
+        (r.asset_id, r.n_bytes, r.header_sum)
+        for r in _run(spark, "multimodal_asset_features").collect()
+    )
+    assert a == b

@@ -1,1 +1,278 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Deduplication operators (driver mandate: LLM-data-pipeline dedup).
+
+Four tiers, each the right tool at a different scale/accuracy point:
+
+1. exact dedup by content hash  — one shuffle on a 32-byte digest; the
+   100 TB default (never shuffle full document text).
+2. exact dedup, first-wins      — deterministic survivor selection via
+   min(id) per key (dropDuplicates keeps an *arbitrary* row; this shape is
+   reproducible and oracle-checkable).
+3. n-gram Jaccard near-dup      — exact pairwise similarity over a shingle
+   inverted index (explode -> self-join on shingle). Quadratic in the
+   worst case: only for candidate verification or small corpora.
+4. MinHash LSH near-dup         — the scale path: constant-size signatures,
+   banding -> same-bucket candidates only, then exact Jaccard verify on
+   candidates. Hash-based, engine-specific values => rows-only check; its
+   *verified pairs* are asserted against tier 3's output in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.functions import tokens, word_shingles
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "exact_dedup_by_hash",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               MIN(doc_id) AS doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    doc=(
+        "Exact dedup on a sha-256 content digest: the aggregation shuffles "
+        "32-byte digests, never the document bodies — at 100 TB the map "
+        "side computes digests during the scan and the shuffle stays tiny. "
+        "min(doc_id) is the deterministic survivor."
+    ),
+    tags=("dedup", "llm", "headline"),
+)
+def exact_dedup_by_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "exact_dedup_first_wins",
+    oracle="""
+        SELECT user_id, event_type,
+               MIN(event_id) AS event_id,
+               COUNT(*) AS n_dupes
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+    doc=(
+        "Deterministic dropDuplicates: keep the first (min event_id) row "
+        "per key. Spark's dropDuplicates([...]) keeps an arbitrary row per "
+        "key — fine for idempotence, wrong for reproducibility; min-per-key "
+        "is the replayable form and plans identically (one hash aggregate)."
+    ),
+    tags=("dedup",),
+)
+def exact_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("event_id"), F.count(F.lit(1)).alias("n_dupes")
+    )
+
+
+def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word n-grams + per-doc set size."""
+    return docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(
+                       [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
+                   )) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON doc_a = s1.doc_id
+        JOIN sizes s2 ON doc_b = s2.doc_id
+        WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "Near-duplicate pairs by exact word-3-gram Jaccard >= 0.8, computed "
+        "on a shingle inverted index (explode -> equi-self-join on shingle "
+        "-> count intersections -> |A∪B| = |A|+|B|-|A∩B|). The equi-join "
+        "keeps Catalyst on a hash join; hot shingles are the skew risk at "
+        "scale, which is exactly what the MinHash LSH tier removes."
+    ),
+    tags=("dedup", "llm", "headline"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_sets(docs)
+    exploded = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+# --- MinHash LSH (the 100 TB near-dup path) --------------------------------
+
+N_HASHES = 32  # signature length
+N_BANDS = 8  # => rows-per-band r=4; threshold ~ (1/b)^(1/r) ≈ 0.59
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min of xxhash64(shingle, seed_i).
+
+    One pass over the exploded shingles; the per-doc state is n_hashes
+    longs regardless of document size, so the shuffle is O(docs), not
+    O(shingles). xxhash64 is Spark-native codegen (no UDF).
+    """
+    sh = _shingle_sets(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+@register(
+    "minhash_lsh_near_dup",
+    oracle=None,  # hash-based: engine-specific values; verified in tests
+    doc=(
+        "MinHash + LSH banding near-dup, the scale path: 32-hash signature "
+        "per doc, 8 bands of 4 rows; docs sharing any band bucket become "
+        "candidate pairs; candidates are then *verified* with exact shingle "
+        "Jaccard >= 0.8. At 100 TB only same-bucket pairs are ever joined "
+        "(bucket join, no quadratic blowup). Rows-only check here; tests "
+        "assert its verified pairs equal ngram_jaccard_pairs' output."
+    ),
+    tags=("dedup", "llm", "lsh"),
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    r = N_HASHES // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(*[F.col("sig")[band * r + j] for j in range(r)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-verify candidates only (candidate set is tiny vs all pairs)
+    sh = _shingle_sets(docs).select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy(
+            "doc_a",
+            "doc_b",
+            F.col("sa.n_shingles").alias("na"),
+            F.col("sb.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.filter(jaccard >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "simhash_buckets",
+    oracle=None,  # xxhash64-based: engine-specific values; determinism tested
+    doc=(
+        "64-bit SimHash per document from token xxhash64s: per bit, sum "
+        "+1/-1 weighted by token frequency, sign -> bit. Docs grouped by "
+        "16-bit prefix buckets (the blocking key for Hamming-distance "
+        "candidate search at scale). One explode + one aggregation; "
+        "signature state is 64 longs per doc."
+    ),
+    tags=("dedup", "llm", "simhash"),
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    return sums.select(
+        "doc_id",
+        simhash.alias("simhash"),
+        F.shiftright(simhash, 48).alias("bucket16"),
+    )

@@ -1,1 +1,203 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Multimodal columns (driver mandate: image/audio/video as opaque binary
+with typed metadata).
+
+Design: an asset is ``(id, modality, payload: binary, meta: struct)``. The
+payload is never interpreted by the query layer — decode / resize /
+feature-extract run as Arrow-batched ``mapInPandas`` stages with explicit
+output schemas, so the exchange format, partitioning, and batch shape are
+real Spark plumbing even where the codec itself is stubbed (no image/audio
+libs in this container; the decode seam raises NotImplementedError and the
+tests exercise a deterministic fake).
+
+Scale notes: binary payloads dominate row size — the asset table would be
+stored with the payload in its own parquet column (column pruning skips it
+unless a stage needs bytes), partitioned by modality/date, and the
+mapInPandas stages sized via spark.sql.execution.arrow.maxRecordsPerBatch
+so a batch of decoded frames fits executor memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table, load_tables
+
+
+@register(
+    "multimodal_doc_vector_join",
+    oracle="""
+        WITH norms AS (
+            SELECT vec_id, label,
+                   sqrt(SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm
+            FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+            GROUP BY vec_id, label
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               n.label, ROUND(n.norm, 6) AS embedding_norm
+        FROM documents d
+        JOIN norms n ON d.doc_id = n.vec_id
+    """,
+    doc=(
+        "The multimodal join: text modality (documents) ⋈ vector modality "
+        "(embeddings) on doc_id = vec_id, profiling both sides. 1:1 key "
+        "join — bucketed co-location at scale makes it shuffle-free."
+    ),
+    tags=("multimodal", "llm", "join"),
+)
+def multimodal_doc_vector_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs, emb = load_tables(spark, sf_dir, "documents", "embeddings")
+    from weather_stream_processor_spark.functions import l2_norm
+
+    vec = emb.select(
+        "vec_id", "label", F.round(l2_norm(F.col("embedding")), 6).alias("embedding_norm")
+    )
+    return docs.join(vec, docs.doc_id == vec.vec_id).select(
+        "doc_id", "lang", "source", "n_chars", "label", "embedding_norm"
+    )
+
+
+# --- binary asset pipeline --------------------------------------------------
+
+ASSET_SCHEMA = (
+    "asset_id bigint, modality string, payload binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int>"
+)
+
+FEATURE_SCHEMA = (
+    "asset_id bigint, modality string, n_bytes bigint, "
+    "header_sum bigint, thumb_width int, thumb_height int"
+)
+
+
+def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake asset table derived from `documents`.
+
+    Each document's UTF-8 bytes stand in for an encoded payload; metadata
+    is derived arithmetically. This is the fixture for the binary-column
+    plumbing — schema and partitioning identical to a real asset table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        modality.alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 1).cast("int").alias("height"),
+            (F.col("n_chars") % 24 + 1).cast("int").alias("n_frames"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes, modality: str) -> object:
+    """THE CODEC SEAM — deliberately unimplemented.
+
+    In production this dispatches to PIL/ffmpeg/soundfile per modality.
+    Those libs are absent here; callers must use extract_features' fake
+    path (guarded by use_real_codec=False) which never touches this.
+    """
+    raise NotImplementedError(
+        f"no codec available for modality={modality!r} in this environment"
+    )
+
+
+def extract_features(assets: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each batch arrives as a pandas DataFrame with the payload
+    as bytes; output schema is declared (FEATURE_SCHEMA) so downstream
+    plans are fully typed. The deterministic fake computes byte-level
+    features (length, header checksum, thumbnail dims from metadata) —
+    the exact shape a real decode-resize-embed stage has.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_codec:
+                pdf["payload"].map(lambda b: decode_payload(b, "?"))  # pragma: no cover
+            meta = pd.DataFrame(list(pdf["meta"]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "header_sum": pdf["payload"]
+                    .map(lambda b: int(sum(b[:8])))
+                    .astype("int64"),
+                    "thumb_width": (meta["width"] // 4 + 1).astype("int32"),
+                    "thumb_height": (meta["height"] // 4 + 1).astype("int32"),
+                }
+            )
+
+    return assets.mapInPandas(_batches, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_asset_features",
+    oracle="""
+        SELECT doc_id AS asset_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_transform(
+                        list_filter(string_split_regex(substring(text, 1, 8), ''), c -> c <> ''),
+                        c -> unicode(c))) AS BIGINT) AS header_sum,
+               CAST((n_chars % 640 + 1) // 4 + 1 AS INTEGER) AS thumb_width,
+               CAST((n_chars % 480 + 1) // 4 + 1 AS INTEGER) AS thumb_height
+        FROM documents
+    """,
+    doc=(
+        "Binary-column pipeline end-to-end: synthesize assets (payload = "
+        "utf-8 bytes, typed metadata struct) -> Arrow-batched mapInPandas "
+        "feature extraction (deterministic fake codec; real decode is a "
+        "NotImplementedError seam). The oracle recomputes the byte "
+        "features relationally, proving the Pandas-UDF path is "
+        "deterministic and schema-stable."
+    ),
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthesize_assets(spark, sf_dir)
+    return extract_features(assets)
+
+
+@register(
+    "multimodal_modality_stats",
+    oracle="""
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               COUNT(*) AS n_assets,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               CAST(MAX(n_chars % 640 + 1) AS INTEGER) AS max_width
+        FROM documents
+        GROUP BY 1
+    """,
+    doc=(
+        "Typed-metadata aggregation over the asset table: per-modality "
+        "row/byte accounting via struct-field access — the partition-"
+        "planning query for a multimodal corpus (payload column pruned "
+        "from the scan; only octet_length is needed)."
+    ),
+    tags=("multimodal", "llm"),
+)
+def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthesize_assets(spark, sf_dir)
+    return assets.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.col("meta.width")).alias("max_width"),
+    )

@@ -1,1 +1,265 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Text analysis operators (driver mandate: LLM-data-pipeline text).
+
+Token counting, term frequencies, TF-IDF, quality scoring, language-ID
+heuristics, and document fingerprinting — all as Column expressions over
+the `documents` table. No UDFs anywhere: tokenization is `split`, set ops
+are array HOFs, and the fingerprint uses portable integer arithmetic so
+the DuckDB oracle computes bit-identical values.
+
+Scale shape: everything is either per-row projection (embarrassingly
+parallel) or one explode + one hash aggregation; the only global state is
+the document count / document frequencies in TF-IDF, which are tiny
+aggregates broadcast back into the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.functions import tokens
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@register(
+    "token_counts",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique_tokens,
+               n_chars,
+               ROUND(n_chars * 1.0 / len(string_split(text, ' ')), 6) AS chars_per_token
+        FROM documents
+    """,
+    doc=(
+        "Token counting per document: total + unique whitespace tokens, "
+        "chars-per-token. Pure projection — no shuffle at any scale."
+    ),
+    tags=("text", "llm"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        "n_chars",
+        F.round(F.col("n_chars") / F.size(toks), 6).alias("chars_per_token"),
+    )
+
+
+@register(
+    "term_frequency_top20",
+    oracle="""
+        SELECT tok AS term, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, term
+        LIMIT 20
+    """,
+    doc=(
+        "Corpus term frequencies, top 20 (count tie-broken on the term). "
+        "explode -> hash agg; map-side partial aggregation keeps the "
+        "shuffle at |vocabulary| not |tokens|."
+    ),
+    tags=("text", "llm"),
+)
+def term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+@register(
+    "tfidf_top_term_per_doc",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok AS term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) DESC, tf.term
+                   ) AS rn
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf FROM scored WHERE rn = 1
+    """,
+    doc=(
+        "TF-IDF (tf * ln(N/df)) with the most characteristic term per "
+        "document. df and N are small aggregates joined back broadcast; "
+        "score rounded to 6dp before the per-doc argmax so ranking is "
+        "engine-stable."
+    ),
+    tags=("text", "llm", "headline"),
+)
+def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; embedded as a literal in the plan
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "quality_scores",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> list_contains({list(STOPWORDS)}, t)))
+                        AS BIGINT) AS n_stopwords,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens,
+               ROUND(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
+               ROUND(n_unique * 1.0 / n_tokens, 6) AS unique_ratio,
+               ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.4
+                     + (n_stopwords * 1.0 / n_tokens) * 0.3
+                     + (n_unique * 1.0 / n_tokens) * 0.3, 6) AS quality_score
+        FROM feats
+    """,
+    doc=(
+        "Heuristic document quality score: length saturation, stopword "
+        "ratio (fluency proxy), unique-token ratio (repetition penalty) — "
+        "the standard pre-training corpus filter features, as one "
+        "projection pass."
+    ),
+    tags=("text", "llm", "headline"),
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique"),
+    )
+    stop_ratio = F.col("n_stopwords") / F.col("n_tokens")
+    uniq_ratio = F.col("n_unique") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(
+            F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * 0.4
+            + stop_ratio * 0.3
+            + uniq_ratio * 0.3,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    oracle=f"""
+        SELECT lang,
+               CASE
+                 WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      t -> list_contains({list(STOPWORDS)}, t)))
+                      * 1.0 / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+                 ELSE 'unknown'
+               END AS predicted_lang,
+               COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Language-ID heuristic: CJK-codepoint detection, then English "
+        "stopword density, else unknown — a cheap n-gram-style classifier "
+        "as pure regex/array expressions. (The fixture text is synthetic "
+        "English word-soup with random lang labels, so the *accuracy* is "
+        "meaningless by construction — the oracle checks the classifier's "
+        "determinism and plumbing, which is what transfers to a real "
+        "fastText-style scorer via pandas_udf.)"
+    ),
+    tags=("text", "llm"),
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_density = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    predicted = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(stop_density >= 0.05, "en")
+        .otherwise("unknown")
+    )
+    return (
+        docs.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        )
+        SELECT doc_id,
+               SUM((ascii(tok) * 31 + length(tok)) * pos) % 1000000007 AS fingerprint
+        FROM toks
+        GROUP BY doc_id
+    """,
+    doc=(
+        "Order-sensitive document fingerprint: position-weighted polynomial "
+        "over per-token codes, mod 1e9+7. Deliberately built from portable "
+        "integer ops (ascii/length/position) rather than an engine hash so "
+        "the oracle verifies bit-identical values; swap the token code for "
+        "xxhash64 in production for better dispersion (same plan shape: "
+        "posexplode -> one hash aggregation)."
+    ),
+    tags=("text", "llm", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    )
+    code = (F.ascii("tok") * 31 + F.length("tok")).cast("bigint") * (F.col("pos0") + 1)
+    return exploded.groupBy("doc_id").agg((F.sum(code) % 1000000007).alias("fingerprint"))
