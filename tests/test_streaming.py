@@ -1,0 +1,135 @@
+"""Streaming-semantics tests: the behaviors the batch oracle can't see —
+watermark late-data handling, checkpointed foreachBatch recovery, and the
+dead-letter parse path."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_foreach_batch_parquet_sink_is_checkpointed_and_idempotent(spark):
+    from weather_stream_processor_spark.streaming.replay import events_replay_source
+    from weather_stream_processor_spark.streaming.sinks import (
+        foreach_batch_parquet_writer,
+        run_foreach_batch,
+    )
+
+    out = tempfile.mkdtemp(prefix="sink_out_")
+    ckpt = tempfile.mkdtemp(prefix="sink_ckpt_")
+
+    def build():
+        ev = events_replay_source(spark, SF_SMOKE)
+        return (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.round(F.sum("value"), 5).alias("total_value"))
+            .select(F.col("w.start").alias("hour"), "event_type", "total_value")
+        )
+
+    run_foreach_batch(build(), foreach_batch_parquet_writer(out), ckpt, "update")
+    first = spark.read.parquet(f"{out}/batch_id=*").count()
+    assert first > 0
+
+    # restart with the SAME checkpoint: offsets are committed, so the
+    # replayed source has nothing new -> no further batches written
+    run_foreach_batch(build(), foreach_batch_parquet_writer(out), ckpt, "update")
+    second = spark.read.parquet(f"{out}/batch_id=*").count()
+    assert second == first
+
+
+def test_watermark_drops_late_data_in_append_mode(spark):
+    src = tempfile.mkdtemp(prefix="late_src_")
+    rows_on_time = [
+        (1, datetime(2024, 1, 1, 10, 5), 1.0),
+        (2, datetime(2024, 1, 1, 10, 40), 2.0),
+        (3, datetime(2024, 1, 1, 13, 0), 4.0),  # advances watermark to 12:00
+    ]
+    late_rows = [(4, datetime(2024, 1, 1, 5, 0), 8.0)]  # far beyond watermark
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(rows_on_time, schema).coalesce(1).write.parquet(
+        f"{src}/f0.parquet"
+    )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(
+        f"{src}/*.parquet"
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.round(F.sum("value"), 5).alias("total"))
+        .select(F.col("w.start").alias("hour"), "total")
+    )
+    name = f"late_test_{int(time.time() * 1000)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(late_rows, schema).coalesce(1).write.parquet(
+            f"{src}/f1.parquet"
+        )
+        q.processAllAvailable()
+        result = {r.hour: r.total for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+
+    # the 05:00 window arrived beyond the watermark -> dropped, never emitted
+    assert datetime(2024, 1, 1, 5, 0) not in result
+    # the 10:00 window closed once the watermark passed 11:00 and contains
+    # only the on-time rows
+    assert result.get(datetime(2024, 1, 1, 10, 0)) == 3.0
+
+
+def test_dead_letter_quarantines_malformed_wire(spark):
+    from weather_stream_processor_spark.streaming.pipeline import parse_weather_wire
+
+    good = '{"timestamp": "1700000000", "total_precipitation": 1.5, "location": {"lat": 1.0, "lon": 2.0}}'
+    null_field = '{"timestamp": "1700000000", "total_precipitation": null, "location": {"lat": 1.0, "lon": 2.0}}'
+    garbage = "not json at all"
+    wire = spark.createDataFrame(
+        [(v.encode(),) for v in (good, null_field, garbage)], "value binary"
+    )
+    ok = parse_weather_wire(wire).collect()
+    dead = parse_weather_wire(wire, dead_letter=True).collect()
+    assert len(ok) == 1 and ok[0].total_precipitation == 1.5
+    assert len(dead) == 2  # reference silently dropped these (wp.py:230-235)
+
+
+def test_session_window_merges_and_splits(spark):
+    from weather_stream_processor_spark.streaming.pipeline import session_aggregate
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0), 1.0, 7),
+        (2, datetime(2024, 1, 1, 10, 20), 2.0, 7),   # merges (gap 20m < 30m)
+        (3, datetime(2024, 1, 1, 11, 30), 4.0, 7),   # new session (gap 70m)
+        (4, datetime(2024, 1, 1, 10, 10), 8.0, 9),   # other user
+    ]
+    schema = "event_id long, ts timestamp, value double, user_id long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f0.parquet")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/*.parquet")
+    agg = session_aggregate(stream, "ts", ("user_id",), "value", gap="30 minutes")
+
+    from weather_stream_processor_spark.streaming.replay import run_to_memory
+
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.total_value)
+        for r in run_to_memory(agg, f"sess_{int(time.time() * 1000)}").collect()
+    }
+    assert got == {
+        (7, datetime(2024, 1, 1, 10, 0), 2, 3.0),
+        (7, datetime(2024, 1, 1, 11, 30), 1, 4.0),
+        (9, datetime(2024, 1, 1, 10, 10), 1, 8.0),
+    }

@@ -21,6 +21,7 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    streaming_ops,
     text,
     weather,
     windows,

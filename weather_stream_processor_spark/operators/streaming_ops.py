@@ -1,0 +1,235 @@
+"""Streaming operators surfaced as oracle-checkable queries.
+
+Each builder drives the REAL Structured Streaming engine (FileStreamSource
+replay, state store, watermarks, memory sink) to completion with
+``availableNow`` and returns the drained result — so the driver's DuckDB
+oracle verifies end-to-end streaming semantics, not a batch re-derivation.
+Complete output mode makes a bounded replay equivalent to the batch
+query, which is exactly what the oracle SQL expresses.
+
+Memory-sink table names are unique per invocation (the driver may call a
+builder repeatedly in one session).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.streaming.pipeline import (
+    hourly_precipitation_aggregate,
+    parse_weather_wire,
+    session_aggregate,
+    sliding_aggregate,
+)
+from weather_stream_processor_spark.streaming.replay import (
+    events_as_weather_wire,
+    events_replay_source,
+    run_to_memory,
+)
+
+_COUNTER = itertools.count()
+
+
+def _sink_name(base: str) -> str:
+    return f"{base}_{next(_COUNTER)}"
+
+
+@register(
+    "streaming_hourly_agg",
+    oracle="""
+        SELECT date_trunc('hour', ts) AS hour,
+               event_type,
+               ROUND(SUM(value), 5) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "The flagship aggregation THROUGH the streaming engine: replay "
+        "events via FileStreamSource, watermarked tumbling 1h window sum, "
+        "complete mode, memory sink. The oracle proves the incremental "
+        "stateful plan (StateStoreRestore/Save around partial+final agg) "
+        "converges to the batch answer."
+    ),
+    tags=("streaming", "headline"),
+)
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_replay_source(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 5).alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "total_value")
+    )
+    return run_to_memory(agg, _sink_name("streaming_hourly_agg"))
+
+
+@register(
+    "streaming_weather_wire_pipeline",
+    oracle="""
+        SELECT date_trunc('hour', date_trunc('second', ts)) AS hour,
+               CAST(user_id AS DOUBLE) AS lat,
+               CAST(-user_id AS DOUBLE) AS lon,
+               ROUND(SUM(value), 5) AS hourly_precipitation
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "The COMPLETE reference consumer, end to end, on the streaming "
+        "engine: events re-encoded as the Kafka wire format (binary JSON "
+        "value, epoch-seconds string timestamp, nested location) -> "
+        "CAST AS STRING -> from_json(declared schema) -> flatten -> "
+        "epoch->timestamp -> null filter -> watermarked hourly window SUM "
+        "per location (weather_processor.py:127-141 with Q5/Q6/St3/St5 "
+        "fixed). Oracle mirrors the epoch-second truncation of the wire."
+    ),
+    tags=("streaming", "reference", "headline"),
+)
+def streaming_weather_wire_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wire = events_as_weather_wire(spark, sf_dir)
+    parsed = parse_weather_wire(wire)
+    agg = hourly_precipitation_aggregate(parsed)
+    return run_to_memory(agg, _sink_name("streaming_weather_wire"))
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+        SELECT ws AS window_start,
+               event_type,
+               ROUND(SUM(value), 5) AS total_value
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws,
+                   event_type, value
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding window (1h length, 30m slide) by event_type through the "
+        "streaming engine; each event contributes to exactly 2 windows. "
+        "Oracle expands the window membership explicitly."
+    ),
+    tags=("streaming", "window"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_replay_source(spark, sf_dir)
+    agg = sliding_aggregate(
+        ev, ts_col="ts", keys=("event_type",), value_col="value"
+    )
+    return run_to_memory(agg, _sink_name("streaming_sliding"))
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 5) AS total_value
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Gap-based session windows (30m) per user through the streaming "
+        "engine's session_window operator (merging state store). Oracle "
+        "recomputes sessions relationally via lag + running session ids; "
+        "boundary semantics matched (a gap of exactly 30m starts a new "
+        "session in both)."
+    ),
+    tags=("streaming", "session"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_replay_source(spark, sf_dir)
+    agg = session_aggregate(ev, ts_col="ts", keys=("user_id",), value_col="value")
+    return run_to_memory(agg, _sink_name("streaming_session")).select(
+        "user_id", "session_start", "n_events", "total_value"
+    )
+
+
+@register(
+    "streaming_dedup_replay",
+    oracle="""
+        SELECT event_id, user_id, event_type, ROUND(value, 5) AS value
+        FROM events
+    """,
+    doc=(
+        "At-least-once -> effectively-once (St6/Q6 fix): the replay is "
+        "unioned with itself (every event delivered twice) and "
+        "dropDuplicatesWithinWatermark(event_id) restores exactly the "
+        "original rows — verified by the oracle being plain SELECT over "
+        "events. Dedup state is bounded by the watermark horizon."
+    ),
+    tags=("streaming", "dedup", "headline"),
+)
+def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = events_replay_source(spark, sf_dir)
+    b = events_replay_source(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", F.round("value", 5).alias("value"))
+    )
+    return run_to_memory(deduped, _sink_name("streaming_dedup"), output_mode="append")
+
+
+@register(
+    "streaming_stream_static_join",
+    oracle="""
+        SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+                    WHEN event_type IN ('view', 'click') THEN 'engagement'
+                    ELSE 'other' END AS category,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 5) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+    doc=(
+        "Stream-static enrichment (SURVEY §2.6 'stream-static enrich'): "
+        "the replay stream broadcast-joined to a static category dimension, "
+        "then aggregated in complete mode. The static side never shuffles "
+        "the stream at any scale."
+    ),
+    tags=("streaming", "join"),
+)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_replay_source(spark, sf_dir)
+    dim = ev.sparkSession.createDataFrame(
+        [
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("view", "engagement"),
+            ("click", "engagement"),
+            ("error", "other"),
+        ],
+        ["event_type", "category"],
+    )
+    joined = ev.join(F.broadcast(dim), "event_type", "left").fillna(
+        {"category": "other"}
+    )
+    agg = joined.groupBy("category").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 5).alias("total_value"),
+    )
+    return run_to_memory(agg, _sink_name("streaming_enrich"))
