@@ -1,0 +1,86 @@
+"""Benchmark runner.
+
+Times the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is fully materialized through a noop datasource write (all
+partitions computed on executors, nothing collected to the driver) — the
+honest cost of the plan, not of toPandas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# the representative slice of SURVEY §2's inventory: reference surface,
+# relational heavies, every LLM-pipeline family, and the streaming engine
+HEADLINE = [
+    "hourly_value_by_type",
+    "weather_pipeline_batch",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "broadcast_dim_join",
+    "top3_orders_per_customer",
+    "running_sum_by_user",
+    "exact_dedup_by_hash",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_near_dup",
+    "cosine_topk_exact",
+    "knn_join_topk",
+    "tfidf_top_term_per_doc",
+    "quality_scores",
+    "multimodal_asset_features",
+    "streaming_hourly_agg",
+    "streaming_dedup_replay",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.session import get_spark
+
+    spark = get_spark("bench")
+    specs = all_queries()
+
+    # warm the JVM/session so query 1 doesn't pay startup costs
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(specs[name].builder(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

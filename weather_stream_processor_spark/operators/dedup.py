@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from weather_stream_processor_spark.functions import tokens, word_shingles
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.sources import load_table, spread
 
 JACCARD_THRESHOLD = 0.8
 
@@ -80,6 +80,7 @@ def exact_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded distinct word n-grams + per-doc set size."""
+    docs = spread(docs, "doc_id")
     return docs.select(
         "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
@@ -97,10 +98,17 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
             FROM toks
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sized AS (
+            SELECT sh.doc_id, sh.shingle, sizes.n
+            FROM sh JOIN sizes USING (doc_id)
+        ),
         inter AS (
+            -- size-band prune: jaccard >= t implies min(|A|,|B|)/max >= t,
+            -- so pairs outside the band are dropped before the group-by
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM sh a
-            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            FROM sized a
+            JOIN sized b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                        AND LEAST(a.n, b.n) >= {JACCARD_THRESHOLD} * GREATEST(a.n, b.n)
             GROUP BY 1, 2
         )
         SELECT doc_a, doc_b,
@@ -125,11 +133,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # size-band prune inside the join condition: jaccard >= t implies
+    # min(|A|,|B|) >= t * max(|A|,|B|), so impossible pairs never reach the
+    # pair-counting shuffle (cuts the intermediate by ~an order of
+    # magnitude on skewed corpora)
+    band = F.least(F.col("a.n_shingles"), F.col("b.n_shingles")) >= F.greatest(
+        F.col("a.n_shingles"), F.col("b.n_shingles")
+    ) * F.lit(JACCARD_THRESHOLD)
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & band,
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -254,7 +270,7 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "simhash"),
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     h = F.xxhash64("tok")
     bit_sums = [

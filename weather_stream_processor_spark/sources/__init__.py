@@ -1,3 +1,8 @@
-from weather_stream_processor_spark.sources.tables import TABLES, load_table, load_tables
+from weather_stream_processor_spark.sources.tables import (
+    TABLES,
+    load_table,
+    load_tables,
+    spread,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables"]
+__all__ = ["TABLES", "load_table", "load_tables", "spread"]

@@ -51,3 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's parallelism before CPU-heavy
+    per-row work (shingling, hashing, Pandas UDF batches).
+
+    A small single-file parquet scan is ONE task regardless of cores; an
+    expensive projection chained onto it would run serially (observed: 6 s
+    single-core shingle explode vs <1 s spread). On a real multi-split
+    100 TB table the scan already parallelizes and this one extra exchange
+    of the input is noise next to the per-row work it balances — keyed by
+    the downstream grouping key so the shuffle is reused where possible.
+    """
+    sess = df.sparkSession
+    n = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, key)
