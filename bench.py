@@ -38,6 +38,8 @@ HEADLINE = [
     "minhash_lsh_near_dup",
     "cosine_topk_exact",
     "knn_join_topk",
+    "embedding_cosine_near_dup",
+    "ann_ivf_topk",
     "tfidf_top_term_per_doc",
     "quality_scores",
     "multimodal_asset_features",

@@ -36,6 +36,23 @@ def test_ann_lsh_recall_vs_exact(spark):
     assert recall >= 0.5, f"recall@10 too low: {recall} (ann={ann}, exact={exact})"
 
 
+def test_ann_ivf_recall_vs_exact(spark):
+    exact = [r.vec_id for r in _run(spark, "cosine_topk_exact").collect()]
+    ivf = [r.vec_id for r in _run(spark, "ann_ivf_topk").collect()]
+    recall = len(set(exact) & set(ivf)) / len(exact)
+    # NPROBE/K = 1/8 of the corpus scanned; near-orthogonal fixtures make
+    # this the hardest case for coarse quantization, so the bar is modest.
+    assert recall >= 0.3, f"recall@10 too low: {recall} (ivf={ivf}, exact={exact})"
+
+
+def test_embedding_near_dup_symmetric_and_thresholded(spark):
+    rows = _run(spark, "embedding_cosine_near_dup").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.vec_id_a < r.vec_id_b
+        assert r.cosine_sim >= 0.35
+
+
 def test_simhash_deterministic_across_runs(spark):
     a = {(r.doc_id, r.simhash) for r in _run(spark, "simhash_buckets").collect()}
     b = {(r.doc_id, r.simhash) for r in _run(spark, "simhash_buckets").collect()}

@@ -36,7 +36,7 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns, accumulated in double.
 
     The cast inside the lambda matters: zip_with on ``array<float>`` would
@@ -50,8 +50,16 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def l2_norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+    return F.sqrt(dot(a, a))
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine of two float-array columns.
+
+    Array HOFs evaluate interpreted (outside whole-stage codegen), so this
+    costs THREE array traversals per pair. In pairwise hot paths (k-NN
+    joins) precompute ``l2_norm`` once per row and use
+    ``dot(a, b) / (nrm_a * nrm_b)`` — identical arithmetic, one traversal
+    per pair instead of three.
+    """
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -21,9 +21,31 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from weather_stream_processor_spark.functions import cosine_similarity, l2_norm
+from weather_stream_processor_spark.functions import dot, l2_norm
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.sources import load_table, spread
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, nrm) with the L2 norm computed ONCE per row.
+
+    Array HOFs run interpreted, so ``cosine_similarity`` inside a pairwise
+    join would traverse each array three times per PAIR; hoisting the norm
+    makes it one traversal per pair (the dot) plus one per row. Bit-identical
+    values — ``dot/(nrm_a*nrm_b)`` is the same arithmetic, just cached.
+    ``spread`` first: a single-file parquet scan is one task, and the
+    per-pair HOF work downstream is the expensive part to balance.
+    """
+    return spread(emb, "vec_id").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+
+
+def _pair_cosine(prefix_a: str = "", query_cols: tuple[str, str] = ("q_embedding", "q_nrm")) -> Column:
+    q_emb, q_nrm = query_cols
+    return dot(F.col(prefix_a + "embedding"), F.col(q_emb)) / (
+        F.col(prefix_a + "nrm") * F.col(q_nrm)
+    )
 
 _COSINE_ORACLE_CTE = """
     WITH q AS (
@@ -74,16 +96,16 @@ _COSINE_ORACLE_CTE = """
     tags=("similarity", "llm", "headline"),
 )
 def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("nrm").alias("q_nrm")
+    )
     sims = (
         emb.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("q_embedding")), 6
-            ).alias("cosine_sim"),
+            F.round(_pair_cosine(), 6).alias("cosine_sim"),
         )
     )
     # TakeOrderedAndProject (per-partition heaps) instead of a global
@@ -112,9 +134,11 @@ def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm"),
 )
 def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
     )
     sims = (
         emb.crossJoin(F.broadcast(q))
@@ -122,9 +146,7 @@ def knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             "vec_id",
-            F.round(
-                cosine_similarity(F.col("embedding"), F.col("q_embedding")), 6
-            ).alias("cosine_sim"),
+            F.round(_pair_cosine(), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
@@ -251,10 +273,14 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from itertools import combinations
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    sk = emb.select("vec_id", "embedding", rp_bucket(F.col("embedding")).alias("bucket"))
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    sk = emb.select(
+        "vec_id", "embedding", "nrm", rp_bucket(F.col("embedding")).alias("bucket")
+    )
     q = sk.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
     )
     # multi-probe: all bit-flip masks up to Hamming radius PROBE_RADIUS
     masks = [0] + [
@@ -264,6 +290,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     probes = q.select(
         "q_embedding",
+        "q_nrm",
         F.explode(
             F.array(
                 *[F.col("q_bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
@@ -275,10 +302,186 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sims = candidates.select(
         "vec_id",
-        F.round(cosine_similarity(F.col("embedding"), F.col("q_embedding")), 6).alias(
-            "cosine_sim"
-        ),
+        F.round(_pair_cosine(), 6).alias("cosine_sim"),
     ).dropDuplicates(["vec_id"])
+    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", "cosine_sim", "rn"
+    )
+
+
+# --- embedding-cosine near-dup + IVF ANN (vectorized scale paths) -----------
+
+NEAR_DUP_COSINE = 0.35  # fixture embeddings are near-orthogonal (max pairwise
+# cosine ~0.51); a real near-dup corpus would use ~0.95. Same plan either way.
+
+
+@register(
+    "embedding_cosine_near_dup",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+                   SQRT(SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE))) AS na,
+                   SQRT(SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE))) AS nb
+            FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_id_a, vec_id_b,
+               ROUND(dot / (na * nb), 6) AS cosine_sim
+        FROM pairs
+        WHERE ROUND(dot / (na * nb), 6) >= {NEAR_DUP_COSINE}
+    """,
+    doc=(
+        "Embedding-cosine near-duplicate detection (dedup family, mandate "
+        "row 'embedding-cosine near-dup'): all unordered pairs with cosine "
+        ">= threshold. Executed as a blocked matrix product in an Arrow "
+        "mapInPandas — each corpus partition multiplies its (n_batch, 64) "
+        "block against the full corpus matrix with one BLAS GEMM, keeping "
+        "only a<b pairs over threshold. The corpus side here fits in a "
+        "closure broadcast (the fixture is small); at 100 TB the same UDF "
+        "runs over the CROSS of corpus blocks x corpus blocks, or — the "
+        "production answer — candidates come from ann_lsh_buckets / "
+        "minhash-style banding first and only bucket-mates reach the GEMM. "
+        "The arithmetic mirrors the oracle exactly: raw-dot / (norm_a * "
+        "norm_b) in float64, rounded to 6dp before the threshold test."
+    ),
+    tags=("dedup", "similarity", "llm", "pandas-udf"),
+)
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # corpus matrix rides to executors once via Spark's broadcast machinery
+    # (not a per-task closure pickle)
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    out_schema = StructType(
+        [
+            StructField("vec_id_a", LongType()),
+            StructField("vec_id_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def gemm_blocks(batches):
+        g_ids, g_mat, g_norms = bc.value
+        for pdf in batches:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = np.round(
+                (a_mat @ g_mat.T) / np.outer(a_norms, g_norms), 6
+            )
+            ai, gi = np.nonzero(
+                (sims >= NEAR_DUP_COSINE) & (a_ids[:, None] < g_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": a_ids[ai],
+                    "vec_id_b": g_ids[gi],
+                    "cosine_sim": sims[ai, gi],
+                }
+            )
+
+    return spread(emb, "vec_id").mapInPandas(gemm_blocks, schema=out_schema)
+
+
+# IVF coarse quantization: K "centroids" partition the corpus into cells;
+# a query probes only its NPROBE nearest cells and reranks those exactly.
+# Centroids here are a deterministic sample (first K vectors) — production
+# would k-means-train them; every plan shape below is unchanged by that.
+IVF_K = 32
+IVF_NPROBE = 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs exact in tests
+    doc=(
+        "IVF ANN top-10 for query vec_id 0: (1) assign every vector to its "
+        "nearest of IVF_K sampled centroids with one blocked GEMM "
+        "(mapInPandas, Arrow) — this is the inverted-file index, a plain "
+        "(cell, vec_id) column pair, shuffle-free; (2) the query probes its "
+        "IVF_NPROBE closest cells; (3) only vectors in probed cells are "
+        "redranked by exact HOF cosine. Scan fraction ~NPROBE/K of the "
+        "corpus vs the brute-force baseline; recall@10 measured in tests "
+        "against cosine_topk_exact."
+    ),
+    tags=("similarity", "llm", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cent_rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    C = np.array(
+        [r.embedding for r in sorted(cent_rows, key=lambda r: r.vec_id)],
+        dtype=np.float64,
+    )
+    C /= np.sqrt((C * C).sum(axis=1, keepdims=True))
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    assign_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cell", LongType())]
+    )
+
+    def assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": np.argmax(m @ cm.T, axis=1).astype(np.int64),
+                }
+            )
+
+    cells = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
+    ).mapInPandas(assign, schema=assign_schema)
+
+    indexed = emb.join(cells, "vec_id")
+
+    # the query's NPROBE nearest cells, computed the same way (driver-side:
+    # one 64-float vector against K centroids)
+    q_row = next(r for r in cent_rows if r.vec_id == 0)
+    qv = np.array(q_row.embedding, dtype=np.float64)
+    qv /= np.sqrt((qv * qv).sum())
+    probe_cells = [int(c) for c in np.argsort(-(C @ qv))[:IVF_NPROBE]]
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("nrm").alias("q_nrm")
+    )
+    candidates = (
+        indexed.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+    )
+    sims = candidates.select(
+        "vec_id", F.round(_pair_cosine(), 6).alias("cosine_sim")
+    )
     top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return top.withColumn("rn", F.row_number().over(w)).select(
