@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.functions import tokens, word_shingles
 from weather_stream_processor_spark.registry import register
@@ -78,12 +79,24 @@ def exact_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word n-grams + per-doc set size."""
-    docs = spread(docs, "doc_id")
-    return docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle, n_shingles): exploded distinct word n-grams.
+
+    Plan-shape detail that matters: the interpreted HOF building the
+    shingle array feeds ``explode`` DIRECTLY. Materializing the array in
+    one projection and its ``size`` in a second lets CollapseProject
+    inline the transform into both — and once a Generate sits in between,
+    per *output* row — turning an O(docs) expression into O(shingles)
+    evaluations (measured 4.6x slower at sf0.1). Set sizes come from a
+    window count over the exploded rows instead; ``spread`` already
+    hash-partitioned by doc_id, so the window adds a sort but no exchange.
+    """
+    expl = spread(docs, "doc_id").select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle")
+    )
+    return expl.withColumn(
+        "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
 
 
 @register(
@@ -129,8 +142,7 @@ def _shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_sets(docs)
-    exploded = sh.select("doc_id", "n_shingles", F.explode("shingles").alias("shingle"))
+    exploded = _exploded_shingles(docs)
     a = exploded.alias("a")
     b = exploded.alias("b")
     # size-band prune inside the join condition: jaccard >= t implies
@@ -168,20 +180,40 @@ N_HASHES = 32  # signature length
 N_BANDS = 8  # => rows-per-band r=4; threshold ~ (1/b)^(1/r) ≈ 0.59
 
 
-def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — min of xxhash64(shingle, seed_i).
+def _doc_index(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig, shingles, n_shingles) — the per-doc near-dup index.
 
-    One pass over the exploded shingles; the per-doc state is n_hashes
-    longs regardless of document size, so the shuffle is O(docs), not
-    O(shingles). xxhash64 is Spark-native codegen (no UDF).
+    One explode + ONE aggregation produces everything downstream needs:
+    the MinHash signature (min of xxhash64(shingle, seed_i) — Spark-native
+    codegen, no UDF), the distinct-shingle set (for exact verification via
+    array_intersect, replacing a second explode/self-join over shingles),
+    and the set size. Per-doc state is n_hashes longs + the shingle set;
+    the aggregate's exchange is one identical subtree for every consumer,
+    so Spark's ReuseExchange computes it once per query.
     """
-    sh = _shingle_sets(docs).select("doc_id", F.explode("shingles").alias("shingle"))
+    expl = spread(docs, "doc_id").select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
+    )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+    per_doc = expl.groupBy("doc_id").agg(
+        *mins,
+        F.collect_list("shingle").alias("shingles"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"),
+        "shingles",
+        "n_shingles",
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min of xxhash64(shingle, seed_i)."""
+    return _doc_index(docs, n_hashes).select("doc_id", "sig")
 
 
 @register(
@@ -199,9 +231,9 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    per_doc = _doc_index(docs)
     r = N_HASHES // N_BANDS
-    bands = sig.select(
+    bands = per_doc.select(
         "doc_id",
         F.explode(
             F.array(
@@ -229,30 +261,27 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-verify candidates only (candidate set is tiny vs all pairs)
-    sh = _shingle_sets(docs).select(
-        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    # exact-verify candidates only: join the per-doc shingle sets back and
+    # intersect the two ~O(doc length) arrays per pair — no second explode,
+    # no shingle-level shuffle, and the candidate set is tiny vs all pairs
+    pa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("na"),
     )
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        candidates.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy(
-            "doc_a",
-            "doc_b",
-            F.col("sa.n_shingles").alias("na"),
-            F.col("sb.n_shingles").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("nb"),
+    )
+    verified = (
+        candidates.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jaccard = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.filter(jaccard >= JACCARD_THRESHOLD)
+        verified.filter(jaccard >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
     )
 
@@ -271,11 +300,16 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    h = F.xxhash64("tok")
+    # hash once per token in a projection; referencing xxhash64("tok")
+    # inside all 64 aggregate expressions would inline it 64x per row
+    # (aggregate inputs get no common-subexpression elimination) —
+    # measured 3x slower at sf0.1
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]

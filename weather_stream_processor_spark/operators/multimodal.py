@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table, load_tables
+from weather_stream_processor_spark.sources import load_table, load_tables, spread
 
 
 @register(
@@ -170,7 +170,9 @@ def extract_features(assets: DataFrame, use_real_codec: bool = False) -> DataFra
     tags=("multimodal", "llm", "pandas-udf"),
 )
 def multimodal_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = synthesize_assets(spark, sf_dir)
+    # spread: the single-file fixture scan is one task; without it the
+    # whole Arrow decode stage runs serially on one core
+    assets = spread(synthesize_assets(spark, sf_dir), "asset_id")
     return extract_features(assets)
 
 

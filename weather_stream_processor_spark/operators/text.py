@@ -20,7 +20,7 @@ from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.functions import tokens
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.sources import load_table, spread
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -112,11 +112,16 @@ def term_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_term_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf rows are already distinct (doc_id, term) pairs, so document
+    # frequency is a plain count — no distinct aggregation needed; the tf
+    # aggregate below it is an identical subtree on both sides of the join,
+    # which ReuseExchange computes once
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # scalar; embedded as a literal in the plan
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
