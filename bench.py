@@ -62,8 +62,15 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_queries()
 
-    # warm the JVM/session so query 1 doesn't pay startup costs
+    # warm the session so query 1 measures the query, not global init:
+    # JVM/codegen, the Arrow python-worker pool, and the parquet reader
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
+    from weather_stream_processor_spark.sources import load_table
+
+    load_table(spark, sf_dir, "region").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
