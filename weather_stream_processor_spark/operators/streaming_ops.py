@@ -195,6 +195,44 @@ def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_record_breakers",
+    oracle="""
+        SELECT user_id, event_id, ts, ROUND(value, 5) AS value
+        FROM (
+            SELECT user_id, event_id, ts, value,
+                   MAX(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prev_max
+            FROM events
+        )
+        WHERE prev_max IS NULL OR value > prev_max
+    """,
+    doc=(
+        "CUSTOM stateful operator (applyInPandasWithState): per-user record "
+        "tracker emitting only rows that strictly exceed the running max of "
+        "value — state is ONE float per key across micro-batches, O(#keys) "
+        "regardless of throughput. Spark has no built-in for cross-batch "
+        "arbitrary state; this is the mandated escape hatch, oracle-checked "
+        "against a relational running-max reformulation (the bounded replay "
+        "delivers events in (ts, event_id) order, making both equivalent)."
+    ),
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_record_breakers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.streaming.stateful import (
+        record_breaking_events,
+    )
+
+    ev = events_replay_source(spark, sf_dir)
+    breakers = record_breaking_events(ev)
+    out = run_to_memory(
+        breakers, _sink_name("streaming_record_breakers"), output_mode="append"
+    )
+    return out.select("user_id", "event_id", "ts", F.round("value", 5).alias("value"))
+
+
+@register(
     "streaming_stream_static_join",
     oracle="""
         SELECT CASE WHEN event_type IN ('purchase', 'signup') THEN 'conversion'

@@ -64,6 +64,34 @@ def foreach_batch_parquet_writer(
     return write
 
 
+def kafka_value_sink(
+    stream_df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Kafka producer sink (SURVEY §2.4 K4, rebuilt): the input must carry a
+    binary/string ``value`` column (use to_json(struct(...)) upstream, the
+    declarative twin of the reference's json.dumps serializer,
+    weather_stream.py:72-74). Delivery is the connector's at-least-once
+    with checkpointed offsets — no per-message blocking ack (the
+    reference's .get(timeout=30) capped throughput at one message per
+    round-trip, weather_stream.py:142).
+
+    Requires the spark-sql-kafka package on the classpath; not bundled in
+    this test environment (the parquet/JDBC sinks are the test twins).
+    """
+    return (
+        stream_df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
+
+
 def run_foreach_batch(
     stream_df: DataFrame,
     sink: Callable[[DataFrame, int], None],
