@@ -231,3 +231,39 @@ def pivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_finished"),
         )
     )
+
+
+@register(
+    "salted_hot_key_agg",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 5) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Two-phase SALTED aggregation for hot grouping keys: phase 1 "
+        "groups by (event_type, salt=hash(event_id) mod 16) so a hot key's "
+        "rows spread over 16 reducers; phase 2 folds the salt back out. "
+        "The fixture's events table has only 5 event_types — exactly the "
+        "shape where an unsalted final combine funnels everything through "
+        "5 tasks. Partial map-side aggregation already mitigates sums/"
+        "counts; salting is the general pattern for when it can't "
+        "(count_distinct, collect-style aggs) and its JOIN twin (replicate "
+        "the dim side per salt) is what AQE skew-join automates at runtime "
+        "(spark.sql.adaptive.skewJoin.enabled, on in session.py). Oracle "
+        "proves salting is semantics-preserving: plain GROUP BY."
+    ),
+    tags=("aggregation", "skew", "scale"),
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 5).alias("total_value"),
+    )

@@ -268,3 +268,43 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     code = (F.ascii("tok") * 31 + F.length("tok")).cast("bigint") * (F.col("pos0") + 1)
     return exploded.groupBy("doc_id").agg((F.sum(code) % 1000000007).alias("fingerprint"))
+
+
+# GPT-2-style pretokenizer, restricted to ASCII classes both Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: a token is an optional
+# leading space + a letter run, digit run, or punctuation run.
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+@register(
+    "bpe_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+               ROUND(len(regexp_extract_all(text, '{BPE_PRETOKEN_RE}'))
+                     * 1.0 / len(string_split(text, ' ')), 6) AS bpe_per_word
+        FROM documents
+    """,
+    doc=(
+        "BPE-ish token counting (mandate: 'whitespace + a BPE-ish regex'): "
+        "a GPT-2-style pretokenizer regex (space-prefixed letter/digit/"
+        "punctuation runs) next to the whitespace count, plus the "
+        "tokens-per-word fertility ratio used for corpus budgeting. Pure "
+        "projection — regexp_extract_all is codegen'd; no shuffle at any "
+        "scale. A real BPE vocab merge step would follow as a pandas_udf "
+        "over these pretokens."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(BPE_PRETOKEN_RE), 0)
+    ws = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.size(ws).cast("bigint").alias("n_ws_tokens"),
+        F.round(F.size(bpe) / F.size(ws), 6).alias("bpe_per_word"),
+    )
