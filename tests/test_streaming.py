@@ -133,3 +133,58 @@ def test_session_window_merges_and_splits(spark):
         (7, datetime(2024, 1, 1, 11, 30), 1, 4.0),
         (9, datetime(2024, 1, 1, 10, 10), 1, 8.0),
     }
+
+
+def test_stateful_record_breakers_across_micro_batches(spark):
+    """State must survive micro-batch boundaries: replay events as four
+    time-ordered files, ONE file per trigger, and require the per-key
+    running-max state carried across all four batches to reproduce the
+    global batch answer exactly."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.sources import load_table
+    from weather_stream_processor_spark.streaming.replay import run_to_memory
+    from weather_stream_processor_spark.streaming.stateful import (
+        record_breaking_events,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    src = tempfile.mkdtemp(prefix="stateful_src_")
+    quart = ev.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        quart.filter(F.col("q") == i).drop("q").coalesce(1).write.parquet(
+            f"{src}/part{i}.parquet"
+        )
+        # FileStreamSource orders files by modification time; make the
+        # time-quartile order unambiguous
+        t = time.time() + i
+        for root, _, files in os.walk(f"{src}/part{i}.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    got = {
+        (r.user_id, r.event_id)
+        for r in run_to_memory(
+            record_breaking_events(stream), "stateful_xbatch", output_mode="append"
+        ).collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    expected = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("prev_max", F.max("value").over(w))
+        .filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        .collect()
+    }
+    assert got == expected
