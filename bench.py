@@ -39,6 +39,7 @@ HEADLINE = [
     "cosine_topk_exact",
     "knn_join_topk",
     "embedding_cosine_near_dup",
+    "embedding_near_dup_blocked",
     "ann_ivf_topk",
     "tfidf_top_term_per_doc",
     "quality_scores",
