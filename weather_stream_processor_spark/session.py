@@ -11,6 +11,7 @@ than the 200 default.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -48,6 +49,14 @@ def get_spark(
         # truncation, matching DuckDB's coercion of the same file)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # managed tables (bucketing demos/tests) land in tmp, never the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR",
+                os.path.join(tempfile.gettempdir(), "wsp_spark_warehouse"),
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
