@@ -33,9 +33,23 @@ TABLES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """Make a FOREIGN SparkSession able to run our queries correctly.
+
+    The evaluation driver (and any library consumer) may hand us a session
+    built without our factory: without ``nanosAsLong`` every `events` scan
+    throws PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone shifts
+    date_trunc/hour results away from the (UTC) DuckDB oracle. Both are
+    runtime-settable, so the data-access choke points pin them defensively.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    ensure_session_defaults(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # `ts` is TIMESTAMP(NANOS) in the fixture parquet; with

@@ -38,6 +38,9 @@ def _as_stream_dir(parquet_file: str) -> str:
 def events_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DataFrame over `events` with the same schema/columns the
     batch loader produces (ts restored from nanos to TimestampType)."""
+    from weather_stream_processor_spark.sources import ensure_session_defaults
+
+    ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema  # LongType ts via nanosAsLong
     stream = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
