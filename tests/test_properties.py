@@ -1,0 +1,121 @@
+"""Property-style invariants (SURVEY §5.2): semantics that must hold for
+ARBITRARY inputs, not just the fixtures — hypothesis generates the rows,
+Spark evaluates the same builders' core expressions on literal DataFrames.
+
+Example counts are kept small: each example round-trips through a Spark
+job, so the value is in the input diversity, not volume."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=10, deadline=None)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # user_id (few keys -> collisions)
+        st.integers(min_value=0, max_value=3_600_000),  # offset seconds
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _ev_df(spark, rows):
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (uid, i, base + timedelta(seconds=off), float(val))
+            for i, (uid, off, val) in enumerate(rows)
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_hourly_windows_partition_the_global_sum(spark, rows):
+    """Tumbling windows are a partition of event time: the windowed sums
+    must add up to the global sum exactly (same float op order modulo
+    associativity — tolerance covers reassociation only)."""
+    df = _ev_df(spark, rows)
+    windowed = (
+        df.groupBy(F.window("ts", "1 hour"))
+        .agg(F.sum("value").alias("s"))
+        .agg(F.sum("s"))
+        .collect()[0][0]
+    )
+    total = df.agg(F.sum("value")).collect()[0][0]
+    assert math.isclose(windowed, total, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(rows=_events, n_salts=st.integers(min_value=1, max_value=32))
+@settings(**_SETTINGS)
+def test_salting_preserves_aggregation(spark, rows, n_salts):
+    df = _ev_df(spark, rows)
+    direct = {
+        r.user_id: (r.n, r.s)
+        for r in df.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = df.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    two_phase = {
+        r.user_id: (r.n, r.s)
+        for r in salted.groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("ps"))
+        .groupBy("user_id")
+        .agg(F.sum("pn").alias("n"), F.sum("ps").alias("s"))
+        .collect()
+    }
+    assert set(direct) == set(two_phase)
+    for k in direct:
+        assert direct[k][0] == two_phase[k][0]
+        assert math.isclose(direct[k][1], two_phase[k][1], rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(rows=_events)
+@settings(**_SETTINGS)
+def test_min_per_key_dedup_is_idempotent_and_minimal(spark, rows):
+    df = _ev_df(spark, rows)
+    once = df.groupBy("user_id").agg(F.min("event_id").alias("event_id"))
+    twice = once.groupBy("user_id").agg(F.min("event_id").alias("event_id"))
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    # survivor really is the minimum id of its key group
+    mins = {r.user_id: r.event_id for r in once.collect()}
+    for i, (uid, _, _) in enumerate(rows):
+        assert mins[uid] <= i
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=0, max_size=12
+    )
+)
+@settings(**_SETTINGS)
+def test_word_shingles_are_trigrams_and_guarded(spark, words):
+    from weather_stream_processor_spark.functions import tokens, word_shingles
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    [row] = df.select(
+        word_shingles(tokens(F.col("text")), 3).alias("sh")
+    ).collect()
+    toks = text.split(" ")  # split semantics: "" -> [""]
+    if len(toks) < 3:
+        assert row.sh == []
+    else:
+        assert len(row.sh) == len(set(row.sh))  # distinct
+        assert set(row.sh) <= {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        for sh in row.sh:
+            assert len(sh.split(" ")) == 3
