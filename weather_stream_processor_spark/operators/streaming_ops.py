@@ -271,3 +271,66 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 5).alias("total_value"),
     )
     return run_to_memory(agg, _sink_name("streaming_enrich"))
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle="""
+        SELECT v.user_id,
+               v.event_id AS view_id,
+               p.event_id AS purchase_id,
+               CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_to_purchase
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc=(
+        "STREAM-STREAM interval join: views joined to same-user purchases "
+        "within the following hour — both sides are unbounded streams with "
+        "watermarks, so the join state on each side is bounded by the "
+        "interval + watermark horizon and rows age out as event time "
+        "advances (Spark buffers both sides in the state store keyed by "
+        "user_id). The attribution-window shape every event pipeline "
+        "needs; oracle is the relational interval join."
+    ),
+    tags=("streaming", "join", "interval"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )
+    return run_to_memory(
+        joined, _sink_name("streaming_ss_join"), output_mode="append"
+    )
