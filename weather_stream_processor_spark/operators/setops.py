@@ -99,3 +99,44 @@ def except_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c,) = load_tables(spark, sf_dir, "customer")
     return c.select("c_mktsegment").distinct()
+
+
+@register(
+    "intersect_all_priorities",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc=(
+        "INTERSECT ALL (multiset semantics): each priority kept "
+        "min(count_F, count_O) times — Spark's intersectAll plans as a "
+        "counted anti-semi aggregation, one shuffle per side."
+    ),
+    tags=("setop", "multiset"),
+)
+def intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = load_tables(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(op)
+
+
+@register(
+    "except_all_priorities",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc=(
+        "EXCEPT ALL (multiset semantics): occurrences surviving = "
+        "count_F - count_P per value, floor 0."
+    ),
+    tags=("setop", "multiset"),
+)
+def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (o,) = load_tables(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return f.exceptAll(p)

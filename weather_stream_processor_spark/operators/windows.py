@@ -196,3 +196,49 @@ def global_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus,
+               ROUND(percent_rank() OVER w, 6) AS pr,
+               ROUND(cume_dist() OVER w, 6) AS cd,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest_key
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_orderstatus
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+    doc=(
+        "Distribution + positional window functions: percent_rank, "
+        "cume_dist, first_value, nth_value over a fully-framed ordered "
+        "partition. One exchange on the partition key, one sort — same "
+        "physical shape as every other window query."
+    ),
+    tags=("window", "distribution"),
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    # rank-family functions demand their default growing frame; positional
+    # ones need the full frame — two specs, but Catalyst evaluates both in
+    # ONE Window operator (same partitioning + ordering), so still one
+    # exchange + one sort
+    ordered = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    full = ordered.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(ordered), 6).alias("pr"),
+        F.round(F.cume_dist().over(ordered), 6).alias("cd"),
+        F.first("o_orderkey").over(full).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_cheapest_key"),
+    )
