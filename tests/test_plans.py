@@ -100,3 +100,11 @@ def test_stream_static_join_broadcasts_dim(spark):
     )
     joined = ev.join(F.broadcast(dim), "event_type", "left")
     require_plan(joined, contains=("BroadcastHashJoin",), not_contains=("SortMergeJoin",))
+
+
+def test_global_sort_uses_range_partitioning(spark):
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "global_sorted_supplier_ledger"), "formatted")
+    assert "rangepartitioning" in plan.lower()
+    assert "Sort" in plan

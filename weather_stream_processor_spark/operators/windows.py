@@ -242,3 +242,72 @@ def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first("o_orderkey").over(full).alias("cheapest_key"),
         F.nth_value("o_orderkey", 2).over(full).alias("second_cheapest_key"),
     )
+
+
+@register(
+    "global_sorted_supplier_ledger",
+    oracle="""
+        SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 2) AS acctbal
+        FROM supplier
+        ORDER BY acctbal DESC, s_suppkey
+    """,
+    doc=(
+        "True GLOBAL sort (no limit): Exchange rangepartitioning samples "
+        "the sort key to build balanced ranges, then each partition sorts "
+        "locally — the only total-order operator that scales (a single-"
+        "reducer sort would serialize 100 TB). Output order itself is "
+        "checked order-insensitively by the driver; the plan shape is "
+        "asserted in tests/test_plans.py."
+    ),
+    tags=("sort", "global"),
+)
+def global_sorted_supplier_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+    ).orderBy(F.desc("acctbal"), F.asc("s_suppkey"))
+
+
+@register(
+    "percentile_bucketing",
+    oracle="""
+        WITH cuts AS (
+            SELECT ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+                   ROUND(quantile_cont(o_totalprice, 0.50), 6) AS q2,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q3
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice <= q1 THEN 1
+                    WHEN o_totalprice <= q2 THEN 2
+                    WHEN o_totalprice <= q3 THEN 3
+                    ELSE 4 END AS price_quartile
+        FROM orders CROSS JOIN cuts
+    """,
+    doc=(
+        "The 100 TB replacement for ntile: exact percentile cutoffs from "
+        "one tiny aggregate (3 doubles), broadcast back, each row bucketed "
+        "by comparison — fully parallel, no single-reducer global sort. "
+        "(ntile_order_quartiles differs at the margins: it splits ties to "
+        "equalize bucket SIZES, this splits by VALUE cutoffs.) Cutoffs "
+        "rounded to 6dp on both sides so interpolation drift cannot move a "
+        "boundary."
+    ),
+    tags=("window", "scale", "percentile"),
+)
+def percentile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("q2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("q1"), 1)
+        .when(F.col("o_totalprice") <= F.col("q2"), 2)
+        .when(F.col("o_totalprice") <= F.col("q3"), 3)
+        .otherwise(4)
+    )
+    return o.crossJoin(F.broadcast(cuts)).select(
+        "o_orderkey", bucket.alias("price_quartile")
+    )
