@@ -221,3 +221,37 @@ def json_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("event_id_str"),
         F.to_json(F.struct("event_id", "event_type")).alias("wire_value"),
     )
+
+
+@register(
+    "json_path_extraction",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_tuple,
+               CAST(json_extract_string(props, '$.missing') AS BIGINT) AS absent
+        FROM events
+    """,
+    doc=(
+        "Schema-less JSON path access (SURVEY §2.6 map/json row): "
+        "get_json_object for one-off $.paths and json_tuple for extracting "
+        "several top-level fields in a single parse — the exploratory "
+        "complement to the declared-schema from_json path "
+        "(json_parse_props); absent paths yield NULL, not errors. Both are "
+        "codegen'd (Jackson inside the JVM), no UDF."
+    ),
+    tags=("scalar", "json", "path"),
+)
+def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    props = F.col("props").cast("string")
+    # json_tuple is a generator: it must stand alone in its projection
+    tupled = ev.select(
+        "event_id", props.alias("props_str"), F.json_tuple(props, "k").alias("k_raw")
+    )
+    return tupled.select(
+        "event_id",
+        F.get_json_object("props_str", "$.k").cast("bigint").alias("k_path"),
+        F.col("k_raw").cast("bigint").alias("k_tuple"),
+        F.get_json_object("props_str", "$.missing").cast("bigint").alias("absent"),
+    )
