@@ -91,3 +91,46 @@ def test_poll_to_spool_to_streaming_agg(spark):
         (40.0, -8.0, 1.8),
         (41.15, -8.61, 1.8),
     }
+
+
+def test_cli_spool_to_parquet_end_to_end(spark, tmp_path):
+    """The full application: poll (fake fetch) -> spool -> CLI pipeline
+    (spool source, hourly agg, parquet sink, bounded) -> verify output."""
+    from weather_stream_processor_spark.cli import main
+
+    def fake_fetch(url: str) -> dict:
+        return {
+            "minutely": [
+                {"dt": 1700003600 + i * 60, "precipitation": 0.02} for i in range(60)
+            ]
+        }
+
+    spool = str(tmp_path / "spool")
+    poll_forever(
+        [(40.0, -8.0)], "KEY", spool_writer(spool), fake_fetch, interval_s=0, max_cycles=2
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(
+        [
+            "--source", "spool", "--spool-dir", spool,
+            "--sink", "parquet", "--out", out,
+            "--checkpoint", ckpt, "--bounded",
+        ]
+    )
+    assert rc == 0
+    result = spark.read.parquet(f"{out}/batch_id=*").collect()
+    assert len(result) == 1  # one location, one hour bucket
+    assert result[0].lat == 40.0 and abs(result[0].hourly_precipitation - 2.4) < 1e-9
+
+    # re-run with the same checkpoint: committed offsets -> no new data,
+    # output unchanged (Q5 fixed by construction)
+    rc = main(
+        [
+            "--source", "spool", "--spool-dir", spool,
+            "--sink", "parquet", "--out", out,
+            "--checkpoint", ckpt, "--bounded",
+        ]
+    )
+    assert rc == 0
+    assert len(spark.read.parquet(f"{out}/batch_id=*").collect()) == 1

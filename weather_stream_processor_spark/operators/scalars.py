@@ -255,3 +255,41 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_raw").cast("bigint").alias("k_tuple"),
         F.get_json_object("props_str", "$.missing").cast("bigint").alias("absent"),
     )
+
+
+@register(
+    "map_functions",
+    oracle="""
+        SELECT s_suppkey,
+               MAP {'balance': s_acctbal, 'nation': CAST(s_nationkey AS DOUBLE)}['balance'][1]
+                   AS balance,
+               CAST(cardinality(MAP {'balance': s_acctbal,
+                                     'nation': CAST(s_nationkey AS DOUBLE)}) AS INTEGER)
+                   AS n_entries,
+               array_to_string(map_keys(MAP {'balance': s_acctbal,
+                                             'nation': CAST(s_nationkey AS DOUBLE)}), ',')
+                   AS keys_csv
+        FROM supplier
+    """,
+    doc=(
+        "MapType surface (SURVEY §2.6 map/json row): create_map, "
+        "element_at lookup, map_keys, size — emitted as scalars so the "
+        "cross-engine hash compares primitive values, not engine-specific "
+        "map encodings."
+    ),
+    tags=("scalar", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    m = F.create_map(
+        F.lit("balance"),
+        F.col("s_acctbal"),
+        F.lit("nation"),
+        F.col("s_nationkey").cast("double"),
+    )
+    return s.select(
+        "s_suppkey",
+        F.element_at(m, "balance").alias("balance"),
+        F.size(m).alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
