@@ -11,6 +11,8 @@ Each module maps a slice of SURVEY.md §2's inventory:
   similarity.py   embedding similarity search (§2.6 LLM rows)
   text.py         text analysis: tokens, tf-idf, lang-id, quality (§2.6)
   multimodal.py   text+vector+binary multimodal columns (§2.6)
+  timeseries.py   time spine + gap-fill over `events`
+  sampling.py     deterministic + stratified sampling (training-data mix)
 """
 
 from weather_stream_processor_spark.operators import (  # noqa: F401
@@ -18,11 +20,13 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    sampling,
     scalars,
     setops,
     similarity,
     streaming_ops,
     text,
+    timeseries,
     weather,
     windows,
 )

@@ -304,3 +304,44 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@register(
+    "percentile_moment_stats",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS median_price,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(var_samp(l_quantity), 6) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact interpolated percentiles (percentile_cont semantics) plus "
+        "second-moment statistics (stddev/variance/correlation/covariance) "
+        "per group. Exact percentiles need the full value list per "
+        "(group, column) on one reducer — fine for low-cardinality groups; "
+        "at 100 TB with high-cardinality groups switch to approx_percentile "
+        "(t-digest sketch, constant memory, mergeable map-side). The "
+        "moments are all one-pass mergeable aggregates: partial+final "
+        "HashAggregate, no extra shuffle over a plain SUM."
+    ),
+    tags=("aggregation", "percentile", "stats"),
+)
+def percentile_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )

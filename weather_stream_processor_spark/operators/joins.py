@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table, load_tables
@@ -289,6 +290,59 @@ def theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.p_brand").alias("p_brand"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "asof_join_last_view",
+    oracle="""
+        SELECT p.user_id, p.event_id, p.ts AS purchase_ts,
+               (SELECT MAX(v.ts) FROM events v
+                WHERE v.event_type = 'view'
+                  AND v.user_id = p.user_id
+                  AND v.ts <= p.ts) AS last_view_ts
+        FROM events p
+        WHERE p.event_type = 'purchase'
+    """,
+    doc=(
+        "AS-OF join (point-in-time lookup): each purchase picks up the "
+        "latest view of the same user at-or-before its timestamp. Spark "
+        "has no asof join operator; the scalable form is NOT a range join "
+        "(unbounded O(n*m) band) but the union-sort trick: union both "
+        "sides tagged, one window sort per user, last(view_ts, "
+        "ignorenulls) carried forward. One shuffle on user_id, linear "
+        "state — survives 100 TB where a correlated-subquery or interval "
+        "join would not. Ties (view.ts == purchase.ts) sort view-first, "
+        "giving <= semantics."
+    ),
+    tags=("join", "asof"),
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = views.unionByName(purchases).withColumn(
+        "last_view_ts", F.last("view_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("side") == 1).select(
+        "user_id", "event_id", F.col("ts").alias("purchase_ts"), "last_view_ts"
     )
 
 

@@ -1,0 +1,72 @@
+"""Time-series operators over the `events` stream-analog table.
+
+The reference's implicit time axis (hourly forecast buckets,
+weather_stream.py:129) generalizes to the standard warehouse time-series
+toolkit: a generated time spine + gap-filled aggregates. The spine is
+`sequence()` exploded from the data's own min/max bounds — a one-row
+broadcast, never a driver-side loop, so the same plan holds at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+
+@register(
+    "time_spine_gap_fill",
+    oracle="""
+        WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 5) AS total_value
+            FROM e GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM e
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        )
+        SELECT spine.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               COALESCE(h.total_value, 0.0) AS total_value
+        FROM spine LEFT JOIN h USING (hour)
+    """,
+    doc=(
+        "Gap-filled hourly series: a time spine generated in-plan "
+        "(sequence() between the data's own min/max hour, exploded from a "
+        "one-row aggregate) left-joined onto the hourly aggregate, empty "
+        "hours coalesced to zero. The spine side is O(hours) regardless of "
+        "data volume and broadcasts; the aggregate is the usual "
+        "partial+final pair — the whole gap-fill adds zero extra shuffles "
+        "over the plain hourly rollup. This is the batch twin of the "
+        "streaming engine's closed-window emission."
+    ),
+    tags=("timeseries", "aggregation", "spine"),
+)
+def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 5).alias("total_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    return spine.join(F.broadcast(hourly), "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
