@@ -99,10 +99,11 @@ def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle=f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# DuckDB CTE chain computing the exact word-3-gram Jaccard >= t pairs —
+# shared by the ngram_jaccard_pairs oracle and (as the edge set) by the
+# dedup_connected_components recursive oracle.
+_JACCARD_PAIRS_CTES = f"""
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sh AS (
             SELECT doc_id,
                    unnest(list_distinct(
@@ -123,13 +124,22 @@ def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             JOIN sized b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                         AND LEAST(a.n, b.n) >= {JACCARD_THRESHOLD} * GREATEST(a.n, b.n)
             GROUP BY 1, 2
-        )
-        SELECT doc_a, doc_b,
-               ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
-        FROM inter
-        JOIN sizes s1 ON doc_a = s1.doc_id
-        JOIN sizes s2 ON doc_b = s2.doc_id
-        WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b,
+                   ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sizes s1 ON doc_a = s1.doc_id
+            JOIN sizes s2 ON doc_b = s2.doc_id
+            WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+        )"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH {_JACCARD_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     doc=(
         "Near-duplicate pairs by exact word-3-gram Jaccard >= 0.8, computed "
@@ -325,4 +335,82 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         simhash.alias("simhash"),
         F.shiftright(simhash, 48).alias("bucket16"),
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT s AS id FROM edges),
+        reach AS (
+            SELECT id, id AS r FROM nodes
+            UNION
+            SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)
+        SELECT doc_id, component_id,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        FROM comp
+    """,
+    doc=(
+        "Near-dup CLUSTER RESOLUTION: the step after pair finding that "
+        "actual corpus dedup needs — connected components over the "
+        "Jaccard>=0.8 pair graph, min-doc_id as the canonical "
+        "representative (keep one doc per component, drop the rest). "
+        "Implemented as distributed min-label propagation: each round is "
+        "one join + one min-aggregate, all executor-side; the driver only "
+        "compares a one-row convergence checksum per round and "
+        "localCheckpoints to truncate lineage. Rounds = component "
+        "diameter — near-dup components are tiny/star-shaped, so 2-3 "
+        "rounds in practice; at 100 TB the alternating large-star/"
+        "small-star variant (Kiveris et al., 'Connected Components in "
+        "MapReduce') bounds rounds at O(log n) with the same per-round "
+        "plan. Oracle: DuckDB recursive-CTE transitive closure, "
+        "min-reachable-id per node."
+    ),
+    tags=("dedup", "llm", "iterative", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").union(
+        pairs.selectExpr("doc_b AS s", "doc_a AS d")
+    )
+    # cache the edge list: it is re-scanned every propagation round, and
+    # recomputing the shingle self-join per round would dominate
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
+        "comp", F.col("doc_id")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(50):  # hard bound; converges in O(diameter) rounds
+        msgs = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("comp").alias("mcomp"))
+        )
+        labels = (
+            labels.join(msgs, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("mcomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # labels only ever decrease, so an unchanged sum IS the fixpoint
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        "doc_id",
+        F.col("comp").alias("component_id"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("comp"))
+        .alias("n_members"),
     )
