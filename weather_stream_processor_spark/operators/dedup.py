@@ -189,13 +189,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 32  # signature length
 N_BANDS = 8  # => rows-per-band r=4; threshold ~ (1/b)^(1/r) ≈ 0.59
 
+# Carter-Wegman universal-hash lane constants (deterministic): lane_i(h) =
+# (A_i*h + B_i) mod P over the Mersenne prime P = 2^31-1. The mod is what
+# makes each lane an (approximately) independent permutation — an affine
+# map WITHOUT reduction is monotone in h, so every lane would pick the
+# same min shingle. A_i in [1, P), B_i in [0, P); products stay < 2^62.
+_MH_PRIME = (1 << 31) - 1
+_MH_MULT = [(2654435761 * (2 * i + 3)) % _MH_PRIME or 1 for i in range(N_HASHES)]
+_MH_ADD = [(0x9E3779B97F4A7C15 * (i + 1)) % _MH_PRIME for i in range(N_HASHES)]
+
 
 def _doc_index(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig, shingles, n_shingles) — the per-doc near-dup index.
 
     One explode + ONE aggregation produces everything downstream needs:
-    the MinHash signature (min of xxhash64(shingle, seed_i) — Spark-native
-    codegen, no UDF), the distinct-shingle set (for exact verification via
+    the MinHash signature (min of a_i*h32+b_i over xxhash64'd shingles —
+    Spark-native codegen, no UDF), the distinct-shingle set (for exact verification via
     array_intersect, replacing a second explode/self-join over shingles),
     and the set size. Per-doc state is n_hashes longs + the shingle set;
     the aggregate's exchange is one identical subtree for every consumer,
@@ -204,13 +213,28 @@ def _doc_index(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     expl = spread(docs, "doc_id").select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("shingle")
     )
+    # hash the shingle STRING once, then derive the n_hashes signature
+    # lanes by universal hashing over the value: lane_i = (A_i*h32 + B_i)
+    # mod (2^31-1), with h32 = low 32 bits of xxhash64. Products stay
+    # < 2^62, so ANSI int64 arithmetic never overflows. One string hash +
+    # integer multiply-add-mods per row instead of n_hashes string hashes
+    # — string hashing dominates the signature stage. Verification
+    # likewise carries the 64-bit hashes, not shingle text: the shuffle
+    # moves 8-byte longs and array_intersect compares longs (collision
+    # odds ~|corpus shingles|^2 / 2^64, irrelevant for candidate verify).
+    hashed = expl.select(
+        "doc_id",
+        F.xxhash64("shingle").alias("h"),
+    ).withColumn("h32", F.col("h").bitwiseAND(F.lit(0xFFFFFFFF)))
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(
+            (F.col("h32") * F.lit(_MH_MULT[i]) + F.lit(_MH_ADD[i])) % F.lit(_MH_PRIME)
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    per_doc = expl.groupBy("doc_id").agg(
+    per_doc = hashed.groupBy("doc_id").agg(
         *mins,
-        F.collect_list("shingle").alias("shingles"),
+        F.collect_list("h").alias("shingles"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
     return per_doc.select(
@@ -222,7 +246,7 @@ def _doc_index(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — min of xxhash64(shingle, seed_i)."""
+    """(doc_id, sig: array<bigint>) — min of a_i*h32+b_i per universal-hash lane."""
     return _doc_index(docs, n_hashes).select("doc_id", "sig")
 
 
