@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.sources import load_table, load_tables
 
 
 @register(
@@ -344,4 +344,67 @@ def percentile_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+    )
+
+
+@register(
+    "regression_trend_by_user",
+    oracle="""
+        SELECT user_id,
+               regr_count(value, epoch(ts) / 86400.0) AS n_points,
+               ROUND(regr_slope(value, epoch(ts) / 86400.0), 6) AS slope_per_day,
+               ROUND(regr_intercept(value, epoch(ts) / 86400.0), 4) AS intercept,
+               ROUND(regr_r2(value, epoch(ts) / 86400.0), 6) AS r2
+        FROM events
+        GROUP BY user_id
+    """,
+    doc=(
+        "Built-in linear-regression aggregates (regr_slope/intercept/r2): "
+        "per-user trend of value over time (x = epoch days). All one-pass "
+        "mergeable moment sketches — partial+final HashAggregate, same "
+        "shuffle as a SUM, so per-key trend fitting costs no more than a "
+        "grouped sum at 100 TB. The per-group pandas regression UDF this "
+        "replaces would shuffle raw rows and run Python per group."
+    ),
+    tags=("aggregation", "stats", "regression"),
+)
+def regression_trend_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(1_000_000.0) / F.lit(86400.0)
+    return ev.groupBy("user_id").agg(
+        F.regr_count("value", x).alias("n_points"),
+        F.round(F.regr_slope("value", x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("value", x), 4).alias("intercept"),
+        F.round(F.regr_r2("value", x), 6).alias("r2"),
+    )
+
+
+@register(
+    "listagg_nations_by_region",
+    oracle="""
+        SELECT r.r_name,
+               string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """,
+    doc=(
+        "Ordered string aggregation (LISTAGG): collect_list -> array_sort "
+        "-> array_join. collect_list is non-deterministic in arrival "
+        "order, so the sort INSIDE the row (not a pre-orderBy, which a "
+        "shuffle would re-scramble) is what makes the result reproducible "
+        "— the same rule as min-per-key dedup. Bounded-size groups only: "
+        "the aggregate state is the whole group."
+    ),
+    tags=("aggregation", "listagg"),
+)
+def listagg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r, n = load_tables(spark, sf_dir, "region", "nation")
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
     )

@@ -311,3 +311,42 @@ def percentile_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.crossJoin(F.broadcast(cuts)).select(
         "o_orderkey", bucket.alias("price_quartile")
     )
+
+
+@register(
+    "time_range_window_sum",
+    oracle="""
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_last_hour,
+               ROUND(SUM(value) OVER w, 5) AS sum_last_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    doc=(
+        "Time-based RANGE frame: per-user trailing-1-hour count/sum at "
+        "every event — the within-partition sliding aggregate a ROWS frame "
+        "cannot express on irregular event times. Ordering key is epoch "
+        "MICROS (exact integer, no sub-second truncation drift between "
+        "engines); frame = [-3.6e9 us, 0]. One shuffle on user_id + one "
+        "sort, frame evaluation is a sliding two-pointer pass per "
+        "partition. The streaming twin is the sliding window operator; "
+        "this is its retrospective batch form."
+    ),
+    tags=("window", "frame", "range"),
+)
+def time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 5).alias("sum_last_hour"),
+    )
