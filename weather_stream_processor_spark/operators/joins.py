@@ -369,3 +369,48 @@ def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
         .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+        WITH user_totals AS (
+            SELECT user_id, ROUND(SUM(value), 5) AS user_total
+            FROM events GROUP BY user_id
+        )
+        SELECT e.event_id, e.user_id,
+               ROUND(e.value, 5) AS value,
+               t.user_total
+        FROM events e JOIN user_totals t USING (user_id)
+    """,
+    doc=(
+        "SALTED skew join: enriching a fact with a per-key dim when a few "
+        "keys are hot. The dim side is replicated once per salt value "
+        "(explode over [0, NSALT)), the fact side salts by "
+        "pmod(hash(event_id), NSALT), and the join key becomes (user_id, "
+        "salt) — a hot key's rows now land on NSALT reducers instead of "
+        "one. Result is row-identical to the plain join (the oracle IS the "
+        "plain join). AQE's skewJoin handles post-shuffle partition skew "
+        "automatically; explicit salting is the belt-and-braces form that "
+        "also fixes single-key skew AQE cannot split below key "
+        "granularity."
+    ),
+    tags=("join", "skew", "scale"),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    NSALT = 16
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.round(F.sum("value"), 5).alias("user_total"))
+    dim_salted = totals.select(
+        "user_id", "user_total", F.explode(F.array(*[F.lit(i) for i in range(NSALT)])).alias("salt")
+    )
+    fact_salted = ev.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(NSALT)))
+    return (
+        fact_salted.join(dim_salted, ["user_id", "salt"])
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value"), 5).alias("value"),
+            "user_total",
+        )
+    )

@@ -293,3 +293,32 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(m).alias("n_entries"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@register(
+    "posexplode_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id < 20
+        )
+        SELECT doc_id,
+               CAST(unnest(range(len(t))) AS INT) AS pos,
+               unnest(t) AS tok
+        FROM toks
+    """,
+    doc=(
+        "Generator variants (SURVEY §2.6 array row): posexplode preserves "
+        "the element ordinal — required whenever order inside the array "
+        "carries meaning (token position, frame index of a sampled video). "
+        "The ordinal is generated during the explode, not reconstructed by "
+        "a window afterwards (which would cost a sort the Generate gets "
+        "for free)."
+    ),
+    tags=("scalar", "array", "generator"),
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
