@@ -33,9 +33,12 @@ HEADLINE = [
     "broadcast_dim_join",
     "top3_orders_per_customer",
     "running_sum_by_user",
+    "asof_join_last_view",
+    "salted_skew_join",
     "exact_dedup_by_hash",
     "ngram_jaccard_pairs",
     "minhash_lsh_near_dup",
+    "dedup_connected_components",
     "cosine_topk_exact",
     "knn_join_topk",
     "embedding_cosine_near_dup",

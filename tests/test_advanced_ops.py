@@ -1,0 +1,110 @@
+"""Semantic unit tests on tiny literal DataFrames for the advanced
+operators: as-of join tie handling, connected-component transitivity,
+sampling split disjointness, and gap-fill completeness. These pin the
+boundary semantics the sf-fixture oracle comparison can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int, minute: int = 0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+def test_asof_join_tie_is_inclusive(spark, monkeypatch):
+    """A view at exactly the purchase timestamp must be picked up (<=)."""
+    from weather_stream_processor_spark.operators import joins
+
+    rows = [
+        # user 1: view strictly before, view at tie, purchase
+        (1, _ts(1, 9), 1, "view", 1.0),
+        (2, _ts(1, 10), 1, "view", 1.0),
+        (3, _ts(1, 10), 1, "purchase", 5.0),
+        # user 2: purchase with NO prior view -> null
+        (4, _ts(1, 8), 2, "purchase", 2.0),
+        # user 2: later view is AFTER the purchase, must not leak backwards
+        (5, _ts(1, 9), 2, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(joins, "load_table", lambda *_: ev)
+    out = {
+        r.event_id: r.last_view_ts
+        for r in joins.asof_join_last_view(spark, "ignored").collect()
+    }
+    assert out[3] == _ts(1, 10)  # tie included
+    assert out[4] is None  # no prior view
+    assert set(out) == {3, 4}
+
+
+def test_connected_components_transitivity(spark, monkeypatch):
+    """A~B and B~C (but A!~C directly) must land in ONE component with
+    min-id representative, via >1 propagation round (a chain, not a star)."""
+    from weather_stream_processor_spark.operators import dedup
+
+    words = [f"w{i}" for i in range(48)]
+    # sliding 42-word windows, stride 3: J(A,B)=J(B,C)~0.86 >= 0.8 but
+    # J(A,C)~0.74 < 0.8 — a genuine chain, only closed transitively
+    docs = spark.createDataFrame(
+        [
+            (10, " ".join(words[0:42])),
+            (11, " ".join(words[3:45])),
+            (12, " ".join(words[6:48])),
+            (50, "zz yy xx ww vv uu tt ss rr"),  # isolated -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(dedup, "load_table", lambda *_: docs)
+    out = dedup.dedup_connected_components(spark, "ignored").collect()
+    comp = {r.doc_id: r.component_id for r in out}
+    sizes = {r.doc_id: r.n_members for r in out}
+    assert set(comp) == {10, 11, 12}
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert sizes[10] == 3
+
+
+def test_hash_sampling_splits_are_disjoint_and_deterministic(spark):
+    from weather_stream_processor_spark.operators.sampling import (
+        deterministic_hash_sample,
+    )
+    from tests.conftest import SF_SMOKE
+
+    a = {r.doc_id for r in deterministic_hash_sample(spark, SF_SMOKE).collect()}
+    b = {r.doc_id for r in deterministic_hash_sample(spark, SF_SMOKE).collect()}
+    assert a == b  # replayable
+    from weather_stream_processor_spark.sources import load_table
+
+    all_ids = {r.doc_id for r in load_table(spark, SF_SMOKE, "documents").collect()}
+    assert a < all_ids  # proper subset: sample + complement partition the corpus
+
+
+def test_gap_fill_spine_is_dense(spark):
+    from weather_stream_processor_spark.operators.timeseries import time_spine_gap_fill
+    from tests.conftest import SF_SMOKE
+
+    rows = time_spine_gap_fill(spark, SF_SMOKE).collect()
+    hours = sorted(r.hour for r in rows)
+    # dense hourly spine: every consecutive pair is exactly 1h apart
+    deltas = {int((b - a).total_seconds()) for a, b in zip(hours, hours[1:])}
+    assert deltas == {3600}
+    # and gap hours exist with zeroed aggregates (sf0.001 is sparse)
+    assert any(r.n_events == 0 and r.total_value == 0.0 for r in rows)
+
+
+def test_stratified_mixture_respects_rates(spark):
+    from weather_stream_processor_spark.operators.sampling import (
+        stratified_sample_mixture,
+    )
+    from tests.conftest import SF_SMOKE
+
+    kept = stratified_sample_mixture(spark, SF_SMOKE).groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in kept}
+    # en is downsampled to ~10%, others to ~50% — with 1000 buckets the
+    # realized rate can wobble; assert ordering + hard caps instead
+    assert by_lang["en"] < 218 * 0.25
+    for lang in ("zh", "es", "de", "fr"):
+        assert by_lang[lang] > 0
