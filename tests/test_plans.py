@@ -108,3 +108,38 @@ def test_global_sort_uses_range_partitioning(spark):
     plan = explain_string(_df(spark, "global_sorted_supplier_ledger"), "formatted")
     assert "rangepartitioning" in plan.lower()
     assert "Sort" in plan
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    # union-sort form: a single hash exchange on user_id feeding a Window,
+    # and NO join operator at all (the naive formulation is a range join)
+    ops = operator_names(_df(spark, "asof_join_last_view"))
+    assert "Window" in ops
+    assert not any("Join" in o for o in ops)
+    assert ops.count("Exchange") == 1
+
+
+def test_sampling_is_map_side_and_pruned(spark):
+    # pure scan->filter->project: no exchange anywhere, and the scan reads
+    # only the two referenced columns (text/embedding never touched)
+    df = _df(spark, "deterministic_hash_sample")
+    ops = operator_names(df)
+    assert not any("Exchange" in o for o in ops)
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "lang"}
+
+
+def test_time_spine_joins_broadcast(spark):
+    # the O(hours) aggregate side broadcasts; the spine join must never
+    # shuffle the full table
+    require_plan(
+        _df(spark, "time_spine_gap_fill"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_regression_agg_is_partial_final(spark):
+    ops = operator_names(_df(spark, "regression_trend_by_user"))
+    assert ops.count("HashAggregate") == 2
+    assert ops.count("Exchange") == 1
