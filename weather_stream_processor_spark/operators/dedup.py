@@ -99,10 +99,10 @@ def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-# DuckDB CTE chain computing the exact word-3-gram Jaccard >= t pairs —
-# shared by the ngram_jaccard_pairs oracle and (as the edge set) by the
-# dedup_connected_components recursive oracle.
-_JACCARD_PAIRS_CTES = f"""
+# DuckDB CTE chain producing each doc's distinct word-3-gram shingles —
+# the shared base of every shingle-level oracle (jaccard pairs, connected
+# components, decontamination).
+_SHINGLES_CTES = """
         toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         sh AS (
             SELECT doc_id,
@@ -110,7 +110,13 @@ _JACCARD_PAIRS_CTES = f"""
                        [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)]
                    )) AS shingle
             FROM toks
-        ),
+        )"""
+
+# ...extended to the exact Jaccard >= t pairs — shared by the
+# ngram_jaccard_pairs oracle and (as the edge set) by the
+# dedup_connected_components recursive oracle.
+_JACCARD_PAIRS_CTES = f"""
+        {_SHINGLES_CTES},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         sized AS (
             SELECT sh.doc_id, sh.shingle, sizes.n
@@ -437,4 +443,58 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("comp"))
         .alias("n_members"),
+    )
+
+
+# Decontamination: eval set = doc_id % 20 == 0 (fixture proxy for "the
+# benchmark suite"); flag training docs whose shingle overlap with ANY
+# eval material exceeds the threshold.
+_DECON_THRESHOLD = 0.1
+
+
+@register(
+    "decontamination_overlap",
+    oracle=f"""
+        WITH {_SHINGLES_CTES},
+        eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+        hits AS (
+            SELECT t.doc_id, COUNT(*) AS n_hits
+            FROM train t JOIN eval_sh e USING (shingle)
+            GROUP BY t.doc_id
+        )
+        SELECT h.doc_id, h.n_hits, s.n_shingles,
+               ROUND(h.n_hits * 1.0 / s.n_shingles, 6) AS contamination
+        FROM hits h JOIN sizes s USING (doc_id)
+        WHERE h.n_hits * 1.0 / s.n_shingles >= {_DECON_THRESHOLD}
+    """,
+    doc=(
+        "Benchmark DECONTAMINATION: flag training documents whose distinct "
+        "word-3-gram overlap with the eval set (fixture proxy: doc_id % 20 "
+        "== 0) is >= 10% of their own shingles — the standard "
+        "leakage-removal step before LLM training. The eval shingle set is "
+        "DISTINCT'd and broadcast (benchmarks are tiny next to a 100 TB "
+        "corpus), so the whole check is scan -> broadcast-hash join -> "
+        "per-doc count: no all-pairs stage, no shuffle of the corpus, and "
+        "the same plan at any corpus size. Catches verbatim and "
+        "near-verbatim leaks; combine with the MinHash tier for fuzzier "
+        "paraphrase contamination."
+    ),
+    tags=("dedup", "llm", "decontamination"),
+)
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs)
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    train = sh.filter(~is_eval)
+    hits = (
+        train.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ratio = F.col("n_hits") / F.col("n_shingles")
+    return hits.filter(ratio >= _DECON_THRESHOLD).select(
+        "doc_id", "n_hits", "n_shingles", F.round(ratio, 6).alias("contamination")
     )
