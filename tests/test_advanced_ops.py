@@ -108,3 +108,27 @@ def test_stratified_mixture_respects_rates(spark):
     assert by_lang["en"] < 218 * 0.25
     for lang in ("zh", "es", "de", "fr"):
         assert by_lang[lang] > 0
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """Sketch estimates must land between exact quantiles at p±eps."""
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.sources import load_table
+    from tests.conftest import SF_SMOKE
+    import pyspark.sql.functions as F
+
+    approx = {
+        r.l_returnflag: (r.approx_median, r.approx_p95)
+        for r in all_queries()["approx_percentile_prices"].builder(spark, SF_SMOKE).collect()
+    }
+    eps = 0.01  # accuracy=10000 -> rank error 1e-4; test with wide margin
+    exact = load_table(spark, SF_SMOKE, "lineitem").groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5 - eps)).alias("lo50"),
+        F.percentile("l_extendedprice", F.lit(0.5 + eps)).alias("hi50"),
+        F.percentile("l_extendedprice", F.lit(0.95 - eps)).alias("lo95"),
+        F.percentile("l_extendedprice", F.lit(0.95 + eps)).alias("hi95"),
+    ).collect()
+    for r in exact:
+        med, p95 = approx[r.l_returnflag]
+        assert r.lo50 <= med <= r.hi50
+        assert r.lo95 <= p95 <= r.hi95

@@ -143,3 +143,10 @@ def test_regression_agg_is_partial_final(spark):
     ops = operator_names(_df(spark, "regression_trend_by_user"))
     assert ops.count("HashAggregate") == 2
     assert ops.count("Exchange") == 1
+
+
+def test_sessionization_single_exchange(spark):
+    # lag window + running-sum window + final agg all reuse ONE hash
+    # exchange on user_id
+    ops = operator_names(_df(spark, "batch_sessionization"))
+    assert ops.count("Exchange") == 1

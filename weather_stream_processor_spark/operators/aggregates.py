@@ -408,3 +408,31 @@ def listagg_nations_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle=None,  # t-digest sketch estimates are engine-specific; tests
+    # sandwich them between exact neighbouring quantiles instead
+    doc=(
+        "approx_percentile (t-digest-style sketch): constant-memory, "
+        "mergeable grouped quantiles — the 100 TB replacement for exact "
+        "percentiles when groups are large or many (exact buffers every "
+        "value of a group on one reducer; the sketch is O(accuracy) per "
+        "group and merges map-side like any partial aggregate). accuracy="
+        "10000 => rank error <= 1/10000. Rows-only check; tests bound each "
+        "estimate between the exact p-eps and p+eps quantiles."
+    ),
+    tags=("aggregation", "percentile", "approx"),
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias(
+            "approx_p95"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

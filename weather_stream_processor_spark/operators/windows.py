@@ -350,3 +350,66 @@ def time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 5).alias("sum_last_hour"),
     )
+
+
+@register(
+    "batch_sessionization",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM gaps
+        )
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 5) AS session_value
+        FROM sess
+        GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Batch SESSIONIZATION (30-min inactivity gap): lag-gap flag -> "
+        "running sum as session ordinal -> per-session rollup. The whole "
+        "pipeline is ONE shuffle on user_id — the two windows and the "
+        "final aggregate all share the same partitioning, so Catalyst "
+        "inserts a single Exchange (asserted in plan tests). This is the "
+        "retrospective twin of the streaming engine's session_window "
+        "operator (streaming_session_window), same gap semantics."
+    ),
+    tags=("window", "session"),
+)
+def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(order)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev_ts) > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = ev.withColumn("new_session", new_session).withColumn(
+        "session_id", F.sum("new_session").over(running)
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 5).alias("session_value"),
+    )
