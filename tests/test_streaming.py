@@ -188,3 +188,70 @@ def test_stateful_record_breakers_across_micro_batches(spark):
         .collect()
     }
     assert got == expected
+
+
+def test_observed_parse_metrics_batch_and_stream(spark):
+    """observe() metrics: rejected-row accounting with zero extra passes.
+    Batch path uses Observation; streaming path reads observedMetrics off
+    the query progress after a bounded replay."""
+    from pyspark.sql import Observation
+    from weather_stream_processor_spark.streaming.pipeline import (
+        hourly_precipitation_aggregate,
+        parse_weather_wire,
+    )
+    from weather_stream_processor_spark.streaming.replay import (
+        events_as_weather_wire,
+    )
+
+    # batch: Observation wraps the same observe() call sites
+    good = '{"timestamp": "1700000000", "total_precipitation": 1.5, "location": {"lat": 1.0, "lon": 2.0}}'
+    garbage = "not json at all"
+    wire = spark.createDataFrame(
+        [(v.encode(),) for v in (good, good, garbage)], "value binary"
+    )
+    obs = Observation()
+    parsed = wire.select(F.col("value")).transform(
+        lambda df: parse_weather_wire(df)
+    )
+    # batch twin via Observation on the pre-filter projection
+    from weather_stream_processor_spark.streaming import pipeline as P
+
+    raw = wire.select(
+        F.from_json(F.col("value").cast("string"), P.weather_wire_schema()).alias("m")
+    ).select(
+        F.timestamp_seconds(F.col("m.timestamp").cast("long")).alias("event_ts"),
+        F.col("m.total_precipitation").alias("total_precipitation"),
+        F.col("m.location.lat").alias("lat"),
+        F.col("m.location.lon").alias("lon"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("event_ts").isNull(), 1).otherwise(0)).alias("rows_rejected"),
+    )
+    assert raw.filter(F.col("event_ts").isNotNull()).count() == 2
+    assert obs.get["rows_in"] == 3 and obs.get["rows_rejected"] == 1
+    assert parsed.count() == 2
+
+    # streaming: the pipeline's own observe=True surfaces per-batch metrics
+    import time
+
+    wire_stream = events_as_weather_wire(spark, SF_SMOKE)
+    agg = hourly_precipitation_aggregate(parse_weather_wire(wire_stream, observe=True))
+    name = f"obs_{int(time.time() * 1000)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert q.exception() is None
+    observed = [
+        p["observedMetrics"]["parse_metrics"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("parse_metrics")
+    ]
+    assert observed, "no parse_metrics in streaming progress"
+    assert sum(m["rows_in"] for m in observed) == 1000  # sf0.001 events
+    assert sum(m["rows_rejected"] for m in observed) == 0

@@ -75,7 +75,9 @@ def kafka_weather_source(
     )
 
 
-def parse_weather_wire(raw: DataFrame, dead_letter: bool = False) -> DataFrame:
+def parse_weather_wire(
+    raw: DataFrame, dead_letter: bool = False, observe: bool = False
+) -> DataFrame:
     """T1+T2+T3+T5 as one declarative stage over a Kafka-shaped frame
     (``value: binary``):
 
@@ -83,7 +85,14 @@ def parse_weather_wire(raw: DataFrame, dead_letter: bool = False) -> DataFrame:
     location -> epoch-string to TimestampType in-plan. With
     ``dead_letter=True`` returns the *rejected* rows (malformed JSON or
     nulls) instead of silently dropping them like the reference (:230-235).
-    """
+
+    ``observe=True`` attaches accumulator-backed pipeline metrics
+    (rows_in / rows_rejected per micro-batch) via ``Dataset.observe`` —
+    surfaced in ``StreamingQueryProgress.observedMetrics["parse_metrics"]``
+    with ZERO extra passes or shuffles over the data (the reference's only
+    observability was per-row INSERT logging on the driver,
+    weather_processor.py:251-254). At 100 TB the quarantine RATE, not the
+    quarantined rows, is what an operator monitors."""
     parsed = raw.select(
         F.from_json(F.col("value").cast("string"), weather_wire_schema()).alias("m")
     ).select(
@@ -98,6 +107,12 @@ def parse_weather_wire(raw: DataFrame, dead_letter: bool = False) -> DataFrame:
         & F.col("lat").isNotNull()
         & F.col("lon").isNotNull()
     )
+    if observe:
+        parsed = parsed.observe(
+            "parse_metrics",
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.when(~ok, 1).otherwise(0)).alias("rows_rejected"),
+        )
     return parsed.filter(~ok) if dead_letter else parsed.filter(ok)
 
 
