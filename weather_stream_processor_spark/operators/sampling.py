@@ -98,3 +98,62 @@ def stratified_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("rate"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "token_budget_packing",
+    oracle="""
+        WITH counted AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM counted
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens) / 4096) AS BIGINT) AS shard_id
+        FROM packed
+    """,
+    doc=(
+        "Token-budget SHARD PACKING (training-data prep): assign documents "
+        "to ~4096-token shards per language via a running token sum — "
+        "shard_id = floor(tokens_before_me / budget), so a shard's docs "
+        "are contiguous in the deterministic (lang, doc_id) order and "
+        "every shard except the last holds >= budget tokens' worth of "
+        "starts. One shuffle on lang + one sort — but a LANGUAGE is a hot "
+        "partition at 100 TB, so the production form first range-buckets "
+        "each lang by doc_id into O(corpus/executor-mem) slices and packs "
+        "within (lang, slice): identical window, bounded partitions, "
+        "shard ids offset by slice. Deterministic => re-runs produce "
+        "byte-identical shard manifests (the property that makes "
+        "checkpoint/resume of a tokenization run possible)."
+    ),
+    tags=("sampling", "llm", "packing"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counted.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(4096)).alias(
+            "shard_id"
+        ),
+    )
