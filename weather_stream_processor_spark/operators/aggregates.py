@@ -436,3 +436,57 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+        WITH cuts AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi
+                        THEN 1 ELSE 0 END) AS n_clipped,
+               ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)), 4)
+                   AS winsorized_mean,
+               ROUND(stddev_samp(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)), 4)
+                   AS winsorized_sd
+        FROM lineitem l JOIN cuts c USING (l_returnflag)
+        GROUP BY l.l_returnflag
+    """,
+    doc=(
+        "WINSORIZED (percentile-clipped) statistics: pass 1 computes p05/"
+        "p95 cutoffs per group, pass 2 clips every value into [lo, hi] and "
+        "re-aggregates — the outlier-robust mean/sd used to sanity-check "
+        "quality-score and length distributions before they gate a "
+        "training mixture. The cutoff table is O(groups) and broadcast, "
+        "so the second pass is scan -> broadcast join -> hash agg; at "
+        "100 TB swap the exact percentiles for approx_percentile and the "
+        "plan is otherwise unchanged."
+    ),
+    tags=("aggregation", "stats", "outliers"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    out_of_range = (F.col("l_extendedprice") < F.col("lo")) | (
+        F.col("l_extendedprice") > F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(out_of_range, 1).otherwise(0)).alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+            F.round(F.stddev_samp(clipped), 4).alias("winsorized_sd"),
+        )
+    )

@@ -157,3 +157,38 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard_id"
         ),
     )
+
+
+@register(
+    "per_source_cap",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM documents
+        )
+        SELECT doc_id, source, lang FROM ranked WHERE rn <= 10
+    """,
+    doc=(
+        "Per-source document CAP: keep the first 10 docs (deterministic "
+        "doc_id order) of every source — how a training mixture bounds "
+        "over-represented domains/crawls. One shuffle on source + a "
+        "per-partition rank; Catalyst plans the rn <= k filter as "
+        "WindowGroupLimit (per-partition top-k heaps BEFORE the shuffle), "
+        "so a 10M-doc domain contributes 10 rows to the exchange, not "
+        "10M. At 100 TB prefer doc_id order over quality-score order only "
+        "when you need replayability; score-ordered capping is the same "
+        "plan with a different sort key."
+    ),
+    tags=("sampling", "llm", "cap", "topk"),
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", "lang")
+    )
