@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "tfidf_top_term_per_doc",
     "quality_scores",
+    "training_mixture_pipeline",
     "multimodal_asset_features",
     "streaming_hourly_agg",
     "streaming_dedup_replay",

@@ -19,6 +19,7 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
     joins,
+    mixture,
     multimodal,
     sampling,
     scalars,

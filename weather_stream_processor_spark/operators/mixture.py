@@ -1,0 +1,198 @@
+"""The composed training-mixture pipeline — every LLM-data stage this
+engine provides, chained into ONE declarative plan:
+
+    exact dedup -> quality filter -> benchmark decontamination ->
+    stratified language sampling -> per-source cap -> token-budget packing
+
+The point of registering the composition (beyond the per-stage operators)
+is that Catalyst optimizes it as a single tree: column pruning reaches the
+one scan shared by the dedup digest, the quality features and the shingle
+stage; the decontamination eval set broadcasts; and the cap + packing
+windows share the partitioning story documented per-stage. At 100 TB each
+stage's posture is unchanged from its standalone registration — see
+docs/SCALE.md — because composition adds no new shuffles beyond the
+stages' own.
+
+Stage semantics are IDENTICAL to the standalone operators:
+dedup: min-doc_id survivor per sha-256 digest (exact_dedup_by_hash);
+quality: the quality_scores formula, keep score >= 0.45;
+decontamination: drop eval docs (doc_id % 20 == 0) and training docs with
+  >= 10% shingle overlap with eval (decontamination_overlap);
+sampling: per-language hash-bucket rates (stratified_sample_mixture);
+cap: first 10 docs per source (per_source_cap);
+packing: 4096-token shards per language (token_budget_packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.functions import tokens
+from weather_stream_processor_spark.operators.dedup import (
+    _DECON_THRESHOLD,
+    _SHINGLES_CTES,
+    _exploded_shingles,
+)
+from weather_stream_processor_spark.operators.sampling import (
+    _BUCKET_SQL,
+    _RATES,
+    _bucket,
+)
+from weather_stream_processor_spark.operators.text import STOPWORDS
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+_QUALITY_MIN = 0.45
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {permille}" for lang, permille in _RATES.items()
+) + " ELSE 0 END"
+
+
+@register(
+    "training_mixture_pipeline",
+    oracle=f"""
+        WITH {_SHINGLES_CTES},
+        survivors AS (
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+        ),
+        base AS (
+            SELECT d.doc_id, d.lang, d.source, d.text
+            FROM documents d JOIN survivors USING (doc_id)
+        ),
+        feats AS (
+            SELECT doc_id, lang, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   ROUND(
+                     LEAST(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+                     + (len(list_filter(string_split(text, ' '),
+                            t -> list_contains({list(STOPWORDS)}, t)))
+                        * 1.0 / len(string_split(text, ' '))) * 0.3
+                     + (len(list_distinct(string_split(text, ' ')))
+                        * 1.0 / len(string_split(text, ' '))) * 0.3, 6
+                   ) AS quality_score
+            FROM base
+        ),
+        eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+        tsizes AS (SELECT doc_id, COUNT(*) AS n FROM train GROUP BY doc_id),
+        hits AS (
+            SELECT t.doc_id, COUNT(*) AS n_hits
+            FROM train t JOIN eval_sh e USING (shingle)
+            GROUP BY t.doc_id
+        ),
+        contaminated AS (
+            SELECT h.doc_id FROM hits h JOIN tsizes s USING (doc_id)
+            WHERE h.n_hits * 1.0 / s.n >= {_DECON_THRESHOLD}
+        ),
+        qualified AS (
+            SELECT * FROM feats
+            WHERE quality_score >= {_QUALITY_MIN}
+              AND doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        ),
+        sampled AS (
+            SELECT * FROM qualified
+            WHERE {_BUCKET_SQL} < {_RATE_CASE}
+        ),
+        capped AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+            FROM sampled
+        ),
+        packed AS (
+            SELECT doc_id, lang, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM capped WHERE rn <= 10
+        )
+        SELECT doc_id, lang, source, n_tokens,
+               CAST(FLOOR((cum_tokens - n_tokens) / 4096) AS BIGINT) AS shard_id
+        FROM packed
+    """,
+    doc=(
+        "END-TO-END TRAINING-MIXTURE PIPELINE: exact dedup -> quality "
+        "filter (>= 0.45) -> decontamination (drop eval + >=10% overlap) "
+        "-> stratified language sampling -> per-source cap (10) -> "
+        "4096-token shard packing, as ONE Catalyst plan. Deterministic "
+        "from raw corpus to shard manifest: a re-run (or another engine, "
+        "per the oracle) reproduces the identical mixture byte-for-byte."
+    ),
+    tags=("llm", "pipeline", "headline", "dedup", "sampling"),
+)
+def training_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. exact dedup: min-doc_id survivor per content digest
+    survivors = (
+        docs.groupBy(F.sha2("text", 256).alias("digest"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    base = docs.join(survivors, "doc_id", "left_semi")
+
+    # 2. quality features (identical formula to quality_scores)
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("bigint")
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    quality = F.round(
+        F.least(F.size(toks) / 50.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + uniq_ratio * 0.3,
+        6,
+    )
+    feats = base.select(
+        "doc_id", "lang", "source", n_tokens.alias("n_tokens"), quality.alias("quality_score")
+    )
+
+    # 3. decontamination: eval shingle set broadcast, overlap >= threshold
+    sh = _exploded_shingles(docs)
+    is_eval = F.col("doc_id") % 20 == 0
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") / F.col("n_shingles") >= _DECON_THRESHOLD)
+        .select("doc_id")
+    )
+    qualified = (
+        feats.filter((F.col("quality_score") >= _QUALITY_MIN) & ~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    # 4. stratified language sampling (deterministic hash buckets)
+    rate = F.lit(0)
+    for lang, permille in _RATES.items():
+        rate = F.when(F.col("lang") == lang, permille).otherwise(rate)
+    sampled = qualified.filter(_bucket(F.col("doc_id")) < rate)
+
+    # 5. per-source cap
+    cap_w = Window.partitionBy("source").orderBy("doc_id")
+    capped = (
+        sampled.withColumn("rn", F.row_number().over(cap_w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn", "quality_score")
+    )
+
+    # 6. token-budget shard packing
+    pack_w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = capped.withColumn("cum_tokens", F.sum("n_tokens").over(pack_w))
+    return cum.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(4096)).alias("shard_id"),
+    )
