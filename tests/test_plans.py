@@ -150,3 +150,11 @@ def test_sessionization_single_exchange(spark):
     # exchange on user_id
     ops = operator_names(_df(spark, "batch_sessionization"))
     assert ops.count("Exchange") == 1
+
+
+def test_per_source_cap_uses_window_group_limit(spark):
+    # rn <= k must plan as WindowGroupLimit (per-partition heaps before
+    # the exchange) — a 10M-doc source contributes k rows to the shuffle
+    ops = operator_names(_df(spark, "per_source_cap"))
+    assert "WindowGroupLimit" in ops
+    assert ops.count("Exchange") == 1

@@ -70,3 +70,64 @@ def time_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+@register(
+    "forward_fill_hourly",
+    oracle="""
+        WITH e AS (SELECT * FROM events WHERE event_type = 'error'),
+        h AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 5) AS total_value
+            FROM e GROUP BY 1
+        ),
+        b AS (
+            SELECT date_trunc('hour', MIN(ts)) AS h0,
+                   date_trunc('hour', MAX(ts)) AS h1
+            FROM e
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+            FROM b
+        ),
+        filled AS (
+            SELECT spine.hour,
+                   COALESCE(h.n_events, 0) AS n_events,
+                   h.total_value
+            FROM spine LEFT JOIN h USING (hour)
+        )
+        SELECT hour, n_events,
+               last_value(total_value IGNORE NULLS) OVER (
+                   ORDER BY hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM filled
+    """,
+    doc=(
+        "FORWARD FILL (last observation carried forward): empty spine "
+        "hours inherit the most recent non-null hourly value via "
+        "last(col, ignorenulls=True) over an ordered frame — the standard "
+        "completion of gap-fill for state-like series (sensor readings, "
+        "account balances; the weather analog: 'latest forecast stands "
+        "until replaced'). The unpartitioned window is O(hours) — spine-"
+        "sized, NOT data-sized — so the single-reducer sort is bounded "
+        "regardless of corpus TB; partition by entity key when filling "
+        "per-entity series and it shares the aggregate's shuffle."
+    ),
+    tags=("timeseries", "window", "spine"),
+)
+def forward_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    filled = time_spine_gap_fill(spark, sf_dir).select(
+        "hour",
+        "n_events",
+        F.when(F.col("n_events") > 0, F.col("total_value")).alias("raw_value"),
+    )
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return filled.select(
+        "hour",
+        "n_events",
+        F.last("raw_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
