@@ -490,3 +490,83 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp(clipped), 4).alias("winsorized_sd"),
         )
     )
+
+
+@register(
+    "histogram_order_prices",
+    oracle="""
+        WITH b AS (
+            SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM orders
+        )
+        SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+                   AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS bucket_min,
+               ROUND(MAX(o_totalprice), 2) AS bucket_max
+        FROM orders CROSS JOIN b
+        GROUP BY 1
+    """,
+    doc=(
+        "Equal-width HISTOGRAM (10 bins over [min, max]): the profiling "
+        "query behind every distribution sanity-check. Bounds come from a "
+        "one-row aggregate cross-joined back (broadcast, O(1)); the "
+        "binning is a pure map-side expression feeding a 10-group "
+        "aggregate — two scans total, no shuffle wider than 10 groups. "
+        "The max value is clamped into the last bin (LEAST(..., 9))."
+    ),
+    tags=("aggregation", "histogram", "profiling"),
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(9)
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@register(
+    "null_profile_events",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+               COUNT(DISTINCT event_type) AS distinct_event_types
+        FROM events
+    """,
+    doc=(
+        "DATA-QUALITY NULL PROFILE: per-column null counts + key "
+        "cardinality in ONE pass (conditional sums share a single partial+"
+        "final aggregate; no per-column scans). This is the ingest-gate "
+        "twin of the streaming observe() metrics — run it on every new "
+        "partition of a 100 TB table before admitting it to the mixture; "
+        "cost is one scan regardless of column count."
+    ),
+    tags=("aggregation", "profiling", "quality"),
+)
+def null_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nulls = [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+        for c in ("ts", "user_id", "event_type", "value", "props")
+    ]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *nulls,
+        F.countDistinct("event_type").alias("distinct_event_types"),
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_tables
+from weather_stream_processor_spark.sources import load_table, load_tables
 
 
 @register(
@@ -140,3 +140,43 @@ def except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
     p = o.filter(F.col("o_orderstatus") == "P").select("o_orderpriority")
     return f.exceptAll(p)
+
+
+@register(
+    "unpivot_qty_by_status",
+    oracle="""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_open,
+                   ROUND(COALESCE(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_finished
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'qty_open' AS status, qty_open AS qty FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'qty_finished' AS status, qty_finished AS qty FROM wide
+    """,
+    doc=(
+        "UNPIVOT/melt (wide -> long), the inverse of pivot_qty_by_status: "
+        "Spark's native unpivot() plans as an Expand (each input row "
+        "emitted once per value column) — no shuffle, no join, output = "
+        "rows x value-columns. The pivot/unpivot pair round-trips the "
+        "same data between layouts; at scale unpivot is the cheap "
+        "direction (map-side only)."
+    ),
+    tags=("setop", "unpivot", "reshape"),
+)
+def unpivot_qty_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).agg(
+        F.sum("l_quantity")
+    ).select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_open"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_finished"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty_open", "qty_finished"],
+        variableColumnName="status",
+        valueColumnName="qty",
+    )
