@@ -322,3 +322,50 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
+
+
+@register(
+    "array_set_operations",
+    oracle="""
+        WITH pair AS (
+            SELECT a.doc_id,
+                   string_split(a.text, ' ') AS ta,
+                   string_split(b.text, ' ') AS tb
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id < 30
+        )
+        SELECT doc_id,
+               list_sort(list_distinct(list_cat(ta, tb)))[1:5] AS union_head,
+               len(list_distinct(list_cat(ta, tb))) AS n_union,
+               len(list_filter(list_distinct(ta), t -> list_contains(tb, t))) AS n_intersect,
+               len(list_filter(list_distinct(ta), t -> NOT list_contains(tb, t))) AS n_except
+        FROM pair
+    """,
+    doc=(
+        "ARRAY-level set algebra (array_union/intersect/except + sort + "
+        "slice) between each doc's token set and its successor's — the "
+        "within-row complement of the table-level set operators. All "
+        "codegen'd array expressions; per-row cost is O(|a|+|b|) hash-set "
+        "work, no shuffle beyond the self-join. Counts are emitted (and "
+        "the union head sorted+sliced) so the cross-engine hash compares "
+        "deterministic scalars, not engine-ordered arrays."
+    ),
+    tags=("scalar", "array", "setop"),
+)
+def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 30).alias("a")
+    b = docs.alias("b")
+    pair = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.split(F.col("a.text"), " ").alias("ta"),
+        F.split(F.col("b.text"), " ").alias("tb"),
+    )
+    union = F.array_union("ta", "tb")
+    return pair.select(
+        "doc_id",
+        F.slice(F.array_sort(union), 1, 5).alias("union_head"),
+        F.size(union).alias("n_union"),
+        F.size(F.array_intersect(F.array_distinct("ta"), "tb")).alias("n_intersect"),
+        F.size(F.array_except("ta", "tb")).alias("n_except"),
+    )
