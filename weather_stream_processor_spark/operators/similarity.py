@@ -579,3 +579,42 @@ def embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expl.groupBy("cell").applyInPandas(
         cell_gemm, schema="vec_id_a long, vec_id_b long, cosine_sim double"
     )
+
+
+@register(
+    "embedding_centroids_by_label",
+    oracle="""
+        WITH expl AS (
+            SELECT label,
+                   CAST(unnest(range(len(embedding))) AS INT) AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, dim,
+               COUNT(*) AS n_vectors,
+               ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_val
+        FROM expl
+        GROUP BY label, dim
+    """,
+    doc=(
+        "Per-label embedding CENTROIDS in long (label, dim) format: "
+        "posexplode the vector once, one grouped AVG keyed on (label, "
+        "dim). This is the monitoring/bootstrap aggregate of vector "
+        "pipelines (IVF centroid seeding, per-class drift tracking). "
+        "Long format keeps the aggregate a plain mergeable partial+final "
+        "pair — shuffle volume = |labels| x dims rows, independent of "
+        "corpus size; re-collect to array<float> only at the consumer "
+        "edge (array_agg sorted by dim) if needed."
+    ),
+    tags=("similarity", "llm", "profiling"),
+)
+def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
+        )
+    )
