@@ -414,3 +414,41 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_total",
         )
     )
+
+
+@register(
+    "lateral_join_latest_order",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_orderdate
+                      FROM orders
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey
+                      LIMIT 1) o
+    """,
+    doc=(
+        "LATERAL join (correlated per-row subquery, SQL API): each "
+        "customer picks its latest order. Catalyst DECORRELATES this into "
+        "the same plan as the window top-1 formulation (rank over "
+        "o_custkey, WindowGroupLimit) — registered to pin that the "
+        "correlated-subquery surface exists AND that it never executes as "
+        "a per-row re-scan; at 100 TB a truly row-at-a-time lateral would "
+        "be O(customers) table scans."
+    ),
+    tags=("join", "lateral", "sql-api"),
+)
+def lateral_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate
+        FROM customer_lat c,
+             LATERAL (SELECT o_orderkey, o_orderdate
+                      FROM orders_lat
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_orderdate DESC, o_orderkey
+                      LIMIT 1) o
+        """
+    )
