@@ -158,3 +158,11 @@ def test_per_source_cap_uses_window_group_limit(spark):
     ops = operator_names(_df(spark, "per_source_cap"))
     assert "WindowGroupLimit" in ops
     assert ops.count("Exchange") == 1
+
+
+def test_lateral_join_decorrelates(spark):
+    # the correlated LATERAL subquery must decorrelate to a window top-1 +
+    # hash join — never a per-outer-row re-scan (no nested-loop/cartesian)
+    ops = operator_names(_df(spark, "lateral_join_latest_order"))
+    assert "WindowGroupLimit" in ops
+    assert not any("Cartesian" in o or "NestedLoop" in o for o in ops)
