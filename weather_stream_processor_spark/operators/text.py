@@ -308,3 +308,60 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ws).cast("bigint").alias("n_ws_tokens"),
         F.round(F.size(bpe) / F.size(ws), 6).alias("bpe_per_word"),
     )
+
+
+@register(
+    "pii_scrub",
+    oracle="""
+        WITH augmented AS (
+            -- synthesize a contact block so the scrub has real matches
+            -- (the fixture corpus is clean word-soup by construction)
+            SELECT doc_id,
+                   text || ' contact: user' || doc_id ||
+                   '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS raw
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+               len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}')) AS n_phones,
+               ROUND(len(raw) * 1.0, 1) AS raw_len,
+               md5(regexp_replace(regexp_replace(raw,
+                       '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                       '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM augmented
+    """,
+    doc=(
+        "PII SCRUB: regex masking of emails/phone patterns with "
+        "per-document match accounting (regexp_count) — the redaction "
+        "pass a training corpus runs before packing. Pure codegen'd "
+        "string expressions, map-side only, zero shuffles; the scrubbed "
+        "text is md5'd for the cross-engine check so the oracle verifies "
+        "byte-identical redaction output, not just counts. Patterns kept "
+        "to the regex subset Java and RE2 dialects share; a production "
+        "scrubber swaps in a curated pattern table (broadcast) and/or an "
+        "NER pandas_udf for names — same plumbing."
+    ),
+    tags=("text", "llm", "pii"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email = "[a-z0-9._]+@[a-z0-9.]+"
+    phone = "[0-9]{3}-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(email)).alias("n_emails"),
+        F.regexp_count(raw, F.lit(phone)).alias("n_phones"),
+        F.round(F.length(raw) * 1.0, 1).alias("raw_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
