@@ -414,9 +414,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the edge list: it is re-scanned every propagation round, and
     # recomputing the shingle self-join per round would dominate
     edges = edges.localCheckpoint(eager=True)
-    labels = edges.select(F.col("s").alias("doc_id")).distinct().withColumn(
-        "comp", F.col("doc_id")
-    ).localCheckpoint(eager=True)
+    # initialization fuses round 1 for free: comp0 = min(self, neighbors)
+    # is one aggregate over the edge list (every node appears as a dst in
+    # the symmetric edge set) — no join, and star-shaped components are
+    # already converged before the loop begins
+    labels = (
+        edges.groupBy(F.col("d").alias("doc_id"))
+        .agg(F.least(F.min("s"), F.min("d")).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     prev_sum = None
     for _ in range(50):  # hard bound; converges in O(diameter) rounds
         msgs = (
