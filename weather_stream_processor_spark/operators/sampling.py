@@ -192,3 +192,57 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("doc_id", "source", "lang")
     )
+
+
+@register(
+    "mixture_drift_kl",
+    oracle=f"""
+        WITH full_dist AS (
+            SELECT lang, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS q
+            FROM documents GROUP BY lang
+        ),
+        sample_dist AS (
+            SELECT lang,
+                   COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents
+                                     WHERE {_BUCKET_SQL} < 50) AS p
+            FROM documents
+            WHERE {_BUCKET_SQL} < 50
+            GROUP BY lang
+        )
+        SELECT s.lang,
+               ROUND(s.p, 6) AS p_sample,
+               ROUND(f.q, 6) AS q_corpus,
+               ROUND(s.p * LN(s.p / f.q), 6) AS kl_term
+        FROM sample_dist s JOIN full_dist f USING (lang)
+    """,
+    doc=(
+        "MIXTURE DRIFT monitoring: per-language KL-divergence terms "
+        "p*ln(p/q) between the deterministic 5% sample's language "
+        "distribution (p) and the full corpus (q) — the check that a "
+        "sampling/filter stage did not skew the mixture (sum the kl_term "
+        "column for the scalar divergence). Two tiny grouped aggregates + "
+        "a broadcast join on lang; at 100 TB both sides are "
+        "|languages|-row tables derived from one-pass counts. Emitted "
+        "per-language (not pre-summed) so the drift's SOURCE is visible."
+    ),
+    tags=("sampling", "llm", "monitoring"),
+)
+def mixture_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sample = docs.filter(_bucket(F.col("doc_id")) < 50)
+
+    def dist(df: DataFrame, colname: str) -> DataFrame:
+        counts = df.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        total = df.agg(F.count(F.lit(1)).alias("tot"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "lang", (F.col("n") / F.col("tot")).alias(colname)
+        )
+
+    p = dist(sample, "p")
+    q = dist(docs, "q")
+    return p.join(F.broadcast(q), "lang").select(
+        "lang",
+        F.round(F.col("p"), 6).alias("p_sample"),
+        F.round(F.col("q"), 6).alias("q_corpus"),
+        F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 6).alias("kl_term"),
+    )

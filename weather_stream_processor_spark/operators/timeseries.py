@@ -131,3 +131,64 @@ def forward_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.last("raw_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@register(
+    "weekly_retention",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        cohort AS (
+            SELECT a.week,
+                   COUNT(*) AS n_active,
+                   SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained
+            FROM active a
+            LEFT JOIN active b
+              ON b.user_id = a.user_id
+             AND b.week = a.week + INTERVAL 7 DAY
+            GROUP BY a.week
+        )
+        SELECT week, n_active, n_retained,
+               ROUND(n_retained * 1.0 / n_active, 6) AS retention_rate
+        FROM cohort
+    """,
+    doc=(
+        "WEEKLY COHORT RETENTION: distinct (user, week) activity "
+        "self-joined onto week+1 — the canonical engagement query over an "
+        "event stream. The distinct aggregate collapses the fact table to "
+        "|users|x|weeks| rows BEFORE the self-join, so the join sides are "
+        "activity-grid-sized, not event-sized; both the dedup and the "
+        "join shuffle on user_id and share partitioning. At 100 TB the "
+        "distinct is the only event-scale stage and is a map-side-partial "
+        "aggregate."
+    ),
+    tags=("timeseries", "join", "retention"),
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+    a = active.alias("a")
+    b = active.alias("b")
+    joined = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.week") == F.col("a.week") + F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("a.week").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("b.user_id").isNotNull(), 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+        )
+        .select(
+            "week",
+            "n_active",
+            "n_retained",
+            F.round(F.col("n_retained") / F.col("n_active"), 6).alias("retention_rate"),
+        )
+    )
