@@ -203,3 +203,43 @@ def multimodal_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.octet_length("payload")).alias("total_bytes"),
         F.max(F.col("meta.width")).alias("max_width"),
     )
+
+
+@register(
+    "frame_sample_manifest",
+    oracle="""
+        WITH video AS (
+            SELECT doc_id AS asset_id,
+                   n_chars % 24 + 1 AS n_frames
+            FROM documents WHERE doc_id % 3 = 2
+        )
+        SELECT asset_id, n_frames,
+               CAST(unnest(range(0, n_frames,
+                    CAST(CEIL(n_frames / 4.0) AS BIGINT))) AS BIGINT) AS frame_idx
+        FROM video
+    """,
+    doc=(
+        "FRAME-SAMPLE manifest (mandate row 'frame-sample'): for every "
+        "video asset, the uniform-stride frame indices to decode — "
+        "sequence(0, n_frames-1, ceil(n_frames/4)) exploded, <= 4 frames "
+        "per asset. The manifest is generated IN-PLAN from metadata alone "
+        "(payload column never read — check ReadSchema), then joins back "
+        "to payloads only for the selected frames: at 100 TB of video the "
+        "decode stage downstream (extract_features' mapInPandas seam) "
+        "touches 4/n_frames of the bytes instead of all of them."
+    ),
+    tags=("multimodal", "llm", "sampling"),
+)
+def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthesize_assets(spark, sf_dir)
+    video = assets.filter(F.col("modality") == "video").select(
+        "asset_id", F.col("meta.n_frames").cast("bigint").alias("n_frames")
+    )
+    stride = F.ceil(F.col("n_frames") / 4.0).cast("bigint")
+    return video.select(
+        "asset_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, stride)
+        ).alias("frame_idx"),
+    )
