@@ -243,3 +243,86 @@ def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, stride)
         ).alias("frame_idx"),
     )
+
+
+RESIZE_SCHEMA = (
+    "asset_id long, modality string, orig_bytes long, resized_bytes long, "
+    "budget long, resized_head_sum long"
+)
+
+
+def resize_payloads(assets: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Arrow-batched RESIZE stage (mandate row 'resize').
+
+    Deterministic fake codec: "resizing" truncates the payload to a
+    byte budget derived from the target thumbnail dims (width/4 x
+    height/4) — byte-level stand-in with the exact plumbing of a real
+    resampler (binary in -> binary out, metadata-driven output size,
+    batch-wise Arrow transfer). The real path is the decode_payload
+    NotImplementedError seam.
+    """
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if use_real_codec:
+                pdf["payload"].map(lambda b: decode_payload(b, "?"))  # pragma: no cover
+            meta = pd.DataFrame(list(pdf["meta"]))
+            budget = ((meta["width"] // 4 + 1) * (meta["height"] // 4 + 1)).astype(
+                "int64"
+            )
+            resized = [b[:n] for b, n in zip(pdf["payload"], budget)]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                    "resized_bytes": [len(b) for b in resized],
+                    "budget": budget,
+                    "resized_head_sum": [int(sum(b[:8])) for b in resized],
+                }
+            )
+
+    return assets.mapInPandas(_batches, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id AS asset_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS modality,
+                   encode(text) AS payload,
+                   CAST(((n_chars % 640 + 1) // 4 + 1)
+                        * ((n_chars % 480 + 1) // 4 + 1) AS BIGINT) AS budget
+            FROM documents
+        )
+        SELECT asset_id, modality,
+               CAST(octet_length(payload) AS BIGINT) AS orig_bytes,
+               CAST(LEAST(octet_length(payload), budget) AS BIGINT) AS resized_bytes,
+               budget,
+               CAST(list_sum(list_transform(
+                        list_filter(string_split_regex(
+                            substring(decode(payload), 1,
+                                      CAST(LEAST(octet_length(payload), budget, 8) AS INT)), ''),
+                            c -> c <> ''),
+                        c -> unicode(c))) AS BIGINT) AS resized_head_sum
+        FROM a
+    """,
+    doc=(
+        "RESIZE stage through the Arrow seam: metadata-driven byte-budget "
+        "truncation standing in for a real thumbnailer (same signature: "
+        "binary -> binary, output size from target dims). The oracle "
+        "recomputes original/resized sizes and the resized header "
+        "checksum relationally — pinning that the Pandas batch path "
+        "resizes every row deterministically to the metadata-derived "
+        "budget. At 100 TB this stage is the bandwidth hot spot: it runs "
+        "map-side on Arrow batches, no shuffle, and emits budget-bounded "
+        "bytes downstream."
+    ),
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = spread(synthesize_assets(spark, sf_dir), "asset_id")
+    return resize_payloads(assets)
