@@ -192,3 +192,97 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_retained") / F.col("n_active"), 6).alias("retention_rate"),
         )
     )
+
+
+@register(
+    "funnel_signup_view_purchase",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        v AS (
+            SELECT e.user_id, MIN(e.ts) AS t2
+            FROM events e JOIN s USING (user_id)
+            WHERE e.event_type = 'view' AND e.ts > s.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t3
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > v.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM s) AS n_signed_up,
+               (SELECT COUNT(*) FROM v) AS n_viewed_after,
+               (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+    doc=(
+        "ORDERED FUNNEL (signup -> view -> purchase): each stage is the "
+        "earliest qualifying event strictly after the previous stage's "
+        "time — min-aggregate per user, then an equi-join feeding the "
+        "next stage's filter. Three shuffles, all on user_id (shared "
+        "partitioning), each stage's frame is |users| rows not |events|. "
+        "This is the strict-ordering funnel; a windowed-deadline variant "
+        "adds `AND e.ts < t_prev + INTERVAL ...` to each stage with the "
+        "same plan."
+    ),
+    tags=("timeseries", "funnel", "join"),
+)
+def funnel_signup_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_col: str, out_col: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    s = stage("signup", None, "", "t1")
+    v = stage("view", s, "t1", "t2")
+    p = stage("purchase", v, "t2", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((s, "n_signed_up"), (v, "n_viewed_after"), (p, "n_purchased_after"))
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        SELECT event_type, next_type, COUNT(*) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    """,
+    doc=(
+        "EVENT TRANSITION MATRIX (Markov adjacency counts): lead() per "
+        "user over event time pairs each event with its successor, then "
+        "one grouped count over (from, to) — the sequence-analytics "
+        "primitive behind next-action prediction features and anomalous-"
+        "flow detection. One shuffle on user_id for the window + one "
+        "|types|^2-group aggregate; at any scale the output is "
+        "O(|event_types|^2)."
+    ),
+    tags=("timeseries", "window", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
