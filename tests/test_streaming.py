@@ -255,3 +255,23 @@ def test_observed_parse_metrics_batch_and_stream(spark):
     assert observed, "no parse_metrics in streaming progress"
     assert sum(m["rows_in"] for m in observed) == 1000  # sf0.001 events
     assert sum(m["rows_rejected"] for m in observed) == 0
+
+
+def test_stream_stream_left_join_emits_unmatched(spark):
+    """Outer stream-stream semantics: matched rows == the inner join's,
+    unmatched views emitted null-padded after state eviction."""
+    from weather_stream_processor_spark.registry import all_queries
+
+    qs = all_queries()
+    inner = qs["streaming_stream_stream_join"].builder(spark, SF_SMOKE).collect()
+    left = qs["streaming_stream_stream_left_join"].builder(spark, SF_SMOKE).collect()
+    inner_keys = {(r.user_id, r.view_id, r.purchase_id) for r in inner}
+    matched = {(r.user_id, r.view_id, r.purchase_id) for r in left if r.purchase_id is not None}
+    assert matched == inner_keys
+    unmatched = [r for r in left if r.purchase_id is None]
+    assert unmatched, "expected some views without a purchase within the hour"
+    assert all(r.secs_to_purchase is None for r in unmatched)
+    # every view appears at least once (left-preserving)
+    inner_views = {r.view_id for r in inner}
+    left_views = {r.view_id for r in left}
+    assert inner_views <= left_views

@@ -334,3 +334,62 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         joined, _sink_name("streaming_ss_join"), output_mode="append"
     )
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    oracle=None,  # unmatched-row emission timing is watermark-dependent;
+    # tests pin the semantics (matched subset == inner join; unmatched
+    # views carry nulls) instead of a closed-form SQL twin
+    doc=(
+        "STREAM-STREAM LEFT OUTER interval join: like the inner "
+        "attribution join, but views with NO purchase in the hour are "
+        "ALSO emitted (null purchase columns) — once the watermark passes "
+        "their join horizon and their state is evicted. This is the "
+        "'abandoned view' feed a funnel alerting pipeline consumes. State "
+        "and shuffle identical to the inner join; the only addition is "
+        "null emission at eviction, which is why outer stream-stream "
+        "joins REQUIRE watermarks on both sides. Rows-only check; "
+        "tests assert matched == inner-join result and unmatched are "
+        "null-padded."
+    ),
+    tags=("streaming", "join", "interval", "outer"),
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )
+    return run_to_memory(
+        joined, _sink_name("streaming_ss_left_join"), output_mode="append"
+    )
