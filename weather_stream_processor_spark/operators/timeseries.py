@@ -286,3 +286,68 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle="""
+        WITH scored AS (
+            SELECT event_id, user_id, ts, value,
+                   AVG(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sd,
+                   COUNT(*) OVER w AS n_window
+            FROM events
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_id, user_id, ts,
+               ROUND(value, 5) AS value,
+               ROUND((value - mu) / sd, 4) AS zscore
+        FROM scored
+        WHERE n_window >= 20 AND sd > 0
+          AND ABS((value - mu) / sd) > 3
+    """,
+    doc=(
+        "ROLLING Z-SCORE anomaly detection: each event scored against the "
+        "mean/std of the PRECEDING 50 events of its type (frame ends at "
+        "1 PRECEDING — the current value never contaminates its own "
+        "baseline), flagged at |z| > 3 with a 20-event warm-up. One "
+        "shuffle on event_type + one sort; mean/std over a sliding ROWS "
+        "frame are incremental per partition. The batch twin of a "
+        "streaming alerting rule (the streaming form is "
+        "applyInPandasWithState keeping running moments per key — same "
+        "math, O(1) state)."
+    ),
+    tags=("timeseries", "window", "anomaly"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter((F.col("n_window") >= 20) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round("value", 5).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
