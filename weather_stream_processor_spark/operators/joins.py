@@ -452,3 +452,63 @@ def lateral_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 1) o
         """
     )
+
+
+@register(
+    "scd2_segment_update",
+    oracle="""
+        WITH updates AS (
+            SELECT c_custkey, 'PREMIUM' AS new_segment
+            FROM customer WHERE c_acctbal > 7000
+        )
+        SELECT c.c_custkey,
+               c.c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '2024-01-01 00:00:00' END AS valid_to,
+               (u.c_custkey IS NULL) AS is_current
+        FROM customer c LEFT JOIN updates u USING (c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'PREMIUM' AS segment,
+               TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+               CAST(NULL AS TIMESTAMP) AS valid_to,
+               TRUE AS is_current
+        FROM updates
+    """,
+    doc=(
+        "SCD TYPE-2 dimension update (the MERGE every warehouse sink "
+        "needs): an update set closes out the affected rows (valid_to "
+        "stamped, is_current=false) and appends new versions — expressed "
+        "as one left join + union, no row-level mutation, so it runs on "
+        "immutable parquet at any scale. The update set is dim-sized "
+        "(broadcast); the surviving plan is scan -> broadcast join -> "
+        "union. In a streaming foreachBatch this exact shape is the "
+        "staging+MERGE the JDBC sink performs (SURVEY §4.3c)."
+    ),
+    tags=("join", "scd2", "warehouse"),
+)
+def scd2_segment_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_acctbal") > 7000).select(
+        "c_custkey", F.lit("PREMIUM").alias("new_segment")
+    )
+    t0 = F.lit("1990-01-01 00:00:00").cast("timestamp")
+    t1 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    closed = (
+        c.join(F.broadcast(updates), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            t0.alias("valid_from"),
+            F.when(F.col("new_segment").isNotNull(), t1).alias("valid_to"),
+            F.col("new_segment").isNull().alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        t1.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed.unionByName(fresh)
