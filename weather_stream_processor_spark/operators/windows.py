@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.sources import load_table, load_tables
 
 
 @register(
@@ -412,4 +412,63 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 5).alias("session_value"),
+    )
+
+
+@register(
+    "revenue_contribution_pareto",
+    oracle="""
+        WITH rev AS (
+            SELECT n.n_name,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name, revenue,
+               ROUND(revenue / SUM(revenue) OVER (), 6) AS share,
+               ROUND(SUM(revenue) OVER (
+                   ORDER BY revenue DESC, n_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / SUM(revenue) OVER (), 6) AS cumulative_share
+        FROM rev
+    """,
+    doc=(
+        "RATIO-TO-REPORT + PARETO: each nation's revenue share of total "
+        "and the cumulative share in descending order (the 80/20 read). "
+        "The empty-partition total window runs over the AGGREGATED frame "
+        "(|nations| rows), so the 'global' window is dimension-sized — "
+        "the event-scale work is the plain grouped sum underneath. "
+        "Contribution analysis over a high-cardinality key should instead "
+        "join a one-row total aggregate (same result, no single-reducer "
+        "sort)."
+    ),
+    tags=("window", "contribution", "pareto"),
+)
+def revenue_contribution_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, s, n = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+    total = Window.partitionBy()
+    cum = (
+        Window.partitionBy()
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias("share"),
+        F.round(F.sum("revenue").over(cum) / F.sum("revenue").over(total), 6).alias(
+            "cumulative_share"
+        ),
     )
