@@ -393,3 +393,50 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory(
         joined, _sink_name("streaming_ss_left_join"), output_mode="append"
     )
+
+
+@register(
+    "streaming_chained_window_agg",
+    oracle="""
+        WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
+        hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type, SUM(value) AS hv
+            FROM events, wm
+            WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+            GROUP BY 1, 2
+        )
+        SELECT date_trunc('day', h) AS day, event_type,
+               ROUND(SUM(hv), 5) AS daily_value,
+               COUNT(*) AS n_hours
+        FROM hourly, wm
+        WHERE date_trunc('day', h) + INTERVAL 1 DAY <= wm.w
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "CHAINED STATEFUL AGGREGATION (multiple stateful operators in one "
+        "streaming query, Spark 3.5+): hourly window sums feed a second "
+        "windowed aggregation rolling them into daily totals, both "
+        "incremental, in append mode. The pre-aggregation means the daily "
+        "state sees |hours x types| rows, not |events| — the streaming "
+        "form of partial aggregation, and the shape of every metrics-"
+        "rollup topology (1m -> 1h -> 1d). Oracle replicates append-mode "
+        "closure: only windows wholly before the final watermark "
+        "(max ts - 2h) are emitted, at both levels."
+    ),
+    tags=("streaming", "window", "chained"),
+)
+def streaming_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_replay_source(spark, sf_dir).withWatermark("ts", "2 hours")
+    hourly = ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.sum("value").alias("hourly_value")
+    )
+    daily = hourly.groupBy(F.window(F.col("w"), "1 day").alias("d"), "event_type").agg(
+        F.round(F.sum("hourly_value"), 5).alias("daily_value"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    out = daily.select(
+        F.col("d.start").alias("day"), "event_type", "daily_value", "n_hours"
+    )
+    return run_to_memory(
+        out, _sink_name("streaming_chained"), output_mode="append"
+    )
