@@ -449,8 +449,8 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l.l_returnflag,
                COUNT(*) AS n_rows,
-               SUM(CASE WHEN l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi
-                        THEN 1 ELSE 0 END) AS n_clipped,
+               CAST(SUM(CASE WHEN l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
                ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)), 4)
                    AS winsorized_mean,
                ROUND(stddev_samp(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)), 4)
@@ -541,11 +541,11 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "null_profile_events",
     oracle="""
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
-               SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-               SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-               SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-               SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+               CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+               CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+               CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+               CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+               CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
                COUNT(DISTINCT event_type) AS distinct_event_types
         FROM events
     """,

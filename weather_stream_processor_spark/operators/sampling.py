@@ -27,16 +27,24 @@ from pyspark.sql import functions as F
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table
 
-# bucket(doc_id) in [0, 1000): deterministic, engine-independent
+# bucket(doc_id) in [0, 1000): deterministic, engine-independent.
+# The id is first reduced mod the Mersenne prime 2^31-1 so the product
+# (2^31-2) * 2654435761 < 2^63 never overflows int64 in EITHER engine
+# (Spark with ANSI off would wrap silently; DuckDB would raise — the
+# mod-prime form makes both compute the identical in-range value for any
+# bigint doc_id, including 100 TB-scale keyspaces beyond 2^31). For
+# doc_id < 2^31-1 the reduction is the identity, so bucket values are
+# unchanged for existing fixtures.
 _BUCKETS = 1000
 _KNUTH = 2654435761
+_MOD = 2147483647  # 2^31 - 1 (Mersenne prime)
 
 
 def _bucket(col: Column) -> Column:
-    return F.shiftright(col * F.lit(_KNUTH), 16) % _BUCKETS
+    return F.shiftright((col % _MOD) * F.lit(_KNUTH), 16) % _BUCKETS
 
 
-_BUCKET_SQL = f"((doc_id * {_KNUTH}) >> 16) % {_BUCKETS}"
+_BUCKET_SQL = f"(((doc_id % {_MOD}) * {_KNUTH}) >> 16) % {_BUCKETS}"
 
 
 @register(

@@ -247,7 +247,8 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT doc_id,
-               SUM((ascii(tok) * 31 + length(tok)) * pos) % 1000000007 AS fingerprint
+               CAST(SUM((ascii(tok) * 31 + length(tok)) * pos) % 1000000007
+                    AS BIGINT) AS fingerprint
         FROM toks
         GROUP BY doc_id
     """,

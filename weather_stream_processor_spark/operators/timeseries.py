@@ -143,7 +143,8 @@ def forward_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohort AS (
             SELECT a.week,
                    COUNT(*) AS n_active,
-                   SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_retained
+                   CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained
             FROM active a
             LEFT JOIN active b
               ON b.user_id = a.user_id
@@ -298,7 +299,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(*) OVER w AS n_window
             FROM events
             WINDOW w AS (
-                PARTITION BY event_type ORDER BY ts, event_id
+                PARTITION BY event_type
+                ORDER BY ts NULLS LAST, event_id NULLS LAST
                 ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING
             )
         )
@@ -326,9 +328,12 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # Explicit NULLS LAST on both engines: Spark asc() defaults nulls
+    # first, DuckDB defaults NULLS LAST — a NULL ts would silently shift
+    # every 50-row frame between the two otherwise.
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(-50, -1)
     )
     scored = ev.select(

@@ -365,10 +365,10 @@ def time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         sess AS (
             SELECT user_id, ts, value,
-                   SUM(new_session) OVER (
+                   CAST(SUM(new_session) OVER (
                        PARTITION BY user_id ORDER BY ts
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM gaps
         )
         SELECT user_id, session_id,
