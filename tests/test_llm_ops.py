@@ -53,6 +53,37 @@ def test_embedding_near_dup_symmetric_and_thresholded(spark):
         assert r.cosine_sim >= 0.35
 
 
+def test_registered_near_dup_has_no_driver_collect(spark):
+    """The registered near-dup op must never materialize the corpus on
+    the driver; the broadcast GEMM lives only in the guarded, unregistered
+    small-corpus utility."""
+    import inspect
+
+    from weather_stream_processor_spark.operators import similarity
+
+    src = inspect.getsource(similarity.embedding_cosine_near_dup)
+    assert ".collect()" not in src
+    blocked = {
+        (r.vec_id_a, r.vec_id_b, r.cosine_sim)
+        for r in _run(spark, "embedding_cosine_near_dup").collect()
+    }
+    broadcast = {
+        (r.vec_id_a, r.vec_id_b, r.cosine_sim)
+        for r in similarity.embedding_near_dup_broadcast(spark, SF_SMOKE).collect()
+    }
+    assert blocked == broadcast
+
+
+def test_broadcast_near_dup_refuses_oversized_corpus(spark, monkeypatch):
+    from weather_stream_processor_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "BROADCAST_CORPUS_MAX_ROWS", 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="embedding_near_dup_blocked"):
+        similarity.embedding_near_dup_broadcast(spark, SF_SMOKE)
+
+
 def test_simhash_deterministic_across_runs(spark):
     a = {(r.doc_id, r.simhash) for r in _run(spark, "simhash_buckets").collect()}
     b = {(r.doc_id, r.simhash) for r in _run(spark, "simhash_buckets").collect()}

@@ -341,28 +341,48 @@ NEAR_DUP_COSINE = 0.35  # fixture embeddings are near-orthogonal (max pairwise
     doc=(
         "Embedding-cosine near-duplicate detection (dedup family, mandate "
         "row 'embedding-cosine near-dup'): all unordered pairs with cosine "
-        ">= threshold. Executed as a blocked matrix product in an Arrow "
-        "mapInPandas — each corpus partition multiplies its (n_batch, 64) "
-        "block against the full corpus matrix with one BLAS GEMM, keeping "
-        "only a<b pairs over threshold. The corpus side here fits in a "
-        "closure broadcast (the fixture is small); at 100 TB the same UDF "
-        "runs over the CROSS of corpus blocks x corpus blocks, or — the "
-        "production answer — candidates come from ann_lsh_buckets / "
-        "minhash-style banding first and only bucket-mates reach the GEMM. "
-        "The arithmetic mirrors the oracle exactly: raw-dot / (norm_a * "
-        "norm_b) in float64, rounded to 6dp before the threshold test."
+        ">= threshold, float64 raw-dot / (norm_a * norm_b) rounded to 6dp "
+        "before the threshold test — arithmetic mirrors the oracle "
+        "exactly. Delegates to the block-grid execution "
+        "(embedding_near_dup_blocked): NO driver-side corpus collect, no "
+        "side need fit in any single memory; per-cell working set is 2/B "
+        "of the corpus. A broadcast small-corpus utility "
+        "(embedding_near_dup_broadcast, unregistered, hard row-cap) exists "
+        "for sub-driver-memory corpora; the production fast path is LSH/"
+        "banding candidates (ann_lsh_buckets) feeding the GEMM."
     ),
     tags=("dedup", "similarity", "llm", "pandas-udf"),
 )
 def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_blocked(spark, sf_dir)
+
+
+# Hard cap for the driver-side broadcast utility below. Above this the
+# corpus does NOT belong in driver memory — use embedding_near_dup_blocked.
+BROADCAST_CORPUS_MAX_ROWS = 100_000
+
+
+def embedding_near_dup_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-corpus near-dup via driver-collected broadcast GEMM.
+
+    DELIBERATELY UNREGISTERED: this MATERIALIZES THE WHOLE CORPUS ON THE
+    DRIVER (``emb.collect()``) before broadcasting it to executors, so it
+    is only safe when the embedding table fits in driver memory. It
+    refuses to run above BROADCAST_CORPUS_MAX_ROWS; the scale path is
+    ``embedding_near_dup_blocked`` (identical output, no collect).
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # corpus matrix rides to executors once via Spark's broadcast machinery
-    # (not a per-task closure pickle)
-    rows = emb.collect()
+    n = emb.count()
+    if n > BROADCAST_CORPUS_MAX_ROWS:
+        raise ValueError(
+            f"corpus has {n} rows > {BROADCAST_CORPUS_MAX_ROWS}; "
+            "use embedding_near_dup_blocked (no driver collect) instead"
+        )
+    rows = emb.collect()  # driver-side materialization — guarded above
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     mat = np.array([r.embedding for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
