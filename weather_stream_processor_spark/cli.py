@@ -60,10 +60,19 @@ def build_source(spark: SparkSession, args: argparse.Namespace) -> DataFrame:
 
 def build_sink(args: argparse.Namespace):
     from weather_stream_processor_spark.streaming.sinks import (
+        foreach_batch_jdbc_upsert_writer,
         foreach_batch_jdbc_writer,
         foreach_batch_parquet_writer,
     )
 
+    if args.sink == "jdbc-upsert":
+        return foreach_batch_jdbc_upsert_writer(
+            args.jdbc_url,
+            args.jdbc_table,
+            key_cols=["hour", "lat", "lon"],
+            properties={"driver": args.jdbc_driver} if args.jdbc_driver else {},
+            dialect=args.upsert_dialect,
+        )
     if args.sink == "jdbc":
         return foreach_batch_jdbc_writer(
             args.jdbc_url,
@@ -76,13 +85,43 @@ def build_sink(args: argparse.Namespace):
     return foreach_batch_parquet_writer(args.out, partition_cols=None)
 
 
+def apply_trigger(writer, bounded: bool, trigger_interval: str | None):
+    """St1 trigger selection: ``--bounded`` replays what's available and
+    stops (availableNow); otherwise an optional ``processingTime`` cadence
+    — the reference's 60 s poll loop (weather_stream.py:26,159) expressed
+    as a trigger instead of a sleep(). No interval = micro-batches as fast
+    as data arrives."""
+    if bounded:
+        return writer.trigger(availableNow=True)
+    if trigger_interval:
+        return writer.trigger(processingTime=trigger_interval)
+    return writer
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="weather_stream_processor_spark")
     p.add_argument("--source", choices=("kafka", "spool"), required=True)
     p.add_argument("--brokers", default="localhost:9092")
     p.add_argument("--topic", default="weather")
     p.add_argument("--spool-dir")
-    p.add_argument("--sink", choices=("parquet", "jdbc", "console"), default="parquet")
+    p.add_argument(
+        "--sink",
+        choices=("parquet", "jdbc", "jdbc-upsert", "console"),
+        default="parquet",
+    )
+    p.add_argument(
+        "--upsert-dialect",
+        choices=("merge", "on_conflict"),
+        default="merge",
+        help="upsert SQL dialect for --sink jdbc-upsert",
+    )
+    p.add_argument(
+        "--trigger-interval",
+        default=None,
+        help="processingTime trigger cadence for unbounded runs, e.g. "
+        "'60 seconds' (the reference's poll period, weather_stream.py:26); "
+        "omit for as-fast-as-possible micro-batches",
+    )
     p.add_argument("--out", help="parquet sink base path")
     p.add_argument("--jdbc-url")
     p.add_argument("--jdbc-table", default="weather_data")
@@ -96,8 +135,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--spool-dir is required with --source spool")
     if args.sink == "parquet" and not args.out:
         p.error("--out is required with --sink parquet")
-    if args.sink == "jdbc" and not args.jdbc_url:
-        p.error("--jdbc-url is required with --sink jdbc")
+    if args.sink in ("jdbc", "jdbc-upsert") and not args.jdbc_url:
+        p.error(f"--jdbc-url is required with --sink {args.sink}")
+    if args.bounded and args.trigger_interval:
+        p.error("--trigger-interval only applies to unbounded runs "
+                "(--bounded uses availableNow)")
 
     from weather_stream_processor_spark.session import get_spark
     from weather_stream_processor_spark.streaming.pipeline import (
@@ -114,8 +156,9 @@ def main(argv: list[str] | None = None) -> int:
         .foreachBatch(build_sink(args))
         .option("checkpointLocation", args.checkpoint)
     )
+    writer = apply_trigger(writer, args.bounded, args.trigger_interval)
     if args.bounded:
-        q = writer.trigger(availableNow=True).start()
+        q = writer.start()
         q.awaitTermination()
         ex = q.exception()
         if ex is not None:

@@ -54,6 +54,24 @@ def weather_wire_schema() -> T.StructType:
     )
 
 
+KAFKA_SOURCE_FORMAT = "kafka"
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = "weather",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact connector options of the reference's consumer
+    (weather_processor.py:59-65) — kept as a pure dict so tests can pin
+    the contract without a broker or the kafka jar on the classpath."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def kafka_weather_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -67,10 +85,8 @@ def kafka_weather_source(
     is lazy: nothing validates connectivity here, by design.
     """
     return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        spark.readStream.format(KAFKA_SOURCE_FORMAT)
+        .options(**kafka_source_options(bootstrap_servers, topic, starting_offsets))
         .load()
     )
 
