@@ -132,3 +132,24 @@ def test_approx_percentile_within_rank_error(spark):
         med, p95 = approx[r.l_returnflag]
         assert r.lo50 <= med <= r.hi50
         assert r.lo95 <= p95 <= r.hi95
+
+
+def test_connected_components_with_reliable_checkpoint(spark, tmp_path):
+    """With sc.setCheckpointDir configured (the cluster deployment), the
+    iterative loop must switch from localCheckpoint to reliable
+    checkpoint() and produce the identical clustering."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import dedup
+
+    baseline = {
+        (r.doc_id, r.component_id, r.n_members)
+        for r in dedup.dedup_connected_components(spark, SF_SMOKE).collect()
+    }
+    assert spark.sparkContext.getCheckpointDir() is None
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    assert spark.sparkContext.getCheckpointDir() is not None
+    reliable = {
+        (r.doc_id, r.component_id, r.n_members)
+        for r in dedup.dedup_connected_components(spark, SF_SMOKE).collect()
+    }
+    assert reliable == baseline

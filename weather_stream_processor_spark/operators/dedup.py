@@ -395,8 +395,10 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "representative (keep one doc per component, drop the rest). "
         "Implemented as distributed min-label propagation: each round is "
         "one join + one min-aggregate, all executor-side; the driver only "
-        "compares a one-row convergence checksum per round and "
-        "localCheckpoints to truncate lineage. Rounds = component "
+        "compares a one-row convergence checksum per round and truncates "
+        "lineage each round (reliable checkpoint() when a checkpoint dir "
+        "is configured — the cluster deployment; localCheckpoint "
+        "otherwise). Rounds = component "
         "diameter — near-dup components are tiny/star-shaped, so 2-3 "
         "rounds in practice; at 100 TB the alternating large-star/"
         "small-star variant (Kiveris et al., 'Connected Components in "
@@ -406,6 +408,21 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("dedup", "llm", "iterative", "graph"),
 )
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut an iterative plan's lineage between rounds.
+
+    When a reliable checkpoint dir is configured
+    (``sc.setCheckpointDir`` — the cluster deployment), use
+    ``checkpoint()``: blocks live in the fault-tolerant store and survive
+    executor loss mid-loop. Otherwise fall back to ``localCheckpoint()``
+    (executor-local blocks — fine for single-node and tests, lost on
+    executor death; see docs/SCALE.md)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").union(
@@ -413,15 +430,15 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache the edge list: it is re-scanned every propagation round, and
     # recomputing the shingle self-join per round would dominate
-    edges = edges.localCheckpoint(eager=True)
+    edges = _truncate_lineage(edges)
     # initialization fuses round 1 for free: comp0 = min(self, neighbors)
     # is one aggregate over the edge list (every node appears as a dst in
     # the symmetric edge set) — no join, and star-shaped components are
     # already converged before the loop begins
-    labels = (
-        edges.groupBy(F.col("d").alias("doc_id"))
-        .agg(F.least(F.min("s"), F.min("d")).alias("comp"))
-        .localCheckpoint(eager=True)
+    labels = _truncate_lineage(
+        edges.groupBy(F.col("d").alias("doc_id")).agg(
+            F.least(F.min("s"), F.min("d")).alias("comp")
+        )
     )
     prev_sum = None
     for _ in range(50):  # hard bound; converges in O(diameter) rounds
@@ -430,13 +447,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("d").alias("doc_id"))
             .agg(F.min("comp").alias("mcomp"))
         )
-        labels = (
-            labels.join(msgs, "doc_id", "left")
-            .select(
+        labels = _truncate_lineage(
+            labels.join(msgs, "doc_id", "left").select(
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("mcomp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         # labels only ever decrease, so an unchanged sum IS the fixpoint
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
