@@ -368,6 +368,21 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut an iterative plan's lineage between rounds.
+
+    When a reliable checkpoint dir is configured
+    (``sc.setCheckpointDir`` — the cluster deployment), use
+    ``checkpoint()``: blocks live in the fault-tolerant store and survive
+    executor loss mid-loop. Otherwise fall back to ``localCheckpoint()``
+    (executor-local blocks — fine for single-node and tests, lost on
+    executor death; see docs/SCALE.md)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""
@@ -408,21 +423,6 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("dedup", "llm", "iterative", "graph"),
 )
-def _truncate_lineage(df: DataFrame) -> DataFrame:
-    """Cut an iterative plan's lineage between rounds.
-
-    When a reliable checkpoint dir is configured
-    (``sc.setCheckpointDir`` — the cluster deployment), use
-    ``checkpoint()``: blocks live in the fault-tolerant store and survive
-    executor loss mid-loop. Otherwise fall back to ``localCheckpoint()``
-    (executor-local blocks — fine for single-node and tests, lost on
-    executor death; see docs/SCALE.md)."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
-
-
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").union(
