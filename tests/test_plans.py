@@ -166,3 +166,48 @@ def test_lateral_join_decorrelates(spark):
     ops = operator_names(_df(spark, "lateral_join_latest_order"))
     assert "WindowGroupLimit" in ops
     assert not any("Cartesian" in o or "NestedLoop" in o for o in ops)
+
+
+def test_tpch_semi_anti_plans(spark):
+    # q4: EXISTS compiles to a semi join, never a row-multiplying inner
+    ops4 = operator_names(_df(spark, "q4_order_priority"))
+    assert any("Join" in o for o in ops4)
+    require_plan(_df(spark, "q4_order_priority"), not_contains=("CartesianProduct",))
+    plan4 = _df(spark, "q4_order_priority")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan4
+    # q21: both the EXISTS (semi) and NOT EXISTS (anti) survive to the
+    # physical plan
+    plan21 = _df(spark, "q21_waiting_supplier")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan21
+    assert "LeftAnti" in plan21
+    # q22: anti join against recent orders, no cartesian blowup from the
+    # scalar-subquery cross join (it is a 1-row broadcast)
+    plan22 = _df(spark, "q22_idle_customers")._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan22
+    require_plan(_df(spark, "q22_idle_customers"), not_contains=("CartesianProduct",))
+
+
+def test_tpch_decorrelated_q17_broadcasts_thresholds(spark):
+    # the per-part AVG dimension and brand filter both broadcast: no
+    # sort-merge join and no cartesian anywhere in the decorrelated form
+    require_plan(
+        _df(spark, "q17_small_quantity_revenue"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct", "SortMergeJoin"),
+    )
+
+
+def test_tpch_q10_topk_and_pushdown(spark):
+    # returnflag + orderdate predicates reach the scans; top-20 runs as
+    # TakeOrderedAndProject, not a global sort
+    df = _df(spark, "q10_returned_items")
+    filters = pushed_filters(df)
+    assert any("l_returnflag" in f for f in filters)
+    assert any("o_orderdate" in f for f in filters)
+    assert "TakeOrderedAndProject" in operator_names(df)
+
+
+def test_tpch_q14_single_aggregate_no_group_shuffle(spark):
+    # global conditional ratio: partial+final agg pair, no grouping keys
+    ops = operator_names(_df(spark, "q14_promo_revenue"))
+    assert ops.count("HashAggregate") == 2

@@ -34,5 +34,6 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     similarity,
     text,
     timeseries,
+    tpch,
     windows,
 )
