@@ -69,6 +69,24 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for c in a.columns:
         x, y = a[c], b[c]
+        # dtype-KIND mismatch (int one side, float the other) is exactly
+        # what the driver's strict value hash rejects even when the values
+        # compare numerically equal — e.g. DuckDB widening an integer SUM
+        # to HUGEINT, which fetchdf() lands as float64 vs Spark's int64.
+        # Fail it here so it can never pass locally and fail the driver.
+        kinds = tuple(
+            "f" if pd.api.types.is_float_dtype(s)
+            else "i" if pd.api.types.is_integer_dtype(s)
+            else None
+            for s in (x, y)
+        )
+        if kinds[0] != kinds[1] and None not in kinds:
+            errs.append(
+                f"col {c!r}: numeric dtype kind mismatch spark={x.dtype} "
+                f"oracle={y.dtype} (driver hash would differ; CAST the "
+                "oracle, e.g. integer SUM -> BIGINT)"
+            )
+            continue
         if pd.api.types.is_float_dtype(x) and pd.api.types.is_float_dtype(y):
             ok = np.isclose(x.fillna(np.nan), y.fillna(np.nan), rtol=1e-9, atol=1e-9, equal_nan=True)
         else:

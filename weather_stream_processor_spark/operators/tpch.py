@@ -42,7 +42,10 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    # built lazily: module-level Column construction would crash when this
+    # package is imported inside a Python worker (no active SparkContext)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -141,7 +144,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation",
         "cust_nation",
         F.year("l_shipdate").cast("bigint").alias("l_year"),
-    ).agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+    ).agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
 
 
 @register(
@@ -210,7 +213,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
-    volume = _REVENUE
+    volume = _revenue()
     return joined.groupBy(
         F.year("o_orderdate").cast("bigint").alias("o_year")
     ).agg(
@@ -263,7 +266,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    amount = _REVENUE - F.col("p_retailprice") * F.col("l_quantity")
+    amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -318,7 +321,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
-    exact_rev = F.sum(F.round(_REVENUE * 10000, 0).cast("long")) / 10000.0
+    exact_rev = F.sum(F.round(_revenue() * 10000, 0).cast("long")) / 10000.0
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(exact_rev.alias("revenue"))
@@ -432,9 +435,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.filter(
         (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
     ).join(F.broadcast(p.select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
-    promo = F.when(F.col("p_type") == "PROMO", _REVENUE).otherwise(0.0)
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
     return joined.agg(
-        F.round(100.0 * F.sum(promo) / F.sum(_REVENUE), 4).alias("promo_revenue")
+        F.round(100.0 * F.sum(promo) / F.sum(_revenue()), 4).alias("promo_revenue")
     )
 
 
@@ -572,7 +575,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return joined.filter(branch).agg(
-        F.round(F.sum(_REVENUE), 2).alias("revenue")
+        F.round(F.sum(_revenue()), 2).alias("revenue")
     )
 
 
