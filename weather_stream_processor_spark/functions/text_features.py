@@ -36,6 +36,19 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(toks: Column, n: int = 3) -> Column:
+    """ALL word n-grams in order (non-distinct) — the multiset
+    ``word_shingles`` de-duplicates. Needed where multiplicity carries the
+    signal (within-document repetition measurement)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two float-array columns, accumulated in double.
 

@@ -383,10 +383,10 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-@register(
-    "dedup_connected_components",
-    oracle=f"""
-        WITH RECURSIVE {_JACCARD_PAIRS_CTES},
+# recursive transitive closure over the Jaccard pair graph -> per-node
+# min-reachable-id component labels; shared by the connected-components
+# oracle and the keep-list oracle
+_COMPONENTS_CTES = f"""{_JACCARD_PAIRS_CTES},
         edges AS (
             SELECT doc_a AS s, doc_b AS d FROM pairs
             UNION
@@ -398,7 +398,13 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
             UNION
             SELECT e.d AS id, reach.r FROM reach JOIN edges e ON e.s = reach.id
         ),
-        comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)
+        comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+        WITH RECURSIVE {_COMPONENTS_CTES}
         SELECT doc_id, component_id,
                COUNT(*) OVER (PARTITION BY component_id) AS n_members
         FROM comp
@@ -464,6 +470,46 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(Window.partitionBy("comp"))
         .alias("n_members"),
+    )
+
+
+@register(
+    "near_dup_keep_list",
+    oracle=f"""
+        WITH RECURSIVE {_COMPONENTS_CTES}
+        SELECT d.doc_id,
+               COALESCE(c.component_id, d.doc_id) AS component_id,
+               (c.doc_id IS NULL OR c.component_id = d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+    doc=(
+        "The ACTIONABLE end of the near-dup pipeline: one keep/drop "
+        "decision per document. Docs in no near-dup component keep "
+        "themselves; within a component only the canonical min-doc_id "
+        "representative survives. Plan: the connected-components labels "
+        "(component-member-sized, tiny vs the corpus) LEFT-joined back to "
+        "the full document list — at 100 TB this is a broadcast join of "
+        "labels into the corpus scan, and the keep column drives the "
+        "actual dedup write (filter keep = true), so dedup is one more "
+        "map-side predicate, not another shuffle."
+    ),
+    tags=("dedup", "llm", "graph"),
+)
+def near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_connected_components(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc_id"), "component_id"
+    )
+    joined = docs.join(
+        F.broadcast(labels), docs.doc_id == F.col("c_doc_id"), "left"
+    )
+    return joined.select(
+        "doc_id",
+        F.coalesce("component_id", "doc_id").alias("component_id"),
+        (
+            F.col("c_doc_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        ).alias("keep"),
     )
 
 

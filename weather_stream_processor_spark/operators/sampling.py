@@ -254,3 +254,50 @@ def mixture_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q"), 6).alias("q_corpus"),
         F.round(F.col("p") * F.log(F.col("p") / F.col("q")), 6).alias("kl_term"),
     )
+
+
+@register(
+    "shard_manifest_stats",
+    oracle=f"""
+        WITH counted AS (
+            SELECT doc_id, lang,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, lang, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM counted
+        )
+        SELECT lang,
+               CAST(FLOOR((cum_tokens - n_tokens) / 4096) AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        FROM packed
+        GROUP BY lang, shard_id
+    """,
+    doc=(
+        "SHARD MANIFEST validation, the step after token_budget_packing: "
+        "per-(lang, shard) document count, token fill, and the doc-id "
+        "span proving shards are contiguous in the deterministic order. "
+        "A tokenization run checkpoints against exactly this manifest — "
+        "re-running the packer must reproduce it byte-for-byte before a "
+        "resume is allowed. Plan: the packing window plus one further "
+        "aggregate on the SAME (lang) partitioning — no extra exchange "
+        "for the lang-level rollup."
+    ),
+    tags=("sampling", "llm", "packing", "quality"),
+)
+def shard_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = token_budget_packing(spark, sf_dir)
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

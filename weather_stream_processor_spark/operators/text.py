@@ -366,3 +366,52 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.length(raw) * 1.0, 1).alias("raw_len"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "repetition_quality_filter",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)] AS grams
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams,
+               ROUND(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+                   AS rep_fraction,
+               (1.0 - len(list_distinct(grams)) * 1.0 / len(grams)) <= 0.2
+                   AS keep
+        FROM g
+    """,
+    doc=(
+        "Within-document REPETITION filter (the Gopher-rules family): the "
+        "fraction of word 3-grams that are repeats of an earlier 3-gram in "
+        "the same document; docs above 20% repetition are flagged for "
+        "drop. Boilerplate, spam and degenerate generations score high "
+        "while natural prose stays near zero. Entirely per-row array "
+        "expressions (no explode, no shuffle, no UDF) — the cheapest "
+        "quality gate in the stack, run it before anything pairwise."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(tokens(F.col("text")))
+    n_grams = F.size(grams).cast("bigint")
+    n_distinct = F.size(F.array_distinct(grams)).cast("bigint")
+    rep = 1.0 - n_distinct / n_grams
+    return docs.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct_grams"),
+        F.round(rep, 6).alias("rep_fraction"),
+        (rep <= 0.2).alias("keep"),
+    )

@@ -356,3 +356,76 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT 'view' AS stage, 1 AS stage_order, COUNT(*) AS n_users FROM v
+        UNION ALL
+        SELECT 'click', 2, COUNT(*) FROM c
+        UNION ALL
+        SELECT 'purchase', 3, COUNT(*) FROM p
+    """,
+    doc=(
+        "ORDERED FUNNEL (view -> click -> purchase): a user advances a "
+        "stage only with an event AT OR AFTER their entry into the "
+        "previous stage — the temporal ordering is the whole point (a "
+        "user who purchased before ever viewing does not convert). Each "
+        "stage is a keyed min-aggregate joined to the previous stage's "
+        "per-user entry time; every shuffle keys on user_id so the three "
+        "stages share partitioning, and each stage's input is pre-filtered "
+        "to one event type at the scan."
+    ),
+    tags=("timeseries", "funnel", "analytics"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            F.count(F.lit(1)).alias("n_users"),
+        ).select("stage", "stage_order", "n_users")
+
+    return (
+        stage(views, "view", 1)
+        .unionAll(stage(clicks, "click", 2))
+        .unionAll(stage(purchases, "purchase", 3))
+    )
