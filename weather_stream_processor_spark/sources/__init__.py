@@ -1,3 +1,10 @@
+from weather_stream_processor_spark.sources.io import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_partitioned_parquet,
+)
 from weather_stream_processor_spark.sources.tables import (
     TABLES,
     ensure_session_defaults,
@@ -11,5 +18,10 @@ __all__ = [
     "ensure_session_defaults",
     "load_table",
     "load_tables",
+    "read_csv",
+    "read_jsonl",
     "spread",
+    "write_csv",
+    "write_jsonl",
+    "write_partitioned_parquet",
 ]
