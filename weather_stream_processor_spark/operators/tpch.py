@@ -704,3 +704,53 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(ROUND(
+                       l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                       AS BIGINT) / 10000.0 AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc=(
+        "TPC-H Q15 shape (top supplier): a quarter's per-supplier revenue "
+        "aggregate, then the rows equal to its own MAX — a scalar "
+        "subquery OVER an aggregate, which Catalyst executes as a 1-row "
+        "broadcast filter over the reused revenue subtree (ReuseExchange "
+        "computes the aggregate once). Revenue is summed as exact bigint "
+        "1/10000ths: with float sums the argmax itself could flip between "
+        "engines when two suppliers are within a ulp."
+    ),
+    tags=("tpch", "aggregation", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, li = _t(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            (F.sum(F.round(_revenue() * 10000, 0).cast("long")) / 10000.0).alias(
+                "total_revenue"
+            )
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
