@@ -96,3 +96,13 @@ def test_partitioned_parquet_prunes_on_partition_filter(spark, tmp_path):
 def test_partitioned_write_rejects_empty_partition_spec(spark, tmp_path):
     with pytest.raises(ValueError, match="unpartitioned"):
         write_partitioned_parquet(_docs(spark), str(tmp_path / "x"), [])
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    from weather_stream_processor_spark.sources.io import read_orc, write_orc
+
+    src = _docs(spark)
+    path = str(tmp_path / "docs_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, _DOCS_DDL)
+    assert _as_sorted_tuples(back) == _as_sorted_tuples(src)

@@ -211,3 +211,19 @@ def test_tpch_q14_single_aggregate_no_group_shuffle(spark):
     # global conditional ratio: partial+final agg pair, no grouping keys
     ops = operator_names(_df(spark, "q14_promo_revenue"))
     assert ops.count("HashAggregate") == 2
+
+
+def test_analytics_plans_broadcast_dims(spark):
+    # brand affinity: part broadcasts into the fact; basket self-join is
+    # an equi hash join, never cartesian
+    require_plan(
+        _df(spark, "brand_affinity_pairs"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct",),
+    )
+    # cohort: the per-customer firsts table broadcasts back into orders
+    require_plan(
+        _df(spark, "cohort_revenue_retention"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct", "SortMergeJoin"),
+    )

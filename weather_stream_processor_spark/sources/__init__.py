@@ -1,8 +1,10 @@
 from weather_stream_processor_spark.sources.io import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_csv,
     write_jsonl,
+    write_orc,
     write_partitioned_parquet,
 )
 from weather_stream_processor_spark.sources.tables import (
@@ -20,8 +22,10 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "spread",
     "write_csv",
     "write_jsonl",
+    "write_orc",
     "write_partitioned_parquet",
 ]

@@ -79,6 +79,19 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema, options: dict | None = None
+) -> DataFrame:
+    """Schema-enforced ORC read (columnar like parquet: pushdown and
+    pruning apply; the schema argument guards against silent drift between
+    writer versions rather than paying an inference pass)."""
+    return _reader(spark, "orc", schema, options).load(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_partitioned_parquet(
     df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
 ) -> None:
