@@ -5,18 +5,28 @@ l_receiptdate / c_phone / o_comment / p_container), so the classic
 queries that need those columns are ADAPTED, keeping each one's defining
 plan shape:
 
+  q2   min-cost supplier -> correlated MIN subquery, decorrelated to an
+                            aggregate-of-aggregate + equi join (supply
+                            cost := best observed lineitem unit price)
   q4   EXISTS            -> left-semi join with a non-equi conjunct
   q7   two-nation volume -> 6-way join, disjunctive nation-pair filter
   q8   market share      -> 8-way join, conditional share aggregate
   q9   product profit    -> LIKE-filtered 5-way join (cost := retailprice)
   q10  returned items    -> fact-heavy join + deterministic top-k
+  q11  important stock   -> HAVING vs a global-fraction scalar subquery
+                            over the same aggregate (value := one
+                            nation's shipped extendedprice)
   q12  priority classes  -> join + conditional counts (CASE aggregates)
   q13  order-count dist  -> left join preserved under a join-side filter,
                             aggregate-of-aggregate
   q14  promo share       -> one-month scan + conditional ratio
+  q16  supplier counts   -> NOT IN -> anti join, negated-predicate dim
+                            prune, exact COUNT(DISTINCT)
   q17  small-qty orders  -> correlated scalar subquery, decorrelated to a
                             per-key aggregate + broadcast join
   q18  large-volume      -> HAVING semi-filter + multi-key rollup + top-k
+  q20  part promotion    -> nested semi joins (LIKE part list -> HAVING
+                            aggregate -> supplier probe)
   q21  waiting supplier  -> EXISTS + NOT EXISTS (semi AND anti correlated
                             on the same key, "late" := shipped > 90 days
                             after order date)
@@ -753,4 +763,246 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(MIN(CAST(ROUND(l_extendedprice / l_quantity * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS unit_cost_cents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+               c.unit_cost_cents
+        FROM part p
+        JOIN cost c ON c.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_size = 15
+          AND c.unit_cost_cents = (
+            SELECT MIN(c2.unit_cost_cents) FROM cost c2
+            WHERE c2.l_partkey = p.p_partkey
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q2 shape (minimum-cost supplier; supply cost := the "
+        "supplier's best observed unit price in lineitem, since the "
+        "trimmed schema has no partsupp): the defining feature is the "
+        "CORRELATED MIN subquery — 'the supplier(s) achieving the per-part "
+        "minimum'. The oracle states it correlated; the Spark builder is "
+        "the decorrelated plan Catalyst itself produces: the per-part MIN "
+        "is a second aggregate over the SAME cost subtree, equi-joined "
+        "back on (partkey, min) — ReuseExchange computes cost once. The "
+        "region filter prunes the supplier side BEFORE the fact aggregate; "
+        "top-10 fully tie-broken for the hash gate."
+    ),
+    tags=("tpch", "join", "subquery", "topk"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, s, n, r, p = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region", "part"
+    )
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(euro_supp.select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0)
+                .cast("long")
+            ).alias("unit_cost_cents")
+        )
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("unit_cost_cents").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == F.col("mk"))
+            & (cost.unit_cost_cents == F.col("min_cost")),
+        )
+        .join(F.broadcast(p.filter(F.col("p_size") == 15)),
+              cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(euro_supp), cost.l_suppkey == F.col("s_suppkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+                "unit_cost_cents")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+        WITH value AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE n_name = 'NATION_9'
+            GROUP BY 1
+        )
+        SELECT l_partkey AS p_partkey, value_cents
+        FROM value
+        WHERE value_cents > (
+            SELECT CAST(SUM(value_cents) * 0.001 AS BIGINT) FROM value
+        )
+        ORDER BY value_cents DESC, p_partkey
+    """,
+    doc=(
+        "TPC-H Q11 shape (important stock; supply value := one nation's "
+        "shipped extendedprice per part, since the trimmed schema has no "
+        "partsupp availqty): HAVING-against-a-global-fraction — the "
+        "threshold is a scalar subquery over the SAME aggregate the rows "
+        "come from. Spark form: one grouped aggregate, its one-row total "
+        "cross-joined back (broadcast), ReuseExchange sharing the "
+        "aggregate subtree. Values in exact bigint cents so the >-cutoff "
+        "cannot flip on float summation order between engines."
+    ),
+    tags=("tpch", "aggregation", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, s, n = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nation_supp = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_9")),
+            s.s_nationkey == n.n_nationkey,
+        ).select("s_suppkey")
+    )
+    value = (
+        li.join(F.broadcast(nation_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+             .alias("value_cents"))
+    )
+    threshold = value.agg(
+        (F.sum("value_cents") * 0.001).cast("long").alias("cutoff")
+    )
+    return (
+        value.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_cents") > F.col("cutoff"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    doc=(
+        "TPC-H Q16 shape (parts/supplier relationship; the supplier-part "
+        "catalog := observed lineitem pairs, complaint filter := negative "
+        "account balance, since the trimmed schema has no partsupp or "
+        "s_comment): NOT IN over a non-nullable key = left-anti join "
+        "against the (tiny, broadcast) excluded-supplier list; the "
+        "negated brand / NOT LIKE / IN(size list) predicates all stay on "
+        "the part dimension and prune it BEFORE its broadcast join into "
+        "the fact; exact COUNT(DISTINCT) shuffles only the surviving "
+        "(brand,type,size,suppkey) tuples."
+    ),
+    tags=("tpch", "join", "anti", "aggregation"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p, s = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_supp = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"),
+              "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_part_promotion",
+    oracle="""
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_9'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+              )
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey
+            HAVING SUM(l_quantity) > 300
+          )
+        ORDER BY s_name
+    """,
+    doc=(
+        "TPC-H Q20 shape (potential part promotion; 'excess stock' := "
+        "shipped more than a threshold quantity of the LIKE-named parts "
+        "in the year, since the trimmed schema has no partsupp availqty): "
+        "NESTED semi joins — a LIKE-filtered part list semi-filters the "
+        "fact, a HAVING aggregate over that filtered fact semi-filters "
+        "the suppliers. Both inner sets are tiny after their filters and "
+        "broadcast; the supplier probe side is never widened (semi join, "
+        "no dedup needed). The year predicate lands in PushedFilters."
+    ),
+    tags=("tpch", "join", "semi", "subquery"),
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p, s, n = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    small_parts = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy_shippers = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"),
+              "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_9")),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .join(F.broadcast(heavy_shippers), s.s_suppkey == F.col("l_suppkey"),
+              "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     )
