@@ -258,14 +258,23 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 @register(
     "minhash_lsh_near_dup",
-    oracle=None,  # hash-based: engine-specific values; verified in tests
+    # The output contract is exact: candidates are *verified* with exact
+    # shingle Jaccard >= t, so the result set equals the exhaustive
+    # ngram_jaccard_pairs whenever LSH recall is 100% at this threshold
+    # (banding threshold ~0.59 << 0.8; pytest asserts the equality, and the
+    # shared oracle makes the driver's hash gate enforce it every round).
+    oracle=f"""
+        WITH {_JACCARD_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
     doc=(
         "MinHash + LSH banding near-dup, the scale path: 32-hash signature "
         "per doc, 8 bands of 4 rows; docs sharing any band bucket become "
         "candidate pairs; candidates are then *verified* with exact shingle "
         "Jaccard >= 0.8. At 100 TB only same-bucket pairs are ever joined "
-        "(bucket join, no quadratic blowup). Rows-only check here; tests "
-        "assert its verified pairs equal ngram_jaccard_pairs' output."
+        "(bucket join, no quadratic blowup). Verified output is exact, so "
+        "the oracle is the same exhaustive-Jaccard SQL as "
+        "ngram_jaccard_pairs."
     ),
     tags=("dedup", "llm", "lsh"),
 )

@@ -338,9 +338,50 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_stream_stream_left_join",
-    oracle=None,  # unmatched-row emission timing is watermark-dependent;
-    # tests pin the semantics (matched subset == inner join; unmatched
-    # views carry nulls) instead of a closed-form SQL twin
+    # The availableNow endpoint IS deterministic and SQL-expressible:
+    # matches, plus views evicted unmatched once the final global
+    # watermark W = least(max view ts, max purchase ts) - 2h passes their
+    # join horizon (v_ts + 1h < W; Spark's state eviction predicate is
+    # strict). Views still in state when the replay ends are NOT emitted
+    # — the oracle's horizon filter reproduces exactly that.
+    oracle="""
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            SELECT LEAST((SELECT MAX(v_ts) FROM v),
+                         (SELECT MAX(p_ts) FROM p)) - INTERVAL 2 HOUR AS w
+        ),
+        matched AS (
+            SELECT v.user_id, v.view_id, p.purchase_id,
+                   -- floor each side to whole seconds BEFORE subtracting:
+                   -- Spark's unix_timestamp() truncates per-timestamp,
+                   -- while a fractional epoch difference would round
+                   CAST(FLOOR(epoch(p.p_ts)) - FLOOR(epoch(v.v_ts)) AS BIGINT)
+                       AS secs_to_purchase
+            FROM v JOIN p ON v.user_id = p.user_id
+                AND p.p_ts >= v.v_ts
+                AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        ),
+        unmatched AS (
+            SELECT v.user_id, v.view_id,
+                   CAST(NULL AS BIGINT) AS purchase_id,
+                   CAST(NULL AS BIGINT) AS secs_to_purchase
+            FROM v, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM p
+                    WHERE p.user_id = v.user_id
+                      AND p.p_ts >= v.v_ts
+                      AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+              AND v.v_ts + INTERVAL 1 HOUR < wm.w
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
     doc=(
         "STREAM-STREAM LEFT OUTER interval join: like the inner "
         "attribution join, but views with NO purchase in the hour are "
@@ -349,9 +390,9 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'abandoned view' feed a funnel alerting pipeline consumes. State "
         "and shuffle identical to the inner join; the only addition is "
         "null emission at eviction, which is why outer stream-stream "
-        "joins REQUIRE watermarks on both sides. Rows-only check; "
-        "tests assert matched == inner-join result and unmatched are "
-        "null-padded."
+        "joins REQUIRE watermarks on both sides. The oracle models the "
+        "final-watermark closure: matches + left rows unmatched below "
+        "W = least(max side ts) - delay, minus the 1h join horizon."
     ),
     tags=("streaming", "join", "interval", "outer"),
 )
