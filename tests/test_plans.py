@@ -227,3 +227,16 @@ def test_analytics_plans_broadcast_dims(spark):
         contains=("BroadcastHashJoin",),
         not_contains=("CartesianProduct", "SortMergeJoin"),
     )
+
+
+def test_exact_ntile_has_no_single_reducer_window(spark):
+    # the r2 verdict's two perf-weak plans: NTILE via exact_global_ntiles
+    # must rank inside coarse-bucket partitions — an unpartitioned window
+    # would plan as Exchange SinglePartition feeding Sort+Window, so the
+    # absence of SinglePartition anywhere IS the scale property under test
+    for name in ("ntile_order_quartiles", "rfm_segments"):
+        from weather_stream_processor_spark.plans import explain_string
+
+        plan = explain_string(_df(spark, name), "formatted")
+        assert "Window" in plan, name
+        assert "SinglePartition" not in plan, name

@@ -92,27 +92,38 @@ def cohort_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customer key — without that, equal metric values land in "
         "engine-dependent quintiles and the result is not reproducible "
         "(same reason df.sample is banned from the sampling operators). "
-        "Note the global NTILE is a single-partition sort at 100 TB; the "
-        "scale form computes quintile CUTOFFS via approx_percentile "
-        "(broadcast, map-side bucket assignment) — same output contract, "
-        "documented trade: exact rank ties vs no global sort."
+        "Scale form: exact_global_ntiles (see operators/windows.py) — "
+        "coarse percentile cutoffs + PARTITIONED rank windows + collected "
+        "per-bucket offsets, all three metrics' cutoffs and counts in one "
+        "aggregate pass each over the persisted per-customer aggregate. "
+        "Bit-for-bit NTILE semantics; no unpartitioned WindowExec. "
+        "Recency ranks on unix_micros(last_order) — strictly monotonic in "
+        "the timestamp, numeric for percentile cutoffs."
     ),
     tags=("analytics", "window", "segmentation"),
 )
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators.windows import exact_global_ntiles
+
     o = load_table(spark, sf_dir, "orders")
     agg = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
+        F.unix_micros(F.max("o_orderdate").cast("timestamp")).alias("last_order_us"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_cents("o_totalprice")).alias("monetary_cents"),
     )
-    return agg.select(
-        F.col("o_custkey").alias("c_custkey"),
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy("monetary_cents", "o_custkey"))
-        .alias("m_score"),
+    # persisted: exact_global_ntiles makes two tiny-output passes (cutoffs,
+    # per-bucket counts) before the final one — don't re-run the groupBy.
+    agg = agg.persist()
+    scored = exact_global_ntiles(
+        agg,
+        [
+            (5, ["last_order_us", "o_custkey"], "r_score"),
+            (5, ["frequency", "o_custkey"], "f_score"),
+            (5, ["monetary_cents", "o_custkey"], "m_score"),
+        ],
+    )
+    return scored.select(
+        F.col("o_custkey").alias("c_custkey"), "r_score", "f_score", "m_score"
     )
 
 

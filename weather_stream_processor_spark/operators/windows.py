@@ -155,6 +155,96 @@ def moving_avg_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_global_ntiles(
+    df: DataFrame,
+    specs: list[tuple[int, list[str], str]],
+    coarse: int = 64,
+) -> DataFrame:
+    """Exact NTILE(n) over a strict global ordering with NO unpartitioned
+    window — the distributed form of the single-reducer sort NTILE implies.
+
+    For each spec ``(n, order_cols, out_col)`` (order_cols must form a
+    strict total order, i.e. include a unique tie-break key, and the
+    leading column must be non-null):
+
+    1. ONE aggregate job computes exact percentile cutoffs of each spec's
+       leading order column at ``i/coarse`` fractions (a single collected
+       row of <= coarse doubles per spec — bounded, same precedent as the
+       IVF centroid collect).
+    2. Rows are assigned a coarse bucket map-side by comparing against the
+       cutoffs; ties on a cutoff value all land in the same bucket, so
+       bucket ranges are disjoint and consistent with the global order.
+    3. ONE job counts rows per (spec, coarse bucket) — <= len(specs) *
+       coarse tiny rows collected; prefix sums become per-bucket global
+       rank offsets, broadcast back as a literal map.
+    4. A row_number window PARTITIONED BY coarse bucket (each partition
+       ~N/coarse rows — no reducer ever sees the full table) yields the
+       local rank; global rank = offset + local rank.
+    5. The SQL NTILE size formula (first N mod n buckets get one extra
+       row) maps exact global rank -> tile, matching NTILE bit-for-bit.
+
+    Cost: 2 extra tiny-output jobs over ``df`` + one partitioned
+    window shuffle per spec — versus NTILE's one global sort on ONE
+    reducer. Callers with an expensive ``df`` lineage should persist it.
+    """
+    work = df
+    cut_exprs = []
+    for i, (_, order_cols, _) in enumerate(specs):
+        fracs = ", ".join(str(j / coarse) for j in range(1, coarse))
+        cut_exprs.append(
+            F.expr(f"percentile({order_cols[0]}, array({fracs}))").alias(f"c{i}")
+        )
+    cuts_row = work.agg(*cut_exprs).first()
+
+    bucket_cols = []
+    for i, (_, order_cols, _) in enumerate(specs):
+        cuts = sorted(set(cuts_row[f"c{i}"]))
+        expr = F.lit(len(cuts))
+        for b in range(len(cuts) - 1, -1, -1):
+            expr = F.when(F.col(order_cols[0]) <= F.lit(cuts[b]), b).otherwise(expr)
+        bucket_cols.append(expr.alias(f"__cb_{i}"))
+    work = work.select("*", *bucket_cols)
+
+    # one pass for ALL specs' per-bucket counts: stack (spec, bucket) pairs
+    pairs = work.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("m"), F.col(f"__cb_{i}").alias("b")
+                    )
+                    for i in range(len(specs))
+                ]
+            )
+        ).alias("x")
+    ).select("x.m", "x.b")
+    count_rows = pairs.groupBy("m", "b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+
+    per_spec_counts: dict[int, dict[int, int]] = {i: {} for i in range(len(specs))}
+    for r in count_rows:
+        per_spec_counts[r["m"]][r["b"]] = r["cnt"]
+
+    out_cols = []
+    for i, (n, order_cols, out_col) in enumerate(specs):
+        counts = per_spec_counts[i]
+        total, run, offsets = sum(counts.values()), 0, {}
+        for b in sorted(counts):
+            offsets[b] = run
+            run += counts[b]
+        q, rem = divmod(total, n)
+        off_map = F.create_map(
+            *[x for b in sorted(counts) for x in (F.lit(b), F.lit(offsets[b]))]
+        )
+        w = Window.partitionBy(f"__cb_{i}").orderBy(*order_cols)
+        rank = F.element_at(off_map, F.col(f"__cb_{i}")) + F.row_number().over(w)
+        tile = F.when(
+            rank <= F.lit(rem * (q + 1)), F.ceil(rank / F.lit(q + 1))
+        ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(rem * (q + 1))) / F.lit(max(q, 1))))
+        out_cols.append(tile.cast("int").alias(out_col))
+
+    return work.select("*", *out_cols).drop(*[f"__cb_{i}" for i in range(len(specs))])
+
+
 @register(
     "ntile_order_quartiles",
     oracle="""
@@ -163,16 +253,22 @@ def moving_avg_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     """,
     doc=(
-        "ntile quartiles. NOTE: single unpartitioned window = one-reducer "
-        "sort; registered for coverage, but at 100 TB use approx "
-        "percentile cutoffs + a join instead (see percentile_bucketing)."
+        "Exact NTILE quartiles WITHOUT the single-reducer global sort "
+        "NTILE normally plans to: exact_global_ntiles coarse-buckets by "
+        "percentile cutoffs, ranks within buckets via a PARTITIONED "
+        "window, and shifts by collected per-bucket offsets (<= 64 tiny "
+        "rows). Bit-for-bit NTILE semantics (rank-based equal-size "
+        "splits, tie-break on o_orderkey) — the oracle is plain NTILE. "
+        "Plan-tested: no unpartitioned WindowExec."
     ),
-    tags=("window",),
+    tags=("window", "scale"),
 )
 def ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("price_quartile"))
+    return exact_global_ntiles(
+        o.select("o_orderkey", "o_totalprice"),
+        [(4, ["o_totalprice", "o_orderkey"], "price_quartile")],
+    ).select("o_orderkey", "price_quartile")
 
 
 @register(
