@@ -146,10 +146,54 @@ def test_connected_components_with_reliable_checkpoint(spark, tmp_path):
         for r in dedup.dedup_connected_components(spark, SF_SMOKE).collect()
     }
     assert spark.sparkContext.getCheckpointDir() is None
-    spark.sparkContext.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
-    assert spark.sparkContext.getCheckpointDir() is not None
-    reliable = {
+    # setCheckpointDir mutates the session-scoped SparkContext and the JVM
+    # API has no unset — restore via the underlying Scala Option so later
+    # tests in the same session keep localCheckpoint behavior.
+    try:
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+        assert spark.sparkContext.getCheckpointDir() is not None
+        reliable = {
+            (r.doc_id, r.component_id, r.n_members)
+            for r in dedup.dedup_connected_components(spark, SF_SMOKE).collect()
+        }
+        assert reliable == baseline
+    finally:
+        jsc = spark.sparkContext._jsc.sc()
+        getattr(jsc, "checkpointDir_$eq")(spark._jvm.scala.Option.empty())
+        assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_two_phase_cc_bounds_rounds_on_adversarial_path_graph(spark):
+    """Large-star/small-star alternation (Kiveris et al.) is the
+    adversarial-diameter path for connected components: on a 1000-node
+    path graph — the worst case for min-label propagation, whose round
+    count equals the graph diameter — it must converge to one component
+    in O(log n) rounds."""
+    from weather_stream_processor_spark.operators.dedup import _cc_two_phase
+
+    n = 1000
+    chain = spark.range(n - 1).selectExpr("id AS s", "id + 1 AS d")
+    sym = chain.union(chain.selectExpr("d AS s", "s AS d"))
+    labels, rounds = _cc_two_phase(sym)
+    got = {(r.doc_id, r.comp) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(n)}
+    assert rounds <= 25, f"expected O(log n) rounds, took {rounds}"
+
+
+def test_two_phase_cc_matches_propagation_on_fixture_pairs(spark):
+    """Both algorithms must produce the identical clustering on the real
+    near-dup pair graph (the oracle-checked surface)."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import dedup
+
+    base = {
         (r.doc_id, r.component_id, r.n_members)
         for r in dedup.dedup_connected_components(spark, SF_SMOKE).collect()
     }
-    assert reliable == baseline
+    alt = {
+        (r.doc_id, r.component_id, r.n_members)
+        for r in dedup.dedup_connected_components(
+            spark, SF_SMOKE, algorithm="two_phase"
+        ).collect()
+    }
+    assert alt == base

@@ -410,6 +410,108 @@ _COMPONENTS_CTES = f"""{_JACCARD_PAIRS_CTES},
         comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)"""
 
 
+def _cc_label_propagation(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label propagation over a symmetric edge list (s, d): each round
+    is one join + one min-aggregate, converging in O(diameter) rounds —
+    2-3 in practice for star-shaped near-dup components. Returns
+    (labels[doc_id, comp], rounds)."""
+    # initialization fuses round 1 for free: comp0 = min(self, neighbors)
+    # is one aggregate over the edge list (every node appears as a dst in
+    # the symmetric edge set) — no join, and star-shaped components are
+    # already converged before the loop begins
+    labels = _truncate_lineage(
+        edges.groupBy(F.col("d").alias("doc_id")).agg(
+            F.least(F.min("s"), F.min("d")).alias("comp")
+        )
+    )
+    prev_sum = None
+    rounds = 0
+    for _ in range(50):  # hard bound; converges in O(diameter) rounds
+        rounds += 1
+        msgs = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("comp").alias("mcomp"))
+        )
+        labels = _truncate_lineage(
+            labels.join(msgs, "doc_id", "left").select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("mcomp", "comp")).alias("comp"),
+            )
+        )
+        # labels only ever decrease, so an unchanged sum IS the fixpoint
+        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels, rounds
+
+
+def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Alternating large-star / small-star connected components (Kiveris
+    et al., 'Connected Components in MapReduce and Beyond', SoCC'14) —
+    the adversarial-diameter path: O(log n) alternations on long chains
+    where label propagation needs O(diameter) rounds. Input is the
+    symmetric edge list (s, d); returns (labels[doc_id, comp], rounds).
+
+    Each alternation is two (join + aggregate) passes over the current
+    edge set — the same per-round physical shape as propagation, and the
+    edge set only shrinks toward the star graph, so per-round cost falls.
+    Extra (u, min) edges are emitted in both phases: they stay inside
+    u's component (min is in u's closed neighborhood), never merge
+    components, and speed contraction."""
+    e = _truncate_lineage(edges.select("s", "d").where(F.col("s") != F.col("d")).distinct())
+    prev = None
+    rounds = 0
+    for _ in range(60):  # hard bound; converges in O(log n) alternations
+        rounds += 1
+        # large-star: strictly-larger neighbors of u link to u's min
+        sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        mins = (
+            sym.groupBy("s")
+            .agg(F.min("d").alias("mn"))
+            .select("s", F.least("s", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .union(mins.select("s", F.col("m").alias("d")))
+        )
+        e = large.where(F.col("s") != F.col("d")).distinct()
+        # small-star: orient each edge max->min, link all smaller
+        # neighbors (and u itself) to the neighborhood min
+        directed = e.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        )
+        mins2 = directed.groupBy("s").agg(F.min("d").alias("m"))
+        small = (
+            directed.join(mins2, "s")
+            .select(F.col("d").alias("s"), F.col("m").alias("d"))
+            .union(mins2.select("s", F.col("m").alias("d")))
+        )
+        e = _truncate_lineage(small.where(F.col("s") != F.col("d")).distinct())
+        # fixpoint = edge set unchanged (count + order-free content hash;
+        # bit_xor over xxhash64 cannot overflow under ANSI arithmetic)
+        chk = tuple(
+            e.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(s, d))")
+            ).collect()[0]
+        )
+        if chk == prev:
+            break
+        prev = chk
+    # at the fixpoint the edge set is the star graph centered at each
+    # component's min node: label = min over the closed neighborhood
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    labels = (
+        sym.groupBy("s")
+        .agg(F.min("d").alias("mn"))
+        .select(F.col("s").alias("doc_id"), F.least("s", "mn").alias("comp"))
+    )
+    return labels, rounds
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""
@@ -430,15 +532,19 @@ _COMPONENTS_CTES = f"""{_JACCARD_PAIRS_CTES},
         "is configured — the cluster deployment; localCheckpoint "
         "otherwise). Rounds = component "
         "diameter — near-dup components are tiny/star-shaped, so 2-3 "
-        "rounds in practice; at 100 TB the alternating large-star/"
-        "small-star variant (Kiveris et al., 'Connected Components in "
-        "MapReduce') bounds rounds at O(log n) with the same per-round "
-        "plan. Oracle: DuckDB recursive-CTE transitive closure, "
+        "rounds in practice; for adversarial diameters pass "
+        "algorithm='two_phase' — the alternating large-star/small-star "
+        "variant (Kiveris et al., 'Connected Components in MapReduce') "
+        "bounds rounds at O(log n) with the same per-round plan shape "
+        "(path-graph-tested: 1000-node chain in <= 25 alternations). "
+        "Oracle: DuckDB recursive-CTE transitive closure, "
         "min-reachable-id per node."
     ),
     tags=("dedup", "llm", "iterative", "graph"),
 )
-def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_connected_components(
+    spark: SparkSession, sf_dir: str, algorithm: str = "label_propagation"
+) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").union(
         pairs.selectExpr("doc_b AS s", "doc_a AS d")
@@ -446,33 +552,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache the edge list: it is re-scanned every propagation round, and
     # recomputing the shingle self-join per round would dominate
     edges = _truncate_lineage(edges)
-    # initialization fuses round 1 for free: comp0 = min(self, neighbors)
-    # is one aggregate over the edge list (every node appears as a dst in
-    # the symmetric edge set) — no join, and star-shaped components are
-    # already converged before the loop begins
-    labels = _truncate_lineage(
-        edges.groupBy(F.col("d").alias("doc_id")).agg(
-            F.least(F.min("s"), F.min("d")).alias("comp")
-        )
-    )
-    prev_sum = None
-    for _ in range(50):  # hard bound; converges in O(diameter) rounds
-        msgs = (
-            edges.join(labels, edges.s == labels.doc_id)
-            .groupBy(F.col("d").alias("doc_id"))
-            .agg(F.min("comp").alias("mcomp"))
-        )
-        labels = _truncate_lineage(
-            labels.join(msgs, "doc_id", "left").select(
-                "doc_id",
-                F.least(F.col("comp"), F.coalesce("mcomp", "comp")).alias("comp"),
-            )
-        )
-        # labels only ever decrease, so an unchanged sum IS the fixpoint
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    if algorithm == "two_phase":
+        labels, _ = _cc_two_phase(edges)
+    elif algorithm == "label_propagation":
+        labels, _ = _cc_label_propagation(edges)
+    else:
+        raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
     return labels.select(
         "doc_id",
         F.col("comp").alias("component_id"),
