@@ -376,6 +376,73 @@ def test_jdbc_upsert_replay_has_no_duplicates(spark):
     assert second == first
 
 
+def test_merge_dialect_executes_through_a_real_sql_frontend(spark):
+    """The MERGE dialect, end-to-end as far as this sandbox allows: the
+    statements the upsert writer emits during a REAL checkpointed
+    foreachBatch replay are fed to Spark's own SQL parser and must come
+    back as structurally-correct MergeIntoTable plans (keyed match
+    condition, UPDATE matched action, INSERT not-matched action) — a real
+    SQL frontend, not a string assert. Full MERGE *execution* needs a
+    row-level-ops v2 catalog or DuckDB >= 1.4, neither of which ships
+    here; the on_conflict dialect's replay test covers executed-upsert
+    state convergence on the same orchestration."""
+    from weather_stream_processor_spark.streaming.replay import events_replay_source
+    from weather_stream_processor_spark.streaming.sinks import (
+        foreach_batch_jdbc_upsert_writer,
+        run_foreach_batch,
+    )
+
+    staged, merges = [], []
+    sink = foreach_batch_jdbc_upsert_writer(
+        url="jdbc:unused:",
+        table="hourly",
+        key_cols=["hour", "event_type"],
+        properties={},
+        dialect="merge",
+        stage_writer=lambda df, stage: staged.append((stage, df.count())),
+        exec_sql=lambda stmts: merges.extend(stmts),
+        stage_suffix="qa",
+    )
+    ev = events_replay_source(spark, SF_SMOKE)
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 5).alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "total_value")
+    )
+    run_foreach_batch(agg, sink, tempfile.mkdtemp(prefix="ups_merge_"), "update")
+
+    assert staged and merges
+    # distinct-suffix stage name: two writers on one target can coexist
+    assert all(stage == "hourly__stage_qa" for stage, _ in staged)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for stmt in merges:
+        plan = parser.parsePlan(stmt)  # ParseException = broken SQL
+        assert plan.getClass().getSimpleName() == "MergeIntoTable"
+        assert plan.matchedActions().size() == 1
+        assert plan.notMatchedActions().size() == 1
+        cond = plan.mergeCondition().sql()
+        assert "hour" in cond and "event_type" in cond
+
+
+def test_upsert_rejects_quote_requiring_identifiers():
+    """Interpolated identifiers are validated, not trusted: a name that
+    would need quoting (hyphen, space, quote) must raise instead of
+    producing broken/injectable SQL in the driver-side transaction."""
+    from weather_stream_processor_spark.streaming.sinks import upsert_statements
+
+    for bad_table in ("my-table", "t; DROP TABLE x", 'a"b'):
+        with pytest.raises(ValueError, match="identifier"):
+            upsert_statements(bad_table, "s", ["k"], ["v"])
+    with pytest.raises(ValueError, match="identifier"):
+        upsert_statements("t", "s", ["bad-key"], ["v"])
+    with pytest.raises(ValueError, match="identifier"):
+        upsert_statements("t", "s", ["k"], ["bad col"])
+    # schema-qualified targets stay legal
+    (ok,) = upsert_statements("analytics.hourly", "analytics.hourly__stage", ["k"], ["v"])
+    assert ok.startswith("MERGE INTO analytics.hourly t")
+
+
 def test_apply_trigger_lands_in_query_config():
     """St1: the CLI cadence knob must translate into the right trigger
     call — availableNow for bounded replays, processingTime for the

@@ -20,6 +20,7 @@ must always pass ``checkpointLocation`` (Q5).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -48,6 +49,24 @@ def foreach_batch_jdbc_writer(
     return write
 
 
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def _check_identifier(name: str, dotted: bool = False) -> None:
+    """Reject identifiers that would need quoting (reserved words aside,
+    hyphens, spaces, mixed-case-sensitive names): these SQL strings are
+    built by interpolation and run driver-side in one transaction, so a
+    config-supplied name is otherwise an injection surface."""
+    parts = name.split(".") if dotted else [name]
+    if not parts or not all(_IDENT.match(p) for p in parts):
+        raise ValueError(
+            f"identifier {name!r} is not a plain [A-Za-z_][A-Za-z0-9_]* name"
+            + ("(optionally schema-qualified)" if dotted else "")
+            + "; quote-requiring identifiers are not supported by the "
+            "interpolated upsert SQL"
+        )
+
+
 def upsert_statements(
     table: str,
     stage: str,
@@ -65,6 +84,10 @@ def upsert_statements(
     """
     if not key_cols:
         raise ValueError("upsert requires at least one key column")
+    for ident in (table, stage):
+        _check_identifier(ident, dotted=True)
+    for ident in list(key_cols) + list(val_cols):
+        _check_identifier(ident)
     cols = list(key_cols) + list(val_cols)
     col_list = ", ".join(cols)
     if dialect == "merge":
@@ -136,6 +159,7 @@ def foreach_batch_jdbc_upsert_writer(
     batchsize: int = 10_000,
     stage_writer=None,
     exec_sql=None,
+    stage_suffix: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Truly idempotent JDBC sink (SURVEY §4.3 staging + MERGE; closes the
     reference's quirk Q6 fully — weather_processor.py:224-259 appends with
@@ -153,11 +177,19 @@ def foreach_batch_jdbc_upsert_writer(
     injectable seams: tests drive the identical orchestration against an
     embedded store (no JDBC driver jar ships in this sandbox); production
     uses the defaults (executor-parallel ``write.jdbc`` + DriverManager).
+
+    CONCURRENCY: the stage table name is fixed per (target, stage_suffix).
+    With the default suffix, exactly ONE streaming query may upsert a
+    given target — two concurrent writers would clobber each other's
+    stage between the overwrite and the MERGE, merging wrong rows rather
+    than failing cleanly. Multiple writers must each pass a distinct
+    ``stage_suffix`` (e.g. the query name); replays of the SAME query
+    must keep the same suffix so the overwrite stays idempotent.
     """
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         out = batch_df.dropDuplicates(list(key_cols))
-        stage = f"{table}__stage"
+        stage = f"{table}__stage" + (f"_{stage_suffix}" if stage_suffix else "")
         val_cols = [c for c in out.columns if c not in key_cols]
         if stage_writer is not None:
             stage_writer(out, stage)
