@@ -3,7 +3,16 @@
 Times the headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "sf_secondary": 0.01, "value_secondary": <sec>,
+   "queries_secondary": {...}}
+
+The secondary scale point ($SPARK_GRAFT_SF_DIR2, default
+/root/testdata/sf0.01, set empty to skip) turns one-off scaling probes
+into a tracked per-round signal: a query whose sf0.1/sf0.01 wall ratio is
+anomalous versus its plan class (scan-bound ~linear, fixed-point loops
+~rounds-bound, streaming ~micro-batch-bound) regressed in plan shape even
+if its absolute time still looks fine.
 
 Each query is fully materialized through a noop datasource write (all
 partitions computed on executors, nothing collected to the driver) — the
@@ -77,23 +86,33 @@ def main() -> None:
 
     load_table(spark, sf_dir, "region").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(specs[name].builder(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_pass(at_dir: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            materialize(specs[name].builder(spark, at_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        return timings
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    timings = run_pass(sf_dir)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
+    if sf2_dir and os.path.isdir(sf2_dir) and sf2_dir != sf_dir:
+        timings2 = run_pass(sf2_dir)
+        out["sf_secondary"] = float(
+            os.path.basename(sf2_dir.rstrip("/")).removeprefix("sf") or "0"
         )
-    )
+        out["value_secondary"] = round(sum(timings2.values()), 3)
+        out["queries_secondary"] = timings2
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

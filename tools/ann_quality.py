@@ -1,0 +1,64 @@
+"""Quantified quality artifact for the approximate operators.
+
+The pytest gates (tests/test_llm_ops.py) assert recall floors; this script
+emits the NUMBERS as one JSON line so round artifacts can cite measured
+recall instead of test names:
+
+  recall@10 vs exact cosine top-k for ann_lsh_topk and ann_ivf_topk,
+  and verified-pair parity (LSH-found / exact, plus false-positive count)
+  for minhash_lsh_near_dup vs the exhaustive ngram_jaccard_pairs.
+
+Usage:
+    python tools/ann_quality.py [sf_dir] [out_path]
+    # defaults: /root/testdata/sf0.01, ANN_QUALITY.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else str(Path(_REPO) / "ANN_QUALITY.json")
+
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.session import get_spark
+
+    spark = get_spark("ann-quality")
+    specs = all_queries()
+
+    def run(name):
+        return specs[name].builder(spark, sf_dir).collect()
+
+    exact = [r.vec_id for r in run("cosine_topk_exact")]
+    lsh = [r.vec_id for r in run("ann_lsh_topk")]
+    ivf = [r.vec_id for r in run("ann_ivf_topk")]
+
+    exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
+    minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
+
+    result = {
+        "sf_dir": sf_dir,
+        "k": len(exact),
+        "ann_lsh_recall_at_k": round(len(set(exact) & set(lsh)) / len(exact), 4),
+        "ann_ivf_recall_at_k": round(len(set(exact) & set(ivf)) / len(exact), 4),
+        "minhash_exact_pairs": len(exact_pairs),
+        "minhash_found_pairs": len(minhash_pairs & exact_pairs),
+        "minhash_pair_recall": round(
+            len(minhash_pairs & exact_pairs) / max(len(exact_pairs), 1), 4
+        ),
+        "minhash_false_positives": len(minhash_pairs - exact_pairs),
+    }
+    Path(out_path).write_text(json.dumps(result) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

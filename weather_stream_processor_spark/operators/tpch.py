@@ -287,8 +287,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
         SELECT c_custkey, c_name,
-               CAST(SUM(CAST(ROUND(
-                   l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+               CAST(SUM(CAST(FLOOR(
+                   l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
                    AS BIGINT) / 10000.0 AS revenue,
                ROUND(c_acctbal, 2) AS c_acctbal, n_name
         FROM customer
@@ -331,7 +331,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
-    exact_rev = F.sum(F.round(_revenue() * 10000, 0).cast("long")) / 10000.0
+    exact_rev = F.sum(F.floor(_revenue() * 10000 + 0.5).cast("long")) / 10000.0
     return (
         joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(exact_rev.alias("revenue"))
@@ -721,8 +721,8 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   CAST(SUM(CAST(ROUND(
-                       l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT))
+                   CAST(SUM(CAST(FLOOR(
+                       l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT))
                        AS BIGINT) / 10000.0 AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -752,7 +752,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            (F.sum(F.round(_revenue() * 10000, 0).cast("long")) / 10000.0).alias(
+            (F.sum(F.floor(_revenue() * 10000 + 0.5).cast("long")) / 10000.0).alias(
                 "total_revenue"
             )
         )
