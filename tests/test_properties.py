@@ -119,3 +119,45 @@ def test_word_shingles_are_trigrams_and_guarded(spark, words):
         }
         for sh in row.sh:
             assert len(sh.split(" ")) == 3
+
+
+_ntile_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # value: few levels -> heavy ties
+        st.integers(min_value=0, max_value=10_000),  # unique-ish id source
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],  # ids unique -> strict total order
+)
+
+
+@given(rows=_ntile_rows, n=st.integers(min_value=1, max_value=7))
+@settings(**_SETTINGS)
+def test_exact_global_ntiles_matches_spark_ntile(spark, rows, n):
+    """exact_global_ntiles must agree with Spark's own NTILE bit-for-bit
+    on arbitrary data: heavy value ties (cutoff-straddling buckets),
+    n > N, N % n != 0, single-row, and constant-column inputs are all in
+    the strategy's range. The helper's whole reason to exist is replacing
+    the single-reducer window WITHOUT changing one output row."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators.windows import exact_global_ntiles
+
+    df = spark.createDataFrame(
+        [(int(v), int(i)) for v, i in rows], "v long, id long"
+    )
+    expected = {
+        (r.id, r.t)
+        for r in df.select(
+            "id", F.ntile(n).over(Window.orderBy("v", "id")).alias("t")
+        ).collect()
+    }
+    # coarse=4 forces multi-bucket paths even on tiny inputs
+    got = {
+        (r.id, r.t)
+        for r in exact_global_ntiles(df, [(n, ["v", "id"], "t")], coarse=4)
+        .select("id", "t")
+        .collect()
+    }
+    assert got == expected
