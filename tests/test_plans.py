@@ -234,7 +234,7 @@ def test_exact_ntile_has_no_single_reducer_window(spark):
     # must rank inside coarse-bucket partitions — an unpartitioned window
     # would plan as Exchange SinglePartition feeding Sort+Window, so the
     # absence of SinglePartition anywhere IS the scale property under test
-    for name in ("ntile_order_quartiles", "rfm_segments"):
+    for name in ("ntile_order_quartiles", "rfm_segments", "orders_global_rank"):
         from weather_stream_processor_spark.plans import explain_string
 
         plan = explain_string(_df(spark, name), "formatted")

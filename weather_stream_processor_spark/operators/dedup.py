@@ -703,3 +703,65 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.filter(ratio >= _DECON_THRESHOLD).select(
         "doc_id", "n_hits", "n_shingles", F.round(ratio, 6).alias("contamination")
     )
+
+
+@register(
+    "cross_doc_repeated_passages",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        win AS (
+            SELECT doc_id,
+                   unnest([sha256(array_to_string(t[i:i+7], ' '))
+                           FOR i IN range(1, len(t) - 6)]) AS passage_sha
+            FROM toks
+        )
+        SELECT passage_sha,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS n_occurrences,
+               MIN(doc_id) AS first_doc
+        FROM win
+        GROUP BY passage_sha
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc=(
+        "CROSS-DOCUMENT REPEATED-PASSAGE DETECTION (substring-level "
+        "dedup a la Lee et al., 'Deduplicating Training Data Makes "
+        "Language Models Better'): every 8-word sliding window is "
+        "content-hashed (sha-256 — bit-identical in Spark and DuckDB, so "
+        "the oracle hashes the same values) and windows appearing in >= "
+        "2 distinct documents surface with doc/occurrence counts — the "
+        "boilerplate, licenses, and templated spans that doc-level "
+        "near-dup misses because the containing documents differ. Plan: "
+        "tokenize -> windowed sha2 inside ONE projection feeding explode "
+        "directly (no materialized window arrays), then a hash aggregate "
+        "on the digest: only (digest, doc_id) pairs shuffle, never text; "
+        "partial map-side aggregation absorbs hot boilerplate windows. "
+        "At 100 TB, stride the windows (every k-th) to cut the explode "
+        "factor, and truncate the digest to 16 bytes to halve the "
+        "shuffle — both knobs, not plan changes."
+    ),
+    tags=("dedup", "llm", "text"),
+)
+def cross_doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    w = 8
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i, w), " "), 256),
+    )
+    guarded = F.when(F.size(toks) >= w, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    win = spread(docs, "doc_id").select(
+        "doc_id", F.explode(guarded).alias("passage_sha")
+    )
+    return (
+        win.groupBy("passage_sha")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

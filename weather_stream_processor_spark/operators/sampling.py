@@ -301,3 +301,42 @@ def shard_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle="""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ),
+        z AS (SELECT SUM(POW(n_docs, 0.7)) AS z FROM counts)
+        SELECT source, n_docs,
+               ROUND(POW(n_docs, 0.7) / z, 6) AS weight,
+               CAST(FLOOR(POW(n_docs, 0.7) / z * 100000 + 0.5) AS BIGINT)
+                   AS target_docs
+        FROM counts CROSS JOIN z
+    """,
+    doc=(
+        "TEMPERATURE-BASED MIXTURE WEIGHTING (the alpha-sampling used to "
+        "rebalance web-scale training mixtures, e.g. multilingual "
+        "upsampling): per-source weight proportional to n_docs^alpha "
+        "(alpha=0.7) normalized over sources, plus the realized per-source "
+        "document target for a 100k-doc budget. Plan: one hash aggregate "
+        "to source grain (map-side partials; |sources| rows), a one-row "
+        "normalizer broadcast back — the corpus is scanned once and "
+        "nothing bigger than the source dimension ever shuffles. Feed "
+        "target_docs into per_source_cap to materialize the sample."
+    ),
+    tags=("sampling", "llm", "mixture"),
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = counts.agg(F.sum(F.pow("n_docs", F.lit(0.7))).alias("z"))
+    w = F.pow("n_docs", F.lit(0.7)) / F.col("z")
+    return counts.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        F.floor(w * 100000 + F.lit(0.5)).cast("bigint").alias("target_docs"),
+    )

@@ -231,18 +231,62 @@ def exact_global_ntiles(
         for b in sorted(counts):
             offsets[b] = run
             run += counts[b]
-        q, rem = divmod(total, n)
         off_map = F.create_map(
             *[x for b in sorted(counts) for x in (F.lit(b), F.lit(offsets[b]))]
         )
         w = Window.partitionBy(f"__cb_{i}").orderBy(*order_cols)
         rank = F.element_at(off_map, F.col(f"__cb_{i}")) + F.row_number().over(w)
+        if n is None:  # exact_global_ranks: emit the global rank itself
+            out_cols.append(rank.cast("bigint").alias(out_col))
+            continue
+        q, rem = divmod(total, n)
         tile = F.when(
             rank <= F.lit(rem * (q + 1)), F.ceil(rank / F.lit(q + 1))
         ).otherwise(F.lit(rem) + F.ceil((rank - F.lit(rem * (q + 1))) / F.lit(max(q, 1))))
         out_cols.append(tile.cast("int").alias(out_col))
 
     return work.select("*", *out_cols).drop(*[f"__cb_{i}" for i in range(len(specs))])
+
+
+def exact_global_ranks(
+    df: DataFrame,
+    specs: list[tuple[list[str], str]],
+    coarse: int = 64,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over a strict total order with no
+    unpartitioned window: the same coarse-bucket + partitioned-rank +
+    collected-offsets machinery as exact_global_ntiles, emitting the
+    global rank itself. specs: list of (order_cols, out_col)."""
+    return exact_global_ntiles(
+        df, [(None, order_cols, out) for order_cols, out in specs], coarse
+    )
+
+
+@register(
+    "orders_global_rank",
+    oracle="""
+        SELECT o_orderkey,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS price_rank
+        FROM orders
+    """,
+    doc=(
+        "Exact GLOBAL ranking of every row — the operator people reach "
+        "for an unpartitioned ROW_NUMBER for (leaderboards, stable "
+        "export ordering, percentile lookup tables). Same "
+        "exact_global_ranks machinery as the NTILE rewrite: percentile "
+        "cutoffs coarse-bucket map-side, a PARTITIONED window ranks "
+        "~N/64 rows per bucket, collected per-bucket offsets (<=64 tiny "
+        "rows) shift to global — bit-for-bit ROW_NUMBER output, no "
+        "single-reducer sort (plan-tested)."
+    ),
+    tags=("window", "scale", "rank"),
+)
+def orders_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return exact_global_ranks(
+        o.select("o_orderkey", "o_totalprice"),
+        [(["o_totalprice", "o_orderkey"], "price_rank")],
+    ).select("o_orderkey", "price_rank")
 
 
 @register(
