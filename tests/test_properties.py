@@ -161,3 +161,30 @@ def test_exact_global_ntiles_matches_spark_ntile(spark, rows, n):
         .collect()
     }
     assert got == expected
+
+
+@given(rows=_ntile_rows)
+@settings(**_SETTINGS)
+def test_exact_global_ranks_matches_spark_row_number(spark, rows):
+    """The n=None path: exact_global_ranks must equal an unpartitioned
+    ROW_NUMBER over the same strict total order."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators.windows import exact_global_ranks
+
+    df = spark.createDataFrame(
+        [(int(v), int(i)) for v, i in rows], "v long, id long"
+    )
+    expected = {
+        (r.id, r.rn)
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    got = {
+        (r.id, r.rn)
+        for r in exact_global_ranks(df, [(["v", "id"], "rn")], coarse=4)
+        .select("id", "rn")
+        .collect()
+    }
+    assert got == expected

@@ -765,3 +765,67 @@ def cross_doc_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "doc_boilerplate_ratio",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        win AS (
+            SELECT doc_id,
+                   unnest([sha256(array_to_string(t[i:i+7], ' '))
+                           FOR i IN range(1, len(t) - 6)]) AS passage_sha
+            FROM toks
+        ),
+        dup AS (
+            SELECT passage_sha FROM win
+            GROUP BY passage_sha HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT w.doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(d.passage_sha) AS n_dup_windows,
+               ROUND(COUNT(d.passage_sha) * 1.0 / COUNT(*), 6)
+                   AS boilerplate_ratio
+        FROM win w LEFT JOIN dup d ON w.passage_sha = d.passage_sha
+        GROUP BY w.doc_id
+    """,
+    doc=(
+        "The ACTIONABLE end of repeated-passage detection (the keep-list "
+        "pattern, applied to substring dedup): per document, the fraction "
+        "of its 8-word windows that also appear in other documents — the "
+        "quality signal that flags templated/boilerplate-heavy docs for "
+        "down-weighting even when no whole-document near-dup exists. "
+        "Plan: the windowed digests are computed ONCE and localCheckpoint-"
+        "reused by both sides (the cross-doc duplicate digests and the "
+        "per-doc rollup join on the digest, then aggregate to doc grain); "
+        "everything shuffles digests, never text."
+    ),
+    tags=("dedup", "llm", "text", "quality"),
+)
+def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    w = 8
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i, w), " "), 256),
+    )
+    guarded = F.when(F.size(toks) >= w, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    win = _truncate_lineage(
+        spread(docs, "doc_id").select("doc_id", F.explode(guarded).alias("passage_sha"))
+    )
+    dup = (
+        win.groupBy("passage_sha")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("passage_sha")
+    )
+    joined = win.join(dup.withColumn("is_dup", F.lit(1)), "passage_sha", "left")
+    ratio = F.sum(F.coalesce("is_dup", F.lit(0))) / F.count(F.lit(1))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_windows"),
+        F.round(ratio, 6).alias("boilerplate_ratio"),
+    )
