@@ -240,3 +240,15 @@ def test_exact_ntile_has_no_single_reducer_window(spark):
         plan = explain_string(_df(spark, name), "formatted")
         assert "Window" in plan, name
         assert "SinglePartition" not in plan, name
+
+
+def test_repeated_passages_shuffles_digests_only(spark):
+    # substring dedup: the documents scan reads only (doc_id, text), no
+    # cartesian anywhere, and the aggregate runs partial+final on the
+    # digest (map-side combine absorbs hot boilerplate windows)
+    for name in ("cross_doc_repeated_passages", "doc_boilerplate_ratio"):
+        df = _df(spark, name)
+        ops = operator_names(df)
+        assert not any("Cartesian" in o for o in ops), name
+        for cols in read_schema_columns(df):
+            assert set(cols) <= {"doc_id", "text"}, name

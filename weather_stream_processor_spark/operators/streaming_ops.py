@@ -437,6 +437,116 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "streaming_stream_stream_full_join",
+    # Same final-watermark closure technique as the left join, both
+    # directions: matches; views evicted unmatched once their join
+    # horizon passes (v_ts + 1h < W); purchases evicted unmatched once
+    # the watermark passes the latest view timestamp they could still
+    # match (p_ts < W — a purchase matches views with v_ts in
+    # [p_ts - 1h, p_ts], so its horizon IS p_ts).
+    oracle="""
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            SELECT LEAST((SELECT MAX(v_ts) FROM v),
+                         (SELECT MAX(p_ts) FROM p)) - INTERVAL 2 HOUR AS w
+        ),
+        matched AS (
+            SELECT v.user_id, v.view_id, p.purchase_id,
+                   CAST(FLOOR(epoch(p.p_ts)) - FLOOR(epoch(v.v_ts)) AS BIGINT)
+                       AS secs_to_purchase
+            FROM v JOIN p ON v.user_id = p.user_id
+                AND p.p_ts >= v.v_ts
+                AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+        ),
+        left_un AS (
+            SELECT v.user_id, v.view_id,
+                   CAST(NULL AS BIGINT) AS purchase_id,
+                   CAST(NULL AS BIGINT) AS secs_to_purchase
+            FROM v, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM p
+                    WHERE p.user_id = v.user_id
+                      AND p.p_ts >= v.v_ts
+                      AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+              AND v.v_ts + INTERVAL 1 HOUR < wm.w
+        ),
+        right_un AS (
+            SELECT p.user_id,
+                   CAST(NULL AS BIGINT) AS view_id,
+                   p.purchase_id,
+                   CAST(NULL AS BIGINT) AS secs_to_purchase
+            FROM p, wm
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM v
+                    WHERE v.user_id = p.user_id
+                      AND p.p_ts >= v.v_ts
+                      AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+              AND p.p_ts < wm.w
+        )
+        SELECT user_id, view_id, purchase_id, secs_to_purchase FROM matched
+        UNION ALL SELECT * FROM left_un
+        UNION ALL SELECT * FROM right_un
+    """,
+    doc=(
+        "STREAM-STREAM FULL OUTER interval join — completes the "
+        "streaming join matrix (inner/left/full): abandoned views AND "
+        "orphan purchases (no view within the preceding hour) both "
+        "surface with null far-side columns at state eviction. Same "
+        "state/shuffle as the inner form; each side evicts at its own "
+        "horizon (views at v_ts + 1h, purchases at p_ts). The oracle "
+        "models the availableNow endpoint: matches plus each side\'s "
+        "unmatched rows below the final watermark."
+    ),
+    tags=("streaming", "join", "interval", "outer"),
+)
+def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select(
+        F.coalesce("v_user_id", "p_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+            "secs_to_purchase"
+        ),
+    )
+    return run_to_memory(
+        joined, _sink_name("streaming_ss_full_join"), output_mode="append"
+    )
+
+
+@register(
     "streaming_chained_window_agg",
     oracle="""
         WITH wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events),
