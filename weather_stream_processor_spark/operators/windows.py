@@ -167,10 +167,14 @@ def exact_global_ntiles(
     strict total order, i.e. include a unique tie-break key, and the
     leading column must be non-null):
 
-    1. ONE aggregate job computes exact percentile cutoffs of each spec's
-       leading order column at ``i/coarse`` fractions (a single collected
-       row of <= coarse doubles per spec — bounded, same precedent as the
-       IVF centroid collect).
+    1. ONE aggregate job computes APPROX percentile cutoffs (t-digest —
+       bounded executor memory and mergeable partials, where exact
+       percentile would buffer every value) of each spec's leading order
+       column at ``i/coarse`` fractions (a single collected row of <=
+       coarse doubles per spec — bounded, same precedent as the IVF
+       centroid collect). Cutoff placement only affects bucket BALANCE,
+       never output values: ranks are exact within whatever buckets the
+       cutoffs induce, so sketch error is harmless.
     2. Rows are assigned a coarse bucket map-side by comparing against the
        cutoffs; ties on a cutoff value all land in the same bucket, so
        bucket ranges are disjoint and consistent with the global order.
@@ -192,7 +196,9 @@ def exact_global_ntiles(
     for i, (_, order_cols, _) in enumerate(specs):
         fracs = ", ".join(str(j / coarse) for j in range(1, coarse))
         cut_exprs.append(
-            F.expr(f"percentile({order_cols[0]}, array({fracs}))").alias(f"c{i}")
+            F.expr(
+                f"percentile_approx({order_cols[0]}, array({fracs}), 1000)"
+            ).alias(f"c{i}")
         )
     cuts_row = work.agg(*cut_exprs).first()
 
