@@ -829,3 +829,68 @@ def doc_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("is_dup", F.lit(0))).alias("n_dup_windows"),
         F.round(ratio, 6).alias("boilerplate_ratio"),
     )
+
+
+@register(
+    "incremental_near_dup_vs_index",
+    oracle=f"""
+        WITH {_SHINGLES_CTES},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sized AS (
+            SELECT sh.doc_id, sh.shingle, sizes.n
+            FROM sh JOIN sizes USING (doc_id)
+        ),
+        inter AS (
+            SELECT a.doc_id AS new_doc, b.doc_id AS index_doc,
+                   COUNT(*) AS n_common
+            FROM sized a
+            JOIN sized b ON a.shingle = b.shingle
+                        AND a.doc_id % 3 = 0 AND b.doc_id % 3 != 0
+                        AND LEAST(a.n, b.n) >= {JACCARD_THRESHOLD} * GREATEST(a.n, b.n)
+            GROUP BY 1, 2
+        )
+        SELECT new_doc, index_doc,
+               ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON new_doc = s1.doc_id
+        JOIN sizes s2 ON index_doc = s2.doc_id
+        WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= {JACCARD_THRESHOLD}
+    """,
+    doc=(
+        "INCREMENTAL near-dup — the production shape batch self-joins "
+        "miss: a NEW batch of documents (doc_id % 3 = 0 here; an arrival "
+        "partition in production) checked against the EXISTING corpus "
+        "index, never against itself as a whole. The join is asymmetric "
+        "(new x index, no self-pairs, no double-counting), so per-arrival "
+        "cost is O(|batch| x collisions), not O(|corpus|^2) — re-running "
+        "dedup from scratch per arrival is the scale failure this "
+        "replaces. Same inverted-index equi-join + size-band prune as "
+        "ngram_jaccard_pairs; at 100 TB the index side is the stored "
+        "MinHash/shingle table (write once, append per batch) and the "
+        "new side streams through it."
+    ),
+    tags=("dedup", "llm", "incremental"),
+)
+def incremental_near_dup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = _exploded_shingles(docs)
+    new = exploded.filter(F.col("doc_id") % 3 == 0).alias("a")
+    index = exploded.filter(F.col("doc_id") % 3 != 0).alias("b")
+    band = F.least(F.col("a.n_shingles"), F.col("b.n_shingles")) >= F.greatest(
+        F.col("a.n_shingles"), F.col("b.n_shingles")
+    ) * F.lit(JACCARD_THRESHOLD)
+    inter = (
+        new.join(index, (F.col("a.shingle") == F.col("b.shingle")) & band)
+        .groupBy(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("index_doc"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jaccard = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.filter(jaccard >= JACCARD_THRESHOLD)
+        .select("new_doc", "index_doc", F.round(jaccard, 6).alias("jaccard"))
+    )
