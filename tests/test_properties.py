@@ -188,3 +188,35 @@ def test_exact_global_ranks_matches_spark_row_number(spark, rows):
         .collect()
     }
     assert got == expected
+
+
+_edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(edges=_edge_lists)
+@settings(max_examples=5, deadline=None)
+def test_cc_two_phase_equals_propagation_on_random_graphs(spark, edges):
+    """Both connected-component algorithms must induce the identical
+    min-label clustering on arbitrary graphs (chains, stars, cliques,
+    disconnected pieces — whatever hypothesis draws)."""
+    from weather_stream_processor_spark.operators.dedup import (
+        _cc_label_propagation,
+        _cc_two_phase,
+    )
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "s long, d long"
+    )
+    sym = df.union(df.selectExpr("d AS s", "s AS d"))
+    lp, _ = _cc_label_propagation(sym)
+    tp, _ = _cc_two_phase(sym)
+    assert {(r.doc_id, r.comp) for r in lp.collect()} == {
+        (r.doc_id, r.comp) for r in tp.collect()
+    }
