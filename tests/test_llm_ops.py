@@ -115,3 +115,59 @@ def test_multimodal_features_deterministic(spark):
         for r in _run(spark, "multimodal_asset_features").collect()
     )
     assert a == b
+
+
+def test_chunk_dedup_reconstruct_invariants(spark):
+    """Chunk-level dedup with reconstruction: (a) per-doc kept <= total,
+    (b) the total number of kept chunk occurrences equals the number of
+    DISTINCT chunks in the corpus (first-wins keeps exactly one occurrence
+    per distinct chunk), (c) the fixture actually exercises removal, and
+    (d) a document whose chunks are all first occurrences reconstructs to
+    its original text (sha equality)."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import dedup as d
+    from pyspark.sql import functions as F
+
+    res = d.chunk_dedup_reconstruct(spark, SF_SMOKE)
+    rows = res.collect()
+    assert all(r.n_kept <= r.n_chunks for r in rows)
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(d._CHUNK_W))).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(toks, i * d._CHUNK_W + 1, d._CHUNK_W), " "),
+            )
+        ).alias("chunk"),
+    )
+    n_distinct = chunks.select("chunk").distinct().count()
+    assert sum(r.n_kept for r in rows) == n_distinct
+    assert any(r.n_kept < r.n_chunks for r in rows), "fixture should contain dup chunks"
+
+    intact = {r.doc_id: r.dedup_sha for r in rows if r.n_kept == r.n_chunks}
+    orig = {
+        r.doc_id: r.sha
+        for r in docs.select("doc_id", F.sha2("text", 256).alias("sha")).collect()
+        if r.doc_id in intact
+    }
+    assert intact and all(intact[k] == orig[k] for k in intact)
+
+
+def test_gopher_quality_rules_flag_consistency(spark):
+    """keep is exactly the conjunction of the three published rules."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import text as t
+
+    rows = t.gopher_quality_rules(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            30 <= r.n_words <= 500
+            and 2.0 <= r.mean_word_len <= 8.0
+            and r.stopword_hits >= 1
+        )
+        assert r.keep == expect, r

@@ -894,3 +894,99 @@ def incremental_near_dup_vs_index(spark: SparkSession, sf_dir: str) -> DataFrame
         inter.filter(jaccard >= JACCARD_THRESHOLD)
         .select("new_doc", "index_doc", F.round(jaccard, 6).alias("jaccard"))
     )
+
+
+_CHUNK_W = 4  # tokens per chunk; real corpora use paragraph boundaries
+
+
+@register(
+    "chunk_dedup_reconstruct",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(unnest(range(CAST(ceil(len(t) / {_CHUNK_W}.0) AS BIGINT))) AS INT) AS pos,
+                   t
+            FROM toks
+        ),
+        cut AS (
+            SELECT doc_id, pos,
+                   array_to_string(t[(pos * {_CHUNK_W} + 1):(pos * {_CHUNK_W} + {_CHUNK_W})], ' ') AS chunk
+            FROM chunks
+        ),
+        ranked AS (
+            SELECT doc_id, pos, chunk,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sha256(chunk) ORDER BY doc_id, pos
+                   ) AS rn
+            FROM cut
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               ROUND(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS kept_ratio,
+               sha256(COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '')) AS dedup_sha
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    doc=(
+        "Paragraph-level dedup WITH document reconstruction (the "
+        "CCNet/RefinedWeb shape): chunk every document into fixed "
+        f"{_CHUNK_W}-token blocks (stand-in for paragraph boundaries on "
+        "this corpus), keep exactly the FIRST occurrence of each distinct "
+        "chunk corpus-wide (first = lowest (doc_id, pos) — replayable), "
+        "then rebuild each document from its surviving chunks in original "
+        "order. Unlike doc-level dedup, the unit of removal is the "
+        "paragraph, so boilerplate shared across documents is stripped "
+        "while unique content survives. Plan: explode -> sha2 chunk hash "
+        "-> ROW_NUMBER partitioned BY HASH (first-wins is a per-hash "
+        "window, shuffled on the 32-byte digest, never the text) -> "
+        "re-aggregate by doc_id with an in-memory array sort over that "
+        "document's own chunks. Both shuffles are keyed (hash, then "
+        "doc_id); nothing is global, no driver state — the identical plan "
+        "runs at 100 TB. Output carries sha256 of the reconstructed text, "
+        "not the text itself, so wide documents never re-shuffle."
+    ),
+    tags=("dedup", "llm", "reconstruct"),
+)
+def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(_CHUNK_W))).cast("int")
+    cut = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(toks, i * _CHUNK_W + 1, _CHUNK_W), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    ranked = cut.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy(F.sha2("chunk", 256)).orderBy("doc_id", "pos")
+        ),
+    )
+    kept_struct = F.when(F.col("rn") == 1, F.struct("pos", "chunk"))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("kept_ratio"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            ),
+            256,
+        ).alias("dedup_sha"),
+    )

@@ -415,3 +415,61 @@ def repetition_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rep, 6).alias("rep_fraction"),
         (rep <= 0.2).alias("keep"),
     )
+
+
+@register(
+    "gopher_quality_rules",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS t,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   ROUND((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                         / len(string_split(text, ' ')), 6) AS mean_word_len
+            FROM documents
+        )
+        SELECT doc_id, n_words, mean_word_len,
+               CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+                   AS stopword_hits,
+               (n_words BETWEEN 30 AND 500
+                AND mean_word_len BETWEEN 2.0 AND 8.0
+                AND len(list_filter(t, x -> x IN ('the','a','of','and','to','in'))) >= 1)
+                   AS keep
+        FROM m
+    """,
+    doc=(
+        "Gopher-style document quality rules (Rae et al. 2021 §A1.1, "
+        "adapted to this corpus): word-count bounds, mean word length "
+        "bounds, and a minimum stop-word hit count, combined into a "
+        "boolean keep flag. Mean word length is computed arithmetically "
+        "from (n_chars - n_words + 1) / n_words — exact for a "
+        "single-space-joined corpus and cheaper than a second array "
+        "traversal. Pure per-row Column expressions: zero shuffle, "
+        "whole-stage codegen end to end, embarrassingly parallel at any "
+        "scale. The real-corpus additions (symbol ratio, bullet ratio, "
+        "alpha-word fraction) are the same expression shape over the "
+        "same token array."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("bigint")
+    mean_word_len = F.round(
+        (F.length("text") - n_words + 1) / n_words, 6
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS))
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        stop_hits.alias("stopword_hits"),
+        (
+            n_words.between(30, 500)
+            & mean_word_len.between(2.0, 8.0)
+            & (stop_hits >= 1)
+        ).alias("keep"),
+    )
