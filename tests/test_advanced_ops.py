@@ -197,3 +197,73 @@ def test_two_phase_cc_matches_propagation_on_fixture_pairs(spark):
         ).collect()
     }
     assert alt == base
+
+
+def test_ohlc_bars_bounds_and_determinism(spark):
+    """OHLC invariants: low <= open/close/mean <= high, n >= 1; and the
+    open/close tie-break makes the result identical across reruns with
+    different partitioning."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import timeseries as t
+
+    rows = t.ohlc_bars_15min(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.low <= r.mean_value <= r.high + 1e-9
+        assert r.n_events >= 1
+    again = {
+        (r.event_type, r.bar_start): (r.open, r.close)
+        for r in t.ohlc_bars_15min(spark, SF_SMOKE).collect()
+    }
+    assert {(r.event_type, r.bar_start): (r.open, r.close) for r in rows} == again
+
+
+def test_interval_merge_coverage_invariants(spark):
+    """Merged-interval algebra: every island is >= one interval long
+    (300 s), coverage is bounded by [300 * n_intervals <= sum of raw
+    interval lengths] and max <= coverage; islands never overlap so
+    coverage <= span of the user's activity + 300."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import timeseries as t
+    from pyspark.sql import functions as F
+    from weather_stream_processor_spark.sources import load_table
+
+    res = {r.user_id: r for r in t.interval_merge_coverage(spark, SF_SMOKE).collect()}
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("unix_micros(max(ts)) div 1000000 - unix_micros(min(ts)) div 1000000").alias("span"),
+        )
+        .collect()
+    )
+    stats = {r.user_id: r for r in ev}
+    assert set(res) == set(stats)
+    for uid, r in res.items():
+        assert 1 <= r.n_intervals <= stats[uid].n_events
+        assert r.max_interval_sec >= 300
+        assert r.max_interval_sec <= r.coverage_sec
+        assert 300 * r.n_intervals <= r.coverage_sec <= 300 * stats[uid].n_events
+        assert r.coverage_sec <= stats[uid].span + 300
+
+
+def test_daily_user_accession_cumulative_closure(spark):
+    """cum_users on the last day equals the total distinct-user count,
+    n_new sums to the same, and n_active <= cum_users on every day."""
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import analytics as a
+    from weather_stream_processor_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = sorted(a.daily_user_accession(spark, SF_SMOKE).collect(), key=lambda r: r.day)
+    total = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(F.countDistinct("user_id"))
+        .first()[0]
+    )
+    assert rows[-1].cum_users == total == sum(r.n_new for r in rows)
+    for r in rows:
+        assert r.n_active <= r.cum_users

@@ -429,3 +429,180 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(clicks, "click", 2))
         .unionAll(stage(purchases, "purchase", 3))
     )
+
+
+@register(
+    "ohlc_bars_15min",
+    oracle="""
+        WITH base AS (
+            SELECT event_type,
+                   epoch_us(ts) // 900000000 AS bar,
+                   ts, event_id, value
+            FROM events
+        ),
+        ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bar ORDER BY ts, event_id
+                   ) AS rn_a,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type, bar ORDER BY ts DESC, event_id DESC
+                   ) AS rn_d
+            FROM base
+        )
+        SELECT event_type,
+               make_timestamp(bar * 900000000) AS bar_start,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(AVG(value), 6) AS mean_value
+        FROM ranked
+        GROUP BY event_type, bar
+    """,
+    doc=(
+        "Time-series DOWNSAMPLING to 15-minute OHLC bars per event type — "
+        "the resample/rollup every metrics store performs before charting "
+        "or feature extraction. Open/close are made deterministic with "
+        "row_number over (ts, event_id) both directions (first/last are "
+        "otherwise partition-order-dependent — not reproducible); "
+        "high/low/count/mean are plain aggregates. The two windows and "
+        "the final groupBy all share the (event_type, bar) partitioning, "
+        "so the whole operator is ONE shuffle; bars are dense integer "
+        "keys derived by integer division on epoch-micros (identical "
+        "truncation in Spark and DuckDB). At 100 TB this is the "
+        "hierarchical-rollup building block: bars aggregate again into "
+        "hours/days without touching raw events."
+    ),
+    tags=("timeseries", "window"),
+)
+def ohlc_bars_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts) div 900000000").alias("bar"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    from pyspark.sql.window import Window
+
+    wa = Window.partitionBy("event_type", "bar").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "bar").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        ranked.groupBy("event_type", "bar")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("bar") * 900_000_000).alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "mean_value",
+        )
+    )
+
+
+@register(
+    "interval_merge_coverage",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) // 1000000 AS s
+            FROM events
+        ),
+        flags AS (
+            SELECT user_id, s, s + 300 AS e, event_id,
+                   CASE WHEN MAX(s + 300) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        ) IS NULL
+                        OR s > MAX(s + 300) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                        )
+                   THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        isl AS (
+            SELECT user_id, s, e,
+                   CAST(SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS island_id
+            FROM flags
+        ),
+        merged AS (
+            SELECT user_id, island_id,
+                   MIN(s) AS m_start, MAX(e) AS m_end
+            FROM isl GROUP BY user_id, island_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(m_end - m_start) AS BIGINT) AS coverage_sec,
+               CAST(MAX(m_end - m_start) AS BIGINT) AS max_interval_sec
+        FROM merged GROUP BY user_id
+    """,
+    doc=(
+        "Gaps-and-islands INTERVAL MERGE: each event projects a 5-minute "
+        "activity interval [ts, ts+300s); overlapping or touching "
+        "intervals per user are merged (running-max-end vs next start — "
+        "the classic island flag), then each user's merged islands roll "
+        "up to interval count / total covered seconds / longest island. "
+        "This is the coverage/uptime primitive (machine utilization, "
+        "user active time, sensor online windows). All three windows and "
+        "both aggregates share the user_id partitioning: ONE shuffle, "
+        "per-user sorted scans, no global state — unchanged at 100 TB "
+        "where user_id is the natural distribution key. Epoch seconds by "
+        "integer division so Spark and DuckDB truncate identically."
+    ),
+    tags=("timeseries", "window", "session"),
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) div 1000000").alias("s"),
+    ).withColumn("e", F.col("s") + 300)
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_end = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flags = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s") > prev_max_end), 1).otherwise(0),
+    )
+    isl = flags.withColumn(
+        "island_id",
+        F.sum("new_island")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    merged = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("m_start"), F.max("e").alias("m_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("m_end") - F.col("m_start")).alias("coverage_sec"),
+        F.max(F.col("m_end") - F.col("m_start")).alias("max_interval_sec"),
+    )
