@@ -171,3 +171,51 @@ def test_gopher_quality_rules_flag_consistency(spark):
             and r.stopword_hits >= 1
         )
         assert r.keep == expect, r
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    """The distributed Lloyd's implementation must equal an independent
+    single-machine numpy implementation of the same pinned algorithm
+    (first-k init, 6dp rounding of distances and centroids, cid
+    tie-break) — assignment-for-assignment."""
+    import numpy as np
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators import similarity as s
+
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.array([rows[i].embedding for i in order], dtype=np.float64)
+
+    k, iters = s._KMEANS_K, s._KMEANS_ITERS
+    cent = {int(ids[j]): X[ids < k][j] for j in range(int((ids < k).sum()))}
+    assign = None
+    for it in range(iters):
+        cids = sorted(cent)
+        D = np.round(
+            ((X[:, None, :] - np.array([cent[c] for c in cids])[None, :, :]) ** 2).sum(
+                axis=2
+            ),
+            6,
+        )
+        best_idx = np.argmin(D, axis=1)  # np.argmin takes first = lowest cid
+        assign = {int(v): (int(cids[b]), float(D[i, b])) for i, (v, b) in enumerate(zip(ids, best_idx))}
+        if it < iters - 1:
+            cent = {}
+            for c in set(b for b, _ in assign.values()):
+                members = X[[b == c for b, _ in (assign[int(v)] for v in ids)]]
+                cent[c] = np.round(members.mean(axis=0), 6)
+
+    got = {
+        r.vec_id: (r.cluster_id, r.dist2)
+        for r in s.kmeans_embedding_clusters(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(assign)
+    for v in got:
+        assert got[v][0] == assign[v][0], (v, got[v], assign[v])
+        assert abs(got[v][1] - assign[v][1]) < 1e-9

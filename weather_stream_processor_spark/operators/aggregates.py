@@ -570,3 +570,108 @@ def null_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         *nulls,
         F.countDistinct("event_type").alias("distinct_event_types"),
     )
+
+
+@register(
+    "corr_covar_lineitem",
+    oracle="""
+        SELECT 'quantity__extendedprice' AS pair,
+               ROUND(corr(l_quantity, l_extendedprice), 6) AS pearson_r,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar
+        FROM lineitem
+        UNION ALL
+        SELECT 'quantity__discount',
+               ROUND(corr(l_quantity, l_discount), 6),
+               ROUND(covar_samp(l_quantity, l_discount), 4)
+        FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice__discount',
+               ROUND(corr(l_extendedprice, l_discount), 6),
+               ROUND(covar_samp(l_extendedprice, l_discount), 4)
+        FROM lineitem
+    """,
+    doc=(
+        "Pairwise Pearson correlation + sample covariance over the "
+        "lineitem measure columns — the feature-screening pass run "
+        "before any modeling work. Spark computes all three pairs in a "
+        "SINGLE aggregate over one scan (co-moment accumulators are "
+        "mergeable partial aggregates: one pass, map-side combine, a "
+        "1-row shuffle), then unpivots to long form with stack(); the "
+        "oracle's 3-scan UNION ALL is the same math. Rounded on both "
+        "sides because co-moment accumulation order differs between "
+        "engines. At 100 TB: still one scan, still a 1-row result — "
+        "correlation matrices over n columns are n^2 accumulators, not "
+        "n^2 passes."
+    ),
+    tags=("aggregate", "statistics"),
+)
+def corr_covar_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("c_qp"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("r_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("c_qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("r_pd"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("c_pd"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            "'quantity__extendedprice', r_qp, c_qp, "
+            "'quantity__discount', r_qd, c_qd, "
+            "'extendedprice__discount', r_pd, c_pd) "
+            "AS (pair, pearson_r, covar)"
+        )
+    )
+
+
+@register(
+    "mode_orderpriority_by_status",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY COUNT(*) DESC, o_orderpriority
+                   ) AS rn
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT o_orderstatus,
+               o_orderpriority AS mode_priority,
+               n AS mode_count
+        FROM counts WHERE rn = 1
+    """,
+    doc=(
+        "Exact MODE per group with a total tie-break (highest count, "
+        "then lowest priority string — without it, mode is "
+        "nondeterministic whenever two values tie and no two engines "
+        "need agree). Plan: hash aggregate to (group, value) counts — "
+        "the shuffle is bounded by |groups x distinct values|, not rows "
+        "— then a per-group WindowGroupLimit picks the winner. The "
+        "same two-level shape computes any per-group arg-max at 100 TB; "
+        "the built-in mode() aggregate is avoided precisely because its "
+        "tie behavior is engine-defined."
+    ),
+    tags=("aggregate", "window"),
+)
+def mode_orderpriority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+        )
+    )

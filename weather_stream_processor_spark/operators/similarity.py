@@ -638,3 +638,126 @@ def embedding_centroids_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"),
         )
     )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def _kmeans_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs (DuckDB has no
+    iteration; the driver oracle must be one SQL string). Element-long
+    form: e = (vec_id, i, x); each round is assign (argmin of rounded
+    squared L2, tie-break on centroid id) then re-center (rounded AVG
+    per (cid, i)). Rounding to 6dp at BOTH steps on BOTH engines is what
+    makes an iterative float algorithm hash-comparable: per-step
+    summation-order drift (~1e-12) is quantized away before it can
+    compound across rounds."""
+    sql = [
+        """
+        WITH e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        c0 AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < """
+        + str(k)
+        + ")"
+    ]
+    for t in range(1, iters + 1):
+        sql.append(
+            f""",
+        a{t} AS (
+            SELECT e.vec_id, c.cid,
+                   ROUND(SUM((e.x - c.x) * (e.x - c.x)), 6) AS d
+            FROM e JOIN c{t - 1} c USING (i)
+            GROUP BY e.vec_id, c.cid
+        ),
+        b{t} AS (
+            SELECT vec_id, cid, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM a{t}
+        )"""
+        )
+        if t < iters:
+            sql.append(
+                f""",
+        c{t} AS (
+            SELECT b.cid, e.i, ROUND(AVG(e.x), 6) AS x
+            FROM (SELECT vec_id, cid FROM b{t} WHERE rn = 1) b
+            JOIN e USING (vec_id)
+            GROUP BY b.cid, e.i
+        )"""
+            )
+    sql.append(
+        f"""
+        SELECT vec_id, cid AS cluster_id, d AS dist2
+        FROM b{iters} WHERE rn = 1"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "kmeans_embedding_clusters",
+    oracle=_kmeans_oracle(_KMEANS_K, _KMEANS_ITERS),
+    doc=(
+        f"Deterministic k-means (k={_KMEANS_K}, {_KMEANS_ITERS} Lloyd "
+        "rounds) over the embedding corpus — the semantic-clustering "
+        "primitive behind cluster-balanced sampling and SemDeDup-style "
+        "semantic dedup. Everything that usually makes k-means "
+        "non-reproducible is pinned: init is the first k vec_ids (not "
+        "random), the argmin tie-breaks on centroid id, and distances / "
+        "centroid means are rounded to 6dp each round so float "
+        "summation-order drift cannot compound across iterations — "
+        "which is exactly what lets an ITERATIVE algorithm pass a "
+        "cross-engine value-hash gate. Plan per round: centroids are a "
+        "k-row broadcast into a crossJoin (k x corpus, map-side), "
+        "argmin via a row_number window partitioned by vec_id (8 rows "
+        "per partition), re-center via posexplode -> hash agg keyed on "
+        "(cid, dim) — bounded by k x dim, not corpus size. No driver "
+        "collect anywhere; at 100 TB the same plan runs with the "
+        "centroid table staying k x dim rows regardless of corpus "
+        "scale. The ANN/IVF tier (ann_ivf_topk) consumes exactly this "
+        "clustering as its cell index."
+    ),
+    tags=("similarity", "llm", "clustering"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    best = None
+    for it in range(_KMEANS_ITERS):
+        d = F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            6,
+        )
+        assigned = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid", d.alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        best = assigned.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        if it < _KMEANS_ITERS - 1:
+            cent = (
+                best.select("cid", F.posexplode("v").alias("i", "x"))
+                .groupBy("cid", "i")
+                .agg(F.round(F.avg("x"), 6).alias("x"))
+                .groupBy("cid")
+                .agg(F.array_sort(F.collect_list(F.struct("i", "x"))).alias("sx"))
+                .select(
+                    "cid", F.transform("sx", lambda s: s.getField("x")).alias("c")
+                )
+            )
+    return best.select(
+        "vec_id", F.col("cid").alias("cluster_id"), F.col("d").alias("dist2")
+    )
