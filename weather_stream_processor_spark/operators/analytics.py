@@ -229,3 +229,121 @@ def daily_user_accession(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(spine).cast("bigint").alias("cum_users"),
     )
+
+
+@register(
+    "skyline_size_price",
+    oracle="""
+        WITH best AS (
+            SELECT p_size,
+                   MIN(p_retailprice) AS best_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts
+            FROM part GROUP BY p_size
+        ),
+        ranked AS (
+            SELECT *,
+                   MIN(best_price) OVER (
+                       ORDER BY p_size DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS better_above
+            FROM best
+        )
+        SELECT p_size, best_price, n_parts
+        FROM ranked
+        WHERE better_above IS NULL OR best_price < better_above
+    """,
+    doc=(
+        "Pareto frontier (skyline) over parts on (size max-better, price "
+        "min-better): a size is on the frontier iff its cheapest part is "
+        "strictly cheaper than every larger size's cheapest. Computed as "
+        "groupBy(p_size).min — the only pass over the table — then a "
+        "running-min window over the AGGREGATED sizes. The window is "
+        "unpartitioned but its input is the size DOMAIN (<=50 rows at any "
+        "scale factor), not the table: the skyline property is mergeable, "
+        "so the general-schema version does local skylines per partition "
+        "first and merges survivors the same way. No quadratic dominance "
+        "join anywhere."
+    ),
+    tags=("analytics", "skyline"),
+)
+def skyline_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    best = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    w = (
+        Window.orderBy(F.desc("p_size"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = best.withColumn("better_above", F.min("best_price").over(w))
+    return ranked.filter(
+        F.col("better_above").isNull()
+        | (F.col("best_price") < F.col("better_above"))
+    ).select("p_size", "best_price", "n_parts")
+
+
+@register(
+    "brand_triangle_communities",
+    oracle="""
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+            SELECT a.p_brand AS b1, b.p_brand AS b2,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT quantile_cont(support, 0.8) AS q FROM pairs),
+        edges AS (SELECT b1, b2 FROM pairs, cut WHERE support > q)
+        SELECT e1.b1 AS ba, e1.b2 AS bb, e2.b2 AS bc
+        FROM edges e1
+        JOIN edges e2 ON e1.b2 = e2.b1
+        JOIN edges e3 ON e3.b1 = e1.b1 AND e3.b2 = e2.b2
+    """,
+    doc=(
+        "Triangle enumeration on the brand co-purchase graph: nodes are "
+        "brands, edges are brand pairs co-occurring in the same order with "
+        "top-quintile support, triangles via the oriented two-path + "
+        "closing-edge join (a<b<c ordering means each triangle is emitted "
+        "exactly once and the join graph is acyclic). The co-occurrence "
+        "self-join is keyed on orderkey (per-order brand sets are tiny); "
+        "the edge set is bounded by the BRAND domain (25 nodes -> <=300 "
+        "edges), so the triangle joins are broadcast-trivial. For general "
+        "graphs the same plan holds with degree-based orientation "
+        "(lower-degree endpoint first) bounding the two-path fan-out — "
+        "the standard MapReduce triangle count."
+    ),
+    tags=("analytics", "graph"),
+)
+def brand_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    cut = pairs.agg(F.percentile("support", F.lit(0.8)).alias("q"))
+    edges = pairs.crossJoin(F.broadcast(cut)).filter(F.col("support") > F.col("q")).select(
+        "b1", "b2"
+    )
+    e1 = edges.select(F.col("b1").alias("ba"), F.col("b2").alias("bb"))
+    e2 = edges.select(F.col("b1").alias("bb"), F.col("b2").alias("bc"))
+    e3 = edges.select(F.col("b1").alias("ba"), F.col("b2").alias("bc"))
+    return (
+        e1.join(F.broadcast(e2), "bb")
+        .join(F.broadcast(e3), ["ba", "bc"])
+        .select("ba", "bb", "bc")
+    )

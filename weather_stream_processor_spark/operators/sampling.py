@@ -340,3 +340,114 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("weight"),
         F.floor(w * 100000 + F.lit(0.5)).cast("bigint").alias("target_docs"),
     )
+
+
+@register(
+    "weighted_bernoulli_sample",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, n_chars,
+                   {_BUCKET_SQL} AS bucket,
+                   LEAST(n_chars, 500) AS wcap
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars,
+               ROUND(1000.0 / ((4 * wcap + 4) // 5), 6) AS ht_weight
+        FROM w
+        WHERE bucket * 5 < 4 * wcap
+    """,
+    doc=(
+        "Length-weighted Bernoulli (Poisson) sample with Horvitz-Thompson "
+        "weights: inclusion probability proportional to min(n_chars, 500), "
+        "decided by the SAME deterministic hash bucket as the uniform "
+        "sampler — membership is a pure integer predicate of (key, "
+        "weight), so the sample is replayable across engines and re-runs "
+        "and the HT weight (1/p) lets downstream aggregates stay unbiased. "
+        "All-integer threshold arithmetic (bucket*5 < 4*w) avoids any "
+        "float boundary between Spark and DuckDB. Map-side only: no "
+        "shuffle, no global pass — at 100 TB this is a scan predicate. "
+        "Contrast A-Res/exponential-keys weighted reservoirs, which need a "
+        "global top-k; this is the scan-friendly form used when a fixed "
+        "RATE (not a fixed SIZE) is wanted."
+    ),
+    tags=("sampling", "llm", "weighted"),
+)
+def weighted_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wcap = F.least(F.col("n_chars"), F.lit(500))
+    kept_buckets = F.expr("(4 * least(n_chars, 500) + 4) div 5")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            _bucket(F.col("doc_id")).alias("bucket"),
+            kept_buckets.alias("kb"),
+        )
+        .filter(F.col("bucket") * 5 < 4 * wcap)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(1000.0 / F.col("kb"), 6).alias("ht_weight"),
+        )
+    )
+
+
+# z-order: interleave the low 4 bits of two bucketized dimensions. Both
+# engines get the same arithmetic; only the shift spelling differs
+# (DuckDB infix >>, Spark shiftright()).
+def _interleave_duckdb(x: str, y: str) -> str:
+    terms = []
+    for i in range(4):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_cell_stats",
+    oracle=f"""
+        WITH cells AS (
+            SELECT o_totalprice,
+                   o_custkey % 16 AS xb,
+                   (epoch_ms(o_orderdate) // 86400000 // 180) % 16 AS yb
+            FROM orders
+        )
+        SELECT {_interleave_duckdb('xb', 'yb')} AS zcell,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS cell_revenue
+        FROM cells
+        GROUP BY zcell
+    """,
+    doc=(
+        "Z-order (Morton) cell assignment over two scan dimensions "
+        "(customer-key bucket x order-date half-year bucket): interleaving "
+        "the low 4 bits of each gives a 1-D key whose contiguous ranges "
+        "cover RECTANGLES in (customer, time) space. Sorting/range-"
+        "partitioning a 100 TB table by this key before writing makes "
+        "parquet row-group min/max tight in BOTH dimensions at once, so "
+        "either predicate prunes — the multi-dimensional data-skipping "
+        "layout (Z-order clustering) that single-column sort cannot give. "
+        "The registered query computes the cell stats a layout optimizer "
+        "inspects; the key itself is pure bit arithmetic, identical in "
+        "both engines."
+    ),
+    tags=("sampling", "layout", "scale"),
+)
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.col("o_custkey") % 16
+    y = (F.expr("unix_micros(o_orderdate) div 86400000000 div 180")) % 16
+    z = F.lit(0)
+    for i in range(4):
+        z = z + F.shiftright(x.cast("int"), i).bitwiseAND(1) * (1 << (2 * i))
+        z = z + F.shiftright(y.cast("int"), i).bitwiseAND(1) * (1 << (2 * i + 1))
+    return (
+        orders.select(z.alias("zcell"), "o_totalprice")
+        .groupBy("zcell")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("cell_revenue"),
+        )
+    )

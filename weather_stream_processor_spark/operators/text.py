@@ -473,3 +473,290 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (stop_hits >= 1)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval surface: inverted index, boolean search, BM25, collocations.
+# The reference has no search operators (SURVEY §2.3: its aggregation surface
+# is one SUM); these extend the mandated text-analysis group (SURVEY §2.6)
+# with the index-shaped operators an LLM-data pipeline uses to slice and
+# inspect a corpus at scale.
+# ---------------------------------------------------------------------------
+
+# BM25 free parameters (standard Robertson defaults).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# Fixed query for the registered entry — real usage parameterizes this; a
+# constant keeps the oracle deterministic.
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@register(
+    "inverted_index_postings",
+    oracle="""
+        WITH post AS (
+            SELECT DISTINCT tok AS term, doc_id
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+        )
+        SELECT term,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(
+                   list_transform(
+                       list_slice(list_sort(array_agg(doc_id)), 1, 20),
+                       x -> CAST(x AS VARCHAR)),
+                   ',') AS postings_head
+        FROM post
+        GROUP BY term
+        HAVING COUNT(*) >= 5
+    """,
+    doc=(
+        "Inverted-index build: term -> document-frequency + the first 20 "
+        "doc ids of the (sorted) posting list, for terms with df >= 5. "
+        "explode -> distinct -> hash agg, shuffled by term, so the work is "
+        "bounded by |postings| and the output by |vocabulary|; the head cap "
+        "keeps rows bounded even for stopword-frequency terms. At 100 TB "
+        "the posting lists themselves shard by (term, block_id) instead of "
+        "collect_list-ing into one row — same plan up to the final agg."
+    ),
+    tags=("text", "retrieval", "llm"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .distinct()
+    )
+    return (
+        post.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@register(
+    "boolean_and_search",
+    oracle="""
+        SELECT doc_id
+        FROM (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok IN ('spark', 'vector')
+        )
+        GROUP BY doc_id
+        HAVING COUNT(*) = 2
+    """,
+    doc=(
+        "Boolean AND retrieval (docs containing BOTH query terms) as a "
+        "posting-list intersection: filter the exploded postings to the "
+        "query terms FIRST (so only matching postings shuffle), then a "
+        "count-per-doc equals-arity check — the set-intersection idiom "
+        "that avoids a self-join. Work is O(sum of query-term posting "
+        "lists), never O(corpus); the term filter pushes into the scan "
+        "side of the explode."
+    ),
+    tags=("text", "retrieval", "llm"),
+)
+def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hits = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin("spark", "vector"))
+        .distinct()
+    )
+    return hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("k")).filter(
+        F.col("k") == 2
+    ).select("doc_id")
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        dl AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl.dl) AS avgdl
+            FROM dl
+        ),
+        idf AS (
+            SELECT term, ln((s.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+            FROM tf, stats s
+            WHERE term IN ('spark', 'join', 'window')
+            GROUP BY term, s.n_docs
+        )
+        SELECT tf.doc_id,
+               ROUND(SUM(idf.idf * tf.tf * ({_BM25_K1} + 1.0)
+                     / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * dl.dl / s.avgdl))), 6) AS bm25
+        FROM tf
+        JOIN idf USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+    doc=(
+        "BM25 ranking of the corpus for a fixed 3-term query, top 20 "
+        "(score desc, doc_id tie-break). Classic two-stat scheme: per-"
+        "(doc, term) TF from one explode+agg; DF -> IDF for ONLY the query "
+        "terms (a |query|-row table, broadcast); doc length + corpus avgdl "
+        "(scalar, broadcast). The scoring join therefore touches only "
+        "postings of query terms — O(matching postings), not O(corpus) — "
+        "and the global top-k is TakeOrderedAndProject, no full sort. "
+        "Scores rounded to 6dp on both engines so float summation-order "
+        "drift cannot flip the hash."
+    ),
+    tags=("text", "retrieval", "llm"),
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    idf = (
+        tf.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_pmi_collocations",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        big AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+        bc AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM big GROUP BY bigram HAVING COUNT(*) >= 10
+        )
+        SELECT bc.bigram, bc.c_xy,
+               ROUND(ln(bc.c_xy * 1.0 * n.n_tokens / (ux.c * 1.0 * uy.c)), 6) AS pmi
+        FROM bc
+        JOIN uni ux ON ux.tok = string_split(bc.bigram, ' ')[1]
+        JOIN uni uy ON uy.tok = string_split(bc.bigram, ' ')[2]
+        CROSS JOIN n
+        ORDER BY pmi DESC, bigram ASC
+        LIMIT 30
+    """,
+    doc=(
+        "Pointwise-mutual-information collocations: adjacent-token bigrams "
+        "(formed per-row by an array transform — zero shuffle, no "
+        "self-join), counted, then PMI = ln(c_xy * N / (c_x * c_y)) via "
+        "two broadcast joins against the unigram table (|vocabulary|-"
+        "sized). min-support 10 gates noise; top 30 by PMI with bigram "
+        "tie-break is TakeOrderedAndProject. The shuffles are bounded by "
+        "|bigram vocabulary|, never token count — the standard collocation "
+        "/ multi-word-expression miner over a training corpus."
+    ),
+    tags=("text", "llm", "stats"),
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = docs.select(
+        F.explode(
+            # sequence(a, b) runs DESCENDING when b < a, so guard the
+            # one-token doc (DuckDB's range(1, 1) is empty already)
+            F.expr(
+                "case when size(split(text, ' ')) >= 2 then"
+                " transform(sequence(0, size(split(text, ' ')) - 2),"
+                " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+                " else array() end"
+            )
+        ).alias("bigram")
+    )
+    uni = (
+        docs.select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = docs.select(F.explode(t).alias("tok")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    bc = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 10)
+    )
+    ux = uni.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    parts = bc.withColumn("x", F.split("bigram", " ")[0]).withColumn(
+        "y", F.split("bigram", " ")[1]
+    )
+    return (
+        parts.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log(F.col("c_xy") * F.col("n_tokens") / (F.col("cx") * F.col("cy"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("bigram"))
+        .limit(30)
+    )

@@ -48,6 +48,10 @@ def get_spark(
         # reader rejects; read as long and convert in load_table (ns -> us
         # truncation, matching DuckDB's coercion of the same file)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture timestamps are isAdjustedToUTC=false micros; surface them
+        # as plain TimestampType (epoch-identical under the UTC session tz)
+        # instead of TIMESTAMP_NTZ, which unix_micros/window() reject
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         # managed tables (bucketing demos/tests) land in tmp, never the repo
         .config(

@@ -37,13 +37,19 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     """Make a FOREIGN SparkSession able to run our queries correctly.
 
     The evaluation driver (and any library consumer) may hand us a session
-    built without our factory: without ``nanosAsLong`` every `events` scan
-    throws PARQUET_TYPE_ILLEGAL, and a non-UTC session timezone shifts
-    date_trunc/hour results away from the (UTC) DuckDB oracle. Both are
+    built without our factory: without ``nanosAsLong`` a TIMESTAMP(NANOS)
+    `events` scan throws PARQUET_TYPE_ILLEGAL, and a non-UTC session
+    timezone shifts date_trunc/hour results away from the (UTC) DuckDB
+    oracle. Fixture timestamps are written as isAdjustedToUTC=false
+    micros, which Spark 4 would surface as TIMESTAMP_NTZ by default —
+    a type `unix_micros`/`window()` reject — so NTZ inference is pinned
+    off and those columns arrive as plain TimestampType with identical
+    epoch values (the session timezone is UTC). All three confs are
     runtime-settable, so the data-access choke points pin them defensively.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -42,9 +42,16 @@ def events_replay_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema  # LongType ts via nanosAsLong
+    # TIMESTAMP(NANOS) fixtures arrive as LongType (via nanosAsLong) and need
+    # the nanos->micros restore; micros fixtures arrive as TimestampType
+    # already (NTZ inference pinned off) and pass through untouched.
+    schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from pyspark.sql import types as T
+
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
 
 
 def events_as_weather_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
