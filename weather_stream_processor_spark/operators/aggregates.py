@@ -740,3 +740,51 @@ def mad_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+        WITH k AS (
+            SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key,
+               ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_key_share,
+               ROUND(quantile_cont(cnt, 0.5), 6) AS p50_rows_per_key,
+               ROUND(quantile_cont(cnt, 0.99), 6) AS p99_rows_per_key,
+               ROUND(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 6)
+                   AS skew_ratio
+        FROM k
+    """,
+    doc=(
+        "Join-key skew profile -- the diagnostic that decides between a "
+        "plain shuffle join, AQE skew splitting, and manual salting "
+        "before a 100 TB join is launched: per-key row counts (one "
+        "map-side-combined aggregation, shuffle bounded by |keys|), then "
+        "a single-row summary of key count, max/median/p99 rows-per-key, "
+        "the hottest key's share of all rows, and the p99/p50 skew "
+        "ratio. The same two-pass shape salted_hot_key_agg and "
+        "salted_skew_join assume; this entry is the measurement that "
+        "justifies them. Exact percentiles here for the oracle gate; at "
+        "scale approx_percentile gives the identical plan minus the "
+        "per-group sort."
+    ),
+    tags=("aggregation", "skew", "diagnostics"),
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    p50 = F.percentile("cnt", F.lit(0.5))
+    p99 = F.percentile("cnt", F.lit(0.99))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_rows_per_key"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_key_share"),
+        F.round(p50, 6).alias("p50_rows_per_key"),
+        F.round(p99, 6).alias("p99_rows_per_key"),
+        F.round(p99 / p50, 6).alias("skew_ratio"),
+    )

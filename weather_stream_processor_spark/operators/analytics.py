@@ -347,3 +347,120 @@ def brand_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(e3), ["ba", "bc"])
         .select("ba", "bb", "bc")
     )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as a DuckDB CTE chain."""
+    steps = []
+    prev = "p0"
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""p{i} AS (
+            SELECT e.dst AS brand,
+                   (1 - {_PR_DAMP}) / n.n + {_PR_DAMP} * SUM(p.rank / d.deg) AS rank
+            FROM edges e
+            JOIN {prev} p ON p.brand = e.src
+            JOIN deg d ON d.brand = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.n
+        )"""
+        )
+        prev = f"p{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+            SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS support
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT quantile_cont(support, 0.5) AS q FROM pairs),
+        edges AS (
+            SELECT b1 AS src, b2 AS dst FROM pairs, cut WHERE support > q
+            UNION ALL
+            SELECT b2 AS src, b1 AS dst FROM pairs, cut WHERE support > q
+        ),
+        deg AS (
+            SELECT src AS brand, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM edges),
+        p0 AS (
+            SELECT DISTINCT e.src AS brand, 1.0 / n.n AS rank
+            FROM edges e CROSS JOIN n
+        ),
+        {chain}
+        SELECT brand, ROUND(rank, 6) AS pagerank FROM p{_PR_ITERS}
+    """
+
+
+@register(
+    "pagerank_brand_graph",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "Fixed-iteration PageRank (d=0.85, 5 rounds) over the brand "
+        "co-purchase graph: nodes are brands, undirected edges are brand "
+        "pairs with above-median same-order support. Each round is one "
+        "join-aggregate -- rank mass flows src->dst divided by out-degree "
+        "-- expressed as a Python loop building a single Catalyst tree; "
+        "with every node keeping an out-edge (undirected construction) "
+        "there is no dangling mass, so total rank stays 1 and the "
+        "fixed-round output is deterministic and SQL-checkable (the "
+        "oracle unrolls the same five rounds as a CTE chain). The "
+        "iteration state is the O(|nodes|) rank vector, never the graph: "
+        "at 100 TB the edge list partitions by src and each round is one "
+        "shuffle of the rank vector -- the standard Pregel-as-join "
+        "formulation; for web-scale graphs swap in checkpointed lineage "
+        "truncation exactly as dedup_connected_components does."
+    ),
+    tags=("analytics", "graph", "iterative"),
+)
+def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    cut = pairs.agg(F.percentile("support", F.lit(0.5)).alias("q"))
+    strong = pairs.crossJoin(F.broadcast(cut)).filter(F.col("support") > F.col("q"))
+    edges = strong.select(
+        F.col("b1").alias("src"), F.col("b2").alias("dst")
+    ).unionAll(strong.select(F.col("b2").alias("src"), F.col("b1").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    n_df = edges.agg(F.countDistinct("src").cast("double").alias("n"))
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(n_df))
+        .select(F.col("src").alias("brand"), (1.0 / F.col("n")).alias("rank"))
+    )
+    for _ in range(_PR_ITERS):
+        msgs = (
+            edges.join(ranks.withColumnRenamed("brand", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        ranks = msgs.crossJoin(F.broadcast(n_df)).select(
+            F.col("dst").alias("brand"),
+            ((1 - _PR_DAMP) / F.col("n") + _PR_DAMP * F.col("s")).alias("rank"),
+        )
+    return ranks.select("brand", F.round("rank", 6).alias("pagerank"))

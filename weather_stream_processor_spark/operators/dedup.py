@@ -990,3 +990,78 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("dedup_sha"),
     )
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    # Exact output contract: candidates are verified with true shingle
+    # Jaccard >= t, and the integer-exact prefix length guarantees 100%
+    # recall (see doc), so the result equals the exhaustive join.
+    oracle=f"""
+        WITH {_JACCARD_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    doc=(
+        "Set-similarity join via PREFIX FILTERING (AllPairs/PPJoin "
+        "family): order each doc's shingles by ascending global document "
+        "frequency (rarest first, ties on hash), keep only the first "
+        "n - ceil(t*n) + 1 as its prefix, and generate candidates by "
+        "equi-joining PREFIXES on shingle -- by the prefix-filtering "
+        "lemma, any pair with Jaccard >= t must share a prefix token, so "
+        "recall is exact while the inverted index shrinks to ~(1-t) of "
+        "the postings and the hot-shingle join skew drops with it "
+        "(frequent shingles land in nobody's prefix). Candidates then "
+        "verify against true Jaccard on the full 64-bit-hashed shingle "
+        "sets. ceil(t*n) is computed in integer arithmetic "
+        "((4n+4) div 5), never float, so a float ceil(0.8*5)=5 can't "
+        "shorten a prefix and break the recall guarantee. The third "
+        "exact-near-dup plan alongside the exhaustive join (verifier) "
+        "and MinHash LSH (probabilistic): same output, different scale "
+        "trade -- exact recall without signatures."
+    ),
+    tags=("dedup", "llm", "prefix-filter"),
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = JACCARD_THRESHOLD
+    h = _exploded_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("h"), "n_shingles"
+    )
+    df_tbl = h.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = h.join(df_tbl, "h").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    )
+    # integer-exact ceil(0.8 * n) = (4n + 4) div 5
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("n_shingles") - F.expr("(4 * n_shingles + 4) div 5") + 1
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "h", F.col("n_shingles").alias("na")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "h", F.col("n_shingles").alias("nb")
+    )
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # same float size-band expression as the exhaustive oracle
+            & (F.least("na", "nb") >= t * F.greatest("na", "nb"))
+        )
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    ha = h.select(F.col("doc_id").alias("doc_a"), "h")
+    hb = h.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return inter.filter(jac >= t).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -451,3 +451,55 @@ def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("cell_revenue"),
         )
     )
+
+
+@register(
+    "weighted_reservoir_topk",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, lang, n_chars,
+                   ({_BUCKET_SQL} + 0.5) / 1000.0 AS u,
+                   LEAST(n_chars, 500) AS wt
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY ln(u) / wt DESC, doc_id
+                   ) AS rn
+            FROM w
+        )
+        SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+        FROM r WHERE rn <= 50
+    """,
+    doc=(
+        "Fixed-SIZE weighted sample (A-Res / Efraimidis-Spirakis): per "
+        "language keep the 50 docs with the largest u^(1/w) -- equivalently "
+        "largest ln(u)/w -- where w = min(n_chars, 500) and u comes from "
+        "the SAME deterministic doc_id hash bucket as the uniform sampler "
+        "(u = (bucket + 0.5)/1000, never 0 so ln is finite). This is the "
+        "weighted-without-replacement reservoir from the sampling "
+        "literature, made replayable by swapping the RNG for the keyed "
+        "hash. The per-group top-k compiles to WindowGroupLimit: each "
+        "partition keeps a local 50, only survivors shuffle -- O(groups * "
+        "k) exchange at 100 TB, no global sort. Complements "
+        "weighted_bernoulli_sample (fixed RATE) with the fixed-SIZE form. "
+        "Keys on the 1/1000 u-grid are well-separated doubles computed by "
+        "the identical IEEE ops in both engines; exact (bucket, w) ties "
+        "break on doc_id."
+    ),
+    tags=("sampling", "llm", "weighted"),
+)
+def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (_bucket(F.col("doc_id")) + F.lit(0.5)) / F.lit(1000.0)
+    key = F.log(u) / F.least(F.col("n_chars"), F.lit(500))
+    w = Window.partitionBy("lang").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("lang", "doc_id", "n_chars", F.col("rn").cast("bigint").alias("rn"))
+    )

@@ -484,6 +484,16 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # BM25 free parameters (standard Robertson defaults).
+# Adjacent-token bigram array, formed per-row (zero shuffle, no self-join).
+# sequence(a, b) runs DESCENDING when b < a, so the one-token doc is guarded
+# to an empty array (DuckDB's range(1, 1) is empty already).
+_BIGRAM_EXPR = (
+    "case when size(split(text, ' ')) >= 2 then"
+    " transform(sequence(0, size(split(text, ' ')) - 2),"
+    " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+    " else array() end"
+)
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 # Fixed query for the registered entry — real usage parameterizes this; a
@@ -715,18 +725,7 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    bigrams = docs.select(
-        F.explode(
-            # sequence(a, b) runs DESCENDING when b < a, so guard the
-            # one-token doc (DuckDB's range(1, 1) is empty already)
-            F.expr(
-                "case when size(split(text, ' ')) >= 2 then"
-                " transform(sequence(0, size(split(text, ' ')) - 2),"
-                " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
-                " else array() end"
-            )
-        ).alias("bigram")
-    )
+    bigrams = docs.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
     uni = (
         docs.select(F.explode(t).alias("tok"))
         .groupBy("tok")
@@ -759,4 +758,75 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), F.asc("bigram"))
         .limit(30)
+    )
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        doc_bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        ),
+        bic AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM doc_bi GROUP BY bigram
+        ),
+        uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni)
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(ln((bic.c_xy + 1.0) / (uni.c + v.v))), 6) AS avg_logprob
+        FROM doc_bi d
+        JOIN bic USING (bigram)
+        JOIN uni ON uni.tok = string_split(d.bigram, ' ')[1]
+        CROSS JOIN v
+        GROUP BY d.doc_id
+    """,
+    doc=(
+        "Perplexity-style quality scoring with a corpus-trained bigram "
+        "language model (add-1 smoothing): every doc gets the mean log "
+        "P(w2|w1) of its bigrams under counts estimated from the whole "
+        "corpus -- the CCNet/KenLM-shaped filter that flags gibberish and "
+        "boilerplate as out-of-model (very negative) without any external "
+        "model artifact. Train and score are the same two hash "
+        "aggregations: bigram counts and unigram counts, both bounded by "
+        "vocabulary, joined back to the per-doc bigram stream on the "
+        "bigram key. At 100 TB train on a sampled slice and broadcast "
+        "only query-relevant counts; the plan shape (explode -> "
+        "vocab-bounded aggs -> keyed join -> per-doc avg) is unchanged. "
+        "Scores rounded to 6dp in both engines so summation order cannot "
+        "flip the hash."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    doc_bi = docs.select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+    bic = doc_bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("x"))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        doc_bi.join(bic, "bigram")
+        .withColumn("x", F.split("bigram", " ")[0])
+        .join(uni, "x")
+        .crossJoin(F.broadcast(v))
+        .withColumn("logp", F.log((F.col("c_xy") + 1.0) / (F.col("c") + F.col("v"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
     )
