@@ -252,3 +252,56 @@ def test_repeated_passages_shuffles_digests_only(spark):
         assert not any("Cartesian" in o for o in ops), name
         for cols in read_schema_columns(df):
             assert set(cols) <= {"doc_id", "text"}, name
+
+
+def test_weighted_reservoir_uses_window_group_limit(spark):
+    # the per-lang top-50 must plan as per-partition heaps (WindowGroupLimit)
+    # feeding one keyed exchange — not a full sort of the corpus
+    ops = operator_names(_df(spark, "weighted_reservoir_topk"))
+    assert "WindowGroupLimit" in ops
+    assert ops.count("Exchange") == 1
+
+
+def test_prefix_filter_join_is_all_hash_joins(spark):
+    # candidate generation and verification are equi-joins on shingle
+    # hashes — any CartesianProduct/BroadcastNestedLoop here would be the
+    # all-pairs blowup prefix filtering exists to avoid
+    ops = operator_names(_df(spark, "prefix_filter_jaccard_join"))
+    assert not any("Cartesian" in o or "NestedLoop" in o for o in ops)
+    for cols in read_schema_columns(_df(spark, "prefix_filter_jaccard_join")):
+        assert set(cols) <= {"doc_id", "text"}
+
+
+def test_pagerank_iterations_stay_broadcast(spark):
+    # the rank vector and degree table are O(|brands|): every round's join
+    # must be broadcast. The ONLY shuffle join allowed is the orderkey
+    # co-occurrence self-join (legitimately big at scale) — a SortMergeJoin
+    # keyed on src/dst/brand would mean an iteration shuffles the edge list
+    import re
+
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "pagerank_brand_graph"), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"\(\d+\) SortMergeJoin[^\n]*\n((?:[^\n(][^\n]*\n)*)", plan):
+        keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[(\w+)#", m.group(1))
+        assert set(keys) == {"k"}, f"non-co-occurrence SMJ on {keys}"
+
+
+def test_delta_compression_single_keyed_exchange(spark):
+    # lag windows partitioned by (user, type): one exchange for the window,
+    # the final per-type agg is map-side-combined on top
+    plan_ops = operator_names(_df(spark, "delta_event_compression"))
+    assert "Window" in plan_ops
+    from weather_stream_processor_spark.plans import explain_string
+
+    assert "SinglePartition" not in explain_string(
+        _df(spark, "delta_event_compression"), "formatted"
+    )
+
+
+def test_skew_profile_prunes_to_key_column(spark):
+    # the profiler must read ONLY the join key from the fact table
+    for cols in read_schema_columns(_df(spark, "join_key_skew_profile")):
+        assert set(cols) == {"o_custkey"}

@@ -453,9 +453,12 @@ def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("src").alias("brand"), (1.0 / F.col("n")).alias("rank"))
     )
     for _ in range(_PR_ITERS):
+        # rank vector and degree table are O(|brands|): broadcast both so a
+        # round never shuffles the edge list (Catalyst can't size these
+        # post-aggregate subtrees on its own — without the hint it SMJs)
         msgs = (
-            edges.join(ranks.withColumnRenamed("brand", "src"), "src")
-            .join(deg, "src")
+            edges.join(F.broadcast(ranks.withColumnRenamed("brand", "src")), "src")
+            .join(F.broadcast(deg), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
         )
