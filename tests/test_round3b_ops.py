@@ -112,3 +112,105 @@ def test_skew_profile_invariants(spark):
     assert r.p50_rows_per_key <= r.p99_rows_per_key <= r.max_rows_per_key
     assert 0 < r.top_key_share <= 1
     assert r.skew_ratio >= 1
+
+
+def test_snapshot_diff_conserves_documents(spark):
+    from weather_stream_processor_spark.operators.dedup import (
+        corpus_snapshot_diff,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    by = {r.status: r.n_docs for r in corpus_snapshot_diff(spark, SF_SMOKE).collect()}
+    n = load_table(spark, SF_SMOKE, "documents").count()
+    # every original doc is classified exactly once
+    assert by.get("removed", 0) + by.get("changed", 0) + by.get("unchanged", 0) == n
+    assert by.get("added", 0) >= 1 and by.get("changed", 0) >= 1
+
+
+def test_neyman_allocation_spends_the_budget(spark):
+    from weather_stream_processor_spark.operators.sampling import (
+        neyman_allocation,
+    )
+
+    rows = neyman_allocation(spark, SF_SMOKE).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # floor(x+.5) rounding keeps total within |strata|/2 of the budget
+    assert abs(sum(r.allocated for r in rows) - 1000) <= len(rows)
+    for r in rows:
+        assert r.allocated >= 0 and r.stddev_chars > 0
+
+
+def test_top_p_selection_is_minimal_and_sufficient(spark):
+    from weather_stream_processor_spark.operators.sampling import (
+        top_p_sources_per_lang,
+    )
+
+    rows = top_p_sources_per_lang(spark, SF_SMOKE).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.cum_share)
+        # kept set covers >= 0.9 ...
+        assert rs[-1].cum_share >= 0.9 - 1e-6, lang
+        # ... and is minimal: dropping the last kept source goes below 0.9
+        if len(rs) > 1:
+            assert rs[-2].cum_share < 0.9, lang
+
+
+def test_int8_quant_error_is_bounded_by_half_step(spark):
+    """For unclamped codes the reconstruction error is <= scale/2 per dim,
+    so per-vector MSE <= (max_scale/2)^2."""
+    import pyspark.sql.functions as F
+
+    from weather_stream_processor_spark.operators.similarity import (
+        embedding_int8_quant_error,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = embedding_int8_quant_error(spark, SF_SMOKE).collect()
+    assert rows
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    dim0 = emb.select(F.size("embedding").alias("d")).first().d
+    stats = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("pos")
+        .agg((F.max("col") - F.min("col")).alias("range"))
+        .agg(F.max("range"))
+        .first()[0]
+    )
+    bound = (stats / 255.0 / 2) ** 2 * 1.01
+    for r in rows:
+        assert r.n_dims == dim0
+        assert 0 <= r.n_extreme_codes <= r.n_dims
+        assert 0 <= r.mse <= bound
+    # each dimension's corpus min and max land exactly on codes 0 and 255
+    assert sum(r.n_extreme_codes for r in rows) >= 2
+
+
+def test_hll_rollup_merges_exactly_and_is_accurate(spark):
+    """Union-of-parts must equal the direct global sketch estimate (same
+    sketch state), and every estimate must sit within 5% of exact."""
+    import pyspark.sql.functions as F
+
+    from weather_stream_processor_spark.operators.aggregates import (
+        hll_mergeable_rollup,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    est = {r.event_type: r.approx_users for r in
+           hll_mergeable_rollup(spark, SF_SMOKE).collect()}
+    ev = load_table(spark, SF_SMOKE, "events")
+    direct_global = (
+        ev.agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint"))
+        .first()[0]
+    )
+    assert est["__ALL__"] == direct_global  # mergeability, not approximation
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(est["__ALL__"] - exact_all) / exact_all < 0.05
+    for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n")
+    ).collect():
+        assert abs(est[r.event_type] - r.n) / r.n < 0.05, r.event_type

@@ -788,3 +788,39 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p99, 6).alias("p99_rows_per_key"),
         F.round(p99 / p50, 6).alias("skew_ratio"),
     )
+
+
+@register(
+    "hll_mergeable_rollup",
+    oracle=None,  # sketch-valued: estimates are engine-specific; the
+    # mergeability + accuracy contracts are pytest-gated
+    # (tests/test_round3b_ops.py): union-of-parts == direct-global
+    # exactly, and every estimate within 5% of the exact count.
+    doc=(
+        "MERGEABLE distinct-count rollup with DataSketches HLL: one "
+        "sketch per event_type plus the '__ALL__' row produced by "
+        "UNIONING the per-type sketches -- never by rescanning. This is "
+        "THE 100 TB rollup pattern approx_count_distinct alone doesn't "
+        "give you: sketches built once per partition/day can be merged "
+        "upward (type -> day -> month -> total) in O(sketch bytes), so "
+        "distinct-user dashboards over a year of data never touch raw "
+        "rows again. Per-type sketch state is ~KB regardless of input "
+        "rows; the rollup shuffles |types| sketches."
+    ),
+    tags=("aggregation", "sketch", "rollup"),
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_est = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    union_est = (
+        per.agg(F.hll_union_agg("sk").alias("u"))
+        .select(
+            F.lit("__ALL__").alias("event_type"),
+            F.hll_sketch_estimate("u").cast("bigint").alias("approx_users"),
+        )
+    )
+    return per_est.unionAll(union_est)

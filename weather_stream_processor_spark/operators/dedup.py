@@ -1065,3 +1065,76 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.filter(jac >= t).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+        WITH a AS (
+            SELECT doc_id, sha256(text) AS h FROM documents
+        ),
+        b AS (
+            SELECT doc_id,
+                   sha256(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                               ELSE text END) AS h
+            FROM documents WHERE doc_id % 10 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, sha256(text) AS h
+            FROM documents WHERE doc_id % 13 = 0
+        ),
+        j AS (
+            SELECT CASE WHEN b.h IS NULL THEN 'removed'
+                        WHEN a.h IS NULL THEN 'added'
+                        WHEN a.h <> b.h THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM a FULL OUTER JOIN b USING (doc_id)
+        )
+        SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM j GROUP BY status
+    """,
+    doc=(
+        "Corpus snapshot diff -- the audit a versioned training-data "
+        "pipeline runs between crawl N and crawl N+1: classify every "
+        "doc_id as added / removed / changed / unchanged by comparing "
+        "32-byte content digests through ONE full-outer join keyed on "
+        "doc_id. Only (id, digest) pairs ever shuffle -- never document "
+        "bodies -- so at 100 TB the diff costs two digest scans plus an "
+        "id-keyed exchange, and feeds incremental processing (only "
+        "'added'+'changed' re-enter dedup/quality). Snapshot B is derived "
+        "in-plan from the fixture (10% dropped, every-7th edited, "
+        "every-13th re-added under a new id) so the diff is deterministic "
+        "and oracle-checkable; a real deployment points the same plan at "
+        "two parquet roots."
+    ),
+    tags=("dedup", "llm", "versioning"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.sha2("text", 256).alias("ha"))
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    b = base.select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+            256,
+        ).alias("hb"),
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.sha2("text", 256).alias("hb"),
+        )
+    )
+    status = (
+        F.when(F.col("hb").isNull(), "removed")
+        .when(F.col("ha").isNull(), "added")
+        .when(F.col("ha") != F.col("hb"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

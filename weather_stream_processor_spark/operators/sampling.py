@@ -503,3 +503,115 @@ def weighted_reservoir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 50)
         .select("lang", "doc_id", "n_chars", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+@register(
+    "neyman_allocation",
+    oracle="""
+        WITH strata AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   stddev_samp(n_chars) AS s
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT SUM(n_docs * s) AS z FROM strata)
+        SELECT lang, n_docs,
+               ROUND(s, 6) AS stddev_chars,
+               ROUND(n_docs * s / tot.z, 6) AS weight,
+               CAST(FLOOR(1000 * n_docs * s / tot.z + 0.5) AS BIGINT)
+                   AS allocated
+        FROM strata CROSS JOIN tot
+    """,
+    doc=(
+        "Neyman (minimum-variance) allocation for stratified sampling: "
+        "given a 1000-doc budget, each language stratum gets n_h "
+        "proportional to N_h * S_h (stratum size times stratum standard "
+        "deviation of the measured variable) -- the classical "
+        "survey-sampling optimum that spends budget where the variance "
+        "is, instead of proportionally. One pass computes per-stratum "
+        "(count, stddev) as a mergeable aggregate; the normalizer is a "
+        "|strata|-row broadcast. Pairs with stratified_sample_mixture "
+        "(which applies fixed rates) by COMPUTING the rates; floor(x+0.5) "
+        "keeps the integer allocation identical across engines."
+    ),
+    tags=("sampling", "llm", "stats"),
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.stddev_samp("n_chars").alias("s"),
+    )
+    tot = strata.agg(F.sum(F.col("n_docs") * F.col("s")).alias("z"))
+    w = F.col("n_docs") * F.col("s") / F.col("z")
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round("s", 6).alias("stddev_chars"),
+        F.round(w, 6).alias("weight"),
+        F.floor(1000 * w + F.lit(0.5)).cast("bigint").alias("allocated"),
+    )
+
+
+@register(
+    "top_p_sources_per_lang",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang, source
+        ),
+        tot AS (
+            SELECT lang, SUM(n_docs) AS total FROM counts GROUP BY lang
+        ),
+        ranked AS (
+            SELECT c.lang, c.source, c.n_docs, t.total,
+                   SUM(c.n_docs) OVER (
+                       PARTITION BY c.lang
+                       ORDER BY c.n_docs DESC, c.source
+                   ) AS cum_n
+            FROM counts c JOIN tot t USING (lang)
+        )
+        SELECT lang, source, n_docs,
+               ROUND(n_docs * 1.0 / total, 6) AS share,
+               ROUND(cum_n * 1.0 / total, 6) AS cum_share
+        FROM ranked
+        WHERE (cum_n - n_docs) * 10 < 9 * total
+    """,
+    doc=(
+        "Nucleus (top-p) selection per group: within each language keep "
+        "the largest sources until their cumulative share reaches p=0.9 "
+        "-- the mixture-curation step that drops each slice's long tail "
+        "of scraps while keeping 90% of its mass. The cumulative sum "
+        "runs over the (lang, source) AGGREGATE (domain-bounded, "
+        "partitioned by lang -- never a row-level window), and the "
+        "keep predicate compares INTEGER cumulative counts "
+        "((cum - n) * 10 < 9 * total), so no float boundary can "
+        "disagree between engines at share ties."
+    ),
+    tags=("sampling", "llm", "mixture"),
+)
+def top_p_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = counts.groupBy("lang").agg(F.sum("n_docs").alias("total"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = counts.join(F.broadcast(tot), "lang").withColumn(
+        "cum_n", F.sum("n_docs").over(w)
+    )
+    return ranked.filter(
+        (F.col("cum_n") - F.col("n_docs")) * 10 < 9 * F.col("total")
+    ).select(
+        "lang",
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
+        F.round(F.col("cum_n") / F.col("total"), 6).alias("cum_share"),
+    )
