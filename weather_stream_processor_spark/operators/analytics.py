@@ -283,10 +283,11 @@ def skyline_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_size", "best_price", "n_parts")
 
 
-@register(
-    "brand_triangle_communities",
-    oracle="""
-        WITH ob AS (
+# Shared CTE chain: brand co-purchase graph with top-quintile-support edges
+# (oriented b1 < b2) and its once-per-triangle enumeration — used by the
+# triangle operator and the clustering-coefficient profile.
+_BRAND_GRAPH_CTES = """
+        ob AS (
             SELECT DISTINCT l.l_orderkey, p.p_brand
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         ),
@@ -298,11 +299,56 @@ def skyline_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         ),
         cut AS (SELECT quantile_cont(support, 0.8) AS q FROM pairs),
-        edges AS (SELECT b1, b2 FROM pairs, cut WHERE support > q)
-        SELECT e1.b1 AS ba, e1.b2 AS bb, e2.b2 AS bc
-        FROM edges e1
-        JOIN edges e2 ON e1.b2 = e2.b1
-        JOIN edges e3 ON e3.b1 = e1.b1 AND e3.b2 = e2.b2
+        edges AS (SELECT b1, b2 FROM pairs, cut WHERE support > q),
+        tris AS (
+            SELECT e1.b1 AS ba, e1.b2 AS bb, e2.b2 AS bc
+            FROM edges e1
+            JOIN edges e2 ON e1.b2 = e2.b1
+            JOIN edges e3 ON e3.b1 = e1.b1 AND e3.b2 = e2.b2
+        )"""
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (b1 < b2) top-quintile-support co-purchase edges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    cut = pairs.agg(F.percentile("support", F.lit(0.8)).alias("q"))
+    return (
+        pairs.crossJoin(F.broadcast(cut))
+        .filter(F.col("support") > F.col("q"))
+        .select("b1", "b2")
+    )
+
+
+def _brand_triangles(edges: DataFrame) -> DataFrame:
+    e1 = edges.select(F.col("b1").alias("ba"), F.col("b2").alias("bb"))
+    e2 = edges.select(F.col("b1").alias("bb"), F.col("b2").alias("bc"))
+    e3 = edges.select(F.col("b1").alias("ba"), F.col("b2").alias("bc"))
+    return (
+        e1.join(F.broadcast(e2), "bb")
+        .join(F.broadcast(e3), ["ba", "bc"])
+        .select("ba", "bb", "bc")
+    )
+
+
+@register(
+    "brand_triangle_communities",
+    oracle=f"""
+        WITH {_BRAND_GRAPH_CTES}
+        SELECT ba, bb, bc FROM tris
     """,
     doc=(
         "Triangle enumeration on the brand co-purchase graph: nodes are "
@@ -320,33 +366,7 @@ def skyline_size_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "graph"),
 )
 def brand_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
-    )
-    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
-    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
-    pairs = (
-        a.join(b, "k")
-        .filter(F.col("b1") < F.col("b2"))
-        .groupBy("b1", "b2")
-        .agg(F.count(F.lit(1)).alias("support"))
-    )
-    cut = pairs.agg(F.percentile("support", F.lit(0.8)).alias("q"))
-    edges = pairs.crossJoin(F.broadcast(cut)).filter(F.col("support") > F.col("q")).select(
-        "b1", "b2"
-    )
-    e1 = edges.select(F.col("b1").alias("ba"), F.col("b2").alias("bb"))
-    e2 = edges.select(F.col("b1").alias("bb"), F.col("b2").alias("bc"))
-    e3 = edges.select(F.col("b1").alias("ba"), F.col("b2").alias("bc"))
-    return (
-        e1.join(F.broadcast(e2), "bb")
-        .join(F.broadcast(e3), ["ba", "bc"])
-        .select("ba", "bb", "bc")
-    )
+    return _brand_triangles(_brand_edges(spark, sf_dir))
 
 
 _PR_DAMP = 0.85
@@ -467,3 +487,136 @@ def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((1 - _PR_DAMP) / F.col("n") + _PR_DAMP * F.col("s")).alias("rank"),
         )
     return ranks.select("brand", F.round("rank", 6).alias("pagerank"))
+
+
+@register(
+    "brand_clustering_coefficient",
+    oracle=f"""
+        WITH {_BRAND_GRAPH_CTES},
+        und AS (
+            SELECT b1 AS brand, b2 AS nb FROM edges
+            UNION ALL
+            SELECT b2 AS brand, b1 AS nb FROM edges
+        ),
+        deg AS (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY brand
+        ),
+        tmem AS (
+            SELECT ba AS brand FROM tris
+            UNION ALL SELECT bb FROM tris
+            UNION ALL SELECT bc FROM tris
+        ),
+        tcnt AS (
+            SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM tmem GROUP BY brand
+        )
+        SELECT d.brand, d.degree,
+               COALESCE(t.n_triangles, 0) AS n_triangles,
+               ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                     / (d.degree * (d.degree - 1)), 6) AS clustering_coef
+        FROM deg d LEFT JOIN tcnt t USING (brand)
+        WHERE d.degree >= 2
+    """,
+    doc=(
+        "Local clustering coefficient per brand: 2*T(v) / (deg(v) * "
+        "(deg(v)-1)) -- how close each node's neighborhood is to a clique, "
+        "the community-tightness score next to the triangle listing. "
+        "Reuses the oriented triangle enumeration (each triangle counted "
+        "once, then credited to its three corners by a union of three "
+        "projections -- no second join) and the undirected degree table; "
+        "everything after the co-purchase self-join is bounded by the "
+        "brand domain. Nodes of degree < 2 are excluded (coefficient "
+        "undefined)."
+    ),
+    tags=("analytics", "graph"),
+)
+def brand_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _brand_edges(spark, sf_dir)
+    tris = _brand_triangles(edges)
+    und = edges.select(F.col("b1").alias("brand")).unionAll(
+        edges.select(F.col("b2").alias("brand"))
+    )
+    deg = und.groupBy("brand").agg(F.count(F.lit(1)).alias("degree"))
+    tmem = (
+        tris.select(F.col("ba").alias("brand"))
+        .unionAll(tris.select(F.col("bb").alias("brand")))
+        .unionAll(tris.select(F.col("bc").alias("brand")))
+    )
+    tcnt = tmem.groupBy("brand").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        deg.join(tcnt, "brand", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "brand",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+    )
+
+
+@register(
+    "benford_digit_profile",
+    oracle="""
+        WITH cents AS (
+            SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+            FROM orders WHERE o_totalprice > 0
+        ),
+        digits AS (
+            SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM cents
+        ),
+        counts AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(n_orders) AS total FROM counts)
+        SELECT digit, n_orders,
+               ROUND(n_orders * 1.0 / tot.total, 6) AS observed_share,
+               ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+               ROUND((n_orders * 1.0 / tot.total
+                      - ln(1.0 + 1.0 / digit) / ln(10.0))
+                     * (n_orders * 1.0 / tot.total
+                        - ln(1.0 + 1.0 / digit) / ln(10.0))
+                     / (ln(1.0 + 1.0 / digit) / ln(10.0)), 9) AS chi2_term
+        FROM counts CROSS JOIN tot
+    """,
+    doc=(
+        "Benford's-law screen on order amounts -- the forensic "
+        "data-quality check that catches fabricated or re-scaled numeric "
+        "feeds before they poison training statistics: first significant "
+        "digit distribution vs log10(1 + 1/d), with per-digit chi-square "
+        "contributions. The first digit comes from the INTEGER cents "
+        "value via string head, never floor(log10(x)) -- log10(1000.0) "
+        "can evaluate to 2.9999... and misbin a power of ten, and the "
+        "string path is engine-identical on integers. One scan, a "
+        "9-row aggregate, a broadcast total."
+    ),
+    tags=("analytics", "quality", "stats"),
+)
+def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("bigint").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = counts.agg(F.sum("n_orders").alias("total"))
+    obs = F.col("n_orders") / F.col("total")
+    benford = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_orders",
+        F.round(obs, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round((obs - benford) * (obs - benford) / benford, 9).alias("chi2_term"),
+    )

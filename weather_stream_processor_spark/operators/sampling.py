@@ -615,3 +615,68 @@ def top_p_sources_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") / F.col("total"), 6).alias("share"),
         F.round(F.col("cum_n") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+@register(
+    "compaction_bin_packing",
+    oracle="""
+        WITH files AS (
+            SELECT source, lang,
+                   CAST(SUM(n_chars) AS BIGINT) AS size_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source, lang
+        ),
+        packed AS (
+            SELECT *,
+                   COALESCE(SUM(size_chars) OVER (
+                       ORDER BY source, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM files
+        )
+        SELECT CAST(cum_before // 20000 AS BIGINT) AS group_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+               CAST(SUM(size_chars) AS BIGINT) AS total_chars
+        FROM packed
+        GROUP BY 1
+    """,
+    doc=(
+        "Compaction planning -- the small-files maintenance pass every "
+        "100 TB lakehouse table needs: treat each (source, lang) slice as "
+        "a 'file' with its byte size, order deterministically, and cut "
+        "~20k-char target groups by INTEGER division of the running size "
+        "(cumulative-sum packing; groups can overshoot by at most one "
+        "file, the standard streaming bin-pack bound). The running sum is "
+        "an unpartitioned window BY DESIGN over the FILE MANIFEST -- "
+        "metadata-sized (|sources| x |langs| here; at scale, one row per "
+        "data file, e.g. ~100k rows for 100 TB of 1 GB files), never the "
+        "data -- the same domain-bounded-window argument as "
+        "skyline_size_price. All arithmetic is integer, so group "
+        "boundaries are engine-exact."
+    ),
+    tags=("sampling", "maintenance", "layout"),
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy("source", "lang").agg(
+        F.sum("n_chars").alias("size_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = (
+        Window.orderBy("source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.withColumn(
+        "cum_before", F.coalesce(F.sum("size_chars").over(w), F.lit(0))
+    )
+    return (
+        packed.groupBy(F.expr("cum_before div 20000").alias("group_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("size_chars").alias("total_chars"),
+        )
+    )

@@ -679,3 +679,132 @@ def delta_event_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("keep_ratio"),
         )
     )
+
+
+@register(
+    "seasonal_trend_decompose",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, AVG(value) AS hm
+            FROM events GROUP BY 1, 2
+        ),
+        trended AS (
+            SELECT event_type, hr, hm,
+                   AVG(hm) OVER (
+                       PARTITION BY event_type ORDER BY hr
+                       ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING
+                   ) AS trend
+            FROM hourly
+        )
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM hr) AS BIGINT) AS hour_of_day,
+               CAST(COUNT(*) AS BIGINT) AS n_hours,
+               ROUND(AVG(hm - trend), 6) AS seasonal_index
+        FROM trended
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "STL-lite seasonal decomposition of the sensor feed: hourly means "
+        "per event type, a centered 24-point moving-average TREND over the "
+        "hourly series, and the diurnal SEASONAL profile as the mean "
+        "detrended residual per hour-of-day -- the classical "
+        "moving-average decomposition, the baseline behind every "
+        "seasonality-aware anomaly detector. Scale shape: the raw scan "
+        "collapses to the hourly aggregate FIRST (spine-sized, O(types x "
+        "hours)), so the ordered window and the final profile run over "
+        "metadata-scale data; the only full-data pass is the initial "
+        "map-side-combined groupBy. Partial frames at the series edges "
+        "are averaged identically by both engines (frame = existing "
+        "rows)."
+    ),
+    tags=("timeseries", "seasonality", "stats"),
+)
+def seasonal_trend_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.avg("value").alias("hm"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, 11)
+    )
+    trended = hourly.withColumn("trend", F.avg("hm").over(w))
+    return (
+        trended.groupBy(
+            "event_type", F.hour("hr").cast("bigint").alias("hour_of_day")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.avg(F.col("hm") - F.col("trend")), 6).alias(
+                "seasonal_index"
+            ),
+        )
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 8
+
+
+def _ewma_oracle() -> str:
+    """Truncated-EWMA oracle: the identical weight literals and the same
+    fixed-shape sum Spark builds, so values are bit-identical."""
+    num, den = [], []
+    for j in range(_EWMA_LAGS):
+        wt = repr(_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j)
+        x = "value" if j == 0 else f"LAG(value, {j}) OVER w"
+        num.append(f"COALESCE({x}, 0.0) * {wt}")
+        den.append(f"(CASE WHEN {x} IS NULL THEN 0.0 ELSE {wt} END)")
+    return f"""
+        WITH smoothed AS (
+            SELECT event_id, event_type, value,
+                   ({" + ".join(num)}) AS num,
+                   ({" + ".join(den)}) AS den
+            FROM events
+            WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        )
+        SELECT event_id, event_type, value,
+               ROUND(num / den, 6) AS ewma
+        FROM smoothed
+    """
+
+
+@register(
+    "ewma_truncated_smoothing",
+    oracle=_ewma_oracle(),
+    doc=(
+        "Exponentially-weighted moving average per sensor series "
+        "(alpha=0.3), truncated at 8 lags and renormalized over the "
+        "weights actually present -- the window-expressible form of EWMA "
+        "smoothing. True infinite-history EWMA is a sequential recurrence "
+        "(needs applyInPandasWithState; streaming_record_breakers shows "
+        "that pattern); truncating at K lags keeps it a partitioned "
+        "window over (user, type) with ZERO extra shuffle and bounds the "
+        "error by (1-a)^K < 6% of total weight. The 8 lag terms form a "
+        "fixed expression tree with Python-injected weight literals, so "
+        "Spark and DuckDB compute bit-identical doubles before the 6dp "
+        "round."
+    ),
+    tags=("timeseries", "smoothing"),
+)
+def ewma_truncated_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(_EWMA_LAGS):
+        wt = _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j
+        x = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        num = num + F.coalesce(x, F.lit(0.0)) * F.lit(wt)
+        den = den + F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )
