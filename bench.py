@@ -54,6 +54,9 @@ HEADLINE = [
     "embedding_near_dup_blocked",
     "ann_ivf_topk",
     "tfidf_top_term_per_doc",
+    "bm25_top_docs",
+    "prefix_filter_jaccard_join",
+    "bigram_lm_perplexity",
     "quality_scores",
     "training_mixture_pipeline",
     "multimodal_asset_features",
