@@ -314,3 +314,65 @@ def test_compaction_groups_respect_overshoot_bound(spark):
         # cumulative packing: every non-final group spans its 20k slot
         assert r.total_chars > 0
     assert sum(r.n_files for r in rows) >= len(rows)
+
+
+def test_linear_interpolation_brackets_and_matches_observations(spark):
+    from weather_stream_processor_spark.operators.timeseries import (
+        linear_interpolate_hourly,
+        time_spine_gap_fill,
+    )
+
+    raw = {r.hour: (r.n_events, r.total_value)
+           for r in time_spine_gap_fill(spark, SF_SMOKE).collect()}
+    rows = sorted(
+        linear_interpolate_hourly(spark, SF_SMOKE).collect(),
+        key=lambda r: r.hour,
+    )
+    assert rows and len(rows) == len(raw)
+    obs = [(r.hour, r.filled_value) for r in rows if raw[r.hour][0] > 0]
+    for hour, v in obs:
+        assert v == raw[hour][1]  # observed hours pass through untouched
+    vals = [r.filled_value for r in rows]
+    assert all(v is not None for v in vals)
+    lo, hi = min(v for _, v in obs), max(v for _, v in obs)
+    for v in vals:  # interpolation never extrapolates beyond observed range
+        assert lo - 1e-9 <= v <= hi + 1e-9
+
+
+def test_psi_terms_and_buckets(spark):
+    from weather_stream_processor_spark.operators.sampling import (
+        psi_feature_drift,
+    )
+
+    rows = psi_feature_drift(spark, SF_SMOKE).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert 1 <= r.bucket <= 10
+        assert r.psi_term >= 0  # (p-q)*ln(p/q) is always non-negative
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        # reference deciles put ~10% of ref rows in each bucket
+        n_ref = sum(r.n_ref for r in rs)
+        for r in rs:
+            assert r.n_ref <= n_ref * 0.2, (et, r.bucket)
+        # same-feature cohorts from one fixture: drift should be small
+        assert sum(r.psi_term for r in rs) < 0.25, et
+
+
+def test_constraint_report_on_clean_fixture(spark):
+    from weather_stream_processor_spark.operators.aggregates import (
+        constraint_validation_report,
+    )
+
+    rows = {r.rule: r for r in
+            constraint_validation_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {
+        "positive_price", "date_in_range", "status_domain",
+        "priority_format", "custkey_not_null",
+    }
+    n = {r.n_checked for r in rows.values()}
+    assert len(n) == 1  # one scan, one row universe
+    for r in rows.values():
+        assert 0 <= r.n_violations <= r.n_checked
+        assert abs(r.violation_rate - r.n_violations / r.n_checked) < 1e-5

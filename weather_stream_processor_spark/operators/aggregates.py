@@ -824,3 +824,100 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_est.unionAll(union_est)
+
+
+@register(
+    "constraint_validation_report",
+    oracle="""
+        WITH checks AS (
+            SELECT
+                CAST(COUNT(*) AS BIGINT) AS n_checked,
+                CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_price,
+                CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+                               OR o_orderdate >= TIMESTAMP '1999-01-01'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_date,
+                CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+                CAST(SUM(CASE WHEN NOT regexp_matches(o_orderpriority,
+                                                      '^[1-5]-')
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v_priority,
+                CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS v_custkey
+            FROM orders
+        )
+        SELECT r.rule, c.n_checked,
+               CASE r.rule
+                   WHEN 'positive_price' THEN c.v_price
+                   WHEN 'date_in_range' THEN c.v_date
+                   WHEN 'status_domain' THEN c.v_status
+                   WHEN 'priority_format' THEN c.v_priority
+                   WHEN 'custkey_not_null' THEN c.v_custkey
+               END AS n_violations,
+               ROUND(CASE r.rule
+                   WHEN 'positive_price' THEN c.v_price
+                   WHEN 'date_in_range' THEN c.v_date
+                   WHEN 'status_domain' THEN c.v_status
+                   WHEN 'priority_format' THEN c.v_priority
+                   WHEN 'custkey_not_null' THEN c.v_custkey
+               END * 1.0 / c.n_checked, 6) AS violation_rate
+        FROM checks c
+        CROSS JOIN (VALUES ('positive_price'), ('date_in_range'),
+                           ('status_domain'), ('priority_format'),
+                           ('custkey_not_null')) AS r(rule)
+    """,
+    doc=(
+        "Declarative CHECK-constraint validation report -- the admission "
+        "gate a lakehouse table runs before committing a batch: five "
+        "rules (positivity, date range, status domain, priority format, "
+        "key presence) evaluated as conditional sums in ONE scan (never "
+        "five), then unpivoted to a long-format (rule, violations, rate) "
+        "report. Adding a rule adds a column to the same aggregate, not "
+        "a pass. Pairs with sources/io.py's _corrupt_record quarantine: "
+        "that catches rows that don't parse, this catches rows that "
+        "parse into invalid VALUES; route breaches to quarantine "
+        "partitions keyed by rule."
+    ),
+    tags=("aggregation", "quality", "validation"),
+)
+def constraint_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    checks = orders.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("v_price"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("v_date"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("v_status"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").rlike("^[1-5]-"), 1).otherwise(0)
+        ).alias("v_priority"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "v_custkey"
+        ),
+    )
+    stacked = checks.select(
+        "n_checked",
+        F.expr(
+            "stack(5,"
+            " 'positive_price', v_price,"
+            " 'date_in_range', v_date,"
+            " 'status_domain', v_status,"
+            " 'priority_format', v_priority,"
+            " 'custkey_not_null', v_custkey) AS (rule, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+            "violation_rate"
+        ),
+    )

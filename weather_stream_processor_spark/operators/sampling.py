@@ -680,3 +680,97 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("size_chars").alias("total_chars"),
         )
     )
+
+
+_PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "psi_feature_drift",
+    oracle=f"""
+        WITH ref AS (
+            SELECT event_type,
+                   list_transform(
+                       quantile_cont(value, {_PSI_DECILES}),
+                       c -> ROUND(c, 6)) AS cuts
+            FROM events WHERE user_id % 2 = 0
+            GROUP BY event_type
+        ),
+        bucketed AS (
+            SELECT e.event_type,
+                   e.user_id % 2 AS cohort,
+                   1 + len(list_filter(r.cuts, c -> c < e.value)) AS bucket
+            FROM events e JOIN ref r USING (event_type)
+        ),
+        shares AS (
+            SELECT event_type, bucket,
+                   CAST(SUM(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+                   CAST(SUM(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+            FROM bucketed GROUP BY event_type, bucket
+        ),
+        tot AS (
+            SELECT event_type,
+                   SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+            FROM shares GROUP BY event_type
+        )
+        SELECT s.event_type, s.bucket, s.n_ref, s.n_cur,
+               ROUND((s.n_cur + 0.5) / (t.t_cur + 5.0)
+                     - (s.n_ref + 0.5) / (t.t_ref + 5.0), 6) AS share_delta,
+               ROUND(((s.n_cur + 0.5) / (t.t_cur + 5.0)
+                      - (s.n_ref + 0.5) / (t.t_ref + 5.0))
+                     * ln(((s.n_cur + 0.5) / (t.t_cur + 5.0))
+                          / ((s.n_ref + 0.5) / (t.t_ref + 5.0))), 9) AS psi_term
+        FROM shares s JOIN tot t USING (event_type)
+    """,
+    doc=(
+        "Population Stability Index between two user cohorts per event "
+        "type -- the standard ML-monitoring drift score over a NUMERIC "
+        "feature (complement of mixture_drift_kl's categorical form): "
+        "decile cutoffs from the reference cohort, both cohorts bucketed "
+        "map-side against the broadcast cutoffs, PSI terms "
+        "(p_cur - p_ref) * ln(p_cur/p_ref) with +0.5 Laplace smoothing "
+        "so empty buckets stay finite. Cutoffs are QUANTIZED to 6dp "
+        "before any comparison -- exact-percentile interpolation is the "
+        "one place Spark and DuckDB doubles could diverge by 1 ulp and "
+        "flip a boundary row's bucket; quantizing makes the binning "
+        "engine-exact. At 100 TB: approx_percentile cutoffs, same "
+        "broadcast + map-side-bucket plan."
+    ),
+    tags=("sampling", "monitoring", "drift"),
+)
+def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ref = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.percentile("value", F.array(*[F.lit(p) for p in _PSI_DECILES])),
+                lambda c: F.round(c, 6),
+            ).alias("cuts")
+        )
+    )
+    bucketed = ev.join(F.broadcast(ref), "event_type").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("cohort"),
+        (
+            1 + F.size(F.filter("cuts", lambda c: c < F.col("value")))
+        ).alias("bucket"),
+    )
+    shares = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("cohort") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("cohort") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = shares.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 5.0)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 5.0)
+    return shares.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_cur - p_ref, 6).alias("share_delta"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_term"),
+    )
