@@ -830,3 +830,141 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("logp"), 6).alias("avg_logprob"),
     )
+
+
+@register(
+    "zipf_law_fit",
+    oracle="""
+        WITH freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+            FROM freq
+        ),
+        top AS (SELECT * FROM ranked WHERE r <= 200)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+               ROUND(regr_slope(ln(c), ln(r)), 6) AS zipf_slope,
+               ROUND(regr_intercept(ln(c), ln(r)), 6) AS zipf_intercept,
+               ROUND(regr_r2(ln(c), ln(r)), 6) AS fit_r2
+        FROM top
+    """,
+    doc=(
+        "Zipf's-law fit over the corpus vocabulary: regress ln(frequency) "
+        "on ln(rank) for the top 200 terms -- natural text sits near "
+        "slope -1, and a corpus whose slope drifts far from it (template "
+        "spam: too flat; boilerplate-dominated: too steep) fails the "
+        "distributional sanity screen before training. The frequency "
+        "table is vocabulary-bounded; the global top-200 is "
+        "TakeOrderedAndProject with term tie-breaks (per-partition heaps, "
+        "no vocab-wide sort), and the regression is a one-pass mergeable "
+        "regr_* aggregate over 200 points."
+    ),
+    tags=("text", "llm", "stats"),
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = freq.orderBy(F.desc("c"), F.asc("tok")).limit(200)
+    ranked = top.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    y, x = F.log("c"), F.log("r")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("fit_r2"),
+    )
+
+
+@register(
+    "dataset_datasheet",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+            FROM documents
+        ),
+        vocab AS (
+            SELECT COUNT(DISTINCT tok) AS v
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        ),
+        hashes AS (
+            SELECT COUNT(DISTINCT sha256(text)) AS uniq, COUNT(*) AS total
+            FROM documents
+        )
+        SELECT metric, ROUND(value, 6) AS value FROM (
+            SELECT 'n_docs' AS metric, (SELECT COUNT(*) FROM documents) * 1.0 AS value
+            UNION ALL
+            SELECT 'n_tokens', (SELECT SUM(n_tok) FROM tok) * 1.0
+            UNION ALL
+            SELECT 'vocab_size', (SELECT v FROM vocab) * 1.0
+            UNION ALL
+            SELECT 'mean_doc_tokens',
+                   (SELECT SUM(n_tok) * 1.0 / COUNT(*) FROM tok)
+            UNION ALL
+            SELECT 'n_langs', (SELECT COUNT(DISTINCT lang) FROM documents) * 1.0
+            UNION ALL
+            SELECT 'n_sources', (SELECT COUNT(DISTINCT source) FROM documents) * 1.0
+            UNION ALL
+            SELECT 'exact_dup_ratio',
+                   (SELECT (total - uniq) * 1.0 / total FROM hashes)
+        ) t
+    """,
+    doc=(
+        "Dataset datasheet -- the one-page summary artifact every "
+        "published training corpus ships (docs, tokens, vocabulary, "
+        "length, language/source breadth, exact-duplicate ratio) in "
+        "long (metric, value) format so downstream tooling diffs "
+        "datasheets across corpus versions mechanically (pairs with "
+        "corpus_snapshot_diff). Each metric is a tiny mergeable "
+        "aggregate; the union of one-row frames costs nothing next to "
+        "the two scans (token explode, digest pass) that feed them. "
+        "At 100 TB: compute once per snapshot, store beside the data."
+    ),
+    tags=("text", "llm", "profiling"),
+)
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = docs.select(F.size(tokens(F.col("text"))).alias("n_tok"))
+    tok_stats = n_tok.agg(
+        F.sum("n_tok").alias("n_tokens"), F.avg("n_tok").alias("mean_tok")
+    )
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    hashes = docs.agg(
+        F.countDistinct(F.sha2("text", 256)).alias("uniq"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    row = (
+        base.crossJoin(tok_stats)
+        .crossJoin(vocab)
+        .crossJoin(hashes)
+    )
+    stacked = row.select(
+        F.expr(
+            "stack(7,"
+            " 'n_docs', cast(n_docs as double),"
+            " 'n_tokens', cast(n_tokens as double),"
+            " 'vocab_size', cast(v as double),"
+            " 'mean_doc_tokens', mean_tok,"
+            " 'n_langs', cast(n_langs as double),"
+            " 'n_sources', cast(n_sources as double),"
+            " 'exact_dup_ratio', cast(total - uniq as double) / total"
+            ") AS (metric, value)"
+        )
+    )
+    return stacked.select("metric", F.round("value", 6).alias("value"))
