@@ -283,7 +283,7 @@ def test_upsert_statement_dialects():
     (merge,) = upsert_statements("hourly", "hourly__stage", ["h", "et"], ["v"], "merge")
     assert merge.startswith("MERGE INTO hourly t USING hourly__stage s ON ")
     assert "t.h = s.h AND t.et = s.et" in merge
-    assert "WHEN MATCHED THEN UPDATE SET v = s.v" in merge
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in merge
     assert "WHEN NOT MATCHED THEN INSERT (h, et, v) VALUES (s.h, s.et, s.v)" in merge
 
     (oc,) = upsert_statements("hourly", "hourly__stage", ["h"], ["v"], "on_conflict")
@@ -382,10 +382,8 @@ def test_merge_dialect_executes_through_a_real_sql_frontend(spark):
     foreachBatch replay are fed to Spark's own SQL parser and must come
     back as structurally-correct MergeIntoTable plans (keyed match
     condition, UPDATE matched action, INSERT not-matched action) — a real
-    SQL frontend, not a string assert. Full MERGE *execution* needs a
-    row-level-ops v2 catalog or DuckDB >= 1.4, neither of which ships
-    here; the on_conflict dialect's replay test covers executed-upsert
-    state convergence on the same orchestration."""
+    SQL frontend, not a string assert. Literal *execution* of the same
+    dialect is covered by test_merge_dialect_executes_live_on_derby."""
     from weather_stream_processor_spark.streaming.replay import events_replay_source
     from weather_stream_processor_spark.streaming.sinks import (
         foreach_batch_jdbc_upsert_writer,
@@ -423,6 +421,83 @@ def test_merge_dialect_executes_through_a_real_sql_frontend(spark):
         assert plan.notMatchedActions().size() == 1
         cond = plan.mergeCondition().sql()
         assert "hour" in cond and "event_type" in cond
+
+
+def test_merge_dialect_executes_live_on_derby(spark):
+    """The MERGE upsert path with ZERO injected seams: a checkpointed
+    foreachBatch replay stages each micro-batch through executor-parallel
+    ``write.jdbc`` (mode=overwrite) and the driver executes the literal
+    ``upsert_statements(..., dialect="merge")`` output over a real
+    ``java.sql.DriverManager`` connection — against embedded Apache Derby
+    (>= 10.11 speaks ANSI MERGE; its jars ship on Spark's classpath for
+    the metastore). Replaying everything from a fresh checkpoint after
+    corrupting a row must repair the value and add zero rows: every step
+    is overwrite-by-name or keyed-merge, so any replay converges.
+
+    Scope notes: embedded Derby lives inside the (single) local-mode JVM,
+    which is exactly why the executor stage-write works here; a real
+    cluster points ``url`` at a network DB and nothing else changes. The
+    key is the window-start timestamp — Spark's DerbyDialect maps
+    StringType to CLOB, which Derby cannot compare, so string merge keys
+    need ``createTableColumnTypes`` on a real deployment. Column names
+    are UPPERCASE because Spark quotes identifiers in the CREATE/INSERT
+    it issues for the stage (making them case-sensitive) while the
+    generated MERGE leaves them unquoted (Derby folds to upper); upper
+    names are the spelling both sides agree on."""
+    from weather_stream_processor_spark.streaming.replay import events_replay_source
+    from weather_stream_processor_spark.streaming.sinks import (
+        foreach_batch_jdbc_upsert_writer,
+        jdbc_exec_sql,
+        run_foreach_batch,
+    )
+
+    db = os.path.join(tempfile.mkdtemp(prefix="derby_"), "upsertdb")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    run_sql = jdbc_exec_sql(url, props)
+    run_sql(
+        [
+            "CREATE TABLE hourly (BUCKET_TS TIMESTAMP NOT NULL, "
+            "TOTAL_VALUE DOUBLE, PRIMARY KEY (BUCKET_TS))"
+        ]
+    )
+
+    sink = foreach_batch_jdbc_upsert_writer(
+        url=url,
+        table="hourly",
+        key_cols=["BUCKET_TS"],
+        properties=props,
+        dialect="merge",
+    )
+
+    def build():
+        ev = events_replay_source(spark, SF_SMOKE)
+        return (
+            ev.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.round(F.sum("value"), 5).alias("TOTAL_VALUE"))
+            .select(F.col("w.start").alias("BUCKET_TS"), "TOTAL_VALUE")
+        )
+
+    run_foreach_batch(build(), sink, tempfile.mkdtemp(prefix="derby_ck1_"), "update")
+    first = spark.read.jdbc(url=url, table="hourly", properties=props)
+    first_rows = sorted(first.collect())
+    assert len(first_rows) > 0
+    assert len({r.BUCKET_TS for r in first_rows}) == len(first_rows)
+
+    # corrupt one value, replay from a FRESH checkpoint (worst-case
+    # checkpoint rollback): the keyed MERGE must repair it, add nothing
+    run_sql(
+        [
+            "UPDATE hourly SET TOTAL_VALUE = -1 WHERE BUCKET_TS = "
+            f"(SELECT MIN(BUCKET_TS) FROM hourly)"
+        ]
+    )
+    run_foreach_batch(build(), sink, tempfile.mkdtemp(prefix="derby_ck2_"), "update")
+    second_rows = sorted(
+        spark.read.jdbc(url=url, table="hourly", properties=props).collect()
+    )
+    assert second_rows == first_rows
 
 
 def test_upsert_rejects_quote_requiring_identifiers():

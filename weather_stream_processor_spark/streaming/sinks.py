@@ -76,7 +76,13 @@ def upsert_statements(
 ) -> list[str]:
     """SQL for an idempotent keyed upsert of ``stage`` into ``table``.
 
-    dialect="merge": ANSI/Spark/SQL-Server/Oracle ``MERGE INTO``.
+    dialect="merge": ANSI/Spark/SQL-Server/Oracle/Derby ``MERGE INTO``.
+    The matched-update SET targets are qualified with the target alias
+    (``t.col = s.col``): Derby rejects the unqualified form inside an
+    aliased MERGE (it loses the source correlation scope), and the
+    qualified form is the one every mainstream MERGE dialect documents.
+    Executed literally against embedded Derby in
+    ``tests/test_streaming.py::test_merge_dialect_executes_live_on_derby``.
     dialect="on_conflict": Postgres/SQLite/DuckDB ``INSERT .. ON CONFLICT``
     (requires a unique/PK constraint on the key columns — the constraint
     the reference's init.sql:1-7 never declared, which is why its replayed
@@ -95,7 +101,7 @@ def upsert_statements(
         ins = ", ".join(f"s.{c}" for c in cols)
         matched = (
             "WHEN MATCHED THEN UPDATE SET "
-            + ", ".join(f"{c} = s.{c}" for c in val_cols)
+            + ", ".join(f"t.{c} = s.{c}" for c in val_cols)
             + " "
             if val_cols
             else ""
