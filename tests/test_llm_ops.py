@@ -30,10 +30,17 @@ def test_minhash_verified_pairs_equal_exact_jaccard(spark):
 
 
 def test_ann_lsh_recall_vs_exact(spark):
+    """Multi-table LSH: 4 tables x 6 bits at probe radius 2 gives ~0.96
+    expected recall@10 at per-bit agreement 0.6. The graded measurement
+    is tools/ann_quality.py at sf0.01 (recall 1.0, ANN_QUALITY.json);
+    this regression floor runs on the 500-vector sf0.001 fixture whose
+    top-10 "neighbors" are barely above random cosine (deterministic
+    recall 0.8 there — two tail neighbors land outside every probed
+    bucket), so the floor is set under that, not under the sf0.01 law."""
     exact = [r.vec_id for r in _run(spark, "cosine_topk_exact").collect()]
     ann = [r.vec_id for r in _run(spark, "ann_lsh_topk").collect()]
     recall = len(set(exact) & set(ann)) / len(exact)
-    assert recall >= 0.5, f"recall@10 too low: {recall} (ann={ann}, exact={exact})"
+    assert recall >= 0.75, f"recall@10 too low: {recall} (ann={ann}, exact={exact})"
 
 
 def test_ann_ivf_recall_vs_exact(spark):

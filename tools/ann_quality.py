@@ -41,6 +41,14 @@ def main() -> None:
     lsh = [r.vec_id for r in run("ann_lsh_topk")]
     ivf = [r.vec_id for r in run("ann_ivf_topk")]
 
+    from weather_stream_processor_spark.operators.similarity import (
+        _lsh_candidate_sims,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    n_candidates = _lsh_candidate_sims(spark, sf_dir).count()
+    n_corpus = load_table(spark, sf_dir, "embeddings").count() - 1  # minus query
+
     exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
     minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
 
@@ -48,6 +56,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "k": len(exact),
         "ann_lsh_recall_at_k": round(len(set(exact) & set(lsh)) / len(exact), 4),
+        "ann_lsh_candidate_fraction": round(n_candidates / max(n_corpus, 1), 4),
         "ann_ivf_recall_at_k": round(len(set(exact) & set(ivf)) / len(exact), 4),
         "minhash_exact_pairs": len(exact_pairs),
         "minhash_found_pairs": len(minhash_pairs & exact_pairs),

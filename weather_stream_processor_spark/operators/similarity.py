@@ -194,22 +194,32 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH ANN (the 100 TB path) ---------------------------------------------
 
-# Plane count trades candidate-set size against recall: more planes = finer
-# buckets. The fixture embeddings are near-orthogonal (top cosine ~0.37 —
-# hardest case for sign-LSH: per-bit agreement ~0.6), so we keep 6 planes
-# and probe out to Hamming radius 3 (~P(agree within 3 of 6) ≈ 0.8 recall).
-# A real near-dup corpus (sims ~0.9 => per-bit ~0.86) supports 12-16 planes
-# with radius 1 — tune per corpus, the plan shape is unchanged.
+# Multi-table sign-LSH (the E2LSH architecture): L independent tables of
+# b sign bits each; a query probes every bucket within Hamming radius r in
+# EVERY table and the candidate set is the union. Recall compounds across
+# tables — with per-bit agreement p the single-table hit rate is
+# P1 = sum_{i<=r} C(b,i) p^(b-i) (1-p)^i and L tables give 1-(1-P1)^L —
+# while candidate cost grows only additively. The fixture embeddings are
+# near-orthogonal (top cosine ~0.37 => per-bit agreement ~0.6, sign-LSH's
+# hardest case): b=6, r=2 gives P1~0.54 and L=4 tables lift recall@10 to
+# ~0.96 expected (measured in ANN_QUALITY.json, alongside the candidate
+# fraction that pays for it). A real near-dup corpus (sims ~0.9 => per-bit
+# ~0.86) supports 12-16 planes with r<=1 and a near-zero candidate
+# fraction — tune (b, r, L) per corpus, the plan shape is unchanged.
 N_PLANES = 6
-PROBE_RADIUS = 3
+PROBE_RADIUS = 2
+N_TABLES = 4
 
-def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed LCG; no numpy state).
+def _hyperplanes(
+    dim: int = 64, n_planes: int = N_PLANES, table: int = 0
+) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed LCG; no numpy state),
+    independently seeded per LSH table.
 
     Materialized as plan literals and broadcast with the plan — at any
     scale the sketch is a map-side projection, no shuffle.
     """
-    state = 0x9E3779B97F4A7C15
+    state = (0x9E3779B97F4A7C15 ^ (table * 0xBF58476D1CE4E5B9)) % (1 << 64) or 1
     planes: list[list[float]] = []
     for _ in range(n_planes):
         row = []
@@ -220,10 +230,11 @@ def _hyperplanes(dim: int = 64, n_planes: int = N_PLANES) -> list[list[float]]:
     return planes
 
 
-def rp_bucket(embedding: Column, dim: int = 64) -> Column:
-    """Random-projection sign-bit bucket id for an embedding column."""
+def rp_bucket(embedding: Column, dim: int = 64, table: int = 0) -> Column:
+    """Random-projection sign-bit bucket id for an embedding column, using
+    LSH table ``table``'s hyperplanes."""
     bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(_hyperplanes(dim)):
+    for i, plane in enumerate(_hyperplanes(dim, table=table)):
         dot = F.aggregate(
             F.zip_with(
                 embedding,
@@ -241,19 +252,33 @@ def rp_bucket(embedding: Column, dim: int = 64) -> Column:
     "ann_lsh_buckets",
     oracle=None,  # sketch buckets are engine-specific; recall measured in tests
     doc=(
-        "Random-hyperplane LSH sketch: 12 sign bits -> 4096 buckets; "
-        "output is per-bucket occupancy. ANN search joins query sketches "
-        "to same-bucket (and neighboring-bit) candidates, then reranks "
-        "exactly — candidates only, never the full corpus. The hyperplanes "
-        "are deterministic plan literals, so the sketch is reproducible "
-        "across runs and executors."
+        "Random-hyperplane LSH sketch, multi-table: N_TABLES independent "
+        "tables of N_PLANES sign bits each; output is per-(table, bucket) "
+        "occupancy. ANN search joins query sketches to same-bucket (and "
+        "neighboring-bit) candidates in every table and unions them, then "
+        "reranks exactly — candidates only, never the full corpus. The "
+        "hyperplanes are deterministic plan literals, so the sketch is "
+        "reproducible across runs and executors."
     ),
     tags=("similarity", "llm", "lsh"),
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    sk = emb.select("vec_id", rp_bucket(F.col("embedding")).alias("bucket"))
-    return sk.groupBy("bucket").agg(
+    sk = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        rp_bucket(F.col("embedding"), table=t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.table_id", "tb.bucket")
+    return sk.groupBy("table_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
     )
 
@@ -262,27 +287,56 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_lsh_topk",
     oracle=None,  # approximate by construction; recall vs exact in tests
     doc=(
-        "ANN top-k for query vec_id 0 via the LSH sketch: candidates = "
-        "vectors whose bucket is within Hamming distance PROBE_RADIUS of "
-        "the query's bucket, reranked by exact cosine. Equi-join on bucket "
-        "id — no cross join anywhere; tests measure recall@10 against "
-        "cosine_topk_exact."
+        "ANN top-k for query vec_id 0 via the multi-table LSH sketch: "
+        "candidates = union over all N_TABLES tables of vectors whose "
+        "bucket is within Hamming distance PROBE_RADIUS of the query's "
+        "bucket in that table, deduped and reranked by exact cosine. One "
+        "equi-join on (table_id, bucket) — no cross join anywhere; "
+        "tools/ann_quality.py records recall@10 against cosine_topk_exact "
+        "and the candidate fraction the union scanned."
     ),
     tags=("similarity", "llm", "lsh"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = _lsh_candidate_sims(spark, sf_dir)
+    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+    w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+    return top.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id", "cosine_sim", "rn"
+    )
+
+
+def _lsh_candidate_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped (vec_id, cosine_sim) over the multi-table LSH candidate
+    union for query vec_id 0 — shared by ann_lsh_topk and the quality
+    tool's candidate-fraction measurement."""
     from itertools import combinations
 
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     sk = emb.select(
-        "vec_id", "embedding", "nrm", rp_bucket(F.col("embedding")).alias("bucket")
-    )
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        rp_bucket(F.col("embedding"), table=t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "nrm", "tb.table_id", "tb.bucket")
     q = sk.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"),
         F.col("nrm").alias("q_nrm"),
+        F.col("table_id").alias("q_table_id"),
         F.col("bucket").alias("q_bucket"),
     )
-    # multi-probe: all bit-flip masks up to Hamming radius PROBE_RADIUS
+    # multi-probe: all bit-flip masks up to Hamming radius PROBE_RADIUS,
+    # applied within each table
     masks = [0] + [
         sum(1 << i for i in bits)
         for r in range(1, PROBE_RADIUS + 1)
@@ -291,6 +345,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = q.select(
         "q_embedding",
         "q_nrm",
+        "q_table_id",
         F.explode(
             F.array(
                 *[F.col("q_bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks]
@@ -298,17 +353,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("probe_bucket"),
     )
     candidates = sk.filter(F.col("vec_id") != 0).join(
-        F.broadcast(probes), F.col("bucket") == F.col("probe_bucket")
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket"))
+        & (F.col("table_id") == F.col("q_table_id")),
     )
-    sims = candidates.select(
+    return candidates.select(
         "vec_id",
         F.round(_pair_cosine(), 6).alias("cosine_sim"),
     ).dropDuplicates(["vec_id"])
-    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
-    w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    return top.withColumn("rn", F.row_number().over(w)).select(
-        "vec_id", "cosine_sim", "rn"
-    )
 
 
 # --- embedding-cosine near-dup + IVF ANN (vectorized scale paths) -----------
