@@ -220,3 +220,29 @@ def test_cc_two_phase_equals_propagation_on_random_graphs(spark, edges):
     assert {(r.doc_id, r.comp) for r in lp.collect()} == {
         (r.doc_id, r.comp) for r in tp.collect()
     }
+
+
+def test_doc_counts_match_registry():
+    """README.md and OPERATORS.md carry operator counts that have drifted
+    from the registry in two consecutive rounds; this pins them. On
+    failure, run `python tools/gen_operators_md.py` — it regenerates
+    OPERATORS.md and patches the README sentence from the live registry."""
+    from pathlib import Path
+
+    from weather_stream_processor_spark.registry import all_queries
+
+    specs = all_queries()
+    n = len(specs)
+    n_oracle = sum(1 for s in specs.values() if s.oracle)
+    repo = Path(__file__).resolve().parent.parent
+    readme = (repo / "README.md").read_text(encoding="utf-8")
+    operators = (repo / "OPERATORS.md").read_text(encoding="utf-8")
+    assert f"**{n} registered operators**" in readme, (
+        f"README.md coverage count is stale (registry has {n}); "
+        "run python tools/gen_operators_md.py"
+    )
+    assert f"{n_oracle} of them hash-checked" in readme
+    assert f"the remaining {n - n_oracle} (sketch-valued" in readme
+    assert f"**{n} operators**, {n_oracle} oracle-checked" in operators, (
+        "OPERATORS.md is stale; run python tools/gen_operators_md.py"
+    )

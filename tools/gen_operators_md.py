@@ -55,6 +55,24 @@ def main() -> None:
     (REPO / "OPERATORS.md").write_text("\n".join(lines), encoding="utf-8")
     print(f"wrote OPERATORS.md: {len(specs)} operators")
 
+    # keep README's coverage sentence in lockstep (the counts there have
+    # drifted twice; tests/test_properties.py::test_doc_counts_match_registry
+    # fails the suite if either file goes stale again)
+    import re
+
+    n, n_oracle = len(specs), sum(1 for s in specs.values() if s.oracle)
+    readme = REPO / "README.md"
+    text = readme.read_text(encoding="utf-8")
+    text = re.sub(
+        r"\*\*\d+ registered operators\*\*", f"**{n} registered operators**", text
+    )
+    text = re.sub(r"\d+ of them hash-checked", f"{n_oracle} of them hash-checked", text)
+    text = re.sub(
+        r"the remaining \d+ \(sketch-valued", f"the remaining {n - n_oracle} (sketch-valued", text
+    )
+    readme.write_text(text, encoding="utf-8")
+    print(f"patched README.md: {n} operators / {n_oracle} oracle-checked")
+
 
 if __name__ == "__main__":
     main()
