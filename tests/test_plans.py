@@ -234,10 +234,13 @@ def test_exact_ntile_has_no_single_reducer_window(spark):
     # must rank inside coarse-bucket partitions — an unpartitioned window
     # would plan as Exchange SinglePartition feeding Sort+Window, so the
     # absence of SinglePartition anywhere IS the scale property under test
-    for name in ("ntile_order_quartiles", "rfm_segments", "orders_global_rank"):
-        from weather_stream_processor_spark.plans import explain_string
+    from weather_stream_processor_spark.operators.analytics import rfm_lazy_plan
+    from weather_stream_processor_spark.plans import explain_string
 
-        plan = explain_string(_df(spark, name), "formatted")
+    lazy = {"rfm_segments": rfm_lazy_plan}  # registered form is materialized
+    for name in ("ntile_order_quartiles", "rfm_segments", "orders_global_rank"):
+        df = lazy[name](spark, SF_SMOKE) if name in lazy else _df(spark, name)
+        plan = explain_string(df, "formatted")
         assert "Window" in plan, name
         assert "SinglePartition" not in plan, name
 
@@ -266,9 +269,13 @@ def test_prefix_filter_join_is_all_hash_joins(spark):
     # candidate generation and verification are equi-joins on shingle
     # hashes — any CartesianProduct/BroadcastNestedLoop here would be the
     # all-pairs blowup prefix filtering exists to avoid
-    ops = operator_names(_df(spark, "prefix_filter_jaccard_join"))
+    from weather_stream_processor_spark.operators.dedup import prefix_filter_lazy_plan
+
+    # the registered form materializes + unpersists (cache-leak fix), so
+    # inspect the lazy tree it executes
+    ops = operator_names(prefix_filter_lazy_plan(spark, SF_SMOKE))
     assert not any("Cartesian" in o or "NestedLoop" in o for o in ops)
-    for cols in read_schema_columns(_df(spark, "prefix_filter_jaccard_join")):
+    for cols in read_schema_columns(prefix_filter_lazy_plan(spark, SF_SMOKE)):
         assert set(cols) <= {"doc_id", "text"}
 
 

@@ -1,0 +1,113 @@
+"""Round-4 regression tests: the r3 advice fixes that need constructed
+inputs the standard fixtures can't produce (constant embedding dimension,
+non-0.8 Jaccard thresholds), plus cache-scope hygiene."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    from weather_stream_processor_spark.registry import all_queries
+
+    return all_queries()[name].builder(spark, sf)
+
+
+def test_int8_quant_guards_constant_dimension(spark):
+    """A constant dimension (hi == lo) must contribute code 0 / error 0,
+    not divide by a zero scale and poison every vector's mse with NaN
+    (r3 advice, similarity.py)."""
+    sf_dir = tempfile.mkdtemp(prefix="quant_guard_")
+    rows = [
+        (0, [1.0, 5.0, -2.0]),
+        (1, [1.0, 7.0, 3.0]),
+        (2, [1.0, 6.0, 0.5]),
+    ]  # dim 1 is constant (1.0) across the corpus
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+    out = {r.vec_id: r for r in _run(spark, "embedding_int8_quant_error", sf_dir).collect()}
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.n_dims == 3
+        assert not math.isnan(r.mse), "constant dim poisoned mse with NaN"
+        # int8 reconstruction error per dim is bounded by half a step:
+        # (hi-lo)/255/2; with ranges <= 5.0 here the mse bound is tiny
+        assert 0 <= r.mse <= (5.0 / 255 / 2) ** 2 + 1e-12
+
+
+def test_prefix_filter_integer_arithmetic_follows_threshold(spark):
+    """The prefix length and PPJoin overlap bound are derived from the
+    exact rational form of JACCARD_THRESHOLD — not hardcoded for 0.8
+    (r3 advice, dedup.py). At a lower threshold the exact join must
+    still equal the exhaustive-verify oracle, now with MORE pairs."""
+    from weather_stream_processor_spark.operators import dedup
+
+    base = {(r.doc_a, r.doc_b) for r in _run(spark, "ngram_jaccard_pairs").collect()}
+    strict = {
+        (r.doc_a, r.doc_b)
+        for r in _run(spark, "prefix_filter_jaccard_join").collect()
+    }
+    assert strict == base  # t = 0.8 unchanged
+
+    old = dedup.JACCARD_THRESHOLD
+    dedup.JACCARD_THRESHOLD = 0.5
+    try:
+        loose = _run(spark, "prefix_filter_jaccard_join").collect()
+        pairs = {(r.doc_a, r.doc_b) for r in loose}
+        assert pairs >= base, "lowering t lost pairs that pass the higher t"
+        assert all(r.jaccard >= 0.5 for r in loose)
+        # exhaustive reference at t=0.5: every verified pair, no prefix
+        exhaustive = {
+            (r.doc_a, r.doc_b)
+            for r in _run(spark, "ngram_jaccard_pairs").collect()
+        }
+        assert pairs == exhaustive
+    finally:
+        dedup.JACCARD_THRESHOLD = old
+
+
+def test_snapshot_diff_ids_cannot_collide(spark):
+    """Re-added docs carry negative namespaced ids -(doc_id+1): disjoint
+    from every real non-negative doc_id at any corpus size (r3 advice: a
+    fixed +1e6 offset collides past a million docs), so added/removed/
+    changed counts obey conservation exactly."""
+    from pyspark.sql import functions as F
+
+    from weather_stream_processor_spark.sources import load_table
+
+    counts = {r.status: r.n_docs for r in _run(spark, "corpus_snapshot_diff").collect()}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    n_dropped = docs.filter(F.col("doc_id") % 10 == 0).count()
+    n_readded = docs.filter(F.col("doc_id") % 13 == 0).count()
+    # every snapshot-A doc is removed/changed/unchanged; every re-added
+    # id is new (negative), so 'added' == the re-added count exactly
+    assert counts.get("added", 0) == n_readded
+    assert counts.get("removed", 0) == n_dropped
+    assert (
+        counts.get("removed", 0)
+        + counts.get("changed", 0)
+        + counts.get("unchanged", 0)
+        == n
+    )
+
+
+def test_registered_builders_leave_nothing_cached(spark):
+    """The two persist sites (prefix_filter_jaccard_join, rfm_segments)
+    must release their cache once the result is materialized — a
+    long-lived session serving many queries must not accumulate cached
+    postings/aggregates (r3 verdict item 5)."""
+    # DataFrame-level persists register with the session CacheManager;
+    # the result's own localCheckpoint blocks (O(result), released on GC)
+    # intentionally do not.
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    for name in ("prefix_filter_jaccard_join", "rfm_segments"):
+        df = _run(spark, name)
+        df.count()
+        assert cache_mgr.isEmpty(), f"{name} left a DataFrame cache behind"

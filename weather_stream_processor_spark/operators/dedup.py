@@ -1015,9 +1015,10 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sets, after the PPJoin positional filter (overlap upper bound "
         "from the shared token's ranks vs the Jaccard-implied minimum "
         "ceil(t/(1+t)*(na+nb))) discards candidates that cannot verify. "
-        "ceil(t*n) is computed in integer arithmetic "
-        "((4n+4) div 5), never float, so a float ceil(0.8*5)=5 can't "
-        "shorten a prefix and break the recall guarantee. The third "
+        "ceil(t*n) is computed in integer arithmetic derived from the "
+        "exact rational form of JACCARD_THRESHOLD (t=p/q => "
+        "(p*n + q - 1) div q), never float, so a float ceil(0.8*5)=5 "
+        "can't shorten a prefix and break the recall guarantee. The third "
         "exact-near-dup plan alongside the exhaustive join (verifier) "
         "and MinHash LSH (probabilistic): same output, different scale "
         "trade -- exact recall without signatures."
@@ -1025,25 +1026,63 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm", "prefix-filter"),
 )
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    t, p, q = _jaccard_rational()
+    h = _prefix_filter_postings(spark, sf_dir)
+    # persisted via persisted_result: the hashed posting list feeds FOUR
+    # subtrees (df counts, prefix ranking, both verify sides) — without
+    # the cache each replays the scan + shingle explode + hash (measured
+    # 4.4x cold wall). The wrapper materializes the (small) verified pair
+    # set and releases the cache, so repeated invocations in a long-lived
+    # session leak nothing (r3 advice). Plan-shape tests inspect the lazy
+    # tree via prefix_filter_lazy_plan.
+    return persisted_result(h, lambda hp: _prefix_filter_tree(hp, t, p, q))
+
+
+def _jaccard_rational() -> tuple[float, int, int]:
+    """JACCARD_THRESHOLD as (t, p, q) with t == p/q exactly: the
+    integer-exact prefix/overlap ceilings are DERIVED from it (r3 advice:
+    they were hardcoded for 0.8, silently breaking exact recall if the
+    constant changed)."""
+    from fractions import Fraction
+
     t = JACCARD_THRESHOLD
-    # persisted: the hashed posting list feeds FOUR subtrees (df counts,
-    # prefix ranking, and both verify sides) — without it each one replays
-    # the scan + shingle explode + hash (measured 4.4x cold wall)
-    h = (
-        _exploded_shingles(docs)
-        .select("doc_id", F.xxhash64("shingle").alias("h"), "n_shingles")
-        .persist()
+    frac = Fraction(t).limit_denominator(1_000)
+    if abs(float(frac) - t) > 1e-12:
+        raise ValueError(
+            f"JACCARD_THRESHOLD={t} is not a small rational; the "
+            "integer-exact prefix arithmetic requires p/q with q <= 1000"
+        )
+    return t, frac.numerator, frac.denominator
+
+
+def _prefix_filter_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _exploded_shingles(docs).select(
+        "doc_id", F.xxhash64("shingle").alias("h"), "n_shingles"
     )
+
+
+def prefix_filter_lazy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized plan of prefix_filter_jaccard_join — no
+    persist, no lineage cut — for plan-shape inspection in tests."""
+    t, p, q = _jaccard_rational()
+    return _prefix_filter_tree(_prefix_filter_postings(spark, sf_dir), t, p, q)
+
+
+def _prefix_filter_tree(h: DataFrame, t: float, p: int, q: int) -> DataFrame:
     df_tbl = h.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = h.join(df_tbl, "h").withColumn(
         "pos",
         F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
     )
-    # integer-exact ceil(0.8 * n) = (4n + 4) div 5
+    # integer-exact ceil(t * n) = (p*n + q - 1) div q
     prefix = ranked.filter(
         F.col("pos")
-        <= F.col("n_shingles") - F.expr("(4 * n_shingles + 4) div 5") + 1
+        <= F.col("n_shingles")
+        - F.expr(f"({p} * n_shingles + {q - 1}) div {q}")
+        + 1
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -1060,7 +1099,8 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # positional filter (PPJoin): a shared token at ranks (pa, pb) bounds the
     # overlap by min(pa,pb)-1 common tokens before it + itself + min of the
     # remaining tails; pairs whose bound misses the Jaccard-implied minimum
-    # overlap ceil(t/(1+t)*(na+nb)) = (4(na+nb)+8) div 9 can't verify.
+    # overlap ceil(t/(1+t)*(na+nb)) = (p*(na+nb) + p+q-1) div (p+q) can't
+    # verify (t = p/q => t/(1+t) = p/(p+q), still an exact rational).
     overlap_bound = (
         F.least(F.col("pa") - 1, F.col("pb") - 1)
         + 1
@@ -1072,7 +1112,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_a") < F.col("doc_b"))
             # same float size-band expression as the exhaustive oracle
             & (F.least("na", "nb") >= t * F.greatest("na", "nb"))
-            & (overlap_bound >= F.expr("(4 * (na + nb) + 8) div 9"))
+            & (overlap_bound >= F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}"))
         )
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
@@ -1103,7 +1143,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ELSE text END) AS h
             FROM documents WHERE doc_id % 10 <> 0
             UNION ALL
-            SELECT doc_id + 1000000 AS doc_id, sha256(text) AS h
+            SELECT -(doc_id + 1) AS doc_id, sha256(text) AS h
             FROM documents WHERE doc_id % 13 = 0
         ),
         j AS (
@@ -1126,9 +1166,12 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id-keyed exchange, and feeds incremental processing (only "
         "'added'+'changed' re-enter dedup/quality). Snapshot B is derived "
         "in-plan from the fixture (10% dropped, every-7th edited, "
-        "every-13th re-added under a new id) so the diff is deterministic "
-        "and oracle-checkable; a real deployment points the same plan at "
-        "two parquet roots."
+        "every-13th re-added under a NEGATIVE namespaced id -(doc_id+1), "
+        "which cannot collide with any real non-negative doc_id at any "
+        "scale — r3 advice: a fixed +1e6 offset collides once the corpus "
+        "passes a million docs) so the diff is deterministic and "
+        "oracle-checkable; a real deployment points the same plan at two "
+        "parquet roots."
     ),
     tags=("dedup", "llm", "versioning"),
 )
@@ -1146,7 +1189,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hb"),
     ).unionAll(
         docs.filter(F.col("doc_id") % 13 == 0).select(
-            (F.col("doc_id") + 1000000).alias("doc_id"),
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
             F.sha2("text", 256).alias("hb"),
         )
     )

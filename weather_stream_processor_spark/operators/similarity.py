@@ -829,9 +829,10 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         q AS (
             SELECT e.vec_id, e.x, d.lo,
                    (d.hi - d.lo) / 255.0 AS scale,
+                   CASE WHEN d.hi = d.lo THEN 0 ELSE
                    LEAST(GREATEST(
                        FLOOR((e.x - d.lo) / ((d.hi - d.lo) / 255.0) + 0.5),
-                       0), 255) AS code
+                       0), 255) END AS code
             FROM e JOIN dims d USING (i)
         )
         SELECT vec_id,
@@ -853,7 +854,9 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the encode pass are both single scans, the join is 64 rows "
         "broadcast. floor(x+0.5) -- never round() -- keeps codes "
         "bit-identical across engines; floats are widened to double "
-        "BEFORE any arithmetic on both sides."
+        "BEFORE any arithmetic on both sides. A constant dimension "
+        "(hi == lo) is guarded to code 0 / error 0 in both engines "
+        "instead of dividing by a zero scale."
     ),
     tags=("similarity", "llm", "quantization"),
 )
@@ -870,12 +873,18 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("scale", scale)
         .withColumn(
             "code",
-            F.least(
-                F.greatest(
-                    F.floor((F.col("x") - F.col("lo")) / F.col("scale") + 0.5),
-                    F.lit(0),
-                ),
-                F.lit(255),
+            # constant dimension (hi == lo): scale is 0 and the affine
+            # division is undefined — code 0 reconstructs to lo == x, so
+            # the error contribution is exactly 0 in both engines (r3
+            # advice: the unguarded divide made NaN poison every mse)
+            F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("x") - F.col("lo")) / F.col("scale") + 0.5),
+                        F.lit(0),
+                    ),
+                    F.lit(255),
+                )
             ),
         )
     )

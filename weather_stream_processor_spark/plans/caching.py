@@ -1,0 +1,54 @@
+"""Cache-scope helpers: persist an input for a multi-pass plan WITHOUT
+leaking the cached partitions past the query's own execution.
+
+Round-3 advice: ``prefix_filter_jaccard_join`` and ``rfm_segments`` both
+persisted a shared intermediate (postings / per-customer aggregate) that
+feeds several subtrees, and never unpersisted it — every invocation in a
+long-lived session (bench passes, parity sweeps, repeated user calls)
+stacked another session-lifetime copy in executor memory. The fix is a
+materialization boundary: build the result over the cached input, force
+it eagerly with a lineage cut, then release the cache before returning.
+The caller receives a consumable DataFrame whose storage cost is
+O(result), not O(cached input), and the session ends the query with zero
+extra cached partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut a plan's lineage with an eager materialization.
+
+    When a reliable checkpoint dir is configured (``sc.setCheckpointDir``
+    — the cluster deployment), use ``checkpoint()``: blocks live in the
+    fault-tolerant store and survive executor loss. Otherwise fall back
+    to ``localCheckpoint()`` (executor-local blocks — fine for
+    single-node and tests, lost on executor death; see docs/SCALE.md).
+    """
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def persisted_result(
+    input_df: DataFrame, build: Callable[[DataFrame], DataFrame]
+) -> DataFrame:
+    """Run ``build`` over a persisted copy of ``input_df``; return the
+    eagerly-materialized result with the cache already released.
+
+    Use when ``build`` consumes its input in SEVERAL subtrees (so the
+    persist is worth it) and the result is small relative to the input
+    (so materializing it is cheap). The returned DataFrame is a
+    checkpoint scan — callers needing the *lazy* plan for inspection
+    should build it directly without this wrapper (the plan tests do).
+    """
+    cached = input_df.persist()
+    try:
+        return truncate_lineage(build(cached))
+    finally:
+        cached.unpersist()
