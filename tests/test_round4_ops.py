@@ -111,3 +111,18 @@ def test_registered_builders_leave_nothing_cached(spark):
         df = _run(spark, name)
         df.count()
         assert cache_mgr.isEmpty(), f"{name} left a DataFrame cache behind"
+
+
+def test_sample_priority_names_resolve(spark):
+    """__spark_entry__._SAMPLE_PRIORITY must stay a subset of the registry
+    (a renamed operator would silently fall out of the driver's sample
+    window) and must keep every entry oracle-backed."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    assert set(entry._SAMPLE_PRIORITY) <= set(qs)
+    assert len(set(entry._SAMPLE_PRIORITY)) == len(entry._SAMPLE_PRIORITY)
+    for name in entry._SAMPLE_PRIORITY:
+        assert name in oracles, f"{name} has no oracle; priority slots are for hash-checked rows"
+    assert list(qs)[: len(entry._SAMPLE_PRIORITY)] == list(entry._SAMPLE_PRIORITY)
