@@ -108,7 +108,10 @@ def main() -> None:
 
     # two passes, per-query MIN: this host is shared and single-pass wall
     # time swings 2x run-to-run on identical code (see calib_sec); the min
-    # of two passes measures the plan, not the noisy neighbor
+    # of two passes measures the plan, not the noisy neighbor. Both raw
+    # passes are recorded (queries_passes) so a cross-round delta can be
+    # attributed: min within the pass-to-pass spread = scheduling noise;
+    # min outside it = a real plan change (r3 verdict task 4).
     p1, p2 = run_pass(sf_dir), run_pass(sf_dir)
     timings = {k: min(p1[k], p2[k]) for k in p1}
     out = {
@@ -116,6 +119,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_passes": {k: [p1[k], p2[k]] for k in p1},
         "sf": sf,
         "calib_sec": calib,
         "agg": "min_of_2_passes",
