@@ -134,6 +134,51 @@ def main() -> None:
         out["value_secondary"] = round(sum(timings2.values()), 3)
         out["queries_secondary"] = timings2
 
+    # third scale point: sf1-equivalent (fact tables of $SPARK_GRAFT_SF_DIR
+    # replicated K=10x with offset keys so join/group cardinalities scale).
+    # Single pass over the most expensive headliners — three points per
+    # query turn the scale-posture docstrings into measured curves; a
+    # wall ratio far above K on 32 threads is a superlinear red flag.
+    # Set SPARK_GRAFT_SF1=0 to skip.
+    k = int(os.environ.get("SPARK_GRAFT_SF1", "10"))
+    if k > 1 and abs(sf - 0.1) < 1e-9:
+        from tools.scale_probe import build_replica_dir
+
+        replica = build_replica_dir(spark, k)
+        # batch queries only: the streaming replay source stages single
+        # fixture FILES via symlink and does not see the replica's
+        # directory-shaped parquet (it would time an empty stream).
+        # NOTE on reading the ratios: replication clones every document
+        # K times, so near-dup operators' OUTPUT grows ~K^2/2 pairs per
+        # clone-group (measured: 256 pairs -> 250,600 at K=10); their
+        # wall ratio is expected above K and is sublinear in output.
+        sf1_queries = [
+            "bigram_lm_perplexity",
+            "prefix_filter_jaccard_join",
+            "dedup_connected_components",
+            "minhash_lsh_near_dup",
+            "q3_shipping_priority",
+            "ngram_jaccard_pairs",
+            "training_mixture_pipeline",
+            "q5_local_supplier_volume",
+            "tfidf_top_term_per_doc",
+            "bm25_top_docs",
+            "q1_pricing_summary",
+        ]
+        timings1x = {}
+        for name in sf1_queries:
+            t0 = time.perf_counter()
+            materialize(specs[name].builder(spark, replica))
+            timings1x[name] = round(time.perf_counter() - t0, 3)
+        out["sf_third"] = round(sf * k, 3)
+        out["value_third"] = round(sum(timings1x.values()), 3)
+        out["queries_third"] = timings1x
+        out["third_scale_ratio"] = {
+            name: round(timings1x[name] / timings[name], 2)
+            for name in sf1_queries
+            if timings.get(name)
+        }
+
     print(json.dumps(out))
 
 
