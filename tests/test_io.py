@@ -65,11 +65,14 @@ def test_jsonl_corrupt_rows_are_quarantined_not_dropped(spark, tmp_path):
     )
     schema = f"doc_id long, lang string, {CORRUPT_COL} string"
     back = read_jsonl(spark, str(p), schema).cache()
-    good = back.filter(F.col(CORRUPT_COL).isNull())
-    bad = back.filter(F.col(CORRUPT_COL).isNotNull())
-    assert {r.doc_id for r in good.collect()} == {1, 2}
-    assert bad.count() == 1  # quarantined with the raw line, not silently dropped
-    assert "not json" in bad.collect()[0][CORRUPT_COL]
+    try:
+        good = back.filter(F.col(CORRUPT_COL).isNull())
+        bad = back.filter(F.col(CORRUPT_COL).isNotNull())
+        assert {r.doc_id for r in good.collect()} == {1, 2}
+        assert bad.count() == 1  # quarantined with raw line, not silently dropped
+        assert "not json" in bad.collect()[0][CORRUPT_COL]
+    finally:
+        back.unpersist()  # session-scoped fixture: don't leak into later tests
 
 
 def test_partitioned_parquet_prunes_on_partition_filter(spark, tmp_path):

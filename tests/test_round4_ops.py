@@ -105,12 +105,15 @@ def test_registered_builders_leave_nothing_cached(spark):
     postings/aggregates (r3 verdict item 5)."""
     # DataFrame-level persists register with the session CacheManager;
     # the result's own localCheckpoint blocks (O(result), released on GC)
-    # intentionally do not.
+    # intentionally do not. Compare against the pre-existing cache count
+    # so an unrelated test's leftover cache can't mask or fake a leak.
     cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    before = cache_mgr.cachedData().size()
     for name in ("prefix_filter_jaccard_join", "rfm_segments"):
         df = _run(spark, name)
         df.count()
-        assert cache_mgr.isEmpty(), f"{name} left a DataFrame cache behind"
+        after = cache_mgr.cachedData().size()
+        assert after == before, f"{name} left a DataFrame cache behind"
 
 
 def test_sample_priority_names_resolve(spark):
