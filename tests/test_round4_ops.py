@@ -129,3 +129,59 @@ def test_sample_priority_names_resolve(spark):
     for name in entry._SAMPLE_PRIORITY:
         assert name in oracles, f"{name} has no oracle; priority slots are for hash-checked rows"
     assert list(qs)[: len(entry._SAMPLE_PRIORITY)] == list(entry._SAMPLE_PRIORITY)
+
+
+def test_bpe_merges_match_reference_python(spark):
+    """bpe_merge_induction must reproduce Sennrich-style BPE exactly:
+    replay the induction in pure Python (word-frequency table, weighted
+    adjacent-pair counts with overlapping positions, greedy left-to-right
+    merge application, count-desc/pair-asc tie-break) and require the
+    IDENTICAL merge sequence."""
+    import re
+    from collections import Counter
+
+    from weather_stream_processor_spark.operators.text import BPE_MERGES
+    from weather_stream_processor_spark.sources import load_table
+
+    texts = [
+        r.text for r in load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    ]
+    weights = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if len(w) >= 2:
+                weights[w] += 1
+    vocab = {tuple(w): c for w, c in weights.items()}
+
+    expected = []
+    for rank in range(1, BPE_MERGES + 1):
+        pair_counts = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        (left, right), count = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if count < 2:
+            break
+        expected.append((rank, left, right, left + right, count))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = dict(new_vocab)
+
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in _run(spark, "bpe_merge_induction").orderBy("rank").collect()
+    ]
+    assert got == expected

@@ -968,3 +968,114 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.select("metric", F.round("value", 6).alias("value"))
+
+
+# --- BPE vocabulary induction (tokenizer training, the missing half of
+# bpe_token_counts' fertility analysis) ---------------------------------------
+
+BPE_MERGES = 10
+
+
+def _bpe_word_table(docs: DataFrame) -> DataFrame:
+    """(symbols: array<string>, weight) — the classic BPE reduction: all
+    corpus-side work collapses into ONE hash aggregation over lowercased
+    alphabetic words; every merge round after it runs on this
+    vocabulary-bounded table, never the corpus."""
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda w: F.length(w) >= 2
+            )
+        ).alias("word")
+    )
+    wt = words.groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
+    # (?!^)(?!$): split between every character but not at the string
+    # edges — Spark's split keeps trailing empty strings (limit -1), so a
+    # bare (?!^) would append a phantom "" symbol to every word
+    return wt.select(F.split("word", r"(?!^)(?!$)").alias("symbols"), "weight")
+
+
+def _adjacent_pairs(symbols):
+    n = F.size(symbols)
+    return F.arrays_zip(
+        F.slice(symbols, 1, n - 1).alias("l"),
+        F.slice(symbols, 2, n - 1).alias("r"),
+    )
+
+
+def _apply_merge(symbols, left: str, right: str):
+    """Greedy left-to-right merge of adjacent (left,right) -> left+right,
+    as a pure fold (F.aggregate) — no UDF. CaseWhen branches evaluate
+    lazily per element, so the slice on the merge branch never sees an
+    empty accumulator."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@register(
+    "bpe_merge_induction",
+    oracle=None,  # iterative fixed-point over a vocab table; not SQL-
+    # expressible in one statement. Exactness is gated by
+    # tests/test_round4_ops.py::test_bpe_merges_match_reference_python,
+    # which replays Sennrich-style BPE in pure Python on the same corpus
+    # and asserts the merge sequence is IDENTICAL.
+    doc=(
+        "BPE tokenizer-vocabulary induction (the 'real BPE vocab merge "
+        "step' bpe_token_counts points at), Spark-first: the corpus "
+        "collapses into a vocabulary-bounded (word, weight) table with "
+        "ONE hash aggregation, and each of the BPE_MERGES rounds runs "
+        "entirely on that table — adjacent-pair explode weighted by word "
+        "frequency, a pair-count aggregation, a 1-ROW driver collect of "
+        "the argmax pair (tie-break: count desc, then pair asc, fully "
+        "deterministic), then an in-plan greedy fold (F.aggregate) that "
+        "rewrites each word's symbol array. No UDF anywhere; the only "
+        "driver data is one (pair,count) row per round. 100 TB posture: "
+        "corpus cost is the single word-count shuffle (same class as "
+        "term_frequency); rounds cost O(|vocab|) each, independent of "
+        "corpus size, and the per-round lineage is cut so the plan stays "
+        "flat. Output = the ordered merge table a tokenizer trainer "
+        "ships (rank, left, right, merged, pair_count)."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = truncate_lineage(_bpe_word_table(docs))
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = wt.select(
+            F.explode(_adjacent_pairs(F.col("symbols"))).alias("p"), "weight"
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("weight").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_count < 2:
+            break
+        best = top[0]
+        merges.append((rank, best.l, best.r, best.l + best.r, best.pair_count))
+        wt = truncate_lineage(
+            wt.select(
+                _apply_merge(F.col("symbols"), best.l, best.r).alias("symbols"),
+                "weight",
+            )
+        )
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_count bigint"
+    )
