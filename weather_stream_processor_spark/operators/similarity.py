@@ -896,3 +896,62 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("code") == 0) | (F.col("code") == 255), 1).otherwise(0)
         ).alias("n_extreme_codes"),
     )
+
+
+@register(
+    "embedding_truncation_energy",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        pv AS (
+            SELECT vec_id, label,
+                   SUM(x * x) AS full_e,
+                   SUM(CASE WHEN i <= 8  THEN x * x ELSE 0 END) AS e8,
+                   SUM(CASE WHEN i <= 16 THEN x * x ELSE 0 END) AS e16,
+                   SUM(CASE WHEN i <= 32 THEN x * x ELSE 0 END) AS e32
+            FROM e GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(AVG(SQRT(e8  / full_e)), 6) AS retained_cos_8,
+               ROUND(AVG(SQRT(e16 / full_e)), 6) AS retained_cos_16,
+               ROUND(AVG(SQRT(e32 / full_e)), 6) AS retained_cos_32
+        FROM pv GROUP BY label
+    """,
+    doc=(
+        "Matryoshka-style truncation audit for the embedding store: the "
+        "cosine between a vector and its d-dim prefix truncation equals "
+        "sqrt(prefix energy / full energy), so per-label averages of that "
+        "retained cosine at d in {8,16,32} measure exactly how much ANN "
+        "quality a dimension cut would keep — the audit run before "
+        "shipping a cheaper index (truncation halves/quarters both "
+        "storage and GEMM cost). Pure per-row fold (F.aggregate over the "
+        "sliced array) + one label-bounded aggregation; no shuffle wider "
+        "than |labels| at any corpus size, embeddings column never "
+        "leaves the scan projection."
+    ),
+    tags=("similarity", "llm", "quantization"),
+)
+def embedding_truncation_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def energy(col: Column) -> Column:
+        return F.aggregate(
+            col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+
+    full_e = energy(F.col("embedding"))
+    pv = emb.select(
+        "label",
+        *[
+            F.sqrt(energy(F.slice("embedding", 1, d)) / full_e).alias(f"rc{d}")
+            for d in (8, 16, 32)
+        ],
+    )
+    return pv.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.round(F.avg(f"rc{d}"), 6).alias(f"retained_cos_{d}") for d in (8, 16, 32)],
+    )
