@@ -800,19 +800,31 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boilerplate as out-of-model (very negative) without any external "
         "model artifact. Train and score are the same two hash "
         "aggregations: bigram counts and unigram counts, both bounded by "
-        "vocabulary, joined back to the per-doc bigram stream on the "
-        "bigram key. At 100 TB train on a sampled slice and broadcast "
-        "only query-relevant counts; the plan shape (explode -> "
-        "vocab-bounded aggs -> keyed join -> per-doc avg) is unchanged. "
-        "Scores rounded to 6dp in both engines so summation order cannot "
-        "flip the hash."
+        "vocabulary, joined back to the per-doc bigram table on the "
+        "bigram key. The corpus is exploded ONCE per n-gram order: the "
+        "per-(doc, bigram) multiplicity table is aggregated first, the "
+        "global bigram counts derive from it without a second explode "
+        "(partial aggregation upstream of one exchange), and scoring "
+        "joins the multiplicity table — distinct bigrams per doc, not "
+        "every instance — with the per-doc mean weighted by multiplicity "
+        "(identical arithmetic, fewer join rows). At 100 TB train on a "
+        "sampled slice and broadcast only query-relevant counts; the "
+        "plan shape is unchanged. Scores rounded to 6dp in both engines "
+        "so summation order cannot flip the hash."
     ),
     tags=("text", "llm", "quality"),
 )
 def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    doc_bi = docs.select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
-    bic = doc_bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    # one explode pass: per-(doc, bigram) multiplicity k; the global
+    # bigram counts derive from it (sum of k) so the corpus is never
+    # re-exploded, and the scoring join carries distinct bigrams per doc
+    db = (
+        docs.select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    bic = db.groupBy("bigram").agg(F.sum("k").alias("c_xy"))
     uni = (
         docs.select(F.explode(tokens(F.col("text"))).alias("x"))
         .groupBy("x")
@@ -820,15 +832,17 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
-        doc_bi.join(bic, "bigram")
+        db.join(bic, "bigram")
         .withColumn("x", F.split("bigram", " ")[0])
         .join(uni, "x")
         .crossJoin(F.broadcast(v))
         .withColumn("logp", F.log((F.col("c_xy") + 1.0) / (F.col("c") + F.col("v"))))
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("k") * F.col("logp")) / F.sum("k"), 6).alias(
+            "avg_logprob"
+        ),
     )
 
 
