@@ -1117,13 +1117,18 @@ def _prefix_filter_tree(h: DataFrame, t: float, p: int, q: int) -> DataFrame:
         .select("doc_a", "doc_b", "na", "nb")
         .distinct()
     )
-    ha = h.select(F.col("doc_id").alias("doc_a"), "h")
-    hb = h.select(F.col("doc_id").alias("doc_b"), "h")
+    # verify on per-doc hashed shingle SETS (same pattern as the MinHash
+    # verifier): two doc-keyed joins against the candidate pairs plus a
+    # per-row array_intersect, instead of re-joining candidates to the
+    # postings table at shingle granularity — the old form shuffled
+    # |candidates| x avg(n_shingles) posting rows through a re-aggregation
+    sets = h.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    pa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
+    pb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = (
-        cand.join(ha, "doc_a")
-        .join(hb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return inter.filter(jac >= t).select(
