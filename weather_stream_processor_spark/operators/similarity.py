@@ -210,6 +210,42 @@ N_PLANES = 6
 PROBE_RADIUS = 2
 N_TABLES = 4
 
+def _planes_values_sql() -> str:
+    """The hyperplane bank as a DuckDB VALUES list (table_id, plane_idx,
+    i, w) — the planes are deterministic plan literals, so the ORACLE can
+    rebuild the identical sketch and the driver hash-checks the LSH
+    operators instead of settling for rows-only."""
+    rows = []
+    for t in range(N_TABLES):
+        for pidx, plane in enumerate(_hyperplanes(table=t)):
+            for i, w in enumerate(plane, start=1):
+                rows.append(f"({t},{pidx},{i},{w!r})")
+    return ",".join(rows)
+
+
+def _lsh_buckets_cte() -> str:
+    """Shared oracle CTEs: per-(vec, table) sign-bit bucket ids."""
+    return f"""
+        WITH planes(table_id, plane_idx, i, w) AS (VALUES {_planes_values_sql()}),
+        e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT e.vec_id, p.table_id, p.plane_idx, SUM(e.x * p.w) AS dot
+            FROM e JOIN planes p USING (i)
+            GROUP BY e.vec_id, p.table_id, p.plane_idx
+        ),
+        buckets AS (
+            SELECT vec_id, table_id,
+                   CAST(SUM(CASE WHEN dot > 0 THEN 1 << plane_idx ELSE 0 END)
+                        AS BIGINT) AS bucket
+            FROM dots GROUP BY vec_id, table_id
+        )
+    """
+
+
 def _hyperplanes(
     dim: int = 64, n_planes: int = N_PLANES, table: int = 0
 ) -> list[list[float]]:
@@ -250,7 +286,14 @@ def rp_bucket(embedding: Column, dim: int = 64, table: int = 0) -> Column:
 
 @register(
     "ann_lsh_buckets",
-    oracle=None,  # sketch buckets are engine-specific; recall measured in tests
+    # the deterministic plane literals let DuckDB rebuild the sketch
+    # bit-for-bit, so the occupancy table is HASH-checked, not rows-only
+    oracle=_lsh_buckets_cte()
+    + """
+        SELECT table_id, bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               MIN(vec_id) AS min_vec_id
+        FROM buckets GROUP BY table_id, bucket
+    """,
     doc=(
         "Random-hyperplane LSH sketch, multi-table: N_TABLES independent "
         "tables of N_PLANES sign bits each; output is per-(table, bucket) "
@@ -285,7 +328,41 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by construction; recall vs exact in tests
+    # approximate by construction, but DETERMINISTICALLY approximate: the
+    # oracle replays the identical multi-table sketch (literal planes),
+    # Hamming-radius probe (xor + bit_count) and exact rerank, so even
+    # the ANN result is hash-checked against an independent engine
+    oracle=_lsh_buckets_cte()
+    + f"""
+        ,
+        qb AS (SELECT table_id, bucket AS q_bucket FROM buckets WHERE vec_id = 0),
+        cand AS (
+            SELECT DISTINCT b.vec_id
+            FROM buckets b JOIN qb ON b.table_id = qb.table_id
+            WHERE b.vec_id <> 0
+              AND bit_count(xor(b.bucket, qb.q_bucket)) <= {PROBE_RADIUS}
+        ),
+        norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM e GROUP BY vec_id),
+        qe AS (SELECT i, x AS qx FROM e WHERE vec_id = 0),
+        sims AS (
+            SELECT e.vec_id,
+                   ROUND(SUM(e.x * qe.qx)
+                         / (sqrt(MAX(n.n2))
+                            * sqrt((SELECT n2 FROM norms WHERE vec_id = 0))),
+                         6) AS cosine_sim
+            FROM e
+            JOIN qe USING (i)
+            JOIN cand c ON c.vec_id = e.vec_id
+            JOIN norms n ON n.vec_id = e.vec_id
+            GROUP BY e.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, cosine_sim,
+                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC, vec_id) AS rn
+            FROM sims
+        )
+        SELECT vec_id, cosine_sim, rn FROM ranked WHERE rn <= 10
+    """,
     doc=(
         "ANN top-k for query vec_id 0 via the multi-table LSH sketch: "
         "candidates = union over all N_TABLES tables of vectors whose "
