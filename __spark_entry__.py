@@ -54,9 +54,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "q16_supplier_part_counts", "q17_small_quantity_revenue",
     "q18_large_volume_customers", "q19_disjunctive_revenue",
     "q20_part_promotion", "q21_waiting_supplier", "q22_idle_customers",
-    # headline retrieval / similarity / mixture
+    # headline retrieval / similarity / mixture (incl. the LSH sketch +
+    # ANN top-k, hash-checkable since round 4's literal-plane oracle)
     "cosine_topk_exact", "knn_join_topk", "bm25_top_docs",
-    "training_mixture_pipeline",
+    "training_mixture_pipeline", "ann_lsh_buckets", "ann_lsh_topk",
+    "embedding_truncation_energy",
     # dedup family not yet driver-verified
     "prefix_filter_jaccard_join", "corpus_snapshot_diff",
     "incremental_near_dup_vs_index", "chunk_dedup_reconstruct",
