@@ -64,6 +64,21 @@ HEADLINE = [
     "streaming_dedup_replay",
 ]
 
+# the sf1-equivalent (10x replica) subset: the heaviest headliners
+SF1_QUERIES = [
+    "bigram_lm_perplexity",
+    "prefix_filter_jaccard_join",
+    "dedup_connected_components",
+    "minhash_lsh_near_dup",
+    "q3_shipping_priority",
+    "ngram_jaccard_pairs",
+    "training_mixture_pipeline",
+    "q5_local_supplier_volume",
+    "tfidf_top_term_per_doc",
+    "bm25_top_docs",
+    "q1_pricing_summary",
+]
+
 
 def materialize(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -152,19 +167,7 @@ def main() -> None:
         # K times, so near-dup operators' OUTPUT grows ~K^2/2 pairs per
         # clone-group (measured: 256 pairs -> 250,600 at K=10); their
         # wall ratio is expected above K and is sublinear in output.
-        sf1_queries = [
-            "bigram_lm_perplexity",
-            "prefix_filter_jaccard_join",
-            "dedup_connected_components",
-            "minhash_lsh_near_dup",
-            "q3_shipping_priority",
-            "ngram_jaccard_pairs",
-            "training_mixture_pipeline",
-            "q5_local_supplier_volume",
-            "tfidf_top_term_per_doc",
-            "bm25_top_docs",
-            "q1_pricing_summary",
-        ]
+        sf1_queries = SF1_QUERIES
         timings1x = {}
         for name in sf1_queries:
             t0 = time.perf_counter()

@@ -185,3 +185,26 @@ def test_bpe_merges_match_reference_python(spark):
         for r in _run(spark, "bpe_merge_induction").orderBy("rank").collect()
     ]
     assert got == expected
+
+
+def test_bench_and_quality_tool_names_resolve(spark):
+    """bench.py's HEADLINE/SF1_QUERIES and tools/ann_quality.py's query
+    names are executed by the round driver, not by pytest — a renamed
+    operator must fail here, not at driver time."""
+    import bench
+    from weather_stream_processor_spark.registry import all_queries
+
+    specs = all_queries()
+    for name in bench.HEADLINE:
+        assert name in specs, f"bench HEADLINE references unknown query {name}"
+    for name in bench.SF1_QUERIES:
+        assert name in specs, f"bench SF1_QUERIES references unknown query {name}"
+    assert set(bench.SF1_QUERIES) <= set(bench.HEADLINE) | {"q3_shipping_priority"}
+    for name in (
+        "cosine_topk_exact",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "ngram_jaccard_pairs",
+        "minhash_lsh_near_dup",
+    ):
+        assert name in specs, f"ann_quality references unknown query {name}"
