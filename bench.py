@@ -77,6 +77,12 @@ SF1_QUERIES = [
     "tfidf_top_term_per_doc",
     "bm25_top_docs",
     "q1_pricing_summary",
+    # similarity family over the replicated (10x) embedding corpus; the
+    # query vector's replicas appear as exact-duplicate neighbors, which
+    # is fine for a timing point
+    "cosine_topk_exact",
+    "knn_join_topk",
+    "ann_lsh_topk",
 ]
 
 

@@ -199,7 +199,10 @@ def test_bench_and_quality_tool_names_resolve(spark):
         assert name in specs, f"bench HEADLINE references unknown query {name}"
     for name in bench.SF1_QUERIES:
         assert name in specs, f"bench SF1_QUERIES references unknown query {name}"
-    assert set(bench.SF1_QUERIES) <= set(bench.HEADLINE) | {"q3_shipping_priority"}
+    assert set(bench.SF1_QUERIES) <= set(bench.HEADLINE) | {
+        "q3_shipping_priority",
+        "ann_lsh_topk",
+    }
     for name in (
         "cosine_topk_exact",
         "ann_lsh_topk",

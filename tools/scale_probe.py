@@ -34,6 +34,7 @@ _FACTS = {
     "orders": "o_orderkey",
     "events": "event_id",
     "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 _KEY_OFFSET = 1 << 32  # far above any fixture key
 
