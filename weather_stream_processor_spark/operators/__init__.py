@@ -25,6 +25,7 @@ from weather_stream_processor_spark.operators import streaming_ops  # noqa: F401
 from weather_stream_processor_spark.operators import (  # noqa: F401
     aggregates,
     analytics,
+    curation,
     dedup,
     joins,
     mixture,

@@ -1,0 +1,321 @@
+"""Corpus-curation operators: semantic dedup, importance resampling,
+embedding-space decontamination.
+
+These are the cluster-then-prune / distribution-matching passes a
+large-scale training-data pipeline runs AFTER exact/near-dup dedup
+(``dedup.py``) and quality filtering (``text.py``):
+
+- SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+  efficient learning at web-scale through semantic deduplication"):
+  k-means-cluster the embedding corpus, then drop within-cluster members
+  whose cosine to a lower-id member clears a threshold. The clustering
+  bounds the pairwise work — |cluster|^2 instead of |corpus|^2 — which is
+  exactly what makes semantic dedup feasible at 100 TB (pick k so the
+  expected cluster size stays bounded as the corpus grows).
+- DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+  Language Models via Importance Resampling"): score every document by
+  the average log-likelihood ratio of its tokens under a target-corpus
+  unigram model vs the raw-corpus model (add-one smoothing over the
+  shared vocabulary). Vocabulary-bounded hash aggregations + one
+  broadcast token join — no per-document state, no driver collect.
+- Embedding decontamination: flag corpus vectors whose cosine to ANY
+  eval-set vector clears a threshold — the semantic complement of the
+  n-gram ``decontamination_overlap`` in ``dedup.py`` (catches
+  paraphrased eval leakage that shingle overlap misses).
+
+Reference parity note: the reference engine (weather_processor.py /
+weather_stream.py) has no curation surface; these rows are the SURVEY
+§2.6 mandated-extension operators for LLM training-data pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.functions import dot, l2_norm, tokens
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table, spread
+from weather_stream_processor_spark.operators.similarity import (
+    _KMEANS_ITERS,
+    _KMEANS_K,
+    _kmeans_oracle,
+    NEAR_DUP_COSINE,
+    kmeans_embedding_clusters,
+)
+
+# Every N-th vector is the held-out eval set for decontamination. A real
+# pipeline reads the eval table from its own source; the modulus keeps the
+# fixture self-contained while preserving the plan shape (small eval side,
+# broadcast into the corpus scan).
+EVAL_VEC_MODULUS = 25
+
+
+def _semdedup_oracle() -> str:
+    """SemDeDup oracle: the k-means assignment CTEs (shared with
+    ``kmeans_embedding_clusters`` so both engines agree bit-for-bit on the
+    clustering) + a within-cluster pairwise cosine join + the drop rule."""
+    kmeans = _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS)
+    # _kmeans_oracle ends with the final SELECT; wrap it as a CTE.
+    return f"""
+        WITH assign AS ({kmeans}),
+        ev AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        m AS (
+            SELECT a.vec_id, a.cluster_id, e.i, e.x
+            FROM assign a JOIN ev e USING (vec_id)
+        ),
+        pairs AS (
+            SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+                   SUM(a.x * b.x) AS dot,
+                   SQRT(SUM(a.x * a.x)) AS na,
+                   SQRT(SUM(b.x * b.x)) AS nb
+            FROM m a JOIN m b
+              ON a.i = b.i AND a.cluster_id = b.cluster_id
+             AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        ),
+        dropped AS (
+            SELECT DISTINCT drop_id
+            FROM pairs
+            WHERE ROUND(dot / (na * nb), 6) >= {NEAR_DUP_COSINE}
+        )
+        SELECT a.vec_id, a.cluster_id,
+               (d.drop_id IS NULL) AS is_kept
+        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.drop_id
+    """
+
+
+@register(
+    "semdedup_keep_list",
+    oracle=_semdedup_oracle(),
+    doc=(
+        "SemDeDup semantic dedup (Abbas et al. 2023): deterministic "
+        f"k-means (k={_KMEANS_K}, shared with kmeans_embedding_clusters) "
+        "partitions the embedding corpus, then WITHIN each cluster every "
+        "pair is cosine-compared and the higher-id member of any pair at "
+        f">= {NEAR_DUP_COSINE} is dropped (lowest id survives as the "
+        "representative — deterministic, so both engines agree without a "
+        "union-find). Output: (vec_id, cluster_id, is_kept). Plan: the "
+        "k-means assignment reuses the broadcast-centroid crossJoin plan; "
+        "the pairwise stage is an equi-join ON cluster_id — shuffle keyed "
+        "on cluster, quadratic ONLY in cluster size, never corpus size. "
+        "At 100 TB, k grows with the corpus so E[|cluster|] stays "
+        "bounded (the paper's regime: 50k clusters over web scale), and "
+        "the per-cluster GEMM drops into the same Arrow-batched kernel "
+        "as embedding_near_dup_blocked. Threshold is the fixture-tuned "
+        "NEAR_DUP_COSINE; a production corpus uses ~0.95+."
+    ),
+    tags=("dedup", "similarity", "llm", "curation"),
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_embedding_clusters(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    m = assign.join(emb, "vec_id")
+    a = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("keep_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = m.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("drop_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.round(
+        dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm")), 6
+    )
+    dropped = (
+        a.join(b, on=["cluster_id"])
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(cos >= F.lit(NEAR_DUP_COSINE))
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        assign.join(dropped, assign.vec_id == dropped.drop_id, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("drop_id").isNull().alias("is_kept"),
+        )
+    )
+
+
+# Target distribution for DSIR scoring: English documents. A production
+# pipeline would point this at a curated target corpus (Wikipedia, books);
+# the fixture's `lang` column gives a deterministic stand-in with the same
+# two-distribution shape.
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        ca AS (SELECT w, COUNT(*) AS ca FROM tok GROUP BY w),
+        ct AS (
+            SELECT w, COUNT(*) AS ct FROM tok
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY w
+        ),
+        tot AS (
+            SELECT (SELECT SUM(ca) FROM ca) AS ts,
+                   (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt,
+                   (SELECT COUNT(*) FROM ca) AS v
+        ),
+        llr AS (
+            SELECT ca.w,
+                   LN((COALESCE(ct.ct, 0) + 1.0) / (tot.tt + tot.v))
+                   - LN((ca.ca + 1.0) / (tot.ts + tot.v)) AS llr
+            FROM ca LEFT JOIN ct USING (w) CROSS JOIN tot
+        )
+        SELECT tok.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(llr.llr), 6) AS dsir_logratio,
+               (AVG(llr.llr) > 0) AS target_like
+        FROM tok JOIN llr USING (w)
+        GROUP BY tok.doc_id
+    """,
+    doc=(
+        "DSIR-style importance weights (Xie et al. 2023): per-document "
+        "average log-likelihood ratio of its tokens under the TARGET "
+        f"unigram model (lang = '{DSIR_TARGET_LANG}') vs the RAW-corpus "
+        "model, add-one smoothing over the shared vocabulary. Positive "
+        "score = more target-like; importance resampling samples "
+        "proportionally to exp(score). Plan: two vocabulary-bounded hash "
+        "aggregations (map-side partials; shuffle = |vocab|, not "
+        "|tokens|), a one-row totals aggregate crossed in (broadcast "
+        "NestedLoopJoin of a single row), and the per-token scoring join "
+        "broadcasts the |vocab|-row log-ratio table into the token "
+        "explode — the corpus-sized side never shuffles. At 100 TB the "
+        "vocab table is hashed-feature-bounded (the paper buckets n-grams "
+        "to 10k features); the plan is unchanged."
+    ),
+    tags=("text", "llm", "curation", "sampling"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs, "doc_id").select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    ca = tok.groupBy("w").agg(F.count(F.lit(1)).alias("ca"))
+    ct = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = ca.join(ct, "w", "left").agg(
+        F.sum("ca").alias("ts"),
+        F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    llr = (
+        ca.join(ct, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            (
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("tt") + F.col("v")))
+                - F.log((F.col("ca") + F.lit(1.0)) / (F.col("ts") + F.col("v")))
+            ).alias("llr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(llr), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg("llr"), 6).alias("dsir_logratio"),
+            (F.avg("llr") > 0).alias("target_like"),
+        )
+    )
+
+
+@register(
+    "embedding_eval_decontam",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id AS eid, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % {EVAL_VEC_MODULUS} = 0
+        ),
+        corpus AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % {EVAL_VEC_MODULUS} <> 0
+        ),
+        sims AS (
+            SELECT c.vec_id, e.eid,
+                   ROUND(SUM(c.x * e.x)
+                         / (SQRT(SUM(c.x * c.x)) * SQRT(SUM(e.x * e.x))),
+                         6) AS cos,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY ROUND(SUM(c.x * e.x)
+                                / (SQRT(SUM(c.x * c.x)) * SQRT(SUM(e.x * e.x))),
+                                6) DESC, e.eid
+                   ) AS rn
+            FROM corpus c JOIN ev e USING (i)
+            GROUP BY c.vec_id, e.eid
+        )
+        SELECT vec_id, eid AS nearest_eval_id, cos AS max_eval_cos,
+               cos >= {NEAR_DUP_COSINE} AS is_contaminated
+        FROM sims WHERE rn = 1
+    """,
+    doc=(
+        "Embedding-space eval decontamination: every corpus vector is "
+        "scored by its max cosine to the held-out eval set (every "
+        f"{EVAL_VEC_MODULUS}th vec_id) and flagged at >= "
+        f"{NEAR_DUP_COSINE} — the semantic complement of the n-gram "
+        "decontamination_overlap (catches paraphrased leakage that "
+        "shingle overlap misses). Plan: the eval side is SMALL BY "
+        "CONSTRUCTION (an eval suite is thousands of rows, not "
+        "billions), so it broadcasts into a single corpus scan — "
+        "map-side crossJoin, no corpus shuffle; the argmax window "
+        "partitions by corpus vec_id with |eval| rows per partition "
+        "(bounded). Cosine rounded to 6dp BEFORE the argmax ordering so "
+        "Spark/DuckDB float drift cannot flip the nearest-eval "
+        "tie-break. At 100 TB: same plan; if the eval suite outgrows "
+        "broadcast, block it like embedding_near_dup_blocked."
+    ),
+    tags=("similarity", "llm", "curation", "dedup"),
+)
+def embedding_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    is_eval = F.col("vec_id") % EVAL_VEC_MODULUS == 0
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("eid"),
+        F.col("embedding").alias("e_emb"),
+        F.col("nrm").alias("e_nrm"),
+    )
+    corpus = emb.filter(~is_eval)
+    cos = F.round(
+        dot(F.col("embedding"), F.col("e_emb")) / (F.col("nrm") * F.col("e_nrm")), 6
+    )
+    sims = corpus.crossJoin(F.broadcast(ev)).select(
+        "vec_id", "eid", cos.alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("eid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("eid").alias("nearest_eval_id"),
+            F.col("cos").alias("max_eval_cos"),
+            (F.col("cos") >= NEAR_DUP_COSINE).alias("is_contaminated"),
+        )
+    )
