@@ -335,36 +335,129 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- portable SimHash ---------------------------------------------------
+# Per-token hash: two char-polynomial codes (bases 31 / 37, mod 2^31-1,
+# exponents cycled mod 16 via literal power tables) packed into a 62-bit
+# non-negative value. Pure +,*,%,ascii,codepoint arithmetic that Spark and
+# DuckDB evaluate bit-identically — which is what converts SimHash from a
+# rows-only sketch into a value-hash-checked operator. Production swaps
+# this for xxhash64 (same plan: the hash is one projection over the
+# distinct-token table); the SimHash *construction* is unchanged.
+_SH_MOD = 2_147_483_647  # 2^31 - 1
+_SH_POW_CYCLE = 16
+_SH_POW31 = tuple(pow(31, k, _SH_MOD) for k in range(_SH_POW_CYCLE))
+_SH_POW37 = tuple(pow(37, k, _SH_MOD) for k in range(_SH_POW_CYCLE))
+_SH_BITS = 62  # h < 2^62 by construction; bits 62/63 carry no signal
+
+
+def _simhash_oracle() -> str:
+    p31 = ", ".join(str(p) for p in _SH_POW31)
+    p37 = ", ".join(str(p) for p in _SH_POW37)
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SH_BITS)
+    )
+    assemble = "\n                 + ".join(
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(_SH_BITS)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        vocab AS (SELECT DISTINCT tok FROM toks),
+        vchars AS (
+            SELECT tok, unnest(regexp_extract_all(tok, '.')) AS c,
+                   generate_subscripts(regexp_extract_all(tok, '.'), 1) AS i
+            FROM vocab
+        ),
+        vhash AS (
+            SELECT tok,
+                   (SUM(CAST(ascii(c) AS BIGINT)
+                        * ([{p31}])[((i - 1) % {_SH_POW_CYCLE}) + 1])
+                    % {_SH_MOD})
+                   + (SUM(CAST(ascii(c) AS BIGINT)
+                          * ([{p37}])[((i - 1) % {_SH_POW_CYCLE}) + 1])
+                      % {_SH_MOD}) * 2147483648 AS h
+            FROM vchars GROUP BY tok
+        ),
+        th AS (
+            SELECT t.doc_id, COALESCE(v.h, 0) AS h
+            FROM toks t LEFT JOIN vhash v USING (tok)
+        ),
+        sums AS (
+            SELECT doc_id,
+                   {bit_sums}
+            FROM th GROUP BY doc_id
+        ),
+        sh AS (
+            SELECT doc_id,
+                   {assemble} AS simhash
+            FROM sums
+        )
+        SELECT doc_id, simhash, simhash >> {_SH_BITS - 16} AS bucket16
+        FROM sh
+    """
+
+
 @register(
     "simhash_buckets",
-    oracle=None,  # xxhash64-based: engine-specific values; determinism tested
+    oracle=_simhash_oracle(),
     doc=(
-        "64-bit SimHash per document from token xxhash64s: per bit, sum "
-        "+1/-1 weighted by token frequency, sign -> bit. Docs grouped by "
-        "16-bit prefix buckets (the blocking key for Hamming-distance "
-        "candidate search at scale). One explode + one aggregation; "
-        "signature state is 64 longs per doc."
+        f"{_SH_BITS}-bit SimHash per document: per bit, sum +1/-1 over "
+        "token occurrences by whether the token hash has that bit set, "
+        "sign -> bit; docs grouped by 16-bit prefix buckets (the blocking "
+        "key for Hamming-distance candidate search at scale). The token "
+        "hash is a PORTABLE two-base char polynomial (bases 31/37 mod "
+        "2^31-1, literal power tables) computed once per DISTINCT token "
+        "— vocabulary-bounded work — then equi-joined back onto the "
+        "token stream; empty tokens hash to 0 via the left join so every "
+        "document keeps a signature. Portability is what upgrades this "
+        "from a determinism-tested sketch to a cross-engine value-hash "
+        "row; production swaps xxhash64 into the same vocab projection. "
+        "Plan: explode -> distinct -> per-char explode of the VOCAB only "
+        "-> hash agg -> equi-join -> one 62-column hash agg per doc; "
+        "signature state is 62 longs per doc, shuffle bounded by "
+        "|tokens| + |vocab chars|."
     ),
     tags=("dedup", "llm", "simhash"),
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    # hash once per token in a projection; referencing xxhash64("tok")
-    # inside all 64 aggregate expressions would inline it 64x per row
-    # (aggregate inputs get no common-subexpression elimination) —
-    # measured 3x slower at sf0.1
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    # hash once per DISTINCT token; referencing the polynomial inside all
+    # 62 aggregate expressions would inline it 62x per row (aggregate
+    # inputs get no common-subexpression elimination) — and the per-char
+    # explode over the raw token stream would multiply the shuffle by
+    # mean token length. Vocab-bounded instead.
+    vocab = toks.select("tok").distinct()
+    chars = vocab.select(
+        "tok",
+        F.posexplode(F.regexp_extract_all("tok", F.lit("."), 0)).alias("i", "c"),
+    )
+    pow31 = F.array(*[F.lit(p) for p in _SH_POW31])
+    pow37 = F.array(*[F.lit(p) for p in _SH_POW37])
+    idx = (F.col("i") % _SH_POW_CYCLE) + 1  # posexplode is 0-based
+    code = F.ascii("c").cast("bigint")
+    vhash = chars.groupBy("tok").agg(
+        (
+            (F.sum(code * F.element_at(pow31, idx)) % _SH_MOD)
+            + (F.sum(code * F.element_at(pow37, idx)) % _SH_MOD) * F.lit(2_147_483_648)
+        ).alias("h")
+    )
+    toksh = toks.join(vhash, "tok", "left").select(
+        "doc_id", F.coalesce("h", F.lit(0)).alias("h")
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(_SH_BITS)
     ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sums = toksh.groupBy("doc_id").agg(*bit_sums)
     simhash = None
-    for i in range(64):
+    for i in range(_SH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -373,7 +466,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "doc_id",
         simhash.alias("simhash"),
-        F.shiftright(simhash, 48).alias("bucket16"),
+        F.shiftright(simhash, _SH_BITS - 16).alias("bucket16"),
     )
 
 
