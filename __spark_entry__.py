@@ -53,8 +53,10 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # round-5 curation operators (new)
     "semdedup_keep_list", "dsir_importance_weights",
     "embedding_eval_decontam",
-    # layout / manifest / tokenizer, never driver-sampled
-    "shard_manifest_stats", "zorder_cell_stats", "bpe_merge_induction",
+    # layout / manifest, never driver-sampled (bpe_merge_induction is
+    # also never-sampled but rows-only, so it stays out of the priority
+    # window — these slots are for hash-checked rows)
+    "shard_manifest_stats", "zorder_cell_stats",
     # multimodal family, never driver-sampled
     "multimodal_doc_vector_join", "multimodal_asset_features",
     "multimodal_modality_stats", "frame_sample_manifest",

@@ -556,9 +556,63 @@ IVF_K = 32
 IVF_NPROBE = 4
 
 
+def _ivf_oracle(k: int, nprobe: int) -> str:
+    """IVF replayed in SQL: the cell assignment, the query's probe set, and
+    the rerank are all deterministic once assignment cosines are rounded to
+    6dp (same quantize-before-argmax trick as k-means) — so the
+    'approximate' index is exactly reproducible cross-engine even though
+    its RESULT is approximate relative to cosine_topk_exact."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        c AS (SELECT vec_id AS cid, i, x FROM e WHERE vec_id < {k}),
+        ac AS (
+            SELECT e.vec_id, c.cid,
+                   ROUND(SUM(e.x * c.x)
+                         / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(c.x * c.x))),
+                         6) AS cos
+            FROM e JOIN c USING (i)
+            GROUP BY e.vec_id, c.cid
+        ),
+        cells AS (
+            SELECT vec_id, cid AS cell FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM ac) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT cid AS cell FROM (
+                SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid) AS rn
+                FROM ac WHERE vec_id = 0) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+            SELECT cells.vec_id FROM cells JOIN probes USING (cell)
+            WHERE cells.vec_id <> 0
+        ),
+        q AS (SELECT i, x FROM e WHERE vec_id = 0),
+        sims AS (
+            SELECT e.vec_id,
+                   ROUND(SUM(e.x * q.x)
+                         / (SQRT(SUM(e.x * e.x)) * SQRT(SUM(q.x * q.x))),
+                         6) AS cosine_sim
+            FROM e JOIN cand USING (vec_id) JOIN q USING (i)
+            GROUP BY e.vec_id
+        )
+        SELECT vec_id, cosine_sim, rn FROM (
+            SELECT vec_id, cosine_sim,
+                   ROW_NUMBER() OVER (
+                       ORDER BY cosine_sim DESC, vec_id) AS rn
+            FROM sims) WHERE rn <= 10
+    """
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by construction; recall vs exact in tests
+    oracle=_ivf_oracle(IVF_K, IVF_NPROBE),
     doc=(
         "IVF ANN top-10 for query vec_id 0: (1) assign every vector to its "
         "nearest of IVF_K sampled centroids with one blocked GEMM "
@@ -567,7 +621,12 @@ IVF_NPROBE = 4
         "IVF_NPROBE closest cells; (3) only vectors in probed cells are "
         "redranked by exact HOF cosine. Scan fraction ~NPROBE/K of the "
         "corpus vs the brute-force baseline; recall@10 measured in tests "
-        "against cosine_topk_exact."
+        "against cosine_topk_exact. Assignment/probe cosines are rounded "
+        "to 6dp BEFORE their argmax (ties to the lowest cell) — the same "
+        "quantization that makes k-means hash-comparable — so the index "
+        "build is bit-reproducible cross-engine and the whole operator is "
+        "value-hash-checked, even though its RESULT is approximate "
+        "relative to cosine_topk_exact."
     ),
     tags=("similarity", "llm", "ivf"),
 )
@@ -599,10 +658,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             m /= np.sqrt((m * m).sum(axis=1, keepdims=True))
+            # round BEFORE argmax (ties -> first/lowest cell): quantizes
+            # away GEMM-vs-SQL summation-order drift so the assignment is
+            # reproducible by the DuckDB oracle
+            sims = np.round(m @ cm.T, 6)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
-                    "cell": np.argmax(m @ cm.T, axis=1).astype(np.int64),
+                    "cell": np.argmax(sims, axis=1).astype(np.int64),
                 }
             )
 
@@ -618,7 +681,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_row = next(r for r in cent_rows if r.vec_id == 0)
     qv = np.array(q_row.embedding, dtype=np.float64)
     qv /= np.sqrt((qv * qv).sum())
-    probe_cells = [int(c) for c in np.argsort(-(C @ qv))[:IVF_NPROBE]]
+    # rounded cosines, ties to the lowest cell id (lexsort: last key is
+    # primary) — mirrors the oracle's ORDER BY cos DESC, cid
+    q_sims = np.round(C @ qv, 6)
+    order = np.lexsort((np.arange(len(q_sims)), -q_sims))
+    probe_cells = [int(c) for c in order[:IVF_NPROBE]]
 
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"), F.col("nrm").alias("q_nrm")
