@@ -1,0 +1,91 @@
+"""Round-6 operator tests: trained product-quantization ANN and the
+distributed covariance spectrum — semantic properties the oracle hash-gate
+can't express (recall floors, rerank exactness, PSD-ness), verified against
+brute-force numpy on the smoke fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    from weather_stream_processor_spark.registry import all_queries
+
+    return all_queries()[name].builder(spark, sf)
+
+
+def _embeddings(spark, sf=SF_SMOKE):
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def test_pq_rerank_distances_are_exact(spark):
+    """The PQ pipeline's final distances come from the exact-L2 rerank, so
+    every returned dist2 must equal the brute-force squared distance."""
+    ids, mat = _embeddings(spark)
+    q = mat[ids == 0][0]
+    d2 = {int(i): round(float(((v - q) ** 2).sum()), 6) for i, v in zip(ids, mat)}
+
+    out = _run(spark, "ann_pq_topk").collect()
+    assert len(out) == 10
+    for r in out:
+        assert abs(r.dist2 - d2[r.vec_id]) < 1e-6, r
+
+
+def test_pq_recall_floor_vs_exact_l2(spark):
+    """Trained codebooks + a 100-candidate shortlist must recover most of
+    the true L2 top-10 (measured 0.9-1.0 on the fixtures; floor at 0.7 so
+    fixture regeneration can't flake the gate)."""
+    ids, mat = _embeddings(spark)
+    q = mat[ids == 0][0]
+    l2 = np.round(((mat - q) ** 2).sum(axis=1), 6)
+    mask = ids != 0
+    exact = set(ids[mask][np.lexsort((ids[mask], l2[mask]))][:10].tolist())
+
+    got = {r.vec_id for r in _run(spark, "ann_pq_topk").collect()}
+    assert len(got & exact) / 10 >= 0.7
+
+
+def test_pq_ranking_is_sorted_and_tiebroken(spark):
+    out = _run(spark, "ann_pq_topk").orderBy("rn").collect()
+    keys = [(r.dist2, r.vec_id) for r in out]
+    assert keys == sorted(keys)
+    assert [r.rn for r in out] == list(range(1, len(out) + 1))
+
+
+def test_covariance_matches_numpy(spark):
+    """The partition-Gram + single-aggregation plan must reproduce the
+    population covariance matrix computed by numpy in one shot."""
+    _, mat = _embeddings(spark)
+    expected = np.cov(mat, rowvar=False, bias=True)
+
+    out = _run(spark, "embedding_covariance_spectrum").collect()
+    d = mat.shape[1]
+    assert len(out) == d * (d + 1) // 2
+    for r in out:
+        assert abs(r.cov - expected[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
+
+
+def test_covariance_spectrum_is_psd_with_trace_parity(spark):
+    """Assembling the triangle into a symmetric matrix must yield a PSD
+    spectrum (covariance matrices are PSD up to the 6dp rounding) whose
+    trace equals the summed per-dimension variances."""
+    out = _run(spark, "embedding_covariance_spectrum").collect()
+    d = max(r.j for r in out)
+    C = np.zeros((d, d))
+    for r in out:
+        C[r.i - 1, r.j - 1] = r.cov
+        C[r.j - 1, r.i - 1] = r.cov
+
+    eig = np.linalg.eigvalsh(C)
+    assert eig.min() >= -1e-4, eig.min()
+
+    _, mat = _embeddings(spark)
+    assert abs(np.trace(C) - mat.var(axis=0).sum()) < 1e-3

@@ -40,6 +40,7 @@ def main() -> None:
     exact = [r.vec_id for r in run("cosine_topk_exact")]
     lsh = [r.vec_id for r in run("ann_lsh_topk")]
     ivf = [r.vec_id for r in run("ann_ivf_topk")]
+    pq = [r.vec_id for r in run("ann_pq_topk")]
 
     from weather_stream_processor_spark.operators.similarity import (
         _lsh_candidate_sims,
@@ -48,6 +49,22 @@ def main() -> None:
 
     n_candidates = _lsh_candidate_sims(spark, sf_dir).count()
     n_corpus = load_table(spark, sf_dir, "embeddings").count() - 1  # minus query
+
+    # PQ approximates L2 (not cosine) ranking, so its recall baseline is
+    # the exact L2 top-k, computed here by brute force (tool-only collect)
+    import numpy as np
+
+    erows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    eids = np.array([r.vec_id for r in erows], dtype=np.int64)
+    emat = np.array([r.embedding for r in erows], dtype=np.float64)
+    qv = emat[eids == 0][0]
+    l2 = np.round(((emat - qv) ** 2).sum(axis=1), 6)
+    msk = eids != 0
+    exact_l2 = eids[msk][np.lexsort((eids[msk], l2[msk]))][: len(pq)].tolist()
 
     exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
     minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
@@ -58,6 +75,13 @@ def main() -> None:
         "ann_lsh_recall_at_k": round(len(set(exact) & set(lsh)) / len(exact), 4),
         "ann_lsh_candidate_fraction": round(n_candidates / max(n_corpus, 1), 4),
         "ann_ivf_recall_at_k": round(len(set(exact) & set(ivf)) / len(exact), 4),
+        "ann_pq_recall_at_k": round(
+            len(set(exact_l2) & set(pq)) / max(len(exact_l2), 1), 4
+        ),
+        "ann_pq_shortlist": __import__(
+            "weather_stream_processor_spark.operators.similarity",
+            fromlist=["PQ_SHORTLIST"],
+        ).PQ_SHORTLIST,
         "minhash_exact_pairs": len(exact_pairs),
         "minhash_found_pairs": len(minhash_pairs & exact_pairs),
         "minhash_pair_recall": round(
