@@ -89,3 +89,55 @@ def test_covariance_spectrum_is_psd_with_trace_parity(spark):
 
     _, mat = _embeddings(spark)
     assert abs(np.trace(C) - mat.var(axis=0).sum()) < 1e-3
+
+
+def test_theta_set_algebra_exact_below_capacity(spark):
+    """Below theta retention capacity (4096 entries; the fixture regime)
+    the sketches hold every hash, so all six set-algebra estimates must
+    EQUAL the exact cardinalities — and inclusion-exclusion must hold."""
+    from weather_stream_processor_spark.operators.aggregates import (
+        THETA_VALUE_THRESHOLD,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    A = {r.user_id for r in ev if r.event_type == "click" and r.value > THETA_VALUE_THRESHOLD}
+    B = {r.user_id for r in ev if r.event_type == "purchase" and r.value > THETA_VALUE_THRESHOLD}
+
+    got = {r.set_op: r.approx_users for r in _run(spark, "theta_sketch_set_algebra").collect()}
+    assert got == {
+        "a": len(A),
+        "b": len(B),
+        "union": len(A | B),
+        "intersection": len(A & B),
+        "a_only": len(A - B),
+        "b_only": len(B - A),
+    }
+    assert got["union"] == got["a"] + got["b"] - got["intersection"]
+
+
+def test_kll_rollup_rank_accuracy_and_mergeability(spark):
+    """Each reported quantile's TRUE rank must sit within the KLL rank
+    error bound of its target, and the merged '__ALL__' row must cover
+    exactly the full row count (merge-of-parts, not a rescan)."""
+    from weather_stream_processor_spark.sources import load_table
+
+    vals = {}
+    for r in load_table(spark, SF_SMOKE, "events").select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    vals["__ALL__"] = [v for g in list(vals.values()) for v in g]
+
+    out = _run(spark, "kll_quantile_mergeable_rollup").collect()
+    assert {r.event_type for r in out} == set(vals)
+    EPS = 0.02  # k=200 single-sketch rank error ~1.65%; margin for merge
+    for r in out:
+        xs = np.sort(np.array(vals[r.event_type]))
+        assert r.n == len(xs)
+        for target, est in ((0.5, r.p50), (0.95, r.p95), (0.99, r.p99)):
+            true_rank = np.searchsorted(xs, est, side="right") / len(xs)
+            assert abs(true_rank - target) <= EPS + 1.0 / len(xs), (
+                r.event_type,
+                target,
+                est,
+                true_rank,
+            )

@@ -921,3 +921,118 @@ def constraint_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+# Audience thresholds for the theta set-algebra rollup: high-value sessions
+# on each side give non-degenerate overlap on the fixtures (sf0.01:
+# |A|=75, |B|=67, |A AND B|=31).
+THETA_VALUE_THRESHOLD = 150.0
+
+
+@register(
+    "theta_sketch_set_algebra",
+    oracle=None,  # sketch-valued: estimates are engine-specific (DuckDB
+    # has no theta sketches); the set-algebra contracts are pytest-gated
+    # (tests/test_round6_ops.py): every estimate equals the exact set
+    # cardinality while the sketches are below retention capacity (the
+    # fixture regime), and inclusion-exclusion holds across the rows.
+    doc=(
+        "Distinct-set ALGEBRA with DataSketches Theta sketches: audience "
+        "A = users with a high-value click, audience B = users with a "
+        "high-value purchase; one sketch each, then |A|, |B|, |A OR B|, "
+        "|A AND B|, |A \\ B|, |B \\ A| all computed from the TWO sketches "
+        "alone — no rescan, no join. This is the capability HLL cannot "
+        "give you (HLL unions but never intersects): at 100 TB, audience "
+        "overlap / exclusion dashboards keep per-segment theta sketches "
+        "(~KB each, built once per partition and merged) and answer any "
+        "boolean combination of segments in O(sketch bytes). The plan is "
+        "two filtered single-pass sketch aggregations -> a 1x1 cross "
+        "join -> six stack()ed scalar expressions; nothing wider than "
+        "one sketch ever shuffles."
+    ),
+    tags=("aggregation", "sketch", "set-algebra"),
+)
+def theta_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    thr = F.lit(THETA_VALUE_THRESHOLD)
+    a = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > thr))
+        .agg(F.theta_sketch_agg("user_id").alias("a"))
+    )
+    b = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > thr))
+        .agg(F.theta_sketch_agg("user_id").alias("b"))
+    )
+    both = a.crossJoin(b).select(
+        F.theta_sketch_estimate(F.col("a")).alias("n_a"),
+        F.theta_sketch_estimate(F.col("b")).alias("n_b"),
+        F.theta_sketch_estimate(F.theta_union(F.col("a"), F.col("b"))).alias(
+            "n_union"
+        ),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("a"), F.col("b"))
+        ).alias("n_intersection"),
+        F.theta_sketch_estimate(F.theta_difference(F.col("a"), F.col("b"))).alias(
+            "n_a_only"
+        ),
+        F.theta_sketch_estimate(F.theta_difference(F.col("b"), F.col("a"))).alias(
+            "n_b_only"
+        ),
+    )
+    return both.select(
+        F.expr(
+            "stack(6,"
+            " 'a', n_a,"
+            " 'b', n_b,"
+            " 'union', n_union,"
+            " 'intersection', n_intersection,"
+            " 'a_only', n_a_only,"
+            " 'b_only', n_b_only) AS (set_op, approx_users)"
+        )
+    ).select("set_op", F.col("approx_users").cast("bigint").alias("approx_users"))
+
+
+@register(
+    "kll_quantile_mergeable_rollup",
+    oracle=None,  # sketch-valued: KLL estimates are engine-specific; the
+    # mergeability + rank-accuracy contracts are pytest-gated
+    # (tests/test_round6_ops.py): union-of-parts == direct-global for the
+    # merged row, and every reported quantile's true rank within the KLL
+    # rank-error bound of its target.
+    doc=(
+        "MERGEABLE quantile rollup with DataSketches KLL: one value "
+        "sketch per event_type plus the '__ALL__' row produced by "
+        "MERGING the per-type sketches — never by rescanning — then "
+        "p50/p95/p99 read from each sketch. This is the quantile twin of "
+        "hll_mergeable_rollup and the 100 TB replacement for exact "
+        "grouped percentiles (which buffer every value of a group on one "
+        "reducer): sketches built once per partition/day are merged "
+        "upward (type -> day -> month -> total) in O(sketch bytes) with "
+        "a PROVEN rank-error bound (~1.65% at k=200), so latency/price "
+        "dashboards over a year of data never touch raw rows again. "
+        "Shuffle carries |types| sketches of ~KB each."
+    ),
+    tags=("aggregation", "sketch", "percentile", "rollup"),
+)
+def kll_quantile_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("__ALL__").alias("event_type"), "sk"
+    )
+
+    def quantiles(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_type",
+            F.kll_sketch_get_n_double("sk").cast("bigint").alias("n"),
+            *[
+                F.round(
+                    F.kll_sketch_get_quantile_double("sk", F.lit(q)), 6
+                ).alias(f"p{int(q * 100)}")
+                for q in (0.5, 0.95, 0.99)
+            ],
+        )
+
+    return quantiles(per).unionAll(quantiles(merged))
