@@ -53,6 +53,7 @@ HEADLINE = [
     "embedding_cosine_near_dup",
     "embedding_near_dup_blocked",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "tfidf_top_term_per_doc",
     "bm25_top_docs",
     "prefix_filter_jaccard_join",
@@ -83,6 +84,7 @@ SF1_QUERIES = [
     "cosine_topk_exact",
     "knn_join_topk",
     "ann_lsh_topk",
+    "ann_pq_topk",
 ]
 
 
