@@ -141,3 +141,33 @@ def test_kll_rollup_rank_accuracy_and_mergeability(spark):
                 est,
                 true_rank,
             )
+
+
+def test_pq_plan_shapes(spark):
+    """ADC scoring must broadcast the 256-row distance table (never
+    shuffle the code table against it), the shortlist must be
+    TakeOrderedAndProject (per-partition heaps), and nothing may fall
+    back to a cartesian product."""
+    from weather_stream_processor_spark.plans import require_plan
+
+    require_plan(
+        _run(spark, "ann_pq_topk"),
+        contains=("BroadcastHashJoin", "TakeOrderedAndProject"),
+        not_contains=("CartesianProduct", "SortMergeJoin"),
+    )
+
+
+def test_covariance_spectrum_single_aggregation(spark):
+    """The partial-Gram plan must finish with ONE hash aggregation over
+    the (i, j) triangle keys — no join, no window, no second shuffle."""
+    from weather_stream_processor_spark.plans import operator_names
+
+    names = operator_names(_run(spark, "embedding_covariance_spectrum"))
+    assert not any("Join" in n for n in names), names
+    assert not any("Window" in n for n in names), names
+    # exactly two exchanges: the spread() repartition that balances the
+    # Arrow batches before the Gram pass, and the (i, j) partial->final
+    # aggregate boundary — nothing else may shuffle
+    assert sum("Exchange" in n for n in names) == 2, names
+    # partial + final HashAggregate pair (map-side combine of the Gram rows)
+    assert sum(n == "HashAggregate" for n in names) == 2, names

@@ -1203,96 +1203,170 @@ def _pq_oracle(m: int, dsub: int, k: int, iters: int, shortlist: int) -> str:
     doc=(
         "Trained product-quantization ANN top-10 for query vec_id 0 "
         "(Jegou et al. TPAMI 2011, the FAISS IndexPQ-with-refine shape): "
-        "(1) per-subspace codebooks trained with PQ_ITERS deterministic "
-        "Lloyd rounds — one chain keyed on (subspace, codeword) trains "
-        "all PQ_M codebooks at once, centroids a PQ_M*PQ_K-row broadcast "
-        "per round, re-centering a hash agg bounded by PQ_M*PQ_K*PQ_DSUB "
-        "— exactly the kmeans_embedding_clusters machinery with a "
-        "subspace key; (2) every vector encoded as PQ_M codeword ids "
-        "(16x compression; the raw embedding column is never touched "
-        "again after encoding); (3) the query's ADC table (PQ_M*PQ_K "
-        "rows, computed IN-PLAN, no driver collect anywhere) broadcast "
-        "onto the codes, one SUM per vector, top-PQ_SHORTLIST kept via "
-        "TakeOrderedAndProject; (4) the shortlist — a fixed candidate "
-        "count, so a VANISHING corpus fraction at scale — reranked by "
-        "exact L2. Distances and centroid means are rounded to 6dp each "
-        "round with codeword-id tie-breaks (the quantize-before-argmax "
-        "trick), so codebooks, codes, shortlist, and the final ranking "
-        "are all bit-reproducible cross-engine and value-hash-checked. "
-        "Recall@10 vs the exact L2 scan is recorded in ANN_QUALITY.json."
+        "(1) per-subspace codebooks trained with PQ_ITERS Lloyd rounds — "
+        "each round is ONE blocked Arrow assignment pass over the corpus "
+        "(numpy against the broadcast PQ_M*PQ_K*PQ_DSUB codebook, the "
+        "ann_ivf_topk architecture) plus one (subspace, codeword, dim)-"
+        "keyed re-centering aggregate whose output — PQ_M*PQ_K rounded "
+        "centroids, ~KB — is the only thing ever collected, per round, "
+        "bounded regardless of corpus size; (2) the final pass encodes "
+        "every vector as PQ_M codeword ids (16x compression; raw "
+        "embeddings are never touched again until rerank); (3) the "
+        "query's ADC table (PQ_M*PQ_K rows, computed driver-side from "
+        "the already-collected codebook) broadcast onto the codes, one "
+        "SUM per vector, top-PQ_SHORTLIST kept via TakeOrderedAndProject; "
+        "(4) the shortlist — a fixed candidate count, so a VANISHING "
+        "corpus fraction at scale — reranked by exact L2. Distances and "
+        "centroid means are rounded to 6dp each round with codeword-id "
+        "tie-breaks (quantize-before-argmax), so codebooks, codes, "
+        "shortlist, and the final ranking are bit-reproducible "
+        "cross-engine and value-hash-checked. Recall@10 vs the exact L2 "
+        "scan is recorded in ANN_QUALITY.json."
     ),
-    tags=("similarity", "llm", "quantization", "pq"),
+    tags=("similarity", "llm", "quantization", "pq", "pandas-udf"),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
-    # long subvector form: one row per (vector, subspace)
-    sub = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("long").alias("s"),
-                        F.slice("v", s * PQ_DSUB + 1, PQ_DSUB).alias("sv"),
-                    )
-                    for s in range(PQ_M)
-                ]
-            )
-        ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
 
-    cent = sub.filter(F.col("vec_id") < PQ_K).select(
-        "s", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    emb_raw = spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id",
     )
-    assigned = None
-    for it in range(PQ_ITERS):
-        d = F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("sv"), F.col("c"), lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, z: acc + z,
-            ),
-            6,
-        )
-        assigned = sub.join(F.broadcast(cent), "s").select(
-            "vec_id", "s", "sv", "cid", d.alias("d")
-        )
-        if it < PQ_ITERS - 1:
-            w_it = Window.partitionBy("vec_id", "s").orderBy("d", "cid")
-            best = assigned.withColumn("rn", F.row_number().over(w_it)).filter(
-                F.col("rn") == 1
-            )
-            cent = (
-                best.select("s", "cid", F.posexplode("sv").alias("i", "x"))
-                .groupBy("s", "cid", "i")
-                .agg(F.round(F.avg("x"), 6).alias("x"))
-                .groupBy("s", "cid")
-                .agg(
-                    F.array_sort(F.collect_list(F.struct("i", "x"))).alias("sx")
-                )
-                .select(
-                    "s",
-                    "cid",
-                    F.transform("sx", lambda t: t.getField("x")).alias("c"),
-                )
-            )
-    w_assign = Window.partitionBy("vec_id", "s").orderBy("d", "cid")
-    codes = (
-        assigned.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
+
+    # init codebook: subvectors of the first PQ_K vectors (bounded collect,
+    # the same pinned-init convention as kmeans_embedding_clusters / IVF)
+    cb_rows = sorted(
+        emb_raw.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
     )
-    # the query's ADC table: its distance to EVERY trained codeword — a
-    # PQ_M x PQ_K-row subtree, broadcast; no collect
-    qdt = assigned.filter(F.col("vec_id") == 0).select("s", "cid", "d")
+    CB = np.array([r.embedding for r in cb_rows], dtype=np.float64)
+    # cbs[s]: list of (cid, centroid) sorted by cid — empty codewords can
+    # drop during training, so codeword ids are tracked explicitly
+    cbs: list[list[tuple[int, np.ndarray]]] = [
+        [(c, CB[c, s * PQ_DSUB : (s + 1) * PQ_DSUB]) for c in range(PQ_K)]
+        for s in range(PQ_M)
+    ]
+
+    def assign_pass(cbs_bc, with_elems: bool):
+        """One blocked Arrow pass: (vec_id, s, cid[, i, x]) for every
+        vector's nearest codeword per subspace. Distances rounded to 6dp
+        BEFORE the argmin (ties -> lowest cid via the cid-sorted codebook)
+        — mirrors the oracle's ORDER BY d, cid."""
+        fields = [
+            StructField("vec_id", LongType()),
+            StructField("s", LongType()),
+            StructField("cid", LongType()),
+        ]
+        if with_elems:
+            fields += [
+                StructField("i", LongType()),
+                StructField("x", DoubleType()),
+            ]
+        schema = StructType(fields)
+
+        def work(batches):
+            books = cbs_bc.value
+            for pdf in batches:
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                if len(X) == 0:
+                    continue
+                ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                Xs = X.reshape(len(X), PQ_M, PQ_DSUB)
+                frames = []
+                for s in range(PQ_M):
+                    cids = np.array([c for c, _ in books[s]], dtype=np.int64)
+                    C = np.array([v for _, v in books[s]], dtype=np.float64)
+                    dists = np.round(
+                        ((Xs[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2),
+                        6,
+                    )
+                    best = cids[np.argmin(dists, axis=1)]
+                    base = {
+                        "vec_id": ids,
+                        "s": np.full(len(ids), s, dtype=np.int64),
+                        "cid": best,
+                    }
+                    if with_elems:
+                        # long form for re-centering: one row per dim
+                        rep = np.repeat(np.arange(len(ids)), PQ_DSUB)
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "vec_id": ids[rep],
+                                    "s": np.full(
+                                        len(rep), s, dtype=np.int64
+                                    ),
+                                    "cid": best[rep],
+                                    "i": np.tile(
+                                        np.arange(
+                                            s * PQ_DSUB + 1,
+                                            (s + 1) * PQ_DSUB + 1,
+                                            dtype=np.int64,
+                                        ),
+                                        len(ids),
+                                    ),
+                                    "x": Xs[:, s, :].reshape(-1),
+                                }
+                            )
+                        )
+                    else:
+                        frames.append(pd.DataFrame(base))
+                yield pd.concat(frames, ignore_index=True)
+
+        return emb_raw.mapInPandas(work, schema=schema)
+
+    sc = spark.sparkContext
+    for _ in range(PQ_ITERS - 1):
+        bc = sc.broadcast(cbs)
+        recentered = (
+            assign_pass(bc, with_elems=True)
+            .groupBy("s", "cid", "i")
+            .agg(F.round(F.avg("x"), 6).alias("x"))
+            .collect()  # PQ_M * PQ_K * PQ_DSUB rows, bounded
+        )
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in recentered:
+            by_key.setdefault((r.s, r.cid), {})[r.i] = r.x
+        cbs = [
+            [
+                (
+                    cid,
+                    np.array(
+                        [
+                            vals[i]
+                            for i in sorted(vals)
+                        ],
+                        dtype=np.float64,
+                    ),
+                )
+                for (s2, cid), vals in sorted(by_key.items())
+                if s2 == s
+            ]
+            for s in range(PQ_M)
+        ]
+
+    final_bc = sc.broadcast(cbs)
+    codes = assign_pass(final_bc, with_elems=False)
+
+    # the query's ADC table, driver-side from the trained codebook (the
+    # query vector is codeword-init row 0, available from the same collect)
+    qsub = CB[0].reshape(PQ_M, PQ_DSUB)
+    dt_rows = [
+        (s, int(cid), float(np.round(((qsub[s] - v) ** 2).sum(), 6)))
+        for s in range(PQ_M)
+        for cid, v in cbs[s]
+    ]
+    dt = spark.createDataFrame(dt_rows, "s long, cid long, d double")
+
     adc = (
         codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qdt), ["s", "cid"])
+        .join(F.broadcast(dt), ["s", "cid"])
         .groupBy("vec_id")
         .agg(F.round(F.sum("d"), 6).alias("adc_d"))
     )
@@ -1301,17 +1375,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_SHORTLIST)
         .select("vec_id")
     )
-    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    qv = emb_raw.filter(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qv")
+    )
     dist2 = F.round(
         F.aggregate(
-            F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.col("qv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
             F.lit(0.0),
             lambda acc, z: acc + z,
         ),
         6,
     )
     rr = (
-        emb.join(shortlist, "vec_id")
+        emb_raw.join(shortlist, "vec_id")
         .crossJoin(F.broadcast(qv))
         .select("vec_id", dist2.alias("dist2"))
     )
