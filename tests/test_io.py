@@ -109,3 +109,33 @@ def test_orc_roundtrip_preserves_values(spark, tmp_path):
     write_orc(src, path)
     back = read_orc(spark, path, _DOCS_DDL)
     assert _as_sorted_tuples(back) == _as_sorted_tuples(src)
+
+
+def test_merged_schema_reads_across_generations(spark, tmp_path):
+    """Additive schema evolution: generation 1 lacks the `lang` column a
+    later generation added; the merged read surfaces it as NULL for gen-1
+    rows and intact for gen-2 rows, with values otherwise unchanged."""
+    from weather_stream_processor_spark.sources.io import (
+        read_parquet_merged_schema,
+    )
+
+    src = _docs(spark)
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    old = src.filter(F.col("source") == "web").drop("lang")
+    new = src.filter(F.col("source") != "web")
+    old.write.parquet(gen1)
+    new.write.parquet(gen2)
+
+    merged = read_parquet_merged_schema(spark, gen1, gen2)
+    assert set(merged.columns) == {"doc_id", "lang", "source", "n_chars"}
+    assert merged.count() == src.count()
+    # gen-1 rows: lang is null; gen-2 rows: lang survives byte-for-byte
+    assert merged.filter((F.col("source") == "web") & F.col("lang").isNotNull()).count() == 0
+    got_new = sorted(
+        map(tuple, merged.filter(F.col("source") != "web")
+            .select("doc_id", "lang", "source", "n_chars").collect())
+    )
+    assert got_new == sorted(
+        map(tuple, new.select("doc_id", "lang", "source", "n_chars").collect())
+    )

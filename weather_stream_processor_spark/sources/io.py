@@ -103,3 +103,20 @@ def write_partitioned_parquet(
     if not partition_cols:
         raise ValueError("use df.write.parquet for unpartitioned writes")
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_parquet_merged_schema(spark: SparkSession, *paths: str) -> DataFrame:
+    """Read parquet generations whose schema EVOLVED (columns added over
+    the table's lifetime) as one DataFrame.
+
+    ``mergeSchema`` unions the footer schemas across all inputs; rows from
+    older generations surface the newer columns as nulls — the lakehouse
+    additive-evolution contract (column ADDS are safe; renames/retypes are
+    rewrites, not evolution, and fail loudly here as incompatible types).
+    Cost note: schema merging reads every file footer up front, so at
+    100 TB pin the merged schema in the catalog once per generation rather
+    than paying footer discovery per query; the per-row read path is
+    unchanged either way (parquet is columnar — absent columns cost
+    nothing to "read").
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
