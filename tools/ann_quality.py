@@ -66,6 +66,18 @@ def main() -> None:
     msk = eids != 0
     exact_l2 = eids[msk][np.lexsort((eids[msk], l2[msk]))][: len(pq)].tolist()
 
+    # eigen-spectrum of the distributed covariance matrix: effective rank
+    # (exp of eigenvalue entropy) and top-8 explained-variance share — the
+    # numbers behind truncation / whitening decisions
+    cov_rows = run("embedding_covariance_spectrum")
+    dim = max(r.j for r in cov_rows)
+    C = np.zeros((dim, dim))
+    for r in cov_rows:
+        C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov
+    eig = np.clip(np.linalg.eigvalsh(C), 0, None)[::-1]
+    p = eig / eig.sum()
+    effective_rank = float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
     exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
     minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
 
@@ -88,6 +100,9 @@ def main() -> None:
             len(minhash_pairs & exact_pairs) / max(len(exact_pairs), 1), 4
         ),
         "minhash_false_positives": len(minhash_pairs - exact_pairs),
+        "covariance_effective_rank": round(effective_rank, 2),
+        "covariance_dim": int(dim),
+        "explained_variance_top8": round(float(p[:8].sum()), 4),
     }
     Path(out_path).write_text(json.dumps(result) + "\n")
     print(json.dumps(result))
