@@ -1358,3 +1358,140 @@ def fuzzy_multi_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(dist <= 4).select(
         "name_a", "name_b", dist.cast("bigint").alias("edit_distance")
     )
+
+
+# Containment threshold: |A∩B| / |A| for the SMALLER shingle set A. A quote
+# or excerpt re-published inside a larger page has high containment but low
+# Jaccard (the union is dominated by the larger doc), so a Jaccard-only
+# dedup pass ships both copies of the contained text to training.
+CONTAINMENT_THRESHOLD = 0.85
+
+
+@register(
+    "containment_near_dup_pairs",
+    oracle=f"""
+        WITH {_SHINGLES_CTES},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sized AS (
+            SELECT sh.doc_id, sh.shingle, sizes.n
+            FROM sh JOIN sizes USING (doc_id)
+        ),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   MIN(a.n) AS na, MIN(b.n) AS nb, COUNT(*) AS n_common
+            FROM sized a
+            JOIN sized b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                        THEN doc_a ELSE doc_b END AS doc_inner,
+                   CASE WHEN na < nb OR (na = nb AND doc_a < doc_b)
+                        THEN doc_b ELSE doc_a END AS doc_outer,
+                   n_common,
+                   LEAST(na, nb) AS n_inner
+            FROM inter
+        )
+        SELECT doc_inner, doc_outer,
+               ROUND(n_common * 1.0 / n_inner, 6) AS containment
+        FROM directed
+        WHERE n_common * 1.0 / n_inner >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc=(
+        "CONTAINMENT near-dup pairs (|A intersect B| / |A| for the smaller "
+        "shingle set A, Broder's containment coefficient): catches the "
+        "subset-duplication Jaccard is blind to — a quote, excerpt, or "
+        "syndicated article embedded in a larger page scores near-zero "
+        "Jaccard (union dominated by the host page) but containment ~1. "
+        "Same inverted-index equi-join as ngram_jaccard_pairs WITHOUT the "
+        "size-band prune (asymmetric sizes are exactly the target), one "
+        "hash-agg per co-shingle pair, direction chosen deterministically "
+        "(smaller set inner, doc_id tie-break). At 100 TB the hot-shingle "
+        "skew risk is the same as the Jaccard verifier's and the same "
+        "MinHash/LSH candidate tier bounds it — run containment on LSH "
+        "candidates, not the raw corpus."
+    ),
+    tags=("dedup", "llm", "containment"),
+)
+def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = _exploded_shingles(docs)
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    a_inner = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    directed = inter.select(
+        F.when(a_inner, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_inner"),
+        F.when(a_inner, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_outer"),
+        F.col("n_common"),
+        F.least(F.col("na"), F.col("nb")).alias("n_inner"),
+    )
+    containment = F.col("n_common") / F.col("n_inner")
+    return directed.filter(containment >= CONTAINMENT_THRESHOLD).select(
+        "doc_inner", "doc_outer", F.round(containment, 6).alias("containment")
+    )
+
+
+@register(
+    "shingle_novelty_scores",
+    oracle=f"""
+        WITH {_SHINGLES_CTES},
+        first_seen AS (
+            SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+        )
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               ROUND(SUM(CASE WHEN first_seen.first_doc = sh.doc_id
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+                   AS novel_fraction
+        FROM sh JOIN first_seen USING (shingle)
+        GROUP BY sh.doc_id
+    """,
+    doc=(
+        "Per-document shingle NOVELTY: the fraction of a doc's distinct "
+        "word-3-gram shingles whose corpus-wide FIRST occurrence (minimum "
+        "doc_id, the ingestion-order proxy) is this document. The "
+        "profiling pass behind duplication-aware mixing: novelty ~1 means "
+        "fresh text, ~0 means the doc is assembled from already-seen "
+        "passages even when no single pair crosses a dedup threshold "
+        "(template spam, scraped aggregations). Plan: one shingle-keyed "
+        "MIN aggregate (the first-occurrence index), one equi-join back "
+        "on shingle, one per-doc aggregate — every shuffle keyed on the "
+        "shingle or the doc id, state bounded by distinct shingles, the "
+        "same inverted index the dedup family already builds."
+    ),
+    tags=("dedup", "llm", "profiling"),
+)
+def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs).select("doc_id", "shingle")
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novel_fraction"),
+        )
+    )
