@@ -207,6 +207,8 @@ def test_bench_and_quality_tool_names_resolve(spark):
         "cosine_topk_exact",
         "ann_lsh_topk",
         "ann_ivf_topk",
+        "ann_pq_topk",
+        "embedding_covariance_spectrum",
         "ngram_jaccard_pairs",
         "minhash_lsh_near_dup",
     ):

@@ -4,9 +4,13 @@ The pytest gates (tests/test_llm_ops.py) assert recall floors; this script
 emits the NUMBERS as one JSON line so round artifacts can cite measured
 recall instead of test names:
 
-  recall@10 vs exact cosine top-k for ann_lsh_topk and ann_ivf_topk,
-  and verified-pair parity (LSH-found / exact, plus false-positive count)
-  for minhash_lsh_near_dup vs the exhaustive ngram_jaccard_pairs.
+  recall@10 vs exact cosine top-k for ann_lsh_topk and ann_ivf_topk
+  (plus the LSH candidate fraction that pays for it), recall@10 vs the
+  exact L2 scan for ann_pq_topk (with its shortlist size), verified-pair
+  parity (LSH-found / exact, plus false-positive count) for
+  minhash_lsh_near_dup vs the exhaustive ngram_jaccard_pairs, and the
+  covariance eigen-spectrum of the embedding store (effective rank +
+  top-8 explained-variance share) from embedding_covariance_spectrum.
 
 Usage:
     python tools/ann_quality.py [sf_dir] [out_path]
@@ -43,6 +47,7 @@ def main() -> None:
     pq = [r.vec_id for r in run("ann_pq_topk")]
 
     from weather_stream_processor_spark.operators.similarity import (
+        PQ_SHORTLIST,
         _lsh_candidate_sims,
     )
     from weather_stream_processor_spark.sources import load_table
@@ -90,10 +95,7 @@ def main() -> None:
         "ann_pq_recall_at_k": round(
             len(set(exact_l2) & set(pq)) / max(len(exact_l2), 1), 4
         ),
-        "ann_pq_shortlist": __import__(
-            "weather_stream_processor_spark.operators.similarity",
-            fromlist=["PQ_SHORTLIST"],
-        ).PQ_SHORTLIST,
+        "ann_pq_shortlist": PQ_SHORTLIST,
         "minhash_exact_pairs": len(exact_pairs),
         "minhash_found_pairs": len(minhash_pairs & exact_pairs),
         "minhash_pair_recall": round(
