@@ -171,3 +171,33 @@ def test_covariance_spectrum_single_aggregation(spark):
     assert sum("Exchange" in n for n in names) == 2, names
     # partial + final HashAggregate pair (map-side combine of the Gram rows)
     assert sum(n == "HashAggregate" for n in names) == 2, names
+
+
+def test_simhash_hamming_candidates_complete_and_verified(spark):
+    """Pigeonhole completeness: EVERY pair within HAMMING_MAX bits must be
+    emitted (verified brute-force over all fingerprint pairs), and every
+    emitted pair's distance must be correct. Also pins the recall floor
+    vs the exact-Jaccard pairs (different similarity notions — SimHash is
+    token-multiset cosine-ish — so 100% overlap is not expected)."""
+    from weather_stream_processor_spark.operators.dedup import HAMMING_MAX
+
+    fps = {
+        r.doc_id: r.simhash
+        for r in _run(spark, "simhash_buckets").select("doc_id", "simhash").collect()
+    }
+    expected = {}
+    ids = sorted(fps)
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= HAMMING_MAX:
+                expected[(a, b)] = h
+
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _run(spark, "simhash_hamming_near_dup").collect()
+    }
+    assert got == expected
+
+    jac = {(r.doc_a, r.doc_b) for r in _run(spark, "ngram_jaccard_pairs").collect()}
+    assert len(set(got) & jac) / max(len(jac), 1) >= 0.6

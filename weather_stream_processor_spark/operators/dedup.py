@@ -350,7 +350,9 @@ _SH_POW37 = tuple(pow(37, k, _SH_MOD) for k in range(_SH_POW_CYCLE))
 _SH_BITS = 62  # h < 2^62 by construction; bits 62/63 carry no signal
 
 
-def _simhash_oracle() -> str:
+def _simhash_cte() -> str:
+    """CTE chain ending in sh(doc_id, simhash) — shared by the bucket
+    sketch oracle and the Hamming near-dup oracle."""
     p31 = ", ".join(str(p) for p in _SH_POW31)
     p37 = ", ".join(str(p) for p in _SH_POW37)
     bit_sums = ",\n                   ".join(
@@ -396,9 +398,17 @@ def _simhash_oracle() -> str:
                    {assemble} AS simhash
             FROM sums
         )
+    """
+
+
+def _simhash_oracle() -> str:
+    return (
+        _simhash_cte()
+        + f"""
         SELECT doc_id, simhash, simhash >> {_SH_BITS - 16} AS bucket16
         FROM sh
     """
+    )
 
 
 @register(
@@ -1494,4 +1504,110 @@ def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("novel_fraction"),
         )
+    )
+
+
+# Manku/Jain/Sarma (WWW'07) pigeonhole blocking for SimHash Hamming search:
+# split the fingerprint into HAMMING_MAX + 1 blocks — any pair within
+# HAMMING_MAX differing bits must agree EXACTLY on at least one block, so
+# per-block equi-joins generate a complete candidate set without any
+# all-pairs comparison. 62 bits / 4 blocks: two 16-bit + two 15-bit.
+HAMMING_MAX = 3
+_SH_BLOCKS = (  # (shift, width) per block, covering all _SH_BITS bits
+    (0, 16),
+    (16, 16),
+    (32, 15),
+    (47, 15),
+)
+
+
+@register(
+    "simhash_hamming_near_dup",
+    oracle=_simhash_cte()
+    + f""",
+        blocks AS (
+            SELECT doc_id, simhash, b.block_idx,
+                   CASE b.block_idx
+                       WHEN 0 THEN (simhash >> 0) & 65535
+                       WHEN 1 THEN (simhash >> 16) & 65535
+                       WHEN 2 THEN (simhash >> 32) & 32767
+                       WHEN 3 THEN (simhash >> 47) & 32767
+                   END AS block_val
+            FROM sh
+            CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(block_idx)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS ha, b.simhash AS hb
+            FROM blocks a
+            JOIN blocks b ON a.block_idx = b.block_idx
+                         AND a.block_val = b.block_val
+                         AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+    """,
+    doc=(
+        "SimHash near-dup PAIRS via pigeonhole-blocked Hamming search — "
+        "the Manku/Jain/Sarma WWW'07 design that ran Google's web-crawl "
+        "dedup, completing the SimHash family from sketch (simhash_"
+        "buckets) to pair detection: fingerprints within HAMMING_MAX=3 "
+        "differing bits must agree exactly on one of 4 blocks "
+        "(pigeonhole over 62 bits), so candidates come from 4 per-block "
+        "equi-joins (one explode + one hash join, |docs|x4 rows) and "
+        "each candidate is verified with a single bit_count(xor) — no "
+        "all-pairs stage, no shingle re-join; the verify needs only the "
+        "two 8-byte fingerprints already on the row. The portable token "
+        "hash makes the whole chain — fingerprints, blocks, candidates, "
+        "Hamming distances — bit-identical cross-engine, so an "
+        "approximate dedup family member is value-hash-checked end to "
+        "end. At 100 TB: block tables are (16-bit key, doc_id) pairs; "
+        "hot blocks (common prefixes) are the skew risk, handled like "
+        "every banding join by widening blocks or salting; Hamming "
+        "threshold/recall trade documented in tests against the Jaccard "
+        "verifier."
+    ),
+    tags=("dedup", "llm", "simhash", "headline"),
+)
+def simhash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = simhash_buckets(spark, sf_dir).select("doc_id", "simhash")
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(idx).alias("block_idx"),
+                        F.shiftright("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("block_val"),
+                    )
+                    for idx, (shift, width) in enumerate(_SH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(hamming <= HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
