@@ -47,6 +47,7 @@ HEADLINE = [
     "exact_dedup_by_hash",
     "ngram_jaccard_pairs",
     "minhash_lsh_near_dup",
+    "simhash_hamming_near_dup",
     "dedup_connected_components",
     "cosine_topk_exact",
     "knn_join_topk",
