@@ -50,7 +50,21 @@ def build_replica_dir(spark, k: int) -> str:
     # expensive part. The marker is written LAST, so a half-built replica
     # (crash mid-write) never carries one and is rebuilt.
     marker = os.path.join(out, "_REPLICA_META.json")
-    meta = {"k": k, "sf_dir": SF_DIR, "tables": sorted(_FACTS)}
+    # fingerprint the SOURCE files (size + mtime) and the full table list,
+    # not just the path: a regenerated fixture at the same path, or a table
+    # added to sources.TABLES, must invalidate the cached replica
+    meta = {
+        "k": k,
+        "sf_dir": SF_DIR,
+        "tables": sorted(_FACTS),
+        "all_tables": sorted(TABLES),
+        "sources": {
+            name: (
+                lambda st: [st.st_size, int(st.st_mtime)]
+            )(os.stat(os.path.join(SF_DIR, f"{name}.parquet")))
+            for name in sorted(TABLES)
+        },
+    }
     if os.path.isfile(marker):
         try:
             with open(marker, encoding="utf-8") as f:

@@ -113,7 +113,18 @@ def _semdedup_oracle() -> str:
     tags=("dedup", "similarity", "llm", "curation"),
 )
 def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = kmeans_embedding_clusters(spark, sf_dir).select("vec_id", "cluster_id")
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    assign0 = kmeans_embedding_clusters(spark, sf_dir).select(
+        "vec_id", "cluster_id"
+    )
+    # the 3-round Lloyd assignment chain feeds the a-side, the b-side, and
+    # the final keep join; persist it for the build and release (same
+    # cache-scope pattern as prefix_filter_jaccard_join)
+    return persisted_result(assign0, lambda assign: _semdedup_tree(spark, sf_dir, assign))
+
+
+def _semdedup_tree(spark: SparkSession, sf_dir: str, assign: DataFrame) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
@@ -183,7 +194,7 @@ DSIR_TARGET_LANG = "en"
         SELECT tok.doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                ROUND(AVG(llr.llr), 6) AS dsir_logratio,
-               (AVG(llr.llr) > 0) AS target_like
+               (ROUND(AVG(llr.llr), 6) > 0) AS target_like
         FROM tok JOIN llr USING (w)
         GROUP BY tok.doc_id
     """,
@@ -205,10 +216,18 @@ DSIR_TARGET_LANG = "en"
     tags=("text", "llm", "curation", "sampling"),
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = spread(docs, "doc_id").select(
+    tok0 = spread(docs, "doc_id").select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
     )
+    # the token explode feeds the corpus model, the target model, AND the
+    # scoring join; persist it for the build and release
+    return persisted_result(tok0, _dsir_tree)
+
+
+def _dsir_tree(tok: DataFrame) -> DataFrame:
     ca = tok.groupBy("w").agg(F.count(F.lit(1)).alias("ca"))
     ct = (
         tok.filter(F.col("lang") == DSIR_TARGET_LANG)
@@ -236,9 +255,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            # the boolean derives from the ROUNDED score so the published
+            # (score, flag) pair is self-consistent and the 6dp quantization
+            # protects the sign near zero in both engines
             F.round(F.avg("llr"), 6).alias("dsir_logratio"),
-            (F.avg("llr") > 0).alias("target_like"),
         )
+        .withColumn("target_like", F.col("dsir_logratio") > 0)
     )
 
 

@@ -1060,9 +1060,12 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label,
                CAST(COUNT(*) AS BIGINT) AS n_vectors,
-               ROUND(AVG(SQRT(e8  / full_e)), 6) AS retained_cos_8,
-               ROUND(AVG(SQRT(e16 / full_e)), 6) AS retained_cos_16,
-               ROUND(AVG(SQRT(e32 / full_e)), 6) AS retained_cos_32
+               ROUND(AVG(CASE WHEN full_e = 0 THEN 0
+                              ELSE SQRT(e8  / full_e) END), 6) AS retained_cos_8,
+               ROUND(AVG(CASE WHEN full_e = 0 THEN 0
+                              ELSE SQRT(e16 / full_e) END), 6) AS retained_cos_16,
+               ROUND(AVG(CASE WHEN full_e = 0 THEN 0
+                              ELSE SQRT(e32 / full_e) END), 6) AS retained_cos_32
         FROM pv GROUP BY label
     """,
     doc=(
@@ -1088,10 +1091,14 @@ def embedding_truncation_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     full_e = energy(F.col("embedding"))
+    # all-zero vector guard: Spark's non-ANSI 0/0 is NULL (silently dropped
+    # from AVG) while DuckDB's is NaN (poisons AVG) — pin both to 0
     pv = emb.select(
         "label",
         *[
-            F.sqrt(energy(F.slice("embedding", 1, d)) / full_e).alias(f"rc{d}")
+            F.when(full_e == 0, F.lit(0.0))
+            .otherwise(F.sqrt(energy(F.slice("embedding", 1, d)) / full_e))
+            .alias(f"rc{d}")
             for d in (8, 16, 32)
         ],
     )

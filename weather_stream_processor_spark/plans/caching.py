@@ -25,8 +25,11 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
 
     When a reliable checkpoint dir is configured (``sc.setCheckpointDir``
     — the cluster deployment), use ``checkpoint()``: blocks live in the
-    fault-tolerant store and survive executor loss. Otherwise fall back
-    to ``localCheckpoint()`` (executor-local blocks — fine for
+    fault-tolerant store and survive executor loss. Checkpoint FILES are
+    reclaimed when the RDD is GC'd because the session factory sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (the Spark
+    default of false would leak one directory per invocation). Otherwise
+    fall back to ``localCheckpoint()`` (executor-local blocks — fine for
     single-node and tests, lost on executor death; see docs/SCALE.md).
     """
     sc = df.sparkSession.sparkContext

@@ -62,6 +62,11 @@ def get_spark(
             ),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # reliable checkpoints (plans/caching.truncate_lineage on the
+        # cluster path) must be reclaimed when their RDD is GC'd — the
+        # default (false) leaks one O(result) directory per invocation
+        # into the checkpoint store for the session lifetime
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
