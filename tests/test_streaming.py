@@ -452,6 +452,12 @@ def test_merge_dialect_executes_live_on_derby(spark):
     )
 
     db = os.path.join(tempfile.mkdtemp(prefix="derby_"), "upsertdb")
+    # keep Derby's engine log out of the CWD (it writes ./derby.log on
+    # first boot otherwise); must be set before the first connection loads
+    # the embedded engine
+    spark._jvm.System.setProperty(
+        "derby.stream.error.file", os.path.join(os.path.dirname(db), "derby.log")
+    )
     url = f"jdbc:derby:{db};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     run_sql = jdbc_exec_sql(url, props)
