@@ -246,3 +246,56 @@ def test_doc_counts_match_registry():
     assert f"**{n} operators**, {n_oracle} oracle-checked" in operators, (
         "OPERATORS.md is stale; run python tools/gen_operators_md.py"
     )
+
+
+_corpora = st.lists(
+    st.lists(
+        st.sampled_from("abcde"),  # tiny alphabet -> heavy shingle overlap
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(docs=_corpora)
+@settings(**_SETTINGS)
+def test_containment_pairs_match_brute_force(spark, docs):
+    """Containment over ARBITRARY corpora equals the set-arithmetic
+    definition: |A∩B| / |smaller shingle set|, pairs with fewer than one
+    shingle on either side absent, direction and tie-breaks deterministic.
+    Exercises what the fixture can't: shingle-less docs (<3 tokens),
+    identical docs, and total containment (subset) cases."""
+    from weather_stream_processor_spark.operators.dedup import (
+        CONTAINMENT_THRESHOLD,
+        _containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_inner, r.doc_outer): r.containment
+        for r in _containment_pairs(df).collect()
+    }
+
+    def shingles(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs) if len(t) >= 3}
+    expected = {}
+    for a in sh:
+        for b in sh:
+            if a >= b or not (sh[a] & sh[b]):
+                continue
+            na, nb = len(sh[a]), len(sh[b])
+            inner, outer = (a, b) if (na, a) <= (nb, b) else (b, a)
+            c = len(sh[a] & sh[b]) / min(na, nb)
+            if c >= CONTAINMENT_THRESHOLD:
+                expected[(inner, outer)] = round(c, 6)
+
+    assert set(got) == set(expected)
+    for k in got:
+        assert math.isclose(got[k], expected[k], abs_tol=1e-6), k

@@ -1424,7 +1424,12 @@ CONTAINMENT_THRESHOLD = 0.85
     tags=("dedup", "llm", "containment"),
 )
 def containment_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _containment_pairs(docs: DataFrame) -> DataFrame:
+    """Core containment join over any (doc_id, text) frame — split out so
+    the hypothesis property test can drive it with arbitrary corpora."""
     exploded = _exploded_shingles(docs)
     a = exploded.alias("a")
     b = exploded.alias("b")
