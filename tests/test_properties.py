@@ -299,3 +299,39 @@ def test_containment_pairs_match_brute_force(spark, docs):
     assert set(got) == set(expected)
     for k in got:
         assert math.isclose(got[k], expected[k], abs_tol=1e-6), k
+
+
+@given(docs=_corpora)
+@settings(**_SETTINGS)
+def test_novelty_scores_match_brute_force(spark, docs):
+    """Novelty over ARBITRARY corpora: for every doc with at least one
+    shingle, the fraction of its distinct shingles whose corpus-wide
+    first occurrence (min doc_id) is that doc."""
+    from weather_stream_processor_spark.operators.dedup import _novelty_scores
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.novel_fraction)
+        for r in _novelty_scores(df).collect()
+    }
+
+    def shingles(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(docs) if len(t) >= 3}
+    first = {}
+    for i in sorted(sh):
+        for s in sh[i]:
+            first.setdefault(s, i)
+    expected = {
+        i: (len(sh[i]), round(sum(1 for s in sh[i] if first[s] == i) / len(sh[i]), 6))
+        for i in sh
+    }
+
+    assert set(got) == set(expected)
+    for i in got:
+        assert got[i][0] == expected[i][0]
+        assert math.isclose(got[i][1], expected[i][1], abs_tol=1e-6), i

@@ -1493,7 +1493,12 @@ def _containment_pairs(docs: DataFrame) -> DataFrame:
     tags=("dedup", "llm", "profiling"),
 )
 def shingle_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _novelty_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _novelty_scores(docs: DataFrame) -> DataFrame:
+    """Core novelty aggregation over any (doc_id, text) frame — split out
+    so the hypothesis property test can drive it with arbitrary corpora."""
     sh = _exploded_shingles(docs).select("doc_id", "shingle")
     first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     return (
