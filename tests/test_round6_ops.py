@@ -1,7 +1,9 @@
-"""Round-6 operator tests: trained product-quantization ANN and the
-distributed covariance spectrum — semantic properties the oracle hash-gate
-can't express (recall floors, rerank exactness, PSD-ness), verified against
-brute-force numpy on the smoke fixture."""
+"""Round-6 operator tests: trained product-quantization ANN, the
+distributed covariance spectrum, the theta/KLL mergeable sketches, and the
+pigeonhole-blocked SimHash Hamming pairs — semantic properties the oracle
+hash-gate can't express (recall floors, rerank exactness, PSD-ness, sketch
+accuracy/mergeability, candidate completeness, plan shapes), verified
+against brute-force numpy/python on the smoke fixture."""
 
 from __future__ import annotations
 
