@@ -638,3 +638,285 @@ def benford_digit_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_share"),
         F.round((obs - benford) * (obs - benford) / benford, 9).alias("chi2_term"),
     )
+
+
+@register(
+    "brand_association_rules",
+    oracle="""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets
+              FROM ob),
+        item AS (
+            SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS sup FROM ob GROUP BY 1
+        ),
+        pair AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(COUNT(*) AS BIGINT) AS sup_ab
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand
+            GROUP BY 1, 2
+        )
+        SELECT p.brand_a, p.brand_b, p.sup_ab,
+               ROUND(p.sup_ab * 1.0 / ia.sup, 6) AS confidence,
+               ROUND((p.sup_ab * 1.0 / ia.sup) / (ib.sup / n.n_baskets), 6)
+                   AS lift
+        FROM pair p
+        JOIN item ia ON ia.p_brand = p.brand_a
+        JOIN item ib ON ib.p_brand = p.brand_b
+        CROSS JOIN n
+        ORDER BY lift DESC, confidence DESC, brand_a, brand_b
+        LIMIT 30
+    """,
+    doc=(
+        "ASSOCIATION RULES (directed a->b, confidence + lift) over the "
+        "brand co-purchase baskets — the rule-mining step after "
+        "brand_affinity_pairs' support counts. Same collapse-then-pair "
+        "shape: DISTINCT (order, brand) first, so the quadratic step is "
+        "per-basket over the tiny per-order brand set; item supports and "
+        "the basket count are dimension-sized broadcasts into the rule "
+        "projection. Top-30 by lift with full tie-breaks (lift, "
+        "confidence, brand_a, brand_b) -> TakeOrderedAndProject, no "
+        "global sort. At 100 TB the only fact-sized shuffles are the "
+        "DISTINCT and the orderkey self-join co-partitioned on the same "
+        "key; everything downstream is |brands|^2 ~ 600 rows."
+    ),
+    tags=("analytics", "basket", "join"),
+)
+def brand_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, p = (load_table(spark, sf_dir, t) for t in ("lineitem", "part"))
+    ob = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(ob: DataFrame) -> DataFrame:
+        n = ob.agg(
+            F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
+        )
+        item = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("sup"))
+        a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+        b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_b"))
+        pair = (
+            a.join(b, "k")
+            .filter(F.col("brand_a") != F.col("brand_b"))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count(F.lit(1)).alias("sup_ab"))
+        )
+        ia = item.select(F.col("p_brand").alias("brand_a"), F.col("sup").alias("sup_a"))
+        ib = item.select(F.col("p_brand").alias("brand_b"), F.col("sup").alias("sup_b"))
+        conf = F.col("sup_ab") / F.col("sup_a")
+        lift = conf / (F.col("sup_b") / F.col("n_baskets"))
+        return (
+            pair.join(F.broadcast(ia), "brand_a")
+            .join(F.broadcast(ib), "brand_b")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "brand_a",
+                "brand_b",
+                "sup_ab",
+                F.round(conf, 6).alias("confidence"),
+                F.round(lift, 6).alias("lift"),
+            )
+            .orderBy(
+                F.desc("lift"), F.desc("confidence"), F.asc("brand_a"), F.asc("brand_b")
+            )
+            .limit(30)
+        )
+
+    return persisted_result(ob, build)
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled synchronous label propagation as a DuckDB CTE chain."""
+    steps = []
+    prev = "l0"
+    for i in range(1, _LPA_ITERS + 1):
+        steps.append(
+            f"""v{i} AS (
+            SELECT e.dst AS brand, l.label, COUNT(*) AS votes
+            FROM edges e JOIN {prev} l ON l.brand = e.src
+            GROUP BY 1, 2
+        ),
+        l{i} AS (
+            SELECT brand, label FROM (
+                SELECT brand, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY brand
+                           ORDER BY votes DESC, label ASC
+                       ) AS rn
+                FROM v{i}
+            ) WHERE rn = 1
+        )"""
+        )
+        prev = f"l{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH ob AS (
+            SELECT DISTINCT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        pairs AS (
+            SELECT a.p_brand AS b1, b.p_brand AS b2, COUNT(*) AS support
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        ),
+        cut AS (SELECT quantile_cont(support, 0.5) AS q FROM pairs),
+        edges AS (
+            SELECT b1 AS src, b2 AS dst FROM pairs, cut WHERE support > q
+            UNION ALL
+            SELECT b2 AS src, b1 AS dst FROM pairs, cut WHERE support > q
+        ),
+        l0 AS (SELECT DISTINCT src AS brand, src AS label FROM edges),
+        {chain}
+        SELECT brand, label AS community FROM l{_LPA_ITERS}
+    """
+
+
+@register(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    doc=(
+        "LABEL PROPAGATION community detection (synchronous, 3 rounds) on "
+        "the brand co-purchase graph (above-median-support undirected "
+        "edges, same construction as pagerank_brand_graph). Each round is "
+        "one join-aggregate-window: neighbor labels are counted per node "
+        "and the plurality label wins with a min-label tie-break — "
+        "SYNCHRONOUS updates plus the deterministic tie-break is what "
+        "makes fixed-round LPA oracle-checkable (async LPA is "
+        "schedule-dependent and unverifiable). The per-node vote window "
+        "partitions by node, never global. Iteration state is the "
+        "O(|nodes|) label vector — the Pregel-as-join shape: at 100 TB "
+        "the edge list partitions by src once and every round reuses "
+        "that partitioning, shuffling only the label vector; web-scale "
+        "runs add the checkpointed lineage truncation used by "
+        "dedup_connected_components."
+    ),
+    tags=("analytics", "graph", "iterative"),
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(edges: DataFrame) -> DataFrame:
+        labels = edges.select(F.col("src").alias("brand")).distinct().select(
+            "brand", F.col("brand").alias("label")
+        )
+        for _ in range(_LPA_ITERS):
+            votes = (
+                edges.join(
+                    labels.withColumnRenamed("brand", "src"), "src"
+                )
+                .groupBy(F.col("dst").alias("brand"), "label")
+                .agg(F.count(F.lit(1)).alias("votes"))
+            )
+            w = Window.partitionBy("brand").orderBy(
+                F.desc("votes"), F.asc("label")
+            )
+            labels = (
+                votes.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("brand", "label")
+            )
+        return labels.select("brand", F.col("label").alias("community"))
+
+    return persisted_result(_brand_median_edges(spark, sf_dir), build)
+
+
+def _brand_median_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (both directions) above-MEDIAN-support co-purchase edges —
+    the pagerank_brand_graph construction, shared by label propagation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b1"))
+    b = ob.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("b2"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("b1") < F.col("b2"))
+        .groupBy("b1", "b2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    cut = pairs.agg(F.percentile("support", F.lit(0.5)).alias("q"))
+    kept = pairs.crossJoin(F.broadcast(cut)).filter(F.col("support") > F.col("q"))
+    fwd = kept.select(F.col("b1").alias("src"), F.col("b2").alias("dst"))
+    rev = kept.select(F.col("b2").alias("src"), F.col("b1").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+_PATH_LEN = 5
+_PATH_TOPK = 20
+
+
+@register(
+    "top_event_paths",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM ranked WHERE rn <= {_PATH_LEN}
+            GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT {_PATH_TOPK}
+    """,
+    doc=(
+        "TOP USER JOURNEYS: each user's first-5 event-type sequence "
+        "(ordered by ts with event_id tie-break — without the tie-break, "
+        "same-timestamp events make the path engine-dependent), counted "
+        "and ranked — the onboarding-flow analysis behind funnel design. "
+        "Spark side builds the ordered path with sort_array over "
+        "collect_list(struct(rn, type)) inside a per-user aggregate "
+        "(bounded: 5 rows per user survive the rank filter), then a "
+        "path-keyed count and TakeOrderedAndProject for the top-20. "
+        "Per-user windows partition by user_id; nothing global. At "
+        "100 TB: the rank filter prunes the fact to 5|users| rows before "
+        "any path materialization; path cardinality is bounded by "
+        "|types|^5, so the final count is a small hash aggregate."
+    ),
+    tags=("analytics", "window", "sessionization"),
+)
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _PATH_LEN)
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )

@@ -1093,3 +1093,71 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.sparkSession.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_count bigint"
     )
+
+
+@register(
+    "token_entropy_quality",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2
+        ),
+        n AS (
+            SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types
+            FROM tf GROUP BY 1
+        )
+        SELECT tf.doc_id,
+               CAST(n.n_tokens AS BIGINT) AS n_tokens,
+               CAST(n.n_types AS BIGINT) AS n_types,
+               ROUND(-SUM((tf.c * 1.0 / n.n_tokens)
+                          * ln(tf.c * 1.0 / n.n_tokens)), 6) AS entropy,
+               ROUND(n.n_types * 1.0 / n.n_tokens, 6) AS type_token_ratio
+        FROM tf JOIN n USING (doc_id)
+        GROUP BY tf.doc_id, n.n_tokens, n.n_types
+    """,
+    doc=(
+        "TOKEN-ENTROPY QUALITY SIGNAL: per-document Shannon entropy of "
+        "the unigram distribution plus type/token ratio — low entropy "
+        "flags boilerplate/keyword-stuffed/repetitive pages that "
+        "length-based filters miss (complements repetition_quality_filter's "
+        "n-gram repeat ratios and gopher_quality_rules' shape checks). "
+        "Whitespace tokenization matches the module's other operators "
+        "(split on ' ' both engines). Plan: explode -> (doc, token) hash "
+        "count -> per-doc totals join -> one entropy aggregate; every "
+        "shuffle is keyed on doc_id-derived keys so the explode never "
+        "concentrates. -p*ln(p) terms are O(1) magnitude and summed "
+        "per-doc over at most |doc types| terms; rounded(6) on both "
+        "sides against engine-order float drift. At 100 TB this is the "
+        "same two-aggregate shape as tfidf — linear scan, no global "
+        "structure."
+    ),
+    tags=("text", "quality", "aggregation"),
+)
+def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("c") / F.col("n_tokens")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n_tokens", "n_types")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "entropy",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+    )

@@ -912,3 +912,177 @@ def linear_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.coalesce("prev_val", "next_val"))
         .alias("filled_value"),
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle() -> str:
+    """Unrolled lag columns -> stacked corr per lag, mirroring the builder."""
+    lag_cols = ",\n                   ".join(
+        f"lag(x, {k}) OVER (PARTITION BY event_type ORDER BY day) AS x{k}"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    arms = "\n        UNION ALL\n".join(
+        f"""        SELECT event_type, {k} AS lag,
+               ROUND(corr(x, x{k}), 6) AS acf
+        FROM lagged GROUP BY event_type"""
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   ROUND(SUM(value), 5) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, x,
+                   {lag_cols}
+            FROM daily
+        )
+{arms}
+    """
+
+
+@register(
+    "acf_daily_value",
+    oracle=_acf_oracle(),
+    doc=(
+        "AUTOCORRELATION FUNCTION (lags 1..7) of the daily total `value` "
+        "per event_type — the seasonality screen run before choosing a "
+        "forecast model (a weekly cycle shows as a lag-7 peak). One "
+        "grouped daily aggregate, ONE window pass materializing all seven "
+        "row-lag columns (lag over day order within the event_type "
+        "partition — keyed, never a global window), then stack() to long "
+        "form and a corr() aggregate per (event_type, lag). Daily totals "
+        "are rounded before the corr so engine summation order cannot "
+        "leak into the moments; corr itself is rounded(6) on both sides "
+        "because co-moment accumulation order differs. At 100 TB the "
+        "daily rollup collapses the fact to |types|x|days| rows — "
+        "everything after the first aggregate is dimension-sized."
+    ),
+    tags=("timeseries", "statistics", "window"),
+)
+def acf_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value"), 5).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    stacked = lagged.select(
+        "event_type",
+        F.expr(
+            "stack({n}, {args}) AS (lag, y)".format(
+                n=_ACF_MAX_LAG,
+                args=", ".join(
+                    f"{k}, x{k}" for k in range(1, _ACF_MAX_LAG + 1)
+                ),
+            )
+        ),
+        "x",
+    )
+    return stacked.groupBy("event_type", "lag").agg(
+        F.round(F.corr("x", "y"), 6).alias("acf")
+    )
+
+
+_CUSUM_SIGMA = 3.0
+
+
+@register(
+    "cusum_level_shift",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(ROUND(AVG(value) * 100000, 0) AS BIGINT) AS xi
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(xi) AS DOUBLE) AS s1,
+                   CAST(SUM(xi * xi) AS DOUBLE) AS s2
+            FROM daily GROUP BY 1
+        ),
+        cum AS (
+            SELECT d.event_type, d.day, s.n, s.s1, s.s2,
+                   CAST(FLOOR(s.s1 / s.n) AS BIGINT) AS mu_i,
+                   SUM(d.xi) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                   ) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                   ) AS t
+            FROM daily d JOIN stats s USING (event_type)
+        )
+        SELECT event_type, day,
+               ROUND(CAST(c - t * mu_i AS DOUBLE) / 100000, 5) AS cusum,
+               (ABS(CAST(c - t * mu_i AS DOUBLE)) >
+                {_CUSUM_SIGMA} * sqrt((n * s2 - s1 * s1) / (n * (n - 1))))
+                   AS is_shift
+        FROM cum
+    """,
+    doc=(
+        "CUSUM LEVEL-SHIFT DETECTION: cumulative sum of the daily-mean "
+        "deviation from the per-type mean, flagged where |S_t| exceeds "
+        f"{_CUSUM_SIGMA} sigma — the classic drift/changepoint screen for a "
+        "metric whose level quietly moved. Determinism is the hard part "
+        "and rounding alone is NOT enough: a cumulative sum amplifies a "
+        "single 1e-5 round-boundary flip in the mean into t*1e-5 drift "
+        "at day t (observed at sf0.01 before this design). So the daily "
+        "mean is quantized ONCE to an exact scaled bigint (1e-5 units) "
+        "and everything downstream stays in exact integer arithmetic: "
+        "the reference mean is itself quantized (floor(s1/n) — floor, "
+        "not round, because round ties at remainder n/2 hit the "
+        "HALF_UP-vs-HALF_EVEN engine difference), so the deviation "
+        "c - t*mu_i is an exact bigint, the emitted cusum has <= 5 true "
+        "decimals (its final round can never land on a tie), and sigma "
+        "comes from the (n*s2 - s1^2) moment identity over exact sums "
+        "with identical IEEE expressions in both engines. No "
+        "engine-ordered float summation exists anywhere in the plan. "
+        "The stats join is a broadcast (|types| rows). At 100 TB: the "
+        "fact collapses to |types|x|days| at the first aggregate; the "
+        "window partitions by type, never global."
+    ),
+    tags=("timeseries", "statistics", "window", "quality"),
+)
+def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.avg("value") * 100000, 0).cast("bigint").alias("xi"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xi").cast("double").alias("s1"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("s2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    joined = daily.join(F.broadcast(stats), "event_type")
+    mu_i = F.floor(F.col("s1") / F.col("n")).cast("bigint")
+    c = F.sum("xi").over(w)
+    t = F.row_number().over(wo).cast("bigint")
+    dev = (c - t * mu_i).cast("double")
+    sigma = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    return joined.select(
+        "event_type",
+        "day",
+        F.round(dev / 100000, 5).alias("cusum"),
+        (F.abs(dev) > _CUSUM_SIGMA * sigma).alias("is_shift"),
+    )
