@@ -312,3 +312,37 @@ def test_skew_profile_prunes_to_key_column(spark):
     # the profiler must read ONLY the join key from the fact table
     for cols in read_schema_columns(_df(spark, "join_key_skew_profile")):
         assert set(cols) == {"o_custkey"}
+
+
+def test_acf_one_window_pass_no_global_partition(spark):
+    # all seven lag columns must come from ONE keyed window pass — a
+    # per-lag Window (7 sorts) or an unpartitioned window over the daily
+    # series would both be plan regressions
+    plan_ops = operator_names(_df(spark, "acf_daily_value"))
+    assert plan_ops.count("Window") == 1, plan_ops
+    from weather_stream_processor_spark.plans import explain_string
+
+    assert "SinglePartition" not in explain_string(
+        _df(spark, "acf_daily_value"), "formatted"
+    )
+
+
+def test_cusum_keyed_windows_broadcast_stats(spark):
+    # running-sum + row_number share the (event_type, day) sort; the
+    # per-type stats join must broadcast, and no window may be global
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "cusum_level_shift"), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_top_event_paths_take_ordered_topk(spark):
+    # per-user rank filter prunes before path materialization; the global
+    # top-20 is per-partition heaps + single reduce, never a full sort
+    require_plan(
+        _df(spark, "top_event_paths"),
+        contains=("TakeOrderedAndProject",),
+        not_contains=("CartesianProduct",),
+    )

@@ -335,3 +335,108 @@ def test_novelty_scores_match_brute_force(spark, docs):
     for i in got:
         assert got[i][0] == expected[i][0]
         assert math.isclose(got[i][1], expected[i][1], abs_tol=1e-6), i
+
+
+_lpa_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=14),
+        st.integers(min_value=0, max_value=14),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(edges=_lpa_edges)
+@settings(max_examples=5, deadline=None)
+def test_lpa_matches_python_reference(spark, edges):
+    """Synchronous 3-round label propagation on ARBITRARY symmetrized
+    graphs must equal a pure-Python reference: every node starts labeled
+    with itself; each round adopts the plurality in-neighbor label with a
+    min-label tie-break, counting edge multiplicity."""
+    from weather_stream_processor_spark.operators.analytics import _lpa_rounds
+
+    iters = 3
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges], "src string, dst string"
+    )
+    sym = df.union(df.selectExpr("dst AS src", "src AS dst"))
+    got = {(r.brand, r.community) for r in _lpa_rounds(sym, iters).collect()}
+
+    sym_edges = [(str(a), str(b)) for a, b in edges] + [
+        (str(b), str(a)) for a, b in edges
+    ]
+    labels = {v: v for v, _ in sym_edges}
+    from collections import Counter
+
+    for _ in range(iters):
+        votes: dict[str, Counter] = {}
+        for u, v in sym_edges:
+            votes.setdefault(v, Counter())[labels[u]] += 1
+        labels = {
+            v: min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for v, c in votes.items()
+        }
+    assert got == set(labels.items())
+
+
+_cusum_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # event_type index
+        st.integers(min_value=0, max_value=30),  # day offset
+        st.integers(min_value=-1_000_000, max_value=1_000_000),  # value*1e5
+    ),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda r: (r[0], r[1]),  # one event per (type, day)
+)
+
+
+@given(rows=_cusum_series)
+@settings(max_examples=5, deadline=None)
+def test_cusum_exact_on_arbitrary_series(spark, rows):
+    """The exact-integer CUSUM formulation must reproduce a pure-Python
+    integer reference bit for bit on arbitrary series — the property the
+    quantized design buys (a float formulation drifts t*1e-5 by day t)."""
+    from weather_stream_processor_spark.operators.timeseries import (
+        _CUSUM_SIGMA,
+        cusum_from_events,
+    )
+
+    base = datetime(2024, 3, 1)
+    types = ("alpha", "beta")
+    ev = spark.createDataFrame(
+        [
+            (types[t], base + timedelta(days=d, hours=7), k / 100000)
+            for t, d, k in rows
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    got = {
+        (r.event_type, r.day.day): (r.cusum, r.is_shift)
+        for r in cusum_from_events(ev).collect()
+    }
+
+    expected = {}
+    for tname in types:
+        series = sorted((d, k) for t, d, k in rows if types[t] == tname)
+        if not series:
+            continue
+        xs = [k for _, k in series]
+        n, s1, s2 = len(xs), sum(xs), sum(x * x for x in xs)
+        mu_i = s1 // n  # floor(s1/n), exact on ints
+        sigma = (
+            math.sqrt((n * s2 - s1 * s1) / (n * (n - 1))) if n > 1 else None
+        )
+        c = 0
+        for t_idx, (d, k) in enumerate(series, start=1):
+            c += k
+            dev = c - t_idx * mu_i
+            shift = bool(sigma is not None and abs(dev) > _CUSUM_SIGMA * sigma)
+            day = (base + timedelta(days=d)).day
+            expected[(tname, day)] = (round(dev / 100000, 5), shift)
+
+    assert set(got) == set(expected)
+    for key in got:
+        assert math.isclose(got[key][0], expected[key][0], abs_tol=1e-9), key
+        assert got[key][1] == expected[key][1], key

@@ -809,28 +809,36 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     from weather_stream_processor_spark.plans.caching import persisted_result
 
     def build(edges: DataFrame) -> DataFrame:
-        labels = edges.select(F.col("src").alias("brand")).distinct().select(
-            "brand", F.col("brand").alias("label")
-        )
-        for _ in range(_LPA_ITERS):
-            votes = (
-                edges.join(
-                    labels.withColumnRenamed("brand", "src"), "src"
-                )
-                .groupBy(F.col("dst").alias("brand"), "label")
-                .agg(F.count(F.lit(1)).alias("votes"))
-            )
-            w = Window.partitionBy("brand").orderBy(
-                F.desc("votes"), F.asc("label")
-            )
-            labels = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("brand", "label")
-            )
-        return labels.select("brand", F.col("label").alias("community"))
+        return _lpa_rounds(edges, _LPA_ITERS)
 
     return persisted_result(_brand_median_edges(spark, sf_dir), build)
+
+
+def _lpa_rounds(edges: DataFrame, iters: int) -> DataFrame:
+    """Synchronous label propagation over ``edges(src, dst)`` (directed
+    rows; pass both directions for an undirected graph). Every node that
+    appears as a src starts labeled with itself; each round every node
+    adopts the plurality label of its in-neighbors with a min-label
+    tie-break. Deterministic for any graph — the property tests exercise
+    it against a pure-Python reference on hypothesis-drawn graphs."""
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").alias("brand"), F.col("label").alias("community")
+    )
 
 
 def _brand_median_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1024,9 +1024,10 @@ _CUSUM_SIGMA = 3.0
         )
         SELECT event_type, day,
                ROUND(CAST(c - t * mu_i AS DOUBLE) / 100000, 5) AS cusum,
-               (ABS(CAST(c - t * mu_i AS DOUBLE)) >
-                {_CUSUM_SIGMA} * sqrt((n * s2 - s1 * s1) / (n * (n - 1))))
-                   AS is_shift
+               (CASE WHEN n > 1 THEN
+                   ABS(CAST(c - t * mu_i AS DOUBLE)) >
+                   {_CUSUM_SIGMA} * sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+                ELSE FALSE END) AS is_shift
         FROM cum
     """,
     doc=(
@@ -1054,9 +1055,16 @@ _CUSUM_SIGMA = 3.0
     tags=("timeseries", "statistics", "window", "quality"),
 )
 def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_from_events(load_table(spark, sf_dir, "events"))
+
+
+def cusum_from_events(ev: DataFrame) -> DataFrame:
+    """CUSUM core over any events-shaped frame (event_type, ts, value) —
+    split out so the property tests can drive it with hypothesis-drawn
+    series and check the exact-integer formulation against a pure-Python
+    reference bit for bit."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.round(F.avg("value") * 100000, 0).cast("bigint").alias("xi"))
@@ -1084,5 +1092,7 @@ def cusum_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "day",
         F.round(dev / 100000, 5).alias("cusum"),
-        (F.abs(dev) > _CUSUM_SIGMA * sigma).alias("is_shift"),
+        F.when(F.col("n") > 1, F.abs(dev) > _CUSUM_SIGMA * sigma)
+        .otherwise(F.lit(False))
+        .alias("is_shift"),
     )
