@@ -591,3 +591,89 @@ def streaming_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         out, _sink_name("streaming_chained"), output_mode="append"
     )
+
+
+@register(
+    "streaming_cusum_monitor",
+    oracle="""
+        WITH b AS (
+            SELECT date_trunc('day', MIN(ts)) + INTERVAL 10 DAY AS cutoff
+            FROM events
+        ),
+        q AS (
+            SELECT event_type, event_id, ts,
+                   CAST(ROUND(value * 100000, 0) AS BIGINT) AS xi
+            FROM events
+        ),
+        base AS (
+            SELECT q.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q.xi) AS BIGINT) AS s1,
+                   CAST(SUM(q.xi * q.xi) AS BIGINT) AS s2
+            FROM q, b WHERE q.ts < b.cutoff
+            GROUP BY 1
+        ),
+        mon AS (
+            SELECT q.event_type, q.event_id, q.ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.event_type ORDER BY q.ts, q.event_id
+                   ) AS t,
+                   SUM(q.xi) OVER (
+                       PARTITION BY q.event_type ORDER BY q.ts, q.event_id
+                   ) AS c
+            FROM q, b WHERE q.ts >= b.cutoff
+        )
+        SELECT m.event_type, m.event_id, m.ts,
+               ROUND(CAST(m.c - m.t * CAST(FLOOR(s.s1 / s.n) AS BIGINT)
+                          AS DOUBLE) / 100000, 5) AS cusum,
+               (ABS(CAST(m.c - m.t * CAST(FLOOR(s.s1 / s.n) AS BIGINT)
+                         AS DOUBLE)) >
+                4.0 * sqrt((CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                            - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                           / (CAST(s.n AS DOUBLE)
+                              * (CAST(s.n AS DOUBLE) - 1.0)))) AS is_alert
+        FROM mon m JOIN base s USING (event_type)
+        WHERE s.n > 1
+    """,
+    doc=(
+        "STREAMING CUSUM MONITOR (applyInPandasWithState): the online twin "
+        "of cusum_level_shift — the first 10 days of the replay calibrate "
+        "a per-event-type baseline (exact integer count/sum/sum-of-squares "
+        "of the 1e-5-quantized value), then every monitored event emits "
+        "its cumulative deviation from the floored baseline mean and an "
+        "alert flag at 4 baseline sigmas. This is the production drift "
+        "monitor shape: a FIXED reference mean (CUSUM's mu_0), per-key "
+        "state of five bigints across micro-batches, alerts in event "
+        "order. Exact integer arithmetic end to end (same design as the "
+        "batch operator) makes a custom stateful streaming op fully "
+        "hash-checkable against a relational oracle — the bounded "
+        "time-ordered replay guarantees baseline-before-monitor "
+        "delivery, and within a batch rows are globally sorted per key "
+        "before applying. The calibration cutoff is a one-row batch "
+        "pre-scan (min ts + 10 days), mirrored by the oracle's subquery. "
+        "At scale: state is O(#keys); the quantization unit bounds "
+        "sum-of-squares within int64 (see streaming/stateful.py)."
+    ),
+    tags=("streaming", "stateful", "pandas-udf", "quality"),
+)
+def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import timedelta
+
+    from weather_stream_processor_spark.sources import load_table
+    from weather_stream_processor_spark.streaming.stateful import (
+        cusum_alert_stream,
+    )
+
+    min_day = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_trunc("day", F.min("ts")).alias("d0"))
+        .collect()[0]["d0"]
+    )
+    cutoff = min_day + timedelta(days=10)
+    ev = events_replay_source(spark, sf_dir)
+    out = run_to_memory(
+        cusum_alert_stream(ev, cutoff),
+        _sink_name("streaming_cusum_monitor"),
+        output_mode="append",
+    )
+    return out.select("event_type", "event_id", "ts", "cusum", "is_alert")

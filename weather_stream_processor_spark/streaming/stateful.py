@@ -66,3 +66,92 @@ def record_breaking_events(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_SCHEMA = (
+    "event_type string, event_id bigint, ts timestamp, "
+    "cusum double, is_alert boolean"
+)
+CUSUM_STATE_SCHEMA = "n bigint, s1 bigint, s2 bigint, c bigint, t bigint"
+CUSUM_H = 4.0  # decision interval, in baseline sigmas
+
+
+def _half_away(x: float) -> int:
+    """round-half-away-from-zero — the ROUND semantic of Spark and DuckDB
+    (Python's built-in round is banker's and would diverge on ties)."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def make_cusum_monitor(cutoff):
+    """Build the per-key CUSUM state function for a given baseline cutoff.
+
+    Events before ``cutoff`` calibrate the baseline (exact integer count /
+    sum / sum-of-squares of the 1e-5-quantized value); events at/after it
+    are monitored: the cumulative deviation from the floored baseline mean
+    is exact bigint arithmetic, and a row is emitted with the scaled CUSUM
+    and an alert flag when |dev| exceeds CUSUM_H baseline sigmas. Keys
+    whose baseline has fewer than 2 events emit nothing (sigma undefined).
+
+    State is five bigints per key — O(#keys), independent of throughput.
+    The sigma expression mirrors the oracle's cast-to-double moment
+    identity term by term so both engines compute the identical IEEE
+    value. Quantization at 1e-5 units bounds the state: sum-of-squares
+    stays within int64 up to ~1e4 events/key at value<=100; wider keys or
+    values call for 1e-4 units (one line here and in the oracle).
+    """
+    import math
+
+    def monitor(key, pdfs, state: GroupState):
+        n, s1, s2, c, t = state.get if state.exists else (0, 0, 0, 0, 0)
+        chunks = [pdf for pdf in pdfs]
+        if not chunks:
+            state.update((n, s1, s2, c, t))
+            return
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        out = []
+        for row in rows.itertuples(index=False):
+            xi = _half_away(row.value * 100000)
+            if row.ts < cutoff:
+                n, s1, s2 = n + 1, s1 + xi, s2 + xi * xi
+                continue
+            t, c = t + 1, c + xi
+            if n < 2:
+                continue
+            dev = c - t * (s1 // n)
+            sigma = math.sqrt(
+                (float(n) * float(s2) - float(s1) * float(s1))
+                / (float(n) * (n - 1.0))
+            )
+            out.append(
+                (
+                    key[0],
+                    row.event_id,
+                    row.ts,
+                    round(dev / 100000, 5),
+                    bool(abs(float(dev)) > CUSUM_H * sigma),
+                )
+            )
+        state.update((n, s1, s2, c, t))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "event_id", "ts", "cusum", "is_alert"]
+            )
+
+    return monitor
+
+
+def cusum_alert_stream(stream: DataFrame, cutoff) -> DataFrame:
+    """Per-event-type streaming CUSUM monitor (see make_cusum_monitor)."""
+    return (
+        stream.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_cusum_monitor(cutoff),
+            outputStructType=CUSUM_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
