@@ -590,3 +590,61 @@ def test_kafka_contract_is_pinned():
         "topic": "weather",
         "checkpointLocation": "/ckpt",
     }
+
+
+def test_streaming_cusum_state_across_micro_batches(spark, duck):
+    """The CUSUM monitor's five-bigint state (baseline moments + running
+    deviation) must survive micro-batch boundaries: replay events as four
+    time-ordered files, ONE per trigger — the baseline accumulates over
+    early batches, monitoring continues over later ones — and the emitted
+    rows must equal the relational oracle exactly."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.sources import load_table
+    from weather_stream_processor_spark.streaming.replay import run_to_memory
+    from weather_stream_processor_spark.streaming.stateful import (
+        cusum_alert_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    min_day = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0")).collect()[0][
+        "d0"
+    ]
+    from datetime import timedelta
+
+    cutoff = min_day + timedelta(days=10)
+
+    src = tempfile.mkdtemp(prefix="cusum_src_")
+    quart = ev.withColumn("q", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    for i in range(1, 5):
+        quart.filter(F.col("q") == i).drop("q").coalesce(1).write.parquet(
+            f"{src}/part{i}.parquet"
+        )
+        t = time.time() + i
+        for root, _, files in os.walk(f"{src}/part{i}.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, event_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    got = {
+        (r.event_type, r.event_id, r.cusum, r.is_alert)
+        for r in run_to_memory(
+            cusum_alert_stream(stream, cutoff), "cusum_xbatch", output_mode="append"
+        ).collect()
+    }
+
+    oracle = all_queries()["streaming_cusum_monitor"].oracle
+    expected = {
+        (r.event_type, r.event_id, r.cusum, r.is_alert)
+        for r in duck.execute(oracle).fetchdf().itertuples(index=False)
+    }
+    assert got == expected
