@@ -928,3 +928,90 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(_PATH_TOPK)
     )
+
+
+_ATTR_WINDOW_DAYS = 7
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+        WITH touched AS (
+            SELECT event_type, value, ts, user_id,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS) OVER w
+                       AS touch_type,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN ts END IGNORE NULLS) OVER w
+                       AS touch_ts
+            FROM events
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT COALESCE(CASE WHEN touch_ts >=
+                                  ts - INTERVAL {_ATTR_WINDOW_DAYS} DAY
+                             THEN touch_type END, 'direct') AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CAST(ROUND(value * 100000, 0) AS BIGINT)) AS BIGINT)
+                   / 100000.0 AS attributed_value
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
+    doc=(
+        "LAST-TOUCH ATTRIBUTION: each purchase credits the user's most "
+        "recent preceding non-purchase event within a 7-day lookback; "
+        "purchases with no in-window touch are 'direct'. One keyed window "
+        "pass (partition user_id, order ts/event_id, 1-preceding frame) "
+        "computes the last non-purchase touch via last(ignorenulls) over "
+        "aligned CASE columns — the null-ness of touch_type and touch_ts "
+        "aligns row-for-row, so both come from the same touch event with "
+        "no join. Purchase values are quantized to exact 1e-5 bigint "
+        "units before the channel sum (float summation order differs "
+        "between engines across thousands of purchases). At 100 TB: one "
+        "shuffle on user_id for the window, one dimension-sized channel "
+        "aggregate; no self-join, no as-of join needed for the "
+        "single-touch model (multi-touch would reuse asof_join_last_view's "
+        "machinery)."
+    ),
+    tags=("analytics", "window", "attribution"),
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    not_purchase = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(not_purchase, F.col("event_type")), ignorenulls=True)
+        .over(wf)
+        .alias("touch_type"),
+        F.last(F.when(not_purchase, F.col("ts")), ignorenulls=True)
+        .over(wf)
+        .alias("touch_ts"),
+    )
+    in_window = F.col("touch_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(
+                F.when(in_window, F.col("touch_type")), F.lit("direct")
+            ).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100000, 0).cast("bigint"))
+                / 100000.0
+            ).alias("attributed_value"),
+        )
+    )

@@ -588,9 +588,7 @@ def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
-@register(
-    "bm25_top_docs",
-    oracle=f"""
+_BM25_ORACLE = f"""
         WITH tf AS (
             SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -622,7 +620,12 @@ def boolean_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY tf.doc_id
         ORDER BY bm25 DESC, doc_id ASC
         LIMIT 20
-    """,
+"""
+
+
+@register(
+    "bm25_top_docs",
+    oracle=_BM25_ORACLE,
     doc=(
         "BM25 ranking of the corpus for a fixed 3-term query, top 20 "
         "(score desc, doc_id tie-break). Classic two-stat scheme: per-"
@@ -1160,4 +1163,90 @@ def token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "type_token_ratio"
             ),
         )
+    )
+
+
+_RRF_C = 60  # the standard reciprocal-rank-fusion constant
+
+
+def _rrf_oracle() -> str:
+    from weather_stream_processor_spark.operators.similarity import (
+        _COSINE_ORACLE_CTE,
+    )
+
+    cosine_stmt = _COSINE_ORACLE_CTE.format(n_queries=1) + (
+        "SELECT vec_id, cosine_sim, rn FROM sims WHERE rn <= 10"
+    )
+    return f"""
+        WITH lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM ({_BM25_ORACLE})
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id, rn AS r
+            FROM ({cosine_stmt})
+        ),
+        u AS (
+            SELECT doc_id, 1.0 / ({_RRF_C} + r) AS s FROM lex
+            UNION ALL
+            SELECT doc_id, 1.0 / ({_RRF_C} + r) AS s FROM sem
+        )
+        SELECT doc_id, ROUND(SUM(s), 6) AS rrf,
+               CAST(COUNT(*) AS BIGINT) AS n_arms
+        FROM u GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=_rrf_oracle(),
+    doc=(
+        "HYBRID RETRIEVAL via reciprocal-rank fusion: the BM25 lexical "
+        "top-20 and the exact-cosine semantic top-10 (query vector 0; the "
+        "fixture corpora are id-aligned, doc_id == vec_id, as "
+        "multimodal_doc_vector_join also relies on) fused by "
+        "score = sum over arms of 1/(60 + rank) — the standard RRF "
+        "formula, robust to incomparable score scales, which is exactly "
+        "why production search fuses arms on RANKS not scores. Both arms "
+        "reuse the registered rankers' builders AND their oracle SQL "
+        "verbatim (composed as derived tables), so the fusion cannot "
+        "drift from its parts. Ranks are integers, so the fused score is "
+        "the same exact expression in both engines. At 100 TB each arm "
+        "is already top-k (tiny), so the fusion itself is a "
+        "constant-size union-aggregate — the scale cost lives in the "
+        "arms, measured separately."
+    ),
+    tags=("text", "retrieval", "llm", "similarity"),
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from weather_stream_processor_spark.operators.similarity import (
+        cosine_topk_exact,
+    )
+
+    lex = bm25_top_docs(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    sem = cosine_topk_exact(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("rn").alias("r")
+    )
+    s = F.lit(1.0) / (F.lit(_RRF_C) + F.col("r"))
+    u = lex.select("doc_id", s.alias("s")).unionAll(
+        sem.select("doc_id", s.alias("s"))
+    )
+    return (
+        u.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("rrf"),
+            F.count(F.lit(1)).alias("n_arms"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
     )

@@ -1096,3 +1096,65 @@ def cusum_from_events(ev: DataFrame) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_shift"),
     )
+
+
+@register(
+    "theilsen_trend_by_user",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id, event_id, epoch_us(ts) AS t, value FROM events
+        ),
+        slopes AS (
+            SELECT a.user_id,
+                   (b.value - a.value)
+                   / ((b.t - a.t) / 86400000000.0) AS slope
+            FROM pts a JOIN pts b
+              ON a.user_id = b.user_id AND a.t < b.t
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        FROM slopes GROUP BY user_id
+    """,
+    doc=(
+        "THEIL-SEN ROBUST TREND per user: the median of all pairwise "
+        "slopes (value units per day) over the user's event history — "
+        "the estimator that shrugs off the outliers that wreck the OLS "
+        "slope in regression_trend_by_user (up to ~29% contamination). "
+        "Pairs are strictly time-ordered (a.t < b.t, equal-timestamp "
+        "pairs excluded — slope undefined); each slope is one double "
+        "division of exact integers (epoch micros, raw value), so both "
+        "engines build the identical slope multiset and exact-median "
+        "interpolation agrees bit-for-bit before the shared round(6). "
+        "The self-join is keyed on user_id — quadratic ONLY within a "
+        "key (~67 events -> ~2.2k pairs per user in the fixtures, and "
+        "the fixture generator keeps events/user constant as SF grows, "
+        "so per-key cost is flat at any SF). For genuinely unbounded "
+        "keys the scale form is the repeated-median / sampled-pairs "
+        "variant (cap pairs per key by windowing each point against its "
+        "K successors), same plan shape with a bounded fan-out."
+    ),
+    tags=("timeseries", "statistics", "robust"),
+)
+def theilsen_trend_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id", F.unix_micros("ts").alias("t"), "value"
+    )
+    a = pts.select("user_id", F.col("t").alias("ta"), F.col("value").alias("va"))
+    b = pts.select("user_id", F.col("t").alias("tb"), F.col("value").alias("vb"))
+    slopes = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            "user_id",
+            (
+                (F.col("vb") - F.col("va"))
+                / ((F.col("tb") - F.col("ta")) / 86400000000.0)
+            ).alias("slope"),
+        )
+    )
+    return slopes.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_slope"),
+    )
