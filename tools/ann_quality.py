@@ -83,6 +83,24 @@ def main() -> None:
     p = eig / eig.sum()
     effective_rank = float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
 
+    # IVF recall-vs-scan-fraction curve: the trade a deployment tunes.
+    # Each point is (nprobe, recall@10 vs exact cosine, candidate fraction
+    # of corpus scanned by the rerank).
+    from weather_stream_processor_spark.operators.similarity import ivf_plan
+
+    ivf_curve = []
+    for nprobe in (2, 4, 8, 16):
+        plan = ivf_plan(spark, sf_dir, nprobe)
+        got = [r.vec_id for r in plan["top"].collect()]
+        frac = plan["candidates"].count() / max(n_corpus, 1)
+        ivf_curve.append(
+            {
+                "nprobe": nprobe,
+                "recall_at_k": round(len(set(exact) & set(got)) / len(exact), 4),
+                "scan_fraction": round(frac, 4),
+            }
+        )
+
     exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
     minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
 
@@ -92,6 +110,7 @@ def main() -> None:
         "ann_lsh_recall_at_k": round(len(set(exact) & set(lsh)) / len(exact), 4),
         "ann_lsh_candidate_fraction": round(n_candidates / max(n_corpus, 1), 4),
         "ann_ivf_recall_at_k": round(len(set(exact) & set(ivf)) / len(exact), 4),
+        "ann_ivf_recall_curve": ivf_curve,
         "ann_pq_recall_at_k": round(
             len(set(exact_l2) & set(pq)) / max(len(exact_l2), 1), 4
         ),

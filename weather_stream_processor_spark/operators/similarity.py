@@ -621,7 +621,10 @@ def _ivf_oracle(k: int, nprobe: int) -> str:
         "IVF_NPROBE closest cells; (3) only vectors in probed cells are "
         "redranked by exact HOF cosine. Scan fraction ~NPROBE/K of the "
         "corpus vs the brute-force baseline; recall@10 measured in tests "
-        "against cosine_topk_exact. Assignment/probe cosines are rounded "
+        "against cosine_topk_exact, and the full recall-vs-scan-fraction "
+        "curve (nprobe 2/4/8/16) is recorded in ANN_QUALITY.json — at "
+        "sf0.01: 0.8@8.6%, 0.9@14%, 1.0@27% scanned; the registered "
+        "operating point keeps nprobe=4. Assignment/probe cosines are rounded "
         "to 6dp BEFORE their argmax (ties to the lowest cell) — the same "
         "quantization that makes k-means hash-comparable — so the index "
         "build is bit-reproducible cross-engine and the whole operator is "
@@ -631,6 +634,14 @@ def _ivf_oracle(k: int, nprobe: int) -> str:
     tags=("similarity", "llm", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_plan(spark, sf_dir, IVF_NPROBE)["top"]
+
+
+def ivf_plan(spark: SparkSession, sf_dir: str, nprobe: int) -> dict:
+    """IVF index + probe at a caller-chosen ``nprobe``: returns both the
+    reranked top-10 plan and the candidate plan, so the quality tool can
+    record the measured recall-vs-scan-fraction curve (the trade a real
+    IVF deployment tunes) instead of a single operating point."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -685,7 +696,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # primary) — mirrors the oracle's ORDER BY cos DESC, cid
     q_sims = np.round(C @ qv, 6)
     order = np.lexsort((np.arange(len(q_sims)), -q_sims))
-    probe_cells = [int(c) for c in order[:IVF_NPROBE]]
+    probe_cells = [int(c) for c in order[:nprobe]]
 
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"), F.col("nrm").alias("q_nrm")
@@ -700,9 +711,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
-    return top.withColumn("rn", F.row_number().over(w)).select(
-        "vec_id", "cosine_sim", "rn"
-    )
+    return {
+        "top": top.withColumn("rn", F.row_number().over(w)).select(
+            "vec_id", "cosine_sim", "rn"
+        ),
+        "candidates": candidates.select("vec_id"),
+    }
 
 
 # Block-grid exact all-pairs: B blocks -> B*(B+1)/2 cells; every row is
