@@ -1621,3 +1621,88 @@ def simhash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= HAMMING_MAX).select(
         "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
+
+
+@register(
+    "cross_source_overlap_matrix",
+    oracle="""
+        WITH toks AS (SELECT source, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (
+            SELECT DISTINCT source,
+                   unnest([sha256(array_to_string(t[i:i+7], ' '))
+                           FOR i IN range(1, len(t) - 6)]) AS h
+            FROM toks
+        ),
+        per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1
+        ),
+        shared AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b, s.n_shared,
+               ROUND(s.n_shared * 1.0
+                     / (pa.n + pb.n - s.n_shared), 6) AS jaccard
+        FROM shared s
+        JOIN per pa ON pa.source = s.source_a
+        JOIN per pb ON pb.source = s.source_b
+        ORDER BY jaccard DESC, source_a, source_b
+    """,
+    doc=(
+        "CROSS-SOURCE DUPLICATION MATRIX: per source PAIR, the count and "
+        "Jaccard overlap of shared 8-gram passage shingles — the "
+        "provenance audit run before mixing crawl dumps (two snapshots of "
+        "the same site show up as a high-overlap pair; licensing of one "
+        "source contaminates its near-copies). Same windowed-sha2 shingle "
+        "projection as cross_doc_repeated_passages, collapsed to DISTINCT "
+        "(source, shingle) grain BEFORE the pair join, so the quadratic "
+        "step fans out per shingle over at most |sources| postings — "
+        "source-bounded, never doc-bounded. Per-source shingle counts "
+        "broadcast back into the |sources|^2-row matrix. At 100 TB the "
+        "only corpus-scale stages are the explode and the DISTINCT "
+        "(both keyed on shingle hash); everything after is "
+        "dimension-sized. Fully tie-broken ordering."
+    ),
+    tags=("dedup", "llm", "provenance"),
+)
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = 8  # oracle's t[i:i+7] is an INCLUSIVE DuckDB slice: 8 tokens
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+        lambda i: F.sha2(F.array_join(F.slice(toks, i, w), " "), 256),
+    )
+    guarded = F.when(F.size(toks) >= w, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    sh = docs.select("source", F.explode(guarded).alias("h")).distinct()
+    per = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("source_a"), F.asc("source_b"))
+    )

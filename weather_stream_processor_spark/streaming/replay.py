@@ -29,9 +29,20 @@ def _as_stream_dir(parquet_file: str) -> str:
     digest = hashlib.sha256(parquet_file.encode()).hexdigest()[:16]
     d = os.path.join(tempfile.gettempdir(), f"stream_replay_{digest}")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, os.path.basename(parquet_file))
-    if not os.path.exists(link):
-        os.symlink(parquet_file, link)
+    if os.path.isdir(parquet_file):
+        # a Spark-written table is a DIRECTORY of part files; FileStream-
+        # Source does not follow a symlinked subdirectory, so stage each
+        # part file individually (the 10x scale-probe replicas hit this)
+        for f in sorted(os.listdir(parquet_file)):
+            if not f.endswith(".parquet"):
+                continue
+            link = os.path.join(d, f)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(parquet_file, f), link)
+    else:
+        link = os.path.join(d, os.path.basename(parquet_file))
+        if not os.path.exists(link):
+            os.symlink(parquet_file, link)
     return d
 
 
