@@ -1250,3 +1250,131 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_RAKE_TOPK = 20
+
+
+def _rake_oracle() -> str:
+    stop_list = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        cand AS (
+            SELECT doc_id, tok, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM toks
+            WHERE NOT list_contains({stop_list}, tok)
+        ),
+        phr AS (
+            SELECT doc_id, isl,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS plen
+            FROM cand GROUP BY doc_id, isl
+        ),
+        ws AS (
+            SELECT c.tok,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(p.plen) AS BIGINT) AS deg
+            FROM cand c JOIN phr p USING (doc_id, isl)
+            GROUP BY c.tok
+        ),
+        scored AS (
+            SELECT p.phrase,
+                   ROUND(SUM(w.deg * 1.0 / w.freq), 6) AS rake_score
+            FROM phr p
+            JOIN cand c USING (doc_id, isl)
+            JOIN ws w ON w.tok = c.tok
+            GROUP BY p.doc_id, p.isl, p.phrase
+        )
+        SELECT phrase, rake_score,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM scored
+        GROUP BY phrase, rake_score
+        ORDER BY rake_score DESC, phrase
+        LIMIT {_RAKE_TOPK}
+    """
+
+
+@register(
+    "rake_keyphrases",
+    oracle=_rake_oracle(),
+    doc=(
+        "RAKE KEYPHRASE EXTRACTION (Rose et al. 2010): candidate phrases "
+        "are maximal stopword-free token runs, found with the "
+        "gaps-and-islands trick (pos minus the per-doc row_number over "
+        "non-stop tokens is constant within a run — one keyed window, no "
+        "iteration); word scores are corpus-level degree/frequency "
+        "(degree sums the lengths of every phrase containing the word), "
+        "and a phrase scores the sum of its words' scores. Identical "
+        "phrase text implies identical score (scores are corpus-level), "
+        "so the final rollup groups by (phrase, score) and counts "
+        "occurrences; top-20 fully tie-broken. Every stage is a keyed "
+        "hash aggregate or broadcast join: the word-stat table is "
+        "vocabulary-bounded, the islands window partitions by doc_id. At "
+        "100 TB this is the same explode -> keyed-agg shape as tfidf "
+        "with one extra phrase-grain aggregate; nothing global, nothing "
+        "quadratic. deg/freq ratios are exact-integer divisions rounded "
+        "identically in both engines."
+    ),
+    tags=("text", "keyphrase", "window", "llm"),
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    cand = toks.filter(~F.col("tok").isin(*STOPWORDS)).select(
+        "doc_id",
+        "tok",
+        "pos",
+        (F.col("pos") - F.row_number().over(
+            W.partitionBy("doc_id").orderBy("pos")
+        )).alias("isl"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(cand: DataFrame) -> DataFrame:
+        phr = cand.groupBy("doc_id", "isl").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("plen"),
+        )
+        ws = (
+            cand.join(phr.select("doc_id", "isl", "plen"), ["doc_id", "isl"])
+            .groupBy("tok")
+            .agg(
+                F.count(F.lit(1)).alias("freq"),
+                F.sum("plen").alias("deg"),
+            )
+        )
+        scored = (
+            phr.join(cand.select("doc_id", "isl", "tok"), ["doc_id", "isl"])
+            .join(F.broadcast(ws), "tok")
+            .groupBy("doc_id", "isl", "phrase")
+            .agg(
+                F.round(F.sum(F.col("deg") / F.col("freq")), 6).alias(
+                    "rake_score"
+                )
+            )
+        )
+        return (
+            scored.groupBy("phrase", "rake_score")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.desc("rake_score"), F.asc("phrase"))
+            .limit(_RAKE_TOPK)
+        )
+
+    return persisted_result(cand, build)
