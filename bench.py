@@ -64,6 +64,13 @@ HEADLINE = [
     "multimodal_asset_features",
     "streaming_hourly_agg",
     "streaming_dedup_replay",
+    # round-4c families: custom stateful streaming, keyphrase extraction,
+    # hybrid retrieval, graph communities, provenance dedup
+    "streaming_cusum_monitor",
+    "rake_keyphrases",
+    "hybrid_rrf_fusion",
+    "label_propagation_communities",
+    "cross_source_overlap_matrix",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners

@@ -440,3 +440,71 @@ def test_cusum_exact_on_arbitrary_series(spark, rows):
     for key in got:
         assert math.isclose(got[key][0], expected[key][0], abs_tol=1e-9), key
         assert got[key][1] == expected[key][1], key
+
+
+_rake_corpora = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["the", "a", "of", "and", "to", "in", "alpha", "beta", "gamma",
+             "delta", "epsilon", "zeta"]
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_rake_corpora)
+@settings(max_examples=5, deadline=None)
+def test_rake_matches_python_reference(spark, docs):
+    """RAKE over ARBITRARY corpora (stopwords interleaved with a small
+    content vocabulary) must equal a pure-Python reference: island
+    segmentation on stopword boundaries, corpus-level deg/freq word
+    scores, phrase score = sum of word scores, identical-text phrases
+    merged with occurrence counts."""
+    from collections import Counter
+
+    from weather_stream_processor_spark.operators.text import (
+        STOPWORDS,
+        rake_from_docs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.phrase, r.rake_score, r.n_occurrences)
+        for r in rake_from_docs(df, topk=1_000_000).collect()
+    }
+
+    stop = set(STOPWORDS)
+    phrases = []  # list of tuples of words
+    for toks in docs:
+        run = []
+        for t in toks:
+            if t in stop:
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(tuple(run))
+    freq, deg = Counter(), Counter()
+    for ph in phrases:
+        for w_ in ph:
+            freq[w_] += 1
+            deg[w_] += len(ph)
+    scored = Counter()
+    for ph in phrases:
+        score = round(sum(deg[w_] / freq[w_] for w_ in ph), 6)
+        scored[(" ".join(ph), score)] += 1
+    expected = {(p, s, n) for (p, s), n in scored.items()}
+
+    assert {(p, n) for p, s, n in got} == {(p, n) for p, s, n in expected}
+    exp_scores = {p: s for p, s, n in expected}
+    for p, s, n in got:
+        assert math.isclose(s, exp_scores[p], abs_tol=1e-6), p

@@ -1325,9 +1325,15 @@ def _rake_oracle() -> str:
     tags=("text", "keyphrase", "window", "llm"),
 )
 def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rake_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def rake_from_docs(docs: DataFrame, topk: int = _RAKE_TOPK) -> DataFrame:
+    """RAKE core over any (doc_id, text) frame — split out so the property
+    tests can drive it with hypothesis-drawn corpora against a pure-Python
+    reference implementation."""
     from pyspark.sql.window import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
@@ -1374,7 +1380,7 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             scored.groupBy("phrase", "rake_score")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .orderBy(F.desc("rake_score"), F.asc("phrase"))
-            .limit(_RAKE_TOPK)
+            .limit(topk)
         )
 
     return persisted_result(cand, build)
