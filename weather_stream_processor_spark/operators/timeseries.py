@@ -1158,3 +1158,86 @@ def theilsen_trend_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.percentile("slope", F.lit(0.5)), 6).alias("theil_sen_slope"),
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(ROUND(SUM(value) * 100000, 0) AS BIGINT) AS xi
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, xi,
+                   lag(xi, 7) OVER (PARTITION BY event_type ORDER BY day)
+                       AS l7,
+                   lag(xi, 1) OVER (PARTITION BY event_type ORDER BY day)
+                       AS l1
+            FROM daily
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(ABS(xi - l7)) AS DOUBLE) AS e7,
+                   CAST(COUNT(l7) AS DOUBLE) AS n7,
+                   CAST(SUM(ABS(xi - l1)) AS DOUBLE) AS e1,
+                   CAST(COUNT(l1) AS DOUBLE) AS n1
+            FROM lagged GROUP BY 1
+        )
+        SELECT event_type, n_days,
+               ROUND(e7 / n7 / 100000, 5) AS mae_seasonal,
+               ROUND(e1 / n1 / 100000, 5) AS mae_naive,
+               CASE WHEN e1 > 0
+                    THEN ROUND((e7 / n7) / (e1 / n1), 6) END AS mase
+        FROM m
+    """,
+    doc=(
+        "SEASONAL-NAIVE FORECAST BACKTEST: per event_type, the MAE of the "
+        "lag-7 (weekly) naive forecast over the daily total series, the "
+        "lag-1 naive MAE, and their ratio — MASE with the in-sample naive "
+        "denominator (Hyndman & Koehler 2006), the standard 'is there "
+        "exploitable weekly structure' screen run before fitting any "
+        "model (MASE < 1 means the weekly naive beats the daily naive). "
+        "Exact-arithmetic discipline: daily totals quantize once to "
+        "scaled bigints, absolute-error SUMS are exact integers, and the "
+        "only float ops are the final identical-expression divisions — "
+        "AVG() itself is never used because engines disagree on its "
+        "internal accumulation. The lag window partitions by type; "
+        "constant series (zero naive error) yield NULL MASE in both "
+        "engines. At 100 TB: the fact collapses to |types|x|days| at the "
+        "first aggregate, identical to cusum_level_shift."
+    ),
+    tags=("timeseries", "forecast", "window", "statistics"),
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.round(F.sum("value") * 100000, 0).cast("bigint").alias("xi"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "xi",
+        F.lag("xi", 7).over(w).alias("l7"),
+        F.lag("xi", 1).over(w).alias("l1"),
+    )
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.abs(F.col("xi") - F.col("l7"))).cast("double").alias("e7"),
+        F.count("l7").cast("double").alias("n7"),
+        F.sum(F.abs(F.col("xi") - F.col("l1"))).cast("double").alias("e1"),
+        F.count("l1").cast("double").alias("n1"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("e7") / F.col("n7") / 100000, 5).alias("mae_seasonal"),
+        F.round(F.col("e1") / F.col("n1") / 100000, 5).alias("mae_naive"),
+        F.when(
+            F.col("e1") > 0,
+            F.round((F.col("e7") / F.col("n7")) / (F.col("e1") / F.col("n1")), 6),
+        ).alias("mase"),
+    )
