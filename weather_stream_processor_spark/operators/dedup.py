@@ -1706,3 +1706,45 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jaccard"), F.asc("source_a"), F.asc("source_b"))
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+        WITH RECURSIVE {_COMPONENTS_CTES},
+        csizes AS (
+            SELECT component_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY component_id
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        FROM csizes GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+    doc=(
+        "NEAR-DUP CLUSTER SIZE HISTOGRAM: the distribution of resolved "
+        "duplicate-cluster sizes — the dedup yield report (how much of "
+        "the corpus sits in 2-clusters vs mega-clusters decides survivor "
+        "policy and flags boilerplate explosions; a power-law tail here "
+        "is the classic crawl pathology). Reuses the connected-components "
+        "resolution verbatim (builder AND recursive-CTE oracle), then two "
+        "tiny keyed aggregates: component -> size, size -> (clusters, "
+        "docs). At 100 TB both rollups are component-domain-sized; the "
+        "histogram itself is O(distinct sizes) rows."
+    ),
+    tags=("dedup", "llm", "profiling"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = dedup_connected_components(spark, sf_dir)
+    sizes = labeled.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

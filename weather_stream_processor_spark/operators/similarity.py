@@ -556,14 +556,11 @@ IVF_K = 32
 IVF_NPROBE = 4
 
 
-def _ivf_oracle(k: int, nprobe: int) -> str:
-    """IVF replayed in SQL: the cell assignment, the query's probe set, and
-    the rerank are all deterministic once assignment cosines are rounded to
-    6dp (same quantize-before-argmax trick as k-means) — so the
-    'approximate' index is exactly reproducible cross-engine even though
-    its RESULT is approximate relative to cosine_topk_exact."""
-    return f"""
-        WITH e AS (
+def _ivf_assign_ctes(k: int) -> str:
+    """The shared IVF index-build CTEs (exploded vectors, centroid set,
+    rounded assignment cosines, argmax cell per vector) — reused by the
+    top-k oracle and the cell-balance audit."""
+    return f"""e AS (
             SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings
@@ -583,7 +580,17 @@ def _ivf_oracle(k: int, nprobe: int) -> str:
                        ROW_NUMBER() OVER (
                            PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
                 FROM ac) WHERE rn = 1
-        ),
+        )"""
+
+
+def _ivf_oracle(k: int, nprobe: int) -> str:
+    """IVF replayed in SQL: the cell assignment, the query's probe set, and
+    the rerank are all deterministic once assignment cosines are rounded to
+    6dp (same quantize-before-argmax trick as k-means) — so the
+    'approximate' index is exactly reproducible cross-engine even though
+    its RESULT is approximate relative to cosine_topk_exact."""
+    return f"""
+        WITH {_ivf_assign_ctes(k)},
         probes AS (
             SELECT cid AS cell FROM (
                 SELECT cid, ROW_NUMBER() OVER (ORDER BY cos DESC, cid) AS rn
@@ -716,6 +723,7 @@ def ivf_plan(spark: SparkSession, sf_dir: str, nprobe: int) -> dict:
             "vec_id", "cosine_sim", "rn"
         ),
         "candidates": candidates.select("vec_id"),
+        "cells": cells,
     }
 
 
@@ -1603,3 +1611,61 @@ def embedding_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(cells, build)
+
+
+@register(
+    "ivf_cell_balance",
+    oracle=f"""
+        WITH {_ivf_assign_ctes(IVF_K)},
+        counts AS (
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+            FROM cells GROUP BY cell
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_vectors) AS DOUBLE) AS total,
+                   CAST(COUNT(*) AS DOUBLE) AS n_cells
+            FROM counts
+        )
+        SELECT c.cell, c.n_vectors,
+               ROUND(c.n_vectors / t.total, 6) AS share,
+               ROUND(c.n_vectors / (t.total / t.n_cells), 6)
+                   AS imbalance_factor
+        FROM counts c CROSS JOIN tot t
+        ORDER BY c.n_vectors DESC, c.cell
+    """,
+    doc=(
+        "IVF CELL BALANCE AUDIT: per-cell vector counts, corpus share, "
+        "and imbalance factor (cell size over the perfectly-balanced "
+        "mean) for the inverted-file index — the health check run after "
+        "every index build, because one hot cell silently turns "
+        "nprobe/K expected scan fraction into that cell's share (a "
+        "2x-mean cell probed every query doubles rerank cost; the fix "
+        "is re-training centroids or splitting the cell). Reuses the "
+        "registered index's assignment verbatim — same blocked-GEMM "
+        "builder path, same rounded-argmax CTEs in the oracle — so the "
+        "audit can never drift from the index it audits. Aggregates are "
+        "cell-domain-sized (K rows); the only corpus-scale stage is the "
+        "assignment itself, shared with ann_ivf_topk. Fully tie-broken "
+        "ordering."
+    ),
+    tags=("similarity", "ivf", "profiling"),
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = ivf_plan(spark, sf_dir, IVF_NPROBE)["cells"]
+    counts = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    tot = counts.agg(
+        F.sum("n_vectors").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_cells"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("n_vectors") / (F.col("total") / F.col("n_cells")), 6
+            ).alias("imbalance_factor"),
+        )
+        .orderBy(F.desc("n_vectors"), F.asc("cell"))
+    )
