@@ -1241,3 +1241,80 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("e7") / F.col("n7")) / (F.col("e1") / F.col("n1")), 6),
         ).alias("mase"),
     )
+
+
+@register(
+    "time_weighted_average_daily",
+    oracle="""
+        WITH pts AS (
+            SELECT user_id, date_trunc('day', ts) AS day, ts, event_id,
+                   CAST(ROUND(value * 100000, 0) AS BIGINT) AS xi
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, day, xi,
+                   (epoch_us(COALESCE(
+                        lead(ts) OVER (
+                            PARTITION BY user_id, day
+                            ORDER BY ts, event_id),
+                        day + INTERVAL 1 DAY))
+                    - epoch_us(ts)) // 1000 AS dur_ms
+            FROM pts
+        )
+        SELECT user_id, day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(SUM(xi * dur_ms) AS DOUBLE)
+                     / CAST(SUM(dur_ms) AS DOUBLE) / 100000, 5) AS twap
+        FROM seg GROUP BY user_id, day
+    """,
+    doc=(
+        "TIME-WEIGHTED AVERAGE (TWAP) per user-day: each observation "
+        "holds its value until the next one (last until day end), so the "
+        "mean weights by holding DURATION, not by sample count — the "
+        "correct daily summary for state-like series sampled at uneven "
+        "intervals (a plain AVG over-weights bursts; the weather analog: "
+        "a forecast stands until replaced). One keyed lead() window per "
+        "(user, day) with a full (ts, event_id) tie-break, then a keyed "
+        "aggregate. Exact arithmetic: values quantize to 1e-5 bigints, "
+        "durations are integer milliseconds (micros floor-divided by "
+        "1000 — headroom: max |xi*dur_ms| ~ 1e15 per segment, int64-safe "
+        "for ~8000 segments/day/user), so both weighted sums are exact "
+        "integers and the single final division is the identical IEEE "
+        "expression in both engines. At 100 TB: one shuffle on "
+        "user_id-derived keys shared by window and aggregate; output is "
+        "|users|x|days|."
+    ),
+    tags=("timeseries", "window", "statistics"),
+)
+def time_weighted_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100000, 0).cast("bigint").alias("xi"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("ts").over(w), F.col("day") + F.expr("INTERVAL 1 DAY")
+    )
+    seg = pts.select(
+        "user_id",
+        "day",
+        "xi",
+        F.floor((F.unix_micros(nxt) - F.unix_micros("ts")) / 1000).alias(
+            "dur_ms"
+        ),
+    )
+    return seg.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("xi") * F.col("dur_ms")).cast("double")
+            / F.sum("dur_ms").cast("double")
+            / 100000,
+            5,
+        ).alias("twap"),
+    )
