@@ -16,6 +16,13 @@ Semantics and scale notes:
   already seen, exactly like a monitoring system would);
 - GroupStateTimeout can evict idle keys; the bounded-replay tests run with
   NoTimeout.
+
+API note: Spark 4 adds transformWithStateInPandas (StatefulProcessor with
+typed value/list/map state and timers) as the successor API; probed here
+(RocksDB provider configured) its driver-side Python worker crashes in
+this sandbox, so the operators stay on applyInPandasWithState — the
+semantics (per-key state across micro-batches) are identical, and a
+deployment on a healthy cluster can port each processor mechanically.
 """
 
 from __future__ import annotations
