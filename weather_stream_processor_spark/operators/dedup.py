@@ -350,21 +350,13 @@ _SH_POW37 = tuple(pow(37, k, _SH_MOD) for k in range(_SH_POW_CYCLE))
 _SH_BITS = 62  # h < 2^62 by construction; bits 62/63 carry no signal
 
 
-def _simhash_cte() -> str:
-    """CTE chain ending in sh(doc_id, simhash) — shared by the bucket
-    sketch oracle and the Hamming near-dup oracle."""
+def _vhash_ctes() -> str:
+    """CTE chain ending in vhash(tok, h): the portable per-token 62-bit
+    hash over the corpus vocabulary — shared by the SimHash oracles and
+    the feature-hashing vectorizer oracle."""
     p31 = ", ".join(str(p) for p in _SH_POW31)
     p37 = ", ".join(str(p) for p in _SH_POW37)
-    bit_sums = ",\n                   ".join(
-        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(_SH_BITS)
-    )
-    assemble = "\n                 + ".join(
-        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
-        for i in range(_SH_BITS)
-    )
-    return f"""
-        WITH toks AS (
+    return f"""toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
             FROM documents
         ),
@@ -383,7 +375,43 @@ def _simhash_cte() -> str:
                           * ([{p37}])[((i - 1) % {_SH_POW_CYCLE}) + 1])
                       % {_SH_MOD}) * 2147483648 AS h
             FROM vchars GROUP BY tok
-        ),
+        )"""
+
+
+def _vocab_hash(toks: DataFrame) -> DataFrame:
+    """Portable per-token 62-bit hash over the DISTINCT tokens of a
+    (doc_id, tok) frame — the Spark twin of the _vhash_ctes() oracle
+    chain, shared by SimHash and the feature-hashing vectorizer."""
+    vocab = toks.select("tok").distinct()
+    chars = vocab.select(
+        "tok",
+        F.posexplode(F.regexp_extract_all("tok", F.lit("."), 0)).alias("i", "c"),
+    )
+    pow31 = F.array(*[F.lit(p) for p in _SH_POW31])
+    pow37 = F.array(*[F.lit(p) for p in _SH_POW37])
+    idx = (F.col("i") % _SH_POW_CYCLE) + 1  # posexplode is 0-based
+    code = F.ascii("c").cast("bigint")
+    return chars.groupBy("tok").agg(
+        (
+            (F.sum(code * F.element_at(pow31, idx)) % _SH_MOD)
+            + (F.sum(code * F.element_at(pow37, idx)) % _SH_MOD) * F.lit(2_147_483_648)
+        ).alias("h")
+    )
+
+
+def _simhash_cte() -> str:
+    """CTE chain ending in sh(doc_id, simhash) — shared by the bucket
+    sketch oracle and the Hamming near-dup oracle."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SH_BITS)
+    )
+    assemble = "\n                 + ".join(
+        f"CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END"
+        for i in range(_SH_BITS)
+    )
+    return f"""
+        WITH {_vhash_ctes()},
         th AS (
             SELECT t.doc_id, COALESCE(v.h, 0) AS h
             FROM toks t LEFT JOIN vhash v USING (tok)
@@ -441,21 +469,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inputs get no common-subexpression elimination) — and the per-char
     # explode over the raw token stream would multiply the shuffle by
     # mean token length. Vocab-bounded instead.
-    vocab = toks.select("tok").distinct()
-    chars = vocab.select(
-        "tok",
-        F.posexplode(F.regexp_extract_all("tok", F.lit("."), 0)).alias("i", "c"),
-    )
-    pow31 = F.array(*[F.lit(p) for p in _SH_POW31])
-    pow37 = F.array(*[F.lit(p) for p in _SH_POW37])
-    idx = (F.col("i") % _SH_POW_CYCLE) + 1  # posexplode is 0-based
-    code = F.ascii("c").cast("bigint")
-    vhash = chars.groupBy("tok").agg(
-        (
-            (F.sum(code * F.element_at(pow31, idx)) % _SH_MOD)
-            + (F.sum(code * F.element_at(pow37, idx)) % _SH_MOD) * F.lit(2_147_483_648)
-        ).alias("h")
-    )
+    vhash = _vocab_hash(toks)
     toksh = toks.join(vhash, "tok", "left").select(
         "doc_id", F.coalesce("h", F.lit(0)).alias("h")
     )
@@ -1747,4 +1761,58 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cluster_size").alias("n_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+_FH_DIM = 128
+
+
+@register(
+    "feature_hashing_vectorizer",
+    oracle=f"""
+        WITH {_vhash_ctes()},
+        th AS (
+            SELECT t.doc_id, COALESCE(v.h, 0) AS h
+            FROM toks t LEFT JOIN vhash v USING (tok)
+        )
+        SELECT doc_id,
+               CAST(h % {_FH_DIM} AS BIGINT) AS feature,
+               CAST(SUM(CASE WHEN ((h >> 61) & 1) = 1
+                             THEN 1 ELSE -1 END) AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM th
+        GROUP BY doc_id, h % {_FH_DIM}
+    """,
+    doc=(
+        "FEATURE HASHING (the hashing trick, Weinberger et al. 2009): "
+        f"each token lands in one of {_FH_DIM} buckets via the portable "
+        "62-bit vocabulary hash (shared with SimHash — one hash per "
+        "DISTINCT token, vocabulary-bounded), with a sign bit (bit 61, "
+        "independent of the bucket bits) so collisions cancel in "
+        "expectation — the unbiased-estimator property that makes "
+        "hashed features usable without a vocabulary dictionary. Output "
+        "is the long-form sparse matrix (doc, feature, signed weight, "
+        "token count): exactly what a downstream trainer joins against, "
+        "and shuffle-friendly at any scale (keyed on doc_id, bounded by "
+        f"{_FH_DIM} features/doc). No vocabulary table ships anywhere — "
+        "that is the point of the trick at 100 TB: the feature space is "
+        "fixed-width regardless of corpus vocabulary growth."
+    ),
+    tags=("text", "llm", "features"),
+)
+def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vhash = _vocab_hash(toks)
+    th = toks.join(vhash, "tok", "left").select(
+        "doc_id", F.coalesce("h", F.lit(0)).alias("h")
+    )
+    sign = F.when(
+        F.shiftright("h", 61).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return th.groupBy(
+        "doc_id", (F.col("h") % _FH_DIM).alias("feature")
+    ).agg(
+        F.sum(sign).alias("weight"),
+        F.count(F.lit(1)).alias("n_tokens"),
     )
