@@ -346,3 +346,56 @@ def test_top_event_paths_take_ordered_topk(spark):
         contains=("TakeOrderedAndProject",),
         not_contains=("CartesianProduct",),
     )
+
+
+def test_feature_hashing_no_cartesian_pruned_scan(spark):
+    # hashing trick: one explode + vocab join + keyed agg — never a
+    # cartesian, and the documents scan must read only (doc_id, text)
+    df = _df(spark, "feature_hashing_vectorizer")
+    require_plan(df, not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"))
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_cross_source_overlap_broadcasts_counts(spark):
+    # per-source shingle counts are |sources|-sized: must broadcast back
+    # into the pair matrix, never sort-merge
+    require_plan(
+        _df(spark, "cross_source_overlap_matrix"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct",),
+    )
+
+
+def test_twap_single_keyed_window(spark):
+    # lead() and the aggregate share the (user_id, day) partitioning; no
+    # global window anywhere
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "time_weighted_average_daily"), "formatted")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_seasonal_backtest_keyed_windows(spark):
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "seasonal_naive_backtest"), "formatted")
+    assert "SinglePartition" not in plan
+
+
+def test_theilsen_self_join_keyed_on_user(spark):
+    # the pairwise-slope self-join must be an equi-join on user_id (per-key
+    # quadratic), never a cartesian over the fact
+    require_plan(
+        _df(spark, "theilsen_trend_by_user"),
+        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_rrf_fusion_take_ordered(spark):
+    require_plan(
+        _df(spark, "hybrid_rrf_fusion"),
+        contains=("TakeOrderedAndProject",),
+        not_contains=("CartesianProduct",),
+    )
