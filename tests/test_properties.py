@@ -508,3 +508,91 @@ def test_rake_matches_python_reference(spark, docs):
     exp_scores = {p: s for p, s, n in expected}
     for p, s, n in got:
         assert math.isclose(s, exp_scores[p], abs_tol=1e-6), p
+
+
+_fh_corpora = st.lists(
+    st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_fh_corpora)
+@settings(max_examples=5, deadline=None)
+def test_portable_hash_and_feature_hashing_match_python(spark, docs):
+    """The portable 62-bit token hash (char polynomial, bases 31/37 with
+    16-cycled exponents mod 2^31-1) and the signed feature-hashing rollup
+    built on it must match a pure-Python reference on arbitrary ASCII
+    corpora — the property that makes the sketch family cross-engine
+    checkable."""
+    from collections import defaultdict
+
+    from weather_stream_processor_spark.operators.dedup import (
+        _FH_DIM,
+        _SH_MOD,
+        _SH_POW_CYCLE,
+        _vocab_hash,
+    )
+
+    def pyhash(tok: str) -> int:
+        h1 = sum(
+            ord(c) * pow(31, k % _SH_POW_CYCLE, _SH_MOD)
+            for k, c in enumerate(tok)
+        ) % _SH_MOD
+        h2 = sum(
+            ord(c) * pow(37, k % _SH_POW_CYCLE, _SH_MOD)
+            for k, c in enumerate(tok)
+        ) % _SH_MOD
+        return h1 + h2 * 2_147_483_648
+
+    toks_df = spark.createDataFrame(
+        [(i, t) for i, d in enumerate(docs) for t in d],
+        "doc_id long, tok string",
+    )
+    got_hash = {r.tok: r.h for r in _vocab_hash(toks_df).collect()}
+    vocab = {t for d in docs for t in d}
+    assert got_hash == {t: pyhash(t) for t in vocab}
+
+    cells = defaultdict(lambda: [0, 0])
+    for i, d in enumerate(docs):
+        for t in d:
+            h = pyhash(t)
+            sign = 1 if (h >> 61) & 1 else -1
+            cell = cells[(i, h % _FH_DIM)]
+            cell[0] += sign
+            cell[1] += 1
+    expected = {
+        (doc, feat, w, n) for (doc, feat), (w, n) in cells.items()
+    }
+
+    sdf = toks_df.sparkSession.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as SF
+
+    th = (
+        sdf.select("doc_id", SF.explode(SF.split("text", " ")).alias("tok"))
+        .join(_vocab_hash(
+            sdf.select("doc_id", SF.explode(SF.split("text", " ")).alias("tok"))
+        ), "tok", "left")
+        .select("doc_id", SF.coalesce("h", SF.lit(0)).alias("h"))
+    )
+    sign = SF.when(
+        SF.shiftright("h", 61).bitwiseAND(SF.lit(1)) == 1, SF.lit(1)
+    ).otherwise(SF.lit(-1))
+    got = {
+        (r.doc_id, r.feature, r.weight, r.n_tokens)
+        for r in th.groupBy("doc_id", (SF.col("h") % _FH_DIM).alias("feature"))
+        .agg(SF.sum(sign).alias("weight"), SF.count(SF.lit(1)).alias("n_tokens"))
+        .collect()
+    }
+    assert got == expected
