@@ -1015,3 +1015,66 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events
+        ),
+        days AS (SELECT DISTINCT day FROM ud),
+        mau AS (
+            SELECT d.day,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+            FROM days d JOIN ud u
+              ON u.day BETWEEN d.day - INTERVAL 29 DAY AND d.day
+            GROUP BY d.day
+        ),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+        )
+        SELECT day, dau, mau,
+               ROUND(dau * 1.0 / mau, 6) AS stickiness
+        FROM dau JOIN mau USING (day)
+    """,
+    doc=(
+        "DAU/MAU STICKINESS: daily active users over trailing-30-day "
+        "active users, per day — the engagement ratio every product "
+        "dashboard leads with. The fact collapses to the DISTINCT "
+        "(user, day) activity grid first (the only event-scale stage, a "
+        "map-side-partial distinct); the trailing window is a range join "
+        "of the grid against the BROADCAST day spine (|days| rows), so "
+        "the fan-out is 30x grid rows, never 30x events. Exact integer "
+        "counts; one identical final division. At 100 TB the exact "
+        "trailing COUNT DISTINCT re-scans 30 grid-days per day — the "
+        "scale form keeps one HLL sketch per day and merges 30 sketches "
+        "per point (see hll_mergeable_rollup), turning the range join "
+        "into a |days|-row sketch merge with ~1% error."
+    ),
+    tags=("analytics", "retention", "join"),
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("d"))
+    mau = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") >= F.col("d") - F.expr("INTERVAL 29 DAYS"))
+            & (F.col("day") <= F.col("d")),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .select(F.col("d").alias("day"), "mau")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+    )
