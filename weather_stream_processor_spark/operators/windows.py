@@ -498,9 +498,7 @@ def time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "batch_sessionization",
-    oracle="""
+_SESSIONIZATION_ORACLE = """
         WITH gaps AS (
             SELECT user_id, ts, value,
                    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -524,7 +522,12 @@ def time_range_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(value), 5) AS session_value
         FROM sess
         GROUP BY user_id, session_id
-    """,
+"""
+
+
+@register(
+    "batch_sessionization",
+    oracle=_SESSIONIZATION_ORACLE,
     doc=(
         "Batch SESSIONIZATION (30-min inactivity gap): lag-gap flag -> "
         "running sum as session ordinal -> per-session rollup. The whole "
@@ -617,4 +620,48 @@ def revenue_contribution_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("revenue").over(cum) / F.sum("revenue").over(total), 6).alias(
             "cumulative_share"
         ),
+    )
+
+
+@register(
+    "session_depth_stats",
+    oracle=f"""
+        WITH base AS ({_SESSIONIZATION_ORACLE})
+        SELECT date_trunc('day', session_start) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS bounce_rate,
+               ROUND(SUM(n_events) * 1.0 / COUNT(*), 6) AS avg_depth
+        FROM base
+        GROUP BY 1
+    """,
+    doc=(
+        "SESSION DEPTH & BOUNCE RATE per day: the rollup every "
+        "engagement dashboard derives from sessionized events — session "
+        "count, single-event (bounce) share, and mean events per session "
+        "by session-start day. Reuses batch_sessionization verbatim "
+        "(builder AND oracle SQL as a derived table), then one keyed "
+        "aggregate over the |sessions|-sized output; counts are exact "
+        "integers and both ratios are single identical divisions. At "
+        "100 TB the session table is the only event-scale computation "
+        "(one user_id shuffle, see batch_sessionization) — this rollup "
+        "adds a |sessions|->|days| aggregate on top."
+    ),
+    tags=("window", "sessionization", "analytics"),
+)
+def session_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = batch_sessionization(spark, sf_dir)
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        base.groupBy(F.date_trunc("day", "session_start").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            bounce.alias("n_bounces"),
+            F.round(bounce / F.count(F.lit(1)), 6).alias("bounce_rate"),
+            F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias(
+                "avg_depth"
+            ),
+        )
     )
