@@ -648,3 +648,78 @@ def test_streaming_cusum_state_across_micro_batches(spark, duck):
         for r in duck.execute(oracle).fetchdf().itertuples(index=False)
     }
     assert got == expected
+
+
+def test_streaming_cusum_checkpoint_restart_restores_state(spark, duck):
+    """True RECOVERY, not just multi-batch: run the monitor to completion
+    on the first half of the replay (checkpointed), STOP, then start a
+    NEW query from the same checkpoint over the second half. The baseline
+    moments and running deviation must restore from the state store — the
+    union of both runs' emissions must equal the relational oracle."""
+    from datetime import timedelta
+
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.sources import load_table
+    from weather_stream_processor_spark.streaming.stateful import (
+        cusum_alert_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "ts", "value"
+    )
+    min_day = ev.agg(F.date_trunc("day", F.min("ts")).alias("d0")).collect()[0][
+        "d0"
+    ]
+    cutoff = min_day + timedelta(days=10)
+
+    src = tempfile.mkdtemp(prefix="cusum_restart_src_")
+    ck = tempfile.mkdtemp(prefix="cusum_restart_ck_")
+    out = tempfile.mkdtemp(prefix="cusum_restart_out_")
+    half = ev.withColumn("q", F.ntile(2).over(Window.orderBy("ts", "event_id")))
+
+    def run_once():
+        # memory sink refuses checkpoint recovery; the parquet sink is the
+        # recovery-capable path (same as production)
+        stream = spark.readStream.schema(
+            "event_type string, event_id long, ts timestamp, value double"
+        ).parquet(f"{src}/h*.parquet")
+        q = (
+            cusum_alert_stream(stream, cutoff)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        ex = q.exception()
+        if ex is not None:
+            raise ex
+
+    half.filter(F.col("q") == 1).drop("q").coalesce(1).write.parquet(
+        f"{src}/h1.parquet"
+    )
+    run_once()
+
+    t = time.time() + 5
+    half.filter(F.col("q") == 2).drop("q").coalesce(1).write.parquet(
+        f"{src}/h2.parquet"
+    )
+    for root, _, files in os.walk(f"{src}/h2.parquet"):
+        for f in files:
+            os.utime(os.path.join(root, f), (t, t))
+    run_once()
+
+    got = {
+        (r.event_type, r.event_id, r.cusum, r.is_alert)
+        for r in spark.read.parquet(out).collect()
+    }
+    oracle = all_queries()["streaming_cusum_monitor"].oracle
+    expected = {
+        (r.event_type, r.event_id, r.cusum, r.is_alert)
+        for r in duck.execute(oracle).fetchdf().itertuples(index=False)
+    }
+    assert got == expected
