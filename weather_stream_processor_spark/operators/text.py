@@ -1384,3 +1384,79 @@ def rake_from_docs(docs: DataFrame, topk: int = _RAKE_TOPK) -> DataFrame:
         )
 
     return persisted_result(cand, build)
+
+
+_OOV_VOCAB_K = 1000
+
+
+@register(
+    "oov_rate_by_source",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1
+        ),
+        vocab AS (
+            SELECT tok FROM (
+                SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rn
+                FROM tf) WHERE rn <= {_OOV_VOCAB_K}
+        )
+        SELECT t.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v USING (tok)
+        GROUP BY t.source
+    """,
+    doc=(
+        "OUT-OF-VOCABULARY RATE per source against the corpus top-"
+        f"{_OOV_VOCAB_K} vocabulary — the tokenizer-coverage eval run "
+        "alongside BPE fertility (bpe_token_counts): a source whose OOV "
+        "rate spikes is the one that will fragment into subword soup and "
+        "inflate training cost. The vocabulary is a frequency top-K with "
+        "a full (count desc, token) tie-break — without it, equal-count "
+        "boundary tokens make the vocab engine-dependent — and "
+        "broadcasts into the token stream as a LEFT join (|V| rows). "
+        "Plan: one explode feeding two hash aggregates (global TF, "
+        "per-source accounting); the top-K is TakeOrdered-sized. At "
+        "100 TB the explode is the only corpus-scale stage; the OOV "
+        "accounting is a broadcast-join scan emitting |sources| rows."
+    ),
+    tags=("text", "llm", "quality", "tokenizer"),
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(toks: DataFrame) -> DataFrame:
+        tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+        vocab = (
+            tf.withColumn(
+                "rn",
+                F.row_number().over(W.orderBy(F.desc("n"), F.asc("tok"))),
+            )
+            .filter(F.col("rn") <= _OOV_VOCAB_K)
+            .select("tok", F.lit(True).alias("in_vocab"))
+        )
+        oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+        return (
+            toks.join(F.broadcast(vocab), "tok", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                oov.alias("n_oov"),
+                F.round(oov / F.count(F.lit(1)), 6).alias("oov_rate"),
+            )
+        )
+
+    return persisted_result(toks, build)
