@@ -596,3 +596,61 @@ def test_portable_hash_and_feature_hashing_match_python(spark, docs):
         .collect()
     }
     assert got == expected
+
+
+_twap_series = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=86_399),  # second offset in day
+        st.integers(min_value=-10_000_000, max_value=10_000_000),  # value*1e5
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@given(rows=_twap_series)
+@settings(max_examples=5, deadline=None)
+def test_twap_exact_on_arbitrary_series(spark, rows):
+    """Daily TWAP must match a pure-Python exact-integer reference on
+    arbitrary single-day series: segment durations to the next event
+    (last until day end) in integer milliseconds, 1e-5-quantized values,
+    one final division."""
+    from weather_stream_processor_spark.operators.timeseries import (
+        twap_from_events,
+    )
+
+    base = datetime(2024, 5, 3)
+    ev = spark.createDataFrame(
+        [
+            (u, i, base + timedelta(seconds=sec), k / 100000)
+            for i, (u, sec, k) in enumerate(rows)
+        ],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.n_events): r.twap
+        for r in twap_from_events(ev).collect()
+    }
+
+    expected = {}
+    day_end_ms = 86_400_000
+    for u in {r[0] for r in rows}:
+        series = sorted(
+            (sec, k) for uu, sec, k in rows if uu == u
+        )
+        num = den = 0
+        for j, (sec, k) in enumerate(series):
+            start_ms = sec * 1000
+            end_ms = (
+                series[j + 1][0] * 1000 if j + 1 < len(series) else day_end_ms
+            )
+            dur = end_ms - start_ms
+            num += k * dur
+            den += dur
+        expected[(u, len(series))] = round(num / den / 100000, 5)
+
+    assert set(got) == set(expected)
+    for key in got:
+        assert math.isclose(got[key], expected[key], abs_tol=1e-9), key

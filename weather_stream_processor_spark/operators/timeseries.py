@@ -1287,9 +1287,15 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "window", "statistics"),
 )
 def time_weighted_average_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return twap_from_events(load_table(spark, sf_dir, "events"))
+
+
+def twap_from_events(ev: DataFrame) -> DataFrame:
+    """TWAP core over any events-shaped frame — split out so the property
+    tests can drive it on hypothesis-drawn series against a pure-Python
+    exact-integer reference."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
     pts = ev.select(
         "user_id",
         F.date_trunc("day", "ts").alias("day"),
