@@ -1036,3 +1036,90 @@ def kll_quantile_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return quantiles(per).unionAll(quantiles(merged))
+
+
+@register(
+    "weighted_median_price_by_brand",
+    oracle="""
+        WITH w AS (
+            SELECT p.p_brand,
+                   CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       AS price_cents,
+                   CAST(l.l_quantity AS BIGINT) AS qty
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        g AS (
+            SELECT p_brand, price_cents,
+                   CAST(SUM(qty) AS BIGINT) AS qty
+            FROM w GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT p_brand, price_cents, qty,
+                   SUM(qty) OVER (
+                       PARTITION BY p_brand ORDER BY price_cents
+                   ) AS cum,
+                   SUM(qty) OVER (PARTITION BY p_brand) AS total
+            FROM g
+        )
+        SELECT p_brand,
+               CAST(MIN(price_cents) AS BIGINT) / 100.0
+                   AS weighted_median_price,
+               CAST(MAX(total) AS BIGINT) AS total_qty
+        FROM c
+        WHERE cum * 2 >= total
+        GROUP BY p_brand
+    """,
+    doc=(
+        "WEIGHTED MEDIAN unit price per brand, weighted by quantity — "
+        "the robust price point a category manager quotes (the plain "
+        "median over-weights penny line items; the mean chases whales). "
+        "Computed by the cumulative-weight crossing: collapse to "
+        "(brand, price) grain with summed weights, one keyed cumulative "
+        "window ordered by price, and the median is the FIRST price "
+        "whose doubled cumulative weight reaches the total — an "
+        "integer-only definition (cents, integer quantities) with no "
+        "interpolation, so both engines agree exactly. Windows "
+        "partition by brand; the grain collapse bounds the window input "
+        "by |brands|x|distinct prices|. At 100 TB: same two-aggregate + "
+        "keyed-window shape; for high-cardinality groups swap the exact "
+        "crossing for the mergeable KLL sketch "
+        "(kll_quantile_mergeable_rollup) at ~1% rank error."
+    ),
+    tags=("aggregate", "percentile", "window", "statistics"),
+)
+def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    w = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias(
+            "price_cents"
+        ),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    g = w.groupBy("p_brand", "price_cents").agg(F.sum("qty").alias("qty"))
+    cum_w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("p_brand")
+    c = g.select(
+        "p_brand",
+        "price_cents",
+        F.sum("qty").over(cum_w).alias("cum"),
+        F.sum("qty").over(tot_w).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("p_brand")
+        .agg(
+            (F.min("price_cents") / 100.0).alias("weighted_median_price"),
+            F.max("total").alias("total_qty"),
+        )
+    )
