@@ -654,3 +654,65 @@ def test_twap_exact_on_arbitrary_series(spark, rows):
     assert set(got) == set(expected)
     for key in got:
         assert math.isclose(got[key], expected[key], abs_tol=1e-9), key
+
+
+_journeys = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=20 * 86_400),  # second offset
+        st.sampled_from(["view", "click", "signup", "purchase"]),
+        st.integers(min_value=0, max_value=1_000_000),  # value*1e5
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_journeys)
+@settings(max_examples=5, deadline=None)
+def test_last_touch_attribution_matches_python(spark, rows):
+    """Last-touch attribution on ARBITRARY journeys: every purchase
+    credits the user's most recent preceding non-purchase event within 7
+    days (ties broken by event_id), else 'direct'; channel sums are exact
+    1e-5 units."""
+    from weather_stream_processor_spark.operators.analytics import (
+        attribution_from_events,
+    )
+
+    base = datetime(2024, 7, 1)
+    ev = spark.createDataFrame(
+        [
+            (u, i, base + timedelta(seconds=sec), t, k / 100000)
+            for i, (u, sec, t, k) in enumerate(rows)
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string, value double",
+    )
+    got = {
+        (r.channel, r.n_purchases, round(r.attributed_value, 5))
+        for r in attribution_from_events(ev).collect()
+    }
+
+    from collections import defaultdict
+
+    chan = defaultdict(lambda: [0, 0])
+    by_user = defaultdict(list)
+    for i, (u, sec, t, k) in enumerate(rows):
+        by_user[u].append((sec, i, t, k))
+    for u, evs in by_user.items():
+        evs.sort()
+        last_touch = None  # (sec, type)
+        for sec, i, t, k in evs:
+            if t == "purchase":
+                if last_touch is not None and last_touch[0] >= sec - 7 * 86_400:
+                    c = last_touch[1]
+                else:
+                    c = "direct"
+                cell = chan[c]
+                cell[0] += 1
+                cell[1] += k
+            else:
+                last_touch = (sec, t)
+    expected = {
+        (c, n, round(v / 100000, 5)) for c, (n, v) in chan.items()
+    }
+    assert got == expected

@@ -979,7 +979,13 @@ _ATTR_WINDOW_DAYS = 7
     tags=("analytics", "window", "attribution"),
 )
 def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return attribution_from_events(load_table(spark, sf_dir, "events"))
+
+
+def attribution_from_events(ev: DataFrame) -> DataFrame:
+    """Last-touch core over any events-shaped frame — split out so the
+    property tests can drive it on hypothesis-drawn journeys against a
+    pure-Python reference."""
     wf = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
