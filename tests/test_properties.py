@@ -716,3 +716,63 @@ def test_last_touch_attribution_matches_python(spark, rows):
         (c, n, round(v / 100000, 5)) for c, (n, v) in chan.items()
     }
     assert got == expected
+
+
+_weighted_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # group
+        st.integers(min_value=1, max_value=500),  # price cents
+        st.integers(min_value=1, max_value=9),  # weight
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_weighted_rows)
+@settings(max_examples=5, deadline=None)
+def test_weighted_median_crossing_matches_python(spark, rows):
+    """The cumulative-weight crossing must pick the FIRST value whose
+    doubled cumulative weight reaches the total, per group, on arbitrary
+    integer-weighted multisets — the interpolation-free weighted median
+    both engines agree on exactly."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "g long, v long, w long")
+    grain = df.groupBy("g", "v").agg(SF.sum("w").alias("w"))
+    cum_w = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = grain.select(
+        "g",
+        "v",
+        SF.sum("w").over(cum_w).alias("cum"),
+        SF.sum("w").over(Window.partitionBy("g")).alias("total"),
+    )
+    got = {
+        (r.g, r.med)
+        for r in c.filter(SF.col("cum") * 2 >= SF.col("total"))
+        .groupBy("g")
+        .agg(SF.min("v").alias("med"))
+        .collect()
+    }
+
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v, w in rows:
+        groups[g].append((v, w))
+    expected = set()
+    for g, vw in groups.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        cum = 0
+        for v, w in vw:
+            cum += w
+            if cum * 2 >= total:
+                expected.add((g, v))
+                break
+    assert got == expected
