@@ -1123,3 +1123,77 @@ def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("total").alias("total_qty"),
         )
     )
+
+
+@register(
+    "revenue_share_of_parent",
+    oracle="""
+        WITH rev AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice
+                                       * (1 - l.l_discount) * 100, 0)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY 1, 2
+        )
+        SELECT region, nation,
+               revenue_cents / 100.0 AS revenue,
+               ROUND(revenue_cents * 1.0
+                     / SUM(revenue_cents) OVER (PARTITION BY region), 6)
+                   AS share_of_region,
+               ROUND(SUM(revenue_cents) OVER (PARTITION BY region) * 1.0
+                     / SUM(revenue_cents) OVER (), 6) AS region_share_global
+        FROM rev
+    """,
+    doc=(
+        "PERCENT-OF-PARENT ROLLUP: nation revenue with its share of the "
+        "region subtotal and the region's share of the global total — "
+        "the drill-down ratio columns every hierarchy report carries "
+        "(the window formulation replaces the self-join-to-subtotal "
+        "anti-pattern). Revenue sums as exact bigint cents; the share "
+        "windows run over the |nations|-row AGGREGATE, so even the "
+        "unpartitioned global-total window is 25 rows — dimension-sized, "
+        "never fact-sized (the same aggregate-first discipline as "
+        "forward_fill's spine). Dimension joins broadcast below the "
+        "fact scan. At 100 TB the only event-scale stage is the revenue "
+        "rollup with map-side partials."
+    ),
+    tags=("aggregate", "window", "analytics", "hierarchy"),
+)
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li, o, c, n, r = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "nation", "region")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        (F.col("revenue_cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("revenue_cents") / F.sum("revenue_cents").over(wr), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("revenue_cents").over(wr)
+            / F.sum("revenue_cents").over(wg),
+            6,
+        ).alias("region_share_global"),
+    )
