@@ -665,3 +665,72 @@ def session_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "peak_concurrent_sessions",
+    oracle=f"""
+        WITH base AS ({_SESSIONIZATION_ORACLE}),
+        marks AS (
+            SELECT session_start AS at, 1 AS delta, 0 AS kind,
+                   user_id, session_id
+            FROM base
+            UNION ALL
+            SELECT session_end, -1, -1, user_id, session_id FROM base
+        ),
+        sweep AS (
+            SELECT at, delta,
+                   SUM(delta) OVER (
+                       ORDER BY at, kind, user_id, session_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS concurrency
+            FROM marks
+        )
+        SELECT date_trunc('day', at) AS day,
+               CAST(MAX(concurrency) AS BIGINT) AS peak_concurrency
+        FROM sweep
+        GROUP BY 1
+    """,
+    doc=(
+        "PEAK CONCURRENT SESSIONS per day via the SWEEP LINE: sessions "
+        "become +1/-1 boundary marks, a single ordered running sum is "
+        "the live concurrency, and the daily max is the capacity number "
+        "an ops team provisions against. Determinism is the ordering "
+        "key: at equal instants, ends (-1) sort BEFORE starts (kind "
+        "column), so back-to-back sessions never double-count, and the "
+        "(user, session) tail makes the running sum's intermediate "
+        "values engine-identical. The sweep is an unpartitioned window "
+        "over the MARKS table — 2x|sessions| rows, never event-scale "
+        "(same aggregate-first discipline as the time spine); for "
+        "multi-tenant scale partition the sweep by tenant and it "
+        "shares the session rollup's shuffle. All-integer arithmetic."
+    ),
+    tags=("window", "sessionization", "interval", "analytics"),
+)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = batch_sessionization(spark, sf_dir)
+    starts = base.select(
+        F.col("session_start").alias("at"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("kind"),
+        "user_id",
+        "session_id",
+    )
+    ends = base.select(
+        F.col("session_end").alias("at"),
+        F.lit(-1).alias("delta"),
+        F.lit(-1).alias("kind"),
+        "user_id",
+        "session_id",
+    )
+    marks = starts.unionAll(ends)
+    w = (
+        Window.orderBy("at", "kind", "user_id", "session_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = marks.select(
+        "at", F.sum("delta").over(w).alias("concurrency")
+    )
+    return sweep.groupBy(
+        F.date_trunc("day", "at").alias("day")
+    ).agg(F.max("concurrency").alias("peak_concurrency"))
