@@ -1084,3 +1084,80 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mau",
         F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+@register(
+    "customer_order_gap_churn_risk",
+    oracle="""
+        WITH horizon AS (SELECT MAX(o_orderdate) AS today FROM orders),
+        gaps AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day',
+                        lag(o_orderdate) OVER (
+                            PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey),
+                        o_orderdate) AS BIGINT) AS gap_days,
+                   o_orderdate
+            FROM orders
+        )
+        SELECT g.o_custkey AS c_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(quantile_cont(g.gap_days, 0.5), 1) AS median_gap_days,
+               CAST(date_diff('day', MAX(g.o_orderdate), h.today)
+                    AS BIGINT) AS days_since_last,
+               (CAST(date_diff('day', MAX(g.o_orderdate), h.today)
+                     AS DOUBLE)
+                > 2.0 * quantile_cont(g.gap_days, 0.5)) AS at_risk
+        FROM gaps g CROSS JOIN horizon h
+        GROUP BY g.o_custkey, h.today
+        HAVING COUNT(g.gap_days) >= 2
+    """,
+    doc=(
+        "CHURN-RISK SCREEN from order cadence: per customer, the median "
+        "inter-order gap vs days since their last order (horizon = the "
+        "dataset's max order date) — at-risk when the silence exceeds "
+        "2x their OWN median rhythm, the personalized churn definition "
+        "CRM teams use instead of a global cutoff. Requires >= 2 gaps "
+        "(>= 3 orders) so the median is meaningful. All inputs are "
+        "exact integer day counts from one keyed lag window "
+        "(o_orderkey tie-break for same-day orders); the median "
+        "interpolates integer gaps (worst case x.5 — exactly "
+        "representable, so rounding and the 2x comparison are "
+        "engine-identical). The horizon is a one-row broadcast. At "
+        "100 TB: one shuffle on custkey shared by window and "
+        "aggregate; output is |customers|."
+    ),
+    tags=("analytics", "window", "retention", "statistics"),
+)
+def customer_order_gap_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("today"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap_days"),
+    )
+    med = F.percentile("gap_days", F.lit(0.5))
+    since = F.datediff(F.col("today"), F.max("o_orderdate")).cast("bigint")
+    return (
+        gaps.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey", "today")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(med, 1).alias("median_gap_days"),
+            since.alias("days_since_last"),
+            (since.cast("double") > 2.0 * med).alias("at_risk"),
+            F.count("gap_days").alias("_ngaps"),
+        )
+        .filter(F.col("_ngaps") >= 2)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "n_orders",
+            "median_gap_days",
+            "days_since_last",
+            "at_risk",
+        )
+    )
