@@ -1161,3 +1161,56 @@ def customer_order_gap_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame
             "at_risk",
         )
     )
+
+
+@register(
+    "weekday_hour_heatmap",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100000, 0) AS BIGINT))
+                        AS BIGINT) AS value_e5
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n_events) AS DOUBLE) AS total FROM cells)
+        SELECT c.dow, c.hour, c.n_events,
+               c.value_e5 / 100000.0 AS total_value,
+               ROUND(c.n_events / t.total, 6) AS share
+        FROM cells c CROSS JOIN tot t
+    """,
+    doc=(
+        "WEEKDAY x HOUR ACTIVITY HEATMAP: event count, exact value sum, "
+        "and share of total per (day-of-week, hour) cell — the calendar "
+        "seasonality surface behind staffing and trigger-schedule "
+        "decisions (the weekly cycle acf_daily_value detects, localized "
+        "to its hours). Engine alignment is the trap here: Spark's "
+        "dayofweek() is 1-based Sunday=1, DuckDB's is 0-based Sunday=0, "
+        "so the builder subtracts 1 — a parity gate catches exactly this "
+        "class of silent off-by-one. One hash aggregate with map-side "
+        "partials into 168 cells; the total is a broadcast 1-row "
+        "aggregate; value sums in exact 1e-5 units. At any scale this "
+        "is a single scan."
+    ),
+    tags=("analytics", "aggregation", "timeseries"),
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100000, 0).cast("bigint")).alias(
+            "value_e5"
+        ),
+    )
+    tot = cells.agg(F.sum("n_events").cast("double").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hour",
+        "n_events",
+        (F.col("value_e5") / 100000.0).alias("total_value"),
+        F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+    )
