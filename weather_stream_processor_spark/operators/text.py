@@ -1460,3 +1460,73 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(toks, build)
+
+
+@register(
+    "token_burstiness",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c * c) AS BIGINT) AS s2
+            FROM tf GROUP BY doc_id
+        )
+        SELECT doc_id, n_types, n_tokens,
+               CASE WHEN n_types > 1 THEN
+                   ROUND(((CAST(n_types AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(n_tokens AS DOUBLE)
+                             * CAST(n_tokens AS DOUBLE))
+                          / (CAST(n_types AS DOUBLE)
+                             * (CAST(n_types AS DOUBLE) - 1.0)))
+                         / (CAST(n_tokens AS DOUBLE)
+                            / CAST(n_types AS DOUBLE)), 6)
+               END AS burstiness_vmr
+        FROM m
+    """,
+    doc=(
+        "TOKEN BURSTINESS (variance-to-mean ratio of per-type counts) "
+        "per document: a Poisson-scattered vocabulary has VMR ~ 1; "
+        "keyword stuffing and copy-paste loops push it far above — the "
+        "overdispersion signal that catches spam which passes entropy "
+        "and repetition filters (a page can have high entropy AND one "
+        "absurdly bursty term). Same (doc, token) hash-count substrate "
+        "as token_entropy_quality; the variance comes from the exact "
+        "integer (n*s2 - s1^2) moment identity with identical "
+        "cast-to-double expressions in both engines (the CUSUM "
+        "discipline), NULL for single-type docs where sample variance "
+        "is undefined. At 100 TB: explode -> two doc-keyed hash "
+        "aggregates, map-side partials, nothing global."
+    ),
+    tags=("text", "quality", "statistics", "llm"),
+)
+def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    m = tf.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nt = F.col("n_types").cast("double")
+    s1 = F.col("n_tokens").cast("double")
+    s2 = F.col("s2").cast("double")
+    var = (nt * s2 - s1 * s1) / (nt * (nt - 1.0))
+    return m.select(
+        "doc_id",
+        "n_types",
+        "n_tokens",
+        F.when(F.col("n_types") > 1, F.round(var / (s1 / nt), 6)).alias(
+            "burstiness_vmr"
+        ),
+    )

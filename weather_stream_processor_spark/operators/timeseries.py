@@ -1395,3 +1395,78 @@ def interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("rate_per_s"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+        WITH s AS (
+            SELECT user_id, MIN(ts) AS signup_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS (
+            SELECT e.user_id,
+                   MIN(epoch_us(e.ts) - epoch_us(s.signup_ts)) AS gap_us
+            FROM events e JOIN s ON s.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+            GROUP BY e.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+               ROUND(quantile_cont(gap_us, 0.5) / 3600000000.0, 5)
+                   AS p50_hours,
+               ROUND(quantile_cont(gap_us, 0.9) / 3600000000.0, 5)
+                   AS p90_hours,
+               ROUND(CAST(SUM(gap_us) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 3600000000.0, 5)
+                   AS mean_hours
+        FROM p
+    """,
+    doc=(
+        "FUNNEL TIME-TO-CONVERT: for every user whose first purchase "
+        "follows their first signup, the signup->purchase delay — "
+        "count, exact p50/p90, and mean hours. This is the latency "
+        "companion to funnel_conversion's rate: the number that decides "
+        "how long an activation campaign waits before intervening. Both "
+        "stage tables are per-user min-aggregates (|users|-sized, the "
+        "scan pre-filters one event type each — the funnel discipline); "
+        "delays are exact integer microseconds, the mean is an "
+        "identical-expression division of exact sums, and the "
+        "percentiles interpolate the same integer multiset in both "
+        "engines. One-row output. At 100 TB: two pre-filtered scans "
+        "sharing user_id partitioning, then a 1-row reduce."
+    ),
+    tags=("timeseries", "funnel", "percentile", "statistics"),
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("signup_ts")
+            ).alias("gap_us")
+        )
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / 3600000000.0, 5).alias(
+            "p50_hours"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / 3600000000.0, 5).alias(
+            "p90_hours"
+        ),
+        F.round(
+            F.sum("gap_us").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 3600000000.0,
+            5,
+        ).alias("mean_hours"),
+    )
