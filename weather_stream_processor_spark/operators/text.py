@@ -1098,9 +1098,7 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "token_entropy_quality",
-    oracle="""
+_TOKEN_ENTROPY_STMT = """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
             FROM documents
@@ -1121,7 +1119,12 @@ def bpe_merge_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(n.n_types * 1.0 / n.n_tokens, 6) AS type_token_ratio
         FROM tf JOIN n USING (doc_id)
         GROUP BY tf.doc_id, n.n_tokens, n.n_types
-    """,
+"""
+
+
+@register(
+    "token_entropy_quality",
+    oracle=_TOKEN_ENTROPY_STMT,
     doc=(
         "TOKEN-ENTROPY QUALITY SIGNAL: per-document Shannon entropy of "
         "the unigram distribution plus type/token ratio — low entropy "
@@ -1462,9 +1465,7 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return persisted_result(toks, build)
 
 
-@register(
-    "token_burstiness",
-    oracle="""
+_TOKEN_BURSTINESS_STMT = """
         WITH tf AS (
             SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1489,7 +1490,12 @@ def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / CAST(n_types AS DOUBLE)), 6)
                END AS burstiness_vmr
         FROM m
-    """,
+"""
+
+
+@register(
+    "token_burstiness",
+    oracle=_TOKEN_BURSTINESS_STMT,
     doc=(
         "TOKEN BURSTINESS (variance-to-mean ratio of per-type counts) "
         "per document: a Poisson-scattered vocabulary has VMR ~ 1; "
@@ -1529,4 +1535,80 @@ def token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_types") > 1, F.round(var / (s1 / nt), 6)).alias(
             "burstiness_vmr"
         ),
+    )
+
+
+@register(
+    "source_quality_league",
+    oracle=f"""
+        WITH ent AS ({_TOKEN_ENTROPY_STMT}),
+        bur AS ({_TOKEN_BURSTINESS_STMT})
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(CAST(ROUND(e.entropy * 1000000, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1000000, 6)
+                   AS mean_entropy,
+               ROUND(CAST(SUM(CAST(ROUND(e.type_token_ratio * 1000000, 0)
+                                   AS BIGINT)) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) / 1000000, 6) AS mean_ttr,
+               ROUND(CAST(SUM(CAST(ROUND(b.burstiness_vmr * 1000000, 0)
+                                   AS BIGINT)) AS DOUBLE)
+                     / CAST(COUNT(b.burstiness_vmr) AS DOUBLE) / 1000000, 6)
+                   AS mean_vmr
+        FROM documents d
+        JOIN ent e ON e.doc_id = d.doc_id
+        JOIN bur b ON b.doc_id = d.doc_id
+        GROUP BY d.source
+    """,
+    doc=(
+        "SOURCE QUALITY LEAGUE TABLE: per-source means of the "
+        "document-level quality signals (unigram entropy, type/token "
+        "ratio, burstiness VMR) — the crawl-prioritization scoreboard "
+        "('which source deserves more budget') that rolls the per-doc "
+        "gates up to the acquisition decision. Reuses the registered "
+        "signals' oracle statements verbatim as CTEs so the league can "
+        "never drift from its inputs. Determinism across an "
+        "unbounded-count mean: each per-doc signal is quantized to "
+        "exact 1e-6 bigints BEFORE the sum (averaging rounded doubles "
+        "directly would be engine-order-dependent), then one identical "
+        "division; VMR averages over non-null docs only. At 100 TB: "
+        "the signal substrates are the explode-aggregate shapes already "
+        "measured; this adds a |docs|->|sources| rollup."
+    ),
+    tags=("text", "quality", "llm", "profiling"),
+)
+def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ent = token_entropy_quality(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("entropy") * 1000000, 0).cast("bigint").alias("ent_q"),
+        F.round(F.col("type_token_ratio") * 1000000, 0)
+        .cast("bigint")
+        .alias("ttr_q"),
+    )
+    bur = token_burstiness(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("burstiness_vmr") * 1000000, 0)
+        .cast("bigint")
+        .alias("vmr_q"),
+    )
+    joined = docs.select("doc_id", "source").join(ent, "doc_id").join(
+        bur, "doc_id"
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("ent_q").cast("double") / n / 1000000, 6).alias(
+            "mean_entropy"
+        ),
+        F.round(F.sum("ttr_q").cast("double") / n / 1000000, 6).alias(
+            "mean_ttr"
+        ),
+        F.round(
+            F.sum("vmr_q").cast("double")
+            / F.count("vmr_q").cast("double")
+            / 1000000,
+            6,
+        ).alias("mean_vmr"),
     )
