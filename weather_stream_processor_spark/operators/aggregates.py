@@ -1197,3 +1197,60 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_global"),
     )
+
+
+@register(
+    "revenue_seasonality_index",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+                   CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT yr, mo,
+               rev_cents / 100.0 AS revenue,
+               ROUND(CAST(rev_cents AS DOUBLE)
+                     / CAST(SUM(rev_cents) OVER (PARTITION BY yr)
+                            AS DOUBLE) * 12.0, 6) AS seasonality_index
+        FROM m
+    """,
+    doc=(
+        "REVENUE SEASONALITY INDEX: monthly revenue as a multiple of "
+        "the flat-month expectation within its year (index 1.0 = an "
+        "average month; 1.3 = a 30%-hot month) — the multiplicative "
+        "seasonal profile planners quote, complementing "
+        "seasonal_trend_decompose's additive decomposition on the "
+        "event stream. Exact bigint cents throughout; the yearly "
+        "total is a window over the <=12-rows-per-year MONTHLY "
+        "aggregate (dimension-sized, the aggregate-first discipline), "
+        "and the index is one identical division. At 100 TB: one "
+        "scan with map-side partials into |years|x12 cells."
+    ),
+    tags=("aggregate", "window", "timeseries", "analytics"),
+)
+def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(_cents_total()).alias("rev_cents"))
+    w = Window.partitionBy("yr")
+    return m.select(
+        "yr",
+        "mo",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(
+            F.col("rev_cents").cast("double")
+            / F.sum("rev_cents").over(w).cast("double")
+            * 12.0,
+            6,
+        ).alias("seasonality_index"),
+    )
+
+
+def _cents_total() -> F.Column:
+    return F.round(F.col("o_totalprice") * 100, 0).cast("bigint")

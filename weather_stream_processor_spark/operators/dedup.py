@@ -1925,3 +1925,45 @@ def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_brand").alias("n_brands"),
         )
     )
+
+
+@register(
+    "near_dup_similarity_distribution",
+    oracle=f"""
+        WITH {_JACCARD_PAIRS_CTES}
+        SELECT CAST(FLOOR(jaccard * 20) AS BIGINT) AS sim_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(MIN(jaccard), 6) AS min_jaccard,
+               ROUND(MAX(jaccard), 6) AS max_jaccard
+        FROM pairs
+        GROUP BY 1
+        ORDER BY sim_bin
+    """,
+    doc=(
+        "NEAR-DUP SIMILARITY DISTRIBUTION: histogram of verified "
+        "pairwise Jaccard over the candidate pairs (0.05-wide bins) — "
+        "the threshold-tuning evidence behind every dedup deployment "
+        "(a bimodal histogram says the 0.8 cut is safe; mass piling at "
+        "the threshold says clones are escaping just under it). Reuses "
+        "the shared Jaccard-pairs substrate verbatim (same CTEs as "
+        "ngram_jaccard_pairs and the CC edge set). Binning floors the "
+        "ALREADY-6dp-rounded jaccard, so bin boundaries cannot sit on "
+        "engine float drift. Output is <= 20 bins; all the cost lives "
+        "in the pair verifier, measured elsewhere. At 100 TB this runs "
+        "on LSH candidates, inheriting minhash's scale path."
+    ),
+    tags=("dedup", "llm", "profiling", "statistics"),
+)
+def near_dup_similarity_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    return (
+        pairs.groupBy(
+            F.floor(F.col("jaccard") * 20).cast("bigint").alias("sim_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .orderBy("sim_bin")
+    )
