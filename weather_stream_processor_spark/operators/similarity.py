@@ -1669,3 +1669,203 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_vectors"), F.asc("cell"))
     )
+
+
+# --- all-kNN graph operators: mutual neighbors + hubness audit --------------
+
+MUTUAL_K = 5
+HUBNESS_K = 10
+
+_ALLKNN_ORACLE_CTE = """
+    WITH e AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+               SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)) AS na2,
+               SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS nb2
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    knn AS (
+        SELECT va, vb,
+               ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY va
+                   ORDER BY ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) DESC, vb
+               ) AS rnk
+        FROM dots
+    )
+"""
+
+
+def _allknn_directed(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Directed exact k-NN lists (vec_id, nbr_id, cosine_sim, rnk) for EVERY
+    corpus vector, via the B-block grid of embedding_near_dup_blocked.
+
+    Each row is shuffled to the B cells pairing its block with every other
+    block, one Arrow GEMM per cell emits that row's top-k WITHIN the cell
+    (so cell output is |rows| * k, never |rows|^2), and a window partitioned
+    by vec_id folds the <= B*k per-row candidates into the global top-k.
+    Cell working-set stays 2/B of the corpus; nothing is collected. Sims are
+    rounded to 6dp inside the cell and ties broken on neighbor id with
+    numpy lexsort — the same (sim DESC, id ASC) total order the oracle and
+    the final window use, so the per-cell truncation is lossless.
+    """
+    import numpy as np
+    import pandas as pd
+
+    NB = N_SIM_BLOCKS
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blk = F.pmod(F.col("vec_id"), F.lit(NB))
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(NB - 1)),
+        lambda m: F.least(blk, m) * NB + F.greatest(blk, m),
+    )
+    expl = emb.select(
+        "vec_id",
+        "embedding",
+        blk.alias("blk"),
+        F.explode(F.array_distinct(cells)).alias("cell"),
+    )
+
+    def cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        i, j = divmod(cell, NB)
+        left = pdf[pdf["blk"] == i]
+        right = pdf[pdf["blk"] == j]
+        out_v, out_n, out_s = [], [], []
+
+        def emit(A_ids, A, B_ids, Bm, mask_self: bool) -> None:
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((Bm * Bm).sum(axis=1))
+            sims = np.round((A @ Bm.T) / np.outer(na, nb), 6)
+            if mask_self:
+                sims[A_ids[:, None] == B_ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1] - (1 if mask_self else 0))
+            if kk <= 0:
+                return
+            for r in range(sims.shape[0]):
+                order = np.lexsort((B_ids, -sims[r]))[:kk]
+                out_v.extend([A_ids[r]] * len(order))
+                out_n.extend(B_ids[order])
+                out_s.extend(sims[r][order])
+
+        if not left.empty and not right.empty:
+            A = np.array(left["embedding"].tolist(), dtype=np.float64)
+            Bm = np.array(right["embedding"].tolist(), dtype=np.float64)
+            a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+            b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+            if i == j:
+                emit(a_ids, A, a_ids, A, mask_self=True)
+            else:
+                emit(a_ids, A, b_ids, Bm, mask_self=False)
+                emit(b_ids, Bm, a_ids, A, mask_self=False)
+        return pd.DataFrame(
+            {"vec_id": out_v, "nbr_id": out_n, "cosine_sim": out_s}
+        )
+
+    cand = expl.groupBy("cell").applyInPandas(
+        cell_topk, schema="vec_id long, nbr_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("nbr_id")
+    )
+    return cand.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+
+
+@register(
+    "mutual_knn_pairs",
+    oracle=_ALLKNN_ORACLE_CTE
+    + f"""
+        SELECT k1.va AS vec_id_a, k1.vb AS vec_id_b, k1.cosine_sim,
+               CAST(k1.rnk AS BIGINT) AS rank_ab,
+               CAST(k2.rnk AS BIGINT) AS rank_ba
+        FROM (SELECT * FROM knn WHERE rnk <= {MUTUAL_K}) k1
+        JOIN (SELECT * FROM knn WHERE rnk <= {MUTUAL_K}) k2
+          ON k1.va = k2.vb AND k1.vb = k2.va
+        WHERE k1.va < k1.vb
+    """,
+    doc=(
+        f"MUTUAL k-NN pairs (k={MUTUAL_K}): vector pairs that rank in EACH "
+        "OTHER'S exact cosine top-k — the reciprocal-best-match criterion "
+        "used for entity alignment across embedding spaces and as the "
+        "high-precision edge set for kNN-graph clustering (a one-way "
+        "neighbor is often just a hub; mutuality filters hub edges out). "
+        "Plan: the all-kNN helper runs the B-block grid with PER-CELL "
+        "top-k (cell output |rows|*k, not |rows|^2), a vec_id-partitioned "
+        "window folds cells into global lists, and mutuality is one "
+        "self-equi-join on the swapped key — shuffle keyed on (a,b), "
+        "|rows|*k each side. Exact-verified against the full O(n^2) "
+        "DuckDB oracle."
+    ),
+    tags=("similarity", "llm", "pandas-udf", "scale"),
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = _allknn_directed(spark, sf_dir, MUTUAL_K)
+    fwd = knn.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("nbr_id").alias("vec_id_b"),
+        "cosine_sim",
+        F.col("rnk").cast("bigint").alias("rank_ab"),
+    )
+    rev = knn.select(
+        F.col("nbr_id").alias("vec_id_a"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("rnk").cast("bigint").alias("rank_ba"),
+    )
+    return fwd.join(rev, ["vec_id_a", "vec_id_b"]).filter(
+        F.col("vec_id_a") < F.col("vec_id_b")
+    ).select("vec_id_a", "vec_id_b", "cosine_sim", "rank_ab", "rank_ba")
+
+
+@register(
+    "knn_hubness_audit",
+    oracle=_ALLKNN_ORACLE_CTE
+    + f"""
+        , occ AS (
+            SELECT vb, CAST(COUNT(*) AS BIGINT) AS n_in
+            FROM knn WHERE rnk <= {HUBNESS_K}
+            GROUP BY vb
+        ),
+        per_vec AS (
+            SELECT e.vec_id, COALESCE(o.n_in, 0) AS n_in
+            FROM (SELECT DISTINCT vec_id FROM embeddings) e
+            LEFT JOIN occ o ON e.vec_id = o.vb
+        )
+        SELECT n_in, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM per_vec GROUP BY n_in
+    """,
+    doc=(
+        f"HUBNESS AUDIT of the embedding space (k={HUBNESS_K}): the "
+        "k-occurrence histogram — for each vector, how many OTHER vectors "
+        "list it in their exact top-k, bucketed into (n_in, n_vectors) "
+        "rows. High-dimensional spaces grow hubs (n_in >> k) and "
+        "anti-hubs (n_in = 0, unreachable by retrieval); a right-skewed "
+        "histogram predicts degraded ANN recall and biased dedup/"
+        "retrieval long before any downstream eval does (Radovanovic et "
+        "al., JMLR'10). Plan: same blocked per-cell top-k helper, one "
+        "count aggregate keyed on the neighbor id, a left anti-ish join "
+        "against the distinct id list to restore the zero bucket, one "
+        "tiny histogram aggregate. Nothing exceeds |rows|*k intermediate "
+        "size; the histogram is at most max(n_in) rows."
+    ),
+    tags=("similarity", "llm", "pandas-udf", "profiling"),
+)
+def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = _allknn_directed(spark, sf_dir, HUBNESS_K)
+    occ = knn.groupBy(F.col("nbr_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_in")
+    )
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id").distinct()
+    per_vec = ids.join(
+        occ.withColumnRenamed("nbr_id", "vec_id"), "vec_id", "left"
+    ).select(F.coalesce(F.col("n_in"), F.lit(0).cast("bigint")).alias("n_in"))
+    return per_vec.groupBy("n_in").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors")
+    )

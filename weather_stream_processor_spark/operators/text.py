@@ -1612,3 +1612,148 @@ def source_quality_league(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_vmr"),
     )
+
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (consecutive k-grams per selection window)
+_WINNOW_P = 1000000007
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
+            FROM documents
+        ),
+        codes AS (
+            SELECT doc_id, pos,
+                   CAST(ascii(tok) * 31 + length(tok) AS BIGINT) AS c
+            FROM toks
+        ),
+        kg AS (
+            SELECT doc_id, pos,
+                   (c * 1000003
+                    + lead(c, 1) OVER w * 101
+                    + lead(c, 2) OVER w) % {_WINNOW_P} AS h
+            FROM codes
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            QUALIFY lead(c, 2) OVER w IS NOT NULL
+        ),
+        sized AS (
+            SELECT doc_id, pos, h,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n_kg
+            FROM kg
+        ),
+        wins AS (
+            SELECT doc_id, pos, h, n_kg,
+                   unnest(generate_series(
+                       greatest(1, pos - {WINNOW_W - 1}),
+                       least(pos, greatest(n_kg - {WINNOW_W - 1}, 1)))) AS s
+            FROM sized
+        ),
+        sel AS (
+            SELECT doc_id, pos, h, n_kg,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                                      ORDER BY h ASC, pos DESC) AS rn
+            FROM wins
+        ),
+        fp AS (SELECT DISTINCT doc_id, pos, h, n_kg FROM sel WHERE rn = 1)
+        SELECT doc_id,
+               MAX(n_kg) AS n_kgrams,
+               CAST(COUNT(*) AS BIGINT) AS n_selected,
+               ROUND(COUNT(*) * 1.0 / MAX(n_kg), 6) AS density,
+               CAST(SUM(h) % {_WINNOW_P} AS BIGINT) AS fp_checksum
+        FROM fp GROUP BY doc_id
+    """,
+    doc=(
+        "WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — "
+        "the MOSS plagiarism-detector selection rule): hash every "
+        f"{WINNOW_K}-token k-gram, slide a window of {WINNOW_W} "
+        "consecutive k-grams, keep the window minimum (rightmost on "
+        "ties), dedupe the kept (position, hash) pairs. Guarantees every "
+        "shared substring of length >= w+k-1 tokens contributes at least "
+        "one matching fingerprint while storing only ~2/(w+1) of the "
+        "k-grams — the local, position-robust alternative to the global "
+        "doc_fingerprints polynomial and the MinHash sketch. The k-gram "
+        "hash is portable integer arithmetic (same trick as "
+        "doc_fingerprints) so DuckDB verifies bit-identical checksums. "
+        "Plan: posexplode -> two lead() windows + one count() window, "
+        "all partitioned by doc_id (per-partition frames are single "
+        "documents — no global window anywhere); the window-start "
+        "explode multiplies rows by at most w; selection is a "
+        "(doc_id, window)-partitioned row_number. Everything shuffles "
+        "on doc_id once then stays put; docs shorter than k tokens "
+        "yield no k-gram and are correctly absent."
+    ),
+    tags=("text", "llm", "fingerprint", "dedup"),
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    codes = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        (F.ascii("tok") * 31 + F.length("tok")).cast("bigint").alias("c"),
+    )
+    kg = (
+        codes.select(
+            "doc_id",
+            "pos",
+            (
+                (
+                    F.col("c") * 1000003
+                    + F.lead("c", 1).over(w_doc) * 101
+                    + F.lead("c", 2).over(w_doc)
+                )
+                % _WINNOW_P
+            ).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+    )
+    sized = kg.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_kg"),
+    )
+    wins = sized.select(
+        "doc_id",
+        "pos",
+        "h",
+        "n_kg",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1).cast("bigint"), F.col("pos") - (WINNOW_W - 1)),
+                F.least(
+                    F.col("pos"),
+                    F.greatest(
+                        F.col("n_kg") - (WINNOW_W - 1), F.lit(1).cast("bigint")
+                    ),
+                ),
+            )
+        ).alias("s"),
+    )
+    sel = (
+        wins.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "s").orderBy(
+                    F.asc("h"), F.desc("pos")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "pos", "h", "n_kg")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_kg").alias("n_kgrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.round(F.count(F.lit(1)) / F.max("n_kg"), 6).alias("density"),
+        (F.sum("h") % _WINNOW_P).cast("bigint").alias("fp_checksum"),
+    )
