@@ -1967,3 +1967,80 @@ def near_dup_similarity_distribution(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("sim_bin")
     )
+
+
+@register(
+    "normalization_collision_dedup",
+    oracle="""
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            -- synthesize case/punct/whitespace-perturbed twins for the
+            -- first 50 docs (the fixture corpus is already byte-distinct,
+            -- so raw exact dedup finds nothing to collapse here); negative
+            -- ids can never collide with fixture ids at any scale
+            SELECT -(doc_id + 1) AS doc_id,
+                   upper(substr(text, 1, 1)) || substr(text, 2) || '  !!' AS text
+            FROM documents WHERE doc_id < 50
+        ),
+        keyed AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_key
+            FROM aug
+        ),
+        clusters AS (
+            SELECT norm_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS keeper_id,
+                   MAX(doc_id) AS max_member
+            FROM keyed GROUP BY norm_key
+        )
+        SELECT norm_key, n_docs, keeper_id, max_member
+        FROM clusters WHERE n_docs > 1
+    """,
+    doc=(
+        "NORMALIZATION-COLLISION DEDUP: documents identical after text "
+        "canonicalization (lowercase, strip non-alphanumerics, collapse "
+        "whitespace, trim) but byte-distinct raw — the near-exact tier "
+        "between exact_dedup_by_hash (catches nothing here) and MinHash "
+        "(overkill for case/punctuation mirrors, the single most common "
+        "duplication mode in web scrapes). Same synthesize-matches "
+        "pattern as pii_scrub: perturbed twins with NEGATIVE derived ids "
+        "(cannot collide with fixture ids at any scale factor — the "
+        "lesson from corpus_snapshot_diff's reviewed offset bug). Plan: "
+        "normalization is a codegen'd regexp projection; the md5 of the "
+        "canonical form — never the text — is what shuffles; one hash "
+        "aggregate keyed on the digest, keeper = min id. Identical shape "
+        "and cost to exact dedup at 100 TB."
+    ),
+    tags=("dedup", "llm", "text"),
+)
+def normalization_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (-(F.col("doc_id") + 1)).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("  !!"),
+        ).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionAll(twins)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = aug.select("doc_id", F.md5(norm).alias("norm_key"))
+    return (
+        keyed.groupBy("norm_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keeper_id"),
+            F.max("doc_id").alias("max_member"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -774,3 +774,175 @@ def psi_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_cur - p_ref, 6).alias("share_delta"),
         F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).alias("psi_term"),
     )
+
+
+@register(
+    "ks_drift_two_sample",
+    oracle="""
+        WITH b AS (
+            SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+                   CAST(FLOOR(value * 10) AS BIGINT) AS bucket
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        counts AS (
+            SELECT bucket,
+                   SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n_b
+            FROM b GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_a) AS BIGINT) AS t_a,
+                   CAST(SUM(n_b) AS BIGINT) AS t_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM counts
+        ),
+        cdf AS (
+            SELECT SUM(n_a) OVER (ORDER BY bucket) * 1.0 / t.t_a AS ca,
+                   SUM(n_b) OVER (ORDER BY bucket) * 1.0 / t.t_b AS cb
+            FROM counts CROSS JOIN tot t
+        )
+        SELECT t.t_a AS n_a, t.t_b AS n_b, t.n_buckets,
+               ROUND(MAX(ABS(ca - cb)), 6) AS ks_stat,
+               ROUND(1.358 * SQRT((t.t_a + t.t_b) * 1.0 / (t.t_a * t.t_b)), 6)
+                   AS ks_critical_05,
+               MAX(ABS(ca - cb)) >
+                   1.358 * SQRT((t.t_a + t.t_b) * 1.0 / (t.t_a * t.t_b))
+                   AS drifted
+        FROM cdf CROSS JOIN tot t
+        GROUP BY t.t_a, t.t_b, t.n_buckets
+    """,
+    doc=(
+        "TWO-SAMPLE KOLMOGOROV-SMIRNOV drift test (quantized): the max "
+        "CDF gap between the click and purchase value distributions, "
+        "with the alpha=0.05 critical value (1.358*sqrt((na+nb)/(na*nb)))"
+        " — the distribution-shape drift detector that complements "
+        "psi_feature_drift's binned-share view (PSI misses shape shifts "
+        "that preserve bin mass; KS is exactly the sup-norm shift). "
+        "Values are quantized to 0.1 buckets with FLOOR (portable across "
+        "engines, unlike banker's-vs-half-up rounding), making the CDF a "
+        "cumulative sum over a BOUNDED bucket domain (<= 10*max_value "
+        "buckets) instead of a global sort of raw rows — that is what "
+        "makes the plan scale: two map-side conditional counts into "
+        "|buckets| rows, one ordered window over those bounded rows "
+        "(documented-bounded, like the Zipf ranks), one max. Exact KS "
+        "on unquantized values would need a global sort of both samples; "
+        "the quantized statistic differs by at most the bucket mass and "
+        "is the standard production form."
+    ),
+    tags=("sampling", "drift", "statistics", "quality"),
+)
+def ks_drift_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("g"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").cast("bigint").alias("t_a"),
+        F.sum("n_b").cast("bigint").alias("t_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+    )
+    # ordered window over the quantized bucket domain: bounded by
+    # 10 * max(value) rows (fixture: <5k), NOT by |events| — boundedness
+    # is the scale argument, same class as the Zipf rank window.
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = counts.crossJoin(F.broadcast(tot)).select(
+        "t_a",
+        "t_b",
+        "n_buckets",
+        (F.sum("n_a").over(w) / F.col("t_a")).alias("ca"),
+        (F.sum("n_b").over(w) / F.col("t_b")).alias("cb"),
+    )
+    crit = 1.358 * F.sqrt((F.col("t_a") + F.col("t_b")) / (F.col("t_a") * F.col("t_b")))
+    return cdf.groupBy("t_a", "t_b", "n_buckets").agg(
+        F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks_stat"),
+        F.round(F.max(crit), 6).alias("ks_critical_05"),
+        (F.max(F.abs(F.col("ca") - F.col("cb"))) > F.max(crit)).alias("drifted"),
+    ).select(
+        F.col("t_a").alias("n_a"),
+        F.col("t_b").alias("n_b"),
+        "n_buckets",
+        "ks_stat",
+        "ks_critical_05",
+        "drifted",
+    )
+
+
+@register(
+    "train_test_time_split_audit",
+    oracle="""
+        WITH cut AS (
+            SELECT quantile_cont(epoch_us(ts), 0.8) AS cutoff_us FROM events
+        ),
+        tagged AS (
+            SELECT user_id,
+                   CASE WHEN epoch_us(ts) <= c.cutoff_us THEN 0 ELSE 1 END AS side
+            FROM events CROSS JOIN cut c
+        ),
+        sides AS (
+            SELECT user_id,
+                   MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_train,
+                   MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_test,
+                   SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS n_train_rows,
+                   SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS n_test_rows
+            FROM tagged GROUP BY user_id
+        )
+        SELECT CAST(SUM(n_train_rows) AS BIGINT) AS n_train,
+               CAST(SUM(n_test_rows) AS BIGINT) AS n_test,
+               CAST(SUM(in_train) AS BIGINT) AS n_users_train,
+               CAST(SUM(in_test) AS BIGINT) AS n_users_test,
+               CAST(SUM(in_train * in_test) AS BIGINT) AS n_users_both,
+               ROUND(SUM(in_train * in_test) * 1.0 / SUM(in_test), 6)
+                   AS test_user_leakage_rate
+        FROM sides
+    """,
+    doc=(
+        "TEMPORAL TRAIN/TEST SPLIT with GROUP-LEAKAGE AUDIT: split events "
+        "at the 80th-percentile timestamp, then count users that appear "
+        "on BOTH sides — the pre-training check that catches the classic "
+        "evaluation bug (a model 'predicting' users it already saw). A "
+        "high leakage rate says the split must be BY USER (hash split), "
+        "not by time, for user-level tasks; deterministic_hash_sample is "
+        "the companion operator that does exactly that. Plan: the cutoff "
+        "is a 1-row exact-percentile aggregate broadcast back as a "
+        "map-side predicate (membership is engine-stable: the cutoff "
+        "interpolates strictly between two consecutive order statistics, "
+        "so no event can sit between the two engines' float results); "
+        "the audit is one hash aggregate keyed on user_id + a 1-row "
+        "rollup. Two scans + one user-keyed shuffle at any scale."
+    ),
+    tags=("sampling", "split", "quality", "llm"),
+)
+def train_test_time_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(F.percentile(F.unix_micros("ts"), F.lit(0.8)).alias("cutoff_us"))
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        "user_id",
+        F.when(F.unix_micros("ts") <= F.col("cutoff_us"), 0).otherwise(1).alias("side"),
+    )
+    sides = tagged.groupBy("user_id").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("in_test"),
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0)).alias("n_train_rows"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("n_test_rows"),
+    )
+    return sides.agg(
+        F.sum("n_train_rows").cast("bigint").alias("n_train"),
+        F.sum("n_test_rows").cast("bigint").alias("n_test"),
+        F.sum("in_train").cast("bigint").alias("n_users_train"),
+        F.sum("in_test").cast("bigint").alias("n_users_test"),
+        F.sum(F.col("in_train") * F.col("in_test")).cast("bigint").alias("n_users_both"),
+        F.round(
+            F.sum(F.col("in_train") * F.col("in_test"))
+            / F.sum("in_test"),
+            6,
+        ).alias("test_user_leakage_rate"),
+    )

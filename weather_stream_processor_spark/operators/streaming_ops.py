@@ -677,3 +677,64 @@ def streaming_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("event_type", "event_id", "ts", "cusum", "is_alert")
+
+
+@register(
+    "streaming_windowed_topk_users",
+    oracle="""
+        WITH counts AS (
+            SELECT date_trunc('hour', ts) AS hour, user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 5) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT hour, user_id, n_events, total_value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY hour
+                       ORDER BY n_events DESC, user_id ASC
+                   ) AS rnk
+            FROM counts
+        )
+        SELECT hour, user_id, n_events, total_value, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+    """,
+    doc=(
+        "STREAMING HEAVY HITTERS: top-3 most active users per hourly "
+        "window — the live 'who is hammering the API' leaderboard. The "
+        "streaming engine incrementally maintains the (window, user) "
+        "count/sum state (watermarked tumbling window, complete mode "
+        "through the real StateStore); the RANKING is a serving-side "
+        "view over the drained sink, because per-window top-k is not an "
+        "incremental stateful operator — this split (stream maintains "
+        "the aggregate, the serving layer ranks it) is the standard "
+        "production topology, same as every metrics dashboard. Ties "
+        "break on user_id so both engines agree. State cardinality is "
+        "|hours x active users per hour|, bounded by the watermark "
+        "horizon; the serving rank partitions by hour (bounded rows per "
+        "partition = users active that hour)."
+    ),
+    tags=("streaming", "topk", "window"),
+)
+def streaming_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = events_replay_source(spark, sf_dir).withWatermark("ts", "2 hours")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 5).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "user_id", "n_events", "total_value")
+    )
+    drained = run_to_memory(counts, _sink_name("streaming_topk_users"))
+    rnk = F.row_number().over(
+        Window.partitionBy("hour").orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+    return (
+        drained.withColumn("rnk", rnk.cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("hour", "user_id", "n_events", "total_value", "rnk")
+    )
