@@ -399,3 +399,74 @@ def test_rrf_fusion_take_ordered(spark):
         contains=("TakeOrderedAndProject",),
         not_contains=("CartesianProduct",),
     )
+
+
+def test_winnowing_windows_all_keyed_on_doc(spark):
+    # every window (lead, count, selection rank) partitions by doc_id /
+    # (doc_id, s) — no global window, no join at all
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "winnowing_fingerprints"), "formatted")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    df = _df(spark, "winnowing_fingerprints")
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_allknn_no_cartesian_and_pruned_scan(spark):
+    # the all-kNN grid is applyInPandas over an exploded cell key: the plan
+    # must contain the Arrow python runner and no join of any kind
+    for name in ("mutual_knn_pairs", "knn_hubness_audit"):
+        df = _df(spark, name)
+        require_plan(
+            df,
+            contains=("FlatMapGroupsInPandas",),
+            not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        )
+
+
+def test_degree_assortativity_broadcasts_degrees(spark):
+    # degree table is |brands|-sized: joined back broadcast, reduced by
+    # the built-in corr aggregate. The registered builder persists the
+    # edge list (5 consuming subtrees), so inspect the lazy twin. The
+    # edge builder's own orderkey self-join is a keyed SMJ (correct: both
+    # sides are fact-sized at scale) — only the assortativity suffix must
+    # broadcast, so count: the lazy tree's SMJs all join on the orderkey.
+    from weather_stream_processor_spark.operators.analytics import (
+        degree_assortativity_plan,
+    )
+    from tests.conftest import SF_SMOKE as _SF
+
+    require_plan(
+        degree_assortativity_plan(spark, _SF),
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct",),
+    )
+
+
+def test_ks_drift_scan_prunes_and_pushes(spark):
+    # the event_type IN filter reaches the scan; only (event_type, value)
+    # are read; the CDF window runs over the bounded bucket domain
+    df = _df(spark, "ks_drift_two_sample")
+    assert any("event_type" in f for f in pushed_filters(df))
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"event_type", "value"}, cols
+
+
+def test_time_split_audit_broadcast_cutoff(spark):
+    # the percentile cutoff is a 1-row aggregate broadcast back as a
+    # map-side predicate; the audit is one user-keyed hash aggregate
+    df = _df(spark, "train_test_time_split_audit")
+    require_plan(df, not_contains=("SortMergeJoin",))
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"user_id", "ts"}, cols
+
+
+def test_normalization_dedup_shuffles_digests_only(spark):
+    # the md5 of the canonical text — never the text — is the shuffle key;
+    # scan reads only (doc_id, text); no join anywhere
+    df = _df(spark, "normalization_collision_dedup")
+    require_plan(df, not_contains=("CartesianProduct", "SortMergeJoin"))
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols

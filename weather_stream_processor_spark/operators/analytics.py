@@ -1250,12 +1250,30 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain — and reduced by the built-in corr() moment aggregate in "
         "one partial+final pass. At 100 TB the co-purchase edge builder "
         "dominates (same shape as brand_affinity_pairs); this suffix "
-        "costs two broadcast joins + one scan of the edge list."
+        "costs two broadcast joins + one scan of the edge list. The edge "
+        "list feeds FIVE subtrees (two union legs, two degree joins, the "
+        "node count), and Catalyst does not dedupe common subexpressions "
+        "— so the builder runs them over a persisted_result copy of the "
+        "(bounded, <= |brands|^2-row) edge table; the co-purchase join "
+        "executes once, not five times."
     ),
     tags=("analytics", "graph", "statistics"),
 )
 def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _brand_edges(spark, sf_dir)
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    return persisted_result(
+        _brand_edges(spark, sf_dir), _degree_assortativity_tree
+    )
+
+
+def degree_assortativity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-materialized plan (no persist, no lineage cut) — for
+    plan-shape inspection in tests."""
+    return _degree_assortativity_tree(_brand_edges(spark, sf_dir))
+
+
+def _degree_assortativity_tree(edges: DataFrame) -> DataFrame:
     und = edges.select(
         F.col("b1").alias("src"), F.col("b2").alias("dst")
     ).unionAll(edges.select(F.col("b2").alias("src"), F.col("b1").alias("dst")))
