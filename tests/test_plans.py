@@ -281,19 +281,17 @@ def test_prefix_filter_join_is_all_hash_joins(spark):
 
 def test_pagerank_iterations_stay_broadcast(spark):
     # the rank vector and degree table are O(|brands|): every round's join
-    # must be broadcast. The ONLY shuffle join allowed is the orderkey
-    # co-occurrence self-join (legitimately big at scale) — a SortMergeJoin
-    # keyed on src/dst/brand would mean an iteration shuffles the edge list
-    import re
-
+    # must be broadcast. The basket-array pair builder has no self-join at
+    # all now, so NO shuffle join of any kind may appear — a SortMergeJoin
+    # would mean an iteration shuffles the edge list. The registered
+    # builder persists the edges, so inspect the lazy twin.
+    from weather_stream_processor_spark.operators.analytics import pagerank_plan
     from weather_stream_processor_spark.plans import explain_string
 
-    plan = explain_string(_df(spark, "pagerank_brand_graph"), "formatted")
+    plan = explain_string(pagerank_plan(spark, SF_SMOKE), "formatted")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    for m in re.finditer(r"\(\d+\) SortMergeJoin[^\n]*\n((?:[^\n(][^\n]*\n)*)", plan):
-        keys = re.findall(r"(?:Left|Right) keys \[\d+\]: \[(\w+)#", m.group(1))
-        assert set(keys) == {"k"}, f"non-co-occurrence SMJ on {keys}"
+    assert "SortMergeJoin" not in plan
 
 
 def test_delta_compression_single_keyed_exchange(spark):
