@@ -118,6 +118,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "window_distribution_functions", "global_sorted_supplier_ledger",
     "percentile_bucketing", "time_range_window_sum",
     "batch_sessionization", "revenue_contribution_pareto",
+    # round-7 additions (this round), never driver-sampled
+    "winnowing_fingerprints", "mutual_knn_pairs", "knn_hubness_audit",
+    "degree_assortativity", "ks_drift_two_sample",
+    "train_test_time_split_audit", "normalization_collision_dedup",
+    "streaming_windowed_topk_users",
 )
 
 

@@ -71,6 +71,9 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "label_propagation_communities",
     "cross_source_overlap_matrix",
+    # round-7 additions: winnowing selection, exact all-kNN graph
+    "winnowing_fingerprints",
+    "mutual_knn_pairs",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners
