@@ -468,3 +468,39 @@ def test_normalization_dedup_shuffles_digests_only(spark):
     require_plan(df, not_contains=("CartesianProduct", "SortMergeJoin"))
     for cols in read_schema_columns(df):
         assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_kcore_round_joins_broadcast_keep_list(spark):
+    # one peeling round: degree agg + two broadcast semi-joins of the
+    # |nodes|-bounded keep list — the edge list must never SMJ-shuffle
+    from weather_stream_processor_spark.operators.analytics import kcore_plan
+
+    require_plan(
+        kcore_plan(spark, SF_SMOKE),
+        contains=("BroadcastHashJoin",),
+        not_contains=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_tfidf_cosine_postings_join_no_cartesian(spark):
+    # pair generation is a term-keyed postings join + TakeOrderedAndProject
+    # (the only nested-loop is the 1-row doc-count broadcast — allowed)
+    df = _df(spark, "tfidf_cosine_doc_pairs")
+    require_plan(
+        df,
+        contains=("TakeOrderedAndProject",),
+        not_contains=("CartesianProduct",),
+    )
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"doc_id", "text"}, cols
+
+
+def test_sax_broadcasts_type_stats(spark):
+    # per-type moments are |types|-sized: broadcast back, never SMJ; scan
+    # reads only (event_type, ts, value)
+    df = _df(spark, "sax_daily_symbols")
+    require_plan(
+        df, contains=("BroadcastHashJoin",), not_contains=("SortMergeJoin",)
+    )
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"event_type", "ts", "value"}, cols

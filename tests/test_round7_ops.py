@@ -252,3 +252,100 @@ def test_streaming_topk_ranks_complete_per_hour(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         assert all(rs[i].n_events >= rs[i + 1].n_events for i in range(len(rs) - 1))
         assert len(rs) <= 3
+
+
+def test_kcore_matches_pure_python_peeling(spark):
+    """Peel the collected edge list to the k-core fixpoint in pure Python
+    and assert identical surviving nodes and core degrees."""
+    from weather_stream_processor_spark.operators.analytics import (
+        _KCORE_K,
+        _brand_edges,
+    )
+
+    edges = {(r.b1, r.b2) for r in _brand_edges(spark, SF_SMOKE).collect()}
+    e = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    while True:
+        deg = {}
+        for s, _ in e:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {n for n, d in deg.items() if d >= _KCORE_K}
+        e2 = {(s, d) for s, d in e if s in keep and d in keep}
+        if e2 == e:
+            break
+        e = e2
+    expected = {}
+    for s, _ in e:
+        expected[s] = expected.get(s, 0) + 1
+
+    got = {r.brand: r.core_degree for r in _run(spark, "kcore_decomposition").collect()}
+    assert got == expected
+    # every survivor must meet the k bound (the defining property)
+    assert all(d >= _KCORE_K for d in got.values()) or not got
+
+
+def test_tfidf_cosine_pairs_match_brute_force(spark):
+    """Recompute the quantized tf-idf cosine top-20 with pure Python
+    (identical integer quantization and tie-break) and compare pairs and
+    similarities exactly."""
+    import math
+    from collections import Counter
+
+    from weather_stream_processor_spark.sources import load_table
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n_docs = len(docs)
+    tf = {d: Counter(toks) for d, toks in docs.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    w = {
+        d: {
+            t: int(round(c * math.log(n_docs / df[t]) * 1000))
+            for t, c in cnt.items()
+        }
+        for d, cnt in tf.items()
+    }
+    nrm = {d: math.sqrt(sum(v * v for v in ws.values())) for d, ws in w.items()}
+    sims = []
+    ids = sorted(w)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            sims.append((round(dot / (nrm[a] * nrm[b]), 6), a, b, len(shared)))
+    sims.sort(key=lambda x: (-x[0], x[1], x[2]))
+    expected = [(a, b, s, k) for s, a, b, k in sims[:20]]
+
+    got = [
+        (r.doc_a, r.doc_b, r.cosine_sim, r.n_shared_terms)
+        for r in _run(spark, "tfidf_cosine_doc_pairs").collect()
+    ]
+    assert got == expected
+
+
+def test_sax_symbols_consistent_with_znorm(spark):
+    """Symbols must be the breakpoint bucketing of the emitted znorm, the
+    per-type znorm must average ~0 with stddev ~1, and all four letters
+    together must cover every row."""
+    from collections import defaultdict
+
+    import math
+
+    rows = _run(spark, "sax_daily_symbols").collect()
+    assert rows
+    by_type = defaultdict(list)
+    for r in rows:
+        z = r.znorm
+        exp = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        assert r.symbol == exp, (r.event_type, r.day)
+        by_type[r.event_type].append(z)
+    for t, zs in by_type.items():
+        mu = sum(zs) / len(zs)
+        sd = math.sqrt(sum((z - mu) ** 2 for z in zs) / (len(zs) - 1))
+        assert abs(mu) < 1e-4, t
+        assert abs(sd - 1.0) < 1e-4, t

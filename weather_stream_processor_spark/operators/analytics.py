@@ -1308,3 +1308,126 @@ def _degree_assortativity_tree(edges: DataFrame) -> DataFrame:
         .crossJoin(F.broadcast(n_nodes))
         .select("n_nodes", "n_edges", "assortativity")
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Generate the unrolled peeling CTE chain (same trick as the pagerank
+    oracle: a deterministic fixed number of rounds, identical in both
+    engines, so the hash gate verifies every round's arithmetic)."""
+    # AS MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    # the previous one three times — un-materialized, the chain re-evaluates
+    # upstream rounds ~3^i times (the mirror of the Spark-side lineage
+    # truncation; without it the oracle exhausts file handles re-opening
+    # the base parquet thousands of times)
+    ctes = [
+        """
+        e0 AS MATERIALIZED (
+            SELECT b1 AS src, b2 AS dst FROM edges
+            UNION ALL
+            SELECT b2 AS src, b1 AS dst FROM edges
+        )"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""
+        deg{i} AS (SELECT src, COUNT(*) AS d FROM e{i} GROUP BY src),
+        keep{i} AS MATERIALIZED (SELECT src FROM deg{i} WHERE d >= {_KCORE_K}),
+        e{i + 1} AS MATERIALIZED (
+            SELECT a.src, a.dst FROM e{i} a
+            JOIN keep{i} ks ON a.src = ks.src
+            JOIN keep{i} kd ON a.dst = kd.src
+        )"""
+        )
+    return (
+        ",".join(ctes)
+        + f"""
+        SELECT src AS brand, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM e{_KCORE_ROUNDS} GROUP BY src
+    """
+    )
+
+
+@register(
+    "kcore_decomposition",
+    oracle=f"WITH {_BRAND_GRAPH_CTES},{_kcore_oracle()}",
+    doc=(
+        f"K-CORE EXTRACTION (k={_KCORE_K}) of the brand co-purchase "
+        "graph by iterative peeling: repeatedly delete nodes of degree "
+        f"< {_KCORE_K} and the edges they carry, {_KCORE_ROUNDS} "
+        "synchronized rounds (enough for fixpoint on any graph whose "
+        "peeling cascade is shorter — the fixture converges in <= 3; the "
+        "oracle unrolls the SAME rounds as a generated CTE chain, so "
+        "every round's degree arithmetic is hash-verified). The k-core "
+        "is the standard dense-backbone extraction run before community "
+        "detection and influence analysis — nodes outside it cannot sit "
+        "in any clique or community of size k+1. Plan: each round is one "
+        "degree aggregate (shuffle keyed on node) + two broadcast "
+        "semi-joins of the |nodes|-bounded keep-list back into the edge "
+        "list — the edge list itself never re-shuffles; rounds consume "
+        "the persisted base edges. At web scale the peel loop runs to "
+        "convergence with checkpointed lineage truncation exactly as "
+        "dedup_connected_components does, O(peeling-depth) rounds."
+    ),
+    tags=("analytics", "graph", "iterative"),
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    return persisted_result(_brand_edges(spark, sf_dir), _kcore_tree)
+
+
+def kcore_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE un-truncated peeling round over the lazy edge builder — the
+    repeated unit of the k-core loop, for plan-shape inspection (the
+    registered builder truncates lineage per round, which hides the
+    round's join shape behind checkpoint scans)."""
+    edges = _brand_edges(spark, sf_dir)
+    e = edges.select(F.col("b1").alias("src"), F.col("b2").alias("dst")).unionAll(
+        edges.select(F.col("b2").alias("src"), F.col("b1").alias("dst"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    keep = deg.filter(F.col("d") >= _KCORE_K).select("src")
+    return (
+        e.join(F.broadcast(keep), "src")
+        .join(F.broadcast(keep.withColumnRenamed("src", "dst")), "dst")
+        .select("src", "dst")
+    )
+
+
+def _kcore_tree(edges: DataFrame) -> DataFrame:
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
+
+    # each round references the previous round's edges THREE times (the
+    # main join input + both keep-list broadcast builds), so an un-cut
+    # lazy chain re-executes prior rounds ~3^i times — lineage is
+    # truncated per round exactly as the CC loop does. The convergence
+    # break collects a single count (bounded: one row), so a graph whose
+    # cascade stops early never pays the remaining rounds.
+    e = _truncate_lineage(
+        edges.select(F.col("b1").alias("src"), F.col("b2").alias("dst")).unionAll(
+            edges.select(F.col("b2").alias("src"), F.col("b1").alias("dst"))
+        )
+    )
+    prev = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= _KCORE_K).select("src")
+        e = _truncate_lineage(
+            e.join(F.broadcast(keep), "src")
+            .join(
+                F.broadcast(keep.withColumnRenamed("src", "dst")),
+                "dst",
+            )
+            .select("src", "dst")
+        )
+        cur = e.count()  # 1-row driver check, same class as the CC checksum
+        if cur == prev:
+            break  # fixpoint: remaining unrolled rounds are no-ops
+        prev = cur
+    return e.groupBy(F.col("src").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

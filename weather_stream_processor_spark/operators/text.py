@@ -1757,3 +1757,114 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)) / F.max("n_kg"), 6).alias("density"),
         (F.sum("h") % _WINNOW_P).cast("bigint").alias("fp_checksum"),
     )
+
+
+@register(
+    "tfidf_cosine_doc_pairs",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, tok AS term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY doc_id, tok
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        w AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(ROUND(tf.tf * ln(n.n_docs * 1.0 / df.df) * 1000, 0)
+                        AS BIGINT) AS wq
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        nrm AS (
+            SELECT doc_id, SQRT(SUM(wq * wq)) AS nrm FROM w GROUP BY doc_id
+        ),
+        dots AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   SUM(a.wq * b.wq) AS dot,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_terms
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d.doc_a, d.doc_b,
+               ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine_sim,
+               d.n_shared_terms
+        FROM dots d
+        JOIN nrm na ON d.doc_a = na.doc_id
+        JOIN nrm nb ON d.doc_b = nb.doc_id
+        ORDER BY cosine_sim DESC, doc_a, doc_b
+        LIMIT 20
+    """,
+    doc=(
+        "SPARSE TF-IDF COSINE similarity join: top-20 most similar "
+        "document pairs through the inverted index — the lexical "
+        "similarity measure that complements embedding cosine (catches "
+        "verbatim term overlap that dense vectors smooth away) and "
+        "n-gram Jaccard (weights rare terms instead of counting all "
+        "equally). Weights are QUANTIZED to integer milli-units before "
+        "the pair dot product, so the sum is exact integer arithmetic in "
+        "both engines — float dot products summed in different orders "
+        "would drift across the hash gate (same trick as the bigint "
+        "cents used everywhere for money). Plan: tf and df are the "
+        "TF-IDF aggregates (vocab-bounded); the pair generation is a "
+        "postings equi-join keyed on TERM — never a doc x doc cross "
+        "join — with per-doc norms joined back; top-20 via "
+        "TakeOrderedAndProject. At 100 TB, drop near-ubiquitous terms "
+        "(df > N/2): their idf weight is ~0 but they dominate the "
+        "posting-join fan-out — the same prefix-filtering idea "
+        "prefix_filter_jaccard_join formalizes."
+    ),
+    tags=("text", "llm", "similarity", "dedup"),
+)
+def tfidf_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1000, 0)
+            .cast("bigint")
+            .alias("wq"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("nrm"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wq").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wq").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+        )
+    )
+    return (
+        dots.join(
+            F.broadcast(nrm.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nrm", "na")),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(nrm.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nrm", "nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cosine_sim"),
+            "n_shared_terms",
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )

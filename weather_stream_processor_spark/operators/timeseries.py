@@ -1470,3 +1470,74 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             5,
         ).alias("mean_hours"),
     )
+
+
+@register(
+    "sax_daily_symbols",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   AVG(value) AS daily_mean
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   AVG(daily_mean) AS mu,
+                   STDDEV(daily_mean) AS sigma
+            FROM daily GROUP BY event_type
+        ),
+        z AS (
+            SELECT d.event_type, d.day,
+                   ROUND(d.daily_mean, 5) AS daily_mean,
+                   ROUND((d.daily_mean - s.mu) / s.sigma, 6) AS znorm
+            FROM daily d JOIN stats s USING (event_type)
+        )
+        SELECT event_type, day, daily_mean, znorm,
+               CASE WHEN znorm < -0.6745 THEN 'a'
+                    WHEN znorm < 0.0     THEN 'b'
+                    WHEN znorm < 0.6745  THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM z
+    """,
+    doc=(
+        "SAX SYMBOLIZATION (Lin/Keogh et al., DMKD'07) of the per-type "
+        "daily series: z-normalize each event type's daily means against "
+        "its OWN mean/stddev, then map to a 4-letter alphabet at the "
+        "Gaussian equiprobable breakpoints (-0.6745, 0, +0.6745) — the "
+        "discretization that turns numeric series into strings so motif "
+        "discovery, anomaly grammars, and shingle-based series dedup can "
+        "reuse the text machinery (the SAX word is exactly a token "
+        "stream; doc_fingerprints/winnowing apply verbatim downstream). "
+        "Deterministic across engines: the z-score is rounded to 6dp "
+        "BEFORE the breakpoint comparison, so both engines bucket the "
+        "same values. Plan: two hash aggregates (daily means: |types x "
+        "days| rows; per-type moments: |types| rows) and one broadcast "
+        "join back — a map-side projection does the bucketing. Per-type "
+        "normalization keys every aggregate; nothing is global."
+    ),
+    tags=("timeseries", "symbolization", "llm"),
+)
+def sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("daily_mean_raw"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("daily_mean_raw").alias("mu"),
+        F.stddev("daily_mean_raw").alias("sigma"),
+    )
+    z = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.round("daily_mean_raw", 5).alias("daily_mean"),
+        F.round((F.col("daily_mean_raw") - F.col("mu")) / F.col("sigma"), 6).alias(
+            "znorm"
+        ),
+    )
+    symbol = (
+        F.when(F.col("znorm") < -0.6745, "a")
+        .when(F.col("znorm") < 0.0, "b")
+        .when(F.col("znorm") < 0.6745, "c")
+        .otherwise("d")
+    )
+    return z.select("event_type", "day", "daily_mean", "znorm", symbol.alias("symbol"))
