@@ -349,3 +349,19 @@ def test_sax_symbols_consistent_with_znorm(spark):
         sd = math.sqrt(sum((z - mu) ** 2 for z in zs) / (len(zs) - 1))
         assert abs(mu) < 1e-4, t
         assert abs(sd - 1.0) < 1e-4, t
+
+
+def test_streaming_semi_join_unique_and_subset_of_inner(spark):
+    """Each converted view emits exactly once (semi-join dedup-by-
+    construction), and the emitted set equals the distinct view set of
+    the inner interval join."""
+    semi = [
+        (r.user_id, r.view_id)
+        for r in _run(spark, "streaming_stream_stream_semi_join").collect()
+    ]
+    assert len(semi) == len(set(semi))  # no fan-out per purchase
+    inner_views = {
+        (r.user_id, r.view_id)
+        for r in _run(spark, "streaming_stream_stream_join").collect()
+    }
+    assert set(semi) == inner_views

@@ -738,3 +738,69 @@ def streaming_windowed_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rnk") <= 3)
         .select("hour", "user_id", "n_events", "total_value", "rnk")
     )
+
+
+@register(
+    "streaming_stream_stream_semi_join",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT v.user_id, v.view_id
+        FROM v
+        WHERE EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = v.user_id
+              AND p.p_ts >= v.v_ts
+              AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+    """,
+    doc=(
+        "STREAM-STREAM LEFT SEMI interval join (Spark 3.4+): emit each "
+        "view ONCE as soon as any purchase lands inside its 1-hour "
+        "horizon — the 'converted view' feed, deduplicated by "
+        "construction (semi join state marks a left row matched instead "
+        "of fanning out per match, so a view with five purchases emits "
+        "one row, where the inner join emits five). Completes the "
+        "stream-stream matrix next to inner/left-outer/full-outer. "
+        "State and watermark bounds are identical to the inner join; "
+        "the oracle is the EXISTS form — matched rows are emitted on "
+        "match, so no final-watermark closure term is needed (unlike "
+        "the outer variants, whose null rows emit only at eviction)."
+    ),
+    tags=("streaming", "join", "interval", "semi"),
+)
+def streaming_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).select(F.col("v_user_id").alias("user_id"), "view_id")
+    return run_to_memory(
+        joined, _sink_name("streaming_ss_semi_join"), output_mode="append"
+    )
