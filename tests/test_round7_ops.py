@@ -299,7 +299,12 @@ def test_tfidf_cosine_pairs_match_brute_force(spark):
         .collect()
     }
     n_docs = len(docs)
-    tf = {d: Counter(toks) for d, toks in docs.items()}
+    tf = {
+        d: Counter(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+        for d, toks in docs.items()
+    }
     df = Counter(t for c in tf.values() for t in c)
     w = {
         d: {
