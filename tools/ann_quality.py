@@ -104,6 +104,21 @@ def main() -> None:
     exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
     minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
 
+    # hubness profile of the embedding space: skewness of the k-occurrence
+    # distribution (S_k > ~1 predicts ANN recall loss; Radovanovic JMLR'10)
+    # plus the anti-hub fraction (vectors no other vector retrieves)
+    hub_rows = [(r.n_in, r.n_vectors) for r in run("knn_hubness_audit")]
+    tot_v = sum(nv for _, nv in hub_rows)
+    mean_k = sum(n * nv for n, nv in hub_rows) / tot_v
+    var_k = sum(nv * (n - mean_k) ** 2 for n, nv in hub_rows) / tot_v
+    skew_k = (
+        sum(nv * (n - mean_k) ** 3 for n, nv in hub_rows) / tot_v / var_k**1.5
+        if var_k > 0
+        else 0.0
+    )
+    antihub = sum(nv for n, nv in hub_rows if n == 0) / tot_v
+    n_mutual = len([1 for _ in run("mutual_knn_pairs")])
+
     result = {
         "sf_dir": sf_dir,
         "k": len(exact),
@@ -124,6 +139,9 @@ def main() -> None:
         "covariance_effective_rank": round(effective_rank, 2),
         "covariance_dim": int(dim),
         "explained_variance_top8": round(float(p[:8].sum()), 4),
+        "hubness_k_occurrence_skew": round(float(skew_k), 4),
+        "hubness_antihub_fraction": round(antihub, 4),
+        "mutual_knn_pair_count": n_mutual,
     }
     Path(out_path).write_text(json.dumps(result) + "\n")
     print(json.dumps(result))
