@@ -804,3 +804,64 @@ def streaming_stream_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataF
     return run_to_memory(
         joined, _sink_name("streaming_ss_semi_join"), output_mode="append"
     )
+
+
+@register(
+    "streaming_blocklist_decontam",
+    oracle="""
+        WITH blocked AS (
+            SELECT user_id
+            FROM events
+            WHERE event_type = 'error'
+            GROUP BY user_id
+            HAVING COUNT(*) >= 5
+        )
+        SELECT date_trunc('hour', e.ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_clean,
+               ROUND(SUM(e.value), 5) AS clean_value
+        FROM events e
+        WHERE e.event_type = 'purchase'
+          AND NOT EXISTS (SELECT 1 FROM blocked b WHERE b.user_id = e.user_id)
+        GROUP BY 1
+    """,
+    doc=(
+        "STREAMING BLOCKLIST DECONTAMINATION: a stream-STATIC LEFT ANTI "
+        "join — live purchases minus a batch-derived denylist (users "
+        "with >= 5 errors: the bot/abuse screen), rolled into hourly "
+        "clean totals through the real streaming engine. This is the "
+        "streaming twin of the batch decontamination operator and the "
+        "shape of every 'filter the firehose against yesterday's "
+        "blocklist' pipeline: the static side is computed ONCE per "
+        "restart with batch semantics, broadcast into every micro-batch "
+        "(|blocklist| rows, never a stream shuffle), and the watermarked "
+        "window agg downstream is unchanged. Unlike stream-stream anti "
+        "(unsupported: negatives against a moving right side cannot be "
+        "proven until eviction), stream-static anti is exact per batch."
+    ),
+    tags=("streaming", "join", "anti", "llm"),
+)
+def streaming_blocklist_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.sources import load_table
+
+    blocked = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= 5)
+        .select("user_id")
+    )
+    ev = events_replay_source(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    clean = ev.join(F.broadcast(blocked), "user_id", "left_anti")
+    agg = (
+        clean.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clean"),
+            F.round(F.sum("value"), 5).alias("clean_value"),
+        )
+        .select(F.col("w.start").alias("hour"), "n_clean", "clean_value")
+    )
+    return run_to_memory(agg, _sink_name("streaming_blocklist"))
