@@ -122,7 +122,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "winnowing_fingerprints", "mutual_knn_pairs", "knn_hubness_audit",
     "degree_assortativity", "ks_drift_two_sample",
     "train_test_time_split_audit", "normalization_collision_dedup",
-    "streaming_windowed_topk_users",
+    "streaming_windowed_topk_users", "kcore_decomposition",
+    "tfidf_cosine_doc_pairs", "sax_daily_symbols", "bfs_shortest_paths",
+    "streaming_stream_stream_semi_join", "streaming_blocklist_decontam",
 )
 
 

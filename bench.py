@@ -96,6 +96,8 @@ SF1_QUERIES = [
     "knn_join_topk",
     "ann_lsh_topk",
     "ann_pq_topk",
+    # round-7 headliner (flat at 10x: per-doc window work only)
+    "winnowing_fingerprints",
 ]
 
 

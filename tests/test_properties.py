@@ -776,3 +776,64 @@ def test_weighted_median_crossing_matches_python(spark, rows):
                 expected.add((g, v))
                 break
     assert got == expected
+
+
+_docs_tokens = st.lists(
+    st.lists(
+        # tokens drawn from a small alphabet so k-gram hash COLLISIONS and
+        # repeated shingles actually occur (the tie-break path is the part
+        # a fixture of distinct word-soup never exercises)
+        st.sampled_from(["a", "bb", "c", "dd", "e", "a", "bb"]),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs=_docs_tokens)
+@settings(**_SETTINGS)
+def test_winnowing_core_matches_reference_on_arbitrary_docs(spark, docs):
+    """The distributed winnowing selection equals the direct Python
+    implementation of the Schleimer et al. rule (rightmost-min per
+    window, dedupe) on hypothesis-drawn documents — including repeated
+    tokens, hash ties, and docs shorter than k."""
+    from weather_stream_processor_spark.functions import tokens as _  # noqa: F401
+    from weather_stream_processor_spark.operators.text import (
+        _WINNOW_P,
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_select,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_kgrams, r.n_selected, r.fp_checksum)
+        for r in winnowing_select(df).collect()
+    }
+
+    for doc_id, toks in enumerate(docs):
+        # NOTE: split(" ") of a joined empty list yields [""], matching
+        # the builder's behavior on empty text
+        toks = " ".join(toks).split(" ")
+        codes = [(ord(t[0]) if t else 0) * 31 + len(t) for t in toks]
+        hs = [
+            (codes[i] * 1000003 + codes[i + 1] * 101 + codes[i + 2]) % _WINNOW_P
+            for i in range(len(codes) - WINNOW_K + 1)
+        ]
+        if not hs:
+            assert doc_id not in got
+            continue
+        n_win = max(len(hs) - WINNOW_W + 1, 1)
+        selected = set()
+        for s in range(n_win):
+            window = hs[s : s + WINNOW_W]
+            m = min(window)
+            pos = s + max(i for i, h in enumerate(window) if h == m)
+            selected.add((pos, hs[pos]))
+        checksum = sum(h for _, h in selected) % _WINNOW_P
+        assert got[doc_id] == (len(hs), len(selected), checksum), doc_id

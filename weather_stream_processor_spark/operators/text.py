@@ -1691,7 +1691,12 @@ _WINNOW_P = 1000000007
     tags=("text", "llm", "fingerprint", "dedup"),
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_select(load_table(spark, sf_dir, "documents"))
+
+
+def winnowing_select(docs: DataFrame) -> DataFrame:
+    """The winnowing core over any (doc_id, text) DataFrame — split out so
+    the hypothesis property test can drive it with arbitrary documents."""
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     codes = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "tok")
