@@ -396,3 +396,28 @@ def test_bfs_matches_pure_python(spark):
 
     got = {r.brand: r.distance for r in _run(spark, "bfs_shortest_paths").collect()}
     assert got == dist
+
+
+def test_whitening_produces_identity_covariance(spark):
+    """cov(whitened embeddings) must be ~ the identity matrix (the ZCA
+    defining property), checked against numpy on the collected smoke
+    corpus; the audit rows must agree with the same statistics."""
+    from weather_stream_processor_spark.operators.similarity import (
+        whitened_embeddings,
+    )
+
+    rows = whitened_embeddings(spark, SF_SMOKE).collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    d = C.shape[0]
+    off = C - np.diag(np.diag(C))
+    assert np.abs(np.diag(C) - 1.0).max() < 1e-2
+    assert np.abs(off).max() < 1e-2
+    assert np.abs(X.mean(axis=0)).max() < 1e-9
+
+    audit = {r.dim: (r.mean_w, r.var_w) for r in _run(spark, "embedding_whitening_audit").collect()}
+    assert len(audit) == d
+    for i in range(d):
+        m, v = audit[i]
+        assert abs(m - round(float(X[:, i].mean()), 6)) < 1e-9
+        assert abs(v - round(float(X[:, i].var()), 6)) < 1e-9
