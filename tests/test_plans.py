@@ -504,3 +504,18 @@ def test_sax_broadcasts_type_stats(spark):
     )
     for cols in read_schema_columns(df):
         assert set(cols) <= {"event_type", "ts", "value"}, cols
+
+
+def test_whitening_transform_is_arrow_map(spark):
+    # the whitened store is a mapInPandas projection (broadcast GEMM):
+    # no join, no corpus collect in the plan; the audit adds one
+    # posexplode + keyed aggregate
+    from weather_stream_processor_spark.operators.similarity import (
+        whitened_embeddings,
+    )
+
+    require_plan(
+        whitened_embeddings(spark, SF_SMOKE),
+        contains=("MapInPandas",),
+        not_contains=("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"),
+    )
