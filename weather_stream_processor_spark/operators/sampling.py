@@ -946,3 +946,105 @@ def train_test_time_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("test_user_leakage_rate"),
     )
+
+
+_TARGET_PARTITION_MB = 128
+
+
+@register(
+    "shuffle_partition_advisor",
+    oracle=f"""
+        WITH widths AS (
+            SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(FLOOR(8 + 8 + AVG(length(text)) + AVG(length(lang))
+                        + AVG(length(source))) AS BIGINT) AS est_row_bytes
+            FROM documents
+            UNION ALL
+            SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+                   CAST(FLOOR(8 + 4 + 4 * AVG(len(embedding))) AS BIGINT)
+            FROM embeddings
+            UNION ALL
+            SELECT 'events', CAST(COUNT(*) AS BIGINT),
+                   CAST(FLOOR(8 + 8 + 8 + 8 + AVG(length(event_type))
+                        + AVG(length(props))) AS BIGINT)
+            FROM events
+            UNION ALL
+            SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+                   CAST(FLOOR(8 * 5 + 8 + AVG(length(l_returnflag))
+                        + AVG(length(l_linestatus))) AS BIGINT)
+            FROM lineitem
+        )
+        SELECT tbl, n_rows, est_row_bytes,
+               CAST(n_rows * est_row_bytes AS BIGINT) AS est_total_bytes,
+               GREATEST(CAST(CEIL(n_rows * est_row_bytes
+                             / ({_TARGET_PARTITION_MB} * 1048576.0)) AS BIGINT),
+                        1) AS recommended_partitions
+        FROM widths
+    """,
+    doc=(
+        "SHUFFLE-PARTITION ADVISOR: per-table row counts, measured "
+        "average row width (typed-column widths + observed string/array "
+        "lengths — not guesses), estimated total bytes, and the "
+        f"partition count that lands ~{_TARGET_PARTITION_MB} MB per "
+        "partition — the sizing pass run before setting spark.sql."
+        "shuffle.partitions / files.maxPartitionBytes on a new dataset, "
+        "and the quantitative backbone of the 'size partitions to fit "
+        "executor memory' posture every operator docstring claims. Each "
+        "branch is one aggregate over one table (count + avg lengths "
+        "share a partial+final pair); the union is |tables| rows. The "
+        "in-memory row estimate is deliberately the UNCOMPRESSED width "
+        "— shuffle and executor memory see decoded rows, not parquet's "
+        "encoded bytes."
+    ),
+    tags=("sampling", "layout", "diagnostics", "scale"),
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = _TARGET_PARTITION_MB * 1048576.0
+    docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            8 + 8 + F.avg(F.length("text")) + F.avg(F.length("lang"))
+            + F.avg(F.length("source"))
+        )
+        .cast("bigint")
+        .alias("est_row_bytes"),
+    ).select(F.lit("documents").alias("tbl"), "n_rows", "est_row_bytes")
+    emb = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (8 + 4 + 4 * F.avg(F.size("embedding"))).cast("bigint").alias(
+            "est_row_bytes"
+        ),
+    ).select(F.lit("embeddings").alias("tbl"), "n_rows", "est_row_bytes")
+    ev = load_table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            8 + 8 + 8 + 8 + F.avg(F.length("event_type"))
+            + F.avg(F.length("props"))
+        )
+        .cast("bigint")
+        .alias("est_row_bytes"),
+    ).select(F.lit("events").alias("tbl"), "n_rows", "est_row_bytes")
+    li = load_table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (
+            8 * 5 + 8 + F.avg(F.length("l_returnflag"))
+            + F.avg(F.length("l_linestatus"))
+        )
+        .cast("bigint")
+        .alias("est_row_bytes"),
+    ).select(F.lit("lineitem").alias("tbl"), "n_rows", "est_row_bytes")
+    u = docs.unionAll(emb).unionAll(ev).unionAll(li)
+    return u.select(
+        "tbl",
+        "n_rows",
+        "est_row_bytes",
+        (F.col("n_rows") * F.col("est_row_bytes")).cast("bigint").alias(
+            "est_total_bytes"
+        ),
+        F.greatest(
+            F.ceil(F.col("n_rows") * F.col("est_row_bytes") / F.lit(target)).cast(
+                "bigint"
+            ),
+            F.lit(1).cast("bigint"),
+        ).alias("recommended_partitions"),
+    )
