@@ -421,3 +421,17 @@ def test_whitening_produces_identity_covariance(spark):
         m, v = audit[i]
         assert abs(m - round(float(X[:, i].mean()), 6)) < 1e-9
         assert abs(v - round(float(X[:, i].var()), 6)) < 1e-9
+
+
+def test_partition_advisor_recommendations_are_consistent(spark):
+    """est_total == rows x width, recommendation == ceil(total/128MB)
+    floored at 1, and the measured widths must be at least the fixed-
+    column floor for every table."""
+    rows = {r.tbl: r for r in _run(spark, "shuffle_partition_advisor").collect()}
+    floors = {"documents": 16, "embeddings": 12, "events": 32, "lineitem": 48}
+    assert set(rows) == set(floors)
+    for tbl, r in rows.items():
+        assert r.est_row_bytes >= floors[tbl]
+        assert r.est_total_bytes == r.n_rows * r.est_row_bytes
+        expected = max(-(-r.est_total_bytes // (128 * 1048576)), 1)
+        assert r.recommended_partitions == expected
