@@ -435,3 +435,48 @@ def test_partition_advisor_recommendations_are_consistent(spark):
         assert r.est_total_bytes == r.n_rows * r.est_row_bytes
         expected = max(-(-r.est_total_bytes // (128 * 1048576)), 1)
         assert r.recommended_partitions == expected
+
+
+def test_kaplan_meier_matches_lifelines_free_reference(spark):
+    """Recompute the KM estimator in pure Python (standard product-limit
+    formula with right-censoring) from the collected per-customer
+    lifetimes and compare every curve point; survival must also be
+    monotone non-increasing in [0, 1]."""
+    from collections import Counter
+
+    from weather_stream_processor_spark.operators.analytics import (
+        _CHURN_HORIZON_DAYS,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect()
+    per = {}
+    for r in orders:
+        d = r.o_orderdate
+        lo, hi = per.get(r.o_custkey, (d, d))
+        per[r.o_custkey] = (min(lo, d), max(hi, d))
+    horizon = max(hi for _, hi in per.values())
+    lives = [
+        ((hi - lo).days, 1 if (horizon - hi).days > _CHURN_HORIZON_DAYS else 0)
+        for lo, hi in per.values()
+    ]
+    ends = Counter(t for t, _ in lives)
+    deaths = Counter(t for t, c in lives if c == 1)
+    n = len(lives)
+    at_risk, surv, expected = n, 1.0, {}
+    for t in sorted(ends):
+        d = deaths.get(t, 0)
+        surv *= 1.0 - d / at_risk
+        expected[t] = (at_risk, d, round(surv, 6))
+        at_risk -= ends[t]
+
+    got = {
+        r.lifetime_days: (r.n_at_risk, r.n_churned, r.survival)
+        for r in _run(spark, "kaplan_meier_retention").collect()
+    }
+    assert got == expected
+    curve = [s for _, (_, _, s) in sorted(got.items())]
+    assert all(0.0 <= s <= 1.0 for s in curve)
+    assert all(a >= b - 1e-12 for a, b in zip(curve, curve[1:]))
