@@ -1541,3 +1541,94 @@ def sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
     )
     return z.select("event_type", "day", "daily_mean", "znorm", symbol.alias("symbol"))
+
+
+@register(
+    "sax_motif_counts",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   AVG(value) AS daily_mean
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   AVG(daily_mean) AS mu,
+                   STDDEV(daily_mean) AS sigma
+            FROM daily GROUP BY event_type
+        ),
+        sym AS (
+            SELECT d.event_type, d.day,
+                   CASE WHEN ROUND((d.daily_mean - s.mu) / s.sigma, 6) < -0.6745 THEN 'a'
+                        WHEN ROUND((d.daily_mean - s.mu) / s.sigma, 6) < 0.0     THEN 'b'
+                        WHEN ROUND((d.daily_mean - s.mu) / s.sigma, 6) < 0.6745  THEN 'c'
+                        ELSE 'd' END AS symbol
+            FROM daily d JOIN stats s USING (event_type)
+        ),
+        words AS (
+            SELECT event_type,
+                   symbol
+                   || lead(symbol, 1) OVER w
+                   || lead(symbol, 2) OVER w AS motif
+            FROM sym
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+            QUALIFY lead(symbol, 2) OVER w IS NOT NULL
+        )
+        SELECT event_type, motif, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM words
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    """,
+    doc=(
+        "SAX MOTIF DISCOVERY: 3-day symbol words over each type's SAX "
+        "stream, keeping motifs that recur (>= 2 occurrences) — the "
+        "classic Lin/Keogh consumer of symbolization, turning 'find "
+        "repeated numeric shapes' (a continuous all-subsequences match "
+        "problem) into an exact string group-by. A recurring 'dba' says "
+        "the type repeatedly spikes then decays over three days; "
+        "operations reads these as rhythm signatures, anomaly grammars "
+        "alarm on NEW words instead of thresholds. Plan: the SAX "
+        "projection (two bounded aggregates + broadcast join), two "
+        "lead() windows PARTITIONED BY event_type (frames are one "
+        "type's day series), one hash aggregate on (type, word). "
+        "Output is bounded by alphabet^length x types."
+    ),
+    tags=("timeseries", "symbolization", "motif", "llm"),
+)
+def sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.avg("value").alias("daily_mean_raw"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("daily_mean_raw").alias("mu"),
+        F.stddev("daily_mean_raw").alias("sigma"),
+    )
+    z = F.round(
+        (F.col("daily_mean_raw") - F.col("mu")) / F.col("sigma"), 6
+    )
+    sym = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    words = sym.select(
+        "event_type",
+        F.concat(
+            F.col("symbol"),
+            F.lead("symbol", 1).over(w),
+            F.lead("symbol", 2).over(w),
+        ).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    return (
+        words.groupBy("event_type", "motif")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= 2)
+    )
