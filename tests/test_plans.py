@@ -519,3 +519,30 @@ def test_whitening_transform_is_arrow_map(spark):
         contains=("MapInPandas",),
         not_contains=("CartesianProduct", "SortMergeJoin", "BroadcastHashJoin"),
     )
+
+
+def test_kaplan_meier_bounded_curve_window(spark):
+    # per-customer agg shuffles on custkey; the curve windows run over the
+    # distinct-lifetime grid (day-span-bounded). No join bigger than the
+    # 1-row horizon/total broadcasts; scan reads only (o_custkey, o_orderdate)
+    df = _df(spark, "kaplan_meier_retention")
+    require_plan(df, not_contains=("SortMergeJoin", "CartesianProduct"))
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"o_custkey", "o_orderdate"}, cols
+
+
+def test_sax_motifs_keyed_windows(spark):
+    # the lead() windows partition by event_type — never a global window
+    from weather_stream_processor_spark.plans import explain_string
+
+    plan = explain_string(_df(spark, "sax_motif_counts"), "formatted")
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_advisor_one_agg_per_table(spark):
+    # four independent aggregate branches unioned: each table contributes
+    # one partial+final aggregate pair; no joins at all
+    ops = operator_names(_df(spark, "shuffle_partition_advisor"))
+    assert not any("Join" in o for o in ops)
+    assert ops.count("HashAggregate") == 8  # 4 tables x (partial + final)
