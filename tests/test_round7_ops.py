@@ -480,3 +480,40 @@ def test_kaplan_meier_matches_lifelines_free_reference(spark):
     curve = [s for _, (_, _, s) in sorted(got.items())]
     assert all(0.0 <= s <= 1.0 for s in curve)
     assert all(a >= b - 1e-12 for a, b in zip(curve, curve[1:]))
+
+
+def test_event_pattern_regex_matches_python_re(spark):
+    """Rebuild each user's event string in Python, count the same patterns
+    with the re module (leftmost non-overlapping — the semantics both
+    engines use), and compare all counts."""
+    import re
+
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    seqs = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type[0])
+    expected = {}
+    for uid, cs in seqs.items():
+        s = "".join(cs)
+        act = len(re.findall(r"s[vc]*p", s))
+        imm = len(re.findall(r"vp", s))
+        err = len(re.findall(r"ee+", s))
+        if act or err:
+            expected[uid] = (len(s), act, imm, err)
+
+    got = {
+        r.user_id: (
+            r.n_events,
+            r.n_activation_paths,
+            r.n_immediate_conversions,
+            r.n_error_bursts,
+        )
+        for r in _run(spark, "event_pattern_regex").collect()
+    }
+    assert got == expected

@@ -1632,3 +1632,78 @@ def sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= 2)
     )
+
+
+@register(
+    "event_pattern_regex",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(s) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(s, 's[vc]*p')) AS BIGINT)
+                   AS n_activation_paths,
+               CAST(len(regexp_extract_all(s, 'vp')) AS BIGINT)
+                   AS n_immediate_conversions,
+               CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)
+                   AS n_error_bursts
+        FROM seq
+        WHERE len(regexp_extract_all(s, 's[vc]*p')) > 0
+           OR len(regexp_extract_all(s, 'ee+')) > 0
+    """,
+    doc=(
+        "EVENT-SEQUENCE PATTERN MATCHING by string collapse: encode each "
+        "user's time-ordered event stream as a character string (one "
+        "initial per event) and count regex matches — activation paths "
+        "(signup, any browsing, then purchase: 's[vc]*p'), immediate "
+        "view->purchase adjacencies, and error bursts ('ee+'). This is "
+        "the poor-man's MATCH_RECOGNIZE: sequence questions that would "
+        "need k self-joins or a k-step window chain become ONE ordered "
+        "string aggregate plus codegen'd regexp_count — and adding a "
+        "new pattern is a new column, not a new plan. The regex is "
+        "restricted to greedy ASCII classes Java regex (Spark) and RE2 "
+        "(DuckDB) scan identically (leftmost, non-overlapping). Plan: "
+        "one user-keyed aggregate with an in-group sort (rows per user "
+        "are session-scale, bounded), then a map-side projection. The "
+        "string is bounded by events-per-user; for power users beyond "
+        "memory, split per (user, day) first — same trick "
+        "top_event_paths documents."
+    ),
+    tags=("timeseries", "sequence", "analytics", "regex"),
+)
+def event_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                        )
+                    )
+                ),
+                lambda s: s.getField("c"),
+            ),
+            "",
+        ).alias("s")
+    )
+    n_act = F.regexp_count("s", F.lit(r"s[vc]*p")).cast("bigint")
+    n_imm = F.regexp_count("s", F.lit(r"vp")).cast("bigint")
+    n_err = F.regexp_count("s", F.lit(r"ee+")).cast("bigint")
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("bigint").alias("n_events"),
+            n_act.alias("n_activation_paths"),
+            n_imm.alias("n_immediate_conversions"),
+            n_err.alias("n_error_bursts"),
+        )
+        .filter(
+            (F.col("n_activation_paths") > 0) | (F.col("n_error_bursts") > 0)
+        )
+    )
