@@ -1890,3 +1890,82 @@ def tfidf_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_sim"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
     )
+
+
+@register(
+    "quality_screen_agreement",
+    oracle=f"""
+        WITH flags AS (
+            SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+                                 t -> list_contains({list(STOPWORDS)}, t)))
+                             * 1.0 / len(string_split(text, ' ')) >= 0.05
+                        THEN 1 ELSE 0 END AS a,
+                   CASE WHEN len(list_distinct(string_split(text, ' ')))
+                             * 1.0 / len(string_split(text, ' ')) >= 0.5
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        cm AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(a * b) AS BIGINT) AS both_pass,
+                   CAST(SUM(a * (1 - b)) AS BIGINT) AS only_a,
+                   CAST(SUM((1 - a) * b) AS BIGINT) AS only_b,
+                   CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS both_fail,
+                   AVG(a) AS pa, AVG(b) AS pb
+            FROM flags
+        )
+        SELECT n, both_pass, only_a, only_b, both_fail,
+               ROUND((both_pass + both_fail) * 1.0 / n, 6) AS percent_agreement,
+               ROUND(((both_pass + both_fail) * 1.0 / n
+                      - (pa * pb + (1 - pa) * (1 - pb)))
+                     / (1 - (pa * pb + (1 - pa) * (1 - pb))), 6) AS cohens_kappa
+        FROM cm
+    """,
+    doc=(
+        "QUALITY-SCREEN AGREEMENT (Cohen's kappa): cross-tabulate two "
+        "independent document screens — fluency (stopword density >= "
+        "0.05) and non-repetition (unique-token ratio >= 0.5) — and "
+        "report the 2x2 confusion matrix, raw percent agreement, and "
+        "kappa = (p_o - p_e)/(1 - p_e), agreement ABOVE CHANCE. This is "
+        "the filter-redundancy diagnostic a curation pipeline runs "
+        "before chaining screens: kappa ~ 1 means the second screen "
+        "adds nothing (drop it and save a pass); kappa ~ 0 means the "
+        "screens cut along independent axes and both earn their cost — "
+        "raw agreement alone cannot distinguish these once base rates "
+        "are skewed, which is exactly why kappa corrects for chance. "
+        "Plan: one projection pass computes both flags, one global "
+        "aggregate computes the matrix and marginals together; a 1-row "
+        "self-contained statistic at any scale."
+    ),
+    tags=("text", "llm", "quality", "statistics"),
+)
+def quality_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    a = (
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+        >= 0.05
+    ).cast("int")
+    b = (F.size(F.array_distinct(toks)) / F.size(toks) >= 0.5).cast("int")
+    flags = docs.select(a.alias("a"), b.alias("b"))
+    cm = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("both_pass"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("only_a"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("only_b"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("both_fail"),
+        F.avg("a").alias("pa"),
+        F.avg("b").alias("pb"),
+    )
+    p_o = (F.col("both_pass") + F.col("both_fail")) / F.col("n")
+    p_e = F.col("pa") * F.col("pb") + (1 - F.col("pa")) * (1 - F.col("pb"))
+    return cm.select(
+        "n",
+        "both_pass",
+        "only_a",
+        "only_b",
+        "both_fail",
+        F.round(p_o, 6).alias("percent_agreement"),
+        F.round((p_o - p_e) / (1 - p_e), 6).alias("cohens_kappa"),
+    )
