@@ -125,6 +125,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_windowed_topk_users", "kcore_decomposition",
     "tfidf_cosine_doc_pairs", "sax_daily_symbols", "bfs_shortest_paths",
     "streaming_stream_stream_semi_join", "streaming_blocklist_decontam",
+    "kaplan_meier_retention", "shuffle_partition_advisor",
+    "sax_motif_counts", "event_pattern_regex", "quality_screen_agreement",
 )
 
 
