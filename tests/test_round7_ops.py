@@ -517,3 +517,28 @@ def test_event_pattern_regex_matches_python_re(spark):
         for r in _run(spark, "event_pattern_regex").collect()
     }
     assert got == expected
+
+
+def test_gini_matches_pure_python_and_bounds(spark):
+    """Recompute the Gini from collected per-customer cents with the same
+    sorted-rank identity in exact Python integers; G must sit in [0, 1)."""
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    ).collect()
+    cents = {}
+    for r in orders:
+        cents[r.o_custkey] = cents.get(r.o_custkey, 0) + int(
+            round(r.o_totalprice * 100)
+        )
+    xs = [c for _, c in sorted(cents.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, tot = len(xs), sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    expected = round(2.0 * s / (n * float(tot)) - (n + 1.0) / n, 6)
+
+    row = _run(spark, "revenue_gini_coefficient").collect()[0]
+    assert row.n_customers == n
+    assert row.total_revenue_cents == tot
+    assert row.gini == expected
+    assert 0.0 <= row.gini < 1.0

@@ -734,3 +734,67 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sweep.groupBy(
         F.date_trunc("day", "at").alias("day")
     ).agg(F.max("concurrency").alias("peak_concurrency"))
+
+
+@register(
+    "revenue_gini_coefficient",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS r
+            FROM rev
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS total_revenue_cents,
+               ROUND(2.0 * SUM(CAST(r AS HUGEINT) * cents)
+                         / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+        FROM ranked
+    """,
+    doc=(
+        "REVENUE GINI COEFFICIENT: exact inequality of per-customer "
+        "revenue via the sorted-rank identity G = 2*sum(r_i*x_i)/"
+        "(n*sum(x)) - (n+1)/n — the single-number concentration metric "
+        "next to revenue_contribution_pareto's curve (G=0 equal, G->1 "
+        "winner-take-all; procurement and risk teams threshold on it). "
+        "The global rank comes from exact_global_ranks — the coarse-"
+        "bucket + partitioned-rank + collected-offsets machinery, NO "
+        "unpartitioned window, bit-for-bit ROW_NUMBER — so the exact "
+        "statistic survives any corpus size without a single-reducer "
+        "sort (the oracle uses the plain window; same values). Revenue "
+        "is exact bigint cents; the rank*cents products accumulate in "
+        "DECIMAL(38) (HUGEINT in the oracle) so the sum is exact at any "
+        "n where bigint would overflow; only the final ratio is a "
+        "double, computed from exact integers in both engines."
+    ),
+    tags=("window", "scale", "analytics", "statistics"),
+)
+def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = exact_global_ranks(
+        rev, [(["cents", "o_custkey"], "r")]
+    ).select("cents", "r")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_revenue_cents"),
+        F.round(
+            2.0
+            * F.sum(F.col("r").cast("decimal(38,0)") * F.col("cents")).cast(
+                "double"
+            )
+            / (F.count(F.lit(1)) * F.sum("cents").cast("double"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
