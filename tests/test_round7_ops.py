@@ -542,3 +542,54 @@ def test_gini_matches_pure_python_and_bounds(spark):
     assert row.total_revenue_cents == tot
     assert row.gini == expected
     assert 0.0 <= row.gini < 1.0
+
+
+def test_markov_absorption_matches_pure_python(spark):
+    """Value-iterate the absorbing chain in pure Python from the collected
+    transition counts and compare each state's conversion probability;
+    probabilities must sit in [0, 1] and iterate monotonically upward."""
+    from collections import Counter, defaultdict
+
+    from weather_stream_processor_spark.operators.analytics import (
+        _ABSORB_ROUNDS,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        per_user[r.user_id].append(r.event_type)
+    trans = Counter()
+    for seq in per_user.values():
+        for a, b in zip(seq, seq[1:]):
+            if a != "purchase":
+                trans[(a, b)] += 1
+    outs = defaultdict(int)
+    for (a, _), n in trans.items():
+        outs[a] += n
+    p = {(a, b): n / outs[a] for (a, b), n in trans.items()}
+    v = {a: 0.0 for a in outs}
+    prev = dict(v)
+    for _ in range(_ABSORB_ROUNDS):
+        v = {
+            a: sum(
+                pr if b == "purchase" else pr * prev.get(b, 0.0)
+                for (s, b), pr in p.items()
+                if s == a
+            )
+            for a in outs
+        }
+        assert all(v[a] >= prev[a] - 1e-12 for a in outs)  # monotone up
+        prev = dict(v)
+    expected = {a: round(val, 6) for a, val in v.items()}
+
+    got = {
+        r.state: r.p_convert
+        for r in _run(spark, "markov_absorption_conversion").collect()
+    }
+    assert got == expected
+    assert all(0.0 <= x <= 1.0 for x in got.values())

@@ -1646,3 +1646,120 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("survival"),
     ).filter((F.col("n_churned") > 0) | (F.col("n_at_risk") > 0))
+
+
+_ABSORB_ROUNDS = 8
+
+
+def _absorption_oracle() -> str:
+    """Unrolled value iteration over the event transition matrix (same
+    generated-CTE trick as the k-core/BFS oracles; the matrix is bounded
+    by the event-type domain so every round is a tiny join)."""
+    ctes = [
+        """
+        seq AS (
+            SELECT user_id, event_type AS s,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        trans AS (
+            SELECT s, nxt, COUNT(*) AS n FROM seq
+            WHERE nxt IS NOT NULL AND s <> 'purchase'
+            GROUP BY s, nxt
+        ),
+        p AS (
+            SELECT s, nxt, n * 1.0 / SUM(n) OVER (PARTITION BY s) AS pr
+            FROM trans
+        ),
+        v0 AS (SELECT DISTINCT s AS state, 0.0 AS v FROM p)"""
+    ]
+    for i in range(_ABSORB_ROUNDS):
+        ctes.append(
+            f"""
+        v{i + 1} AS MATERIALIZED (
+            SELECT p.s AS state,
+                   SUM(CASE WHEN p.nxt = 'purchase' THEN p.pr
+                            ELSE p.pr * COALESCE(v.v, 0.0) END) AS v
+            FROM p LEFT JOIN v{i} v ON p.nxt = v.state
+            GROUP BY p.s
+        )"""
+        )
+    return (
+        ",".join(ctes)
+        + f"""
+        SELECT state, ROUND(v, 6) AS p_convert
+        FROM v{_ABSORB_ROUNDS}
+    """
+    )
+
+
+@register(
+    "markov_absorption_conversion",
+    oracle=f"WITH {_absorption_oracle()}",
+    doc=(
+        "ABSORBING-MARKOV-CHAIN CONVERSION PROBABILITY: from each event "
+        "state, the probability the user's walk reaches 'purchase' "
+        f"within {_ABSORB_ROUNDS} steps — value iteration v_(i+1)(s) = "
+        "P(s,conv) + sum_s' P(s,s') v_i(s') over the row-normalized "
+        "transition matrix, the model behind Markov attribution (the "
+        "removal-effect credit is a per-channel re-solve of exactly this "
+        "recursion). Complements event_transition_matrix (one-step "
+        "probabilities) with the multi-step absorption view: a state "
+        "with low direct P(s,conv) can still score high if it routes "
+        "into converting states. Plan: the DISTRIBUTED part is the "
+        "transition-count aggregate (one user-keyed lead() window + one "
+        "hash agg — the same shape at any corpus size); the matrix "
+        "itself is bounded by the event-type domain, so each iteration "
+        "round is a |states|^2 join — the oracle unrolls the SAME "
+        "rounds as generated CTEs and every round's arithmetic is "
+        "hash-verified at 6dp (per-round sums span <= |states| terms, "
+        "far inside double's reassociation tolerance)."
+    ),
+    tags=("analytics", "attribution", "iterative", "statistics"),
+)
+def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("s") != "purchase"))
+        .groupBy("s", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = trans.select(
+        "s",
+        "nxt",
+        (
+            F.col("n")
+            / F.sum("n").over(Window.partitionBy("s"))
+        ).alias("pr"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(pm: DataFrame) -> DataFrame:
+        v = pm.select(F.col("s").alias("state")).distinct().select(
+            "state", F.lit(0.0).alias("v")
+        )
+        for _ in range(_ABSORB_ROUNDS):
+            v = (
+                pm.join(
+                    F.broadcast(v.withColumnRenamed("state", "nxt")),
+                    "nxt",
+                    "left",
+                )
+                .groupBy(F.col("s").alias("state"))
+                .agg(
+                    F.sum(
+                        F.when(F.col("nxt") == "purchase", F.col("pr")).otherwise(
+                            F.col("pr") * F.coalesce(F.col("v"), F.lit(0.0))
+                        )
+                    ).alias("v")
+                )
+            )
+        return v.select("state", F.round("v", 6).alias("p_convert"))
+
+    return persisted_result(p, build)
