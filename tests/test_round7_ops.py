@@ -593,3 +593,75 @@ def test_markov_absorption_matches_pure_python(spark):
     }
     assert got == expected
     assert all(0.0 <= x <= 1.0 for x in got.values())
+
+
+def test_markov_removal_attribution_matches_pure_python(spark):
+    """Pure-Python re-solve of baseline + per-channel removal value
+    iterations from the collected events; shares must sum to ~1."""
+    from collections import Counter, defaultdict
+
+    from weather_stream_processor_spark.operators.analytics import (
+        _ABSORB_ROUNDS,
+        _ATTRIB_CHANNELS,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        per_user[r.user_id].append(r.event_type)
+    trans = Counter()
+    firsts = Counter()
+    for seq in per_user.values():
+        firsts[seq[0]] += 1
+        for a, b in zip(seq, seq[1:]):
+            if a != "purchase":
+                trans[(a, b)] += 1
+    outs = defaultdict(int)
+    for (a, _), n in trans.items():
+        outs[a] += n
+    p = {(a, b): n / outs[a] for (a, b), n in trans.items()}
+    n_users = sum(firsts.values())
+
+    def solve(removed):
+        states = {a for a in outs if a != removed}
+        v = {a: 0.0 for a in states}
+        for _ in range(_ABSORB_ROUNDS):
+            v = {
+                a: sum(
+                    pr
+                    if b == "purchase"
+                    else (0.0 if b == removed else pr * v.get(b, 0.0))
+                    for (s, b), pr in p.items()
+                    if s == a and b != removed
+                )
+                for a in states
+            }
+        conv = 0.0
+        for s, n in firsts.items():
+            share = n / n_users
+            if s == "purchase":
+                conv += share
+            elif s == removed:
+                conv += 0.0
+            else:
+                conv += share * v.get(s, 0.0)
+        return conv
+
+    base = solve(None)
+    effects = {c: 1.0 - solve(c) / base for c in _ATTRIB_CHANNELS}
+    tot = sum(effects.values())
+    expected = {
+        c: (round(e, 6), round(e / tot, 6)) for c, e in effects.items()
+    }
+
+    got = {
+        r.channel: (r.removal_effect, r.attribution_share)
+        for r in _run(spark, "markov_removal_attribution").collect()
+    }
+    assert got == expected
+    assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-5

@@ -1763,3 +1763,204 @@ def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         return v.select("state", F.round("v", 6).alias("p_convert"))
 
     return persisted_result(p, build)
+
+
+_ATTRIB_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _removal_oracle() -> str:
+    """Baseline + one value-iteration chain per removed channel (removal =
+    the channel becomes a NULL absorbing state: transitions into it stop
+    converting; probabilities are NOT renormalized — the standard Markov
+    removal-effect semantics), plus the first-event start distribution."""
+    variants = [("base", None)] + [(c, c) for c in _ATTRIB_CHANNELS]
+    ctes = [
+        """
+        seq AS (
+            SELECT user_id, event_type AS s,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        trans AS (
+            SELECT s, nxt, COUNT(*) AS n FROM seq
+            WHERE nxt IS NOT NULL AND s <> 'purchase'
+            GROUP BY s, nxt
+        ),
+        p AS (
+            SELECT s, nxt, n * 1.0 / SUM(n) OVER (PARTITION BY s) AS pr
+            FROM trans
+        ),
+        starts AS (
+            SELECT s AS state, COUNT(*) * 1.0 /
+                   (SELECT COUNT(*) FROM seq WHERE rn = 1) AS share
+            FROM seq WHERE rn = 1 GROUP BY s
+        )"""
+    ]
+    finals = []
+    for tag, removed in variants:
+        guard = f"AND p.s <> '{removed}' AND p.nxt <> '{removed}'" if removed else ""
+        ctes.append(
+            f"""
+        v_{tag}_0 AS (SELECT DISTINCT s AS state, 0.0 AS v FROM p)"""
+        )
+        for i in range(_ABSORB_ROUNDS):
+            ctes.append(
+                f"""
+        v_{tag}_{i + 1} AS MATERIALIZED (
+            SELECT p.s AS state,
+                   SUM(CASE WHEN p.nxt = 'purchase' THEN p.pr
+                            ELSE p.pr * COALESCE(v.v, 0.0) END) AS v
+            FROM p LEFT JOIN v_{tag}_{i} v ON p.nxt = v.state
+            WHERE 1=1 {guard}
+            GROUP BY p.s
+        )"""
+            )
+        finals.append(
+            f"""
+        conv_{tag} AS (
+            SELECT SUM(st.share * CASE WHEN st.state = 'purchase' THEN 1.0
+                       {f"WHEN st.state = '{removed}' THEN 0.0" if removed else ""}
+                       ELSE COALESCE(v.v, 0.0) END) AS conv
+            FROM starts st
+            LEFT JOIN v_{tag}_{_ABSORB_ROUNDS} v ON st.state = v.state
+        )"""
+        )
+    effects = ",\n".join(
+        f"""
+        eff_{c} AS (
+            SELECT '{c}' AS channel,
+                   1.0 - c.conv / b.conv AS effect
+            FROM conv_{c} c CROSS JOIN conv_base b
+        )"""
+        for c in _ATTRIB_CHANNELS
+    )
+    union = "\n            UNION ALL\n            ".join(
+        f"SELECT * FROM eff_{c}" for c in _ATTRIB_CHANNELS
+    )
+    return (
+        ",".join(ctes)
+        + ","
+        + ",".join(finals)
+        + ","
+        + effects
+        + f""",
+        all_eff AS (
+            {union}
+        ),
+        tot AS (SELECT SUM(effect) AS t FROM all_eff)
+        SELECT channel,
+               ROUND(effect, 6) AS removal_effect,
+               ROUND(effect / t.t, 6) AS attribution_share
+        FROM all_eff CROSS JOIN tot t
+    """
+    )
+
+
+@register(
+    "markov_removal_attribution",
+    oracle=f"WITH {_removal_oracle()}",
+    doc=(
+        "MARKOV REMOVAL-EFFECT ATTRIBUTION: each channel's credit is how "
+        "much total conversion probability disappears when that channel "
+        "is knocked out of the journey graph (removal = the channel "
+        "becomes a null absorbing state; probabilities NOT renormalized "
+        "— the standard semantics), normalized into attribution shares. "
+        "This is the data-driven alternative to last-touch: a channel "
+        "that rarely closes but routes walks into closers still earns "
+        "credit. Computation = the markov_absorption_conversion "
+        "recursion solved once per variant (baseline + |channels|), "
+        "conversion totals weighted by the first-event start "
+        "distribution. The DISTRIBUTED work (transition counts, start "
+        "shares) happens once; each re-solve is a |states|^2 join "
+        "iterated over the bounded matrix — the oracle unrolls every "
+        "variant's rounds as generated MATERIALIZED CTEs, so all five "
+        "value iterations are hash-verified end to end."
+    ),
+    tags=("analytics", "attribution", "iterative", "statistics"),
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("nxt"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans = (
+        seq.filter(F.col("nxt").isNotNull() & (F.col("s") != "purchase"))
+        .groupBy("s", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = trans.select(
+        "s",
+        "nxt",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("s"))).alias("pr"),
+    )
+    firsts = seq.filter(F.col("rn") == 1)
+    n_users = firsts.count()  # 1-row driver scalar, bounded
+    starts = firsts.groupBy(F.col("s").alias("state")).agg(
+        (F.count(F.lit(1)) / F.lit(float(n_users))).alias("share")
+    )
+
+    def build(pm: DataFrame) -> DataFrame:
+        st = pm.sparkSession.createDataFrame(
+            [(r.state, r.share) for r in starts.collect()], "state string, share double"
+        )
+
+        def solve(removed: str | None):
+            m = pm
+            if removed is not None:
+                m = pm.filter((F.col("s") != removed) & (F.col("nxt") != removed))
+            v = m.select(F.col("s").alias("state")).distinct().select(
+                "state", F.lit(0.0).alias("v")
+            )
+            for _ in range(_ABSORB_ROUNDS):
+                v = (
+                    m.join(
+                        F.broadcast(v.withColumnRenamed("state", "nxt")),
+                        "nxt",
+                        "left",
+                    )
+                    .groupBy(F.col("s").alias("state"))
+                    .agg(
+                        F.sum(
+                            F.when(
+                                F.col("nxt") == "purchase", F.col("pr")
+                            ).otherwise(F.col("pr") * F.coalesce("v", F.lit(0.0)))
+                        ).alias("v")
+                    )
+                )
+            term = (
+                F.when(F.col("state") == "purchase", 1.0)
+                .when(
+                    F.lit(removed is not None) & (F.col("state") == (removed or "")),
+                    0.0,
+                )
+                .otherwise(F.coalesce("v", F.lit(0.0)))
+            )
+            return (
+                st.join(v, "state", "left")
+                .agg(F.sum(F.col("share") * term).alias("conv"))
+                .collect()[0]
+                .conv
+            )
+
+        base = solve(None)
+        effects = [
+            (c, 1.0 - solve(c) / base) for c in _ATTRIB_CHANNELS
+        ]
+        tot = sum(e for _, e in effects)
+        return pm.sparkSession.createDataFrame(
+            [
+                (c, round(e, 6), round(e / tot, 6))
+                for c, e in effects
+            ],
+            "channel string, removal_effect double, attribution_share double",
+        )
+
+    return persisted_result(p, build)
