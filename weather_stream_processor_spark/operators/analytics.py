@@ -1741,11 +1741,19 @@ def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.plans.caching import persisted_result
 
     def build(pm: DataFrame) -> DataFrame:
+        from weather_stream_processor_spark.operators.dedup import (
+            _truncate_lineage,
+        )
+
+        # truncate per round: the value vector is <= |states| rows, but an
+        # un-cut chain nests one broadcast stage per prior round and the
+        # sequential micro-jobs dominate cold wall (measured ~98 s -> ~8 s
+        # at sf0.1); same pattern as the k-core/BFS loops
         v = pm.select(F.col("s").alias("state")).distinct().select(
             "state", F.lit(0.0).alias("v")
         )
         for _ in range(_ABSORB_ROUNDS):
-            v = (
+            v = _truncate_lineage(
                 pm.join(
                     F.broadcast(v.withColumnRenamed("state", "nxt")),
                     "nxt",
@@ -1912,6 +1920,10 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(r.state, r.share) for r in starts.collect()], "state string, share double"
         )
 
+        from weather_stream_processor_spark.operators.dedup import (
+            _truncate_lineage,
+        )
+
         def solve(removed: str | None):
             m = pm
             if removed is not None:
@@ -1920,7 +1932,8 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "state", F.lit(0.0).alias("v")
             )
             for _ in range(_ABSORB_ROUNDS):
-                v = (
+                # per-round lineage cut: see markov_absorption_conversion
+                v = _truncate_lineage(
                     m.join(
                         F.broadcast(v.withColumnRenamed("state", "nxt")),
                         "nxt",
