@@ -665,3 +665,20 @@ def test_markov_removal_attribution_matches_pure_python(spark):
     }
     assert got == expected
     assert abs(sum(s for _, s in got.values()) - 1.0) < 1e-5
+
+
+def test_lorenz_curve_consistent_with_gini(spark):
+    """The curve must be convex-increasing to 1.0, shares must sum to 1,
+    membership must cover every customer, and the top decile's share must
+    be >= 1/10 (it holds the largest revenues by construction)."""
+    rows = sorted(
+        _run(spark, "lorenz_curve_deciles").collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.revenue_share for r in rows]
+    cum = [r.cumulative_share for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-4
+    assert abs(cum[-1] - 1.0) < 1e-9
+    assert all(a <= b + 1e-9 for a, b in zip(cum, cum[1:]))
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))  # sorted bands
+    assert shares[-1] >= 0.1

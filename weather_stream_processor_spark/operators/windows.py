@@ -798,3 +798,73 @@ def revenue_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "lorenz_curve_deciles",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tiled AS (
+            SELECT cents,
+                   NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile
+            FROM rev
+        ),
+        per AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(cents) AS BIGINT) AS decile_cents
+            FROM tiled GROUP BY decile
+        ),
+        tot AS (SELECT CAST(SUM(decile_cents) AS DOUBLE) AS t FROM per)
+        SELECT decile, n_customers, decile_cents,
+               ROUND(decile_cents / t.t, 6) AS revenue_share,
+               ROUND(SUM(decile_cents) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / t.t, 6) AS cumulative_share
+        FROM per CROSS JOIN tot t
+    """,
+    doc=(
+        "LORENZ CURVE by customer decile: customers ranked by revenue "
+        "into exact NTILE(10) bands, each band's revenue share and the "
+        "cumulative share — the curve whose area deficit IS "
+        "revenue_gini_coefficient and whose top band is the '80/20' "
+        "cell revenue_contribution_pareto reads off; the three "
+        "operators are one concentration analysis at three zoom levels. "
+        "The decile assignment reuses exact_global_ntiles (coarse "
+        "cutoffs + partitioned ranks + collected offsets — bit-for-bit "
+        "NTILE, no unpartitioned window over customers); the curve "
+        "aggregate is 10 rows, so its ordered window is trivially "
+        "bounded. Revenue in exact bigint cents throughout."
+    ),
+    tags=("window", "scale", "analytics", "statistics"),
+)
+def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tiled = exact_global_ntiles(
+        rev, [(10, ["cents", "o_custkey"], "decile")]
+    ).select("cents", "decile")
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("decile_cents"),
+    )
+    tot = per.agg(F.sum("decile_cents").cast("double").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        F.round(F.col("decile_cents") / F.col("t"), 6).alias("revenue_share"),
+        F.round(F.sum("decile_cents").over(w) / F.col("t"), 6).alias(
+            "cumulative_share"
+        ),
+    )
