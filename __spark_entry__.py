@@ -128,7 +128,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "kaplan_meier_retention", "shuffle_partition_advisor",
     "sax_motif_counts", "event_pattern_regex", "quality_screen_agreement",
     "revenue_gini_coefficient", "markov_absorption_conversion",
-    "markov_removal_attribution",
+    "markov_removal_attribution", "lorenz_curve_deciles",
 )
 
 
