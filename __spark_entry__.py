@@ -129,6 +129,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "sax_motif_counts", "event_pattern_regex", "quality_screen_agreement",
     "revenue_gini_coefficient", "markov_absorption_conversion",
     "markov_removal_attribution", "lorenz_curve_deciles",
+    "customer_tier_migration",
 )
 
 

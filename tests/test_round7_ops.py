@@ -682,3 +682,22 @@ def test_lorenz_curve_consistent_with_gini(spark):
     assert all(a <= b + 1e-9 for a, b in zip(cum, cum[1:]))
     assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))  # sorted bands
     assert shares[-1] >= 0.1
+
+
+def test_tier_migration_conserves_customers(spark):
+    """Matrix mass checks: row sums over tier_before > 0 must equal the
+    first-half customer count (each first-half customer lands in exactly
+    one cell), likewise for columns/second half; tiers sit in 0..5."""
+    rows = _run(spark, "customer_tier_migration").collect()
+    assert all(0 <= r.tier_before <= 5 and 0 <= r.tier_after <= 5 for r in rows)
+    from weather_stream_processor_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    mid = o.agg(
+        (F.min("o_orderdate") + ((F.max("o_orderdate") - F.min("o_orderdate")) / 2)).alias("m")
+    ).collect()[0].m
+    n1 = o.filter(F.col("o_orderdate") <= mid).select("o_custkey").distinct().count()
+    n2 = o.filter(F.col("o_orderdate") > mid).select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows if r.tier_before > 0) == n1
+    assert sum(r.n_customers for r in rows if r.tier_after > 0) == n2

@@ -868,3 +868,86 @@ def lorenz_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_share"
         ),
     )
+
+
+@register(
+    "customer_tier_migration",
+    oracle="""
+        WITH cut AS (
+            SELECT MIN(o_orderdate)
+                   + (MAX(o_orderdate) - MIN(o_orderdate)) / 2 AS mid
+            FROM orders
+        ),
+        h1 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders, cut WHERE o_orderdate <= cut.mid
+            GROUP BY o_custkey
+        ),
+        h2 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders, cut WHERE o_orderdate > cut.mid
+            GROUP BY o_custkey
+        ),
+        t1 AS (
+            SELECT o_custkey, NTILE(5) OVER (ORDER BY cents, o_custkey) AS tier
+            FROM h1
+        ),
+        t2 AS (
+            SELECT o_custkey, NTILE(5) OVER (ORDER BY cents, o_custkey) AS tier
+            FROM h2
+        )
+        SELECT COALESCE(t1.tier, 0) AS tier_before,
+               COALESCE(t2.tier, 0) AS tier_after,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM t1 FULL OUTER JOIN t2 ON t1.o_custkey = t2.o_custkey
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "CUSTOMER TIER MIGRATION MATRIX: revenue quintile in the first "
+        "half of the observation window vs the second half, full-outer "
+        "joined so entrants (tier_before=0) and dropouts (tier_after=0) "
+        "appear as their own bands — the segment-flow report behind "
+        "'are my gold customers decaying or compounding', and the "
+        "longitudinal complement to rfm_segments' single snapshot. Both "
+        "quintile assignments use exact_global_ntiles (no unpartitioned "
+        "window over customers); the period split is one broadcast "
+        "midpoint predicate; the matrix is at most 36 cells. Tie-breaks "
+        "on the customer key keep both engines' NTILE assignments "
+        "bit-identical."
+    ),
+    tags=("window", "scale", "analytics", "segmentation"),
+)
+def customer_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cut = o.agg(
+        (
+            F.min("o_orderdate")
+            + ((F.max("o_orderdate") - F.min("o_orderdate")) / 2)
+        ).alias("mid")
+    )
+    oc = o.crossJoin(F.broadcast(cut))
+
+    def tiers(filtered: DataFrame, out: str) -> DataFrame:
+        rev = filtered.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        return exact_global_ntiles(
+            rev, [(5, ["cents", "o_custkey"], out)]
+        ).select("o_custkey", out)
+
+    t1 = tiers(oc.filter(F.col("o_orderdate") <= F.col("mid")), "tier_before")
+    t2 = tiers(oc.filter(F.col("o_orderdate") > F.col("mid")), "tier_after")
+    return (
+        t1.join(t2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("tier_before", F.lit(0)).alias("tier_before"),
+            F.coalesce("tier_after", F.lit(0)).alias("tier_after"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
