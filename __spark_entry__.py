@@ -39,96 +39,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sampling priority: the driver's per-round correctness gate checks a
-# ~50-query sample that has historically tracked iteration order, so each
-# round front-loads registered-but-never-driver-sampled queries to drain
-# the unsampled set. The driver gate runs on HEAD at round END, so the
-# ordering below is what the NEXT CORRECTNESS file will sample: tranche 1
-# is the round-3 verdict's explicit ask (TPC-H sweep + retrieval/
-# similarity/dedup/text/sampling headliners, none ever driver-sampled);
-# tranche 2 queues the remaining never-sampled families (curation,
-# multimodal, scalars, set ops, timeseries, windows) for the round after.
-# All are oracle-backed and green under the full local parity sweep;
-# rotating them forward converts "pass (local)" rows into driver-verified
-# rows. Queries not listed keep their registry (module import) order.
+# ~50-query sample that tracks iteration order, so each round front-loads
+# registered-but-never-driver-sampled queries to drain the unsampled set.
+# Rotated for round 5 (r4 verdict tasks 2+3): the 50 names r01-r04 already
+# verified are REMOVED from the priority window entirely; what remains is
+# exactly the 121 hash-checked queries with no driver-verified row in any
+# CORRECTNESS_r0{1..4}.json, computed from those files against the
+# registry. Slots 1-50 are round 5's tranche (curation, layout manifest,
+# multimodal, scalar sweep, set ops, ANN tiers, dedup residue, text
+# headliners); slots 51-121 pre-stage rounds 6-7 (streaming ops, graph/
+# survival analytics, drift audits, the timeseries and window families,
+# concentration metrics) so the drain continues without another edit.
+# Rows-only queries (sketches, whitening audit, BPE) are excluded from
+# the hash-priority window by construction — the driver's weaker
+# rows-only check covers them whenever they fall inside the sample.
+# All 121 are oracle-backed and green under the full local parity sweep
+# (tools/oracle_check.py); rotation converts "pass (local)" rows into
+# driver-verified rows. Queries not listed keep registry (module import)
+# order, i.e. the 138 already-verified names trail the window.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- tranche 1: TPC-H sweep, never driver-sampled ---
-    "q2_min_cost_supplier", "q4_order_priority", "q7_volume_shipping",
-    "q8_market_share", "q9_product_profit", "q10_returned_items",
-    "q11_important_parts", "q12_priority_classes",
-    "q13_order_count_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q18_large_volume_customers", "q19_disjunctive_revenue",
-    "q20_part_promotion", "q21_waiting_supplier", "q22_idle_customers",
-    # headline retrieval / similarity / mixture
-    "cosine_topk_exact", "knn_join_topk", "bm25_top_docs",
-    "training_mixture_pipeline",
-    # dedup family not yet driver-verified
-    "prefix_filter_jaccard_join", "corpus_snapshot_diff",
-    "incremental_near_dup_vs_index", "chunk_dedup_reconstruct",
-    "cross_doc_repeated_passages", "doc_boilerplate_ratio",
-    "fuzzy_multi_block_pairs",
-    # embedding ops
-    "embedding_cosine_near_dup", "embedding_near_dup_blocked",
-    "embedding_centroids_by_label", "kmeans_embedding_clusters",
-    "embedding_int8_quant_error", "embedding_norms_by_label",
-    # text quality / retrieval
-    "gopher_quality_rules", "repetition_quality_filter",
-    "inverted_index_postings", "boolean_and_search",
-    "bigram_pmi_collocations", "bigram_lm_perplexity", "zipf_law_fit",
-    "dataset_datasheet",
-    # sampling / curation
-    "weighted_reservoir_topk", "neyman_allocation", "top_p_sources_per_lang",
-    "weighted_bernoulli_sample", "temperature_mixture_weights",
-    "compaction_bin_packing", "psi_feature_drift",
-    # this round's new hash-checked operators
-    "ann_pq_topk", "embedding_covariance_spectrum",
-    # --- tranche 2 (queued for the next rotation) ---
-    # round-5 curation operators (new)
-    "semdedup_keep_list", "dsir_importance_weights",
-    "embedding_eval_decontam",
-    # layout / manifest, never driver-sampled (bpe_merge_induction is
-    # also never-sampled but rows-only, so it stays out of the priority
-    # window — these slots are for hash-checked rows)
-    "shard_manifest_stats", "zorder_cell_stats",
-    # multimodal family, never driver-sampled
-    "multimodal_doc_vector_join", "multimodal_asset_features",
-    "multimodal_modality_stats", "frame_sample_manifest",
-    "multimodal_resize",
-    # scalar-function sweep, never driver-sampled
-    "string_functions", "date_functions", "math_functions",
-    "case_when_price_buckets", "in_like_between_filters",
+    "semdedup_keep_list", "dsir_importance_weights", "embedding_eval_decontam",
+    "shard_manifest_stats", "zorder_cell_stats", "multimodal_doc_vector_join",
+    "multimodal_asset_features", "multimodal_modality_stats", "frame_sample_manifest",
+    "multimodal_resize", "string_functions", "date_functions",
+    "math_functions", "case_when_price_buckets", "in_like_between_filters",
     "json_wire_roundtrip", "json_path_extraction", "map_functions",
-    "posexplode_tokens", "array_set_operations",
-    # set operations, never driver-sampled
-    "union_distinct_nationkeys", "union_all_nationkey_counts",
-    "intersect_nationkeys", "except_sources", "distinct_segments",
-    "intersect_all_priorities", "except_all_priorities",
-    "unpivot_qty_by_status",
-    # timeseries family, never driver-sampled
-    "time_spine_gap_fill", "forward_fill_hourly", "weekly_retention",
-    "funnel_signup_view_purchase", "event_transition_matrix",
+    "posexplode_tokens", "array_set_operations", "union_distinct_nationkeys",
+    "union_all_nationkey_counts", "intersect_nationkeys", "except_sources",
+    "distinct_segments", "intersect_all_priorities", "except_all_priorities",
+    "unpivot_qty_by_status", "ann_lsh_buckets", "ann_lsh_topk",
+    "ann_ivf_topk", "ann_pq_topk", "embedding_truncation_energy",
+    "embedding_robust_scaling", "ivf_cell_balance", "mutual_knn_pairs",
+    "knn_hubness_audit", "embedding_covariance_spectrum", "containment_near_dup_pairs",
+    "shingle_novelty_scores", "simhash_hamming_near_dup", "cross_source_overlap_matrix",
+    "dedup_cluster_size_histogram", "feature_hashing_vectorizer", "entity_golden_records",
+    "near_dup_similarity_distribution", "normalization_collision_dedup", "token_entropy_quality",
+    "hybrid_rrf_fusion", "winnowing_fingerprints", "streaming_cusum_monitor",
+    "streaming_windowed_topk_users", "streaming_stream_stream_semi_join", "streaming_blocklist_decontam",
+    "weighted_median_price_by_brand", "revenue_share_of_parent", "revenue_seasonality_index",
+    "brand_association_rules", "label_propagation_communities", "top_event_paths",
+    "attribution_last_touch", "dau_mau_stickiness", "customer_order_gap_churn_risk",
+    "weekday_hour_heatmap", "degree_assortativity", "kcore_decomposition",
+    "bfs_shortest_paths", "kaplan_meier_retention", "markov_absorption_conversion",
+    "markov_removal_attribution", "ks_drift_two_sample", "train_test_time_split_audit",
+    "shuffle_partition_advisor", "rake_keyphrases", "oov_rate_by_source",
+    "token_burstiness", "source_quality_league", "tfidf_cosine_doc_pairs",
+    "quality_screen_agreement", "time_spine_gap_fill", "forward_fill_hourly",
+    "weekly_retention", "funnel_signup_view_purchase", "event_transition_matrix",
     "rolling_zscore_anomalies", "funnel_conversion", "ohlc_bars_15min",
-    "interval_merge_coverage", "delta_event_compression",
-    "seasonal_trend_decompose", "ewma_truncated_smoothing",
-    "linear_interpolate_hourly",
-    # window-function family, never driver-sampled
-    "top3_orders_per_customer", "rank_orders_by_status",
-    "lag_lead_order_gaps", "running_sum_by_user", "moving_avg_by_user",
-    "orders_global_rank", "ntile_order_quartiles", "global_topk_orders",
-    "window_distribution_functions", "global_sorted_supplier_ledger",
-    "percentile_bucketing", "time_range_window_sum",
-    "batch_sessionization", "revenue_contribution_pareto",
-    # round-7 additions (this round), never driver-sampled
-    "winnowing_fingerprints", "mutual_knn_pairs", "knn_hubness_audit",
-    "degree_assortativity", "ks_drift_two_sample",
-    "train_test_time_split_audit", "normalization_collision_dedup",
-    "streaming_windowed_topk_users", "kcore_decomposition",
-    "tfidf_cosine_doc_pairs", "sax_daily_symbols", "bfs_shortest_paths",
-    "streaming_stream_stream_semi_join", "streaming_blocklist_decontam",
-    "kaplan_meier_retention", "shuffle_partition_advisor",
-    "sax_motif_counts", "event_pattern_regex", "quality_screen_agreement",
-    "revenue_gini_coefficient", "markov_absorption_conversion",
-    "markov_removal_attribution", "lorenz_curve_deciles",
+    "interval_merge_coverage", "delta_event_compression", "seasonal_trend_decompose",
+    "ewma_truncated_smoothing", "linear_interpolate_hourly", "acf_daily_value",
+    "cusum_level_shift", "theilsen_trend_by_user", "seasonal_naive_backtest",
+    "time_weighted_average_daily", "interarrival_profile", "funnel_time_to_convert",
+    "sax_daily_symbols", "sax_motif_counts", "event_pattern_regex",
+    "top3_orders_per_customer", "rank_orders_by_status", "lag_lead_order_gaps",
+    "running_sum_by_user", "moving_avg_by_user", "orders_global_rank",
+    "ntile_order_quartiles", "global_topk_orders", "window_distribution_functions",
+    "global_sorted_supplier_ledger", "percentile_bucketing", "time_range_window_sum",
+    "batch_sessionization", "revenue_contribution_pareto", "session_depth_stats",
+    "peak_concurrent_sessions", "revenue_gini_coefficient", "lorenz_curve_deciles",
     "customer_tier_migration",
 )
 

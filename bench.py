@@ -1,11 +1,21 @@
 """Benchmark runner.
 
 Times the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints, as the LAST
+stdout line, ONE COMPACT JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <scale factor>,
-   "sf_secondary": 0.01, "value_secondary": <sec>,
-   "queries_secondary": {...}}
+   "calib_sec": ..., "value_secondary": ..., "value_third": ...}
+
+Output framing contract (r4 postmortem): the driver records only a ~2000
+char tail of stdout, and round 4's single line — which then carried both
+raw passes, the secondary per-query map, and the sf1 third point — outgrew
+it, so the round's bench evidence was lost (`BENCH_r04.json` parsed:null).
+The fix is structural, not cosmetic: the FULL detail object (both raw
+passes, per-query secondary/third maps, scale ratios, out_rows) is written
+to BENCH_DETAIL.json next to this file, and stdout gets only the compact
+summary line, emitted last, with a hard length guard (_MAX_LINE) that
+drops the per-query map before it ever exceeds the tail window.
 
 The secondary scale point ($SPARK_GRAFT_SF_DIR2, default
 /root/testdata/sf0.01, set empty to skip) turns one-off scaling probes
@@ -186,24 +196,54 @@ def main() -> None:
         # directory-shaped parquet (it would time an empty stream).
         # NOTE on reading the ratios: replication clones every document
         # K times, so near-dup operators' OUTPUT grows ~K^2/2 pairs per
-        # clone-group (measured: 256 pairs -> 250,600 at K=10); their
-        # wall ratio is expected above K and is sublinear in output.
+        # clone-group; their wall ratio is expected above K and is
+        # sublinear in output. out_rows (untimed count() after the timed
+        # materialization) makes that a per-round measured invariant
+        # instead of a one-off prose claim (r4 verdict task 5).
         sf1_queries = SF1_QUERIES
         timings1x = {}
+        out_rows = {}
         for name in sf1_queries:
+            df = specs[name].builder(spark, replica)
             t0 = time.perf_counter()
-            materialize(specs[name].builder(spark, replica))
+            materialize(df)
             timings1x[name] = round(time.perf_counter() - t0, 3)
+            out_rows[name] = specs[name].builder(spark, replica).count()
         out["sf_third"] = round(sf * k, 3)
         out["value_third"] = round(sum(timings1x.values()), 3)
         out["queries_third"] = timings1x
+        out["third_out_rows"] = out_rows
         out["third_scale_ratio"] = {
             name: round(timings1x[name] / timings[name], 2)
             for name in sf1_queries
             if timings.get(name)
         }
 
-    print(json.dumps(out))
+    # --- output framing: full detail to file, compact line to stdout ---
+    detail_path = Path(_REPO) / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+
+    _MAX_LINE = 1900  # driver tail window is ~2000 chars; stay inside it
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "calib_sec": out["calib_sec"],
+        "agg": out["agg"],
+        "detail": "BENCH_DETAIL.json",
+        # per-query walls rounded to 2dp keep the line ~1.4k chars for the
+        # 38 headliners; the guard below drops them rather than overflow
+        "queries": {name: round(sec, 2) for name, sec in timings.items()},
+    }
+    for key in ("sf_secondary", "value_secondary", "sf_third", "value_third"):
+        if key in out:
+            compact[key] = out[key]
+    line = json.dumps(compact)
+    if len(line) > _MAX_LINE:
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
