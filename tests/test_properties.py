@@ -222,6 +222,64 @@ def test_cc_two_phase_equals_propagation_on_random_graphs(spark, edges):
     }
 
 
+def test_cc_iteration_cap_guard_fires_on_deep_chains(spark):
+    """r4 verdict task 4: a too-shallow round cap must REFUSE to emit an
+    un-converged connected-components result, not silently truncate. A
+    path graph 0-1-2-...-N has diameter N: with max_rounds below the
+    propagation depth, both CC variants must raise IterationCapExceeded;
+    with an adequate cap the same input converges and no guard fires."""
+    import pytest
+
+    from weather_stream_processor_spark.operators.dedup import (
+        _cc_label_propagation,
+        _cc_two_phase,
+    )
+    from weather_stream_processor_spark.plans.convergence import (
+        IterationCapExceeded,
+    )
+
+    n = 30  # chain depth 30 >> cap 3
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "s long, d long"
+    )
+    sym = df.union(df.selectExpr("d AS s", "s AS d"))
+    with pytest.raises(IterationCapExceeded):
+        _cc_label_propagation(sym, max_rounds=3)
+    with pytest.raises(IterationCapExceeded):
+        _cc_two_phase(sym, max_rounds=1)
+    # adequate caps: the identical input converges — guard must NOT fire,
+    # and the labels are the single component rooted at node 0
+    lp, _ = _cc_label_propagation(sym)
+    assert {r.comp for r in lp.collect()} == {0}
+
+
+def test_bfs_kcore_cap_guard_warns_not_raises(spark, monkeypatch):
+    """The k-core/BFS caps are semantic ("within N rounds" — the oracle
+    unrolls the SAME rounds), so exhausting them warns instead of raising:
+    the truncated result still matches the declared semantics. Shrinking
+    the caps to 1 on the fixture graph (which needs 2-3 rounds) must emit
+    the RuntimeWarning; the default caps must stay silent."""
+    import warnings
+
+    import pytest
+
+    from weather_stream_processor_spark.operators import analytics
+
+    sf_dir = "/root/testdata/sf0.001"
+    monkeypatch.setattr(analytics, "_BFS_ROUNDS", 1)
+    with pytest.warns(RuntimeWarning, match="bfs_shortest_paths"):
+        analytics.bfs_shortest_paths(spark, sf_dir).collect()
+    monkeypatch.setattr(analytics, "_BFS_ROUNDS", 6)
+    monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 1)
+    with pytest.warns(RuntimeWarning, match="kcore_decomposition"):
+        analytics.kcore_decomposition(spark, sf_dir).collect()
+    monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 8)
+    # default caps: fixture converges inside them -> no warning at all
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        analytics.bfs_shortest_paths(spark, sf_dir).collect()
+
+
 def test_doc_counts_match_registry():
     """README.md and OPERATORS.md carry operator counts that have drifted
     from the registry in two consecutive rounds; this pins them. On

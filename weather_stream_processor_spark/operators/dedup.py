@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.functions import tokens, word_shingles
+from weather_stream_processor_spark.plans.convergence import guard_converged
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table, spread
 
@@ -527,11 +528,16 @@ _COMPONENTS_CTES = f"""{_JACCARD_PAIRS_CTES},
         comp AS (SELECT id AS doc_id, MIN(r) AS component_id FROM reach GROUP BY id)"""
 
 
-def _cc_label_propagation(edges: DataFrame) -> tuple[DataFrame, int]:
+def _cc_label_propagation(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
     """Min-label propagation over a symmetric edge list (s, d): each round
     is one join + one min-aggregate, converging in O(diameter) rounds —
     2-3 in practice for star-shaped near-dup components. Returns
-    (labels[doc_id, comp], rounds)."""
+    (labels[doc_id, comp], rounds). Raises ``IterationCapExceeded`` if
+    ``max_rounds`` is exhausted before the checksum stabilizes (the oracle
+    is a true transitive closure, so an under-iterated result would be
+    wrong, not merely truncated)."""
     # initialization fuses round 1 for free: comp0 = min(self, neighbors)
     # is one aggregate over the edge list (every node appears as a dst in
     # the symmetric edge set) — no join, and star-shaped components are
@@ -543,7 +549,8 @@ def _cc_label_propagation(edges: DataFrame) -> tuple[DataFrame, int]:
     )
     prev_sum = None
     rounds = 0
-    for _ in range(50):  # hard bound; converges in O(diameter) rounds
+    converged = False
+    for _ in range(max_rounds):  # hard bound; converges in O(diameter) rounds
         rounds += 1
         msgs = (
             edges.join(labels, edges.s == labels.doc_id)
@@ -559,12 +566,16 @@ def _cc_label_propagation(edges: DataFrame) -> tuple[DataFrame, int]:
         # labels only ever decrease, so an unchanged sum IS the fixpoint
         cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    guard_converged(
+        converged, "dedup_connected_components[label_propagation]", max_rounds
+    )
     return labels, rounds
 
 
-def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
+def _cc_two_phase(edges: DataFrame, max_rounds: int = 60) -> tuple[DataFrame, int]:
     """Alternating large-star / small-star connected components (Kiveris
     et al., 'Connected Components in MapReduce and Beyond', SoCC'14) —
     the adversarial-diameter path: O(log n) alternations on long chains
@@ -580,7 +591,8 @@ def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
     e = _truncate_lineage(edges.select("s", "d").where(F.col("s") != F.col("d")).distinct())
     prev = None
     rounds = 0
-    for _ in range(60):  # hard bound; converges in O(log n) alternations
+    converged = False
+    for _ in range(max_rounds):  # hard bound; converges in O(log n) alternations
         rounds += 1
         # large-star: strictly-larger neighbors of u link to u's min
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -616,8 +628,10 @@ def _cc_two_phase(edges: DataFrame) -> tuple[DataFrame, int]:
             ).collect()[0]
         )
         if chk == prev:
+            converged = True
             break
         prev = chk
+    guard_converged(converged, "dedup_connected_components[two_phase]", max_rounds)
     # at the fixpoint the edge set is the star graph centered at each
     # component's min node: label = min over the closed neighborhood
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
