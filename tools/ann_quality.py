@@ -28,18 +28,33 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_path = sys.argv[2] if len(sys.argv) > 2 else str(Path(_REPO) / "ANN_QUALITY.json")
+def collect_metrics(
+    spark, sf_dir: str, canon_mod: int | None = None, distribution_stats: bool = True
+) -> dict:
+    """All quality metrics for one corpus directory (fixture or replica).
 
+    ``canon_mod``: when measuring the Kx-replicated corpus, every vector
+    exists K times with ids offset by multiples of scale_probe._KEY_OFFSET
+    and clones tie at identical distance — raw-id top-k intersection then
+    measures tie-breaking, not retrieval. Passing the offset as the
+    modulus canonicalizes ids to their original before intersecting: an
+    approx hit counts iff it retrieves ANY replica of a vector the exact
+    scan retrieves (clone-set-wise recall).
+
+    ``distribution_stats=False`` skips covariance/hubness/mutual-kNN: under
+    exact replication the covariance matrix is unchanged by construction
+    and the k-occurrence distribution is degenerate (every vector's top
+    neighbors are its own clones), so those numbers carry no information
+    at the replica point — only retrieval quality does."""
     from weather_stream_processor_spark.registry import all_queries
-    from weather_stream_processor_spark.session import get_spark
 
-    spark = get_spark("ann-quality")
     specs = all_queries()
 
     def run(name):
         return specs[name].builder(spark, sf_dir).collect()
+
+    def cset(ids):
+        return {i % canon_mod for i in ids} if canon_mod else set(ids)
 
     exact = [r.vec_id for r in run("cosine_topk_exact")]
     lsh = [r.vec_id for r in run("ann_lsh_topk")]
@@ -71,18 +86,6 @@ def main() -> None:
     msk = eids != 0
     exact_l2 = eids[msk][np.lexsort((eids[msk], l2[msk]))][: len(pq)].tolist()
 
-    # eigen-spectrum of the distributed covariance matrix: effective rank
-    # (exp of eigenvalue entropy) and top-8 explained-variance share — the
-    # numbers behind truncation / whitening decisions
-    cov_rows = run("embedding_covariance_spectrum")
-    dim = max(r.j for r in cov_rows)
-    C = np.zeros((dim, dim))
-    for r in cov_rows:
-        C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov
-    eig = np.clip(np.linalg.eigvalsh(C), 0, None)[::-1]
-    p = eig / eig.sum()
-    effective_rank = float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
-
     # IVF recall-vs-scan-fraction curve: the trade a deployment tunes.
     # Each point is (nprobe, recall@10 vs exact cosine, candidate fraction
     # of corpus scanned by the rerank).
@@ -96,7 +99,7 @@ def main() -> None:
         ivf_curve.append(
             {
                 "nprobe": nprobe,
-                "recall_at_k": round(len(set(exact) & set(got)) / len(exact), 4),
+                "recall_at_k": round(len(cset(exact) & cset(got)) / len(cset(exact)), 4),
                 "scan_fraction": round(frac, 4),
             }
         )
@@ -104,30 +107,16 @@ def main() -> None:
     exact_pairs = {(r.doc_a, r.doc_b) for r in run("ngram_jaccard_pairs")}
     minhash_pairs = {(r.doc_a, r.doc_b) for r in run("minhash_lsh_near_dup")}
 
-    # hubness profile of the embedding space: skewness of the k-occurrence
-    # distribution (S_k > ~1 predicts ANN recall loss; Radovanovic JMLR'10)
-    # plus the anti-hub fraction (vectors no other vector retrieves)
-    hub_rows = [(r.n_in, r.n_vectors) for r in run("knn_hubness_audit")]
-    tot_v = sum(nv for _, nv in hub_rows)
-    mean_k = sum(n * nv for n, nv in hub_rows) / tot_v
-    var_k = sum(nv * (n - mean_k) ** 2 for n, nv in hub_rows) / tot_v
-    skew_k = (
-        sum(nv * (n - mean_k) ** 3 for n, nv in hub_rows) / tot_v / var_k**1.5
-        if var_k > 0
-        else 0.0
-    )
-    antihub = sum(nv for n, nv in hub_rows if n == 0) / tot_v
-    n_mutual = len([1 for _ in run("mutual_knn_pairs")])
-
     result = {
         "sf_dir": sf_dir,
+        "n_corpus_vectors": int(n_corpus),
         "k": len(exact),
-        "ann_lsh_recall_at_k": round(len(set(exact) & set(lsh)) / len(exact), 4),
+        "ann_lsh_recall_at_k": round(len(cset(exact) & cset(lsh)) / len(cset(exact)), 4),
         "ann_lsh_candidate_fraction": round(n_candidates / max(n_corpus, 1), 4),
-        "ann_ivf_recall_at_k": round(len(set(exact) & set(ivf)) / len(exact), 4),
+        "ann_ivf_recall_at_k": round(len(cset(exact) & cset(ivf)) / len(cset(exact)), 4),
         "ann_ivf_recall_curve": ivf_curve,
         "ann_pq_recall_at_k": round(
-            len(set(exact_l2) & set(pq)) / max(len(exact_l2), 1), 4
+            len(cset(exact_l2) & cset(pq)) / max(len(cset(exact_l2)), 1), 4
         ),
         "ann_pq_shortlist": PQ_SHORTLIST,
         "minhash_exact_pairs": len(exact_pairs),
@@ -136,13 +125,81 @@ def main() -> None:
             len(minhash_pairs & exact_pairs) / max(len(exact_pairs), 1), 4
         ),
         "minhash_false_positives": len(minhash_pairs - exact_pairs),
-        "covariance_effective_rank": round(effective_rank, 2),
-        "covariance_dim": int(dim),
-        "explained_variance_top8": round(float(p[:8].sum()), 4),
-        "hubness_k_occurrence_skew": round(float(skew_k), 4),
-        "hubness_antihub_fraction": round(antihub, 4),
-        "mutual_knn_pair_count": n_mutual,
     }
+
+    if distribution_stats:
+        # eigen-spectrum of the distributed covariance matrix: effective
+        # rank (exp of eigenvalue entropy) and top-8 explained-variance
+        # share — the numbers behind truncation / whitening decisions
+        cov_rows = run("embedding_covariance_spectrum")
+        dim = max(r.j for r in cov_rows)
+        C = np.zeros((dim, dim))
+        for r in cov_rows:
+            C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov
+        eig = np.clip(np.linalg.eigvalsh(C), 0, None)[::-1]
+        p = eig / eig.sum()
+        effective_rank = float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))
+
+        # hubness profile of the embedding space: skewness of the
+        # k-occurrence distribution (S_k > ~1 predicts ANN recall loss;
+        # Radovanovic JMLR'10) plus the anti-hub fraction
+        hub_rows = [(r.n_in, r.n_vectors) for r in run("knn_hubness_audit")]
+        tot_v = sum(nv for _, nv in hub_rows)
+        mean_k = sum(n * nv for n, nv in hub_rows) / tot_v
+        var_k = sum(nv * (n - mean_k) ** 2 for n, nv in hub_rows) / tot_v
+        skew_k = (
+            sum(nv * (n - mean_k) ** 3 for n, nv in hub_rows) / tot_v / var_k**1.5
+            if var_k > 0
+            else 0.0
+        )
+        antihub = sum(nv for n, nv in hub_rows if n == 0) / tot_v
+        result.update(
+            {
+                "covariance_effective_rank": round(effective_rank, 2),
+                "covariance_dim": int(dim),
+                "explained_variance_top8": round(float(p[:8].sum()), 4),
+                "hubness_k_occurrence_skew": round(float(skew_k), 4),
+                "hubness_antihub_fraction": round(antihub, 4),
+                "mutual_knn_pair_count": len([1 for _ in run("mutual_knn_pairs")]),
+            }
+        )
+    return result
+
+
+def main() -> None:
+    """Writes ANN_QUALITY.json with the sf0.01 fixture point at top level
+    (backward-compatible keys for the pytest floors and docstring cites)
+    plus a ``replica_10x`` second scale point (r4 verdict task 6): the
+    same metrics over the 10x-replicated sf0.1 corpus, showing whether
+    recall and candidate fractions hold as the corpus grows. Replication
+    clones every vector 10x with offset ids, so exact top-k fills with
+    clone groups — recall is then measured clone-set-wise (an approx hit
+    counts if it retrieves ANY replica of the right original vector),
+    via the ``_KEY_OFFSET`` modulus."""
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = (
+        sys.argv[2] if len(sys.argv) > 2 else str(Path(_REPO) / "ANN_QUALITY.json")
+    )
+
+    from weather_stream_processor_spark.session import get_spark
+
+    spark = get_spark("ann-quality")
+    result = collect_metrics(spark, sf_dir)
+
+    import os
+
+    k = int(os.environ.get("SPARK_GRAFT_ANN_REPLICA_K", "10"))
+    if k > 1:
+        from tools.scale_probe import _KEY_OFFSET, build_replica_dir
+
+        replica = build_replica_dir(spark, k)
+        result["replica_10x"] = {
+            "k": k,
+            **collect_metrics(
+                spark, replica, canon_mod=_KEY_OFFSET, distribution_stats=False
+            ),
+        }
+
     Path(out_path).write_text(json.dumps(result) + "\n")
     print(json.dumps(result))
 

@@ -203,9 +203,18 @@ def embedding_norms_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-orthogonal (top cosine ~0.37 => per-bit agreement ~0.6, sign-LSH's
 # hardest case): b=6, r=2 gives P1~0.54 and L=4 tables lift recall@10 to
 # ~0.96 expected (measured in ANN_QUALITY.json, alongside the candidate
-# fraction that pays for it). A real near-dup corpus (sims ~0.9 => per-bit
-# ~0.86) supports 12-16 planes with r<=1 and a near-zero candidate
-# fraction — tune (b, r, L) per corpus, the plan shape is unchanged.
+# fraction that pays for it). CANDIDATE-FRACTION CAVEAT (measured at two
+# scale points in ANN_QUALITY.json): on THIS near-orthogonal fixture the
+# union of 4 tables at radius 2 admits ~0.79 of the corpus at 500 vectors
+# and ~0.82 at 20k (10x replica) — the fraction is a property of the
+# per-bit agreement distribution, so it neither decays nor explodes with
+# corpus size, but at >0.5 the LSH tier is no cheaper than the exact scan
+# HERE. That is the fixture being adversarial, not the operator: a real
+# near-dup corpus (sims ~0.9 => per-bit ~0.86) supports 12-16 planes with
+# r<=1 and a near-zero candidate fraction — tune (b, r, L) per corpus
+# (more planes/lower radius as intra-corpus similarity rises), the plan
+# shape is unchanged. Deployments should gate the tier on a measured
+# candidate fraction << 1; below that the exact blocked scan wins.
 N_PLANES = 6
 PROBE_RADIUS = 2
 N_TABLES = 4
