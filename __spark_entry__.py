@@ -99,6 +99,11 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "batch_sessionization", "revenue_contribution_pareto", "session_depth_stats",
     "peak_concurrent_sessions", "revenue_gini_coefficient", "lorenz_curve_deciles",
     "customer_tier_migration",
+    # round-5 additions (new operators, never driver-sampled)
+    "bloom_filter_decontam", "hard_negative_mining", "kcenter_coreset",
+    "heavy_hitters_exact", "length_bucketed_batches",
+    "stratified_kfold_assignment", "ngram_diversity_curve",
+    "memorization_risk_scores", "quality_score_quantile_norm",
 )
 
 

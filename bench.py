@@ -204,9 +204,11 @@ def main() -> None:
         timings1x = {}
         out_rows = {}
         for name in sf1_queries:
-            df = specs[name].builder(spark, replica)
+            # builder() must sit INSIDE the timed window: persisted_result
+            # operators execute eagerly at build time, so timing only the
+            # noop write would record ~0 for exactly the heaviest queries
             t0 = time.perf_counter()
-            materialize(df)
+            materialize(specs[name].builder(spark, replica))
             timings1x[name] = round(time.perf_counter() - t0, 3)
             out_rows[name] = specs[name].builder(spark, replica).count()
         out["sf_third"] = round(sf * k, 3)

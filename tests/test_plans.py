@@ -546,3 +546,39 @@ def test_partition_advisor_one_agg_per_table(spark):
     ops = operator_names(_df(spark, "shuffle_partition_advisor"))
     assert not any("Join" in o for o in ops)
     assert ops.count("HashAggregate") == 8  # 4 tables x (partial + final)
+
+
+def test_bloom_probe_is_joinless_in_plan(spark):
+    """The Bloom probe's scale contract: after the bounded bitmap pull,
+    per-shingle membership must be pure in-plan arithmetic against a plan
+    LITERAL — the probe side contains no join with a bitmap table and no
+    extra exchange beyond the per-doc aggregate + the exact-hit broadcast
+    join. A BitmapExchange/SortMergeJoin appearing here means the filter
+    started traveling with the data again."""
+    df = _df(spark, "bloom_filter_decontam")
+    ops = operator_names(df)
+    assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops
+    # exact-hit flag join stays broadcast
+    assert "BroadcastHashJoin" in ops
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    """Phase 2's recount must semi-join the tiny candidate set via
+    broadcast — a shuffled join here re-creates exactly the full-table
+    shuffle the sketch exists to avoid."""
+    require_plan(
+        _df(spark, "heavy_hitters_exact"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("SortMergeJoin", "CartesianProduct"),
+    )
+
+
+def test_hard_negative_cells_no_cartesian(spark):
+    """The cross-label argmax must ride the B-block cell grid (explode +
+    applyInPandas + window), never a Catalyst cartesian/nested-loop join
+    over the corpus."""
+    require_plan(
+        _df(spark, "hard_negative_mining"),
+        contains=("FlatMapGroupsInPandas",),
+        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )

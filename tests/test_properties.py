@@ -280,6 +280,38 @@ def test_bfs_kcore_cap_guard_warns_not_raises(spark, monkeypatch):
         analytics.bfs_shortest_paths(spark, sf_dir).collect()
 
 
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=400),
+    capacity=st.integers(min_value=4, max_value=32),
+)
+@settings(max_examples=50, deadline=None)
+def test_misra_gries_superset_guarantee(stream, capacity):
+    """heavy_hitters_exact's phase 1 is sound only if batched Misra-Gries
+    compaction preserves: estimate >= true_count - sum(decrements), and
+    sum(decrements) <= n/(capacity+1). Then every token with true share
+    >= s survives the emission cutoff s*n - under — hypothesis drives
+    adversarial streams through forced tiny capacities (the parquet
+    fixtures never overflow the real capacity, so this is the only gate
+    exercising compaction)."""
+    from collections import Counter
+
+    from weather_stream_processor_spark.operators.aggregates import _mg_compact
+
+    counts: Counter = Counter()
+    under = 0
+    # feed in chunks to force repeated compactions mid-stream
+    for i in range(0, len(stream), 16):
+        counts.update(stream[i : i + 16])
+        under += _mg_compact(counts, capacity)
+    assert len(counts) <= capacity
+    n = len(stream)
+    assert under <= n // (capacity + 1)
+    true = Counter(stream)
+    for tok, c in true.items():
+        est = counts.get(tok, 0)
+        assert est >= c - under, (tok, c, est, under)
+
+
 def test_doc_counts_match_registry():
     """README.md and OPERATORS.md carry operator counts that have drifted
     from the registry in two consecutive rounds; this pins them. On

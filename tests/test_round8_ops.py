@@ -1,0 +1,211 @@
+"""Round-8 operator tests: Bloom decontamination prefilter, hard-negative
+mining, k-center coreset, sketch-prefiltered heavy hitters, and the two
+training-layout audits — semantic properties the oracle hash-gate can't
+express (no-false-negative guarantee, greedy-trace optimality structure,
+mass conservation), verified against numpy/pure-Python on the smoke
+fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    from weather_stream_processor_spark.registry import all_queries
+
+    return all_queries()[name].builder(spark, sf)
+
+
+def _docs(spark, sf=SF_SMOKE):
+    from weather_stream_processor_spark.sources import load_table
+
+    return {
+        int(r.doc_id): r.text
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+
+
+def _embeddings(spark, sf=SF_SMOKE):
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    labs = np.array([r.label for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], labs[order], mat[order]
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_bloom_decontam_no_false_negatives_and_exact_hits(spark):
+    """The Bloom filter may overcount (bloom_hits >= exact_hits, FPs) but
+    NEVER undercount — a missed blocklist entry is the one failure mode
+    decontamination cannot tolerate. exact_hits must equal the direct
+    pure-Python shingle-set intersection per doc."""
+    docs = _docs(spark)
+    eval_sh: set[str] = set()
+    for d, t in docs.items():
+        if d % 20 == 0:
+            eval_sh |= _shingles(t)
+    got = {
+        int(r.doc_id): (int(r.n_shingles), int(r.exact_hits), int(r.bloom_hits))
+        for r in _run(spark, "bloom_filter_decontam").collect()
+    }
+    train = {d for d in docs if d % 20 != 0}
+    assert set(got) == train  # every training doc reports
+    for d in train:
+        sh = _shingles(docs[d])
+        n_sh, exact, bloom = got[d]
+        assert n_sh == len(sh)
+        assert exact == len(sh & eval_sh)
+        assert bloom >= exact, f"false negative on doc {d}"
+
+
+def test_hard_negative_mining_matches_brute_force(spark):
+    """Per anchor, the blocked-GEMM cross-label argmax must equal the full
+    numpy cross join under the same (round(sim,6) DESC, id ASC) order."""
+    ids, labs, mat = _embeddings(spark)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / np.outer(nrm, nrm), 6)
+    sims[ids[:, None] == ids[None, :]] = -np.inf
+    sims[labs[:, None] == labs[None, :]] = -np.inf
+    want = {}
+    for r in range(len(ids)):
+        order = np.lexsort((ids, -sims[r]))
+        c = order[0]
+        if sims[r][c] != -np.inf:
+            want[int(ids[r])] = (int(ids[c]), float(sims[r][c]))
+    got = {
+        int(r.vec_id): (int(r.negative_id), float(r.cosine_sim))
+        for r in _run(spark, "hard_negative_mining").collect()
+    }
+    assert got == want
+
+
+def test_kcenter_trace_matches_greedy_and_is_monotone(spark):
+    """The selection trace must replay the exact greedy farthest-first
+    recursion (numpy, same 6dp rounding and id tie-break), and sep_dist
+    must be non-increasing — each new center can only shrink the
+    farthest remaining distance (the property that makes the trace a
+    diversity-vs-budget curve)."""
+    from weather_stream_processor_spark.operators.similarity import KCENTER_K
+
+    ids, _, mat = _embeddings(spark)
+    centers = [int(ids.min())]
+    dmin = np.round(((mat - mat[ids == centers[0]][0]) ** 2).sum(axis=1), 6)
+    want = [(0, centers[0], 0.0)]
+    for r in range(1, KCENTER_K):
+        order = np.lexsort((ids, -dmin))
+        nxt = order[0]
+        want.append((r, int(ids[nxt]), float(dmin[nxt])))
+        dmin = np.minimum(dmin, np.round(((mat - mat[nxt]) ** 2).sum(axis=1), 6))
+    got = [
+        (int(r.round), int(r.center_id), float(r.sep_dist))
+        for r in _run(spark, "kcenter_coreset").orderBy("round").collect()
+    ]
+    assert got == want
+    seps = [s for _, _, s in got[1:]]
+    assert all(a >= b for a, b in zip(seps, seps[1:])), "sep_dist not monotone"
+
+
+def test_heavy_hitters_equal_plain_counting(spark):
+    """Sketch-prefilter + recount must equal the trivial full count — on
+    ANY partitioning (the candidate superset varies; the output must
+    not). The fixture parquet arrives as one split, so the invariance
+    claim is additionally exercised by re-running phase 1 over an
+    explicit 8-way repartition of the same corpus."""
+    from collections import Counter
+
+    from weather_stream_processor_spark.operators.aggregates import (
+        _HH_CAPACITY,
+        _HH_SUPPORT,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    docs = _docs(spark)
+    counts: Counter = Counter()
+    for t in docs.values():
+        counts.update(t.split(" "))
+    n = sum(counts.values())
+    want = {
+        tok: c for tok, c in counts.items() if c / n >= _HH_SUPPORT
+    }
+    got = {
+        r.token: int(r.occurrences)
+        for r in _run(spark, "heavy_hitters_exact").collect()
+    }
+    assert got == want
+
+    # partitioning invariance: phase 1 over 8 splits must yield a
+    # candidate SUPERSET of the truth, so the recounted output is equal
+    base = load_table(spark, SF_SMOKE, "documents").select("text").repartition(8)
+    import pandas as pd
+
+    def phase1(batches):
+        local: Counter = Counter()
+        n_local = 0
+        under = 0
+        from weather_stream_processor_spark.operators.aggregates import _mg_compact
+
+        for pdf in batches:
+            for toks in pdf["text"].str.split(" "):
+                local.update(toks)
+                n_local += len(toks)
+            under += _mg_compact(local, _HH_CAPACITY)
+        thresh = n_local * _HH_SUPPORT - under
+        yield pd.DataFrame({"token": [t for t, c in local.items() if c >= thresh]})
+
+    cand8 = {
+        r.token for r in base.mapInPandas(phase1, "token string").distinct().collect()
+    }
+    assert set(want) <= cand8, "8-way phase 1 lost a true heavy hitter"
+
+
+def test_length_bucketed_batches_conserve_mass(spark):
+    """Batches partition the corpus: sum of sum_tokens equals the corpus
+    token count, no batch exceeds the batch size, and padding_waste sits
+    in [0, 1) with max_len >= every member's implied mean."""
+    from weather_stream_processor_spark.operators.sampling import _LB_BATCH
+
+    docs = _docs(spark)
+    total = sum(len(t.split(" ")) for t in docs.values())
+    rows = _run(spark, "length_bucketed_batches").collect()
+    assert sum(int(r.sum_tokens) for r in rows) == total
+    assert sum(int(r.n_docs) for r in rows) == len(docs)
+    for r in rows:
+        assert 1 <= r.n_docs <= _LB_BATCH
+        assert 0.0 <= r.padding_waste < 1.0
+        assert r.max_len * r.n_docs >= r.sum_tokens
+
+
+def test_stratified_kfold_is_reproducible_arithmetic(spark):
+    """Fold ids must equal the pure-Python multiplicative hash for every
+    doc (the reproducibility contract), and per-lang fold sizes must sum
+    to the stratum size."""
+    from weather_stream_processor_spark.operators.sampling import (
+        _KFOLD,
+        _KFOLD_MULT,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
+    want: dict[tuple[str, int], int] = {}
+    for r in docs:
+        f = ((r.doc_id * _KFOLD_MULT) % 4294967296) % _KFOLD
+        key = (r.lang, f)
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.lang, int(r.fold)): int(r.n_docs)
+        for r in _run(spark, "stratified_kfold_assignment").collect()
+    }
+    assert got == want

@@ -1254,3 +1254,112 @@ def revenue_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cents_total() -> F.Column:
     return F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+
+# --- sketch-prefiltered exact heavy hitters ---------------------------------
+
+# support threshold: a token is a heavy hitter if it carries >= _HH_SUPPORT
+# of all token occurrences. The Misra-Gries capacity must satisfy
+# capacity >= 1/support for the per-partition pigeonhole guarantee below.
+_HH_SUPPORT = 0.005
+_HH_CAPACITY = 256
+
+
+def _mg_compact(counts, capacity: int) -> int:
+    """One batched Misra-Gries compaction: subtract the smallest value d
+    such that <= capacity entries stay positive, drop the rest. Returns d.
+    Invariant (the MG guarantee): every surviving estimate undercounts its
+    token's true frequency by at most the SUM of d's across compactions,
+    and that sum is <= n/(capacity+1) — each compaction removes > capacity
+    * d occurrences of mass, so the d's telescope against n."""
+    if len(counts) <= capacity:
+        return 0
+    vals = sorted(counts.values())
+    d = vals[len(counts) - capacity - 1]
+    for t in [t for t, c in counts.items() if c <= d]:
+        del counts[t]
+    for t in counts:
+        counts[t] -= d
+    return d
+
+
+
+@register(
+    "heavy_hitters_exact",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        n AS (SELECT COUNT(*) AS total FROM toks)
+        SELECT t.token,
+               CAST(COUNT(*) AS BIGINT) AS occurrences,
+               ROUND(COUNT(*) * 1.0 / ANY_VALUE(n.total), 6) AS support
+        FROM toks t CROSS JOIN n
+        GROUP BY t.token
+        HAVING COUNT(*) * 1.0 / ANY_VALUE(n.total) >= {_HH_SUPPORT}
+    """,
+    doc=(
+        f"EXACT HEAVY HITTERS (support >= {_HH_SUPPORT}) over the token "
+        "stream, via sketch-prefiltered recount — the two-phase trick "
+        "that finds exact frequent items WITHOUT shuffling the full "
+        "token frequency table: phase 1 runs a bounded per-partition "
+        f"frequency summary (Misra-Gries guarantee with capacity "
+        f"{_HH_CAPACITY} >= 1/support: any token with global share s "
+        "must, by pigeonhole, hold local share >= s in at least one "
+        "partition, and fewer than 1/s tokens can do that locally — so "
+        "emitting each partition's locally-frequent tokens yields a "
+        "SUPERSET of the true heavy hitters, <= capacity rows per "
+        "partition, zero shuffle), phase 2 broadcast-semi-joins the "
+        "tiny candidate set back into the scan and recounts EXACTLY. "
+        "Output is deterministic regardless of partitioning (candidate "
+        "supersets differ; the exact recount + threshold filter does "
+        "not), which is why the driver can hash-check a sketch-based "
+        "plan against a plain GROUP BY/HAVING oracle. At 100 TB this "
+        "is the difference between shuffling a multi-billion-row "
+        "(token, count) table and shuffling a few hundred candidates; "
+        "the aggregate-everything plan is the fallback when the "
+        "candidate set overflows (adversarial uniform streams)."
+    ),
+    tags=("aggregation", "llm", "sketch", "pandas-udf", "scale"),
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+
+    def partition_candidates(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n_local = 0
+        under = 0  # sum of compaction decrements = max undercount
+        for pdf in batches:
+            for toks in pdf["text"].str.split(" "):
+                counts.update(toks)
+                n_local += len(toks)
+            under += _mg_compact(counts, _HH_CAPACITY)
+        # pigeonhole emission with the MG undercount bound: a token with
+        # true local share >= s has estimate >= s*n_local - under, so
+        # this cutoff emits a SUPERSET of locally-frequent tokens while
+        # keeping the candidate list bounded (~1/(s - under/n) entries)
+        thresh = n_local * _HH_SUPPORT - under
+        cand = [t for t, c in counts.items() if c >= thresh]
+        yield pd.DataFrame({"token": cand or []})
+
+    candidates = (
+        docs.mapInPandas(partition_candidates, "token string").distinct()
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("occurrences") / F.col("total") >= _HH_SUPPORT)
+        .select(
+            "token",
+            "occurrences",
+            F.round(F.col("occurrences") / F.col("total"), 6).alias("support"),
+        )
+    )

@@ -2058,3 +2058,155 @@ def normalization_collision_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --- Bloom-filter decontamination -------------------------------------------
+
+# m bits / k hashes sized for the gate-scale fixture (1,355 distinct
+# eval shingles at sf0.01): m=8192, k=4 puts the per-probe FP rate near
+# (1-e^(-kn/m))^k ~ 5% — deliberately tight so the fixture MEASURES
+# false positives (sf0.01: 24,752 probes -> 1,233 bloom-only hits across
+# 402 docs) instead of vacuously passing on an all-zero column. A
+# deployment sizes m for its blocklist (~9.6 bits/entry per 1% FP
+# target); the plan is unchanged.
+# The k positions are independent 32-bit slices of the sha-256 shingle
+# digest (hex-parsed, mod m): bit-identical integer arithmetic in Spark
+# (conv) and DuckDB (0x cast), so the filter — and every per-doc count —
+# is hash-verified, not just row-counted. 32-bit words keep the max
+# shift at 31, inside signed-bigint range in both engines.
+_BLOOM_BITS = 8192
+_BLOOM_HASHES = 4
+_BLOOM_WORDS = _BLOOM_BITS // 32
+
+
+def _bloom_hex_slices_sql(dig_expr: str) -> str:
+    return ",".join(
+        f"(CAST(('0x' || substr({dig_expr}, {1 + 8 * i}, 8)) AS BIGINT)"
+        f" % {_BLOOM_BITS})"
+        for i in range(_BLOOM_HASHES)
+    )
+
+
+@register(
+    "bloom_filter_decontam",
+    oracle=f"""
+        WITH {_SHINGLES_CTES},
+        eval_sh AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        ),
+        eval_pos AS (
+            SELECT DISTINCT
+                   unnest([{_bloom_hex_slices_sql("sha256(shingle)")}]) AS pos
+            FROM eval_sh
+        ),
+        bitmap AS (
+            SELECT pos // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+            FROM eval_pos GROUP BY pos // 32
+        ),
+        train_pos AS (
+            SELECT doc_id, shingle,
+                   unnest([{_bloom_hex_slices_sql("sha256(shingle)")}]) AS pos
+            FROM sh WHERE doc_id % 20 <> 0
+        ),
+        shingle_probe AS (
+            SELECT t.doc_id, t.shingle,
+                   MIN(CASE WHEN (COALESCE(b.bits, 0)
+                                  >> CAST(t.pos % 32 AS INTEGER)) & 1 = 1
+                            THEN 1 ELSE 0 END) AS bloom_hit
+            FROM train_pos t
+            LEFT JOIN bitmap b ON b.word = t.pos // 32
+            GROUP BY t.doc_id, t.shingle
+        ),
+        shingle_exact AS (
+            SELECT s.doc_id, s.shingle,
+                   CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+            FROM sh s LEFT JOIN eval_sh e USING (shingle)
+            WHERE s.doc_id % 20 <> 0
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(x.exact_hit) AS BIGINT) AS exact_hits,
+               CAST(SUM(p.bloom_hit) AS BIGINT) AS bloom_hits
+        FROM shingle_probe p
+        JOIN shingle_exact x USING (doc_id, shingle)
+        GROUP BY p.doc_id
+    """,
+    doc=(
+        f"BLOOM-FILTER DECONTAMINATION PREFILTER: an {_BLOOM_BITS}-bit / "
+        f"{_BLOOM_HASHES}-hash Bloom filter built over the eval set's "
+        "distinct shingle digests (fixture proxy: doc_id % 20 == 0), "
+        "probed by every training document's shingles — how a "
+        "multi-billion-entry blocklist runs against a 100 TB corpus "
+        "without shuffling either side: the filter collapses to a "
+        f"fixed {_BLOOM_WORDS}-word bitmap (map-side partial bit_or, "
+        "bounded driver pull, then a PLAN LITERAL broadcast to every "
+        "task), and each probe is pure in-plan integer arithmetic on "
+        "the scan — no join, no shuffle, the blocklist never moves "
+        "again. Output per training doc: total / exact-hit / bloom-hit "
+        "shingle counts, so the false-positive excess (bloom_hits - "
+        "exact_hits) is measured in the result while the no-false-"
+        "negative guarantee is hash-verified (bloom_hits >= exact_hits "
+        "on every row). Docs whose bloom_hits clear a threshold "
+        "proceed to the exact verify join (decontamination_overlap); "
+        "sub-threshold docs — the overwhelming majority at scale — "
+        "never touch it. Hash positions are independent 32-bit slices "
+        "of the sha-256 digest: identical integer arithmetic in both "
+        "engines, so the driver hash-checks the filter itself."
+    ),
+    tags=("dedup", "llm", "decontamination", "scale"),
+)
+def bloom_filter_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _exploded_shingles(docs)
+    is_eval = F.col("doc_id") % 20 == 0
+    dig = F.sha2(F.col("shingle"), 256)
+    positions = [
+        F.conv(F.substring(dig, 1 + 8 * i, 8), 16, 10).cast("long") % _BLOOM_BITS
+        for i in range(_BLOOM_HASHES)
+    ]
+
+    eval_sh = sh.filter(is_eval).select("shingle").distinct()
+    bitmap_rows = (
+        eval_sh.select(F.explode(F.array(*positions)).alias("pos"))
+        .distinct()
+        .groupBy((F.col("pos") / 32).cast("long").alias("word"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, CAST(pos % 32 AS INT))")).alias("bits"))
+        .collect()  # bounded: <= _BLOOM_WORDS rows by construction
+    )
+    words = {int(r.word): int(r.bits) for r in bitmap_rows}
+    bm = F.array(*[F.lit(words.get(w, 0)) for w in range(_BLOOM_WORDS)])
+
+    probed = sh.filter(~is_eval).select(
+        "doc_id",
+        "shingle",
+        "n_shingles",
+        bm.alias("bm"),
+        *[(p / 32).cast("int").alias(f"w{i}") for i, p in enumerate(positions)],
+        *[(p % 32).cast("int").alias(f"b{i}") for i, p in enumerate(positions)],
+    )
+    hit_terms = [
+        F.expr(f"(shiftright(element_at(bm, w{i} + 1), b{i}) & 1) = 1")
+        for i in range(_BLOOM_HASHES)
+    ]
+    all_hit = hit_terms[0]
+    for t in hit_terms[1:]:
+        all_hit = all_hit & t
+    per_shingle = probed.select(
+        "doc_id",
+        "shingle",
+        "n_shingles",
+        F.when(all_hit, 1).otherwise(0).alias("bloom_hit"),
+    ).join(
+        F.broadcast(eval_sh.withColumn("eh", F.lit(1))), "shingle", "left"
+    ).select(
+        "doc_id",
+        "n_shingles",
+        "bloom_hit",
+        F.coalesce("eh", F.lit(0)).alias("exact_hit"),
+    )
+    return per_shingle.groupBy("doc_id").agg(
+        F.max("n_shingles").cast("bigint").alias("n_shingles"),
+        F.sum("exact_hit").cast("bigint").alias("exact_hits"),
+        F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
+    )

@@ -1048,3 +1048,148 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("bigint"),
         ).alias("recommended_partitions"),
     )
+
+
+# --- training-efficiency layout: length-bucketed batching -------------------
+
+_LB_BATCH = 32  # sequences per batch (a typical per-device micro-batch)
+
+
+@register(
+    "length_bucketed_batches",
+    oracle=f"""
+        WITH lens AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(CEIL(LOG2(GREATEST(len(string_split(text, ' ')), 1)))
+                        AS BIGINT) AS bucket
+            FROM documents
+        ),
+        batched AS (
+            SELECT bucket, n_tokens,
+                   CAST((ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id)
+                         - 1) // {_LB_BATCH} AS BIGINT) AS batch_id
+            FROM lens
+        )
+        SELECT bucket, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MAX(n_tokens) AS max_len,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               ROUND(1.0 - SUM(n_tokens) * 1.0 / (COUNT(*) * MAX(n_tokens)), 6)
+                   AS padding_waste
+        FROM batched
+        GROUP BY bucket, batch_id
+    """,
+    doc=(
+        "LENGTH-BUCKETED BATCH PACKING audit: assign every document to a "
+        "power-of-two token-length bucket, fill fixed-size batches of "
+        f"{_LB_BATCH} in deterministic doc_id order within the bucket, "
+        "and report each batch's padding waste (1 - sum_len / (n * "
+        "max_len)) — the fraction of a padded training batch that is "
+        "pad tokens. Length bucketing is the standard fix for the "
+        "quadratic attention cost of padding mixed-length sequences to "
+        "a batch max; this operator IS the measurement that justifies "
+        "it (unbucketed waste is the bucket=global degenerate case). "
+        "Plan: token counts and bucket ids are one codegen projection "
+        "on the scan; the only exchange is the hash partition on "
+        "bucket for the row_number window — within-bucket order is by "
+        "doc_id, so the assignment is total-ordered and hash-stable. "
+        "At 100 TB the bucket count stays ~log2(max_len) (~16), so the "
+        "window parallelizes per bucket; for skewed buckets, range-"
+        "partition on (bucket, doc_id) and compute batch_id from a "
+        "per-partition offset join, same result."
+    ),
+    tags=("sampling", "llm", "layout", "window"),
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    lens = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.ceil(F.log2(F.greatest(n_tokens, F.lit(1)))).cast("bigint").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batched = lens.select(
+        "bucket",
+        "n_tokens",
+        ((F.row_number().over(w) - 1) / _LB_BATCH).cast("bigint").alias("batch_id"),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(
+            1.0 - F.sum("n_tokens") / (F.count(F.lit(1)) * F.max("n_tokens")), 6
+        ).alias("padding_waste"),
+    )
+
+
+# --- deterministic stratified k-fold assignment -----------------------------
+
+_KFOLD = 5
+# Knuth's multiplicative constant: fold = (doc_id * A mod 2^32) mod k is a
+# fixed public mixing step, identical integer arithmetic in both engines
+_KFOLD_MULT = 2654435761
+
+
+@register(
+    "stratified_kfold_assignment",
+    oracle=f"""
+        WITH folds AS (
+            SELECT lang,
+                   ((doc_id * {_KFOLD_MULT}) % 4294967296) % {_KFOLD} AS fold
+            FROM documents
+        ),
+        per AS (
+            SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM folds GROUP BY lang, fold
+        )
+        SELECT lang, CAST(fold AS BIGINT) AS fold, n_docs,
+               ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY lang), 6)
+                   AS fold_share,
+               ROUND(MAX(n_docs) OVER (PARTITION BY lang) * 1.0
+                     / MIN(n_docs) OVER (PARTITION BY lang), 6) AS imbalance
+        FROM per
+    """,
+    doc=(
+        f"DETERMINISTIC STRATIFIED {_KFOLD}-FOLD ASSIGNMENT audit: every "
+        "document lands in a fold via fixed multiplicative hashing on "
+        "doc_id (Knuth constant, mod 2^32, mod k — pure integer "
+        "arithmetic, so any engine recomputes the identical split: the "
+        "property that makes cross-validation and train/holdout splits "
+        "reproducible across reruns, engines, and years), and the "
+        "output audits per-language fold balance: fold sizes, shares, "
+        "and the max/min imbalance ratio per stratum. A skewed ratio "
+        "flags id-space structure leaking into the split (sequential "
+        "ids + bad constant), THE silent killer of offline eval "
+        "validity. Plan: one codegen projection for the fold id, one "
+        "hash aggregate on (lang, fold), and windows over the "
+        "k-bounded per-stratum frames — nothing else moves; the "
+        "assignment itself never shuffles and at 100 TB stays a "
+        "zero-cost scan column any downstream query can recompute."
+    ),
+    tags=("sampling", "llm", "statistics"),
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (F.col("doc_id") * _KFOLD_MULT) % F.lit(4294967296) % _KFOLD
+    per = (
+        docs.select("lang", fold.cast("bigint").alias("fold"))
+        .groupBy("lang", "fold")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "lang",
+        "fold",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("fold_share"),
+        F.round(
+            F.max("n_docs").over(w).cast("double") / F.min("n_docs").over(w), 6
+        ).alias("imbalance"),
+    )

@@ -1963,3 +1963,267 @@ def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.var_pop("x"), 6).alias("var_w"),
         )
     )
+
+
+# --- contrastive curation: hard negatives & coreset selection ---------------
+
+_HN_ORACLE_CTE = """
+    WITH e AS (
+        SELECT vec_id, label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    dots AS (
+        SELECT a.vec_id AS va, ANY_VALUE(a.label) AS la,
+               b.vec_id AS vb, ANY_VALUE(b.label) AS lb,
+               SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot,
+               SUM(CAST(a.x AS DOUBLE) * CAST(a.x AS DOUBLE)) AS na2,
+               SUM(CAST(b.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS nb2
+        FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT va, la, vb, lb,
+               ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cosine_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY va
+                   ORDER BY ROUND(dot / (sqrt(na2) * sqrt(nb2)), 6) DESC, vb
+               ) AS rnk
+        FROM dots
+        WHERE la <> lb
+    )
+"""
+
+
+@register(
+    "hard_negative_mining",
+    oracle=_HN_ORACLE_CTE
+    + """
+        SELECT va AS vec_id, CAST(la AS BIGINT) AS label,
+               vb AS negative_id, CAST(lb AS BIGINT) AS negative_label,
+               cosine_sim
+        FROM ranked WHERE rnk = 1
+    """,
+    doc=(
+        "HARD-NEGATIVE MINING for contrastive / metric learning: for "
+        "every vector, the single most-cosine-similar vector carrying a "
+        "DIFFERENT label — the 'hardest negative' that contrastive "
+        "objectives (InfoNCE, triplet) need per anchor, and the pair "
+        "set a curation pipeline audits for label noise (a cross-label "
+        "pair at cosine ~1 is usually a mislabel). Plan: the same "
+        "B-block cell grid as the all-kNN operator — each cell's Arrow "
+        "GEMM emits only each row's best CROSS-LABEL match within the "
+        "cell (cell output = |rows|, never |rows|^2), then one window "
+        "keyed on vec_id folds the <= B candidates into the global "
+        "argmax; ties broken (sim DESC, id ASC) identically in the "
+        "cell, the window, and the oracle, so per-cell truncation is "
+        "lossless. Nothing collects; cell working set stays 2/B of the "
+        "corpus. Exact-verified against the full O(n^2) DuckDB oracle."
+    ),
+    tags=("similarity", "llm", "pandas-udf", "scale"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    NB = N_SIM_BLOCKS
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    blk = F.pmod(F.col("vec_id"), F.lit(NB))
+    cells = F.transform(
+        F.sequence(F.lit(0), F.lit(NB - 1)),
+        lambda m: F.least(blk, m) * NB + F.greatest(blk, m),
+    )
+    expl = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        blk.alias("blk"),
+        F.explode(F.array_distinct(cells)).alias("cell"),
+    )
+
+    def cell_best(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        i, j = divmod(cell, NB)
+        left = pdf[pdf["blk"] == i]
+        right = pdf[pdf["blk"] == j]
+        out = {"vec_id": [], "label": [], "negative_id": [],
+               "negative_label": [], "cosine_sim": []}
+
+        def emit(A_ids, A_lab, A, B_ids, B_lab, Bm) -> None:
+            na = np.sqrt((A * A).sum(axis=1))
+            nb = np.sqrt((Bm * Bm).sum(axis=1))
+            sims = np.round((A @ Bm.T) / np.outer(na, nb), 6)
+            # mask self and SAME-label pairs: negatives only
+            sims[A_ids[:, None] == B_ids[None, :]] = -np.inf
+            sims[A_lab[:, None] == B_lab[None, :]] = -np.inf
+            for r in range(sims.shape[0]):
+                order = np.lexsort((B_ids, -sims[r]))
+                c = order[0]
+                if sims[r][c] == -np.inf:
+                    continue  # no cross-label vector in this cell
+                out["vec_id"].append(A_ids[r])
+                out["label"].append(A_lab[r])
+                out["negative_id"].append(B_ids[c])
+                out["negative_label"].append(B_lab[c])
+                out["cosine_sim"].append(sims[r][c])
+
+        if not left.empty and not right.empty:
+            A = np.array(left["embedding"].tolist(), dtype=np.float64)
+            Bm = np.array(right["embedding"].tolist(), dtype=np.float64)
+            a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+            b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+            a_lab = left["label"].to_numpy(dtype=np.int64)
+            b_lab = right["label"].to_numpy(dtype=np.int64)
+            if i == j:
+                emit(a_ids, a_lab, A, a_ids, a_lab, A)
+            else:
+                emit(a_ids, a_lab, A, b_ids, b_lab, Bm)
+                emit(b_ids, b_lab, Bm, a_ids, a_lab, A)
+        return pd.DataFrame(out)
+
+    cand = expl.groupBy("cell").applyInPandas(
+        cell_best,
+        schema=(
+            "vec_id long, label long, negative_id long, "
+            "negative_label long, cosine_sim double"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy farthest-first traversal (the same generated-CTE
+    trick as the k-means/PQ oracles): round r's center is the argmax of
+    the running min-L2 to the chosen set, distances rounded to 6dp BEFORE
+    the argmax in both engines so reassociation drift cannot flip it."""
+    ctes = [
+        """
+        e AS (
+            SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        n0 AS (SELECT MIN(vec_id) AS c FROM e),
+        d1 AS MATERIALIZED (
+            SELECT a.vec_id,
+                   ROUND(SUM((CAST(a.x AS DOUBLE) - CAST(c.x AS DOUBLE)) ^ 2), 6)
+                       AS dmin
+            FROM e a
+            JOIN e c ON c.i = a.i AND c.vec_id = (SELECT c FROM n0)
+            GROUP BY a.vec_id
+        )"""
+    ]
+    for r in range(1, k):
+        ctes.append(
+            f"""
+        n{r} AS MATERIALIZED (
+            SELECT vec_id AS c, dmin FROM d{r}
+            ORDER BY dmin DESC, vec_id LIMIT 1
+        ),
+        d{r + 1} AS MATERIALIZED (
+            SELECT p.vec_id, LEAST(p.dmin, nd.d) AS dmin
+            FROM d{r} p JOIN (
+                SELECT a.vec_id,
+                       ROUND(SUM((CAST(a.x AS DOUBLE) - CAST(c.x AS DOUBLE)) ^ 2),
+                             6) AS d
+                FROM e a
+                JOIN e c ON c.i = a.i AND c.vec_id = (SELECT c FROM n{r})
+                GROUP BY a.vec_id
+            ) nd USING (vec_id)
+        )"""
+        )
+    rounds = ["SELECT 0 AS round, (SELECT c FROM n0) AS center_id, 0.0 AS sep_dist"]
+    rounds += [
+        f"SELECT {r} AS round, (SELECT c FROM n{r}) AS center_id,"
+        f" (SELECT dmin FROM n{r}) AS sep_dist"
+        for r in range(1, k)
+    ]
+    return (
+        "WITH " + ",".join(ctes) + " " + "\nUNION ALL\n".join(rounds)
+    )
+
+
+@register(
+    "kcenter_coreset",
+    oracle=_kcenter_oracle(KCENTER_K),
+    doc=(
+        f"K-CENTER CORESET SELECTION (k={KCENTER_K}) by greedy "
+        "farthest-first traversal (Gonzalez 1985, the 2-approximation "
+        "for k-center): start from the min-id vector, then repeatedly "
+        "take the point FARTHEST (L2) from the chosen set — the "
+        "max-coverage subset used for diverse data selection, "
+        "active-learning seed pools, and as k-means++-style "
+        "initialization. Output is the selection trace (round, "
+        "center_id, separation distance), whose sep_dist column is the "
+        "standard diversity-vs-budget curve. Plan: the running "
+        "min-distance column updates with ONE narrow zip_with "
+        "projection per round against only the NEWEST center "
+        "(broadcast scalar, no re-scan of the chosen set, no shuffle); "
+        "the argmax is a 1-row TakeOrderedAndProject; lineage is "
+        "truncated per round. Per-round cost is one corpus map — "
+        "O(k * corpus) total, the textbook bound. Distances round to "
+        "6dp BEFORE the argmax in both engines (sums of 64 doubles sit "
+        "far inside 1e-6 reassociation tolerance) and ties break on "
+        "vec_id, so the trace is hash-verified against the unrolled "
+        "DuckDB recursion."
+    ),
+    tags=("similarity", "llm", "sampling", "iterative", "scale"),
+)
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    first = emb.agg(F.min("vec_id")).collect()[0][0]  # 1-row bounded
+
+    def dist_to(center_vec) -> Column:
+        carr = F.array(*[F.lit(float(v)) for v in center_vec])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", carr, lambda a, b: (a.cast("double") - b) ** 2
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    centers = {int(first)}
+    cvec = emb.filter(F.col("vec_id") == first).collect()[0].embedding
+    cur = _truncate_lineage(
+        emb.select("vec_id", "embedding", dist_to(cvec).alias("dmin"))
+    )
+    trace = [(0, int(first), 0.0)]
+    for r in range(1, KCENTER_K):
+        # 1-row argmax: the farthest point from the chosen set
+        far = (
+            cur.orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .select("vec_id", "dmin", "embedding")
+            .limit(1)
+            .collect()[0]
+        )
+        trace.append((r, int(far.vec_id), float(far.dmin)))
+        centers.add(int(far.vec_id))
+        if r < KCENTER_K - 1:
+            cur = _truncate_lineage(
+                cur.select(
+                    "vec_id",
+                    "embedding",
+                    F.least("dmin", dist_to(far.embedding)).alias("dmin"),
+                )
+            )
+    return emb.sparkSession.createDataFrame(
+        trace, "round int, center_id long, sep_dist double"
+    )

@@ -1969,3 +1969,297 @@ def quality_screen_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_o, 6).alias("percent_agreement"),
         F.round((p_o - p_e) / (1 - p_e), 6).alias("cohens_kappa"),
     )
+
+
+# --- corpus diversity & memorization-risk audits (round 5) ------------------
+
+
+@register(
+    "ngram_diversity_curve",
+    oracle="""
+        WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        grams AS (
+            SELECT 1 AS n, unnest([array_to_string(t[i:i+0], ' ')
+                           FOR i IN range(1, len(t) - 1 + 2)]) AS gram
+            FROM toks WHERE len(t) >= 1
+            UNION ALL
+            SELECT 2 AS n, unnest([array_to_string(t[i:i+1], ' ')
+                           FOR i IN range(1, len(t) - 2 + 2)]) AS gram
+            FROM toks WHERE len(t) >= 2
+            UNION ALL
+            SELECT 3 AS n, unnest([array_to_string(t[i:i+2], ' ')
+                           FOR i IN range(1, len(t) - 3 + 2)]) AS gram
+            FROM toks WHERE len(t) >= 3
+            UNION ALL
+            SELECT 4 AS n, unnest([array_to_string(t[i:i+3], ' ')
+                           FOR i IN range(1, len(t) - 4 + 2)]) AS gram
+            FROM toks WHERE len(t) >= 4
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+               ROUND(COUNT(DISTINCT gram) * 1.0 / COUNT(*), 6) AS diversity
+        FROM grams GROUP BY n
+    """,
+    doc=(
+        "N-GRAM DIVERSITY CURVE (n=1..4): distinct-over-total n-gram "
+        "ratio per order — the standard corpus-health metric "
+        "(distinct-n in generation papers, type/token ratio at n=1): a "
+        "curve that flattens early signals templated/boilerplate text, "
+        "and its round-over-round drift is the cheapest canary for "
+        "silent duplication creeping into a growing corpus. Plan: one "
+        "explode per order fed by the same scan (Spark unions the four "
+        "aggregates; each is a map-side count + approx-free distinct "
+        "count via hash aggregate keyed on the gram). Only (n, gram) "
+        "pairs shuffle; at 100 TB swap the exact distinct for HLL "
+        "(hll_mergeable_rollup pattern) — the curve needs 3 significant "
+        "digits, not exactness. Output is 4 rows."
+    ),
+    tags=("text", "llm", "statistics"),
+)
+def ngram_diversity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import word_ngrams
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    parts = []
+    for n in (1, 2, 3, 4):
+        grams = docs.select(
+            F.explode(word_ngrams(tokens(F.col("text")), n)).alias("gram")
+        )
+        parts.append(
+            grams.agg(
+                F.lit(n).cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("total_ngrams"),
+                F.count_distinct("gram").cast("bigint").alias("distinct_ngrams"),
+                F.round(F.count_distinct("gram") / F.count(F.lit(1)), 6).alias(
+                    "diversity"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_MEMO_WIN = 8  # window length of cross_doc_repeated_passages
+_MEMO_TRIM = 0.2  # per-doc repeated fraction that triggers the trim action
+
+
+@register(
+    "memorization_risk_scores",
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        win AS (
+            SELECT doc_id,
+                   unnest([sha256(array_to_string(t[i:i+{_MEMO_WIN - 1}], ' '))
+                           FOR i IN range(1, len(t) - {_MEMO_WIN - 2})]) AS w
+            FROM toks WHERE len(t) >= {_MEMO_WIN}
+        ),
+        shared AS (
+            SELECT w FROM win GROUP BY w HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        per_doc AS (
+            SELECT v.doc_id,
+                   COUNT(*) AS n_windows,
+                   SUM(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) AS n_repeated
+            FROM win v LEFT JOIN shared s USING (w)
+            GROUP BY v.doc_id
+        )
+        SELECT doc_id,
+               CAST(n_windows AS BIGINT) AS n_windows,
+               CAST(n_repeated AS BIGINT) AS n_repeated,
+               ROUND(n_repeated * 1.0 / n_windows, 6) AS repeated_frac,
+               CASE WHEN n_repeated * 1.0 / n_windows >= {_MEMO_TRIM}
+                    THEN 'trim' ELSE 'keep' END AS action
+        FROM per_doc
+    """,
+    doc=(
+        f"PER-DOCUMENT MEMORIZATION-RISK SCORING: the fraction of each "
+        f"document's {_MEMO_WIN}-word sliding windows that also occur in "
+        "at least one OTHER document, plus the actionable verdict "
+        f"(repeated_frac >= {_MEMO_TRIM} -> 'trim') — the per-doc "
+        "aggregation that turns cross_doc_repeated_passages' global "
+        "window inventory into the substring-dedup ACTION list of Lee "
+        "et al. ('Deduplicating Training Data Makes Language Models "
+        "Better'): docs dominated by cross-doc boilerplate get trimmed "
+        "or dropped, because verbatim-repeated spans are the spans "
+        "models memorize. Plan: windows are content-hashed in ONE "
+        "projection feeding explode (no materialized arrays), the "
+        "shared-window set is a digest-keyed aggregate (only digests "
+        "shuffle, never text), and the per-doc score is a second "
+        "digest-keyed join + doc-keyed aggregate. The shared set is "
+        "corpus-sized metadata, not broadcastable — the join stays "
+        "shuffled on the digest, the same key both sides already "
+        "aggregated on. Per-doc output, deterministic."
+    ),
+    tags=("text", "llm", "dedup", "scale"),
+)
+def memorization_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import word_ngrams
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    win = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                word_ngrams(tokens(F.col("text")), _MEMO_WIN),
+                lambda g: F.sha2(g, 256),
+            )
+        ).alias("w"),
+    )
+    shared = (
+        win.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("w", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        win.join(shared, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.coalesce("is_shared", F.lit(0))).cast("bigint").alias(
+                "n_repeated"
+            ),
+        )
+    )
+    frac = F.col("n_repeated") / F.col("n_windows")
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_repeated",
+        F.round(frac, 6).alias("repeated_frac"),
+        F.when(frac >= _MEMO_TRIM, "trim").otherwise("keep").alias("action"),
+    )
+
+
+_QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
+
+
+@register(
+    "quality_score_quantile_norm",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id, source,
+                   ROUND(LEAST(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+                     + (len(list_filter(string_split(text, ' '),
+                            t -> list_contains({list(STOPWORDS)}, t)))
+                        * 1.0 / len(string_split(text, ' '))) * 0.3
+                     + (len(list_distinct(string_split(text, ' ')))
+                        * 1.0 / len(string_split(text, ' '))) * 0.3, 6) AS q
+            FROM documents
+        ),
+        src_ranked AS (
+            SELECT source, q,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM feats
+        ),
+        glob_ranked AS (
+            SELECT q, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM feats
+        ),
+        ds AS (SELECT unnest([{",".join(map(str, _QNORM_DECILES))}]) AS d),
+        src_cuts AS (
+            SELECT r.source, ds.d, MIN(r.q) AS source_cut
+            FROM src_ranked r JOIN ds
+              ON r.rn = CAST(CEIL(ds.d * r.n / 10.0) AS BIGINT)
+            GROUP BY r.source, ds.d
+        ),
+        glob_cuts AS (
+            SELECT ds.d, MIN(g.q) AS global_cut
+            FROM glob_ranked g JOIN ds
+              ON g.rn = CAST(CEIL(ds.d * g.n / 10.0) AS BIGINT)
+            GROUP BY ds.d
+        )
+        SELECT s.source, CAST(s.d AS BIGINT) AS decile,
+               s.source_cut, g.global_cut,
+               ROUND(s.source_cut - g.global_cut, 6) AS shift
+        FROM src_cuts s JOIN glob_cuts g USING (d)
+    """,
+    doc=(
+        "PER-SOURCE QUALITY-SCORE CALIBRATION TABLE: each source's "
+        "decile cutpoints of the heuristic quality score next to the "
+        "global cutpoints, with the shift — the audit behind quantile "
+        "normalization of quality filters across heterogeneous sources "
+        "(a fixed global threshold silently over-prunes sources whose "
+        "scorer runs low and under-prunes the ones it flatters; the "
+        "shift column IS that bias, per decile). Cutpoints are "
+        "percentile_disc-style (score at rank ceil(d*n/10) under the "
+        "total order (score, doc_id)) so both engines pick the "
+        "identical document, no interpolation drift. Plan: one "
+        "projection computes scores on the scan; one window per "
+        "grouping (source-partitioned / global) ranks them; the decile "
+        "join touches 9 rows per source. The global window is the "
+        "exact_global_ntiles pattern's degenerate case — at 100 TB "
+        "swap in that machinery (coarse-bucket counts + per-bucket "
+        "offsets) to avoid the single-partition global sort; per-"
+        "source windows already parallelize."
+    ),
+    tags=("text", "llm", "statistics", "window"),
+)
+def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(
+        toks
+    )
+    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    q = F.round(
+        F.least(F.size(toks) / 50.0, F.lit(1.0)) * 0.4
+        + stop_ratio * 0.3
+        + uniq_ratio * 0.3,
+        6,
+    )
+    feats = docs.select("doc_id", "source", q.alias("q"))
+
+    ds = spark.createDataFrame([(d,) for d in _QNORM_DECILES], "d int")
+
+    sw_src = Window.partitionBy("source").orderBy("q", "doc_id")
+    src_ranked = feats.select(
+        "source",
+        "q",
+        F.row_number().over(sw_src).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    src_cuts = (
+        src_ranked.join(
+            F.broadcast(ds),
+            F.col("rn") == F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+        )
+        .groupBy("source", "d")
+        .agg(F.min("q").alias("source_cut"))
+    )
+
+    # global ranking: bounded-cardinality note — one window over the whole
+    # corpus; at scale use exact_global_ntiles (see docstring)
+    gw = Window.orderBy("q", "doc_id")
+    glob_ranked = feats.select(
+        "q",
+        F.row_number().over(gw).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    glob_cuts = (
+        glob_ranked.join(
+            F.broadcast(ds),
+            F.col("rn") == F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+        )
+        .groupBy("d")
+        .agg(F.min("q").alias("global_cut"))
+    )
+    return (
+        src_cuts.join(F.broadcast(glob_cuts), "d")
+        .select(
+            "source",
+            F.col("d").cast("bigint").alias("decile"),
+            "source_cut",
+            "global_cut",
+            F.round(F.col("source_cut") - F.col("global_cut"), 6).alias("shift"),
+        )
+    )
