@@ -201,7 +201,7 @@ def test_stratified_kfold_is_reproducible_arithmetic(spark):
     docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang").collect()
     want: dict[tuple[str, int], int] = {}
     for r in docs:
-        f = ((r.doc_id * _KFOLD_MULT) % 4294967296) % _KFOLD
+        f = (((r.doc_id % 2147483648) * _KFOLD_MULT) % 4294967296) % _KFOLD
         key = (r.lang, f)
         want[key] = want.get(key, 0) + 1
     got = {

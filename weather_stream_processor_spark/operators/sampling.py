@@ -1130,9 +1130,14 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- deterministic stratified k-fold assignment -----------------------------
 
 _KFOLD = 5
-# Knuth's multiplicative constant: fold = (doc_id * A mod 2^32) mod k is a
-# fixed public mixing step, identical integer arithmetic in both engines
+# Knuth's multiplicative constant: fold = ((doc_id mod 2^31) * A mod 2^32)
+# mod k is a fixed public mixing step, identical integer arithmetic in
+# both engines. The mod-2^31 pre-reduction keeps the product under
+# 2^31 * A ~ 5.7e18 < 2^63-1 for ANY doc_id — without it, ids above
+# ~3.5e9 (e.g. offset-keyed shards at 100 TB; caught by the 10x replica
+# probe) overflow signed-64 multiplication, which ANSI Spark rejects.
 _KFOLD_MULT = 2654435761
+_KFOLD_PREMOD = 2147483648  # 2^31
 
 
 @register(
@@ -1140,7 +1145,8 @@ _KFOLD_MULT = 2654435761
     oracle=f"""
         WITH folds AS (
             SELECT lang,
-                   ((doc_id * {_KFOLD_MULT}) % 4294967296) % {_KFOLD} AS fold
+                   (((doc_id % {_KFOLD_PREMOD}) * {_KFOLD_MULT})
+                    % 4294967296) % {_KFOLD} AS fold
             FROM documents
         ),
         per AS (
@@ -1157,7 +1163,8 @@ _KFOLD_MULT = 2654435761
     doc=(
         f"DETERMINISTIC STRATIFIED {_KFOLD}-FOLD ASSIGNMENT audit: every "
         "document lands in a fold via fixed multiplicative hashing on "
-        "doc_id (Knuth constant, mod 2^32, mod k — pure integer "
+        "doc_id (mod 2^31, Knuth constant, mod 2^32, mod k — pure "
+        "overflow-safe integer "
         "arithmetic, so any engine recomputes the identical split: the "
         "property that makes cross-validation and train/holdout splits "
         "reproducible across reruns, engines, and years), and the "
@@ -1177,7 +1184,9 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    fold = (F.col("doc_id") * _KFOLD_MULT) % F.lit(4294967296) % _KFOLD
+    fold = (
+        (F.col("doc_id") % _KFOLD_PREMOD) * _KFOLD_MULT
+    ) % F.lit(4294967296) % _KFOLD
     per = (
         docs.select("lang", fold.cast("bigint").alias("fold"))
         .groupBy("lang", "fold")
