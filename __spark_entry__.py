@@ -104,6 +104,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "heavy_hitters_exact", "length_bucketed_batches",
     "stratified_kfold_assignment", "ngram_diversity_curve",
     "memorization_risk_scores", "quality_score_quantile_norm",
+    "hits_brand_authority", "lang_source_chi_square",
 )
 
 

@@ -1988,3 +1988,216 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(p, build)
+
+
+# --- HITS on the bipartite purchase graph (round 5) -------------------------
+
+_HITS_ITERS = 4
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS (Kleinberg) on the directed customer->brand purchase
+    graph, L1-normalized per half-step — the same generated-CTE trick as
+    the pagerank oracle, two vectors per round."""
+    steps = []
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"""a{i}_raw AS (
+            SELECT e.brand, SUM(h.score) AS s
+            FROM edges e JOIN {prev_h} h USING (custkey)
+            GROUP BY e.brand
+        ),
+        a{i} AS (
+            SELECT brand, s / SUM(s) OVER () AS score FROM a{i}_raw
+        ),
+        h{i}_raw AS (
+            SELECT e.custkey, SUM(a.score) AS s
+            FROM edges e JOIN a{i} a USING (brand)
+            GROUP BY e.custkey
+        ),
+        h{i} AS (
+            SELECT custkey, s / SUM(s) OVER () AS score FROM h{i}_raw
+        )"""
+        )
+        prev_h = f"h{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS custkey, p.p_brand AS brand
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+        ),
+        h0 AS (
+            SELECT custkey, 1.0 / (SELECT COUNT(DISTINCT custkey) FROM edges)
+                       AS score
+            FROM (SELECT DISTINCT custkey FROM edges)
+        ),
+        {chain}
+        SELECT brand, ROUND(score, 6) AS authority
+        FROM a{_HITS_ITERS}
+    """
+
+
+@register(
+    "hits_brand_authority",
+    oracle=_hits_oracle(),
+    doc=(
+        f"HITS (Kleinberg) HUB/AUTHORITY RANKING, {_HITS_ITERS} rounds, on "
+        "the DIRECTED bipartite customer->brand purchase graph: authority "
+        "flows to brands bought by high-hub customers, hub score to "
+        "customers who buy authoritative brands — the mutual-"
+        "reinforcement ranking that complements pagerank_brand_graph "
+        "(whose undirected co-purchase walk cannot express the two-sided "
+        "asymmetry; on an undirected graph HITS degenerates to degree). "
+        "Each half-round is one join-aggregate of the edge list with the "
+        "opposite-side score vector, L1-normalized (the normalization "
+        "that makes fixed-round output deterministic and 6dp-roundable); "
+        "both vectors are O(|customers|) / O(|brands|) and broadcast, so "
+        "a round never shuffles the edge list — the Pregel-as-join "
+        "formulation with the same persisted-edges/lineage discipline as "
+        "pagerank. The oracle unrolls all rounds as generated CTEs, so "
+        "every half-step's arithmetic is hash-verified."
+    ),
+    tags=("analytics", "graph", "iterative"),
+)
+def hits_brand_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    o, l, p = (
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("o_custkey").alias("custkey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    return persisted_result(edges, _hits_tree)
+
+
+def _hits_tree(edges: DataFrame) -> DataFrame:
+    # per-half-round lineage truncation: each vector is O(|side|) rows,
+    # but an un-cut chain nests one broadcast stage per prior half-round
+    # and re-executes the normalization aggregates (measured 110 s -> ~3 s
+    # at sf0.01) — the markov/k-core/BFS pattern
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
+
+    n_cust = edges.agg(F.countDistinct("custkey").cast("double").alias("n"))
+    hubs = (
+        edges.select("custkey")
+        .distinct()
+        .crossJoin(F.broadcast(n_cust))
+        .select("custkey", (1.0 / F.col("n")).alias("score"))
+    )
+    def l1_normalize(raw: DataFrame, key: str) -> DataFrame:
+        # truncate the RAW vector (one eager cut per half-round), then
+        # normalize as a thin lazy projection over the checkpointed rows:
+        # the total is a 1-row scalar pull off the already-cut vector
+        # (bounded, the CC-checksum class) folded in as a literal — no
+        # crossJoin stage, no second cut, and NOT an unpartitioned window
+        # (the hub vector is O(|customers|); a single-partition window
+        # over it would serialize at scale)
+        raw = _truncate_lineage(raw)
+        t = raw.agg(F.sum("s")).collect()[0][0]
+        return raw.select(key, (F.col("s") / F.lit(float(t))).alias("score"))
+
+    auth = None
+    for _ in range(_HITS_ITERS):
+        a_raw = (
+            edges.join(F.broadcast(hubs), "custkey")
+            .groupBy("brand")
+            .agg(F.sum("score").alias("s"))
+        )
+        auth = l1_normalize(a_raw, "brand")
+        h_raw = (
+            edges.join(F.broadcast(auth), "brand")
+            .groupBy("custkey")
+            .agg(F.sum("score").alias("s"))
+        )
+        hubs = l1_normalize(h_raw, "custkey")
+    return auth.select("brand", F.round("score", 6).alias("authority"))
+
+
+@register(
+    "lang_source_chi_square",
+    oracle="""
+        WITH obs AS (
+            SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        margins AS (
+            SELECT o.lang, o.source, o.o,
+                   SUM(o.o) OVER (PARTITION BY o.lang) AS rl,
+                   SUM(o.o) OVER (PARTITION BY o.source) AS cs,
+                   SUM(o.o) OVER () AS n
+            FROM obs o
+        ),
+        cells AS (
+            SELECT lang, source, o, rl * cs / n AS e, n FROM margins
+        ),
+        dims AS (
+            SELECT COUNT(DISTINCT lang) AS r, COUNT(DISTINCT source) AS c
+            FROM documents
+        )
+        SELECT ROUND(SUM((o - e) * (o - e) / e), 6) AS chi_square,
+               CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+               ROUND(sqrt(SUM((o - e) * (o - e) / e)
+                          / (ANY_VALUE(n) * LEAST(d.r - 1, d.c - 1))), 6)
+                   AS cramers_v
+        FROM cells CROSS JOIN dims d
+        GROUP BY d.r, d.c
+    """,
+    doc=(
+        "CHI-SQUARE INDEPENDENCE AUDIT of the lang x source contingency "
+        "table (+ Cramer's V effect size): the statistical test behind "
+        "'is my language mix confounded with my source mix' — a "
+        "high-association corpus cannot ablate source effects from "
+        "language effects in training experiments, and a drifting V "
+        "across snapshots flags collection-pipeline skew. Expected "
+        "counts are the margin product under independence; all margins "
+        "come from windows over the |langs| x |sources|-bounded cell "
+        "table (one hash aggregate over the corpus is the only "
+        "corpus-sized stage). Output is one row; identical arithmetic "
+        "both engines, 6dp."
+    ),
+    tags=("analytics", "llm", "statistics"),
+)
+def lang_source_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    cells = obs.select(
+        "lang",
+        "source",
+        "o",
+        (
+            F.sum("o").over(Window.partitionBy("lang"))
+            * F.sum("o").over(Window.partitionBy("source"))
+            / F.sum("o").over(Window.partitionBy())
+        ).alias("e"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    dims = docs.agg(
+        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("c")
+    )
+    chi = F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e"))
+    return (
+        cells.crossJoin(F.broadcast(dims))
+        .groupBy("r", "c")
+        .agg(
+            F.round(chi, 6).alias("chi_square"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.round(
+                F.sqrt(
+                    chi / (F.first("n") * F.least(F.col("r") - 1, F.col("c") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .select("chi_square", "dof", "cramers_v")
+    )
