@@ -209,3 +209,106 @@ def test_stratified_kfold_is_reproducible_arithmetic(spark):
         for r in _run(spark, "stratified_kfold_assignment").collect()
     }
     assert got == want
+
+
+def test_ngram_diversity_bounds_and_unigram_consistency(spark):
+    """Diversity ratios live in (0, 1]; the n=1 row must equal the exact
+    type/token ratio computed in pure Python."""
+    docs = _docs(spark)
+    toks = [t for d in docs.values() for t in d.split(" ")]
+    rows = {int(r.n): r for r in _run(spark, "ngram_diversity_curve").collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    for r in rows.values():
+        assert 0.0 < r.diversity <= 1.0
+        assert r.distinct_ngrams <= r.total_ngrams
+    assert rows[1].total_ngrams == len(toks)
+    assert rows[1].distinct_ngrams == len(set(toks))
+
+
+def test_memorization_scores_match_pure_python(spark):
+    """Per-doc repeated-window fractions re-derived with pure-Python window
+    sets; 'trim' fires exactly at the threshold."""
+    from weather_stream_processor_spark.operators.text import (
+        _MEMO_TRIM,
+        _MEMO_WIN,
+    )
+
+    docs = _docs(spark)
+    wins = {
+        d: [
+            " ".join(t.split(" ")[i : i + _MEMO_WIN])
+            for i in range(len(t.split(" ")) - _MEMO_WIN + 1)
+        ]
+        for d, t in docs.items()
+    }
+    owners: dict[str, set[int]] = {}
+    for d, ws in wins.items():
+        for w in ws:
+            owners.setdefault(w, set()).add(d)
+    got = {
+        int(r.doc_id): (int(r.n_windows), int(r.n_repeated), r.action)
+        for r in _run(spark, "memorization_risk_scores").collect()
+    }
+    for d, ws in wins.items():
+        if not ws:
+            continue
+        rep = sum(1 for w in ws if len(owners[w]) >= 2)
+        n_w, n_r, action = got[d]
+        assert (n_w, n_r) == (len(ws), rep)
+        assert action == ("trim" if rep / len(ws) >= _MEMO_TRIM else "keep")
+
+
+def test_quantile_norm_cutpoints_are_monotone_per_source(spark):
+    """Decile cutpoints must be non-decreasing in d within every source
+    and globally (they are order statistics of the same distribution)."""
+    rows = _run(spark, "quality_score_quantile_norm").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((int(r.decile), r.source_cut, r.global_cut))
+    for cuts in by_src.values():
+        cuts.sort()
+        sc = [c for _, c, _ in cuts]
+        gc = [g for _, _, g in cuts]
+        assert all(a <= b for a, b in zip(sc, sc[1:]))
+        assert all(a <= b for a, b in zip(gc, gc[1:]))
+
+
+def test_hits_authority_is_normalized_distribution(spark):
+    """Authorities are an L1-normalized score vector: positive, summing to
+    1 (6dp rounding tolerance), defined for every purchased brand."""
+    rows = _run(spark, "hits_brand_authority").collect()
+    assert len(rows) > 1
+    total = sum(r.authority for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    assert all(r.authority > 0 for r in rows)
+
+
+def test_chi_square_matches_pure_python(spark):
+    """Chi-square, dof and Cramer's V re-derived from the raw contingency
+    table in pure Python."""
+    import math
+
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents").select("lang", "source").collect()
+    )
+    cells: dict[tuple[str, str], int] = {}
+    for r in rows:
+        cells[(r.lang, r.source)] = cells.get((r.lang, r.source), 0) + 1
+    langs = {k[0] for k in cells}
+    srcs = {k[1] for k in cells}
+    n = len(rows)
+    rl = {la: sum(c for (l2, _), c in cells.items() if l2 == la) for la in langs}
+    cs = {s: sum(c for (_, s2), c in cells.items() if s2 == s) for s in srcs}
+    # full grid, zero-observed cells included: (0 - e)^2 / e = e
+    chi = sum(
+        (cells.get((la, s), 0) - rl[la] * cs[s] / n) ** 2 / (rl[la] * cs[s] / n)
+        for la in langs
+        for s in srcs
+    )
+    [got] = _run(spark, "lang_source_chi_square").collect()
+    assert abs(got.chi_square - round(chi, 6)) < 1e-6
+    assert got.dof == (len(langs) - 1) * (len(srcs) - 1)
+    want_v = math.sqrt(chi / (n * min(len(langs) - 1, len(srcs) - 1)))
+    assert abs(got.cramers_v - round(want_v, 6)) < 1e-6

@@ -2129,12 +2129,21 @@ def _hits_tree(edges: DataFrame) -> DataFrame:
             SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
             FROM documents GROUP BY lang, source
         ),
+        -- full r x c grid: zero-observed cells still contribute
+        -- (0 - e)^2 / e = e to the statistic; summing only observed
+        -- cells understates chi-square on sparse tables
+        grid AS (
+            SELECT l.lang, s.source, COALESCE(o.o, 0.0) AS o
+            FROM (SELECT DISTINCT lang FROM documents) l
+            CROSS JOIN (SELECT DISTINCT source FROM documents) s
+            LEFT JOIN obs o USING (lang, source)
+        ),
         margins AS (
-            SELECT o.lang, o.source, o.o,
-                   SUM(o.o) OVER (PARTITION BY o.lang) AS rl,
-                   SUM(o.o) OVER (PARTITION BY o.source) AS cs,
-                   SUM(o.o) OVER () AS n
-            FROM obs o
+            SELECT g.lang, g.source, g.o,
+                   SUM(g.o) OVER (PARTITION BY g.lang) AS rl,
+                   SUM(g.o) OVER (PARTITION BY g.source) AS cs,
+                   SUM(g.o) OVER () AS n
+            FROM grid g
         ),
         cells AS (
             SELECT lang, source, o, rl * cs / n AS e, n FROM margins
@@ -2159,9 +2168,11 @@ def _hits_tree(edges: DataFrame) -> DataFrame:
         "language effects in training experiments, and a drifting V "
         "across snapshots flags collection-pipeline skew. Expected "
         "counts are the margin product under independence; all margins "
-        "come from windows over the |langs| x |sources|-bounded cell "
-        "table (one hash aggregate over the corpus is the only "
-        "corpus-sized stage). Output is one row; identical arithmetic "
+        "come from windows over the |langs| x |sources|-bounded FULL "
+        "grid — zero-observed cells still contribute e to the statistic "
+        "(summing observed cells only understates chi-square on sparse "
+        "tables) — and one hash aggregate over the corpus is the only "
+        "corpus-sized stage. Output is one row; identical arithmetic "
         "both engines, 6dp."
     ),
     tags=("analytics", "llm", "statistics"),
@@ -2171,7 +2182,14 @@ def lang_source_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("double").alias("o")
     )
-    cells = obs.select(
+    # full r x c grid (see oracle comment): zero-observed cells contribute e
+    grid = (
+        docs.select("lang").distinct()
+        .crossJoin(docs.select("source").distinct())
+        .join(obs, ["lang", "source"], "left")
+        .select("lang", "source", F.coalesce("o", F.lit(0.0)).alias("o"))
+    )
+    cells = grid.select(
         "lang",
         "source",
         "o",
