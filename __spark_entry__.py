@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # multimodal, scalar sweep, set ops, ANN tiers, dedup residue, text
 # headliners); slots 51-121 pre-stage rounds 6-7 (streaming ops, graph/
 # survival analytics, drift audits, the timeseries and window families,
-# concentration metrics) so the drain continues without another edit.
+# concentration metrics) so the drain continues without another edit;
+# the tail appends the operators ADDED in round 5 (all oracle-backed,
+# verified by the same local gate) behind the pre-existing backlog.
 # Rows-only queries (sketches, whitening audit, BPE) are excluded from
 # the hash-priority window by construction — the driver's weaker
 # rows-only check covers them whenever they fall inside the sample.

@@ -221,6 +221,22 @@ def main() -> None:
             if timings.get(name)
         }
 
+    # corpus mass stats: text-family walls scale with TOKEN MASS, not row
+    # count, and the fixtures are regenerated by the driver each round —
+    # r5 measured the whole shingle/LM family uniformly ~2-3x slower than
+    # r4 on identical round-start code while relational ops and the
+    # fixed-work calib were flat. Recording the mass makes that class of
+    # cross-round delta attributable instead of argued (see BASELINE.md).
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.selectExpr(
+        "count(*) AS n_docs",
+        "sum(size(split(text, ' '))) AS total_tokens",
+    ).collect()[0]
+    out["corpus_stats"] = {
+        "n_docs": int(stats.n_docs),
+        "total_tokens": int(stats.total_tokens),
+    }
+
     # --- output framing: full detail to file, compact line to stdout ---
     detail_path = Path(_REPO) / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
