@@ -1363,3 +1363,164 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("occurrences") / F.col("total"), 6).alias("support"),
         )
     )
+
+
+# --- schema-level data profiling: RI and FD audits (round 5) ----------------
+
+# (child table, fk column, parent table, pk column) — the star schema's
+# declared join paths plus the doc<->vector bridge the multimodal join
+# relies on. An orphan FK silently drops rows from every inner join
+# downstream; this audit is the one-pass measurement of that hazard.
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"),
+)
+
+
+def _ri_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{child}.{fk} -> {parent}.{pk}' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans,
+               ROUND(SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS orphan_frac
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+          ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in _RI_EDGES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "referential_integrity_audit",
+    oracle=_ri_oracle(),
+    doc=(
+        "REFERENTIAL-INTEGRITY AUDIT over every declared join path of "
+        "the star schema (+ the embeddings->documents bridge): per FK "
+        "edge, row count, orphan count, and orphan fraction — the "
+        "profiling pass run before trusting any inner join, because an "
+        "orphan FK drops rows SILENTLY from every downstream join and "
+        "the loss is invisible in the join's own output. Plan: one "
+        "left join per edge against the DISTINCT'd parent key set — "
+        "dimension-side parents broadcast; the two fact-fact edges "
+        "(lineitem->orders) shuffle on the join key exactly once and "
+        "aggregate to a single row map-side. At 100 TB, screen each "
+        "edge through a parent-key Bloom filter first "
+        "(bloom_filter_decontam's plan) so only candidate orphans reach "
+        "the verify join. Output is one row per edge, "
+        f"{len(_RI_EDGES)} rows total."
+    ),
+    tags=("aggregation", "quality", "profiling"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, fk, parent, pk in _RI_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        joined = c.join(
+            F.broadcast(p) if parent not in ("orders", "documents") else p,
+            c.fk == F.col("pk"),
+            "left",
+        )
+        row = joined.agg(
+            F.lit(f"{child}.{fk} -> {parent}.{pk}").alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.round(
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("orphan_frac"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# candidate functional dependencies LHS -> RHS, deliberately including
+# expected-to-fail ones: the audit MEASURES determinism rather than
+# asserting it (the Metanome-style profiling shape)
+_FD_CANDIDATES = (
+    ("documents", "source", "lang"),
+    ("events", "user_id", "event_type"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+def _fd_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{t}.{lhs} -> {t}.{rhs}' AS dependency,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+               CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               ROUND(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS violation_frac
+        FROM (
+            SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+            FROM {t} GROUP BY {lhs}
+        )"""
+        for t, lhs, rhs in _FD_CANDIDATES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register(
+    "functional_dependency_audit",
+    oracle=_fd_oracle(),
+    doc=(
+        "FUNCTIONAL-DEPENDENCY AUDIT: for each candidate LHS -> RHS "
+        "column pair, the fraction of LHS values mapping to MORE than "
+        "one RHS value — 0.0 means the dependency holds exactly (the "
+        "column is derivable and can be normalized out or used as a "
+        "partition pruning key); anything above is the measured degree "
+        "of violation. This is the discovery-style profiling check "
+        "(Metanome/HyFD shape, restricted to declared candidates) that "
+        "catches schema assumptions silently broken by upstream "
+        "producers. Plan: per candidate one hash aggregate keyed on "
+        "LHS with a distinct-count of RHS (partial map-side), then a "
+        "1-row summary — the LHS key space is the only thing shuffled; "
+        "at 100 TB approximate the distinct-count with HLL when RHS "
+        "cardinality per key is unbounded. Output is one row per "
+        f"candidate, {len(_FD_CANDIDATES)} rows."
+    ),
+    tags=("aggregation", "quality", "profiling"),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, lhs, rhs in _FD_CANDIDATES:
+        per_lhs = (
+            load_table(spark, sf_dir, t)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+        )
+        row = per_lhs.agg(
+            F.lit(f"{t}.{lhs} -> {t}.{rhs}").alias("dependency"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+            F.round(
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("violation_frac"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
