@@ -31,6 +31,12 @@ SHOWCASE = [
     "degree_assortativity",
     "ks_drift_two_sample",
     "train_test_time_split_audit",
+    # round-5 additions: joinless bloom probe, MG-prefiltered recount,
+    # cross-label blocked GEMM, RI audit union
+    "bloom_filter_decontam",
+    "heavy_hitters_exact",
+    "hard_negative_mining",
+    "referential_integrity_audit",
 ]
 
 
