@@ -1,9 +1,11 @@
-"""Round-8 operator tests: Bloom decontamination prefilter, hard-negative
-mining, k-center coreset, sketch-prefiltered heavy hitters, and the two
-training-layout audits — semantic properties the oracle hash-gate can't
-express (no-false-negative guarantee, greedy-trace optimality structure,
-mass conservation), verified against numpy/pure-Python on the smoke
-fixture."""
+"""Round-5 operator-batch tests: Bloom decontamination prefilter,
+hard-negative mining, k-center coreset, sketch-prefiltered heavy hitters,
+the training-layout audits, and the corpus-statistics closers (diversity
+curve, memorization scores, quantile calibration, HITS, chi-square) —
+semantic properties the oracle hash-gate can't express (no-false-negative
+guarantee, greedy-trace optimality structure, mass conservation,
+distribution normalization), verified against numpy/pure-Python on the
+smoke fixture."""
 
 from __future__ import annotations
 
