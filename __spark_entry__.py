@@ -108,6 +108,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "memorization_risk_scores", "quality_score_quantile_norm",
     "hits_brand_authority", "lang_source_chi_square",
     "referential_integrity_audit", "functional_dependency_audit",
+    "dedup_cascade_report",
 )
 
 

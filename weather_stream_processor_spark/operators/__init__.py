@@ -39,3 +39,7 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     tpch,
     windows,
 )
+
+# report.py composes already-registered tier operators (builders + oracle
+# SQL), so it must import after every tier module above
+from weather_stream_processor_spark.operators import report  # noqa: E402,F401
