@@ -84,6 +84,13 @@ HEADLINE = [
     # round-7 additions: winnowing selection, exact all-kNN graph
     "winnowing_fingerprints",
     "mutual_knn_pairs",
+    # round-5 (current) additions: bloom prefilter, MG heavy hitters,
+    # cross-label GEMM, substring-dedup action scores, tier cascade
+    "bloom_filter_decontam",
+    "heavy_hitters_exact",
+    "hard_negative_mining",
+    "memorization_risk_scores",
+    "dedup_cascade_report",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners
