@@ -215,9 +215,12 @@ def main() -> None:
             # operators execute eagerly at build time, so timing only the
             # noop write would record ~0 for exactly the heaviest queries
             t0 = time.perf_counter()
-            materialize(specs[name].builder(spark, replica))
+            df = specs[name].builder(spark, replica)
+            materialize(df)
             timings1x[name] = round(time.perf_counter() - t0, 3)
-            out_rows[name] = specs[name].builder(spark, replica).count()
+            # untimed count on the SAME DataFrame: re-invoking builder()
+            # would eagerly re-run the heaviest pipelines a second time
+            out_rows[name] = df.count()
         out["sf_third"] = round(sf * k, 3)
         out["value_third"] = round(sum(timings1x.values()), 3)
         out["queries_third"] = timings1x

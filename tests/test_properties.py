@@ -256,9 +256,14 @@ def test_cc_iteration_cap_guard_fires_on_deep_chains(spark):
 def test_bfs_kcore_cap_guard_warns_not_raises(spark, monkeypatch):
     """The k-core/BFS caps are semantic ("within N rounds" — the oracle
     unrolls the SAME rounds), so exhausting them warns instead of raising:
-    the truncated result still matches the declared semantics. Shrinking
-    the caps to 1 on the fixture graph (which needs 2-3 rounds) must emit
-    the RuntimeWarning; the default caps must stay silent."""
+    the truncated result still matches the declared semantics. A cap that
+    genuinely under-iterates the fixture graph must emit the
+    RuntimeWarning; the default caps must stay silent. (Post peek-fix, a
+    cap equal to the graph's productive-round count converges cleanly —
+    the confirmation peek detects the fixpoint — so the under-iteration
+    caps here sit strictly BELOW the fixture's productive rounds: BFS
+    needs >=2 productive relaxations, the k-core cascade only 1, hence
+    cap 0 for k-core.)"""
     import warnings
 
     import pytest
@@ -270,8 +275,15 @@ def test_bfs_kcore_cap_guard_warns_not_raises(spark, monkeypatch):
     with pytest.warns(RuntimeWarning, match="bfs_shortest_paths"):
         analytics.bfs_shortest_paths(spark, sf_dir).collect()
     monkeypatch.setattr(analytics, "_BFS_ROUNDS", 6)
-    monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 1)
+    monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 0)
     with pytest.warns(RuntimeWarning, match="kcore_decomposition"):
+        analytics.kcore_decomposition(spark, sf_dir).collect()
+    monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 8)
+    # cap == productive rounds: the peek confirms the fixpoint, no warning
+    # (this exact case spuriously warned before the peek-then-commit fix)
+    monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
         analytics.kcore_decomposition(spark, sf_dir).collect()
     monkeypatch.setattr(analytics, "_KCORE_ROUNDS", 8)
     # default caps: fixture converges inside them -> no warning at all

@@ -29,17 +29,30 @@ if _REPO not in sys.path:
 
 
 def collect_metrics(
-    spark, sf_dir: str, canon_mod: int | None = None, distribution_stats: bool = True
+    spark,
+    sf_dir: str,
+    canon_mod: int | None = None,
+    distribution_stats: bool = True,
+    replica_k: int = 1,
 ) -> dict:
     """All quality metrics for one corpus directory (fixture or replica).
 
     ``canon_mod``: when measuring the Kx-replicated corpus, every vector
     exists K times with ids offset by multiples of scale_probe._KEY_OFFSET
     and clones tie at identical distance — raw-id top-k intersection then
-    measures tie-breaking, not retrieval. Passing the offset as the
-    modulus canonicalizes ids to their original before intersecting: an
-    approx hit counts iff it retrieves ANY replica of a vector the exact
-    scan retrieves (clone-set-wise recall).
+    measures tie-breaking, not retrieval. ``replica_k`` is the replication
+    factor K. Two degeneracies must be handled for the replica recall to
+    MEAN anything (r5 review: the first cut of this measurement reported
+    1.0 by construction):
+
+    - the QUERY's own clones sit at cosine exactly 1.0 and fill the raw
+      top-k; any index retrieves an identical-signature clone trivially,
+      so query-canonical hits are EXCLUDED from both sides;
+    - one real neighbor's clone group fills an entire raw top-10, leaving
+      ~1 distinct canonical id — so every list is requested (10+1)*K rows
+      deep (the k= parameter the similarity operators expose for exactly
+      this) and recall@10 is computed over the first 10 DISTINCT
+      non-query canonical ids of each ranked list.
 
     ``distribution_stats=False`` skips covariance/hubness/mutual-kNN: under
     exact replication the covariance matrix is unchanged by construction
@@ -53,18 +66,51 @@ def collect_metrics(
     def run(name):
         return specs[name].builder(spark, sf_dir).collect()
 
-    def cset(ids):
-        return {i % canon_mod for i in ids} if canon_mod else set(ids)
-
-    exact = [r.vec_id for r in run("cosine_topk_exact")]
-    lsh = [r.vec_id for r in run("ann_lsh_topk")]
-    ivf = [r.vec_id for r in run("ann_ivf_topk")]
-    pq = [r.vec_id for r in run("ann_pq_topk")]
-
     from weather_stream_processor_spark.operators.similarity import (
         PQ_SHORTLIST,
         _lsh_candidate_sims,
+        ann_lsh_topk,
+        ann_pq_topk,
+        cosine_topk_exact,
+        ivf_plan,
     )
+
+    replica_k = max(replica_k, 1)
+    # raw depth: 10 wanted originals x K clones + the query's clone group
+    raw_k = (10 + 1) * replica_k
+
+    def cset(ranked_ids):
+        """First 10 distinct canonical ids of a ranked list, excluding
+        the query's clone group (canonical id 0). Fixture point
+        (canon_mod=None, raw_k=11): plain identity on the top-10 — every
+        id is its own canonical and vec_id 0 is already filtered by the
+        operators."""
+        seen: list[int] = []
+        for i in ranked_ids:
+            c = i % canon_mod if canon_mod else i
+            if canon_mod and c == 0:
+                continue  # a clone of the query vector itself
+            if c not in seen:
+                seen.append(c)
+            if len(seen) == 10:
+                break
+        return set(seen)
+
+    exact = [r.vec_id for r in cosine_topk_exact(spark, sf_dir, k=raw_k).collect()]
+    lsh = [r.vec_id for r in ann_lsh_topk(spark, sf_dir, k=raw_k).collect()]
+    from weather_stream_processor_spark.operators.similarity import IVF_NPROBE
+
+    ivf = [
+        r.vec_id
+        for r in ivf_plan(spark, sf_dir, IVF_NPROBE, k=raw_k)["top"].collect()
+    ]
+    pq = [
+        r.vec_id
+        for r in ann_pq_topk(
+            spark, sf_dir, k=raw_k, shortlist=PQ_SHORTLIST * replica_k
+        ).collect()
+    ]
+
     from weather_stream_processor_spark.sources import load_table
 
     n_candidates = _lsh_candidate_sims(spark, sf_dir).count()
@@ -84,16 +130,14 @@ def collect_metrics(
     qv = emat[eids == 0][0]
     l2 = np.round(((emat - qv) ** 2).sum(axis=1), 6)
     msk = eids != 0
-    exact_l2 = eids[msk][np.lexsort((eids[msk], l2[msk]))][: len(pq)].tolist()
+    exact_l2 = eids[msk][np.lexsort((eids[msk], l2[msk]))][:raw_k].tolist()
 
     # IVF recall-vs-scan-fraction curve: the trade a deployment tunes.
     # Each point is (nprobe, recall@10 vs exact cosine, candidate fraction
     # of corpus scanned by the rerank).
-    from weather_stream_processor_spark.operators.similarity import ivf_plan
-
     ivf_curve = []
     for nprobe in (2, 4, 8, 16):
-        plan = ivf_plan(spark, sf_dir, nprobe)
+        plan = ivf_plan(spark, sf_dir, nprobe, k=raw_k)
         got = [r.vec_id for r in plan["top"].collect()]
         frac = plan["candidates"].count() / max(n_corpus, 1)
         ivf_curve.append(
@@ -110,7 +154,8 @@ def collect_metrics(
     result = {
         "sf_dir": sf_dir,
         "n_corpus_vectors": int(n_corpus),
-        "k": len(exact),
+        "k": 10,  # recall depth: 10 distinct canonical ids per list
+        "raw_list_depth": raw_k,
         "ann_lsh_recall_at_k": round(len(cset(exact) & cset(lsh)) / len(cset(exact)), 4),
         "ann_lsh_candidate_fraction": round(n_candidates / max(n_corpus, 1), 4),
         "ann_ivf_recall_at_k": round(len(cset(exact) & cset(ivf)) / len(cset(exact)), 4),
@@ -118,7 +163,7 @@ def collect_metrics(
         "ann_pq_recall_at_k": round(
             len(cset(exact_l2) & cset(pq)) / max(len(cset(exact_l2)), 1), 4
         ),
-        "ann_pq_shortlist": PQ_SHORTLIST,
+        "ann_pq_shortlist": PQ_SHORTLIST * replica_k,
         "minhash_exact_pairs": len(exact_pairs),
         "minhash_found_pairs": len(minhash_pairs & exact_pairs),
         "minhash_pair_recall": round(
@@ -172,10 +217,12 @@ def main() -> None:
     plus a ``replica_10x`` second scale point (r4 verdict task 6): the
     same metrics over the 10x-replicated sf0.1 corpus, showing whether
     recall and candidate fractions hold as the corpus grows. Replication
-    clones every vector 10x with offset ids, so exact top-k fills with
-    clone groups — recall is then measured clone-set-wise (an approx hit
-    counts if it retrieves ANY replica of the right original vector),
-    via the ``_KEY_OFFSET`` modulus."""
+    clones every vector 10x with offset ids, so every list is requested
+    (10+1)*K rows deep and recall@10 is computed over the first 10
+    DISTINCT non-query canonical ids (``_KEY_OFFSET`` modulus) of each
+    ranked list, with the query's own clone group excluded from both
+    sides — see collect_metrics on why anything shallower is 1.0 by
+    construction and measures nothing."""
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out_path = (
         sys.argv[2] if len(sys.argv) > 2 else str(Path(_REPO) / "ANN_QUALITY.json")
@@ -196,7 +243,11 @@ def main() -> None:
         result["replica_10x"] = {
             "k": k,
             **collect_metrics(
-                spark, replica, canon_mod=_KEY_OFFSET, distribution_stats=False
+                spark,
+                replica,
+                canon_mod=_KEY_OFFSET,
+                distribution_stats=False,
+                replica_k=k,
             ),
         }
 

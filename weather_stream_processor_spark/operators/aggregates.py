@@ -1334,7 +1334,11 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_local = 0
         under = 0  # sum of compaction decrements = max undercount
         for pdf in batches:
-            for toks in pdf["text"].str.split(" "):
+            # .dropna(): a NULL text row arrives as NaN (float), which
+            # str.split passes through — Counter.update(NaN) would raise.
+            # NULL contributes no tokens, matching string_split(NULL) in
+            # the DuckDB oracle and F.split's behavior in the exact path.
+            for toks in pdf["text"].dropna().str.split(" "):
                 counts.update(toks)
                 n_local += len(toks)
             under += _mg_compact(counts, _HH_CAPACITY)

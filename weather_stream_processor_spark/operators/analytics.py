@@ -1415,10 +1415,15 @@ def _kcore_tree(edges: DataFrame) -> DataFrame:
     )
     prev = None
     converged = False
-    for _ in range(_KCORE_ROUNDS):
+    # peek-then-commit (same off-by-one fix as the CC loops): the
+    # i == _KCORE_ROUNDS iteration is confirmation-only and its candidate
+    # is DISCARDED on the cap path, so the committed state matches the
+    # oracle's exactly-N unrolled rounds while fixpoint-at-the-cap no
+    # longer emits a spurious RuntimeWarning
+    for i in range(_KCORE_ROUNDS + 1):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= _KCORE_K).select("src")
-        e = _truncate_lineage(
+        nxt = _truncate_lineage(
             e.join(F.broadcast(keep), "src")
             .join(
                 F.broadcast(keep.withColumnRenamed("src", "dst")),
@@ -1426,11 +1431,15 @@ def _kcore_tree(edges: DataFrame) -> DataFrame:
             )
             .select("src", "dst")
         )
-        cur = e.count()  # 1-row driver check, same class as the CC checksum
+        cur = nxt.count()  # 1-row driver check, same class as the CC checksum
+        # edges only ever shrink, so an unchanged count IS the fixpoint
         if cur == prev:
             converged = True
+            e = nxt
             break  # fixpoint: remaining unrolled rounds are no-ops
-        prev = cur
+        if i == _KCORE_ROUNDS:
+            break  # cap: keep the N-round state the oracle unrolls
+        e, prev = nxt, cur
     # non-strict: the oracle unrolls the SAME truncated rounds, so the
     # result still matches the declared "within N rounds" semantics; the
     # warning flags that the true fixpoint may lie beyond the cap
@@ -1517,24 +1526,30 @@ def _bfs_tree(edges: DataFrame) -> DataFrame:
     )
     prev = None
     converged = False
-    for _ in range(_BFS_ROUNDS):
+    # peek-then-commit: see _kcore_tree — the i == _BFS_ROUNDS candidate
+    # is discarded on the cap path so the committed state matches the
+    # oracle's N unrolled rounds; at the fixpoint it is a no-op commit
+    for i in range(_BFS_ROUNDS + 1):
         relaxed = e.join(
             F.broadcast(dist.withColumnRenamed("node", "src")), "src"
         ).select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        dist = _truncate_lineage(
+        nxt = _truncate_lineage(
             dist.unionAll(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
         )
         # 1-row convergence checksum (same class as the CC loop's): the
         # distance multiset only ever grows/shrinks monotonically toward
         # the fixpoint, so an unchanged (count, sum) IS convergence
-        row = dist.agg(
+        row = nxt.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
         ).collect()[0]
         cur = (row.n, row.s)
         if cur == prev:
             converged = True
+            dist = nxt
             break
-        prev = cur
+        if i == _BFS_ROUNDS:
+            break  # cap: keep the N-round state the oracle unrolls
+        dist, prev = nxt, cur
     # non-strict: see _kcore_tree — oracle matches the truncated rounds
     guard_converged(converged, "bfs_shortest_paths", _BFS_ROUNDS, strict=False)
     return dist.select("node", F.col("dist").cast("bigint").alias("distance")).select(
@@ -2053,9 +2068,14 @@ def _hits_oracle() -> str:
         "asymmetry; on an undirected graph HITS degenerates to degree). "
         "Each half-round is one join-aggregate of the edge list with the "
         "opposite-side score vector, L1-normalized (the normalization "
-        "that makes fixed-round output deterministic and 6dp-roundable); "
-        "both vectors are O(|customers|) / O(|brands|) and broadcast, so "
-        "a round never shuffles the edge list — the Pregel-as-join "
+        "that makes fixed-round output deterministic and 6dp-roundable). "
+        "The two sides get DIFFERENT join strategies by their scaling "
+        "class: the brand authority vector is domain-bounded (like the "
+        "vocab/centroid broadcasts elsewhere) and broadcast, while the "
+        "hub vector is O(|customers|) — it scales with the fact tables, "
+        "so its half-round is a shuffled equi-join keyed on custkey, "
+        "never a broadcast (a per-customer broadcast would be a "
+        "multi-GB driver collect at 100 TB) — the Pregel-as-join "
         "formulation with the same persisted-edges/lineage discipline as "
         "pagerank. The oracle unrolls all rounds as generated CTEs, so "
         "every half-step's arithmetic is hash-verified."
@@ -2107,8 +2127,10 @@ def _hits_tree(edges: DataFrame) -> DataFrame:
 
     auth = None
     for _ in range(_HITS_ITERS):
+        # hub vector is O(|customers|) — shuffled join on custkey, NOT a
+        # broadcast (customers scale with the fact tables; see docstring)
         a_raw = (
-            edges.join(F.broadcast(hubs), "custkey")
+            edges.join(hubs, "custkey")
             .groupBy("brand")
             .agg(F.sum("score").alias("s"))
         )

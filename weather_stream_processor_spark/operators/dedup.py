@@ -550,25 +550,35 @@ def _cc_label_propagation(
     prev_sum = None
     rounds = 0
     converged = False
-    for _ in range(max_rounds):  # hard bound; converges in O(diameter) rounds
-        rounds += 1
+    # peek-then-commit: each iteration COMPUTES the next state and its
+    # checksum first; an unchanged checksum is the fixpoint (committed or
+    # not, the states are identical). The cap bounds PRODUCTIVE rounds —
+    # the i == max_rounds peek is confirmation-only and never committed,
+    # so a graph whose last label change lands exactly on round
+    # max_rounds converges cleanly instead of tripping the guard
+    # (review r5: checksum-equality detection needs one extra
+    # zero-change round that the plain range(max_rounds) loop never ran).
+    for i in range(max_rounds + 1):
         msgs = (
             edges.join(labels, edges.s == labels.doc_id)
             .groupBy(F.col("d").alias("doc_id"))
             .agg(F.min("comp").alias("mcomp"))
         )
-        labels = _truncate_lineage(
+        nxt = _truncate_lineage(
             labels.join(msgs, "doc_id", "left").select(
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("mcomp", "comp")).alias("comp"),
             )
         )
         # labels only ever decrease, so an unchanged sum IS the fixpoint
-        cur_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        cur_sum = nxt.agg(F.sum("comp")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break
-        prev_sum = cur_sum
+        if i == max_rounds:
+            break  # cap exhausted AND round max_rounds+1 was productive
+        labels, prev_sum = nxt, cur_sum
+        rounds += 1
     guard_converged(
         converged, "dedup_connected_components[label_propagation]", max_rounds
     )
@@ -592,8 +602,10 @@ def _cc_two_phase(edges: DataFrame, max_rounds: int = 60) -> tuple[DataFrame, in
     prev = None
     rounds = 0
     converged = False
-    for _ in range(max_rounds):  # hard bound; converges in O(log n) alternations
-        rounds += 1
+    # peek-then-commit, same off-by-one rationale as _cc_label_propagation:
+    # the i == max_rounds iteration is a confirmation peek, not an extra
+    # productive alternation, so fixpoint-at-exactly-the-cap converges
+    for i in range(max_rounds + 1):
         # large-star: strictly-larger neighbors of u link to u's min
         sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
         mins = (
@@ -607,10 +619,10 @@ def _cc_two_phase(edges: DataFrame, max_rounds: int = 60) -> tuple[DataFrame, in
             .select(F.col("d").alias("s"), F.col("m").alias("d"))
             .union(mins.select("s", F.col("m").alias("d")))
         )
-        e = large.where(F.col("s") != F.col("d")).distinct()
+        half = large.where(F.col("s") != F.col("d")).distinct()
         # small-star: orient each edge max->min, link all smaller
         # neighbors (and u itself) to the neighborhood min
-        directed = e.select(
+        directed = half.select(
             F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
         )
         mins2 = directed.groupBy("s").agg(F.min("d").alias("m"))
@@ -619,18 +631,22 @@ def _cc_two_phase(edges: DataFrame, max_rounds: int = 60) -> tuple[DataFrame, in
             .select(F.col("d").alias("s"), F.col("m").alias("d"))
             .union(mins2.select("s", F.col("m").alias("d")))
         )
-        e = _truncate_lineage(small.where(F.col("s") != F.col("d")).distinct())
+        nxt = _truncate_lineage(small.where(F.col("s") != F.col("d")).distinct())
         # fixpoint = edge set unchanged (count + order-free content hash;
         # bit_xor over xxhash64 cannot overflow under ANSI arithmetic)
         chk = tuple(
-            e.agg(
+            nxt.agg(
                 F.count(F.lit(1)), F.expr("bit_xor(xxhash64(s, d))")
             ).collect()[0]
         )
         if chk == prev:
             converged = True
+            e = nxt  # content-identical to e; commit for clarity
             break
-        prev = chk
+        if i == max_rounds:
+            break  # cap exhausted AND the peeked alternation was productive
+        e, prev = nxt, chk
+        rounds += 1
     guard_converged(converged, "dedup_connected_components[two_phase]", max_rounds)
     # at the fixpoint the edge set is the star graph centered at each
     # component's min node: label = min over the closed neighborhood

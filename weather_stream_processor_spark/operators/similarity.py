@@ -95,7 +95,11 @@ _COSINE_ORACLE_CTE = """
     ),
     tags=("similarity", "llm", "headline"),
 )
-def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cosine_topk_exact(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    # ``k`` beyond the registered top-10: tools/ann_quality.py requests a
+    # deeper list at the replica scale point so the clone-group-aware
+    # recall has >=10 DISTINCT canonical originals to measure against
+    # (at 10x replication the raw top-10 is ~one clone group)
     emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"), F.col("nrm").alias("q_nrm")
@@ -110,7 +114,7 @@ def cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TakeOrderedAndProject (per-partition heaps) instead of a global
     # window: the unpartitioned row_number would single-reduce the corpus.
-    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return top.withColumn("rn", F.row_number().over(w)).select(
         "vec_id", "cosine_sim", "rn"
@@ -383,9 +387,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tags=("similarity", "llm", "lsh"),
 )
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    # ``k``: see cosine_topk_exact — deeper lists for replica-scale recall
     sims = _lsh_candidate_sims(spark, sf_dir)
-    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return top.withColumn("rn", F.row_number().over(w)).select(
         "vec_id", "cosine_sim", "rn"
@@ -653,11 +658,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_plan(spark, sf_dir, IVF_NPROBE)["top"]
 
 
-def ivf_plan(spark: SparkSession, sf_dir: str, nprobe: int) -> dict:
+def ivf_plan(spark: SparkSession, sf_dir: str, nprobe: int, k: int = 10) -> dict:
     """IVF index + probe at a caller-chosen ``nprobe``: returns both the
-    reranked top-10 plan and the candidate plan, so the quality tool can
-    record the measured recall-vs-scan-fraction curve (the trade a real
-    IVF deployment tunes) instead of a single operating point."""
+    reranked top-k plan (default 10) and the candidate plan, so the
+    quality tool can record the measured recall-vs-scan-fraction curve
+    (the trade a real IVF deployment tunes) instead of a single operating
+    point. ``k``: see cosine_topk_exact — deeper lists at replica scale."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -725,7 +731,7 @@ def ivf_plan(spark: SparkSession, sf_dir: str, nprobe: int) -> dict:
     sims = candidates.select(
         "vec_id", F.round(_pair_cosine(), 6).alias("cosine_sim")
     )
-    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(10)
+    top = sims.orderBy(F.desc("cosine_sim"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
     return {
         "top": top.withColumn("rn", F.row_number().over(w)).select(
@@ -1263,7 +1269,16 @@ def _pq_oracle(m: int, dsub: int, k: int, iters: int, shortlist: int) -> str:
     ),
     tags=("similarity", "llm", "quantization", "pq", "pandas-udf"),
 )
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    shortlist: int = PQ_SHORTLIST,
+) -> DataFrame:
+    # ``k``/``shortlist`` beyond the registered defaults: the quality tool
+    # scales both by the replica factor so the deeper final list is not
+    # truncated by a shortlist sized for the fixture corpus (see
+    # cosine_topk_exact on why replica recall needs deeper lists)
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -1408,9 +1423,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.sum("d"), 6).alias("adc_d"))
     )
-    shortlist = (
+    short = (
         adc.orderBy(F.asc("adc_d"), F.asc("vec_id"))
-        .limit(PQ_SHORTLIST)
+        .limit(shortlist)
         .select("vec_id")
     )
     qv = emb_raw.filter(F.col("vec_id") == 0).select(
@@ -1429,11 +1444,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     rr = (
-        emb_raw.join(shortlist, "vec_id")
+        emb_raw.join(short, "vec_id")
         .crossJoin(F.broadcast(qv))
         .select("vec_id", dist2.alias("dist2"))
     )
-    top = rr.orderBy(F.asc("dist2"), F.asc("vec_id")).limit(10)
+    top = rr.orderBy(F.asc("dist2"), F.asc("vec_id")).limit(k)
     w = Window.orderBy(F.asc("dist2"), F.asc("vec_id"))
     return top.withColumn("rn", F.row_number().over(w)).select(
         "vec_id", "dist2", "rn"
@@ -2200,7 +2215,6 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    centers = {int(first)}
     cvec = emb.filter(F.col("vec_id") == first).collect()[0].embedding
     cur = _truncate_lineage(
         emb.select("vec_id", "embedding", dist_to(cvec).alias("dmin"))
@@ -2215,7 +2229,6 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         trace.append((r, int(far.vec_id), float(far.dmin)))
-        centers.add(int(far.vec_id))
         if r < KCENTER_K - 1:
             cur = _truncate_lineage(
                 cur.select(
