@@ -109,6 +109,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hits_brand_authority", "lang_source_chi_square",
     "referential_integrity_audit", "functional_dependency_audit",
     "dedup_cascade_report",
+    # round-5b additions (new operators, never driver-sampled)
+    "cv_fold_leakage_audit", "phrase_match_positions", "k_anonymity_audit",
+    "conformal_interval_coverage", "streaming_abandoned_views_anti",
 )
 
 

@@ -178,3 +178,67 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_frac"),
         )
     )
+
+
+_KANON_K = 5  # minimum anonymity-set size (the classic k in k-anonymity)
+_KANON_LEN_BUCKET = 100  # chars per length bucket (quasi-identifier 3)
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+        WITH combos AS (
+            SELECT lang, source,
+                   CAST(FLOOR(n_chars / {_KANON_LEN_BUCKET}) AS BIGINT)
+                       AS len_bucket,
+                   CAST(COUNT(*) AS BIGINT) AS anonymity_set
+            FROM documents
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (SELECT SUM(anonymity_set) AS n FROM combos)
+        SELECT lang, source, len_bucket, anonymity_set,
+               CAST(anonymity_set < {_KANON_K} AS INT) AS at_risk,
+               ROUND(anonymity_set * 1.0 / tot.n, 6) AS doc_share
+        FROM combos CROSS JOIN tot
+    """,
+    doc=(
+        f"K-ANONYMITY AUDIT over the release-metadata quasi-identifiers "
+        f"(lang, source, {_KANON_LEN_BUCKET}-char length bucket): the "
+        "anonymity set of each combination — how many documents share "
+        f"it — with combos below k={_KANON_K} flagged, the privacy "
+        "screen run before publishing a corpus WITH its provenance "
+        "metadata (Sweeney's k-anonymity: a document unique in its "
+        "quasi-identifier combo is re-identifiable from metadata alone "
+        "even with the text redacted; pii_scrub removes identifiers IN "
+        "the text, this catches identification BY the catalog row). "
+        "Plan: one scan, one hash aggregate on the quasi-identifier "
+        "tuple — partial map-side combine, output bounded by the "
+        "attribute-domain product (|langs| x |sources| x buckets), a "
+        "1-row total broadcast for the share column. At 100 TB this is "
+        "the cheapest query in the audit family; generalization ladders "
+        "(coarsen buckets until min anonymity_set >= k) just re-run it "
+        "with a different bucket width."
+    ),
+    tags=("audit", "llm", "privacy", "curation"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    combos = (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / _KANON_LEN_BUCKET)
+            .cast("bigint")
+            .alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("anonymity_set"))
+    )
+    tot = combos.agg(F.sum("anonymity_set").alias("n"))
+    return combos.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "anonymity_set",
+        (F.col("anonymity_set") < _KANON_K).cast("int").alias("at_risk"),
+        F.round(F.col("anonymity_set") / F.col("n"), 6).alias("doc_share"),
+    )

@@ -1202,3 +1202,84 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_docs").over(w).cast("double") / F.min("n_docs").over(w), 6
         ).alias("imbalance"),
     )
+
+
+def _fold_of(col: str) -> "Column":
+    """The stratified-kfold fold id as a pure column expression — shared
+    by stratified_kfold_assignment and the leakage audit so both label
+    identically (same premod-overflow guard, same multiplier)."""
+    return (
+        ((F.col(col) % _KFOLD_PREMOD) * _KFOLD_MULT) % F.lit(4294967296) % _KFOLD
+    ).cast("bigint")
+
+
+def _fold_sql(col: str) -> str:
+    return f"((({col} % {_KFOLD_PREMOD}) * {_KFOLD_MULT}) % 4294967296) % {_KFOLD}"
+
+
+def _leakage_oracle() -> str:
+    from weather_stream_processor_spark.operators.dedup import _JACCARD_PAIRS_CTES
+
+    return f"""
+        WITH {_JACCARD_PAIRS_CTES},
+        lab AS (
+            SELECT LEAST({_fold_sql('doc_a')}, {_fold_sql('doc_b')}) AS fold_a,
+                   GREATEST({_fold_sql('doc_a')}, {_fold_sql('doc_b')}) AS fold_b
+            FROM pairs
+        ),
+        tot AS (SELECT COUNT(*) AS t FROM lab)
+        SELECT fold_a, fold_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(fold_a <> fold_b AS INT) AS cross_fold,
+               ROUND(COUNT(*) * 1.0 / tot.t, 6) AS pair_share
+        FROM lab CROSS JOIN tot
+        GROUP BY fold_a, fold_b, tot.t
+    """
+
+
+@register(
+    "cv_fold_leakage_audit",
+    oracle=_leakage_oracle(),
+    doc=(
+        "CROSS-VALIDATION FOLD-LEAKAGE AUDIT: near-duplicate pairs "
+        "(exact word-3-gram Jaccard >= 0.8, the ngram_jaccard_pairs "
+        "surface) labeled with the stratified-kfold fold of BOTH "
+        "members — a pair straddling two folds is train/test "
+        "contamination that inflates every CV metric (the Lee et al. "
+        "leakage argument applied to split hygiene; eval-decontam ops "
+        "catch train-vs-benchmark overlap, this catches train-vs-train "
+        "split overlap). Output is the fold-pair matrix (unordered fold "
+        "pair, pair count, cross_fold flag, share of all near-dup "
+        "pairs). Plan: the fold label is PURE doc_id ARITHMETIC (the "
+        "same premod/multiplier expression the kfold assignment uses), "
+        "so labeling adds ZERO joins and zero shuffles on top of the "
+        "banded near-dup join itself; the final aggregate is bounded by "
+        "K^2 = 25 cells. At 100 TB the near-dup pair computation is the "
+        "whole cost — swap in minhash_lsh_near_dup as the pair source "
+        "and the audit plumbing is unchanged. The actionable fix for "
+        "flagged mass: group-aware splitting (assign dedup_connected_"
+        "components clusters to folds, not raw doc_ids)."
+    ),
+    tags=("sampling", "llm", "dedup", "audit"),
+)
+def cv_fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    fa, fb = _fold_of("doc_a"), _fold_of("doc_b")
+    lab = pairs.select(
+        F.least(fa, fb).alias("fold_a"), F.greatest(fa, fb).alias("fold_b")
+    )
+    tot = lab.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        lab.groupBy("fold_a", "fold_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold_a",
+            "fold_b",
+            "n_pairs",
+            (F.col("fold_a") != F.col("fold_b")).cast("int").alias("cross_fold"),
+            F.round(F.col("n_pairs") / F.col("t"), 6).alias("pair_share"),
+        )
+    )

@@ -865,3 +865,85 @@ def streaming_blocklist_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("hour"), "n_clean", "clean_value")
     )
     return run_to_memory(agg, _sink_name("streaming_blocklist"))
+
+
+@register(
+    "streaming_abandoned_views_anti",
+    # Same availableNow closure model as the left-outer variant: an
+    # unmatched view emits only once the final global watermark
+    # W = least(max view ts, max purchase ts) - 2h strictly passes its
+    # join horizon; views still in state at end-of-replay never emit.
+    oracle="""
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        p AS (
+            SELECT user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            SELECT LEAST((SELECT MAX(v_ts) FROM v),
+                         (SELECT MAX(p_ts) FROM p)) - INTERVAL 2 HOUR AS w
+        )
+        SELECT v.user_id, v.view_id
+        FROM v, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p.user_id = v.user_id
+                  AND p.p_ts >= v.v_ts
+                  AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR)
+          AND v.v_ts + INTERVAL 1 HOUR < wm.w
+    """,
+    doc=(
+        "STREAM-STREAM ANTI join (the abandonment feed): views with NO "
+        "purchase inside their 1-hour horizon, emitted exactly once at "
+        "state eviction — the negative-space complement of the semi "
+        "join's converted-view feed, and the remaining cell of the "
+        "stream-stream matrix (inner/left/full/semi/anti). Spark has no "
+        "native stream-stream left_anti, and the composition that "
+        "expresses it is LEFT OUTER + post-join IS NULL filter: the "
+        "outer join's null-padded eviction rows ARE the anti rows, and "
+        "the stateless filter drops matched rows at zero extra state — "
+        "same watermark bounds, same shuffle, same state store as the "
+        "outer join. The oracle is the NOT EXISTS form gated by the "
+        "final-watermark closure term (an unmatched view still inside "
+        "the watermark at end-of-replay is NOT emitted, exactly like "
+        "the outer variants' null rows)."
+    ),
+    tags=("streaming", "join", "interval", "anti"),
+)
+def streaming_abandoned_views_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_replay_source(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = (
+        views.join(
+            purchases,
+            (F.col("v_user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .filter(F.col("p_user_id").isNull())
+        .select(F.col("v_user_id").alias("user_id"), "view_id")
+    )
+    return run_to_memory(
+        joined, _sink_name("streaming_ss_anti_join"), output_mode="append"
+    )

@@ -2263,3 +2263,68 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("source_cut") - F.col("global_cut"), 6).alias("shift"),
         )
     )
+
+
+@register(
+    "phrase_match_positions",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, u.pos, u.phrase FROM (
+                SELECT doc_id,
+                       unnest([{'pos': i,
+                                'phrase': array_to_string(t[i:i+2], ' ')}
+                               FOR i IN range(1, len(t) - 1)]) AS u
+                FROM toks
+            )
+        ),
+        top AS (
+            SELECT phrase FROM tri
+            GROUP BY phrase
+            ORDER BY COUNT(*) DESC, phrase ASC
+            LIMIT 1
+        )
+        SELECT tri.doc_id, tri.pos, tri.phrase
+        FROM tri JOIN top USING (phrase)
+    """,
+    doc=(
+        "POSITIONAL PHRASE MATCHING: every exact occurrence (doc_id, "
+        "1-based token position) of a 3-word query phrase — the "
+        "positional-postings retrieval primitive that term-level "
+        "boolean_and_search cannot express (AND-of-terms matches words "
+        "scattered anywhere; a phrase needs ADJACENCY). The query "
+        "phrase is data-derived for determinism: the corpus's most "
+        "frequent trigram, tie-broken lexicographically. Plan: ONE scan "
+        "builds the positional trigram postings as a projection "
+        "(transform over the token array feeding posexplode — no "
+        "self-join of a postings table on pos+1/pos+2, which would "
+        "shuffle the corpus twice); the top-1 phrase is a "
+        "TakeOrderedAndProject over the vocab-bounded trigram counts; "
+        "the probe is a broadcast equi-join of that 1-row phrase back "
+        "into the postings stream. At 100 TB with a USER-supplied "
+        "phrase the count/top-1 subtree disappears entirely and the "
+        "probe becomes a pushed-down literal filter; either way only "
+        "(doc_id, pos) pairs for MATCHING trigrams survive the scan — "
+        "the posting list of one phrase, not a positional index of the "
+        "corpus."
+    ),
+    tags=("text", "llm", "retrieval"),
+)
+def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(tokens(F.col("text")), 3)).alias("pos0", "phrase"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "phrase")
+    top = (
+        tri.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("phrase"))
+        .limit(1)
+        .select("phrase")
+    )
+    return tri.join(F.broadcast(top), "phrase").select("doc_id", "pos", "phrase")
