@@ -314,3 +314,156 @@ def test_chi_square_matches_pure_python(spark):
     assert got.dof == (len(langs) - 1) * (len(srcs) - 1)
     want_v = math.sqrt(chi / (n * min(len(langs) - 1, len(srcs) - 1)))
     assert abs(got.cramers_v - round(want_v, 6)) < 1e-6
+
+
+def test_fold_leakage_partitions_all_near_dup_pairs(spark):
+    """The fold-pair matrix must PARTITION the near-dup pair set: cell
+    counts sum to the ngram_jaccard_pairs row count, shares sum to 1,
+    and each cell's labels match a pure-Python re-derivation of the
+    kfold hash on the pair list."""
+    pairs = [
+        (int(r.doc_a), int(r.doc_b))
+        for r in _run(spark, "ngram_jaccard_pairs").collect()
+    ]
+
+    def fold(d: int) -> int:
+        return (((d % 2147483648) * 2654435761) % 4294967296) % 5
+
+    from collections import Counter
+
+    expected = Counter(
+        (min(fold(a), fold(b)), max(fold(a), fold(b))) for a, b in pairs
+    )
+    rows = _run(spark, "cv_fold_leakage_audit").collect()
+    got = {(int(r.fold_a), int(r.fold_b)): int(r.n_pairs) for r in rows}
+    assert got == dict(expected)
+    assert sum(got.values()) == len(pairs)
+    assert abs(sum(float(r.pair_share) for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert int(r.cross_fold) == (0 if r.fold_a == r.fold_b else 1)
+
+
+def test_phrase_match_positions_are_exact_occurrences(spark):
+    """Every reported (doc, pos) must be a literal occurrence of the
+    phrase at that 1-based token position, the phrase must be the
+    corpus-wide most frequent trigram (lexicographic tie-break), and NO
+    occurrence may be missing."""
+    from collections import Counter
+
+    docs = _docs(spark)
+    tri_count: Counter = Counter()
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for d, t in docs.items():
+        toks = t.split(" ")
+        for i in range(len(toks) - 2):
+            g = " ".join(toks[i : i + 3])
+            tri_count[g] += 1
+            occs.setdefault(g, []).append((d, i + 1))
+    top = min(tri_count, key=lambda g: (-tri_count[g], g))
+    rows = _run(spark, "phrase_match_positions").collect()
+    assert {r.phrase for r in rows} == {top}
+    assert {(int(r.doc_id), int(r.pos)) for r in rows} == set(occs[top])
+
+
+def test_k_anonymity_audit_flags_and_shares(spark):
+    """Anonymity sets must sum to the corpus size, the at_risk flag must
+    equal (anonymity_set < 5), and a pure-Python regroup of the
+    quasi-identifier tuple must reproduce every cell."""
+    from collections import Counter
+
+    from weather_stream_processor_spark.sources import load_table
+
+    meta = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "source", "n_chars")
+        .collect()
+    )
+    expected = Counter((r.lang, r.source, int(r.n_chars) // 100) for r in meta)
+    rows = _run(spark, "k_anonymity_audit").collect()
+    got = {(r.lang, r.source, int(r.len_bucket)): int(r.anonymity_set) for r in rows}
+    assert got == dict(expected)
+    assert sum(got.values()) == len(meta)
+    for r in rows:
+        assert int(r.at_risk) == (1 if int(r.anonymity_set) < 5 else 0)
+        assert abs(float(r.doc_share) - int(r.anonymity_set) / len(meta)) < 1e-5
+
+
+def test_conformal_coverage_matches_numpy_and_is_calibrated(spark):
+    """Re-derive the whole split-conformal pipeline in numpy/pure Python
+    (even/odd split, per-(type,hour) calibration mean, exact interpolated
+    q0.9 residual quantile, test coverage) and require cell-identical
+    output. The coverage BAND is deliberately loose: on the ~200-events-
+    per-type smoke fixture each (type, hour) cell holds ~5 calibration
+    points, so in-sample residuals are biased low (the mean was fit on
+    them) and measured coverage sits at 0.71-0.82; at sf0.01 (~2000 per
+    type) the same operator measures 0.86-0.90 against the nominal 0.9 —
+    the conformal guarantee needs exchangeability and n >> cells, both of
+    which the smoke fixture intentionally lacks."""
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .selectExpr("event_type", "hour(ts) AS hod", "value", "event_id")
+        .where("value IS NOT NULL")
+        .collect()
+    )
+    cal = [r for r in ev if r.event_id % 2 == 0]
+    test = [r for r in ev if r.event_id % 2 != 0]
+    preds: dict[tuple[str, int], float] = {}
+    acc: dict[tuple[str, int], list[float]] = {}
+    for r in cal:
+        acc.setdefault((r.event_type, r.hod), []).append(r.value)
+    preds = {k: round(float(np.mean(v)), 6) for k, v in acc.items()}
+    resid: dict[str, list[float]] = {}
+    for r in cal:
+        resid.setdefault(r.event_type, []).append(
+            round(abs(r.value - preds[(r.event_type, r.hod)]), 6)
+        )
+    rows = _run(spark, "conformal_interval_coverage").collect()
+    assert rows, "no output"
+    for row in rows:
+        rs = resid[row.event_type]
+        assert int(row.n_cal) == len(rs)
+        q = round(float(np.quantile(rs, 0.9, method="linear")), 6)
+        assert abs(float(row.halfwidth) - q) < 1e-6, (row.event_type, row.halfwidth, q)
+        tt = [
+            r
+            for r in test
+            if r.event_type == row.event_type and (r.event_type, r.hod) in preds
+        ]
+        cov = sum(
+            1
+            for r in tt
+            if round(abs(r.value - preds[(r.event_type, r.hod)]), 6) <= q
+        ) / len(tt)
+        assert int(row.n_test) == len(tt)
+        assert abs(float(row.coverage) - cov) < 1e-6
+        assert 0.65 <= float(row.coverage) <= 1.0
+
+
+def test_streaming_anti_and_semi_partition_the_closed_views(spark):
+    """Anti (abandoned) and semi (converted) feeds must be disjoint, and
+    their union must cover every view whose join horizon the final
+    watermark closed: anti = closed views minus semi-matched views."""
+    from weather_stream_processor_spark.sources import load_table
+
+    anti = {int(r.view_id) for r in _run(spark, "streaming_abandoned_views_anti").collect()}
+    semi = {int(r.view_id) for r in _run(spark, "streaming_stream_stream_semi_join").collect()}
+    assert not (anti & semi)
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    views = [(int(r.event_id), r.user_id, r.ts) for r in ev if r.event_type == "view"]
+    pur = [(r.user_id, r.ts) for r in ev if r.event_type == "purchase"]
+    import datetime as dt
+
+    wmax = min(max(t for _, _, t in views), max(t for _, t in pur)) - dt.timedelta(hours=2)
+    matched = {
+        vid
+        for vid, u, t in views
+        if any(pu == u and t <= pt <= t + dt.timedelta(hours=1) for pu, pt in pur)
+    }
+    closed_unmatched = {
+        vid
+        for vid, u, t in views
+        if vid not in matched and t + dt.timedelta(hours=1) < wmax
+    }
+    assert anti == closed_unmatched
