@@ -582,3 +582,49 @@ def test_hard_negative_cells_no_cartesian(spark):
         contains=("FlatMapGroupsInPandas",),
         not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
     )
+
+
+def test_phrase_probe_broadcasts_top1(spark):
+    # the 1-row top-phrase probe must broadcast into the postings stream,
+    # and the postings must come from a projection-explode (no postings
+    # self-join on pos+1: exactly one join in the whole plan)
+    ops = operator_names(_df(spark, "phrase_match_positions"))
+    assert "BroadcastHashJoin" in ops
+    assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops
+    assert sum(1 for o in ops if "Join" in o) == 1
+    assert "Generate" in ops  # the posexplode
+
+
+def test_k_anonymity_single_partial_aggregate(spark):
+    # one scan, partial+final aggregate pair on the combo tuple, and the
+    # only join is the broadcast of the 1-row total
+    ops = operator_names(_df(spark, "k_anonymity_audit"))
+    assert ops.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in ops
+    joins = [o for o in ops if "Join" in o or "CartesianProduct" in o]
+    assert all("Broadcast" in o for o in joins), joins
+
+
+def test_fold_leakage_adds_no_join_over_pair_source(spark):
+    # fold labeling is pure doc_id arithmetic and the share denominator a
+    # bounded window over the grouped cells: the audit must add ZERO
+    # joins on top of the jaccard pair join itself (a count-then-crossJoin
+    # denominator would re-execute the whole near-dup join — Catalyst
+    # does not dedupe common subtrees)
+    base = operator_names(_df(spark, "ngram_jaccard_pairs"))
+    audit = operator_names(_df(spark, "cv_fold_leakage_audit"))
+    n_joins = lambda ops: sum(
+        1 for o in ops if "Join" in o or "CartesianProduct" in o
+    )
+    assert n_joins(audit) == n_joins(base)
+    assert "CartesianProduct" not in audit
+
+
+def test_conformal_model_and_width_tables_broadcast(spark):
+    # the per-(type,hour) model and per-type width tables are domain-
+    # bounded: every join in the plan must be a broadcast, never a
+    # shuffled join of the events scan against them
+    ops = operator_names(_df(spark, "conformal_interval_coverage"))
+    joins = [o for o in ops if "Join" in o]
+    assert joins and all("Broadcast" in o for o in joins), joins
+    assert "SortMergeJoin" not in ops

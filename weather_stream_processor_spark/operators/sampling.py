@@ -1227,13 +1227,14 @@ def _leakage_oracle() -> str:
                    GREATEST({_fold_sql('doc_a')}, {_fold_sql('doc_b')}) AS fold_b
             FROM pairs
         ),
-        tot AS (SELECT COUNT(*) AS t FROM lab)
-        SELECT fold_a, fold_b,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        cells AS (
+            SELECT fold_a, fold_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM lab GROUP BY fold_a, fold_b
+        )
+        SELECT fold_a, fold_b, n_pairs,
                CAST(fold_a <> fold_b AS INT) AS cross_fold,
-               ROUND(COUNT(*) * 1.0 / tot.t, 6) AS pair_share
-        FROM lab CROSS JOIN tot
-        GROUP BY fold_a, fold_b, tot.t
+               ROUND(n_pairs * 1.0 / SUM(n_pairs) OVER (), 6) AS pair_share
+        FROM cells
     """
 
 
@@ -1265,21 +1266,28 @@ def _leakage_oracle() -> str:
 def cv_fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.operators.dedup import ngram_jaccard_pairs
 
+    from pyspark.sql.window import Window
+
     pairs = ngram_jaccard_pairs(spark, sf_dir)
     fa, fb = _fold_of("doc_a"), _fold_of("doc_b")
     lab = pairs.select(
         F.least(fa, fb).alias("fold_a"), F.greatest(fa, fb).alias("fold_b")
     )
-    tot = lab.agg(F.count(F.lit(1)).alias("t"))
-    return (
-        lab.groupBy("fold_a", "fold_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "fold_a",
-            "fold_b",
-            "n_pairs",
-            (F.col("fold_a") != F.col("fold_b")).cast("int").alias("cross_fold"),
-            F.round(F.col("n_pairs") / F.col("t"), 6).alias("pair_share"),
-        )
+    cells = lab.groupBy("fold_a", "fold_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    # the share denominator is a window over the ALREADY-grouped cells
+    # (<= K^2 = 25 rows — the audited bounded-cardinality window class),
+    # NOT a second aggregate over the pair source: Catalyst does not
+    # dedupe common subtrees, so a count-then-crossJoin form would
+    # execute the whole banded near-dup join TWICE (caught by the
+    # join-count plan test)
+    return cells.select(
+        "fold_a",
+        "fold_b",
+        "n_pairs",
+        (F.col("fold_a") != F.col("fold_b")).cast("int").alias("cross_fold"),
+        F.round(
+            F.col("n_pairs") / F.sum("n_pairs").over(Window.partitionBy()), 6
+        ).alias("pair_share"),
     )
