@@ -112,6 +112,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # round-5b additions (new operators, never driver-sampled)
     "cv_fold_leakage_audit", "phrase_match_positions", "k_anonymity_audit",
     "conformal_interval_coverage", "streaming_abandoned_views_anti",
+    "group_aware_fold_assignment", "knn_label_noise_scores",
+    "jl_projection_distortion",
 )
 
 

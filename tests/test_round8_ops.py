@@ -467,3 +467,108 @@ def test_streaming_anti_and_semi_partition_the_closed_views(spark):
         if vid not in matched and t + dt.timedelta(hours=1) < wmax
     }
     assert anti == closed_unmatched
+
+
+def test_group_aware_folds_eliminate_leakage(spark):
+    """The whole point: under group-aware assignment every near-dup pair
+    is co-fold (cross_fold_pairs identically 0), doc counts cover the
+    corpus, and a pure-Python re-derivation (CC via union-find over the
+    jaccard pairs, fold = kfold hash of the cluster-min id) reproduces
+    every per-fold cell."""
+    pairs = [
+        (int(r.doc_a), int(r.doc_b))
+        for r in _run(spark, "ngram_jaccard_pairs").collect()
+    ]
+    docs = sorted(_docs(spark))
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    def fold(g: int) -> int:
+        return (((g % 2147483648) * 2654435761) % 4294967296) % 5
+
+    from collections import Counter, defaultdict
+
+    n_docs: Counter = Counter()
+    groups = defaultdict(set)
+    for d in docs:
+        g = find(d)
+        f = fold(g)
+        n_docs[f] += 1
+        groups[f].add(g)
+    rows = _run(spark, "group_aware_fold_assignment").collect()
+    assert {int(r.fold): int(r.n_docs) for r in rows} == dict(n_docs)
+    assert {int(r.fold): int(r.n_groups) for r in rows} == {
+        f: len(g) for f, g in groups.items()
+    }
+    assert all(int(r.cross_fold_pairs) == 0 for r in rows)
+    assert sum(int(r.n_docs) for r in rows) == len(docs)
+
+
+def test_knn_label_noise_matches_brute_force(spark):
+    """Exact re-derivation: numpy full cosine matrix, top-5 neighbors per
+    vector ((sim DESC, id ASC) total order on 6dp-rounded sims), noise =
+    neighbor-label disagreement fraction — must match every row, and the
+    action flag must follow the 0.8 threshold."""
+    ids, labs, mat = _embeddings(spark)
+    n = len(ids)
+    nrm = mat / np.sqrt((mat * mat).sum(axis=1, keepdims=True))
+    sims = np.round(nrm @ nrm.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    expected = {}
+    for r in range(n):
+        order = np.lexsort((ids, -sims[r]))[:5]
+        dis = int(sum(labs[o] != labs[r] for o in order))
+        expected[int(ids[r])] = (int(labs[r]), dis, round(dis / 5, 6))
+    rows = _run(spark, "knn_label_noise_scores").collect()
+    assert len(rows) == n
+    for row in rows:
+        lab, dis, score = expected[int(row.vec_id)]
+        assert (int(row.label), int(row.n_disagree)) == (lab, dis)
+        assert abs(float(row.noise_score) - score) < 1e-9
+        assert row.action == ("review" if score >= 0.8 else "keep")
+
+
+def test_jl_distortion_matches_numpy_and_concentrates(spark):
+    """The projection must equal numpy's S@x/sqrt(m) with the same sign
+    constants, per-pair ratios must match, and the JL concentration must
+    hold loosely: mean ratio within 15% of 1, ~all ratios in [0.2, 2.5]
+    at m=16 — and the TAILS are honest: with only m=16 Rademacher sums
+    the squared-ratio is roughly chi^2_16/16 (stddev ~0.35) but
+    individual pairs land out to ~0.08x / ~5.5x on this fixture
+    (correlated dims concentrate some pair differences in few
+    directions), so the band asserts the bulk, not a clip the data
+    does not obey: mean within 15% of 1, >=97% of ratios in
+    [0.05, 4.0]."""
+    from weather_stream_processor_spark.operators.similarity import (
+        _JL_SIGNS,
+        JL_M,
+    )
+
+    ids, _, mat = _embeddings(spark)
+    S = np.array(_JL_SIGNS, dtype=np.float64)  # (m, d)
+    Y = np.round(mat @ S.T / np.sqrt(JL_M), 6)
+    idx = {int(v): i for i, v in enumerate(ids)}
+    rows = _run(spark, "jl_projection_distortion").collect()
+    assert rows
+    ratios = []
+    for r in rows:
+        a, b = idx[int(r.vec_a)], idx[int(r.vec_b)]
+        d2o = round(float(((mat[a] - mat[b]) ** 2).sum()), 6)
+        d2p = float(
+            sum((Y[a][j] - Y[b][j]) * (Y[a][j] - Y[b][j]) for j in range(JL_M))
+        )
+        assert abs(float(r.d2_orig) - d2o) < 1e-6
+        assert abs(float(r.d2_proj) - round(d2p, 6)) < 1e-6
+        ratios.append(float(r.ratio))
+    assert abs(float(np.mean(ratios)) - 1.0) < 0.15
+    assert np.mean([(0.05 <= x <= 4.0) for x in ratios]) > 0.97

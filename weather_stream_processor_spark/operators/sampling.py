@@ -1291,3 +1291,114 @@ def cv_fold_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pairs") / F.sum("n_pairs").over(Window.partitionBy()), 6
         ).alias("pair_share"),
     )
+
+
+def _group_fold_oracle() -> str:
+    from weather_stream_processor_spark.operators.dedup import _COMPONENTS_CTES
+
+    return f"""
+        WITH RECURSIVE {_COMPONENTS_CTES},
+        gmap AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component_id, d.doc_id) AS group_id
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ),
+        fmap AS (
+            SELECT doc_id, group_id, {_fold_sql('group_id')} AS fold FROM gmap
+        ),
+        x AS (
+            SELECT LEAST(fa.fold, fb.fold) AS fold,
+                   CAST(COUNT(*) AS BIGINT) AS cross_pairs
+            FROM pairs p
+            JOIN fmap fa ON p.doc_a = fa.doc_id
+            JOIN fmap fb ON p.doc_b = fb.doc_id
+            WHERE fa.fold <> fb.fold
+            GROUP BY 1
+        ),
+        per AS (
+            SELECT fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups
+            FROM fmap GROUP BY fold
+        )
+        SELECT per.fold, per.n_docs, per.n_groups,
+               ROUND(per.n_docs * 1.0 / SUM(per.n_docs) OVER (), 6)
+                   AS fold_share,
+               COALESCE(x.cross_pairs, 0) AS cross_fold_pairs
+        FROM per LEFT JOIN x USING (fold)
+    """
+
+
+@register(
+    "group_aware_fold_assignment",
+    oracle=_group_fold_oracle(),
+    doc=(
+        "GROUP-AWARE CV FOLD ASSIGNMENT — the FIX for what "
+        "cv_fold_leakage_audit measures: fold membership is keyed on the "
+        "near-dup CLUSTER id (connected-components canonical min-doc_id; "
+        "singletons key on themselves), so every member of a duplicate "
+        "cluster lands in the SAME fold by construction and cross-fold "
+        "near-dup leakage is provably zero. The output certifies it "
+        "in-band: per-fold doc/group counts and balance PLUS the "
+        "cross_fold_pairs column, computed (not asserted) by labeling "
+        "both ends of every near-dup pair — the hash-checked zero is "
+        "the point of the operator. Plan: the CC labels (component-"
+        "member-sized) broadcast-join into the doc list; the fold is "
+        "pure arithmetic on the group id; the per-fold aggregate is "
+        "K-bounded with the share as a window over <= K rows; the "
+        "certificate pass re-labels the pair list via two doc-keyed "
+        "joins of the (doc_id, fold) projection. At 100 TB the pair "
+        "tier swaps to minhash exactly as in the audit; the assignment "
+        "itself adds one broadcast join + a projection to the corpus "
+        "scan — group-aware splitting costs nothing more than having "
+        "run dedup, which the pipeline runs anyway."
+    ),
+    tags=("sampling", "llm", "dedup", "audit"),
+)
+def group_aware_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators.dedup import (
+        dedup_connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_connected_components(spark, sf_dir).select(
+        F.col("doc_id").alias("c_doc_id"), "component_id"
+    )
+    fmap = (
+        docs.join(F.broadcast(labels), docs.doc_id == F.col("c_doc_id"), "left")
+        .select(
+            "doc_id", F.coalesce("component_id", "doc_id").alias("group_id")
+        )
+        .select("doc_id", "group_id", _fold_of("group_id").alias("fold"))
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    fa = fmap.select(F.col("doc_id").alias("doc_a"), F.col("fold").alias("fold_a"))
+    fb = fmap.select(F.col("doc_id").alias("doc_b"), F.col("fold").alias("fold_b"))
+    cross = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+        .groupBy(F.least("fold_a", "fold_b").alias("fold"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cross_pairs"))
+    )
+    per = fmap.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("group_id").cast("bigint").alias("n_groups"),
+    )
+    return (
+        per.join(F.broadcast(cross), "fold", "left")
+        .select(
+            "fold",
+            "n_docs",
+            "n_groups",
+            F.round(
+                F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+            ).alias("fold_share"),
+            F.coalesce("cross_pairs", F.lit(0).cast("bigint")).alias(
+                "cross_fold_pairs"
+            ),
+        )
+    )

@@ -2240,3 +2240,206 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         trace, "round int, center_id long, sep_dist double"
     )
+
+
+_NOISE_REVIEW = 0.8  # neighborhood-disagreement fraction that flags a label
+
+
+@register(
+    "knn_label_noise_scores",
+    oracle=_ALLKNN_ORACLE_CTE
+    + f"""
+        , scored AS (
+            SELECT k.va AS vec_id, ea.label,
+                   SUM(CASE WHEN eb.label <> ea.label THEN 1 ELSE 0 END)
+                       AS n_disagree,
+                   COUNT(*) AS n_nbrs
+            FROM (SELECT * FROM knn WHERE rnk <= {MUTUAL_K}) k
+            JOIN embeddings ea ON ea.vec_id = k.va
+            JOIN embeddings eb ON eb.vec_id = k.vb
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               CAST(n_disagree AS BIGINT) AS n_disagree,
+               ROUND(n_disagree * 1.0 / n_nbrs, 6) AS noise_score,
+               CASE WHEN n_disagree * 1.0 / n_nbrs >= {_NOISE_REVIEW}
+                    THEN 'review' ELSE 'keep' END AS action
+        FROM scored
+    """,
+    doc=(
+        f"k-NN LABEL-NOISE SCORING (k={MUTUAL_K}): for every labeled "
+        "vector, the fraction of its exact cosine top-k neighbors whose "
+        "label DISAGREES with its own, plus the actionable verdict "
+        f"(disagreement >= {_NOISE_REVIEW} -> 'review') — the "
+        "neighborhood-consistency screen (confident-learning family, "
+        "Northcutt et al.) that surfaces mislabeled training examples "
+        "before they poison a classifier: a point deep inside another "
+        "class's cluster is overwhelmingly outvoted by its neighbors. "
+        "Plan: the SAME B-block all-kNN grid as mutual_knn_pairs / the "
+        "hubness audit (per-cell Arrow GEMM top-k, |rows|*k cell output, "
+        "never |rows|^2), then two vec_id-keyed equi-joins attach the "
+        "self and neighbor labels (label table scales with the corpus — "
+        "shuffled joins, not broadcasts) and one aggregate folds each "
+        "neighborhood to a score. Exact-verified against the full "
+        "O(n^2) DuckDB oracle. At 100 TB the grid is the cost and is "
+        "shared infrastructure: noise scoring piggybacks on whichever "
+        "kNN graph the pipeline already builds."
+    ),
+    tags=("similarity", "llm", "pandas-udf", "scale", "audit"),
+)
+def knn_label_noise_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn = _allknn_directed(spark, sf_dir, MUTUAL_K)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    self_lab = lab.select(F.col("vec_id"), F.col("label"))
+    nbr_lab = lab.select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label")
+    )
+    scored = (
+        knn.join(self_lab, "vec_id")
+        .join(nbr_lab, "nbr_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("nbr_label") != F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("n_disagree"),
+            F.count(F.lit(1)).alias("n_nbrs"),
+        )
+    )
+    noise = F.col("n_disagree") / F.col("n_nbrs")
+    return scored.select(
+        "vec_id",
+        "label",
+        "n_disagree",
+        F.round(noise, 6).alias("noise_score"),
+        F.when(noise >= _NOISE_REVIEW, "review").otherwise("keep").alias("action"),
+    )
+
+
+# Deterministic Rademacher (+/-1) sign matrix for the JL projection:
+# compile-time constants from the Knuth multiplicative hash, so BOTH
+# engines consume identical literals and no cross-engine hash arithmetic
+# runs at query time. JL_M=16 target dims from the 64-dim fixture space.
+JL_M = 16
+_JL_DIM = 64
+_JL_SIGNS = [
+    [
+        1 if (((i * _JL_DIM + j + 1) * 2654435761) % (1 << 32)) < (1 << 31) else -1
+        for i in range(_JL_DIM)
+    ]
+    for j in range(JL_M)
+]
+
+
+def _jl_oracle() -> str:
+    y_cols = ",\n                   ".join(
+        f"ROUND(list_inner_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(s) + '.0' for s in _JL_SIGNS[j])}]) / {JL_M**0.5!r}, 6)"
+        f" AS y{j}"
+        for j in range(JL_M)
+    )
+    d2_proj = " + ".join(f"(a.y{j} - b.y{j}) * (a.y{j} - b.y{j})" for j in range(JL_M))
+    return f"""
+        WITH proj AS (
+            SELECT vec_id, embedding,
+                   {y_cols}
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_sum([(a.embedding[i]::DOUBLE
+                                    - b.embedding[i]::DOUBLE)
+                                   * (a.embedding[i]::DOUBLE
+                                      - b.embedding[i]::DOUBLE)
+                                   FOR i IN range(1, {_JL_DIM + 1})]), 6)
+                       AS d2_orig,
+                   ROUND({d2_proj}, 6) AS d2_proj
+            FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1
+        )
+        SELECT vec_a, vec_b, d2_orig, d2_proj,
+               ROUND(d2_proj / d2_orig, 6) AS ratio
+        FROM pairs WHERE d2_orig > 0
+    """
+
+
+@register(
+    "jl_projection_distortion",
+    oracle=_jl_oracle(),
+    doc=(
+        f"JOHNSON-LINDENSTRAUSS PROJECTION + DISTORTION AUDIT: project "
+        f"the {_JL_DIM}-dim embeddings to {JL_M} dims with a "
+        "deterministic Rademacher sign matrix (y = Sx/sqrt(m); Achlioptas "
+        "2003 — database-friendly random projections), then measure the "
+        "squared-distance ratio d2_proj/d2_orig on the consecutive-id "
+        "pair spine — the per-pair certificate of how much geometry a "
+        "4x compression costs (JL: ratios concentrate near 1 with "
+        "stddev ~ sqrt(2/m) ~ 0.35 at m=16). Complements "
+        "embedding_truncation_energy (energy-based truncation) and the "
+        "int8 quant audit with the projection-based third compression "
+        "lever. Plan: the sign matrix is a COMPILE-TIME literal in both "
+        "engines; the projection is m in-plan zip_with/aggregate HOFs "
+        "per row (one scan, JVM codegen, no UDF, no shuffle); the pair "
+        "spine is one self equi-join on vec_id+1 (shuffle keyed on "
+        "vec_id — at 100 TB use a range-partitioned sort so consecutive "
+        "ids co-locate); projections are 6dp-rounded BEFORE distances "
+        "so both engines difference identical values. At 100 TB the "
+        "projected table is the artifact (16/64 the bytes) and the "
+        "audit rides along on the write pass."
+    ),
+    tags=("similarity", "llm", "scale", "audit"),
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def proj(j: int):
+        signs = F.array(*[F.lit(float(s)) for s in _JL_SIGNS[j]])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", signs, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(JL_M**0.5),
+            6,
+        ).alias(f"y{j}")
+
+    p = emb.select("vec_id", "embedding", *[proj(j) for j in range(JL_M)])
+    a = p.alias("a")
+    b = p.alias("b")
+    d2_orig = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    d2_proj_expr = None
+    for j in range(JL_M):
+        t = (F.col(f"a.y{j}") - F.col(f"b.y{j}")) * (
+            F.col(f"a.y{j}") - F.col(f"b.y{j}")
+        )
+        d2_proj_expr = t if d2_proj_expr is None else d2_proj_expr + t
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            d2_orig.alias("d2_orig"),
+            F.round(d2_proj_expr, 6).alias("d2_proj"),
+        )
+        .filter(F.col("d2_orig") > 0)
+        .select(
+            "vec_a",
+            "vec_b",
+            "d2_orig",
+            "d2_proj",
+            F.round(F.col("d2_proj") / F.col("d2_orig"), 6).alias("ratio"),
+        )
+    )
