@@ -628,3 +628,68 @@ def test_conformal_model_and_width_tables_broadcast(spark):
     joins = [o for o in ops if "Join" in o]
     assert joins and all("Broadcast" in o for o in joins), joins
     assert "SortMergeJoin" not in ops
+
+
+def test_lof_reuses_allknn_grid_no_quadratic_join(spark):
+    # LOF's kNN lists come from the B-block Arrow grid; everything after
+    # is keyed equi-joins over the O(n*k) neighbor table — the plan must
+    # show the Arrow runner and no quadratic join of the corpus
+    df = _df(spark, "lof_outlier_scores")
+    require_plan(
+        df,
+        contains=("FlatMapGroupsInPandas",),
+        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+
+
+def test_rag_chunk_manifest_is_shuffle_free_and_pruned(spark):
+    # chunking is a pure map-side projection: no Exchange anywhere, and
+    # the scan reads only (doc_id, text)
+    ops = operator_names(_df(spark, "rag_chunk_manifest"))
+    assert not any("Exchange" in o for o in ops), ops
+    [cols] = read_schema_columns(_df(spark, "rag_chunk_manifest"))
+    assert set(cols) == {"doc_id", "text"}
+
+
+def test_multi_pattern_scan_broadcasts_patterns(spark):
+    # SCAN x BROADCAST(patterns): the pattern table must arrive via a
+    # broadcast nested-loop (it is a true cross join of a tiny dim),
+    # never a shuffled join, and the corpus scan is pruned to
+    # (doc_id, text)
+    df = _df(spark, "multi_pattern_match")
+    require_plan(
+        df,
+        contains=("BroadcastNestedLoopJoin",),
+        not_contains=("SortMergeJoin", "CartesianProduct"),
+    )
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {"doc_id", "text"}
+
+
+def test_roc_auc_prunes_to_score_inputs_one_scan(spark):
+    # the AUC plan reads documents exactly ONCE (totals come from the
+    # bounded grid, not a second aggregate over the corpus), and the
+    # scan is pruned to (text, lang) — doc_id never leaves the parquet
+    df = _df(spark, "roc_auc_exact")
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {"text", "lang"}
+    ops = operator_names(df)
+    assert sum(1 for o in ops if o.startswith("Scan parquet")) == 1, ops
+
+
+def test_encoding_advisor_profiles_all_columns_in_one_scan(spark):
+    # the advisor's whole point: 11 columns profiled in ONE pass over
+    # lineitem, not |columns| scans
+    ops = operator_names(_df(spark, "column_encoding_advisor"))
+    assert sum(1 for o in ops if o.startswith("Scan parquet")) == 1, ops
+
+
+def test_adamic_adar_scan_pruned_and_no_cartesian(spark):
+    df = _df(spark, "adamic_adar_link_prediction")
+    require_plan(
+        df,
+        contains=("TakeOrderedAndProject",),
+        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"l_orderkey", "l_partkey"}, cols

@@ -40,6 +40,8 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     windows,
 )
 
-# report.py composes already-registered tier operators (builders + oracle
-# SQL), so it must import after every tier module above
+# evals.py embeds text.py's registered BM25 oracle; report.py composes
+# already-registered tier operators (builders + oracle SQL) — both must
+# import after every tier module above
+from weather_stream_processor_spark.operators import evals  # noqa: E402,F401
 from weather_stream_processor_spark.operators import report  # noqa: E402,F401

@@ -2241,3 +2241,225 @@ def lang_source_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("chi_square", "dof", "cramers_v")
     )
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle=f"""
+        WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        lives AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        AS BIGINT) AS lifetime_days,
+                   CASE WHEN date_diff('day', MAX(o_orderdate), ho.h)
+                             > {_CHURN_HORIZON_DAYS}
+                        THEN 1 ELSE 0 END AS churned
+            FROM orders CROSS JOIN horizon ho
+            GROUP BY o_custkey, ho.h
+        ),
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lives),
+        grid AS (
+            SELECT lifetime_days,
+                   CAST(SUM(churned) AS BIGINT) AS n_churned,
+                   CAST(COUNT(*) AS BIGINT) AS n_ending
+            FROM lives GROUP BY lifetime_days
+        ),
+        risk AS (
+            SELECT lifetime_days, n_churned,
+                   CAST(t.n - COALESCE(SUM(n_ending) OVER (
+                       ORDER BY lifetime_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_at_risk
+            FROM grid CROSS JOIN n_tot t
+        )
+        SELECT lifetime_days, n_at_risk, n_churned,
+               ROUND(SUM(n_churned * 1.0 / n_at_risk) OVER (
+                   ORDER BY lifetime_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS cum_hazard,
+               ROUND(SQRT(SUM(n_churned * 1.0 * (n_at_risk - n_churned)
+                              / (n_at_risk * 1.0 * n_at_risk * n_at_risk))
+                          OVER (
+                   ORDER BY lifetime_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                   AS hazard_se
+        FROM risk
+        WHERE n_churned > 0
+    """,
+    doc=(
+        "NELSON-AALEN CUMULATIVE HAZARD of customer lifetimes — the "
+        "companion estimator to kaplan_meier_retention over the exact "
+        "same (lifetime, churn-event, censoring) construction: H(t) = "
+        "sum_{u<=t} d_u/n_u with the counting-process variance "
+        "sum d(n-d)/n^3 as a standard error. Where the KM curve answers "
+        "'what fraction survives to t', the hazard INCREMENTS answer "
+        "'when is churn risk concentrated' (its slope is the hazard "
+        "rate, robust to small risk sets where -ln(KM) gets noisy), and "
+        "H feeds directly into Cox-model diagnostics. Plan: identical "
+        "shape to KM — one per-customer hash aggregate, one grid "
+        "aggregate, running sums over the DISTINCT-lifetime grid "
+        "(bounded by the dataset's day span, the documented-bounded "
+        "window class). Emitted at event rows only (n_churned > 0), "
+        "which is where the step function actually steps."
+    ),
+    tags=("analytics", "retention", "statistics", "window"),
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_order", "first_order")
+            .cast("bigint")
+            .alias("lifetime_days"),
+            F.when(
+                F.datediff(F.col("h"), F.col("last_order"))
+                > _CHURN_HORIZON_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    n_tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = per_cust.groupBy("lifetime_days").agg(
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+    )
+    w_prev = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.crossJoin(F.broadcast(n_tot)).select(
+        "lifetime_days",
+        "n_churned",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_at_risk"),
+    )
+    d, n = F.col("n_churned"), F.col("n_at_risk")
+    return risk.select(
+        "lifetime_days",
+        "n_at_risk",
+        "n_churned",
+        F.round(F.sum(d * 1.0 / n).over(w_run), 6).alias("cum_hazard"),
+        F.round(
+            F.sqrt(F.sum(d * 1.0 * (n - d) / (n * 1.0 * n * n)).over(w_run)),
+            6,
+        ).alias("hazard_se"),
+    ).filter(F.col("n_churned") > 0)
+
+
+_AA_MIN_SUPPORT = 2  # co-purchase orders required before a pair is an edge
+
+
+@register(
+    "adamic_adar_link_prediction",
+    oracle=f"""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        und AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_AA_MIN_SUPPORT}
+        ),
+        edges AS (
+            SELECT pa, pb FROM und
+            UNION ALL SELECT pb, pa FROM und
+        ),
+        deg AS (SELECT pa AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM edges GROUP BY pa),
+        wedges AS (
+            SELECT e1.pa AS part_a, e2.pb AS part_b, e1.pb AS z
+            FROM edges e1 JOIN edges e2
+              ON e1.pb = e2.pa AND e1.pa < e2.pb
+        ),
+        aa AS (
+            SELECT w.part_a, w.part_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_common,
+                   ROUND(SUM(1.0 / ln(d.deg)), 6) AS aa_score
+            FROM wedges w
+            JOIN deg d ON d.node = w.z
+            LEFT JOIN und u ON u.pa = w.part_a AND u.pb = w.part_b
+            WHERE u.pa IS NULL
+            GROUP BY w.part_a, w.part_b
+        )
+        SELECT part_a, part_b, n_common, aa_score
+        FROM aa
+        ORDER BY aa_score DESC, part_a ASC, part_b ASC
+        LIMIT 20
+    """,
+    doc=(
+        "ADAMIC-ADAR LINK PREDICTION on the part co-purchase graph: "
+        f"nodes are parts, an edge requires >= {_AA_MIN_SUPPORT} shared "
+        "orders (the min-support prune that keeps noise pairs out of the "
+        "graph AND bounds the wedge join), and for every NON-adjacent "
+        "pair with common neighbors AA = sum over common neighbors z of "
+        "1/ln(deg(z)) — common neighbors weighted inversely by how "
+        "promiscuous they are, the classic 'you will buy these together "
+        "next' / recommend-missing-edge score (Adamic & Adar 2003). "
+        "Top-20, fully tie-broken. Plan: basket-grain DISTINCT collapse "
+        "before any pairing (pairs form per-order over basket size, "
+        "never corpus-wide), support filter BEFORE the wedge join, then "
+        "one equi-join of the edge list with itself keyed on the shared "
+        "endpoint (shuffle ~ sum of squared degrees of the THRESHOLDED "
+        "graph), degree lookup joined on z, existing edges removed with "
+        "a left-anti condition, TakeOrderedAndProject for the top-k. At "
+        "100 TB the extra lever is a per-node top-degree cap before the "
+        "wedge join (drop hubs — they contribute ~0 AA weight anyway); "
+        "a common neighbor has deg >= 2 by construction so ln(deg) is "
+        "never zero. aa_score rounded to 6dp before ranking."
+    ),
+    tags=("analytics", "graph", "llm", "join"),
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ob = li.select("l_orderkey", "l_partkey").distinct()
+    a = ob.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    b = ob.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _AA_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = und.unionAll(und.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    deg = edges.groupBy(F.col("pa").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    e1 = edges.select(F.col("pa").alias("part_a"), F.col("pb").alias("z"))
+    e2 = edges.select(F.col("pa").alias("z2"), F.col("pb").alias("part_b"))
+    wedges = e1.join(
+        e2, (F.col("z") == F.col("z2")) & (F.col("part_a") < F.col("part_b"))
+    ).select("part_a", "part_b", "z")
+    aa = (
+        wedges.join(deg, wedges.z == deg.node)
+        .join(
+            und.select(
+                F.col("pa").alias("ea"), F.col("pb").alias("eb")
+            ),
+            (F.col("part_a") == F.col("ea")) & (F.col("part_b") == F.col("eb")),
+            "left_anti",
+        )
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(F.sum(1.0 / F.log("deg")), 6).alias("aa_score"),
+        )
+    )
+    return aa.orderBy(
+        F.desc("aa_score"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)

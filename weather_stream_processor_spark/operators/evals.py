@@ -1,0 +1,851 @@
+"""Evaluation / experimentation / release-audit operators.
+
+A corpus pipeline doesn't stop at producing data — it has to MEASURE the
+data and the models/filters it feeds: ranking quality (NDCG/precision/
+recall over a retrieval run), classifier threshold quality (exact
+distributed ROC-AUC, calibration error), online experiments (two-
+proportion conversion lift), privacy release audits beyond k-anonymity
+(l-diversity / entropy), retrieval-augmented-generation plumbing
+(chunk manifests), multi-pattern compliance scans, and physical-layout
+advice (per-column encoding selection from cardinality profiles).
+
+All of it follows the house determinism rules: scores rounded BEFORE any
+ranking, every ordered window runs over a grid whose cardinality is
+bounded by construction (distinct 4-dp scores, 10 calibration bins, a
+4-row relevance histogram, rank<=10 cutoffs) — never over raw rows — and
+experiment arms come from the same cross-engine Knuth multiplicative
+hash the sampling family uses (reference parity: the reference's only
+"evaluation" is its console sink, weather_stream.py:151-165; this module
+is mandated-extension surface per SURVEY §2.6).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.functions import tokens
+from weather_stream_processor_spark.operators.text import _BM25_ORACLE
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+# same cross-engine hash as operators/sampling.py (see rationale there:
+# xxhash64 would be the production choice but is engine-specific; the
+# Knuth multiplicative hash computes identically in Spark and DuckDB)
+_KNUTH = 2654435761
+_MOD = 2147483647
+
+
+def _arm(col: Column) -> Column:
+    return F.shiftright((col % _MOD) * F.lit(_KNUTH), 16) % 2
+
+
+_ARM_SQL = f"(((user_id % {_MOD}) * {_KNUTH}) >> 16) % 2"
+
+# ---------------------------------------------------------------------------
+# ROC-AUC + calibration: the "is this quality score any good" pair.
+# Score under test: lexical diversity (distinct tokens / tokens), a real
+# quality signal; label: lang = 'en'. Both are stand-ins — the OPERATOR is
+# the exact distributed AUC/ECE machinery, reusable for any (score, label).
+# ---------------------------------------------------------------------------
+
+_SCORE_CTE = """
+    scored AS (
+        SELECT doc_id,
+               ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM documents
+    )
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 4).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+    )
+
+
+@register(
+    "roc_auc_exact",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        grid AS (
+            SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg
+            FROM scored GROUP BY score
+        ),
+        run AS (
+            SELECT pos, neg,
+                   COALESCE(SUM(neg) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_below,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) OVER () AS BIGINT) AS n_neg
+            FROM grid
+        )
+        SELECT n_pos, n_neg,
+               ROUND(SUM(pos * (neg_below + 0.5 * neg))
+                     / (n_pos * 1.0 * n_neg), 6) AS auc,
+               ROUND(2.0 * SUM(pos * (neg_below + 0.5 * neg))
+                     / (n_pos * 1.0 * n_neg) - 1.0, 6) AS gini
+        FROM run
+        GROUP BY n_pos, n_neg
+    """,
+    doc=(
+        "EXACT DISTRIBUTED ROC-AUC of a quality score against a binary "
+        "label, via the Mann-Whitney identity: AUC = P(score_pos > "
+        "score_neg) + 0.5*P(tie) = sum over the DISTINCT-SCORE GRID of "
+        "pos(s) * (negatives strictly below s + half the negatives AT s), "
+        "over n_pos*n_neg. Scores are rounded to 4dp first, so the grid — "
+        "and therefore the one ordered window — is bounded at 10^4 rows "
+        "regardless of corpus size (the documented-bounded window class); "
+        "upstream is a single map-side projection + one hash aggregate. "
+        "This is how you compute exact AUC at 100 TB without the sort-"
+        "everything rank assignment sklearn does; gini = 2*AUC - 1 rides "
+        "along. Tie handling is the textbook mid-rank correction, so the "
+        "result equals sklearn.roc_auc_score on the rounded scores."
+    ),
+    tags=("evals", "llm", "statistics", "headline"),
+)
+def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    grid = s.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
+    )
+    # ordered + whole-frame windows over the <=10^4-row rounded-score
+    # grid (bounded); totals come from the grid itself so documents is
+    # scanned exactly ONCE (a separate agg would re-scan — Catalyst does
+    # not dedupe common subtrees)
+    w_below = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = grid.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
+        F.sum("neg").over(w_all).cast("bigint").alias("n_neg"),
+    )
+    num = F.sum(F.col("pos") * (F.col("neg_below") + 0.5 * F.col("neg")))
+    return (
+        run.groupBy("n_pos", "n_neg")
+        .agg(
+            F.round(num / (F.col("n_pos") * F.col("n_neg")), 6).alias("auc"),
+            F.round(
+                2.0 * num / (F.col("n_pos") * F.col("n_neg")) - 1.0, 6
+            ).alias("gini"),
+        )
+        .select("n_pos", "n_neg", "auc", "gini")
+    )
+
+
+_N_CAL_BINS = 10
+
+
+@register(
+    "calibration_bins_ece",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        binned AS (
+            SELECT LEAST(CAST(FLOOR(score * {_N_CAL_BINS}) AS BIGINT),
+                         {_N_CAL_BINS - 1}) AS bin,
+                   score, label
+            FROM scored
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(AVG(score), 6) AS avg_score,
+                   ROUND(AVG(label * 1.0), 6) AS pos_rate
+            FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT SUM(n) AS n_tot FROM per_bin)
+        SELECT bin, n, avg_score, pos_rate,
+               ROUND(ABS(avg_score - pos_rate), 6) AS gap,
+               ROUND(SUM(n * ABS(avg_score - pos_rate))
+                         OVER () / ANY_VALUE(t.n_tot) OVER (), 6) AS ece
+        FROM per_bin CROSS JOIN tot t
+    """,
+    doc=(
+        "CALIBRATION CURVE + EXPECTED CALIBRATION ERROR of a [0,1] score "
+        f"against a binary label: {_N_CAL_BINS} equal-width bins, per-bin "
+        "mean score (confidence) vs empirical positive rate, |gap|, and "
+        "ECE = the n-weighted mean gap — the standard diagnostic before a "
+        "score is used as a probability (e.g. a quality-filter threshold "
+        "chosen as 'keep if P(good) > 0.8' is only meaningful if the "
+        "score is calibrated). One hash aggregate on the bin key; the "
+        f"unpartitioned window runs over the {_N_CAL_BINS}-row bin table, "
+        "bounded by construction. avg_score and pos_rate are rounded "
+        "BEFORE the gap/ECE arithmetic so both engines difference "
+        "identical 6-dp quantities (the same round-then-derive rule the "
+        "similarity family uses before ranking)."
+    ),
+    tags=("evals", "llm", "statistics"),
+)
+def calibration_bins_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    binned = s.select(
+        F.least(
+            F.floor(F.col("score") * _N_CAL_BINS).cast("bigint"),
+            F.lit(_N_CAL_BINS - 1),
+        ).alias("bin"),
+        "score",
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg(F.col("label") * 1.0), 6).alias("pos_rate"),
+    )
+    gap = F.round(F.abs(F.col("avg_score") - F.col("pos_rate")), 6)
+    # 10-row frame: bounded by the bin count, never the corpus
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_bin.select(
+        "bin",
+        "n",
+        "avg_score",
+        "pos_rate",
+        gap.alias("gap"),
+        F.round(
+            F.sum(F.col("n") * gap).over(w_all) / F.sum("n").over(w_all), 6
+        ).alias("ece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking evaluation: NDCG / precision / recall @k for the BM25 run.
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_QUERY_TERMS = ("spark", "join", "window")  # the bm25_top_docs query
+
+
+def _rel_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _QUERY_TERMS)
+    return f"""
+        rel AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS grade
+            FROM (
+                SELECT DISTINCT doc_id, tok
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok IN ({terms})
+            )
+            GROUP BY doc_id
+        )
+    """
+
+
+@register(
+    "ndcg_retrieval_eval",
+    oracle=f"""
+        WITH run AS ({_BM25_ORACLE}),
+        {_rel_sql()},
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk,
+                   run.doc_id,
+                   COALESCE(r.grade, 0) AS grade
+            FROM run LEFT JOIN rel r USING (doc_id)
+        ),
+        topk AS (SELECT * FROM ranked WHERE rnk <= {_NDCG_K}),
+        hist AS (
+            SELECT grade, CAST(COUNT(*) AS BIGINT) AS n FROM rel
+            WHERE grade > 0 GROUP BY grade
+        ),
+        ideal AS (
+            -- ideal top-k gains from the 3-row grade HISTOGRAM, not a
+            -- corpus sort: take grades best-first until k slots are used
+            SELECT grade,
+                   LEAST(n, {_NDCG_K} - COALESCE(SUM(n) OVER (
+                       ORDER BY grade DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)) AS take,
+                   COALESCE(SUM(n) OVER (
+                       ORDER BY grade DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS used
+            FROM hist
+        ),
+        ideal_gains AS (
+            SELECT grade, used, take FROM ideal WHERE take > 0
+        ),
+        ideal_slots AS (
+            SELECT (POWER(2, grade) - 1) AS gain,
+                   used + s.i AS slot
+            FROM ideal_gains,
+                 LATERAL (SELECT unnest(generate_series(1, CAST(take AS BIGINT)))
+                          AS i) s
+        ),
+        idcg AS (
+            SELECT SUM(gain / (ln(slot + 1.0) / ln(2.0))) AS idcg
+            FROM ideal_slots WHERE slot <= {_NDCG_K}
+        ),
+        n_rel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rel WHERE grade > 0)
+        SELECT t.rnk, t.doc_id, t.grade,
+               ROUND(SUM((POWER(2, t.grade) - 1) / (ln(t.rnk + 1.0) / ln(2.0)))
+                         OVER (ORDER BY t.rnk
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / i.idcg, 6) AS ndcg_at_k,
+               ROUND(SUM(CASE WHEN t.grade > 0 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t.rnk
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / t.rnk, 6) AS precision_at_k,
+               ROUND(SUM(CASE WHEN t.grade > 0 THEN 1 ELSE 0 END)
+                         OVER (ORDER BY t.rnk
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / nr.n, 6) AS recall_at_k
+        FROM topk t CROSS JOIN idcg i CROSS JOIN n_rel nr
+    """,
+    doc=(
+        f"RANKING EVALUATION of the bm25_top_docs run: per rank 1..{_NDCG_K} "
+        "the graded relevance (number of distinct query terms the doc "
+        "contains, 0-3), running NDCG@k (2^grade-1 gains, log2 discount), "
+        "precision@k and recall@k — the IR scorecard every retrieval stack "
+        "reports. The scale trick is the IDEAL DCG: instead of sorting the "
+        "corpus by grade (a global sort), the ideal top-k gains are "
+        "reconstructed arithmetically from the <=3-row GRADE HISTOGRAM "
+        "(take grades best-first until k slots fill) — an O(|grades|) "
+        "computation from one hash aggregate, exact for any corpus size. "
+        "The retrieved list reuses bm25_top_docs' registered plan "
+        "(broadcast IDF over query-term postings only, "
+        "TakeOrderedAndProject top-k); every window here runs over <=20 "
+        "rows. Metrics rounded at 6dp on both engines."
+    ),
+    tags=("evals", "retrieval", "llm", "headline"),
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    run = _REGISTRY["bm25_top_docs"].builder(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    rel = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("grade"))
+    )
+    w_rank = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # 20-row frame
+    ranked = (
+        run.join(rel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.coalesce("grade", F.lit(0)).alias("grade"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _NDCG_K)
+    )
+
+    hist = rel.filter(F.col("grade") > 0).groupBy("grade").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_used = Window.orderBy(F.desc("grade")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # <=3-row frame (grade domain)
+    ideal = hist.select(
+        "grade",
+        F.coalesce(F.sum("n").over(w_used), F.lit(0)).alias("used"),
+        F.least(
+            F.col("n"),
+            F.lit(_NDCG_K)
+            - F.coalesce(F.sum("n").over(w_used), F.lit(0)),
+        ).cast("bigint").alias("take"),
+    ).filter(F.col("take") > 0)
+    slots = ideal.select(
+        (F.pow(F.lit(2.0), F.col("grade")) - 1).alias("gain"),
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), F.col("take"))
+        ).alias("i"),
+        "used",
+    ).select("gain", (F.col("used") + F.col("i")).alias("slot"))
+    idcg = slots.filter(F.col("slot") <= _NDCG_K).agg(
+        F.sum(F.col("gain") / (F.log(F.col("slot") + 1.0) / F.log(F.lit(2.0))))
+        .alias("idcg")
+    )
+    n_rel = rel.filter(F.col("grade") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    w_run = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    hit = F.when(F.col("grade") > 0, 1).otherwise(0)
+    dcg = F.sum(
+        (F.pow(F.lit(2.0), F.col("grade")) - 1)
+        / (F.log(F.col("rnk") + 1.0) / F.log(F.lit(2.0)))
+    ).over(w_run)
+    return (
+        ranked.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "rnk",
+            "doc_id",
+            "grade",
+            F.round(dcg / F.col("idcg"), 6).alias("ndcg_at_k"),
+            F.round(F.sum(hit).over(w_run) / F.col("rnk"), 6).alias(
+                "precision_at_k"
+            ),
+            F.round(F.sum(hit).over(w_run) / F.col("n"), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Online experimentation: deterministic arms + two-proportion z.
+# ---------------------------------------------------------------------------
+
+
+_CONV_SHARE = 0.22  # high-intent threshold: purchases / events per user
+
+
+@register(
+    "ab_conversion_lift",
+    oracle=f"""
+        WITH arms AS (
+            SELECT user_id,
+                   {_ARM_SQL} AS arm,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                             >= {_CONV_SHARE}
+                        THEN 1 ELSE 0 END AS converted
+            FROM events
+            GROUP BY user_id
+        ),
+        per_arm AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM arms GROUP BY arm
+        )
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n_users END) AS n_control,
+            MAX(CASE WHEN arm = 1 THEN n_users END) AS n_treat,
+            MAX(CASE WHEN arm = 0 THEN n_converted END) AS conv_control,
+            MAX(CASE WHEN arm = 1 THEN n_converted END) AS conv_treat,
+            ROUND(MAX(CASE WHEN arm = 0 THEN n_converted * 1.0 / n_users END),
+                  6) AS rate_control,
+            ROUND(MAX(CASE WHEN arm = 1 THEN n_converted * 1.0 / n_users END),
+                  6) AS rate_treat,
+            ROUND(MAX(CASE WHEN arm = 1 THEN n_converted * 1.0 / n_users END)
+                  - MAX(CASE WHEN arm = 0 THEN n_converted * 1.0 / n_users END),
+                  6) AS abs_lift,
+            ROUND((MAX(CASE WHEN arm = 1 THEN n_converted * 1.0 / n_users END)
+                   - MAX(CASE WHEN arm = 0 THEN n_converted * 1.0 / n_users END))
+                  / SQRT(
+                      (SUM(n_converted) * 1.0 / SUM(n_users))
+                      * (1.0 - SUM(n_converted) * 1.0 / SUM(n_users))
+                      * (1.0 / MAX(CASE WHEN arm = 0 THEN n_users END)
+                         + 1.0 / MAX(CASE WHEN arm = 1 THEN n_users END))),
+                  6) AS z_score
+        FROM per_arm
+    """,
+    doc=(
+        "A/B CONVERSION LIFT with a pooled two-proportion z-test: users "
+        "are assigned to control/treatment by the same cross-engine Knuth "
+        "hash the sampling family uses (deterministic, replayable, no RNG "
+        "state — the property an experiment assignment MUST have so a "
+        "re-run or a different engine reproduces the same arms), "
+        "conversion = purchases exceed "
+        f"{_CONV_SHARE:.0%} of the user's events (every fixture user "
+        "purchases at least once, so presence-of-purchase is degenerate; "
+        "a SHARE threshold keeps both outcome classes populated at every "
+        "scale point). One "
+        "per-user hash aggregate (map-side partial over events), a 2-row "
+        "per-arm rollup, and the z statistic from the pooled-variance "
+        "formula — the sequentially-valid-stats layer (CUSUM, SPRT) sits "
+        "downstream of exactly this table. At 100 TB the per-user "
+        "aggregate is the only shuffle and it is mergeable/incremental."
+    ),
+    tags=("evals", "statistics", "experimentation"),
+)
+def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(_arm(F.col("user_id")).alias("arm"), "converted")
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    n0 = F.max(F.when(F.col("arm") == 0, F.col("n_users")))
+    n1 = F.max(F.when(F.col("arm") == 1, F.col("n_users")))
+    c0 = F.max(F.when(F.col("arm") == 0, F.col("n_converted")))
+    c1 = F.max(F.when(F.col("arm") == 1, F.col("n_converted")))
+    r0, r1 = c0 * 1.0 / n0, c1 * 1.0 / n1
+    pooled = F.sum("n_converted") * 1.0 / F.sum("n_users")
+    return per_arm.agg(
+        n0.alias("n_control"),
+        n1.alias("n_treat"),
+        c0.alias("conv_control"),
+        c1.alias("conv_treat"),
+        F.round(r0, 6).alias("rate_control"),
+        F.round(r1, 6).alias("rate_treat"),
+        F.round(r1 - r0, 6).alias("abs_lift"),
+        F.round(
+            (r1 - r0)
+            / F.sqrt(pooled * (1.0 - pooled) * (1.0 / n0 + 1.0 / n1)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Privacy: l-diversity (distinct + entropy) over the k-anonymity combos.
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3  # required sensitive-value diversity per combo
+_LDIV_LEN_BUCKET = 100  # same quasi-identifier bucketing as k_anonymity_audit
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang,
+                   CAST(FLOOR(n_chars / {_LDIV_LEN_BUCKET}) AS BIGINT)
+                       AS len_bucket,
+                   source,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT lang, len_bucket, CAST(SUM(n) AS BIGINT) AS n_docs
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT c.lang, c.len_bucket, t.n_docs,
+               CAST(COUNT(*) AS BIGINT) AS distinct_sources,
+               ROUND(-SUM((c.n * 1.0 / t.n_docs) * ln(c.n * 1.0 / t.n_docs)),
+                     6) AS entropy,
+               CAST(COUNT(*) < {_LDIV_L} AS INT) AS at_risk_distinct,
+               CAST(-SUM((c.n * 1.0 / t.n_docs) * ln(c.n * 1.0 / t.n_docs))
+                    < ln({_LDIV_L}) AS INT) AS at_risk_entropy
+        FROM cells c JOIN tot t USING (lang, len_bucket)
+        GROUP BY c.lang, c.len_bucket, t.n_docs
+    """,
+    doc=(
+        "L-DIVERSITY AUDIT — the follow-up k-anonymity cannot answer: a "
+        "quasi-identifier combo can be large (k-anonymous) yet have every "
+        "member share ONE sensitive value, so membership alone discloses "
+        "it (Machanavajjhala's homogeneity attack). Per (lang, "
+        f"{_LDIV_LEN_BUCKET}-char length bucket) combo: the count of "
+        "distinct sensitive values (source), the Shannon entropy of the "
+        f"sensitive distribution, and both flags — distinct < l={_LDIV_L} "
+        f"and entropy < ln({_LDIV_L}) (entropy l-diversity, the stricter "
+        "form that catches 'technically diverse but 99% one value'). "
+        "Plan: two stacked hash aggregates — (combo, sensitive) cells, "
+        "then combo rollup joined to combo totals — output bounded by the "
+        "attribute-domain product; no windows, no corpus-sized state. The "
+        "probability terms difference exact bigint counts, so the 6-dp "
+        "entropy is engine-stable."
+    ),
+    tags=("evals", "llm", "privacy", "curation"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / _LDIV_LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = cells.groupBy("lang", "len_bucket").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    p = F.col("n") * 1.0 / F.col("n_docs")
+    ent = -F.sum(p * F.log(p))
+    return (
+        cells.join(tot, ["lang", "len_bucket"])
+        .groupBy("lang", "len_bucket", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("distinct_sources"),
+            F.round(ent, 6).alias("entropy"),
+            (F.count(F.lit(1)) < _LDIV_L).cast("int").alias("at_risk_distinct"),
+            (ent < math.log(_LDIV_L)).cast("int").alias("at_risk_entropy"),
+        )
+        .select(
+            "lang",
+            "len_bucket",
+            "n_docs",
+            "distinct_sources",
+            "entropy",
+            "at_risk_distinct",
+            "at_risk_entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG plumbing: deterministic chunk manifest with overlap.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 200  # chars per chunk
+_CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+@register(
+    "rag_chunk_manifest",
+    oracle=f"""
+        WITH sized AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CAST(CEIL(GREATEST(length(text) - {_CHUNK_SIZE}, 0)
+                             / {_CHUNK_STRIDE}.0) AS BIGINT) + 1 AS n_chunks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(s.i AS BIGINT) AS chunk_idx,
+               CAST(s.i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS start_pos,
+               CAST(length(substr(text, CAST(s.i * {_CHUNK_STRIDE} + 1 AS INT),
+                                  {_CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(s.i * {_CHUNK_STRIDE} + 1 AS INT),
+                          {_CHUNK_SIZE})) AS chunk_md5,
+               n_chunks
+        FROM sized,
+             LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS i) s
+    """,
+    doc=(
+        f"RAG CHUNK MANIFEST: every document split into {_CHUNK_SIZE}-char "
+        f"chunks on a {_CHUNK_STRIDE}-char stride ({_CHUNK_SIZE - _CHUNK_STRIDE}-char "
+        "overlap so no passage straddles a boundary unseen) — the "
+        "deterministic chunking layer under any retrieval-augmented "
+        "pipeline, emitted as a manifest (doc, chunk index, 1-based start "
+        "offset, actual length, content md5, per-doc chunk count) rather "
+        "than materialized text, which is what an indexer actually needs "
+        "and is ~30x smaller than duplicating the corpus. Plan: chunk "
+        "counts are computed arithmetically per row, then "
+        "sequence+explode fans out offsets and substring slices chunks — "
+        "one map-side projection, ZERO shuffle, output rows ~ corpus "
+        "chars / stride. The md5 gives the oracle a content-exact check "
+        "without hashing full text into the shuffle."
+    ),
+    tags=("evals", "llm", "text", "retrieval"),
+)
+def rag_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.length("text") - _CHUNK_SIZE, F.lit(0))
+            / float(_CHUNK_STRIDE)
+        ).cast("bigint")
+        + 1
+    )
+    sized = docs.select("doc_id", "text", n_chunks.alias("n_chunks"))
+    idx = F.explode(
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)
+    )
+    start = (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("bigint")
+    chunk = F.col("text").substr(
+        (F.col("chunk_idx") * _CHUNK_STRIDE + 1).cast("int"),
+        F.lit(_CHUNK_SIZE),
+    )
+    return (
+        sized.select("doc_id", "text", "n_chunks", idx.alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start_pos"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+            "n_chunks",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compliance scan: multi-pattern literal matching.
+# ---------------------------------------------------------------------------
+
+# literal phrases scanned for together (one corpus pass) — the blocklist /
+# compliance-scan shape; counts are non-overlapping occurrences
+_SCAN_PATTERNS = (
+    "data quality",
+    "neural network",
+    "spark",
+    "weather station",
+    "gradient",
+)
+
+
+@register(
+    "multi_pattern_match",
+    oracle=f"""
+        WITH pats(pattern) AS (VALUES
+            {", ".join(f"('{p}')" for p in _SCAN_PATTERNS)})
+        SELECT d.doc_id, p.pattern,
+               CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+                    / length(p.pattern) AS BIGINT) AS n_hits,
+               CAST(strpos(d.text, p.pattern) AS BIGINT) AS first_pos
+        FROM documents d CROSS JOIN pats p
+        WHERE strpos(d.text, p.pattern) > 0
+    """,
+    doc=(
+        f"MULTI-PATTERN SCAN: one corpus pass matching {len(_SCAN_PATTERNS)} "
+        "literal phrases simultaneously (per hit: non-overlapping "
+        "occurrence count via the length-difference identity, and the "
+        "1-based first position) — the blocklist / trademark / PII-phrase "
+        "compliance scan, done as SCAN x BROADCAST(patterns) instead of "
+        "one pass per pattern (at 100 TB, re-scanning the corpus per "
+        "pattern is the difference between one job and N). The pattern "
+        "table broadcasts (it is small by definition); matching is "
+        "JVM-side codegen'd string ops — length/replace/instr — no regex "
+        "engine, no Python. Output is hits only, so the non-matching "
+        "(doc, pattern) grid rows never leave the mapper. A production "
+        "variant with thousands of patterns swaps the broadcast "
+        "nested-loop for an Aho-Corasick mapInPandas; the manifest schema "
+        "stays identical."
+    ),
+    tags=("evals", "text", "llm", "scan"),
+)
+def multi_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(
+        [(p,) for p in _SCAN_PATTERNS], "pattern string"
+    )
+    # column-valued needle: the SQL form (pyspark's instr/locate only take
+    # a literal substring)
+    hit = F.expr("instr(text, pattern)")
+    n_hits = (
+        (F.length("text") - F.length(F.expr("replace(text, pattern, '')")))
+        / F.length("pattern")
+    ).cast("bigint")
+    return (
+        docs.crossJoin(F.broadcast(pats))
+        .filter(hit > 0)
+        .select(
+            "doc_id",
+            "pattern",
+            n_hits.alias("n_hits"),
+            hit.cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Physical-layout advice: per-column encoding selection.
+# ---------------------------------------------------------------------------
+
+# (column, is_string): lineitem's full schema — the advisor profiles all of
+# it in ONE aggregate pass
+_LI_COLS = (
+    ("l_orderkey", False),
+    ("l_partkey", False),
+    ("l_suppkey", False),
+    ("l_linenumber", False),
+    ("l_quantity", False),
+    ("l_extendedprice", False),
+    ("l_discount", False),
+    ("l_tax", False),
+    ("l_returnflag", True),
+    ("l_linestatus", True),
+    ("l_shipdate", False),
+)
+
+_DICT_NDV_FRAC = 0.05  # dictionary pays off when ndv <= 5% of rows
+
+
+@register(
+    "column_encoding_advisor",
+    oracle=f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   {", ".join(
+                       f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{c}, "
+                       f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls_{c}"
+                       for c, _ in _LI_COLS
+                   )}
+            FROM lineitem
+        ),
+        long_form AS (
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, n_rows, ndv_{c} AS n_distinct, "
+                f"nulls_{c} AS n_nulls, CAST({int(s)} AS INT) AS is_string "
+                f"FROM stats"
+                for c, s in _LI_COLS
+            )}
+        )
+        SELECT col_name, n_rows, n_distinct, n_nulls,
+               ROUND(n_distinct * 1.0 / n_rows, 6) AS ndv_frac,
+               CASE
+                   WHEN n_distinct * 1.0 / n_rows <= {_DICT_NDV_FRAC}
+                       THEN 'dictionary'
+                   WHEN is_string = 1 THEN 'plain'
+                   ELSE 'delta_binary_packed'
+               END AS encoding
+        FROM long_form
+    """,
+    doc=(
+        "COLUMN ENCODING ADVISOR over lineitem's full schema: exact NDV, "
+        "null count, and NDV fraction per column, mapped to the parquet "
+        f"encoding decision (NDV <= {_DICT_NDV_FRAC:.0%} of rows -> "
+        "dictionary; remaining strings -> plain; remaining numerics -> "
+        "delta binary packed) — the physical-layout pass a 100 TB table "
+        "owner runs before (re)writing, because a mis-encoded fact table "
+        "costs every downstream scan forever (dictionary-encoding a "
+        "near-unique key bloats pages; plain-encoding a 3-value flag "
+        "wastes ~10x). Plan: ALL columns profile in ONE aggregate pass "
+        "(multiple exact count-distincts expand to a single multi-key "
+        "partial aggregate — one scan, not |columns| scans), then an "
+        "11-row unpivot applies the decision rule. At real scale the "
+        "exact NDVs would downgrade to HLL sketches (approx_count_distinct"
+        "), changing only the agg expression, and the advisor would run "
+        "per row-group; the decision layer is identical."
+    ),
+    tags=("evals", "layout", "profiling"),
+)
+def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c, _ in _LI_COLS:
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"ndv_{c}"))
+        aggs.append(
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nulls_{c}")
+        )
+    stats = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', ndv_{c}, nulls_{c}, {int(s)}" for c, s in _LI_COLS
+    )
+    long_form = stats.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_LI_COLS)}, {stack_args}) "
+            "AS (col_name, n_distinct, n_nulls, is_string)"
+        ),
+    )
+    ndv_frac = F.col("n_distinct") * 1.0 / F.col("n_rows")
+    return long_form.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_nulls",
+        F.round(ndv_frac, 6).alias("ndv_frac"),
+        F.when(ndv_frac <= _DICT_NDV_FRAC, "dictionary")
+        .when(F.col("is_string") == 1, "plain")
+        .otherwise("delta_binary_packed")
+        .alias("encoding"),
+    )

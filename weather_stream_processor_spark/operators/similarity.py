@@ -2443,3 +2443,90 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d2_proj") / F.col("d2_orig"), 6).alias("ratio"),
         )
     )
+
+
+# --- Local Outlier Factor (density-based outlier scores) --------------------
+
+_LOF_K = 10
+
+
+@register(
+    "lof_outlier_scores",
+    oracle=_ALLKNN_ORACLE_CTE
+    + f""",
+        knn_k AS (
+            SELECT va, vb, ROUND(1 - cosine_sim, 6) AS dist
+            FROM knn WHERE rnk <= {_LOF_K}
+        ),
+        kd AS (SELECT va AS v, MAX(dist) AS kdist FROM knn_k GROUP BY va),
+        reach AS (
+            SELECT k.va, k.vb, GREATEST(d.kdist, k.dist) AS rdist
+            FROM knn_k k JOIN kd d ON d.v = k.vb
+        ),
+        lrd AS (
+            SELECT va AS v,
+                   ROUND({_LOF_K} / GREATEST(SUM(rdist), 1e-12), 6) AS lrd
+            FROM reach GROUP BY va
+        )
+        SELECT k.va AS vec_id,
+               ROUND(AVG(lo.lrd) / ANY_VALUE(lp.lrd), 4) AS lof,
+               ROUND(ANY_VALUE(d.kdist), 6) AS k_distance
+        FROM knn_k k
+        JOIN lrd lo ON lo.v = k.vb
+        JOIN lrd lp ON lp.v = k.va
+        JOIN kd d ON d.v = k.va
+        GROUP BY k.va
+    """,
+    doc=(
+        f"LOCAL OUTLIER FACTOR (Breunig et al. 2000) over the embedding "
+        f"corpus, k={_LOF_K}, cosine distance: per vector its LOF score "
+        "(ratio of the average local reachability density of its "
+        "neighbors to its own — ~1 inside a cluster of any density, >1 "
+        "in sparse territory relative to its neighborhood) and its "
+        "k-distance. LOF is the density-ADAPTIVE outlier screen a "
+        "curation pipeline runs where a global distance threshold fails "
+        "(a point 0.1 away from a tight cluster is anomalous; 0.1 away "
+        "inside a diffuse cluster is normal). Plan: the exact kNN lists "
+        "come from the same B-block grid as mutual_knn_pairs (per-cell "
+        "Arrow GEMM top-k, cell output |rows|*k, never |rows|^2); "
+        "everything after is keyed joins and hash aggregates over the "
+        "O(n*k) neighbor table — k-distance (per-point max), "
+        "reachability distances (join on the neighbor's k-distance), "
+        "lrd (per-point sum), and the final neighbor-average ratio. "
+        "Nothing corpus-quadratic, nothing driver-side. Distances are "
+        "rounded to 6dp before ranking (the house rank-determinism "
+        "rule), lrd to 6dp and LOF to 4dp so the two engines' float "
+        "summation drift cannot flip the hash. Verified against the "
+        "full O(n^2) DuckDB oracle."
+    ),
+    tags=("similarity", "llm", "curation", "pandas-udf", "scale", "headline"),
+)
+def lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    knn_k = _allknn_directed(spark, sf_dir, _LOF_K).select(
+        F.col("vec_id").alias("va"),
+        F.col("nbr_id").alias("vb"),
+        F.round(1 - F.col("cosine_sim"), 6).alias("dist"),
+    )
+    kd = knn_k.groupBy(F.col("va").alias("v")).agg(
+        F.max("dist").alias("kdist")
+    )
+    reach = knn_k.join(kd, knn_k.vb == kd.v).select(
+        "va", "vb", F.greatest("kdist", "dist").alias("rdist")
+    )
+    lrd = reach.groupBy(F.col("va").alias("v")).agg(
+        F.round(
+            F.lit(float(_LOF_K)) / F.greatest(F.sum("rdist"), F.lit(1e-12)), 6
+        ).alias("lrd")
+    )
+    lo = lrd.select(F.col("v").alias("vb_"), F.col("lrd").alias("lrd_nbr"))
+    lp = lrd.select(F.col("v").alias("va_"), F.col("lrd").alias("lrd_self"))
+    return (
+        knn_k.join(lo, knn_k.vb == F.col("vb_"))
+        .join(lp, knn_k.va == F.col("va_"))
+        .join(kd, knn_k.va == kd.v)
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(
+            F.round(F.avg("lrd_nbr") / F.first("lrd_self"), 4).alias("lof"),
+            F.round(F.first("kdist"), 6).alias("k_distance"),
+        )
+    )
