@@ -91,6 +91,12 @@ HEADLINE = [
     "hard_negative_mining",
     "memorization_risk_scores",
     "dedup_cascade_report",
+    # round-5c additions: evaluation surface (exact AUC, IR scorecard),
+    # density outliers on the all-kNN grid, RAG chunk manifest
+    "roc_auc_exact",
+    "ndcg_retrieval_eval",
+    "lof_outlier_scores",
+    "rag_chunk_manifest",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners

@@ -693,3 +693,55 @@ def test_adamic_adar_scan_pruned_and_no_cartesian(spark):
     )
     for cols in read_schema_columns(df):
         assert set(cols) <= {"l_orderkey", "l_partkey"}, cols
+
+
+def test_textrank_rounds_broadcast_rank_vector(spark):
+    # each TextRank round joins the edge list against the O(|vocab'|)
+    # rank and weighted-degree tables: both must broadcast so a round
+    # never re-shuffles the edges (same pin as pagerank)
+    from weather_stream_processor_spark.operators.text import textrank_plan
+
+    ops = operator_names(textrank_plan(spark, SF_SMOKE))
+    assert any("BroadcastHashJoin" in o for o in ops), ops
+    assert "SortMergeJoin" not in ops
+    assert "CartesianProduct" not in ops
+
+
+def test_incremental_merge_pushes_split_predicate(spark):
+    # the base/delta split must prune at the parquet scan, and both
+    # states read only the three needed columns
+    df = _df(spark, "incremental_rollup_merge")
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+    for cols in read_schema_columns(df):
+        assert set(cols) == {"o_orderdate", "o_orderpriority", "o_totalprice"}
+
+
+def test_target_encoding_one_scan_no_join(spark):
+    # the complement subtraction runs as key-partitioned windows over the
+    # (key, fold) aggregate — no join at all, orders scanned exactly once
+    df = _df(spark, "target_encoding_kfold")
+    ops = operator_names(df)
+    assert not any("Join" in o for o in ops), ops
+    assert sum(1 for o in ops if o.startswith("Scan parquet")) == 1
+
+
+def test_t_closeness_scans_documents_once_lazy(spark):
+    # the persisted builder cuts lineage; the lazy twin must show the
+    # grid construction uses broadcasts for the global tables
+    from weather_stream_processor_spark.operators.evals import (
+        t_closeness_plan,
+    )
+
+    ops = operator_names(t_closeness_plan(spark, SF_SMOKE))
+    assert "CartesianProduct" not in ops
+    assert "SortMergeJoin" not in ops
+
+
+def test_unigram_table_topk_no_global_sort(spark):
+    # the top-200 slice is TakeOrderedAndProject (per-partition heaps),
+    # not a full vocabulary sort
+    require_plan(
+        _df(spark, "unigram_sampling_table"),
+        contains=("TakeOrderedAndProject",),
+        not_contains=("CartesianProduct",),
+    )

@@ -401,3 +401,234 @@ def test_adamic_adar_matches_python(spark):
         assert pair == epair
         assert vals[0] == evals_[0]
         assert abs(vals[1] - evals_[1]) < 1e-6
+
+
+# --- round-5d: privacy trio closer, feature engineering, clustering eval,
+# IVM algebra, TextRank, sampling table ---------------------------------------
+
+
+def test_t_closeness_matches_python_tv(spark):
+    docs = _docs(spark)
+    combos: dict[tuple, dict[str, int]] = {}
+    global_dist: dict[str, int] = {}
+    for _, text, lang, source in docs:
+        key = (lang, len(text) // 100)
+        combos.setdefault(key, {}).setdefault(source, 0)
+        combos[key][source] += 1
+        global_dist[source] = global_dist.get(source, 0) + 1
+    g = sum(global_dist.values())
+    rows = {
+        (r.lang, r.len_bucket): r
+        for r in _run(spark, "t_closeness_audit").collect()
+    }
+    assert set(rows) == set(combos)
+    for key, dist in combos.items():
+        n = sum(dist.values())
+        tv = 0.5 * sum(
+            abs(dist.get(s, 0) / n - gc / g) for s, gc in global_dist.items()
+        )
+        r = rows[key]
+        assert r.n_docs == n
+        assert abs(r.tv_distance - tv) < 1e-5
+        assert r.at_risk == int(tv > 0.2)
+    # the audit must use the FULL sensitive domain: a combo missing a
+    # source entirely still pays |0 - q|, so tv > 0 whenever any source
+    # is absent from the combo
+    for key, dist in combos.items():
+        if len(dist) < len(global_dist):
+            assert rows[key].tv_distance > 0
+
+
+def test_target_encoding_is_out_of_fold(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    KNUTH, MOD = 2654435761, 2147483647
+    agg: dict[tuple, list] = {}
+    for r in orders:
+        fold = (((int(r.o_orderkey) % MOD) * KNUTH) >> 16) % 5
+        cents = round(r.o_totalprice * 100)
+        cell = agg.setdefault((r.o_orderpriority, fold), [0, 0])
+        cell[0] += 1
+        cell[1] += cents
+    keys = {k for k, _ in agg}
+    rows = {
+        (r.key, r.fold): r
+        for r in _run(spark, "target_encoding_kfold").collect()
+    }
+    assert set(rows) == set(agg)
+    for (key, fold), (n, s) in agg.items():
+        nk = sum(v[0] for (k2, f2), v in agg.items() if k2 == key)
+        sk = sum(v[1] for (k2, f2), v in agg.items() if k2 == key)
+        r = rows[(key, fold)]
+        assert r.n_rows == n
+        oof = (sk - s) / (nk - n)
+        assert abs(r.oof_mean_cents - round(oof, 4)) < 1e-9
+        # leakage-freedom: the encoding differs from the naive all-fold
+        # mean whenever the fold's own mean differs from the rest
+        if abs(s / n - oof) > 1e-9:
+            assert abs(r.oof_mean_cents - sk / nk) > 0 or n == nk
+
+
+def test_woe_iv_matches_python(spark):
+    docs = _docs(spark)
+    bins: dict[int, list[int]] = {}
+    for _, text, lang, _ in docs:
+        toks = text.split(" ")
+        score = round(len(set(toks)) / len(toks), 4)
+        b = min(int(score * 10), 9)
+        bins.setdefault(b, []).append(1 if lang == "en" else 0)
+    G = sum(sum(v) for v in bins.values())
+    B = sum(len(v) - sum(v) for v in bins.values())
+    nb = len(bins)
+    rows = {r.bin: r for r in _run(spark, "woe_iv_binning").collect()}
+    assert set(rows) == set(bins)
+    iv_total = 0.0
+    for b, labels in bins.items():
+        g, bad = sum(labels), len(labels) - sum(labels)
+        gs = (g + 0.5) / (G + 0.5 * nb)
+        bs = (bad + 0.5) / (B + 0.5 * nb)
+        woe = math.log(gs / bs)
+        r = rows[b]
+        assert (r.n_good, r.n_bad) == (g, bad)
+        assert abs(r.woe - woe) < 1e-5
+        assert abs(r.iv_contrib - (gs - bs) * woe) < 1e-5
+        iv_total += (gs - bs) * woe
+    # IV contributions are individually >= 0 by construction
+    assert all(r.iv_contrib >= -1e-9 for r in rows.values())
+    assert iv_total >= 0
+
+
+def test_incremental_merge_equals_direct_rollup(spark):
+    """The IVM algebra: merged base+delta states must equal the direct
+    full-table rollup computed independently (and min/max/avg must be
+    internally consistent)."""
+    from weather_stream_processor_spark.sources import load_table
+
+    direct = {
+        (r.month, r.o_orderpriority): r
+        for r in (
+            load_table(spark, SF_SMOKE, "orders")
+            .groupBy(
+                __import__("pyspark.sql.functions", fromlist=["F"]).date_trunc(
+                    "month", "o_orderdate"
+                ).alias("month"),
+                "o_orderpriority",
+            )
+            .agg(
+                __import__("pyspark.sql.functions", fromlist=["F"])
+                .count("*")
+                .alias("n")
+            )
+            .collect()
+        )
+    }
+    rows = _run(spark, "incremental_rollup_merge").collect()
+    assert {(r.month, r.o_orderpriority) for r in rows} == set(direct)
+    for r in rows:
+        assert r.n_orders == direct[(r.month, r.o_orderpriority)].n
+        assert r.min_cents <= r.max_cents
+        assert r.min_cents * r.n_orders <= r.sum_cents <= r.max_cents * r.n_orders
+        assert abs(r.avg_cents - round(r.sum_cents / r.n_orders, 4)) < 1e-9
+
+
+def test_simplified_silhouette_matches_numpy(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    assign = {
+        int(r.vec_id): int(r.cluster_id)
+        for r in _run(spark, "kmeans_embedding_clusters").collect()
+    }
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in rows}
+    cents = {}
+    for cid in set(assign.values()):
+        members = np.stack([vecs[v] for v, c in assign.items() if c == cid])
+        cents[cid] = np.round(members.mean(axis=0), 6)
+    per_cluster: dict[int, list[float]] = {}
+    for v, own in assign.items():
+        d2 = {
+            cid: round(float(((vecs[v] - c) ** 2).sum()), 6)
+            for cid, c in cents.items()
+        }
+        a = math.sqrt(d2[own])
+        b = math.sqrt(min(d for cid, d in d2.items() if cid != own))
+        sil = round((b - a) / max(a, b, 1e-12), 6)
+        per_cluster.setdefault(own, []).append(sil)
+    got = {r.cluster_id: r for r in _run(spark, "simplified_silhouette").collect()}
+    assert set(got) == set(per_cluster)
+    for cid, sils in per_cluster.items():
+        assert got[cid].n_points == len(sils)
+        assert abs(got[cid].avg_silhouette - np.mean(sils)) < 1e-5
+        assert abs(got[cid].min_silhouette - min(sils)) < 1e-6
+
+
+def test_textrank_matches_python_power_iteration(spark):
+    docs = _docs(spark)
+    und: dict[tuple[str, str], float] = {}
+    for _, text, _, _ in docs:
+        toks = text.split(" ")
+        for x, y in zip(toks, toks[1:]):
+            if x == y:
+                continue
+            und[(x, y)] = und.get((x, y), 0) + 1
+    und = {e: w for e, w in und.items() if w >= 10}
+    out: dict[str, dict[str, float]] = {}
+    for (a, b), w in und.items():
+        out.setdefault(a, {}).setdefault(b, 0)
+        out.setdefault(b, {}).setdefault(a, 0)
+        out[a][b] += w
+        out[b][a] += w
+    nodes = sorted(out)
+    n = len(nodes)
+    wdeg = {u: sum(out[u].values()) for u in nodes}
+    rank = {u: 1 / n for u in nodes}
+    for _ in range(5):
+        nxt = {}
+        for u in nodes:
+            s = sum(rank[v] * out[v][u] / wdeg[v] for v in out[u])
+            nxt[u] = 0.15 / n + 0.85 * s
+        rank = nxt
+    top = sorted(rank.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:20]
+    got = [(r.term, r.textrank) for r in _run(spark, "textrank_keyphrases").collect()]
+    assert len(got) == 20
+    for (term, score), (eterm, escore) in zip(got, top):
+        assert term == eterm
+        assert abs(score - round(escore, 6)) < 1e-6
+    # mass conservation: undirected construction leaves no dangling mass
+    assert abs(sum(rank.values()) - 1.0) < 1e-9
+
+
+def test_unigram_sampling_table_properties(spark):
+    docs = _docs(spark)
+    counts: dict[str, int] = {}
+    for _, text, _, _ in docs:
+        for t in text.split(" "):
+            counts[t] = counts.get(t, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    ws = {t: round(c**0.75, 6) for t, c in top}
+    W = sum(ws.values())
+    rows = sorted(
+        _run(spark, "unigram_sampling_table").collect(),
+        key=lambda r: (-r.c, r.term),
+    )
+    assert [(r.term, r.c) for r in rows] == top
+    cum = 0.0
+    for r in rows:
+        assert abs(r.p_sample - ws[r.term] / W) < 1e-5
+        cum += ws[r.term]
+        assert abs(r.cum_p - cum / W) < 1e-5
+    # the inverse-CDF column ends at exactly 1
+    assert abs(rows[-1].cum_p - 1.0) < 1e-6
+    # flattening: the top term's sampling share is strictly below its
+    # raw frequency share (that is what the 0.75 exponent is FOR)
+    raw_share = rows[0].c / sum(c for _, c in top)
+    assert rows[0].p_sample < raw_share

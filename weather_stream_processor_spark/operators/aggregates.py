@@ -1528,3 +1528,84 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_IVM_SPLIT = "1997-01-01"  # base/delta boundary for the maintenance demo
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+        SELECT date_trunc('month', o_orderdate) AS month,
+               o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS min_cents,
+               CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS max_cents,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 1.0
+                     / COUNT(*), 4) AS avg_cents
+        FROM orders
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "INCREMENTAL VIEW MAINTENANCE of a monthly rollup, proven by "
+        "construction: the fact table is split at "
+        f"{_IVM_SPLIT} into a BASE partition and a DELTA partition, each "
+        "is aggregated independently to mergeable partial states "
+        "(count, sum of exact cents, min, max), and the states are "
+        "MERGED (sum+sum, min-of-mins, max-of-maxes) with derived "
+        "averages computed only after the merge — while the ORACLE "
+        "computes the same rollup directly over the full table, so the "
+        "hash gate certifies merge(partials) == full recompute. This is "
+        "the algebra that makes a 100 TB rollup maintainable: a new "
+        "day's partition aggregates alone and folds into yesterday's "
+        "state in O(|groups|), instead of recomputing the full history "
+        "— and it is exactly why AVG is stored as (sum, count), never "
+        "averaged-then-averaged. Plan: two partition-pruned scans (the "
+        "split predicate pushes to parquet), two partial hash "
+        "aggregates, one union + re-aggregate keyed on the group — no "
+        "windows, no joins."
+    ),
+    tags=("aggregation", "incremental", "scale"),
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def state(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("sum_cents"),
+            F.min(cents).cast("bigint").alias("min_cents"),
+            F.max(cents).cast("bigint").alias("max_cents"),
+        )
+
+    base = state(o.filter(F.col("o_orderdate") < _IVM_SPLIT))
+    delta = state(o.filter(F.col("o_orderdate") >= _IVM_SPLIT))
+    merged = (
+        base.unionAll(delta)
+        .groupBy("month", "o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+            F.min("min_cents").cast("bigint").alias("min_cents"),
+            F.max("max_cents").cast("bigint").alias("max_cents"),
+        )
+    )
+    return merged.select(
+        "month",
+        "o_orderpriority",
+        "n_orders",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.round(F.col("sum_cents") * 1.0 / F.col("n_orders"), 4).alias(
+            "avg_cents"
+        ),
+    )

@@ -849,3 +849,306 @@ def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("delta_binary_packed")
         .alias("encoding"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness: the distributional member of the privacy-audit trio.
+# ---------------------------------------------------------------------------
+
+_TCLOSE_T = 0.2  # max allowed total-variation distance combo vs corpus
+
+
+@register(
+    "t_closeness_audit",
+    oracle=f"""
+        WITH cells AS (
+            SELECT lang,
+                   CAST(FLOOR(n_chars / {_LDIV_LEN_BUCKET}) AS BIGINT)
+                       AS len_bucket,
+                   source,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT lang, len_bucket, CAST(SUM(n) AS BIGINT) AS n_docs
+            FROM cells GROUP BY 1, 2
+        ),
+        gsrc AS (SELECT source, SUM(n) AS gn FROM cells GROUP BY source),
+        gtot AS (SELECT SUM(n) AS g FROM cells),
+        grid AS (
+            SELECT t.lang, t.len_bucket, t.n_docs, gl.source,
+                   gl.gn * 1.0 / gt.g AS q
+            FROM tot t CROSS JOIN gsrc gl CROSS JOIN gtot gt
+        ),
+        j AS (
+            SELECT gr.lang, gr.len_bucket, gr.n_docs,
+                   COALESCE(c.n, 0) * 1.0 / gr.n_docs AS p, gr.q
+            FROM grid gr
+            LEFT JOIN cells c USING (lang, len_bucket, source)
+        )
+        SELECT lang, len_bucket, n_docs,
+               ROUND(0.5 * SUM(ABS(p - q)), 6) AS tv_distance,
+               CAST(0.5 * SUM(ABS(p - q)) > {_TCLOSE_T} AS INT) AS at_risk
+        FROM j GROUP BY lang, len_bucket, n_docs
+    """,
+    doc=(
+        "T-CLOSENESS AUDIT — the third member of the release-privacy "
+        "trio (k_anonymity_audit: group size; l_diversity_audit: "
+        "within-group diversity; this: within-group distribution vs the "
+        "CORPUS distribution). l-diversity still leaks when a combo's "
+        "sensitive distribution is merely skewed (99% one source in a "
+        "combo vs 20% globally tells an attacker a lot without being "
+        "homogeneous); t-closeness bounds the total-variation distance "
+        "0.5*sum|p - q| between each quasi-identifier combo's source "
+        "distribution and the global one, flagging combos beyond "
+        f"t={_TCLOSE_T}. The sum must run over the FULL sensitive domain "
+        "— a source absent from a combo contributes |0 - q| — so the "
+        "plan builds the combos x sources GRID (combo table cross the "
+        "|sources|-row broadcast global distribution) and left-joins the "
+        "observed cells into it; everything is hash aggregates over "
+        "attribute-domain-bounded tables. Probabilities difference "
+        "exact bigint counts, so the 6-dp distance is engine-stable."
+    ),
+    tags=("evals", "llm", "privacy", "curation"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    # cells feeds FOUR subtrees (combo totals, global source dist, grand
+    # total, and the observed-cell join): persist the one corpus-sized
+    # aggregate so documents is scanned once, not four times; the
+    # domain-bounded result materializes eagerly and the cache releases
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / _LDIV_LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return persisted_result(cells, _t_closeness_tree)
+
+
+def t_closeness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-materialized t-closeness plan for plan-shape tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy(
+        "lang",
+        F.floor(F.col("n_chars") / _LDIV_LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+        "source",
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return _t_closeness_tree(cells)
+
+
+def _t_closeness_tree(cells: DataFrame) -> DataFrame:
+    tot = cells.groupBy("lang", "len_bucket").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    glob = cells.groupBy("source").agg(F.sum("n").alias("gn"))
+    gtot = cells.agg(F.sum("n").alias("g"))
+    grid = (
+        tot.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "lang",
+            "len_bucket",
+            "n_docs",
+            "source",
+            (F.col("gn") * 1.0 / F.col("g")).alias("q"),
+        )
+    )
+    j = grid.join(cells, ["lang", "len_bucket", "source"], "left").select(
+        "lang",
+        "len_bucket",
+        "n_docs",
+        (F.coalesce("n", F.lit(0)) * 1.0 / F.col("n_docs")).alias("p"),
+        "q",
+    )
+    tv = 0.5 * F.sum(F.abs(F.col("p") - F.col("q")))
+    return j.groupBy("lang", "len_bucket", "n_docs").agg(
+        F.round(tv, 6).alias("tv_distance"),
+        (tv > _TCLOSE_T).cast("int").alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free target encoding: the feature-engineering workhorse.
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+
+@register(
+    "target_encoding_kfold",
+    oracle=f"""
+        WITH rows_ AS (
+            SELECT o_orderpriority AS key,
+                   CAST((((o_orderkey % {_MOD}) * {_KNUTH}) >> 16)
+                        % {_TE_FOLDS} AS BIGINT) AS fold,
+                   CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+            FROM orders
+        ),
+        kf AS (
+            SELECT key, fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM rows_ GROUP BY key, fold
+        )
+        SELECT key, fold, n_rows,
+               ROUND((SUM(sum_cents) OVER (PARTITION BY key) - sum_cents)
+                     * 1.0
+                     / NULLIF(SUM(n_rows) OVER (PARTITION BY key) - n_rows,
+                              0), 4) AS oof_mean_cents
+        FROM kf
+    """,
+    doc=(
+        "OUT-OF-FOLD TARGET ENCODING of a categorical key (order "
+        "priority) against a numeric target (order value in exact "
+        f"cents), {_TE_FOLDS} deterministic Knuth-hash folds: the "
+        "encoding a row sees is the target mean computed WITHOUT its own "
+        "fold — (sum_key - sum_fold)/(n_key - n_fold) — the standard "
+        "leakage-free construction (naive target encoding leaks the "
+        "row's own label into its feature and inflates validation "
+        "scores; cv_fold_leakage_audit measures the disease, this is "
+        "the cure on the feature side). Plan: ONE hash aggregate to "
+        "(key, fold) grain, then key-partitioned windows over that "
+        f"(|keys| x {_TE_FOLDS} rows, each partition {_TE_FOLDS} rows — "
+        "bounded by the fold count) subtract each fold out of its key "
+        "total: one scan, no join, no per-fold passes. Targets sum as "
+        "exact bigint cents so the only float op is the final division, "
+        "rounded at 4dp on both engines. At 100 TB this shape is one "
+        "shuffle of (key, fold) partials."
+    ),
+    tags=("evals", "llm", "feature-engineering", "sampling"),
+)
+def target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    rows_ = o.select(
+        F.col("o_orderpriority").alias("key"),
+        (
+            F.shiftright((F.col("o_orderkey") % _MOD) * F.lit(_KNUTH), 16)
+            % _TE_FOLDS
+        )
+        .cast("bigint")
+        .alias("fold"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    kf = rows_.groupBy("key", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    # fold-count-bounded partitions (5 rows per key): the complement
+    # subtraction needs no join and orders is scanned exactly once
+    w_key = Window.partitionBy("key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return kf.select(
+        "key",
+        "fold",
+        "n_rows",
+        F.round(
+            (F.sum("sum_cents").over(w_key) - F.col("sum_cents"))
+            * 1.0
+            / F.nullif(
+                F.sum("n_rows").over(w_key) - F.col("n_rows"), F.lit(0)
+            ),
+            4,
+        ).alias("oof_mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WOE / IV binning: score explainability next to AUC and ECE.
+# ---------------------------------------------------------------------------
+
+_WOE_SMOOTH = 0.5  # Laplace count added per bin and class
+
+
+@register(
+    "woe_iv_binning",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        binned AS (
+            SELECT LEAST(CAST(FLOOR(score * {_N_CAL_BINS}) AS BIGINT),
+                         {_N_CAL_BINS - 1}) AS bin,
+                   label
+            FROM scored
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(SUM(label) AS BIGINT) AS n_good,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS n_bad
+            FROM binned GROUP BY bin
+        ),
+        tot AS (
+            SELECT SUM(n_good) AS gt, SUM(n_bad) AS bt,
+                   COUNT(*) AS n_bins
+            FROM per_bin
+        )
+        SELECT bin, n_good, n_bad,
+               ROUND(ln(((n_good + {_WOE_SMOOTH})
+                         / (t.gt + {_WOE_SMOOTH} * t.n_bins))
+                        / ((n_bad + {_WOE_SMOOTH})
+                           / (t.bt + {_WOE_SMOOTH} * t.n_bins))), 6) AS woe,
+               ROUND(((n_good + {_WOE_SMOOTH})
+                      / (t.gt + {_WOE_SMOOTH} * t.n_bins)
+                      - (n_bad + {_WOE_SMOOTH})
+                        / (t.bt + {_WOE_SMOOTH} * t.n_bins))
+                     * ln(((n_good + {_WOE_SMOOTH})
+                           / (t.gt + {_WOE_SMOOTH} * t.n_bins))
+                          / ((n_bad + {_WOE_SMOOTH})
+                             / (t.bt + {_WOE_SMOOTH} * t.n_bins))), 6)
+                   AS iv_contrib
+        FROM per_bin CROSS JOIN tot t
+    """,
+    doc=(
+        "WEIGHT-OF-EVIDENCE / INFORMATION-VALUE BINNING of the quality "
+        f"score against the label, {_N_CAL_BINS} bins with Laplace "
+        f"smoothing {_WOE_SMOOTH} (so an empty class in a bin yields a "
+        "large-but-finite WOE instead of ±inf): per bin WOE = "
+        "ln(goods-share / bads-share) and its IV contribution "
+        "(g-b)*WOE — the credit-scoring-lineage explainability summary "
+        "that tells you WHERE a score separates the classes (AUC says "
+        "how much overall, ECE says whether it's calibrated, WOE says "
+        "which score ranges do the work; sum(iv_contrib) > 0.3 reads "
+        "'strong predictor'). Plan: one scan, one hash aggregate to the "
+        f"{_N_CAL_BINS}-row bin table, a 1-row totals broadcast; shares "
+        "difference exact bigint counts so the 6-dp WOE is "
+        "engine-stable."
+    ),
+    tags=("evals", "llm", "statistics"),
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    binned = s.select(
+        F.least(
+            F.floor(F.col("score") * _N_CAL_BINS).cast("bigint"),
+            F.lit(_N_CAL_BINS - 1),
+        ).alias("bin"),
+        "label",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("label").cast("bigint").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("n_bad"),
+    )
+    tot = per_bin.agg(
+        F.sum("n_good").alias("gt"),
+        F.sum("n_bad").alias("bt"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    g_share = (F.col("n_good") + _WOE_SMOOTH) / (
+        F.col("gt") + _WOE_SMOOTH * F.col("n_bins")
+    )
+    b_share = (F.col("n_bad") + _WOE_SMOOTH) / (
+        F.col("bt") + _WOE_SMOOTH * F.col("n_bins")
+    )
+    woe = F.log(g_share / b_share)
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round(woe, 6).alias("woe"),
+        F.round((g_share - b_share) * woe, 6).alias("iv_contrib"),
+    )

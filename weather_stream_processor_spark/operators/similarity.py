@@ -2530,3 +2530,127 @@ def lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("kdist"), 6).alias("k_distance"),
         )
     )
+
+
+# --- Simplified silhouette: clustering quality next to the kmeans tier -----
+
+
+@register(
+    "simplified_silhouette",
+    oracle=f"""
+        WITH assign AS ({_kmeans_oracle(_KMEANS_K, _KMEANS_ITERS)}),
+        e AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT a.cluster_id AS cid, e.i, ROUND(AVG(e.x), 6) AS cx
+            FROM assign a JOIN e USING (vec_id)
+            GROUP BY a.cluster_id, e.i
+        ),
+        d AS (
+            SELECT e.vec_id, a.cluster_id, c.cid,
+                   ROUND(SUM((e.x - c.cx) * (e.x - c.cx)), 6) AS d2
+            FROM e
+            JOIN assign a USING (vec_id)
+            JOIN cent c ON c.i = e.i
+            GROUP BY e.vec_id, a.cluster_id, c.cid
+        ),
+        ab AS (
+            SELECT vec_id, cluster_id,
+                   MAX(CASE WHEN cid = cluster_id THEN d2 END) AS a2,
+                   MIN(CASE WHEN cid <> cluster_id THEN d2 END) AS b2
+            FROM d GROUP BY vec_id, cluster_id
+        ),
+        s AS (
+            SELECT cluster_id,
+                   ROUND((SQRT(b2) - SQRT(a2))
+                         / GREATEST(SQRT(a2), SQRT(b2), 1e-12), 6) AS sil
+            FROM ab
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(AVG(sil), 6) AS avg_silhouette,
+               ROUND(MIN(sil), 6) AS min_silhouette
+        FROM s GROUP BY cluster_id
+    """,
+    doc=(
+        "SIMPLIFIED SILHOUETTE per cluster of the registered "
+        f"deterministic k-means (k={_KMEANS_K}): s(i) = (b-a)/max(a,b) "
+        "with a = distance to the OWN final centroid and b = distance to "
+        "the nearest OTHER centroid — the centroid-based silhouette "
+        "(Hruschka et al.) that replaces classic silhouette's O(n²) "
+        "all-pairs mean distances with k centroid distances per point, "
+        "which is the ONLY silhouette you can afford at 100 TB, and the "
+        "quality gate that tells you whether the kmeans feeding the IVF "
+        "index / cluster-balanced sampler actually separated anything "
+        "(avg ~0: overlapping cells; negative min: misassigned points). "
+        "Plan: reuses kmeans_embedding_clusters' registered execution "
+        "verbatim, recomputes final centroids as one (cid, dim)-keyed "
+        "aggregate (k x dim rows, broadcast back), scores each point "
+        "against k broadcast centroids map-side, and folds to a k-row "
+        "report. Distances rounded to 6dp before sqrt (IEEE sqrt is "
+        "correctly rounded, so it is engine-exact on equal inputs); the "
+        "oracle composes the kmeans oracle's CTE chain verbatim, so the "
+        "hash certifies the full pipeline assignment->centroid->score."
+    ),
+    tags=("similarity", "llm", "clustering", "evals"),
+)
+def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    assign = (
+        _REGISTRY["kmeans_embedding_clusters"]
+        .builder(spark, sf_dir)
+        .select("vec_id", "cluster_id")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    pts = emb.join(assign, "vec_id")
+    cent = (
+        pts.select("cluster_id", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster_id", "i")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+        .groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("sx"))
+        .select(
+            F.col("cluster_id").alias("cid"),
+            F.transform("sx", lambda s: s.getField("cx")).alias("c"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+        6,
+    )
+    d = pts.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster_id", "cid", d2.alias("d2")
+    )
+    ab = d.groupBy("vec_id", "cluster_id").agg(
+        F.max(F.when(F.col("cid") == F.col("cluster_id"), F.col("d2"))).alias(
+            "a2"
+        ),
+        F.min(F.when(F.col("cid") != F.col("cluster_id"), F.col("d2"))).alias(
+            "b2"
+        ),
+    )
+    sil = F.round(
+        (F.sqrt("b2") - F.sqrt("a2"))
+        / F.greatest(F.sqrt("a2"), F.sqrt("b2"), F.lit(1e-12)),
+        6,
+    )
+    return (
+        ab.select("cluster_id", sil.alias("sil"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("sil"), 6).alias("avg_silhouette"),
+            F.round(F.min("sil"), 6).alias("min_silhouette"),
+        )
+    )

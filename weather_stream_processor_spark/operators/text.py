@@ -2328,3 +2328,242 @@ def phrase_match_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phrase")
     )
     return tri.join(F.broadcast(top), "phrase").select("doc_id", "pos", "phrase")
+
+
+# --- TextRank keyphrases + word2vec-style sampling table --------------------
+
+_TR_DAMP = 0.85
+_TR_ITERS = 5
+_TR_MIN_COOC = 10  # adjacent-pair support required before an edge exists
+
+
+def _textrank_oracle() -> str:
+    """Unrolled weighted TextRank as a DuckDB CTE chain (same shape as
+    the pagerank oracle: fixed rounds, undirected construction, so no
+    dangling mass)."""
+    steps = []
+    prev = "p0"
+    for i in range(1, _TR_ITERS + 1):
+        steps.append(
+            f"""p{i} AS (
+            SELECT e.dst AS term,
+                   (1 - {_TR_DAMP}) / n.n
+                   + {_TR_DAMP} * SUM(p.rank * e.w / wd.wdeg) AS rank
+            FROM edges e
+            JOIN {prev} p ON p.term = e.src
+            JOIN wdeg wd ON wd.term = e.src
+            CROSS JOIN n
+            GROUP BY e.dst, n.n
+        )"""
+        )
+        prev = f"p{i}"
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH toks AS (
+            SELECT string_split(text, ' ') AS t FROM documents
+        ),
+        big AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        ),
+        und AS (
+            SELECT string_split(bigram, ' ')[1] AS a,
+                   string_split(bigram, ' ')[2] AS b,
+                   CAST(COUNT(*) AS DOUBLE) AS w
+            FROM big
+            WHERE string_split(bigram, ' ')[1] <> string_split(bigram, ' ')[2]
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= {_TR_MIN_COOC}
+        ),
+        edges AS (
+            SELECT a AS src, b AS dst, w FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst, w FROM und
+        ),
+        wdeg AS (
+            SELECT src AS term, SUM(w) AS wdeg FROM edges GROUP BY src
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT src) AS DOUBLE) AS n FROM edges),
+        p0 AS (
+            SELECT DISTINCT e.src AS term, 1.0 / n.n AS rank
+            FROM edges e CROSS JOIN n
+        ),
+        {chain}
+        SELECT term, ROUND(rank, 6) AS textrank
+        FROM p{_TR_ITERS}
+        ORDER BY textrank DESC, term ASC
+        LIMIT 20
+    """
+
+
+@register(
+    "textrank_keyphrases",
+    oracle=_textrank_oracle(),
+    doc=(
+        f"TEXTRANK KEYWORD EXTRACTION (Mihalcea & Tarau 2004): weighted "
+        f"PageRank (d={_TR_DAMP}, {_TR_ITERS} fixed rounds) over the "
+        "word co-occurrence graph — nodes are tokens, undirected edges "
+        f"are ADJACENT-token pairs with support >= {_TR_MIN_COOC} "
+        "(min-support bounds the graph to the frequent-collocation "
+        "core), edge weight = co-occurrence count, rank mass flows "
+        "proportional to w/weighted-degree. Top-20 terms by rounded "
+        "rank. Unlike frequency-based RAKE (rake_keyphrases), TextRank "
+        "rewards tokens CENTRAL to the collocation graph rather than "
+        "merely frequent — the other classic unsupervised keyword "
+        "family, here sharing the Pregel-as-join machinery of "
+        "pagerank_brand_graph: the iteration state is the O(|vocab'|) "
+        "rank vector (vocab' = min-support survivors), each round is "
+        "one broadcast-rank join + dst-keyed aggregate, the edge list "
+        "shuffles ONCE at build. Undirected construction leaves no "
+        "dangling mass, so five fixed rounds are deterministic and the "
+        "oracle unrolls the identical chain."
+    ),
+    tags=("text", "llm", "graph", "iterative"),
+)
+def textrank_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+    und = (
+        bigrams.select(
+            F.split("bigram", " ")[0].alias("a"),
+            F.split("bigram", " ")[1].alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .filter(F.col("w") >= _TR_MIN_COOC)
+    )
+    # the edge list feeds wdeg + n + seed + every round: persist once,
+    # release after materialization (same rationale as pagerank)
+    return persisted_result(und, _textrank_tree)
+
+
+def textrank_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Un-materialized textrank plan for plan-shape tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = docs.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+    und = (
+        bigrams.select(
+            F.split("bigram", " ")[0].alias("a"),
+            F.split("bigram", " ")[1].alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .filter(F.col("w") >= _TR_MIN_COOC)
+    )
+    return _textrank_tree(und)
+
+
+def _textrank_tree(und: DataFrame) -> DataFrame:
+    edges = und.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    wdeg = edges.groupBy(F.col("src").alias("term")).agg(
+        F.sum("w").alias("wdeg")
+    )
+    n_df = edges.agg(F.countDistinct("src").cast("double").alias("n"))
+    ranks = (
+        edges.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(n_df))
+        .select(F.col("src").alias("term"), (1.0 / F.col("n")).alias("rank"))
+    )
+    for _ in range(_TR_ITERS):
+        # rank vector and weighted-degree table are O(|vocab'|): broadcast
+        # both so a round never shuffles the edge list
+        msgs = (
+            edges.join(
+                F.broadcast(ranks.withColumnRenamed("term", "src")), "src"
+            )
+            .join(F.broadcast(wdeg.withColumnRenamed("term", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("wdeg")).alias("s"))
+        )
+        ranks = msgs.crossJoin(F.broadcast(n_df)).select(
+            F.col("dst").alias("term"),
+            ((1 - _TR_DAMP) / F.col("n") + _TR_DAMP * F.col("s")).alias("rank"),
+        )
+    return (
+        ranks.select("term", F.round("rank", 6).alias("textrank"))
+        .orderBy(F.desc("textrank"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_NEG_TABLE_TOP = 200  # vocabulary slice carried into the sampling table
+_NEG_POWER = 0.75  # word2vec's unigram-distribution flattening exponent
+
+
+@register(
+    "unigram_sampling_table",
+    oracle=f"""
+        WITH uni AS (
+            SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            GROUP BY tok
+        ),
+        top AS (
+            SELECT term, c FROM uni
+            ORDER BY c DESC, term ASC
+            LIMIT {_NEG_TABLE_TOP}
+        ),
+        pw AS (
+            SELECT term, c, ROUND(POWER(c, {_NEG_POWER}), 6) AS w
+            FROM top
+        )
+        SELECT term, c,
+               ROUND(w / SUM(w) OVER (), 6) AS p_sample,
+               ROUND(SUM(w) OVER (ORDER BY c DESC, term ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                     / SUM(w) OVER (), 6) AS cum_p
+        FROM pw
+    """,
+    doc=(
+        "NEGATIVE-SAMPLING TABLE (word2vec's unigram^"
+        f"{_NEG_POWER} distribution) over the top-{_NEG_TABLE_TOP} "
+        "vocabulary: per term its count, flattened sampling probability "
+        "p ~ c^0.75 (the exponent that up-weights rare words enough to "
+        "train against without letting stopwords dominate), and the "
+        "CUMULATIVE probability — the inverse-CDF lookup column a "
+        "sampler binary-searches with a uniform draw, which is how "
+        "negative sampling actually executes inside a skip-gram/"
+        "contrastive trainer. Plan: one explode + vocab-bounded hash "
+        "aggregate, TakeOrderedAndProject for the top slice, then "
+        f"ordered/whole windows over the {_NEG_TABLE_TOP}-row table "
+        "(bounded by construction). POWER results are rounded to 6dp "
+        "BEFORE the normalizing sums so cross-libm ulp drift in pow() "
+        "cannot reach the hash."
+    ),
+    tags=("text", "llm", "sampling"),
+)
+def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = uni.orderBy(F.desc("c"), F.asc("term")).limit(_NEG_TABLE_TOP)
+    pw = top.select(
+        "term", "c", F.round(F.pow("c", F.lit(_NEG_POWER)), 6).alias("w")
+    )
+    # 200-row frames: bounded by the table slice, never the corpus
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_run = Window.orderBy(F.desc("c"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return pw.select(
+        "term",
+        "c",
+        F.round(F.col("w") / F.sum("w").over(w_all), 6).alias("p_sample"),
+        F.round(F.sum("w").over(w_run) / F.sum("w").over(w_all), 6).alias(
+            "cum_p"
+        ),
+    )
