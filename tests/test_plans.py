@@ -745,3 +745,34 @@ def test_unigram_table_topk_no_global_sort(spark):
         contains=("TakeOrderedAndProject",),
         not_contains=("CartesianProduct",),
     )
+
+
+def test_wasserstein_pushdown_and_pruning(spark):
+    # the event-type filter reaches the scan; only (event_type, value)
+    # are read — same contract as the KS statistic it extends
+    df = _df(spark, "wasserstein_drift_1d")
+    assert any("event_type" in f for f in pushed_filters(df))
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {"event_type", "value"}
+
+
+def test_minmax_audit_single_scan_via_explode(spark):
+    # the two layout assignments fan out from ONE lineitem scan through
+    # an exploded array, not a self-union that would scan twice
+    df = _df(spark, "minmax_pruning_audit")
+    ops = operator_names(df)
+    assert sum(1 for o in ops if o.startswith("Scan parquet")) == 1, ops
+    assert "Union" not in ops
+    [cols] = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_shipdate"}
+
+
+def test_rocchio_broadcasts_feedback_head(spark):
+    # the 10-row feedback head must broadcast into the postings join;
+    # nothing cartesian beyond the 1-row corpus-count broadcast
+    df = _df(spark, "rocchio_query_expansion")
+    require_plan(
+        df,
+        contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+        not_contains=("CartesianProduct",),
+    )

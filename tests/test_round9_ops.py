@@ -632,3 +632,218 @@ def test_unigram_sampling_table_properties(spark):
     # raw frequency share (that is what the 0.75 exponent is FOR)
     raw_share = rows[0].c / sum(c for _, c in top)
     assert rows[0].p_sample < raw_share
+
+
+# --- round-5e: MMR, Rocchio PRF, Wasserstein drift, pruning audit,
+# streaming sequence pattern ------------------------------------------------
+
+
+def _embeddings_np(spark, sf=SF_SMOKE):
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    return ids[order], mat[order]
+
+
+def test_mmr_matches_greedy_rederivation(spark):
+    ids, mat = _embeddings_np(spark)
+    q = mat[ids == 0][0]
+    rest = ids != 0
+    rids, rmat = ids[rest], mat[rest]
+    norms = np.sqrt((rmat * rmat).sum(axis=1))
+    rels = np.round(rmat @ q / (norms * np.sqrt(q @ q)), 6)
+    order = sorted(range(len(rids)), key=lambda i: (-rels[i], rids[i]))[:30]
+    pids = rids[order]
+    prel = rels[order]
+    pm = rmat[order]
+    pn = norms[order]
+    sims = np.round((pm @ pm.T) / np.outer(pn, pn), 6)
+    chosen, remaining = [], list(range(30))
+    expected = []
+    for rank in range(1, 11):
+        if rank == 1:
+            sc = {i: prel[i] for i in remaining}
+        else:
+            sc = {
+                i: round(
+                    0.7 * prel[i] - 0.3 * max(sims[i][j] for j in chosen), 6
+                )
+                for i in remaining
+            }
+        best = min(remaining, key=lambda i: (-sc[i], pids[i]))
+        expected.append((rank, int(pids[best]), prel[best], sc[best]))
+        chosen.append(best)
+        remaining.remove(best)
+    got = sorted(
+        (
+            (r.mmr_rank, r.vec_id, r.relevance, r.mmr_score)
+            for r in _run(spark, "mmr_diversified_rerank").collect()
+        )
+    )
+    assert len(got) == 10
+    for (rk, v, rel, sc), (erk, ev_, erel, esc) in zip(got, expected):
+        assert (rk, v) == (erk, ev_)
+        assert abs(rel - erel) < 1e-6
+        assert abs(sc - esc) < 1e-6
+    # after rank 1 the MMR score is strictly below pure relevance
+    # whenever any selected neighbor is positively similar
+    for rk, v, rel, sc in got[1:]:
+        assert sc <= rel + 1e-9
+
+
+def test_rocchio_expansion_matches_python(spark):
+    docs = _docs(spark)
+    run = sorted(
+        (
+            (r.doc_id, r.bm25)
+            for r in _run(spark, "bm25_top_docs").collect()
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )
+    fb = {d for d, _ in run[:10]}
+    tf_fb: dict[str, int] = {}
+    df: dict[str, set] = {}
+    for d, text, _, _ in docs:
+        for t in text.split(" "):
+            df.setdefault(t, set()).add(d)
+            if d in fb:
+                tf_fb[t] = tf_fb.get(t, 0) + 1
+    n = len(docs)
+    weights = {
+        t: round(c * math.log(n / len(df[t])), 6)
+        for t, c in tf_fb.items()
+        if t not in ("spark", "join", "window")
+    }
+    top = sorted(weights.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.term, r.tf_fb, r.df, r.rocchio_weight)
+        for r in _run(spark, "rocchio_query_expansion").collect()
+    ]
+    assert len(got) == 10
+    for (term, tfv, dfv, w), (eterm, ew) in zip(got, top):
+        assert term == eterm
+        assert tfv == tf_fb[term]
+        assert dfv == len(df[term])
+        assert abs(w - ew) < 1e-6
+
+
+def test_wasserstein_matches_python_and_bounds_mean_shift(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = sorted(
+        math.floor(r.value * 10) for r in ev if r.event_type == "click"
+    )
+    b = sorted(
+        math.floor(r.value * 10) for r in ev if r.event_type == "purchase"
+    )
+    buckets = sorted(set(a) | set(b))
+    ca = cb = 0.0
+    w1 = 0.0
+    for i, bk in enumerate(buckets):
+        ca += sum(1 for x in a if x == bk) / len(a)
+        cb += sum(1 for x in b if x == bk) / len(b)
+        if i + 1 < len(buckets):
+            w1 += abs(ca - cb) * (buckets[i + 1] - bk) * 0.1
+    [row] = _run(spark, "wasserstein_drift_1d").collect()
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    assert row.n_buckets == len(buckets)
+    assert abs(row.w1_distance - w1) < 1e-5
+    # W1 lower-bounds the absolute mean shift of the quantized values
+    mean_shift = abs(
+        sum(a) / len(a) - sum(b) / len(b)
+    ) * 0.1
+    assert row.w1_distance >= mean_shift - 1e-9
+
+
+def test_minmax_pruning_clustered_beats_hash(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    li = (
+        load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    )
+    KNUTH, MOD = 2654435761, 2147483647
+    import datetime
+
+    lo = datetime.datetime(1996, 3, 1)
+    hi = datetime.datetime(1996, 3, 31, 23, 59, 59)
+    layouts: dict[str, dict[int, list]] = {"hash_orderkey": {}, "cluster_shipdate": {}}
+    for r in li:
+        hf = (((int(r.l_orderkey) % MOD) * KNUTH) >> 16) % 64
+        df_ = r.l_shipdate.year * 12 + r.l_shipdate.month
+        layouts["hash_orderkey"].setdefault(hf, []).append(r.l_shipdate)
+        layouts["cluster_shipdate"].setdefault(df_, []).append(r.l_shipdate)
+    expected = {}
+    for name, files in layouts.items():
+        n_pruned = scanned = total = 0
+        for ds in files.values():
+            total += len(ds)
+            if max(ds) < lo or min(ds) > hi:
+                n_pruned += 1
+            else:
+                scanned += len(ds)
+        expected[name] = (len(files), n_pruned, round(scanned / total, 6))
+    got = {
+        r.layout: (r.n_files, r.n_pruned, r.scan_frac)
+        for r in _run(spark, "minmax_pruning_audit").collect()
+    }
+    assert got.keys() == expected.keys()
+    for name in expected:
+        assert got[name][0] == expected[name][0]
+        assert got[name][1] == expected[name][1]
+        assert abs(got[name][2] - expected[name][2]) < 1e-6
+    # the lesson itself: clustering prunes, hashing doesn't
+    assert got["cluster_shipdate"][2] < got["hash_orderkey"][2]
+    assert got["cluster_shipdate"][1] > got["hash_orderkey"][1]
+
+
+def test_streaming_pattern_equals_batch_rederivation(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    errors = [r for r in ev if r.event_type == "error"]
+    purchases = [r for r in ev if r.event_type == "purchase"]
+    by_user: dict[int, list] = {}
+    for p in purchases:
+        by_user.setdefault(int(p.user_id), []).append(p)
+    expected = {}
+    for e in errors:
+        cands = [
+            p
+            for p in by_user.get(int(e.user_id), [])
+            if e.ts < p.ts
+            and (p.ts - e.ts).total_seconds() <= 3600
+        ]
+        if cands:
+            first = min(cands, key=lambda p: (p.ts, p.event_id))
+            lag = int(
+                (first.ts - e.ts).total_seconds()
+            )  # floor: both are micro-precise, diff >= 0
+            expected[int(e.event_id)] = (
+                int(e.user_id),
+                int(first.event_id),
+                lag,
+            )
+    got = {
+        int(r.error_id): (int(r.user_id), int(r.purchase_id), int(r.lag_sec))
+        for r in _run(spark, "streaming_error_then_purchase").collect()
+    }
+    assert got == expected
+    assert len(got) >= 3  # non-vacuous at the smoke scale

@@ -1402,3 +1402,234 @@ def group_aware_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "wasserstein_drift_1d",
+    oracle="""
+        WITH b AS (
+            SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+                   CAST(FLOOR(value * 10) AS BIGINT) AS bucket
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        counts AS (
+            SELECT bucket,
+                   SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS n_a,
+                   SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS n_b
+            FROM b GROUP BY bucket
+        ),
+        cdf AS (
+            SELECT bucket,
+                   LEAD(bucket, 1, bucket) OVER (ORDER BY bucket) AS nxt,
+                   SUM(n_a) OVER (ORDER BY bucket) * 1.0
+                       / SUM(n_a) OVER () AS ca,
+                   SUM(n_b) OVER (ORDER BY bucket) * 1.0
+                       / SUM(n_b) OVER () AS cb,
+                   CAST(SUM(n_a) OVER () AS BIGINT) AS t_a,
+                   CAST(SUM(n_b) OVER () AS BIGINT) AS t_b,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_buckets
+            FROM counts
+        )
+        SELECT t_a AS n_a, t_b AS n_b, n_buckets,
+               ROUND(SUM(ABS(ca - cb) * (nxt - bucket) * 0.1), 6)
+                   AS w1_distance
+        FROM cdf
+        GROUP BY t_a, t_b, n_buckets
+    """,
+    doc=(
+        "1-D WASSERSTEIN (earth-mover) drift distance between the click "
+        "and purchase value distributions on the same 0.1-quantized grid "
+        "as ks_drift_two_sample: W1 = integral of |CDF_a - CDF_b|, "
+        "computed as the CDF-gap sum weighted by the REAL inter-bucket "
+        "width (lead(bucket) - bucket, so runs of empty buckets between "
+        "observed ones contribute their full constant-gap mass — the "
+        "subtlety a naive per-observed-bucket sum silently drops). "
+        "Completes the drift triptych: PSI sees bin-share shifts, KS "
+        "sees the worst single point of CDF separation, W1 integrates "
+        "HOW FAR mass moved — the only one of the three that "
+        "distinguishes a small shift of everything from a large shift "
+        "of a sliver, which is what a 'values now 2x larger' pipeline "
+        "bug looks like. Plan identical to KS: two map-side conditional "
+        "counts to the bounded bucket domain, one ordered window over "
+        "those rows, one aggregate. CDF gaps difference exact bigint "
+        "counts; 6-dp rounding happens once at the end."
+    ),
+    tags=("sampling", "drift", "statistics", "quality"),
+)
+def wasserstein_drift_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("g"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    # bounded bucket-domain windows, same class as the KS statistic;
+    # totals come from a whole-frame window over the SAME grid so events
+    # is scanned exactly once (a separate agg would re-scan)
+    w_run = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_lead = Window.orderBy("bucket")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = counts.select(
+        "bucket",
+        F.lead("bucket", 1, None).over(w_lead).alias("nxt_raw"),
+        (
+            F.sum("n_a").over(w_run) * 1.0 / F.sum("n_a").over(w_all)
+        ).alias("ca"),
+        (
+            F.sum("n_b").over(w_run) * 1.0 / F.sum("n_b").over(w_all)
+        ).alias("cb"),
+        F.sum("n_a").over(w_all).cast("bigint").alias("t_a"),
+        F.sum("n_b").over(w_all).cast("bigint").alias("t_b"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n_buckets"),
+    ).select(
+        "t_a",
+        "t_b",
+        "n_buckets",
+        "bucket",
+        F.coalesce("nxt_raw", F.col("bucket")).alias("nxt"),
+        "ca",
+        "cb",
+    )
+    return cdf.groupBy(
+        F.col("t_a").alias("n_a"),
+        F.col("t_b").alias("n_b"),
+        "n_buckets",
+    ).agg(
+        F.round(
+            F.sum(
+                F.abs(F.col("ca") - F.col("cb"))
+                * (F.col("nxt") - F.col("bucket"))
+                * 0.1
+            ),
+            6,
+        ).alias("w1_distance")
+    )
+
+
+_PRUNE_FILES = 64  # synthetic file count for the layout comparison
+_PRUNE_LO = "1996-03-01 00:00:00"
+_PRUNE_HI = "1996-03-31 23:59:59"
+
+
+@register(
+    "minmax_pruning_audit",
+    oracle=f"""
+        WITH rows_ AS (
+            SELECT l_shipdate,
+                   CAST((((l_orderkey % {_MOD}) * {_KNUTH}) >> 16)
+                        % {_PRUNE_FILES} AS BIGINT) AS hash_file,
+                   CAST(date_part('year', l_shipdate) * 12
+                        + date_part('month', l_shipdate) AS BIGINT)
+                       AS date_file
+            FROM lineitem
+        ),
+        layouts AS (
+            SELECT 'hash_orderkey' AS layout, hash_file AS file_id,
+                   l_shipdate FROM rows_
+            UNION ALL
+            SELECT 'cluster_shipdate' AS layout, date_file AS file_id,
+                   l_shipdate FROM rows_
+        ),
+        files AS (
+            SELECT layout, file_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(l_shipdate) AS f_min, MAX(l_shipdate) AS f_max
+            FROM layouts GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN f_max < TIMESTAMP '{_PRUNE_LO}'
+                              OR f_min > TIMESTAMP '{_PRUNE_HI}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+               ROUND(SUM(CASE WHEN f_max < TIMESTAMP '{_PRUNE_LO}'
+                               OR f_min > TIMESTAMP '{_PRUNE_HI}'
+                              THEN 0 ELSE n_rows END) * 1.0
+                     / SUM(n_rows), 6) AS scan_frac
+        FROM files
+        GROUP BY layout
+    """,
+    doc=(
+        "MIN-MAX PRUNING AUDIT — the data-layout lesson as one "
+        f"measured table: lineitem is assigned to {_PRUNE_FILES} "
+        "synthetic files two ways (hash of orderkey — the layout you "
+        "get by default — vs clustered by shipdate month), per-file "
+        "min/max zone maps are computed, and a one-month probe "
+        "predicate is tested against them. The hash layout prunes ~0 "
+        "files (every file spans the full date range, scan_frac ~1.0); "
+        "the clustered layout prunes everything but the probed month "
+        "(scan_frac ~= month share) — the quantified argument for "
+        "sort/cluster-on-write that zorder_cell_stats makes in 2-D, "
+        "here in the 1-D form every lakehouse zone-map implements. "
+        "Plan: one scan, one (layout, file) hash aggregate (2 x "
+        f"{_PRUNE_FILES}-row output), one rollup; the probe evaluates "
+        "against FILE STATS, never rows — which is the entire point: "
+        "at 100 TB the audit costs one pass, and the layout decision "
+        "it informs saves every future scan."
+    ),
+    tags=("sampling", "layout", "scale", "profiling"),
+)
+def minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        "l_shipdate",
+        (
+            F.shiftright((F.col("l_orderkey") % _MOD) * F.lit(_KNUTH), 16)
+            % _PRUNE_FILES
+        )
+        .cast("bigint")
+        .alias("hash_file"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("date_file"),
+    )
+    # one scan: each row fans out to its two layout assignments via an
+    # exploded 2-element array (a unionAll of two selects would scan
+    # lineitem twice — Catalyst does not dedupe the shared subtree)
+    layouts = rows_.select(
+        "l_shipdate",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hash_orderkey").alias("layout"),
+                    F.col("hash_file").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("cluster_shipdate").alias("layout"),
+                    F.col("date_file").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    ).select(
+        F.col("lf.layout").alias("layout"),
+        F.col("lf.file_id").alias("file_id"),
+        "l_shipdate",
+    )
+    files = layouts.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("l_shipdate").alias("f_min"),
+        F.max("l_shipdate").alias("f_max"),
+    )
+    pruned = (F.col("f_max") < F.lit(_PRUNE_LO).cast("timestamp")) | (
+        F.col("f_min") > F.lit(_PRUNE_HI).cast("timestamp")
+    )
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(F.when(pruned, 1).otherwise(0)).cast("bigint").alias("n_pruned"),
+        F.round(
+            F.sum(F.when(pruned, 0).otherwise(F.col("n_rows")))
+            * 1.0
+            / F.sum("n_rows"),
+            6,
+        ).alias("scan_frac"),
+    )

@@ -2654,3 +2654,135 @@ def simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("sil"), 6).alias("min_silhouette"),
         )
     )
+
+
+# --- MMR diversified rerank: the retrieval-side diversity selector ----------
+
+_MMR_POOL = 30
+_MMR_K = 10
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle(pool: int, k: int, lam: float) -> str:
+    """Unrolled greedy MMR selection (same generated-CTE trick as the
+    k-center trace): round r picks argmax of lam*rel - (1-lam)*max-sim-
+    to-selected over the remaining pool, scores rounded to 6dp before
+    the argmax, vec_id tie-break."""
+    parts = [
+        _COSINE_ORACLE_CTE.format(n_queries=1)
+        + f""",
+    pool AS (SELECT vec_id, cosine_sim AS rel FROM sims WHERE rn <= {pool}),
+    pe AS (
+        SELECT e.vec_id, e.i, CAST(e.ex AS DOUBLE) AS x
+        FROM e JOIN pool p ON p.vec_id = e.vec_id
+    ),
+    ps AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               ROUND(SUM(a.x * b.x)
+                     / (sqrt(SUM(a.x * a.x)) * sqrt(SUM(b.x * b.x))), 6)
+                   AS sim
+        FROM pe a JOIN pe b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ),
+    n0 AS MATERIALIZED (
+        SELECT vec_id, rel, rel AS mmr FROM pool
+        ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    sel0 AS (SELECT vec_id FROM n0)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    n{r} AS MATERIALIZED (
+        SELECT p.vec_id, p.rel,
+               ROUND({lam} * p.rel - {1 - lam} * MAX(ps.sim), 6) AS mmr
+        FROM pool p
+        JOIN ps ON ps.va = p.vec_id
+               AND ps.vb IN (SELECT vec_id FROM sel{r - 1})
+        WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+        GROUP BY p.vec_id, p.rel
+        ORDER BY mmr DESC, p.vec_id LIMIT 1
+    ),
+    sel{r} AS (SELECT vec_id FROM sel{r - 1}
+               UNION ALL SELECT vec_id FROM n{r})"""
+        )
+    rounds = [
+        f"SELECT {r + 1} AS mmr_rank, vec_id, rel AS relevance,"
+        f" mmr AS mmr_score FROM n{r}"
+        for r in range(k)
+    ]
+    return "WITH " + "".join(parts)[9:] + "\n" + "\nUNION ALL\n".join(rounds)
+
+
+@register(
+    "mmr_diversified_rerank",
+    oracle=_mmr_oracle(_MMR_POOL, _MMR_K, _MMR_LAMBDA),
+    doc=(
+        f"MAXIMAL MARGINAL RELEVANCE rerank (Carbonell & Goldstein "
+        f"1998): from the top-{_MMR_POOL} cosine candidates for query "
+        f"vector 0, greedily select {_MMR_K} results maximizing "
+        f"lambda*relevance - (1-lambda)*max-similarity-to-already-"
+        f"selected (lambda={_MMR_LAMBDA}) — the diversity-aware rerank "
+        "every RAG retriever needs when the raw top-k is ten paraphrases "
+        "of the same passage (near-dup corpora make this the default, "
+        "not the exception). Plan: the corpus-sized work is ONLY the "
+        "top-pool TakeOrderedAndProject over the broadcast-query scan; "
+        f"the greedy loop runs on the {_MMR_POOL}-row pool — a bounded "
+        "driver pull of the same documented class as the PQ codebooks "
+        "and NTILE cutoffs (pool size is fixed by the API, independent "
+        "of corpus scale). Relevance is rounded in-plan BEFORE the pool "
+        "cut; pool pairwise sims and MMR scores round to 6dp before "
+        "every argmax with vec_id tie-breaks, so the greedy trace "
+        "hash-matches the unrolled DuckDB recursion."
+    ),
+    tags=("similarity", "llm", "retrieval", "headline"),
+)
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("nrm").alias("q_nrm")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_pair_cosine(), 6).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .collect()  # bounded pool pull (_MMR_POOL rows), documented above
+    )
+    ids = np.array([r.vec_id for r in pool], dtype=np.int64)
+    rels = np.array([r.rel for r in pool], dtype=np.float64)
+    mat = np.array([r.embedding for r in pool], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+
+    chosen: list[int] = []
+    trace = []
+    remaining = list(range(len(ids)))
+    for rank in range(1, _MMR_K + 1):
+        if rank == 1:
+            scores = {i: rels[i] for i in remaining}
+        else:
+            scores = {
+                i: round(
+                    _MMR_LAMBDA * rels[i]
+                    - (1 - _MMR_LAMBDA) * max(sims[i, j] for j in chosen),
+                    6,
+                )
+                for i in remaining
+            }
+        best = min(remaining, key=lambda i: (-scores[i], ids[i]))
+        trace.append(
+            (rank, int(ids[best]), float(rels[best]), float(scores[best]))
+        )
+        chosen.append(best)
+        remaining.remove(best)
+    return spark.createDataFrame(
+        trace, "mmr_rank int, vec_id long, relevance double, mmr_score double"
+    )

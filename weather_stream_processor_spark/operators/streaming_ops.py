@@ -947,3 +947,70 @@ def streaming_abandoned_views_anti(spark: SparkSession, sf_dir: str) -> DataFram
     return run_to_memory(
         joined, _sink_name("streaming_ss_anti_join"), output_mode="append"
     )
+
+
+@register(
+    "streaming_error_then_purchase",
+    oracle="""
+        WITH err AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'error'
+        ),
+        pur AS (
+            SELECT user_id, event_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+                   p.event_id AS purchase_id, p.ts AS purchase_ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id ORDER BY p.ts, p.event_id
+                   ) AS rn
+            FROM err e JOIN pur p
+              ON p.user_id = e.user_id
+             AND p.ts > e.ts
+             AND p.ts <= e.ts + INTERVAL 3600 SECOND
+        )
+        SELECT user_id, error_id, error_ts, purchase_id, purchase_ts,
+               CAST(FLOOR((epoch_us(purchase_ts) - epoch_us(error_ts))
+                          / 1000000.0) AS BIGINT) AS lag_sec
+        FROM m WHERE rn = 1
+    """,
+    doc=(
+        "STREAMING SEQUENCE-PATTERN DETECTION (MATCH_RECOGNIZE-class, "
+        "via applyInPandasWithState): per user, every 'error' event is "
+        "matched to its FIRST 'purchase' strictly after it within 3600 s "
+        "— the error-then-converted-anyway funnel a reliability team "
+        "alerts on. Spark has no MATCH_RECOGNIZE; the stateful seam "
+        "carries each user's PENDING-ERROR list across micro-batches, "
+        "a purchase closes (and consumes) every pending error inside "
+        "its window, and anything older than purchase_ts - window is "
+        "pruned because no later purchase can ever reach it — so state "
+        "is bounded by one window's error rate per key, NOT by history "
+        "(the eviction argument is in streaming/stateful.py, next to "
+        "the per-batch (ts, event_id) sort that makes the replay "
+        "deterministic). The relational oracle states the same "
+        "semantics declaratively — errors x purchases range join, "
+        "first-match by ROW_NUMBER — proving the incremental stateful "
+        "program equals the batch definition end to end; the strict "
+        "p.ts > e.ts bound makes same-timestamp pairs unmatchable in "
+        "both formulations, so in-batch processing order cannot leak "
+        "into the result."
+    ),
+    tags=("streaming", "stateful", "pandas-udf", "pattern"),
+)
+def streaming_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.streaming.stateful import (
+        error_purchase_pattern_stream,
+    )
+
+    ev = events_replay_source(spark, sf_dir)
+    out = run_to_memory(
+        error_purchase_pattern_stream(ev),
+        _sink_name("streaming_error_purchase"),
+        output_mode="append",
+    )
+    return out.select(
+        "user_id", "error_id", "error_ts", "purchase_id", "purchase_ts",
+        "lag_sec",
+    )

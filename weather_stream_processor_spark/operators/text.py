@@ -2567,3 +2567,96 @@ def unigram_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_p"
         ),
     )
+
+
+# --- Rocchio pseudo-relevance feedback ---------------------------------------
+
+_PRF_FB_DOCS = 10  # feedback depth: top docs assumed relevant
+_PRF_TERMS = 10  # expansion terms returned
+
+
+@register(
+    "rocchio_query_expansion",
+    oracle=f"""
+        WITH run AS ({_BM25_ORACLE}),
+        fb AS (
+            SELECT doc_id FROM run
+            ORDER BY bm25 DESC, doc_id ASC LIMIT {_PRF_FB_DOCS}
+        ),
+        posts AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf_fb AS (
+            SELECT p.term, CAST(COUNT(*) AS BIGINT) AS tf_fb
+            FROM posts p JOIN fb USING (doc_id)
+            GROUP BY p.term
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM posts GROUP BY term
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+        SELECT t.term, t.tf_fb, d.df,
+               ROUND(t.tf_fb * ln(nd.n * 1.0 / d.df), 6) AS rocchio_weight
+        FROM tf_fb t JOIN df d USING (term) CROSS JOIN nd
+        WHERE t.term NOT IN ('spark', 'join', 'window')
+        ORDER BY rocchio_weight DESC, t.term ASC
+        LIMIT {_PRF_TERMS}
+    """,
+    doc=(
+        "ROCCHIO PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION: assume the "
+        f"top-{_PRF_FB_DOCS} BM25 results are relevant, build the "
+        "feedback centroid in tf-idf space (term frequency WITHIN the "
+        "feedback docs x corpus ln(N/df)), and emit the "
+        f"top-{_PRF_TERMS} expansion terms the original query lacks — "
+        "the classic second-pass retrieval move (expand 'spark join "
+        "window' with the vocabulary its best matches actually use, "
+        "then re-query) that lifts recall when queries underspecify. "
+        "Plan: reuses bm25_top_docs' registered execution for the run "
+        f"(its {_PRF_FB_DOCS}-row head broadcasts into the postings "
+        "join, so the tf_fb aggregate touches only feedback-doc "
+        "postings), the corpus df table is the same vocab-bounded "
+        "aggregate the tf-idf family shares, and the final top-k is "
+        "TakeOrderedAndProject with full tie-breaks. Weights round to "
+        "6dp before ranking."
+    ),
+    tags=("text", "retrieval", "llm"),
+)
+def rocchio_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    run = _REGISTRY["bm25_top_docs"].builder(spark, sf_dir)
+    fb = (
+        run.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    posts = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf_fb = (
+        posts.join(F.broadcast(fb), "doc_id")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf_fb"))
+    )
+    df = posts.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        tf_fb.join(df, "term")
+        .crossJoin(F.broadcast(nd))
+        .filter(~F.col("term").isin(*_BM25_TERMS))
+        .select(
+            "term",
+            "tf_fb",
+            "df",
+            F.round(
+                F.col("tf_fb") * F.log(F.col("n") * 1.0 / F.col("df")), 6
+            ).alias("rocchio_weight"),
+        )
+        .orderBy(F.desc("rocchio_weight"), F.asc("term"))
+        .limit(_PRF_TERMS)
+    )

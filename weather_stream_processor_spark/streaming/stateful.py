@@ -32,6 +32,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RECORD_SCHEMA = "user_id bigint, event_id bigint, ts timestamp, value double"
@@ -158,6 +159,89 @@ def cusum_alert_stream(stream: DataFrame, cutoff) -> DataFrame:
             make_cusum_monitor(cutoff),
             outputStructType=CUSUM_SCHEMA,
             stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+PATTERN_SCHEMA = (
+    "user_id bigint, error_id bigint, error_ts timestamp, "
+    "purchase_id bigint, purchase_ts timestamp, lag_sec bigint"
+)
+PATTERN_STATE_SCHEMA = "pending_us array<bigint>, pending_id array<bigint>"
+PATTERN_WINDOW_SEC = 3600  # a purchase closes errors from the prior hour
+
+
+def _error_then_purchase(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Sequence-pattern detector: for each 'error', its FIRST 'purchase'
+    strictly after it within PATTERN_WINDOW_SEC. State per key is the
+    pending-unmatched-error list, pruned on every purchase (an error older
+    than purchase_ts - window can never match a later purchase, since
+    later purchases are even further away) — so state is bounded by the
+    per-user error rate inside one window, not history length."""
+    pend_us, pend_id = state.get if state.exists else ([], [])
+    pend = list(zip(pend_us, pend_id))
+    out = []
+    win_us = PATTERN_WINDOW_SEC * 1_000_000
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for row in pdf.itertuples(index=False):
+            ts_us = row.ts.value // 1000  # pandas ns -> micros
+            if row.event_type == "error":
+                pend.append((ts_us, int(row.event_id)))
+            elif row.event_type == "purchase":
+                matched = [
+                    (eus, eid)
+                    for eus, eid in pend
+                    if ts_us - win_us <= eus < ts_us
+                ]
+                for eus, eid in sorted(matched):
+                    out.append(
+                        (
+                            int(key[0]),
+                            eid,
+                            pd.Timestamp(eus * 1000),
+                            int(row.event_id),
+                            row.ts,
+                            (ts_us - eus) // 1_000_000,
+                        )
+                    )
+                # matched errors are consumed; expired ones pruned
+                pend = [
+                    (eus, eid) for eus, eid in pend if eus >= ts_us
+                ]
+    state.update(
+        ([eus for eus, _ in pend], [eid for _, eid in pend])
+    )
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "error_id",
+                "error_ts",
+                "purchase_id",
+                "purchase_ts",
+                "lag_sec",
+            ],
+        )
+
+
+def error_purchase_pattern_stream(stream: DataFrame) -> DataFrame:
+    """Per-user error->purchase sequence matches (see _error_then_purchase)."""
+    return (
+        stream.filter(F.col("event_type").isin("error", "purchase"))
+        .select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _error_then_purchase,
+            outputStructType=PATTERN_SCHEMA,
+            stateStructType=PATTERN_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
