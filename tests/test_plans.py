@@ -685,7 +685,11 @@ def test_encoding_advisor_profiles_all_columns_in_one_scan(spark):
 
 
 def test_adamic_adar_scan_pruned_and_no_cartesian(spark):
-    df = _df(spark, "adamic_adar_link_prediction")
+    # the registered builder persists the support-edge list (it feeds
+    # three subtrees) and truncates lineage; inspect the lazy twin
+    from weather_stream_processor_spark.operators.analytics import aa_plan
+
+    df = aa_plan(spark, SF_SMOKE)
     require_plan(
         df,
         contains=("TakeOrderedAndProject",),

@@ -847,3 +847,97 @@ def test_streaming_pattern_equals_batch_rederivation(spark):
     }
     assert got == expected
     assert len(got) >= 3  # non-vacuous at the smoke scale
+
+
+# --- round-5f: exact Shapley attribution + Heaps' law -----------------------
+
+
+def test_shapley_matches_python_and_is_efficient(spark):
+    from itertools import combinations
+
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    channels = ("click", "view", "signup", "error")
+    firstp: dict[int, object] = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            u = int(r.user_id)
+            if u not in firstp or r.ts < firstp[u]:
+                firstp[u] = r.ts
+    masks: dict[int, int] = {u: 0 for u in firstp}
+    for r in ev:
+        u = int(r.user_id)
+        if (
+            u in firstp
+            and r.event_type in channels
+            and r.ts < firstp[u]
+        ):
+            masks[u] |= 1 << channels.index(r.event_type)
+
+    def v(S: int) -> int:
+        return sum(1 for m in masks.values() if (m | S) == S)
+
+    import math as m
+
+    n = len(channels)
+    expected = {}
+    for i, ch in enumerate(channels):
+        phi = 0.0
+        for size in range(n):
+            for subset in combinations(
+                [j for j in range(n) if j != i], size
+            ):
+                S = sum(1 << j for j in subset)
+                w = m.factorial(size) * m.factorial(n - 1 - size) / m.factorial(n)
+                phi += w * (v(S | (1 << i)) - v(S))
+        expected[ch] = round(phi, 6)
+    got = {
+        r.channel: r.shapley_conversions
+        for r in _run(spark, "shapley_channel_attribution").collect()
+    }
+    assert set(got) == set(channels)
+    for ch in channels:
+        assert abs(got[ch] - expected[ch]) < 1e-6, ch
+    # efficiency: Shapley values sum to v(full) - v(empty)
+    assert abs(sum(got.values()) - (v(15) - v(0))) < 1e-4
+
+
+def test_heaps_fit_matches_python_ols(spark):
+    docs = _docs(spark)
+    ids = [d for d, _, _, _ in docs]
+    dmin, dmax = min(ids), max(ids)
+    bounds = [
+        dmin + math.floor(i * (dmax - dmin) / 10) for i in range(1, 11)
+    ]
+    pts = []
+    for b in bounds:
+        n_tok = sum(
+            len(t.split(" ")) for d, t, _, _ in docs if d <= b
+        )
+        vocab = len(
+            {w for d, t, _, _ in docs if d <= b for w in t.split(" ")}
+        )
+        pts.append((b, n_tok, vocab))
+    xs = [math.log(n) for _, n, _ in pts]
+    ys = [math.log(v) for _, _, v in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    beta = (sum(x * y for x, y in zip(xs, ys)) - n * mx * my) / (
+        sum(x * x for x in xs) - n * mx * mx
+    )
+    k = math.exp(my - beta * mx)
+    rows = sorted(_run(spark, "heaps_law_fit").collect(), key=lambda r: r.checkpoint)
+    assert [(r.doc_id_bound, r.n_tokens, r.vocab) for r in rows] == pts
+    for r in rows:
+        assert abs(r.heaps_beta - beta) < 1e-5
+        assert abs(r.heaps_k - k) < max(1e-4, abs(k) * 1e-5)
+    # sub-linear growth: the fixture vocabulary saturates hard
+    assert rows[0].heaps_beta < 1.0
+    # monotone growth curves
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_tokens <= b.n_tokens and a.vocab <= b.vocab

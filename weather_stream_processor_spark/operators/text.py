@@ -2660,3 +2660,151 @@ def rocchio_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rocchio_weight"), F.asc("term"))
         .limit(_PRF_TERMS)
     )
+
+
+# --- Heaps' law: vocabulary-growth companion to the Zipf rank fit -----------
+
+_HEAPS_CHECKPOINTS = 10
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT MIN(doc_id) AS dmin, MAX(doc_id) AS dmax FROM documents
+        ),
+        cps AS (
+            SELECT CAST(s.i AS BIGINT) AS cp,
+                   b.dmin + CAST(FLOOR(s.i * (b.dmax - b.dmin)
+                                       / {_HEAPS_CHECKPOINTS}.0) AS BIGINT)
+                       AS bound
+            FROM bounds b,
+                 LATERAL (SELECT unnest(generate_series(1,
+                              {_HEAPS_CHECKPOINTS})) AS i) s
+        ),
+        doc_tok AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        firsts AS (
+            SELECT tok, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        toks_at AS (
+            SELECT c.cp, c.bound, CAST(SUM(d.n_tok) AS BIGINT) AS n_tokens
+            FROM cps c JOIN doc_tok d ON d.doc_id <= c.bound
+            GROUP BY c.cp, c.bound
+        ),
+        vocab_at AS (
+            SELECT c.cp, CAST(COUNT(*) AS BIGINT) AS vocab
+            FROM cps c JOIN firsts f ON f.first_doc <= c.bound
+            GROUP BY c.cp
+        ),
+        pts AS (
+            SELECT t.cp, t.bound, t.n_tokens, v.vocab,
+                   ln(t.n_tokens) AS x, ln(v.vocab) AS y
+            FROM toks_at t JOIN vocab_at v USING (cp)
+        ),
+        fit AS (
+            SELECT cp, bound, n_tokens, vocab,
+                   (SUM(x * y) OVER () - COUNT(*) OVER ()
+                        * AVG(x) OVER () * AVG(y) OVER ())
+                   / (SUM(x * x) OVER () - COUNT(*) OVER ()
+                        * AVG(x) OVER () * AVG(x) OVER ()) AS beta,
+                   AVG(y) OVER () AS my, AVG(x) OVER () AS mx
+            FROM pts
+        )
+        SELECT cp AS checkpoint, bound AS doc_id_bound, n_tokens, vocab,
+               ROUND(beta, 6) AS heaps_beta,
+               ROUND(EXP(my - beta * mx), 6) AS heaps_k
+        FROM fit
+    """,
+    doc=(
+        "HEAPS' LAW FIT — the vocabulary-growth companion to "
+        "zipf_law_fit: V(N) ~ k * N^beta measured at "
+        f"{_HEAPS_CHECKPOINTS} doc_id checkpoints (prefixes of the "
+        "corpus in doc_id order), with (k, beta) from the closed-form "
+        "OLS on the log-log points. beta well below 1 is the signature "
+        "of natural language (sub-linear vocabulary growth); a corpus "
+        "whose beta DRIFTS UP between snapshots is acquiring "
+        "template/ID-like text — the growth-curve audit next to "
+        "ngram_diversity_curve's within-corpus view. The scale trick is "
+        "computing every prefix WITHOUT re-scanning per prefix: token "
+        "mass per checkpoint comes from one (doc, n_tok) projection "
+        "range-joined to the 10-row broadcast checkpoint table, and "
+        "vocabulary per checkpoint from the per-term FIRST-OCCURRENCE "
+        "table (one vocab-bounded aggregate) the same way — the corpus "
+        "is read twice total, prefix count plays no role. The OLS runs "
+        f"as whole-frame windows over the {_HEAPS_CHECKPOINTS}-row "
+        "point table (bounded by construction); ln() of exact bigints "
+        "keeps the fit engine-stable at 6dp."
+    ),
+    tags=("text", "llm", "stats", "profiling"),
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax")
+    )
+    cps = bounds.select(
+        F.explode(
+            F.sequence(F.lit(1), F.lit(_HEAPS_CHECKPOINTS))
+        ).alias("cp_i"),
+        "dmin",
+        "dmax",
+    ).select(
+        F.col("cp_i").cast("bigint").alias("cp"),
+        (
+            F.col("dmin")
+            + F.floor(
+                F.col("cp_i")
+                * (F.col("dmax") - F.col("dmin"))
+                / float(_HEAPS_CHECKPOINTS)
+            ).cast("bigint")
+        ).alias("bound"),
+    )
+    doc_tok = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    toks_at = (
+        doc_tok.join(F.broadcast(cps), doc_tok.doc_id <= cps.bound)
+        .groupBy("cp", "bound")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    vocab_at = (
+        firsts.join(F.broadcast(cps), firsts.first_doc <= cps.bound)
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    )
+    pts = toks_at.join(vocab_at, "cp").select(
+        "cp",
+        "bound",
+        "n_tokens",
+        "vocab",
+        F.log("n_tokens").alias("x"),
+        F.log("vocab").alias("y"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_ = F.count(F.lit(1)).over(w_all)
+    mx, my = F.avg("x").over(w_all), F.avg("y").over(w_all)
+    beta = (F.sum(F.col("x") * F.col("y")).over(w_all) - n_ * mx * my) / (
+        F.sum(F.col("x") * F.col("x")).over(w_all) - n_ * mx * mx
+    )
+    return pts.select(
+        F.col("cp").alias("checkpoint"),
+        F.col("bound").alias("doc_id_bound"),
+        "n_tokens",
+        "vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.exp(my - beta * mx), 6).alias("heaps_k"),
+    )
