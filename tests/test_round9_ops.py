@@ -941,3 +941,61 @@ def test_heaps_fit_matches_python_ols(spark):
     # monotone growth curves
     for a, b in zip(rows, rows[1:]):
         assert a.n_tokens <= b.n_tokens and a.vocab <= b.vocab
+
+
+def test_release_audit_is_consistent_with_constituents(spark):
+    """The report's per-gate counts must equal filtering each registered
+    constituent's own output, and the summary rows must satisfy the
+    union/complement identities."""
+    rows = {r.gate: r for r in _run(spark, "release_audit_report").collect()}
+    assert set(rows) == {
+        "exact_sha256",
+        "near_dup_jaccard",
+        "quality_gopher",
+        "repetition",
+        "decontamination",
+        "memorization",
+        "privacy_combo",
+        "any_gate",
+        "released_clean",
+    }
+    n_docs = len(_docs(spark))
+    keep_list = _run(spark, "near_dup_keep_list").collect()
+    assert rows["near_dup_jaccard"].n_flagged == sum(
+        1 for r in keep_list if not r.keep
+    )
+    gopher = _run(spark, "gopher_quality_rules").collect()
+    assert rows["quality_gopher"].n_flagged == sum(
+        1 for r in gopher if not r.keep
+    )
+    decon = _run(spark, "decontamination_overlap").collect()
+    assert rows["decontamination"].n_flagged == len(decon)
+    memo = _run(spark, "memorization_risk_scores").collect()
+    assert rows["memorization"].n_flagged == sum(
+        1 for r in memo if r.action == "trim"
+    )
+    # union bounds: max(per-gate) <= any <= sum(per-gate), and the
+    # complement identity
+    per_gate = [
+        rows[g].n_flagged
+        for g in (
+            "exact_sha256",
+            "near_dup_jaccard",
+            "quality_gopher",
+            "repetition",
+            "decontamination",
+            "memorization",
+            "privacy_combo",
+        )
+    ]
+    any_n = rows["any_gate"].n_flagged
+    assert max(per_gate) <= any_n <= sum(per_gate)
+    assert rows["released_clean"].n_flagged == n_docs - any_n
+    assert abs(rows["released_clean"].corpus_frac + rows["any_gate"].corpus_frac - 1.0) < 2e-6
+    # non-vacuity: gates disagree — at least one flags something and at
+    # least one passes most docs. (At the 500-doc smoke scale any_gate
+    # can legitimately equal n_docs: a corpus that small cannot be
+    # 5-anonymous, so the privacy gate alone flags nearly everything —
+    # which is exactly what the report should say.)
+    assert any_n > 0
+    assert min(per_gate) < n_docs // 2

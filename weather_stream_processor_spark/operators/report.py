@@ -242,3 +242,240 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("anonymity_set") < _KANON_K).cast("int").alias("at_risk"),
         F.round(F.col("anonymity_set") / F.col("n"), 6).alias("doc_share"),
     )
+
+
+# --- the corpus RELEASE AUDIT: every ship-gate as one table -----------------
+
+_RELEASE_GATES = (
+    (1, "exact_sha256"),
+    (2, "near_dup_jaccard"),
+    (3, "quality_gopher"),
+    (4, "repetition"),
+    (5, "decontamination"),
+    (6, "memorization"),
+    (7, "privacy_combo"),
+)
+_PRIV_LEN_BUCKET = 100  # the shared quasi-identifier bucketing
+
+
+def _release_oracle() -> str:
+    keep_list = _REGISTRY["near_dup_keep_list"].oracle
+    gopher = _REGISTRY["gopher_quality_rules"].oracle
+    rep = _REGISTRY["repetition_quality_filter"].oracle
+    decon = _REGISTRY["decontamination_overlap"].oracle
+    memo = _REGISTRY["memorization_risk_scores"].oracle
+    kanon = _REGISTRY["k_anonymity_audit"].oracle
+    ldiv = _REGISTRY["l_diversity_audit"].oracle
+    tclose = _REGISTRY["t_closeness_audit"].oracle
+    return f"""
+        WITH g1 AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper
+                FROM documents
+            ) WHERE doc_id <> keeper
+        ),
+        g2 AS (SELECT doc_id FROM ({keep_list}) WHERE NOT keep),
+        g3 AS (SELECT doc_id FROM ({gopher}) WHERE NOT keep),
+        g4 AS (SELECT doc_id FROM ({rep}) WHERE NOT keep),
+        g5 AS (SELECT doc_id FROM ({decon})),
+        g6 AS (SELECT doc_id FROM ({memo}) WHERE action = 'trim'),
+        dk AS (
+            SELECT doc_id, lang, source,
+                   CAST(FLOOR(n_chars / {_PRIV_LEN_BUCKET}) AS BIGINT)
+                       AS len_bucket
+            FROM documents
+        ),
+        pk AS (SELECT lang, source, len_bucket
+               FROM ({kanon}) WHERE at_risk = 1),
+        pl AS (SELECT lang, len_bucket FROM ({ldiv})
+               WHERE at_risk_distinct = 1 OR at_risk_entropy = 1),
+        pt AS (SELECT lang, len_bucket FROM ({tclose}) WHERE at_risk = 1),
+        g7 AS (
+            SELECT d.doc_id FROM dk d JOIN pk USING (lang, source, len_bucket)
+            UNION
+            SELECT d.doc_id FROM dk d JOIN pl USING (lang, len_bucket)
+            UNION
+            SELECT d.doc_id FROM dk d JOIN pt USING (lang, len_bucket)
+        ),
+        flags AS (
+            SELECT 1 AS gate_rank, 'exact_sha256' AS gate, doc_id FROM g1
+            UNION ALL SELECT 2, 'near_dup_jaccard', doc_id FROM g2
+            UNION ALL SELECT 3, 'quality_gopher', doc_id FROM g3
+            UNION ALL SELECT 4, 'repetition', doc_id FROM g4
+            UNION ALL SELECT 5, 'decontamination', doc_id FROM g5
+            UNION ALL SELECT 6, 'memorization', doc_id FROM g6
+            UNION ALL SELECT 7, 'privacy_combo', doc_id FROM g7
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        gates(gate_rank, gate) AS (VALUES
+            {", ".join(f"({r}, '{g}')" for r, g in _RELEASE_GATES)}),
+        per_gate AS (
+            SELECT g.gate_rank, g.gate,
+                   CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_flagged
+            FROM gates g LEFT JOIN flags f USING (gate_rank)
+            GROUP BY g.gate_rank, g.gate
+        ),
+        anyg AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+                 FROM flags)
+        SELECT p.gate_rank, p.gate, p.n_flagged,
+               ROUND(p.n_flagged * 1.0 / d.n, 6) AS corpus_frac
+        FROM per_gate p CROSS JOIN nd d
+        UNION ALL
+        SELECT 8, 'any_gate', a.n, ROUND(a.n * 1.0 / d.n, 6)
+        FROM anyg a CROSS JOIN nd d
+        UNION ALL
+        SELECT 9, 'released_clean', d.n - a.n,
+               ROUND((d.n - a.n) * 1.0 / d.n, 6)
+        FROM anyg a CROSS JOIN nd d
+    """
+
+
+@register(
+    "release_audit_report",
+    oracle=_release_oracle(),
+    doc=(
+        "CORPUS RELEASE AUDIT — the dataset-release checklist as ONE "
+        "hash-verified table: the seven ship-gates a production corpus "
+        "passes before publication (exact sha-256 dedup, Jaccard "
+        "near-dup keep-list, Gopher quality rules, repetition screen, "
+        "benchmark decontamination, memorization-risk trim, and the "
+        "combined privacy audit — a doc fails privacy if its "
+        "quasi-identifier combo fails ANY of k-anonymity, l-diversity, "
+        "or t-closeness), each with its flagged-document count and "
+        "corpus fraction, then the union row ('any_gate' — docs blocked "
+        "by at least one gate) and the bottom line ('released_clean'). "
+        "Where dedup_cascade_report measures the marginal value of "
+        "dedup TIERS, this composes ACROSS gate families — the table a "
+        "data lead actually signs off on. Every gate reuses its "
+        "registered operator's execution verbatim (the oracle embeds "
+        "the registered oracle SQL as derived tables, so the driver's "
+        "hash certifies the whole pipeline through the same semantics "
+        "it already checks per-gate); flag sets are doc_id-only "
+        "projections unioned and folded to a 9-row report — the report "
+        "layer adds one flags-keyed aggregate on top of the gates, "
+        "nothing corpus-sized. At 100 TB the gates run as independent "
+        "jobs writing doc_id flag sets; the report is their union — "
+        "embarrassingly parallel across gate families."
+    ),
+    tags=("report", "llm", "curation", "privacy", "dedup", "headline"),
+)
+def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    digs = docs.select("doc_id", F.sha2("text", 256).alias("dig"))
+    keeper = F.min("doc_id").over(Window.partitionBy("dig"))
+    g1 = (
+        digs.select("doc_id", keeper.alias("keeper"))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id")
+    )
+    g2 = (
+        _REGISTRY["near_dup_keep_list"]
+        .builder(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    g3 = (
+        _REGISTRY["gopher_quality_rules"]
+        .builder(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    g4 = (
+        _REGISTRY["repetition_quality_filter"]
+        .builder(spark, sf_dir)
+        .filter(~F.col("keep"))
+        .select("doc_id")
+    )
+    g5 = _REGISTRY["decontamination_overlap"].builder(spark, sf_dir).select(
+        "doc_id"
+    )
+    g6 = (
+        _REGISTRY["memorization_risk_scores"]
+        .builder(spark, sf_dir)
+        .filter(F.col("action") == "trim")
+        .select("doc_id")
+    )
+    dk = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / _PRIV_LEN_BUCKET)
+        .cast("bigint")
+        .alias("len_bucket"),
+    )
+    pk = (
+        _REGISTRY["k_anonymity_audit"]
+        .builder(spark, sf_dir)
+        .filter(F.col("at_risk") == 1)
+        .select("lang", "source", "len_bucket")
+    )
+    pl = (
+        _REGISTRY["l_diversity_audit"]
+        .builder(spark, sf_dir)
+        .filter(
+            (F.col("at_risk_distinct") == 1) | (F.col("at_risk_entropy") == 1)
+        )
+        .select("lang", "len_bucket")
+    )
+    pt = (
+        _REGISTRY["t_closeness_audit"]
+        .builder(spark, sf_dir)
+        .filter(F.col("at_risk") == 1)
+        .select("lang", "len_bucket")
+    )
+    g7 = (
+        dk.join(F.broadcast(pk), ["lang", "source", "len_bucket"])
+        .select("doc_id")
+        .union(dk.join(F.broadcast(pl), ["lang", "len_bucket"]).select("doc_id"))
+        .union(dk.join(F.broadcast(pt), ["lang", "len_bucket"]).select("doc_id"))
+        .distinct()
+    )
+    gate_dfs = dict(
+        zip([g for _, g in _RELEASE_GATES], [g1, g2, g3, g4, g5, g6, g7])
+    )
+    flags = None
+    for rank, gate in _RELEASE_GATES:
+        part = gate_dfs[gate].select(
+            F.lit(rank).alias("gate_rank"),
+            F.lit(gate).alias("gate"),
+            "doc_id",
+        )
+        flags = part if flags is None else flags.unionAll(part)
+    n_docs = docs.count()  # 1-row driver scalar, bounded (cascade precedent)
+    # left-join the 7-row gate spec so zero-flag gates still report
+    # (a 0 is sign-off information, not absence)
+    gates = spark.createDataFrame(
+        list(_RELEASE_GATES), "gate_rank int, gate string"
+    )
+    per_gate = (
+        gates.join(
+            flags.select("gate_rank", "doc_id"), "gate_rank", "left"
+        )
+        .groupBy("gate_rank", "gate")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_flagged"))
+    )
+    anyg = flags.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_any")
+    )
+    summary = anyg.select(
+        F.lit(8).alias("gate_rank"),
+        F.lit("any_gate").alias("gate"),
+        F.col("n_any").alias("n_flagged"),
+    ).unionAll(
+        anyg.select(
+            F.lit(9).alias("gate_rank"),
+            F.lit("released_clean").alias("gate"),
+            (F.lit(n_docs) - F.col("n_any")).cast("bigint").alias("n_flagged"),
+        )
+    )
+    return per_gate.unionAll(summary).select(
+        "gate_rank",
+        "gate",
+        "n_flagged",
+        F.round(F.col("n_flagged") * 1.0 / F.lit(float(n_docs)), 6).alias(
+            "corpus_frac"
+        ),
+    )
