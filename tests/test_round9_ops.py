@@ -999,3 +999,31 @@ def test_release_audit_is_consistent_with_constituents(spark):
     # which is exactly what the report should say.)
     assert any_n > 0
     assert min(per_gate) < n_docs // 2
+
+
+def test_broadcast_advisor_matches_width_model(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = {
+        r.table_name: r
+        for r in _run(spark, "broadcast_join_advisor").collect()
+    }
+    assert len(rows) == 10
+    # spot-check the width model on two tables via duckdb
+    n_li, bytes_li = con.sql(
+        f"SELECT COUNT(*), SUM(76 + length(l_returnflag) + length(l_linestatus))"
+        f" FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"
+    ).fetchone()
+    assert rows["lineitem"].n_rows == n_li
+    assert rows["lineitem"].est_bytes == bytes_li
+    n_e, bytes_e = con.sql(
+        f"SELECT COUNT(*), SUM(12 + 4 * len(embedding))"
+        f" FROM read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchone()
+    assert rows["embeddings"].est_bytes == bytes_e
+    # decision consistency + fixture sanity: every smoke table fits the
+    # 10 MB broadcast budget, and the flag agrees with the strategy
+    for r in rows.values():
+        assert r.broadcastable == int(r.est_bytes <= 10 * 1024 * 1024)
+        assert (r.join_strategy == "broadcast") == bool(r.broadcastable)

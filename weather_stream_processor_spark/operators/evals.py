@@ -1152,3 +1152,102 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(woe, 6).alias("woe"),
         F.round((g_share - b_share) * woe, 6).alias("iv_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-join advisor: the last member of the physical-advice family.
+# ---------------------------------------------------------------------------
+
+# (table, fixed bytes per row, varchar columns, array columns as
+# (col, elem_bytes)) — in-memory width model, generated into BOTH engines
+_BCAST_SPEC = (
+    ("region", 4, ("r_name",), ()),
+    ("nation", 8, ("n_name",), ()),
+    ("customer", 20, ("c_name", "c_mktsegment"), ()),
+    ("supplier", 20, ("s_name",), ()),
+    ("part", 20, ("p_name", "p_brand", "p_type"), ()),
+    ("orders", 32, ("o_orderstatus", "o_orderpriority"), ()),
+    ("lineitem", 76, ("l_returnflag", "l_linestatus"), ()),
+    ("events", 32, ("event_type", "props"), ()),
+    ("documents", 16, ("text", "lang", "source"), ()),
+    ("embeddings", 12, (), (("embedding", 4),)),
+)
+_BCAST_THRESHOLD = 10 * 1024 * 1024  # spark.sql.autoBroadcastJoinThreshold
+
+
+def _bcast_oracle() -> str:
+    parts = []
+    for table, fixed, strs, arrs in _BCAST_SPEC:
+        width = str(fixed)
+        for c in strs:
+            width += f" + length({c})"
+        for c, eb in arrs:
+            width += f" + {eb} * len({c})"
+        parts.append(
+            f"""SELECT '{table}' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM({width}) AS BIGINT) AS est_bytes
+            FROM {table}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+        WITH sizes AS ({union})
+        SELECT table_name, n_rows, est_bytes,
+               CAST(est_bytes <= {_BCAST_THRESHOLD} AS INT) AS broadcastable,
+               CASE WHEN est_bytes <= {_BCAST_THRESHOLD}
+                    THEN 'broadcast' ELSE 'shuffle' END AS join_strategy
+        FROM sizes
+    """
+
+
+@register(
+    "broadcast_join_advisor",
+    oracle=_bcast_oracle(),
+    doc=(
+        "BROADCAST-JOIN ADVISOR over every fixture table: estimated "
+        "in-memory bytes from an explicit row-width model (fixed widths "
+        "per numeric/timestamp column + measured varchar/array payload), "
+        "compared against the 10 MB autoBroadcastJoinThreshold to emit "
+        "the join-strategy call per table — the decision this repo's "
+        "plan tests pin from the CONSUMER side (broadcast_dim_join "
+        "asserts dims broadcast; this op computes WHY, from data). It "
+        "completes the physical-advice family: encoding "
+        "(column_encoding_advisor), partition sizing "
+        "(shuffle_partition_advisor), layout pruning "
+        "(minmax_pruning_audit), join strategy (this). Catalyst's own "
+        "sizeInBytes estimate works from file sizes and can misjudge "
+        "post-filter/post-project sizes; an explicit width model over "
+        "the ACTUAL columns a join would carry is how you decide hints "
+        "at 100 TB. Plan: one aggregate per table (the scans are "
+        "independent and parallel; string widths need the scan anyway), "
+        "10-row output, zero joins."
+    ),
+    tags=("evals", "layout", "profiling", "scale"),
+)
+def broadcast_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, fixed, strs, arrs in _BCAST_SPEC:
+        t = load_table(spark, sf_dir, table)
+        width = F.lit(fixed)
+        for c in strs:
+            width = width + F.length(c)
+        for c, eb in arrs:
+            width = width + eb * F.size(c)
+        part = t.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(width).cast("bigint").alias("est_bytes"),
+        ).select(
+            F.lit(table).alias("table_name"), "n_rows", "est_bytes"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        (F.col("est_bytes") <= _BCAST_THRESHOLD).cast("int").alias(
+            "broadcastable"
+        ),
+        F.when(F.col("est_bytes") <= _BCAST_THRESHOLD, "broadcast")
+        .otherwise("shuffle")
+        .alias("join_strategy"),
+    )
