@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered-but-never-driver-sampled queries to drain the unsampled set.
 # Rotated for round 5 (r4 verdict tasks 2+3): the 50 names r01-r04 already
 # verified are REMOVED from the priority window entirely; what remains is
-# exactly the 121 hash-checked queries with no driver-verified row in any
+# exactly the hash-checked queries with no driver-verified row in any
 # CORRECTNESS_r0{1..4}.json, computed from those files against the
 # registry. Slots 1-50 are round 5's tranche (curation, layout manifest,
 # multimodal, scalar sweep, set ops, ANN tiers, dedup residue, text
@@ -114,6 +114,21 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "conformal_interval_coverage", "streaming_abandoned_views_anti",
     "group_aware_fold_assignment", "knn_label_noise_scores",
     "jl_projection_distortion",
+    # round-5c..5g additions (evaluation/experimentation module, privacy
+    # trio closers, LOF/MMR/TextRank, IVM, drift W1, layout advisors,
+    # streaming sequence pattern, Shapley, Heaps, the release capstone —
+    # all oracle-backed, never driver-sampled)
+    "roc_auc_exact", "calibration_bins_ece", "ndcg_retrieval_eval",
+    "ab_conversion_lift", "l_diversity_audit", "rag_chunk_manifest",
+    "multi_pattern_match", "column_encoding_advisor", "lof_outlier_scores",
+    "nelson_aalen_hazard", "adamic_adar_link_prediction",
+    "t_closeness_audit", "target_encoding_kfold", "woe_iv_binning",
+    "incremental_rollup_merge", "simplified_silhouette",
+    "textrank_keyphrases", "unigram_sampling_table",
+    "mmr_diversified_rerank", "rocchio_query_expansion",
+    "wasserstein_drift_1d", "minmax_pruning_audit",
+    "streaming_error_then_purchase", "shapley_channel_attribution",
+    "heaps_law_fit", "release_audit_report", "broadcast_join_advisor",
 )
 
 
