@@ -129,6 +129,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "wasserstein_drift_1d", "minmax_pruning_audit",
     "streaming_error_then_purchase", "shapley_channel_attribution",
     "heaps_law_fit", "release_audit_report", "broadcast_join_advisor",
+    "jaro_winkler_linkage_topk",
 )
 
 

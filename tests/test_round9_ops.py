@@ -1027,3 +1027,41 @@ def test_broadcast_advisor_matches_width_model(spark):
     for r in rows.values():
         assert r.broadcastable == int(r.est_bytes <= 10 * 1024 * 1024)
         assert (r.join_strategy == "broadcast") == bool(r.broadcastable)
+
+
+def test_jaro_winkler_udf_matches_duckdb_native(spark):
+    """The pandas_udf metric must equal DuckDB's native
+    jaro_winkler_similarity on adversarial cases (transpositions, empty
+    strings, prefix boosts, disjoint alphabets), not just fixture
+    names — the two implementations are independent."""
+    import duckdb
+
+    from weather_stream_processor_spark.operators.dedup import (
+        _jaro_winkler_py,
+    )
+
+    cases = [
+        ("martha", "marhta"),
+        ("dixon", "dicksonx"),
+        ("jellyfish", "smellyfish"),
+        ("", ""),
+        ("a", ""),
+        ("abc", "abc"),
+        ("ab", "ba"),
+        ("abcd", "dcba"),
+        ("Customer#000000123", "Supplier#000000123"),
+        ("aaaaaaaaaa", "aaaaaaaaab"),
+        ("xyz", "abc"),
+        ("prefix_same_tail_x", "prefix_same_tail_y"),
+    ]
+    con = duckdb.connect()
+    for a, b in cases:
+        (expected,) = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()
+        assert abs(_jaro_winkler_py(a, b) - expected) < 1e-12, (a, b)
+    # and the registered top-k is fully tie-broken + descending
+    rows = _run(spark, "jaro_winkler_linkage_topk").collect()
+    assert len(rows) == 20
+    sims = [r.jw_sim for r in rows]
+    assert sims == sorted(sims, reverse=True)

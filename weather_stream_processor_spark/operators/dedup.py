@@ -2226,3 +2226,123 @@ def bloom_filter_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("exact_hit").cast("bigint").alias("exact_hits"),
         F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
     )
+
+
+# --- Jaro-Winkler record linkage (scalar pandas_udf demonstration) ----------
+
+_JW_TOPK = 20
+
+
+def _jaro_winkler_py(a: str, b: str) -> float:
+    """Textbook Jaro-Winkler (Winkler boost above 0.7, prefix cap 4) —
+    the same definition DuckDB's jaro_winkler_similarity implements,
+    which is what makes the oracle an INDEPENDENT implementation of the
+    metric rather than an echo of this one."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0  # DuckDB: two empties are 0, not 1
+    if a == b:
+        return 1.0
+    window = max(la, lb) // 2 - 1
+    match_a = [False] * la
+    match_b = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not match_b[j] and b[j] == ca:
+                match_a[i] = match_b[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if match_a[i]:
+            while not match_b[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    # transpositions = HALF the mismatched aligned matches, FLOORED —
+    # the integer-division form DuckDB (and Winkler's original code)
+    # uses; fractional t/2 diverges on odd mismatch counts
+    jaro = (m / la + m / lb + (m - t // 2) / m) / 3.0
+    if jaro > 0.7:
+        l = 0
+        for ca, cb in zip(a[:4], b[:4]):
+            if ca != cb:
+                break
+            l += 1
+        jaro += l * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+@register(
+    "jaro_winkler_linkage_topk",
+    oracle=f"""
+        SELECT c_custkey, s_suppkey,
+               ROUND(jaro_winkler_similarity(c_name, s_name), 6) AS jw_sim
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        ORDER BY jw_sim DESC, c_custkey ASC, s_suppkey ASC
+        LIMIT {_JW_TOPK}
+    """,
+    doc=(
+        "JARO-WINKLER RECORD LINKAGE, blocked by nation: the top-"
+        f"{_JW_TOPK} customer-supplier name pairs by Jaro-Winkler "
+        "similarity — the edit-distance-free string metric record "
+        "linkage actually uses for person/org names (transposition-"
+        "tolerant, prefix-weighted), complementing the Levenshtein "
+        "fuzzy_name_pairs tier. Spark has NO built-in Jaro-Winkler, so "
+        "this is the repo's demonstration of the SCALAR @pandas_udf "
+        "seam: the metric runs as an Arrow-batched vectorized UDF "
+        "(one Python call per batch, not per row) inside an otherwise "
+        "JVM-side plan — blocking join, similarity, rounding, "
+        "TakeOrderedAndProject all stay declarative. The DuckDB oracle "
+        "uses its NATIVE jaro_winkler_similarity — an independent "
+        "implementation of the textbook definition (Winkler boost "
+        "above 0.7, prefix cap 4) — so the hash check certifies the "
+        "UDF against a second engine's metric, not against itself. "
+        "Blocking bounds pairs to within-nation; at 100 TB the same "
+        "plan runs per-block with the UDF cost linear in candidate "
+        "pairs, and the top-k is per-partition heaps."
+    ),
+    tags=("dedup", "linkage", "pandas-udf", "join"),
+)
+def jaro_winkler_linkage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _jw_batch(a, b):
+        return pd.Series(
+            [_jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    # module-wide `from __future__ import annotations` stringifies hints,
+    # which pandas_udf's type inference rejects — attach REAL type
+    # objects so the Series->Series scalar eval type is inferred
+    _jw_batch.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    jw = pandas_udf(_jw_batch, DoubleType())
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(jw(F.col("c_name"), F.col("s_name")), 6).alias("jw_sim"),
+        )
+        .orderBy(F.desc("jw_sim"), F.asc("c_custkey"), F.asc("s_suppkey"))
+        .limit(_JW_TOPK)
+    )
