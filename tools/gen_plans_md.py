@@ -37,6 +37,14 @@ SHOWCASE = [
     "heavy_hitters_exact",
     "hard_negative_mining",
     "referential_integrity_audit",
+    # round-5c..5g additions: grid-bounded AUC (one scan), shuffle-free
+    # chunker, all-kNN-grid LOF, single-scan layout audit, pandas_udf
+    # linkage join
+    "roc_auc_exact",
+    "rag_chunk_manifest",
+    "lof_outlier_scores",
+    "minmax_pruning_audit",
+    "jaro_winkler_linkage_topk",
 ]
 
 
