@@ -1,0 +1,303 @@
+"""Labeling/model-eval batch tests: Cohen's kappa, majority vote, pass@k,
+MRR, average precision, isotonic calibration, Bradley-Terry, and the
+count-min sketch rollup — each re-derived in pure Python on the smoke
+fixture, beyond what the oracle hash-gate proves (the hash says
+Spark==DuckDB; these say both equal the textbook definition)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from tests.conftest import SF_SMOKE
+
+STOP = ("the", "a", "of", "and", "to", "in")
+_KNUTH = 2654435761
+_MOD = 2147483647
+
+
+def _run(spark, name, sf=SF_SMOKE):
+    from weather_stream_processor_spark.registry import all_queries
+
+    return all_queries()[name].builder(spark, sf)
+
+
+def _docs(spark, sf=SF_SMOKE):
+    from weather_stream_processor_spark.sources import load_table
+
+    return [
+        (int(r.doc_id), r.text, r.lang, r.source)
+        for r in load_table(spark, sf, "documents")
+        .select("doc_id", "text", "lang", "source")
+        .collect()
+    ]
+
+
+def _predict(text: str) -> str:
+    toks = text.split(" ")
+    dens = sum(1 for t in toks if t in STOP) / len(toks)
+    return "en" if dens >= 0.05 else "unknown"  # fixture text has no CJK
+
+
+def test_cohens_kappa_matches_confusion_matrix(spark):
+    docs = _docs(spark)
+    a = [_predict(t) for _, t, _, _ in docs]
+    b = [lang for _, _, lang, _ in docs]
+    n = len(docs)
+    po = sum(1 for x, y in zip(a, b) if x == y) / n
+    ca, cb = Counter(a), Counter(b)
+    pe = sum(ca[c] * cb.get(c, 0) for c in ca) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    row = _run(spark, "cohens_kappa_agreement").collect()[0]
+    assert row.n_items == n
+    assert abs(row.po - po) < 1e-6
+    assert abs(row.pe - pe) < 1e-6
+    assert abs(row.kappa - kappa) < 1e-6
+
+
+def test_majority_vote_rederivation(spark):
+    docs = _docs(spark)
+    flips = {
+        (d, r): ((((d * 31 + r) % _MOD) * _KNUTH) >> 16) % 10 == 0
+        for d, _, _, _ in docs
+        for r in range(3)
+    }
+    rows = {r.annotator: r for r in _run(spark, "majority_vote_labels").collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in range(3):
+        match = flip_n = 0
+        for d, _, _, _ in docs:
+            consensus = sum(flips[(d, rr)] for rr in range(3)) >= 2
+            match += flips[(d, r)] == consensus
+            flip_n += flips[(d, r)]
+        assert rows[r].n_docs == len(docs)
+        assert rows[r].n_match_consensus == match
+        assert abs(rows[r].accuracy - match / len(docs)) < 1e-6
+        assert abs(rows[r].flip_rate - flip_n / len(docs)) < 1e-6
+        # an annotator that flips ~10% must still mostly agree with the
+        # 2-of-3 consensus
+        assert rows[r].accuracy > 0.8
+
+
+def test_pass_at_k_matches_comb(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = [
+        (int(r.user_id), r.event_type)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .collect()
+    ]
+    n = Counter(u for u, _ in ev)
+    c = Counter(u for u, t in ev if t == "purchase")
+    rows = {r.k: r for r in _run(spark, "pass_at_k_estimator").collect()}
+    for k in (1, 5, 10):
+        vals = []
+        for u, nu in n.items():
+            if nu < k:
+                continue
+            cu = c.get(u, 0)
+            if nu - cu < k:
+                vals.append(1.0)
+            else:
+                vals.append(1.0 - math.comb(nu - cu, k) / math.comb(nu, k))
+        assert rows[k].n_tasks == len(vals)
+        assert abs(rows[k].pass_at_k - sum(vals) / len(vals)) < 1e-6
+    # monotone in k: more samples can only help
+    assert rows[1].pass_at_k <= rows[5].pass_at_k <= rows[10].pass_at_k
+
+
+def _scored_docs(docs):
+    out = []
+    for d, t, lang, src in docs:
+        toks = t.split(" ")
+        out.append((d, src, round(len(set(toks)) / len(toks), 4), lang == "en"))
+    return out
+
+
+def test_mrr_matches_bruteforce_sort(spark):
+    docs = _scored_docs(_docs(spark))
+    by_src = defaultdict(list)
+    for d, src, score, rel in docs:
+        by_src[src].append((d, score, rel))
+    rows = {r.source: r for r in _run(spark, "mrr_first_relevant").collect()}
+    rrs = []
+    for src, items in by_src.items():
+        ranked = sorted(items, key=lambda x: (-x[1], x[0]))
+        rank = next(i + 1 for i, (_, _, rel) in enumerate(ranked) if rel)
+        doc = ranked[rank - 1][0]
+        assert rows[src].first_rel_rank == rank
+        assert rows[src].first_rel_doc == doc
+        assert abs(rows[src].reciprocal_rank - round(1.0 / rank, 6)) < 1e-9
+        rrs.append(1.0 / rank)
+    mrr = sum(rrs) / len(rrs)
+    for r in rows.values():
+        assert abs(r.mrr - mrr) < 1e-6
+
+
+def test_average_precision_matches_step_curve(spark):
+    docs = _scored_docs(_docs(spark))
+    grid = defaultdict(lambda: [0, 0])
+    for _, _, score, rel in docs:
+        grid[score][0 if rel else 1] += 1
+    n_pos = sum(v[0] for v in grid.values())
+    cum_pos = cum_all = 0
+    ap = 0.0
+    for s in sorted(grid, reverse=True):
+        pos, neg = grid[s]
+        cum_pos += pos
+        cum_all += pos + neg
+        ap += pos * (cum_pos / cum_all)
+    ap /= n_pos
+    row = _run(spark, "average_precision_exact").collect()[0]
+    assert row.n_pos == n_pos
+    assert abs(row.average_precision - ap) < 1e-6
+    # AP of any non-degenerate ranking beats 0 and is at most 1
+    assert 0.0 < row.average_precision <= 1.0
+
+
+def _pav(pairs):
+    """Classic pool-adjacent-violators on [(weight, value)] in order."""
+    pools = [[w, w * v] for w, v in pairs]  # [weight, weighted-sum]
+    out_idx = [[i] for i in range(len(pairs))]
+    i = 0
+    while i < len(pools) - 1:
+        if pools[i][1] / pools[i][0] > pools[i + 1][1] / pools[i + 1][0] + 1e-15:
+            pools[i][0] += pools[i + 1][0]
+            pools[i][1] += pools[i + 1][1]
+            out_idx[i].extend(out_idx[i + 1])
+            del pools[i + 1], out_idx[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    fitted = {}
+    for pool, idxs in zip(pools, out_idx):
+        for j in idxs:
+            fitted[j] = pool[1] / pool[0]
+    return fitted
+
+
+def test_isotonic_matches_pav_and_is_monotone(spark):
+    docs = _scored_docs(_docs(spark))
+    bins = defaultdict(lambda: [0, 0])
+    for _, _, score, rel in docs:
+        b = min(int(score * 50), 49)
+        bins[b][0] += 1
+        bins[b][1] += 1 if rel else 0
+    order = sorted(bins)
+    fitted = _pav([(bins[b][0], bins[b][1] / bins[b][0]) for b in order])
+    expect = {b: fitted[i] for i, b in enumerate(order)}
+    rows = sorted(
+        _run(spark, "isotonic_calibration_bins").collect(), key=lambda r: r.bin
+    )
+    assert [r.bin for r in rows] == order
+    for r in rows:
+        assert r.n == bins[r.bin][0]
+        assert r.pos == bins[r.bin][1]
+        assert abs(r.calibrated - expect[r.bin]) < 1e-6, r.bin
+    # monotone non-decreasing (allow 6-dp rounding slack)
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.calibrated >= prev.calibrated - 1e-6
+
+
+def _bt_matrix(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    li = [
+        (int(r.l_orderkey), int(r.l_partkey), float(r.l_extendedprice))
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .collect()
+    ]
+    brand = {
+        int(r.p_partkey): r.p_brand
+        for r in load_table(spark, SF_SMOKE, "part")
+        .select("p_partkey", "p_brand")
+        .collect()
+    }
+    best = {}
+    for ok, pk, price in li:
+        key = (ok, brand[pk])
+        best[key] = max(best.get(key, 0.0), price)
+    wins, games = Counter(), Counter()
+    per_order = defaultdict(list)
+    for (ok, b), price in best.items():
+        per_order[ok].append((b, price))
+    for items in per_order.values():
+        for i, (ba, pa) in enumerate(items):
+            for bb, pb in items[i + 1 :]:
+                lo, plo, hi, phi = (
+                    (ba, pa, bb, pb) if ba < bb else (bb, pb, ba, pa)
+                )
+                games[(lo, hi)] += 1
+                if plo >= phi:
+                    wins[(lo, hi)] += 1
+    return wins, games
+
+
+def test_bradley_terry_rederivation(spark):
+    from weather_stream_processor_spark.operators.labeling import _bt_mm
+
+    wins, games = _bt_matrix(spark)
+    rows = [
+        {"brand_a": a, "brand_b": b, "wins_a": wins[(a, b)], "games": g}
+        for (a, b), g in games.items()
+    ]
+    expect = _bt_mm(rows)
+    out = _run(spark, "bradley_terry_strengths").collect()
+    assert abs(sum(r.strength for r in out) - 1.0) < 1e-4
+    got = {r.brand: r for r in out}
+    assert set(got) == set(expect)
+    for b, p in expect.items():
+        assert abs(got[b].strength - round(p, 6)) < 1e-9, b
+        w = sum(wins[k] for k in wins if k[0] == b) + sum(
+            games[k] - wins[k] for k in wins if k[1] == b
+        )
+        assert got[b].wins == w
+    # ranks are 1..B by strength desc, brand asc
+    ranked = sorted(out, key=lambda r: (-r.strength, r.brand))
+    assert [r.rank for r in ranked] == list(range(1, len(out) + 1))
+
+
+def test_countmin_overestimates_and_matches_python_sketch(spark):
+    from weather_stream_processor_spark.operators.aggregates import (
+        _CMS_A,
+        _CMS_B,
+        _CMS_D,
+        _CMS_W,
+    )
+    from weather_stream_processor_spark.operators.dedup import (
+        _SH_MOD,
+        _SH_POW31,
+        _SH_POW37,
+    )
+
+    docs = _docs(spark)
+    counts = Counter(t for _, text, _, _ in docs for t in text.split(" "))
+
+    def vhash(tok: str) -> int:
+        s31 = sum(ord(c) * _SH_POW31[i % 16] for i, c in enumerate(tok)) % _SH_MOD
+        s37 = sum(ord(c) * _SH_POW37[i % 16] for i, c in enumerate(tok)) % _SH_MOD
+        return s31 + s37 * 2147483648
+
+    sketch = [Counter() for _ in range(_CMS_D)]
+    for tok, cnt in counts.items():
+        h = vhash(tok) % _SH_MOD
+        for r in range(_CMS_D):
+            sketch[r][((h * _CMS_A[r] + _CMS_B[r]) % _SH_MOD) % _CMS_W] += cnt
+
+    rows = _run(spark, "countmin_sketch_rollup").collect()
+    assert len(rows) == 20
+    probes = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert {r.tok for r in rows} == {t for t, _ in probes}
+    for r in rows:
+        h = vhash(r.tok) % _SH_MOD
+        est = min(
+            sketch[d][((h * _CMS_A[d] + _CMS_B[d]) % _SH_MOD) % _CMS_W]
+            for d in range(_CMS_D)
+        )
+        assert r.exact_cnt == counts[r.tok]
+        assert r.est_cnt == est
+        # the CMS one-sided guarantee
+        assert r.overestimate >= 0
+        assert r.est_cnt >= r.exact_cnt

@@ -45,3 +45,6 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
 # import after every tier module above
 from weather_stream_processor_spark.operators import evals  # noqa: E402,F401
 from weather_stream_processor_spark.operators import report  # noqa: E402,F401
+
+# labeling.py reuses evals' scored-document CTE pair, so it imports last
+from weather_stream_processor_spark.operators import labeling  # noqa: E402,F401

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table, load_tables
+from weather_stream_processor_spark.sources import load_table, load_tables, spread
 
 
 @register(
@@ -1608,4 +1608,167 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_cents") * 1.0 / F.col("n_orders"), 4).alias(
             "avg_cents"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the point-query counting twin of the HLL/KLL/theta
+# mergeable-rollup family — fully cross-engine hash-checked because the
+# sketch hashes are the portable char-polynomial from the SimHash family.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 512
+_CMS_A = (1000003, 1000033, 1000037, 1000039)
+_CMS_B = (17, 31, 47, 61)
+_CMS_TOPK = 20
+
+
+def _cms_bucket_sql(r: int) -> str:
+    from weather_stream_processor_spark.operators.dedup import _SH_MOD
+
+    return (
+        f"((((h % {_SH_MOD}) * {_CMS_A[r]} + {_CMS_B[r]}) % {_SH_MOD})"
+        f" % {_CMS_W})"
+    )
+
+
+def _cms_oracle() -> str:
+    from weather_stream_processor_spark.operators.dedup import _vhash_ctes
+
+    cell_rows = " UNION ALL ".join(
+        f"SELECT source, cnt, {r} AS r, {_cms_bucket_sql(r)} AS bucket FROM tch"
+        for r in range(_CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {r} AS r, {_cms_bucket_sql(r)} AS bucket FROM ph"
+        for r in range(_CMS_D)
+    )
+    return f"""
+        WITH {_vhash_ctes()},
+        tc AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2
+        ),
+        tch AS (
+            SELECT tc.source, tc.tok, tc.cnt, v.h
+            FROM tc JOIN vhash v USING (tok)
+        ),
+        cells AS ({cell_rows}),
+        sketch_src AS (
+            SELECT source, r, bucket, CAST(SUM(cnt) AS BIGINT) AS counter
+            FROM cells GROUP BY 1, 2, 3
+        ),
+        merged AS (
+            SELECT r, bucket, CAST(SUM(counter) AS BIGINT) AS counter
+            FROM sketch_src GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT tok, CAST(SUM(cnt) AS BIGINT) AS exact_cnt
+            FROM tc GROUP BY tok
+            ORDER BY exact_cnt DESC, tok ASC LIMIT {_CMS_TOPK}
+        ),
+        ph AS (
+            SELECT p.tok, p.exact_cnt, v.h
+            FROM probes p JOIN vhash v USING (tok)
+        ),
+        probe_cells AS ({probe_rows})
+        SELECT pr.tok, pr.exact_cnt,
+               CAST(MIN(m.counter) AS BIGINT) AS est_cnt,
+               CAST(MIN(m.counter) - pr.exact_cnt AS BIGINT) AS overestimate
+        FROM probe_cells pr JOIN merged m USING (r, bucket)
+        GROUP BY pr.tok, pr.exact_cnt
+    """
+
+
+def _cms_cells():
+    """explode((r, bucket_r(h))) over the d sketch rows — shared by the
+    sketch build and the probe lookup."""
+    from weather_stream_processor_spark.operators.dedup import _SH_MOD
+
+    hcol = F.col("h") % _SH_MOD
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (((hcol * _CMS_A[r] + _CMS_B[r]) % _SH_MOD) % _CMS_W).alias(
+                        "bucket"
+                    ),
+                )
+                for r in range(_CMS_D)
+            ]
+        )
+    )
+
+
+@register(
+    "countmin_sketch_rollup",
+    oracle=_cms_oracle(),
+    doc=(
+        f"COUNT-MIN SKETCH rollup (d={_CMS_D} rows x w={_CMS_W} "
+        "counters): per-source token-frequency sketches built with one "
+        "hash aggregate each, MERGED into the corpus sketch by counter-"
+        "wise SUM — never by rescanning — then the top-20 heavy hitters "
+        "probed against the merged sketch (estimate = min over rows of "
+        "the hashed counter; overestimate >= 0 by construction, the CMS "
+        "one-sided error). This is the point-query counting twin of "
+        "hll/kll/theta_mergeable_rollup: per-source state is d*w "
+        f"({_CMS_D * _CMS_W}) longs regardless of input size, so "
+        "day/source shards sketch independently and roll up in O(d*w) — "
+        "the 100 TB pattern for 'how often does this token/URL/id "
+        "appear' without a vocabulary-sized table. Hashes are the "
+        "portable char-polynomial over the DISTINCT-token table (SimHash "
+        "family, dedup.py) spread across d rows by literal affine "
+        "constants mod 2^31-1, so — unlike the HLL/KLL rows — every "
+        "counter and estimate hash-matches the oracle exactly. Plan: "
+        "vocab-bounded hash joins + hash aggregates only; the probe join "
+        "broadcasts the 20-row probe set against the <=d*w-row merged "
+        "sketch."
+    ),
+    tags=("aggregation", "sketch", "rollup", "llm"),
+)
+def countmin_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators.dedup import _vocab_hash
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    tc = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    vh = _vocab_hash(toks)
+    tch = tc.join(vh, "tok")
+    cells = tch.select("source", "cnt", _cms_cells().alias("cell")).select(
+        "source", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"), "cnt"
+    )
+    sketch_src = cells.groupBy("source", "r", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("counter")
+    )
+    merged = sketch_src.groupBy("r", "bucket").agg(
+        F.sum("counter").cast("bigint").alias("counter")
+    )
+    probes = (
+        tc.groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("tok"))
+        .limit(_CMS_TOPK)
+    )
+    ph = probes.join(vh, "tok")
+    probe_cells = ph.select("tok", "exact_cnt", _cms_cells().alias("cell")).select(
+        "tok", "exact_cnt", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket")
+    )
+    est = (
+        probe_cells.join(F.broadcast(merged), ["r", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("counter").cast("bigint").alias("est_cnt"))
+    )
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
     )

@@ -1,0 +1,782 @@
+"""Annotation & model-evaluation operators: agreement, voting, pairwise
+preference fitting, sampled-correctness estimation, ranking MRR/AP, and
+exact isotonic calibration.
+
+An LLM-data pipeline does not just filter documents — it manages LABELS:
+human/model annotations that disagree (inter-annotator agreement,
+majority vote), pairwise preference data (Bradley-Terry strengths, the
+model behind arena-style rankings and RLHF reward aggregation),
+per-task sampled correctness (the unbiased pass@k estimator from the
+code-eval literature), first-relevant retrieval quality (MRR), the
+threshold-free PR summary (average precision), and the monotone
+recalibration step that turns a raw quality score into a usable
+probability (isotonic regression). Each is expressed as the bounded-grid
+/ hash-aggregate plan the rest of the repo uses: the only ordered
+windows run over distinct-4dp-score or 50-bin grids whose cardinality is
+bounded by construction, and the one driver-side step (Bradley-Terry's
+MM fixed point) operates on the brand-domain-bounded win matrix, the
+same justification family as the PQ codebook pull
+(similarity.py:1257).
+
+Reference parity: the reference (weather_processor.py:127-149) has no
+evaluation surface at all — this module is mandated-extension surface
+per SURVEY §2.6, same as evals.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.functions import tokens
+from weather_stream_processor_spark.operators.evals import (
+    _KNUTH,
+    _MOD,
+    _SCORE_CTE,
+    _scored,
+)
+from weather_stream_processor_spark.operators.text import STOPWORDS
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Inter-annotator agreement: Cohen's kappa between the registered lang-id
+# heuristic (annotator A) and the fixture's lang column (annotator B).
+# ---------------------------------------------------------------------------
+
+_PRED_SQL = f"""CASE
+                 WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN len(list_filter(string_split(text, ' '),
+                                      t -> list_contains({list(STOPWORDS)}, t)))
+                      * 1.0 / len(string_split(text, ' ')) >= 0.05 THEN 'en'
+                 ELSE 'unknown'
+               END"""
+
+
+def _predicted_lang() -> F.Column:
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_density = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(toks)
+    return (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(stop_density >= 0.05, "en")
+        .otherwise("unknown")
+    )
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT {_PRED_SQL} AS a, lang AS b FROM documents
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_agree
+            FROM pairs
+        ),
+        ma AS (SELECT a AS c, CAST(COUNT(*) AS BIGINT) AS na
+               FROM pairs GROUP BY 1),
+        mb AS (SELECT b AS c, CAST(COUNT(*) AS BIGINT) AS nb
+               FROM pairs GROUP BY 1),
+        chance AS (
+            SELECT CAST(SUM(ma.na * mb.nb) AS BIGINT) AS sum_prod
+            FROM ma JOIN mb ON ma.c = mb.c
+        )
+        SELECT t.n_items,
+               ROUND(t.n_agree * 1.0 / t.n_items, 6) AS po,
+               ROUND(c.sum_prod * 1.0 / (t.n_items * t.n_items), 6) AS pe,
+               ROUND((t.n_agree * 1.0 / t.n_items
+                      - c.sum_prod * 1.0 / (t.n_items * t.n_items))
+                     / (1.0 - c.sum_prod * 1.0 / (t.n_items * t.n_items)),
+                     6) AS kappa
+        FROM tot t CROSS JOIN chance c
+    """,
+    doc=(
+        "COHEN'S KAPPA inter-annotator agreement between the registered "
+        "lang-id heuristic (annotator A) and the corpus lang label "
+        "(annotator B): observed agreement po, chance agreement pe from "
+        "the category marginals, kappa = (po-pe)/(1-pe) — the chance-"
+        "corrected agreement statistic every labeling pipeline reports "
+        "before trusting a single-annotator stream. Plan: one projection "
+        "+ three hash aggregates over the bounded CATEGORY domain, then "
+        "a category-domain equi-join for the pe cross term — no window, "
+        "no sort; shuffle is |categories| rows. po/pe are single "
+        "divisions of exact integer sums, so both engines derive "
+        "bit-identical doubles before the 6-dp round."
+    ),
+    tags=("labeling", "evals", "llm", "statistics"),
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(_predicted_lang().alias("a"), F.col("lang").alias("b"))
+    tot = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum((F.col("a") == F.col("b")).cast("int")).cast("bigint").alias("n_agree"),
+    )
+    ma = pairs.groupBy(F.col("a").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("na")
+    )
+    mb = pairs.groupBy(F.col("b").alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb")
+    )
+    chance = (
+        ma.join(mb, "c")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("sum_prod"))
+    )
+    po = F.col("n_agree") * F.lit(1.0) / F.col("n_items")
+    pe = F.col("sum_prod") * F.lit(1.0) / (F.col("n_items") * F.col("n_items"))
+    return (
+        tot.crossJoin(chance)  # 1x1 rows
+        .select(
+            "n_items",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Majority-vote label aggregation over R synthetic annotators.
+# ---------------------------------------------------------------------------
+
+_N_ANN = 3
+_FLIP_MOD = 10  # annotator flips ~10% of labels to 'noise'
+
+
+def _flip_sql(r: str) -> str:
+    return (
+        f"((((doc_id * 31 + {r}) % {_MOD}) * {_KNUTH}) >> 16) % {_FLIP_MOD} = 0"
+    )
+
+
+@register(
+    "majority_vote_labels",
+    oracle=f"""
+        WITH ann AS (
+            SELECT doc_id,
+                   unnest([{", ".join(str(r) for r in range(_N_ANN))}]) AS r
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, r,
+                   CASE WHEN {_flip_sql("r")} THEN 1 ELSE 0 END AS flip
+            FROM ann
+        ),
+        per_doc AS (
+            SELECT doc_id, CAST(SUM(flip) AS BIGINT) AS n_noise
+            FROM votes GROUP BY doc_id
+        ),
+        joined AS (
+            SELECT v.r, v.flip,
+                   CASE WHEN p.n_noise >= {(_N_ANN // 2) + 1}
+                        THEN 1 ELSE 0 END AS consensus_noise
+            FROM votes v JOIN per_doc p USING (doc_id)
+        )
+        SELECT r AS annotator,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN flip = consensus_noise THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match_consensus,
+               ROUND(SUM(CASE WHEN flip = consensus_noise THEN 1.0 ELSE 0 END)
+                     / COUNT(*), 6) AS accuracy,
+               ROUND(SUM(flip * 1.0) / COUNT(*), 6) AS flip_rate
+        FROM joined GROUP BY r
+    """,
+    doc=(
+        f"MAJORITY-VOTE LABEL AGGREGATION over {_N_ANN} synthetic "
+        "annotators: each annotator corrupts ~10% of documents to a "
+        "'noise' label via the house cross-engine Knuth hash on "
+        "(doc_id, annotator), the consensus is the per-document majority "
+        "(guaranteed to exist: each vote takes one of two values), and "
+        "the report scores every annotator AGAINST the consensus — the "
+        "per-annotator reliability table a Dawid-Skene-style weighting "
+        "step consumes. Plan: explode to |docs|x3 votes, one hash "
+        "aggregate per doc_id for the noise count, an equi-join back on "
+        "doc_id, and a 3-group final aggregate; everything is keyed, no "
+        "window anywhere. The vote corruption is deterministic integer "
+        "arithmetic, so all counts hash-match cross-engine exactly."
+    ),
+    tags=("labeling", "llm", "statistics"),
+)
+def majority_vote_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ann = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(r) for r in range(_N_ANN)])).alias("r"),
+    )
+    hsh = (
+        F.shiftright(((F.col("doc_id") * 31 + F.col("r")) % _MOD) * F.lit(_KNUTH), 16)
+        % _FLIP_MOD
+    )
+    votes = ann.select(
+        "doc_id", "r", F.when(hsh == 0, 1).otherwise(0).alias("flip")
+    )
+    per_doc = votes.groupBy("doc_id").agg(
+        F.sum("flip").cast("bigint").alias("n_noise")
+    )
+    majority = (_N_ANN // 2) + 1
+    joined = votes.join(per_doc, "doc_id").select(
+        "r",
+        "flip",
+        F.when(F.col("n_noise") >= majority, 1).otherwise(0).alias("consensus_noise"),
+    )
+    match = (F.col("flip") == F.col("consensus_noise")).cast("int")
+    return (
+        joined.groupBy(F.col("r").alias("annotator"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(match).cast("bigint").alias("n_match_consensus"),
+            F.round(F.sum(match * F.lit(1.0)) / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+            F.round(F.sum(F.col("flip") * F.lit(1.0)) / F.count(F.lit(1)), 6).alias(
+                "flip_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass@k: the unbiased estimator over per-task sample/correct counts.
+# ---------------------------------------------------------------------------
+
+_PASS_KS = (1, 5, 10)
+
+
+@register(
+    "pass_at_k_estimator",
+    oracle=f"""
+        WITH tasks AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        ),
+        ks AS (SELECT unnest([{", ".join(str(k) for k in _PASS_KS)}]) AS k),
+        per_task AS (
+            SELECT k,
+                   CASE WHEN n - c < k THEN 1.0
+                        ELSE 1.0 - list_reduce(
+                            list_prepend(
+                                CAST(1.0 AS DOUBLE),
+                                list_transform(
+                                    generate_series(0, CAST(k - 1 AS BIGINT)),
+                                    i -> (n - c - i) * 1.0 / (n - i))),
+                            (a, b) -> a * b)
+                   END AS pass_k
+            FROM tasks CROSS JOIN ks
+            WHERE n >= k
+        )
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_tasks,
+               ROUND(AVG(pass_k), 6) AS pass_at_k
+        FROM per_task GROUP BY k
+    """,
+    doc=(
+        "UNBIASED pass@k ESTIMATOR (the combinatorial estimator from the "
+        "code-generation eval literature): per task with n samples and c "
+        "correct, pass@k = 1 - C(n-c,k)/C(n,k), computed in the "
+        "numerically-stable product form prod_{i<k}(n-c-i)/(n-i) — never "
+        "via factorials. Tasks are users, samples their events, "
+        "'purchase' the correct outcome (stand-ins; the operator is the "
+        "estimator machinery). Plan: ONE hash aggregate builds the "
+        "(n, c) task table, a 3-row literal k-frame crosses it, and the "
+        "k-term product runs as a fold over sequence(0,k-1) INSIDE "
+        "codegen (aggregate HOF, k<=10 multiplies per row) — no UDF, no "
+        "window; shuffle is |users| rows. Both engines fold the same "
+        "factor list left-to-right from the same exact-integer-derived "
+        "doubles, so per-task values are bit-identical before the "
+        "6-dp-rounded mean."
+    ),
+    tags=("labeling", "evals", "llm", "statistics"),
+)
+def pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tasks = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _PASS_KS])).alias("k")
+    prod = F.aggregate(
+        F.sequence(F.lit(0).cast("bigint"), (F.col("k") - 1).cast("bigint")),
+        F.lit(1.0),
+        lambda acc, i: acc
+        * ((F.col("n") - F.col("c") - i) * F.lit(1.0) / (F.col("n") - i)),
+    )
+    per_task = (
+        tasks.select("n", "c", ks)
+        .filter(F.col("n") >= F.col("k"))
+        .select(
+            "k",
+            F.when(F.col("n") - F.col("c") < F.col("k"), F.lit(1.0))
+            .otherwise(F.lit(1.0) - prod)
+            .alias("pass_k"),
+        )
+    )
+    return per_task.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        F.round(F.avg("pass_k"), 6).alias("pass_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRR: first-relevant rank per source without any raw-row window.
+# ---------------------------------------------------------------------------
+
+_MRR_SCORED_CTE = """
+    scored AS (
+        SELECT doc_id, source,
+               ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 4) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM documents
+    )
+"""
+
+
+@register(
+    "mrr_first_relevant",
+    oracle=f"""
+        WITH {_MRR_SCORED_CTE},
+        best AS (
+            SELECT source, score AS bs, doc_id AS bd
+            FROM scored WHERE rel = 1
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY score DESC, doc_id ASC) = 1
+        ),
+        ranked AS (
+            SELECT s.source, b.bd,
+                   CAST(1 + SUM(CASE WHEN s.score > b.bs
+                                      OR (s.score = b.bs AND s.doc_id < b.bd)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                       AS first_rel_rank
+            FROM scored s JOIN best b USING (source)
+            GROUP BY s.source, b.bd
+        )
+        SELECT source,
+               bd AS first_rel_doc,
+               first_rel_rank,
+               ROUND(1.0 / first_rel_rank, 6) AS reciprocal_rank,
+               ROUND(AVG(1.0 / first_rel_rank) OVER (), 6) AS mrr
+        FROM ranked
+    """,
+    doc=(
+        "MEAN RECIPROCAL RANK of the first relevant document per source "
+        "('queries' are sources ranking their documents by the 4-dp "
+        "lexical-diversity score, relevance = lang 'en' — stand-ins; the "
+        "operator is the MRR machinery). The scale move: the first-"
+        "relevant RANK is computed WITHOUT sorting any partition — an "
+        "aggregate picks each source's best relevant doc as "
+        "max(struct(score, -doc_id)) in one hash aggregate, and its rank "
+        "is 1 + count of strictly-better docs, a second hash aggregate "
+        "after a source-keyed equi-join. A window formulation would sort "
+        "every source's rows; this plan touches them twice with "
+        "map-side-combinable aggregates only. The one OVER () frame is "
+        "the |sources|-row ranked table (bounded domain); ties broken on "
+        "doc_id so both engines pick identical best docs."
+    ),
+    tags=("labeling", "retrieval", "evals", "llm"),
+)
+def mrr_first_relevant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 4).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+    )
+    best = (
+        scored.filter(F.col("rel") == 1)
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score").alias("s"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("m")
+        )
+        .select("source", F.col("m.s").alias("bs"), (-F.col("m.nd")).alias("bd"))
+    )
+    better = F.when(
+        (F.col("score") > F.col("bs"))
+        | ((F.col("score") == F.col("bs")) & (F.col("doc_id") < F.col("bd"))),
+        1,
+    ).otherwise(0)
+    ranked = (
+        scored.join(best, "source")
+        .groupBy("source", "bd")
+        .agg((F.lit(1) + F.sum(better)).cast("bigint").alias("first_rel_rank"))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )  # |sources|-row frame, bounded by the source domain
+    rr = F.lit(1.0) / F.col("first_rel_rank")
+    return ranked.select(
+        "source",
+        F.col("bd").alias("first_rel_doc"),
+        "first_rel_rank",
+        F.round(rr, 6).alias("reciprocal_rank"),
+        F.round(F.avg(rr).over(w_all), 6).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average precision: the threshold-free PR summary over the score grid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "average_precision_exact",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        grid AS (
+            SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg
+            FROM scored GROUP BY score
+        ),
+        run AS (
+            SELECT pos, neg,
+                   CAST(SUM(pos) OVER (
+                       ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_pos,
+                   CAST(SUM(pos + neg) OVER (
+                       ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_all,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) OVER () AS BIGINT) AS n_neg
+            FROM grid
+        )
+        SELECT n_pos, n_neg,
+               ROUND(n_pos * 1.0 / (n_pos + n_neg), 6) AS prevalence,
+               ROUND(SUM(pos * (cum_pos * 1.0 / cum_all)) / n_pos, 6)
+                   AS average_precision
+        FROM run GROUP BY n_pos, n_neg
+    """,
+    doc=(
+        "EXACT AVERAGE PRECISION (area under the precision-recall step "
+        "curve) of the quality score vs the binary label — the "
+        "threshold-free PR summary that, unlike ROC-AUC, stays "
+        "informative under heavy class imbalance (the usual regime for "
+        "'is this document good' labels). Same bounded-grid trick as "
+        "roc_auc_exact: scores round to 4dp first, so AP = sum over the "
+        "DISTINCT-SCORE grid of pos(s) * precision-at-threshold(s) / "
+        "n_pos needs one hash aggregate plus ordered windows over a "
+        "<=10^4-row grid (the documented-bounded window class), never a "
+        "corpus sort. Tie handling matches the step-function definition "
+        "(sklearn average_precision_score on the rounded scores); "
+        "prevalence = the random-classifier baseline rides along."
+    ),
+    tags=("labeling", "evals", "llm", "statistics"),
+)
+def average_precision_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    grid = s.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
+    )
+    w_run = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = grid.select(
+        "pos",
+        "neg",
+        F.sum("pos").over(w_run).cast("bigint").alias("cum_pos"),
+        F.sum(F.col("pos") + F.col("neg")).over(w_run).cast("bigint").alias("cum_all"),
+        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
+        F.sum("neg").over(w_all).cast("bigint").alias("n_neg"),
+    )
+    return (
+        run.groupBy("n_pos", "n_neg")
+        .agg(
+            F.round(
+                F.col("n_pos") * F.lit(1.0) / (F.col("n_pos") + F.col("n_neg")), 6
+            ).alias("prevalence"),
+            F.round(
+                F.sum(
+                    F.col("pos")
+                    * (F.col("cum_pos") * F.lit(1.0) / F.col("cum_all"))
+                )
+                / F.col("n_pos"),
+                6,
+            ).alias("average_precision"),
+        )
+        .select("n_pos", "n_neg", "prevalence", "average_precision")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration: exact PAV solution via the minimax identity on a
+# bounded bin grid — fully cross-engine hash-checkable.
+# ---------------------------------------------------------------------------
+
+_ISO_BINS = 50
+
+
+@register(
+    "isotonic_calibration_bins",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        per_bin AS (
+            SELECT LEAST(CAST(FLOOR(score * {_ISO_BINS}) AS BIGINT),
+                         {_ISO_BINS - 1}) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS pos
+            FROM scored GROUP BY 1
+        ),
+        cums AS (
+            SELECT bin, n, pos,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cn,
+                   CAST(SUM(pos) OVER w AS BIGINT) AS cp
+            FROM per_bin
+            WINDOW w AS (ORDER BY bin
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        seg AS (
+            SELECT j.bin AS jb, k.bin AS kb,
+                   (k.cp - j.cp + j.pos) * 1.0 / (k.cn - j.cn + j.n) AS m
+            FROM cums j JOIN cums k ON j.bin <= k.bin
+        ),
+        lower_env AS (
+            SELECT i.bin, s.jb, MIN(s.m) AS lo
+            FROM cums i JOIN seg s ON s.jb <= i.bin AND s.kb >= i.bin
+            GROUP BY i.bin, s.jb
+        ),
+        iso AS (SELECT bin, MAX(lo) AS v FROM lower_env GROUP BY bin)
+        SELECT p.bin, p.n, p.pos,
+               ROUND(p.pos * 1.0 / p.n, 6) AS emp_rate,
+               ROUND(i.v, 6) AS calibrated
+        FROM per_bin p JOIN iso i USING (bin)
+    """,
+    doc=(
+        "EXACT ISOTONIC CALIBRATION of the quality score against the "
+        f"binary label on a {_ISO_BINS}-bin grid, via the minimax "
+        "identity iso(i) = max_{{j<=i}} min_{{k>=i}} weightedMean(rate, "
+        "bins j..k) — the closed form of the pool-adjacent-violators "
+        "solution, which turns an inherently sequential algorithm into "
+        "pure joins/aggregates over the BOUNDED bin grid (<=50 rows "
+        "after one corpus-scan hash aggregate, so the j<=k / j<=i<=k "
+        "theta-joins touch <=~2k and <=~40k grid tuples regardless of "
+        "corpus size; at 100 TB the corpus scan is the only big stage). "
+        "Output: per-bin count, positives, raw empirical rate, and the "
+        "monotone-non-decreasing calibrated probability. Segment means "
+        "are single divisions of exact integer prefix-sum differences "
+        "and min/max are selections, so calibrated values hash-match "
+        "cross-engine bit-exactly — an oracle-checked isotonic "
+        "regression, not a rows-only one."
+    ),
+    tags=("labeling", "evals", "llm", "statistics", "headline"),
+)
+def isotonic_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    per_bin = s.groupBy(
+        F.least(
+            F.floor(F.col("score") * _ISO_BINS).cast("bigint"),
+            F.lit(_ISO_BINS - 1).cast("bigint"),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cums = per_bin.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cp"),
+    )
+    j = cums.select(
+        F.col("bin").alias("jb"),
+        F.col("n").alias("jn"),
+        F.col("pos").alias("jp"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = cums.select(
+        F.col("bin").alias("kb"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    seg = (
+        j.join(F.broadcast(k), F.col("jb") <= F.col("kb"))
+        .select(
+            "jb",
+            "kb",
+            (
+                (F.col("kcp") - F.col("jcp") + F.col("jp"))
+                * F.lit(1.0)
+                / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+            ).alias("m"),
+        )
+    )
+    i = cums.select(F.col("bin"))
+    lower_env = (
+        i.join(
+            F.broadcast(seg),
+            (F.col("jb") <= F.col("bin")) & (F.col("kb") >= F.col("bin")),
+        )
+        .groupBy("bin", "jb")
+        .agg(F.min("m").alias("lo"))
+    )
+    iso = lower_env.groupBy("bin").agg(F.max("lo").alias("v"))
+    return (
+        per_bin.join(iso, "bin")
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(F.col("pos") * F.lit(1.0) / F.col("n"), 6).alias("emp_rate"),
+            F.round(F.col("v"), 6).alias("calibrated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry strengths from pairwise preferences (rows-only: iterative
+# MLE; pytest re-derives the MM fixed point in pure Python).
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 500
+_BT_TOL = 1e-14
+
+_BT_SCHEMA = StructType(
+    [
+        StructField("brand", StringType(), False),
+        StructField("wins", LongType(), False),
+        StructField("games", LongType(), False),
+        StructField("strength", DoubleType(), False),
+        StructField("rank", IntegerType(), False),
+    ]
+)
+
+
+def _bt_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(brand_a, brand_b, wins_a, games) with brand_a < brand_b — the
+    Spark-side heavy lifting: per-(order, brand) best line, then a
+    within-order self-join. Lines per order are single digits, so the
+    self-join output is O(|orders| * pairs-per-order), and the final
+    aggregate lands on the <=B^2-row brand-pair domain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lb = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select("l_orderkey", F.col("p_brand").alias("brand"), "l_extendedprice")
+    ob = lb.groupBy("l_orderkey", "brand").agg(
+        F.max("l_extendedprice").alias("price")
+    )
+    a = ob.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("brand").alias("brand_a"),
+        F.col("price").alias("pa"),
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("brand").alias("brand_b"),
+        F.col("price").alias("pb"),
+    )
+    pairs = a.join(b, "ok").filter(F.col("brand_a") < F.col("brand_b"))
+    # higher best-line price wins; exact tie -> the lexicographically
+    # smaller brand (deterministic, documented)
+    win_a = (F.col("pa") >= F.col("pb")).cast("int")
+    return pairs.groupBy("brand_a", "brand_b").agg(
+        F.sum(win_a).cast("bigint").alias("wins_a"),
+        F.count(F.lit(1)).cast("bigint").alias("games"),
+    )
+
+
+def _bt_mm(rows: list) -> dict[str, float]:
+    """Deterministic MM fixed point for Bradley-Terry on the aggregated
+    win matrix (pure Python over the bounded brand domain)."""
+    wins: dict[str, float] = {}
+    games: dict[tuple[str, str], float] = {}
+    for r in rows:
+        a, b, wa, g = r["brand_a"], r["brand_b"], r["wins_a"], r["games"]
+        wins[a] = wins.get(a, 0.0) + wa
+        wins[b] = wins.get(b, 0.0) + (g - wa)
+        games[(a, b)] = games.get((a, b), 0.0) + g
+    brands = sorted(set(wins))
+    p = {x: 1.0 / len(brands) for x in brands}
+    neighbors: dict[str, list[tuple[str, float]]] = {x: [] for x in brands}
+    for (a, b), g in sorted(games.items()):
+        neighbors[a].append((b, g))
+        neighbors[b].append((a, g))
+    for _ in range(_BT_ITERS):
+        new = {}
+        for x in brands:
+            denom = sum(g / (p[x] + p[y]) for y, g in neighbors[x])
+            new[x] = wins[x] / denom if denom > 0 else 0.0
+        tot = sum(new.values())
+        if tot > 0:
+            new = {x: v / tot for x, v in new.items()}
+        delta = max(abs(new[x] - p[x]) for x in brands)
+        p = new
+        if delta < _BT_TOL:
+            break
+    return p
+
+
+@register(
+    "bradley_terry_strengths",
+    oracle=None,  # iterative MLE: the MM fixed point is not
+    # SQL-expressible; pytest re-derives it in pure Python from the same
+    # win matrix and checks equality (tests/test_labeling.py), plus
+    # sum-to-1 / determinism properties.
+    doc=(
+        "BRADLEY-TERRY STRENGTHS from pairwise preferences — the model "
+        "behind arena-style LLM rankings and reward-data aggregation. "
+        "Preferences: within each order, every brand pair 'plays'; the "
+        "brand whose best line has the higher extendedprice wins (exact "
+        "tie -> lexicographically smaller brand; deterministic). "
+        "Plan: the distributed part reduces |lineitem| rows to the "
+        "<=B^2-row brand-pair WIN MATRIX (per-(order,brand) max, "
+        "within-order self-join on single-digit-cardinality groups, one "
+        "hash aggregate); the MM fixed point p_i <- W_i / sum_j "
+        "n_ij/(p_i+p_j) then runs driver-side on that bounded matrix — "
+        "the same bounded-collect class as the PQ codebook pull "
+        "(similarity.py:1257); 100 TB changes the matrix VALUES, not its "
+        "size. Output: brand, wins, games, normalized strength (sums to "
+        "1), dense rank by strength."
+    ),
+    tags=("labeling", "llm", "statistics", "iterative"),
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grp = _bt_pair_counts(spark, sf_dir)
+    rows = [r.asDict() for r in grp.collect()]  # <=B^2 rows, brand domain
+    p = _bt_mm(rows)
+    wins: dict[str, int] = {}
+    games: dict[str, int] = {}
+    for r in rows:
+        a, b = r["brand_a"], r["brand_b"]
+        wins[a] = wins.get(a, 0) + int(r["wins_a"])
+        wins[b] = wins.get(b, 0) + int(r["games"] - r["wins_a"])
+        games[a] = games.get(a, 0) + int(r["games"])
+        games[b] = games.get(b, 0) + int(r["games"])
+    order = sorted(p, key=lambda x: (-p[x], x))
+    data = [
+        (x, wins[x], games[x], round(p[x], 6), i + 1)
+        for i, x in enumerate(order)
+    ]
+    return spark.createDataFrame(data, _BT_SCHEMA)
