@@ -780,3 +780,60 @@ def test_rocchio_broadcasts_feedback_head(spark):
         contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
         not_contains=("CartesianProduct",),
     )
+
+
+def test_pass_at_k_stays_in_codegen_no_udf(spark):
+    # the k-term product folds inside codegen (aggregate HOF) — any
+    # Python evaluation node here would put the estimator on the slow path
+    ops = operator_names(_df(spark, "pass_at_k_estimator"))
+    assert not any("EvalPython" in o for o in ops), ops
+    assert "CartesianProduct" not in ops
+    # tasks table: partial+final aggregate pair around one exchange
+    assert ops.count("HashAggregate") >= 2
+
+
+def test_mrr_sorts_nothing_but_the_source_frame(spark):
+    # first-relevant rank comes from aggregates + an equi-join — the only
+    # Window is the |sources|-row MRR frame, and no Sort feeds raw docs
+    df = _df(spark, "mrr_first_relevant")
+    ops = operator_names(df)
+    assert sum(1 for o in ops if o.startswith("Window")) == 1, ops
+    require_plan(df, not_contains=("CartesianProduct",))
+
+
+def test_isotonic_grid_joins_broadcast_never_cartesian(spark):
+    # the j<=k / j<=i<=k theta-joins run on the <=50-row bin grid as
+    # broadcast nested-loop joins; a CartesianProduct would mean a
+    # non-broadcast quadratic fell through
+    require_plan(
+        _df(spark, "isotonic_calibration_bins"),
+        contains=("BroadcastNestedLoopJoin",),
+        not_contains=("CartesianProduct", "SortMergeJoin"),
+    )
+
+
+def test_countmin_probe_join_broadcasts_merged_sketch(spark):
+    # probes are TakeOrderedAndProject (per-partition heaps, no global
+    # sort) and the probe->sketch lookup broadcasts the <=d*w-row merged
+    # sketch rather than shuffling it
+    require_plan(
+        _df(spark, "countmin_sketch_rollup"),
+        contains=("TakeOrderedAndProject", "BroadcastHashJoin"),
+        not_contains=("CartesianProduct",),
+    )
+
+
+def test_bradley_terry_reduction_prunes_and_broadcasts(spark):
+    # the distributed half of Bradley-Terry: lineitem scan pruned to the
+    # three needed columns, part broadcast into the brand attach
+    from weather_stream_processor_spark.operators.labeling import _bt_pair_counts
+
+    df = _bt_pair_counts(spark, SF_SMOKE)
+    require_plan(
+        df,
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct",),
+    )
+    cols = read_schema_columns(df)
+    li_cols = next(c for c in cols if "l_orderkey" in c)
+    assert set(li_cols) == {"l_orderkey", "l_partkey", "l_extendedprice"}

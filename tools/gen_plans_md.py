@@ -45,6 +45,11 @@ SHOWCASE = [
     "lof_outlier_scores",
     "minmax_pruning_audit",
     "jaro_winkler_linkage_topk",
+    # round-5h additions: sortless MRR (aggregate-only ranking), PAV-as-
+    # joins isotonic calibration, vocab-bounded count-min probe
+    "mrr_first_relevant",
+    "isotonic_calibration_bins",
+    "countmin_sketch_rollup",
 ]
 
 
