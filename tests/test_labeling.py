@@ -301,3 +301,179 @@ def test_countmin_overestimates_and_matches_python_sketch(spark):
         # the CMS one-sided guarantee
         assert r.overestimate >= 0
         assert r.est_cnt >= r.exact_cnt
+
+
+# ---------------------------------------------------------------------------
+# Round-5i: clustering external metrics, Fleiss, Dawid-Skene, gains chart,
+# Good-Turing.
+# ---------------------------------------------------------------------------
+
+
+def test_clustering_metrics_match_sklearn_formulas(spark):
+    """Re-derive purity/ARI/NMI from the kmeans assignment + labels with
+    the textbook contingency-table formulas."""
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.sources import load_table
+
+    assign = {
+        int(r.vec_id): int(r.cluster_id)
+        for r in all_queries()["kmeans_embedding_clusters"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    labels = {
+        int(r.vec_id): int(r.label)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    cont = Counter((assign[v], labels[v]) for v in assign)
+    n = sum(cont.values())
+    a = Counter()
+    b = Counter()
+    for (ci, lj), nij in cont.items():
+        a[ci] += nij
+        b[lj] += nij
+    purity = sum(
+        max(nij for (ci, _), nij in cont.items() if ci == c) for c in a
+    ) / n
+
+    def c2(x):
+        return x * (x - 1) // 2
+
+    idx = sum(c2(nij) for nij in cont.values())
+    sa, sb = sum(c2(x) for x in a.values()), sum(c2(x) for x in b.values())
+    exp = sa * sb / c2(n)
+    ari = (idx - exp) / ((sa + sb) / 2 - exp)
+    mi = sum(
+        (nij / n) * math.log(n * nij / (a[ci] * b[lj]))
+        for (ci, lj), nij in cont.items()
+    )
+    hu = -sum((x / n) * math.log(x / n) for x in a.values())
+    hv = -sum((x / n) * math.log(x / n) for x in b.values())
+    nmi = mi / math.sqrt(hu * hv)
+
+    row = _run(spark, "clustering_external_metrics").collect()[0]
+    assert row.n_points == n
+    assert abs(row.purity - purity) < 1e-6
+    assert abs(row.ari - ari) < 1e-6
+    assert abs(row.nmi - nmi) < 1e-6
+    assert -0.5 <= row.ari <= 1.0 and 0.0 <= row.nmi <= 1.0
+
+
+def _vote_cat(doc_id, r, lang):
+    flip = ((((doc_id * 31 + r) % _MOD) * _KNUTH) >> 16) % 10 == 0
+    return "noise" if flip else lang
+
+
+def test_fleiss_kappa_rederivation(spark):
+    docs = _docs(spark)
+    cells = Counter()
+    for d, _, lang, _ in docs:
+        for r in range(3):
+            cells[(d, _vote_cat(d, r, lang))] += 1
+    n_items, n_r = len(docs), 3
+    sum_sq = sum(v * v for v in cells.values())
+    p_bar = (sum_sq - n_items * n_r) / (n_items * n_r * (n_r - 1))
+    cat_tot = Counter()
+    for (_, c), v in cells.items():
+        cat_tot[c] += v
+    p_e = sum(v * v for v in cat_tot.values()) / (n_items * n_items * n_r * n_r)
+    kappa = (p_bar - p_e) / (1 - p_e)
+    row = _run(spark, "fleiss_kappa_agreement").collect()[0]
+    assert row.n_items == n_items
+    assert abs(row.p_bar - p_bar) < 1e-6
+    assert abs(row.p_e - p_e) < 1e-6
+    assert abs(row.fleiss_kappa - kappa) < 1e-6
+
+
+def test_dawid_skene_rederivation(spark):
+    docs = _docs(spark)
+    votes = {
+        (d, r): _vote_cat(d, r, lang) for d, _, lang, _ in docs for r in range(3)
+    }
+    cons = {}
+    for d, _, lang, _ in docs:
+        noise = sum(votes[(d, r)] == "noise" for r in range(3))
+        cons[d] = "noise" if noise >= 2 else lang
+    conf = Counter()
+    denom = Counter()
+    for (d, r), obs in votes.items():
+        conf[(r, cons[d], obs)] += 1
+        denom[(r, cons[d])] += 1
+    prior = Counter(cons.values())
+    n_docs = len(docs)
+    cats = sorted({v for v in votes.values()})
+    expect = {}
+    for d, _, lang, _ in docs:
+        best = None
+        for t in cats:
+            if prior[t] == 0:
+                continue
+            score = prior[t] / n_docs
+            for r in range(3):
+                o = votes[(d, r)]
+                score = score * (
+                    conf[(r, t, o)] / denom[(r, t)] if denom[(r, t)] else 0.0
+                )
+            score = round(score, 9)
+            if best is None or score > best[0] or (score == best[0] and t < best[1]):
+                best = (score, t)
+        expect[d] = best
+    rows = {r.doc_id: r for r in _run(spark, "dawid_skene_correction").collect()}
+    assert set(rows) == set(expect)
+    for d, (score, t) in expect.items():
+        assert rows[d].ds_label == t, d
+        assert abs(rows[d].score - score) < 1e-12, d
+        assert rows[d].consensus == cons[d]
+        assert rows[d].changed == int(t != cons[d])
+
+
+def test_cumulative_gains_rederivation(spark):
+    docs = _scored_docs(_docs(spark))
+    grid = defaultdict(lambda: [0, 0])
+    for _, _, score, rel in docs:
+        grid[score][0 if rel else 1] += 1
+    n = len(docs)
+    n_pos = sum(v[0] for v in grid.values())
+    rows = {r.decile: r for r in _run(spark, "cumulative_gains_deciles").collect()}
+    assert set(rows) == set(range(1, 11))
+    prev_gain = 0.0
+    for d in range(1, 11):
+        cutoff = (n * d + 9) // 10
+        ab = pb = 0
+        for s in sorted(grid, reverse=True):
+            pos, neg = grid[s]
+            if ab + pos + neg >= cutoff:
+                captured = pb + pos * (cutoff - ab) / (pos + neg)
+                break
+            ab += pos + neg
+            pb += pos
+        r = rows[d]
+        assert r.cutoff_rows == cutoff
+        assert abs(r.captured_pos - captured) < 1e-6
+        assert abs(r.gain - captured / n_pos) < 1e-6
+        assert abs(r.lift - (captured / n_pos) / (cutoff / n)) < 1e-5
+        # gains are monotone; lift at decile 10 is exactly 1
+        assert r.gain >= prev_gain - 1e-9
+        prev_gain = r.gain
+    assert abs(rows[10].gain - 1.0) < 1e-9
+    assert abs(rows[10].lift - 1.0) < 1e-9
+
+
+def test_good_turing_rederivation(spark):
+    docs = _docs(spark)
+    counts = Counter(t for _, text, _, _ in docs for t in text.split(" "))
+    total = sum(counts.values())
+    v = len(counts)
+    f1 = sum(1 for c in counts.values() if c == 1)
+    f2 = sum(1 for c in counts.values() if c == 2)
+    row = _run(spark, "good_turing_vocab_coverage").collect()[0]
+    assert row.total_tokens == total
+    assert row.vocab_size == v
+    assert row.f1 == f1 and row.f2 == f2
+    assert abs(row.missing_mass - f1 / total) < 1e-6
+    assert abs(row.coverage - (1 - f1 / total)) < 1e-6
+    assert abs(row.chao1_vocab - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 0.01
+    # the richness bound can never be below the observed vocabulary
+    assert row.chao1_vocab >= v

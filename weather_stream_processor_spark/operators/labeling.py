@@ -780,3 +780,583 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, x in enumerate(order)
     ]
     return spark.createDataFrame(data, _BT_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Round-5i: external clustering metrics (purity/ARI/NMI), Fleiss' kappa,
+# Dawid-Skene annotator reweighting, and the cumulative-gains chart.
+# ---------------------------------------------------------------------------
+
+
+def _clustering_metrics_oracle() -> str:
+    from weather_stream_processor_spark.operators.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _kmeans_oracle,
+    )
+
+    km = _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS)
+    return f"""
+        WITH assign AS ({km}),
+        cont AS (
+            SELECT a.cluster_id, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM assign a JOIN embeddings e USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        ca AS (SELECT cluster_id, CAST(SUM(nij) AS BIGINT) AS ai
+               FROM cont GROUP BY 1),
+        cb AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj
+               FROM cont GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(nij) AS BIGINT) AS n,
+                   CAST(SUM(nij * (nij - 1) / 2) AS BIGINT) AS idx,
+                   CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+                   CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+            FROM cont
+        ),
+        pur AS (
+            SELECT CAST(SUM(mx) AS BIGINT) AS purity_num
+            FROM (SELECT cluster_id, MAX(nij) AS mx FROM cont GROUP BY 1)
+        ),
+        suma AS (SELECT CAST(SUM(ai * (ai - 1) / 2) AS BIGINT) AS sa,
+                        SUM(-1.0 * ai / (SELECT n FROM tot)
+                            * ln(1.0 * ai / (SELECT n FROM tot))) AS hu
+                 FROM ca),
+        sumb AS (SELECT CAST(SUM(bj * (bj - 1) / 2) AS BIGINT) AS sb,
+                        SUM(-1.0 * bj / (SELECT n FROM tot)
+                            * ln(1.0 * bj / (SELECT n FROM tot))) AS hv
+                 FROM cb),
+        mi AS (
+            SELECT SUM(1.0 * c.nij / t.n
+                       * ln((1.0 * t.n * c.nij) / (1.0 * a.ai * b.bj))) AS mi
+            FROM cont c
+            JOIN ca a USING (cluster_id)
+            JOIN cb b USING (label)
+            CROSS JOIN tot t
+        )
+        SELECT t.n AS n_points, t.n_clusters, t.n_labels,
+               ROUND(p.purity_num * 1.0 / t.n, 6) AS purity,
+               ROUND((t.idx - 1.0 * sa.sa * sb.sb / (t.n * (t.n - 1) / 2))
+                     / ((sa.sa + sb.sb) / 2.0
+                        - 1.0 * sa.sa * sb.sb / (t.n * (t.n - 1) / 2)),
+                     6) AS ari,
+               ROUND(m.mi / sqrt(sa.hu * sb.hv), 6) AS nmi
+        FROM tot t CROSS JOIN pur p CROSS JOIN suma sa CROSS JOIN sumb sb
+        CROSS JOIN mi m
+    """
+
+
+@register(
+    "clustering_external_metrics",
+    oracle=_clustering_metrics_oracle(),
+    doc=(
+        "EXTERNAL CLUSTERING EVALUATION of the registered deterministic "
+        "k-means against the embeddings' true label column: PURITY "
+        "(sum of per-cluster majority counts / n), ADJUSTED RAND INDEX "
+        "(pair-counting agreement corrected for chance — every term "
+        "derives from integer C(.,2) sums over the contingency table), "
+        "and NORMALIZED MUTUAL INFORMATION (MI / sqrt(Hu*Hv)). The "
+        "companion to simplified_silhouette: silhouette scores geometry "
+        "(internal), these score label recovery (external). Plan: "
+        "reuses kmeans_embedding_clusters' registered execution, then "
+        "ONE hash aggregate builds the k x |labels| CONTINGENCY TABLE "
+        "(<=80 cells) and every metric is arithmetic over that bounded "
+        "table and its two marginals — at 100 TB the kmeans rounds "
+        "dominate and the evaluation itself is O(k*|labels|). ARI/"
+        "purity are exact integer arithmetic; the NMI log terms are "
+        "per-cell deterministic doubles summed over <=80 cells and "
+        "rounded at 6dp."
+    ),
+    tags=("labeling", "evals", "clustering", "llm", "statistics"),
+)
+def clustering_external_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    assign = _REGISTRY["kmeans_embedding_clusters"].builder(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(cont: DataFrame) -> DataFrame:
+        ca = cont.groupBy("cluster_id").agg(F.sum("nij").cast("bigint").alias("ai"))
+        cb = cont.groupBy("label").agg(F.sum("nij").cast("bigint").alias("bj"))
+        tot = cont.agg(
+            F.sum("nij").cast("bigint").alias("n"),
+            F.sum(F.col("nij") * (F.col("nij") - 1) / 2).cast("bigint").alias("idx"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+        pur = (
+            cont.groupBy("cluster_id")
+            .agg(F.max("nij").alias("mx"))
+            .agg(F.sum("mx").cast("bigint").alias("purity_num"))
+        )
+        n_ = F.col("n")
+        suma = ca.crossJoin(tot.select("n")).agg(
+            F.sum(F.col("ai") * (F.col("ai") - 1) / 2).cast("bigint").alias("sa"),
+            F.sum(
+                F.lit(-1.0) * F.col("ai") / n_ * F.log(F.lit(1.0) * F.col("ai") / n_)
+            ).alias("hu"),
+        )
+        sumb = cb.crossJoin(tot.select("n")).agg(
+            F.sum(F.col("bj") * (F.col("bj") - 1) / 2).cast("bigint").alias("sb"),
+            F.sum(
+                F.lit(-1.0) * F.col("bj") / n_ * F.log(F.lit(1.0) * F.col("bj") / n_)
+            ).alias("hv"),
+        )
+        mi = (
+            cont.join(ca, "cluster_id")
+            .join(cb, "label")
+            .crossJoin(tot.select("n"))
+            .agg(
+                F.sum(
+                    F.lit(1.0)
+                    * F.col("nij")
+                    / n_
+                    * F.log(
+                        (F.lit(1.0) * n_ * F.col("nij"))
+                        / (F.lit(1.0) * F.col("ai") * F.col("bj"))
+                    )
+                ).alias("mi")
+            )
+        )
+        nc2 = n_ * (n_ - 1) / 2
+        expected = F.lit(1.0) * F.col("sa") * F.col("sb") / nc2
+        maxi = (F.col("sa") + F.col("sb")) / F.lit(2.0)
+        return (
+            tot.crossJoin(pur)
+            .crossJoin(suma)
+            .crossJoin(sumb)
+            .crossJoin(mi)  # all 1-row frames
+            .select(
+                F.col("n").alias("n_points"),
+                "n_clusters",
+                "n_labels",
+                F.round(F.col("purity_num") * F.lit(1.0) / n_, 6).alias("purity"),
+                F.round(
+                    (F.col("idx") - expected) / (maxi - expected), 6
+                ).alias("ari"),
+                F.round(
+                    F.col("mi") / F.sqrt(F.col("hu") * F.col("hv")), 6
+                ).alias("nmi"),
+            )
+        )
+
+    # the contingency table feeds six aggregate subtrees — persist it so
+    # the kmeans rounds execute once, not six times
+    return persisted_result(cont, build)
+
+
+@register(
+    "fleiss_kappa_agreement",
+    oracle=f"""
+        WITH ann AS (
+            SELECT doc_id, lang,
+                   unnest([{", ".join(str(r) for r in range(_N_ANN))}]) AS r
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id,
+                   CASE WHEN {_flip_sql("r")} THEN 'noise' ELSE lang END AS cat
+            FROM ann
+        ),
+        cells AS (
+            SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nic
+            FROM votes GROUP BY 1, 2
+        ),
+        item_sum AS (
+            SELECT CAST(SUM(nic * nic) AS BIGINT) AS sum_sq,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items
+            FROM cells
+        ),
+        cat_sum AS (
+            SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cat_sq
+            FROM (SELECT cat, CAST(SUM(nic) AS BIGINT) AS cnt
+                  FROM cells GROUP BY cat)
+        )
+        SELECT i.n_items,
+               CAST({_N_ANN} AS INT) AS n_raters,
+               ROUND((i.sum_sq - i.n_items * {_N_ANN}) * 1.0
+                     / (i.n_items * {_N_ANN} * {_N_ANN - 1}), 6) AS p_bar,
+               ROUND(c.sum_cat_sq * 1.0
+                     / (i.n_items * i.n_items * {_N_ANN * _N_ANN}), 6) AS p_e,
+               ROUND(((i.sum_sq - i.n_items * {_N_ANN}) * 1.0
+                      / (i.n_items * {_N_ANN} * {_N_ANN - 1})
+                      - c.sum_cat_sq * 1.0
+                        / (i.n_items * i.n_items * {_N_ANN * _N_ANN}))
+                     / (1.0 - c.sum_cat_sq * 1.0
+                        / (i.n_items * i.n_items * {_N_ANN * _N_ANN})),
+                     6) AS fleiss_kappa
+        FROM item_sum i CROSS JOIN cat_sum c
+    """,
+    doc=(
+        f"FLEISS' KAPPA over the {_N_ANN} synthetic annotators' full "
+        "category votes (each annotator emits the doc's lang or 'noise' "
+        "via the deterministic Knuth-hash corruption) — the multi-rater "
+        "generalization of Cohen's kappa, the statistic quoted when >2 "
+        "annotators label the same items. Both the mean per-item "
+        "agreement P-bar and the chance term P-e reduce to EXACT INTEGER "
+        "sums (sum of squared per-item category counts; sum of squared "
+        "category totals), so every quantity is a single division of "
+        "bigints and the cross-engine hash is exact — no float "
+        "accumulation anywhere. Plan: one explode to |docs|x"
+        f"{_N_ANN} votes, a (doc, cat)-keyed hash aggregate, and two "
+        "1-row reductions; shuffle bounded by |docs| x |categories|. "
+        "(Category totals are squared: at extreme scale guard cnt < "
+        "3e9 or widen to DECIMAL.)"
+    ),
+    tags=("labeling", "llm", "statistics"),
+)
+def fleiss_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ann = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(*[F.lit(r) for r in range(_N_ANN)])).alias("r"),
+    )
+    hsh = (
+        F.shiftright(((F.col("doc_id") * 31 + F.col("r")) % _MOD) * F.lit(_KNUTH), 16)
+        % _FLIP_MOD
+    )
+    votes = ann.select(
+        "doc_id", F.when(hsh == 0, F.lit("noise")).otherwise(F.col("lang")).alias("cat")
+    )
+    cells = votes.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nic")
+    )
+    item_sum = cells.agg(
+        F.sum(F.col("nic") * F.col("nic")).cast("bigint").alias("sum_sq"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_items"),
+    )
+    cat_sum = (
+        cells.groupBy("cat")
+        .agg(F.sum("nic").cast("bigint").alias("cnt"))
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_cat_sq"))
+    )
+    r, r2 = _N_ANN, _N_ANN * _N_ANN
+    p_bar = (
+        (F.col("sum_sq") - F.col("n_items") * r)
+        * F.lit(1.0)
+        / (F.col("n_items") * r * (r - 1))
+    )
+    p_e = F.col("sum_cat_sq") * F.lit(1.0) / (
+        F.col("n_items") * F.col("n_items") * r2
+    )
+    return item_sum.crossJoin(cat_sum).select(
+        "n_items",
+        F.lit(r).cast("int").alias("n_raters"),
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dawid-Skene annotator reweighting: M-step confusion matrices from the
+# majority consensus, then one E-step posterior argmax per document.
+# ---------------------------------------------------------------------------
+
+
+def _ds_votes_sql() -> str:
+    return f"""
+        ann AS (
+            SELECT doc_id, lang,
+                   unnest([{", ".join(str(r) for r in range(_N_ANN))}]) AS r
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, r,
+                   CASE WHEN {_flip_sql("r")} THEN 'noise' ELSE lang END AS obs
+            FROM ann
+        ),
+        cons AS (
+            SELECT v.doc_id,
+                   CASE WHEN SUM(CASE WHEN v.obs = 'noise' THEN 1 ELSE 0 END)
+                             >= {(_N_ANN // 2) + 1}
+                        THEN 'noise' ELSE ANY_VALUE(a.lang) END AS consensus
+            FROM votes v JOIN (SELECT DISTINCT doc_id, lang FROM ann) a
+                 USING (doc_id)
+            GROUP BY v.doc_id
+        )
+    """
+
+
+@register(
+    "dawid_skene_correction",
+    oracle=f"""
+        WITH {_ds_votes_sql()},
+        conf AS (
+            SELECT v.r, c.consensus AS t, v.obs,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM votes v JOIN cons c USING (doc_id)
+            GROUP BY 1, 2, 3
+        ),
+        conf_p AS (
+            SELECT r, t, obs, cnt * 1.0 / SUM(cnt) OVER (PARTITION BY r, t)
+                       AS p
+            FROM conf
+        ),
+        prior AS (
+            SELECT consensus AS t,
+                   COUNT(*) * 1.0 / (SELECT COUNT(*) FROM cons) AS pp
+            FROM cons GROUP BY 1
+        ),
+        pvt AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN r = 0 THEN obs END) AS o0,
+                   MAX(CASE WHEN r = 1 THEN obs END) AS o1,
+                   MAX(CASE WHEN r = 2 THEN obs END) AS o2
+            FROM votes GROUP BY doc_id
+        ),
+        cand AS (SELECT DISTINCT obs AS t FROM votes),
+        scores AS (
+            SELECT p.doc_id, cd.t,
+                   pr.pp * COALESCE(c0.p, 0.0) * COALESCE(c1.p, 0.0)
+                         * COALESCE(c2.p, 0.0) AS score
+            FROM pvt p
+            CROSS JOIN cand cd
+            JOIN prior pr ON pr.t = cd.t
+            LEFT JOIN conf_p c0 ON c0.r = 0 AND c0.t = cd.t AND c0.obs = p.o0
+            LEFT JOIN conf_p c1 ON c1.r = 1 AND c1.t = cd.t AND c1.obs = p.o1
+            LEFT JOIN conf_p c2 ON c2.r = 2 AND c2.t = cd.t AND c2.obs = p.o2
+        ),
+        pick AS (
+            SELECT doc_id, t AS ds_label, ROUND(score, 9) AS score
+            FROM scores
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, t ASC) = 1
+        )
+        SELECT p.doc_id, c.consensus, p.ds_label, p.score,
+               CASE WHEN p.ds_label <> c.consensus THEN 1 ELSE 0 END
+                   AS changed
+        FROM pick p JOIN cons c USING (doc_id)
+    """,
+    doc=(
+        "DAWID-SKENE ANNOTATOR REWEIGHTING (one EM round, closed form): "
+        "per-annotator CONFUSION MATRICES and class priors are estimated "
+        "from the majority consensus (the M-step), then every document "
+        "is relabeled by the maximum-a-posteriori class under "
+        "prior(t) * prod_r P_r(obs_r | t) (the E-step) — the standard "
+        "upgrade from majority vote when annotators have unequal "
+        "reliability. Plan: the confusion matrix is a hash aggregate on "
+        "the (annotator, consensus, observed) domain (bounded: R x "
+        "|cats|^2), votes PIVOT to one row per doc (R is a compile-time "
+        "constant, so the pivot is R conditional aggregates — no "
+        "explode-rejoin), candidates cross a |cats|-row frame, and the "
+        "three confusion lookups are broadcast-size equi-joins. The "
+        "per-(doc, candidate) score is a FIXED-ORDER product of four "
+        "exactly-derived doubles (no aggregation over floats), so the "
+        "argmax — a row_number over the |cats| rows within each doc — "
+        "is cross-engine deterministic; score rounded at 9dp for the "
+        "hash."
+    ),
+    tags=("labeling", "llm", "statistics"),
+)
+def dawid_skene_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ann = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array(*[F.lit(r) for r in range(_N_ANN)])).alias("r"),
+    )
+    hsh = (
+        F.shiftright(((F.col("doc_id") * 31 + F.col("r")) % _MOD) * F.lit(_KNUTH), 16)
+        % _FLIP_MOD
+    )
+    votes = ann.select(
+        "doc_id",
+        "r",
+        F.when(hsh == 0, F.lit("noise")).otherwise(F.col("lang")).alias("obs"),
+    )
+    majority = (_N_ANN // 2) + 1
+    cons = (
+        votes.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum((F.col("obs") == "noise").cast("int")) >= majority,
+                F.lit("noise"),
+            )
+            .otherwise(F.any_value("lang"))
+            .alias("consensus")
+        )
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(votes_c: DataFrame) -> DataFrame:
+        conf = (
+            votes_c.join(cons, "doc_id")
+            .groupBy("r", F.col("consensus").alias("t"), "obs")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        w_rt = Window.partitionBy("r", "t")  # |cats|-row partitions
+        conf_p = conf.select(
+            "r", "t", "obs", (F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(w_rt)).alias("p")
+        )
+        n_docs = cons.agg(F.count(F.lit(1)).alias("nd"))  # 1-row frame
+        prior = (
+            cons.groupBy(F.col("consensus").alias("t"))
+            .agg(F.count(F.lit(1)).alias("ct"))
+            .crossJoin(F.broadcast(n_docs))
+            .select("t", (F.col("ct") * F.lit(1.0) / F.col("nd")).alias("pp"))
+        )
+        pivot = votes_c.groupBy("doc_id").agg(
+            *[
+                F.max(F.when(F.col("r") == r, F.col("obs"))).alias(f"o{r}")
+                for r in range(_N_ANN)
+            ]
+        )
+        cand = votes_c.select(F.col("obs").alias("t")).distinct()
+        scores = pivot.crossJoin(F.broadcast(cand)).join(
+            F.broadcast(prior), "t"
+        )
+        for r in range(_N_ANN):
+            cp = conf_p.filter(F.col("r") == r).select(
+                F.col("t").alias("t"),
+                F.col("obs").alias(f"o{r}"),
+                F.col("p").alias(f"p{r}"),
+            )
+            scores = scores.join(F.broadcast(cp), ["t", f"o{r}"], "left")
+        score = F.col("pp")
+        for r in range(_N_ANN):
+            score = score * F.coalesce(F.col(f"p{r}"), F.lit(0.0))
+        w_doc = Window.partitionBy("doc_id").orderBy(
+            F.desc("score"), F.asc("t")
+        )  # |cats| rows per doc
+        pick = (
+            scores.select("doc_id", "t", F.round(score, 9).alias("score"))
+            .withColumn("rn", F.row_number().over(w_doc))
+            .filter(F.col("rn") == 1)
+        )
+        return pick.join(cons, "doc_id").select(
+            "doc_id",
+            "consensus",
+            F.col("t").alias("ds_label"),
+            "score",
+            F.when(F.col("t") != F.col("consensus"), 1).otherwise(0).alias("changed"),
+        )
+
+    return persisted_result(votes, build)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains / lift chart over the bounded score grid.
+# ---------------------------------------------------------------------------
+
+_N_GAIN_DECILES = 10
+
+
+@register(
+    "cumulative_gains_deciles",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        grid AS (
+            SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg
+            FROM scored GROUP BY score
+        ),
+        run AS (
+            SELECT pos, neg,
+                   CAST(SUM(pos) OVER wd AS BIGINT) - pos AS pb,
+                   CAST(SUM(pos + neg) OVER wd AS BIGINT) AS cum_all,
+                   CAST(SUM(pos + neg) OVER wd AS BIGINT) - pos - neg AS ab,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
+                   CAST(SUM(pos + neg) OVER () AS BIGINT) AS n
+            FROM grid
+            WINDOW wd AS (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        deciles AS (
+            SELECT unnest(generate_series(1, {_N_GAIN_DECILES})) AS decile
+        ),
+        bound AS (
+            SELECT d.decile, r.*,
+                   CAST(FLOOR((r.n * d.decile + {_N_GAIN_DECILES - 1})
+                              / {_N_GAIN_DECILES}.0) AS BIGINT) AS cutoff_rows
+            FROM deciles d CROSS JOIN run r
+        ),
+        hit AS (
+            SELECT decile, cutoff_rows, n_pos, n,
+                   pb + pos * 1.0 * (cutoff_rows - ab) / (cum_all - ab)
+                       AS captured
+            FROM bound
+            WHERE ab < cutoff_rows AND cum_all >= cutoff_rows
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, cutoff_rows,
+               ROUND(captured, 6) AS captured_pos,
+               ROUND(captured / n_pos, 6) AS gain,
+               ROUND((captured / n_pos) / (cutoff_rows * 1.0 / n), 6) AS lift
+        FROM hit
+    """,
+    doc=(
+        "CUMULATIVE GAINS / LIFT CHART of the quality score vs the "
+        "binary label: for each population decile (top 10%, 20%, ...), "
+        "the fraction of all positives captured when keeping only the "
+        "highest-scored rows, and the lift over random selection — the "
+        "curve behind every 'keep the top-k% by quality score' budget "
+        "decision. Same bounded-grid discipline as roc_auc_exact: one "
+        "hash aggregate to the 4-dp DISTINCT-SCORE grid, cumulative "
+        "windows over that <=10^4-row grid, then each decile boundary "
+        "range-joins to the single grid block containing it; a boundary "
+        "that splits a tied-score block attributes positives "
+        "FRACTIONALLY (uniform-within-ties, the standard convention, "
+        "deterministic arithmetic). Output is always "
+        f"{_N_GAIN_DECILES} rows; no corpus sort anywhere."
+    ),
+    tags=("labeling", "evals", "llm", "statistics"),
+)
+def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    grid = s.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
+    )
+    wd = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = grid.select(
+        "pos",
+        "neg",
+        (F.sum("pos").over(wd).cast("bigint") - F.col("pos")).alias("pb"),
+        F.sum(F.col("pos") + F.col("neg")).over(wd).cast("bigint").alias("cum_all"),
+        (
+            F.sum(F.col("pos") + F.col("neg")).over(wd).cast("bigint")
+            - F.col("pos")
+            - F.col("neg")
+        ).alias("ab"),
+        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
+        F.sum(F.col("pos") + F.col("neg")).over(w_all).cast("bigint").alias("n"),
+    )
+    deciles = spark.range(1, _N_GAIN_DECILES + 1).select(
+        F.col("id").alias("decile")
+    )
+    cutoff = F.floor(
+        (F.col("n") * F.col("decile") + (_N_GAIN_DECILES - 1))
+        / float(_N_GAIN_DECILES)
+    ).cast("bigint")
+    bound = deciles.crossJoin(run).withColumn("cutoff_rows", cutoff)
+    hit = bound.filter(
+        (F.col("ab") < F.col("cutoff_rows")) & (F.col("cum_all") >= F.col("cutoff_rows"))
+    )
+    captured = F.col("pb") + F.col("pos") * F.lit(1.0) * (
+        F.col("cutoff_rows") - F.col("ab")
+    ) / (F.col("cum_all") - F.col("ab"))
+    return hit.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "cutoff_rows",
+        F.round(captured, 6).alias("captured_pos"),
+        F.round(captured / F.col("n_pos"), 6).alias("gain"),
+        F.round(
+            (captured / F.col("n_pos"))
+            / (F.col("cutoff_rows") * F.lit(1.0) / F.col("n")),
+            6,
+        ).alias("lift"),
+    )

@@ -2808,3 +2808,89 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("heaps_beta"),
         F.round(F.exp(my - beta * mx), 6).alias("heaps_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing missing mass + Chao1 vocabulary richness (round-5i).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "good_turing_vocab_coverage",
+    oracle="""
+        WITH tc AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY tok
+        ),
+        fof AS (
+            SELECT cnt, CAST(COUNT(*) AS BIGINT) AS f_r
+            FROM tc GROUP BY cnt
+        ),
+        agg AS (
+            SELECT CAST(SUM(cnt * f_r) AS BIGINT) AS total_tokens,
+                   CAST(SUM(f_r) AS BIGINT) AS vocab_size,
+                   CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN f_r END), 0)
+                        AS BIGINT) AS f1,
+                   CAST(COALESCE(SUM(CASE WHEN cnt = 2 THEN f_r END), 0)
+                        AS BIGINT) AS f2
+            FROM fof
+        )
+        SELECT total_tokens, vocab_size, f1, f2,
+               ROUND(f1 * 1.0 / total_tokens, 6) AS missing_mass,
+               ROUND(1.0 - f1 * 1.0 / total_tokens, 6) AS coverage,
+               ROUND(vocab_size + f1 * 1.0 * (f1 - 1) / (2 * (f2 + 1)), 2)
+                   AS chao1_vocab
+        FROM agg
+    """,
+    doc=(
+        "GOOD-TURING MISSING MASS + CHAO1 VOCABULARY RICHNESS from the "
+        "token frequency-of-frequencies: P(next token is unseen) ~ "
+        "f1/N (the Good-Turing estimate from singleton mass), corpus "
+        "coverage = 1 - missing mass, and the Chao1 lower bound on TRUE "
+        "vocabulary size V + f1(f1-1)/(2(f2+1)) (the bias-corrected "
+        "form, defined even when no doubletons exist) — the 'how much "
+        "of the language have we actually seen' diagnostic that tells a "
+        "corpus builder whether more crawling still buys vocabulary "
+        "(complements heaps_law_fit's growth-curve view with a "
+        "closed-form richness bound). Plan: token hash aggregate -> "
+        "frequency-of-frequencies hash aggregate (cardinality = "
+        "distinct counts, tiny) -> one-row reduction; everything is "
+        "exact integer arithmetic until the two final divisions, so the "
+        "cross-engine hash is exact. Shuffle bounded by |vocab|."
+    ),
+    tags=("text", "llm", "statistics"),
+)
+def good_turing_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    fof = tc.groupBy("cnt").agg(F.count(F.lit(1)).cast("bigint").alias("f_r"))
+    agg = fof.agg(
+        F.sum(F.col("cnt") * F.col("f_r")).cast("bigint").alias("total_tokens"),
+        F.sum("f_r").cast("bigint").alias("vocab_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 1, F.col("f_r"))), F.lit(0)
+        ).cast("bigint").alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") == 2, F.col("f_r"))), F.lit(0)
+        ).cast("bigint").alias("f2"),
+    )
+    mm = F.col("f1") * F.lit(1.0) / F.col("total_tokens")
+    return agg.select(
+        "total_tokens",
+        "vocab_size",
+        "f1",
+        "f2",
+        F.round(mm, 6).alias("missing_mass"),
+        F.round(F.lit(1.0) - mm, 6).alias("coverage"),
+        F.round(
+            F.col("vocab_size")
+            + F.col("f1") * F.lit(1.0) * (F.col("f1") - 1) / (2 * (F.col("f2") + 1)),
+            2,
+        ).alias("chao1_vocab"),
+    )
