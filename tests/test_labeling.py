@@ -477,3 +477,139 @@ def test_good_turing_rederivation(spark):
     assert abs(row.chao1_vocab - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))) < 0.01
     # the richness bound can never be below the observed vocabulary
     assert row.chao1_vocab >= v
+
+
+# ---------------------------------------------------------------------------
+# Round-5j: QL retrieval, Mann-Whitney, Poisson bootstrap, binary quant.
+# ---------------------------------------------------------------------------
+
+
+def test_query_likelihood_matches_dense_scoring(spark):
+    """The sparse const+delta decomposition must equal the dense
+    textbook score sum_t ln((tf + mu*p)/(dl + mu)) for every ranked doc."""
+    docs = _docs(spark)
+    terms = ("spark", "join", "window")
+    mu = 2000.0
+    total = sum(len(t.split(" ")) for _, t, _, _ in docs)
+    cf = Counter()
+    for _, text, _, _ in docs:
+        for t in text.split(" "):
+            if t in terms:
+                cf[t] += 1
+    scores = {}
+    for d, text, _, _ in docs:
+        toks = text.split(" ")
+        tfs = Counter(t for t in toks if t in terms)
+        s = sum(
+            math.log((tfs[t] + mu * cf[t] / total) / (len(toks) + mu))
+            for t in terms
+        )
+        scores[d] = round(s, 6)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = [
+        (r.doc_id, r.ql_score)
+        for r in _run(spark, "query_likelihood_dirichlet").collect()
+    ]
+    got = sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+    assert [d for d, _ in got] == [d for d, _ in expect]
+    for (gd, gs), (ed, es) in zip(got, expect):
+        assert abs(gs - es) < 2e-6, gd
+
+
+def test_mann_whitney_matches_midrank_u(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = [
+        (r.event_type, float(r.value))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "value")
+        .collect()
+        if r.event_type in ("click", "purchase")
+    ]
+    a = sorted(math.floor(v * 10) for t, v in ev if t == "click")
+    b = sorted(math.floor(v * 10) for t, v in ev if t == "purchase")
+    # brute-force mid-rank U
+    u = 0.0
+    for x in a:
+        for y in b:
+            u += 1.0 if x > y else (0.5 if x == y else 0.0)
+    n1, n2 = len(a), len(b)
+    n = n1 + n2
+    ties = Counter(a + b)
+    tie_term = sum(t**3 - t for t in ties.values())
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1)))
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var)
+    row = _run(spark, "mann_whitney_u_test").collect()[0]
+    assert row.n_a == n1 and row.n_b == n2
+    assert abs(row.u_stat - u) < 1e-6
+    assert abs(row.z_score - z) < 1e-6
+    assert abs(row.rank_biserial - (2 * u / (n1 * n2) - 1)) < 1e-6
+    assert 0.0 <= row.p_value <= 1.0
+
+
+def test_poisson_bootstrap_ci_properties(spark):
+    """Deterministic weights; CI brackets the point estimate; SE is
+    positive and on the right scale (~sd/sqrt(n))."""
+    from weather_stream_processor_spark.sources import load_table
+
+    prices = [
+        float(r.o_totalprice)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    row = _run(spark, "poisson_bootstrap_ci").collect()[0]
+    mean = sum(round(p * 100) for p in prices) / len(prices) / 100.0
+    assert row.n_rows == len(prices)
+    assert abs(row.point_est - mean) < 1e-4
+    assert row.ci_lo < row.point_est < row.ci_hi
+    sd = math.sqrt(
+        sum((p - mean) ** 2 for p in prices) / (len(prices) - 1)
+    )
+    se_theory = sd / math.sqrt(len(prices))
+    assert 0.3 * se_theory < row.boot_se < 3.0 * se_theory
+    # determinism: second run bit-identical
+    again = _run(spark, "poisson_bootstrap_ci").collect()[0]
+    assert again == row
+
+
+def test_binary_quant_recall_matches_numpy(spark):
+    import numpy as np
+
+    from weather_stream_processor_spark.sources import load_table
+
+    emb = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ids = sorted(emb)
+    rows = {r.qid: r for r in _run(spark, "binary_quant_recall").collect()}
+    assert set(rows) == set(range(8))
+    for qid in range(8):
+        qv = emb[qid]
+        sims = {
+            v: round(
+                float(emb[v] @ qv / (np.linalg.norm(emb[v]) * np.linalg.norm(qv))),
+                6,
+            )
+            for v in ids
+            if v != qid
+        }
+        exact = {
+            v
+            for v, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        }
+        qb = qv > 0
+        hams = {
+            v: int(np.sum((emb[v] > 0) != qb)) for v in ids if v != qid
+        }
+        btop = {
+            v for v, _ in sorted(hams.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        }
+        assert rows[qid].n_overlap == len(exact & btop), qid
+    # quality floor is aggregate only: the fixture embeddings are
+    # near-orthogonal (sign-sketch's documented worst case, see the LSH
+    # commentary in similarity.py), so individual queries can land 0
+    assert sum(r.n_overlap for r in rows.values()) >= 4

@@ -17,6 +17,8 @@ low-cardinality grouping columns, never on high-cardinality keys.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1771,4 +1773,169 @@ def countmin_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         "est_cnt",
         (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overestimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (round-5j): the single-pass
+# resampling pattern — B weighted replicates in one scan, no row copies.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# Poisson(1) CDF thresholds for k = 0..7 (>= last -> weight 8); literal
+# doubles both engines compare identically
+_POIS_CDF = (
+    0.3678794412,
+    0.7357588823,
+    0.9196986029,
+    0.9810118431,
+    0.9963401532,
+    0.9994058152,
+    0.9999167589,
+    0.9999897509,
+)
+_BOOT_KNUTH = 2654435761
+_BOOT_MOD = 2147483647
+# CI rank convention: ceil(alpha*B) from each end -> ranks 3 / 98 at B=100
+_BOOT_LO_RN = math.ceil(0.025 * _BOOT_B)
+_BOOT_HI_RN = math.ceil(0.975 * _BOOT_B)
+
+
+def _boot_w_case(u: str) -> str:
+    clauses = " ".join(
+        f"WHEN {u} < {thr} THEN {k}" for k, thr in enumerate(_POIS_CDF)
+    )
+    return f"CASE {clauses} ELSE {len(_POIS_CDF)} END"
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+        WITH rows_b AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   unnest(generate_series(0, {_BOOT_B - 1})) AS b
+            FROM orders
+        ),
+        weighted AS (
+            SELECT b, cents,
+                   {_boot_w_case("(((((o_orderkey * 131 + b) % " + str(_BOOT_MOD) + ") * " + str(_BOOT_KNUTH) + ") >> 16) % 1000000) / 1000000.0")} AS w
+            FROM rows_b
+        ),
+        reps AS (
+            SELECT b,
+                   CAST(SUM(w * cents) AS BIGINT) AS swc,
+                   CAST(SUM(w) AS BIGINT) AS sw
+            FROM weighted GROUP BY b
+        ),
+        est AS (
+            SELECT b, swc * 1.0 / sw / 100.0 AS est,
+                   ROW_NUMBER() OVER (ORDER BY swc * 1.0 / sw, b) AS rn
+            FROM reps
+        ),
+        point AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) * 1.0
+                       / COUNT(*) / 100.0 AS pt
+            FROM orders
+        )
+        SELECT p.n_rows,
+               CAST({_BOOT_B} AS INT) AS b_replicates,
+               ROUND(p.pt, 6) AS point_est,
+               ROUND(STDDEV_SAMP(e.est), 6) AS boot_se,
+               ROUND(MAX(CASE WHEN e.rn = {_BOOT_LO_RN}
+                              THEN e.est END), 6) AS ci_lo,
+               ROUND(MAX(CASE WHEN e.rn = {_BOOT_HI_RN}
+                              THEN e.est END), 6) AS ci_hi
+        FROM est e CROSS JOIN point p
+        GROUP BY p.n_rows, p.pt
+    """,
+    doc=(
+        f"POISSON BOOTSTRAP confidence interval for mean order value, "
+        f"B={_BOOT_B} replicates in ONE PASS: instead of materializing B "
+        "resampled copies (the classic bootstrap — impossible at 100 TB), "
+        "each row contributes to every replicate with an independent "
+        "Poisson(1) weight (the standard large-n approximation of "
+        "multinomial resampling), so the whole procedure is one "
+        "explode-by-B projection plus a B-group aggregate; replicate "
+        "state is B (sum, count) pairs regardless of input size. "
+        "Weights are DETERMINISTIC: the house Knuth hash of (orderkey, "
+        "replicate) inverse-CDF-mapped through literal Poisson(1) "
+        "thresholds, so both engines draw identical 'randomness' and "
+        "the hash gate is exact. Prices convert to integer CENTS before "
+        "summation, so every replicate mean is a single division of "
+        "exact bigints — no float-accumulation drift enters the "
+        "percentile ranking. CI bounds are the 2.5th/97.5th percentile "
+        f"replicates read by row_number over the {_BOOT_B}-row replicate "
+        "frame (bounded window); boot_se = the replicate standard "
+        "deviation."
+    ),
+    tags=("aggregation", "statistics", "sampling", "llm"),
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    rows_b = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.shiftright(
+            ((F.col("o_orderkey") * 131 + F.col("b")) % _BOOT_MOD)
+            * F.lit(_BOOT_KNUTH),
+            16,
+        )
+        % 1000000
+    ) / F.lit(1000000.0)
+    w = F.lit(len(_POIS_CDF))
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rows_b.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).cast("bigint").alias("swc"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+    )
+    w_rank = Window.orderBy(
+        F.col("swc") * F.lit(1.0) / F.col("sw"), F.col("b")
+    )  # B-row frame
+    est = reps.select(
+        "b",
+        (F.col("swc") * F.lit(1.0) / F.col("sw") / F.lit(100.0)).alias("est"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    point = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.sum("cents") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(100.0)).alias(
+            "pt"
+        ),
+    )
+    lo_rn, hi_rn = _BOOT_LO_RN, _BOOT_HI_RN
+    return (
+        est.crossJoin(F.broadcast(point))
+        .groupBy("n_rows", "pt")
+        .agg(
+            F.round(F.stddev_samp("est"), 6).alias("boot_se"),
+            F.round(
+                F.max(F.when(F.col("rn") == lo_rn, F.col("est"))), 6
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == hi_rn, F.col("est"))), 6
+            ).alias("ci_hi"),
+        )
+        .select(
+            "n_rows",
+            F.lit(_BOOT_B).cast("int").alias("b_replicates"),
+            F.round(F.col("pt"), 6).alias("point_est"),
+            "boot_se",
+            "ci_lo",
+            "ci_hi",
+        )
     )

@@ -21,6 +21,8 @@ per-stratum threshold) is identical either way.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1632,4 +1634,160 @@ def minmax_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_rows"),
             6,
         ).alias("scan_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank test (round-5j): the rank-based two-sample companion
+# to KS/PSI/Wasserstein on the same quantized bucket grid.
+# ---------------------------------------------------------------------------
+
+# Abramowitz-Stegun 26.2.17 normal-tail polynomial: both engines evaluate
+# the IDENTICAL literal expression, so the p-value is bit-deterministic.
+_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+
+
+def _normal_sf_sql(z: str) -> str:
+    t = f"(1.0 / (1.0 + {_AS_P} * {z}))"
+    poly = (
+        f"({t} * ({_AS_B[0]} + {t} * ({_AS_B[1]} + {t} * ({_AS_B[2]}"
+        f" + {t} * ({_AS_B[3]} + {t} * {_AS_B[4]})))))"
+    )
+    return f"(exp(-({z}) * ({z}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+
+
+@register(
+    "mann_whitney_u_test",
+    oracle=f"""
+        WITH b AS (
+            SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+                   CAST(FLOOR(value * 10) AS BIGINT) AS bucket
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        counts AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM b GROUP BY bucket
+        ),
+        run AS (
+            SELECT n_a, n_b,
+                   CAST(COALESCE(SUM(n_b) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS b_below,
+                   CAST(SUM(n_a) OVER () AS BIGINT) AS t_a,
+                   CAST(SUM(n_b) OVER () AS BIGINT) AS t_b,
+                   CAST(SUM((n_a + n_b) * (n_a + n_b) * (n_a + n_b)
+                            - (n_a + n_b)) OVER () AS BIGINT) AS tie_term
+            FROM counts
+        ),
+        stat AS (
+            SELECT t_a AS n_a, t_b AS n_b,
+                   SUM(n_a * (b_below + 0.5 * n_b)) AS u_stat,
+                   ANY_VALUE(tie_term) AS ties,
+                   t_a + t_b AS n
+            FROM run GROUP BY t_a, t_b
+        ),
+        z AS (
+            SELECT n_a, n_b, u_stat,
+                   (u_stat - n_a * n_b / 2.0)
+                   / sqrt(n_a * 1.0 * n_b / 12.0
+                          * ((n + 1) - ties * 1.0 / (n * (n - 1)))) AS z
+            FROM stat
+        )
+        SELECT n_a, n_b,
+               ROUND(u_stat, 6) AS u_stat,
+               ROUND(2.0 * u_stat / (n_a * 1.0 * n_b) - 1.0, 6)
+                   AS rank_biserial,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {_normal_sf_sql("abs(z)")}, 6) AS p_value
+        FROM z
+    """,
+    doc=(
+        "MANN-WHITNEY U rank test between the click and purchase value "
+        "distributions on the same FLOOR(value*10) bucket grid as "
+        "ks_drift_two_sample: U from the mid-rank identity (sum over "
+        "the bucket grid of n_a * (b-below + half the ties at the "
+        "bucket)), the tie-corrected normal approximation z, the "
+        "two-sided p via the Abramowitz-Stegun 26.2.17 tail polynomial "
+        "(a literal expression both engines evaluate identically — "
+        "neither ships erf), and the rank-biserial effect size 2U/"
+        "(n_a*n_b)-1. Completes the drift suite: PSI (bin shares), KS "
+        "(CDF sup gap), W1 (CDF integral), chi-square (categorical), "
+        "and now the RANK test that detects location shift with no "
+        "distributional assumptions. Plan identical in shape to the KS "
+        "twin: two conditional counts to the bounded bucket grid, "
+        "ordered windows over that grid only; U / the tie term / both "
+        "sample sizes are exact integer arithmetic, so z and p derive "
+        "from bit-identical doubles."
+    ),
+    tags=("sampling", "drift", "statistics", "quality"),
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    b = ev.select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("g"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    w_below = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.col("n_a") + F.col("n_b")
+    run = counts.select(
+        "n_a",
+        "n_b",
+        F.coalesce(F.sum("n_b").over(w_below), F.lit(0)).cast("bigint").alias(
+            "b_below"
+        ),
+        F.sum("n_a").over(w_all).cast("bigint").alias("t_a"),
+        F.sum("n_b").over(w_all).cast("bigint").alias("t_b"),
+        F.sum(t * t * t - t).over(w_all).cast("bigint").alias("tie_term"),
+    )
+    stat = run.groupBy("t_a", "t_b").agg(
+        F.sum(F.col("n_a") * (F.col("b_below") + 0.5 * F.col("n_b"))).alias(
+            "u_stat"
+        ),
+        F.any_value("tie_term").alias("ties"),
+    )
+    n = F.col("t_a") + F.col("t_b")
+    z = (F.col("u_stat") - F.col("t_a") * F.col("t_b") / F.lit(2.0)) / F.sqrt(
+        F.col("t_a")
+        * F.lit(1.0)
+        * F.col("t_b")
+        / F.lit(12.0)
+        * ((n + 1) - F.col("ties") * F.lit(1.0) / (n * (n - 1)))
+    )
+    az = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+    poly = tt * (
+        F.lit(_AS_B[0])
+        + tt
+        * (
+            F.lit(_AS_B[1])
+            + tt * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
+        )
+    )
+    sf = F.exp(-az * az / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi)) * poly
+    return stat.select(
+        F.col("t_a").alias("n_a"),
+        F.col("t_b").alias("n_b"),
+        F.round(F.col("u_stat"), 6).alias("u_stat"),
+        F.round(
+            F.lit(2.0) * F.col("u_stat") / (F.col("t_a") * F.lit(1.0) * F.col("t_b"))
+            - F.lit(1.0),
+            6,
+        ).alias("rank_biserial"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * sf, 6).alias("p_value"),
     )

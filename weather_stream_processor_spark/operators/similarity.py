@@ -2786,3 +2786,172 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "mmr_rank int, vec_id long, relevance double, mmr_score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization recall (round-5j): completes the compression
+# family — int8 (quant error), PQ (trained codes), and now 1-bit signs.
+# ---------------------------------------------------------------------------
+
+_BQ_NQ = 8  # same query convention as knn_join_topk
+_BQ_K = 10
+
+
+def _bq_words_sql() -> str:
+    """sketch(vec_id, w0, w1): 64 sign bits packed into two bigints
+    (dims 1-32 and 33-64; bit 63 of a single word would collide with the
+    sign bit)."""
+    return """
+        sk AS (
+            SELECT vec_id,
+                   CAST(SUM(CASE WHEN i <= 32 AND x > 0
+                                 THEN (CAST(1 AS BIGINT) << (i - 1))
+                                 ELSE 0 END) AS BIGINT) AS w0,
+                   CAST(SUM(CASE WHEN i > 32 AND x > 0
+                                 THEN (CAST(1 AS BIGINT) << (i - 33))
+                                 ELSE 0 END) AS BIGINT) AS w1
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS i
+                  FROM embeddings)
+            GROUP BY vec_id
+        )
+    """
+
+
+@register(
+    "binary_quant_recall",
+    oracle=f"""
+        WITH {_bq_words_sql()},
+        e AS (
+            SELECT vec_id, unnest(embedding) AS ex,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, sqrt(SUM(CAST(ex AS DOUBLE) * ex)) AS nrm
+            FROM e GROUP BY vec_id
+        ),
+        q AS (SELECT vec_id AS qid, i, ex AS qx FROM e WHERE vec_id < {_BQ_NQ}),
+        cos AS (
+            SELECT q.qid, e.vec_id,
+                   ROUND(SUM(CAST(e.ex AS DOUBLE) * q.qx)
+                         / (nq.nrm * ne.nrm), 6) AS sim
+            FROM e JOIN q USING (i)
+            JOIN nrm nq ON nq.vec_id = q.qid
+            JOIN nrm ne ON ne.vec_id = e.vec_id
+            WHERE e.vec_id <> q.qid
+            GROUP BY q.qid, e.vec_id, nq.nrm, ne.nrm
+        ),
+        exact_top AS (
+            SELECT qid, vec_id FROM cos
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY sim DESC, vec_id ASC) <= {_BQ_K}
+        ),
+        ham AS (
+            SELECT sq.vec_id AS qid, sv.vec_id,
+                   bit_count(xor(sq.w0, sv.w0))
+                   + bit_count(xor(sq.w1, sv.w1)) AS hd
+            FROM sk sq JOIN sk sv ON sv.vec_id <> sq.vec_id
+            WHERE sq.vec_id < {_BQ_NQ}
+        ),
+        bin_top AS (
+            SELECT qid, vec_id FROM ham
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY hd ASC, vec_id ASC) <= {_BQ_K}
+        )
+        SELECT e.qid,
+               CAST(COUNT(b.vec_id) AS BIGINT) AS n_overlap,
+               ROUND(COUNT(b.vec_id) * 1.0 / {_BQ_K}, 6) AS recall_at_k
+        FROM exact_top e
+        LEFT JOIN bin_top b USING (qid, vec_id)
+        GROUP BY e.qid
+    """,
+    doc=(
+        "BINARY (SIGN) QUANTIZATION RECALL: embeddings compress to one "
+        "bit per dimension (64 dims -> two bigint words, a 32x "
+        "compression), candidate ranking becomes XOR + popcount, and "
+        f"the operator scores recall@{_BQ_K} of the Hamming top-k "
+        "against the exact cosine top-k for the same {n} query vectors "
+        "— the cheapest tier of the compression ladder next to "
+        "embedding_int8_quant_error (8-bit) and ann_pq_topk (trained "
+        "codes), and the measurement that tells you whether 1-bit "
+        "sketches suffice as a FIRST-PASS filter before exact rerank "
+        "(sign-sketch Hamming ~ angle, the SimHash identity). Plan: the "
+        "sketch is one aggregate over the exploded corpus (per-row "
+        "state: two longs); the Hamming join ships only (vec_id, w0, "
+        "w1) — 16 bytes/vector instead of 256 — broadcast on the "
+        f"{_BQ_NQ}-query side; both top-k windows partition per query. "
+        "Integer bit arithmetic end to end, so the oracle hash is "
+        "exact.".replace("{n}", str(_BQ_NQ))
+    ),
+    tags=("similarity", "llm", "quantization"),
+)
+def binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    bit = lambda i, base: F.when(  # noqa: E731
+        F.element_at("embedding", i + 1).cast("double") > 0,
+        F.shiftleft(F.lit(1).cast("bigint"), i - base),
+    ).otherwise(F.lit(0).cast("bigint"))
+    w0 = None
+    w1 = None
+    for i in range(32):
+        w0 = bit(i, 0) if w0 is None else w0 + bit(i, 0)
+    for i in range(32, 64):
+        w1 = bit(i, 32) if w1 is None else w1 + bit(i, 32)
+    sk = emb.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+
+    q = emb.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", F.round(_pair_cosine(), 6).alias("sim"))
+    )
+    w_cos = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    exact_top = (
+        cos.withColumn("rn", F.row_number().over(w_cos))
+        .filter(F.col("rn") <= _BQ_K)
+        .select("qid", "vec_id")
+    )
+
+    sq = sk.filter(F.col("vec_id") < _BQ_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        sk.crossJoin(F.broadcast(sq))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+                + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+            ).alias("hd"),
+        )
+    )
+    w_ham = Window.partitionBy("qid").orderBy(F.asc("hd"), F.asc("vec_id"))
+    bin_top = (
+        ham.withColumn("rn", F.row_number().over(w_ham))
+        .filter(F.col("rn") <= _BQ_K)
+        .select("qid", F.col("vec_id").alias("b_vec_id"))
+    )
+    return (
+        exact_top.join(
+            bin_top,
+            (exact_top.qid == bin_top.qid)
+            & (exact_top.vec_id == bin_top.b_vec_id),
+            "left",
+        )
+        .groupBy(exact_top.qid)
+        .agg(
+            F.count("b_vec_id").cast("bigint").alias("n_overlap"),
+            F.round(F.count("b_vec_id") * F.lit(1.0) / _BQ_K, 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )

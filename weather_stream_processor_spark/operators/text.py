@@ -2894,3 +2894,121 @@ def good_turing_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("chao1_vocab"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (round-5j).
+# ---------------------------------------------------------------------------
+
+_QL_MU = 2000.0
+_QL_K = 20
+
+
+@register(
+    "query_likelihood_dirichlet",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ('spark', 'join', 'window')
+            GROUP BY 1, 2
+        ),
+        dl AS (
+            SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents
+        ),
+        corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens FROM toks
+        ),
+        cf AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+            FROM toks WHERE term IN ('spark', 'join', 'window')
+            GROUP BY term
+        ),
+        bg AS (
+            SELECT term, {_QL_MU} * (cf * 1.0 / c.total_tokens) AS mu_p
+            FROM cf CROSS JOIN corpus c
+        ),
+        const AS (SELECT SUM(ln(mu_p)) AS c0, CAST(COUNT(*) AS BIGINT) AS nq
+                  FROM bg),
+        delta AS (
+            SELECT tf.doc_id,
+                   SUM(ln((tf.tf + b.mu_p) / b.mu_p)) AS d
+            FROM tf JOIN bg b USING (term)
+            GROUP BY tf.doc_id
+        )
+        SELECT dl.doc_id,
+               ROUND(k.c0 + COALESCE(d.d, 0.0)
+                     - k.nq * ln(dl.dl + {_QL_MU}), 6) AS ql_score
+        FROM dl
+        LEFT JOIN delta d USING (doc_id)
+        CROSS JOIN const k
+        ORDER BY ql_score DESC, doc_id ASC
+        LIMIT {_QL_K}
+    """,
+    doc=(
+        "QUERY-LIKELIHOOD retrieval with DIRICHLET SMOOTHING (mu="
+        f"{_QL_MU:.0f}): score(d) = sum_t ln((tf + mu*P(t|C)) / (|d| + "
+        "mu)) — the language-modeling ranking function that sits beside "
+        "BM25 in every IR toolkit (Zhai-Lafferty smoothing). The scale "
+        "trick is the SPARSE decomposition: the zero-tf background "
+        "contribution sum_t ln(mu*P(t|C)) is a query-level CONSTANT, so "
+        "only matching postings contribute a per-doc delta ln((tf+mu*p)/"
+        "(mu*p)) and every document needs just its length — no dense "
+        "doc x term matrix, same postings-only plan as bm25_top_docs "
+        "(broadcast per-term background stats, one postings aggregate, "
+        "TakeOrderedAndProject top-k). Scores rounded 6dp before the "
+        "rank; ties broken on doc_id."
+    ),
+    tags=("text", "retrieval", "llm"),
+)
+def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("dl")
+    )
+    corpus = toks.agg(F.count(F.lit(1)).cast("bigint").alias("total_tokens"))
+    cf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    bg = cf.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        (F.lit(_QL_MU) * (F.col("cf") * F.lit(1.0) / F.col("total_tokens"))).alias(
+            "mu_p"
+        ),
+    )
+    const = bg.agg(
+        F.sum(F.log("mu_p")).alias("c0"),
+        F.count(F.lit(1)).cast("bigint").alias("nq"),
+    )
+    delta = (
+        tf.join(F.broadcast(bg), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.log((F.col("tf") + F.col("mu_p")) / F.col("mu_p"))).alias("d"))
+    )
+    return (
+        dl.join(delta, "doc_id", "left")
+        .crossJoin(F.broadcast(const))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("c0")
+                + F.coalesce(F.col("d"), F.lit(0.0))
+                - F.col("nq") * F.log(F.col("dl") + F.lit(_QL_MU)),
+                6,
+            ).alias("ql_score"),
+        )
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(_QL_K)
+    )
