@@ -613,3 +613,116 @@ def test_binary_quant_recall_matches_numpy(spark):
     # near-orthogonal (sign-sketch's documented worst case, see the LSH
     # commentary in similarity.py), so individual queries can land 0
     assert sum(r.n_overlap for r in rows.values()) >= 4
+
+
+# ---------------------------------------------------------------------------
+# Round-5k: CUPED, Brier decomposition, BH-FDR.
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_matches_numpy_moments(spark):
+    import numpy as np
+
+    from weather_stream_processor_spark.sources import load_table
+
+    ev = [
+        (int(r.user_id), r.ts.isoformat(), r.event_type)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_type")
+        .collect()
+    ]
+    split = "2024-01-16"
+    xs, ys = Counter(), Counter()
+    users = set()
+    for u, ts, et in ev:
+        users.add(u)
+        if ts < split:
+            xs[u] += 1
+        elif et == "purchase":
+            ys[u] += 1
+    u_list = sorted(users)
+    x = np.array([xs[u] for u in u_list], dtype=float)
+    y = np.array([ys[u] for u in u_list], dtype=float)
+    cov = (x * y).mean() - x.mean() * y.mean()
+    var_x, var_y = x.var(), y.var()
+    row = _run(spark, "cuped_variance_reduction").collect()[0]
+    assert row.n == len(u_list)
+    assert abs(row.theta - cov / var_x) < 1e-6
+    assert abs(row.var_y - var_y) < 1e-6
+    assert abs(row.var_y_cuped - (var_y - cov**2 / var_x)) < 1e-6
+    # adjusted variance can never exceed the raw variance
+    assert row.var_y_cuped <= row.var_y + 1e-9
+    assert 0.0 <= row.var_reduction <= 1.0
+
+
+def test_brier_decomposition_identity(spark):
+    """brier == reliability - resolution + uncertainty + within_bin_var
+    (exact for binned forecasts), and brier matches the direct mean
+    squared error."""
+    docs = _scored_docs(_docs(spark))
+    n = len(docs)
+    brier = sum((s - (1 if rel else 0)) ** 2 for _, _, s, rel in docs) / n
+    row = _run(spark, "brier_score_decomposition").collect()[0]
+    assert row.n == n
+    assert abs(row.brier - brier) < 1e-6
+    lhs = (
+        row.reliability
+        - row.resolution
+        + row.uncertainty
+        + row.within_bin_var
+        - 2 * row.within_bin_cov
+    )
+    assert abs(row.brier - lhs) < 1e-5  # each term rounded 6dp
+    assert row.reliability >= 0 and row.resolution >= 0
+    assert 0 <= row.uncertainty <= 0.25
+
+
+def test_bh_fdr_rederivation(spark):
+    import numpy as np
+
+    docs = _docs(spark)
+    from weather_stream_processor_spark.sources import load_table
+
+    chars = defaultdict(list)
+    for r in (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("source", "n_chars")
+        .collect()
+    ):
+        chars[r.source].append(int(r.n_chars))
+    sources = sorted(chars)
+    m = len(sources)
+
+    def sf(z):
+        t = 1.0 / (1.0 + 0.2316419 * z)
+        poly = t * (
+            0.319381530
+            + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+        )
+        return math.exp(-z * z / 2.0) / math.sqrt(2 * math.pi) * poly
+
+    ps = {}
+    for s in sources:
+        a = np.array(chars[s], dtype=float)
+        rest = np.array(
+            [v for s2 in sources if s2 != s for v in chars[s2]], dtype=float
+        )
+        z = (a.mean() - rest.mean()) / math.sqrt(
+            a.var(ddof=1) / len(a) + rest.var(ddof=1) / len(rest)
+        )
+        ps[s] = 2.0 * sf(abs(z))
+    order = sorted(sources, key=lambda s: (ps[s], s))
+    adj = {}
+    running = 1.0
+    for i in range(m - 1, -1, -1):
+        s = order[i]
+        running = min(running, ps[s] * m / (i + 1))
+        adj[s] = running
+    rows = {r.source: r for r in _run(spark, "bh_fdr_correction").collect()}
+    assert set(rows) == set(sources)
+    for s in sources:
+        assert abs(rows[s].p_value - ps[s]) < 1e-6, s
+        assert abs(rows[s].p_adj - adj[s]) < 1e-6, s
+        assert rows[s].significant == (adj[s] < 0.05)
+        # BH can only raise p-values
+        assert rows[s].p_adj >= rows[s].p_value - 1e-9

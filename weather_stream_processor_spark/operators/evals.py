@@ -1251,3 +1251,448 @@ def broadcast_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("shuffle")
         .alias("join_strategy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5k: experimentation statistics — CUPED variance reduction, Brier
+# decomposition, Benjamini-Hochberg FDR over a per-source test family.
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                                  AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM per_user
+        )
+        SELECT n,
+               ROUND((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                     / (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)),
+                     6) AS theta,
+               ROUND(syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n), 6)
+                   AS var_y,
+               ROUND((syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))
+                     - (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                       * (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                       / (sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n)),
+                     6) AS var_y_cuped,
+               ROUND((sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                     * (sxy * 1.0 / n - (sx * 1.0 / n) * (sy * 1.0 / n))
+                     / ((sxx * 1.0 / n - (sx * 1.0 / n) * (sx * 1.0 / n))
+                        * (syy * 1.0 / n - (sy * 1.0 / n) * (sy * 1.0 / n))),
+                     6) AS var_reduction
+        FROM mom
+    """,
+    doc=(
+        "CUPED VARIANCE REDUCTION (Controlled-experiment Using Pre-"
+        "Experiment Data, the Deng et al. technique every experimentation "
+        "platform ships): per-user post-period metric y (purchases after "
+        f"{_CUPED_SPLIT}) is adjusted by the pre-period covariate x "
+        "(activity before the split) as y - theta*(x - mean(x)) with "
+        "theta = cov(x,y)/var(x); the report gives theta, raw vs "
+        "adjusted metric variance, and the variance-reduction fraction "
+        "rho^2 = cov^2/(var_x*var_y) — which is exactly how much "
+        "smaller an A/B test gets for free. Plan: ONE pass builds "
+        "per-user (x, y) with conditional counts (the date predicate "
+        "pushes to the scan), one moment aggregate (n, sums, cross "
+        "products — all EXACT bigints since both metrics are counts), "
+        "and every output is arithmetic over that 1-row moment table — "
+        "identical doubles on both engines before the 6-dp round."
+    ),
+    tags=("evals", "experimentation", "statistics"),
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.sources import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    split = F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= split) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    mx = F.col("sx") * F.lit(1.0) / n
+    my = F.col("sy") * F.lit(1.0) / n
+    cov = F.col("sxy") * F.lit(1.0) / n - mx * my
+    var_x = F.col("sxx") * F.lit(1.0) / n - mx * mx
+    var_y = F.col("syy") * F.lit(1.0) / n - my * my
+    return mom.select(
+        "n",
+        F.round(cov / var_x, 6).alias("theta"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_y - cov * cov / var_x, 6).alias("var_y_cuped"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("var_reduction"),
+    )
+
+
+_BRIER_BINS = 10
+
+
+@register(
+    "brier_score_decomposition",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        s4 AS (
+            SELECT CAST(ROUND(score * 10000) AS BIGINT) AS p4, label,
+                   LEAST(CAST(FLOOR(score * {_BRIER_BINS}) AS BIGINT),
+                         {_BRIER_BINS - 1}) AS bin
+            FROM scored
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS nk,
+                   CAST(SUM(p4) AS BIGINT) AS sp,
+                   CAST(SUM(p4 * p4) AS BIGINT) AS spp,
+                   CAST(SUM(label) AS BIGINT) AS sy,
+                   CAST(SUM(p4 * label) AS BIGINT) AS spy
+            FROM s4 GROUP BY bin
+        ),
+        tot AS (
+            SELECT CAST(SUM(nk) AS BIGINT) AS n,
+                   CAST(SUM(sy) AS BIGINT) AS tsy,
+                   CAST(SUM(spp) AS BIGINT) AS tspp,
+                   CAST(SUM(spp) AS BIGINT)
+                   - 20000 * CAST(SUM(spy) AS BIGINT)
+                   + 100000000 * CAST(SUM(sy) AS BIGINT) AS bnum
+            FROM per_bin
+        )
+        SELECT t.n,
+               ROUND(t.bnum * 1.0 / t.n / 100000000, 6) AS brier,
+               ROUND(SUM(b.nk * (b.sy * 1.0 / b.nk
+                                 - b.sp * 1.0 / b.nk / 10000)
+                              * (b.sy * 1.0 / b.nk
+                                 - b.sp * 1.0 / b.nk / 10000)) / t.n, 6)
+                   AS reliability,
+               ROUND(SUM(b.nk * (b.sy * 1.0 / b.nk - t.tsy * 1.0 / t.n)
+                              * (b.sy * 1.0 / b.nk - t.tsy * 1.0 / t.n))
+                     / t.n, 6) AS resolution,
+               ROUND((t.tsy * 1.0 / t.n) * (1.0 - t.tsy * 1.0 / t.n), 6)
+                   AS uncertainty,
+               ROUND(SUM(b.spp * 1.0 / 100000000
+                         - b.nk * (b.sp * 1.0 / b.nk / 10000)
+                                * (b.sp * 1.0 / b.nk / 10000)) / t.n, 6)
+                   AS within_bin_var,
+               ROUND(SUM((b.spy - b.sp * 1.0 * b.sy / b.nk) / 10000.0)
+                     / t.n, 6) AS within_bin_cov
+        FROM per_bin b CROSS JOIN tot t
+        GROUP BY t.n, t.bnum, t.tsy
+    """,
+    doc=(
+        "BRIER SCORE with the MURPHY DECOMPOSITION: total Brier = "
+        "RELIABILITY (calibration gap per bin) - RESOLUTION (how far bin "
+        "outcome rates sit from the base rate) + UNCERTAINTY (base-rate "
+        "entropy) + within-bin forecast variance - 2x within-bin "
+        "forecast-outcome covariance (the residuals that make the "
+        "identity EXACT when forecasts vary inside bins) — the proper-"
+        "scoring-rule companion to calibration_bins_ece that separates "
+        "'is the score honest' from 'does the score discriminate'. "
+        "Every sum is over EXACT INTEGERS: 4-dp scores lift to p*10^4 "
+        "bigints, so the Brier numerator sum((p4 - 10^4*y)^2) and all "
+        f"bin moments are integer arithmetic; the {_BRIER_BINS}-row bin "
+        "table is the only grouped state. One corpus scan, one hash "
+        "aggregate, a 1-row total, bounded-frame arithmetic after."
+    ),
+    tags=("evals", "llm", "statistics"),
+)
+def brier_score_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    s4 = s.select(
+        F.round(F.col("score") * 10000).cast("bigint").alias("p4"),
+        "label",
+        F.least(
+            F.floor(F.col("score") * _BRIER_BINS).cast("bigint"),
+            F.lit(_BRIER_BINS - 1).cast("bigint"),
+        ).alias("bin"),
+    )
+    per_bin = s4.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("p4").cast("bigint").alias("sp"),
+        F.sum(F.col("p4") * F.col("p4")).cast("bigint").alias("spp"),
+        F.sum("label").cast("bigint").alias("sy"),
+        F.sum(F.col("p4") * F.col("label")).cast("bigint").alias("spy"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(pb: DataFrame) -> DataFrame:
+        tot = pb.agg(
+            F.sum("nk").cast("bigint").alias("n"),
+            F.sum("sy").cast("bigint").alias("tsy"),
+            (
+                F.sum("spp").cast("bigint")
+                - F.lit(20000) * F.sum("spy").cast("bigint")
+                + F.lit(100000000) * F.sum("sy").cast("bigint")
+            ).alias("bnum"),
+        )
+        ybar_k = F.col("sy") * F.lit(1.0) / F.col("nk")
+        pbar_k = F.col("sp") * F.lit(1.0) / F.col("nk") / F.lit(10000.0)
+        ybar = F.col("tsy") * F.lit(1.0) / F.col("n")
+        return (
+            pb.crossJoin(F.broadcast(tot))
+            .groupBy("n", "bnum", "tsy")
+            .agg(
+                F.round(
+                    F.sum(F.col("nk") * (ybar_k - pbar_k) * (ybar_k - pbar_k))
+                    / F.col("n"),
+                    6,
+                ).alias("reliability"),
+                F.round(
+                    F.sum(F.col("nk") * (ybar_k - ybar) * (ybar_k - ybar))
+                    / F.col("n"),
+                    6,
+                ).alias("resolution"),
+                F.round(
+                    F.sum(
+                        F.col("spp") * F.lit(1.0) / F.lit(100000000.0)
+                        - F.col("nk") * pbar_k * pbar_k
+                    )
+                    / F.col("n"),
+                    6,
+                ).alias("within_bin_var"),
+                F.round(
+                    F.sum(
+                        (
+                            F.col("spy")
+                            - F.col("sp") * F.lit(1.0) * F.col("sy") / F.col("nk")
+                        )
+                        / F.lit(10000.0)
+                    )
+                    / F.col("n"),
+                    6,
+                ).alias("within_bin_cov"),
+            )
+            .select(
+                "n",
+                F.round(
+                    F.col("bnum") * F.lit(1.0) / F.col("n") / F.lit(100000000.0), 6
+                ).alias("brier"),
+                "reliability",
+                "resolution",
+                F.round(
+                    (F.col("tsy") * F.lit(1.0) / F.col("n"))
+                    * (F.lit(1.0) - F.col("tsy") * F.lit(1.0) / F.col("n")),
+                    6,
+                ).alias("uncertainty"),
+                "within_bin_var",
+                "within_bin_cov",
+            )
+        )
+
+    return persisted_result(per_bin, build)
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over a per-source Welch test family.
+# ---------------------------------------------------------------------------
+
+# Abramowitz-Stegun 26.2.17 tail polynomial (shared convention with
+# mann_whitney_u_test in sampling.py): a literal both engines evaluate
+# identically, since neither ships erf.
+_FDR_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_FDR_AS_P = 0.2316419
+_FDR_ALPHA = 0.05
+
+
+def _fdr_sf_sql(z: str) -> str:
+    t = f"(1.0 / (1.0 + {_FDR_AS_P} * {z}))"
+    poly = (
+        f"({t} * ({_FDR_AS_B[0]} + {t} * ({_FDR_AS_B[1]} + {t} * ({_FDR_AS_B[2]}"
+        f" + {t} * ({_FDR_AS_B[3]} + {t} * {_FDR_AS_B[4]})))))"
+    )
+    return f"(exp(-({z}) * ({z}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+
+
+@register(
+    "bh_fdr_correction",
+    oracle=f"""
+        WITH mom AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS ns,
+                   CAST(SUM(n_chars) AS BIGINT) AS ss,
+                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS sss
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(ns) AS BIGINT) AS n,
+                   CAST(SUM(ss) AS BIGINT) AS s,
+                   CAST(SUM(sss) AS BIGINT) AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM mom
+        ),
+        tests AS (
+            SELECT source, ns, m, mean_chars, z FROM (
+                SELECT mom.source, mom.ns, t.m,
+                       ROUND(mom.ss * 1.0 / mom.ns, 2) AS mean_chars,
+                       (mom.ss * 1.0 / mom.ns
+                        - (t.s - mom.ss) * 1.0 / (t.n - mom.ns))
+                       / sqrt(
+                           ((mom.sss * 1.0 / mom.ns
+                             - (mom.ss * 1.0 / mom.ns)
+                               * (mom.ss * 1.0 / mom.ns))
+                            * mom.ns / (mom.ns - 1.0)) / mom.ns
+                           + (((t.sq - mom.sss) * 1.0 / (t.n - mom.ns)
+                               - ((t.s - mom.ss) * 1.0 / (t.n - mom.ns))
+                                 * ((t.s - mom.ss) * 1.0 / (t.n - mom.ns)))
+                              * (t.n - mom.ns)
+                              / ((t.n - mom.ns) - 1.0)) / (t.n - mom.ns)
+                         ) AS z
+                FROM mom CROSS JOIN tot t
+            )
+        ),
+        pvals AS (
+            SELECT source, ns, m, mean_chars,
+                   ROUND(z, 6) AS z_score,
+                   2.0 * {_fdr_sf_sql("abs(z)")} AS p,
+                   ROW_NUMBER() OVER (
+                       ORDER BY 2.0 * {_fdr_sf_sql("abs(z)")} ASC, source ASC
+                   ) AS rnk
+            FROM tests
+        ),
+        adj AS (
+            SELECT source, ns, mean_chars, z_score, p, rnk,
+                   LEAST(MIN(p * m / rnk) OVER (
+                       ORDER BY rnk DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 1.0) AS p_adj
+            FROM pvals
+        )
+        SELECT source, ns AS n_docs, mean_chars, z_score,
+               ROUND(p, 6) AS p_value,
+               ROUND(p_adj, 6) AS p_adj,
+               p_adj < {_FDR_ALPHA} AS significant
+        FROM adj
+    """,
+    doc=(
+        "BENJAMINI-HOCHBERG FDR CORRECTION over a per-source test "
+        "family: each source's mean document length is Welch-z-tested "
+        "against the REST of the corpus (complement moments come from "
+        "total-minus-source, so the corpus scans ONCE), p-values from "
+        "the shared Abramowitz-Stegun tail literal, then the BH "
+        "step-up adjustment p_adj(i) = min_{{j>=i}} p(j)*m/j as a "
+        "reverse cumulative-min window over the |sources|-row p-value "
+        "grid (bounded by the source domain) — the multiple-testing "
+        "discipline any per-segment anomaly report needs before "
+        "flagging 'significant' segments (20 tests at alpha=.05 expect "
+        "one false positive; BH caps the false-discovery RATE instead). "
+        "Moments are exact bigints; each z is one arithmetic expression "
+        "over them. Output: per source, mean, z, raw p, adjusted p, "
+        f"and the alpha={_FDR_ALPHA} significance call."
+    ),
+    tags=("evals", "experimentation", "statistics", "quality"),
+)
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("n_chars").cast("bigint").alias("ss"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sss"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(mom_c: DataFrame) -> DataFrame:
+        tot = mom_c.agg(
+            F.sum("ns").cast("bigint").alias("n"),
+            F.sum("ss").cast("bigint").alias("s"),
+            F.sum("sss").cast("bigint").alias("sq"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+        j = mom_c.crossJoin(F.broadcast(tot))
+        mean_s = F.col("ss") * F.lit(1.0) / F.col("ns")
+        nr = F.col("n") - F.col("ns")
+        mean_r = (F.col("s") - F.col("ss")) * F.lit(1.0) / nr
+        # sample variances via the same exact-moment expressions as SQL
+        var_s = (
+            (F.col("sss") * F.lit(1.0) / F.col("ns") - mean_s * mean_s)
+            * F.col("ns")
+            / (F.col("ns") - F.lit(1.0))
+        )
+        var_r = (
+            ((F.col("sq") - F.col("sss")) * F.lit(1.0) / nr - mean_r * mean_r)
+            * nr
+            / (nr - F.lit(1.0))
+        )
+        z = (mean_s - mean_r) / F.sqrt(
+            var_s / F.col("ns") + var_r / nr
+        )
+        az = F.abs(z)
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * az)
+        poly = t * (
+            F.lit(_FDR_AS_B[0])
+            + t
+            * (
+                F.lit(_FDR_AS_B[1])
+                + t
+                * (
+                    F.lit(_FDR_AS_B[2])
+                    + t * (F.lit(_FDR_AS_B[3]) + t * F.lit(_FDR_AS_B[4]))
+                )
+            )
+        )
+        p = (
+            F.lit(2.0)
+            * F.exp(-az * az / F.lit(2.0))
+            / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+            * poly
+        )
+        w_rank = Window.orderBy(F.asc("p"), F.asc("source"))  # |sources| rows
+        pvals = j.select(
+            "source",
+            "ns",
+            "m",
+            F.round(mean_s, 2).alias("mean_chars"),
+            F.round(z, 6).alias("z_score"),
+            p.alias("p"),
+        ).withColumn("rnk", F.row_number().over(w_rank))
+        w_rev = Window.orderBy(F.desc("rnk")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        adj = pvals.withColumn(
+            "p_adj",
+            F.least(
+                F.min(F.col("p") * F.col("m") / F.col("rnk")).over(w_rev),
+                F.lit(1.0),
+            ),
+        )
+        return adj.select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            "mean_chars",
+            "z_score",
+            F.round("p", 6).alias("p_value"),
+            F.round("p_adj", 6).alias("p_adj"),
+            (F.col("p_adj") < _FDR_ALPHA).alias("significant"),
+        )
+
+    return persisted_result(mom, build)
