@@ -97,6 +97,12 @@ HEADLINE = [
     "ndcg_retrieval_eval",
     "lof_outlier_scores",
     "rag_chunk_manifest",
+    # round-5h..5k additions: PAV-as-joins calibration, one-pass Poisson
+    # bootstrap, mergeable count-min probe, Dawid-Skene relabel
+    "isotonic_calibration_bins",
+    "poisson_bootstrap_ci",
+    "countmin_sketch_rollup",
+    "dawid_skene_correction",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners
