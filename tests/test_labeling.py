@@ -726,3 +726,51 @@ def test_bh_fdr_rederivation(spark):
         assert rows[s].significant == (adj[s] < 0.05)
         # BH can only raise p-values
         assert rows[s].p_adj >= rows[s].p_value - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-5l: Spark-4-native VARIANT and XML wire handling.
+# ---------------------------------------------------------------------------
+
+
+def test_variant_extraction_matches_json_strings(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    import json
+
+    ev = [
+        (r.event_type, r.props)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_type", "props")
+        .collect()
+    ]
+    sums = Counter()
+    ns = Counter()
+    for et, props in ev:
+        sums[et] += json.loads(props)["k"]
+        ns[et] += 1
+    rows = {r.event_type: r for r in _run(spark, "variant_props_pipeline").collect()}
+    assert set(rows) == set(ns)
+    for et in ns:
+        assert rows[et].n_events == ns[et]
+        assert rows[et].sum_k == sums[et]
+        # a missing path must be NULL for every row, never an error
+        assert rows[et].n_missing_path == ns[et]
+        assert rows[et].variant_schema == "OBJECT<k: BIGINT>"
+
+
+def test_xml_roundtrip_is_lossless(spark):
+    df = _run(spark, "xml_wire_roundtrip")
+    n = df.count()
+    assert n > 0
+    from pyspark.sql import functions as F
+
+    mismatched = df.filter(
+        (F.col("event_id") != F.col("event_id_rt"))
+        | (F.col("event_type") != F.col("event_type_rt"))
+    ).count()
+    assert mismatched == 0
+    # the wire format is the pinned element form
+    one = df.limit(1).collect()[0]
+    assert one.wire_xml.startswith("<ROW>") and one.wire_xml.endswith("</ROW>")
+    assert f"<event_id>{one.event_id}</event_id>" in one.wire_xml

@@ -369,3 +369,118 @@ def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect(F.array_distinct("ta"), "tb")).alias("n_intersect"),
         F.size(F.array_except("ta", "tb")).alias("n_except"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5l: Spark-4-native semi-structured handling — VARIANT and XML.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_props_pipeline",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)),
+                     4) AS avg_k,
+               CAST(SUM(CASE WHEN json_extract_string(props, '$.absent')
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_missing_path,
+               'OBJECT<k: BIGINT>' AS variant_schema
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "SPARK 4 VARIANT pipeline over the schema-less props column: "
+        "parse_json lifts the string to the binary VARIANT encoding "
+        "once, variant_get extracts '$.k' as a typed bigint, "
+        "try_variant_get probes a missing path WITHOUT erroring (NULL, "
+        "counted), and schema_of_variant reports the inferred shape — "
+        "the Spark-4-native path for semi-structured columns that "
+        "replaces repeated get_json_object string re-parsing with a "
+        "parse-once binary format (the open-source answer to shredded "
+        "JSON columns; at 100 TB the win is parsing each props value "
+        "ONCE per row instead of once per extracted path). The oracle "
+        "pins the extracted values/aggregates via DuckDB's JSON "
+        "functions and the inferred schema as the literal contract "
+        "'OBJECT<k: BIGINT>'. All expressions JVM-side, no UDF."
+    ),
+    tags=("scalar", "json", "variant", "llm"),
+)
+def variant_props_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props").cast("string"))
+    parsed = ev.select(
+        "event_type",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.absent", "bigint").alias("absent"),
+        F.schema_of_variant(v).alias("variant_schema"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.sum(F.when(F.col("absent").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing_path"),
+        F.any_value("variant_schema").alias("variant_schema"),
+    )
+
+
+@register(
+    "xml_wire_roundtrip",
+    oracle="""
+        SELECT event_id, event_type,
+               '<ROW>' || chr(10)
+               || '    <event_id>' || event_id || '</event_id>' || chr(10)
+               || '    <event_type>' || event_type || '</event_type>'
+               || chr(10) || '</ROW>' AS wire_xml,
+               event_id AS event_id_rt,
+               event_type AS event_type_rt
+        FROM events
+    """,
+    doc=(
+        "XML WIRE ROUNDTRIP (Spark 4 native XML): to_xml(struct(...)) "
+        "serializes each event to the element form a legacy XML consumer "
+        "expects, from_xml parses it straight back through the declared "
+        "schema, and the output carries BOTH the wire string and the "
+        "roundtripped fields — the XML twin of json_wire_roundtrip "
+        "(K4's value-serialization fidelity proof, for the second wire "
+        "format Spark 4 ships built-in). The oracle reconstructs the "
+        "exact serialized bytes (rowTag ROW, newline + 4-space indent — "
+        "pinned as the cross-engine contract) so the hash certifies the "
+        "serializer's byte output AND the parser's inverse; a field "
+        "mangled either way breaks the value hash. JVM codegen both "
+        "directions, no UDF."
+    ),
+    tags=("scalar", "xml", "reference"),
+)
+def xml_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = load_table(spark, sf_dir, "events")
+    wired = ev.select(
+        "event_id",
+        "event_type",
+        F.to_xml(F.struct("event_id", "event_type")).alias("wire_xml"),
+    )
+    sch = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    return wired.select(
+        "event_id",
+        "event_type",
+        "wire_xml",
+        F.from_xml("wire_xml", sch).alias("p"),
+    ).select(
+        "event_id",
+        "event_type",
+        "wire_xml",
+        F.col("p.event_id").alias("event_id_rt"),
+        F.col("p.event_type").alias("event_type_rt"),
+    )
