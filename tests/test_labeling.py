@@ -774,3 +774,55 @@ def test_xml_roundtrip_is_lossless(spark):
     one = df.limit(1).collect()[0]
     assert one.wire_xml.startswith("<ROW>") and one.wire_xml.endswith("</ROW>")
     assert f"<event_id>{one.event_id}</event_id>" in one.wire_xml
+
+
+# ---------------------------------------------------------------------------
+# Round-5m: deterministic shuffle, join-order advisor.
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shuffle_is_a_permutation(spark):
+    docs = _docs(spark)
+    rows = _run(spark, "deterministic_corpus_shuffle").collect()
+    assert len(rows) == len(docs)
+    # bijection: every doc appears exactly once
+    assert {r.doc_id for r in rows} == {d for d, _, _, _ in docs}
+    # positions within each shard are exactly 1..n_shard
+    shards = defaultdict(list)
+    for r in rows:
+        assert r.shard == r.h % 64
+        shards[r.shard].append(r.pos)
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # determinism: re-run bit-identical
+    again = _run(spark, "deterministic_corpus_shuffle").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # it actually shuffles: shard order must not follow doc_id order
+    by_doc = sorted(rows, key=lambda r: r.doc_id)
+    assert len({r.shard for r in by_doc[:64]}) > 8
+
+
+def test_join_order_advisor_counts_and_pick(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = {
+        int(r.o_orderkey): r.o_orderdate.isoformat()
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .collect()
+    }
+    keep = {k for k, d in orders.items() if "1995-01-01" <= d < "1996-01-01"}
+    li = [
+        int(r.l_orderkey)
+        for r in load_table(spark, SF_SMOKE, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    ]
+    n_ol = sum(1 for k in li if k in keep)
+    rows = {r.plan: r for r in _run(spark, "join_order_advisor").collect()}
+    assert rows["orders_lineitem_first"].intermediate_rows == n_ol
+    assert rows["orders_customer_first"].intermediate_rows == len(keep)
+    assert all(r.final_rows == n_ol for r in rows.values())
+    # PK-FK fan-out: lineitem-first is always the bigger intermediate
+    assert rows["orders_customer_first"].recommended
+    assert not rows["orders_lineitem_first"].recommended

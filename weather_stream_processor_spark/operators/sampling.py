@@ -1791,3 +1791,64 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.round(F.lit(2.0) * sf, 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (round-5m): reproducible training order.
+# ---------------------------------------------------------------------------
+
+_SHUF_SHARDS = 64
+_SHUF_KNUTH = 2654435761
+_SHUF_MOD = 2147483647
+
+
+@register(
+    "deterministic_corpus_shuffle",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   (((doc_id % {_SHUF_MOD}) * {_SHUF_KNUTH}) >> 16)
+                       % {_SHUF_MOD} AS h
+            FROM documents
+        )
+        SELECT doc_id, h,
+               CAST(h % {_SHUF_SHARDS} AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY h % {_SHUF_SHARDS}
+                   ORDER BY h, doc_id) AS BIGINT) AS pos
+        FROM h
+    """,
+    doc=(
+        "DETERMINISTIC CORPUS SHUFFLE: every document gets a "
+        "REPRODUCIBLE pseudo-random training position — Knuth-hash the "
+        f"id, shard = h % {_SHUF_SHARDS}, position = rank by (h, "
+        "doc_id) within the shard — so two runs (or two engines: the "
+        "oracle hash-checks the full permutation) produce the IDENTICAL "
+        "data order, the property training reproducibility and "
+        "mid-epoch resume both depend on and that rand()-based "
+        "shuffles cannot give you. Plan: one projection plus a window "
+        "partitioned BY SHARD — shard count scales with the corpus, so "
+        "each partition sorts |corpus|/shards rows and the sort IS the "
+        "deliverable (training shards are consumed in order; the write "
+        "path is repartitionByRange(shard) + sortWithinPartitions, the "
+        "same plan shape). Bijectivity (a true permutation, no "
+        "collisions dropped) is pytest-gated."
+    ),
+    tags=("sampling", "llm", "curation"),
+)
+def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.shiftright((F.col("doc_id") % _SHUF_MOD) * F.lit(_SHUF_KNUTH), 16)
+        % _SHUF_MOD
+    )
+    hashed = docs.select("doc_id", h.alias("h"))
+    w = Window.partitionBy(F.col("h") % _SHUF_SHARDS).orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "h",
+        (F.col("h") % _SHUF_SHARDS).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
