@@ -826,3 +826,88 @@ def test_join_order_advisor_counts_and_pick(spark):
     # PK-FK fan-out: lineitem-first is always the bigger intermediate
     assert rows["orders_customer_first"].recommended
     assert not rows["orders_lineitem_first"].recommended
+
+
+# ---------------------------------------------------------------------------
+# Round-5n: feature-store primitives.
+# ---------------------------------------------------------------------------
+
+
+def _events(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    return [
+        (int(r.event_id), int(r.user_id), r.ts, r.event_type, float(r.value))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("event_id", "user_id", "ts", "event_type", "value")
+        .collect()
+    ]
+
+
+def test_point_in_time_features_no_leakage(spark):
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e[1]].append(e)
+    rows = {r.event_id: r for r in _run(spark, "point_in_time_features").collect()}
+    n_purch = sum(1 for e in ev if e[3] == "purchase")
+    assert len(rows) == n_purch
+    for u, items in by_user.items():
+        items.sort(key=lambda e: (e[2], e[0]))
+        clicks = views = errors = cents = 0
+        last_click = None
+        for eid, _, ts, et, val in items:
+            if et == "purchase":
+                r = rows[eid]
+                assert r.clicks_before == clicks, eid
+                assert r.views_before == views
+                assert r.errors_before == errors
+                assert r.value_cents_before == cents
+                if last_click is None:
+                    assert r.last_click_gap_us is None
+                else:
+                    gap = int(
+                        (ts - last_click).total_seconds() * 1_000_000
+                    )
+                    assert abs(r.last_click_gap_us - gap) <= 1, eid
+            if et == "click":
+                clicks += 1
+                last_click = ts
+            elif et == "view":
+                views += 1
+            elif et == "error":
+                errors += 1
+            cents += round(val * 100)
+
+
+def test_future_window_labels_rederivation(spark):
+    ev = _events(spark)
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e[1]].append(e)
+    rows = {r.event_id: r for r in _run(spark, "future_window_labels").collect()}
+    horizon = 7 * 24 * 3600 * 1_000_000
+    checked = 0
+    for u, items in by_user.items():
+        items.sort(key=lambda e: (e[2], e[0]))
+        for i, (eid, _, ts, et, _) in enumerate(items):
+            if et == "purchase":
+                continue
+            future = [
+                x[2]
+                for x in items[i + 1 :]
+                if x[3] == "purchase"
+            ]
+            r = rows[eid]
+            if not future:
+                assert r.next_purchase_gap_us is None
+                assert r.label_purchase_7d == 0
+            else:
+                gap = int((min(future) - ts).total_seconds() * 1_000_000)
+                assert abs(r.next_purchase_gap_us - gap) <= 1, eid
+                assert r.label_purchase_7d == (1 if gap <= horizon else 0)
+            checked += 1
+    assert checked == len(rows)
+    # sanity: with ~30 days of data some rows are positive and some not
+    labels = {r.label_purchase_7d for r in rows.values()}
+    assert labels == {0, 1}

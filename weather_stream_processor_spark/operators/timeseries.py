@@ -1813,3 +1813,180 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_test"),
         F.round(F.sum("covered") / F.count(F.lit(1)), 6).alias("coverage"),
     ).select("event_type", "n_cal", "n_test", "halfwidth", "coverage")
+
+
+# ---------------------------------------------------------------------------
+# Round-5n: feature-store primitives — point-in-time-correct feature
+# assembly and leakage-safe future-window label generation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "point_in_time_features",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       OVER w AS clicks_before,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       OVER w AS views_before,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       OVER w AS errors_before,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       OVER w AS value_cents_before,
+                   MAX(CASE WHEN event_type = 'click'
+                            THEN epoch_us(ts) END) OVER w AS last_click_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, ts AS label_ts,
+               CAST(COALESCE(clicks_before, 0) AS BIGINT) AS clicks_before,
+               CAST(COALESCE(views_before, 0) AS BIGINT) AS views_before,
+               CAST(COALESCE(errors_before, 0) AS BIGINT) AS errors_before,
+               CAST(COALESCE(value_cents_before, 0) AS BIGINT)
+                   AS value_cents_before,
+               CAST(epoch_us(ts) - last_click_us AS BIGINT)
+                   AS last_click_gap_us
+        FROM ordered
+        WHERE event_type = 'purchase'
+    """,
+    doc=(
+        "POINT-IN-TIME-CORRECT FEATURE ASSEMBLY (the feature-store "
+        "primitive): for every purchase label row, the feature vector "
+        "as of STRICTLY BEFORE the label instant — running click/view/"
+        "error counts, cumulative value (exact integer cents), and the "
+        "recency gap to the last click — computed in ONE pass as "
+        "user-partitioned cumulative windows with a 1-PRECEDING frame "
+        "edge, so no feature can leak the label row itself or anything "
+        "after it ('before' = earlier in the total (ts, event_id) "
+        "order; same-instant ties resolve by id, deterministically). "
+        "This is the leakage-safe alternative to joining a feature "
+        "table built over all time, and the multi-feature superset of "
+        "asof_join_last_view. Plan: one scan, one partitioned window "
+        "(scales with user count), filter to label rows afterward so "
+        "feature state never materializes per non-label row downstream. "
+        "All counters integer-exact; the gap is exact epoch "
+        "microseconds."
+    ),
+    tags=("timeseries", "llm", "features", "ml"),
+)
+def point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    us = F.unix_micros(F.col("ts"))
+    ordered = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(w)
+        .alias("clicks_before"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .over(w)
+        .alias("views_before"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w)
+        .alias("errors_before"),
+        F.sum(cents).over(w).alias("value_cents_before"),
+        F.max(F.when(F.col("event_type") == "click", us)).over(w).alias(
+            "last_click_us"
+        ),
+    )
+    return ordered.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("label_ts"),
+        F.coalesce("clicks_before", F.lit(0)).cast("bigint").alias("clicks_before"),
+        F.coalesce("views_before", F.lit(0)).cast("bigint").alias("views_before"),
+        F.coalesce("errors_before", F.lit(0)).cast("bigint").alias("errors_before"),
+        F.coalesce("value_cents_before", F.lit(0))
+        .cast("bigint")
+        .alias("value_cents_before"),
+        (us - F.col("last_click_us")).cast("bigint").alias("last_click_gap_us"),
+    )
+
+
+_FWL_HORIZON_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "future_window_labels",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT event_id, user_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            THEN epoch_us(ts) END) OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS next_purchase_us
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CAST(next_purchase_us - epoch_us(ts) AS BIGINT)
+                   AS next_purchase_gap_us,
+               CASE WHEN next_purchase_us - epoch_us(ts)
+                         <= {_FWL_HORIZON_US} THEN 1 ELSE 0 END
+                   AS label_purchase_7d
+        FROM ordered
+        WHERE event_type <> 'purchase'
+    """,
+    doc=(
+        "LEAKAGE-SAFE FUTURE-WINDOW LABEL GENERATION: every non-"
+        "purchase event becomes an observation labeled 'does this user "
+        "purchase within the next 7 days' — the churn/conversion label "
+        "construction step, built so the label window looks STRICTLY "
+        "FORWARD (next purchase = running MIN of purchase timestamps "
+        "over the user's later events, a 1-PRECEDING frame on the "
+        "DESCENDING (ts, event_id) order — the mirror of "
+        "point_in_time_features' backward frame). Emits the exact gap "
+        "so other horizons re-derive by comparison, and NULL gap (no "
+        "future purchase ever) labels 0 via SQL NULL-comparison "
+        "semantics identically on both engines. One scan, one "
+        "user-partitioned window; pairs with point_in_time_features to "
+        "assemble a complete training set in two passes with zero "
+        "leakage either direction."
+    ),
+    tags=("timeseries", "llm", "features", "ml"),
+)
+def future_window_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "purchase", us)).over(w).alias(
+            "next_purchase_us"
+        ),
+    )
+    return ordered.filter(F.col("event_type") != "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("next_purchase_us") - us).cast("bigint").alias(
+            "next_purchase_gap_us"
+        ),
+        F.when(
+            F.col("next_purchase_us") - us <= _FWL_HORIZON_US, 1
+        )
+        .otherwise(0)
+        .alias("label_purchase_7d"),
+    )
