@@ -911,3 +911,93 @@ def test_future_window_labels_rederivation(spark):
     # sanity: with ~30 days of data some rows are positive and some not
     labels = {r.label_purchase_7d for r in rows.values()}
     assert labels == {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# Round-5o: rank correlations + PACF.
+# ---------------------------------------------------------------------------
+
+
+def _user_xy(spark):
+    ev = _events(spark)
+    agg = defaultdict(lambda: [0, 0])
+    for _, u, _, _, val in ev:
+        agg[u][0] += 1
+        agg[u][1] += round(val * 100)
+    return [(x, cents // 1000) for x, cents in agg.values()]
+
+
+def test_spearman_matches_midrank_pearson(spark):
+    import numpy as np
+
+    pairs = _user_xy(spark)
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+
+    def midranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and v[order[j]] == v[order[i]]:
+                j += 1
+            for t in order[i:j]:
+                ranks[t] = (i + j + 1) / 2.0
+            i = j
+        return np.array(ranks)
+
+    rx, ry = midranks(xs), midranks(ys)
+    rho = float(np.corrcoef(rx, ry)[0, 1])
+    row = _run(spark, "spearman_rank_correlation").collect()[0]
+    assert row.n == len(pairs)
+    assert abs(row.spearman_rho - rho) < 1e-6
+
+
+def test_kendall_tau_b_matches_bruteforce(spark):
+    pairs = _user_xy(spark)
+    c = d = 0
+    for i in range(len(pairs)):
+        for j in range(i + 1, len(pairs)):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n = len(pairs)
+    n0 = n * (n - 1) // 2
+    tx = Counter(p[0] for p in pairs)
+    ty = Counter(p[1] for p in pairs)
+    n1 = sum(v * (v - 1) // 2 for v in tx.values())
+    n2 = sum(v * (v - 1) // 2 for v in ty.values())
+    tau = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+    row = _run(spark, "kendall_tau_b").collect()[0]
+    assert row.n == n
+    assert row.concordant == c and row.discordant == d
+    assert abs(row.kendall_tau_b - tau) < 1e-6
+    # with ties, |tau| <= 1 must still hold
+    assert -1.0 <= row.kendall_tau_b <= 1.0
+
+
+def test_pacf_rederivation_and_lag1_identity(spark):
+    from weather_stream_processor_spark.operators.timeseries import (
+        _durbin_levinson,
+    )
+
+    acf = {
+        (r.event_type, r.lag): (float(r.acf) if r.acf is not None else 0.0)
+        for r in _run(spark, "acf_daily_value").collect()
+    }
+    rows = {
+        (r.event_type, r.lag): r.pacf
+        for r in _run(spark, "pacf_durbin_levinson").collect()
+    }
+    types = sorted({t for t, _ in acf})
+    for et in types:
+        series = [acf[(et, k)] for k in range(1, 8)]
+        expect = _durbin_levinson(series)
+        for k in range(1, 8):
+            assert abs(rows[(et, k)] - round(expect[k - 1], 6)) < 1e-9
+        # lag-1 identity: pacf(1) == acf(1)
+        assert abs(rows[(et, 1)] - round(acf[(et, 1)], 6)) < 1e-9

@@ -1852,3 +1852,255 @@ def deterministic_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") % _SHUF_SHARDS).cast("bigint").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5o: exact rank correlations on bounded grids — Spearman rho and
+# Kendall tau-b between per-user activity and spend.
+# ---------------------------------------------------------------------------
+
+_RANK_Y_BUCKET = 1000  # cents -> $10 buckets (grid-bounding quantization,
+# same convention as the KS/MWU value buckets)
+
+
+def _rank_pairs_sql() -> str:
+    return f"""
+        per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS x,
+                   CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                        // {_RANK_Y_BUCKET} AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        )
+    """
+
+
+@register(
+    "spearman_rank_correlation",
+    oracle=f"""
+        WITH {_rank_pairs_sql()},
+        xg AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (
+                       ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS below
+            FROM per_user GROUP BY x
+        ),
+        yg AS (
+            SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(COALESCE(SUM(COUNT(*)) OVER (
+                       ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS below
+            FROM per_user GROUP BY y
+        ),
+        ranked AS (
+            SELECT p.user_id,
+                   xg.below + (xg.cnt + 1) / 2.0 AS rx,
+                   yg.below + (yg.cnt + 1) / 2.0 AS ry
+            FROM per_user p
+            JOIN xg USING (x) JOIN yg USING (y)
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(rx) AS sx, SUM(ry) AS sy,
+                   SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy,
+                   SUM(rx * ry) AS sxy
+            FROM ranked
+        )
+        SELECT n,
+               ROUND((sxy / n - (sx / n) * (sy / n))
+                     / sqrt((sxx / n - (sx / n) * (sx / n))
+                            * (syy / n - (sy / n) * (sy / n))), 6)
+                   AS spearman_rho
+        FROM mom
+    """,
+    doc=(
+        "SPEARMAN RANK CORRELATION between per-user activity (event "
+        "count) and spend (value, quantized to $10 buckets — the same "
+        "grid-bounding convention as the KS/MWU tests): mid-ranks come "
+        "from the DISTINCT-VALUE grids (below-count + (ties+1)/2), not "
+        "from sorting users — two bounded-grid windows plus broadcast "
+        "rank joins, then one exact moment aggregate; Pearson over "
+        "mid-ranks IS Spearman with the textbook tie correction. Ranks "
+        "are exact .5-multiples, so the moment sums accumulate exactly "
+        "representable doubles and both engines derive identical "
+        "moments (order-free) before the one rounded division. The "
+        "monotone-association screen that corr_covar_lineitem's "
+        "Pearson misses when the relation is nonlinear."
+    ),
+    tags=("sampling", "statistics", "quality"),
+)
+def spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.floor(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")) / _RANK_Y_BUCKET
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def grid(col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        g = per_user.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        return g.select(
+            col,
+            "cnt",
+            F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint").alias("below"),
+        )
+
+    xg = grid("x").select("x", F.col("cnt").alias("xc"), F.col("below").alias("xb"))
+    yg = grid("y").select("y", F.col("cnt").alias("yc"), F.col("below").alias("yb"))
+    ranked = (
+        per_user.join(F.broadcast(xg), "x")
+        .join(F.broadcast(yg), "y")
+        .select(
+            (F.col("xb") + (F.col("xc") + 1) / F.lit(2.0)).alias("rx"),
+            (F.col("yb") + (F.col("yc") + 1) / F.lit(2.0)).alias("ry"),
+        )
+    )
+    mom = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    return mom.select(
+        "n",
+        F.round(
+            (F.col("sxy") / n - mx * my)
+            / F.sqrt(
+                (F.col("sxx") / n - mx * mx) * (F.col("syy") / n - my * my)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "kendall_tau_b",
+    oracle=f"""
+        WITH {_rank_pairs_sql()},
+        cells AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM per_user GROUP BY x, y
+        ),
+        pairs AS (
+            SELECT CAST(SUM(CASE WHEN c2.x > c1.x AND c2.y > c1.y
+                                 THEN c1.cnt * c2.cnt ELSE 0 END) AS BIGINT)
+                       AS concordant,
+                   CAST(SUM(CASE WHEN c2.x > c1.x AND c2.y < c1.y
+                                 THEN c1.cnt * c2.cnt ELSE 0 END) AS BIGINT)
+                       AS discordant
+            FROM cells c1 CROSS JOIN cells c2
+        ),
+        marg AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(cnt * (cnt - 1) / 2) AS BIGINT) AS pair_ties_xy
+            FROM cells
+        ),
+        tx AS (SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS n1
+               FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s
+                     FROM cells GROUP BY x)),
+        ty AS (SELECT CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS n2
+               FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS s
+                     FROM cells GROUP BY y))
+        SELECT m.n, p.concordant, p.discordant,
+               ROUND((p.concordant - p.discordant)
+                     / sqrt((m.n * (m.n - 1) / 2.0 - t1.n1)
+                            * (m.n * (m.n - 1) / 2.0 - t2.n2)), 6)
+                   AS kendall_tau_b
+        FROM pairs p CROSS JOIN marg m CROSS JOIN tx t1 CROSS JOIN ty t2
+    """,
+    doc=(
+        "KENDALL TAU-B between the same per-user (activity, $10-bucket "
+        "spend) pairs: concordant/discordant PAIR counts computed from "
+        "the 2-D CONTINGENCY GRID — cell-pair products over the bounded "
+        "(distinct-x x distinct-y) grid instead of the O(n^2) "
+        "observation-pair sweep — with the tau-b tie denominator from "
+        "the marginal tie counts; every quantity is an exact bigint "
+        "until the final division, so the hash is exact. The grid "
+        "self-join is |grid|^2, a constant governed by the bucket "
+        "quantization, never by user count — the trick that makes an "
+        "inherently O(n^2) statistic computable at 100 TB. Reported "
+        "next to spearman_rho because tau's pair semantics react "
+        "differently to heavy ties."
+    ),
+    tags=("sampling", "statistics", "quality"),
+)
+def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x"),
+        F.floor(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")) / _RANK_Y_BUCKET
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    cells = per_user.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(cells_c: DataFrame) -> DataFrame:
+        c1 = cells_c.select(
+            F.col("x").alias("x1"), F.col("y").alias("y1"), F.col("cnt").alias("n1c")
+        )
+        c2 = cells_c.select(
+            F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("cnt").alias("n2c")
+        )
+        pairs = c1.crossJoin(F.broadcast(c2)).agg(
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x1")) & (F.col("y2") > F.col("y1")),
+                    F.col("n1c") * F.col("n2c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("concordant"),
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x1")) & (F.col("y2") < F.col("y1")),
+                    F.col("n1c") * F.col("n2c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("discordant"),
+        )
+        marg = cells_c.agg(F.sum("cnt").cast("bigint").alias("n"))
+        tx = (
+            cells_c.groupBy("x")
+            .agg(F.sum("cnt").cast("bigint").alias("s"))
+            .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("n1"))
+        )
+        ty = (
+            cells_c.groupBy("y")
+            .agg(F.sum("cnt").cast("bigint").alias("s"))
+            .agg(F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("bigint").alias("n2"))
+        )
+        n0 = F.col("n") * (F.col("n") - 1) / F.lit(2.0)
+        return (
+            pairs.crossJoin(marg)
+            .crossJoin(tx)
+            .crossJoin(ty)  # all 1-row frames
+            .select(
+                "n",
+                "concordant",
+                "discordant",
+                F.round(
+                    (F.col("concordant") - F.col("discordant"))
+                    / F.sqrt((n0 - F.col("n1")) * (n0 - F.col("n2"))),
+                    6,
+                ).alias("kendall_tau_b"),
+            )
+        )
+
+    return persisted_result(cells, build)

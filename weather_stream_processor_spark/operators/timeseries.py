@@ -1990,3 +1990,86 @@ def future_window_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("label_purchase_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PACF via Durbin-Levinson (round-5o): the AR-order screen next to ACF.
+# ---------------------------------------------------------------------------
+
+
+def _durbin_levinson(r: list[float]) -> list[float]:
+    """PACF values phi_kk for k=1..len(r) from autocorrelations r_1..r_K
+    (pure Python on the bounded |types| x K ACF table)."""
+    K = len(r)
+    pacf = []
+    prev: list[float] = []
+    for k in range(1, K + 1):
+        if k == 1:
+            phi_kk = r[0]
+            cur = [phi_kk]
+        else:
+            num = r[k - 1] - sum(prev[j] * r[k - 2 - j] for j in range(k - 1))
+            den = 1.0 - sum(prev[j] * r[j] for j in range(k - 1))
+            phi_kk = num / den if den != 0 else 0.0
+            cur = [
+                prev[j] - phi_kk * prev[k - 2 - j] for j in range(k - 1)
+            ] + [phi_kk]
+        pacf.append(phi_kk)
+        prev = cur
+    return pacf
+
+
+@register(
+    "pacf_durbin_levinson",
+    oracle=None,  # iterative recursion over the ACF values; pytest
+    # re-derives the Durbin-Levinson recursion in pure Python and the
+    # lag-1 identity pacf(1) == acf(1) (tests/test_labeling.py)
+    doc=(
+        "PARTIAL AUTOCORRELATION FUNCTION per event_type via the "
+        "Durbin-Levinson recursion over the registered acf_daily_value "
+        "output — the AR-order identification screen that pairs with "
+        "ACF (an AR(p) series shows PACF cutting off after lag p while "
+        "ACF tails; MA shows the reverse). The distributed work IS the "
+        "ACF (daily rollup + keyed lag windows + corr aggregate, "
+        "|types| x 7 rows out); the recursion then runs driver-side on "
+        "that bounded table — the same bounded-collect class as the PQ "
+        "codebook pull; 100 TB changes the ACF values, not the "
+        "recursion size. Rows-only: the K-step recursion is not "
+        "SQL-expressible; determinism comes from recursing over the "
+        "6-dp-rounded ACF values in fixed lag order."
+    ),
+    tags=("timeseries", "statistics", "iterative"),
+)
+def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    acf = _REGISTRY["acf_daily_value"].builder(spark, sf_dir)
+    rows = acf.collect()  # bounded: |event types| x K lags
+    by_type: dict[str, dict[int, float]] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, {})[int(r.lag)] = (
+            float(r.acf) if r.acf is not None else 0.0
+        )
+    out = []
+    for et in sorted(by_type):
+        lags = by_type[et]
+        K = max(lags)
+        series = [lags.get(k, 0.0) for k in range(1, K + 1)]
+        for k, v in enumerate(_durbin_levinson(series), start=1):
+            out.append((et, k, round(v, 6)))
+    schema = StructType(
+        [
+            StructField("event_type", StringType(), False),
+            StructField("lag", IntegerType(), False),
+            StructField("pacf", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
