@@ -1001,3 +1001,65 @@ def test_pacf_rederivation_and_lag1_identity(spark):
             assert abs(rows[(et, k)] - round(expect[k - 1], 6)) < 1e-9
         # lag-1 identity: pacf(1) == acf(1)
         assert abs(rows[(et, 1)] - round(acf[(et, 1)], 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Round-5p: geospatial ops.
+# ---------------------------------------------------------------------------
+
+
+def _geo_coords(ids):
+    out = {}
+    for i in ids:
+        hy = (((i * 7) % _MOD) * _KNUTH) >> 16
+        hx = (((i * 13) % _MOD) * _KNUTH) >> 16
+        out[i] = (40 + (hy % 2000) / 1000.0, -74 + (hx % 4000) / 1000.0)
+    return out
+
+
+def _haversine(p, q):
+    from math import asin, cos, radians, sin, sqrt
+
+    dlat = radians(q[0] - p[0]) / 2
+    dlon = radians(q[1] - p[1]) / 2
+    a = sin(dlat) ** 2 + cos(radians(p[0])) * cos(radians(q[0])) * sin(dlon) ** 2
+    return 2 * 6371.0 * asin(sqrt(a))
+
+
+def test_nearest_station_matches_bruteforce(spark):
+    ev = _events(spark)
+    users = sorted({e[1] for e in ev})
+    ucoords = _geo_coords(users)
+    scoords = _geo_coords([s + 10007 for s in range(20)])
+    rows = {r.user_id: r for r in _run(spark, "haversine_nearest_station").collect()}
+    assert set(rows) == set(users)
+    for u in users:
+        dists = sorted(
+            (round(_haversine(ucoords[u], scoords[s + 10007]), 4), s)
+            for s in range(20)
+        )
+        d, s = dists[0]
+        assert rows[u].station_id == s, u
+        assert abs(rows[u].dist_km - d) < 1e-9
+
+
+def test_geo_block_join_complete_vs_bruteforce(spark):
+    """The grid blocking must find EVERY pair within the radius that the
+    O(n^2) sweep finds — the no-false-negative claim, tested."""
+    ev = _events(spark)
+    users = sorted({e[1] for e in ev})
+    coords = _geo_coords(users)
+    expect = set()
+    for i, a in enumerate(users):
+        for b in users[i + 1 :]:
+            d = round(_haversine(coords[a], coords[b]), 4)
+            if d <= 5.0:
+                expect.add((min(a, b), max(a, b), d))
+    got = {
+        (r.user_a, r.user_b, r.dist_km)
+        for r in _run(spark, "geo_block_pair_join").collect()
+    }
+    assert got == expect
+    # the blocking premise itself: 0.1 deg of longitude at lat 42 is
+    # ~8.2 km > the 5 km radius, so one-cell probing suffices
+    assert _haversine((42.0, 0.0), (42.0, 0.1)) > 5.0

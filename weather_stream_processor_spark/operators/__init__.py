@@ -27,6 +27,7 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
     analytics,
     curation,
     dedup,
+    geo,
     joins,
     mixture,
     multimodal,
