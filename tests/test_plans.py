@@ -837,3 +837,48 @@ def test_bradley_terry_reduction_prunes_and_broadcasts(spark):
     cols = read_schema_columns(df)
     li_cols = next(c for c in cols if "l_orderkey" in c)
     assert set(li_cols) == {"l_orderkey", "l_partkey", "l_extendedprice"}
+
+
+def test_bootstrap_explode_stays_in_codegen(spark):
+    # the B-replicate explode + Poisson-weight CASE chain must be pure
+    # codegen — no Python eval node, no cartesian
+    ops = operator_names(_df(spark, "poisson_bootstrap_ci"))
+    assert not any("EvalPython" in o for o in ops), ops
+    assert "CartesianProduct" not in ops
+
+
+def test_spearman_rank_joins_broadcast_grids(spark):
+    # the mid-rank attach joins broadcast the distinct-value grids;
+    # users are never sorted
+    require_plan(
+        _df(spark, "spearman_rank_correlation"),
+        contains=("BroadcastHashJoin",),
+        not_contains=("CartesianProduct",),
+    )
+
+
+def test_geo_block_join_no_cartesian(spark):
+    # candidate generation is a cell equi-join (shuffle or broadcast
+    # hash), never the O(n^2) cross join the blocking exists to avoid
+    df = _df(spark, "geo_block_pair_join")
+    ops = operator_names(df)
+    assert "CartesianProduct" not in ops, ops
+    assert any("HashJoin" in o for o in ops), ops
+
+
+def test_nearest_station_broadcasts_stations(spark):
+    # the station side must broadcast (BroadcastNestedLoopJoin for the
+    # bounded cross join is the expected shape); the per-user argmin is
+    # an aggregate, not a window
+    df = _df(spark, "haversine_nearest_station")
+    ops = operator_names(df)
+    assert any("Broadcast" in o for o in ops), ops
+    assert not any(o.startswith("Window") for o in ops), ops
+
+
+def test_point_in_time_features_single_scan_one_window(spark):
+    # one events scan, one user-partitioned window, label filter after
+    df = _df(spark, "point_in_time_features")
+    ops = operator_names(df)
+    assert sum(1 for o in ops if o.startswith("Scan parquet")) == 1, ops
+    assert sum(1 for o in ops if o.startswith("Window")) == 1, ops
