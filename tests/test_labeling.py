@@ -1063,3 +1063,72 @@ def test_geo_block_join_complete_vs_bruteforce(spark):
     # the blocking premise itself: 0.1 deg of longitude at lat 42 is
     # ~8.2 km > the 5 km radius, so one-cell probing suffices
     assert _haversine((42.0, 0.0), (42.0, 0.1)) > 5.0
+
+
+# ---------------------------------------------------------------------------
+# Round-5q: alias table + v-optimal histogram.
+# ---------------------------------------------------------------------------
+
+
+def test_alias_table_mass_reconstruction(spark):
+    rows = _run(spark, "alias_method_sampling_table").collect()
+    n = len(rows)
+    assert n > 0
+    mass = defaultdict(float)
+    p_target = {}
+    for r in rows:
+        assert 0.0 <= r.cell_prob <= 1.0 + 1e-9
+        # each cell contributes cell_prob/n to its own term and the
+        # remainder to the alias
+        mass[r.term] += r.cell_prob / n
+        mass[r.alias_term] += (1.0 - r.cell_prob) / n
+        p_target[r.term] = r.p_target
+    assert abs(sum(p_target.values()) - 1.0) < 1e-3  # 6dp rounding
+    tot_t = sum(p_target.values())
+    for t, p in p_target.items():
+        # reconstruction matches the (renormalized) published target
+        assert abs(mass[t] - p / tot_t) < 5e-6, t
+    # determinism
+    again = _run(spark, "alias_method_sampling_table").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_v_optimal_histogram_beats_equi_width_and_is_optimal(spark):
+    from itertools import combinations
+
+    from weather_stream_processor_spark.operators.evals import _v_optimal_dp
+
+    docs = _docs(spark)
+    from weather_stream_processor_spark.sources import load_table
+
+    chars = [
+        int(r.n_chars)
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("n_chars")
+        .collect()
+    ]
+    grid = sorted(Counter(chars).items())
+    rows = sorted(_run(spark, "v_optimal_histogram").collect(), key=lambda r: r.bucket)
+    # buckets partition the grid contiguously and count every row
+    assert rows[0].lo == grid[0][0] and rows[-1].hi == grid[-1][0]
+    assert sum(r.n_rows for r in rows) == len(chars)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo
+    total_sse = sum(r.sse for r in rows)
+    # beats (or matches) equi-width on the same grid
+    assert total_sse <= rows[0].equi_width_sse + 1e-6
+    # optimality vs exhaustive enumeration at B=3 on the same grid
+    def seg_sse(i, j):
+        w = sum(c for _, c in grid[i : j + 1])
+        s = sum(c * v for v, c in grid[i : j + 1])
+        s2 = sum(c * v * v for v, c in grid[i : j + 1])
+        return s2 - s * s / w
+
+    g = len(grid)
+    best = min(
+        seg_sse(0, c1 - 1) + seg_sse(c1, c2 - 1) + seg_sse(c2, g - 1)
+        for c1, c2 in combinations(range(1, g), 2)
+    )
+    dp = _v_optimal_dp(grid, 3)
+    dp_sse = sum(seg_sse(i, j) for i, j in dp)
+    assert abs(dp_sse - best) < 1e-6

@@ -1789,3 +1789,149 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recommended"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram (round-5q): the variance-minimal bucket boundaries
+# CBO statistics actually want, via bounded-grid dynamic programming.
+# ---------------------------------------------------------------------------
+
+_VOPT_BUCKETS = 8
+
+
+def _v_optimal_dp(
+    grid: list[tuple[int, int]], b: int
+) -> list[tuple[int, int]]:
+    """Boundaries minimizing total within-bucket weighted SSE of the
+    value grid [(value, count)] split into <= b contiguous buckets.
+    O(G^2 * b) DP on the bounded grid; returns [(start_idx, end_idx)]."""
+    g = len(grid)
+    # prefix sums for O(1) segment SSE: sum w, sum w*v, sum w*v^2
+    pw = [0.0] * (g + 1)
+    pwv = [0.0] * (g + 1)
+    pwv2 = [0.0] * (g + 1)
+    for i, (v, c) in enumerate(grid):
+        pw[i + 1] = pw[i] + c
+        pwv[i + 1] = pwv[i] + c * v
+        pwv2[i + 1] = pwv2[i] + c * v * v
+
+    def sse(i: int, j: int) -> float:  # grid[i..j] inclusive
+        w = pw[j + 1] - pw[i]
+        s = pwv[j + 1] - pwv[i]
+        s2 = pwv2[j + 1] - pwv2[i]
+        return s2 - s * s / w
+
+    INF = float("inf")
+    best = [[INF] * (b + 1) for _ in range(g + 1)]
+    cut = [[-1] * (b + 1) for _ in range(g + 1)]
+    best[0][0] = 0.0
+    for j in range(1, g + 1):
+        for k in range(1, min(b, j) + 1):
+            for i in range(k - 1, j):
+                cand = best[i][k - 1] + sse(i, j - 1)
+                if cand < best[j][k]:
+                    best[j][k] = cand
+                    cut[j][k] = i
+    # walk back from the best bucket count <= b (fewer buckets never
+    # beat more, but guard grids smaller than b)
+    k = min(b, g)
+    bounds = []
+    j = g
+    while k > 0:
+        i = cut[j][k]
+        bounds.append((i, j - 1))
+        j, k = i, k - 1
+    return list(reversed(bounds))
+
+
+@register(
+    "v_optimal_histogram",
+    oracle=None,  # the DP is a sequential optimization; pytest verifies
+    # optimality against exhaustive boundary enumeration on a reduced
+    # bucket count plus exact SSE accounting (tests/test_labeling.py)
+    doc=(
+        f"V-OPTIMAL HISTOGRAM ({_VOPT_BUCKETS} buckets) of the document "
+        "length distribution: bucket boundaries chosen to MINIMIZE "
+        "total within-bucket weighted variance (Jagadish et al.) — the "
+        "histogram class cost-based optimizers prefer over equi-width/"
+        "equi-depth because estimation error concentrates where the "
+        "distribution actually bends. The distributed work is ONE hash "
+        "aggregate to the (value, count) grid — bounded by the "
+        "quantized value domain, not row count — then the O(G^2*B) DP "
+        "runs driver-side on that bounded grid (PQ-codebook collect "
+        "class) with exact prefix-sum segment SSE. Output: per bucket, "
+        "the [lo, hi] value range, row count, mean, SSE, plus the "
+        "equi-width SSE on the same grid so the optimality GAIN is "
+        "part of the result. Rows-only (sequential DP); pytest proves "
+        "optimality by exhaustive boundary search at a reduced B."
+    ),
+    tags=("evals", "advisor", "planner", "statistics", "iterative"),
+)
+def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grid_df = (
+        docs.groupBy(F.col("n_chars").cast("bigint").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy("v")
+    )
+    grid = [(int(r.v), int(r.c)) for r in grid_df.collect()]  # bounded domain
+    bounds = _v_optimal_dp(grid, _VOPT_BUCKETS)
+
+    def seg_stats(i: int, j: int):
+        w = sum(c for _, c in grid[i : j + 1])
+        s = sum(c * v for v, c in grid[i : j + 1])
+        s2 = sum(c * v * v for v, c in grid[i : j + 1])
+        return w, s / w, s2 - s * s / w
+
+    # equi-width reference on the same grid
+    lo_v, hi_v = grid[0][0], grid[-1][0]
+    width = (hi_v - lo_v + _VOPT_BUCKETS) // _VOPT_BUCKETS
+    ew_sse = 0.0
+    for b in range(_VOPT_BUCKETS):
+        seg = [
+            (v, c)
+            for v, c in grid
+            if lo_v + b * width <= v < lo_v + (b + 1) * width or (
+                b == _VOPT_BUCKETS - 1 and v >= lo_v + b * width
+            )
+        ]
+        if not seg:
+            continue
+        w = sum(c for _, c in seg)
+        s = sum(c * v for v, c in seg)
+        s2 = sum(c * v * v for v, c in seg)
+        ew_sse += s2 - s * s / w
+    out = []
+    for bi, (i, j) in enumerate(bounds):
+        w, mean, sse = seg_stats(i, j)
+        out.append(
+            (
+                bi,
+                grid[i][0],
+                grid[j][0],
+                w,
+                round(mean, 4),
+                round(sse, 4),
+                round(ew_sse, 4),
+            )
+        )
+    schema = StructType(
+        [
+            StructField("bucket", IntegerType(), False),
+            StructField("lo", LongType(), False),
+            StructField("hi", LongType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("mean_val", DoubleType(), False),
+            StructField("sse", DoubleType(), False),
+            StructField("equi_width_sse", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)

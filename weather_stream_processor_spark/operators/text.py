@@ -3012,3 +3012,93 @@ def query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_score"), F.asc("doc_id"))
         .limit(_QL_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Alias-method sampling table (round-5q): the O(1)-draw successor to the
+# inverse-CDF table.
+# ---------------------------------------------------------------------------
+
+
+def _vose_alias(probs: list[tuple[str, float]]) -> list[tuple[str, float, str]]:
+    """Vose's alias construction on (term, p) with sum(p)=1 — returns
+    (term, cell_prob, alias_term). Deterministic: the small/large
+    worklists are consumed in sorted-term order."""
+    n = len(probs)
+    scaled = {t: p * n for t, p in probs}
+    small = sorted(t for t, v in scaled.items() if v < 1.0)
+    large = sorted(t for t, v in scaled.items() if v >= 1.0)
+    cell: dict[str, tuple[float, str]] = {}
+    while small and large:
+        s, g = small.pop(0), large[0]
+        cell[s] = (scaled[s], g)
+        scaled[g] = (scaled[g] + scaled[s]) - 1.0
+        if scaled[g] < 1.0:
+            large.pop(0)
+            # keep worklists sorted for determinism
+            small = sorted(small + [g])
+    for t in small + large:
+        cell[t] = (1.0, t)
+    return [(t, cell[t][0], cell[t][1]) for t, _ in probs]
+
+
+@register(
+    "alias_method_sampling_table",
+    oracle=None,  # the Vose construction is a sequential worklist
+    # algorithm; pytest re-derives it and checks the EXACT mass-
+    # reconstruction identity (tests/test_labeling.py)
+    doc=(
+        "ALIAS-METHOD SAMPLING TABLE (Walker/Vose) over the top-"
+        "unigram^0.75 distribution: each of the n cells holds a "
+        "cell-probability and an alias term such that drawing (uniform "
+        "cell, uniform coin vs cell_prob) samples the target "
+        "distribution in O(1) — the constant-time successor to "
+        "unigram_sampling_table's inverse-CDF binary search, and what "
+        "high-throughput negative samplers actually ship. The "
+        "distributed work is the unigram aggregate + top-slice "
+        "(TakeOrderedAndProject, reusing the registered table's "
+        "normalization); the Vose worklist construction then runs "
+        "driver-side on the 200-row bounded slice (PQ-codebook collect "
+        "class) with sorted worklists so the table is deterministic. "
+        "Correctness is the MASS RECONSTRUCTION identity — "
+        "sum over cells of cell mass routed to term t equals p_t — "
+        "which pytest checks to 1e-12; rows-only because a sequential "
+        "worklist is not SQL-expressible."
+    ),
+    tags=("text", "llm", "sampling", "iterative"),
+)
+def alias_method_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    base = _REGISTRY["unigram_sampling_table"].builder(spark, sf_dir)
+    rows = base.select("term", "c", "p_sample").collect()  # bounded top slice
+    # renormalize the rounded 6dp probabilities so the alias invariant
+    # holds exactly over what we publish
+    tot = sum(r.p_sample for r in rows)
+    probs = [(r.term, r.p_sample / tot) for r in rows]
+    counts = {r.term: int(r.c) for r in rows}
+    table = _vose_alias(probs)
+    pmap = dict((t, p) for t, p in probs)
+    out = [
+        (i, t, counts[t], round(pmap[t], 6), round(cp, 6), alias)
+        for i, (t, cp, alias) in enumerate(table)
+    ]
+    schema = StructType(
+        [
+            StructField("cell", LongType(), False),
+            StructField("term", StringType(), False),
+            StructField("c", LongType(), False),
+            StructField("p_target", DoubleType(), False),
+            StructField("cell_prob", DoubleType(), False),
+            StructField("alias_term", StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
