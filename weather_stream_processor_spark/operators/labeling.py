@@ -1173,21 +1173,24 @@ def dawid_skene_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(hsh == 0, F.lit("noise")).otherwise(F.col("lang")).alias("obs"),
     )
     majority = (_N_ANN // 2) + 1
-    cons = (
-        votes.join(docs.select("doc_id", "lang"), "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.when(
-                F.sum((F.col("obs") == "noise").cast("int")) >= majority,
-                F.lit("noise"),
-            )
-            .otherwise(F.any_value("lang"))
-            .alias("consensus")
-        )
-    )
     from weather_stream_processor_spark.plans.caching import persisted_result
 
     def build(votes_c: DataFrame) -> DataFrame:
+        # consensus derives from the PERSISTED votes so its three
+        # consumers (confusion matrix, priors, final join) never
+        # re-execute the vote explode
+        cons = (
+            votes_c.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.when(
+                    F.sum((F.col("obs") == "noise").cast("int")) >= majority,
+                    F.lit("noise"),
+                )
+                .otherwise(F.any_value("lang"))
+                .alias("consensus")
+            )
+        )
         conf = (
             votes_c.join(cons, "doc_id")
             .groupBy("r", F.col("consensus").alias("t"), "obs")
