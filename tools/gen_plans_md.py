@@ -50,6 +50,10 @@ SHOWCASE = [
     "mrr_first_relevant",
     "isotonic_calibration_bins",
     "countmin_sketch_rollup",
+    # round-5n/5p additions: single-window feature assembly, cell-blocked
+    # spatial join
+    "point_in_time_features",
+    "geo_block_pair_join",
 ]
 
 
