@@ -1132,3 +1132,107 @@ def test_v_optimal_histogram_beats_equi_width_and_is_optimal(spark):
     dp = _v_optimal_dp(grid, 3)
     dp_sse = sum(seg_sse(i, j) for i, j in dp)
     assert abs(dp_sse - best) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-5r: Qini uplift curve.
+# ---------------------------------------------------------------------------
+
+
+def test_qini_curve_rederivation(spark):
+    ev = _events(spark)
+    per_user = defaultdict(lambda: [0, 0, 0])  # events, purchases, clicks
+    for _, u, _, et, _ in ev:
+        per_user[u][0] += 1
+        if et == "purchase":
+            per_user[u][1] += 1
+        elif et == "click":
+            per_user[u][2] += 1
+    users = []
+    for u, (n, p, c) in per_user.items():
+        arm = ((((u % _MOD) * _KNUTH) >> 16) % 2)
+        conv = 1 if p / n >= 0.22 else 0
+        users.append((c, arm, conv))
+    # rank desc by score with fractional ties exactly as the operator
+    grid = defaultdict(lambda: [0, 0, 0, 0])
+    for s, arm, conv in users:
+        g = grid[s]
+        if arm == 1:
+            g[0] += 1
+            g[1] += conv
+        else:
+            g[2] += 1
+            g[3] += conv
+    n = len(users)
+    rows = {int(r.decile): r for r in _run(spark, "qini_curve_deciles").collect()}
+    assert set(rows) == set(range(1, 11))
+    for d in range(1, 11):
+        cutoff = (n * d + 9) // 10
+        pop_b = tnb = tpb = cnb = cpb = 0
+        for s in sorted(grid, reverse=True):
+            tn, tp, cn, cp = grid[s]
+            block = tn + cn
+            if pop_b + block >= cutoff:
+                frac = (cutoff - pop_b) / block
+                t_n, t_p = tnb + tn * frac, tpb + tp * frac
+                c_n, c_p = cnb + cn * frac, cpb + cp * frac
+                break
+            pop_b += block
+            tnb += tn
+            tpb += tp
+            cnb += cn
+            cpb += cp
+        r = rows[d]
+        assert r.cutoff_rows == cutoff
+        assert abs(r.t_n - t_n) < 1e-6 and abs(r.c_n - c_n) < 1e-6
+        qini = t_p - c_p * (t_n / c_n)
+        assert abs(r.qini - qini) < 1e-5, d
+    # the curve ends at the overall qini; the random baseline is linear
+    # through the same endpoint
+    assert abs(rows[10].qini - rows[10].qini_random) < 1e-5
+
+
+def test_competing_risks_identity_and_rederivation(spark):
+    """AJ identity CIF1 + CIF2 == 1 - S(t) on every grid row, plus a full
+    pure-Python re-derivation of the estimator."""
+    ev = _events(spark)
+    per = {}
+    for eid, u, ts, et, val in ev:
+        rec = per.setdefault(u, {"e": None, "l": None, "p": None, "er": None})
+        rec["e"] = ts if rec["e"] is None else min(rec["e"], ts)
+        rec["l"] = ts if rec["l"] is None else max(rec["l"], ts)
+        if et == "purchase" and val > 90:
+            rec["p"] = ts if rec["p"] is None else min(rec["p"], ts)
+        if et == "error" and val > 90:
+            rec["er"] = ts if rec["er"] is None else min(rec["er"], ts)
+    lives = []
+    for rec in per.values():
+        if rec["p"] is not None and (rec["er"] is None or rec["p"] <= rec["er"]):
+            lives.append(((rec["p"].date() - rec["e"].date()).days, 1))
+        elif rec["er"] is not None:
+            lives.append(((rec["er"].date() - rec["e"].date()).days, 2))
+        else:
+            lives.append(((rec["l"].date() - rec["e"].date()).days, 0))
+    n = len(lives)
+    grid = sorted({d for d, _ in lives})
+    rows = {r.lifetime_days: r for r in _run(spark, "competing_risks_incidence").collect()}
+    assert set(rows) == set(grid)
+    at_risk = n
+    s = 1.0
+    cif1 = cif2 = 0.0
+    for d in grid:
+        d1 = sum(1 for dd, e in lives if dd == d and e == 1)
+        d2 = sum(1 for dd, e in lives if dd == d and e == 2)
+        ending = sum(1 for dd, _ in lives if dd == d)
+        r = rows[d]
+        assert r.n_at_risk == at_risk
+        assert r.d_purchase == d1 and r.d_error == d2
+        cif1 += s * d1 / at_risk
+        cif2 += s * d2 / at_risk
+        s *= 1.0 - (d1 + d2) / at_risk
+        assert abs(r.survival - s) < 1e-5, d
+        assert abs(r.cif_purchase - cif1) < 1e-5, d
+        assert abs(r.cif_error - cif2) < 1e-5, d
+        # the AJ identity
+        assert abs((r.cif_purchase + r.cif_error) - (1.0 - r.survival)) < 2e-5
+        at_risk -= ending

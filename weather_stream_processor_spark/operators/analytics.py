@@ -2668,3 +2668,211 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Competing risks (round-5r): the Aalen-Johansen cumulative incidence pair
+# that completes the KM / Nelson-Aalen survival family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "competing_risks_incidence",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) AS entry_ts,
+                   MAX(ts) AS last_ts,
+                   MIN(CASE WHEN event_type = 'purchase' AND value > 90 THEN ts END)
+                       AS first_purchase,
+                   MIN(CASE WHEN event_type = 'error' AND value > 90 THEN ts END)
+                       AS first_error
+            FROM events GROUP BY user_id
+        ),
+        lives AS (
+            SELECT user_id,
+                   CASE
+                     WHEN first_purchase IS NOT NULL
+                          AND (first_error IS NULL
+                               OR first_purchase <= first_error)
+                       THEN CAST(date_diff('day', entry_ts, first_purchase)
+                                 AS BIGINT)
+                     WHEN first_error IS NOT NULL
+                       THEN CAST(date_diff('day', entry_ts, first_error)
+                                 AS BIGINT)
+                     ELSE CAST(date_diff('day', entry_ts, last_ts) AS BIGINT)
+                   END AS lifetime_days,
+                   CASE
+                     WHEN first_purchase IS NOT NULL
+                          AND (first_error IS NULL
+                               OR first_purchase <= first_error) THEN 1
+                     WHEN first_error IS NOT NULL THEN 2
+                     ELSE 0
+                   END AS ev
+            FROM per_user
+        ),
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lives),
+        grid AS (
+            SELECT lifetime_days,
+                   CAST(SUM(CASE WHEN ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d_purchase,
+                   CAST(SUM(CASE WHEN ev = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS d_error,
+                   CAST(COUNT(*) AS BIGINT) AS n_ending
+            FROM lives GROUP BY lifetime_days
+        ),
+        risk AS (
+            SELECT lifetime_days, d_purchase, d_error,
+                   CAST(t.n - COALESCE(SUM(n_ending) OVER wp, 0) AS BIGINT)
+                       AS n_at_risk
+            FROM grid CROSS JOIN n_tot t
+            WINDOW wp AS (ORDER BY lifetime_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        fac AS (
+            SELECT lifetime_days, d_purchase, d_error, n_at_risk,
+                   1.0 - (d_purchase + d_error) * 1.0 / n_at_risk AS factor
+            FROM risk
+        ),
+        surv AS (
+            SELECT lifetime_days, d_purchase, d_error, n_at_risk, factor,
+                   CASE WHEN COALESCE(MIN(factor) OVER wp, 1.0) <= 0.0
+                        THEN 0.0
+                        ELSE EXP(COALESCE(SUM(
+                            CASE WHEN factor > 0 THEN LN(factor) ELSE 0 END)
+                            OVER wp, 0.0))
+                   END AS s_minus
+            FROM fac
+            WINDOW wp AS (ORDER BY lifetime_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT lifetime_days, n_at_risk, d_purchase, d_error,
+               ROUND(CASE WHEN MIN(factor) OVER wr <= 0.0 THEN 0.0
+                          ELSE EXP(SUM(
+                              CASE WHEN factor > 0 THEN LN(factor) ELSE 0 END)
+                              OVER wr)
+                     END, 6) AS survival,
+               ROUND(SUM(s_minus * d_purchase / n_at_risk) OVER wr, 6)
+                   AS cif_purchase,
+               ROUND(SUM(s_minus * d_error / n_at_risk) OVER wr, 6)
+                   AS cif_error
+        FROM surv
+        WINDOW wr AS (ORDER BY lifetime_days
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "COMPETING-RISKS CUMULATIVE INCIDENCE (Aalen-Johansen): each "
+        "user enters at their first event and exits at their first "
+        "HIGH-VALUE (>90) PURCHASE (risk 1) or first high-value ERROR "
+        "(risk 2), whichever comes "
+        "first (same-instant ties -> purchase, deterministic); neither "
+        "-> censored at the last observed event. CIF_k(t) = sum_{u<=t} "
+        "S(u-) * d_k,u / n_u with S the all-cause KM — the estimator "
+        "that answers 'what fraction converts BEFORE hitting an error' "
+        "correctly, where 1 - KM-per-risk overestimates both (the "
+        "classic competing-risks mistake). Completes the survival "
+        "family: KM (single risk), Nelson-Aalen (hazard), now AJ. Same "
+        "bounded mechanics as kaplan_meier_retention: one per-user "
+        "aggregate, one DAY-GRID aggregate (bounded by the dataset's "
+        "day span), ordered windows over that grid only; the KM product "
+        "runs as exp(running sum of ln) with an explicit cumulative-min "
+        "zero-factor guard expressed IDENTICALLY in both engines "
+        "(Spark's ln(0) is NULL, DuckDB's is -inf — the guard keeps "
+        "both on the arithmetic path). Identity CIF1+CIF2 = 1 - S(t) "
+        "is pytest-gated."
+    ),
+    tags=("analytics", "retention", "statistics", "window"),
+)
+def competing_risks_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("entry_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90),
+                F.col("ts"),
+            )
+        ).alias("first_purchase"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "error") & (F.col("value") > 90),
+                F.col("ts"),
+            )
+        ).alias("first_error"),
+    )
+    p_first = F.col("first_purchase").isNotNull() & (
+        F.col("first_error").isNull()
+        | (F.col("first_purchase") <= F.col("first_error"))
+    )
+    lives = per_user.select(
+        F.when(
+            p_first, F.datediff("first_purchase", "entry_ts").cast("bigint")
+        )
+        .when(
+            F.col("first_error").isNotNull(),
+            F.datediff("first_error", "entry_ts").cast("bigint"),
+        )
+        .otherwise(F.datediff("last_ts", "entry_ts").cast("bigint"))
+        .alias("lifetime_days"),
+        F.when(p_first, 1)
+        .when(F.col("first_error").isNotNull(), 2)
+        .otherwise(0)
+        .alias("ev"),
+    )
+    n_tot = lives.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = lives.groupBy("lifetime_days").agg(
+        F.sum(F.when(F.col("ev") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_purchase"),
+        F.sum(F.when(F.col("ev") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_error"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+    )
+    wp = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wr = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = grid.crossJoin(F.broadcast(n_tot)).select(
+        "lifetime_days",
+        "d_purchase",
+        "d_error",
+        (
+            F.col("n") - F.coalesce(F.sum("n_ending").over(wp), F.lit(0))
+        ).cast("bigint").alias("n_at_risk"),
+    )
+    factor = (
+        F.lit(1.0)
+        - (F.col("d_purchase") + F.col("d_error")) * F.lit(1.0) / F.col("n_at_risk")
+    )
+    fac = risk.withColumn("factor", factor)
+    safe_ln = F.when(F.col("factor") > 0, F.log("factor")).otherwise(F.lit(0.0))
+    s_minus = F.when(
+        F.coalesce(F.min("factor").over(wp), F.lit(1.0)) <= 0.0, F.lit(0.0)
+    ).otherwise(F.exp(F.coalesce(F.sum(safe_ln).over(wp), F.lit(0.0))))
+    surv = fac.withColumn("s_minus", s_minus)
+    s_t = F.when(F.min("factor").over(wr) <= 0.0, F.lit(0.0)).otherwise(
+        F.exp(F.sum(safe_ln).over(wr))
+    )
+    return surv.select(
+        "lifetime_days",
+        "n_at_risk",
+        "d_purchase",
+        "d_error",
+        F.round(s_t, 6).alias("survival"),
+        F.round(
+            F.sum(
+                F.col("s_minus") * F.col("d_purchase") / F.col("n_at_risk")
+            ).over(wr),
+            6,
+        ).alias("cif_purchase"),
+        F.round(
+            F.sum(F.col("s_minus") * F.col("d_error") / F.col("n_at_risk")).over(
+                wr
+            ),
+            6,
+        ).alias("cif_error"),
+    )

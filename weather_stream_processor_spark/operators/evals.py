@@ -1935,3 +1935,176 @@ def v_optimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (round-5r): targeting evaluation for the experiment.
+# ---------------------------------------------------------------------------
+
+_QINI_DECILES = 10
+
+
+@register(
+    "qini_curve_deciles",
+    oracle=f"""
+        WITH users AS (
+            SELECT user_id,
+                   {_ARM_SQL} AS arm,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                             >= {_CONV_SHARE}
+                        THEN 1 ELSE 0 END AS converted,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                            END) AS BIGINT) AS score
+            FROM events GROUP BY user_id
+        ),
+        grid AS (
+            SELECT score,
+                   CAST(SUM(arm) AS BIGINT) AS tn,
+                   CAST(SUM(arm * converted) AS BIGINT) AS tp,
+                   CAST(SUM(1 - arm) AS BIGINT) AS cn,
+                   CAST(SUM((1 - arm) * converted) AS BIGINT) AS cp
+            FROM users GROUP BY score
+        ),
+        run AS (
+            SELECT tn, tp, cn, cp,
+                   CAST(SUM(tn + cn) OVER wd AS BIGINT) AS cum_pop,
+                   CAST(SUM(tn + cn) OVER wd AS BIGINT) - tn - cn AS pop_b,
+                   CAST(SUM(tn) OVER wd AS BIGINT) - tn AS tn_b,
+                   CAST(SUM(tp) OVER wd AS BIGINT) - tp AS tp_b,
+                   CAST(SUM(cn) OVER wd AS BIGINT) - cn AS cn_b,
+                   CAST(SUM(cp) OVER wd AS BIGINT) - cp AS cp_b,
+                   CAST(SUM(tn + cn) OVER () AS BIGINT) AS n,
+                   SUM(tp) OVER () - SUM(cp) OVER ()
+                       * (SUM(tn) OVER () * 1.0 / SUM(cn) OVER ())
+                       AS qini_total
+            FROM grid
+            WINDOW wd AS (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        deciles AS (
+            SELECT unnest(generate_series(1, {_QINI_DECILES})) AS d
+        ),
+        hit AS (
+            SELECT d, n, qini_total,
+                   CAST(FLOOR((r.n * d + {_QINI_DECILES - 1})
+                              / {_QINI_DECILES}.0) AS BIGINT) AS cutoff_rows,
+                   (CAST(FLOOR((r.n * d + {_QINI_DECILES - 1})
+                               / {_QINI_DECILES}.0) AS BIGINT) - r.pop_b)
+                       * 1.0 / (r.cum_pop - r.pop_b) AS frac,
+                   r.tn_b, r.tp_b, r.cn_b, r.cp_b, r.tn, r.tp, r.cn, r.cp
+            FROM deciles CROSS JOIN run r
+            WHERE r.pop_b < CAST(FLOOR((r.n * d + {_QINI_DECILES - 1})
+                                       / {_QINI_DECILES}.0) AS BIGINT)
+              AND r.cum_pop >= CAST(FLOOR((r.n * d + {_QINI_DECILES - 1})
+                                          / {_QINI_DECILES}.0) AS BIGINT)
+        )
+        SELECT CAST(d AS BIGINT) AS decile, cutoff_rows,
+               ROUND(tn_b + tn * frac, 6) AS t_n,
+               ROUND(tp_b + tp * frac, 6) AS t_pos,
+               ROUND(cn_b + cn * frac, 6) AS c_n,
+               ROUND(cp_b + cp * frac, 6) AS c_pos,
+               ROUND((tp_b + tp * frac)
+                     - (cp_b + cp * frac)
+                       * ((tn_b + tn * frac) / (cn_b + cn * frac)), 6)
+                   AS qini,
+               ROUND(cutoff_rows * 1.0 / n * qini_total, 6) AS qini_random
+        FROM hit
+    """,
+    doc=(
+        "QINI UPLIFT CURVE of a targeting score (pre-period click "
+        "activity) against the deterministic-arm experiment: per "
+        "population decile ranked by score, the incremental conversions "
+        "treatment earned over the control's rate-scaled expectation, "
+        "qini(d) = TP(d) - CP(d)*(TN(d)/CN(d)) — THE evaluation for "
+        "'whom should we target' models, next to ab_conversion_lift "
+        "(did it work on average) and cuped_variance_reduction (how "
+        "cheaply can we measure it). Same bounded-grid mechanics as "
+        "cumulative_gains_deciles: one hash aggregate to per-user "
+        "(arm, converted, score), one to the DISTINCT-SCORE grid "
+        "carrying 2x2 arm/outcome counters, cumulative windows over "
+        "that grid only, and each decile boundary range-joins to its "
+        "containing block with FRACTIONAL attribution applied to all "
+        "four counters (uniform-within-ties, deterministic integer-"
+        "derived arithmetic). The diagonal random-targeting baseline "
+        "rides along so the plotted lift above diagonal is in-row."
+    ),
+    tags=("evals", "experimentation", "statistics", "llm"),
+)
+def qini_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        _arm(F.col("user_id")).alias("arm"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("score"),
+    )
+    grid = users.groupBy("score").agg(
+        F.sum("arm").cast("bigint").alias("tn"),
+        F.sum(F.col("arm") * F.col("converted")).cast("bigint").alias("tp"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("cn"),
+        F.sum((1 - F.col("arm")) * F.col("converted")).cast("bigint").alias("cp"),
+    )
+    wd = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pop = F.col("tn") + F.col("cn")
+    run = grid.select(
+        "tn",
+        "tp",
+        "cn",
+        "cp",
+        F.sum(pop).over(wd).cast("bigint").alias("cum_pop"),
+        (F.sum(pop).over(wd).cast("bigint") - pop).alias("pop_b"),
+        (F.sum("tn").over(wd).cast("bigint") - F.col("tn")).alias("tn_b"),
+        (F.sum("tp").over(wd).cast("bigint") - F.col("tp")).alias("tp_b"),
+        (F.sum("cn").over(wd).cast("bigint") - F.col("cn")).alias("cn_b"),
+        (F.sum("cp").over(wd).cast("bigint") - F.col("cp")).alias("cp_b"),
+        F.sum(pop).over(w_all).cast("bigint").alias("n"),
+        (
+            F.sum("tp").over(w_all)
+            - F.sum("cp").over(w_all)
+            * (F.sum("tn").over(w_all) * F.lit(1.0) / F.sum("cn").over(w_all))
+        ).alias("qini_total"),
+    )
+    deciles = spark.range(1, _QINI_DECILES + 1).select(F.col("id").alias("d"))
+    cutoff = F.floor(
+        (F.col("n") * F.col("d") + (_QINI_DECILES - 1)) / float(_QINI_DECILES)
+    ).cast("bigint")
+    bound = deciles.crossJoin(run).withColumn("cutoff_rows", cutoff)
+    hit = bound.filter(
+        (F.col("pop_b") < F.col("cutoff_rows"))
+        & (F.col("cum_pop") >= F.col("cutoff_rows"))
+    )
+    frac = (F.col("cutoff_rows") - F.col("pop_b")) * F.lit(1.0) / (
+        F.col("cum_pop") - F.col("pop_b")
+    )
+    t_n = F.col("tn_b") + F.col("tn") * frac
+    t_p = F.col("tp_b") + F.col("tp") * frac
+    c_n = F.col("cn_b") + F.col("cn") * frac
+    c_p = F.col("cp_b") + F.col("cp") * frac
+    return hit.select(
+        F.col("d").cast("bigint").alias("decile"),
+        "cutoff_rows",
+        F.round(t_n, 6).alias("t_n"),
+        F.round(t_p, 6).alias("t_pos"),
+        F.round(c_n, 6).alias("c_n"),
+        F.round(c_p, 6).alias("c_pos"),
+        F.round(t_p - c_p * (t_n / c_n), 6).alias("qini"),
+        F.round(
+            F.col("cutoff_rows") * F.lit(1.0) / F.col("n") * F.col("qini_total"),
+            6,
+        ).alias("qini_random"),
+    )
