@@ -1236,3 +1236,84 @@ def test_competing_risks_identity_and_rederivation(spark):
         # the AJ identity
         assert abs((r.cif_purchase + r.cif_error) - (1.0 - r.survival)) < 2e-5
         at_risk -= ending
+
+
+# ---------------------------------------------------------------------------
+# Round-5s: diff-in-diff + Horvitz-Thompson.
+# ---------------------------------------------------------------------------
+
+
+def test_diff_in_diff_rederivation(spark):
+    ev = _events(spark)
+    cells = defaultdict(lambda: [0, 0])  # (arm, post) -> [events, purchases]
+    daily = defaultdict(lambda: [0, 0])  # (arm, day) pre-period
+    import datetime
+
+    origin = datetime.date(2024, 1, 1)
+    for _, u, ts, et, _ in ev:
+        arm = (((u % _MOD) * _KNUTH) >> 16) % 2
+        post = 1 if ts.isoformat() >= "2024-01-16" else 0
+        y = 1 if et == "purchase" else 0
+        cells[(arm, post)][0] += 1
+        cells[(arm, post)][1] += y
+        if post == 0:
+            d = (ts.date() - origin).days
+            daily[(arm, d)][0] += 1
+            daily[(arm, d)][1] += y
+
+    def rate(a, p):
+        n, s = cells[(a, p)]
+        return s / n
+
+    did = rate(1, 1) - rate(1, 0) - (rate(0, 1) - rate(0, 0))
+
+    def slope(a):
+        pts = [(d, s / n) for (ar, d), (n, s) in daily.items() if ar == a]
+        nd = len(pts)
+        sx = sum(d for d, _ in pts)
+        sy = sum(r for _, r in pts)
+        sxy = sum(d * r for d, r in pts)
+        sxx = sum(d * d for d, _ in pts)
+        return (sxy / nd - (sx / nd) * (sy / nd)) / (
+            sxx / nd - (sx / nd) ** 2
+        )
+
+    row = _run(spark, "diff_in_diff_estimator").collect()[0]
+    assert row._chk
+    assert abs(row.treat_pre - rate(1, 0)) < 1e-6
+    assert abs(row.ctrl_post - rate(0, 1)) < 1e-6
+    assert abs(row.did_estimate - did) < 1e-6
+    assert abs(row.pre_trend_gap - (slope(1) - slope(0))) < 1e-6
+    # hash arms on the same traffic: pre-trends should be near-parallel
+    assert abs(row.pre_trend_gap) < 0.05
+
+
+def test_horvitz_thompson_design_unbiasedness(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = [
+        (int(r.o_orderkey), r.o_orderpriority[0], round(float(r.o_totalprice) * 100))
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    ]
+    fr = {"1": 0.5, "2": 0.4, "3": 0.3, "4": 0.2, "5": 0.1}
+    rows = {r.stratum: r for r in _run(spark, "horvitz_thompson_total").collect()}
+    for st in fr:
+        pop = [(k, c) for k, s, c in orders if s == st]
+        pi = fr[st]
+        samp = [
+            c
+            for k, c in pop
+            if ((((k % _MOD) * _KNUTH) >> 16) % 1000) < pi * 1000
+        ]
+        r = rows[st]
+        assert r.n_sampled == len(samp)
+        assert r.true_count == len(pop)
+        assert abs(r.ht_total - round(sum(c / pi for c in samp) / 100.0, 2)) < 0.02
+        # the design recovers the stratum total to sampling accuracy
+        assert r.rel_err < 0.2
+        # the raw (uncorrected) sample mean-scaled total would be exactly
+        # n_pop/n_samp-weighted -- HT with uniform in-stratum pi equals
+        # the classic expansion estimator
+        assert abs(r.ht_count - len(samp) / pi) < 0.01

@@ -2108,3 +2108,177 @@ def qini_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini_random"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (round-5s): the quasi-experimental estimator
+# with its parallel-trends diagnostic in the same pass.
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = "2024-01-16"
+
+
+@register(
+    "diff_in_diff_estimator",
+    oracle=f"""
+        WITH base AS (
+            SELECT user_id,
+                   {_ARM_SQL} AS arm,
+                   CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT}' THEN 1 ELSE 0
+                        END AS post,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                                  date_trunc('day', ts)) AS BIGINT) AS day
+            FROM events
+        ),
+        cell AS (
+            SELECT arm, post,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(y) AS BIGINT) AS n_purch
+            FROM base GROUP BY arm, post
+        ),
+        trend AS (
+            -- pre-period per-arm OLS slope of daily purchase rate vs day
+            SELECT arm,
+                   (SUM(1.0 * day * rate) / COUNT(*)
+                    - (SUM(1.0 * day) / COUNT(*))
+                      * (SUM(rate) / COUNT(*)))
+                   / (SUM(1.0 * day * day) / COUNT(*)
+                      - (SUM(1.0 * day) / COUNT(*))
+                        * (SUM(1.0 * day) / COUNT(*))) AS slope
+            FROM (
+                SELECT arm, day,
+                       SUM(y) * 1.0 / COUNT(*) AS rate
+                FROM base WHERE post = 0
+                GROUP BY arm, day
+            )
+            GROUP BY arm
+        )
+        SELECT
+            MAX(CASE WHEN arm = 1 AND post = 1
+                     THEN n_purch * 1.0 / n_events END)
+            - MAX(CASE WHEN arm = 1 AND post = 0
+                       THEN n_purch * 1.0 / n_events END)
+            - (MAX(CASE WHEN arm = 0 AND post = 1
+                        THEN n_purch * 1.0 / n_events END)
+               - MAX(CASE WHEN arm = 0 AND post = 0
+                          THEN n_purch * 1.0 / n_events END)) IS NOT NULL
+                AS _chk,
+            ROUND(MAX(CASE WHEN arm = 1 AND post = 0
+                           THEN n_purch * 1.0 / n_events END), 6)
+                AS treat_pre,
+            ROUND(MAX(CASE WHEN arm = 1 AND post = 1
+                           THEN n_purch * 1.0 / n_events END), 6)
+                AS treat_post,
+            ROUND(MAX(CASE WHEN arm = 0 AND post = 0
+                           THEN n_purch * 1.0 / n_events END), 6)
+                AS ctrl_pre,
+            ROUND(MAX(CASE WHEN arm = 0 AND post = 1
+                           THEN n_purch * 1.0 / n_events END), 6)
+                AS ctrl_post,
+            ROUND(MAX(CASE WHEN arm = 1 AND post = 1
+                           THEN n_purch * 1.0 / n_events END)
+                  - MAX(CASE WHEN arm = 1 AND post = 0
+                             THEN n_purch * 1.0 / n_events END)
+                  - (MAX(CASE WHEN arm = 0 AND post = 1
+                              THEN n_purch * 1.0 / n_events END)
+                     - MAX(CASE WHEN arm = 0 AND post = 0
+                                THEN n_purch * 1.0 / n_events END)), 6)
+                AS did_estimate,
+            ROUND((SELECT MAX(CASE WHEN arm = 1 THEN slope END)
+                          - MAX(CASE WHEN arm = 0 THEN slope END)
+                   FROM trend), 8) AS pre_trend_gap
+        FROM cell
+    """,
+    doc=(
+        "DIFFERENCE-IN-DIFFERENCES estimator with its parallel-trends "
+        "diagnostic: the 2x2 (arm x pre/post) purchase-rate table, the "
+        "DiD estimate (T_post - T_pre) - (C_post - C_pre), and — in "
+        "the SAME pass — the pre-period per-arm OLS slope gap of daily "
+        "purchase rates, the falsifiable assumption check every DiD "
+        "write-up must show (a nonzero pre-trend gap means the "
+        "counterfactual subtraction is biased). Arms are the "
+        "deterministic Knuth-hash assignment shared with "
+        "ab_conversion_lift; the period split matches CUPED's. Plan: "
+        "one projection, a 4-cell hash aggregate, and a per-(arm, day) "
+        "aggregate feeding a closed-form 2-group OLS — moments are "
+        "exact integer sums until the final divisions, so the hash is "
+        "exact. (The internal _chk boolean pins that all four cells "
+        "exist — a missing cell would silently NULL the estimate.)"
+    ),
+    tags=("evals", "experimentation", "statistics"),
+)
+def diff_in_diff_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_DID_SPLIT).cast("timestamp")
+    base = ev.select(
+        _arm(F.col("user_id")).alias("arm"),
+        F.when(F.col("ts") >= split, 1).otherwise(0).alias("post"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("day"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(base_c: DataFrame) -> DataFrame:
+        cell = base_c.groupBy("arm", "post").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("y").cast("bigint").alias("n_purch"),
+        )
+        daily = (
+            base_c.filter(F.col("post") == 0)
+            .groupBy("arm", "day")
+            .agg((F.sum("y") * F.lit(1.0) / F.count(F.lit(1))).alias("rate"))
+        )
+        nd = F.count(F.lit(1))
+        trend = daily.groupBy("arm").agg(
+            (
+                (
+                    F.sum(F.lit(1.0) * F.col("day") * F.col("rate")) / nd
+                    - (F.sum(F.lit(1.0) * F.col("day")) / nd)
+                    * (F.sum("rate") / nd)
+                )
+                / (
+                    F.sum(F.lit(1.0) * F.col("day") * F.col("day")) / nd
+                    - (F.sum(F.lit(1.0) * F.col("day")) / nd)
+                    * (F.sum(F.lit(1.0) * F.col("day")) / nd)
+                )
+            ).alias("slope")
+        )
+        rate = F.col("n_purch") * F.lit(1.0) / F.col("n_events")
+
+        def pick(a: int, p: int):
+            return F.max(
+                F.when((F.col("arm") == a) & (F.col("post") == p), rate)
+            )
+
+        did = pick(1, 1) - pick(1, 0) - (pick(0, 1) - pick(0, 0))
+        wide = cell.agg(
+            did.isNotNull().alias("_chk"),
+            F.round(pick(1, 0), 6).alias("treat_pre"),
+            F.round(pick(1, 1), 6).alias("treat_post"),
+            F.round(pick(0, 0), 6).alias("ctrl_pre"),
+            F.round(pick(0, 1), 6).alias("ctrl_post"),
+            F.round(did, 6).alias("did_estimate"),
+        )
+        gap = trend.agg(
+            F.round(
+                F.max(F.when(F.col("arm") == 1, F.col("slope")))
+                - F.max(F.when(F.col("arm") == 0, F.col("slope"))),
+                8,
+            ).alias("pre_trend_gap")
+        )
+        return wide.crossJoin(gap).select(
+            "_chk",
+            "treat_pre",
+            "treat_post",
+            "ctrl_pre",
+            "ctrl_post",
+            "did_estimate",
+            "pre_trend_gap",
+        )
+
+    return persisted_result(base, build)

@@ -2104,3 +2104,128 @@ def kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(cells, build)
+
+
+# ---------------------------------------------------------------------------
+# Horvitz-Thompson estimation (round-5s): design-unbiased totals from the
+# deterministic stratified sample.
+# ---------------------------------------------------------------------------
+
+# per-stratum sampling fractions (deterministic Knuth-hash inclusion):
+# priority strata get deeper samples — the unequal-probability design HT
+# exists to correct for
+_HT_FRACS = {"1": 0.5, "2": 0.4, "3": 0.3, "4": 0.2, "5": 0.1}
+_HT_MOD_BASE = 1000
+
+
+def _ht_frac_sql() -> str:
+    return " ".join(
+        f"WHEN substr(o_orderpriority, 1, 1) = '{k}' THEN {v}"
+        for k, v in _HT_FRACS.items()
+    )
+
+
+@register(
+    "horvitz_thompson_total",
+    oracle=f"""
+        WITH pop AS (
+            SELECT o_orderkey,
+                   substr(o_orderpriority, 1, 1) AS stratum,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE {_ht_frac_sql()} ELSE 0.1 END AS pi,
+                   ((((o_orderkey % {{mod}}) * {{kn}}) >> 16)
+                    % {_HT_MOD_BASE}) AS h
+            FROM orders
+        ),
+        sampled AS (
+            SELECT stratum, pi, cents
+            FROM pop WHERE h < pi * {_HT_MOD_BASE}
+        ),
+        est AS (
+            SELECT stratum, pi,
+                   CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   SUM(cents / pi) / 100.0 AS ht_total,
+                   CAST(COUNT(*) AS BIGINT) / pi AS ht_count
+            FROM sampled GROUP BY stratum, pi
+        ),
+        truth AS (
+            SELECT stratum,
+                   CAST(COUNT(*) AS BIGINT) AS true_count,
+                   CAST(SUM(cents) AS BIGINT) / 100.0 AS true_total
+            FROM pop GROUP BY stratum
+        )
+        SELECT e.stratum, e.n_sampled,
+               ROUND(e.ht_count, 2) AS ht_count,
+               t.true_count,
+               ROUND(e.ht_total, 2) AS ht_total,
+               ROUND(t.true_total, 2) AS true_total,
+               ROUND(ABS(e.ht_total - t.true_total) / t.true_total, 6)
+                   AS rel_err
+        FROM est e JOIN truth t USING (stratum)
+    """.replace("{mod}", "2147483647").replace("{kn}", "2654435761"),
+    doc=(
+        "HORVITZ-THOMPSON ESTIMATION from an unequal-probability "
+        "stratified sample: order priorities sample at 50/40/30/20/10% "
+        "via the deterministic Knuth-hash inclusion rule, and the HT "
+        "estimator sum(y_i / pi_i) recovers design-unbiased stratum "
+        "totals and counts — the correction every downstream consumer "
+        "of a non-uniform sample must apply (averaging the raw sample "
+        "would overweight the deeply-sampled strata ~5x). The truth "
+        "columns and relative error ride along because the fixture "
+        "still has the full population — exactly how a sampling design "
+        "is validated before the full data stops being kept. Plan: one "
+        "projection (the inclusion rule is pure integer hash "
+        "arithmetic, so both engines draw the identical sample), two "
+        "hash aggregates on the bounded stratum domain, one "
+        "stratum-keyed join. Weighted sums divide exact integer cents "
+        "by literal fractions in identical order — hash-exact."
+    ),
+    tags=("sampling", "statistics", "llm"),
+)
+def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    stratum = F.substring("o_orderpriority", 1, 1)
+    pi = F.lit(0.1)
+    for k, v in _HT_FRACS.items():
+        pi = F.when(stratum == k, F.lit(v)).otherwise(pi)
+    h = (
+        F.shiftright((F.col("o_orderkey") % 2147483647) * F.lit(2654435761), 16)
+        % _HT_MOD_BASE
+    )
+    pop = o.select(
+        stratum.alias("stratum"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        pi.alias("pi"),
+        h.alias("h"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(pop_c: DataFrame) -> DataFrame:
+        sampled = pop_c.filter(F.col("h") < F.col("pi") * _HT_MOD_BASE)
+        est = sampled.groupBy("stratum", "pi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            (F.sum(F.col("cents") / F.col("pi")) / F.lit(100.0)).alias("ht_total"),
+            (F.count(F.lit(1)).cast("bigint") / F.col("pi")).alias("ht_count"),
+        )
+        truth = pop_c.groupBy("stratum").agg(
+            F.count(F.lit(1)).cast("bigint").alias("true_count"),
+            (F.sum("cents").cast("bigint") / F.lit(100.0)).alias("true_total"),
+        )
+        return (
+            est.join(truth, "stratum")
+            .select(
+                "stratum",
+                "n_sampled",
+                F.round("ht_count", 2).alias("ht_count"),
+                "true_count",
+                F.round("ht_total", 2).alias("ht_total"),
+                F.round("true_total", 2).alias("true_total"),
+                F.round(
+                    F.abs(F.col("ht_total") - F.col("true_total"))
+                    / F.col("true_total"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+
+    return persisted_result(pop, build)
