@@ -1317,3 +1317,65 @@ def test_horvitz_thompson_design_unbiasedness(spark):
         # n_pop/n_samp-weighted -- HT with uniform in-stratum pi equals
         # the classic expansion estimator
         assert abs(r.ht_count - len(samp) / pi) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Round-5t: drawdown + streaks.
+# ---------------------------------------------------------------------------
+
+
+def _daily_cents(spark):
+    ev = _events(spark)
+    daily = defaultdict(int)
+    for _, _, ts, et, val in ev:
+        daily[(et, ts.date())] += round(val * 100)
+    return daily
+
+
+def test_max_drawdown_rederivation(spark):
+    daily = _daily_cents(spark)
+    types = sorted({t for t, _ in daily})
+    rows = {r.event_type: r for r in _run(spark, "max_drawdown_daily").collect()}
+    for et in types:
+        days = sorted(d for t, d in daily if t == et)
+        cum = peak = 0
+        best = 0
+        trough = None
+        peak_cum = 0
+        for d in days:
+            cum += daily[(et, d)]
+            peak = max(peak, cum)
+            peak_cum = max(peak_cum, peak)
+            draw = peak - cum
+            if draw > best:
+                best, trough = draw, d
+        r = rows[et]
+        assert abs(r.max_drawdown - best / 100.0) < 1e-6, et
+        assert abs(r.peak_cumulative - peak_cum / 100.0) < 1e-6
+        if best > 0:
+            assert r.trough_day == trough, et
+
+
+def test_longest_streak_rederivation(spark):
+    daily = _daily_cents(spark)
+    types = sorted({t for t, _ in daily})
+    rows = {
+        r.event_type: r for r in _run(spark, "longest_updays_streak").collect()
+    }
+    for et in types:
+        days = sorted(d for t, d in daily if t == et)
+        best = cur = 0
+        best_start = cur_start = None
+        for prev, d in zip(days, days[1:]):
+            if daily[(et, d)] > daily[(et, prev)]:
+                if cur == 0:
+                    cur_start = d
+                cur += 1
+                if cur > best:
+                    best, best_start = cur, cur_start
+            else:
+                cur = 0
+        r = rows[et]
+        assert r.longest_up_streak == best, et
+        if best > 0:
+            assert r.streak_start == best_start, et

@@ -2073,3 +2073,195 @@ def pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Round-5t: day-grid financial diagnostics — max drawdown and
+# gaps-and-islands streaks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        cum1 AS (
+            SELECT event_type, day,
+                   CAST(SUM(cents) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_cents
+            FROM daily
+        ),
+        cum AS (
+            SELECT event_type, day, cum_cents,
+                   CAST(MAX(cum_cents) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS peak_cents
+            FROM cum1
+        ),
+        dd AS (
+            SELECT event_type, day, cum_cents, peak_cents,
+                   peak_cents - cum_cents AS draw_cents
+            FROM cum
+        )
+        SELECT event_type,
+               MAX(draw_cents) / 100.0 AS max_drawdown,
+               CAST(MIN(CASE WHEN draw_cents = mx THEN day END) AS DATE)
+                   AS trough_day,
+               MAX(peak_cents) / 100.0 AS peak_cumulative
+        FROM (SELECT *, MAX(draw_cents) OVER (PARTITION BY event_type) AS mx
+              FROM dd)
+        GROUP BY event_type
+    """,
+    doc=(
+        "MAXIMUM DRAWDOWN per event_type of the cumulative daily value "
+        "series: running peak minus current cumulative, maximized — "
+        "the worst peak-to-trough slide, with the (earliest) trough "
+        "day. The risk statistic every cumulative-metric dashboard "
+        "(revenue, tokens ingested, storage written) wants next to the "
+        "trend line; here daily sums are EXACT INTEGER CENTS so peak/"
+        "drawdown arithmetic is integer-exact and the hash gate is "
+        "exact. Plan: one hash aggregate to the (type, day) grid — "
+        "bounded by type-domain x day-span — then keyed cumulative "
+        "windows over that grid only (documented-bounded class); the "
+        "trough day ties break earliest-first deterministically."
+    ),
+    tags=("timeseries", "statistics", "window"),
+)
+def max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(w).cast("bigint").alias("cum_cents"),
+    ).withColumn(
+        "peak_cents",
+        F.max("cum_cents")
+        .over(
+            W.partitionBy("event_type").orderBy("day").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint"),
+    )
+    dd = cum.withColumn("draw_cents", F.col("peak_cents") - F.col("cum_cents"))
+    w_t = W.partitionBy("event_type")
+    flagged = dd.withColumn("mx", F.max("draw_cents").over(w_t))
+    return flagged.groupBy("event_type").agg(
+        (F.max("draw_cents") / F.lit(100.0)).alias("max_drawdown"),
+        F.min(F.when(F.col("draw_cents") == F.col("mx"), F.col("day")))
+        .cast("date")
+        .alias("trough_day"),
+        (F.max("peak_cents") / F.lit(100.0)).alias("peak_cumulative"),
+    )
+
+
+@register(
+    "longest_updays_streak",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        flagged AS (
+            SELECT event_type, day,
+                   CASE WHEN cents > LAG(cents) OVER w THEN 1 ELSE 0 END
+                       AS up
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        islands AS (
+            SELECT event_type, day, up,
+                   CAST(ROW_NUMBER() OVER w
+                        - SUM(up) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS grp
+            FROM flagged
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        ),
+        streaks AS (
+            SELECT event_type, grp,
+                   CAST(SUM(up) AS BIGINT) AS streak_len,
+                   CAST(MIN(CASE WHEN up = 1 THEN day END) AS DATE)
+                       AS streak_start
+            FROM islands GROUP BY event_type, grp
+        )
+        SELECT event_type, streak_len AS longest_up_streak, streak_start
+        FROM streaks
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY event_type
+            ORDER BY streak_len DESC, streak_start ASC NULLS LAST) = 1
+    """,
+    doc=(
+        "LONGEST UP-DAY STREAK per event_type (consecutive days whose "
+        "daily value total rose vs the previous day) via the GAPS-AND-"
+        "ISLANDS identity: row_number minus the running count of "
+        "up-days is CONSTANT within each unbroken run, so one grouped "
+        "aggregate over that derived key measures every streak without "
+        "any iterative pass — the canonical SQL-pattern answer to "
+        "sequence questions (login streaks, SLA streaks, green-build "
+        "streaks). Daily sums are exact integer cents, so the up/down "
+        "comparison is exact; ties (equal days) break streaks, the "
+        "conservative convention. All windows run keyed on event_type "
+        "over the bounded day grid; the winner per type ties toward "
+        "the earliest streak."
+    ),
+    tags=("timeseries", "window", "statistics"),
+)
+def longest_updays_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    w = W.partitionBy("event_type").orderBy("day")
+    w_run = w.rowsBetween(W.unboundedPreceding, 0)
+    flagged = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("cents") > F.lag("cents").over(w), 1).otherwise(0).alias("up"),
+    )
+    islands = flagged.select(
+        "event_type",
+        "day",
+        "up",
+        (
+            F.row_number().over(w) - F.sum("up").over(w_run)
+        ).cast("bigint").alias("grp"),
+    )
+    streaks = islands.groupBy("event_type", "grp").agg(
+        F.sum("up").cast("bigint").alias("streak_len"),
+        F.min(F.when(F.col("up") == 1, F.col("day"))).cast("date").alias(
+            "streak_start"
+        ),
+    )
+    w_pick = W.partitionBy("event_type").orderBy(
+        F.desc("streak_len"), F.asc_nulls_last("streak_start")
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("streak_len").alias("longest_up_streak"),
+            "streak_start",
+        )
+    )
