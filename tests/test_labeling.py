@@ -1379,3 +1379,49 @@ def test_longest_streak_rederivation(spark):
         assert r.longest_up_streak == best, et
         if best > 0:
             assert r.streak_start == best_start, et
+
+
+# ---------------------------------------------------------------------------
+# Round-5u: information gain.
+# ---------------------------------------------------------------------------
+
+
+def test_information_gain_rederivation(spark):
+    docs = _docs(spark)
+    feats = []
+    for d, text, lang, src in docs:
+        y = 1 if lang == "en" else 0
+        feats.append(
+            {
+                "source": src,
+                "len_bucket": str(len(text) // 100),
+                "tok_bucket": str(len(text.split(" ")) // 20),
+                "y": y,
+            }
+        )
+
+    def h(pos, n):
+        if pos == 0 or pos == n:
+            return 0.0
+        p, q = pos / n, (n - pos) / n
+        return -(p * math.log(p) + q * math.log(q)) / math.log(2)
+
+    rows = {r.feature: r for r in _run(spark, "information_gain_features").collect()}
+    n = len(feats)
+    pos = sum(f["y"] for f in feats)
+    hy = h(pos, n)
+    for feat in ("source", "len_bucket", "tok_bucket"):
+        cells = defaultdict(lambda: [0, 0])
+        for f in feats:
+            cells[f[feat]][0] += 1
+            cells[f[feat]][1] += f["y"]
+        cond = sum((c / n) * h(p, c) for c, p in cells.values())
+        hf = sum(-(c / n) * math.log(c / n) / math.log(2) for c, _ in cells.values())
+        r = rows[feat]
+        assert r.n_values == len(cells)
+        assert abs(r.h_y - hy) < 1e-6
+        assert abs(r.cond_h - cond) < 1e-6
+        assert abs(r.info_gain - (hy - cond)) < 1e-6
+        assert abs(r.gain_ratio - (hy - cond) / hf) < 1e-6
+        # IG is non-negative and bounded by H(y)
+        assert -1e-9 <= r.info_gain <= hy + 1e-9

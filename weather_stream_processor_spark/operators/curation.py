@@ -341,3 +341,141 @@ def embedding_eval_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos") >= NEAR_DUP_COSINE).alias("is_contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Information-gain feature ranking (round-5u).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "information_gain_features",
+    oracle="""
+        WITH base AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   source,
+                   CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+                   CAST(len(string_split(text, ' ')) // 20 AS BIGINT)
+                       AS tok_bucket
+            FROM documents
+        ),
+        melted AS (
+            SELECT 'source' AS feature, source AS val, y FROM base
+            UNION ALL
+            SELECT 'len_bucket', CAST(len_bucket AS VARCHAR), y FROM base
+            UNION ALL
+            SELECT 'tok_bucket', CAST(tok_bucket AS VARCHAR), y FROM base
+        ),
+        cells AS (
+            SELECT feature, val,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM melted GROUP BY feature, val
+        ),
+        tot AS (
+            SELECT feature,
+                   CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(pos) AS BIGINT) AS post
+            FROM cells GROUP BY feature
+        ),
+        ent AS (
+            SELECT c.feature,
+                   CAST(COUNT(*) AS BIGINT) AS n_values,
+                   -- H(y): same for every feature, from that feature's total
+                   -(CASE WHEN t.post = 0 OR t.post = t.nt THEN 0.0
+                          ELSE t.post * 1.0 / t.nt * ln(t.post * 1.0 / t.nt)
+                               + (t.nt - t.post) * 1.0 / t.nt
+                                 * ln((t.nt - t.post) * 1.0 / t.nt)
+                     END) / ln(2.0) AS h_y,
+                   SUM(
+                       (c.n * 1.0 / t.nt)
+                       * (-(CASE WHEN c.pos = 0 OR c.pos = c.n THEN 0.0
+                                 ELSE c.pos * 1.0 / c.n * ln(c.pos * 1.0 / c.n)
+                                      + (c.n - c.pos) * 1.0 / c.n
+                                        * ln((c.n - c.pos) * 1.0 / c.n)
+                            END)) / ln(2.0)
+                   ) AS cond_h,
+                   SUM(-(c.n * 1.0 / t.nt) * ln(c.n * 1.0 / t.nt)) / ln(2.0)
+                       AS h_feature
+            FROM cells c JOIN tot t USING (feature)
+            GROUP BY c.feature, t.nt, t.post
+        )
+        SELECT feature, n_values,
+               ROUND(h_y, 6) AS h_y,
+               ROUND(cond_h, 6) AS cond_h,
+               ROUND(h_y - cond_h, 6) AS info_gain,
+               ROUND((h_y - cond_h) / h_feature, 6) AS gain_ratio
+        FROM ent
+    """,
+    doc=(
+        "INFORMATION-GAIN FEATURE RANKING against the lang='en' label: "
+        "for each candidate feature (source, 100-char length bucket, "
+        "20-token count bucket), IG = H(y) - H(y|feature) plus the "
+        "Quinlan GAIN RATIO (IG / H(feature), the correction that stops "
+        "high-cardinality features winning by fragmentation) — the "
+        "screen run before training any metadata-based quality "
+        "classifier, and the principled version of 'which column "
+        "predicts quality'. Plan: one scan melts the features via "
+        "UNION-ALL projections (Spark: one stack()), one hash aggregate "
+        "to the (feature, value, label) CONTINGENCY cells — bounded by "
+        "the feature-value domains — and entropies are per-cell exact-"
+        "count arithmetic summed over those bounded cells (6-dp "
+        "rounded). Zero-entropy cells guard the ln explicitly so both "
+        "engines stay on the arithmetic path."
+    ),
+    tags=("curation", "llm", "statistics", "features"),
+)
+def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        "source",
+        F.floor(F.col("n_chars") / 100).cast("bigint").alias("len_bucket"),
+        F.floor(F.size(tokens(F.col("text"))) / 20).cast("bigint").alias(
+            "tok_bucket"
+        ),
+    )
+    melted = base.select(
+        F.expr(
+            "stack(3, 'source', source, "
+            "'len_bucket', CAST(len_bucket AS STRING), "
+            "'tok_bucket', CAST(tok_bucket AS STRING)) AS (feature, val)"
+        ),
+        "y",
+    )
+    cells = melted.groupBy("feature", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    tot = cells.groupBy("feature").agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("post"),
+    )
+
+    def h2(pos, n):
+        p = pos * F.lit(1.0) / n
+        q = (n - pos) * F.lit(1.0) / n
+        return (
+            F.when((pos == 0) | (pos == n), F.lit(0.0))
+            .otherwise(-(p * F.log(p) + q * F.log(q)))
+            / F.log(F.lit(2.0))
+        )
+
+    j = cells.join(tot, "feature")
+    share = F.col("n") * F.lit(1.0) / F.col("nt")
+    ent = j.groupBy("feature", "nt", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.any_value(h2(F.col("post"), F.col("nt"))).alias("h_y"),
+        F.sum(share * h2(F.col("pos"), F.col("n"))).alias("cond_h"),
+        F.sum(-share * F.log(share) / F.log(F.lit(2.0))).alias("h_feature"),
+    )
+    return ent.select(
+        "feature",
+        "n_values",
+        F.round("h_y", 6).alias("h_y"),
+        F.round("cond_h", 6).alias("cond_h"),
+        F.round(F.col("h_y") - F.col("cond_h"), 6).alias("info_gain"),
+        F.round((F.col("h_y") - F.col("cond_h")) / F.col("h_feature"), 6).alias(
+            "gain_ratio"
+        ),
+    )
