@@ -1425,3 +1425,22 @@ def test_information_gain_rederivation(spark):
         assert abs(r.gain_ratio - (hy - cond) / hf) < 1e-6
         # IG is non-negative and bounded by H(y)
         assert -1e-9 <= r.info_gain <= hy + 1e-9
+
+
+def test_eval_scorecard_consistent_with_constituents(spark):
+    """Every scorecard row must equal the value its registered
+    constituent reports directly — the composition can never drift."""
+    rows = {r.metric: r.value for r in _run(spark, "eval_scorecard_report").collect()}
+    auc = _run(spark, "roc_auc_exact").collect()[0]
+    ap = _run(spark, "average_precision_exact").collect()[0]
+    brier = _run(spark, "brier_score_decomposition").collect()[0]
+    ece = max(r.ece for r in _run(spark, "calibration_bins_ece").collect())
+    gains = {r.decile: r.lift for r in _run(spark, "cumulative_gains_deciles").collect()}
+    assert rows["auc"] == auc.auc and rows["gini"] == auc.gini
+    assert rows["average_precision"] == ap.average_precision
+    assert rows["prevalence"] == ap.prevalence
+    assert rows["ece"] == ece
+    assert rows["brier"] == brier.brier
+    assert rows["brier_reliability"] == brier.reliability
+    assert rows["lift_top_decile"] == gains[1]
+    assert len(rows) == 10

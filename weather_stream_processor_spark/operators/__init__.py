@@ -45,7 +45,9 @@ from weather_stream_processor_spark.operators import (  # noqa: F401
 # already-registered tier operators (builders + oracle SQL) — both must
 # import after every tier module above
 from weather_stream_processor_spark.operators import evals  # noqa: E402,F401
-from weather_stream_processor_spark.operators import report  # noqa: E402,F401
 
-# labeling.py reuses evals' scored-document CTE pair, so it imports last
+# labeling.py reuses evals' scored-document CTE pair; report.py composes
+# already-registered operators (including labeling's) — import order:
+# evals -> labeling -> report
 from weather_stream_processor_spark.operators import labeling  # noqa: E402,F401
+from weather_stream_processor_spark.operators import report  # noqa: E402,F401

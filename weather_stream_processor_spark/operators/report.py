@@ -479,3 +479,87 @@ def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-eval scorecard (round-5v): the evaluation family composed into one
+# report, constituents' registered semantics reused verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _scorecard_oracle() -> str:
+    auc = _REGISTRY["roc_auc_exact"].oracle
+    ap = _REGISTRY["average_precision_exact"].oracle
+    ece = _REGISTRY["calibration_bins_ece"].oracle
+    brier = _REGISTRY["brier_score_decomposition"].oracle
+    gains = _REGISTRY["cumulative_gains_deciles"].oracle
+    return f"""
+        SELECT 'auc' AS metric, auc AS value FROM ({auc})
+        UNION ALL SELECT 'gini', gini FROM ({auc})
+        UNION ALL SELECT 'average_precision', average_precision FROM ({ap})
+        UNION ALL SELECT 'prevalence', prevalence FROM ({ap})
+        UNION ALL SELECT 'ece', MAX(ece) FROM ({ece})
+        UNION ALL SELECT 'brier', brier FROM ({brier})
+        UNION ALL SELECT 'brier_reliability', reliability FROM ({brier})
+        UNION ALL SELECT 'brier_resolution', resolution FROM ({brier})
+        UNION ALL SELECT 'brier_uncertainty', uncertainty FROM ({brier})
+        UNION ALL SELECT 'lift_top_decile',
+                         MAX(CASE WHEN decile = 1 THEN lift END)
+                  FROM ({gains})
+    """
+
+
+@register(
+    "eval_scorecard_report",
+    oracle=_scorecard_oracle(),
+    doc=(
+        "MODEL-EVAL SCORECARD: the quality score's complete evaluation "
+        "in ONE long-form table — discrimination (AUC/Gini, average "
+        "precision vs the prevalence baseline), calibration (ECE, the "
+        "Brier Murphy terms), and business yield (lift in the top "
+        "decile) — every row produced by the REGISTERED constituent "
+        "operator's execution and oracle SQL verbatim (the "
+        "dedup_cascade_report composition pattern, applied to the "
+        "evaluation family), so the scorecard can never drift from the "
+        "operators it summarizes. This is the one-table answer to 'can "
+        "we ship this quality filter': honest probabilities (ECE/"
+        "reliability), real separation (AUC/AP over prevalence), and "
+        "what the top-decile budget actually buys (lift). The wall "
+        "tracks the sum of its five constituents; at 100 TB each "
+        "constituent is one bounded-grid pass over the same scored "
+        "projection."
+    ),
+    tags=("evals", "llm", "report", "capstone"),
+)
+def eval_scorecard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    auc = _REGISTRY["roc_auc_exact"].builder(spark, sf_dir)
+    ap = _REGISTRY["average_precision_exact"].builder(spark, sf_dir)
+    ece = _REGISTRY["calibration_bins_ece"].builder(spark, sf_dir)
+    brier = _REGISTRY["brier_score_decomposition"].builder(spark, sf_dir)
+    gains = _REGISTRY["cumulative_gains_deciles"].builder(spark, sf_dir)
+
+    def one(df: DataFrame, metric: str, col: str) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"), F.col(col).cast("double").alias("value")
+        )
+
+    rows = [
+        one(auc, "auc", "auc"),
+        one(auc, "gini", "gini"),
+        one(ap, "average_precision", "average_precision"),
+        one(ap, "prevalence", "prevalence"),
+        ece.agg(F.max("ece").alias("value")).select(
+            F.lit("ece").alias("metric"), "value"
+        ),
+        one(brier, "brier", "brier"),
+        one(brier, "brier_reliability", "reliability"),
+        one(brier, "brier_resolution", "resolution"),
+        one(brier, "brier_uncertainty", "uncertainty"),
+        gains.agg(
+            F.max(F.when(F.col("decile") == 1, F.col("lift"))).alias("value")
+        ).select(F.lit("lift_top_decile").alias("metric"), "value"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
