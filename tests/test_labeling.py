@@ -1444,3 +1444,71 @@ def test_eval_scorecard_consistent_with_constituents(spark):
     assert rows["brier_reliability"] == brier.reliability
     assert rows["lift_top_decile"] == gains[1]
     assert len(rows) == 10
+
+
+# ---------------------------------------------------------------------------
+# Round-5w/5x: ratio-metric delta method, SRM, experiment readout.
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_delta_method_rederivation(spark):
+    import numpy as np
+
+    ev = _events(spark)
+    per = defaultdict(lambda: [0, 0])
+    for _, u, _, et, _ in ev:
+        per[u][0] += 1
+        per[u][1] += 1 if et == "purchase" else 0
+    arms = defaultdict(list)
+    for u, (n, y) in per.items():
+        arm = (((u % _MOD) * _KNUTH) >> 16) % 2
+        arms[arm].append((n, y))
+
+    def est(vals):
+        n = np.array([v[0] for v in vals], dtype=float)
+        y = np.array([v[1] for v in vals], dtype=float)
+        u = len(vals)
+        r = y.sum() / n.sum()
+        v = (y.var() + r * r * n.var() - 2 * r * (n * y).mean() + 2 * r * n.mean() * y.mean()) / (
+            u * n.mean() ** 2
+        )
+        return r, v
+
+    r1, v1 = est(arms[1])
+    r0, v0 = est(arms[0])
+    row = _run(spark, "ratio_metric_delta_method").collect()[0]
+    assert row.n_users == len(per)
+    assert abs(row.r_treat - r1) < 1e-6 and abs(row.r_ctrl - r0) < 1e-6
+    assert abs(row.diff - (r1 - r0)) < 1e-6
+    assert abs(row.se - math.sqrt(v1 + v0)) < 1e-6
+    assert 0.0 <= row.p_value <= 1.0
+
+
+def test_srm_check_rederivation(spark):
+    ev = _events(spark)
+    users = {u for _, u, _, _, _ in ev}
+    nt = sum(1 for u in users if (((u % _MOD) * _KNUTH) >> 16) % 2 == 1)
+    nc = len(users) - nt
+    half = len(users) / 2.0
+    chi2 = (nt - half) ** 2 / half + (nc - half) ** 2 / half
+    row = _run(spark, "sample_ratio_mismatch_check").collect()[0]
+    assert row.n_treat == nt and row.n_ctrl == nc
+    assert abs(row.chi2 - chi2) < 1e-6
+    # a hash split of real traffic must NOT flag SRM
+    assert not row.srm_flag
+
+
+def test_experiment_readout_consistent_with_constituents(spark):
+    rows = {
+        r.metric: r.value
+        for r in _run(spark, "experiment_readout_report").collect()
+    }
+    srm = _run(spark, "sample_ratio_mismatch_check").collect()[0]
+    ratio = _run(spark, "ratio_metric_delta_method").collect()[0]
+    did = _run(spark, "diff_in_diff_estimator").collect()[0]
+    qini = {r.decile: r.qini for r in _run(spark, "qini_curve_deciles").collect()}
+    assert rows["srm_p_value"] == srm.p_value
+    assert rows["ratio_metric_diff"] == ratio.diff
+    assert rows["did_estimate"] == did.did_estimate
+    assert rows["qini_top_decile"] == qini[1]
+    assert len(rows) == 10

@@ -2282,3 +2282,226 @@ def diff_in_diff_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(base, build)
+
+
+# ---------------------------------------------------------------------------
+# Round-5w: ratio-metric delta method + sample-ratio-mismatch guardrail.
+# ---------------------------------------------------------------------------
+
+
+def _as_sf_expr_sql(z: str) -> str:
+    # shared A&S tail (same constants as bh_fdr_correction)
+    return _fdr_sf_sql(z)
+
+
+@register(
+    "ratio_metric_delta_method",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id, {_ARM_SQL} AS arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                            END) AS BIGINT) AS y
+            FROM events GROUP BY user_id
+        ),
+        mom AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS u,
+                   CAST(SUM(n) AS BIGINT) AS sn,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(n * n) AS BIGINT) AS snn,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(n * y) AS BIGINT) AS sny
+            FROM per_user GROUP BY arm
+        ),
+        est AS (
+            SELECT arm, u,
+                   sy * 1.0 / sn AS r,
+                   -- delta-method variance of the ratio of user sums:
+                   -- (var_y + r^2 var_n - 2 r cov) / (u * nbar^2)
+                   ((syy * 1.0 / u - (sy * 1.0 / u) * (sy * 1.0 / u))
+                    + (sy * 1.0 / sn) * (sy * 1.0 / sn)
+                      * (snn * 1.0 / u - (sn * 1.0 / u) * (sn * 1.0 / u))
+                    - 2.0 * (sy * 1.0 / sn)
+                      * (sny * 1.0 / u - (sn * 1.0 / u) * (sy * 1.0 / u)))
+                   / (u * (sn * 1.0 / u) * (sn * 1.0 / u)) AS v
+            FROM mom
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN arm = 1 THEN r END) AS r_treat,
+                   MAX(CASE WHEN arm = 0 THEN r END) AS r_ctrl,
+                   MAX(CASE WHEN arm = 1 THEN v END) AS v_t,
+                   MAX(CASE WHEN arm = 0 THEN v END) AS v_c,
+                   CAST(SUM(u) AS BIGINT) AS n_users
+            FROM est
+        )
+        SELECT n_users,
+               ROUND(r_treat, 6) AS r_treat,
+               ROUND(r_ctrl, 6) AS r_ctrl,
+               ROUND(r_treat - r_ctrl, 6) AS diff,
+               ROUND(sqrt(v_t + v_c), 6) AS se,
+               ROUND((r_treat - r_ctrl) / sqrt(v_t + v_c), 6) AS z_score,
+               ROUND(2.0 * {_as_sf_expr_sql("abs((r_treat - r_ctrl) / sqrt(v_t + v_c))")},
+                     6) AS p_value
+        FROM wide
+    """,
+    doc=(
+        "RATIO-METRIC A/B TEST via the DELTA METHOD: the metric is "
+        "purchases PER EVENT (a ratio of user-level sums), whose naive "
+        "binomial variance is WRONG because users, not events, are the "
+        "randomization unit — the classic experimentation trap. Per "
+        "arm, Var(sum y / sum n) ~ (var_y + r^2 var_n - 2 r cov_yn) / "
+        "(U * nbar^2) from user-level moments, then a two-arm z with "
+        "the shared Abramowitz-Stegun tail. Complements "
+        "ab_conversion_lift (binary metric) and cuped_variance_"
+        "reduction (variance budget) with the correct inference for "
+        "ratio metrics. One per-user aggregate + a 2-row arm moment "
+        "table; every moment is an exact bigint, so z and p derive "
+        "from bit-identical doubles."
+    ),
+    tags=("evals", "experimentation", "statistics"),
+)
+def ratio_metric_delta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.any_value(_arm(F.col("user_id"))).alias("arm"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    mom = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("snn"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("n") * F.col("y")).cast("bigint").alias("sny"),
+    )
+    u = F.col("u")
+    r = F.col("sy") * F.lit(1.0) / F.col("sn")
+    var_y = F.col("syy") * F.lit(1.0) / u - (F.col("sy") * F.lit(1.0) / u) * (
+        F.col("sy") * F.lit(1.0) / u
+    )
+    var_n = F.col("snn") * F.lit(1.0) / u - (F.col("sn") * F.lit(1.0) / u) * (
+        F.col("sn") * F.lit(1.0) / u
+    )
+    cov = F.col("sny") * F.lit(1.0) / u - (F.col("sn") * F.lit(1.0) / u) * (
+        F.col("sy") * F.lit(1.0) / u
+    )
+    nbar = F.col("sn") * F.lit(1.0) / u
+    v = (var_y + r * r * var_n - F.lit(2.0) * r * cov) / (u * nbar * nbar)
+    est = mom.select("arm", "u", r.alias("r"), v.alias("v"))
+    wide = est.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("r"))).alias("r_treat"),
+        F.max(F.when(F.col("arm") == 0, F.col("r"))).alias("r_ctrl"),
+        F.max(F.when(F.col("arm") == 1, F.col("v"))).alias("v_t"),
+        F.max(F.when(F.col("arm") == 0, F.col("v"))).alias("v_c"),
+        F.sum("u").cast("bigint").alias("n_users"),
+    )
+    diff = F.col("r_treat") - F.col("r_ctrl")
+    se = F.sqrt(F.col("v_t") + F.col("v_c"))
+    z = diff / se
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * az)
+    poly = t * (
+        F.lit(_FDR_AS_B[0])
+        + t
+        * (
+            F.lit(_FDR_AS_B[1])
+            + t * (F.lit(_FDR_AS_B[2]) + t * (F.lit(_FDR_AS_B[3]) + t * F.lit(_FDR_AS_B[4])))
+        )
+    )
+    p = (
+        F.lit(2.0)
+        * F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+        * poly
+    )
+    return wide.select(
+        "n_users",
+        F.round("r_treat", 6).alias("r_treat"),
+        F.round("r_ctrl", 6).alias("r_ctrl"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z, 6).alias("z_score"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+@register(
+    "sample_ratio_mismatch_check",
+    oracle=f"""
+        WITH arms AS (
+            SELECT {_ARM_SQL} AS arm
+            FROM (SELECT DISTINCT user_id FROM events)
+        ),
+        counts AS (
+            SELECT CAST(SUM(arm) AS BIGINT) AS n_treat,
+                   CAST(SUM(1 - arm) AS BIGINT) AS n_ctrl,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM arms
+        ),
+        stat AS (
+            SELECT n_treat, n_ctrl, n,
+                   (n_treat - n / 2.0) * (n_treat - n / 2.0) / (n / 2.0)
+                   + (n_ctrl - n / 2.0) * (n_ctrl - n / 2.0) / (n / 2.0)
+                       AS chi2
+            FROM counts
+        )
+        SELECT n_treat, n_ctrl,
+               ROUND(chi2, 6) AS chi2,
+               ROUND(2.0 * {_as_sf_expr_sql("sqrt(chi2)")}, 6) AS p_value,
+               2.0 * {_as_sf_expr_sql("sqrt(chi2)")} < 0.001 AS srm_flag
+        FROM stat
+    """,
+    doc=(
+        "SAMPLE RATIO MISMATCH check: the observed treatment/control "
+        "user split tested against the designed 50/50 with a 1-dof "
+        "chi-square (p via the identity P(X1^2 > x) = 2*Phi_tail("
+        "sqrt(x)), the shared A&S literal) and the industry-standard "
+        "p<0.001 red flag — the guardrail run BEFORE reading any "
+        "experiment metric, because a mismatched split means the "
+        "assignment/logging pipeline is dropping users non-randomly "
+        "and every downstream readout (lift, CUPED, DiD, Qini) is "
+        "suspect. One distinct-user projection + one 1-row aggregate; "
+        "counts are exact, chi2/p single expressions."
+    ),
+    tags=("evals", "experimentation", "statistics", "quality"),
+)
+def sample_ratio_mismatch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.select("user_id").distinct().select(_arm(F.col("user_id")).alias("arm"))
+    counts = arms.agg(
+        F.sum("arm").cast("bigint").alias("n_treat"),
+        F.sum(1 - F.col("arm")).cast("bigint").alias("n_ctrl"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    half = F.col("n") / F.lit(2.0)
+    chi2 = (F.col("n_treat") - half) * (F.col("n_treat") - half) / half + (
+        F.col("n_ctrl") - half
+    ) * (F.col("n_ctrl") - half) / half
+    stat = counts.select("n_treat", "n_ctrl", chi2.alias("chi2"))
+    az = F.sqrt(F.col("chi2"))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * az)
+    poly = t * (
+        F.lit(_FDR_AS_B[0])
+        + t
+        * (
+            F.lit(_FDR_AS_B[1])
+            + t * (F.lit(_FDR_AS_B[2]) + t * (F.lit(_FDR_AS_B[3]) + t * F.lit(_FDR_AS_B[4])))
+        )
+    )
+    p = (
+        F.lit(2.0)
+        * F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+        * poly
+    )
+    return stat.select(
+        "n_treat",
+        "n_ctrl",
+        F.round("chi2", 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        (p < 0.001).alias("srm_flag"),
+    )

@@ -563,3 +563,89 @@ def eval_scorecard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Experiment readout (round-5x): the experimentation family composed into
+# the one table an experiment review actually reads.
+# ---------------------------------------------------------------------------
+
+
+def _readout_oracle() -> str:
+    srm = _REGISTRY["sample_ratio_mismatch_check"].oracle
+    lift = _REGISTRY["ab_conversion_lift"].oracle
+    ratio = _REGISTRY["ratio_metric_delta_method"].oracle
+    cuped = _REGISTRY["cuped_variance_reduction"].oracle
+    did = _REGISTRY["diff_in_diff_estimator"].oracle
+    qini = _REGISTRY["qini_curve_deciles"].oracle
+    return f"""
+        SELECT 'srm_p_value' AS metric, p_value AS value FROM ({srm})
+        UNION ALL SELECT 'srm_flag', CASE WHEN srm_flag THEN 1.0 ELSE 0.0 END
+                  FROM ({srm})
+        UNION ALL SELECT 'conversion_abs_lift', abs_lift FROM ({lift})
+        UNION ALL SELECT 'conversion_z', z_score FROM ({lift})
+        UNION ALL SELECT 'ratio_metric_diff', diff FROM ({ratio})
+        UNION ALL SELECT 'ratio_metric_p', p_value FROM ({ratio})
+        UNION ALL SELECT 'cuped_var_reduction', var_reduction FROM ({cuped})
+        UNION ALL SELECT 'did_estimate', did_estimate FROM ({did})
+        UNION ALL SELECT 'did_pre_trend_gap', pre_trend_gap FROM ({did})
+        UNION ALL SELECT 'qini_top_decile',
+                         MAX(CASE WHEN decile = 1 THEN qini END)
+                  FROM ({qini})
+    """
+
+
+@register(
+    "experiment_readout_report",
+    oracle=_readout_oracle(),
+    doc=(
+        "EXPERIMENT READOUT: the full experimentation family composed "
+        "into one long-form table in review order — validity first "
+        "(sample-ratio-mismatch p and flag: if this row is red, stop "
+        "reading), then the effect (binary conversion lift + z, the "
+        "delta-method ratio-metric difference + p), measurement "
+        "efficiency (CUPED variance reduction), robustness (DiD "
+        "estimate with its parallel-trends gap), and targeting value "
+        "(Qini at the top decile). Every row reuses the registered "
+        "constituent's execution and oracle SQL verbatim (the "
+        "capstone composition pattern of dedup_cascade_report / "
+        "eval_scorecard_report), so the readout cannot drift from the "
+        "operators it summarizes; the wall tracks the sum of its six "
+        "constituents, each a bounded-aggregate pass."
+    ),
+    tags=("evals", "experimentation", "report", "capstone"),
+)
+def experiment_readout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    srm = _REGISTRY["sample_ratio_mismatch_check"].builder(spark, sf_dir)
+    lift = _REGISTRY["ab_conversion_lift"].builder(spark, sf_dir)
+    ratio = _REGISTRY["ratio_metric_delta_method"].builder(spark, sf_dir)
+    cuped = _REGISTRY["cuped_variance_reduction"].builder(spark, sf_dir)
+    did = _REGISTRY["diff_in_diff_estimator"].builder(spark, sf_dir)
+    qini = _REGISTRY["qini_curve_deciles"].builder(spark, sf_dir)
+
+    def one(df: DataFrame, metric: str, col) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            (col if not isinstance(col, str) else F.col(col))
+            .cast("double")
+            .alias("value"),
+        )
+
+    rows = [
+        one(srm, "srm_p_value", "p_value"),
+        one(srm, "srm_flag", F.when(F.col("srm_flag"), 1.0).otherwise(0.0)),
+        one(lift, "conversion_abs_lift", "abs_lift"),
+        one(lift, "conversion_z", "z_score"),
+        one(ratio, "ratio_metric_diff", "diff"),
+        one(ratio, "ratio_metric_p", "p_value"),
+        one(cuped, "cuped_var_reduction", "var_reduction"),
+        one(did, "did_estimate", "did_estimate"),
+        one(did, "did_pre_trend_gap", "pre_trend_gap"),
+        qini.agg(
+            F.max(F.when(F.col("decile") == 1, F.col("qini"))).alias("value")
+        ).select(F.lit("qini_top_decile").alias("metric"), "value"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
