@@ -1512,3 +1512,50 @@ def test_experiment_readout_consistent_with_constituents(spark):
     assert rows["did_estimate"] == did.did_estimate
     assert rows["qini_top_decile"] == qini[1]
     assert len(rows) == 10
+
+
+# ---------------------------------------------------------------------------
+# Round-5y: Procrustes drift.
+# ---------------------------------------------------------------------------
+
+
+def test_procrustes_matches_numpy_and_bounds(spark):
+    import numpy as np
+
+    from weather_stream_processor_spark.sources import load_table
+
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+    code = np.where(hi > lo, np.floor((X - lo) / scale + 0.5), 0.0)
+    Y = lo + code * scale
+    M = Y.T @ X
+    U, sig, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    rows = sorted(
+        _run(spark, "embedding_procrustes_drift").collect(), key=lambda r: r.k
+    )
+    assert len(rows) == X.shape[1]
+    for k, r in enumerate(rows):
+        assert abs(r.sigma - round(float(sig[k]), 4)) < 1e-9, k
+    rot_dev = float(np.linalg.norm(R - np.eye(X.shape[1])))
+    resid = float(
+        np.sqrt(max(0.0, (X * X).sum() + (Y * Y).sum() - 2 * sig.sum()))
+        / np.sqrt((X * X).sum())
+    )
+    assert abs(rows[0].rotation_dev - rot_dev) < 1e-5
+    assert abs(rows[0].alignment_residual - resid) < 1e-5
+    # R solves an orthogonal problem; quantization barely rotates the
+    # space and the residual is quantization-noise-sized
+    assert np.allclose(R @ R.T, np.eye(X.shape[1]), atol=1e-8)
+    assert rows[0].rotation_dev < 0.1
+    assert rows[0].alignment_residual < 0.02

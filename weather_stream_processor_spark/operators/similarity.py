@@ -2955,3 +2955,148 @@ def binary_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Orthogonal Procrustes alignment (round-5y): how far has an embedding
+# space rotated/distorted between two versions — measured properly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_procrustes_drift",
+    oracle=None,  # SVD-based: the rotation solve is numpy LAPACK on the
+    # bounded d x d cross-covariance; pytest re-derives the full
+    # procrustes solution in numpy and checks orthogonality + residual
+    # bounds (tests/test_labeling.py)
+    doc=(
+        "ORTHOGONAL PROCRUSTES DRIFT between two versions of the "
+        "embedding space — here the original vectors X and their "
+        "int8-quantized reconstruction Y (the registered quantization "
+        "from embedding_int8_quant_error), the stand-in for 'same "
+        "corpus re-embedded by a new model checkpoint'. R = argmin "
+        "over rotations of ||YR - X||_F solves in closed form from the "
+        "SVD of M = Y^T X; the report gives the singular-value "
+        "spectrum of M (where the alignment energy lives), ||R - I||_F "
+        "(how much the space actually rotated), and the relative "
+        "alignment residual (distortion no rotation can undo — for "
+        "quantization this IS the quantization noise, cross-checked "
+        "against embedding_int8_quant_error's MSE). The 100 TB shape "
+        "is the covariance_spectrum pattern: per-partition numpy "
+        "accumulates the d x d cross-covariance and the two norms "
+        "(mapInPandas, Arrow), shuffle is O(#partitions * d^2), and "
+        "the SVD runs driver-side on the d x d matrix — corpus size "
+        "changes the VALUES, never the solve. Per-dim quantization "
+        "ranges are a bounded 2xd collect broadcast into the workers."
+    ),
+    tags=("similarity", "llm", "quantization", "iterative"),
+)
+def embedding_procrustes_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    ranges = (
+        emb.select(F.posexplode("v").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )  # bounded: one row per dimension
+    d = len(ranges)
+    lo = np.zeros(d)
+    hi = np.zeros(d)
+    for r in ranges:
+        lo[r.i] = r.lo
+        hi[r.i] = r.hi
+    scale = np.where(hi > lo, (hi - lo) / 255.0, 1.0)
+
+    part_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("m", DoubleType()),
+            StructField("xx", DoubleType()),
+            StructField("yy", DoubleType()),
+        ]
+    )
+
+    def local_cross(batches):
+        M = np.zeros((d, d))
+        xx = yy = 0.0
+        seen = False
+        for pdf in batches:
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            seen = True
+            code = np.where(
+                hi > lo, np.floor((X - lo) / scale + 0.5), 0.0
+            )
+            Y = lo + code * scale
+            M += Y.T @ X
+            xx += float((X * X).sum())
+            yy += float((Y * Y).sum())
+        if not seen:
+            return
+        ii, jj = np.meshgrid(range(d), range(d), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype(np.int64),
+                "j": jj.ravel().astype(np.int64),
+                "m": M.ravel(),
+                "xx": np.full(d * d, xx / (d * d)),
+                "yy": np.full(d * d, yy / (d * d)),
+            }
+        )
+
+    partials = spread(emb, "vec_id").mapInPandas(local_cross, schema=part_schema)
+    agg = (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("m").alias("m"),
+            F.sum("xx").alias("xx"),
+            F.sum("yy").alias("yy"),
+        )
+        .collect()
+    )  # bounded: d^2 rows
+    M = np.zeros((d, d))
+    xx = yy = 0.0
+    for r in agg:
+        M[int(r.i), int(r.j)] = r.m
+    # the per-cell xx/yy carry the partition totals split over d^2 cells
+    xx = sum(r.xx for r in agg)
+    yy = sum(r.yy for r in agg)
+    U, sig, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    rot_dev = float(np.linalg.norm(R - np.eye(d)))
+    resid2 = max(0.0, xx + yy - 2.0 * float(sig.sum()))
+    resid_rel = float(np.sqrt(resid2) / np.sqrt(xx))
+    energy = np.cumsum(sig) / sig.sum()
+    out = [
+        (
+            k + 1,
+            round(float(sig[k]), 4),
+            round(float(energy[k]), 6),
+            round(rot_dev, 6),
+            round(resid_rel, 6),
+        )
+        for k in range(d)
+    ]
+    schema = StructType(
+        [
+            StructField("k", LongType(), False),
+            StructField("sigma", DoubleType(), False),
+            StructField("cum_energy", DoubleType(), False),
+            StructField("rotation_dev", DoubleType(), False),
+            StructField("alignment_residual", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
