@@ -1559,3 +1559,69 @@ def test_procrustes_matches_numpy_and_bounds(spark):
     assert np.allclose(R @ R.T, np.eye(X.shape[1]), atol=1e-8)
     assert rows[0].rotation_dev < 0.1
     assert rows[0].alignment_residual < 0.02
+
+
+# ---------------------------------------------------------------------------
+# Round-5z: pinball backtest + extreme-value fit.
+# ---------------------------------------------------------------------------
+
+
+def test_pinball_backtest_rederivation(spark):
+    daily = _daily_cents(spark)
+    import datetime
+
+    split = datetime.date(2024, 1, 16)
+    rows = {r.event_type: r for r in _run(spark, "pinball_loss_backtest").collect()}
+    types = sorted({t for t, _ in daily})
+    for et in types:
+        train = sorted(c for (t, d), c in daily.items() if t == et and d < split)
+        test = [c for (t, d), c in daily.items() if t == et and d >= split]
+        qs = {q: train[max(math.ceil(q * len(train)), 1) - 1] for q in (0.1, 0.5, 0.9)}
+        r = rows[et]
+        assert r.n_test_days == len(test)
+        for q, col in ((0.1, "pinball_q10"), (0.5, "pinball_q50"), (0.9, "pinball_q90")):
+            loss = sum(
+                q * (c - qs[q]) if c >= qs[q] else (1 - q) * (qs[q] - c)
+                for c in test
+            ) / len(test) / 100.0
+            assert abs(getattr(r, col) - loss) < 1e-3, (et, q)
+        cov = sum(1 for c in test if qs[0.1] <= c <= qs[0.9]) / len(test)
+        assert abs(r.coverage_80 - cov) < 1e-4
+        # pinball at the median is always <= half the MAE-minimizing
+        # bound; sanity: losses are non-negative
+        assert r.pinball_q10 >= 0 and r.pinball_q90 >= 0
+
+
+def test_extreme_value_fit_rederivation(spark):
+    from weather_stream_processor_spark.sources import load_table
+
+    cents = [
+        round(float(r.o_totalprice) * 100)
+        for r in load_table(spark, SF_SMOKE, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    n = len(cents)
+    grid = Counter(c // 10000 for c in cents)
+    cum = 0
+    u = None
+    for b in sorted(grid):
+        cum += grid[b]
+        if cum >= 0.95 * n:
+            u = b * 10000
+            break
+    exc = [(c - u) / 100.0 for c in cents if c > u]
+    k = len(exc)
+    m = sum(exc) / k
+    v = sum(y * y for y in exc) / k - m * m
+    xi = (1 - m * m / v) / 2
+    sigma = m * (1 - xi)
+    rl = u / 100.0 + sigma / xi * ((k / n / 0.001) ** xi - 1)
+    row = _run(spark, "extreme_value_tail_fit").collect()[0]
+    assert row.n == n and row.n_exceed == k
+    assert abs(row.threshold - u / 100.0) < 1e-9
+    assert abs(row.xi - xi) < 1e-5
+    assert abs(row.sigma - sigma) < 0.02
+    assert abs(row.return_level_p001 - rl) < 0.5
+    # the extrapolated 1-in-1000 level must sit above the threshold
+    assert row.return_level_p001 > row.threshold

@@ -1939,3 +1939,131 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peaks-over-threshold extreme-value fit (round-5z).
+# ---------------------------------------------------------------------------
+
+_POT_Q = 0.95
+_POT_BUCKET = 10000  # cents -> $100 buckets for the threshold grid
+_POT_P = 0.001  # return level: the 1-in-1000 order
+
+
+@register(
+    "extreme_value_tail_fit",
+    oracle=f"""
+        WITH cents_t AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        grid AS (
+            SELECT cents // {_POT_BUCKET} AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cents_t GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM grid),
+        thr AS (
+            SELECT MIN(b * {_POT_BUCKET}) AS u
+            FROM (
+                SELECT b,
+                       SUM(cnt) OVER (ORDER BY b
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+                FROM grid
+            ) g CROSS JOIN tot t
+            WHERE g.cum >= {_POT_Q} * t.n
+        ),
+        exc AS (
+            SELECT (c.cents - t.u) / 100.0 AS y
+            FROM cents_t c CROSS JOIN thr t
+            WHERE c.cents > t.u
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(y) / COUNT(*) AS m,
+                   SUM(y * y) / COUNT(*)
+                   - (SUM(y) / COUNT(*)) * (SUM(y) / COUNT(*)) AS v
+            FROM exc
+        )
+        SELECT t2.n, thr.u / 100.0 AS threshold, mom.k AS n_exceed,
+               ROUND((1.0 - mom.m * mom.m / mom.v) / 2.0, 6) AS xi,
+               ROUND(mom.m * (1.0 - (1.0 - mom.m * mom.m / mom.v) / 2.0), 2)
+                   AS sigma,
+               ROUND(thr.u / 100.0
+                     + (mom.m * (1.0 - (1.0 - mom.m * mom.m / mom.v) / 2.0))
+                       / ((1.0 - mom.m * mom.m / mom.v) / 2.0)
+                       * (POWER((mom.k * 1.0 / t2.n) / {_POT_P},
+                                (1.0 - mom.m * mom.m / mom.v) / 2.0) - 1.0),
+                     2) AS return_level_p001
+        FROM mom CROSS JOIN thr CROSS JOIN tot t2
+    """,
+    doc=(
+        f"PEAKS-OVER-THRESHOLD EXTREME-VALUE FIT of order values: "
+        f"exceedances over the bucketed P{int(_POT_Q * 100)} threshold "
+        "fit a Generalized Pareto by METHOD OF MOMENTS (xi = "
+        "(1 - mean^2/var)/2, sigma = mean(1 - xi) — closed forms over "
+        "exact moment sums, no iterative MLE), and the fitted tail "
+        "extrapolates the 1-in-1000 RETURN LEVEL x_p = u + sigma/xi * "
+        "((lambda/p)^xi - 1) — the 'how big an order should capacity "
+        "planning survive' number that empirical quantiles cannot give "
+        "beyond the observed range. The threshold comes from a "
+        "cumulative count over the $100-bucket grid (bounded, the KS "
+        "convention), exceedances stay exact cents, and every output "
+        "derives from one moment aggregate — hash-exact. At 100 TB the "
+        "two passes (grid, exceedance moments) are the only scans."
+    ),
+    tags=("aggregation", "statistics", "quality"),
+)
+def extreme_value_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(cents_c: DataFrame) -> DataFrame:
+        grid = cents_c.groupBy(
+            F.floor(F.col("cents") / _POT_BUCKET).cast("bigint").alias("b")
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        tot = grid.agg(F.sum("cnt").cast("bigint").alias("n"))
+        w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        cum = grid.select("b", F.sum("cnt").over(w).alias("cum")).crossJoin(
+            F.broadcast(tot)
+        )
+        thr = cum.filter(F.col("cum") >= _POT_Q * F.col("n")).agg(
+            F.min(F.col("b") * _POT_BUCKET).alias("u")
+        )
+        exc = cents_c.crossJoin(F.broadcast(thr)).filter(
+            F.col("cents") > F.col("u")
+        ).select(((F.col("cents") - F.col("u")) / F.lit(100.0)).alias("y"))
+        mom = exc.agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            (F.sum("y") / F.count(F.lit(1))).alias("m"),
+            (
+                F.sum(F.col("y") * F.col("y")) / F.count(F.lit(1))
+                - (F.sum("y") / F.count(F.lit(1)))
+                * (F.sum("y") / F.count(F.lit(1)))
+            ).alias("v"),
+        )
+        xi = (F.lit(1.0) - F.col("m") * F.col("m") / F.col("v")) / F.lit(2.0)
+        sigma = F.col("m") * (F.lit(1.0) - xi)
+        lam = F.col("k") * F.lit(1.0) / F.col("n")
+        rl = F.col("u") / F.lit(100.0) + sigma / xi * (
+            F.pow(lam / F.lit(_POT_P), xi) - F.lit(1.0)
+        )
+        return (
+            mom.crossJoin(F.broadcast(thr))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "n",
+                (F.col("u") / F.lit(100.0)).alias("threshold"),
+                F.col("k").alias("n_exceed"),
+                F.round(xi, 6).alias("xi"),
+                F.round(sigma, 2).alias("sigma"),
+                F.round(rl, 2).alias("return_level_p001"),
+            )
+        )
+
+    return persisted_result(o, build)

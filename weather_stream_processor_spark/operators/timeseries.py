@@ -2265,3 +2265,138 @@ def longest_updays_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5z: pinball-loss quantile backtest.
+# ---------------------------------------------------------------------------
+
+_PINBALL_SPLIT = "2024-01-16"
+_PINBALL_QS = (0.1, 0.5, 0.9)
+
+
+@register(
+    "pinball_loss_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        train AS (
+            SELECT event_type, cents FROM daily
+            WHERE day < TIMESTAMP '{_PINBALL_SPLIT}'
+        ),
+        qs AS (
+            SELECT event_type,
+                   CAST(quantile_disc(cents, 0.1) AS BIGINT) AS q10,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS q50,
+                   CAST(quantile_disc(cents, 0.9) AS BIGINT) AS q90
+            FROM train GROUP BY event_type
+        ),
+        test AS (
+            SELECT event_type, cents FROM daily
+            WHERE day >= TIMESTAMP '{_PINBALL_SPLIT}'
+        ),
+        loss AS (
+            SELECT t.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_test_days,
+                   SUM(CASE WHEN t.cents >= q.q10
+                            THEN 0.1 * (t.cents - q.q10)
+                            ELSE 0.9 * (q.q10 - t.cents) END) / COUNT(*)
+                       / 100.0 AS pinball_q10,
+                   SUM(CASE WHEN t.cents >= q.q50
+                            THEN 0.5 * (t.cents - q.q50)
+                            ELSE 0.5 * (q.q50 - t.cents) END) / COUNT(*)
+                       / 100.0 AS pinball_q50,
+                   SUM(CASE WHEN t.cents >= q.q90
+                            THEN 0.9 * (t.cents - q.q90)
+                            ELSE 0.1 * (q.q90 - t.cents) END) / COUNT(*)
+                       / 100.0 AS pinball_q90,
+                   SUM(CASE WHEN t.cents <= q.q90 AND t.cents >= q.q10
+                            THEN 1.0 ELSE 0 END) / COUNT(*) AS coverage_80
+            FROM test t JOIN qs q USING (event_type)
+            GROUP BY t.event_type
+        )
+        SELECT event_type, n_test_days,
+               ROUND(pinball_q10, 4) AS pinball_q10,
+               ROUND(pinball_q50, 4) AS pinball_q50,
+               ROUND(pinball_q90, 4) AS pinball_q90,
+               ROUND(coverage_80, 4) AS coverage_80
+        FROM loss
+    """,
+    doc=(
+        "PINBALL-LOSS QUANTILE BACKTEST: per event_type, constant "
+        "q10/q50/q90 forecasts fitted on the pre-split training days "
+        "(exact discrete quantiles of integer daily cents, tie "
+        "convention pinned by quantile_disc <-> the cumulative-count "
+        "selection) are scored on the held-out days with the PINBALL "
+        "(quantile) loss — the proper scoring rule for quantile "
+        "forecasts that MAE/RMSE cannot replace (it is minimized "
+        "exactly by the true quantile), plus the empirical 80% "
+        "interval coverage. Completes the forecast-eval story next to "
+        "seasonal_naive_backtest (point forecasts) and "
+        "conformal_interval_coverage (calibrated intervals). All "
+        "arithmetic is exact integer cents scaled once at the end; the "
+        "day grid bounds every window."
+    ),
+    tags=("timeseries", "statistics", "evals"),
+)
+def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_PINBALL_SPLIT).cast("timestamp")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    train = daily.filter(F.col("day") < split)
+    # exact discrete quantiles via sorted-array selection on the bounded
+    # per-type day list (<= day-span values per type)
+    qs = train.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("cents")).alias("xs")
+    )
+
+    def qsel(q: float):
+        # quantile_disc convention: element at ceil(q * n) (1-based)
+        n = F.size("xs")
+        idx = F.greatest(F.ceil(q * n), F.lit(1)).cast("int")
+        return F.element_at("xs", idx).cast("bigint")
+
+    qs = qs.select(
+        "event_type",
+        qsel(0.1).alias("q10"),
+        qsel(0.5).alias("q50"),
+        qsel(0.9).alias("q90"),
+    )
+    test = daily.filter(F.col("day") >= split)
+
+    def pinball(q: float, qcol: str):
+        c, qq = F.col("cents"), F.col(qcol)
+        return F.sum(
+            F.when(c >= qq, F.lit(q) * (c - qq)).otherwise(
+                F.lit(1.0 - q) * (qq - c)
+            )
+        ) / F.count(F.lit(1)) / F.lit(100.0)
+
+    loss = test.join(F.broadcast(qs), "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test_days"),
+        F.round(pinball(0.1, "q10"), 4).alias("pinball_q10"),
+        F.round(pinball(0.5, "q50"), 4).alias("pinball_q50"),
+        F.round(pinball(0.9, "q90"), 4).alias("pinball_q90"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("cents") <= F.col("q90"))
+                    & (F.col("cents") >= F.col("q10")),
+                    F.lit(1.0),
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("coverage_80"),
+    )
+    return loss
