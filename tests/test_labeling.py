@@ -1625,3 +1625,18 @@ def test_extreme_value_fit_rederivation(spark):
     assert abs(row.return_level_p001 - rl) < 0.5
     # the extrapolated 1-in-1000 level must sit above the threshold
     assert row.return_level_p001 > row.threshold
+
+
+def test_drift_panel_consistent_with_constituents(spark):
+    rows = {r.metric: r.value for r in _run(spark, "drift_panel_report").collect()}
+    ks = _run(spark, "ks_drift_two_sample").collect()[0]
+    w1 = _run(spark, "wasserstein_drift_1d").collect()[0]
+    mwu = _run(spark, "mann_whitney_u_test").collect()[0]
+    psi_total = sum(r.psi_term for r in _run(spark, "psi_feature_drift").collect())
+    kl_total = sum(r.kl_term for r in _run(spark, "mixture_drift_kl").collect())
+    assert rows["ks_stat"] == ks.ks_stat
+    assert rows["w1_distance"] == w1.w1_distance
+    assert rows["mwu_z"] == mwu.z_score and rows["mwu_p"] == mwu.p_value
+    assert abs(rows["psi_total"] - psi_total) < 1e-9
+    assert abs(rows["kl_divergence"] - kl_total) < 1e-9
+    assert len(rows) == 9

@@ -649,3 +649,88 @@ def experiment_readout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Drift panel (round-5z+): the five drift detectors composed into the one
+# monitoring table a data-quality dashboard renders.
+# ---------------------------------------------------------------------------
+
+
+def _drift_panel_oracle() -> str:
+    psi = _REGISTRY["psi_feature_drift"].oracle
+    ks = _REGISTRY["ks_drift_two_sample"].oracle
+    w1 = _REGISTRY["wasserstein_drift_1d"].oracle
+    chi = _REGISTRY["lang_source_chi_square"].oracle
+    mwu = _REGISTRY["mann_whitney_u_test"].oracle
+    kl = _REGISTRY["mixture_drift_kl"].oracle
+    return f"""
+        SELECT 'psi_total' AS metric, SUM(psi_term) AS value FROM ({psi})
+        UNION ALL SELECT 'ks_stat', ks_stat FROM ({ks})
+        UNION ALL SELECT 'ks_drifted',
+                         CASE WHEN drifted THEN 1.0 ELSE 0.0 END FROM ({ks})
+        UNION ALL SELECT 'w1_distance', w1_distance FROM ({w1})
+        UNION ALL SELECT 'chi_square', chi_square FROM ({chi})
+        UNION ALL SELECT 'cramers_v', cramers_v FROM ({chi})
+        UNION ALL SELECT 'mwu_z', z_score FROM ({mwu})
+        UNION ALL SELECT 'mwu_p', p_value FROM ({mwu})
+        UNION ALL SELECT 'kl_divergence', SUM(kl_term) FROM ({kl})
+    """
+
+
+@register(
+    "drift_panel_report",
+    oracle=_drift_panel_oracle(),
+    doc=(
+        "DRIFT PANEL: the repo's five drift detectors composed into one "
+        "long-form monitoring table — PSI (binned share shift), KS "
+        "(CDF sup gap + its alpha=.05 call), 1-D Wasserstein (CDF "
+        "integral with real widths), chi-square + Cramer's V "
+        "(categorical association), Mann-Whitney z/p (rank location "
+        "shift), and the sample-vs-corpus KL divergence — each "
+        "detector blind to shifts another catches (PSI misses "
+        "mass-preserving shape shifts, KS under-weights tails, rank "
+        "tests ignore scale), which is why production monitors run the "
+        "panel, not a favorite. Every row reuses the registered "
+        "constituent's execution and oracle SQL verbatim (the capstone "
+        "composition pattern); per-bucket detectors (PSI, KL) fold to "
+        "their total with the same SUM the metric definition "
+        "prescribes."
+    ),
+    tags=("sampling", "drift", "report", "capstone", "quality"),
+)
+def drift_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    psi = _REGISTRY["psi_feature_drift"].builder(spark, sf_dir)
+    ks = _REGISTRY["ks_drift_two_sample"].builder(spark, sf_dir)
+    w1 = _REGISTRY["wasserstein_drift_1d"].builder(spark, sf_dir)
+    chi = _REGISTRY["lang_source_chi_square"].builder(spark, sf_dir)
+    mwu = _REGISTRY["mann_whitney_u_test"].builder(spark, sf_dir)
+    kl = _REGISTRY["mixture_drift_kl"].builder(spark, sf_dir)
+
+    def one(df: DataFrame, metric: str, col) -> DataFrame:
+        return df.select(
+            F.lit(metric).alias("metric"),
+            (col if not isinstance(col, str) else F.col(col))
+            .cast("double")
+            .alias("value"),
+        )
+
+    rows = [
+        psi.agg(F.sum("psi_term").alias("value")).select(
+            F.lit("psi_total").alias("metric"), "value"
+        ),
+        one(ks, "ks_stat", "ks_stat"),
+        one(ks, "ks_drifted", F.when(F.col("drifted"), 1.0).otherwise(0.0)),
+        one(w1, "w1_distance", "w1_distance"),
+        one(chi, "chi_square", "chi_square"),
+        one(chi, "cramers_v", "cramers_v"),
+        one(mwu, "mwu_z", "z_score"),
+        one(mwu, "mwu_p", "p_value"),
+        kl.agg(F.sum("kl_term").alias("value")).select(
+            F.lit("kl_divergence").alias("metric"), "value"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
