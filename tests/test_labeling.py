@@ -1640,3 +1640,60 @@ def test_drift_panel_consistent_with_constituents(spark):
     assert abs(rows["psi_total"] - psi_total) < 1e-9
     assert abs(rows["kl_divergence"] - kl_total) < 1e-9
     assert len(rows) == 9
+
+
+# ---------------------------------------------------------------------------
+# Round-6a: Mann-Kendall + capture-recapture.
+# ---------------------------------------------------------------------------
+
+
+def test_mann_kendall_rederivation(spark):
+    daily = _daily_cents(spark)
+    types = sorted({t for t, _ in daily})
+    rows = {r.event_type: r for r in _run(spark, "mann_kendall_trend").collect()}
+    for et in types:
+        series = [daily[(et, d)] for d in sorted(d for t, d in daily if t == et)]
+        n = len(series)
+        s = sum(
+            (1 if series[j] > series[i] else (-1 if series[j] < series[i] else 0))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = Counter(series)
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var_s = (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = (
+            (s - 1) / math.sqrt(var_s)
+            if s > 0
+            else ((s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+        )
+        r = rows[et]
+        assert r.n_days == n
+        assert r.mk_s == s, et
+        assert abs(r.z_score - z) < 1e-6
+        assert r.increasing == (z > 0)
+        assert 0.0 <= r.p_value <= 1.0
+
+
+def test_capture_recapture_consistency(spark):
+    """Chapman estimate must match the closed form of the two tiers'
+    catch counts, and bound the union from above (you can't have seen
+    more than exist)."""
+    c1 = {
+        (r.doc_a, r.doc_b)
+        for r in _run(spark, "ngram_jaccard_pairs").select("doc_a", "doc_b").collect()
+    }
+    c2 = {
+        (r.doc_a, r.doc_b)
+        for r in _run(spark, "simhash_hamming_near_dup")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    m = len(c1 & c2)
+    row = _run(spark, "capture_recapture_dup_estimate").collect()[0]
+    assert row.caught_jaccard == len(c1)
+    assert row.caught_simhash == len(c2)
+    assert row.overlap == m
+    chap = (len(c1) + 1) * (len(c2) + 1) / (m + 1) - 1
+    assert abs(row.chapman_estimate - chap) < 0.01
+    assert row.chapman_estimate >= len(c1 | c2) - 1e-9 or m == min(len(c1), len(c2))

@@ -734,3 +734,86 @@ def drift_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Capture-recapture duplicate estimation (round-6a): how many near-dup
+# pairs exist beyond what any single detector catches.
+# ---------------------------------------------------------------------------
+
+
+def _capture_recapture_oracle() -> str:
+    jac = _REGISTRY["ngram_jaccard_pairs"].oracle
+    sim = _REGISTRY["simhash_hamming_near_dup"].oracle
+    return f"""
+        WITH c1 AS (SELECT DISTINCT doc_a, doc_b FROM ({jac})),
+        c2 AS (SELECT DISTINCT doc_a, doc_b FROM ({sim})),
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+              FROM c1 JOIN c2 USING (doc_a, doc_b)),
+        n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM c1),
+        n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM c2)
+        SELECT n1.n1 AS caught_jaccard, n2.n2 AS caught_simhash, m.m AS overlap,
+               ROUND((n1.n1 + 1.0) * (n2.n2 + 1.0) / (m.m + 1.0) - 1.0, 2)
+                   AS chapman_estimate,
+               ROUND(sqrt((n1.n1 + 1.0) * (n2.n2 + 1.0)
+                          * (n1.n1 - m.m) * (n2.n2 - m.m)
+                          / ((m.m + 1.0) * (m.m + 1.0) * (m.m + 2.0))), 2)
+                   AS chapman_se
+        FROM n1 CROSS JOIN n2 CROSS JOIN m
+    """
+
+
+@register(
+    "capture_recapture_dup_estimate",
+    oracle=_capture_recapture_oracle(),
+    doc=(
+        "CAPTURE-RECAPTURE ESTIMATE of the TRUE near-duplicate pair "
+        "population: the Jaccard tier and the SimHash tier are two "
+        "independent 'survey passes' over the same hidden population "
+        "of near-dup pairs, so the Chapman estimator (n1+1)(n2+1)/"
+        "(m+1) - 1 — Lincoln-Petersen with the small-sample bias "
+        "correction — extrapolates how many pairs EXIST from how the "
+        "two catches overlap, with its standard error. This answers "
+        "the question every dedup report dodges: 'how much did we "
+        "miss?' — a high estimate relative to the union says buy a "
+        "third tier (which is exactly what dedup_cascade_report's "
+        "marginal-catch column then verifies). Both catch sets reuse "
+        "the registered tier operators verbatim; the overlap is one "
+        "pair-keyed join of two bounded candidate sets."
+    ),
+    tags=("dedup", "llm", "statistics", "report"),
+)
+def capture_recapture_dup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c1 = (
+        _REGISTRY["ngram_jaccard_pairs"]
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    c2 = (
+        _REGISTRY["simhash_hamming_near_dup"]
+        .builder(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    m = c1.join(c2, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    n1 = c1.agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
+    n2 = c2.agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
+    j = n1.crossJoin(n2).crossJoin(m)
+    chap = (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0
+    se = F.sqrt(
+        (F.col("n1") + 1.0)
+        * (F.col("n2") + 1.0)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / ((F.col("m") + 1.0) * (F.col("m") + 1.0) * (F.col("m") + 2.0))
+    )
+    return j.select(
+        F.col("n1").alias("caught_jaccard"),
+        F.col("n2").alias("caught_simhash"),
+        F.col("m").alias("overlap"),
+        F.round(chap, 2).alias("chapman_estimate"),
+        F.round(se, 2).alias("chapman_se"),
+    )

@@ -9,6 +9,8 @@ broadcast, never a driver-side loop, so the same plan holds at any scale.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2400,3 +2402,164 @@ def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("coverage_80"),
     )
     return loss
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round-6a): the significance partner of the
+# Theil-Sen slope.
+# ---------------------------------------------------------------------------
+
+# shared A&S tail constants (house convention; see mann_whitney_u_test)
+_MK_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_MK_AS_P = 0.2316419
+
+
+def _mk_sf_sql(z: str) -> str:
+    t = f"(1.0 / (1.0 + {_MK_AS_P} * {z}))"
+    poly = (
+        f"({t} * ({_MK_AS_B[0]} + {t} * ({_MK_AS_B[1]} + {t} * ({_MK_AS_B[2]}"
+        f" + {t} * ({_MK_AS_B[3]} + {t} * {_MK_AS_B[4]})))))"
+    )
+    return f"(exp(-({z}) * ({z}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                 WHEN b.cents < a.cents THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND b.day > a.day
+            GROUP BY a.event_type
+        ),
+        counts AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t3t) AS BIGINT) AS tie_term
+            FROM (
+                SELECT event_type, cents,
+                       COUNT(*) * (COUNT(*) - 1) * (2 * COUNT(*) + 5) AS t3t
+                FROM daily GROUP BY event_type, cents
+            ) g
+            GROUP BY event_type
+        ),
+        stat AS (
+            SELECT p.event_type, p.s, c.n,
+                   (c.n * (c.n - 1.0) * (2.0 * c.n + 5.0) - c.tie_term)
+                   / 18.0 AS var_s
+            FROM pairs p JOIN counts c USING (event_type)
+        ),
+        z AS (
+            SELECT event_type, s, n, var_s,
+                   CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                        WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                        ELSE 0.0 END AS z
+            FROM stat
+        )
+        SELECT event_type, n AS n_days, s AS mk_s,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {_mk_sf_sql("abs(z)")}, 6) AS p_value,
+               z > 0 AS increasing
+        FROM z
+    """,
+    doc=(
+        "MANN-KENDALL TREND TEST per event_type on the daily value "
+        "series: S = sum over day pairs of sign(x_later - x_earlier), "
+        "tie-corrected variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, "
+        "continuity-corrected z, two-sided p via the shared A&S tail — "
+        "the distribution-free 'is there a monotonic trend AT ALL' "
+        "test that partners theilsen_trend_by_user's slope estimate "
+        "with its significance (slope says how steep; MK says whether "
+        "to believe it). The pair sum runs as a self-join over the "
+        "BOUNDED day grid per type (day-span^2 tuples, a constant of "
+        "the observation window, never of row count); every quantity "
+        "is an exact bigint until z. Integer cents make sign() exact."
+    ),
+    tags=("timeseries", "statistics", "quality"),
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("da"),
+        F.col("cents").alias("ca"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("day").alias("db"),
+        F.col("cents").alias("cb"),
+    )
+    pairs = (
+        a.join(b, "et")
+        .filter(F.col("db") > F.col("da"))
+        .groupBy("et")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    counts = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("t").cast("bigint").alias("n"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    j = pairs.withColumnRenamed("et", "event_type").join(counts, "event_type")
+    n = F.col("n")
+    var_s = (n * (n - 1.0) * (2.0 * n + 5.0) - F.col("tie_term")) / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    az = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_MK_AS_P) * az)
+    poly = t * (
+        F.lit(_MK_AS_B[0])
+        + t
+        * (
+            F.lit(_MK_AS_B[1])
+            + t * (F.lit(_MK_AS_B[2]) + t * (F.lit(_MK_AS_B[3]) + t * F.lit(_MK_AS_B[4])))
+        )
+    )
+    p = (
+        F.lit(2.0)
+        * F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+        * poly
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("mk_s"),
+        F.round(z, 6).alias("z_score"),
+        F.round(p, 6).alias("p_value"),
+        (z > 0).alias("increasing"),
+    )
