@@ -1697,3 +1697,77 @@ def test_capture_recapture_consistency(spark):
     chap = (len(c1) + 1) * (len(c2) + 1) / (m + 1) - 1
     assert abs(row.chapman_estimate - chap) < 0.01
     assert row.chapman_estimate >= len(c1 | c2) - 1e-9 or m == min(len(c1), len(c2))
+
+
+# ---------------------------------------------------------------------------
+# Round-6b: TOST, power/MDE, Bayesian readout.
+# ---------------------------------------------------------------------------
+
+
+def _arm_counts(spark):
+    ev = _events(spark)
+    per = defaultdict(lambda: [0, 0])
+    for _, u, _, et, _ in ev:
+        per[u][0] += 1
+        per[u][1] += 1 if et == "purchase" else 0
+    nt = nc = ct = cc = 0
+    for u, (n, p) in per.items():
+        arm = (((u % _MOD) * _KNUTH) >> 16) % 2
+        conv = 1 if p / n >= 0.22 else 0
+        if arm:
+            nt += 1
+            ct += conv
+        else:
+            nc += 1
+            cc += conv
+    return nt, nc, ct, cc
+
+
+def _phi_sf(z):
+    t = 1.0 / (1.0 + 0.2316419 * abs(z))
+    poly = t * (
+        0.319381530
+        + t * (-0.356563782 + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429)))
+    )
+    tail = math.exp(-z * z / 2.0) / math.sqrt(2 * math.pi) * poly
+    return tail if z >= 0 else 1.0 - tail
+
+
+def test_tost_equivalence_rederivation(spark):
+    nt, nc, ct, cc = _arm_counts(spark)
+    pt, pc = ct / nt, cc / nc
+    diff = pt - pc
+    se = math.sqrt(pt * (1 - pt) / nt + pc * (1 - pc) / nc)
+    z_lo, z_hi = (diff + 0.02) / se, (diff - 0.02) / se
+    tost_p = max(_phi_sf(z_lo), _phi_sf(-z_hi))
+    row = _run(spark, "tost_equivalence_test").collect()[0]
+    assert row.n_treat == nt and row.n_ctrl == nc
+    assert abs(row.diff - diff) < 1e-6
+    assert abs(row.tost_p - tost_p) < 1e-6
+    assert row.equivalent == (tost_p < 0.05)
+
+
+def test_power_mde_rederivation(spark):
+    nt, nc, ct, cc = _arm_counts(spark)
+    pt, pc = ct / nt, cc / nc
+    se = math.sqrt(pt * (1 - pt) / nt + pc * (1 - pc) / nc)
+    mde = (1.959963984540054 + 0.8416212335729143) * se
+    row = _run(spark, "ab_power_mde").collect()[0]
+    assert abs(row.mde_abs - mde) < 1e-6
+    assert abs(row.mde_rel - mde / pc) < 1e-6
+    # an experiment can never detect less than ~2.8 standard errors
+    assert row.mde_abs > 2.5 * row.se_diff
+
+
+def test_bayesian_ab_rederivation(spark):
+    nt, nc, ct, cc = _arm_counts(spark)
+    mt, mc = (ct + 1) / (nt + 2), (cc + 1) / (nc + 2)
+    vt = (ct + 1) * (nt - ct + 1) / ((nt + 2) ** 2 * (nt + 3))
+    vc = (cc + 1) * (nc - cc + 1) / ((nc + 2) ** 2 * (nc + 3))
+    z = (mt - mc) / math.sqrt(vt + vc)
+    p_better = _phi_sf(z)
+    row = _run(spark, "bayesian_ab_probability").collect()[0]
+    assert abs(row.posterior_treat - mt) < 1e-6
+    assert abs(row.p_treat_better - p_better) < 1e-6
+    # the two tails are complementary
+    assert abs(row.p_treat_better + row.p_treat_worse - 1.0) < 2e-6

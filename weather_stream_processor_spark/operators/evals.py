@@ -2505,3 +2505,321 @@ def sample_ratio_mismatch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_value"),
         (p < 0.001).alias("srm_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6b: the remaining experiment-inference lenses — equivalence
+# (TOST), sensitivity (power/MDE), and the Bayesian posterior read.
+# ---------------------------------------------------------------------------
+
+def _sf_signed_sql(z: str) -> str:
+    """Upper-tail P(Z > z) for ANY sign of z: the A&S polynomial on |z|,
+    reflected for negative arguments — the SQL twin of the Spark-side
+    CASE both TOST and the Bayesian readout use."""
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN {_fdr_sf_sql(f'abs({z})')} "
+        f"ELSE 1.0 - {_fdr_sf_sql(f'abs({z})')} END)"
+    )
+
+
+_TOST_MARGIN = 0.02  # equivalence margin on conversion rate
+_Z_975 = 1.959963984540054  # Phi^-1(0.975), literal on both engines
+_Z_80 = 0.8416212335729143  # Phi^-1(0.80)
+
+
+def _arm_rates_sql() -> str:
+    return f"""
+        arms AS (
+            SELECT user_id, {_ARM_SQL} AS arm,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                             >= {_CONV_SHARE}
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        per_arm AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_conv
+            FROM arms GROUP BY arm
+        ),
+        wide AS (
+            SELECT MAX(CASE WHEN arm = 1 THEN n_users END) AS nt,
+                   MAX(CASE WHEN arm = 0 THEN n_users END) AS nc,
+                   MAX(CASE WHEN arm = 1 THEN n_conv END) AS ct,
+                   MAX(CASE WHEN arm = 0 THEN n_conv END) AS cc
+            FROM per_arm
+        ),
+        se AS (
+            SELECT nt, nc, ct, cc,
+                   ct * 1.0 / nt - cc * 1.0 / nc AS diff,
+                   sqrt((ct * 1.0 / nt) * (1.0 - ct * 1.0 / nt) / nt
+                        + (cc * 1.0 / nc) * (1.0 - cc * 1.0 / nc) / nc)
+                       AS se
+            FROM wide
+        )
+    """
+
+
+@register(
+    "tost_equivalence_test",
+    oracle=f"""
+        WITH {_arm_rates_sql()}
+        SELECT nt AS n_treat, nc AS n_ctrl,
+               ROUND(diff, 6) AS diff,
+               ROUND(se, 6) AS se,
+               ROUND((diff + {_TOST_MARGIN}) / se, 6) AS z_lower,
+               ROUND((diff - {_TOST_MARGIN}) / se, 6) AS z_upper,
+               ROUND(GREATEST(
+                   {_sf_signed_sql(f"((diff + {_TOST_MARGIN}) / se)")},
+                   {_sf_signed_sql(f"(-((diff - {_TOST_MARGIN}) / se))")}
+               ), 6) AS tost_p,
+               GREATEST(
+                   {_sf_signed_sql(f"((diff + {_TOST_MARGIN}) / se)")},
+                   {_sf_signed_sql(f"(-((diff - {_TOST_MARGIN}) / se))")}
+               ) < 0.05 AS equivalent
+        FROM se
+    """,
+    doc=(
+        f"TOST EQUIVALENCE TEST (two one-sided tests, margin +/-"
+        f"{_TOST_MARGIN}): the inference a no-regression launch "
+        "actually needs — 'prove the treatment is NOT worse (or "
+        "better) by more than the margin', which a non-significant "
+        "difference test can never establish (absence of evidence). "
+        "Both one-sided z's against the margin bounds, tost_p = the "
+        "larger one-sided p, equivalence declared when it clears 0.05 "
+        "— i.e. the 90% CI sits inside the margin. Same per-user/"
+        "per-arm reduction as ab_conversion_lift (exact integer "
+        "counts), p's via the shared A&S tail; the upper-tail p uses "
+        "the 1 - sf(-z) identity so both engines evaluate the one "
+        "literal polynomial."
+    ),
+    tags=("evals", "experimentation", "statistics"),
+)
+def tost_equivalence_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.any_value(_arm(F.col("user_id"))).alias("arm"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("nt"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("nc"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("ct"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("cc"),
+    )
+    pt = F.col("ct") * F.lit(1.0) / F.col("nt")
+    pc = F.col("cc") * F.lit(1.0) / F.col("nc")
+    diff = pt - pc
+    se = F.sqrt(pt * (1.0 - pt) / F.col("nt") + pc * (1.0 - pc) / F.col("nc"))
+
+    def sf(zc):
+        az = zc  # caller passes the value whose tail we want (can be <0)
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * F.abs(az))
+        poly = t * (
+            F.lit(_FDR_AS_B[0])
+            + t
+            * (
+                F.lit(_FDR_AS_B[1])
+                + t * (F.lit(_FDR_AS_B[2]) + t * (F.lit(_FDR_AS_B[3]) + t * F.lit(_FDR_AS_B[4])))
+            )
+        )
+        tail = (
+            F.exp(-az * az / F.lit(2.0))
+            / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+            * poly
+        )
+        # A&S gives the upper tail for z>=0; reflect for z<0
+        return F.when(az >= 0, tail).otherwise(F.lit(1.0) - tail)
+
+    z_lo = (diff + _TOST_MARGIN) / se
+    z_hi = (diff - _TOST_MARGIN) / se
+    # H0_lower: diff <= -margin -> reject when z_lo large: p = sf(z_lo)
+    # H0_upper: diff >= +margin -> reject when z_hi small: p = 1 - sf(z_hi)
+    tost_p = F.greatest(sf(z_lo), F.lit(1.0) - sf(z_hi))
+    return wide.select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.round(diff, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(z_lo, 6).alias("z_lower"),
+        F.round(z_hi, 6).alias("z_upper"),
+        F.round(tost_p, 6).alias("tost_p"),
+        (tost_p < 0.05).alias("equivalent"),
+    )
+
+
+@register(
+    "ab_power_mde",
+    oracle=f"""
+        WITH {_arm_rates_sql()}
+        SELECT nt AS n_treat, nc AS n_ctrl,
+               ROUND(se, 6) AS se_diff,
+               ROUND(({_Z_975} + {_Z_80}) * se, 6) AS mde_abs,
+               ROUND(({_Z_975} + {_Z_80}) * se / (cc * 1.0 / nc), 6)
+                   AS mde_rel,
+               ROUND(cc * 1.0 / nc, 6) AS baseline_rate
+        FROM se
+    """,
+    doc=(
+        "POWER / MINIMUM-DETECTABLE-EFFECT for the running experiment: "
+        "with the observed arm sizes and rate variance, the smallest "
+        "true lift detectable at alpha=.05 (two-sided) and 80% power, "
+        "MDE = (z_.975 + z_.80) * SE_diff — absolute and relative to "
+        "the control baseline. The sizing sanity check read BEFORE "
+        "celebrating a null result ('we could never have seen less "
+        "than X anyway') and the planning number for how much longer "
+        "to run. The z quantiles are literal constants (both engines "
+        "have no probit); everything else is the exact-count SE from "
+        "the shared arm reduction."
+    ),
+    tags=("evals", "experimentation", "statistics"),
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.any_value(_arm(F.col("user_id"))).alias("arm"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("nt"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("nc"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("ct"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("cc"),
+    )
+    pt = F.col("ct") * F.lit(1.0) / F.col("nt")
+    pc = F.col("cc") * F.lit(1.0) / F.col("nc")
+    se = F.sqrt(pt * (1.0 - pt) / F.col("nt") + pc * (1.0 - pc) / F.col("nc"))
+    mde = F.lit(_Z_975 + _Z_80) * se
+    return wide.select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.round(se, 6).alias("se_diff"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / pc, 6).alias("mde_rel"),
+        F.round(pc, 6).alias("baseline_rate"),
+    )
+
+
+@register(
+    "bayesian_ab_probability",
+    oracle=f"""
+        WITH {_arm_rates_sql()}
+        SELECT nt AS n_treat, nc AS n_ctrl,
+               ROUND((ct + 1.0) / (nt + 2.0), 6) AS posterior_treat,
+               ROUND((cc + 1.0) / (nc + 2.0), 6) AS posterior_ctrl,
+               ROUND(1.0 - {_sf_signed_sql(
+                   "(((ct + 1.0) / (nt + 2.0) - (cc + 1.0) / (nc + 2.0))"
+                   " / sqrt((ct + 1.0) * (nt - ct + 1.0)"
+                   "        / ((nt + 2.0) * (nt + 2.0) * (nt + 3.0))"
+                   "        + (cc + 1.0) * (nc - cc + 1.0)"
+                   "          / ((nc + 2.0) * (nc + 2.0) * (nc + 3.0))))"
+               )}, 6) AS p_treat_worse,
+               ROUND({_sf_signed_sql(
+                   "(((ct + 1.0) / (nt + 2.0) - (cc + 1.0) / (nc + 2.0))"
+                   " / sqrt((ct + 1.0) * (nt - ct + 1.0)"
+                   "        / ((nt + 2.0) * (nt + 2.0) * (nt + 3.0))"
+                   "        + (cc + 1.0) * (nc - cc + 1.0)"
+                   "          / ((nc + 2.0) * (nc + 2.0) * (nc + 3.0))))"
+               )}, 6) AS p_treat_better
+        FROM se
+    """,
+    doc=(
+        "BAYESIAN A/B READOUT: Beta(1,1)-prior posteriors per arm "
+        "(posterior mean (c+1)/(n+2)) and P(treatment > control) under "
+        "the normal approximation of the posterior difference (exact "
+        "Beta means/variances, the approximation every dashboard "
+        "ships; the exact Beta integral needs incomplete-Beta neither "
+        "engine has) — the decision-friendly complement to the "
+        "frequentist z: 'there is a 97% chance treatment is better' "
+        "is the sentence stakeholders act on, and the probability is "
+        "monotone in the same z the lift test computes, so the two "
+        "lenses can never disagree on direction. Exact integer counts "
+        "-> closed-form posterior moments -> the shared A&S tail. "
+        "NOTE the sf(z) asymmetry: p_better = sf(z) needs z's sign "
+        "handled, which the reflected-tail CASE does identically on "
+        "both engines."
+    ),
+    tags=("evals", "experimentation", "statistics"),
+)
+def bayesian_ab_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.any_value(_arm(F.col("user_id"))).alias("arm"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = per_arm.agg(
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("nt"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("nc"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_conv"))).alias("ct"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_conv"))).alias("cc"),
+    )
+    mt = (F.col("ct") + 1.0) / (F.col("nt") + 2.0)
+    mc = (F.col("cc") + 1.0) / (F.col("nc") + 2.0)
+    vt = (
+        (F.col("ct") + 1.0)
+        * (F.col("nt") - F.col("ct") + 1.0)
+        / ((F.col("nt") + 2.0) * (F.col("nt") + 2.0) * (F.col("nt") + 3.0))
+    )
+    vc = (
+        (F.col("cc") + 1.0)
+        * (F.col("nc") - F.col("cc") + 1.0)
+        / ((F.col("nc") + 2.0) * (F.col("nc") + 2.0) * (F.col("nc") + 3.0))
+    )
+    z = (mt - mc) / F.sqrt(vt + vc)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * F.abs(z))
+    poly = t * (
+        F.lit(_FDR_AS_B[0])
+        + t
+        * (
+            F.lit(_FDR_AS_B[1])
+            + t * (F.lit(_FDR_AS_B[2]) + t * (F.lit(_FDR_AS_B[3]) + t * F.lit(_FDR_AS_B[4])))
+        )
+    )
+    tail = (
+        F.exp(-z * z / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi)) * poly
+    )
+    sf_z = F.when(z >= 0, tail).otherwise(F.lit(1.0) - tail)
+    return wide.select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_ctrl"),
+        F.round(mt, 6).alias("posterior_treat"),
+        F.round(mc, 6).alias("posterior_ctrl"),
+        F.round(F.lit(1.0) - sf_z, 6).alias("p_treat_worse"),
+        F.round(sf_z, 6).alias("p_treat_better"),
+    )
