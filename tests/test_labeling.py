@@ -1771,3 +1771,27 @@ def test_bayesian_ab_rederivation(spark):
     assert abs(row.p_treat_better - p_better) < 1e-6
     # the two tails are complementary
     assert abs(row.p_treat_better + row.p_treat_worse - 1.0) < 2e-6
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+
+    docs = _docs(spark)
+    per_source = defaultdict(list)
+    for _, text, _, src in docs:
+        per_source[src].append(
+            round(len(zlib.compress(text.encode("utf-8"), 6)) / len(text), 4)
+        )
+    rows = {r.source: r for r in _run(spark, "compression_ratio_quality").collect()}
+    assert set(rows) == set(per_source)
+    for src, ratios in per_source.items():
+        r = rows[src]
+        assert r.n_docs == len(ratios)
+        assert abs(r.avg_ratio - round(sum(ratios) / len(ratios), 4)) < 1e-3
+        assert abs(r.min_ratio - min(ratios)) < 1e-9
+        assert r.n_flagged == sum(1 for x in ratios if x < 0.35)
+    # the screen's premise: repeated text compresses far better than prose
+    prose = "the quick brown fox jumps over the lazy dog " * 3
+    spam = "buy now " * 16
+    cr = lambda t: len(zlib.compress(t.encode(), 6)) / len(t)  # noqa: E731
+    assert cr(spam) < cr(prose)

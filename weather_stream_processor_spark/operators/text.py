@@ -3102,3 +3102,67 @@ def alias_method_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality screen (round-6c): the zlib repetitiveness
+# heuristic real corpus pipelines ship, as an Arrow pandas_udf.
+# ---------------------------------------------------------------------------
+
+_CR_LOW = 0.35  # below: near-pure repetition; the screen's flag threshold
+
+
+@register(
+    "compression_ratio_quality",
+    oracle=None,  # zlib bytes are not reproducible in SQL; pytest checks
+    # EXACT equality against python zlib at the same level and the
+    # monotone repetition property (tests/test_labeling.py)
+    doc=(
+        "COMPRESSION-RATIO QUALITY SCREEN: per document, "
+        "len(zlib(text)) / len(text) at level 6 — the cheap "
+        "repetitiveness detector production corpus filters ship "
+        "(boilerplate, keyword stuffing and template spam compress far "
+        "below prose; the ratio is a one-number proxy for the "
+        "entropy-rate screens Gopher formalizes), aggregated per "
+        f"source with the share below {_CR_LOW} flagged. Runs as the "
+        "repo's second SCALAR pandas_udf demonstration (after "
+        "Jaro-Winkler): zlib is pure-Python-side, Arrow-batched, one "
+        "call per batch inside an otherwise JVM plan — the pattern for "
+        "any C-library scorer (fastText, tokenizers) at 100 TB; cost "
+        "is linear in bytes and embarrassingly partition-parallel. "
+        "Deterministic: zlib level 6 output bytes are stable across "
+        "runs/platforms for a given zlib version, and the ratio is "
+        "rounded 4dp."
+    ),
+    tags=("text", "llm", "quality", "pandas-udf"),
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    import zlib
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    def _cratio_batch(texts):
+        return pd.Series(
+            [
+                round(len(zlib.compress(t.encode("utf-8"), 6)) / len(t), 4)
+                if t
+                else 1.0
+                for t in texts
+            ],
+            dtype="float64",
+        )
+
+    cratio = pandas_udf(_cratio_batch, DoubleType())
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    scored = docs.select(
+        "doc_id", "source", cratio(F.col("text")).alias("ratio")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("ratio"), 4).alias("avg_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.sum(F.when(F.col("ratio") < _CR_LOW, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
