@@ -11,8 +11,21 @@ Each module maps a slice of SURVEY.md §2's inventory:
   similarity.py   embedding similarity search (§2.6 LLM rows)
   text.py         text analysis: tokens, tf-idf, lang-id, quality (§2.6)
   multimodal.py   text+vector+binary multimodal columns (§2.6)
-  timeseries.py   time spine + gap-fill over `events`
-  sampling.py     deterministic + stratified sampling (training-data mix)
+  timeseries.py   time spine/gap-fill, feature-store primitives, day-grid
+                  sequence + trend diagnostics over `events`
+  sampling.py     deterministic + stratified sampling, drift tests,
+                  rank statistics, Horvitz-Thompson (training-data mix)
+  tpch.py         the adapted TPC-H q1-q22 sweep (§2.6 relational)
+  analytics.py    graph, survival/competing-risks, attribution (§2.6)
+  curation.py     semdedup/DSIR/decontam + feature screens (§2.6 LLM)
+  mixture.py      training-mixture assembly and drift (§2.6 LLM)
+  geo.py          haversine nearest-facility, grid-blocked spatial join
+  evals.py        AUC/AP/ECE/Brier, experimentation suite (lift, CUPED,
+                  DiD, Qini, TOST, MDE, SRM, Bayesian), advisors
+  labeling.py     agreement, voting, Dawid-Skene, Bradley-Terry, pass@k,
+                  MRR/isotonic/gains
+  report.py       composed capstones: dedup cascade, release audit,
+                  eval scorecard, experiment readout, drift panel
 """
 
 # Import order IS registry iteration order, which is the order the
