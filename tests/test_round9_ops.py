@@ -1065,3 +1065,53 @@ def test_jaro_winkler_udf_matches_duckdb_native(spark):
     assert len(rows) == 20
     sims = [r.jw_sim for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_fellegi_sunter_weights_match_python_rederivation(spark):
+    """The FS match weight must equal the textbook sum of per-field
+    log2(m/u) / log2((1-m)/(1-u)) contributions re-derived in pure
+    Python from the raw blocked pair, and the decision thresholds must
+    partition the weight line exactly."""
+    from weather_stream_processor_spark.operators.dedup import (
+        _FS_FIELDS,
+        _fs_weights,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = _run(spark, "fellegi_sunter_linkage").collect()
+    assert len(rows) == 50
+    weights = [float(r.fs_weight) for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    assert {r.fs_decision for r in rows} <= {"match", "possible", "non_match"}
+
+    cust = {
+        int(r.c_custkey): r
+        for r in load_table(spark, SF_SMOKE, "customer").collect()
+    }
+    supp = {
+        int(r.s_suppkey): r
+        for r in load_table(spark, SF_SMOKE, "supplier").collect()
+    }
+    for r in rows[:10]:
+        c, s = cust[int(r.c_custkey)], supp[int(r.s_suppkey)]
+        assert c.c_nationkey == s.s_nationkey  # blocking invariant
+        cnum = int(c.c_name[9:])
+        snum = int(s.s_name[9:])
+        agree = {
+            "balance_band": math.floor(c.c_acctbal / 1000.0)
+            == math.floor(s.s_acctbal / 1000.0),
+            "balance_sign": (c.c_acctbal < 0.0) == (s.s_acctbal < 0.0),
+            "name_num_100": cnum % 100 == snum % 100,
+            "name_num_7": cnum % 7 == snum % 7,
+        }
+        expect = 0.0
+        for field, (m, u) in _FS_FIELDS.items():
+            wa, wd = _fs_weights(m, u)
+            expect += wa if agree[field] else wd
+        assert abs(float(r.fs_weight) - round(expect, 6)) < 1e-9
+        if expect >= 6.0:
+            assert r.fs_decision == "match"
+        elif expect >= 0.0:
+            assert r.fs_decision == "possible"
+        else:
+            assert r.fs_decision == "non_match"

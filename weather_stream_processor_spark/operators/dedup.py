@@ -2346,3 +2346,126 @@ def jaro_winkler_linkage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jw_sim"), F.asc("c_custkey"), F.asc("s_suppkey"))
         .limit(_JW_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage (fixed m/u weights)
+# ---------------------------------------------------------------------------
+
+# Published-style conditional probabilities per comparison field:
+# m = P(field agrees | records match), u = P(field agrees | non-match).
+# Fixed constants (no EM fit) keep the score a pure deterministic
+# projection, so the DuckDB oracle can replay it exactly.
+_FS_FIELDS = {
+    # field: (m, u) — keyed to the synthetic tables' shared columns
+    # (name / acctbal / nationkey; the testdata customer carries no
+    # address or phone)
+    "balance_band": (0.85, 0.10),   # floor(acctbal/1000) equal
+    "balance_sign": (0.95, 0.50),   # same side of zero (weak field)
+    "name_num_100": (0.92, 0.01),   # entity number mod 100 equal
+    "name_num_7": (0.90, 0.14),     # entity number mod 7 equal
+}
+_FS_TOPK = 50
+
+
+def _fs_weights(m: float, u: float) -> tuple[float, float]:
+    """Agreement / disagreement log2 odds for one field, as exact
+    Python-float literals baked into BOTH engines' plans (identical
+    doubles -> identical sums -> stable value hash)."""
+    import math
+
+    return math.log2(m / u), math.log2((1.0 - m) / (1.0 - u))
+
+
+def _fs_agree_exprs_sql() -> dict[str, str]:
+    """ANSI-SQL agreement predicates, shared text for both engines."""
+    return {
+        "balance_band": "floor(c_acctbal / 1000.0) = floor(s_acctbal / 1000.0)",
+        "balance_sign": "(c_acctbal < 0.0) = (s_acctbal < 0.0)",
+        "name_num_100": (
+            "CAST(substr(c_name, 10) AS BIGINT) % 100"
+            " = CAST(substr(s_name, 10) AS BIGINT) % 100"
+        ),
+        "name_num_7": (
+            "CAST(substr(c_name, 10) AS BIGINT) % 7"
+            " = CAST(substr(s_name, 10) AS BIGINT) % 7"
+        ),
+    }
+
+
+def _fs_weight_sql() -> str:
+    """The summed CASE-WHEN weight expression, literal-identical in the
+    Spark plan and the DuckDB oracle."""
+    parts = []
+    exprs = _fs_agree_exprs_sql()
+    for field, (m, u) in _FS_FIELDS.items():
+        wa, wd = _fs_weights(m, u)
+        # CAST(... AS DOUBLE): Spark parses a bare fractional literal as
+        # DECIMAL (DuckDB as DOUBLE) — the cast pins BOTH engines to the
+        # identical IEEE double before any addition happens
+        parts.append(
+            f"(CASE WHEN {exprs[field]}"
+            f" THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END)"
+        )
+    return " + ".join(parts)
+
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle=f"""
+        SELECT c_custkey, s_suppkey,
+               ROUND({_fs_weight_sql()}, 6) AS fs_weight,
+               CASE WHEN ({_fs_weight_sql()}) >= 6.0 THEN 'match'
+                    WHEN ({_fs_weight_sql()}) >= 0.0 THEN 'possible'
+                    ELSE 'non_match' END AS fs_decision
+        FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        ORDER BY fs_weight DESC, c_custkey ASC, s_suppkey ASC
+        LIMIT {_FS_TOPK}
+    """,
+    doc=(
+        "FELLEGI-SUNTER PROBABILISTIC RECORD LINKAGE (the 1969 theory "
+        "behind every serious entity-resolution system): candidate "
+        "customer-supplier pairs blocked by nation, each compared on "
+        f"{len(_FS_FIELDS)} fields (balance band, balance sign, "
+        "name-number residues mod 100 and mod 7); every field contributes "
+        "log2(m/u) on agreement and log2((1-m)/(1-u)) on disagreement "
+        "with FIXED published-style m/u constants, and the summed "
+        "match weight is thresholded into match / possible / non_match "
+        "review classes. Complements the string-similarity linkage "
+        "tiers (jaro_winkler_linkage_topk, fuzzy_name_pairs) with the "
+        "decision-theoretic scoring layer that consumes them. The "
+        "weight literals are computed once in Python and baked into "
+        "BOTH plans as identical doubles, so the DuckDB hash check "
+        "certifies the full score pipeline. Plan: one blocked "
+        "equi-join, then a pure codegen CASE-WHEN projection (no UDF, "
+        "no shuffle beyond the join), TakeOrderedAndProject for the "
+        "top-k. At 100 TB: blocking bounds candidate pairs exactly as "
+        "production linkage does; scoring is embarrassingly parallel "
+        "map-side work; EM weight fitting would add one bounded "
+        "agreement-pattern groupBy (2^4 cells) per iteration."
+    ),
+    tags=("dedup", "linkage", "scoring", "join"),
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    weight = F.expr(_fs_weight_sql())
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(weight, 6).alias("fs_weight"),
+            F.when(weight >= 6.0, F.lit("match"))
+            .when(weight >= 0.0, F.lit("possible"))
+            .otherwise(F.lit("non_match"))
+            .alias("fs_decision"),
+        )
+        .orderBy(F.desc("fs_weight"), F.asc("c_custkey"), F.asc("s_suppkey"))
+        .limit(_FS_TOPK)
+    )
