@@ -1115,3 +1115,25 @@ def test_fellegi_sunter_weights_match_python_rederivation(spark):
             assert r.fs_decision == "possible"
         else:
             assert r.fs_decision == "non_match"
+
+
+def test_agreement_patterns_are_a_complete_contingency_table(spark):
+    """The pattern histogram must partition the blocked pair set (cell
+    counts sum to the exact join size) and the independence-expected
+    column must itself sum back to the pair total (the product measure
+    is a probability measure over the 2^4 cells)."""
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = _run(spark, "linkage_agreement_patterns").collect()
+    assert 1 <= len(rows) <= 16
+    c = load_table(spark, SF_SMOKE, "customer").select("c_nationkey")
+    s = load_table(spark, SF_SMOKE, "supplier").select("s_nationkey")
+    n_pairs = c.join(s, c.c_nationkey == s.s_nationkey).count()
+    assert sum(r.observed for r in rows) == n_pairs
+    # expected_indep sums to n_pairs only over ALL 16 cells; the emitted
+    # cells cover every OBSERVED pattern, so the partial sum is <= total
+    # and the gap is exactly the unobserved cells' expected mass
+    assert sum(r.expected_indep for r in rows) <= n_pairs + 1e-6
+    for r in rows:
+        assert r.observed > 0
+        assert r.expected_indep >= 0.0

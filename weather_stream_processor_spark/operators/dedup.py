@@ -2469,3 +2469,95 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("fs_weight"), F.asc("c_custkey"), F.asc("s_suppkey"))
         .limit(_FS_TOPK)
     )
+
+
+@register(
+    "linkage_agreement_patterns",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT {", ".join(f"CAST(({e}) AS INT) AS ag_{f}" for f, e in _fs_agree_exprs_sql().items())}
+            FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        ), cells AS (
+            SELECT {", ".join(f"ag_{f}" for f in _FS_FIELDS)}, COUNT(*) AS observed
+            FROM pairs
+            GROUP BY {", ".join(f"ag_{f}" for f in _FS_FIELDS)}
+        ), marginals AS (
+            SELECT SUM(observed) AS n_pairs,
+                   {", ".join(f"CAST(SUM(observed * ag_{f}) AS DOUBLE) / CAST(SUM(observed) AS DOUBLE) AS p_{f}" for f in _FS_FIELDS)}
+            FROM cells
+        )
+        SELECT {", ".join(f"ag_{f}" for f in _FS_FIELDS)}, observed,
+               ROUND(CAST(n_pairs AS DOUBLE)
+                     {" ".join(f"* (CASE WHEN ag_{f} = 1 THEN p_{f} ELSE CAST(1.0 AS DOUBLE) - p_{f} END)" for f in _FS_FIELDS)},
+                     4) AS expected_indep
+        FROM cells CROSS JOIN marginals
+        ORDER BY {", ".join(f"ag_{f}" for f in _FS_FIELDS)}
+    """,
+    doc=(
+        "LINKAGE AGREEMENT-PATTERN HISTOGRAM: the 2^4-cell contingency "
+        "table of per-field agreement indicators over the blocked "
+        "candidate pairs, with each cell's observed count set against "
+        "its expected count under full field independence (product of "
+        "marginal agreement rates x pair total). This table IS the "
+        "sufficient statistic the Fellegi-Sunter EM weight fit consumes "
+        "(each EM iteration re-weights exactly these <=16 rows), and "
+        "the observed-vs-expected gap audits the conditional-"
+        "independence assumption fellegi_sunter_linkage's fixed weights "
+        "rely on. Plan: one blocked join scanned ONCE into a cached-"
+        "free dual aggregation — a 16-cell groupBy plus a 1-row "
+        "marginal agg — joined by a broadcast-able single-row cross "
+        "join; every output is bounded by 2^#fields regardless of "
+        "corpus size, so at 100 TB the reduce side is constant-size "
+        "and EM iterations are driver-cheap."
+    ),
+    tags=("dedup", "linkage", "aggregation"),
+)
+def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    exprs = _fs_agree_exprs_sql()
+    pairs = c.join(s, c.c_nationkey == s.s_nationkey).select(
+        *[
+            F.expr(f"CAST(({e}) AS INT)").alias(f"ag_{f}")
+            for f, e in exprs.items()
+        ]
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    ag_cols = [f"ag_{f}" for f in _FS_FIELDS]
+    cells = pairs.groupBy(*ag_cols).agg(F.count(F.lit(1)).alias("observed"))
+
+    def _with_expected(cells_df: DataFrame) -> DataFrame:
+        # marginals fold FROM the 16-cell table (sum observed*indicator
+        # / sum observed), so the blocked join is scanned exactly once;
+        # cells feeds TWO subtrees, hence the persisted_result wrapper
+        marginals = cells_df.agg(
+            F.sum("observed").alias("n_pairs"),
+            *[
+                (
+                    F.sum(F.col("observed") * F.col(f"ag_{f}")).cast("double")
+                    / F.sum("observed").cast("double")
+                ).alias(f"p_{f}")
+                for f in _FS_FIELDS
+            ],
+        )
+        expected = F.col("n_pairs").cast("double")
+        for f in _FS_FIELDS:
+            expected = expected * F.when(
+                F.col(f"ag_{f}") == 1, F.col(f"p_{f}")
+            ).otherwise(F.lit(1.0).cast("double") - F.col(f"p_{f}"))
+        return (
+            cells_df.crossJoin(F.broadcast(marginals))
+            .select(
+                *ag_cols,
+                "observed",
+                F.round(expected, 4).alias("expected_indep"),
+            )
+            .orderBy(*ag_cols)
+        )
+
+    return persisted_result(cells, _with_expected)
