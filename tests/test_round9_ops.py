@@ -1137,3 +1137,45 @@ def test_agreement_patterns_are_a_complete_contingency_table(spark):
     for r in rows:
         assert r.observed > 0
         assert r.expected_indep >= 0.0
+
+
+def test_fs_em_step_matches_numpy_rederivation(spark):
+    """One EM iteration re-derived in numpy from the agreement-pattern
+    histogram must reproduce every (m_new, u_new, lambda_new) exactly
+    (same fixed-order arithmetic), and the update must sharpen the
+    vague priors: each field's m_new must exceed its u_new."""
+    from weather_stream_processor_spark.operators.dedup import (
+        _FS_EM_INIT,
+        _FS_EM_LAMBDA,
+        _FS_FIELDS,
+    )
+
+    fields = list(_FS_FIELDS)
+    cells = {
+        tuple(int(r[f"ag_{f}"]) for f in fields): float(r.observed)
+        for r in _run(spark, "linkage_agreement_patterns").collect()
+    }
+    rows = {r.field: r for r in _run(spark, "fellegi_sunter_em_step").collect()}
+    assert set(rows) == set(fields)
+
+    lam = _FS_EM_LAMBDA
+    g = {}
+    for pat, obs in cells.items():
+        pm = pu = 1.0
+        for i, f in enumerate(fields):
+            m0, u0 = _FS_EM_INIT[f]
+            pm *= m0 if pat[i] == 1 else 1.0 - m0
+            pu *= u0 if pat[i] == 1 else 1.0 - u0
+        g[pat] = (lam * pm) / (lam * pm + (1.0 - lam) * pu)
+    n = sum(cells.values())
+    gm = sum(g[p] * o for p, o in cells.items())
+    gu = sum((1.0 - g[p]) * o for p, o in cells.items())
+    for i, f in enumerate(fields):
+        m_new = sum(g[p] * o * p[i] for p, o in cells.items()) / gm
+        u_new = sum((1.0 - g[p]) * o * p[i] for p, o in cells.items()) / gu
+        r = rows[f]
+        assert abs(float(r.m_new) - round(m_new, 6)) < 2e-6
+        assert abs(float(r.u_new) - round(u_new, 6)) < 2e-6
+        assert abs(float(r.lambda_new) - round(gm / n, 6)) < 2e-6
+        assert float(r.m_new) > float(r.u_new)
+        assert 0.0 < float(r.lambda_new) < 1.0

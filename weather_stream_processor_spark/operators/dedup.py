@@ -2561,3 +2561,154 @@ def linkage_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(cells, _with_expected)
+
+
+# EM initialization for the m/u re-estimation step: deliberately vague
+# priors (the point of EM is that it sharpens them from the data)
+_FS_EM_INIT = {f: (0.8, 0.2) for f in _FS_FIELDS}
+_FS_EM_LAMBDA = 0.05  # prior match prevalence among blocked candidates
+
+
+def _fs_em_sql_fragments() -> tuple[str, str]:
+    """(P(pattern|M), P(pattern|U)) product expressions over the ag_*
+    indicator columns, literal-identical in both engines."""
+    pm, pu = [], []
+    for f, (m0, u0) in _FS_EM_INIT.items():
+        pm.append(
+            f"(CASE WHEN ag_{f} = 1 THEN CAST({m0!r} AS DOUBLE)"
+            f" ELSE CAST({1.0 - m0!r} AS DOUBLE) END)"
+        )
+        pu.append(
+            f"(CASE WHEN ag_{f} = 1 THEN CAST({u0!r} AS DOUBLE)"
+            f" ELSE CAST({1.0 - u0!r} AS DOUBLE) END)"
+        )
+    return " * ".join(pm), " * ".join(pu)
+
+
+def _fs_em_cells_sql() -> str:
+    """Shared CTE text: blocked pairs -> pattern cells -> per-pattern
+    E-step responsibilities, identical in Spark SQL and DuckDB."""
+    exprs = _fs_agree_exprs_sql()
+    pm, pu = _fs_em_sql_fragments()
+    lam = f"CAST({_FS_EM_LAMBDA!r} AS DOUBLE)"
+    return f"""
+        WITH pairs AS (
+            SELECT {", ".join(f"CAST(({e}) AS INT) AS ag_{f}" for f, e in exprs.items())}
+            FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        ), cells AS (
+            SELECT {", ".join(f"ag_{f}" for f in _FS_FIELDS)},
+                   CAST(COUNT(*) AS DOUBLE) AS observed
+            FROM pairs
+            GROUP BY {", ".join(f"ag_{f}" for f in _FS_FIELDS)}
+        ), estep AS (
+            SELECT *,
+                   ({lam} * {pm})
+                   / (({lam} * {pm}) + ((CAST(1.0 AS DOUBLE) - {lam}) * {pu}))
+                   AS g
+            FROM cells
+        )
+    """
+
+
+@register(
+    "fellegi_sunter_em_step",
+    oracle=f"""
+        {_fs_em_cells_sql()}
+        SELECT field,
+               ROUND(m_new, 6) AS m_new,
+               ROUND(u_new, 6) AS u_new,
+               ROUND(lambda_new, 6) AS lambda_new
+        FROM (
+            {" UNION ALL ".join(
+                f'''SELECT '{f}' AS field,
+                       SUM(g * observed * ag_{f}) / SUM(g * observed) AS m_new,
+                       SUM((CAST(1.0 AS DOUBLE) - g) * observed * ag_{f})
+                           / SUM((CAST(1.0 AS DOUBLE) - g) * observed) AS u_new,
+                       SUM(g * observed) / SUM(observed) AS lambda_new
+                    FROM estep'''
+                for f in _FS_FIELDS
+            )}
+        )
+        ORDER BY field
+    """,
+    doc=(
+        "FELLEGI-SUNTER EM RE-ESTIMATION (one exact iteration of the "
+        "Winkler 1988 unsupervised weight fit): starting from vague "
+        "priors (m=0.8, u=0.2, lambda=0.05), the E-step assigns each "
+        "agreement PATTERN a match responsibility g = lambda*P(pat|M) "
+        "/ (lambda*P(pat|M) + (1-lambda)*P(pat|U)), and the M-step "
+        "re-estimates every field's m (g-weighted agreement rate), u "
+        "((1-g)-weighted agreement rate) and the match prevalence "
+        "lambda — all as sums over the <=2^4-row pattern histogram, "
+        "never the pair set, which is what makes EM linkage tractable "
+        "at any corpus size (the blocked join is scanned once to build "
+        "the histogram; every EM iteration after that is constant "
+        "work). This op closes the linkage trio: agreement patterns "
+        "(the sufficient statistic) -> EM step (weight fitting) -> "
+        "fellegi_sunter_linkage (decision scoring). All probability "
+        "literals enter both engines as CAST(... AS DOUBLE) text, so "
+        "the DuckDB hash check certifies the full E+M arithmetic."
+    ),
+    tags=("dedup", "linkage", "aggregation"),
+)
+def fellegi_sunter_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    exprs = _fs_agree_exprs_sql()
+    pairs = c.join(s, c.c_nationkey == s.s_nationkey).select(
+        *[
+            F.expr(f"CAST(({e}) AS INT)").alias(f"ag_{f}")
+            for f, e in exprs.items()
+        ]
+    )
+    ag_cols = [f"ag_{f}" for f in _FS_FIELDS]
+    cells = pairs.groupBy(*ag_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("observed")
+    )
+    pm, pu = _fs_em_sql_fragments()
+    lam = f"CAST({_FS_EM_LAMBDA!r} AS DOUBLE)"
+    g_expr = (
+        f"({lam} * {pm})"
+        f" / (({lam} * {pm}) + ((CAST(1.0 AS DOUBLE) - {lam}) * {pu}))"
+    )
+
+    def _mstep(cells_df: DataFrame) -> DataFrame:
+        estep = cells_df.withColumn("g", F.expr(g_expr))
+        per_field = [
+            estep.agg(
+                F.lit(f).alias("field"),
+                (
+                    F.sum(F.expr(f"g * observed * ag_{f}"))
+                    / F.sum(F.expr("g * observed"))
+                ).alias("m_new"),
+                (
+                    F.sum(
+                        F.expr(
+                            f"(CAST(1.0 AS DOUBLE) - g) * observed * ag_{f}"
+                        )
+                    )
+                    / F.sum(F.expr("(CAST(1.0 AS DOUBLE) - g) * observed"))
+                ).alias("u_new"),
+                (F.sum(F.expr("g * observed")) / F.sum("observed")).alias(
+                    "lambda_new"
+                ),
+            )
+            for f in _FS_FIELDS
+        ]
+        out = per_field[0]
+        for part in per_field[1:]:
+            out = out.unionAll(part)
+        return out.select(
+            "field",
+            F.round("m_new", 6).alias("m_new"),
+            F.round("u_new", 6).alias("u_new"),
+            F.round("lambda_new", 6).alias("lambda_new"),
+        ).orderBy("field")
+
+    return persisted_result(cells, _mstep)
