@@ -41,42 +41,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling priority: the driver's per-round correctness gate checks a
 # ~50-query sample that tracks iteration order, so each round front-loads
 # registered-but-never-driver-sampled queries to drain the unsampled set.
-# Rotated for round 5 (r4 verdict tasks 2+3): the 50 names r01-r04 already
-# verified are REMOVED from the priority window entirely; what remains is
-# exactly the hash-checked queries with no driver-verified row in any
-# CORRECTNESS_r0{1..4}.json, computed from those files against the
-# registry. Slots 1-50 are round 5's tranche (curation, layout manifest,
-# multimodal, scalar sweep, set ops, ANN tiers, dedup residue, text
-# headliners); slots 51-121 pre-stage rounds 6-7 (streaming ops, graph/
-# survival analytics, drift audits, the timeseries and window families,
-# concentration metrics) so the drain continues without another edit;
-# the tail appends the operators ADDED in round 5 (all oracle-backed,
-# verified by the same local gate) behind the pre-existing backlog.
-# Rows-only queries (sketches, whitening audit, BPE) are excluded from
-# the hash-priority window by construction — the driver's weaker
-# rows-only check covers them whenever they fall inside the sample.
-# All 121 are oracle-backed and green under the full local parity sweep
-# (tools/oracle_check.py); rotation converts "pass (local)" rows into
-# driver-verified rows. Queries not listed keep registry (module import)
-# order, i.e. the 138 already-verified names trail the window.
+# Rotated for round 6 (r5 verdict tasks 1+2): every name with a green
+# driver row in any CORRECTNESS_r0{1..5}.json is REMOVED from the window;
+# what remains is exactly the 177 oracle-backed queries with no green
+# driver record, computed from those files against the registry.
+# Slots 1-8 lead with the repairs: the two r5 driver failures
+# (array_set_operations -- union_head stringified; embedding_covariance_
+# spectrum -- integer-lifted permutation-invariant moments), the stale trio
+# whose only driver record predates its oracle or a since-fixed bug
+# (doc_fingerprints r01 hash-fail since fixed; minhash_lsh_near_dup and
+# simhash_buckets sampled r01/r02 as no_oracle), and the Fellegi-Sunter
+# linkage trio added post-sample in r5. Slots 9-50 continue the r5 window's
+# backlog in its original drain order; everything behind pre-stages rounds
+# 7-9 so the drain continues without another edit. Rows-only queries
+# (sketches, whitening audit, BPE, zlib) are excluded from the
+# hash-priority window by construction. All 177 are oracle-backed and
+# green under the full local parity sweep (tools/oracle_check.py, now
+# driver-strict: exact float equality + non-scalar column rejection);
+# rotation converts "pass (local)" rows into driver-verified rows.
+# Queries not listed keep registry (module import) order, i.e. the 189
+# already-verified names trail the window.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    "semdedup_keep_list", "dsir_importance_weights", "embedding_eval_decontam",
-    "shard_manifest_stats", "zorder_cell_stats", "multimodal_doc_vector_join",
-    "multimodal_asset_features", "multimodal_modality_stats", "frame_sample_manifest",
-    "multimodal_resize", "string_functions", "date_functions",
-    "math_functions", "case_when_price_buckets", "in_like_between_filters",
-    "json_wire_roundtrip", "json_path_extraction", "map_functions",
-    "posexplode_tokens", "array_set_operations", "union_distinct_nationkeys",
-    "union_all_nationkey_counts", "intersect_nationkeys", "except_sources",
-    "distinct_segments", "intersect_all_priorities", "except_all_priorities",
-    "unpivot_qty_by_status", "ann_lsh_buckets", "ann_lsh_topk",
-    "ann_ivf_topk", "ann_pq_topk", "embedding_truncation_energy",
-    "embedding_robust_scaling", "ivf_cell_balance", "mutual_knn_pairs",
-    "knn_hubness_audit", "embedding_covariance_spectrum", "containment_near_dup_pairs",
-    "shingle_novelty_scores", "simhash_hamming_near_dup", "cross_source_overlap_matrix",
-    "dedup_cluster_size_histogram", "feature_hashing_vectorizer", "entity_golden_records",
-    "near_dup_similarity_distribution", "normalization_collision_dedup", "token_entropy_quality",
-    "hybrid_rrf_fusion", "winnowing_fingerprints", "streaming_cusum_monitor",
+    "array_set_operations", "embedding_covariance_spectrum", "doc_fingerprints",
+    "minhash_lsh_near_dup", "simhash_buckets", "fellegi_sunter_linkage",
+    "linkage_agreement_patterns", "fellegi_sunter_em_step", "streaming_cusum_monitor",
     "streaming_windowed_topk_users", "streaming_stream_stream_semi_join", "streaming_blocklist_decontam",
     "weighted_median_price_by_brand", "revenue_share_of_parent", "revenue_seasonality_index",
     "brand_association_rules", "label_propagation_communities", "top_event_paths",
@@ -100,36 +88,39 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "global_sorted_supplier_ledger", "percentile_bucketing", "time_range_window_sum",
     "batch_sessionization", "revenue_contribution_pareto", "session_depth_stats",
     "peak_concurrent_sessions", "revenue_gini_coefficient", "lorenz_curve_deciles",
-    "customer_tier_migration",
-    # round-5 additions (new operators, never driver-sampled)
-    "bloom_filter_decontam", "hard_negative_mining", "kcenter_coreset",
-    "heavy_hitters_exact", "length_bucketed_batches",
-    "stratified_kfold_assignment", "ngram_diversity_curve",
-    "memorization_risk_scores", "quality_score_quantile_norm",
-    "hits_brand_authority", "lang_source_chi_square",
-    "referential_integrity_audit", "functional_dependency_audit",
-    "dedup_cascade_report",
-    # round-5b additions (new operators, never driver-sampled)
+    "customer_tier_migration", "bloom_filter_decontam", "hard_negative_mining",
+    "kcenter_coreset", "heavy_hitters_exact", "length_bucketed_batches",
+    "stratified_kfold_assignment", "ngram_diversity_curve", "memorization_risk_scores",
+    "quality_score_quantile_norm", "hits_brand_authority", "lang_source_chi_square",
+    "referential_integrity_audit", "functional_dependency_audit", "dedup_cascade_report",
     "cv_fold_leakage_audit", "phrase_match_positions", "k_anonymity_audit",
-    "conformal_interval_coverage", "streaming_abandoned_views_anti",
-    "group_aware_fold_assignment", "knn_label_noise_scores",
-    "jl_projection_distortion",
-    # round-5c..5g additions (evaluation/experimentation module, privacy
-    # trio closers, LOF/MMR/TextRank, IVM, drift W1, layout advisors,
-    # streaming sequence pattern, Shapley, Heaps, the release capstone —
-    # all oracle-backed, never driver-sampled)
-    "roc_auc_exact", "calibration_bins_ece", "ndcg_retrieval_eval",
-    "ab_conversion_lift", "l_diversity_audit", "rag_chunk_manifest",
-    "multi_pattern_match", "column_encoding_advisor", "lof_outlier_scores",
-    "nelson_aalen_hazard", "adamic_adar_link_prediction",
-    "t_closeness_audit", "target_encoding_kfold", "woe_iv_binning",
-    "incremental_rollup_merge", "simplified_silhouette",
-    "textrank_keyphrases", "unigram_sampling_table",
-    "mmr_diversified_rerank", "rocchio_query_expansion",
-    "wasserstein_drift_1d", "minmax_pruning_audit",
-    "streaming_error_then_purchase", "shapley_channel_attribution",
-    "heaps_law_fit", "release_audit_report", "broadcast_join_advisor",
-    "jaro_winkler_linkage_topk",
+    "conformal_interval_coverage", "streaming_abandoned_views_anti", "group_aware_fold_assignment",
+    "knn_label_noise_scores", "jl_projection_distortion", "roc_auc_exact",
+    "calibration_bins_ece", "ndcg_retrieval_eval", "ab_conversion_lift",
+    "l_diversity_audit", "rag_chunk_manifest", "multi_pattern_match",
+    "column_encoding_advisor", "lof_outlier_scores", "nelson_aalen_hazard",
+    "adamic_adar_link_prediction", "t_closeness_audit", "target_encoding_kfold",
+    "woe_iv_binning", "incremental_rollup_merge", "simplified_silhouette",
+    "textrank_keyphrases", "unigram_sampling_table", "mmr_diversified_rerank",
+    "rocchio_query_expansion", "wasserstein_drift_1d", "minmax_pruning_audit",
+    "streaming_error_then_purchase", "shapley_channel_attribution", "heaps_law_fit",
+    "release_audit_report", "broadcast_join_advisor", "jaro_winkler_linkage_topk",
+    "countmin_sketch_rollup", "poisson_bootstrap_ci", "extreme_value_tail_fit",
+    "competing_risks_incidence", "binary_quant_recall", "information_gain_features",
+    "haversine_nearest_station", "geo_block_pair_join", "mann_whitney_u_test",
+    "deterministic_corpus_shuffle", "spearman_rank_correlation", "kendall_tau_b",
+    "horvitz_thompson_total", "good_turing_vocab_coverage", "query_likelihood_dirichlet",
+    "variant_props_pipeline", "xml_wire_roundtrip", "point_in_time_features",
+    "future_window_labels", "max_drawdown_daily", "longest_updays_streak",
+    "pinball_loss_backtest", "mann_kendall_trend", "cuped_variance_reduction",
+    "brier_score_decomposition", "bh_fdr_correction", "join_order_advisor",
+    "qini_curve_deciles", "diff_in_diff_estimator", "ratio_metric_delta_method",
+    "sample_ratio_mismatch_check", "tost_equivalence_test", "ab_power_mde",
+    "bayesian_ab_probability", "cohens_kappa_agreement", "majority_vote_labels",
+    "pass_at_k_estimator", "mrr_first_relevant", "average_precision_exact",
+    "isotonic_calibration_bins", "clustering_external_metrics", "fleiss_kappa_agreement",
+    "dawid_skene_correction", "cumulative_gains_deciles", "eval_scorecard_report",
+    "experiment_readout_report", "drift_panel_report", "capture_recapture_dup_estimate",
 )
 
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from tests.conftest import SF_SMOKE
-from tools.oracle_check import compare
+from tools.oracle_check import compare, driver_canonicalize
 
 
 def _specs():
@@ -19,6 +19,18 @@ def _specs():
 @pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
 def test_query_matches_oracle(spark, duck, name, spec):
     sdf = spec.builder(spark, SF_SMOKE)
+    if spec.oracle is not None:
+        # Registry guard (VERDICT r5 #1/#7): the driver's value hash can
+        # only digest scalar columns — an oracle-backed query must never
+        # emit array/map/struct (r5's array_set_operations failure).
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        for f_ in sdf.schema.fields:
+            assert not isinstance(f_.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}: oracle-backed query emits non-scalar column "
+                f"{f_.name!r} ({f_.dataType.simpleString()}) — the driver "
+                "canonicalizer cannot hash it; array_join/to_json it"
+            )
     spark_pdf = sdf.toPandas()
     if spec.oracle is None:
         assert len(sdf.schema.fields) > 0
@@ -26,6 +38,11 @@ def test_query_matches_oracle(spark, duck, name, spec):
     oracle_pdf = duck.execute(spec.oracle).fetchdf()
     errs = compare(spark_pdf, oracle_pdf)
     assert not errs, f"{name}: " + "; ".join(errs)
+    # Round-trip through the driver's literal canonicalization steps
+    # (sort_values + factorize over object columns) — raises on anything
+    # the driver would die on, before the driver sees it.
+    driver_canonicalize(spark_pdf)
+    driver_canonicalize(oracle_pdf)
 
 
 def test_entry_smoke(spark):

@@ -2,8 +2,13 @@
 
 Runs every registered query's Spark builder and its DuckDB oracle SQL on
 the same parquet fixtures, then compares row count, schema (column names),
-and order-insensitively compared values (floats via np.isclose after the
-builders' own rounding).
+and order-insensitively compared values.
+
+Driver-strict by design (r5 lesson — "pass local" must imply "pass
+driver"): floats compare EXACTLY (the builders do their own rounding, and
+the driver hashes exact values), and any array/map/struct output column is
+an immediate failure (the driver's pandas canonicalizer factorizes object
+columns and dies on unhashable lists).
 
 Usage:
     python tools/oracle_check.py [sf_dir] [query ...]
@@ -46,14 +51,31 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = s.astype("float64")
         elif pd.api.types.is_integer_dtype(s):
             df[c] = s.astype("int64")
-        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if s.dropna().size else None, (list, np.ndarray)):
-            df[c] = s.map(lambda v: tuple(np.asarray(v).tolist()) if v is not None else None)
     sort_cols = [c for c in df.columns]
     try:
         df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     except TypeError:
         df = df.sort_values(sort_cols, kind="mergesort", key=lambda s: s.astype(str)).reset_index(drop=True)
     return df
+
+
+def driver_canonicalize(pdf: pd.DataFrame) -> int:
+    """Replicate the driver's t2 canonicalization steps LITERALLY so any
+    output that would crash or surprise the driver crashes here first
+    (VERDICT r5 #7): columns sorted by name, object columns factorized
+    (raises ``TypeError: unhashable type`` on array values — the r5
+    ``array_set_operations`` failure), rows sorted by every column, then a
+    stable hash over the canonical string form. Returns the hash so tests
+    can also assert Spark == oracle under the driver's own reduction."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pd.factorize(pdf[c])  # driver step; dies on unhashable values
+    pdf = pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    import hashlib
+
+    payload = pdf.to_csv(index=False, float_format="%.12g").encode()
+    return int(hashlib.sha256(payload).hexdigest()[:16], 16)
 
 
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
@@ -64,6 +86,24 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     if sc != oc:
         errs.append(f"columns: spark={sc} oracle={oc}")
         return errs
+    if errs:
+        return errs
+    # Driver-strictness gate #1: no non-scalar output column may reach the
+    # hash. The driver's canonicalizer (pandas sort_values + factorize over
+    # object columns) raises `unhashable type: 'list'` on array values —
+    # exactly how array_set_operations failed the r5 driver while the old
+    # tuple-coercing mirror passed it. Fail here, before sorting.
+    for frame, side in ((spark_pdf, "spark"), (oracle_pdf, "oracle")):
+        for c in frame.columns:
+            s = frame[c]
+            if s.dtype == object and s.dropna().size:
+                v = s.dropna().iloc[0]
+                if isinstance(v, (list, tuple, dict, np.ndarray)):
+                    errs.append(
+                        f"col {c!r} ({side}): non-scalar {type(v).__name__} "
+                        "values — the driver canonicalizer cannot hash "
+                        "arrays; emit array_join/to_json strings instead"
+                    )
     if errs:
         return errs
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
@@ -88,7 +128,13 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
             )
             continue
         if pd.api.types.is_float_dtype(x) and pd.api.types.is_float_dtype(y):
-            ok = np.isclose(x.fillna(np.nan), y.fillna(np.nan), rtol=1e-9, atol=1e-9, equal_nan=True)
+            # Driver-strictness gate #2: EXACT float equality, bit-for-bit
+            # after the builders' own rounding — the driver hashes exact
+            # values, and np.isclose here is how embedding_covariance_
+            # spectrum's 6-dp order-dependent-sum flip passed locally but
+            # failed the r5 driver.
+            xa, ya = np.asarray(x, dtype="float64"), np.asarray(y, dtype="float64")
+            ok = (xa == ya) | (np.isnan(xa) & np.isnan(ya))
         else:
             ok = (x.fillna("\0NULL") == y.fillna("\0NULL")) if x.dtype == object else (
                 x.isna() & y.isna()

@@ -335,7 +335,8 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE a.doc_id < 30
         )
         SELECT doc_id,
-               list_sort(list_distinct(list_cat(ta, tb)))[1:5] AS union_head,
+               array_to_string(list_sort(list_distinct(list_cat(ta, tb)))[1:5],
+                               ' ') AS union_head,
                len(list_distinct(list_cat(ta, tb))) AS n_union,
                len(list_filter(list_distinct(ta), t -> list_contains(tb, t))) AS n_intersect,
                len(list_filter(list_distinct(ta), t -> NOT list_contains(tb, t))) AS n_except
@@ -346,9 +347,12 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "slice) between each doc's token set and its successor's — the "
         "within-row complement of the table-level set operators. All "
         "codegen'd array expressions; per-row cost is O(|a|+|b|) hash-set "
-        "work, no shuffle beyond the self-join. Counts are emitted (and "
-        "the union head sorted+sliced) so the cross-engine hash compares "
-        "deterministic scalars, not engine-ordered arrays."
+        "work, no shuffle beyond the self-join. Counts are emitted and the "
+        "union head is sorted, sliced AND array_join'd to a flat string so "
+        "every output column is a hashable scalar — the driver's "
+        "canonicalizer (pandas factorize over object columns) dies on raw "
+        "array values (r5 driver failure), so oracle-backed queries must "
+        "never emit array/map/struct columns."
     ),
     tags=("scalar", "array", "setop"),
 )
@@ -364,7 +368,7 @@ def array_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     union = F.array_union("ta", "tb")
     return pair.select(
         "doc_id",
-        F.slice(F.array_sort(union), 1, 5).alias("union_head"),
+        F.array_join(F.slice(F.array_sort(union), 1, 5), " ").alias("union_head"),
         F.size(union).alias("n_union"),
         F.size(F.array_intersect(F.array_distinct("ta"), "tb")).alias("n_intersect"),
         F.size(F.array_except("ta", "tb")).alias("n_except"),

@@ -1459,19 +1459,23 @@ def ann_pq_topk(
     "embedding_covariance_spectrum",
     oracle="""
         WITH e AS (
-            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+            SELECT vec_id,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0
+                              + 0.5) AS BIGINT) AS k,
                    generate_subscripts(embedding, 1) AS i
             FROM embeddings
         ),
         n AS (SELECT COUNT(*) AS n FROM embeddings),
-        m AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
+        m AS (SELECT i, CAST(SUM(k) AS BIGINT) AS sx FROM e GROUP BY i),
         g AS (
-            SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+            SELECT a.i AS i, b.i AS j, CAST(SUM(a.k * b.k) AS BIGINT) AS sxy
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY 1, 2
         )
         SELECT g.i, g.j,
-               ROUND(g.sxy / n.n - (ma.sx / n.n) * (mb.sx / n.n), 6) AS cov
+               ROUND((CAST(g.sxy AS DOUBLE)
+                      - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / n.n)
+                     / (n.n * 100000000.0), 6) AS cov
         FROM g CROSS JOIN n
         JOIN m ma ON ma.i = g.i
         JOIN m mb ON mb.i = g.j
@@ -1485,9 +1489,19 @@ def ann_pq_topk(
         "(X^T X, a d x d float64 GEMM over Arrow batches), column sums, "
         "and row count, and emits only the d(d+1)/2 triangle entries; one "
         "hash aggregation sums the partials and finishes cov = E[xy] - "
-        "E[x]E[y] in-plan. Shuffle volume is #partitions x d^2/2 rows "
-        "REGARDLESS of corpus size — the 100 TB plan is identical to the "
-        "fixture plan — and nothing d^2-sized ever sits on the driver. "
+        "E[x]E[y] in-plan. The float32 cells are lifted to scaled int64 "
+        "(floor(x*1e4 + 0.5) — the same IEEE expression in numpy and in "
+        "the DuckDB oracle, so both engines derive bit-identical integers "
+        "with no round-half tie ambiguity) and every accumulated moment is "
+        "an EXACT integer sum: permutation-invariant, so the cross-engine "
+        "hash is stable under ANY partitioning (r5's driver hash-mismatch "
+        "was a 6-dp rounding flip on order-dependent float sums — the "
+        "repo's integer-cents-exact pattern closes it). One double-typed "
+        "expression, written with the same operator tree in both engines, "
+        "finishes the covariance at the end. Shuffle volume is "
+        "#partitions x d^2/2 rows REGARDLESS of corpus size — the 100 TB "
+        "plan is identical to the fixture plan — and nothing d^2-sized "
+        "ever sits on the driver. "
         "The eigen decomposition itself is a d x d problem, bounded by "
         "dimension not rows; tests assert PSD-ness and trace parity and "
         "record the explained-variance curve."
@@ -1505,9 +1519,9 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame
         [
             StructField("i", LongType()),
             StructField("j", LongType()),
-            StructField("sxy", DoubleType()),
-            StructField("sx_i", DoubleType()),
-            StructField("sx_j", DoubleType()),
+            StructField("sxy", LongType()),
+            StructField("sx_i", LongType()),
+            StructField("sx_j", LongType()),
             StructField("nrows", LongType()),
         ]
     )
@@ -1520,13 +1534,18 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             if len(X) == 0:
                 continue
+            # Integer lift: floor(x*1e4 + 0.5) in float64 — the exact same
+            # IEEE expression the DuckDB oracle evaluates, so both engines
+            # hold bit-identical int64 cells and every downstream sum is
+            # exact and partition-order-invariant.
+            K = np.floor(X * 10000.0 + 0.5).astype(np.int64)
             if G is None:
-                d = X.shape[1]
-                G = np.zeros((d, d))
-                s = np.zeros(d)
-            G += X.T @ X
-            s += X.sum(axis=0)
-            n += len(X)
+                d = K.shape[1]
+                G = np.zeros((d, d), dtype=np.int64)
+                s = np.zeros(d, dtype=np.int64)
+            G += K.T @ K
+            s += K.sum(axis=0)
+            n += len(K)
         if G is None:
             return
         iu, ju = np.triu_indices(G.shape[0])
@@ -1548,12 +1567,19 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("sx_j").alias("sx_j"),
         F.sum("nrows").alias("n"),
     )
+    # Single double-typed finish, operator tree mirrored in the oracle:
+    # (sxy - sx_i*sx_j/n) / (n*1e8), all inputs exact integers.
     return agg.select(
         "i",
         "j",
         F.round(
-            F.col("sxy") / F.col("n")
-            - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
+            (
+                F.col("sxy").cast("double")
+                - F.col("sx_i").cast("double")
+                * F.col("sx_j").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") * F.lit(100000000.0)),
             6,
         ).alias("cov"),
     )
