@@ -158,7 +158,12 @@ _JACCARD_PAIRS_CTES = f"""
     tags=("dedup", "llm", "headline"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    return _ngram_jaccard_core(load_table(spark, sf_dir, "documents"))
+
+
+def _ngram_jaccard_core(docs: DataFrame) -> DataFrame:
+    """Jaccard-pair plan over an arbitrary (doc_id, text) frame — lets the
+    dedup cascade feed one persisted documents scan into several tiers."""
     exploded = _exploded_shingles(docs)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -463,7 +468,14 @@ def _simhash_oracle() -> str:
     tags=("dedup", "llm", "simhash"),
 )
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return _simhash_buckets_core(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_buckets_core(docs_in: DataFrame) -> DataFrame:
+    """SimHash fingerprint plan over an arbitrary (doc_id, text) frame —
+    shared by the registered builders and the dedup cascade's persisted
+    documents scan."""
+    docs = spread(docs_in, "doc_id")
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     # hash once per DISTINCT token; referencing the polynomial inside all
     # 62 aggregate expressions would inline it 62x per row (aggregate
@@ -1626,7 +1638,15 @@ _SH_BLOCKS = (  # (shift, width) per block, covering all _SH_BITS bits
     tags=("dedup", "llm", "simhash", "headline"),
 )
 def simhash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = simhash_buckets(spark, sf_dir).select("doc_id", "simhash")
+    return _simhash_pairs_core(
+        simhash_buckets(spark, sf_dir).select("doc_id", "simhash")
+    )
+
+
+def _simhash_pairs_core(sh: DataFrame) -> DataFrame:
+    """Pigeonhole-blocked Hamming pair search over a (doc_id, simhash)
+    frame — split from the builder so the cascade can reuse it on
+    fingerprints derived from a shared persisted documents scan."""
     blocks = sh.select(
         "doc_id",
         "simhash",
