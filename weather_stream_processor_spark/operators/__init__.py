@@ -64,3 +64,7 @@ from weather_stream_processor_spark.operators import evals  # noqa: E402,F401
 # evals -> labeling -> report
 from weather_stream_processor_spark.operators import labeling  # noqa: E402,F401
 from weather_stream_processor_spark.operators import report  # noqa: E402,F401
+
+# round-6 additions: training-pipeline / warehouse infrastructure ops
+# (self-contained — import order after report is arbitrary)
+from weather_stream_processor_spark.operators import infra_ops  # noqa: E402,F401

@@ -1,0 +1,393 @@
+"""Training-pipeline and warehouse infrastructure operators (round 6).
+
+Canonical data-infrastructure operations a 100 TB corpus pipeline runs
+around the query engine itself: GPT-style sequence packing, slowly-
+changing-dimension (SCD2) builds, CDC log application, and rendezvous
+(highest-random-weight) shard placement. All pure DataFrame plans —
+window functions, bounded explodes, hash aggregations — with exact
+DuckDB oracle twins; integer arithmetic end to end wherever a hash is
+compared (the repo's integer-exact convention).
+
+Reference parity note: the reference engine (weather_processor.py /
+weather_stream.py) has no counterpart surface — these belong to the
+mandated training-data-pipeline extension set (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from weather_stream_processor_spark.registry import register
+from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.functions.text_features import tokens
+
+# --- GPT-style concat-and-chunk sequence packing ---------------------------
+
+_PACK_CHUNK = 256  # tokens per packed training sequence
+
+
+@register(
+    "concat_chunk_packing_manifest",
+    oracle=f"""
+        WITH d AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        spans AS (
+            SELECT source, doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_tok
+            FROM d
+        ),
+        tot AS (
+            SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM d GROUP BY source
+        ),
+        hits AS (
+            SELECT s.source, s.doc_id,
+                   unnest(range(s.start_tok // {_PACK_CHUNK},
+                                (s.start_tok + s.n_tokens - 1)
+                                    // {_PACK_CHUNK} + 1)) AS chunk_id,
+                   s.start_tok // {_PACK_CHUNK} AS first_chunk
+            FROM spans s
+        )
+        SELECT h.source,
+               CAST(h.chunk_id AS BIGINT) AS chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN h.chunk_id = h.first_chunk
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+               CAST(CASE WHEN h.chunk_id
+                             = (t.total_tokens - 1) // {_PACK_CHUNK}
+                         THEN ((t.total_tokens - 1) // {_PACK_CHUNK} + 1)
+                              * {_PACK_CHUNK} - t.total_tokens
+                         ELSE 0 END AS BIGINT) AS pad_tokens
+        FROM hits h JOIN tot t USING (source)
+        GROUP BY h.source, h.chunk_id, t.total_tokens
+    """,
+    doc=(
+        "GPT-STYLE SEQUENCE-PACKING MANIFEST (concat-and-chunk, the "
+        f"pretraining data layout): per source stream, documents are "
+        f"concatenated in doc_id order and cut into fixed "
+        f"{_PACK_CHUNK}-token training sequences; the manifest reports, "
+        "per chunk, how many documents overlap it, how many START in it "
+        "(attention-reset boundaries / EOD tokens), and the padding the "
+        "final partial chunk wastes — the numbers that decide chunk size "
+        "and whether doc-boundary-aware packing is worth its cost. Plan: "
+        "one token count per doc, a per-SOURCE prefix-sum window (keyed "
+        "— no global single-partition sort; at 100 TB sources are the "
+        "packing shards and each stream's offsets are independent), a "
+        "bounded explode of each doc's overlapped chunk range "
+        "(ceil(n_tokens/chunk)+1 rows per doc), one hash aggregation. "
+        "All integer arithmetic — the cross-engine hash is exact."
+    ),
+    tags=("llm", "packing", "layout", "curation"),
+)
+def concat_chunk_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = d.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+    )
+    tot = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    first_chunk = F.expr(f"start_tok div {_PACK_CHUNK}")
+    last_chunk = F.expr(f"(start_tok + n_tokens - 1) div {_PACK_CHUNK}")
+    hits = spans.select(
+        "source",
+        "doc_id",
+        F.explode(F.sequence(first_chunk, last_chunk)).alias("chunk_id"),
+        first_chunk.alias("first_chunk"),
+    )
+    last_of_stream = F.expr(f"(total_tokens - 1) div {_PACK_CHUNK}")
+    return (
+        hits.join(tot, "source")
+        .groupBy("source", "chunk_id", "total_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("chunk_id") == F.col("first_chunk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_starting"),
+        )
+        .select(
+            "source",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            "n_docs",
+            "n_starting",
+            F.when(
+                F.col("chunk_id") == last_of_stream,
+                (last_of_stream + 1) * _PACK_CHUNK - F.col("total_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pad_tokens"),
+        )
+    )
+
+
+# --- SCD Type 2 dimension build ---------------------------------------------
+
+
+@register(
+    "scd2_dimension_build",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id,
+               event_type AS attr_value,
+               ts AS valid_from,
+               LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS valid_to,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS BIGINT) AS version,
+               CAST(LEAD(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL AS INT) AS is_current
+        FROM changes
+    """,
+    doc=(
+        "SCD TYPE-2 DIMENSION BUILD (Kimball's slowly-changing dimension, "
+        "the warehouse-canonical history table): collapse each user's "
+        "event stream into validity intervals of its observed attribute "
+        "(event_type stands in for the tracked attribute) — a new version "
+        "row ONLY when the value changes (gaps-and-islands via lag), "
+        "valid_from/valid_to from the change timestamps (open-ended "
+        "current row), monotone version numbers, is_current flag. Plan: "
+        "two windows over the same (user_id | ts, event_id) partitioning "
+        "— Spark plans ONE exchange + one sort and runs both window "
+        "frames on the co-sorted stream; nothing global, scales by user "
+        "cardinality. Deterministic tie-break on event_id for same-ts "
+        "events; exact timestamp + integer outputs for the value hash."
+    ),
+    tags=("analytics", "scd", "warehouse", "window"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w_ord).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    # event_id tie-break keeps same-ts change rows deterministically ordered
+    w_chg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w_chg)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.row_number().over(w_chg).cast("bigint").alias("version"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )
+
+
+# --- CDC upsert/delete log application ---------------------------------------
+
+
+@register(
+    "cdc_upsert_apply",
+    oracle="""
+        WITH log AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   CAST(ROUND(value * 100) AS BIGINT) AS val_cents
+            FROM events
+        ),
+        ranked AS (
+            SELECT user_id, ts, op, val_cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+            FROM log
+        )
+        SELECT user_id, val_cents AS final_val_cents,
+               ts AS last_op_ts, n_ops
+        FROM ranked
+        WHERE rn = 1 AND op = 'U'
+    """,
+    doc=(
+        "CDC LOG APPLICATION (last-writer-wins upsert/delete merge — the "
+        "MERGE INTO a lakehouse table runs on every micro-batch): the "
+        "event stream is read as a change log keyed by user_id ('error' "
+        "rows are DELETE markers / tombstones, everything else an upsert "
+        "of the value), applied in (ts, event_id) order; the output is "
+        "the final snapshot — one row per surviving key with its last "
+        "value, last-operation timestamp, and total ops applied. Keys "
+        "whose LAST op is a delete vanish, exactly like a tombstoned "
+        "MERGE. Plan: one window rank per key (single exchange on "
+        "user_id, the natural 100 TB partitioning for CDC compaction) — "
+        "no join against a snapshot table because last-writer-wins over "
+        "the full log subsumes it; value lifted to integer cents so the "
+        "cross-engine hash is exact."
+    ),
+    tags=("analytics", "cdc", "warehouse", "window"),
+)
+def cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = log.select(
+        "user_id",
+        "ts",
+        "op",
+        "val_cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).cast("bigint").alias("n_ops"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("op") == "U")).select(
+        "user_id",
+        F.col("val_cents").alias("final_val_cents"),
+        F.col("ts").alias("last_op_ts"),
+        "n_ops",
+    )
+
+
+# --- Rendezvous (highest-random-weight) shard placement ----------------------
+
+_HRW_MOD = 2_147_483_647  # 2^31 - 1
+_HRW_KNUTH = 2_654_435_761
+_HRW_SALT = 40_503  # mixes the shard id into the key before the Knuth step
+_HRW_OLD = 7
+_HRW_NEW = 8
+
+
+def _hrw_weight_sql(doc: str, shard: str) -> str:
+    """Shift-free quadratic modular mix (identical text/semantics in both
+    engines; bit-shift syntax deliberately avoided — DuckDB parses
+    ``x >> 16 % M`` as ``x >> (16 % M)``, silently dropping the final
+    mod, and a multiply-shift WITHOUT that mod is order-preserving, which
+    collapses the argmax onto one shard). key and key^2 both stay under
+    2^31 before their products with constants, so every intermediate fits
+    int64."""
+    key = f"(({doc} % {_HRW_MOD}) * {_HRW_SALT} + {shard} * 9973) % {_HRW_MOD}"
+    return f"((({key}) * ({key})) % {_HRW_MOD} * {_HRW_KNUTH}) % {_HRW_MOD}"
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    oracle=f"""
+        WITH cand AS (
+            SELECT d.doc_id, s.shard,
+                   {_hrw_weight_sql('d.doc_id', 's.shard')} AS w
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range({_HRW_NEW})) AS shard) s
+        ),
+        pick_old AS (
+            SELECT doc_id, shard AS shard_old
+            FROM (SELECT doc_id, shard,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY doc_id ORDER BY w DESC, shard
+                         ) AS rn
+                  FROM cand WHERE shard < {_HRW_OLD})
+            WHERE rn = 1
+        ),
+        pick_new AS (
+            SELECT doc_id, shard AS shard_new
+            FROM (SELECT doc_id, shard,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY doc_id ORDER BY w DESC, shard
+                         ) AS rn
+                  FROM cand)
+            WHERE rn = 1
+        )
+        SELECT o.shard_old, n.shard_new,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(o.shard_old <> n.shard_new AS INT) AS moved
+        FROM pick_old o JOIN pick_new n USING (doc_id)
+        GROUP BY o.shard_old, n.shard_new
+    """,
+    doc=(
+        "RENDEZVOUS (HIGHEST-RANDOM-WEIGHT) SHARD PLACEMENT + REBALANCE "
+        f"AUDIT (Thaler & Ravishankar 1996 — the consistent-placement "
+        f"scheme behind cache rings and shard maps): every document "
+        f"scores each shard with a portable integer Knuth-mix weight and "
+        f"lands on its argmax; the audit compares the {_HRW_OLD}-shard "
+        f"map against the {_HRW_NEW}-shard map as a transition matrix. "
+        "HRW's defining property — adding a shard ONLY moves keys INTO "
+        "the new shard (shard_old <> shard_new implies shard_new = "
+        f"{_HRW_NEW - 1}), expected movement 1/{_HRW_NEW} of keys — is "
+        "structurally guaranteed (the old argmax stays the best of the "
+        "surviving candidates) and pytest-gated. Plan: a literal "
+        f"{_HRW_NEW}-row explode per key, two ROW_NUMBER windows on the "
+        "same (doc_id) partitioning, one grid-bounded aggregate "
+        f"(≤{_HRW_OLD}x{_HRW_NEW} cells). Pure integer arithmetic, "
+        "identical in both engines — exact value hash; products stay "
+        "under 2^62 (doc_id-mod domain x Knuth constant)."
+    ),
+    tags=("layout", "scale", "hashing", "audit"),
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = F.sequence(F.lit(0), F.lit(_HRW_NEW - 1))
+    cand = (
+        docs.select("doc_id", F.explode(shards).alias("shard_i"))
+        .select("doc_id", F.col("shard_i").cast("bigint").alias("shard"))
+    ).select(
+        "doc_id",
+        "shard",
+        F.expr(_hrw_weight_sql("doc_id", "shard")).alias("w"),
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(F.desc("w"), F.asc("shard"))
+    pick_new = (
+        cand.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard_new"))
+    )
+    pick_old = (
+        cand.filter(F.col("shard") < _HRW_OLD)
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("shard").alias("shard_old"))
+    )
+    return (
+        pick_old.join(pick_new, "doc_id")
+        .groupBy("shard_old", "shard_new")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "shard_old",
+            "shard_new",
+            "n_docs",
+            (F.col("shard_old") != F.col("shard_new")).cast("int").alias("moved"),
+        )
+    )
