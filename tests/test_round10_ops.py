@@ -121,3 +121,142 @@ def test_rendezvous_minimal_movement(spark):
     assert max(occupancy.values()) < total * 0.5, "degenerate placement"
     assert 0 < sum(r["n_docs"] for r in moved) < total * 0.5
     assert set(range(_HRW_OLD)) == {r["shard_old"] for r in rows}
+
+
+def test_kneser_ney_matches_independent_replay(spark):
+    """Recompute interpolated KN (D=0.75) from raw counts in pandas and
+    compare every emitted probability; also assert each emitted w1's FULL
+    distribution (recomputed, unfiltered) normalizes to 1."""
+    import math
+
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    big = Counter()
+    for r in docs:
+        t = r["text"].split(" ")
+        big.update(zip(t, t[1:]))
+    c1 = Counter()
+    n1_fw = Counter()
+    n1_bw = Counter()
+    for (w1, w2), c in big.items():
+        c1[w1] += c
+        n1_fw[w1] += 1
+        n1_bw[w2] += 1
+    n_types = len(big)
+
+    def kn(w1, w2):
+        return max(big[(w1, w2)] - 0.75, 0.0) / c1[w1] + (
+            0.75 * n1_fw[w1] / c1[w1]
+        ) * (n1_bw[w2] / n_types)
+
+    rows = all_queries()["kneser_ney_bigram_probs"].builder(spark, SF_SMOKE).collect()
+    assert rows, "no bigram reached the count floor"
+    seen_w1 = set()
+    for r in rows:
+        assert big[(r["w1"], r["w2"])] == r["c_xy"] >= 5
+        assert math.isclose(r["prob_kn"], kn(r["w1"], r["w2"]), abs_tol=1e-6)
+        seen_w1.add(r["w1"])
+    by_w1 = defaultdict(list)
+    for w1, w2 in big:
+        by_w1[w1].append(w2)
+    for w1 in list(seen_w1)[:20]:
+        total = sum(kn(w1, w2) for w2 in by_w1[w1])
+        assert math.isclose(total, 1.0, abs_tol=1e-9), f"{w1}: sums to {total}"
+
+
+def test_twonn_estimate_and_ordering(spark):
+    """d1 <= d2, neighbors differ from the anchor, mu^2 >= 1, and the
+    TwoNN intrinsic-dimension estimate d_hat = n / sum(ln mu) lands in a
+    plausible band for 64-dim near-uniform vectors (0 < d_hat <= 64)."""
+    import math
+
+    rows = (
+        all_queries()["twonn_intrinsic_dimension"].builder(spark, SF_SMOKE).collect()
+    )
+    assert rows
+    log_mu_sum = 0.0
+    for r in rows:
+        assert 0 < r["d1_sq"] <= r["d2_sq"]
+        assert r["nn1_id"] != r["vec_id"] != r["nn2_id"]
+        assert r["mu_sq"] >= 1.0
+        log_mu_sum += 0.5 * math.log(r["d2_sq"] / r["d1_sq"])
+    d_hat = len(rows) / log_mu_sum
+    assert 0 < d_hat <= 64, f"implausible intrinsic dimension {d_hat}"
+
+
+def test_fagin_ta_topk_and_stop_depth(spark):
+    """Top-k matches a brute-force replay, and the stop depth certifies:
+    at depth stop_depth, k objects seen in either prefix meet the
+    threshold, and at stop_depth-1 they don't."""
+    from weather_stream_processor_spark.operators.infra_ops import (
+        _TA_COUNT_WEIGHT,
+        _TA_K,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders").toPandas()
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    g = orders.groupby("o_custkey").agg(s1=("cents", "sum"), s2=("cents", "size"))
+    g["combined"] = g["s1"] + g["s2"] * _TA_COUNT_WEIGHT
+    g = g.reset_index()
+    brute = g.sort_values(["combined", "o_custkey"], ascending=[False, True]).head(
+        _TA_K
+    )
+    rows = all_queries()["fagin_ta_topk"].builder(spark, SF_SMOKE).collect()
+    assert [r["custkey"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        brute["o_custkey"]
+    )
+    l1 = g.sort_values(["s1", "o_custkey"], ascending=[False, True]).reset_index()
+    l2 = g.sort_values(["s2", "o_custkey"], ascending=[False, True]).reset_index()
+    g2 = g.set_index("o_custkey")
+
+    def confirmed(d):
+        seen = set(l1["o_custkey"][:d]) | set(l2["o_custkey"][:d])
+        thr = l1["s1"].iloc[d - 1] + l2["s2"].iloc[d - 1] * _TA_COUNT_WEIGHT
+        return sum(1 for c in seen if g2.loc[c, "combined"] >= thr)
+
+    sd = rows[0]["stop_depth"]
+    assert all(r["stop_depth"] == sd for r in rows)
+    assert confirmed(sd) >= _TA_K
+    if sd > 1:
+        assert confirmed(sd - 1) < _TA_K
+
+
+def test_bitmap_overlap_matches_exact_sets(spark):
+    """Word-wise popcount intersection equals the exact distinct-user
+    set intersection for every event-type pair."""
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "user_id")
+    sets: dict[str, set] = {}
+    for r in ev.collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    rows = (
+        all_queries()["bitmap_index_set_algebra"].builder(spark, SF_SMOKE).collect()
+    )
+    pairs = {(r["type_a"], r["type_b"]) for r in rows}
+    types = sorted(sets)
+    assert pairs == {(a, b) for a in types for b in types if a < b}
+    for r in rows:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["n_common"] == len(a & b)
+        assert r["n_either"] == len(a | b)
+
+
+def test_curriculum_interleave_is_round_robin_permutation(spark):
+    """global_pos is a dense permutation ordered by (stage_rank, source),
+    and per-source stage ranks order by non-decreasing difficulty."""
+    rows = (
+        all_queries()["curriculum_interleave_order"].builder(spark, SF_SMOKE).collect()
+    )
+    n = len(rows)
+    assert sorted(r["global_pos"] for r in rows) == list(range(1, n + 1))
+    ordered = sorted(rows, key=lambda r: r["global_pos"])
+    keys = [(r["stage_rank"], r["source"], r["doc_id"]) for r in ordered]
+    assert keys == sorted(keys)
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, sr in by_src.items():
+        sr.sort(key=lambda r: r["stage_rank"])
+        assert [r["stage_rank"] for r in sr] == list(range(1, len(sr) + 1))
+        diffs = [r["difficulty"] for r in sr]
+        assert diffs == sorted(diffs), f"{src}: difficulty not monotone"

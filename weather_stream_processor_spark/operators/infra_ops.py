@@ -391,3 +391,303 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("shard_old") != F.col("shard_new")).cast("int").alias("moved"),
         )
     )
+
+
+# --- Bitmap-index set algebra -------------------------------------------------
+
+_BM_BITS = 62  # bits per bitmap word (sign + top bit left clear)
+
+
+@register(
+    "bitmap_index_set_algebra",
+    oracle=f"""
+        WITH words AS (
+            SELECT event_type,
+                   CAST(user_id // {_BM_BITS} AS BIGINT) AS w_idx,
+                   CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % {_BM_BITS}
+                                                         AS INT))
+                        AS BIGINT) AS word
+            FROM events GROUP BY 1, 2
+        ),
+        card AS (
+            SELECT event_type, CAST(SUM(bit_count(word)) AS BIGINT) AS n_users
+            FROM words GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(SUM(bit_count(a.word & b.word)) AS BIGINT) AS n_common
+            FROM words a JOIN words b
+              ON a.w_idx = b.w_idx AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT i.type_a, i.type_b, i.n_common,
+               ca.n_users + cb.n_users - i.n_common AS n_either,
+               ROUND(CAST(i.n_common AS DOUBLE)
+                     / (ca.n_users + cb.n_users - i.n_common), 6) AS jaccard
+        FROM inter i
+        JOIN card ca ON ca.event_type = i.type_a
+        JOIN card cb ON cb.event_type = i.type_b
+    """,
+    doc=(
+        "BITMAP-INDEX SET ALGEBRA (the roaring-bitmap audience-overlap "
+        "pattern OLAP engines use for segment intersection): each event "
+        f"type's user set is packed into {_BM_BITS}-bit words (word index "
+        f"= user_id div {_BM_BITS}, one bit_or aggregate — the bitmap "
+        "build), then pairwise audience intersections are computed "
+        "WORD-WISE with bit_count(a & b) — 64 set-membership tests per "
+        "CPU instruction instead of a user-level self-join; union "
+        "cardinality follows by inclusion-exclusion from the per-type "
+        "popcounts so no outer join is needed. The word domain is "
+        "|users|/62 per type — at 100 TB the bitmap join shuffles "
+        "~1/400th of the raw (type, user) pair stream, which is exactly "
+        "why bitmap indexes win for audience/segment queries. Top bits "
+        "left clear so signed int64 semantics never differ across "
+        "engines; pure integer outputs plus one mirrored rounded "
+        "division."
+    ),
+    tags=("aggregation", "bitmap", "analytics", "scale"),
+)
+def bitmap_index_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    words = (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST(user_id div {_BM_BITS} AS BIGINT)").alias("w_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {_BM_BITS} AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "w_idx")
+        .agg(F.expr("bit_or(bit)").alias("word"))
+    )
+    card = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("word")).cast("bigint").alias("n_users")
+    )
+    a = words.alias("a")
+    b = words.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w_idx") == F.col("b.w_idx"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(
+            F.sum(F.bit_count(F.col("a.word").bitwiseAND(F.col("b.word"))))
+            .cast("bigint")
+            .alias("n_common")
+        )
+    )
+    ca = card.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    cb = card.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    either = F.col("na") + F.col("nb") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            either.alias("n_either"),
+            F.round(F.col("n_common").cast("double") / either, 6).alias("jaccard"),
+        )
+    )
+
+
+# --- Fagin's Threshold Algorithm audit ---------------------------------------
+
+_TA_K = 10
+_TA_COUNT_WEIGHT = 100_000  # cents-equivalent weight of one order in f()
+
+
+@register(
+    "fagin_ta_topk",
+    oracle=f"""
+        WITH c AS (
+            SELECT o_custkey AS custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS s1,
+                   CAST(COUNT(*) AS BIGINT) AS s2
+            FROM orders GROUP BY 1
+        ),
+        r AS (
+            SELECT custkey, s1, s2,
+                   s1 + s2 * {_TA_COUNT_WEIGHT} AS combined,
+                   ROW_NUMBER() OVER (ORDER BY s1 DESC, custkey) AS pos1,
+                   ROW_NUMBER() OVER (ORDER BY s2 DESC, custkey) AS pos2
+            FROM c
+        ),
+        depths AS (
+            SELECT a.pos1 AS d,
+                   a.s1 + b.s2 * {_TA_COUNT_WEIGHT} AS threshold
+            FROM r a JOIN r b ON a.pos1 = b.pos2
+        ),
+        reach AS (
+            SELECT d.d, CAST(COUNT(*) AS BIGINT) AS n_confirmed
+            FROM depths d JOIN r
+              ON LEAST(r.pos1, r.pos2) <= d.d AND r.combined >= d.threshold
+            GROUP BY d.d
+        ),
+        stop AS (
+            SELECT CAST(MIN(d) AS BIGINT) AS stop_depth FROM reach
+            WHERE n_confirmed >= {_TA_K}
+        ),
+        topk AS (
+            SELECT custkey, s1, s2, combined,
+                   ROW_NUMBER() OVER (ORDER BY combined DESC, custkey) AS rank
+            FROM r
+        )
+        SELECT t.rank, t.custkey, t.s1 AS spend_cents, t.s2 AS n_orders,
+               t.combined, s.stop_depth
+        FROM topk t CROSS JOIN stop s
+        WHERE t.rank <= {_TA_K}
+    """,
+    doc=(
+        "FAGIN'S THRESHOLD ALGORITHM audit (Fagin/Lotem/Naor 2001, the "
+        "classic middleware top-k over independently sorted score lists): "
+        f"customers are ranked on two lists — total spend (cents) and "
+        f"order count (x{_TA_COUNT_WEIGHT} weight) — and the top-{_TA_K} "
+        "by the monotone combined score is emitted together with TA's "
+        "certified STOP DEPTH: the shallowest sorted-access depth d at "
+        f"which {_TA_K} objects seen in either prefix already score >= "
+        "the threshold T(d) = s1@d + w*s2@d, i.e. how little of each "
+        "list a streaming rank-join would actually read (the audit that "
+        "justifies an early-out merge over a full scan). Exact set-"
+        "oriented formulation: two ranking windows, a |depths| x |objects|"
+        " theta-join for the certification counts (exact baseline; a "
+        "production TA reads depths 1..stop only, and the certified "
+        "stop_depth is precisely the bound on that work), integer "
+        "arithmetic throughout."
+    ),
+    tags=("topk", "join", "retrieval", "audit"),
+)
+def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("s2"),
+    )
+    r = c.select(
+        "custkey",
+        "s1",
+        "s2",
+        (F.col("s1") + F.col("s2") * _TA_COUNT_WEIGHT).alias("combined"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s1"), F.asc("custkey")))
+        .alias("pos1"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s2"), F.asc("custkey")))
+        .alias("pos2"),
+    )
+    a = r.alias("a")
+    b = r.alias("b")
+    depths = a.join(b, F.col("a.pos1") == F.col("b.pos2")).select(
+        F.col("a.pos1").alias("d"),
+        (F.col("a.s1") + F.col("b.s2") * _TA_COUNT_WEIGHT).alias("threshold"),
+    )
+    reach = (
+        depths.join(
+            r,
+            (F.least(F.col("pos1"), F.col("pos2")) <= F.col("d"))
+            & (F.col("combined") >= F.col("threshold")),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_confirmed"))
+    )
+    stop = reach.filter(F.col("n_confirmed") >= _TA_K).agg(
+        F.min("d").cast("bigint").alias("stop_depth")
+    )
+    topk = r.select(
+        "custkey",
+        "s1",
+        "s2",
+        "combined",
+        F.row_number()
+        .over(Window.orderBy(F.desc("combined"), F.asc("custkey")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _TA_K)
+    return topk.crossJoin(F.broadcast(stop)).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "custkey",
+        F.col("s1").alias("spend_cents"),
+        F.col("s2").alias("n_orders"),
+        "combined",
+        "stop_depth",
+    )
+
+
+# --- Curriculum ordering ------------------------------------------------------
+
+
+@register(
+    "curriculum_interleave_order",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST((n_chars * 1000)
+                        // len(string_split(text, ' ')) AS BIGINT)
+                       AS difficulty
+            FROM documents
+        ),
+        staged AS (
+            SELECT doc_id, source, difficulty,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY difficulty, doc_id
+                   ) AS BIGINT) AS stage_rank
+            FROM d
+        )
+        SELECT doc_id, source, difficulty, stage_rank,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY stage_rank, source, doc_id
+               ) AS BIGINT) AS global_pos
+        FROM staged
+    """,
+    doc=(
+        "CURRICULUM TRAINING ORDER with per-source round-robin "
+        "interleaving: documents are staged easiest-first WITHIN each "
+        "source (difficulty proxy: mean chars per token, integer-scaled "
+        "x1000 — longer words, harder text) and the global order walks "
+        "stage 1 of every source before stage 2 of any (ORDER BY "
+        "(stage_rank, source)) — curriculum progression without "
+        "starving any source early, the schedule curriculum-learning "
+        "pipelines actually emit. Plan: one source-keyed ranking window "
+        "(parallel over sources), then the total order — which IS the "
+        "deliverable, like global_sorted_supplier_ledger — via range-"
+        "partitioned sort on the (stage_rank, source) prefix at scale. "
+        "All-integer outputs; fully deterministic tie-breaks."
+    ),
+    tags=("sampling", "llm", "curation", "curriculum"),
+)
+def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.expr("CAST((n_chars * 1000) div size(split(text, ' ')) AS BIGINT)").alias(
+            "difficulty"
+        ),
+    )
+    staged = d.select(
+        "doc_id",
+        "source",
+        "difficulty",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("difficulty", "doc_id"))
+        .cast("bigint")
+        .alias("stage_rank"),
+    )
+    return staged.select(
+        "doc_id",
+        "source",
+        "difficulty",
+        "stage_rank",
+        F.row_number()
+        .over(Window.orderBy("stage_rank", "source", "doc_id"))
+        .cast("bigint")
+        .alias("global_pos"),
+    )

@@ -3126,3 +3126,196 @@ def embedding_procrustes_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# --- Round-6: intrinsic dimension + triplet mining ---------------------------
+
+# Shared integer lift for exact cross-engine distance arithmetic: cells ->
+# floor(x*1e4 + 0.5) as int64 (same IEEE expression in Spark SQL and
+# DuckDB), so squared L2 distances and dot products are EXACT integer sums
+# — permutation-invariant, hash-stable at any partitioning (the
+# embedding_covariance_spectrum fix, reused as this family's convention).
+_LIFT_SPARK = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+_LIFT_DUCK = "[CAST(floor(CAST(u AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) FOR u IN embedding]"
+
+
+@register(
+    "twonn_intrinsic_dimension",
+    oracle=f"""
+        WITH k AS (
+            SELECT vec_id, {_LIFT_DUCK} AS kv FROM embeddings
+        ),
+        d AS (
+            SELECT a.vec_id,
+                   b.vec_id AS nb_id,
+                   CAST(list_sum([(a.kv[i] - b.kv[i]) * (a.kv[i] - b.kv[i])
+                                  FOR i IN range(1, len(a.kv) + 1)])
+                        AS BIGINT) AS dist_sq
+            FROM k a JOIN k b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT vec_id, nb_id, dist_sq,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist_sq, nb_id
+                   ) AS rn
+            FROM d WHERE dist_sq > 0
+        )
+        SELECT r1.vec_id,
+               r1.nb_id AS nn1_id,
+               r2.nb_id AS nn2_id,
+               r1.dist_sq AS d1_sq,
+               r2.dist_sq AS d2_sq,
+               ROUND(CAST(r2.dist_sq AS DOUBLE) / r1.dist_sq, 6) AS mu_sq
+        FROM ranked r1 JOIN ranked r2
+          ON r1.vec_id = r2.vec_id AND r1.rn = 1 AND r2.rn = 2
+    """,
+    doc=(
+        "TwoNN INTRINSIC-DIMENSION statistics (Facco et al. 2017, the "
+        "estimator data-pruning work uses to measure how 'thin' an "
+        "embedding manifold really is): per vector, its two nearest "
+        "non-coincident neighbors by EXACT squared L2 and the ratio "
+        "mu^2 = d2^2/d1^2; the global estimate d_hat = n / sum(ln mu) "
+        "follows in the (libm-free) property test — ln differs across "
+        "engines' math libraries, so the hashed surface stays on exact "
+        "integers plus ONE rounded division. Cells are integer-lifted "
+        "(floor(x*1e4+0.5), identical IEEE expression both engines), so "
+        "every distance is an exact int64 and the ranking is untieable "
+        "drift-free; coincident clones (dist 0) are excluded from the "
+        "neighbor set, as the estimator requires. Exact O(n^2) baseline "
+        "by design — the scale path is the registered ANN family "
+        "(LSH/IVF candidates feeding the same ranking), mirroring "
+        "mutual_knn_pairs' exact-oracle convention."
+    ),
+    tags=("similarity", "llm", "statistics", "curation"),
+)
+def twonn_intrinsic_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_LIFT_SPARK).alias("kv")
+    )
+    a = spread(emb, "vec_id").alias("a")
+    b = emb.alias("b")
+    dist_sq = F.aggregate(
+        F.zip_with("a.kv", "b.kv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    d = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nb_id"),
+            dist_sq.alias("dist_sq"),
+        )
+        .filter(F.col("dist_sq") > 0)
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "nb_id")
+    ranked = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    r1 = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("nb_id").alias("nn1_id"), F.col("dist_sq").alias("d1_sq")
+    )
+    r2 = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("nb_id").alias("nn2_id"), F.col("dist_sq").alias("d2_sq")
+    )
+    return r1.join(r2, "vec_id").select(
+        "vec_id",
+        "nn1_id",
+        "nn2_id",
+        "d1_sq",
+        "d2_sq",
+        F.round(F.col("d2_sq").cast("double") / F.col("d1_sq"), 6).alias("mu_sq"),
+    )
+
+
+@register(
+    "triplet_mining",
+    oracle=f"""
+        WITH k AS (
+            SELECT vec_id, label, {_LIFT_DUCK} AS kv FROM embeddings
+        ),
+        p AS (
+            SELECT a.vec_id, a.label,
+                   b.vec_id AS nb_id, b.label AS nb_label,
+                   CAST(list_sum([a.kv[i] * b.kv[i]
+                                  FOR i IN range(1, len(a.kv) + 1)])
+                        AS BIGINT) AS dot_i
+            FROM k a JOIN k b ON a.vec_id <> b.vec_id
+        ),
+        pos AS (
+            SELECT vec_id, nb_id AS pos_id, dot_i AS pos_dot
+            FROM (SELECT vec_id, nb_id, dot_i,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY vec_id ORDER BY dot_i DESC, nb_id
+                         ) AS rn
+                  FROM p WHERE label = nb_label)
+            WHERE rn = 1
+        ),
+        neg AS (
+            SELECT vec_id, nb_id AS neg_id, dot_i AS neg_dot
+            FROM (SELECT vec_id, nb_id, dot_i,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY vec_id ORDER BY dot_i DESC, nb_id
+                         ) AS rn
+                  FROM p WHERE label <> nb_label)
+            WHERE rn = 1
+        )
+        SELECT vec_id, pos_id, neg_id, pos_dot, neg_dot,
+               pos_dot - neg_dot AS margin_i
+        FROM pos JOIN neg USING (vec_id)
+    """,
+    doc=(
+        "TRIPLET MINING for contrastive / metric learning: for every "
+        "anchor, the hardest POSITIVE to keep (most-similar same-label "
+        "vector — batch-hard triplet loss pairs it with the hardest "
+        "negative) and the hardest NEGATIVE (most-similar different-label "
+        "vector, as in hard_negative_mining), plus the integer margin "
+        "between them — the quantity a triplet loss drives positive. "
+        "Similarity is the EXACT integer-lifted dot product (floor(x*1e4 "
+        "+0.5) cells; unnormalized dot is rank-equivalent to cosine on "
+        "this fixture's near-constant-norm vectors and keeps the hashed "
+        "surface divisionless). Deterministic min-id tie-breaks. Exact "
+        "O(n^2) baseline like its siblings (mutual_knn_pairs, "
+        "hard_negative_mining); at 100 TB the candidate set comes from "
+        "the ANN family and per-label block GEMMs — same ranking, "
+        "bounded candidates."
+    ),
+    tags=("similarity", "llm", "curation", "contrastive"),
+)
+def triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_LIFT_SPARK).alias("kv")
+    )
+    a = spread(emb, "vec_id").alias("a")
+    b = emb.alias("b")
+    dot_i = F.aggregate(
+        F.zip_with("a.kv", "b.kv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    p = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        F.col("b.vec_id").alias("nb_id"),
+        F.col("b.label").alias("nb_label"),
+        dot_i.alias("dot_i"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot_i"), F.asc("nb_id"))
+    pos = (
+        p.filter(F.col("label") == F.col("nb_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nb_id").alias("pos_id"), F.col("dot_i").alias("pos_dot"))
+    )
+    neg = (
+        p.filter(F.col("label") != F.col("nb_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("nb_id").alias("neg_id"), F.col("dot_i").alias("neg_dot"))
+    )
+    return pos.join(neg, "vec_id").select(
+        "vec_id",
+        "pos_id",
+        "neg_id",
+        "pos_dot",
+        "neg_dot",
+        (F.col("pos_dot") - F.col("neg_dot")).alias("margin_i"),
+    )

@@ -3166,3 +3166,102 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_flagged"),
     )
+
+
+# --- Round-6: Kneser-Ney smoothed bigram model -------------------------------
+
+_KN_D = 0.75  # absolute discount (Chen & Goodman's fixed-D variant)
+_KN_MIN_COUNT = 5  # emit only bigrams seen >= this often (bounded output)
+
+
+@register(
+    "kneser_ney_bigram_probs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        bi AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks
+        ),
+        bic AS (
+            SELECT string_split(bigram, ' ')[1] AS w1,
+                   string_split(bigram, ' ')[2] AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM bi GROUP BY 1, 2
+        ),
+        fw AS (
+            SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n1_fw
+            FROM bic GROUP BY w1
+        ),
+        bw AS (
+            SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1_bw FROM bic GROUP BY w2
+        ),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bic)
+        SELECT b.w1, b.w2, b.c_xy,
+               ROUND(GREATEST(b.c_xy - {_KN_D}, CAST(0.0 AS DOUBLE)) / f.c1
+                     + ({_KN_D} * f.n1_fw / f.c1)
+                       * (CAST(w.n1_bw AS DOUBLE) / t.n_types), 6) AS prob_kn
+        FROM bic b
+        JOIN fw f USING (w1)
+        JOIN bw w USING (w2)
+        CROSS JOIN nt t
+        WHERE b.c_xy >= {_KN_MIN_COUNT}
+    """,
+    doc=(
+        "KNESER-NEY SMOOTHED BIGRAM PROBABILITIES (interpolated, fixed "
+        f"absolute discount D={_KN_D} — Chen & Goodman 1999's reference "
+        "formulation, the smoothing KenLM ships and CCNet-style corpus "
+        "filters score with): P(w2|w1) = max(c(w1w2)-D,0)/c(w1) + "
+        "D*N1+(w1,.)/c(w1) * Pcont(w2), where the continuation "
+        "probability Pcont(w2) = N1+(.,w2)/|bigram types| asks how many "
+        "CONTEXTS a word completes rather than how often it occurs — the "
+        "insight that separates KN from add-k (bigram_lm_perplexity's "
+        "baseline). Every count is one vocabulary-bounded hash aggregate "
+        "off a single bigram explode: forward fan-out N1+(w1,.) and "
+        "denominator c(w1) share a grouping, backward fan-in N1+(.,w2) "
+        "is a second, the type total broadcasts as one row. Output "
+        f"bounded to bigrams with count >= {_KN_MIN_COUNT}. The closing "
+        "probability expression is written with the identical operator "
+        "tree in both engines over exact integer counts, rounded at 6dp."
+    ),
+    tags=("text", "llm", "quality", "language-model"),
+)
+def kneser_ney_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bic = (
+        docs.select(F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+        .select(
+            F.split("bigram", " ")[0].alias("w1"),
+            F.split("bigram", " ")[1].alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    fw = bic.groupBy("w1").agg(
+        F.sum("c_xy").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1_fw"),
+    )
+    bw = bic.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1_bw"))
+    nt = bic.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    d = F.lit(_KN_D)
+    return (
+        bic.join(fw, "w1")
+        .join(bw, "w2")
+        .crossJoin(F.broadcast(nt))
+        .filter(F.col("c_xy") >= _KN_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.greatest(F.col("c_xy") - d, F.lit(0.0).cast("double"))
+                / F.col("c1")
+                + (d * F.col("n1_fw") / F.col("c1"))
+                * (F.col("n1_bw").cast("double") / F.col("n_types")),
+                6,
+            ).alias("prob_kn"),
+        )
+    )
