@@ -157,11 +157,13 @@ def test_kneser_ney_matches_independent_replay(spark):
         assert big[(r["w1"], r["w2"])] == r["c_xy"] >= 5
         assert math.isclose(r["prob_kn"], kn(r["w1"], r["w2"]), abs_tol=1e-6)
         seen_w1.add(r["w1"])
-    by_w1 = defaultdict(list)
-    for w1, w2 in big:
-        by_w1[w1].append(w2)
-    for w1 in list(seen_w1)[:20]:
-        total = sum(kn(w1, w2) for w2 in by_w1[w1])
+    # normalization: the backoff term spreads mass over the FULL
+    # continuation vocabulary (every word observed as a second word
+    # anywhere), not just w1's observed successors
+    cont_vocab = list(n1_bw)
+    _ = defaultdict  # imported above; kept for the successor map if needed
+    for w1 in list(seen_w1)[:10]:
+        total = sum(kn(w1, w2) for w2 in cont_vocab)
         assert math.isclose(total, 1.0, abs_tol=1e-9), f"{w1}: sums to {total}"
 
 
