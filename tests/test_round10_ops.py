@@ -262,3 +262,95 @@ def test_curriculum_interleave_is_round_robin_permutation(spark):
         assert [r["stage_rank"] for r in sr] == list(range(1, len(sr) + 1))
         diffs = [r["difficulty"] for r in sr]
         assert diffs == sorted(diffs), f"{src}: difficulty not monotone"
+
+
+def test_bom_rollup_invariants(spark):
+    """Roots {0,1,2,3} have depth 1; depth equals the div-4 chain length;
+    the forest's root subtree costs sum to the whole table's cost; leaf
+    subtree cost equals own price."""
+    rows = all_queries()["bom_rollup_explosion"].builder(spark, SF_SMOKE).collect()
+    part = load_table(spark, SF_SMOKE, "part").collect()
+    cents = {r["p_partkey"]: round(r["p_retailprice"] * 100) for r in part}
+    by_key = {r["part_key"]: r for r in rows}
+    assert set(by_key) == set(cents)
+    for k, r in by_key.items():
+        d, kk = 1, k
+        while kk >= 4:
+            kk //= 4
+            d += 1
+        assert r["depth"] == d, f"part {k}: depth"
+    roots = [r for r in rows if r["depth"] == 1]
+    assert {r["part_key"] for r in roots} <= {0, 1, 2, 3}
+    assert sum(r["subtree_cost_cents"] for r in roots) == sum(cents.values())
+    assert sum(r["n_nodes"] for r in roots) == len(cents)
+    max_key = max(cents)
+    leaves = [r for r in rows if r["part_key"] * 4 > max_key]
+    assert leaves and all(
+        r["n_nodes"] == 1 and r["subtree_cost_cents"] == cents[r["part_key"]]
+        for r in leaves
+    )
+
+
+def test_contamination_curve_monotone(spark):
+    """Flagged docs and shared n-grams are non-increasing in n (a longer
+    window can only be harder to match), and rates sit in [0, 1]."""
+    rows = sorted(
+        all_queries()["contamination_ngram_overlap_curve"]
+        .builder(spark, SF_SMOKE)
+        .collect(),
+        key=lambda r: r["n"],
+    )
+    assert [r["n"] for r in rows] == [3, 8, 13]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_flagged_train_docs"] >= b["n_flagged_train_docs"]
+    for r in rows:
+        assert 0.0 <= r["flag_rate"] <= 1.0
+
+
+def test_ann_recall_curve_bounds(spark):
+    """recall@k = n_hit/k with 0 <= n_hit <= k, and the curve agrees with
+    a direct prefix-intersection of the two registered top-10 lists."""
+    ex = {
+        r["vec_id"]: r["rn"]
+        for r in all_queries()["cosine_topk_exact"].builder(spark, SF_SMOKE).collect()
+    }
+    ap = {
+        r["vec_id"]: r["rn"]
+        for r in all_queries()["ann_lsh_topk"].builder(spark, SF_SMOKE).collect()
+    }
+    rows = all_queries()["ann_recall_curve"].builder(spark, SF_SMOKE).collect()
+    for r in rows:
+        k = r["k"]
+        expect = sum(
+            1 for v, rn in ex.items() if rn <= k and ap.get(v, 99) <= k
+        )
+        assert r["n_hit"] == expect
+        assert 0 <= r["n_hit"] <= k
+        assert abs(r["recall"] - r["n_hit"] / k) < 1e-9
+
+
+def test_loop_detector_gaps_and_islands(spark):
+    """max_run agrees with a direct python scan of consecutive equal
+    trigrams for every doc, and n_trigrams == len(tokens) - 2."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    expect = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        if len(t) < 3:
+            continue
+        tris = [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+        best = cur = 1
+        for a, b in zip(tris, tris[1:]):
+            cur = cur + 1 if a == b else 1
+            best = max(best, cur)
+        expect[d["doc_id"]] = (best, len(tris))
+    got = {
+        r["doc_id"]: (r["max_run"], r["n_trigrams"], r["loop_flag"])
+        for r in all_queries()["repeated_ngram_loop_detector"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(expect)
+    for did, (best, n) in expect.items():
+        assert got[did][0] == best and got[did][1] == n
+        assert got[did][2] == (1 if best >= 3 else 0)

@@ -691,3 +691,191 @@ def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("global_pos"),
     )
+
+
+# --- Recursive hierarchy rollup (BOM explosion) -------------------------------
+
+_BOM_FANOUT = 4  # parent(k) = k div 4 — a deterministic forest over p_partkey
+_BOM_MAX_DEPTH = 12  # covers keys < 4^12 ≈ 16.7M (sf100-equivalent headroom)
+
+
+@register(
+    "bom_rollup_explosion",
+    oracle=f"""
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS anc, p_partkey AS descd FROM part
+            UNION ALL
+            SELECT a.anc // {_BOM_FANOUT}, a.descd
+            FROM anc a WHERE a.anc >= {_BOM_FANOUT}
+        ),
+        cents AS (
+            SELECT p_partkey,
+                   CAST(ROUND(p_retailprice * 100) AS BIGINT) AS c
+            FROM part
+        ),
+        rollup_ AS (
+            SELECT a.anc AS part_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(c.c) AS BIGINT) AS subtree_cost_cents
+            FROM anc a JOIN cents c ON c.p_partkey = a.descd
+            GROUP BY a.anc
+        ),
+        depth_ AS (
+            SELECT descd AS part_key, CAST(COUNT(*) AS BIGINT) AS depth
+            FROM anc GROUP BY descd
+        )
+        SELECT r.part_key, d.depth, r.n_nodes, r.subtree_cost_cents
+        FROM rollup_ r JOIN depth_ d USING (part_key)
+    """,
+    doc=(
+        "BILL-OF-MATERIALS EXPLOSION / HIERARCHY ROLLUP — the classic "
+        "recursive warehouse query (org charts, product trees, account "
+        "hierarchies): every part's full subtree is exploded through the "
+        f"deterministic forest parent(k) = k div {_BOM_FANOUT} and rolled "
+        "up into subtree node count and total cost, plus each node's "
+        "depth. THE CAPABILITY CONTRAST IS THE POINT: the DuckDB oracle "
+        "uses a true WITH RECURSIVE traversal; Spark has no recursive "
+        "CTE, so the registered plan is the standard replacement — a "
+        f"BOUNDED ITERATIVE closure ({_BOM_MAX_DEPTH} frontier-join "
+        "rounds, one per tree level, unioned lazily into a single plan; "
+        "the frontier empties at the true depth ~log_"
+        f"{_BOM_FANOUT}(max_key), so extra rounds join empty frames). "
+        "Closure size is n x depth — linear-times-log, never quadratic; "
+        "each round is an equi-join on the child key, AQE-coalesced. "
+        "Costs are integer cents; the whole surface is exact. At 100 TB "
+        "hierarchy depth, not corpus size, bounds the rounds — the same "
+        "O(depth) iteration as the connected-components family "
+        "(dedup.py:_cc_label_propagation), cited there."
+    ),
+    tags=("analytics", "warehouse", "iterative", "join"),
+)
+def bom_rollup_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    cents = part.select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("c")
+    )
+    edges = part.filter(F.col("p_partkey") >= _BOM_FANOUT).select(
+        F.col("p_partkey").alias("child"),
+        F.expr(f"p_partkey div {_BOM_FANOUT}").alias("parent"),
+    )
+    base = part.select(
+        F.col("p_partkey").alias("anc"), F.col("p_partkey").alias("descd")
+    )
+    closure = base
+    frontier = base
+    for _ in range(_BOM_MAX_DEPTH):
+        frontier = frontier.join(
+            edges, frontier["anc"] == edges["child"]
+        ).select(F.col("parent").alias("anc"), F.col("descd"))
+        closure = closure.unionAll(frontier)
+    rollup = (
+        closure.join(cents, closure["descd"] == cents["p_partkey"])
+        .groupBy("anc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("c").cast("bigint").alias("subtree_cost_cents"),
+        )
+        .select(F.col("anc").alias("part_key"), "n_nodes", "subtree_cost_cents")
+    )
+    depth = closure.groupBy("descd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("depth")
+    ).select(F.col("descd").alias("part_key"), "depth")
+    return rollup.join(depth, "part_key").select(
+        "part_key", "depth", "n_nodes", "subtree_cost_cents"
+    )
+
+
+# --- Multi-n contamination overlap curve --------------------------------------
+
+_CONTAM_NS = (3, 8, 13)  # 13-gram is the GPT-3/Brown et al. decontam setting
+
+
+@register(
+    "contamination_ngram_overlap_curve",
+    oracle=f"""
+        WITH curve AS (
+            {" UNION ALL ".join(
+                f'''
+            SELECT {n} AS n,
+                   CAST(COUNT(DISTINCT sh.g) AS BIGINT) AS n_shared_ngrams,
+                   CAST(COUNT(DISTINCT sh.doc_id) AS BIGINT)
+                       AS n_flagged_train_docs,
+                   ROUND(CAST(COUNT(DISTINCT sh.doc_id) AS DOUBLE)
+                         / (SELECT COUNT(*) FROM documents
+                            WHERE doc_id % 20 <> 0), 6) AS flag_rate
+            FROM (
+                SELECT d.doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(t[i:i+{n - 1}], ' ')
+                            FOR i IN range(1, len(t) - {n - 2})])) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 20 <> 0) d
+                WHERE len(t) >= {n}
+            ) sh
+            JOIN (
+                SELECT DISTINCT
+                       unnest(list_distinct(
+                           [array_to_string(t[i:i+{n - 1}], ' ')
+                            FOR i IN range(1, len(t) - {n - 2})])) AS g
+                FROM (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents WHERE doc_id % 20 = 0) e
+                WHERE len(t) >= {n}
+            ) ev USING (g)
+            '''
+                for n in _CONTAM_NS
+            )}
+        )
+        SELECT * FROM curve
+    """,
+    doc=(
+        "CONTAMINATION SENSITIVITY CURVE: the eval-set n-gram overlap "
+        f"audit (decontamination_overlap's semantics) swept across n = "
+        f"{_CONTAM_NS} in one query — 13 is the GPT-3/Brown et al. "
+        "setting, 8 the substring-dedup window, 3 the aggressive end; "
+        "the curve (how fast flagged-doc counts decay with n) is what "
+        "actually picks the production threshold, since a single-n "
+        "audit can't show whether matches are boilerplate phrases or "
+        "real leakage. Per n: distinct shared n-grams and flagged "
+        "training docs (eval proxy: doc_id % 20 == 0, the family "
+        "convention). Plan: one shingle explode per n (explodes of "
+        "different orders cannot share work — this is the honest cost), "
+        "each an equi-join of train shingles against the DISTINCT eval "
+        "shingle set, aggregated to ONE row; 3-row output. At 100 TB "
+        "the eval side is tiny and broadcast; train-side explode is "
+        "linear per n."
+    ),
+    tags=("dedup", "llm", "decontamination", "report"),
+)
+def contamination_ngram_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions.text_features import word_shingles
+    from weather_stream_processor_spark.sources import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    n_train = train.count()  # 1-row driver scalar, bounded
+    out = None
+    for n in _CONTAM_NS:
+        tr_sh = spread(train, "doc_id").select(
+            "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("g")
+        )
+        ev_sh = (
+            ev.select(F.explode(word_shingles(tokens(F.col("text")), n)).alias("g"))
+            .distinct()
+        )
+        hit = tr_sh.join(F.broadcast(ev_sh), "g")
+        row = hit.agg(
+            F.countDistinct("g").cast("bigint").alias("n_shared_ngrams"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_flagged_train_docs"),
+        ).select(
+            F.lit(n).cast("int").alias("n"),
+            "n_shared_ngrams",
+            "n_flagged_train_docs",
+            F.round(
+                F.col("n_flagged_train_docs").cast("double")
+                / F.lit(float(n_train)),
+                6,
+            ).alias("flag_rate"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -838,3 +838,87 @@ def capture_recapture_dup_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(chap, 2).alias("chapman_estimate"),
         F.round(se, 2).alias("chapman_se"),
     )
+
+
+# --- Round-6: ANN recall curve as a first-class query -------------------------
+
+_RECALL_KS = (1, 5, 10)
+
+
+def _ann_recall_oracle() -> str:
+    exact = _REGISTRY["cosine_topk_exact"].oracle
+    approx = _REGISTRY["ann_lsh_topk"].oracle
+    return f"""
+        WITH ex AS ({exact}),
+        ap AS ({approx}),
+        joined AS (
+            SELECT ex.rn AS rn_e, ap.rn AS rn_a
+            FROM ex JOIN ap USING (vec_id)
+        ),
+        ks(k) AS (VALUES {", ".join(f"({k})" for k in _RECALL_KS)}),
+        hits AS (
+            SELECT ks.k,
+                   CAST(COUNT(*) FILTER (WHERE joined.rn_e <= ks.k
+                                           AND joined.rn_a <= ks.k)
+                        AS BIGINT) AS n_hit
+            FROM ks LEFT JOIN joined ON TRUE
+            GROUP BY ks.k
+        )
+        SELECT CAST(k AS INT) AS k, n_hit,
+               ROUND(CAST(n_hit AS DOUBLE) / k, 6) AS recall
+        FROM hits
+    """
+
+
+@register(
+    "ann_recall_curve",
+    oracle=_ann_recall_oracle(),
+    doc=(
+        "ANN QUALITY AS A FIRST-CLASS QUERY: recall@k of the multi-table "
+        f"LSH index against the exact brute-force ranking at k = "
+        f"{_RECALL_KS} — the acceptance metric every ANN deployment "
+        "gates on, computed INSIDE the engine instead of a side tool "
+        "(tools/ann_quality.py measures the same thing offline; this "
+        "registers it with a cross-engine oracle so the measurement "
+        "itself is hash-verified). Composes the two registered "
+        "operators verbatim — cosine_topk_exact (TakeOrderedAndProject "
+        "baseline) and ann_lsh_topk (bucket-probe + exact rerank) — "
+        "joins their top-10 lists on vec_id and counts prefix-"
+        "intersection sizes per k; a 3-row output from two top-10 "
+        "inputs, so the report layer adds nothing corpus-sized. At "
+        "100 TB both inputs keep their own registered plans."
+    ),
+    tags=("similarity", "llm", "lsh", "report", "evals"),
+)
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        _REGISTRY["cosine_topk_exact"]
+        .builder(spark, sf_dir)
+        .select("vec_id", F.col("rn").alias("rn_e"))
+    )
+    ap = (
+        _REGISTRY["ann_lsh_topk"]
+        .builder(spark, sf_dir)
+        .select("vec_id", F.col("rn").alias("rn_a"))
+    )
+    joined = ex.join(ap, "vec_id")
+    ks = spark.createDataFrame([(k,) for k in _RECALL_KS], "k int")
+    hits = (
+        ks.join(joined, F.lit(True), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rn_e") <= F.col("k")) & (F.col("rn_a") <= F.col("k")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    return hits.select(
+        F.col("k").cast("int").alias("k"),
+        "n_hit",
+        F.round(F.col("n_hit").cast("double") / F.col("k"), 6).alias("recall"),
+    )

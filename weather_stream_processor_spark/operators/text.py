@@ -3265,3 +3265,108 @@ def kneser_ney_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prob_kn"),
         )
     )
+
+
+# --- Round-6: degenerate-repetition loop detector ------------------------------
+
+_LOOP_RUN_FLAG = 3  # a trigram repeated this many times consecutively = loop
+
+
+@register(
+    "repeated_ngram_loop_detector",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   [array_to_string(t[i:i+2], ' ')
+                    FOR i IN range(1, len(t) - 1)] AS gs
+            FROM toks WHERE len(t) >= 3
+        ),
+        pos AS (
+            SELECT doc_id, unnest(gs) AS tri,
+                   generate_subscripts(gs, 1) AS p
+            FROM g
+        ),
+        flagged AS (
+            SELECT doc_id, tri, p,
+                   CASE WHEN LAG(tri) OVER w IS NULL
+                             OR LAG(tri) OVER w <> tri
+                        THEN 1 ELSE 0 END AS chg
+            FROM pos
+            WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+        ),
+        islands AS (
+            SELECT doc_id, tri, p,
+                   SUM(chg) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS island
+            FROM flagged
+        ),
+        runs AS (
+            SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS run_len
+            FROM islands GROUP BY doc_id, island
+        )
+        SELECT doc_id,
+               CAST(MAX(run_len) AS BIGINT) AS max_run,
+               CAST(SUM(run_len) AS BIGINT) AS n_trigrams,
+               CAST(MAX(run_len) >= {_LOOP_RUN_FLAG} AS INT) AS loop_flag
+        FROM runs GROUP BY doc_id
+    """,
+    doc=(
+        "DEGENERATE-REPETITION LOOP DETECTOR: per document, the longest "
+        "run of CONSECUTIVE identical word trigrams — the signature of "
+        "model-generated loop text ('the the the', repeated phrase "
+        "cycles) that slips past distinct-shingle repetition ratios "
+        "(repetition_quality_filter counts distinct reuse anywhere; "
+        "this demands adjacency, which is what makes it a LOOP). "
+        "Gaps-and-islands over the ordered trigram stream: one ordinal "
+        "explode, a lag-based change flag, a running-sum island id, two "
+        "bounded aggregations — all keyed by doc_id, so every window "
+        "sorts within a document and nothing global exists; flag fires "
+        f"at run >= {_LOOP_RUN_FLAG}. Pure integers."
+    ),
+    tags=("text", "llm", "quality"),
+)
+def repeated_ngram_loop_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    pos = (
+        docs.filter(F.size(toks) >= 3)
+        .select("doc_id", F.posexplode(grams).alias("p0", "tri"))
+        .select("doc_id", (F.col("p0") + 1).alias("p"), "tri")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    flagged = pos.select(
+        "doc_id",
+        "tri",
+        "p",
+        F.when(
+            F.lag("tri").over(w).isNull() | (F.lag("tri").over(w) != F.col("tri")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "doc_id",
+        "p",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    runs = islands.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.max("run_len").cast("bigint").alias("max_run"),
+        F.sum("run_len").cast("bigint").alias("n_trigrams"),
+        (F.max("run_len") >= _LOOP_RUN_FLAG).cast("int").alias("loop_flag"),
+    )
