@@ -354,3 +354,99 @@ def test_loop_detector_gaps_and_islands(spark):
     for did, (best, n) in expect.items():
         assert got[did][0] == best and got[did][1] == n
         assert got[did][2] == (1 if best >= 3 else 0)
+
+
+def test_benford_audit_assembles_chi_square(spark):
+    """Digit counts cover the whole table, expected ppb constants sum to
+    ~1e9, and the chi-square statistic assembles finite from the exact
+    integer surface."""
+    rows = (
+        all_queries()["benford_first_digit_audit"].builder(spark, SF_SMOKE).collect()
+    )
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    assert sum(r["n_obs"] for r in rows) == n_orders
+    assert abs(sum(r["p_e9"] for r in rows) - 1_000_000_000) <= 2
+    chi2 = 0.0
+    for r in rows:
+        exp = n_orders * r["p_e9"] / 1e9
+        chi2 += (r["n_obs"] - exp) ** 2 / exp
+        assert r["dev_e9n"] == r["n_obs"] * 1_000_000_000 - n_orders * r["p_e9"]
+    assert chi2 >= 0.0 and chi2 == chi2  # finite
+
+
+def test_stylometry_delta_matches_replay_and_zscore(spark):
+    """delta_l1_e9 equals a pandas replay of the lifted profiles, and the
+    classic z-scored Burrows Delta derived from those integers is finite
+    and symmetric-positive for every pair."""
+    import math
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    words = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    tot: dict[str, int] = {}
+    cnt: dict[tuple, int] = {}
+    for d in docs:
+        t = d["text"].split(" ")
+        tot[d["source"]] = tot.get(d["source"], 0) + len(t)
+        for w in t:
+            if w in words:
+                cnt[(d["source"], w)] = cnt.get((d["source"], w), 0) + 1
+    f = {
+        (s, w): math.floor(cnt.get((s, w), 0) * 1e9 / tot[s] + 0.5)
+        for s in tot
+        for w in words
+    }
+    rows = (
+        all_queries()["stylometry_source_delta"].builder(spark, SF_SMOKE).collect()
+    )
+    srcs = sorted(tot)
+    assert len(rows) == len(srcs) * (len(srcs) - 1) // 2
+    for r in rows:
+        l1 = sum(
+            abs(f[(r["source_a"], w)] - f[(r["source_b"], w)]) for w in words
+        )
+        assert r["delta_l1_e9"] == l1
+    # z-scored Burrows Delta from the same integer profiles
+    import statistics
+
+    mu = {w: statistics.mean(f[(s, w)] for s in srcs) for w in words}
+    sd = {w: statistics.pstdev(f[(s, w)] for s in srcs) for w in words}
+    for r in rows[:10]:
+        delta = statistics.mean(
+            abs(f[(r["source_a"], w)] - f[(r["source_b"], w)]) / sd[w]
+            for w in words
+            if sd[w] > 0
+        )
+        assert delta >= 0 and delta == delta
+
+
+def test_scd2_asof_partitions_facts(spark):
+    """The interval join matches every event exactly once: per-version
+    event counts sum to the full fact table."""
+    rows = all_queries()["scd2_asof_enrichment"].builder(spark, SF_SMOKE).collect()
+    n_events = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert all(r["version"] >= 1 and r["n_events"] >= 1 for r in rows)
+
+
+def test_pps_sample_size_and_ht_estimate(spark):
+    """Systematic PPS with a zero-start stride selects exactly n stride
+    hits (multiplicity-weighted), and the Horvitz-Thompson total from
+    the emitted inclusion probabilities recovers the true total within
+    the integer-ppm quantization error."""
+    from weather_stream_processor_spark.operators.infra_ops import _PPS_TARGET
+
+    rows = all_queries()["pps_systematic_sample"].builder(spark, SF_SMOKE).collect()
+    assert sum(r["n_hits"] for r in rows) == _PPS_TARGET
+    orders = load_table(spark, SF_SMOKE, "orders")
+    true_total = (
+        orders.select(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")))
+        .collect()[0][0]
+    )
+    ht = sum(
+        r["n_hits"] * r["wt"] / (r["pi_e6"] / 1e6) for r in rows if r["pi_e6"] > 0
+    )
+    assert abs(ht - true_total) / true_total < 0.01
+    for r in rows:
+        assert 0 < r["pi_e6"]
+        assert r["n_hits"] >= 1

@@ -879,3 +879,344 @@ def contamination_ngram_overlap_curve(spark: SparkSession, sf_dir: str) -> DataF
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --- Benford first-digit audit -------------------------------------------------
+
+# log10(1 + 1/d) * 1e9, d = 1..9 — literal integer constants so neither
+# engine evaluates a transcendental (libm log10 differs across engines)
+_BENFORD_P_E9 = {
+    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013,
+    5: 79181246, 6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
+}
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders
+        ),
+        obs AS (
+            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM digits GROUP BY digit
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
+        expect(digit, p_e9) AS (VALUES
+            {", ".join(f"({d}, {p})" for d, p in _BENFORD_P_E9.items())})
+        SELECT e.digit,
+               COALESCE(o.n_obs, 0) AS n_obs,
+               e.p_e9,
+               CAST(COALESCE(o.n_obs, 0) * 1000000000 - n.n * e.p_e9
+                    AS BIGINT) AS dev_e9n
+        FROM expect e
+        LEFT JOIN obs o USING (digit)
+        CROSS JOIN n
+    """,
+    doc=(
+        "BENFORD'S-LAW FIRST-DIGIT AUDIT over order totals — the "
+        "forensic-accounting screen for fabricated or truncated numeric "
+        "columns (real multiplicative quantities put ~30.1% of first "
+        "digits at 1; synthetic/uniform generators don't, which this "
+        "fixture demonstrates). Per digit 1-9: observed count, Benford's "
+        "expected probability as a LITERAL integer ppb constant "
+        "(log10(1+1/d) precomputed — neither engine evaluates a "
+        "transcendental, so there is no libm drift to hash), and the "
+        "exact integer deviation n_obs*1e9 - n*p_e9 (positive = "
+        "over-represented). The chi-square statistic assembles from "
+        "these integers in the property test. Plan: one projection + "
+        "one 9-group aggregate — map-side combine carries everything; "
+        "the digit extraction is string head of the integer part, "
+        "identical semantics both engines."
+    ),
+    tags=("analytics", "audit", "quality", "statistics"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    n = digits.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    expect = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P_E9.items()], "digit int, p_e9 bigint"
+    )
+    return (
+        expect.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            "p_e9",
+            (
+                F.coalesce("n_obs", F.lit(0)) * F.lit(1000000000)
+                - F.col("n") * F.col("p_e9")
+            )
+            .cast("bigint")
+            .alias("dev_e9n"),
+        )
+    )
+
+
+# --- Stylometric source fingerprint (Burrows-Delta family) --------------------
+
+
+@register(
+    "stylometry_source_delta",
+    oracle="""
+        WITH st AS (
+            SELECT unnest(['the', 'a', 'of', 'and', 'to', 'in', 'is',
+                           'for', 'on', 'with']) AS w
+        ),
+        tk AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tot AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM tk GROUP BY 1
+        ),
+        cnt AS (
+            SELECT tk.source, tk.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tk JOIN st ON st.w = tk.tok
+            GROUP BY 1, 2
+        ),
+        freq AS (
+            SELECT t.source, s.w,
+                   CAST(floor(COALESCE(c.c, 0) * 1000000000.0 / t.t + 0.5)
+                        AS BIGINT) AS f_e9
+            FROM tot t CROSS JOIN st s
+            LEFT JOIN cnt c ON c.source = t.source AND c.w = s.w
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(ABS(a.f_e9 - b.f_e9)) AS BIGINT) AS delta_l1_e9,
+               CAST(MAX(ABS(a.f_e9 - b.f_e9)) AS BIGINT) AS max_dev_e9
+        FROM freq a JOIN freq b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "STYLOMETRIC SOURCE FINGERPRINT (the Burrows' Delta family of "
+        "authorship/provenance attribution, used on corpora to spot "
+        "same-author or same-generator sources before mixing): each "
+        "source's function-word profile — relative frequencies of 10 "
+        "fixed function words, integer-lifted to exact ppb via "
+        "floor(c*1e9/T + 0.5) (identical IEEE expression both engines) "
+        "— compared pairwise by L1 distance, exactly. Classic Delta "
+        "z-scores the frequencies before averaging; that mean/std "
+        "normalization is a sum over sources of doubles (engine "
+        "summation order differs) so the HASHED surface is the exact "
+        "integer L1 profile distance and the z-scored Delta is "
+        "recomputed in the property test from these very integers — "
+        "the same hashed-integer/derived-float split as the covariance "
+        "spectrum. Plan: one token explode filtered by a 10-word "
+        "broadcast list, two bounded aggregates, a |sources|^2 x 10 "
+        "grid join — nothing corpus-sized after the first aggregate."
+    ),
+    tags=("text", "llm", "statistics", "provenance"),
+)
+def stylometry_source_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    tot = tk.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    st = spark.createDataFrame([(w,) for w in words], "w string")
+    cnt = (
+        tk.join(F.broadcast(st), tk["tok"] == st["w"])
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    freq = (
+        tot.crossJoin(F.broadcast(st))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.floor(
+                F.coalesce("c", F.lit(0)) * F.lit(1000000000.0) / F.col("t")
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("f_e9"),
+        )
+    )
+    a = freq.alias("a")
+    b = freq.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(
+            F.sum(F.abs(F.col("a.f_e9") - F.col("b.f_e9")))
+            .cast("bigint")
+            .alias("delta_l1_e9"),
+            F.max(F.abs(F.col("a.f_e9") - F.col("b.f_e9")))
+            .cast("bigint")
+            .alias("max_dev_e9"),
+        )
+    )
+
+
+# --- SCD2 as-of enrichment ------------------------------------------------------
+
+
+@register(
+    "scd2_asof_enrichment",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        dim AS (
+            SELECT user_id, event_type AS attr_value, ts AS valid_from,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS version
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT d.attr_value, d.version,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+        FROM events e
+        JOIN dim d
+          ON d.user_id = e.user_id
+         AND d.valid_from <= e.ts
+         AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        GROUP BY d.attr_value, d.version
+    """,
+    doc=(
+        "SCD2 AS-OF ENRICHMENT — the point of building an SCD2 dimension "
+        "(scd2_dimension_build, whose interval construction this embeds "
+        "verbatim): every fact row joins the dimension VERSION that was "
+        "valid at its event time via the half-open interval predicate "
+        "valid_from <= ts < valid_to (open-ended current row), then "
+        "rolls up fact count and value by (attribute, version) — the "
+        "temporal-join pattern behind every 'price as of order date' "
+        "report. Each event matches EXACTLY ONE version (the intervals "
+        "partition each user's history from its first event; "
+        "property-tested). Plan: the range join is an equi-join on "
+        "user_id with an interval residual — Spark executes hash-join-"
+        "then-filter keyed by user, never a cartesian; at 100 TB both "
+        "sides co-partition on user_id and versions-per-user is small, "
+        "so the residual scan is bounded. Integer cents; bounded "
+        "(attr x version) output."
+    ),
+    tags=("analytics", "scd", "warehouse", "join"),
+)
+def scd2_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        _REGISTRY["scd2_dimension_build"]
+        .builder(spark, sf_dir)
+        .select("user_id", "attr_value", "valid_from", "valid_to", "version")
+    )
+    e = ev.alias("e")
+    d = dim.alias("d")
+    joined = e.join(
+        d,
+        (F.col("d.user_id") == F.col("e.user_id"))
+        & (F.col("d.valid_from") <= F.col("e.ts"))
+        & (F.col("d.valid_to").isNull() | (F.col("e.ts") < F.col("d.valid_to"))),
+    )
+    return joined.groupBy("d.attr_value", "d.version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("e.value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_value_cents"),
+    ).select(
+        F.col("attr_value"), F.col("version"), "n_events", "sum_value_cents"
+    )
+
+
+# --- PPS systematic sampling ----------------------------------------------------
+
+_PPS_TARGET = 50  # target sample size
+
+
+@register(
+    "pps_systematic_sample",
+    oracle=f"""
+        WITH w AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS wt
+            FROM orders
+        ),
+        cum AS (
+            SELECT o_orderkey, wt,
+                   CAST(SUM(wt) OVER (ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS c
+            FROM w
+        ),
+        tot AS (SELECT CAST(SUM(wt) AS BIGINT) AS t FROM w)
+        SELECT c.o_orderkey, c.wt,
+               CAST((c.c * {_PPS_TARGET}) // tot.t
+                    - ((c.c - c.wt) * {_PPS_TARGET}) // tot.t AS BIGINT)
+                   AS n_hits,
+               CAST((c.wt * {_PPS_TARGET} * 1000000) // tot.t AS BIGINT)
+                   AS pi_e6
+        FROM cum c CROSS JOIN tot
+        WHERE (c.c * {_PPS_TARGET}) // tot.t
+              > ((c.c - c.wt) * {_PPS_TARGET}) // tot.t
+    """,
+    doc=(
+        "PPS SYSTEMATIC SAMPLING (probability proportional to size, "
+        "zero-start systematic rule — the survey-sampling workhorse "
+        "behind audit sampling and weighted corpus subsetting): lay "
+        "every order's integer-cents weight along a line, walk it with "
+        f"a stride of total/{_PPS_TARGET}, keep units whose weight "
+        "interval contains a stride point. The selection predicate is "
+        "the EXACT integer identity floor(c*n/T) > floor((c-w)*n/T) — "
+        "no real-valued stride, no rounding drift, deterministic and "
+        "hash-stable (c*n stays far under 2^63: cents-total x 50). "
+        "Units heavier than the stride get n_hits > 1 (certainty "
+        "units, multiplicity recorded); first-order inclusion is "
+        "~min(1, n*w/T), emitted as exact integer ppm for the "
+        "Horvitz-Thompson property test. Plan: one ranked prefix-sum "
+        "window + one broadcast total — the 100 TB form runs the same "
+        "cumsum per shard with per-shard offsets, exactly like the "
+        "packing manifest's two-phase note."
+    ),
+    tags=("sampling", "statistics", "audit"),
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("wt"),
+    )
+    win = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "o_orderkey", "wt", F.sum("wt").over(win).cast("bigint").alias("c")
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("t"))
+    n = _PPS_TARGET
+    joined = cum.crossJoin(F.broadcast(tot))
+    hi = F.expr(f"(c * {n}) div t")
+    lo = F.expr(f"((c - wt) * {n}) div t")
+    return joined.filter(hi > lo).select(
+        "o_orderkey",
+        "wt",
+        (hi - lo).cast("bigint").alias("n_hits"),
+        F.expr(f"CAST((wt * {n} * 1000000) div t AS BIGINT)").alias("pi_e6"),
+    )
