@@ -856,3 +856,79 @@ def test_streaming_pattern_checkpoint_restart_restores_pending(spark, duck):
     }
     assert got == expected
     assert len(got) >= 3  # non-vacuous: matches exist at smoke scale
+
+
+def test_streaming_scd2_state_survives_micro_batch_boundary(spark):
+    """An SCD2 version OPENED in micro-batch 1 and CLOSED in micro-batch 2
+    is emitted correctly — the open version must round-trip the state
+    store across batches (the property a single-batch replay never
+    exercises)."""
+    import tempfile
+    import time as _time
+
+    from datetime import datetime
+
+    from weather_stream_processor_spark.streaming.stateful import (
+        scd2_closed_versions,
+    )
+
+    src = tempfile.mkdtemp(prefix="scd2_src_")
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    batch1 = [
+        (1, 1, datetime(2024, 1, 1, 10, 0), "a"),
+        (1, 2, datetime(2024, 1, 1, 11, 0), "a"),
+        (1, 3, datetime(2024, 1, 1, 12, 0), "b"),  # closes a, opens b
+    ]
+    batch2 = [
+        (1, 4, datetime(2024, 1, 1, 13, 0), "b"),
+        (1, 5, datetime(2024, 1, 1, 14, 0), "c"),  # closes b (cross-batch!)
+        (2, 6, datetime(2024, 1, 1, 15, 0), "x"),  # new key, stays open
+        (1, 7, datetime(2024, 1, 1, 16, 0), "a"),  # closes c
+    ]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        f"{src}/f0.parquet"
+    )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*.parquet")
+    name = f"scd2_xbatch_{int(_time.time() * 1000)}"
+    q = (
+        scd2_closed_versions(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            (r["user_id"], r["attr_value"], r["version"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        assert mid == {(1, "a", 1)}, f"after batch 1: {mid}"
+        spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+            f"{src}/f1.parquet"
+        )
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["attr_value"], r["version"]): (
+            r["valid_from"],
+            r["valid_to"],
+        )
+        for r in rows
+    }
+    assert set(got) == {(1, "a", 1), (1, "b", 2), (1, "c", 3)}
+    # the cross-batch closure: b opened at 12:00 in batch 1, closed at
+    # 14:00 by batch 2 — valid_from must come from state, not the batch
+    assert got[(1, "b", 2)] == (
+        datetime(2024, 1, 1, 12, 0),
+        datetime(2024, 1, 1, 14, 0),
+    )
+    assert got[(1, "c", 3)] == (
+        datetime(2024, 1, 1, 14, 0),
+        datetime(2024, 1, 1, 16, 0),
+    )

@@ -246,3 +246,67 @@ def error_purchase_pattern_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- streaming SCD2 maintenance (round 6) ------------------------------------
+
+SCD2_SCHEMA = (
+    "user_id bigint, attr_value string, valid_from timestamp, "
+    "valid_to timestamp, version bigint"
+)
+# valid_from carried as epoch MICROS (bigint) — timestamps round-trip the
+# state store exactly on the micros-encoded fixtures
+SCD2_STATE_SCHEMA = "cur_attr string, valid_from_us bigint, version bigint"
+
+
+def _scd2_tracker(key, pdfs, state: GroupState):
+    """Per-user SCD2 maintenance: carry the OPEN version (attribute,
+    valid_from, version counter) in state; emit a row the moment a version
+    CLOSES (the observed attribute changes). Open versions live only in
+    the state store — exactly how a streaming dimension pipeline feeds a
+    warehouse MERGE. State is one string + two bigints per key."""
+    cur, vf_us, ver = state.get if state.exists else (None, 0, 0)
+    uid = key[0]
+    out = []
+    chunks = [pdf for pdf in pdfs]
+    if chunks:
+        rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for row in rows.itertuples(index=False):
+            ts_us = row.ts.value // 1000  # pandas ns -> micros
+            if cur is None:
+                cur, vf_us, ver = row.event_type, ts_us, 1
+            elif row.event_type != cur:
+                out.append(
+                    (
+                        uid,
+                        cur,
+                        pd.Timestamp(vf_us * 1000),
+                        pd.Timestamp(ts_us * 1000),
+                        ver,
+                    )
+                )
+                cur, vf_us, ver = row.event_type, ts_us, ver + 1
+    state.update((cur, vf_us, ver))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "attr_value", "valid_from", "valid_to", "version"],
+        )
+
+
+def scd2_closed_versions(stream: DataFrame) -> DataFrame:
+    """CLOSED SCD2 version rows per user, emitted as the stream observes
+    each attribute change (append mode; the open current version stays in
+    state, never emitted — its batch twin is scd2_dimension_build WHERE
+    valid_to IS NOT NULL)."""
+    return (
+        stream.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_tracker,
+            outputStructType=SCD2_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
