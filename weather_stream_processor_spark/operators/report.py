@@ -686,7 +686,9 @@ def _drift_panel_oracle() -> str:
     mwu = _REGISTRY["mann_whitney_u_test"].oracle
     kl = _REGISTRY["mixture_drift_kl"].oracle
     return f"""
-        SELECT 'psi_total' AS metric, SUM(psi_term) AS value FROM ({psi})
+        SELECT 'psi_total' AS metric,
+               CAST(SUM(CAST(ROUND(psi_term * 1000000000.0) AS BIGINT))
+                    AS DOUBLE) / 1000000000.0 AS value FROM ({psi})
         UNION ALL SELECT 'ks_stat', ks_stat FROM ({ks})
         UNION ALL SELECT 'ks_drifted',
                          CASE WHEN drifted THEN 1.0 ELSE 0.0 END FROM ({ks})
@@ -695,7 +697,9 @@ def _drift_panel_oracle() -> str:
         UNION ALL SELECT 'cramers_v', cramers_v FROM ({chi})
         UNION ALL SELECT 'mwu_z', z_score FROM ({mwu})
         UNION ALL SELECT 'mwu_p', p_value FROM ({mwu})
-        UNION ALL SELECT 'kl_divergence', SUM(kl_term) FROM ({kl})
+        UNION ALL SELECT 'kl_divergence',
+                         CAST(SUM(CAST(ROUND(kl_term * 1000000.0) AS BIGINT))
+                              AS DOUBLE) / 1000000.0 FROM ({kl})
     """
 
 
@@ -736,10 +740,20 @@ def drift_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
 
+    # PSI/KL fold to their totals over ALREADY-ROUNDED per-bucket terms
+    # (9dp / 6dp), so the fold integer-lifts them first: the scaled terms
+    # are exact integers, the SUM is permutation-invariant, and both
+    # engines bit-agree at any partitioning. A raw double SUM here failed
+    # the r6 driver-strict mirror by 1 ulp (summation-order drift) —
+    # same lesson as embedding_covariance_spectrum.
     rows = [
-        psi.agg(F.sum("psi_term").alias("value")).select(
-            F.lit("psi_total").alias("metric"), "value"
-        ),
+        psi.agg(
+            (
+                F.sum(F.round(F.col("psi_term") * 1000000000.0).cast("bigint"))
+                .cast("double")
+                / 1000000000.0
+            ).alias("value")
+        ).select(F.lit("psi_total").alias("metric"), "value"),
         one(ks, "ks_stat", "ks_stat"),
         one(ks, "ks_drifted", F.when(F.col("drifted"), 1.0).otherwise(0.0)),
         one(w1, "w1_distance", "w1_distance"),
@@ -747,9 +761,13 @@ def drift_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         one(chi, "cramers_v", "cramers_v"),
         one(mwu, "mwu_z", "z_score"),
         one(mwu, "mwu_p", "p_value"),
-        kl.agg(F.sum("kl_term").alias("value")).select(
-            F.lit("kl_divergence").alias("metric"), "value"
-        ),
+        kl.agg(
+            (
+                F.sum(F.round(F.col("kl_term") * 1000000.0).cast("bigint"))
+                .cast("double")
+                / 1000000.0
+            ).alias("value")
+        ).select(F.lit("kl_divergence").alias("metric"), "value"),
     ]
     out = rows[0]
     for r in rows[1:]:
