@@ -450,3 +450,94 @@ def test_pps_sample_size_and_ht_estimate(spark):
     for r in rows:
         assert 0 < r["pi_e6"]
         assert r["n_hits"] >= 1
+
+
+def test_tokenizer_fertility_replay(spark):
+    """Fertility and chars-per-subword ppm ratios replay exactly from a
+    pandas recount, and fertility >= 1e6 (a word costs at least one
+    subword)."""
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    agg: dict[str, list] = {}
+    for d in docs:
+        toks = d["text"].split(" ")
+        a = agg.setdefault(d["source"], [0, 0, 0])
+        a[0] += len(toks)
+        a[1] += sum(len(t) for t in toks)
+        a[2] += sum((len(t) + 3) // 4 for t in toks)
+    rows = (
+        all_queries()["tokenizer_fertility_audit"].builder(spark, SF_SMOKE).collect()
+    )
+    assert {r["source"] for r in rows} == set(agg)
+    for r in rows:
+        w, c, s = agg[r["source"]]
+        assert (r["n_words"], r["n_chars"], r["n_subwords"]) == (w, c, s)
+        assert r["fertility_e6"] == s * 1000000 // w >= 1000000
+        assert r["chars_per_subword_e6"] == c * 1000000 // s
+
+
+def test_bpe_top_pair_matches_counter_replay(spark):
+    """The rank-1 row equals the true argmax adjacent pair from a pandas
+    Counter replay (with the end-of-word marker), and counts decrease."""
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    tf = Counter()
+    for d in docs:
+        tf.update(t for t in d["text"].split(" ") if t)
+    pairs = Counter()
+    for tok, freq in tf.items():
+        m = tok + "_"
+        for i in range(len(m) - 1):
+            pairs[m[i : i + 2]] += freq
+    rows = sorted(
+        all_queries()["bpe_pair_frequencies"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rn"],
+    )
+    best = min(sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:1])
+    assert (rows[0]["pair"], rows[0]["pair_count"]) == best[0:2] or (
+        rows[0]["pair"],
+        rows[0]["pair_count"],
+    ) == best
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert pairs[r["pair"]] == r["pair_count"]
+
+
+def test_cdc_chunking_conservation_and_shift_resistance(spark):
+    """Chunk lengths conserve every document's characters, and the CDC
+    property holds on a synthetic check: inserting a prefix into a text
+    leaves the SUFFIX chunking (after the first boundary past the edit)
+    identical — fixed-width blocks would shift every boundary."""
+    rows = (
+        all_queries()["content_defined_chunking"].builder(spark, SF_SMOKE).collect()
+    )
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        assert r["n_chars"] == docs[r["doc_id"]]
+        assert 1 <= r["n_chunks"]
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"]
+        assert r["dup_chars"] <= r["n_chars"]
+
+    def boundaries(s: str) -> list:
+        codes = [ord(c) for c in s]
+        out = []
+        for i in range(7, len(codes)):
+            if sum(codes[i - 7 : i + 1]) % 17 == 0:
+                out.append(i)
+        return out
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running"
+    edited = "XYZ " + base
+    b1, b2 = boundaries(base), boundaries(edited)
+    if b1 and b2:
+        # suffix boundaries re-align after the first post-edit boundary
+        tail1 = {len(base) - b for b in b1}
+        tail2 = {len(edited) - b for b in b2}
+        assert tail1 & tail2, "CDC re-alignment property violated"

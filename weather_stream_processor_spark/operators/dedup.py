@@ -2732,3 +2732,153 @@ def fellegi_sunter_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("field")
 
     return persisted_result(cells, _mstep)
+
+
+# --- Round-6: content-defined chunking ------------------------------------------
+
+_CDC_WIN = 8  # rolling window width (bytes of context per boundary test)
+_CDC_MOD = 17  # boundary when rolling sum % mod == 0 -> mean chunk ~17 chars
+_CDC_FP_MOD = 1_000_000_007
+
+
+@register(
+    "content_defined_chunking",
+    oracle=f"""
+        WITH chars AS (
+            SELECT doc_id, i, ascii(substr(text, CAST(i AS INT), 1)) AS code
+            FROM (SELECT doc_id, text, unnest(range(1, n_chars + 1)) AS i
+                  FROM documents)
+        ),
+        rolled AS (
+            SELECT doc_id, i, code,
+                   CASE WHEN i >= {_CDC_WIN}
+                         AND SUM(code) OVER (
+                             PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN {_CDC_WIN - 1} PRECEDING
+                                      AND CURRENT ROW
+                         ) % {_CDC_MOD} = 0
+                        THEN 1 ELSE 0 END AS boundary
+            FROM chars
+        ),
+        chunked AS (
+            SELECT doc_id, i, code, boundary,
+                   CAST(COALESCE(SUM(boundary) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS chunk_id
+            FROM rolled
+        ),
+        lped AS (
+            SELECT doc_id, chunk_id, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id, chunk_id ORDER BY i
+                   ) AS lp
+            FROM chunked
+        ),
+        fps AS (
+            SELECT doc_id, chunk_id,
+                   CAST(COUNT(*) AS BIGINT) AS chunk_len,
+                   CAST(SUM(code * lp) % {_CDC_FP_MOD} AS BIGINT) AS fp
+            FROM lped GROUP BY doc_id, chunk_id
+        ),
+        occ AS (
+            SELECT fp, chunk_len, CAST(COUNT(*) AS BIGINT) AS n_occ
+            FROM fps GROUP BY fp, chunk_len
+        )
+        SELECT f.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(f.chunk_len) AS BIGINT) AS n_chars,
+               CAST(SUM(CASE WHEN o.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               CAST(SUM(CASE WHEN o.n_occ > 1 THEN f.chunk_len ELSE 0 END)
+                    AS BIGINT) AS dup_chars
+        FROM fps f JOIN occ o USING (fp, chunk_len)
+        GROUP BY f.doc_id
+    """,
+    doc=(
+        "CONTENT-DEFINED CHUNKING + cross-document chunk dedup — the "
+        "rsync/LBFS/backup-deduplication primitive, the byte-level "
+        "complement of shingle dedup: chunk boundaries fall where a "
+        f"rolling {_CDC_WIN}-byte content sum hits 0 mod {_CDC_MOD} "
+        "(content-defined, so an insertion only reshapes NEIGHBORING "
+        "chunks — fixed-width blocks would shift every later boundary, "
+        "which is the whole point of CDC), each chunk gets an "
+        "order-sensitive integer fingerprint (position-weighted code "
+        "sum mod 1e9+7, the doc_fingerprints portable pattern), and "
+        "chunks recurring anywhere in the corpus are counted as "
+        "dedup-able bytes per document. Production CDC uses a gear/"
+        "Rabin hash and 4-64 KB targets over real payload bytes "
+        "(mapInPandas over the binary column); the window algebra, "
+        "island assignment, and dedup join are EXACTLY these. Plan: "
+        "per-doc windows (keyed, no global sort), one fingerprint "
+        "aggregate, one (fp,len)-keyed occurrence join — shuffle "
+        "carries fingerprints, never text. All exact integers."
+    ),
+    tags=("dedup", "llm", "multimodal", "scale"),
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = spread(docs, "doc_id").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n_chars"))).alias("i"),
+        "text",
+    ).select(
+        "doc_id", "i", F.ascii(F.expr("substr(text, CAST(i AS INT), 1)")).alias("code")
+    )
+    w_roll = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(-(_CDC_WIN - 1), Window.currentRow)
+    )
+    rolled = chars.select(
+        "doc_id",
+        "i",
+        "code",
+        F.when(
+            (F.col("i") >= _CDC_WIN)
+            & (F.sum("code").over(w_roll) % _CDC_MOD == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    chunked = rolled.select(
+        "doc_id",
+        "i",
+        "code",
+        F.coalesce(F.sum("boundary").over(w_prev), F.lit(0))
+        .cast("bigint")
+        .alias("chunk_id"),
+    )
+    w_lp = Window.partitionBy("doc_id", "chunk_id").orderBy("i")
+    with_lp = chunked.select(
+        "doc_id", "chunk_id", "code", F.row_number().over(w_lp).alias("lp")
+    )
+    fps = with_lp.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("chunk_len"),
+        (F.sum(F.col("code") * F.col("lp")) % _CDC_FP_MOD)
+        .cast("bigint")
+        .alias("fp"),
+    )
+    occ = fps.groupBy("fp", "chunk_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    return (
+        fps.join(occ, ["fp", "chunk_len"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("chunk_len")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+    )

@@ -3370,3 +3370,143 @@ def repeated_ngram_loop_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("bigint").alias("n_trigrams"),
         (F.max("run_len") >= _LOOP_RUN_FLAG).cast("int").alias("loop_flag"),
     )
+
+
+# --- Round-6: tokenizer economics ----------------------------------------------
+
+_FERT_SUBCHUNK = 4  # chars per fixed-width subword chunk (BPE-free proxy)
+
+
+@register(
+    "tokenizer_fertility_audit",
+    oracle=f"""
+        WITH tk AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+                   CAST(SUM((length(tok) + {_FERT_SUBCHUNK - 1})
+                            // {_FERT_SUBCHUNK}) AS BIGINT) AS n_subwords
+            FROM tk GROUP BY source
+        )
+        SELECT source, n_words, n_chars, n_subwords,
+               CAST(n_subwords * 1000000 // n_words AS BIGINT)
+                   AS fertility_e6,
+               CAST(n_chars * 1000000 // n_subwords AS BIGINT)
+                   AS chars_per_subword_e6
+        FROM per
+    """,
+    doc=(
+        "TOKENIZER FERTILITY AUDIT per source — the 'how many subword "
+        "tokens does a word cost here' economics that decides mixture "
+        "weights and per-source compute budgets (high-fertility sources "
+        "burn context window; the multilingual-tokenizer literature's "
+        f"fertility metric). Subword proxy: fixed {_FERT_SUBCHUNK}-char "
+        "chunking, ceil(len/4) per word — deterministic and "
+        "tokenizer-free, so the audit is exact integer arithmetic end "
+        "to end (a real BPE slots into the same aggregate via the "
+        "registered unigram machinery); fertility and chars-per-subword "
+        "emitted as exact integer ppm ratios. One token explode, one "
+        "source-keyed aggregate — map-side combine does almost all of "
+        "it at any scale."
+    ),
+    tags=("text", "llm", "quality", "tokenizer"),
+)
+def tokenizer_fertility_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = _FERT_SUBCHUNK
+    per = tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.length("tok")).cast("bigint").alias("n_chars"),
+        F.sum(F.expr(f"(length(tok) + {c - 1}) div {c}"))
+        .cast("bigint")
+        .alias("n_subwords"),
+    )
+    return per.select(
+        "source",
+        "n_words",
+        "n_chars",
+        "n_subwords",
+        F.expr("n_subwords * 1000000 div n_words").cast("bigint").alias(
+            "fertility_e6"
+        ),
+        F.expr("n_chars * 1000000 div n_subwords").cast("bigint").alias(
+            "chars_per_subword_e6"
+        ),
+    )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    "bpe_pair_frequencies",
+    oracle=f"""
+        WITH tf AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY tok
+        ),
+        marked AS (SELECT tok || '_' AS m, freq FROM tf),
+        pairs AS (
+            SELECT substr(m, i, 2) AS pair, SUM(freq) AS cnt
+            FROM (SELECT m, freq, unnest(range(1, length(m))) AS i FROM marked)
+            GROUP BY substr(m, i, 2)
+        ),
+        ranked AS (
+            SELECT pair, CAST(cnt AS BIGINT) AS pair_count,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+            FROM pairs
+        )
+        SELECT pair, pair_count, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {_BPE_TOPK}
+    """,
+    doc=(
+        "BPE TRAINER PAIR STATISTICS: the merge-candidate table one "
+        "byte-pair-encoding training round computes — corpus-frequency-"
+        "weighted counts of adjacent character pairs over the vocabulary "
+        "(with the classic end-of-word marker '_', so 'e_' ranks word-"
+        f"final e separately), top-{_BPE_TOPK} by count with "
+        "deterministic tie-break; the argmax row IS the next BPE merge. "
+        "The expensive sum is VOCABULARY-BOUNDED, not corpus-bounded: "
+        "token frequencies aggregate the corpus once (the explode every "
+        "text op pays), then the per-character explode runs over "
+        "DISTINCT tokens only and re-weights by frequency — the same "
+        "vocab-projection trick as the SimHash portable hash. Exact "
+        "integer counts; at 100 TB the full BPE trainer is this "
+        "aggregate iterated with merges applied to the (bounded) vocab "
+        "between rounds."
+    ),
+    tags=("text", "llm", "tokenizer"),
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    marked = tf.select(F.concat(F.col("tok"), F.lit("_")).alias("m"), "freq")
+    pairs = (
+        marked.select(
+            "freq",
+            F.explode(F.sequence(F.lit(1), F.length("m") - 1)).alias("i"),
+            "m",
+        )
+        .select(F.expr("substr(m, i, 2)").alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BPE_TOPK)
+        .select("pair", "pair_count", F.col("rn").cast("bigint").alias("rn"))
+    )
