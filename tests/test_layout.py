@@ -72,3 +72,60 @@ def test_bucketed_join_eliminates_exchange(spark):
         assert joined.count() == raw.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Bucketing both join sides on the key (CLUSTERED BY custkey) makes
+    the fact-dim join EXCHANGE-FREE: each bucket pair joins in place.
+    This is the co-located-join layout a 100 TB deployment keeps its fact
+    tables in — the shuffle that dominates every sort-merge join is paid
+    ONCE at write time and amortized over every subsequent join. The
+    test pins Catalyst actually exploiting the layout: zero Exchange
+    operators in the joined plan (vs 2 for the unbucketed same join)."""
+    import pyspark.sql.functions as F
+
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF_SMOKE, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    try:
+        # force the shuffle-join path so the assertion is about bucketing,
+        # not about broadcasting the small fixture dim
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        (
+            orders.write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .saveAsTable("b_orders")
+        )
+        (
+            cust.write.mode("overwrite")
+            .bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable("b_customer")
+        )
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # unbucketed control: the identical join pays two exchanges
+        control = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        cplan = control._jdf.queryExecution().executedPlan().toString()
+        assert cplan.count("Exchange") >= 2
+        # and values agree
+        assert joined.count() == control.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
