@@ -541,3 +541,96 @@ def test_cdc_chunking_conservation_and_shift_resistance(spark):
         tail1 = {len(base) - b for b in b1}
         tail2 = {len(edited) - b for b in b2}
         assert tail1 & tail2, "CDC re-alignment property violated"
+
+
+def test_simpson_detector_directions_replay(spark):
+    """Directions replay from exact integer cross-multiplication in
+    pandas; reversal implies both strict and opposite directions."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    ev["cohort"] = (ev["user_id"] % 2).astype(int)
+    ev["segment"] = ev["ts"].dt.dayofweek.map(lambda d: (d + 1) % 7)  # dow=0 Sunday
+    ev["hit"] = (ev["event_type"] == "purchase").astype(int)
+    g = ev.groupby(["segment", "cohort"]).agg(n=("hit", "size"), k=("hit", "sum"))
+    rows = (
+        all_queries()["simpson_paradox_detector"].builder(spark, SF_SMOKE).collect()
+    )
+    K0 = sum(r["k0"] for r in rows)
+    N0 = sum(r["n0"] for r in rows)
+    K1 = sum(r["k1"] for r in rows)
+    N1 = sum(r["n1"] for r in rows)
+    agg_dir = 1 if K0 * N1 > K1 * N0 else (-1 if K0 * N1 < K1 * N0 else 0)
+    for r in rows:
+        assert r["k0"] == g.loc[(r["segment"], 0), "k"]
+        assert r["n0"] == g.loc[(r["segment"], 0), "n"]
+        d = (
+            1
+            if r["k0"] * r["n1"] > r["k1"] * r["n0"]
+            else (-1 if r["k0"] * r["n1"] < r["k1"] * r["n0"] else 0)
+        )
+        assert r["seg_direction"] == d
+        assert r["agg_direction"] == agg_dir
+        if r["reversal"]:
+            assert d != 0 and agg_dir != 0 and d != agg_dir
+
+
+def test_walk_forward_folds_never_train_on_future(spark):
+    """Train windows strictly expand, test windows tile the remainder,
+    and every fold's train days precede all its test days."""
+    rows = sorted(
+        all_queries()["walk_forward_backtest_folds"].builder(spark, SF_SMOKE).collect(),
+        key=lambda r: r["fold"],
+    )
+    assert [r["fold"] for r in rows] == [1, 2, 3, 4, 5]
+    prev_train = 0
+    for r in rows:
+        assert r["train_days"] > prev_train, "train window must expand"
+        prev_train = r["train_days"]
+        assert r["test_days"] >= 1
+        assert r["n_train"] >= 0 and r["n_test"] >= 0
+    # fold i+1's train window covers fold i's train+test exactly
+    for a, b in zip(rows, rows[1:]):
+        assert b["train_days"] == a["train_days"] + a["test_days"]
+        assert b["n_train"] == a["n_train"] + a["n_test"]
+
+
+def test_frequent_directions_spectral_guarantee(spark):
+    """The FD guarantee in eigenvalue form: 0 <= sigma_i(A)^2 -
+    sigma_i(B)^2 <= ||A||_F^2 / (ell/2) for every i, column energies
+    never grow, and the sketch never exceeds the true Frobenius mass."""
+    import numpy as np
+
+    from weather_stream_processor_spark.operators.similarity import _FD_ELL
+
+    rows = (
+        all_queries()["frequent_directions_sketch"].builder(spark, SF_SMOKE).collect()
+    )
+    sig_b = np.array(
+        [r["value"] for r in sorted(
+            (r for r in rows if r["stat"] == "sigma"), key=lambda r: r["idx"]
+        )]
+    )
+    dimn = {r["idx"]: r["value"] for r in rows if r["stat"] == "dim_norm"}
+    A = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sig_a = np.linalg.svd(A, compute_uv=False)
+    fro2 = float((A * A).sum())
+    bound = fro2 / (_FD_ELL / 2)
+    assert len(sig_b) == _FD_ELL
+    assert np.all(np.diff(sig_b) <= 1e-9), "sigma not descending"
+    for i in range(_FD_ELL):
+        gap = sig_a[i] ** 2 - sig_b[i] ** 2
+        assert gap >= -1e-6, f"sigma_{i}: sketch exceeds A (interlacing broken)"
+        assert gap <= bound + 1e-6, f"sigma_{i}: FD bound violated ({gap} > {bound})"
+    assert float((sig_b**2).sum()) <= fro2 + 1e-6
+    col2 = (A * A).sum(axis=0)
+    for j, v in dimn.items():
+        assert v * v <= col2[j] + 1e-6, f"dim {j}: column energy grew"

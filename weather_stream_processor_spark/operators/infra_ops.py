@@ -1220,3 +1220,223 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hi - lo).cast("bigint").alias("n_hits"),
         F.expr(f"CAST((wt * {n} * 1000000) div t AS BIGINT)").alias("pi_e6"),
     )
+
+
+# --- Simpson's paradox detector -------------------------------------------------
+
+
+@register(
+    "simpson_paradox_detector",
+    oracle="""
+        WITH base AS (
+            SELECT CAST(user_id % 2 AS INT) AS cohort,
+                   CAST(EXTRACT(dow FROM ts) AS INT) AS segment,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+            FROM events
+        ),
+        seg AS (
+            SELECT segment, cohort,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(hit) AS BIGINT) AS k
+            FROM base GROUP BY 1, 2
+        ),
+        wide AS (
+            SELECT segment,
+                   MAX(CASE WHEN cohort = 0 THEN k END) AS k0,
+                   MAX(CASE WHEN cohort = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN cohort = 1 THEN k END) AS k1,
+                   MAX(CASE WHEN cohort = 1 THEN n END) AS n1
+            FROM seg GROUP BY segment
+        ),
+        agg AS (
+            SELECT SUM(k0) AS K0, SUM(n0) AS N0, SUM(k1) AS K1, SUM(n1) AS N1
+            FROM wide
+        )
+        SELECT w.segment,
+               w.k0, w.n0, w.k1, w.n1,
+               CAST(CASE WHEN w.k0 * w.n1 > w.k1 * w.n0 THEN 1
+                         WHEN w.k0 * w.n1 < w.k1 * w.n0 THEN -1
+                         ELSE 0 END AS INT) AS seg_direction,
+               CAST(CASE WHEN a.K0 * a.N1 > a.K1 * a.N0 THEN 1
+                         WHEN a.K0 * a.N1 < a.K1 * a.N0 THEN -1
+                         ELSE 0 END AS INT) AS agg_direction,
+               CAST(CASE WHEN w.k0 * w.n1 <> w.k1 * w.n0
+                          AND a.K0 * a.N1 <> a.K1 * a.N0
+                          AND (w.k0 * w.n1 > w.k1 * w.n0)
+                              <> (a.K0 * a.N1 > a.K1 * a.N0)
+                         THEN 1 ELSE 0 END AS INT) AS reversal
+        FROM wide w CROSS JOIN agg a
+    """,
+    doc=(
+        "SIMPSON'S-PARADOX DETECTOR: per segment (day of week), compare "
+        "cohort 0 vs cohort 1 purchase rates, and flag segments whose "
+        "direction REVERSES the aggregate comparison — the "
+        "stratification audit every experiment/metrics review runs "
+        "before trusting a topline rate (the aggregate can favor A "
+        "while every segment favors B when exposure is confounded with "
+        "the segment). Every comparison is an EXACT integer "
+        "cross-multiplication — k0*n1 vs k1*n0 — so no rate is ever "
+        "materialized as a float and the cross-engine hash is exact; "
+        "ties are their own direction (0), never a fake reversal. "
+        "Plan: one (segment x cohort) aggregate (map-side combined), a "
+        "segment-wide pivot, a one-row aggregate broadcast back."
+    ),
+    tags=("analytics", "statistics", "audit", "evals"),
+)
+def simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("cohort"),
+        F.dayofweek("ts").alias("dw"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    ).select(
+        "cohort",
+        # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6
+        (F.col("dw") - 1).cast("int").alias("segment"),
+        "hit",
+    )
+    seg = base.groupBy("segment", "cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("hit").cast("bigint").alias("k"),
+    )
+    wide = seg.groupBy("segment").agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("k"))).alias("k1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+    )
+    agg = wide.agg(
+        F.sum("k0").alias("tk0"),
+        F.sum("n0").alias("tn0"),
+        F.sum("k1").alias("tk1"),
+        F.sum("n1").alias("tn1"),
+    )
+    w = wide.crossJoin(F.broadcast(agg))
+    seg_gt = F.col("k0") * F.col("n1") > F.col("k1") * F.col("n0")
+    seg_lt = F.col("k0") * F.col("n1") < F.col("k1") * F.col("n0")
+    agg_gt = F.col("tk0") * F.col("tn1") > F.col("tk1") * F.col("tn0")
+    agg_lt = F.col("tk0") * F.col("tn1") < F.col("tk1") * F.col("tn0")
+    return w.select(
+        "segment",
+        "k0",
+        "n0",
+        "k1",
+        "n1",
+        F.when(seg_gt, 1).when(seg_lt, -1).otherwise(0).cast("int").alias(
+            "seg_direction"
+        ),
+        F.when(agg_gt, 1).when(agg_lt, -1).otherwise(0).cast("int").alias(
+            "agg_direction"
+        ),
+        F.when(
+            (F.col("k0") * F.col("n1") != F.col("k1") * F.col("n0"))
+            & (F.col("tk0") * F.col("tn1") != F.col("tk1") * F.col("tn0"))
+            & (seg_gt != agg_gt),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("reversal"),
+    )
+
+
+# --- Walk-forward backtest folds ------------------------------------------------
+
+_WF_FOLDS = 5
+
+
+@register(
+    "walk_forward_backtest_folds",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT date_trunc('day', MIN(ts)) AS d0,
+                   CAST(date_diff('day', date_trunc('day', MIN(ts)),
+                                  date_trunc('day', MAX(ts))) AS BIGINT) AS dspan
+            FROM events
+        ),
+        days AS (
+            SELECT CAST(date_diff('day', b.d0, date_trunc('day', e.ts))
+                        AS BIGINT) AS day_idx
+            FROM events e CROSS JOIN bounds b
+        ),
+        folds AS (
+            SELECT unnest(range(1, {_WF_FOLDS + 1})) AS fold
+        ),
+        cuts AS (
+            SELECT f.fold,
+                   (f.fold * (b.dspan + 1)) // {_WF_FOLDS + 1} AS train_end,
+                   ((f.fold + 1) * (b.dspan + 1)) // {_WF_FOLDS + 1} AS test_end
+            FROM folds f CROSS JOIN bounds b
+        )
+        SELECT CAST(c.fold AS INT) AS fold,
+               CAST(c.train_end AS BIGINT) AS train_days,
+               CAST(c.test_end - c.train_end AS BIGINT) AS test_days,
+               CAST(SUM(CASE WHEN d.day_idx < c.train_end THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN d.day_idx >= c.train_end
+                              AND d.day_idx < c.test_end THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM cuts c JOIN days d ON TRUE
+        GROUP BY c.fold, c.train_end, c.test_end
+    """,
+    doc=(
+        "WALK-FORWARD BACKTEST FOLDS (expanding-window time-series CV — "
+        "the only fold scheme that never trains on the future): the "
+        f"event-day span is cut into {_WF_FOLDS + 1} equal integer "
+        f"segments; fold i trains on everything before cut i and tests "
+        "on the next segment, so train sets strictly expand and every "
+        "test day is later than all its training days (pytest-gated; "
+        "k-fold shuffling here would be silent leakage — the audit "
+        "train_test_time_split_audit quantifies). Integer day indices "
+        "and integer cut arithmetic end to end; one day-grid projection "
+        f"x {_WF_FOLDS}-row fold table, counted in one aggregate."
+    ),
+    tags=("evals", "timeseries", "audit", "sampling"),
+)
+def walk_forward_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.datediff(
+            F.date_trunc("day", F.max("ts")), F.date_trunc("day", F.min("ts"))
+        )
+        .cast("bigint")
+        .alias("dspan"),
+    )
+    days = ev.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.date_trunc("day", F.col("ts")), F.col("d0"))
+        .cast("bigint")
+        .alias("day_idx")
+    )
+    folds = spark.range(1, _WF_FOLDS + 1).select(F.col("id").alias("fold"))
+    cuts = folds.crossJoin(F.broadcast(bounds)).select(
+        "fold",
+        F.expr(f"(fold * (dspan + 1)) div {_WF_FOLDS + 1}").alias("train_end"),
+        F.expr(f"((fold + 1) * (dspan + 1)) div {_WF_FOLDS + 1}").alias("test_end"),
+    )
+    return (
+        F.broadcast(cuts)
+        .join(days, F.lit(True))
+        .groupBy("fold", "train_end", "test_end")
+        .agg(
+            F.sum(F.when(F.col("day_idx") < F.col("train_end"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("day_idx") >= F.col("train_end"))
+                    & (F.col("day_idx") < F.col("test_end")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            F.col("fold").cast("int").alias("fold"),
+            F.col("train_end").cast("bigint").alias("train_days"),
+            (F.col("test_end") - F.col("train_end")).cast("bigint").alias("test_days"),
+            "n_train",
+            "n_test",
+        )
+    )
