@@ -103,6 +103,15 @@ HEADLINE = [
     "poisson_bootstrap_ci",
     "countmin_sketch_rollup",
     "dawid_skene_correction",
+    # round-6 additions: sequence packing, streaming SCD2 maintenance,
+    # bitmap set algebra, byte-level CDC chunk dedup, BPE trainer stats,
+    # recursive-hierarchy rollup (first tracked walls: BENCH_r06)
+    "concat_chunk_packing_manifest",
+    "streaming_scd2_dimension",
+    "bitmap_index_set_algebra",
+    "content_defined_chunking",
+    "bpe_pair_frequencies",
+    "bom_rollup_explosion",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners
@@ -279,10 +288,12 @@ def main() -> None:
     for key in ("sf_secondary", "value_secondary", "sf_third", "value_third"):
         if key in out:
             compact[key] = out[key]
-    line = json.dumps(compact)
+    # compact separators buy ~120 chars — enough to keep the full
+    # 56-headliner map inside the driver's tail window (r6)
+    line = json.dumps(compact, separators=(",", ":"))
     if len(line) > _MAX_LINE:
         compact.pop("queries")
-        line = json.dumps(compact)
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

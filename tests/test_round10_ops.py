@@ -634,3 +634,53 @@ def test_frequent_directions_spectral_guarantee(spark):
     col2 = (A * A).sum(axis=0)
     for j, v in dimn.items():
         assert v * v <= col2[j] + 1e-6, f"dim {j}: column energy grew"
+
+
+def test_mcnemar_cells_and_statistic_replay(spark):
+    """Cells partition the corpus and the statistic replays from the
+    discordant counts."""
+    rows = all_queries()["mcnemar_paired_screens"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    assert r["n00"] + r["n01"] + r["n10"] + r["n11"] == n_docs
+    b, c = r["n01"], r["n10"]
+    assert abs(r["chi2_mcnemar"] - (b - c) ** 2 / (b + c)) < 1e-6
+    assert abs(r["chi2_continuity"] - (abs(b - c) - 1) ** 2 / (b + c)) < 1e-6
+    assert r["chi2_continuity"] <= r["chi2_mcnemar"] + 1e-9
+
+
+def test_linear_cka_matches_numpy_replay(spark):
+    """CKA replays from a dense numpy computation on the same integer
+    lift, and respects its Cauchy-Schwarz bound (cka <= 1)."""
+    import math
+
+    import numpy as np
+
+    from weather_stream_processor_spark.operators.similarity import _CKA_TRUNC_D
+
+    A = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, SF_SMOKE, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    K = np.floor(A * 100.0 + 0.5)
+    Xc = K - K.mean(axis=0)
+    Yc = Xc[:, :_CKA_TRUNC_D]
+    fxy2 = float(((Xc.T @ Yc) ** 2).sum())
+    fxx2 = float(((Xc.T @ Xc) ** 2).sum())
+    fyy2 = float(((Yc.T @ Yc) ** 2).sum())
+    expect = fxy2 / (math.sqrt(fxx2) * math.sqrt(fyy2))
+    rows = (
+        all_queries()["linear_cka_truncation_audit"].builder(spark, SF_SMOKE).collect()
+    )
+    assert len(rows) == 1
+    r = rows[0]
+    assert 0 < r["cka"] <= 1.0 + 1e-9
+    assert abs(r["cka"] - expect) < 1e-5, (r["cka"], expect)
+    # Cauchy-Schwarz on the matrix inner product
+    assert r["fro_xy"] ** 2 <= r["fro_xx"] * r["fro_yy"] * (1 + 1e-6)

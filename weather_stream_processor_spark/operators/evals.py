@@ -2823,3 +2823,84 @@ def bayesian_ab_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(1.0) - sf_z, 6).alias("p_treat_worse"),
         F.round(sf_z, 6).alias("p_treat_better"),
     )
+
+
+# --- Round-6: McNemar paired-screen comparison ---------------------------------
+
+_MCN_LEN_CUT = 250  # screen A: doc passes if n_chars >= cut
+_MCN_TOK_CUT = 45  # screen B: doc passes if token count >= cut
+
+
+@register(
+    "mcnemar_paired_screens",
+    oracle=f"""
+        WITH flags AS (
+            SELECT CASE WHEN n_chars >= {_MCN_LEN_CUT} THEN 1 ELSE 0 END AS a,
+                   CASE WHEN len(string_split(text, ' ')) >= {_MCN_TOK_CUT}
+                        THEN 1 ELSE 0 END AS b
+            FROM documents
+        ),
+        cells AS (
+            SELECT CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00,
+                   CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11
+            FROM flags
+        )
+        SELECT n00, n01, n10, n11,
+               ROUND(CAST((n01 - n10) * (n01 - n10) AS DOUBLE)
+                     / (n01 + n10), 6) AS chi2_mcnemar,
+               ROUND(CAST((ABS(n01 - n10) - 1) * (ABS(n01 - n10) - 1)
+                          AS DOUBLE) / (n01 + n10), 6) AS chi2_continuity
+        FROM cells
+    """,
+    doc=(
+        "McNEMAR'S TEST on two PAIRED document screens (the significance "
+        "layer quality_screen_agreement's raw agreement rates lack): "
+        "when two filters judge the SAME documents, only the DISCORDANT "
+        "cells n01/n10 carry information about which screen is stricter "
+        "— chi2 = (n01-n10)^2/(n01+n10), with Edwards' continuity "
+        "correction alongside — the paired test every screen-replacement "
+        "decision should run instead of comparing raw pass rates (which "
+        "double-counts the concordant mass). Screens here: length >= "
+        f"{_MCN_LEN_CUT} chars vs >= {_MCN_TOK_CUT} tokens. One "
+        "projection, one 4-cell aggregate (map-side combined), exact "
+        "integer cells, two mirrored rounded divisions."
+    ),
+    tags=("evals", "statistics", "quality"),
+)
+def mcnemar_paired_screens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") >= _MCN_LEN_CUT, 1).otherwise(0)
+    b = F.when(F.size(F.split("text", " ")) >= _MCN_TOK_CUT, 1).otherwise(0)
+    flags = docs.select(a.alias("a"), b.alias("b"))
+    cells = flags.agg(
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+    )
+    d = F.col("n01") - F.col("n10")
+    tot = F.col("n01") + F.col("n10")
+    return cells.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        F.round((d * d).cast("double") / tot, 6).alias("chi2_mcnemar"),
+        F.round(
+            ((F.abs(d) - 1) * (F.abs(d) - 1)).cast("double") / tot, 6
+        ).alias("chi2_continuity"),
+    )

@@ -3437,3 +3437,169 @@ def frequent_directions_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(out, columns=["stat", "idx", "value"])
 
     return merged_in.mapInPandas(merge_fd, schema=out_schema)
+
+
+# --- Round-6: linear CKA between the space and its matryoshka truncation ------
+
+_CKA_TRUNC_D = 16  # truncated prefix dimensionality (matryoshka cut)
+_CKA_LIFT = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100.0 + 0.5) AS BIGINT))"
+_CKA_LIFT_DUCK = "[CAST(floor(CAST(u AS DOUBLE) * 100.0 + 0.5) AS BIGINT) FOR u IN embedding]"
+
+
+@register(
+    "linear_cka_truncation_audit",
+    oracle=f"""
+        WITH k AS (
+            SELECT vec_id, {_CKA_LIFT_DUCK} AS kv FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id, generate_subscripts(kv, 1) AS i, unnest(kv) AS x
+            FROM k
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k),
+        s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM e GROUP BY i),
+        graw AS (
+            SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g
+            FROM e a JOIN e b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2
+        ),
+        gc AS (
+            SELECT g.i, g.j,
+                   n.n * n.n * g.g - n.n * sa.sx * sb.sx AS c
+            FROM graw g
+            CROSS JOIN n
+            JOIN s sa ON sa.i = g.i
+            JOIN s sb ON sb.i = g.j
+        ),
+        fro AS (
+            SELECT
+                SUM(CASE WHEN i <= {_CKA_TRUNC_D} AND j <= {_CKA_TRUNC_D}
+                         THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS fyy2,
+                SUM(CASE WHEN j <= {_CKA_TRUNC_D}
+                         THEN CAST(c AS HUGEINT) * c ELSE 0 END) AS fxy2,
+                SUM(CAST(c AS HUGEINT) * c) AS fxx2
+            FROM gc
+        )
+        SELECT ROUND(CAST(fxy2 AS DOUBLE)
+                     / (sqrt(CAST(fxx2 AS DOUBLE))
+                        * sqrt(CAST(fyy2 AS DOUBLE))), 6) AS cka,
+               ROUND(sqrt(CAST(fxx2 AS DOUBLE)), 4) AS fro_xx,
+               ROUND(sqrt(CAST(fyy2 AS DOUBLE)), 4) AS fro_yy,
+               ROUND(sqrt(CAST(fxy2 AS DOUBLE)), 4) AS fro_xy
+        FROM fro
+    """,
+    doc=(
+        "LINEAR CKA (centered kernel alignment, Kornblith et al. 2019 — "
+        "THE standard metric for comparing two representations of the "
+        "same items) between the embedding space and its "
+        f"{_CKA_TRUNC_D}-dim matryoshka prefix truncation: CKA = "
+        "||Yc'Xc||_F^2 / (||Xc'Xc||_F ||Yc'Yc||_F). Because Y is a "
+        "COLUMN SUBSET of X, all three Frobenius blocks are sub-blocks "
+        "of ONE centered Gram — and centering is done ALGEBRAICALLY on "
+        "exact integers (Gc = n^2*Graw - n*Sx_i*Sx_j, from the raw "
+        "integer-lifted Gram and column sums; the naive subtract-the-"
+        "mean route would leave rationals). Every Gram cell is an exact "
+        "int64; the Frobenius sums of squared cells need ~1e35 head-"
+        "room, so they accumulate in DECIMAL(38,0)/HUGEINT — exact and "
+        "permutation-invariant — and doubles appear only in the final "
+        "mirrored sqrt/divide. Complements embedding_truncation_energy "
+        "(per-vector retained cosine) with the REPRESENTATION-level "
+        "answer to 'what does cutting to 16 dims cost'. Plan: the "
+        "covariance-spectrum partial-Gram mapInPandas (shuffle = "
+        "#partitions x d^2/2), one bounded Gram aggregate, one 3-cell "
+        "reduction."
+    ),
+    tags=("similarity", "llm", "statistics", "pandas-udf", "scale"),
+)
+def linear_cka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_CKA_LIFT).alias("kv")
+    )
+
+    part_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("g", LongType()),
+            StructField("sx_i", LongType()),
+            StructField("sx_j", LongType()),
+            StructField("nrows", LongType()),
+        ]
+    )
+
+    def local_gram(batches):
+        G = None
+        s = None
+        n = 0
+        for pdf in batches:
+            K = np.array(pdf["kv"].tolist(), dtype=np.int64)
+            if len(K) == 0:
+                continue
+            if G is None:
+                d = K.shape[1]
+                G = np.zeros((d, d), dtype=np.int64)
+                s = np.zeros(d, dtype=np.int64)
+            G += K.T @ K
+            s += K.sum(axis=0)
+            n += len(K)
+        if G is None:
+            return
+        i, j = np.indices(G.shape)
+        yield pd.DataFrame(
+            {
+                "i": (i.ravel() + 1).astype(np.int64),
+                "j": (j.ravel() + 1).astype(np.int64),
+                "g": G.ravel(),
+                "sx_i": s[i.ravel()],
+                "sx_j": s[j.ravel()],
+                "nrows": np.full(G.size, n, dtype=np.int64),
+            }
+        )
+
+    partials = spread(emb, "vec_id").mapInPandas(local_gram, schema=part_schema)
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("g").alias("g"),
+        F.sum("sx_i").alias("sx_i"),
+        F.sum("sx_j").alias("sx_j"),
+        F.sum("nrows").alias("n"),
+    )
+    gc = agg.select(
+        "i",
+        "j",
+        (
+            F.col("n") * F.col("n") * F.col("g")
+            - F.col("n") * F.col("sx_i") * F.col("sx_j")
+        ).alias("c"),
+    )
+    c_dec = F.col("c").cast("decimal(38,0)") * F.col("c")
+    td = _CKA_TRUNC_D
+    fro = gc.agg(
+        F.sum(
+            F.when((F.col("i") <= td) & (F.col("j") <= td), c_dec).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("fyy2"),
+        F.sum(
+            F.when(F.col("j") <= td, c_dec).otherwise(
+                F.lit(0).cast("decimal(38,0)")
+            )
+        ).alias("fxy2"),
+        F.sum(c_dec).alias("fxx2"),
+    )
+    return fro.select(
+        F.round(
+            F.col("fxy2").cast("double")
+            / (
+                F.sqrt(F.col("fxx2").cast("double"))
+                * F.sqrt(F.col("fyy2").cast("double"))
+            ),
+            6,
+        ).alias("cka"),
+        F.round(F.sqrt(F.col("fxx2").cast("double")), 4).alias("fro_xx"),
+        F.round(F.sqrt(F.col("fyy2").cast("double")), 4).alias("fro_yy"),
+        F.round(F.sqrt(F.col("fxy2").cast("double")), 4).alias("fro_xy"),
+    )
