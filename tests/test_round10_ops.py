@@ -684,3 +684,46 @@ def test_linear_cka_matches_numpy_replay(spark):
     assert abs(r["cka"] - expect) < 1e-5, (r["cka"], expect)
     # Cauchy-Schwarz on the matrix inner product
     assert r["fro_xy"] ** 2 <= r["fro_xx"] * r["fro_yy"] * (1 + 1e-6)
+
+
+def test_allen_relations_partition_all_pairs(spark):
+    """The 13 relations are exhaustive and mutually exclusive: no NULL
+    relation, and the histogram totals equal the per-day C(n,2) pair
+    count over multi-event users."""
+    rows = (
+        all_queries()["allen_interval_relations"].builder(spark, SF_SMOKE).collect()
+    )
+    assert all(r["relation"] is not None for r in rows)
+    ev = load_table(spark, SF_SMOKE, "events")
+    iv = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .filter(F.col("s") < F.col("e"))
+        .groupBy("day")
+        .count()
+        .collect()
+    )
+    expect = sum(r["count"] * (r["count"] - 1) // 2 for r in iv)
+    assert sum(r["n_pairs"] for r in rows) == expect
+    allowed = {
+        "before", "after", "meets", "met_by", "equal", "starts", "started_by",
+        "finishes", "finished_by", "during", "contains", "overlaps",
+        "overlapped_by",
+    }
+    assert {r["relation"] for r in rows} <= allowed
+
+
+def test_blocking_audit_identities(spark):
+    """cand <= total, hit <= min(cand-side truth, truth); ratios replay
+    from the integer counts; blocking on nation keeps residue-truth
+    pairs only when nations coincide."""
+    rows = all_queries()["blocking_quality_audit"].builder(spark, SF_SMOKE).collect()
+    r = rows[0]
+    assert r["total_pairs"] == r["n_cust"] * r["n_supp"]
+    assert 0 < r["cand_pairs"] <= r["total_pairs"]
+    assert 0 <= r["true_blocked"] <= min(r["cand_pairs"], r["true_pairs"])
+    assert (
+        r["reduction_ratio_e6"]
+        == (r["total_pairs"] - r["cand_pairs"]) * 1000000 // r["total_pairs"]
+    )
+    assert r["pair_completeness_e6"] == r["true_blocked"] * 1000000 // r["true_pairs"]
