@@ -54,6 +54,16 @@ SHOWCASE = [
     # spatial join
     "point_in_time_features",
     "geo_block_pair_join",
+    # round-6 additions: keyed prefix-sum packing, single-exchange SCD2,
+    # HRW argmax explode, bitmap popcount algebra, bounded frontier-join
+    # recursion, blocked Allen pairs, decimal-exact CKA Gram
+    "concat_chunk_packing_manifest",
+    "scd2_dimension_build",
+    "rendezvous_shard_rebalance",
+    "bitmap_index_set_algebra",
+    "bom_rollup_explosion",
+    "allen_interval_relations",
+    "linear_cka_truncation_audit",
 ]
 
 
