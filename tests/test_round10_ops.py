@@ -727,3 +727,78 @@ def test_blocking_audit_identities(spark):
         == (r["total_pairs"] - r["cand_pairs"]) * 1000000 // r["total_pairs"]
     )
     assert r["pair_completeness_e6"] == r["true_blocked"] * 1000000 // r["true_pairs"]
+
+
+def test_dunning_keyness_replay(spark):
+    """G^2 replays from a pandas 2x2 computation for every emitted row,
+    and each source's keywords rank by descending G^2."""
+    import math
+
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    cnt = Counter()
+    per_src = Counter()
+    word_tot = Counter()
+    for d in docs:
+        toks = d["text"].split(" ")
+        per_src[d["source"]] += len(toks)
+        for t in toks:
+            cnt[(d["source"], t)] += 1
+            word_tot[t] += 1
+    n = sum(per_src.values())
+
+    def g2(src, tok):
+        a = cnt[(src, tok)]
+        w = word_tot[tok]
+        ns = per_src[src]
+        b, c, d_ = w - a, ns - a, n - w - ns + a
+        out = 0.0
+        for o, e_num, e_den in (
+            (a, a * n, w * ns),
+            (b, b * n, w * (n - ns)),
+            (c, c * n, (n - w) * ns),
+            (d_, d_ * n, (n - w) * (n - ns)),
+        ):
+            if o > 0:
+                out += o * math.log(e_num / e_den)
+        return 2.0 * out
+
+    rows = all_queries()["dunning_llr_keyness"].builder(spark, SF_SMOKE).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert math.isclose(r["g2"], g2(r["source"], r["tok"]), abs_tol=1e-5)
+        assert r["n_in_source"] == cnt[(r["source"], r["tok"])]
+    for src, sr in by_src.items():
+        sr.sort(key=lambda r: r["rn"])
+        g2s = [r["g2"] for r in sr]
+        assert g2s == sorted(g2s, reverse=True)
+
+
+def test_skipgram_ppmi_replay(spark):
+    """PPMI replays from a pandas windowed-pair count; every emitted pair
+    is within the +/-2 window, ppmi >= 0, counts >= floor."""
+    import math
+
+    from collections import Counter
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("text").collect()
+    pairs = Counter()
+    uni = Counter()
+    for d in docs:
+        t = d["text"].split(" ")
+        uni.update(t)
+        for i, w in enumerate(t):
+            for j in (1, 2):
+                if i + j < len(t):
+                    pairs[tuple(sorted((w, t[i + j])))] += 1
+    n = sum(pairs.values())
+    rows = all_queries()["skipgram_ppmi_pairs"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        key = (r["w1"], r["w2"])
+        assert pairs[key] == r["c_xy"] >= 5
+        expect = max(0.0, math.log(r["c_xy"] * n / (uni[r["w1"]] * uni[r["w2"]])))
+        assert math.isclose(r["ppmi"], expect, abs_tol=1e-5)
+        assert r["ppmi"] >= 0.0

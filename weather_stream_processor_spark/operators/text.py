@@ -3510,3 +3510,279 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _BPE_TOPK)
         .select("pair", "pair_count", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# --- Round-6: keyness + windowed co-occurrence ---------------------------------
+
+_KEY_TOPK = 5  # keywords per source
+
+
+@register(
+    "dunning_llr_keyness",
+    oracle=f"""
+        WITH tk AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tk),
+        per_src AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM tk GROUP BY 1
+        ),
+        cnt AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS a
+            FROM tk GROUP BY 1, 2
+        ),
+        word_tot AS (
+            SELECT tok, CAST(SUM(a) AS BIGINT) AS w FROM cnt GROUP BY tok
+        ),
+        cells AS (
+            SELECT c.source, c.tok,
+                   c.a AS a,
+                   w.w - c.a AS b,
+                   p.ns - c.a AS c,
+                   t.n - w.w - p.ns + c.a AS d,
+                   p.ns, w.w, t.n
+            FROM cnt c
+            JOIN word_tot w USING (tok)
+            JOIN per_src p USING (source)
+            CROSS JOIN tot t
+        ),
+        g2 AS (
+            SELECT source, tok, a,
+                   ROUND(2.0 * (
+                       CASE WHEN a > 0 THEN a * ln(CAST(a AS DOUBLE) * n
+                                                   / (CAST(w AS DOUBLE) * ns))
+                            ELSE 0.0 END
+                     + CASE WHEN b > 0 THEN b * ln(CAST(b AS DOUBLE) * n
+                                                   / (CAST(w AS DOUBLE) * (n - ns)))
+                            ELSE 0.0 END
+                     + CASE WHEN c > 0 THEN c * ln(CAST(c AS DOUBLE) * n
+                                                   / (CAST(n - w AS DOUBLE) * ns))
+                            ELSE 0.0 END
+                     + CASE WHEN d > 0 THEN d * ln(CAST(d AS DOUBLE) * n
+                                                   / (CAST(n - w AS DOUBLE) * (n - ns)))
+                            ELSE 0.0 END), 6) AS g2
+            FROM cells
+        ),
+        ranked AS (
+            SELECT source, tok, a, g2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY g2 DESC, tok
+                   ) AS rn
+            FROM g2
+        )
+        SELECT source, tok, a AS n_in_source, g2,
+               CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {_KEY_TOPK}
+    """,
+    doc=(
+        "DUNNING LOG-LIKELIHOOD KEYNESS (Dunning 1993 G^2 / Rayson-"
+        "Garside keyword statistic — the corpus-linguistics standard for "
+        "'which words characterize THIS source against the rest', far "
+        "better calibrated than PMI or chi-square on sparse counts): "
+        f"per source, the top-{_KEY_TOPK} tokens by the 2x2 "
+        "source-vs-rest G^2 = 2*Sum O*ln(O/E), zero cells contributing "
+        "zero by the standard convention. All four observed cells derive "
+        "from two vocabulary-bounded aggregates (per-(source,token) "
+        "counts + marginals — no second corpus pass); expected counts "
+        "appear only inside the ln ratio, written with the identical "
+        "operator tree in both engines over exact integer cells (the "
+        "house ln-on-identical-integers pattern bigram_lm_perplexity "
+        "established). Provenance complement to stylometry_source_delta: "
+        "that compares function-word PROFILES, this surfaces the "
+        "CONTENT words that give a source away."
+    ),
+    tags=("text", "llm", "statistics", "provenance"),
+)
+def dunning_llr_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    tot = tk.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    per_src = tk.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("ns"))
+    cnt = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("a")
+    )
+    word_tot = cnt.groupBy("tok").agg(F.sum("a").cast("bigint").alias("w"))
+    cells = (
+        cnt.join(word_tot, "tok")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            "a",
+            (F.col("w") - F.col("a")).alias("b"),
+            (F.col("ns") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("w") - F.col("ns") + F.col("a")).alias("d"),
+            "ns",
+            "w",
+            "n",
+        )
+    )
+
+    def term(o, num, den):
+        return F.when(
+            o > 0, o * F.log(num.cast("double") * F.col("n") / den)
+        ).otherwise(F.lit(0.0))
+
+    g2 = F.round(
+        2.0
+        * (
+            term(F.col("a"), F.col("a"), F.col("w").cast("double") * F.col("ns"))
+            + term(
+                F.col("b"),
+                F.col("b"),
+                F.col("w").cast("double") * (F.col("n") - F.col("ns")),
+            )
+            + term(
+                F.col("c"),
+                F.col("c"),
+                (F.col("n") - F.col("w")).cast("double") * F.col("ns"),
+            )
+            + term(
+                F.col("d"),
+                F.col("d"),
+                (F.col("n") - F.col("w")).cast("double") * (F.col("n") - F.col("ns")),
+            )
+        ),
+        6,
+    )
+    ranked = cells.select("source", "tok", "a", g2.alias("g2")).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("tok"))
+        ),
+    )
+    return ranked.filter(F.col("rn") <= _KEY_TOPK).select(
+        "source",
+        "tok",
+        F.col("a").alias("n_in_source"),
+        "g2",
+        F.col("rn").cast("bigint").alias("rn"),
+    )
+
+
+_SKIP_WIN = 2  # skip-gram context half-window (word2vec's classic +/-2)
+_SKIP_MIN = 5  # min pair count emitted
+_SKIP_TOPK = 30
+
+
+@register(
+    "skipgram_ppmi_pairs",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, unnest(t) AS w,
+                   generate_subscripts(t, 1) AS p
+            FROM toks
+        ),
+        pairs AS (
+            SELECT LEAST(a.w, b.w) AS w1, GREATEST(a.w, b.w) AS w2,
+                   CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM pos a JOIN pos b
+              ON a.doc_id = b.doc_id
+             AND b.p > a.p AND b.p <= a.p + {_SKIP_WIN}
+            GROUP BY 1, 2
+        ),
+        uni AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM pos GROUP BY w
+        ),
+        tot AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM pairs),
+        ppmi AS (
+            SELECT p.w1, p.w2, p.c_xy,
+                   ROUND(GREATEST(
+                       ln(CAST(p.c_xy AS DOUBLE) * t.n
+                          / (CAST(u1.c AS DOUBLE) * u2.c)),
+                       CAST(0.0 AS DOUBLE)), 6) AS ppmi
+            FROM pairs p
+            JOIN uni u1 ON u1.w = p.w1
+            JOIN uni u2 ON u2.w = p.w2
+            CROSS JOIN tot t
+            WHERE p.c_xy >= {_SKIP_MIN}
+        ),
+        ranked AS (
+            SELECT w1, w2, c_xy, ppmi,
+                   ROW_NUMBER() OVER (ORDER BY ppmi DESC, w1, w2) AS rn
+            FROM ppmi
+        )
+        SELECT w1, w2, c_xy, ppmi, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= {_SKIP_TOPK}
+    """,
+    doc=(
+        "SKIP-GRAM PPMI CO-OCCURRENCE (the word2vec/GloVe context "
+        f"matrix, made explicit): unordered token pairs within a +/-"
+        f"{_SKIP_WIN} window, scored by POSITIVE pointwise mutual "
+        "information max(0, ln(c_xy*N / (c_x*c_y))) — Levy & Goldberg "
+        "2014 showed skip-gram-with-negative-sampling implicitly "
+        "factorizes exactly this matrix, which makes PPMI the "
+        "embedding-free baseline for distributional similarity (the "
+        "windowed complement of bigram_pmi_collocations' adjacency-only "
+        "pairs). Plan: the position self-join is BAND-LIMITED per "
+        f"document (b.p in (a.p, a.p+{_SKIP_WIN}]) — {_SKIP_WIN} rows "
+        "per position, linear in corpus tokens, never a per-doc "
+        "cartesian; counts are vocabulary-bounded aggregates, the pair "
+        "total broadcasts, ln runs on identical exact integers in both "
+        f"engines, top-{_SKIP_TOPK} with full deterministic "
+        "tie-breaks."
+    ),
+    tags=("text", "llm", "statistics"),
+)
+def skipgram_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = spread(docs, "doc_id").select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    a = pos.alias("a")
+    b = pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.p") > F.col("a.p"))
+            & (F.col("b.p") <= F.col("a.p") + _SKIP_WIN),
+        )
+        .select(
+            F.least(F.col("a.w"), F.col("b.w")).alias("w1"),
+            F.greatest(F.col("a.w"), F.col("b.w")).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    uni = pos.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = pairs.agg(F.sum("c_xy").cast("bigint").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ppmi = (
+        pairs.filter(F.col("c_xy") >= _SKIP_MIN)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.round(
+                F.greatest(
+                    F.log(
+                        F.col("c_xy").cast("double")
+                        * F.col("n")
+                        / (F.col("c1").cast("double") * F.col("c2"))
+                    ),
+                    F.lit(0.0).cast("double"),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("ppmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        ppmi.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SKIP_TOPK)
+        .select("w1", "w2", "c_xy", "ppmi", F.col("rn").cast("bigint").alias("rn"))
+    )
