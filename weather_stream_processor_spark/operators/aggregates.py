@@ -29,42 +29,69 @@ from weather_stream_processor_spark.sources import load_table, load_tables, spre
 @register(
     "q1_pricing_summary",
     oracle="""
+        WITH li AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(FLOOR(l_quantity * 10000 + 0.5) AS BIGINT) AS q_i,
+                   CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT) AS p_i,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000
+                              + 0.5) AS BIGINT) AS dp_i,
+                   CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              * 10000 + 0.5) AS BIGINT) AS ch_i,
+                   CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT) AS d_i
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        )
         SELECT l_returnflag,
                l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 6) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 6) AS avg_price,
-               ROUND(AVG(l_discount), 6) AS avg_disc,
+               ROUND(CAST(SUM(q_i) AS BIGINT) / 10000.0, 2) AS sum_qty,
+               ROUND(CAST(SUM(p_i) AS BIGINT) / 10000.0, 2) AS sum_base_price,
+               ROUND(CAST(SUM(dp_i) AS BIGINT) / 10000.0, 2) AS sum_disc_price,
+               ROUND(CAST(SUM(ch_i) AS BIGINT) / 10000.0, 2) AS sum_charge,
+               ROUND(CAST(SUM(q_i) AS BIGINT) / 10000.0 / COUNT(*), 6) AS avg_qty,
+               ROUND(CAST(SUM(p_i) AS BIGINT) / 10000.0 / COUNT(*), 6) AS avg_price,
+               ROUND(CAST(SUM(d_i) AS BIGINT) / 10000.0 / COUNT(*), 6) AS avg_disc,
                COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        FROM li
         GROUP BY l_returnflag, l_linestatus
     """,
     doc=(
         "TPC-H Q1 shape: the canonical scan->filter->hash-agg plan. The "
         "shipdate filter pushes into the parquet scan; 8 aggregates share "
         "one partial+final HashAggregate pair over a 2-low-cardinality-key "
-        "shuffle (at most |flags|x|statuses| groups regardless of input TB)."
+        "shuffle (at most |flags|x|statuses| groups regardless of input TB). "
+        "Money/quantity sums are integer-lifted (floor(x*1e4+0.5) bigint — "
+        "the q10 pattern): 2dp-quantized inputs summed as floats land ON "
+        "2dp rounding boundaries by construction, which is exactly how q9 "
+        "flipped a digit between engines at sf0.1; exact integer sums are "
+        "partition-order-invariant, and the averages divide the same "
+        "exact sums."
     ),
     tags=("aggregation", "headline"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def lift(col):
+        return F.floor(col * 10000 + F.lit(0.5)).cast("bigint")
+
+    q_i = lift(F.col("l_quantity"))
+    p_i = lift(F.col("l_extendedprice"))
+    dp_i = lift(disc_price)
+    ch_i = lift(disc_price * (1 + F.col("l_tax")))
+    d_i = lift(F.col("l_discount"))
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.sum(q_i).cast("bigint") / 10000.0, 2).alias("sum_qty"),
+            F.round(F.sum(p_i).cast("bigint") / 10000.0, 2).alias("sum_base_price"),
+            F.round(F.sum(dp_i).cast("bigint") / 10000.0, 2).alias("sum_disc_price"),
+            F.round(F.sum(ch_i).cast("bigint") / 10000.0, 2).alias("sum_charge"),
+            F.round(F.sum(q_i).cast("bigint") / 10000.0 / cnt, 6).alias("avg_qty"),
+            F.round(F.sum(p_i).cast("bigint") / 10000.0 / cnt, 6).alias("avg_price"),
+            F.round(F.sum(d_i).cast("bigint") / 10000.0 / cnt, 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -76,7 +103,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT l_orderkey) AS n_orders,
                COUNT(DISTINCT l_suppkey) AS n_suppliers,
-               ROUND(SUM(l_extendedprice), 2) AS total_price,
+               ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) / 10000.0, 2) AS total_price,
                ROUND(AVG(l_quantity), 6) AS avg_qty,
                ROUND(MIN(l_extendedprice), 2) AS min_price,
                ROUND(MAX(l_extendedprice), 2) AS max_price
@@ -95,7 +123,13 @@ def agg_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("bigint")
+            ).cast("bigint")
+            / 10000.0,
+            2,
+        ).alias("total_price"),
         F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
@@ -186,7 +220,8 @@ def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) / CAST(10000.0 AS DOUBLE), 2) AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -199,7 +234,8 @@ def grouping_sets_order_priorities(spark: SparkSession, sf_dir: str) -> DataFram
         """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) / CAST(10000.0 AS DOUBLE), 2) AS total
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -274,7 +310,8 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000
+                   + 0.5) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue,
                COUNT(*) AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -300,7 +337,16 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_rows"),

@@ -59,7 +59,8 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
         SELECT l.l_orderkey,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                   * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue,
                o.o_orderdate
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -92,9 +93,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -106,7 +114,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle="""
         SELECT n.n_name,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                   * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -137,9 +146,16 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias("revenue")
         )
     )
 

@@ -100,7 +100,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     oracle="""
         SELECT supp_nation, cust_nation, l_year,
-               ROUND(SUM(volume), 2) AS revenue
+               ROUND(CAST(SUM(CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT))
+                     AS BIGINT) / 10000.0, 2) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -154,15 +155,26 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation",
         "cust_nation",
         F.year("l_shipdate").cast("bigint").alias("l_year"),
-    ).agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+    ).agg(
+        F.round(
+            F.sum(F.floor(_revenue() * 10000 + F.lit(0.5)).cast("bigint")).cast(
+                "bigint"
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue")
+    )
 
 
 @register(
     "q8_market_share",
     oracle="""
         SELECT o_year,
-               ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-                     / SUM(volume), 6) AS mkt_share
+               ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                           THEN CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT))
+                            AS DOUBLE), 6) AS mkt_share
         FROM (
             SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
@@ -223,13 +235,17 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
-    volume = _revenue()
+    volume_i = F.floor(_revenue() * 10000 + F.lit(0.5)).cast("bigint")
     return joined.groupBy(
         F.year("o_orderdate").cast("bigint").alias("o_year")
     ).agg(
         F.round(
-            F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0))
-            / F.sum(volume),
+            F.sum(
+                F.when(F.col("nation") == "NATION_3", volume_i).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).cast("double")
+            / F.sum(volume_i).cast("double"),
             6,
         ).alias("mkt_share")
     )
@@ -238,12 +254,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_product_profit",
     oracle="""
-        SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+        SELECT nation, o_year,
+               ROUND(CAST(SUM(amount_i) AS BIGINT) / 10000.0, 2) AS sum_profit
         FROM (
             SELECT n.n_name AS nation,
                    CAST(year(o_orderdate) AS BIGINT) AS o_year,
-                   l_extendedprice * (1 - l_discount)
-                       - p_retailprice * l_quantity AS amount
+                   CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                               - p_retailprice * l_quantity) * 10000 + 0.5)
+                        AS BIGINT) AS amount_i
             FROM lineitem l
             JOIN part p ON p.p_partkey = l.l_partkey
             JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -259,7 +277,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "broadcast into the fact, profit expression computed in-scan, "
         "grouped by supplier nation x order year. The LIKE predicate "
         "cannot push to parquet as a range but still prunes before any "
-        "join because the part scan is dimension-sized."
+        "join because the part scan is dimension-sized. The profit sum is "
+        "integer-lifted (floor(amount*1e4+0.5) as bigint, q10's pattern): "
+        "at sf0.1 one nation-year cell's float sum landed exactly on a "
+        "2-dp rounding boundary and engine summation order flipped the "
+        "hash — the r6 sf0.1 strict sweep caught it; exact integer sums "
+        "are partition-order-invariant at any scale."
     ),
     tags=("tpch", "join", "aggregation"),
 )
@@ -276,11 +299,16 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
     )
-    amount = _revenue() - F.col("p_retailprice") * F.col("l_quantity")
+    amount_i = F.floor(
+        (_revenue() - F.col("p_retailprice") * F.col("l_quantity")) * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
     return joined.groupBy(
         F.col("n_name").alias("nation"),
         F.year("o_orderdate").cast("bigint").alias("o_year"),
-    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    ).agg(
+        F.round(F.sum(amount_i).cast("bigint") / 10000.0, 2).alias("sum_profit")
+    )
 
 
 @register(
@@ -454,7 +482,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5)
+                   AS BIGINT)) AS BIGINT) / 10000.0 / 7.0, 2) AS avg_yearly
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#11'
           AND l.l_quantity < (
@@ -483,7 +512,18 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
         .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                ).cast("bigint")
+                / 10000.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -546,7 +586,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                   * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0, 2)
+                   AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 11)
@@ -585,7 +627,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return joined.filter(branch).agg(
-        F.round(F.sum(_revenue()), 2).alias("revenue")
+        F.round(
+            F.sum(F.floor(_revenue() * 10000 + F.lit(0.5)).cast("bigint")).cast(
+                "bigint"
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue")
     )
 
 
@@ -668,7 +716,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     oracle="""
         SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
-               ROUND(SUM(c_acctbal), 2) AS totacctbal
+               ROUND(CAST(SUM(CAST(FLOOR(c_acctbal * 10000 + 0.5) AS BIGINT))
+                     AS BIGINT) / 10000.0, 2) AS totacctbal
         FROM customer c
         WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
           AND c_acctbal > (
@@ -711,7 +760,13 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias("totacctbal"),
         )
     )
 
