@@ -418,7 +418,8 @@ def _interleave_duckdb(x: str, y: str) -> str:
         )
         SELECT {_interleave_duckdb('xb', 'yb')} AS zcell,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS cell_revenue
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) / 10000.0, 2) AS cell_revenue
         FROM cells
         GROUP BY zcell
     """,
@@ -450,7 +451,13 @@ def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zcell")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("cell_revenue"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias("cell_revenue"),
         )
     )
 

@@ -148,7 +148,8 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ELSE 'jumbo'
                END AS price_bucket,
                COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 2) AS total
+               ROUND(CAST(SUM(CAST(FLOOR(o_totalprice * 10000 + 0.5) AS BIGINT))
+                   AS BIGINT) / 10000.0, 2) AS total
         FROM orders
         GROUP BY 1
     """,
@@ -167,7 +168,13 @@ def case_when_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("price_bucket"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias("total"),
         )
     )
 

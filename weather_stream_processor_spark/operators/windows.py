@@ -569,7 +569,9 @@ def batch_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH rev AS (
             SELECT n.n_name,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                       * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   / 10000.0, 2) AS revenue
             FROM lineitem l
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -602,7 +604,16 @@ def revenue_contribution_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("bigint")
+                / 10000.0,
+                2,
+            ).alias(
                 "revenue"
             )
         )
