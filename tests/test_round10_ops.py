@@ -356,25 +356,6 @@ def test_loop_detector_gaps_and_islands(spark):
         assert got[did][2] == (1 if best >= 3 else 0)
 
 
-def test_benford_audit_assembles_chi_square(spark):
-    """Digit counts cover the whole table, expected ppb constants sum to
-    ~1e9, and the chi-square statistic assembles finite from the exact
-    integer surface."""
-    rows = (
-        all_queries()["benford_first_digit_audit"].builder(spark, SF_SMOKE).collect()
-    )
-    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
-    n_orders = load_table(spark, SF_SMOKE, "orders").count()
-    assert sum(r["n_obs"] for r in rows) == n_orders
-    assert abs(sum(r["p_e9"] for r in rows) - 1_000_000_000) <= 2
-    chi2 = 0.0
-    for r in rows:
-        exp = n_orders * r["p_e9"] / 1e9
-        chi2 += (r["n_obs"] - exp) ** 2 / exp
-        assert r["dev_e9n"] == r["n_obs"] * 1_000_000_000 - n_orders * r["p_e9"]
-    assert chi2 >= 0.0 and chi2 == chi2  # finite
-
-
 def test_stylometry_delta_matches_replay_and_zscore(spark):
     """delta_l1_e9 equals a pandas replay of the lifted profiles, and the
     classic z-scored Burrows Delta derived from those integers is finite

@@ -881,89 +881,6 @@ def contamination_ngram_overlap_curve(spark: SparkSession, sf_dir: str) -> DataF
     return out
 
 
-# --- Benford first-digit audit -------------------------------------------------
-
-# log10(1 + 1/d) * 1e9, d = 1..9 — literal integer constants so neither
-# engine evaluates a transcendental (libm log10 differs across engines)
-_BENFORD_P_E9 = {
-    1: 301029996, 2: 176091259, 3: 124938737, 4: 96910013,
-    5: 79181246, 6: 66946790, 7: 57991947, 8: 51152522, 9: 45757491,
-}
-
-
-@register(
-    "benford_first_digit_audit",
-    oracle=f"""
-        WITH digits AS (
-            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
-                                    AS VARCHAR), 1, 1) AS INT) AS digit
-            FROM orders
-        ),
-        obs AS (
-            SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
-            FROM digits GROUP BY digit
-        ),
-        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
-        expect(digit, p_e9) AS (VALUES
-            {", ".join(f"({d}, {p})" for d, p in _BENFORD_P_E9.items())})
-        SELECT e.digit,
-               COALESCE(o.n_obs, 0) AS n_obs,
-               e.p_e9,
-               CAST(COALESCE(o.n_obs, 0) * 1000000000 - n.n * e.p_e9
-                    AS BIGINT) AS dev_e9n
-        FROM expect e
-        LEFT JOIN obs o USING (digit)
-        CROSS JOIN n
-    """,
-    doc=(
-        "BENFORD'S-LAW FIRST-DIGIT AUDIT over order totals — the "
-        "forensic-accounting screen for fabricated or truncated numeric "
-        "columns (real multiplicative quantities put ~30.1% of first "
-        "digits at 1; synthetic/uniform generators don't, which this "
-        "fixture demonstrates). Per digit 1-9: observed count, Benford's "
-        "expected probability as a LITERAL integer ppb constant "
-        "(log10(1+1/d) precomputed — neither engine evaluates a "
-        "transcendental, so there is no libm drift to hash), and the "
-        "exact integer deviation n_obs*1e9 - n*p_e9 (positive = "
-        "over-represented). The chi-square statistic assembles from "
-        "these integers in the property test. Plan: one projection + "
-        "one 9-group aggregate — map-side combine carries everything; "
-        "the digit extraction is string head of the integer part, "
-        "identical semantics both engines."
-    ),
-    tags=("analytics", "audit", "quality", "statistics"),
-)
-def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    digits = orders.select(
-        F.substring(
-            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
-        )
-        .cast("int")
-        .alias("digit")
-    )
-    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
-    n = digits.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    expect = spark.createDataFrame(
-        [(d, p) for d, p in _BENFORD_P_E9.items()], "digit int, p_e9 bigint"
-    )
-    return (
-        expect.join(obs, "digit", "left")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "digit",
-            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
-            "p_e9",
-            (
-                F.coalesce("n_obs", F.lit(0)) * F.lit(1000000000)
-                - F.col("n") * F.col("p_e9")
-            )
-            .cast("bigint")
-            .alias("dev_e9n"),
-        )
-    )
-
-
 # --- Stylometric source fingerprint (Burrows-Delta family) --------------------
 
 
