@@ -783,3 +783,31 @@ def test_skipgram_ppmi_replay(spark):
         expect = max(0.0, math.log(r["c_xy"] * n / (uni[r["w1"]] * uni[r["w2"]])))
         assert math.isclose(r["ppmi"], expect, abs_tol=1e-5)
         assert r["ppmi"] >= 0.0
+
+
+def test_concentration_panel_identities(spark):
+    """HHI and effective sources are exact reciprocals on the integer
+    surface; effective sources sits in [1, k]; top-3 share bounds; the
+    panel replays from a pandas recount."""
+    rows = (
+        all_queries()["source_concentration_panel"].builder(spark, SF_SMOKE).collect()
+    )
+    r = rows[0]
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    toks: dict[str, int] = {}
+    for d in docs:
+        toks[d["source"]] = toks.get(d["source"], 0) + len(d["text"].split(" "))
+    nt = sum(toks.values())
+    sq = sum(v * v for v in toks.values())
+    assert r["n_sources"] == len(toks)
+    assert r["n_tokens"] == nt
+    assert r["hhi_e9"] == sq * 1_000_000_000 // (nt * nt)
+    assert r["effective_sources_e6"] == nt * nt * 1_000_000 // sq
+    assert 1_000_000 <= r["effective_sources_e6"] <= len(toks) * 1_000_000
+    t3 = sum(sorted(toks.values(), reverse=True)[:3])
+    assert r["top3_share_e6"] == t3 * 1_000_000 // nt
+    assert r["top3_share_e6"] >= 3 * 1_000_000 // len(toks)
+    import math
+
+    shannon = -sum((v / nt) * math.log(v / nt) for v in toks.values())
+    assert abs(r["token_entropy"] - shannon) < 1e-5
