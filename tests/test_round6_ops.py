@@ -72,7 +72,9 @@ def test_covariance_matches_numpy(spark):
     d = mat.shape[1]
     assert len(out) == d * (d + 1) // 2
     for r in out:
-        assert abs(r.cov - expected[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
+        # all-integer output: cov = cov_num / (n^2 * 1e8)
+        cov = r.cov_num / (r.n * r.n * 1e8)
+        assert abs(cov - expected[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
 
 
 def test_covariance_spectrum_is_psd_with_trace_parity(spark):
@@ -83,8 +85,9 @@ def test_covariance_spectrum_is_psd_with_trace_parity(spark):
     d = max(r.j for r in out)
     C = np.zeros((d, d))
     for r in out:
-        C[r.i - 1, r.j - 1] = r.cov
-        C[r.j - 1, r.i - 1] = r.cov
+        cov = r.cov_num / (r.n * r.n * 1e8)
+        C[r.i - 1, r.j - 1] = cov
+        C[r.j - 1, r.i - 1] = cov
 
     eig = np.linalg.eigvalsh(C)
     assert eig.min() >= -1e-4, eig.min()

@@ -1473,9 +1473,9 @@ def ann_pq_topk(
             GROUP BY 1, 2
         )
         SELECT g.i, g.j,
-               ROUND((CAST(g.sxy AS DOUBLE)
-                      - CAST(ma.sx AS DOUBLE) * CAST(mb.sx AS DOUBLE) / n.n)
-                     / (n.n * 100000000.0), 6) AS cov
+               CAST(CAST(n.n AS HUGEINT) * g.sxy
+                    - CAST(ma.sx AS HUGEINT) * mb.sx AS BIGINT) AS cov_num,
+               CAST(n.n AS BIGINT) AS n
         FROM g CROSS JOIN n
         JOIN m ma ON ma.i = g.i
         JOIN m mb ON mb.i = g.j
@@ -1495,10 +1495,16 @@ def ann_pq_topk(
         "with no round-half tie ambiguity) and every accumulated moment is "
         "an EXACT integer sum: permutation-invariant, so the cross-engine "
         "hash is stable under ANY partitioning (r5's driver hash-mismatch "
-        "was a 6-dp rounding flip on order-dependent float sums — the "
-        "repo's integer-cents-exact pattern closes it). One double-typed "
-        "expression, written with the same operator tree in both engines, "
-        "finishes the covariance at the end. Shuffle volume is "
+        "was a 6-dp rounding flip on order-dependent float sums; r6's was "
+        "the FINAL engine-native ROUND(double, 6) — Spark rounds via "
+        "BigDecimal HALF_UP on the exact binary expansion, DuckDB via "
+        "scaled float arithmetic, and near a 5e-7 boundary the 6th digit "
+        "flips between builds). The output is therefore ALL-INTEGER: "
+        "cov_num = n*sxy - sx_i*sx_j (the covariance numerator, computed "
+        "in DECIMAL(38,0)/HUGEINT then emitted as BIGINT — ~600x headroom "
+        "at sf0.1) plus n, so cov = cov_num/(n^2*1e8) is recoverable "
+        "downstream with full information and NOTHING is rounded in the "
+        "hashed result. Shuffle volume is "
         "#partitions x d^2/2 rows REGARDLESS of corpus size — the 100 TB "
         "plan is identical to the fixture plan — and nothing d^2-sized "
         "ever sits on the driver. "
@@ -1567,21 +1573,20 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("sx_j").alias("sx_j"),
         F.sum("nrows").alias("n"),
     )
-    # Single double-typed finish, operator tree mirrored in the oracle:
-    # (sxy - sx_i*sx_j/n) / (n*1e8), all inputs exact integers.
+    # All-integer finish: cov_num = n*sxy - sx_i*sx_j computed in
+    # DECIMAL(38,0) (== DuckDB HUGEINT, both exact) then emitted as
+    # BIGINT alongside n — no float, no ROUND, nothing engine-dependent
+    # in the hashed output. cov = cov_num / (n^2 * 1e8) downstream.
     return agg.select(
         "i",
         "j",
-        F.round(
-            (
-                F.col("sxy").cast("double")
-                - F.col("sx_i").cast("double")
-                * F.col("sx_j").cast("double")
-                / F.col("n")
-            )
-            / (F.col("n") * F.lit(100000000.0)),
-            6,
-        ).alias("cov"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("sxy")
+            - F.col("sx_i").cast("decimal(38,0)") * F.col("sx_j")
+        )
+        .cast("long")
+        .alias("cov_num"),
+        F.col("n"),
     )
 
 
