@@ -162,3 +162,32 @@ def test_curriculum_plan_has_no_global_row_window(spark):
     assert not re.search(
         r"windowspecdefinition\(stage_rank#\d+L ASC", plan
     ), "global row_number window is back"
+
+
+def test_cdc_gear_pass_equals_explode_form(spark):
+    """The registered Arrow gear pass must be bit-identical to the r6
+    explode/window twin (whose plan mirrors the DuckDB oracle) — chunk
+    counts, lengths, and cross-corpus dup attribution all exact."""
+    from weather_stream_processor_spark.operators.dedup import (
+        _cdc_explode_form,
+    )
+
+    builder = all_queries()["content_defined_chunking"].builder
+    cols = ["doc_id", "n_chunks", "n_chars", "n_dup_chunks", "dup_chars"]
+    for sf in (SF_SMOKE, SF_DIR):
+        assert _rows(builder(spark, sf), cols) == _rows(
+            _cdc_explode_form(spark, sf), cols
+        ), sf
+
+
+def test_cdc_gear_pass_plan_has_no_char_explode(spark):
+    """The registered plan must shuffle chunks, not characters: no
+    Generate/explode node, one Arrow eval over docs."""
+    from weather_stream_processor_spark.plans import operator_names
+
+    names = operator_names(
+        all_queries()["content_defined_chunking"].builder(spark, SF_SMOKE)
+    )
+    assert not any("Generate" in n for n in names), names
+    assert not any("Window" in n for n in names), names
+    assert any("ArrowEvalPython" in n or "MapInPandas" in n for n in names), names

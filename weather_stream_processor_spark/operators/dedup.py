@@ -2806,17 +2806,114 @@ _CDC_FP_MOD = 1_000_000_007
         "order-sensitive integer fingerprint (position-weighted code "
         "sum mod 1e9+7, the doc_fingerprints portable pattern), and "
         "chunks recurring anywhere in the corpus are counted as "
-        "dedup-able bytes per document. Production CDC uses a gear/"
-        "Rabin hash and 4-64 KB targets over real payload bytes "
-        "(mapInPandas over the binary column); the window algebra, "
-        "island assignment, and dedup join are EXACTLY these. Plan: "
-        "per-doc windows (keyed, no global sort), one fingerprint "
-        "aggregate, one (fp,len)-keyed occurrence join — shuffle "
-        "carries fingerprints, never text. All exact integers."
+        "dedup-able bytes per document. Plan (r7, the SCALE.md:653-657 "
+        "promise made real): ONE Arrow mapInPandas pass per doc computes "
+        "boundaries, chunk lengths, and fingerprints vectorized in numpy "
+        "(cumsum rolling window + reduceat segment sums) — no row-per-"
+        "character explode, so the shuffled relation is CHUNKS (~1/17 of "
+        "chars) not characters (the r6 verdict's 40-100x row-inflation "
+        "constant is gone); then one (fp,len)-keyed occurrence join — "
+        "shuffle carries fingerprints, never text. The r6 explode/window "
+        "form is kept as _cdc_explode_form, the oracle-mirrorable twin, "
+        "and pytest pins bit-equality between the two at sf0.001 and "
+        "sf0.01. All exact integers."
     ),
-    tags=("dedup", "llm", "multimodal", "scale"),
+    tags=("dedup", "llm", "multimodal", "scale", "pandas-udf"),
 )
 def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    fp_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("chunk_id", LongType()),
+            StructField("chunk_len", LongType()),
+            StructField("fp", LongType()),
+        ]
+    )
+
+    def gear_pass(batches):
+        for pdf in batches:
+            out_doc, out_chunk, out_len, out_fp = [], [], [], []
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                # codepoints, vectorized — identical to SQL ascii(substr)
+                codes = np.frombuffer(
+                    str(text).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)[: int(n_chars)]
+                n = len(codes)
+                if n == 0:
+                    continue
+                cs = np.concatenate(([0], np.cumsum(codes)))
+                boundary = np.zeros(n, dtype=np.int64)
+                if n >= _CDC_WIN:
+                    roll = cs[_CDC_WIN:] - cs[:-_CDC_WIN]
+                    boundary[_CDC_WIN - 1 :] = roll % _CDC_MOD == 0
+                # a boundary char is the LAST char of its chunk (the SQL
+                # chunk_id is the count of boundaries STRICTLY before i)
+                b_idx = np.flatnonzero(boundary) + 1
+                starts = np.concatenate(([0], b_idx[b_idx < n]))
+                lens = np.diff(np.concatenate((starts, [n])))
+                lp = (
+                    np.arange(n, dtype=np.int64)
+                    - np.repeat(starts, lens)
+                    + 1
+                )
+                wsum = np.add.reduceat(codes * lp, starts)
+                k = len(starts)
+                out_doc.append(np.full(k, doc_id, dtype=np.int64))
+                out_chunk.append(np.arange(k, dtype=np.int64))
+                out_len.append(lens)
+                out_fp.append(wsum % _CDC_FP_MOD)
+            if not out_doc:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(out_doc),
+                    "chunk_id": np.concatenate(out_chunk),
+                    "chunk_len": np.concatenate(out_len),
+                    "fp": np.concatenate(out_fp),
+                }
+            )
+
+    fps = (
+        spread(docs.select("doc_id", "text", "n_chars"), "doc_id")
+        .mapInPandas(gear_pass, schema=fp_schema)
+    )
+    return _cdc_dedup_tail(fps)
+
+
+def _cdc_dedup_tail(fps: DataFrame) -> DataFrame:
+    """Shared finish for both CDC forms: cross-corpus (fp, len) occurrence
+    counts joined back and rolled up per document."""
+    occ = fps.groupBy("fp", "chunk_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    return (
+        fps.join(occ, ["fp", "chunk_len"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("chunk_len").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, F.col("chunk_len")).otherwise(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+    )
+
+
+def _cdc_explode_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 row-per-character explode/window form — kept as the
+    oracle-mirrorable twin of the registered Arrow gear pass (its plan is
+    literally the DuckDB oracle's; pytest pins equality between the two)."""
     docs = load_table(spark, sf_dir, "documents")
     chars = spread(docs, "doc_id").select(
         "doc_id",
@@ -2865,20 +2962,4 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fp"),
     )
-    occ = fps.groupBy("fp", "chunk_len").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_occ")
-    )
-    return (
-        fps.join(occ, ["fp", "chunk_len"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
-            F.sum("chunk_len").cast("bigint").alias("n_chars"),
-            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_dup_chunks"),
-            F.sum(F.when(F.col("n_occ") > 1, F.col("chunk_len")).otherwise(0))
-            .cast("bigint")
-            .alias("dup_chars"),
-        )
-    )
+    return _cdc_dedup_tail(fps)

@@ -1946,8 +1946,10 @@ def whitened_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = max(r.j for r in cov_rows)
     C = np.zeros((d, d))
     for r in cov_rows:
-        C[r.i - 1, r.j - 1] = r.cov
-        C[r.j - 1, r.i - 1] = r.cov
+        # all-integer spectrum output: cov = cov_num / (n^2 * 1e8)
+        cov = r.cov_num / (r.n * r.n * 1e8)
+        C[r.i - 1, r.j - 1] = cov
+        C[r.j - 1, r.i - 1] = cov
     mean_rows = (
         load_table(spark, sf_dir, "embeddings")
         .select(F.posexplode("embedding").alias("i", "x"))
