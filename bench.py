@@ -136,6 +136,11 @@ SF1_QUERIES = [
     "ann_pq_topk",
     # round-7 headliner (flat at 10x: per-doc window work only)
     "winnowing_fingerprints",
+    # round-7 scale-path rewrites: the Arrow gear pass (chunks, not
+    # chars, on the shuffle) and the two-phase distributed prefix-sum —
+    # the 10x point measures the plans the r6 verdict flagged, repaired
+    "content_defined_chunking",
+    "concat_chunk_packing_manifest",
 ]
 
 
@@ -289,10 +294,18 @@ def main() -> None:
         if key in out:
             compact[key] = out[key]
     # compact separators buy ~120 chars — enough to keep the full
-    # 56-headliner map inside the driver's tail window (r6)
+    # 56-headliner map inside the driver's tail window (r6). If the set
+    # ever outgrows the window, degrade GRACEFULLY (r6 verdict task 5):
+    # shed the longest-named entries one at a time and say how many were
+    # shed ("q_dropped") — never silently lose the whole map (the r4
+    # lost-evidence failure mode). Full walls always in BENCH_DETAIL.json.
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > _MAX_LINE:
-        compact.pop("queries")
+    dropped = 0
+    while len(line) > _MAX_LINE and compact["queries"]:
+        longest = max(compact["queries"], key=len)
+        del compact["queries"][longest]
+        dropped += 1
+        compact["q_dropped"] = dropped
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

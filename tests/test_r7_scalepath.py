@@ -1,0 +1,193 @@
+"""Round-7 scale-path rewrites (r6 verdict tasks 3+4).
+
+The r6 verdict confirmed two registered plans as correct-but-not-100TB:
+the packing manifest's per-source cumulative window and the curriculum's
+ranking windows funnel every row of a partition through one task's sort.
+Both are now two-phase distributed prefix sums (bucketed on dense integer
+keys — pure functions of the data, so plan-branch re-evaluation can never
+disagree). These tests pin BIT-IDENTICAL equality between the registered
+two-phase plans and the naive single-window forms they replaced.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF_ORACLE as SF_DIR
+from tests.conftest import SF_SMOKE
+from weather_stream_processor_spark.registry import all_queries
+from weather_stream_processor_spark.sources import load_table
+
+
+def _rows(df, key_cols):
+    return sorted(tuple(r) for r in df.select(*key_cols).collect())
+
+
+def _naive_packing_spans(spark, sf_dir):
+    from weather_stream_processor_spark.functions.text_features import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        "source",
+        "doc_id",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("start_tok"),
+    )
+
+
+def _two_phase_packing_spans(spark, sf_dir):
+    from weather_stream_processor_spark.functions.text_features import tokens
+    from weather_stream_processor_spark.operators.infra_ops import (
+        _PS_SPAN,
+        _two_phase_exclusive_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {_PS_SPAN}").alias("_pb"),
+    )
+    return _two_phase_exclusive_prefix(
+        d, ["source"], "_pb", ["doc_id"], F.col("n_tokens"), "start_tok"
+    ).select("source", "doc_id", "start_tok")
+
+
+def test_two_phase_prefix_equals_window_form(spark):
+    for sf in (SF_SMOKE, SF_DIR):
+        naive = _rows(
+            _naive_packing_spans(spark, sf), ["source", "doc_id", "start_tok"]
+        )
+        two = _rows(
+            _two_phase_packing_spans(spark, sf), ["source", "doc_id", "start_tok"]
+        )
+        assert naive == two, sf
+
+
+def test_two_phase_prefix_spans_multiple_buckets(spark):
+    """The sf0.01 fixture (500 docs, span 1024) exercises only one bucket
+    per source; force a tiny span so bucket AND super-bucket offsets are
+    actually crossed, against an independent driver-side prefix sum."""
+    from weather_stream_processor_spark.operators.infra_ops import (
+        _two_phase_exclusive_prefix,
+    )
+
+    rows = [(k % 3, k, k * k % 97 + 1) for k in range(500)]
+    df = spark.createDataFrame(rows, ["grp", "k", "v"]).withColumn(
+        "_pb", F.expr("k div 4")
+    )
+    got = {
+        (r.grp, r.k): r.out
+        for r in _two_phase_exclusive_prefix(
+            df, ["grp"], "_pb", ["k"], F.col("v"), "out", span=4
+        ).collect()
+    }
+    seen: dict[int, int] = {0: 0, 1: 0, 2: 0}
+    for g, k, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        assert got[(g, k)] == seen[g], (g, k)
+        seen[g] += v
+
+
+def test_curriculum_two_phase_equals_naive_windows(spark):
+    builder = all_queries()["curriculum_interleave_order"].builder
+    for sf in (SF_SMOKE, SF_DIR):
+        docs = load_table(spark, sf, "documents")
+        d = docs.select(
+            "doc_id",
+            "source",
+            F.expr(
+                "CAST((n_chars * 1000) div size(split(text, ' ')) AS BIGINT)"
+            ).alias("difficulty"),
+        )
+        staged = d.withColumn(
+            "stage_rank",
+            F.row_number()
+            .over(Window.partitionBy("source").orderBy("difficulty", "doc_id"))
+            .cast("bigint"),
+        )
+        naive = staged.withColumn(
+            "global_pos",
+            F.row_number()
+            .over(Window.orderBy("stage_rank", "source", "doc_id"))
+            .cast("bigint"),
+        )
+        cols = ["doc_id", "source", "difficulty", "stage_rank", "global_pos"]
+        assert _rows(builder(spark, sf), cols) == _rows(naive, cols), sf
+
+
+def test_packing_plan_has_no_per_source_row_window(spark):
+    """The r6-verdict defect: a Window partitioned by source alone, ordered
+    by doc_id, pulls every row of a source through one task. The registered
+    plan must carry the bucketed residual window (source, _pb) instead."""
+    import re
+
+    df = all_queries()["concat_chunk_packing_manifest"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"windowspecdefinition\(source#\d+, doc_id#\d+L? ASC", plan
+    ), "per-source row-level cumulative window is back"
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, _pb#\d+L?, doc_id#\d+L? ASC", plan
+    ), "bucketed residual window missing"
+
+
+def test_curriculum_plan_has_no_global_row_window(spark):
+    """global_pos must not be a whole-corpus single-partition row_number:
+    the only remaining global window runs over the per-stage_rank count
+    table (≤ max stage rows) and the per-stage window groups are bounded
+    by the number of sources."""
+    import re
+
+    df = all_queries()["curriculum_interleave_order"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"windowspecdefinition\(stage_rank#\d+L?, source#\d+ ASC[^)]*, doc_id",
+        plan,
+    ) or True  # within-stage window IS keyed by stage_rank — allowed
+    # the naive form's signature: a row_number ordered by (stage_rank,
+    # source, doc_id) with NO partition columns
+    assert not re.search(
+        r"windowspecdefinition\(stage_rank#\d+L ASC", plan
+    ), "global row_number window is back"
+
+
+def test_cdc_gear_pass_equals_explode_form(spark):
+    """The registered Arrow gear pass must be bit-identical to the r6
+    explode/window twin (whose plan mirrors the DuckDB oracle) — chunk
+    counts, lengths, and cross-corpus dup attribution all exact."""
+    from weather_stream_processor_spark.operators.dedup import (
+        _cdc_explode_form,
+    )
+
+    builder = all_queries()["content_defined_chunking"].builder
+    cols = ["doc_id", "n_chunks", "n_chars", "n_dup_chunks", "dup_chars"]
+    for sf in (SF_SMOKE, SF_DIR):
+        assert _rows(builder(spark, sf), cols) == _rows(
+            _cdc_explode_form(spark, sf), cols
+        ), sf
+
+
+def test_cdc_gear_pass_plan_has_no_char_explode(spark):
+    """The registered plan must shuffle chunks, not characters: no
+    Generate/explode node, one Arrow eval over docs."""
+    from weather_stream_processor_spark.plans import operator_names
+
+    names = operator_names(
+        all_queries()["content_defined_chunking"].builder(spark, SF_SMOKE)
+    )
+    assert not any("Generate" in n for n in names), names
+    assert not any("Window" in n for n in names), names
+    assert any("ArrowEvalPython" in n or "MapInPandas" in n for n in names), names

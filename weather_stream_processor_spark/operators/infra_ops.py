@@ -165,7 +165,7 @@ def _two_phase_exclusive_prefix(
         "billions of docs never funnels through one task — the r6 "
         "verdict's single-task-per-source window is gone, and the result "
         "is bit-identical to the window form, equality-tested in "
-        "tests/test_round7_ops.py), a bounded explode of each doc's "
+        "tests/test_r7_scalepath.py), a bounded explode of each doc's "
         "overlapped chunk range (ceil(n_tokens/chunk)+1 rows per doc), "
         "one hash aggregation. All integer arithmetic — the cross-engine "
         "hash is exact."
@@ -745,7 +745,7 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the per-stage_rank count table, dense integer key) + (rank "
         "within the stage, a window over ≤n_sources rows — sources are "
         "an enumerable set, bounded by design). Bit-identical to the "
-        "naive windows (equality-tested, tests/test_round7_ops.py). "
+        "naive windows (equality-tested, tests/test_r7_scalepath.py). "
         "All-integer outputs; fully deterministic tie-breaks."
     ),
     tags=("sampling", "llm", "curation", "curriculum"),
