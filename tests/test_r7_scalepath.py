@@ -191,3 +191,41 @@ def test_cdc_gear_pass_plan_has_no_char_explode(spark):
     assert not any("Generate" in n for n in names), names
     assert not any("Window" in n for n in names), names
     assert any("ArrowEvalPython" in n or "MapInPandas" in n for n in names), names
+
+
+def test_two_phase_prefix_property_random_sparse_keys(spark):
+    """Hypothesis-style adversarial coverage for the helper's contract:
+    sparse, gappy, clustered non-negative keys across unbalanced groups
+    must all reproduce an independent driver-side prefix sum (correctness
+    must not depend on dense keys or even bucket fill)."""
+    import random
+
+    from weather_stream_processor_spark.operators.infra_ops import (
+        _two_phase_exclusive_prefix,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        keys: set[tuple[int, int]] = set()
+        while len(keys) < 400:
+            g = rng.choice([0, 1, 7])
+            # clustered near 0, a hole, then a sparse far band
+            k = rng.choice(
+                [rng.randrange(50), rng.randrange(10_000, 10_050),
+                 rng.randrange(10**9, 10**9 + 10**6)]
+            )
+            keys.add((g, k))
+        rows = [(g, k, rng.randrange(1, 1000)) for g, k in sorted(keys)]
+        df = spark.createDataFrame(rows, ["grp", "k", "v"]).withColumn(
+            "_pb", F.expr("k div 16")
+        )
+        got = {
+            (r.grp, r.k): r.out
+            for r in _two_phase_exclusive_prefix(
+                df, ["grp"], "_pb", ["k"], F.col("v"), "out", span=16
+            ).collect()
+        }
+        run: dict[int, int] = {}
+        for g, k, v in rows:
+            assert got[(g, k)] == run.get(g, 0), (trial, g, k)
+            run[g] = run.get(g, 0) + v

@@ -46,10 +46,16 @@ def _two_phase_exclusive_prefix(
     packing "source" holds billions of docs — the canonical skew killer);
     this form keeps every window group at every level under ``span`` rows.
 
-    ``bucket_col`` must be an integer column already on ``df`` that is a
-    MONOTONE coarsening of the order (bucket(a) < bucket(b) implies
-    key(a) < key(b) within a partition — e.g. ``doc_id div span`` for
-    order (doc_id), or ``difficulty div k`` for order (difficulty, ...)).
+    ``bucket_col`` must be a NON-NEGATIVE integer column already on
+    ``df`` that is a MONOTONE coarsening of the order (bucket(a) <
+    bucket(b) implies key(a) < key(b) within a partition — e.g.
+    ``doc_id div span`` for order (doc_id), or ``difficulty div k`` for
+    order (difficulty, ...)). Correctness holds for ANY such bucketing
+    (gaps and uneven fill included — offsets are summed, never assumed
+    dense); the ≤span BALANCE guarantee additionally needs the primary
+    order key to be unique per partition (true for every call site:
+    doc_id, distinct difficulty, dense stage_rank) — duplicated order
+    keys all land in one bucket and re-concentrate there.
     Because bucketing is a pure function of the DATA — no sampled range
     boundaries, no spark_partition_id — re-evaluated plan branches can
     never disagree, and the result is bit-identical to the single-window
