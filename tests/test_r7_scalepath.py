@@ -153,12 +153,9 @@ def test_curriculum_plan_has_no_global_row_window(spark):
 
     df = all_queries()["curriculum_interleave_order"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert not re.search(
-        r"windowspecdefinition\(stage_rank#\d+L?, source#\d+ ASC[^)]*, doc_id",
-        plan,
-    ) or True  # within-stage window IS keyed by stage_rank — allowed
     # the naive form's signature: a row_number ordered by (stage_rank,
-    # source, doc_id) with NO partition columns
+    # source, doc_id) with NO partition columns (the within-stage window
+    # keyed BY stage_rank is allowed and expected)
     assert not re.search(
         r"windowspecdefinition\(stage_rank#\d+L ASC", plan
     ), "global row_number window is back"
@@ -229,3 +226,52 @@ def test_two_phase_prefix_property_random_sparse_keys(spark):
         for g, k, v in rows:
             assert got[(g, k)] == run.get(g, 0), (trial, g, k)
             run[g] = run.get(g, 0) + v
+
+
+def test_cdc_gear_pass_edge_contract_vs_oracle(spark, tmp_path):
+    """Fixture rows keep n_chars == length(text); this pins the CONTRACT
+    edges the fixtures cannot reach: n_chars shorter than the text
+    (truncate), longer (oracle pads with ascii('') = 0), NULL text
+    (drops from the output — NULL fp never survives the equi-join), and
+    n_chars = 0 — builder, explode twin, and the DuckDB oracle must
+    agree on a constructed corpus exercising all four."""
+    import duckdb
+    import pandas as pd
+
+    from weather_stream_processor_spark.operators.dedup import (
+        _cdc_explode_form,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [base, base, base[:50], None, "", base[::-1]],
+            "lang": ["en"] * 6,
+            "source": ["s0", "s1", "s0", "s1", "s0", "s1"],
+            "n_chars": [len(base), 100, 80, 10, 0, len(base)],
+        }
+    )
+    sf = str(tmp_path)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM rows) TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    spec = all_queries()["content_defined_chunking"]
+    cols = ["doc_id", "n_chunks", "n_chars", "n_dup_chunks", "dup_chars"]
+    got = _rows(spec.builder(spark, sf), cols)
+    twin = _rows(_cdc_explode_form(spark, sf), cols)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = sorted(
+        tuple(int(v) for v in row)
+        for row in con.execute(spec.oracle).fetchall()
+    )
+    assert got == twin == oracle
+    # the NULL-text doc (4) and the empty doc (5) are absent; the
+    # truncated/padded docs (2, 3) are present
+    present = {r[0] for r in got}
+    assert present == {1, 2, 3, 6}

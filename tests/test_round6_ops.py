@@ -72,8 +72,8 @@ def test_covariance_matches_numpy(spark):
     d = mat.shape[1]
     assert len(out) == d * (d + 1) // 2
     for r in out:
-        # all-integer output: cov = cov_num / (n^2 * 1e8)
-        cov = r.cov_num / (r.n * r.n * 1e8)
+        # all-integer raw-moment output: cov = (sxy - sx_i*sx_j/n)/(n*1e8)
+        cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
         assert abs(cov - expected[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
 
 
@@ -85,7 +85,7 @@ def test_covariance_spectrum_is_psd_with_trace_parity(spark):
     d = max(r.j for r in out)
     C = np.zeros((d, d))
     for r in out:
-        cov = r.cov_num / (r.n * r.n * 1e8)
+        cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
         C[r.i - 1, r.j - 1] = cov
         C[r.j - 1, r.i - 1] = cov
 

@@ -180,7 +180,9 @@ def collect_metrics(
         dim = max(r.j for r in cov_rows)
         C = np.zeros((dim, dim))
         for r in cov_rows:
-            C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = r.cov
+            # all-integer raw-moment output (round 7)
+            cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
+            C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = cov
         eig = np.clip(np.linalg.eigvalsh(C), 0, None)[::-1]
         p = eig / eig.sum()
         effective_rank = float(np.exp(-(p[p > 0] * np.log(p[p > 0])).sum()))

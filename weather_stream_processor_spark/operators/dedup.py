@@ -2842,13 +2842,26 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, n_chars in zip(
                 pdf["doc_id"], pdf["text"], pdf["n_chars"]
             ):
-                # codepoints, vectorized — identical to SQL ascii(substr)
+                n = int(n_chars)
+                if n <= 0:
+                    continue  # oracle range(1, n_chars+1) is empty
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    # oracle: NULL codes -> the doc's single chunk carries
+                    # fp = SUM(NULL*lp) = NULL, and a NULL fp can never
+                    # survive the equi-join on (fp, chunk_len) in EITHER
+                    # engine — the doc is absent from the output both ways
+                    continue
+                # codepoints, vectorized — identical to SQL ascii(substr);
+                # the oracle iterates i = 1..n_chars, so pad positions past
+                # the end with ascii('') = 0 (verified identical in both
+                # engines) and truncate anything beyond n_chars
                 codes = np.frombuffer(
                     str(text).encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)[: int(n_chars)]
-                n = len(codes)
-                if n == 0:
-                    continue
+                ).astype(np.int64)[:n]
+                if len(codes) < n:
+                    codes = np.concatenate(
+                        (codes, np.zeros(n - len(codes), dtype=np.int64))
+                    )
                 cs = np.concatenate(([0], np.cumsum(codes)))
                 boundary = np.zeros(n, dtype=np.int64)
                 if n >= _CDC_WIN:
@@ -2915,7 +2928,11 @@ def _cdc_explode_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-mirrorable twin of the registered Arrow gear pass (its plan is
     literally the DuckDB oracle's; pytest pins equality between the two)."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = spread(docs, "doc_id").select(
+    # n_chars >= 1 guard: Spark's sequence(1, 0) auto-steps DOWN and
+    # yields [1, 0] where DuckDB's range(1, 1) is empty — without the
+    # filter an n_chars = 0 doc fabricates two phantom characters
+    # (latent r6 divergence caught by the round-7 edge-contract test)
+    chars = spread(docs.filter(F.col("n_chars") >= 1), "doc_id").select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.col("n_chars"))).alias("i"),
         "text",

@@ -1472,9 +1472,9 @@ def ann_pq_topk(
             FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
             GROUP BY 1, 2
         )
-        SELECT g.i, g.j,
-               CAST(CAST(n.n AS HUGEINT) * g.sxy
-                    - CAST(ma.sx AS HUGEINT) * mb.sx AS BIGINT) AS cov_num,
+        SELECT g.i, g.j, g.sxy,
+               ma.sx AS sx_i,
+               mb.sx AS sx_j,
                CAST(n.n AS BIGINT) AS n
         FROM g CROSS JOIN n
         JOIN m ma ON ma.i = g.i
@@ -1499,12 +1499,14 @@ def ann_pq_topk(
         "the FINAL engine-native ROUND(double, 6) — Spark rounds via "
         "BigDecimal HALF_UP on the exact binary expansion, DuckDB via "
         "scaled float arithmetic, and near a 5e-7 boundary the 6th digit "
-        "flips between builds). The output is therefore ALL-INTEGER: "
-        "cov_num = n*sxy - sx_i*sx_j (the covariance numerator, computed "
-        "in DECIMAL(38,0)/HUGEINT then emitted as BIGINT — ~600x headroom "
-        "at sf0.1) plus n, so cov = cov_num/(n^2*1e8) is recoverable "
-        "downstream with full information and NOTHING is rounded in the "
-        "hashed result. Shuffle volume is "
+        "flips between builds). The output is therefore the ALL-INTEGER "
+        "raw moments themselves: (sxy, sx_i, sx_j, n), each a "
+        "LINEAR-magnitude BIGINT (sxy <= n*1e8, so the int64 cliff sits "
+        "at ~9e10 vectors — beyond a 100 TB embedding store; no n*sxy "
+        "product ever forms, the review-caught overflow class), so "
+        "cov = (sxy - sx_i*sx_j/n)/(n*1e8) is recoverable downstream "
+        "with full information and NOTHING is rounded or even computed "
+        "in the hashed result. Shuffle volume is "
         "#partitions x d^2/2 rows REGARDLESS of corpus size — the 100 TB "
         "plan is identical to the fixture plan — and nothing d^2-sized "
         "ever sits on the driver. "
@@ -1573,21 +1575,10 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("sx_j").alias("sx_j"),
         F.sum("nrows").alias("n"),
     )
-    # All-integer finish: cov_num = n*sxy - sx_i*sx_j computed in
-    # DECIMAL(38,0) (== DuckDB HUGEINT, both exact) then emitted as
-    # BIGINT alongside n — no float, no ROUND, nothing engine-dependent
-    # in the hashed output. cov = cov_num / (n^2 * 1e8) downstream.
-    return agg.select(
-        "i",
-        "j",
-        (
-            F.col("n").cast("decimal(38,0)") * F.col("sxy")
-            - F.col("sx_i").cast("decimal(38,0)") * F.col("sx_j")
-        )
-        .cast("long")
-        .alias("cov_num"),
-        F.col("n"),
-    )
+    # No finish arithmetic at all: the hashed output IS the exact raw
+    # moments (every one a linear-magnitude int64 — no n*sxy product, no
+    # cast cliff). cov = (sxy - sx_i*sx_j/n) / (n*1e8) downstream.
+    return agg.select("i", "j", "sxy", "sx_i", "sx_j", "n")
 
 
 @register(
@@ -1946,8 +1937,8 @@ def whitened_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = max(r.j for r in cov_rows)
     C = np.zeros((d, d))
     for r in cov_rows:
-        # all-integer spectrum output: cov = cov_num / (n^2 * 1e8)
-        cov = r.cov_num / (r.n * r.n * 1e8)
+        # all-integer raw-moment output: cov = (sxy - sx_i*sx_j/n)/(n*1e8)
+        cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
         C[r.i - 1, r.j - 1] = cov
         C[r.j - 1, r.i - 1] = cov
     mean_rows = (
