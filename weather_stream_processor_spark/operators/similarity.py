@@ -3481,9 +3481,9 @@ _CKA_LIFT_DUCK = "[CAST(floor(CAST(u AS DOUBLE) * 100.0 + 0.5) AS BIGINT) FOR u 
         SELECT ROUND(CAST(fxy2 AS DOUBLE)
                      / (sqrt(CAST(fxx2 AS DOUBLE))
                         * sqrt(CAST(fyy2 AS DOUBLE))), 6) AS cka,
-               ROUND(sqrt(CAST(fxx2 AS DOUBLE)), 4) AS fro_xx,
-               ROUND(sqrt(CAST(fyy2 AS DOUBLE)), 4) AS fro_yy,
-               ROUND(sqrt(CAST(fxy2 AS DOUBLE)), 4) AS fro_xy
+               CAST(FLOOR(sqrt(CAST(fxx2 AS DOUBLE))) AS BIGINT) AS fro_xx,
+               CAST(FLOOR(sqrt(CAST(fyy2 AS DOUBLE))) AS BIGINT) AS fro_yy,
+               CAST(FLOOR(sqrt(CAST(fxy2 AS DOUBLE))) AS BIGINT) AS fro_xy
         FROM fro
     """,
     doc=(
@@ -3597,7 +3597,14 @@ def linear_cka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("cka"),
-        F.round(F.sqrt(F.col("fxx2").cast("double")), 4).alias("fro_xx"),
-        F.round(F.sqrt(F.col("fyy2").cast("double")), 4).alias("fro_yy"),
-        F.round(F.sqrt(F.col("fxy2").cast("double")), 4).alias("fro_xy"),
+        # floor(sqrt(...)) as BIGINT, not ROUND(..., 4): at ~1e11 the
+        # double's ulp is ~2e-5, so 4dp digits are sub-ulp noise and the
+        # pre-round scaled value sat EXACTLY on a half-grid tie at sf0.01
+        # (caught by the round-7 ulp-proximity audit — the covariance
+        # failure class). IEEE sqrt is correctly rounded (bit-identical
+        # on every engine/build) and floor has no half-grid, so the
+        # integer Frobenius norms are deterministic everywhere.
+        F.floor(F.sqrt(F.col("fxx2").cast("double"))).cast("long").alias("fro_xx"),
+        F.floor(F.sqrt(F.col("fyy2").cast("double"))).cast("long").alias("fro_yy"),
+        F.floor(F.sqrt(F.col("fxy2").cast("double"))).cast("long").alias("fro_xy"),
     )
