@@ -45,8 +45,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver row in any CORRECTNESS_r0{1..6}.json is REMOVED; what remains is
 # exactly the 158 oracle-backed queries with no green driver record.
 # Slot 1 is the one repeat offender: embedding_covariance_spectrum
-# (hash-failed r5 AND r6; now emits an ALL-INTEGER result — cov_num =
-# n*sxy - sx_i*sx_j as BIGINT plus n — nothing rounded, nothing float).
+# (hash-failed r5 AND r6; now emits ALL-INTEGER raw moments —
+# (i, j, sxy, sx_i, sx_j, n), every column linear-magnitude BIGINT, no
+# finish arithmetic at all; cov = (sxy - sx_i*sx_j/n)/(n*1e8) via
+# similarity.cov_from_moments).
 # Slots 2-31 are the entire round-6 operator crop (streaming SCD2,
 # content-defined chunking, TwoNN, triplet mining, linear CKA, Allen
 # relations, Kneser-Ney, fertility, BPE pairs, packing manifest, SCD2

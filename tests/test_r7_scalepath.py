@@ -245,11 +245,15 @@ def test_cdc_gear_pass_edge_contract_vs_oracle(spark, tmp_path):
     base = "the quick brown fox jumps over the lazy dog " * 8
     rows = pd.DataFrame(
         {
-            "doc_id": [1, 2, 3, 4, 5, 6],
-            "text": [base, base, base[:50], None, "", base[::-1]],
-            "lang": ["en"] * 6,
-            "source": ["s0", "s1", "s0", "s1", "s0", "s1"],
-            "n_chars": [len(base), 100, 80, 10, 0, len(base)],
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": [base, base, base[:50], None, "", base[::-1], base],
+            "lang": ["en"] * 7,
+            "source": ["s0", "s1", "s0", "s1", "s0", "s1", "s0"],
+            # doc 7: n_chars IS NULL -> oracle range(1, NULL+1) yields no
+            # rows; all three forms must drop it (not crash on int(None))
+            "n_chars": pd.array(
+                [len(base), 100, 80, 10, 0, len(base), None], dtype="Int64"
+            ),
         }
     )
     sf = str(tmp_path)

@@ -71,9 +71,12 @@ def test_covariance_matches_numpy(spark):
     out = _run(spark, "embedding_covariance_spectrum").collect()
     d = mat.shape[1]
     assert len(out) == d * (d + 1) // 2
+    from weather_stream_processor_spark.operators.similarity import (
+        cov_from_moments,
+    )
+
     for r in out:
-        # all-integer raw-moment output: cov = (sxy - sx_i*sx_j/n)/(n*1e8)
-        cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
+        cov = cov_from_moments(r)
         assert abs(cov - expected[r.i - 1, r.j - 1]) < 2e-6, (r.i, r.j)
 
 
@@ -84,8 +87,12 @@ def test_covariance_spectrum_is_psd_with_trace_parity(spark):
     out = _run(spark, "embedding_covariance_spectrum").collect()
     d = max(r.j for r in out)
     C = np.zeros((d, d))
+    from weather_stream_processor_spark.operators.similarity import (
+        cov_from_moments,
+    )
+
     for r in out:
-        cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
+        cov = cov_from_moments(r)
         C[r.i - 1, r.j - 1] = cov
         C[r.j - 1, r.i - 1] = cov
 

@@ -179,9 +179,12 @@ def collect_metrics(
         cov_rows = run("embedding_covariance_spectrum")
         dim = max(r.j for r in cov_rows)
         C = np.zeros((dim, dim))
+        from weather_stream_processor_spark.operators.similarity import (
+            cov_from_moments,
+        )
+
         for r in cov_rows:
-            # all-integer raw-moment output (round 7)
-            cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
+            cov = cov_from_moments(r)
             C[r.i - 1, r.j - 1] = C[r.j - 1, r.i - 1] = cov
         eig = np.clip(np.linalg.eigvalsh(C), 0, None)[::-1]
         p = eig / eig.sum()

@@ -105,23 +105,28 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[tuple]:
             if s.dtype.kind != "f":
                 continue
             worst = None
+            subulp = None
             for v in s.dropna():
                 if not math.isfinite(v):
                     continue
                 u = math.ulp(abs(v)) if v else math.ulp(1.0)
                 if u >= 1.0:
-                    findings.append((name, c, "subulp-round", f"|v|~{abs(v):.2e}"))
-                    break
+                    # integral-by-magnitude: ROUND is a no-op; note it but
+                    # KEEP scanning — a large value must not mask a real
+                    # half-grid tie elsewhere in the same column
+                    subulp = subulp or f"|v|~{abs(v):.2e}"
+                    continue
                 fr = v - math.floor(v)
                 dist = abs(fr - 0.5)
                 if worst is None or dist < worst[0]:
                     worst = (dist, v, u)
-            else:
-                if worst is not None and worst[0] <= 64 * worst[2]:
-                    findings.append(
-                        (name, c, "tie-proximity",
-                         f"dist={worst[0]:.3e} ulp={worst[2]:.1e} v={worst[1]!r}")
-                    )
+            if subulp:
+                findings.append((name, c, "subulp-round", subulp))
+            if worst is not None and worst[0] <= 64 * worst[2]:
+                findings.append(
+                    (name, c, "tie-proximity",
+                     f"dist={worst[0]:.3e} ulp={worst[2]:.1e} v={worst[1]!r}")
+                )
     return findings
 
 

@@ -2842,6 +2842,8 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text, n_chars in zip(
                 pdf["doc_id"], pdf["text"], pdf["n_chars"]
             ):
+                if n_chars is None or pd.isna(n_chars):
+                    continue  # oracle range(1, NULL+1) yields no rows
                 n = int(n_chars)
                 if n <= 0:
                     continue  # oracle range(1, n_chars+1) is empty

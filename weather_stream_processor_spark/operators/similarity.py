@@ -1455,6 +1455,15 @@ def ann_pq_topk(
     )
 
 
+def cov_from_moments(r) -> float:
+    """Recover cov[i,j] from an embedding_covariance_spectrum row of raw
+    integer moments: cov = (sxy - sx_i*sx_j/n) / (n*1e8). THE one place
+    this formula lives — the output schema has changed twice (r6 cov ->
+    r7 cov_num -> r7 raw moments) and each change had to hand-sync every
+    consumer; new consumers must call this instead of inlining it."""
+    return (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
+
+
 @register(
     "embedding_covariance_spectrum",
     oracle="""
@@ -1937,8 +1946,7 @@ def whitened_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = max(r.j for r in cov_rows)
     C = np.zeros((d, d))
     for r in cov_rows:
-        # all-integer raw-moment output: cov = (sxy - sx_i*sx_j/n)/(n*1e8)
-        cov = (r.sxy - r.sx_i * r.sx_j / r.n) / (r.n * 1e8)
+        cov = cov_from_moments(r)
         C[r.i - 1, r.j - 1] = cov
         C[r.j - 1, r.i - 1] = cov
     mean_rows = (
@@ -3463,7 +3471,8 @@ _CKA_LIFT_DUCK = "[CAST(floor(CAST(u AS DOUBLE) * 100.0 + 0.5) AS BIGINT) FOR u 
         ),
         gc AS (
             SELECT g.i, g.j,
-                   n.n * n.n * g.g - n.n * sa.sx * sb.sx AS c
+                   CAST(n.n AS HUGEINT) * g.g
+                       - CAST(sa.sx AS HUGEINT) * sb.sx AS c
             FROM graw g
             CROSS JOIN n
             JOIN s sa ON sa.i = g.i
@@ -3494,7 +3503,9 @@ _CKA_LIFT_DUCK = "[CAST(floor(CAST(u AS DOUBLE) * 100.0 + 0.5) AS BIGINT) FOR u 
         "||Yc'Xc||_F^2 / (||Xc'Xc||_F ||Yc'Yc||_F). Because Y is a "
         "COLUMN SUBSET of X, all three Frobenius blocks are sub-blocks "
         "of ONE centered Gram — and centering is done ALGEBRAICALLY on "
-        "exact integers (Gc = n^2*Graw - n*Sx_i*Sx_j, from the raw "
+        "exact integers (c = n*Graw - Sx_i*Sx_j, one factor of n dropped "
+        "from Gc = n*c since CKA is scale-invariant — the emitted "
+        "Frobenius norms are of Gc/n — from the raw "
         "integer-lifted Gram and column sums; the naive subtract-the-"
         "mean route would leave rationals). Every Gram cell is an exact "
         "int64; the Frobenius sums of squared cells need ~1e35 head-"
@@ -3565,15 +3576,23 @@ def linear_cka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sx_j").alias("sx_j"),
         F.sum("nrows").alias("n"),
     )
+    # ONE factor of n (the covariance-numerator pattern): Gc = n * c with
+    # c = n*Graw - Sx Sx^T, and CKA is scale-invariant, so dropping the
+    # common factor leaves cka untouched while |c| <= ~2n^2*1e4 (int64-safe
+    # to ~2e7 vectors vs ~8e4 for the old n^3-growing form — the same
+    # silent-wrap class the covariance raw-moment fix eliminated). The
+    # DECIMAL(38,0) intermediates (== DuckDB HUGEINT, both exact) carry the
+    # c^2 sums to ~1e38; past ~2e7 vectors run the audit on a sample, like
+    # PQ codebook training.
     gc = agg.select(
         "i",
         "j",
         (
-            F.col("n") * F.col("n") * F.col("g")
-            - F.col("n") * F.col("sx_i") * F.col("sx_j")
+            F.col("n").cast("decimal(38,0)") * F.col("g")
+            - F.col("sx_i").cast("decimal(38,0)") * F.col("sx_j")
         ).alias("c"),
     )
-    c_dec = F.col("c").cast("decimal(38,0)") * F.col("c")
+    c_dec = F.col("c") * F.col("c")
     td = _CKA_TRUNC_D
     fro = gc.agg(
         F.sum(
