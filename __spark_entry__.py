@@ -41,84 +41,59 @@ def entry(spark: SparkSession) -> DataFrame:
 # Sampling priority: the driver's per-round correctness gate checks a
 # ~50-query sample that tracks iteration order, so each round front-loads
 # registered-but-never-driver-sampled queries to drain the unsampled set.
-# Rotated for round 7 (r6 verdict tasks 1+2): every name with a fully green
-# driver row in any CORRECTNESS_r0{1..6}.json is REMOVED; what remains is
-# exactly the 158 oracle-backed queries with no green driver record.
-# Slot 1 is the one repeat offender: embedding_covariance_spectrum
-# (hash-failed r5 AND r6; now emits ALL-INTEGER raw moments —
-# (i, j, sxy, sx_i, sx_j, n), every column linear-magnitude BIGINT, no
-# finish arithmetic at all; cov = (sxy - sx_i*sx_j/n)/(n*1e8) via
-# similarity.cov_from_moments).
-# Slots 2-31 are the entire round-6 operator crop (streaming SCD2,
-# content-defined chunking, TwoNN, triplet mining, linear CKA, Allen
-# relations, Kneser-Ney, fertility, BPE pairs, packing manifest, SCD2
-# build/as-of, CDC apply, HRW, bitmap algebra, Fagin TA, curriculum, BOM,
-# contamination curve, stylometry, PPS, Simpson, walk-forward, keyness,
-# PPMI, ...): new code that has never seen a driver row gets feedback
-# FIRST, while fix-rounds remain. Note content_defined_chunking and
-# concat_chunk_packing_manifest are sampled on their round-7 scale-safe
-# plans (mapInPandas gear hash / two-phase prefix-sum) whose hashes are
-# equality-tested against the r6 forms. Slots 32+ continue the r5/r6
-# drain order unchanged, pre-staging rounds 8-10 (~50/round drains the
-# 158 backlog by r10). Rows-only queries (sketches, whitening audit, BPE
-# entropy, zlib) are excluded from the hash window by construction. All
-# 158 are oracle-backed and green under the driver-strict local sweep
-# (tools/oracle_check.py). Names not listed keep registry order, i.e.
-# the 239 already-verified names trail the window.
+# Rotated for round 8 (r7 verdict tasks 1+6): every name with a fully green
+# driver row in any CORRECTNESS_r0{1..7}.json is REMOVED (the 50 r7 greens
+# were slots 1-50 verbatim); what remains is exactly the 108 oracle-backed
+# queries with no green driver record, in the same staged drain order.
+# Slots 1-50 form the round-8 window (window/sessionization backlog, the
+# curation/labeling/audit families, the dedup cascade capstone). Note
+# peak_concurrent_sessions (slot 7) is sampled on its round-8 scale-safe
+# plan (two-phase distributed prefix-sum replacing the unpartitioned
+# sweep-line window) whose hash is equality-tested against the r7 form.
+# Slots 51-108 pre-stage round 9 (the evals/experimentation family, the
+# labeling family, geo pair, report capstones) — the drain completes r9.
+# Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
+# excluded from the hash window by construction. All 108 are oracle-backed
+# and green under the driver-strict local sweep (tools/oracle_check.py).
+# Names not listed keep registry order, i.e. the 289 already-verified
+# names trail the window.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
-    "embedding_covariance_spectrum", "streaming_scd2_dimension", "content_defined_chunking",
-    "twonn_intrinsic_dimension", "triplet_mining", "linear_cka_truncation_audit",
-    "allen_interval_relations", "blocking_quality_audit", "kneser_ney_bigram_probs",
-    "repeated_ngram_loop_detector", "tokenizer_fertility_audit", "bpe_pair_frequencies",
-    "dunning_llr_keyness", "skipgram_ppmi_pairs", "source_concentration_panel",
-    "mcnemar_paired_screens", "ann_recall_curve", "concat_chunk_packing_manifest",
-    "scd2_dimension_build", "cdc_upsert_apply", "rendezvous_shard_rebalance",
-    "bitmap_index_set_algebra", "fagin_ta_topk", "curriculum_interleave_order",
-    "bom_rollup_explosion", "contamination_ngram_overlap_curve", "stylometry_source_delta",
-    "scd2_asof_enrichment", "pps_systematic_sample", "simpson_paradox_detector",
-    "walk_forward_backtest_folds", "acf_daily_value", "cusum_level_shift",
-    "theilsen_trend_by_user", "seasonal_naive_backtest", "time_weighted_average_daily",
-    "interarrival_profile", "funnel_time_to_convert", "sax_daily_symbols",
-    "sax_motif_counts", "event_pattern_regex", "top3_orders_per_customer",
-    "rank_orders_by_status", "lag_lead_order_gaps", "running_sum_by_user",
-    "moving_avg_by_user", "orders_global_rank", "ntile_order_quartiles",
-    "global_topk_orders", "window_distribution_functions", "global_sorted_supplier_ledger",
-    "percentile_bucketing", "time_range_window_sum", "batch_sessionization",
-    "revenue_contribution_pareto", "session_depth_stats", "peak_concurrent_sessions",
-    "revenue_gini_coefficient", "lorenz_curve_deciles", "customer_tier_migration",
-    "bloom_filter_decontam", "hard_negative_mining", "kcenter_coreset",
-    "heavy_hitters_exact", "length_bucketed_batches", "stratified_kfold_assignment",
-    "ngram_diversity_curve", "memorization_risk_scores", "quality_score_quantile_norm",
-    "hits_brand_authority", "lang_source_chi_square", "referential_integrity_audit",
-    "functional_dependency_audit", "dedup_cascade_report", "cv_fold_leakage_audit",
-    "phrase_match_positions", "k_anonymity_audit", "conformal_interval_coverage",
-    "streaming_abandoned_views_anti", "group_aware_fold_assignment", "knn_label_noise_scores",
-    "jl_projection_distortion", "roc_auc_exact", "calibration_bins_ece",
-    "ndcg_retrieval_eval", "ab_conversion_lift", "l_diversity_audit",
-    "rag_chunk_manifest", "multi_pattern_match", "column_encoding_advisor",
-    "lof_outlier_scores", "nelson_aalen_hazard", "adamic_adar_link_prediction",
-    "t_closeness_audit", "target_encoding_kfold", "woe_iv_binning",
-    "incremental_rollup_merge", "simplified_silhouette", "textrank_keyphrases",
-    "unigram_sampling_table", "mmr_diversified_rerank", "rocchio_query_expansion",
-    "wasserstein_drift_1d", "minmax_pruning_audit", "streaming_error_then_purchase",
-    "shapley_channel_attribution", "heaps_law_fit", "release_audit_report",
-    "broadcast_join_advisor", "jaro_winkler_linkage_topk", "countmin_sketch_rollup",
-    "poisson_bootstrap_ci", "extreme_value_tail_fit", "competing_risks_incidence",
-    "binary_quant_recall", "information_gain_features", "haversine_nearest_station",
-    "geo_block_pair_join", "mann_whitney_u_test", "deterministic_corpus_shuffle",
-    "spearman_rank_correlation", "kendall_tau_b", "horvitz_thompson_total",
-    "good_turing_vocab_coverage", "query_likelihood_dirichlet", "variant_props_pipeline",
-    "xml_wire_roundtrip", "point_in_time_features", "future_window_labels",
-    "max_drawdown_daily", "longest_updays_streak", "pinball_loss_backtest",
-    "mann_kendall_trend", "cuped_variance_reduction", "brier_score_decomposition",
-    "bh_fdr_correction", "join_order_advisor", "qini_curve_deciles",
-    "diff_in_diff_estimator", "ratio_metric_delta_method", "sample_ratio_mismatch_check",
-    "tost_equivalence_test", "ab_power_mde", "bayesian_ab_probability",
-    "cohens_kappa_agreement", "majority_vote_labels", "pass_at_k_estimator",
-    "mrr_first_relevant", "average_precision_exact", "isotonic_calibration_bins",
-    "clustering_external_metrics", "fleiss_kappa_agreement", "dawid_skene_correction",
-    "cumulative_gains_deciles", "eval_scorecard_report", "experiment_readout_report",
-    "drift_panel_report", "capture_recapture_dup_estimate",
+    "global_sorted_supplier_ledger", "percentile_bucketing", "time_range_window_sum",
+    "batch_sessionization", "revenue_contribution_pareto", "session_depth_stats",
+    "peak_concurrent_sessions", "revenue_gini_coefficient", "lorenz_curve_deciles",
+    "customer_tier_migration", "bloom_filter_decontam", "hard_negative_mining",
+    "kcenter_coreset", "heavy_hitters_exact", "length_bucketed_batches",
+    "stratified_kfold_assignment", "ngram_diversity_curve", "memorization_risk_scores",
+    "quality_score_quantile_norm", "hits_brand_authority", "lang_source_chi_square",
+    "referential_integrity_audit", "functional_dependency_audit", "dedup_cascade_report",
+    "cv_fold_leakage_audit", "phrase_match_positions", "k_anonymity_audit",
+    "conformal_interval_coverage", "streaming_abandoned_views_anti", "group_aware_fold_assignment",
+    "knn_label_noise_scores", "jl_projection_distortion", "roc_auc_exact",
+    "calibration_bins_ece", "ndcg_retrieval_eval", "ab_conversion_lift",
+    "l_diversity_audit", "rag_chunk_manifest", "multi_pattern_match",
+    "column_encoding_advisor", "lof_outlier_scores", "nelson_aalen_hazard",
+    "adamic_adar_link_prediction", "t_closeness_audit", "target_encoding_kfold",
+    "woe_iv_binning", "incremental_rollup_merge", "simplified_silhouette",
+    "textrank_keyphrases", "unigram_sampling_table", "mmr_diversified_rerank",
+    "rocchio_query_expansion", "wasserstein_drift_1d", "minmax_pruning_audit",
+    "streaming_error_then_purchase", "shapley_channel_attribution", "heaps_law_fit",
+    "release_audit_report", "broadcast_join_advisor", "jaro_winkler_linkage_topk",
+    "countmin_sketch_rollup", "poisson_bootstrap_ci", "extreme_value_tail_fit",
+    "competing_risks_incidence", "binary_quant_recall", "information_gain_features",
+    "haversine_nearest_station", "geo_block_pair_join", "mann_whitney_u_test",
+    "deterministic_corpus_shuffle", "spearman_rank_correlation", "kendall_tau_b",
+    "horvitz_thompson_total", "good_turing_vocab_coverage", "query_likelihood_dirichlet",
+    "variant_props_pipeline", "xml_wire_roundtrip", "point_in_time_features",
+    "future_window_labels", "max_drawdown_daily", "longest_updays_streak",
+    "pinball_loss_backtest", "mann_kendall_trend", "cuped_variance_reduction",
+    "brier_score_decomposition", "bh_fdr_correction", "join_order_advisor",
+    "qini_curve_deciles", "diff_in_diff_estimator", "ratio_metric_delta_method",
+    "sample_ratio_mismatch_check", "tost_equivalence_test", "ab_power_mde",
+    "bayesian_ab_probability", "cohens_kappa_agreement", "majority_vote_labels",
+    "pass_at_k_estimator", "mrr_first_relevant", "average_precision_exact",
+    "isotonic_calibration_bins", "clustering_external_metrics", "fleiss_kappa_agreement",
+    "dawid_skene_correction", "cumulative_gains_deciles", "eval_scorecard_report",
+    "experiment_readout_report", "drift_panel_report", "capture_recapture_dup_estimate",
 )
 
 

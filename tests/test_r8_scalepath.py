@@ -1,0 +1,232 @@
+"""Round-8 scale-path + edge-contract hardening (r7 verdict task 2, r8 advice).
+
+Pins for this round's changes:
+- peak_concurrent_sessions: the last corpus-growing unpartitioned window
+  (the sweep-line running sum over 2x|sessions| marks) is now a segmented
+  scan through the shared two_phase_exclusive_prefix (bucket = epoch_day).
+  Bit-equality vs the naive sweep it replaced, at both fixture scales,
+  plus a plan pin proving the marks-scale unpartitioned window is gone.
+- two_phase_exclusive_prefix NULL-key contract: the offset re-attach joins
+  are null-safe, so NULL partition/bucket keys are KEPT (the naive window
+  form keeps them; plain name-list joins silently dropped them — the r8
+  advice's medium finding).
+- curriculum_interleave_order edge contract: difficulty is COALESCEd to a
+  -1 sentinel in BOTH engines, making the ordering total and
+  engine-agreed on NULL n_chars/text rows (constructed-corpus test vs the
+  DuckDB oracle — fixtures have no NULLs, so only this test reaches it).
+- CDC explode twin on non-ASCII text: Spark 4 ascii() returns full
+  codepoints (BMP and supplementary), matching both DuckDB ascii() and
+  the registered gear pass's utf-32 view — proven on a constructed
+  corpus, closing the twin's ASCII-only gap (r8 advice, low).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from tests.conftest import SF_ORACLE as SF_DIR
+from tests.conftest import SF_SMOKE
+from weather_stream_processor_spark.plans.prefix_sum import (
+    two_phase_exclusive_prefix,
+)
+from weather_stream_processor_spark.registry import all_queries
+
+
+def _rows(df, key_cols):
+    return sorted(
+        tuple(r) for r in df.select(*key_cols).collect()
+    )
+
+
+def _naive_peak_sweep(spark, sf_dir):
+    """The r2-era registered form: one unpartitioned cumulative window."""
+    from weather_stream_processor_spark.operators.windows import (
+        batch_sessionization,
+    )
+
+    base = batch_sessionization(spark, sf_dir)
+    starts = base.select(
+        F.col("session_start").alias("at"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("kind"),
+        "user_id",
+        "session_id",
+    )
+    ends = base.select(
+        F.col("session_end").alias("at"),
+        F.lit(-1).alias("delta"),
+        F.lit(-1).alias("kind"),
+        "user_id",
+        "session_id",
+    )
+    marks = starts.unionAll(ends)
+    w = Window.orderBy("at", "kind", "user_id", "session_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = marks.select("at", F.sum("delta").over(w).alias("concurrency"))
+    return sweep.groupBy(F.date_trunc("day", "at").alias("day")).agg(
+        F.max("concurrency").alias("peak_concurrency")
+    )
+
+
+def test_peak_concurrency_two_phase_equals_naive_sweep(spark):
+    builder = all_queries()["peak_concurrent_sessions"].builder
+    cols = ["day", "peak_concurrency"]
+    for sf in (SF_SMOKE, SF_DIR):
+        assert _rows(builder(spark, sf), cols) == _rows(
+            _naive_peak_sweep(spark, sf), cols
+        ), sf
+
+
+def test_peak_concurrency_plan_has_no_marks_scale_window(spark):
+    """The naive form's signature is a cumulative window whose FIRST
+    windowspecdefinition element is the order key `at` (no partition
+    columns). The registered plan must instead carry the day-bucketed
+    residual window (_db, at) — groups are single days of marks — and
+    its only unpartitioned window runs over day-super-buckets (_sb)."""
+    import re
+
+    df = all_queries()["peak_concurrent_sessions"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"windowspecdefinition\(at#\d+", plan
+    ), "marks-scale unpartitioned sweep window is back"
+    assert re.search(
+        r"windowspecdefinition\(_db#\d+L?, at#\d+", plan
+    ), "day-bucketed residual window missing"
+
+
+def test_two_phase_prefix_keeps_null_keys(spark):
+    """NULL partition AND bucket keys must survive (null-safe offset
+    joins) and reproduce the naive window form bit-for-bit — windows
+    treat NULL as an ordinary group/order value, so the helper must too."""
+    # contract note: a NULL bucket sorts FIRST under Spark's window
+    # ordering, so NULL-bucket rows must carry the partition's smallest
+    # order keys (true at the real call site: curriculum's bucket was
+    # difficulty div span with difficulty itself the order key — NULL
+    # bucket iff NULL order key, and both sort first).
+    rows = [
+        (None, None, 1, 10),
+        (None, None, 2, 20),
+        (None, 5, 5, 1),  # NULL part, real bucket after the NULL bucket
+        ("a", None, None, 7),  # real part, NULL bucket + NULL order key
+        ("a", 0, 0, 1),
+        ("a", 0, 1, 2),
+        ("a", 4, 4, 100),
+        ("b", 0, 2, 50),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, _pb bigint, k bigint, v bigint"
+    )
+    got = two_phase_exclusive_prefix(
+        df, ["grp"], "_pb", ["k"], F.col("v"), "out", span=4
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = df.select(
+        "grp", "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("out")
+    )
+    # NOTE: within-part order here is k alone and the NULL-bucket row's k
+    # sorts consistently (bucket NULL groups with Spark's NULLS FIRST in
+    # both the helper's bucket offsets and the naive window's order) —
+    # this pins SPARK-side self-consistency, the helper's actual contract.
+    def _nrows(df):
+        key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+        return sorted(
+            (tuple(r) for r in df.select("grp", "k", "out").collect()), key=key
+        )
+
+    assert _nrows(got) == _nrows(naive)
+    assert got.count() == len(rows), "NULL-keyed rows were dropped"
+
+
+def test_curriculum_edge_contract_vs_oracle(spark, tmp_path):
+    """Constructed corpus with NULL n_chars and NULL text: the -1
+    difficulty sentinel makes builder, naive Spark windows, and the
+    DuckDB oracle agree row-for-row (fixtures have no NULLs, so only
+    this test reaches the edge)."""
+    import duckdb
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["aa bb cc", "a much longer doc here", None,
+                     "zz", "mid size text", "x y"],
+            "lang": ["en"] * 6,
+            "source": ["s0", "s1", "s0", "s1", "s0", "s1"],
+            "n_chars": pd.array([8, 22, 30, None, 13, 3], dtype="Int64"),
+        }
+    )
+    sf = str(tmp_path)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM rows) TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    spec = all_queries()["curriculum_interleave_order"]
+    cols = ["doc_id", "source", "difficulty", "stage_rank", "global_pos"]
+    got = _rows(spec.builder(spark, sf), cols)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = sorted(tuple(row) for row in con.execute(spec.oracle).fetchall())
+    assert [tuple(int(v) if not isinstance(v, str) else v for v in r) for r in got] == [
+        tuple(int(v) if not isinstance(v, str) else v for v in r) for r in oracle
+    ]
+    # all six docs present; the two NULL-stat docs carry the -1 sentinel
+    # and schedule FIRST within their sources
+    by_id = {r[0]: r for r in got}
+    assert set(by_id) == {1, 2, 3, 4, 5, 6}
+    assert by_id[3][2] == -1 and by_id[4][2] == -1
+    assert by_id[3][3] == 1 and by_id[4][3] == 1  # stage_rank 1 in s0/s1
+
+
+def test_cdc_twin_matches_gear_pass_and_oracle_on_non_ascii(spark, tmp_path):
+    """Non-ASCII contract for the CDC forms: Spark 4 ascii() (the explode
+    twin) == utf-32 codepoints (the registered gear pass) == DuckDB
+    ascii() (the oracle), including BMP accents/CJK and a supplementary-
+    plane character."""
+    import duckdb
+    import pandas as pd
+
+    from weather_stream_processor_spark.operators.dedup import (
+        _cdc_explode_form,
+    )
+
+    t1 = "héllo wörld — café naïve résumé " * 6
+    t2 = "日本語のテキストです。" * 12
+    t3 = ("ascii and 𝄞 clef mixed " * 8)  # U+1D11E, supplementary plane
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [t1, t2, t3, t1],
+            "lang": ["en", "ja", "en", "en"],
+            "source": ["s0", "s1", "s0", "s1"],
+            "n_chars": pd.array(
+                [len(t1), len(t2), len(t3), len(t1)], dtype="Int64"
+            ),
+        }
+    )
+    sf = str(tmp_path)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM rows) TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    spec = all_queries()["content_defined_chunking"]
+    cols = ["doc_id", "n_chunks", "n_chars", "n_dup_chunks", "dup_chars"]
+    got = _rows(spec.builder(spark, sf), cols)
+    twin = _rows(_cdc_explode_form(spark, sf), cols)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = sorted(
+        tuple(int(v) for v in row) for row in con.execute(spec.oracle).fetchall()
+    )
+    assert got == twin == oracle
+    # the duplicated doc pair (1, 4) must attribute duplicate chunks
+    by_id = {r[0]: r for r in got}
+    assert by_id[4][3] > 0, "non-ASCII duplicate chunks not detected"

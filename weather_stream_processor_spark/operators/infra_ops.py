@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from weather_stream_processor_spark.plans.prefix_sum import (
+    PS_SPAN as _PS_SPAN,
+    two_phase_exclusive_prefix as _two_phase_exclusive_prefix,
+)
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table
 from weather_stream_processor_spark.functions.text_features import tokens
@@ -26,92 +30,6 @@ from weather_stream_processor_spark.functions.text_features import tokens
 # --- GPT-style concat-and-chunk sequence packing ---------------------------
 
 _PACK_CHUNK = 256  # tokens per packed training sequence
-_PS_SPAN = 1024  # rows per prefix-sum bucket (div-bucketing on an int key)
-
-
-def _two_phase_exclusive_prefix(
-    df: DataFrame,
-    part_cols: list[str],
-    bucket_col: str,
-    order_cols: list[str],
-    value_col,
-    out_col: str,
-    span: int = _PS_SPAN,
-) -> DataFrame:
-    """Distributed EXCLUSIVE prefix sum of ``value_col`` in ``order_cols``
-    order within ``part_cols`` — the two-phase replacement for
-    ``SUM() OVER (PARTITION BY part ORDER BY ord ROWS BETWEEN UNBOUNDED
-    PRECEDING AND 1 PRECEDING)``. A single cumulative window funnels every
-    row of a partition through ONE task's sort (r6 verdict: at 100 TB a
-    packing "source" holds billions of docs — the canonical skew killer);
-    this form keeps every window group at every level under ``span`` rows.
-
-    ``bucket_col`` must be a NON-NEGATIVE integer column already on
-    ``df`` that is a MONOTONE coarsening of the order (bucket(a) <
-    bucket(b) implies key(a) < key(b) within a partition — e.g.
-    ``doc_id div span`` for order (doc_id), or ``difficulty div k`` for
-    order (difficulty, ...)). Correctness holds for ANY such bucketing
-    (gaps and uneven fill included — offsets are summed, never assumed
-    dense); the ≤span BALANCE guarantee additionally needs the primary
-    order key to be unique per partition (true for every call site:
-    doc_id, distinct difficulty, dense stage_rank) — duplicated order
-    keys all land in one bucket and re-concentrate there.
-    Because bucketing is a pure function of the DATA — no sampled range
-    boundaries, no spark_partition_id — re-evaluated plan branches can
-    never disagree, and the result is bit-identical to the single-window
-    form under ANY physical partitioning.
-
-    Levels (all balanced hash aggregates / bounded windows):
-      1. per-(part, bucket) sums        — groupBy, map-side combined;
-      2. per-(part, super) sums          with super = bucket div span;
-      3. residual per-part window over SUPERS — corpus/span^2 rows per
-         part (1 B docs -> ~1 k supers; recurse with a third div level
-         if a single stream ever exceeds span^3 = 1e9 buckets);
-      4. bucket offsets: a window over (part, super) groups (≤span rows);
-      5. row residuals: a window over (part, bucket) groups (≤span keys).
-    """
-    bsum = df.groupBy(*part_cols, bucket_col).agg(
-        F.sum(value_col).alias("_bsum")
-    )
-    bsum = bsum.withColumn("_sb", F.expr(f"{bucket_col} div {span}"))
-    ssum = bsum.groupBy(*part_cols, "_sb").agg(F.sum("_bsum").alias("_ssum"))
-    w_s = (
-        Window.partitionBy(*part_cols)
-        .orderBy("_sb")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    soff = ssum.select(
-        *part_cols,
-        "_sb",
-        F.coalesce(F.sum("_ssum").over(w_s), F.lit(0)).alias("_soff"),
-    )
-    w_b = (
-        Window.partitionBy(*part_cols, "_sb")
-        .orderBy(bucket_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    boff = bsum.join(soff, [*part_cols, "_sb"]).select(
-        *part_cols,
-        bucket_col,
-        (
-            F.col("_soff") + F.coalesce(F.sum("_bsum").over(w_b), F.lit(0))
-        ).alias("_boff"),
-    )
-    w_r = (
-        Window.partitionBy(*part_cols, bucket_col)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        df.join(boff, [*part_cols, bucket_col])
-        .withColumn(
-            out_col,
-            (
-                F.col("_boff") + F.coalesce(F.sum(value_col).over(w_r), F.lit(0))
-            ).cast("bigint"),
-        )
-        .drop("_boff")
-    )
 
 
 @register(
@@ -715,8 +633,8 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH d AS (
             SELECT doc_id, source,
-                   CAST((n_chars * 1000)
-                        // len(string_split(text, ' ')) AS BIGINT)
+                   COALESCE(CAST((n_chars * 1000)
+                        // len(string_split(text, ' ')) AS BIGINT), -1)
                        AS difficulty
             FROM documents
         ),
@@ -758,12 +676,19 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def curriculum_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # COALESCE(-1): a NULL n_chars/text makes difficulty NULL, and NULL
+    # ordering is engine-divergent (Spark windows sort NULLS FIRST, DuckDB
+    # NULLS LAST) while NULL partition keys historically fell out of the
+    # prefix helper's equi-joins (r8 advice). The -1 sentinel (< every
+    # real difficulty, which is >= 0) makes the ordering TOTAL and
+    # engine-agreed: missing-stat docs deterministically schedule first.
     d = docs.select(
         "doc_id",
         "source",
-        F.expr("CAST((n_chars * 1000) div size(split(text, ' ')) AS BIGINT)").alias(
-            "difficulty"
-        ),
+        F.coalesce(
+            F.expr("CAST((n_chars * 1000) div size(split(text, ' ')) AS BIGINT)"),
+            F.lit(-1).cast("bigint"),
+        ).alias("difficulty"),
     )
     # stage_rank two-phase: equal-difficulty residual rank (groups ≤span)
     # + strictly-easier prefix count from the (source, difficulty) table.

