@@ -307,6 +307,16 @@ def main() -> None:
         dropped += 1
         compact["q_dropped"] = dropped
         line = json.dumps(compact, separators=(",", ":"))
+    # last-ditch: if the line is STILL over after the map emptied (can't
+    # happen with today's keys, but the tail-window guarantee must hold
+    # unconditionally — r8 advice), shed the remaining optional keys too.
+    if len(line) > _MAX_LINE:
+        for key in ("queries", "q_dropped", "sf_third", "value_third",
+                    "sf_secondary", "value_secondary", "agg", "detail"):
+            compact.pop(key, None)
+            line = json.dumps(compact, separators=(",", ":"))
+            if len(line) <= _MAX_LINE:
+                break
     print(line)
 
 

@@ -3583,14 +3583,30 @@ def linear_cka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silent-wrap class the covariance raw-moment fix eliminated). The
     # DECIMAL(38,0) intermediates (== DuckDB HUGEINT, both exact) carry the
     # c^2 sums to ~1e38; past ~2e7 vectors run the audit on a sample, like
-    # PQ codebook training.
+    # PQ codebook training. The bound is ENFORCED, not just documented:
+    # non-ANSI Spark decimals return NULL on overflow silently (the oracle's
+    # HUGEINT raises loudly in DuckDB — an asymmetric failure mode, r8
+    # advice), so n past the bound raises here too instead of emitting
+    # NULL cka/fro_*. The guard is woven into c itself — a detached
+    # assert_true column would be pruned by Catalyst as unused.
+    _CKA_N_LIMIT = 20_000_000
     gc = agg.select(
         "i",
         "j",
-        (
+        F.when(
+            F.col("n") <= F.lit(_CKA_N_LIMIT),
             F.col("n").cast("decimal(38,0)") * F.col("g")
-            - F.col("sx_i").cast("decimal(38,0)") * F.col("sx_j")
-        ).alias("c"),
+            - F.col("sx_i").cast("decimal(38,0)") * F.col("sx_j"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "linear_cka_truncation_audit: n exceeds the int64-exact "
+                    f"bound ({_CKA_N_LIMIT}); run the audit on a sample"
+                )
+            ).cast("decimal(38,0)")
+        )
+        .alias("c"),
     )
     c_dec = F.col("c") * F.col("c")
     td = _CKA_TRUNC_D
