@@ -533,7 +533,9 @@ def test_incremental_merge_equals_direct_rollup(spark):
         assert r.n_orders == direct[(r.month, r.o_orderpriority)].n
         assert r.min_cents <= r.max_cents
         assert r.min_cents * r.n_orders <= r.sum_cents <= r.max_cents * r.n_orders
-        assert abs(r.avg_cents - round(r.sum_cents / r.n_orders, 4)) < 1e-9
+        # exact Euclidean pair: q*n + r == sum, 0 <= r < n
+        assert r.avg_cents_q * r.n_orders + r.avg_cents_r == r.sum_cents
+        assert 0 <= r.avg_cents_r < r.n_orders
 
 
 def test_simplified_silhouette_matches_numpy(spark):

@@ -1593,8 +1593,10 @@ _IVM_SPLIT = "1997-01-01"  # base/delta boundary for the maintenance demo
                     AS BIGINT) AS min_cents,
                CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
                     AS BIGINT) AS max_cents,
-               ROUND(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) * 1.0
-                     / COUNT(*), 4) AS avg_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    // COUNT(*) AS BIGINT) AS avg_cents_q,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    % COUNT(*) AS BIGINT) AS avg_cents_r
         FROM orders
         GROUP BY 1, 2
     """,
@@ -1612,7 +1614,12 @@ _IVM_SPLIT = "1997-01-01"  # base/delta boundary for the maintenance demo
         "day's partition aggregates alone and folds into yesterday's "
         "state in O(|groups|), instead of recomputing the full history "
         "— and it is exactly why AVG is stored as (sum, count), never "
-        "averaged-then-averaged. Plan: two partition-pruned scans (the "
+        "averaged-then-averaged. The derived average is emitted as the "
+        "exact Euclidean pair (quotient, remainder) of sum_cents / "
+        "n_orders — two BIGINTs that fully determine the ratio with no "
+        "float division and no ROUND anywhere in the hashed result "
+        "(the round-8 ULP audit caught the former ROUND(ratio, 4) "
+        "sitting exactly on a half-grid tie). Plan: two partition-pruned scans (the "
         "split predicate pushes to parquet), two partial hash "
         "aggregates, one union + re-aggregate keyed on the group — no "
         "windows, no joins."
@@ -1653,9 +1660,10 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents",
         "min_cents",
         "max_cents",
-        F.round(F.col("sum_cents") * 1.0 / F.col("n_orders"), 4).alias(
-            "avg_cents"
-        ),
+        F.expr("sum_cents div n_orders").cast("bigint").alias("avg_cents_q"),
+        (F.col("sum_cents") % F.col("n_orders"))
+        .cast("bigint")
+        .alias("avg_cents_r"),
     )
 
 

@@ -5,9 +5,11 @@ Design: an asset is ``(id, modality, payload: binary, meta: struct)``. The
 payload is never interpreted by the query layer — decode / resize /
 feature-extract run as Arrow-batched ``mapInPandas`` stages with explicit
 output schemas, so the exchange format, partitioning, and batch shape are
-real Spark plumbing even where the codec itself is stubbed (no image/audio
-libs in this container; the decode seam raises NotImplementedError and the
-tests exercise a deterministic fake).
+real Spark plumbing. Since round 8 the codec seam is REAL for two of the
+three modalities — netpbm P5/P6 images (pure numpy) and RIFF/WAV 16-bit
+PCM audio (stdlib wave) — each certified end-to-end by an oracle-checked
+decode-stats query; video remains the one documented closure (needs a
+codec library the container lacks; production dispatches to ffmpeg).
 
 Scale notes: binary payloads dominate row size — the asset table would be
 stored with the payload in its own parquet column (column pruning skips it
@@ -101,13 +103,89 @@ def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_payload(payload: bytes, modality: str) -> object:
-    """THE CODEC SEAM — deliberately unimplemented.
+def _decode_netpbm(payload: bytes):
+    """Pure-numpy netpbm decoder: binary P5 (grayscale) / P6 (RGB), 8-bit.
 
-    In production this dispatches to PIL/ffmpeg/soundfile per modality.
-    Those libs are absent here; callers must use extract_features' fake
-    path (guarded by use_real_codec=False) which never touches this.
+    Full header grammar — magic, then width/height/maxval as ASCII
+    tokens separated by whitespace, '#' comments allowed anywhere between
+    tokens, exactly one whitespace byte before the raster. Returns a
+    uint8 ndarray of shape (h, w) for P5 or (h, w, 3) for P6.
     """
+    import numpy as np
+
+    pos = 0
+
+    def next_token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c == b"#":
+                while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                    pos += 1
+            elif c.isspace():
+                pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("netpbm: truncated header")
+        return payload[start:pos]
+
+    magic = next_token()
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"netpbm: unsupported magic {magic!r}")
+    w, h, maxval = (int(next_token()) for _ in range(3))
+    if not (0 < maxval <= 255):
+        raise ValueError(f"netpbm: 16-bit maxval {maxval} unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"netpbm: bad dimensions {w}x{h}")
+    pos += 1  # the single whitespace byte terminating the header
+    ch = 1 if magic == b"P5" else 3
+    need = w * h * ch
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError(f"netpbm: raster {len(raster)} bytes, need {need}")
+    arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
+    return arr[:, :, 0] if ch == 1 else arr
+
+
+def _decode_wav(payload: bytes):
+    """Stdlib-only WAV PCM decoder (RIFF container, 16-bit samples).
+
+    Returns (sample_rate: int, samples: int16 ndarray of shape
+    (n_frames, n_channels)).
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"wav: {8 * wf.getsampwidth()}-bit unsupported")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        frames = wf.readframes(wf.getnframes())
+    return rate, np.frombuffer(frames, dtype="<i2").reshape(-1, nch)
+
+
+def decode_payload(payload: bytes, modality: str) -> object:
+    """THE CODEC SEAM — real for image (netpbm P5/P6, pure numpy) and
+    audio (WAV 16-bit PCM, stdlib wave); a documented closure for video.
+
+    Video is the one modality that genuinely needs a codec library the
+    environment lacks (there is no stdlib/numpy-parseable video container
+    with compressed frames) — in production this dispatches to ffmpeg;
+    here it stays a loud NotImplementedError by design, and the
+    frame_sample_manifest query shows the metadata-only planning path
+    that avoids decoding in the first place.
+    """
+    if modality == "image":
+        return _decode_netpbm(payload)
+    if modality == "audio":
+        return _decode_wav(payload)
     raise NotImplementedError(
         f"no codec available for modality={modality!r} in this environment"
     )
@@ -326,3 +404,242 @@ def resize_payloads(assets: DataFrame, use_real_codec: bool = False) -> DataFram
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spread(synthesize_assets(spark, sf_dir), "asset_id")
     return resize_payloads(assets)
+
+
+# --- real-codec decode paths (round 8: the seam is no longer all-stub) ------
+
+IMG_DIMS = ("doc_id % 32 + 4", "doc_id % 24 + 4")  # (width, height) formulas
+IMG_DECODE_SCHEMA = (
+    "asset_id bigint, width int, height int, maxval int, pixel_sum bigint"
+)
+
+
+def synthesize_netpbm_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image assets with REAL binary-P5 netpbm payloads.
+
+    Pixel (r, c) of asset a is ((a*7 + r*31 + c*13) % 256) — a closed
+    form both engines can recompute relationally, so the decode path is
+    oracle-checkable without the oracle parsing a single byte. The
+    encoder writes a genuine P5 header (with a comment line, exercising
+    the parser's comment grammar) + raster, via numpy.
+    """
+    w_sql, h_sql = IMG_DIMS
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    dims = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(w_sql).cast("int").alias("w"),
+        F.expr(h_sql).cast("int").alias("h"),
+    )
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for aid, w, h in zip(pdf["asset_id"], pdf["w"], pdf["h"]):
+                aid, w, h = int(aid), int(w), int(h)
+                rr = (np.arange(h, dtype=np.int64) * 31)[:, None]
+                cc = (np.arange(w, dtype=np.int64) * 13)[None, :]
+                px = ((aid * 7 + rr + cc) % 256).astype(np.uint8)
+                header = f"P5\n# synthetic asset {aid}\n{w} {h}\n255\n"
+                payloads.append(header.encode("ascii") + px.tobytes())
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": payloads}
+            )
+
+    return spread(dims, "asset_id").mapInPandas(
+        _encode, schema="asset_id bigint, payload binary"
+    )
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode: parse each netpbm payload back into a
+    pixel array and emit its stats. This is the production signature —
+    binary in, typed features out — with the decoder actually running."""
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, mvs, sums = [], [], [], []
+            for b in pdf["payload"]:
+                arr = decode_payload(bytes(b), "image")
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1])
+                mvs.append(255)
+                sums.append(int(arr.sum(dtype="int64")))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "maxval": pd.Series(mvs, dtype="int32"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(_decode, schema=IMG_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_image_decode_stats",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id AS asset_id,
+                   {IMG_DIMS[0]} AS w, {IMG_DIMS[1]} AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        rows_ AS (
+            SELECT asset_id, w, h, unnest(range(0, h)) AS r FROM img
+        ),
+        cells AS (
+            SELECT asset_id, w, h, r, unnest(range(0, w)) AS c FROM rows_
+        )
+        SELECT asset_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(255 AS INTEGER) AS maxval,
+               CAST(SUM((asset_id * 7 + r * 31 + c * 13) % 256) AS BIGINT)
+                   AS pixel_sum
+        FROM cells
+        GROUP BY asset_id, w, h
+    """,
+    doc=(
+        "REAL image decode through the codec seam (round 8: the seam is "
+        "implemented for netpbm): synthesize binary-P5 payloads whose "
+        "pixels follow a closed form, push the bytes through an Arrow "
+        "mapInPandas stage that PARSES the netpbm container (magic, "
+        "comment-tolerant header, raster) with the pure-numpy decoder in "
+        "decode_payload, and emit per-asset pixel statistics. The oracle "
+        "recomputes the stats from the generating formula relationally — "
+        "certifying encode -> bytes -> parse -> ndarray -> stats "
+        "end-to-end without DuckDB touching a byte. Plan: two chained "
+        "Arrow stages in one task pipeline (no shuffle between encode "
+        "and decode); at 100 TB the decode stage is map-only and the "
+        "payload column prunes from every stage that doesn't need it."
+    ),
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_image_stats(synthesize_netpbm_assets(spark, sf_dir))
+
+
+AUDIO_N_SQL = "doc_id % 800 + 32"
+AUDIO_RATE = 16000
+AUDIO_DECODE_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_samples bigint, "
+    "amp_sum bigint, amp_min int, amp_max int"
+)
+
+
+def synthesize_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio assets with REAL RIFF/WAV 16-bit PCM payloads.
+
+    Sample i of asset a is ((a*13 + i*17) % 65536) - 32768 — int16 by
+    construction and relationally recomputable, like the image twin.
+    Encoded with the stdlib wave writer (a genuine RIFF container,
+    fmt + data chunks), mono at {AUDIO_RATE} Hz.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    spec = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.expr(AUDIO_N_SQL).cast("int").alias("n"),
+    )
+
+    def _encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            payloads = []
+            for aid, n in zip(pdf["asset_id"], pdf["n"]):
+                aid, n = int(aid), int(n)
+                i = np.arange(n, dtype=np.int64)
+                samples = ((aid * 13 + i * 17) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(AUDIO_RATE)
+                    wf.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "payload": payloads}
+            )
+
+    return spread(spec, "asset_id").mapInPandas(
+        _encode, schema="asset_id bigint, payload binary"
+    )
+
+
+def decode_audio_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode -> per-asset amplitude statistics."""
+
+    def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, ns, sums, mins, maxs = [], [], [], [], []
+            for b in pdf["payload"]:
+                rate, samples = decode_payload(bytes(b), "audio")
+                mono = samples[:, 0].astype("int64")
+                rates.append(rate)
+                ns.append(len(mono))
+                sums.append(int(mono.sum()))
+                mins.append(int(mono.min()))
+                maxs.append(int(mono.max()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "amp_sum": pd.Series(sums, dtype="int64"),
+                    "amp_min": pd.Series(mins, dtype="int32"),
+                    "amp_max": pd.Series(maxs, dtype="int32"),
+                }
+            )
+
+    return assets.mapInPandas(_decode, schema=AUDIO_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_audio_decode_stats",
+    oracle=f"""
+        WITH aud AS (
+            SELECT doc_id AS asset_id, {AUDIO_N_SQL} AS n
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        samples AS (
+            SELECT asset_id, n,
+                   (asset_id * 13 + unnest(range(0, n)) * 17) % 65536
+                       - 32768 AS v
+            FROM aud
+        )
+        SELECT asset_id,
+               CAST({AUDIO_RATE} AS INTEGER) AS sample_rate,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS amp_sum,
+               CAST(MIN(v) AS INTEGER) AS amp_min,
+               CAST(MAX(v) AS INTEGER) AS amp_max
+        FROM samples
+        GROUP BY asset_id, n
+    """,
+    doc=(
+        "REAL audio decode through the codec seam: synthesize genuine "
+        "RIFF/WAV 16-bit PCM payloads (stdlib wave writer) whose samples "
+        "follow a closed form, parse them back through decode_payload's "
+        "stdlib WAV reader in an Arrow mapInPandas stage, and emit "
+        "per-asset amplitude statistics the oracle recomputes from the "
+        "formula. Together with the netpbm twin this retires the codec "
+        "seam's NotImplementedError for image and audio; video remains "
+        "the one documented closure (no stdlib/numpy-parseable video "
+        "container exists — production dispatches to ffmpeg, and "
+        "frame_sample_manifest shows the metadata-only path that "
+        "minimizes what a real decoder must touch)."
+    ),
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_audio_stats(synthesize_wav_assets(spark, sf_dir))

@@ -2142,12 +2142,12 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
     oracle=f"""
         WITH feats AS (
             SELECT doc_id, source,
-                   ROUND(LEAST(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
-                     + (len(list_filter(string_split(text, ' '),
-                            t -> list_contains({list(STOPWORDS)}, t)))
-                        * 1.0 / len(string_split(text, ' '))) * 0.3
-                     + (len(list_distinct(string_split(text, ' ')))
-                        * 1.0 / len(string_split(text, ' '))) * 0.3, 6) AS q
+                   CAST(8 * LEAST(len(string_split(text, ' ')), 50)
+                     + (300 * len(list_filter(string_split(text, ' '),
+                            t -> list_contains({list(STOPWORDS)}, t))))
+                       // len(string_split(text, ' '))
+                     + (300 * len(list_distinct(string_split(text, ' '))))
+                       // len(string_split(text, ' ')) AS BIGINT) AS q
             FROM documents
         ),
         src_ranked AS (
@@ -2176,8 +2176,9 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
             GROUP BY ds.d
         )
         SELECT s.source, CAST(s.d AS BIGINT) AS decile,
-               s.source_cut, g.global_cut,
-               ROUND(s.source_cut - g.global_cut, 6) AS shift
+               CAST(s.source_cut AS BIGINT) AS source_cut,
+               CAST(g.global_cut AS BIGINT) AS global_cut,
+               CAST(s.source_cut - g.global_cut AS BIGINT) AS shift
         FROM src_cuts s JOIN glob_cuts g USING (d)
     """,
     doc=(
@@ -2187,10 +2188,15 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
         "normalization of quality filters across heterogeneous sources "
         "(a fixed global threshold silently over-prunes sources whose "
         "scorer runs low and under-prunes the ones it flatters; the "
-        "shift column IS that bias, per decile). Cutpoints are "
-        "percentile_disc-style (score at rank ceil(d*n/10) under the "
-        "total order (score, doc_id)) so both engines pick the "
-        "identical document, no interpolation drift. Plan: one "
+        "shift column IS that bias, per decile). The score is "
+        "INTEGER-EXACT on a 0-1000 scale (8*least(n_tokens,50) + "
+        "floor(300*stopwords/n_tokens) + floor(300*distinct/n_tokens), "
+        "integer division in both engines) — the round-8 ULP audit "
+        "caught the former float score's ROUND(q, 6) sitting exactly "
+        "on a half-grid tie, so the whole query is now float-free. "
+        "Cutpoints are percentile_disc-style (score at rank "
+        "ceil(d*n/10) under the total order (score, doc_id)) so both "
+        "engines pick the identical document, no interpolation drift. Plan: one "
         "projection computes scores on the scan; one window per "
         "grouping (source-partitioned / global) ranks them; the decile "
         "join touches 9 rows per source. The global window is the "
@@ -2205,17 +2211,25 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))) / F.size(
-        toks
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("_nt"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("bigint")
+        .alias("_sn"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_un"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            8 * F.least(F.col("_nt"), F.lit(50))
+            + F.expr("(300 * _sn) div _nt")
+            + F.expr("(300 * _un) div _nt")
+        )
+        .cast("bigint")
+        .alias("q"),
     )
-    uniq_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
-    q = F.round(
-        F.least(F.size(toks) / 50.0, F.lit(1.0)) * 0.4
-        + stop_ratio * 0.3
-        + uniq_ratio * 0.3,
-        6,
-    )
-    feats = docs.select("doc_id", "source", q.alias("q"))
 
     ds = spark.createDataFrame([(d,) for d in _QNORM_DECILES], "d int")
 
@@ -2258,9 +2272,11 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("d").cast("bigint").alias("decile"),
-            "source_cut",
-            "global_cut",
-            F.round(F.col("source_cut") - F.col("global_cut"), 6).alias("shift"),
+            F.col("source_cut").cast("bigint").alias("source_cut"),
+            F.col("global_cut").cast("bigint").alias("global_cut"),
+            (F.col("source_cut") - F.col("global_cut"))
+            .cast("bigint")
+            .alias("shift"),
         )
     )
 
