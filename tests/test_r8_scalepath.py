@@ -230,3 +230,236 @@ def test_cdc_twin_matches_gear_pass_and_oracle_on_non_ascii(spark, tmp_path):
     # the duplicated doc pair (1, 4) must attribute duplicate chunks
     by_id = {r[0]: r for r in got}
     assert by_id[4][3] > 0, "non-ASCII duplicate chunks not detected"
+
+
+def _naive_pps(spark, sf_dir):
+    """The r5-era registered form: one unpartitioned cumulative window
+    over every order."""
+    from weather_stream_processor_spark.operators.infra_ops import (
+        _PPS_TARGET,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("wt"),
+    )
+    win = Window.orderBy("o_orderkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = w.select(
+        "o_orderkey", "wt", F.sum("wt").over(win).cast("bigint").alias("c")
+    )
+    tot = w.agg(F.sum("wt").cast("bigint").alias("t"))
+    n = _PPS_TARGET
+    joined = cum.crossJoin(F.broadcast(tot))
+    hi = F.expr(f"(c * {n}) div t")
+    lo = F.expr(f"((c - wt) * {n}) div t")
+    return joined.filter(hi > lo).select(
+        "o_orderkey",
+        "wt",
+        (hi - lo).cast("bigint").alias("n_hits"),
+        F.expr(f"CAST((wt * {n} * 1000000) div t AS BIGINT)").alias("pi_e6"),
+    )
+
+
+def test_pps_two_phase_equals_naive_window(spark):
+    builder = all_queries()["pps_systematic_sample"].builder
+    cols = ["o_orderkey", "wt", "n_hits", "pi_e6"]
+    for sf in (SF_SMOKE, SF_DIR):
+        assert _rows(builder(spark, sf), cols) == _rows(
+            _naive_pps(spark, sf), cols
+        ), sf
+
+
+def test_pps_plan_has_no_order_scale_window(spark):
+    import re
+
+    df = all_queries()["pps_systematic_sample"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"windowspecdefinition\(o_orderkey#\d+", plan
+    ), "order-scale unpartitioned cumsum window is back"
+    assert re.search(
+        r"windowspecdefinition\(_pb#\d+L?, o_orderkey#\d+", plan
+    ), "bucket-partitioned residual window missing"
+
+
+def _naive_quantile_cuts(spark, sf_dir):
+    """The pre-r8 registered form: ROW_NUMBER over every (source-
+    partitioned / global) document, cut = q at rank ceil(d*n/10)."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from weather_stream_processor_spark.operators.text import (
+        _QNORM_DECILES,
+        STOPWORDS,
+        tokens,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("_nt"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        .cast("bigint")
+        .alias("_sn"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_un"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            8 * F.least(F.col("_nt"), F.lit(50))
+            + F.expr("(300 * _sn) div _nt")
+            + F.expr("(300 * _un) div _nt")
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    ds = spark.createDataFrame([(d,) for d in _QNORM_DECILES], "d int")
+    sw_src = Window.partitionBy("source").orderBy("q", "doc_id")
+    src_ranked = feats.select(
+        "source",
+        "q",
+        F.row_number().over(sw_src).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    src_cuts = (
+        src_ranked.join(
+            F.broadcast(ds),
+            F.col("rn") == F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+        )
+        .groupBy("source", "d")
+        .agg(F.min("q").alias("source_cut"))
+    )
+    gw = Window.orderBy("q", "doc_id")
+    glob_ranked = feats.select(
+        "q",
+        F.row_number().over(gw).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    glob_cuts = (
+        glob_ranked.join(
+            F.broadcast(ds),
+            F.col("rn") == F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+        )
+        .groupBy("d")
+        .agg(F.min("q").alias("global_cut"))
+    )
+    return src_cuts.join(F.broadcast(glob_cuts), "d").select(
+        "source",
+        F.col("d").cast("bigint").alias("decile"),
+        F.col("source_cut").cast("bigint").alias("source_cut"),
+        F.col("global_cut").cast("bigint").alias("global_cut"),
+        (F.col("source_cut") - F.col("global_cut")).cast("bigint").alias("shift"),
+    )
+
+
+def test_quantile_cuts_histogram_equals_rank_form(spark):
+    """cut = min q with cumcount >= rank IS the q at that rank: every row
+    of a score tie shares the q the cut reports, so the histogram form
+    must match the full ROW_NUMBER form exactly."""
+    builder = all_queries()["quality_score_quantile_norm"].builder
+    cols = ["source", "decile", "source_cut", "global_cut", "shift"]
+    for sf in (SF_SMOKE, SF_DIR):
+        assert _rows(builder(spark, sf), cols) == _rows(
+            _naive_quantile_cuts(spark, sf), cols
+        ), sf
+
+
+def test_quantile_cuts_plan_windows_are_domain_sized(spark):
+    """No window (partitioned or not) may order by doc_id anymore — every
+    window in the registered plan runs over the (source,) q-histogram,
+    whose cardinality the 0-1000 integer score bounds by construction."""
+    import re
+
+    df = all_queries()["quality_score_quantile_norm"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(
+        r"windowspecdefinition\([^)]*doc_id#\d+", plan
+    ), "document-scale ranking window is back"
+
+
+def _naive_fagin(spark, sf_dir):
+    """The r6-era registered form: three unpartitioned ROW_NUMBER windows
+    over the per-customer aggregate."""
+    from weather_stream_processor_spark.operators.infra_ops import (
+        _TA_COUNT_WEIGHT,
+        _TA_K,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s1"),
+        F.count(F.lit(1)).cast("bigint").alias("s2"),
+    )
+    r = c.select(
+        "custkey",
+        "s1",
+        "s2",
+        (F.col("s1") + F.col("s2") * _TA_COUNT_WEIGHT).alias("combined"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s1"), F.asc("custkey")))
+        .alias("pos1"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s2"), F.asc("custkey")))
+        .alias("pos2"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    depths = a.join(b, F.col("a.pos1") == F.col("b.pos2")).select(
+        F.col("a.pos1").alias("d"),
+        (F.col("a.s1") + F.col("b.s2") * _TA_COUNT_WEIGHT).alias("threshold"),
+    )
+    reach = (
+        depths.join(
+            r,
+            (F.least(F.col("pos1"), F.col("pos2")) <= F.col("d"))
+            & (F.col("combined") >= F.col("threshold")),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_confirmed"))
+    )
+    stop = reach.filter(F.col("n_confirmed") >= _TA_K).agg(
+        F.min("d").cast("bigint").alias("stop_depth")
+    )
+    topk = r.select(
+        "custkey",
+        "s1",
+        "s2",
+        "combined",
+        F.row_number()
+        .over(Window.orderBy(F.desc("combined"), F.asc("custkey")))
+        .alias("rank"),
+    ).filter(F.col("rank") <= _TA_K)
+    return topk.crossJoin(F.broadcast(stop)).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "custkey",
+        F.col("s1").alias("spend_cents"),
+        F.col("s2").alias("n_orders"),
+        "combined",
+        "stop_depth",
+    )
+
+
+def test_fagin_global_ranks_equal_naive_windows(spark):
+    builder = all_queries()["fagin_ta_topk"].builder
+    cols = ["rank", "custkey", "spend_cents", "n_orders", "combined", "stop_depth"]
+    for sf in (SF_SMOKE, SF_DIR):
+        assert _rows(builder(spark, sf), cols) == _rows(
+            _naive_fagin(spark, sf), cols
+        ), sf
+
+
+def test_fagin_plan_has_no_unpartitioned_window(spark):
+    from tools.window_audit import unpartitioned_specs
+
+    df = all_queries()["fagin_ta_topk"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_specs(plan) == []

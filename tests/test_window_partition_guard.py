@@ -1,0 +1,259 @@
+"""Mechanical guard over unpartitioned windows in every registered plan
+(r7 verdict task 3 — the dupscreen pattern applied to plans).
+
+The repo's unpartitioned-window call sites were audited by hand each
+round ("the input relation is a bounded grid"), but a new operator can
+silently add a site whose input GROWS with the corpus — the class
+`peak_concurrent_sessions` carried until round 8, and the class this
+round also removed from `pps_systematic_sample` (fact-scale cumsum),
+`quality_score_quantile_norm` (corpus-scale global ROW_NUMBER), and
+`fagin_ta_topk` (three entity-scale rankings).
+
+This test builds EVERY registered query's executed plan and extracts
+each window spec with zero partition columns (tools/window_audit.py).
+The result must equal ALLOWLIST exactly, in both directions:
+
+- a query gaining an unpartitioned window fails until a human writes
+  down WHY its input relation is corpus-bounded (the rationale string);
+- a query losing one fails too, so the allowlist can never go stale.
+
+Signatures are the spec's order keys with expression IDs stripped —
+stable across plan builds, specific enough that moving a window to a
+different relation (different order columns) re-trips the guard.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from tools.window_audit import unpartitioned_specs
+from weather_stream_processor_spark.registry import all_queries
+
+# query -> (sorted unpartitioned-window signatures, boundedness rationale)
+ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
+    'ann_ivf_topk': (
+        ('cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST',),
+        'rank re-assignment over a LIMIT-k candidate slice (k rows)',
+    ),
+    'ann_lsh_topk': (
+        ('cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST',),
+        'rank re-assignment over a LIMIT-k candidate slice (k rows)',
+    ),
+    'ann_pq_topk': (
+        ('dist2 ASC NULLS FIRST, vec_id ASC NULLS FIRST',),
+        'rank re-assignment over a LIMIT-k candidate slice (k rows)',
+    ),
+    'ann_recall_curve': (
+        ('cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST',),
+        'rank re-assignment over a LIMIT-k candidate slice (k rows)',
+    ),
+    'average_precision_exact': (
+        ('<no order>', 'score DESC NULLS LAST',),
+        '4-dp distinct-score grid (<=10^4 rows by quantization)',
+    ),
+    'bpe_pair_frequencies': (
+        ('pair_count DESC NULLS LAST, pair ASC NULLS FIRST',),
+        'vocabulary-bounded pair table, top-slice ordering',
+    ),
+    'calibration_bins_ece': (
+        ('<no order>',),
+        '10-row calibration bin table',
+    ),
+    'compaction_bin_packing': (
+        ('source ASC NULLS FIRST, lang ASC NULLS FIRST',),
+        'file manifest (metadata-sized |sources|x|langs|); running bin-pack by design',
+    ),
+    'competing_risks_incidence': (
+        ('lifetime_days ASC NULLS FIRST',),
+        'distinct-lifetime day grid (bounded by the dataset day span)',
+    ),
+    'cosine_topk_exact': (
+        ('cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST',),
+        'rank re-assignment over a LIMIT-k candidate slice (k rows)',
+    ),
+    'cumulative_gains_deciles': (
+        ('<no order>', 'score DESC NULLS LAST',),
+        '4-dp distinct-score grid (<=10^4 rows by quantization)',
+    ),
+    'curriculum_interleave_order': (
+        ('_sb ASC NULLS FIRST',),
+        'two-phase prefix residual over super-buckets (corpus/span^2 rows)',
+    ),
+    'cv_fold_leakage_audit': (
+        ('<no order>',),
+        'K^2 = 25 fold cells',
+    ),
+    'daily_user_accession': (
+        ('day ASC NULLS FIRST',),
+        'day spine (O(days), never data-sized)',
+    ),
+    'dedup_cascade_report': (
+        ('tier_rank ASC NULLS FIRST',),
+        '4-row dedup tier table',
+    ),
+    'drift_panel_report': (
+        ('<no order>', 'bucket ASC NULLS FIRST',),
+        '0.1-quantized bucket grid (bounded value domain)',
+    ),
+    'eval_scorecard_report': (
+        ('<no order>', 'score ASC NULLS FIRST', 'score DESC NULLS LAST',),
+        '4-dp distinct-score grid (<=10^4 rows by quantization)',
+    ),
+    'experiment_readout_report': (
+        ('<no order>', 'score DESC NULLS LAST',),
+        'bounded constituent grids (score grid / decile passes)',
+    ),
+    'forward_fill_hourly': (
+        ('hour ASC NULLS FIRST',),
+        'hour spine (O(hours), never data-sized)',
+    ),
+    'group_aware_fold_assignment': (
+        ('<no order>',),
+        'K-row fold share table',
+    ),
+    'heaps_law_fit': (
+        ('<no order>',),
+        '10-row corpus-prefix checkpoint table',
+    ),
+    'hybrid_rrf_fusion': (
+        ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'cosine_sim DESC NULLS LAST, vec_id ASC NULLS FIRST',),
+        'rank re-assignment over a LIMIT-k candidate slice (k rows)',
+    ),
+    'isotonic_calibration_bins': (
+        ('bin ASC NULLS FIRST',),
+        '50-row isotonic bin grid',
+    ),
+    'join_order_advisor': (
+        ('<no order>',),
+        'join-graph metadata (tables x candidate keys)',
+    ),
+    'kaplan_meier_retention': (
+        ('lifetime_days ASC NULLS FIRST',),
+        'distinct-lifetime day grid (bounded by the dataset day span)',
+    ),
+    'ks_drift_two_sample': (
+        ('bucket ASC NULLS FIRST',),
+        '0.1-quantized bucket grid (bounded value domain)',
+    ),
+    'lang_source_chi_square': (
+        ('<no order>',),
+        '|langs| x |sources| contingency grid',
+    ),
+    'linear_interpolate_hourly': (
+        ('hour ASC NULLS FIRST',),
+        'hour spine (O(hours), never data-sized)',
+    ),
+    'lorenz_curve_deciles': (
+        ('decile ASC NULLS FIRST',),
+        '10-row decile curve (the NTILE underneath is exact_global_ntiles)',
+    ),
+    'mann_whitney_u_test': (
+        ('<no order>', 'bucket ASC NULLS FIRST',),
+        '0.1-quantized bucket grid (bounded value domain)',
+    ),
+    'mrr_first_relevant': (
+        ('<no order>',),
+        'per-source best-hit aggregate (|sources| rows)',
+    ),
+    'ndcg_retrieval_eval': (
+        ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'grade DESC NULLS LAST', 'rnk ASC NULLS FIRST',),
+        'top-k run list + <=4-row grade histogram',
+    ),
+    'nelson_aalen_hazard': (
+        ('lifetime_days ASC NULLS FIRST',),
+        'distinct-lifetime day grid (bounded by the dataset day span)',
+    ),
+    'peak_concurrent_sessions': (
+        ('_sb ASC NULLS FIRST',),
+        'two-phase prefix residual over super-buckets (corpus/span^2 rows)',
+    ),
+    'poisson_bootstrap_ci': (
+        ('_w0 ASC NULLS FIRST, b ASC NULLS FIRST',),
+        '100-row bootstrap replicate frame',
+    ),
+    'pps_systematic_sample': (
+        ('_sb ASC NULLS FIRST',),
+        'two-phase prefix residual over super-buckets (corpus/span^2 rows)',
+    ),
+    'qini_curve_deciles': (
+        ('<no order>', 'score DESC NULLS LAST',),
+        '4-dp distinct-score grid (<=10^4 rows by quantization)',
+    ),
+    'quality_score_quantile_norm': (
+        ('<no order>', 'q ASC NULLS FIRST',),
+        'integer score-domain histogram (<=1001 rows by construction)',
+    ),
+    'revenue_contribution_pareto': (
+        ('<no order>', 'revenue DESC NULLS LAST, n_name ASC NULLS FIRST',),
+        '|nations|-row aggregate (dimension-sized)',
+    ),
+    'revenue_share_of_parent': (
+        ('<no order>',),
+        '|nations|-row aggregate (dimension-sized)',
+    ),
+    'roc_auc_exact': (
+        ('<no order>', 'score ASC NULLS FIRST',),
+        '4-dp distinct-score grid (<=10^4 rows by quantization)',
+    ),
+    'skipgram_ppmi_pairs': (
+        ('ppmi DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST',),
+        'vocab-bounded PPMI pair top slice',
+    ),
+    'skyline_size_price': (
+        ('p_size DESC NULLS LAST',),
+        'p_size domain (<=50 rows)',
+    ),
+    'source_concentration_panel': (
+        ('n_toks DESC NULLS LAST, source ASC NULLS FIRST',),
+        '|sources|-row token-mix aggregate',
+    ),
+    'spearman_rank_correlation': (
+        ('x ASC NULLS FIRST', 'y ASC NULLS FIRST',),
+        'distinct-value bucket grids (USD-10 quantized)',
+    ),
+    'unigram_sampling_table': (
+        ('<no order>', 'c DESC NULLS LAST, term ASC NULLS FIRST',),
+        'top-200 vocabulary table',
+    ),
+    'wasserstein_drift_1d': (
+        ('<no order>', 'bucket ASC NULLS FIRST',),
+        '0.1-quantized bucket grid (bounded value domain)',
+    ),
+    'zipf_law_fit': (
+        ('c DESC NULLS LAST, tok ASC NULLS FIRST',),
+        'top-200 vocabulary slice',
+    ),
+}
+
+
+def test_every_unpartitioned_window_is_allowlisted(spark):
+    found: dict[str, tuple[str, ...]] = {}
+    for name, spec in all_queries().items():
+        df = spec.builder(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        sigs = tuple(sorted(set(unpartitioned_specs(plan))))
+        if sigs:
+            found[name] = sigs
+
+    allow = {n: sigs for n, (sigs, _) in ALLOWLIST.items()}
+    new = {n: s for n, s in found.items() if allow.get(n) != s}
+    gone = {n: s for n, s in allow.items() if found.get(n) != s}
+    assert found == allow, (
+        "unpartitioned-window surface changed.\n"
+        f"NEW/CHANGED (write a boundedness rationale or re-plan): {new}\n"
+        f"STALE allowlist entries (remove them): {gone}"
+    )
+
+
+def test_allowlist_signature_parser_agrees_with_spark():
+    """Pin the parser on a representative plan fragment so an upstream
+    plan-string format change breaks THIS test (clear signal), not the
+    guard silently."""
+    frag = (
+        "Window [sum(v#5L) windowspecdefinition(q#3L ASC NULLS FIRST, "
+        "specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+        "currentrow$())) AS cum#7L], [q#3L ASC NULLS FIRST]\n"
+        "Window [sum(v#5L) windowspecdefinition(src#1, q#3L ASC NULLS "
+        "FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+        "currentrow$())) AS n#9L], [src#1], [q#3L ASC NULLS FIRST]"
+    )
+    assert unpartitioned_specs(frag) == ["q ASC NULLS FIRST"]

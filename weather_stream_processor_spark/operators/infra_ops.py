@@ -560,11 +560,14 @@ _TA_COUNT_WEIGHT = 100_000  # cents-equivalent weight of one order in f()
         "the threshold T(d) = s1@d + w*s2@d, i.e. how little of each "
         "list a streaming rank-join would actually read (the audit that "
         "justifies an early-out merge over a full scan). Exact set-"
-        "oriented formulation: two ranking windows, a |depths| x |objects|"
-        " theta-join for the certification counts (exact baseline; a "
-        "production TA reads depths 1..stop only, and the certified "
-        "stop_depth is precisely the bound on that work), integer "
-        "arithmetic throughout."
+        "oriented formulation: the three global rankings run through "
+        "exact_global_ranks (r8 — coarse-bucket distributed ROW_NUMBER, "
+        "no unpartitioned window over the customer aggregate; "
+        "bit-equality-tested vs the window form), then a |depths| x "
+        "|objects| theta-join for the certification counts (exact "
+        "baseline; a production TA reads depths 1..stop only, and the "
+        "certified stop_depth is precisely the bound on that work), "
+        "integer arithmetic throughout."
     ),
     tags=("topk", "join", "retrieval", "audit"),
 )
@@ -576,18 +579,32 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s1"),
         F.count(F.lit(1)).cast("bigint").alias("s2"),
     )
-    r = c.select(
+    from weather_stream_processor_spark.operators.windows import (
+        exact_global_ranks,
+    )
+
+    # r8: the three global DESC rankings run through exact_global_ranks
+    # (coarse-bucket + partitioned rank + collected offsets — bit-for-bit
+    # ROW_NUMBER) instead of three unpartitioned windows that each moved
+    # the whole per-customer aggregate through one task. DESC order is
+    # expressed as ASC over the negated key (scores are non-null bigints).
+    r0 = c.select(
         "custkey",
         "s1",
         "s2",
         (F.col("s1") + F.col("s2") * _TA_COUNT_WEIGHT).alias("combined"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("s1"), F.asc("custkey")))
-        .alias("pos1"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("s2"), F.asc("custkey")))
-        .alias("pos2"),
+        (-F.col("s1")).alias("_n1"),
+        (-F.col("s2")).alias("_n2"),
+        (-(F.col("s1") + F.col("s2") * _TA_COUNT_WEIGHT)).alias("_nc"),
     )
+    r = exact_global_ranks(
+        r0,
+        [
+            (["_n1", "custkey"], "pos1"),
+            (["_n2", "custkey"], "pos2"),
+            (["_nc", "custkey"], "_crank"),
+        ],
+    ).drop("_n1", "_n2", "_nc")
     a = r.alias("a")
     b = r.alias("b")
     depths = a.join(b, F.col("a.pos1") == F.col("b.pos2")).select(
@@ -611,9 +628,7 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s1",
         "s2",
         "combined",
-        F.row_number()
-        .over(Window.orderBy(F.desc("combined"), F.asc("custkey")))
-        .alias("rank"),
+        F.col("_crank").alias("rank"),
     ).filter(F.col("rank") <= _TA_K)
     return topk.crossJoin(F.broadcast(stop)).select(
         F.col("rank").cast("bigint").alias("rank"),
@@ -1145,24 +1160,42 @@ _PPS_TARGET = 50  # target sample size
         "Units heavier than the stride get n_hits > 1 (certainty "
         "units, multiplicity recorded); first-order inclusion is "
         "~min(1, n*w/T), emitted as exact integer ppm for the "
-        "Horvitz-Thompson property test. Plan: one ranked prefix-sum "
-        "window + one broadcast total — the 100 TB form runs the same "
-        "cumsum per shard with per-shard offsets, exactly like the "
-        "packing manifest's two-phase note."
+        "Horvitz-Thompson property test. Plan (r8): the cumulative "
+        "weight line runs through the shared two_phase_exclusive_prefix "
+        "(bucket = o_orderkey div span) + one broadcast total — the "
+        "former single ranked prefix-sum window funneled every order "
+        "through one task's sort, the same corpus-growing class the "
+        "packing manifest and session sweep shed in r7/r8; now every "
+        "window group at every level is ≤span rows (bit-equality-tested "
+        "vs the naive window, tests/test_r8_scalepath.py)."
     ),
     tags=("sampling", "statistics", "audit"),
 )
 def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.prefix_sum import (
+        PS_SPAN,
+        two_phase_exclusive_prefix,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     w = orders.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("wt"),
     )
-    win = Window.orderBy("o_orderkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # inclusive cumsum = exclusive two-phase prefix + own weight; bucket =
+    # orderkey div span (unique int key -> every bucket ≤span rows)
+    excl = two_phase_exclusive_prefix(
+        w.withColumn("_pb", F.expr(f"o_orderkey div {PS_SPAN}")),
+        [],
+        "_pb",
+        ["o_orderkey"],
+        F.col("wt"),
+        "_excl",
     )
-    cum = w.select(
-        "o_orderkey", "wt", F.sum("wt").over(win).cast("bigint").alias("c")
+    cum = excl.select(
+        "o_orderkey",
+        "wt",
+        (F.col("_excl") + F.col("wt")).cast("bigint").alias("c"),
     )
     tot = w.agg(F.sum("wt").cast("bigint").alias("t"))
     n = _PPS_TARGET

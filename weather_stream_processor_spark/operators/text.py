@@ -2150,29 +2150,35 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
                        // len(string_split(text, ' ')) AS BIGINT) AS q
             FROM documents
         ),
-        src_ranked AS (
-            SELECT source, q,
-                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id)
-                       AS rn,
-                   COUNT(*) OVER (PARTITION BY source) AS n
-            FROM feats
+        src_hist AS (
+            SELECT source, q, CAST(COUNT(*) AS BIGINT) AS c
+            FROM feats GROUP BY source, q
         ),
-        glob_ranked AS (
-            SELECT q, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn,
-                   COUNT(*) OVER () AS n
-            FROM feats
+        src_cum AS (
+            SELECT source, q,
+                   SUM(c) OVER (PARTITION BY source ORDER BY q) AS cum,
+                   SUM(c) OVER (PARTITION BY source) AS n
+            FROM src_hist
+        ),
+        glob_hist AS (
+            SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY q
+        ),
+        glob_cum AS (
+            SELECT q, SUM(c) OVER (ORDER BY q) AS cum,
+                   SUM(c) OVER () AS n
+            FROM glob_hist
         ),
         ds AS (SELECT unnest([{",".join(map(str, _QNORM_DECILES))}]) AS d),
         src_cuts AS (
-            SELECT r.source, ds.d, MIN(r.q) AS source_cut
-            FROM src_ranked r JOIN ds
-              ON r.rn = CAST(CEIL(ds.d * r.n / 10.0) AS BIGINT)
-            GROUP BY r.source, ds.d
+            SELECT sc.source, ds.d, MIN(sc.q) AS source_cut
+            FROM src_cum sc JOIN ds
+              ON sc.cum >= CAST(CEIL(ds.d * sc.n / 10.0) AS BIGINT)
+            GROUP BY sc.source, ds.d
         ),
         glob_cuts AS (
             SELECT ds.d, MIN(g.q) AS global_cut
-            FROM glob_ranked g JOIN ds
-              ON g.rn = CAST(CEIL(ds.d * g.n / 10.0) AS BIGINT)
+            FROM glob_cum g JOIN ds
+              ON g.cum >= CAST(CEIL(ds.d * g.n / 10.0) AS BIGINT)
             GROUP BY ds.d
         )
         SELECT s.source, CAST(s.d AS BIGINT) AS decile,
@@ -2194,16 +2200,18 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
         "integer division in both engines) — the round-8 ULP audit "
         "caught the former float score's ROUND(q, 6) sitting exactly "
         "on a half-grid tie, so the whole query is now float-free. "
-        "Cutpoints are percentile_disc-style (score at rank "
-        "ceil(d*n/10) under the total order (score, doc_id)) so both "
-        "engines pick the identical document, no interpolation drift. Plan: one "
-        "projection computes scores on the scan; one window per "
-        "grouping (source-partitioned / global) ranks them; the decile "
-        "join touches 9 rows per source. The global window is the "
-        "exact_global_ntiles pattern's degenerate case — at 100 TB "
-        "swap in that machinery (coarse-bucket counts + per-bucket "
-        "offsets) to avoid the single-partition global sort; per-"
-        "source windows already parallelize."
+        "Cutpoints are percentile_disc-style (the score at rank "
+        "ceil(d*n/10), no interpolation drift), computed from the "
+        "SCORE HISTOGRAM: cut_d = min q with cumulative count >= the "
+        "rank — identical to ranking every row (ranks inside a score "
+        "tie share the q the cut reports; equality-tested vs the naive "
+        "rank form). Plan (r8): one hash aggregate to the (source, q) "
+        "histogram, cumulative windows over the <=1001-row score "
+        "DOMAIN (the integer lift is what makes the domain finite), a "
+        "9-row broadcast decile range-join, and a min — the former "
+        "corpus-scale global ROW_NUMBER window (the one documented "
+        "exact_global_ntiles swap candidate) is gone; nothing after "
+        "the first aggregate scales with the corpus."
     ),
     tags=("text", "llm", "statistics", "window"),
 )
@@ -2212,7 +2220,6 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tokens(F.col("text"))
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
     feats = docs.select(
-        "doc_id",
         "source",
         F.size(toks).cast("bigint").alias("_nt"),
         F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
@@ -2220,7 +2227,6 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_sn"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("_un"),
     ).select(
-        "doc_id",
         "source",
         (
             8 * F.least(F.col("_nt"), F.lit(50))
@@ -2233,37 +2239,30 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = spark.createDataFrame([(d,) for d in _QNORM_DECILES], "d int")
 
-    sw_src = Window.partitionBy("source").orderBy("q", "doc_id")
-    src_ranked = feats.select(
+    # histogram first: every window below runs over the <=1001-row score
+    # DOMAIN (q is integer 0-1000 by construction), never the corpus
+    src_hist = feats.groupBy("source", "q").agg(F.count(F.lit(1)).alias("c"))
+    src_cum = src_hist.select(
         "source",
         "q",
-        F.row_number().over(sw_src).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        F.sum("c").over(Window.partitionBy("source").orderBy("q")).alias("cum"),
+        F.sum("c").over(Window.partitionBy("source")).alias("n"),
     )
+    rank_needed = F.ceil(F.col("d") * F.col("n") / 10.0).cast("long")
     src_cuts = (
-        src_ranked.join(
-            F.broadcast(ds),
-            F.col("rn") == F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
-        )
+        src_cum.join(F.broadcast(ds), F.col("cum") >= rank_needed)
         .groupBy("source", "d")
         .agg(F.min("q").alias("source_cut"))
     )
 
-    # global ranking: bounded-cardinality note — one window over the whole
-    # corpus; at scale use exact_global_ntiles (see docstring)
-    gw = Window.orderBy("q", "doc_id")
-    glob_ranked = feats.select(
+    glob_hist = feats.groupBy("q").agg(F.count(F.lit(1)).alias("c"))
+    glob_cum = glob_hist.select(
         "q",
-        F.row_number().over(gw).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
+        F.sum("c").over(Window.orderBy("q")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
     )
     glob_cuts = (
-        glob_ranked.join(
-            F.broadcast(ds),
-            F.col("rn") == F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
-        )
+        glob_cum.join(F.broadcast(ds), F.col("cum") >= rank_needed)
         .groupBy("d")
         .agg(F.min("q").alias("global_cut"))
     )
