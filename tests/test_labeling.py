@@ -416,15 +416,15 @@ def test_dawid_skene_rederivation(spark):
                 score = score * (
                     conf[(r, t, o)] / denom[(r, t)] if denom[(r, t)] else 0.0
                 )
-            score = round(score, 9)
-            if best is None or score > best[0] or (score == best[0] and t < best[1]):
-                best = (score, t)
+            score_e9 = math.floor(score * 1e9)
+            if best is None or (-score_e9, t) < (-best[0], best[1]):
+                best = (score_e9, t)
         expect[d] = best
     rows = {r.doc_id: r for r in _run(spark, "dawid_skene_correction").collect()}
     assert set(rows) == set(expect)
-    for d, (score, t) in expect.items():
+    for d, (score_e9, t) in expect.items():
         assert rows[d].ds_label == t, d
-        assert abs(rows[d].score - score) < 1e-12, d
+        assert rows[d].score_e9 == score_e9, d
         assert rows[d].consensus == cons[d]
         assert rows[d].changed == int(t != cons[d])
 
@@ -1297,26 +1297,35 @@ def test_horvitz_thompson_design_unbiasedness(spark):
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
         .collect()
     ]
-    fr = {"1": 0.5, "2": 0.4, "3": 0.3, "4": 0.2, "5": 0.1}
+    ds = {"1": 5, "2": 4, "3": 3, "4": 2, "5": 1}  # d = pi*10
     rows = {r.stratum: r for r in _run(spark, "horvitz_thompson_total").collect()}
-    for st in fr:
+    for st, d in ds.items():
         pop = [(k, c) for k, s, c in orders if s == st]
-        pi = fr[st]
         samp = [
             c
             for k, c in pop
-            if ((((k % _MOD) * _KNUTH) >> 16) % 1000) < pi * 1000
+            if ((((k % _MOD) * _KNUTH) >> 16) % 1000) < d * 100
         ]
         r = rows[st]
+        assert r.pi_pct == d * 10
         assert r.n_sampled == len(samp)
         assert r.true_count == len(pop)
-        assert abs(r.ht_total - round(sum(c / pi for c in samp) / 100.0, 2)) < 0.02
-        # the design recovers the stratum total to sampling accuracy
-        assert r.rel_err < 0.2
-        # the raw (uncorrected) sample mean-scaled total would be exactly
-        # n_pop/n_samp-weighted -- HT with uniform in-stratum pi equals
-        # the classic expansion estimator
-        assert abs(r.ht_count - len(samp) / pi) < 0.01
+        # exact Euclidean pairs: q*d + rem reconstructs the scaled value
+        assert r.ht_count_q * d + r.ht_count_r == len(samp) * 10
+        assert 0 <= r.ht_count_r < d
+        s_cents = sum(samp)
+        assert r.ht_total_cents_q * d + r.ht_total_cents_r == s_cents * 10
+        assert 0 <= r.ht_total_cents_r < d
+        t_cents = sum(c for _, c in pop)
+        assert r.true_total_cents == t_cents
+        # exact integer fraction for the relative error; design recovers
+        # the stratum total to sampling accuracy
+        assert r.rel_num == abs(s_cents * 10 - t_cents * d)
+        assert r.rel_den == t_cents * d
+        assert r.rel_num / r.rel_den < 0.2
+        # HT with uniform in-stratum pi equals the classic expansion
+        # estimator: floor(n/pi) == ht_count_q
+        assert r.ht_count_q == (len(samp) * 10) // d
 
 
 # ---------------------------------------------------------------------------

@@ -1125,12 +1125,18 @@ def _ds_votes_sql() -> str:
             LEFT JOIN conf_p c2 ON c2.r = 2 AND c2.t = cd.t AND c2.obs = p.o2
         ),
         pick AS (
-            SELECT doc_id, t AS ds_label, ROUND(score, 9) AS score
-            FROM scores
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY doc_id ORDER BY score DESC, t ASC) = 1
+            SELECT doc_id, ds_label, score_e9 FROM (
+                SELECT doc_id, t AS ds_label,
+                       CAST(FLOOR(score * 1000000000) AS BIGINT) AS score_e9,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY CAST(FLOOR(score * 1000000000) AS BIGINT)
+                                        DESC,
+                                    t ASC) AS rn
+                FROM scores
+            ) WHERE rn = 1
         )
-        SELECT p.doc_id, c.consensus, p.ds_label, p.score,
+        SELECT p.doc_id, c.consensus, p.ds_label, p.score_e9,
                CASE WHEN p.ds_label <> c.consensus THEN 1 ELSE 0 END
                    AS changed
         FROM pick p JOIN cons c USING (doc_id)
@@ -1151,8 +1157,11 @@ def _ds_votes_sql() -> str:
         "per-(doc, candidate) score is a FIXED-ORDER product of four "
         "exactly-derived doubles (no aggregation over floats), so the "
         "argmax — a row_number over the |cats| rows within each doc — "
-        "is cross-engine deterministic; score rounded at 9dp for the "
-        "hash."
+        "is cross-engine deterministic. The hashed score ships as "
+        "FLOOR(score * 1e9) BIGINT (r8 ULP audit: ROUND(score, 9) sat "
+        "exactly on a half-grid tie; floor of the shared IEEE double "
+        "has no rounding-mode dependence), and the argmax ranks by the "
+        "same floored integer in both engines."
     ),
     tags=("labeling", "llm", "statistics"),
 )
@@ -1228,10 +1237,14 @@ def dawid_skene_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in range(_N_ANN):
             score = score * F.coalesce(F.col(f"p{r}"), F.lit(0.0))
         w_doc = Window.partitionBy("doc_id").orderBy(
-            F.desc("score"), F.asc("t")
+            F.desc("score_e9"), F.asc("t")
         )  # |cats| rows per doc
         pick = (
-            scores.select("doc_id", "t", F.round(score, 9).alias("score"))
+            scores.select(
+                "doc_id",
+                "t",
+                F.floor(score * 1e9).cast("bigint").alias("score_e9"),
+            )
             .withColumn("rn", F.row_number().over(w_doc))
             .filter(F.col("rn") == 1)
         )
@@ -1239,7 +1252,7 @@ def dawid_skene_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "consensus",
             F.col("t").alias("ds_label"),
-            "score",
+            "score_e9",
             F.when(F.col("t") != F.col("consensus"), 1).otherwise(0).alias("changed"),
         )
 

@@ -2125,9 +2125,10 @@ _HT_FRACS = {"1": 0.5, "2": 0.4, "3": 0.3, "4": 0.2, "5": 0.1}
 _HT_MOD_BASE = 1000
 
 
-def _ht_frac_sql() -> str:
+def _ht_d_sql() -> str:
+    # d = pi*10 as an exact small integer (pi are exact tenths by design)
     return " ".join(
-        f"WHEN substr(o_orderpriority, 1, 1) = '{k}' THEN {v}"
+        f"WHEN substr(o_orderpriority, 1, 1) = '{k}' THEN {round(v * 10)}"
         for k, v in _HT_FRACS.items()
     )
 
@@ -2139,62 +2140,67 @@ def _ht_frac_sql() -> str:
             SELECT o_orderkey,
                    substr(o_orderpriority, 1, 1) AS stratum,
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-                   CASE {_ht_frac_sql()} ELSE 0.1 END AS pi,
+                   CASE {_ht_d_sql()} ELSE 1 END AS d,
                    ((((o_orderkey % {{mod}}) * {{kn}}) >> 16)
                     % {_HT_MOD_BASE}) AS h
             FROM orders
         ),
-        sampled AS (
-            SELECT stratum, pi, cents
-            FROM pop WHERE h < pi * {_HT_MOD_BASE}
-        ),
         est AS (
-            SELECT stratum, pi,
+            SELECT stratum, d,
                    CAST(COUNT(*) AS BIGINT) AS n_sampled,
-                   SUM(cents / pi) / 100.0 AS ht_total,
-                   CAST(COUNT(*) AS BIGINT) / pi AS ht_count
-            FROM sampled GROUP BY stratum, pi
+                   CAST(SUM(cents) AS BIGINT) AS s_cents
+            FROM pop WHERE h < d * 100 GROUP BY stratum, d
         ),
         truth AS (
             SELECT stratum,
                    CAST(COUNT(*) AS BIGINT) AS true_count,
-                   CAST(SUM(cents) AS BIGINT) / 100.0 AS true_total
+                   CAST(SUM(cents) AS BIGINT) AS t_cents
             FROM pop GROUP BY stratum
         )
-        SELECT e.stratum, e.n_sampled,
-               ROUND(e.ht_count, 2) AS ht_count,
+        SELECT e.stratum,
+               CAST(e.d * 10 AS BIGINT) AS pi_pct,
+               e.n_sampled,
+               CAST((e.n_sampled * 10) // e.d AS BIGINT) AS ht_count_q,
+               CAST((e.n_sampled * 10) % e.d AS BIGINT) AS ht_count_r,
                t.true_count,
-               ROUND(e.ht_total, 2) AS ht_total,
-               ROUND(t.true_total, 2) AS true_total,
-               ROUND(ABS(e.ht_total - t.true_total) / t.true_total, 6)
-                   AS rel_err
+               CAST((e.s_cents * 10) // e.d AS BIGINT) AS ht_total_cents_q,
+               CAST((e.s_cents * 10) % e.d AS BIGINT) AS ht_total_cents_r,
+               t.t_cents AS true_total_cents,
+               CAST(ABS(e.s_cents * 10 - t.t_cents * e.d) AS BIGINT)
+                   AS rel_num,
+               CAST(t.t_cents * e.d AS BIGINT) AS rel_den
         FROM est e JOIN truth t USING (stratum)
     """.replace("{mod}", "2147483647").replace("{kn}", "2654435761"),
     doc=(
         "HORVITZ-THOMPSON ESTIMATION from an unequal-probability "
         "stratified sample: order priorities sample at 50/40/30/20/10% "
-        "via the deterministic Knuth-hash inclusion rule, and the HT "
-        "estimator sum(y_i / pi_i) recovers design-unbiased stratum "
-        "totals and counts — the correction every downstream consumer "
-        "of a non-uniform sample must apply (averaging the raw sample "
-        "would overweight the deeply-sampled strata ~5x). The truth "
-        "columns and relative error ride along because the fixture "
-        "still has the full population — exactly how a sampling design "
-        "is validated before the full data stops being kept. Plan: one "
-        "projection (the inclusion rule is pure integer hash "
-        "arithmetic, so both engines draw the identical sample), two "
-        "hash aggregates on the bounded stratum domain, one "
-        "stratum-keyed join. Weighted sums divide exact integer cents "
-        "by literal fractions in identical order — hash-exact."
+        "via the deterministic Knuth-hash inclusion rule (h < d*100 on "
+        "the 0-999 hash, d = pi*10 — pure integers, so both engines "
+        "draw the identical sample), and the HT estimator sum(y_i/pi_i) "
+        "recovers design-unbiased stratum totals and counts — the "
+        "correction every downstream consumer of a non-uniform sample "
+        "must apply (averaging the raw sample would overweight the "
+        "deeply-sampled strata ~5x). INTEGER-EXACT output (r8 ULP "
+        "audit: the former ROUND(sum(cents/pi)/100, 2) sat exactly on "
+        "a half-grid tie): pi is CONSTANT within a stratum, so "
+        "sum(y/pi) = sum(cents)*10/d — emitted as the exact Euclidean "
+        "pair (q, r), likewise ht_count; the relative error ships as "
+        "the exact integer fraction rel_num/rel_den = "
+        "|S*10 - T*d| / (T*d). No float enters the hashed result. The "
+        "truth columns ride along because the fixture still has the "
+        "full population — exactly how a sampling design is validated "
+        "before the full data stops being kept. Plan: one projection, "
+        "two hash aggregates on the bounded stratum domain, one "
+        "stratum-keyed join."
     ),
     tags=("sampling", "statistics", "llm"),
 )
 def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     stratum = F.substring("o_orderpriority", 1, 1)
-    pi = F.lit(0.1)
+    d = F.lit(1)
     for k, v in _HT_FRACS.items():
-        pi = F.when(stratum == k, F.lit(v)).otherwise(pi)
+        d = F.when(stratum == k, F.lit(round(v * 10))).otherwise(d)
     h = (
         F.shiftright((F.col("o_orderkey") % 2147483647) * F.lit(2654435761), 16)
         % _HT_MOD_BASE
@@ -2202,36 +2208,44 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     pop = o.select(
         stratum.alias("stratum"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        pi.alias("pi"),
+        d.alias("d"),
         h.alias("h"),
     )
     from weather_stream_processor_spark.plans.caching import persisted_result
 
     def build(pop_c: DataFrame) -> DataFrame:
-        sampled = pop_c.filter(F.col("h") < F.col("pi") * _HT_MOD_BASE)
-        est = sampled.groupBy("stratum", "pi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
-            (F.sum(F.col("cents") / F.col("pi")) / F.lit(100.0)).alias("ht_total"),
-            (F.count(F.lit(1)).cast("bigint") / F.col("pi")).alias("ht_count"),
+        est = (
+            pop_c.filter(F.col("h") < F.col("d") * 100)
+            .groupBy("stratum", "d")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+                F.sum("cents").cast("bigint").alias("s_cents"),
+            )
         )
         truth = pop_c.groupBy("stratum").agg(
             F.count(F.lit(1)).cast("bigint").alias("true_count"),
-            (F.sum("cents").cast("bigint") / F.lit(100.0)).alias("true_total"),
+            F.sum("cents").cast("bigint").alias("t_cents"),
         )
         return (
             est.join(truth, "stratum")
             .select(
                 "stratum",
+                (F.col("d") * 10).cast("bigint").alias("pi_pct"),
                 "n_sampled",
-                F.round("ht_count", 2).alias("ht_count"),
+                F.expr("(n_sampled * 10) div d").cast("bigint").alias("ht_count_q"),
+                ((F.col("n_sampled") * 10) % F.col("d"))
+                .cast("bigint")
+                .alias("ht_count_r"),
                 "true_count",
-                F.round("ht_total", 2).alias("ht_total"),
-                F.round("true_total", 2).alias("true_total"),
-                F.round(
-                    F.abs(F.col("ht_total") - F.col("true_total"))
-                    / F.col("true_total"),
-                    6,
-                ).alias("rel_err"),
+                F.expr("(s_cents * 10) div d").cast("bigint").alias("ht_total_cents_q"),
+                ((F.col("s_cents") * 10) % F.col("d"))
+                .cast("bigint")
+                .alias("ht_total_cents_r"),
+                F.col("t_cents").alias("true_total_cents"),
+                F.abs(F.col("s_cents") * 10 - F.col("t_cents") * F.col("d"))
+                .cast("bigint")
+                .alias("rel_num"),
+                (F.col("t_cents") * F.col("d")).cast("bigint").alias("rel_den"),
             )
         )
 
