@@ -24,8 +24,10 @@ different relation (different order columns) re-trips the guard.
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMOKE
-from tools.window_audit import unpartitioned_specs
+from tools.window_audit import nested_loop_joins, unpartitioned_specs
 from weather_stream_processor_spark.registry import all_queries
 
 # query -> (sorted unpartitioned-window signatures, boundedness rationale)
@@ -225,21 +227,54 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
 }
 
 
-def test_every_unpartitioned_window_is_allowlisted(spark):
-    found: dict[str, tuple[str, ...]] = {}
+@pytest.fixture(scope="module")
+def plan_surfaces(spark):
+    """ONE walk over every registered query's executed plan, feeding both
+    screens (plan builds are the expensive part — ~4 min for the full
+    registry at the smoke fixture)."""
+    windows: dict[str, tuple[str, ...]] = {}
+    joins: dict[str, tuple[str, ...]] = {}
     for name, spec in all_queries().items():
         df = spec.builder(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        sigs = tuple(sorted(set(unpartitioned_specs(plan))))
-        if sigs:
-            found[name] = sigs
+        wsigs = tuple(sorted(set(unpartitioned_specs(plan))))
+        if wsigs:
+            windows[name] = wsigs
+        jsigs = tuple(nested_loop_joins(plan))
+        if jsigs:
+            joins[name] = jsigs
+    return windows, joins
 
+
+def test_every_unpartitioned_window_is_allowlisted(plan_surfaces):
+    found = plan_surfaces[0]
     allow = {n: sigs for n, (sigs, _) in ALLOWLIST.items()}
     new = {n: s for n, s in found.items() if allow.get(n) != s}
     gone = {n: s for n, s in allow.items() if found.get(n) != s}
     assert found == allow, (
         "unpartitioned-window surface changed.\n"
         f"NEW/CHANGED (write a boundedness rationale or re-plan): {new}\n"
+        f"STALE allowlist entries (remove them): {gone}"
+    )
+
+
+def test_every_nested_loop_join_is_allowlisted(plan_surfaces):
+    """Companion screen: CartesianProduct / BroadcastNestedLoopJoin sites
+    (multiplicity-aware). Every allowlisted site is one of two classes —
+    'bounded-build' (the broadcast side is a 1-row aggregate, a bounded
+    frame such as deciles/bins/patterns/query vectors/dims/spines, or a
+    bounded grid boundary; cost O(n * |frame|) with the per-operator
+    boundedness argument in its docstring) or 'exact-baseline' (a
+    deliberately exact O(n^2) reference whose registered scale path is
+    the ANN/blocked/banded twin). A NEW nested-loop site fails here
+    until a human classifies it."""
+    found = plan_surfaces[1]
+    allow = {n: sigs for n, (sigs, _) in JOIN_ALLOWLIST.items()}
+    new = {n: s for n, s in found.items() if allow.get(n) != s}
+    gone = {n: s for n, s in allow.items() if found.get(n) != s}
+    assert found == allow, (
+        "nested-loop join surface changed.\n"
+        f"NEW/CHANGED (classify bounded-build / exact-baseline): {new}\n"
         f"STALE allowlist entries (remove them): {gone}"
     )
 
@@ -257,3 +292,305 @@ def test_allowlist_signature_parser_agrees_with_spark():
         "currentrow$())) AS n#9L], [src#1], [q#3L ASC NULLS FIRST]"
     )
     assert unpartitioned_specs(frag) == ["q ASC NULLS FIRST"]
+JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
+    'ann_ivf_topk': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'ann_pq_topk': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'ann_recall_curve': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight LeftOuter'),
+        'bounded-build',
+    ),
+    'benford_digit_profile': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'bigram_lm_perplexity': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'bigram_pmi_collocations': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'binary_quant_recall': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'blocking_quality_audit': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'bm25_top_docs': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'brand_clustering_coefficient': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'brand_triangle_communities': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'capture_recapture_dup_estimate': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'cohens_kappa_agreement': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'competing_risks_incidence': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'cosine_topk_exact': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'cross_join_region_pairs': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'cumulative_gains_deciles': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',),
+        'bounded-build',
+    ),
+    'customer_order_gap_churn_risk': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'customer_tier_migration': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'dataset_datasheet': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'dau_mau_stickiness': (
+        ('BroadcastNestedLoopJoin BuildRight Inner',),
+        'bounded-build',
+    ),
+    'drift_panel_report': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'dunning_llr_keyness': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'embedding_eval_decontam': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'eval_scorecard_report': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',),
+        'bounded-build',
+    ),
+    'experiment_readout_report': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',),
+        'bounded-build',
+    ),
+    'fagin_ta_topk': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Inner'),
+        'bounded-build',
+    ),
+    'fleiss_kappa_agreement': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'funnel_signup_view_purchase': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'haversine_nearest_station': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'heaps_law_fit': (
+        ('BroadcastNestedLoopJoin BuildRight Inner', 'BroadcastNestedLoopJoin BuildRight Inner'),
+        'bounded-build',
+    ),
+    'heavy_hitters_exact': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'histogram_order_prices': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'hybrid_rrf_fusion': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'isotonic_calibration_bins': (
+        ('BroadcastNestedLoopJoin BuildRight Inner', 'BroadcastNestedLoopJoin BuildRight Inner'),
+        'bounded-build',
+    ),
+    'ivf_cell_balance': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'join_order_advisor': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'k_anonymity_audit': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'kaplan_meier_retention': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'kmeans_embedding_clusters': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'kneser_ney_bigram_probs': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'knn_join_topk': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'ks_drift_two_sample': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'lang_source_chi_square': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'lorenz_curve_deciles': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'mixture_drift_kl': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'multi_pattern_match': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'ndcg_retrieval_eval': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'nelson_aalen_hazard': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'neyman_allocation': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'percentile_bucketing': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'poisson_bootstrap_ci': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'pps_systematic_sample': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'q11_important_parts': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'q22_idle_customers': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'qini_curve_deciles': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',),
+        'bounded-build',
+    ),
+    'quality_score_quantile_norm': (
+        ('BroadcastNestedLoopJoin BuildRight Inner', 'BroadcastNestedLoopJoin BuildRight Inner'),
+        'bounded-build',
+    ),
+    'query_likelihood_dirichlet': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'release_audit_report': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'rocchio_query_expansion': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'shapley_channel_attribution': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'simplified_silhouette': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'simpson_paradox_detector': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'skipgram_ppmi_pairs': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'source_concentration_panel': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'stylometry_source_delta': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'temperature_mixture_weights': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'tfidf_cosine_doc_pairs': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'exact-baseline',
+    ),
+    'theta_sketch_set_algebra': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'train_test_time_split_audit': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'triplet_mining': (
+        ('BroadcastNestedLoopJoin BuildRight Inner',),
+        'exact-baseline',
+    ),
+    'twonn_intrinsic_dimension': (
+        ('BroadcastNestedLoopJoin BuildRight Inner', 'BroadcastNestedLoopJoin BuildRight Inner'),
+        'exact-baseline',
+    ),
+    'walk_forward_backtest_folds': (
+        ('BroadcastNestedLoopJoin BuildLeft Inner', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',
+    ),
+    'weekday_hour_heatmap': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'woe_iv_binning': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+}

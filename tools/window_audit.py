@@ -131,3 +131,30 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+# --- companion screen: nested-loop / cartesian join operators ---------------
+
+_JOIN_OPS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def nested_loop_joins(plan: str) -> list[str]:
+    """Occurrences of quadratic-class join operators in ``plan``.
+
+    Returns one entry per operator line, e.g. ``BroadcastNestedLoopJoin
+    BuildRight, Inner`` — enough signature to identify the call site
+    without expression IDs. A BNLJ over two bounded inputs (broadcast
+    decile/bucket grids, k-row frames) is a deliberate plan choice; one
+    whose streamed side grows with the corpus AND whose build side is
+    data-sized is the quadratic blowup class this screen exists to pin.
+    """
+    import re as _re
+
+    out = []
+    for line in plan.splitlines():
+        for op in _JOIN_OPS:
+            m = _re.search(rf"\b{op}\b(?: (Build\w+))?(?:, (\w+))?", line)
+            if m:
+                parts = [op] + [g for g in m.groups() if g]
+                out.append(" ".join(parts))
+    return sorted(out)
