@@ -103,13 +103,18 @@ def test_approx_count_distinct_within_5pct(spark):
         assert abs(r.approx_parts - r.exact_parts) / r.exact_parts < 0.05
 
 
-def test_multimodal_codec_seam_raises(spark):
+def test_multimodal_codec_seam_contract(spark):
+    """r8: the seam is real for image (netpbm) and audio (WAV). An
+    unsupported container raises a loud ValueError (never a silent
+    wrong decode); video stays the documented NotImplementedError."""
     import pytest
 
     from weather_stream_processor_spark.operators.multimodal import decode_payload
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="magic"):
         decode_payload(b"\x89PNG", "image")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x00\x00\x18ftypmp42", "video")
 
 
 def test_multimodal_features_deterministic(spark):
