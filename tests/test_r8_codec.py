@@ -31,16 +31,18 @@ def _p5(w: int, h: int, raster: bytes, header: str | None = None) -> bytes:
 
 def test_netpbm_p5_roundtrip():
     px = np.arange(12, dtype=np.uint8).reshape(3, 4)
-    arr = _decode_netpbm(_p5(4, 3, px.tobytes()))
+    arr, maxval = _decode_netpbm(_p5(4, 3, px.tobytes()))
     assert arr.shape == (3, 4)
+    assert maxval == 255
     assert (arr == px).all()
 
 
 def test_netpbm_p6_roundtrip():
     px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     payload = b"P6\n4 2\n255\n" + px.tobytes()
-    arr = _decode_netpbm(payload)
+    arr, maxval = _decode_netpbm(payload)
     assert arr.shape == (2, 4, 3)
+    assert maxval == 255
     assert (arr == px).all()
 
 
@@ -48,9 +50,19 @@ def test_netpbm_header_comments_and_whitespace():
     # comments between any tokens; tokens split by arbitrary whitespace
     px = bytes(range(6))
     head = "P5 # magic comment\n# full line\n  3\t# width\n 2 # height\n255\n"
-    arr = _decode_netpbm(head.encode("ascii") + px)
+    arr, _ = _decode_netpbm(head.encode("ascii") + px)
     assert arr.shape == (2, 3)
     assert arr.tobytes() == px
+
+
+def test_netpbm_reports_header_maxval_not_255():
+    # the stats stage must report what the header SAYS (review finding:
+    # a hardcoded 255 matched the oracle only because the synthetic
+    # encoder always writes 255)
+    px = bytes(range(6))
+    arr, maxval = _decode_netpbm(b"P5\n3 2\n100\n" + px)
+    assert maxval == 100
+    assert arr.shape == (2, 3)
 
 
 @pytest.mark.parametrize(
@@ -106,7 +118,8 @@ def test_wav_rejects_non_16bit():
 
 def test_decode_payload_dispatch_and_video_closure():
     px = bytes(4)
-    assert decode_payload(b"P5\n2 2\n255\n" + px, "image").shape == (2, 2)
+    arr, maxval = decode_payload(b"P5\n2 2\n255\n" + px, "image")
+    assert arr.shape == (2, 2) and maxval == 255
     rate, _ = decode_payload(_wav_bytes(np.zeros(3, dtype=np.int16)), "audio")
     assert rate == 16000
     with pytest.raises(NotImplementedError, match="video"):

@@ -312,10 +312,11 @@ def _naive_quantile_cuts(spark, sf_dir):
     ).select(
         "doc_id",
         "source",
-        (
+        F.coalesce(
             8 * F.least(F.col("_nt"), F.lit(50))
             + F.expr("(300 * _sn) div _nt")
-            + F.expr("(300 * _un) div _nt")
+            + F.expr("(300 * _un) div _nt"),
+            F.lit(-1),
         )
         .cast("bigint")
         .alias("q"),
@@ -463,3 +464,54 @@ def test_fagin_plan_has_no_unpartitioned_window(spark):
     df = all_queries()["fagin_ta_topk"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert unpartitioned_specs(plan) == []
+
+
+def test_quantile_cuts_null_text_edge_vs_oracle(spark, tmp_path):
+    """Constructed corpus with a NULL-text doc: the -1 score sentinel
+    makes the histogram ordering total and engine-agreed (Spark windows
+    sort NULL first, DuckDB last — without the sentinel the cumulative
+    counts, and therefore the cuts, would diverge)."""
+    import duckdb
+    import pandas as pd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a a a a a a a a",
+        None,
+        "completely distinct words everywhere in this one",
+        "the the the and and and of of of",
+        None,
+    ]
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(1, 7),
+            "text": texts,
+            "lang": ["en"] * 6,
+            "source": ["s0", "s1", "s0", "s1", "s0", "s1"],
+            "n_chars": pd.array(
+                [len(t) if t else None for t in texts], dtype="Int64"
+            ),
+        }
+    )
+    sf = str(tmp_path)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM rows) TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    spec = all_queries()["quality_score_quantile_norm"]
+    cols = ["source", "decile", "source_cut", "global_cut", "shift"]
+    got = _rows(spec.builder(spark, sf), cols)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = sorted(
+        tuple(v if isinstance(v, str) else int(v) for v in row)
+        for row in con.execute(spec.oracle).fetchall()
+    )
+    assert [
+        tuple(v if isinstance(v, str) else int(v) for v in r) for r in got
+    ] == oracle
+    # each source has one NULL-text doc out of 3 -> its decile-1..3 cuts
+    # (rank ceil(d*3/10) = 1) are the -1 sentinel
+    by = {(r[0], r[1]): r[2] for r in got}
+    assert by[("s0", 1)] == -1 and by[("s1", 1)] == -1

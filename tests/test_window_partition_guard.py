@@ -182,7 +182,7 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     ),
     'quality_score_quantile_norm': (
         ('<no order>', 'q ASC NULLS FIRST',),
-        'integer score-domain histogram (<=1001 rows by construction)',
+        'integer score-domain histogram (<=1002 values incl. the -1 NULL-text sentinel)',
     ),
     'revenue_contribution_pareto': (
         ('<no order>', 'revenue DESC NULLS LAST, n_name ASC NULLS FIRST',),

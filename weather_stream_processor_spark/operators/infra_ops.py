@@ -582,12 +582,18 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.operators.windows import (
         exact_global_ranks,
     )
+    from weather_stream_processor_spark.plans.caching import persisted_result
 
     # r8: the three global DESC rankings run through exact_global_ranks
     # (coarse-bucket + partitioned rank + collected offsets — bit-for-bit
     # ROW_NUMBER) instead of three unpartitioned windows that each moved
     # the whole per-customer aggregate through one task. DESC order is
     # expressed as ASC over the negated key (scores are non-null bigints).
+    # The aggregate is PERSISTED around the machinery (its docstring's
+    # expensive-lineage note): exact_global_ranks runs two eager jobs over
+    # it (cutoffs + bucket counts) and the ranked frame then feeds three
+    # subtrees (a, b, topk) — unpersisted, the full orders scan+aggregate
+    # would re-execute five times.
     r0 = c.select(
         "custkey",
         "s1",
@@ -597,14 +603,17 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("s2")).alias("_n2"),
         (-(F.col("s1") + F.col("s2") * _TA_COUNT_WEIGHT)).alias("_nc"),
     )
-    r = exact_global_ranks(
+    r = persisted_result(
         r0,
-        [
-            (["_n1", "custkey"], "pos1"),
-            (["_n2", "custkey"], "pos2"),
-            (["_nc", "custkey"], "_crank"),
-        ],
-    ).drop("_n1", "_n2", "_nc")
+        lambda r0c: exact_global_ranks(
+            r0c,
+            [
+                (["_n1", "custkey"], "pos1"),
+                (["_n2", "custkey"], "pos2"),
+                (["_nc", "custkey"], "_crank"),
+            ],
+        ).drop("_n1", "_n2", "_nc"),
+    )
     a = r.alias("a")
     b = r.alias("b")
     depths = a.join(b, F.col("a.pos1") == F.col("b.pos2")).select(
@@ -1172,11 +1181,6 @@ _PPS_TARGET = 50  # target sample size
     tags=("sampling", "statistics", "audit"),
 )
 def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_stream_processor_spark.plans.prefix_sum import (
-        PS_SPAN,
-        two_phase_exclusive_prefix,
-    )
-
     orders = load_table(spark, sf_dir, "orders")
     w = orders.select(
         "o_orderkey",
@@ -1184,8 +1188,8 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # inclusive cumsum = exclusive two-phase prefix + own weight; bucket =
     # orderkey div span (unique int key -> every bucket ≤span rows)
-    excl = two_phase_exclusive_prefix(
-        w.withColumn("_pb", F.expr(f"o_orderkey div {PS_SPAN}")),
+    excl = _two_phase_exclusive_prefix(
+        w.withColumn("_pb", F.expr(f"o_orderkey div {_PS_SPAN}")),
         [],
         "_pb",
         ["o_orderkey"],

@@ -108,8 +108,10 @@ def _decode_netpbm(payload: bytes):
 
     Full header grammar — magic, then width/height/maxval as ASCII
     tokens separated by whitespace, '#' comments allowed anywhere between
-    tokens, exactly one whitespace byte before the raster. Returns a
-    uint8 ndarray of shape (h, w) for P5 or (h, w, 3) for P6.
+    tokens, exactly one whitespace byte before the raster. Returns
+    (pixels, maxval): a uint8 ndarray of shape (h, w) for P5 or
+    (h, w, 3) for P6, plus the header's parsed maxval — callers must
+    not assume 255 (the stats stage reports what the header SAYS).
     """
     import numpy as np
 
@@ -148,7 +150,7 @@ def _decode_netpbm(payload: bytes):
     if len(raster) != need:
         raise ValueError(f"netpbm: raster {len(raster)} bytes, need {need}")
     arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, ch)
-    return arr[:, :, 0] if ch == 1 else arr
+    return (arr[:, :, 0] if ch == 1 else arr), maxval
 
 
 def _decode_wav(payload: bytes):
@@ -463,10 +465,10 @@ def decode_image_stats(assets: DataFrame) -> DataFrame:
         for pdf in it:
             ws, hs, mvs, sums = [], [], [], []
             for b in pdf["payload"]:
-                arr = decode_payload(bytes(b), "image")
+                arr, maxval = decode_payload(bytes(b), "image")
                 hs.append(arr.shape[0])
                 ws.append(arr.shape[1])
-                mvs.append(255)
+                mvs.append(maxval)
                 sums.append(int(arr.sum(dtype="int64")))
             yield pd.DataFrame(
                 {

@@ -2142,12 +2142,12 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
     oracle=f"""
         WITH feats AS (
             SELECT doc_id, source,
-                   CAST(8 * LEAST(len(string_split(text, ' ')), 50)
+                   CAST(COALESCE(8 * LEAST(len(string_split(text, ' ')), 50)
                      + (300 * len(list_filter(string_split(text, ' '),
                             t -> list_contains({list(STOPWORDS)}, t))))
                        // len(string_split(text, ' '))
                      + (300 * len(list_distinct(string_split(text, ' '))))
-                       // len(string_split(text, ' ')) AS BIGINT) AS q
+                       // len(string_split(text, ' ')), -1) AS BIGINT) AS q
             FROM documents
         ),
         src_hist AS (
@@ -2228,10 +2228,15 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("bigint").alias("_un"),
     ).select(
         "source",
-        (
+        # NULL-text docs carry the -1 sentinel (lowest quality) so the
+        # cumulative histogram ordering is total and ENGINE-AGREED —
+        # Spark windows sort NULL q first, DuckDB last (the same edge
+        # contract curriculum_interleave_order pins)
+        F.coalesce(
             8 * F.least(F.col("_nt"), F.lit(50))
             + F.expr("(300 * _sn) div _nt")
-            + F.expr("(300 * _un) div _nt")
+            + F.expr("(300 * _un) div _nt"),
+            F.lit(-1),
         )
         .cast("bigint")
         .alias("q"),

@@ -52,6 +52,12 @@ def get_spark(
         # as plain TimestampType (epoch-identical under the UTC session tz)
         # instead of TIMESTAMP_NTZ, which unix_micros/window() reject
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # plan strings must never truncate ("... N more fields"): the
+        # mechanical guards (tests/test_window_partition_guard.py,
+        # tools/window_audit.py) and the repo's plan-shape pins parse
+        # executedPlan().toString() — a spec hidden past the default
+        # 25-field cutoff would silently escape the screens
+        .config("spark.sql.debug.maxToStringFields", "100000")
         .config("spark.ui.enabled", "false")
         # managed tables (bucketing demos/tests) land in tmp, never the repo
         .config(
