@@ -582,18 +582,21 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.operators.windows import (
         exact_global_ranks,
     )
-    from weather_stream_processor_spark.plans.caching import persisted_result
 
     # r8: the three global DESC rankings run through exact_global_ranks
     # (coarse-bucket + partitioned rank + collected offsets — bit-for-bit
     # ROW_NUMBER) instead of three unpartitioned windows that each moved
     # the whole per-customer aggregate through one task. DESC order is
     # expressed as ASC over the negated key (scores are non-null bigints).
-    # The aggregate is PERSISTED around the machinery (its docstring's
-    # expensive-lineage note): exact_global_ranks runs two eager jobs over
-    # it (cutoffs + bucket counts) and the ranked frame then feeds three
-    # subtrees (a, b, topk) — unpersisted, the full orders scan+aggregate
-    # would re-execute five times.
+    # DELIBERATELY UNPERSISTED: the ranked frame feeds three subtrees
+    # (a, b, topk), so a run re-executes the aggregate lineage; wrapping
+    # it in persisted_result/truncate_lineage was tried and REVERTED —
+    # the eager checkpoint hides the ranking subtree behind a scan, which
+    # blinds the plan-shape guards (tests/test_window_partition_guard.py,
+    # test_fagin_plan_has_no_unpartitioned_window) and charges every
+    # plan-only consumer a full materialization. A production caller
+    # materializing this audit repeatedly should persist the result frame
+    # at the call site instead.
     r0 = c.select(
         "custkey",
         "s1",
@@ -603,17 +606,14 @@ def fagin_ta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("s2")).alias("_n2"),
         (-(F.col("s1") + F.col("s2") * _TA_COUNT_WEIGHT)).alias("_nc"),
     )
-    r = persisted_result(
+    r = exact_global_ranks(
         r0,
-        lambda r0c: exact_global_ranks(
-            r0c,
-            [
-                (["_n1", "custkey"], "pos1"),
-                (["_n2", "custkey"], "pos2"),
-                (["_nc", "custkey"], "_crank"),
-            ],
-        ).drop("_n1", "_n2", "_nc"),
-    )
+        [
+            (["_n1", "custkey"], "pos1"),
+            (["_n2", "custkey"], "pos2"),
+            (["_nc", "custkey"], "_crank"),
+        ],
+    ).drop("_n1", "_n2", "_nc")
     a = r.alias("a")
     b = r.alias("b")
     depths = a.join(b, F.col("a.pos1") == F.col("b.pos2")).select(

@@ -2195,7 +2195,8 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
         "(a fixed global threshold silently over-prunes sources whose "
         "scorer runs low and under-prunes the ones it flatters; the "
         "shift column IS that bias, per decile). The score is "
-        "INTEGER-EXACT on a 0-1000 scale (8*least(n_tokens,50) + "
+        "INTEGER-EXACT on a 0-1000 scale, with NULL-text docs at the -1 "
+        "sentinel (8*least(n_tokens,50) + "
         "floor(300*stopwords/n_tokens) + floor(300*distinct/n_tokens), "
         "integer division in both engines) — the round-8 ULP audit "
         "caught the former float score's ROUND(q, 6) sitting exactly "
@@ -2206,7 +2207,7 @@ _QNORM_DECILES = (1, 2, 3, 4, 5, 6, 7, 8, 9)
         "rank — identical to ranking every row (ranks inside a score "
         "tie share the q the cut reports; equality-tested vs the naive "
         "rank form). Plan (r8): one hash aggregate to the (source, q) "
-        "histogram, cumulative windows over the <=1001-row score "
+        "histogram, cumulative windows over the <=1002-value score "
         "DOMAIN (the integer lift is what makes the domain finite), a "
         "9-row broadcast decile range-join, and a min — the former "
         "corpus-scale global ROW_NUMBER window (the one documented "
@@ -2244,8 +2245,9 @@ def quality_score_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = spark.createDataFrame([(d,) for d in _QNORM_DECILES], "d int")
 
-    # histogram first: every window below runs over the <=1001-row score
-    # DOMAIN (q is integer 0-1000 by construction), never the corpus
+    # histogram first: every window below runs over the score DOMAIN
+    # (<=1002 values: integer 0-1000 by construction plus the -1
+    # NULL-text sentinel), never the corpus
     src_hist = feats.groupBy("source", "q").agg(F.count(F.lit(1)).alias("c"))
     src_cum = src_hist.select(
         "source",
