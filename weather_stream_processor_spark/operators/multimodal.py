@@ -242,10 +242,10 @@ def extract_features(assets: DataFrame, use_real_codec: bool = False) -> DataFra
     doc=(
         "Binary-column pipeline end-to-end: synthesize assets (payload = "
         "utf-8 bytes, typed metadata struct) -> Arrow-batched mapInPandas "
-        "feature extraction (deterministic fake codec; real decode is a "
-        "NotImplementedError seam). The oracle recomputes the byte "
-        "features relationally, proving the Pandas-UDF path is "
-        "deterministic and schema-stable."
+        "feature extraction over the raw bytes (no decode; the REAL "
+        "decode paths are the multimodal_*_decode_stats queries, r8). "
+        "The oracle recomputes the byte features relationally, proving "
+        "the Pandas-UDF path is deterministic and schema-stable."
     ),
     tags=("multimodal", "llm", "pandas-udf"),
 )
@@ -338,8 +338,9 @@ def resize_payloads(assets: DataFrame, use_real_codec: bool = False) -> DataFram
     byte budget derived from the target thumbnail dims (width/4 x
     height/4) — byte-level stand-in with the exact plumbing of a real
     resampler (binary in -> binary out, metadata-driven output size,
-    batch-wise Arrow transfer). The real path is the decode_payload
-    NotImplementedError seam.
+    batch-wise Arrow transfer). A real resampler would decode first —
+    see decode_payload (real for image/audio since r8; video is the
+    documented closure).
     """
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
