@@ -939,3 +939,96 @@ def test_winnowing_core_matches_reference_on_arbitrary_docs(spark, docs):
             selected.add((pos, hs[pos]))
         checksum = sum(h for _, h in selected) % _WINNOW_P
         assert got[doc_id] == (len(hs), len(selected), checksum), doc_id
+
+
+@given(rows=_ntile_rows)
+@settings(**_SETTINGS)
+def test_exact_global_ranks_multi_spec_matches_row_number(spark, rows):
+    """exact_global_ranks (the n=None branch of the ntiles machinery,
+    round-8's replacement for fagin's three unpartitioned rankings) must
+    agree with ROW_NUMBER bit-for-bit on arbitrary data — including the
+    DESC-as-ASC-over-negated-key composition the fagin rewrite relies
+    on, and several specs resolved in ONE machinery call (shared
+    cutoff/count jobs must not cross-contaminate the specs)."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators.windows import (
+        exact_global_ranks,
+    )
+
+    df = spark.createDataFrame(
+        [(int(v), int(i)) for v, i in rows], "v long, id long"
+    ).select("v", "id", (-F.col("v")).alias("nv"))
+    expected = {
+        (r.id, r.asc_rank, r.desc_rank)
+        for r in df.select(
+            "id",
+            F.row_number().over(Window.orderBy("v", "id")).alias("asc_rank"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("v"), F.asc("id")))
+            .alias("desc_rank"),
+        ).collect()
+    }
+    got = {
+        (r.id, r.asc_rank, r.desc_rank)
+        for r in exact_global_ranks(
+            df,
+            [(["v", "id"], "asc_rank"), (["nv", "id"], "desc_rank")],
+            coarse=4,
+        )
+        .select("id", "asc_rank", "desc_rank")
+        .collect()
+    }
+    assert got == expected
+
+
+_prefix_rows = st.lists(
+    st.tuples(
+        st.sampled_from([None, "a", "b"]),  # partition key, NULLs first-class
+        st.integers(min_value=0, max_value=200),  # order key (uniq per part)
+        st.integers(min_value=-50, max_value=50),  # value, signs mixed
+    ),
+    min_size=1,
+    max_size=50,
+    unique_by=lambda t: (t[0], t[1]),  # strict total order within part
+)
+
+
+@given(rows=_prefix_rows, span=st.sampled_from([1, 2, 4, 16]))
+@settings(**_SETTINGS)
+def test_two_phase_prefix_property_matches_window(spark, rows, span):
+    """two_phase_exclusive_prefix == the unpartitioned-window form on
+    arbitrary data: NULL partition keys, arbitrary bucket gaps/fill
+    (span down to 1 forces every level's residual window to do real
+    work), negative values, single-row groups — hypothesis drives the
+    shapes the fixture never reaches."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.plans.prefix_sum import (
+        two_phase_exclusive_prefix,
+    )
+
+    df = spark.createDataFrame(
+        [(g, int(k), int(v)) for g, k, v in rows],
+        "grp string, k long, v long",
+    ).withColumn("_pb", F.expr(f"k div {span}"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = {
+        (r.grp, r.k, r.out)
+        for r in df.select(
+            "grp", "k", F.coalesce(F.sum("v").over(w), F.lit(0)).alias("out")
+        ).collect()
+    }
+    got = {
+        (r.grp, r.k, r.out)
+        for r in two_phase_exclusive_prefix(
+            df, ["grp"], "_pb", ["k"], F.col("v"), "out", span=span
+        )
+        .select("grp", "k", "out")
+        .collect()
+    }
+    assert got == expected
