@@ -43,19 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # registered-but-never-driver-sampled queries to drain the unsampled set.
 # Rotated for round 8 (r7 verdict tasks 1+6): every name with a fully green
 # driver row in any CORRECTNESS_r0{1..7}.json is REMOVED (the 50 r7 greens
-# were slots 1-50 verbatim); what remains is exactly the 110 oracle-backed
+# were slots 1-50 verbatim); what remains is exactly the 111 oracle-backed
 # queries with no green driver record (108 from the r7 rotation + the two
-# round-8 real-codec decode queries), in the same staged drain order.
+# round-8 real-codec decode queries + the round-8 bitext margin miner), in the same staged drain order.
 # Slots 1-50 form the round-8 window (window/sessionization backlog, the
 # curation/labeling/audit families, the dedup cascade capstone). Note
 # peak_concurrent_sessions (slot 7) is sampled on its round-8 scale-safe
 # plan (two-phase distributed prefix-sum replacing the unpartitioned
 # sweep-line window) whose hash is equality-tested against the r7 form.
-# Slots 51-110 pre-stage round 9 (the evals/experimentation family, the
+# Slots 51-111 pre-stage round 9 (the evals/experimentation family, the
 # labeling family, geo pair, report capstones, and the two round-8
 # real-codec decode queries appended at the tail) — the drain completes r9.
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
-# excluded from the hash window by construction. All 110 are oracle-backed
+# excluded from the hash window by construction. All 111 are oracle-backed
 # and green under the driver-strict local sweep (tools/oracle_check.py).
 # Names not listed keep registry order, i.e. the 289 already-verified
 # names trail the window.
@@ -97,6 +97,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dawid_skene_correction", "cumulative_gains_deciles", "eval_scorecard_report",
     "experiment_readout_report", "drift_panel_report", "capture_recapture_dup_estimate",
     "multimodal_image_decode_stats", "multimodal_audio_decode_stats",
+    "bitext_margin_mining",
 )
 
 

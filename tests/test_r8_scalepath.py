@@ -515,3 +515,69 @@ def test_quantile_cuts_null_text_edge_vs_oracle(spark, tmp_path):
     # (rank ceil(d*3/10) = 1) are the -1 sentinel
     by = {(r[0], r[1]): r[2] for r in got}
     assert by[("s0", 1)] == -1 and by[("s1", 1)] == -1
+
+
+def test_bitext_margin_mining_rederivation(spark):
+    """Pure-numpy rederivation of the margin miner at the smoke fixture:
+    lifted dots, top-K neighborhood sums, ratio-margin argmax per source,
+    global top-N — every emitted integer must match exactly."""
+    import numpy as np
+
+    from weather_stream_processor_spark.operators.similarity import (
+        _BITEXT_K,
+        _BITEXT_TOPN,
+    )
+    from weather_stream_processor_spark.sources import load_table
+
+    rows = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    lift = {
+        int(r.vec_id): np.floor(
+            np.asarray(r.embedding, dtype="float64") * 10000.0 + 0.5
+        ).astype("int64")
+        for r in rows
+    }
+    side = {int(r.vec_id): int(r.label) % 2 for r in rows}
+    A = sorted(v for v, s in side.items() if s == 0)
+    B = sorted(v for v, s in side.items() if s == 1)
+    d = {(x, y): int(lift[x] @ lift[y]) for x in A for y in B}
+    a_x = {
+        x: sum(
+            dv
+            for dv, _ in sorted(
+                ((d[(x, y)], y) for y in B), key=lambda t: (-t[0], t[1])
+            )[:_BITEXT_K]
+        )
+        for x in A
+    }
+    b_y = {
+        y: sum(
+            dv
+            for dv, _ in sorted(
+                ((d[(x, y)], x) for x in A), key=lambda t: (-t[0], t[1])
+            )[:_BITEXT_K]
+        )
+        for y in B
+    }
+    best = []
+    for x in A:
+        cands = [
+            (2 * _BITEXT_K * d[(x, y)], a_x[x] + b_y[y], y)
+            for y in B
+            if d[(x, y)] > 0 and a_x[x] + b_y[y] > 0
+        ]
+        if not cands:
+            continue
+        num, den, y = min(cands, key=lambda t: (-(t[0] / t[1]), t[2]))
+        best.append((x, y, d[(x, y)], num, den))
+    expect = sorted(best, key=lambda t: (-(t[3] / t[4]), t[0]))[:_BITEXT_TOPN]
+    got = [
+        (r.x_id, r.y_id, r.dot_i, r.margin_num, r.margin_den)
+        for r in all_queries()["bitext_margin_mining"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    ]
+    assert sorted(got) == sorted(expect)

@@ -321,6 +321,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
     ),
+    'bitext_margin_mining': (
+        ('BroadcastNestedLoopJoin BuildRight Inner', 'BroadcastNestedLoopJoin BuildRight Inner', 'BroadcastNestedLoopJoin BuildRight Inner'),
+        'exact-baseline',
+    ),
     'blocking_quality_audit': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',

@@ -3643,3 +3643,141 @@ def linear_cka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sqrt(F.col("fyy2").cast("double"))).cast("long").alias("fro_yy"),
         F.floor(F.sqrt(F.col("fxy2").cast("double"))).cast("long").alias("fro_xy"),
     )
+
+
+# --- Round-8: bitext mining with the margin criterion --------------------------
+
+_BITEXT_K = 4  # neighborhood size the margin normalizes against
+_BITEXT_TOPN = 20  # mined pairs emitted
+
+
+@register(
+    "bitext_margin_mining",
+    oracle=f"""
+        WITH lift AS (
+            SELECT vec_id, label, {_LIFT_DUCK} AS kv FROM embeddings
+        ),
+        sa AS (SELECT vec_id, kv FROM lift WHERE label % 2 = 0),
+        sb AS (SELECT vec_id, kv FROM lift WHERE label % 2 = 1),
+        p AS (
+            SELECT sa.vec_id AS x_id, sb.vec_id AS y_id,
+                   CAST(list_sum([sa.kv[i] * sb.kv[i]
+                                  FOR i IN range(1, len(sa.kv) + 1)])
+                        AS BIGINT) AS dot_i
+            FROM sa, sb
+        ),
+        ax AS (
+            SELECT x_id, CAST(SUM(dot_i) AS BIGINT) AS a_x
+            FROM (SELECT x_id, dot_i,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY x_id ORDER BY dot_i DESC, y_id
+                         ) AS rn
+                  FROM p)
+            WHERE rn <= {_BITEXT_K} GROUP BY x_id
+        ),
+        byy AS (
+            SELECT y_id, CAST(SUM(dot_i) AS BIGINT) AS b_y
+            FROM (SELECT y_id, dot_i,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY y_id ORDER BY dot_i DESC, x_id
+                         ) AS rn
+                  FROM p)
+            WHERE rn <= {_BITEXT_K} GROUP BY y_id
+        ),
+        cand AS (
+            SELECT p.x_id, p.y_id, p.dot_i,
+                   CAST(2 * {_BITEXT_K} * p.dot_i AS BIGINT) AS margin_num,
+                   CAST(ax.a_x + byy.b_y AS BIGINT) AS margin_den
+            FROM p JOIN ax USING (x_id) JOIN byy USING (y_id)
+            WHERE p.dot_i > 0 AND ax.a_x + byy.b_y > 0
+        ),
+        best AS (
+            SELECT x_id, y_id, dot_i, margin_num, margin_den
+            FROM (SELECT c.*,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY x_id
+                             ORDER BY margin_num * 1.0 / margin_den DESC,
+                                      y_id
+                         ) AS rn
+                  FROM cand c)
+            WHERE rn = 1
+        )
+        SELECT x_id, y_id, dot_i, margin_num, margin_den
+        FROM best
+        ORDER BY margin_num * 1.0 / margin_den DESC, x_id
+        LIMIT {_BITEXT_TOPN}
+    """,
+    doc=(
+        "BITEXT MINING with the MARGIN CRITERION (Artetxe & Schwenk "
+        "2019, the LASER/CCMatrix parallel-pair miner): embeddings split "
+        "into two 'languages' by label parity; for every source vector "
+        "the best target is the one maximizing the RATIO margin "
+        "score(x,y) / mean(top-K neighborhood similarities of x and y) — "
+        "the normalization that kills hubness false positives a raw "
+        f"cosine threshold admits. Top-{_BITEXT_TOPN} mined pairs "
+        "emitted. Similarity is the EXACT integer-lifted dot product "
+        "(unit-norm fixture vectors, so dot IS cosine at 1e8 scale), "
+        "and the margin ships as the exact integer fraction "
+        f"(margin_num, margin_den) = (2K*dot, a_x + b_y) with K={_BITEXT_K} "
+        "— the ranking divides the two exact BIGINTs once (identical "
+        "IEEE double both engines) and every tie breaks on ids. "
+        "Non-positive dots/denominators are filtered (mining only keeps "
+        "high-similarity pairs; sign-flipped ratios are meaningless). "
+        "Exact O(|A|x|B|) baseline like its siblings (triplet_mining, "
+        "mutual_knn_pairs); at 100 TB the candidate pairs come from the "
+        "ANN family (LSH/IVF over the union corpus) and the margin "
+        "normalizer from the candidates' own top-K — same ranking, "
+        "bounded candidates."
+    ),
+    tags=("similarity", "llm", "retrieval", "curation"),
+)
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr(_LIFT_SPARK).alias("kv")
+    )
+    sa = spread(emb.filter(F.col("label") % 2 == 0), "vec_id").alias("sa")
+    sb = emb.filter(F.col("label") % 2 == 1).alias("sb")
+    dot_i = F.aggregate(
+        F.zip_with("sa.kv", "sb.kv", lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    p = sa.join(sb).select(
+        F.col("sa.vec_id").alias("x_id"),
+        F.col("sb.vec_id").alias("y_id"),
+        dot_i.alias("dot_i"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("dot_i"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("dot_i"), F.asc("x_id"))
+    ax = (
+        p.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("x_id")
+        .agg(F.sum("dot_i").cast("bigint").alias("a_x"))
+    )
+    byy = (
+        p.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= _BITEXT_K)
+        .groupBy("y_id")
+        .agg(F.sum("dot_i").cast("bigint").alias("b_y"))
+    )
+    cand = (
+        p.join(ax, "x_id")
+        .join(byy, "y_id")
+        .filter((F.col("dot_i") > 0) & (F.col("a_x") + F.col("b_y") > 0))
+        .select(
+            "x_id",
+            "y_id",
+            "dot_i",
+            (2 * _BITEXT_K * F.col("dot_i")).cast("bigint").alias("margin_num"),
+            (F.col("a_x") + F.col("b_y")).cast("bigint").alias("margin_den"),
+        )
+    )
+    ratio = F.col("margin_num") * 1.0 / F.col("margin_den")
+    wbest = Window.partitionBy("x_id").orderBy(ratio.desc(), F.asc("y_id"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return best.orderBy(ratio.desc(), F.asc("x_id")).limit(_BITEXT_TOPN)
