@@ -52,8 +52,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # plan (two-phase distributed prefix-sum replacing the unpartitioned
 # sweep-line window) whose hash is equality-tested against the r7 form.
 # Slots 51-111 pre-stage round 9 (the evals/experimentation family, the
-# labeling family, geo pair, report capstones, and the two round-8
-# real-codec decode queries appended at the tail) — the drain completes r9.
+# labeling family, geo pair, report capstones, then the three round-8
+# additions at the tail: the two real-codec decode queries and, last,
+# the bitext margin miner at slot 111) — the drain completes r9.
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
 # excluded from the hash window by construction. All 111 are oracle-backed
 # and green under the driver-strict local sweep (tools/oracle_check.py).
