@@ -18,6 +18,19 @@ Found on first run: linear_cka_truncation_audit's fro_xx sat EXACTLY on
 a tie (dist 0.0 at ulp 0.25) — since fixed to FLOOR(sqrt) BIGINT (IEEE
 sqrt is correctly rounded on every build; floor has no half-grid).
 
+Round 9: the swap is restricted to the FINAL query block (everything
+from the first paren-depth-0 SELECT onward — i.e. after the WITH
+clause). Swapping CTE-internal ROUNDs corrupted every probe downstream
+of them: brier_score_decomposition's _SCORE_CTE round(x, 4) became
+x*10^4, cascading 1e8 into the integer lifts and producing phantom
+tie-proximity findings on values whose true margins are >1e10 ulps.
+CTE-internal rounds keep their semantics (so the final-block probes are
+faithful) and are reported once per query as 'inner-rounds-intact' so
+the unaudited surface is visible rather than silent. Inner rounds that
+feed GROUP BY keys or integer lifts are boundary-relevant through a
+different mechanism (key divergence) and need a per-site probe, not
+this whole-query macro — tracked in the finding note.
+
 Usage: python tools/round_margin_audit.py [sf_dir] [query ...]
 """
 
@@ -64,6 +77,82 @@ def _swap_rounds(sql: str) -> str:
     return "".join(out)
 
 
+def _final_block_start(sql: str) -> int:
+    """Offset of the first paren-depth-0 SELECT — the main query block
+    after any WITH clause (CTE bodies are parenthesized, so they never
+    host a depth-0 SELECT; top-level UNION branches all start at or
+    after this offset). 0 when the oracle has no WITH clause."""
+    depth = 0
+    pat = re.compile(r"\bSELECT\b", re.I)
+    for m in pat.finditer(sql):
+        depth = sql.count("(", 0, m.start()) - sql.count(")", 0, m.start())
+        if depth == 0:
+            return m.start()
+    return 0
+
+
+def _swap_final_block_rounds(sql: str) -> tuple[str, int]:
+    """Swap ROUNDs only in the final query block; return (patched SQL,
+    count of CTE-internal ROUNDs left intact)."""
+    cut = _final_block_start(sql)
+    head, tail = sql[:cut], sql[cut:]
+    inner = len(re.findall(r"\bROUND\s*\(", head, re.I))
+    return head + _swap_rounds(tail), inner
+
+
+def _swapped_aliases(patched: str) -> set[str] | None:
+    """Output aliases whose final-block projection item contains a probe
+    swap — the ONLY columns whose values are pre-round probes. Columns
+    that merely pass a CTE-rounded value through are final values on
+    their own decimal grid; reading them as probes produced phantom ties
+    (a 2-dp revenue ending in .50, a pos_rate of exactly 0.5). Returns
+    None (audit everything) if any probed item lacks an AS alias."""
+    out: set[str] = set()
+    start = _final_block_start(patched)
+    # absolute paren depth at each char (subquery SELECTs sit at depth>0)
+    depth_at = []
+    d = 0
+    for ch in patched:
+        depth_at.append(d)
+        if ch == "(":
+            d += 1
+        elif ch == ")":
+            d -= 1
+    sel = re.compile(r"\bSELECT\b", re.I)
+    from_kw = re.compile(r"\bFROM\b", re.I)
+    for m in sel.finditer(patched, start):
+        if depth_at[m.start()] != 0:
+            continue
+        # projection list runs to the next depth-0 FROM (or end)
+        end = len(patched)
+        for fm in from_kw.finditer(patched, m.end()):
+            if depth_at[fm.start()] == 0:
+                end = fm.start()
+                break
+        proj = patched[m.end() : end]
+        # split on depth-0 commas
+        items, buf, d = [], [], 0
+        for ch in proj:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            if ch == "," and d == 0:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        items.append("".join(buf))
+        for item in items:
+            if "probe_round" not in item:
+                continue
+            al = re.search(r'\bAS\s+"?(\w+)"?\s*$', item.strip(), re.I)
+            if not al:
+                return None  # unaliased probe: fall back to audit-all
+            out.add(al.group(1).lower())
+    return out
+
+
 def audit(sf_dir: str, names: list[str] | None = None) -> list[tuple]:
     import duckdb
 
@@ -94,7 +183,14 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[tuple]:
         sql = spec.oracle
         if not sql or "ROUND" not in sql.upper():
             continue
-        patched = _swap_rounds(sql)
+        patched, inner = _swap_final_block_rounds(sql)
+        if inner:
+            findings.append(
+                (name, "*", "inner-rounds-intact",
+                 f"n={inner} (CTE-internal; audited only via final-block "
+                 "propagation — key/lift divergence needs a per-site probe)")
+            )
+        probed = _swapped_aliases(patched)
         try:
             pdf = con.execute(patched).fetchdf()
         except Exception as ex:  # pragma: no cover - surface, don't die
@@ -104,6 +200,8 @@ def audit(sf_dir: str, names: list[str] | None = None) -> list[tuple]:
             s = pdf[c]
             if s.dtype.kind != "f":
                 continue
+            if probed is not None and c.lower() not in probed:
+                continue  # passthrough of a CTE-rounded value, not a probe
             worst = None
             subulp = None
             for v in s.dropna():
