@@ -51,10 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # peak_concurrent_sessions (slot 7) is sampled on its round-8 scale-safe
 # plan (two-phase distributed prefix-sum replacing the unpartitioned
 # sweep-line window) whose hash is equality-tested against the r7 form.
-# Slots 51-111 pre-stage round 9 (the evals/experimentation family, the
-# labeling family, geo pair, report capstones, then the three round-8
-# additions at the tail: the two real-codec decode queries and, last,
-# the bitext margin miner at slot 111) — the drain completes r9.
+# Slots 51-111 pre-stage the next window (the evals/experimentation
+# family, the labeling family, geo pair, report capstones, then the
+# three round-8 additions: the two real-codec decode queries and the
+# bitext margin miner at slot 111). NOTE (round 9): the round-8 driver
+# verify never ran (no CORRECTNESS_r08.json exists), so slots 1-50 are
+# still the live window for round 9 unchanged, and the drain now
+# completes in r10-r11. Slots 112-114 stage the three round-9 additions
+# (corpus BLEU components, leave-one-source-out influence, Condorcet
+# cycle audit), margin-audited with the rest of the window.
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
 # excluded from the hash window by construction. All 111 are oracle-backed
 # and green under the driver-strict local sweep (tools/oracle_check.py).
@@ -99,6 +104,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "experiment_readout_report", "drift_panel_report", "capture_recapture_dup_estimate",
     "multimodal_image_decode_stats", "multimodal_audio_decode_stats",
     "bitext_margin_mining",
+    "corpus_bleu_eval", "loo_source_influence", "condorcet_cycle_audit",
 )
 
 

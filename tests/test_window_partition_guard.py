@@ -353,6 +353,14 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
     ),
+    'condorcet_cycle_audit': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # three 1-row count aggregates over the <=B^2 vote matrix
+    ),
+    'corpus_bleu_eval': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row corpus length total onto the 4-row precision table
+    ),
     'cosine_topk_exact': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
@@ -472,6 +480,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'lang_source_chi_square': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
+    ),
+    'loo_source_influence': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row global moment total onto the |sources| rows
     ),
     'lorenz_curve_deciles': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),

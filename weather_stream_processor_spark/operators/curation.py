@@ -479,3 +479,120 @@ def information_gain_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out influence: which source moves the embedding
+# distribution most (round 9).
+# ---------------------------------------------------------------------------
+
+_LOO_LIFT_DUCK = (
+    "[CAST(floor(CAST(u AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)"
+    " FOR u IN embedding]"
+)
+_LOO_LIFT_SPARK = (
+    "transform(embedding, x ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "loo_source_influence",
+    oracle=f"""
+        WITH v AS (
+            SELECT d.source, {_LOO_LIFT_DUCK} AS kv
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ),
+        dims AS (
+            SELECT source, i, kv[i] AS x
+            FROM v, (SELECT unnest(range(1, 33)) AS i)
+        ),
+        gd AS (
+            SELECT source, i, CAST(SUM(x) AS BIGINT) AS s_gi
+            FROM dims GROUP BY source, i
+        ),
+        td AS (
+            SELECT i, CAST(SUM(s_gi) AS BIGINT) AS s_i FROM gd GROUP BY i
+        ),
+        cnt AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+            FROM v GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   (SELECT CAST(SUM(s_i * s_i) AS DECIMAL(38, 0)) FROM td)
+                       AS stt
+            FROM cnt
+        ),
+        mom AS (
+            SELECT gd.source,
+                   CAST(SUM(gd.s_gi * gd.s_gi) AS DECIMAL(38, 0)) AS sgg,
+                   CAST(SUM(gd.s_gi * td.s_i) AS DECIMAL(38, 0)) AS sgt
+            FROM gd JOIN td USING (i) GROUP BY gd.source
+        )
+        SELECT c.source, c.n_g, t.n, m.sgg, m.sgt, t.stt
+        FROM cnt c JOIN mom m USING (source) CROSS JOIN tot t
+    """,
+    doc=(
+        "LEAVE-ONE-SOURCE-OUT INFLUENCE (datamodel-lite attribution): "
+        "how far does the corpus embedding centroid move when one "
+        "source's documents are removed? With exact integer group sums "
+        "S_g and total S, mu_all - mu_without_g = (n*S_g - n_g*S) / "
+        "(n*(n - n_g)) per dimension, so the squared shift's numerator "
+        "is n^2*sgg - 2*n*n_g*sgt + n_g^2*stt over the three hashed "
+        "DECIMAL(38,0) moments (sgg = |S_g|^2, sgt = S_g.S, stt = |S|^2) "
+        "— the consumer divides by (n*(n - n_g))^2 once, outside the "
+        "hashed result (the covariance-spectrum all-integer contract). "
+        "Plan: one doc-embedding join (vec_id = doc_id), one hash "
+        "aggregate to |sources| rows of 32 per-dim sums, a 1-row total "
+        "broadcast back — per-source work is a single corpus scan, "
+        "nothing pairwise. Exact under |S_g[i]| <= n_g*1e4, so the "
+        "DECIMAL(38,0) moments hold past 1e14 vectors; the BIGINT "
+        "per-dim sums overflow loudly (ANSI/strict on both engines) "
+        "long after that. At 100 TB this is the cheap first-pass "
+        "attribution before anything gradient-based: sources whose "
+        "removal barely moves the distribution are safe ablation "
+        "candidates; outsized movers get audited."
+    ),
+    tags=("curation", "llm", "similarity", "attribution"),
+)
+def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(_LOO_LIFT_SPARK).alias("kv")
+    )
+    v = docs.join(emb, docs.doc_id == emb.vec_id).select("source", "kv")
+    dim_sums = [
+        F.sum(F.element_at("kv", i)).cast("bigint").alias(f"s{i}")
+        for i in range(1, 33)
+    ]
+    g = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"), *dim_sums
+    )
+    s_g = F.array(*[F.col(f"s{i}") for i in range(1, 33)])
+    g = g.select("source", "n_g", s_g.alias("s_g"))
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.array(
+            *[
+                F.sum(F.element_at("s_g", i)).cast("bigint")
+                for i in range(1, 33)
+            ]
+        ).alias("s"),
+    )
+
+    def sq_dot(a: str, b: str) -> F.Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, z: acc + z.cast("decimal(38,0)"),
+        )
+
+    return g.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_g",
+        "n",
+        sq_dot("s_g", "s_g").alias("sgg"),
+        sq_dot("s_g", "s").alias("sgt"),
+        sq_dot("s", "s").alias("stt"),
+    )

@@ -2904,3 +2904,125 @@ def mcnemar_paired_screens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.abs(d) - 1) * (F.abs(d) - 1)).cast("double") / tot, 6
         ).alias("chi2_continuity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus BLEU: modified n-gram precision components for generation eval.
+# ---------------------------------------------------------------------------
+
+_BLEU_MAX_N = 4
+_BLEU_DROP = 7  # candidate = reference with every 7th token removed
+
+
+@register(
+    "corpus_bleu_eval",
+    oracle=f"""
+        WITH split AS (
+            SELECT doc_id, string_split(text, ' ') AS ref FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, ref,
+                   [ref[i] FOR i IN range(1, len(ref) + 1)
+                           IF i % {_BLEU_DROP} != 0] AS cand
+            FROM split
+        ),
+        grams AS (
+            SELECT doc_id, n,
+                   unnest([array_to_string(cand[i:i+n-1], ' ')
+                           FOR i IN range(1, len(cand) - n + 2)]) AS gram,
+                   1 AS from_cand
+            FROM toks, (SELECT unnest(range(1, {_BLEU_MAX_N} + 1)) AS n)
+            UNION ALL
+            SELECT doc_id, n,
+                   unnest([array_to_string(ref[i:i+n-1], ' ')
+                           FOR i IN range(1, len(ref) - n + 2)]) AS gram,
+                   0 AS from_cand
+            FROM toks, (SELECT unnest(range(1, {_BLEU_MAX_N} + 1)) AS n)
+        ),
+        counts AS (
+            SELECT doc_id, n, gram,
+                   CAST(SUM(from_cand) AS BIGINT) AS cc,
+                   CAST(COUNT(*) - SUM(from_cand) AS BIGINT) AS cr
+            FROM grams GROUP BY doc_id, n, gram
+        ),
+        prec AS (
+            SELECT n,
+                   CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS clipped_total,
+                   CAST(SUM(cc) AS BIGINT) AS cand_total
+            FROM counts WHERE cc > 0 GROUP BY n
+        ),
+        lens AS (
+            SELECT CAST(SUM(len(cand)) AS BIGINT) AS cand_len,
+                   CAST(SUM(len(ref)) AS BIGINT) AS ref_len
+            FROM toks
+        )
+        SELECT CAST(n AS BIGINT) AS n, clipped_total, cand_total,
+               cand_len, ref_len
+        FROM prec CROSS JOIN lens
+    """,
+    doc=(
+        "CORPUS BLEU COMPONENTS (Papineni et al. 2002) — the generation-"
+        "eval text-overlap metric the retrieval/calibration eval family "
+        "lacked: modified (clipped) n-gram precision for n=1..4 between a "
+        "deterministic candidate (the reference with every "
+        f"{_BLEU_DROP}th token dropped — a reproducible 'lossy "
+        "generation') and the reference text, plus the corpus candidate/"
+        "reference lengths that feed the brevity penalty. The output is "
+        "the ALL-INTEGER component table (n, clipped_total, cand_total, "
+        "cand_len, ref_len) — BLEU = BP * exp(mean log(clipped/cand)) is "
+        "one bounded driver-side expression over 4 rows, kept out of the "
+        "hashed result entirely (the covariance-spectrum contract rule). "
+        "Clipping joins candidate against reference counts PER DOCUMENT "
+        "(one hash aggregate keyed (doc_id, n, gram), no cross-document "
+        "state), so the plan is a single corpus scan + one shuffle on "
+        "doc-local keys and the per-n component table is 4 rows — at "
+        "100 TB the gram aggregate partitions on (doc_id, n, gram) with "
+        "map-side partial aggregation and nothing global beyond the "
+        "4-row total."
+    ),
+    tags=("evals", "llm", "text", "generation"),
+)
+def corpus_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = tokens(F.col("text"))
+    cand = F.filter(ref, lambda t, i: (i + 1) % _BLEU_DROP != 0)
+    toks = docs.select("doc_id", ref.alias("ref"), cand.alias("cand"))
+
+    def gram_rows(col: str, flag: int) -> DataFrame:
+        parts = []
+        for n in range(1, _BLEU_MAX_N + 1):
+            parts.append(
+                toks.select(
+                    "doc_id",
+                    F.lit(n).cast("bigint").alias("n"),
+                    F.explode(word_ngrams(F.col(col), n)).alias("gram"),
+                    F.lit(flag).alias("from_cand"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    grams = gram_rows("cand", 1).unionAll(gram_rows("ref", 0))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.sum("from_cand").cast("bigint").alias("cc"),
+        (F.count(F.lit(1)) - F.sum("from_cand")).cast("bigint").alias("cr"),
+    )
+    prec = (
+        counts.filter(F.col("cc") > 0)
+        .groupBy("n")
+        .agg(
+            F.sum(F.least("cc", "cr")).cast("bigint").alias("clipped_total"),
+            F.sum("cc").cast("bigint").alias("cand_total"),
+        )
+    )
+    lens = toks.agg(
+        F.sum(F.size("cand")).cast("bigint").alias("cand_len"),
+        F.sum(F.size("ref")).cast("bigint").alias("ref_len"),
+    )
+    return prec.crossJoin(F.broadcast(lens)).select(
+        "n", "clipped_total", "cand_total", "cand_len", "ref_len"
+    )

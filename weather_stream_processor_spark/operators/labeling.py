@@ -46,7 +46,7 @@ from weather_stream_processor_spark.operators.evals import (
 )
 from weather_stream_processor_spark.operators.text import STOPWORDS
 from weather_stream_processor_spark.registry import register
-from weather_stream_processor_spark.sources import load_table
+from weather_stream_processor_spark.sources import load_table, load_tables
 
 # ---------------------------------------------------------------------------
 # Inter-annotator agreement: Cohen's kappa between the registered lang-id
@@ -1375,4 +1375,142 @@ def cumulative_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cutoff_rows") * F.lit(1.0) / F.col("n")),
             6,
         ).alias("lift"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Condorcet cycle audit: is the majority preference relation transitive?
+# (round 9)
+# ---------------------------------------------------------------------------
+
+_SPEND_CENTS4 = (
+    "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "condorcet_cycle_audit",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o.o_custkey AS cust, p.p_brand AS brand,
+                   CAST(SUM({_SPEND_CENTS4}) AS BIGINT) AS sp
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY o.o_custkey, p.p_brand
+        ),
+        votes AS (
+            SELECT a.brand AS brand_a, b.brand AS brand_b,
+                   CAST(SUM(CASE WHEN a.sp > b.sp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_ab,
+                   CAST(SUM(CASE WHEN b.sp > a.sp THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v_ba
+            FROM spend a
+            JOIN spend b ON a.cust = b.cust AND a.brand < b.brand
+            GROUP BY a.brand, b.brand
+        ),
+        edges AS (
+            SELECT CASE WHEN v_ab > v_ba THEN brand_a ELSE brand_b END AS w,
+                   CASE WHEN v_ab > v_ba THEN brand_b ELSE brand_a END AS lo
+            FROM votes WHERE v_ab <> v_ba
+        )
+        SELECT (SELECT CAST(COUNT(DISTINCT brand) AS BIGINT) FROM spend)
+                   AS n_brands,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM votes
+                WHERE v_ab = v_ba) AS n_ties,
+               (SELECT CAST(COUNT(*) AS BIGINT)
+                FROM edges e1
+                JOIN edges e2 ON e1.lo = e2.w
+                JOIN edges e3 ON e2.lo = e3.w AND e3.lo = e1.w
+                WHERE e1.w < e2.w AND e1.w < e3.w) AS n_cycles
+    """,
+    doc=(
+        "CONDORCET CYCLE AUDIT of aggregated pairwise preferences — the "
+        "transitivity check RLHF reward aggregation silently assumes "
+        "away. Each customer is a voter whose preference order over "
+        "brands is induced by exact integer-lifted spend (4-dp cents, "
+        "the revenue_contribution lift); pairwise majority voting over "
+        "all voters yields the majority digraph, and every directed "
+        "3-cycle a>b>c>a in it is a Condorcet paradox — preference data "
+        "a Bradley-Terry fit (bradley_terry_strengths) CANNOT represent, "
+        "so the cycle count is the precondition audit for that model "
+        "and for any arena-style ranking built on majority aggregation. "
+        "Output is one all-BIGINT row: brands, majority edges, exact "
+        "ties (no edge), and the directed-triangle census counted once "
+        "per cycle via its minimal vertex. Plan: corpus reduces to the "
+        "(customer, brand) spend aggregate in one shuffle; the "
+        "per-customer pair expansion is bounded by the brand domain "
+        "squared per voter (a few hundred rows each, linear overall); "
+        "everything after lives on the <=B^2-row vote matrix, so the "
+        "cycle join is dimension-sized. At 100 TB the voter expansion "
+        "stays linear in customers and nothing global beyond the B^2 "
+        "matrix exists."
+    ),
+    tags=("labeling", "llm", "preferences", "graph"),
+)
+def condorcet_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = load_tables(spark, sf_dir, "lineitem", "orders", "part")
+    spend = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum(F.expr(_SPEND_CENTS4)).cast("bigint").alias("sp"))
+    )
+    a = spend.alias("a")
+    b = spend.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(
+            F.sum(F.when(F.col("a.sp") > F.col("b.sp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("v_ab"),
+            F.sum(F.when(F.col("b.sp") > F.col("a.sp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("v_ba"),
+        )
+    )
+    edges = votes.filter(F.col("v_ab") != F.col("v_ba")).select(
+        F.when(F.col("v_ab") > F.col("v_ba"), F.col("brand_a"))
+        .otherwise(F.col("brand_b"))
+        .alias("w"),
+        F.when(F.col("v_ab") > F.col("v_ba"), F.col("brand_b"))
+        .otherwise(F.col("brand_a"))
+        .alias("lo"),
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    cycles = (
+        e1.join(e2, F.col("e1.lo") == F.col("e2.w"))
+        .join(
+            e3,
+            (F.col("e2.lo") == F.col("e3.w"))
+            & (F.col("e3.lo") == F.col("e1.w")),
+        )
+        .filter(
+            (F.col("e1.w") < F.col("e2.w")) & (F.col("e1.w") < F.col("e3.w"))
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cycles"))
+    )
+    n_brands = spend.agg(
+        F.countDistinct("brand").cast("bigint").alias("n_brands")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    n_ties = votes.filter(F.col("v_ab") == F.col("v_ba")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ties")
+    )
+    return (
+        n_brands.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_ties))
+        .crossJoin(F.broadcast(cycles))
+        .select("n_brands", "n_edges", "n_ties", "n_cycles")
     )
