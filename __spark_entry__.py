@@ -57,9 +57,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # bitext margin miner at slot 111). NOTE (round 9): the round-8 driver
 # verify never ran (no CORRECTNESS_r08.json exists), so slots 1-50 are
 # still the live window for round 9 unchanged, and the drain now
-# completes in r10-r11. Slots 112-114 stage the three round-9 additions
+# completes in r10-r11. Slots 112-116 stage the five round-9 additions
 # (corpus BLEU components, leave-one-source-out influence, Condorcet
-# cycle audit), margin-audited with the rest of the window.
+# cycle audit, rank-biased overlap, scaling-law OLS fit), margin-audited
+# with the rest of the window.
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
 # excluded from the hash window by construction. All 111 are oracle-backed
 # and green under the driver-strict local sweep (tools/oracle_check.py).
@@ -105,6 +106,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "multimodal_image_decode_stats", "multimodal_audio_decode_stats",
     "bitext_margin_mining",
     "corpus_bleu_eval", "loo_source_influence", "condorcet_cycle_audit",
+    "rank_biased_overlap", "scaling_law_ols_fit",
 )
 
 

@@ -254,3 +254,134 @@ def test_condorcet_transitive_majority_has_no_cycles(spark, tmp_path):
     _write_pref_fixture(str(sub), spends2)
     row2 = spec.builder(spark, str(sub)).collect()[0].asDict()
     assert row2 == {"n_brands": 2, "n_edges": 0, "n_ties": 1, "n_cycles": 0}
+
+
+# --------------------------------------------------------------------------
+# rank_biased_overlap
+# --------------------------------------------------------------------------
+
+
+def test_rbo_identical_rankings_closed_form(spark, tmp_path):
+    """With a single query term both rankers order identically, so
+    overlap_d = d and truncated RBO@10 collapses to the closed form
+    1 - p^10: rbo_num must be exactly 2520 * (10^10 - 9^10)."""
+    # 12 docs, doc i contains 'spark' (13 - i) times -> strict order
+    texts = [" ".join(["spark"] * (13 - i)) for i in range(1, 13)]
+    _write_docs(str(tmp_path), texts)
+    spec = all_queries()["rank_biased_overlap"]
+    rows = [r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()]
+    assert len(rows) == 10
+    for r in rows:
+        assert int(r["overlap"]) == int(r["d"])
+    assert int(rows[0]["rbo_num"]) == 2520 * (10**10 - 9**10)
+    assert int(rows[0]["rbo_den"]) == 2520 * 10**10
+
+
+def test_rbo_matches_fraction_rederivation(spark, tmp_path):
+    """Two terms with different document frequencies make the TF and
+    rarity-weighted rankings disagree; the integer numerator must equal
+    the exact Fraction computation from first principles."""
+    from fractions import Fraction
+
+    # 'spark' is common (low rarity weight), 'window' is rare (high)
+    texts = []
+    for i in range(1, 15):
+        parts = ["spark"] * (i % 5 + 1)
+        if i % 4 == 0:
+            parts += ["window"] * (i % 3 + 1)
+        parts += ["filler"] * 3
+        texts.append(" ".join(parts))
+    _write_docs(str(tmp_path), texts)
+    spec = all_queries()["rank_biased_overlap"]
+    rows = sorted(
+        (r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()),
+        key=lambda r: int(r["d"]),
+    )
+    # rederive: per-doc s_tf / s_idf
+    n_docs = len(texts)
+    terms = ("spark", "join", "window")
+    tf = {}
+    for i, t in enumerate(texts, start=1):
+        toks = t.split(" ")
+        for term in terms:
+            c = toks.count(term)
+            if c:
+                tf[(i, term)] = c
+    df = {term: sum(1 for (_, tm) in tf if tm == term) for term in terms}
+    docs_matched = sorted({i for (i, _) in tf})
+    s_tf = {i: sum(c for (d, tm), c in tf.items() if d == i) for i in docs_matched}
+    s_idf = {
+        i: sum(c * (n_docs - df[tm]) for (d, tm), c in tf.items() if d == i)
+        for i in docs_matched
+    }
+    rank_a = {
+        d: r + 1
+        for r, d in enumerate(sorted(docs_matched, key=lambda d: (-s_tf[d], d)))
+    }
+    rank_b = {
+        d: r + 1
+        for r, d in enumerate(sorted(docs_matched, key=lambda d: (-s_idf[d], d)))
+    }
+    p = Fraction(9, 10)
+    rbo = Fraction(0)
+    for d in range(1, 11):
+        ov = sum(1 for i in docs_matched if rank_a[i] <= d and rank_b[i] <= d)
+        assert ov == int(rows[d - 1]["overlap"]), f"depth {d}"
+        rbo += (1 - p) * p ** (d - 1) * Fraction(ov, d)
+    assert Fraction(int(rows[0]["rbo_num"]), int(rows[0]["rbo_den"])) == rbo
+
+
+# --------------------------------------------------------------------------
+# scaling_law_ols_fit
+# --------------------------------------------------------------------------
+
+
+def test_scaling_law_fit_matches_numpy_lstsq(spark):
+    """The Cramer 3x3 closed form must agree with numpy's least-squares
+    solve on the same (ln n_docs, ln n_tokens) -> ln vocab cell points
+    from the real sf0.001 fixture."""
+    import numpy as np
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    pts = con.execute(
+        """
+        SELECT ln(COUNT(*)) AS x1,
+               ln(SUM(len(string_split(text, ' ')))) AS x2,
+               ln(COUNT(DISTINCT tok)) AS y
+        FROM (SELECT source, lang, text,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY source, lang
+        """
+    ).fetchnumpy()
+    # careful: the doubled rows from unnest inflate COUNT(*); recompute
+    cells = con.execute(
+        """
+        WITH c AS (
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   SUM(len(string_split(text, ' '))) AS n_tokens
+            FROM documents GROUP BY source, lang
+        ),
+        v AS (
+            SELECT source, lang, COUNT(DISTINCT tok) AS v
+            FROM (SELECT source, lang, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) GROUP BY source, lang
+        )
+        SELECT ln(c.n_docs) AS x1, ln(c.n_tokens) AS x2, ln(v.v) AS y
+        FROM c JOIN v USING (source, lang)
+        """
+    ).fetchnumpy()
+    X = np.column_stack(
+        [np.ones(len(cells["x1"])), cells["x1"], cells["x2"]]
+    )
+    coef, *_ = np.linalg.lstsq(X, cells["y"], rcond=None)
+    spec = all_queries()["scaling_law_ols_fit"]
+    row = spec.builder(spark, "/root/testdata/sf0.001").collect()[0].asDict()
+    assert int(row["n_cells"]) == len(cells["x1"])
+    assert float(row["alpha"]) == pytest.approx(coef[0], abs=2e-6)
+    assert float(row["beta_docs"]) == pytest.approx(coef[1], abs=2e-6)
+    assert float(row["beta_tokens"]) == pytest.approx(coef[2], abs=2e-6)

@@ -184,6 +184,10 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>', 'q ASC NULLS FIRST',),
         'integer score-domain histogram (<=1002 values incl. the -1 NULL-text sentinel)',
     ),
+    'rank_biased_overlap': (
+        ('<no order>', 's_idf DESC NULLS LAST, doc_id ASC NULLS FIRST', 's_tf DESC NULLS LAST, doc_id ASC NULLS FIRST'),
+        'rank re-assignment over two LIMIT-10 top-k slices + whole-frame sum over the 10-row depth grid',
+    ),
     'revenue_contribution_pareto': (
         ('<no order>', 'revenue DESC NULLS LAST, n_name ASC NULLS FIRST',),
         '|nations|-row aggregate (dimension-sized)',
@@ -540,6 +544,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'query_likelihood_dirichlet': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
+    ),
+    'rank_biased_overlap': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # 1-row doc count, 10-row depth grid, <=2*DEPTH ranked slice
     ),
     'release_audit_report': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),

@@ -3026,3 +3026,172 @@ def corpus_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prec.crossJoin(F.broadcast(lens)).select(
         "n", "clipped_total", "cand_total", "cand_len", "ref_len"
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap: label-free agreement between two rankers (round 9).
+# ---------------------------------------------------------------------------
+
+_RBO_DEPTH = 10
+# Exact integer weights for truncated RBO at p = 9/10:
+#   rbo@k = (1-p) * sum_{d=1..k} p^(d-1) * overlap_d / d
+# lifted by DEN = 2520 * 10^10 (2520 = lcm(1..10), so every term is an
+# exact BIGINT): w(d) = 9^(d-1) * 10^(10-d) * (2520 / d). Precomputed
+# literals, same determinism trick as the Benford ppb table — neither
+# engine evaluates a power or division at query time.
+_RBO_DEN = 25_200_000_000_000
+_RBO_W = {
+    1: 2_520_000_000_000,
+    2: 1_134_000_000_000,
+    3: 680_400_000_000,
+    4: 459_270_000_000,
+    5: 330_674_400_000,
+    6: 248_005_800_000,
+    7: 191_318_760_000,
+    8: 150_663_523_500,
+    9: 120_530_818_800,
+    10: 97_629_963_228,
+}
+_RBO_W_SQL = (
+    "CASE d "
+    + " ".join(f"WHEN {d} THEN CAST({w} AS BIGINT)" for d, w in _RBO_W.items())
+    + " END"
+)
+
+
+@register(
+    "rank_biased_overlap",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok IN ('spark', 'join', 'window')
+            GROUP BY doc_id, tok
+        ),
+        df AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+        scores AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf) AS BIGINT) AS s_tf,
+                   CAST(SUM(tf.tf * (n.n_docs - df.df)) AS BIGINT) AS s_idf
+            FROM tf JOIN df USING (term) CROSS JOIN n
+            GROUP BY tf.doc_id
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY s_tf DESC, doc_id) AS rank_a,
+                   ROW_NUMBER() OVER (ORDER BY s_idf DESC, doc_id) AS rank_b
+            FROM scores
+        ),
+        depths AS (SELECT unnest(range(1, {_RBO_DEPTH} + 1)) AS d),
+        ov AS (
+            SELECT d.d,
+                   CAST(COUNT(*) FILTER (WHERE r.rank_a <= d.d
+                                           AND r.rank_b <= d.d)
+                        AS BIGINT) AS overlap
+            FROM depths d CROSS JOIN ranked r
+            GROUP BY d.d
+        )
+        SELECT CAST(d AS BIGINT) AS d, overlap,
+               CAST(overlap * ({_RBO_W_SQL}) AS BIGINT) AS contrib_num,
+               CAST(SUM(overlap * ({_RBO_W_SQL})) OVER () AS BIGINT)
+                   AS rbo_num,
+               CAST({_RBO_DEN} AS BIGINT) AS rbo_den
+        FROM ov
+    """,
+    doc=(
+        "RANK-BIASED OVERLAP @10, p=0.9 (Webber, Moffat & Zobel 2010) "
+        "between two rankers of the corpus for the fixed 3-term query — "
+        "the LABEL-FREE ranker-agreement metric next to the labeled "
+        "ndcg/mrr/ap family: how much does rarity (IDF) weighting "
+        "actually change the ranking? Ranker A orders by total query-"
+        "term frequency, ranker B by rarity-weighted frequency "
+        "tf*(n_docs - df); both scores are exact BIGINTs so both "
+        "orderings are engine-stable without any float comparison, and "
+        "the top-weighted prefix overlaps are combined with the "
+        "PRECOMPUTED integer RBO weights (lcm-lifted by 2520*10^10, the "
+        "Benford-constant trick) — the hashed result is all-BIGINT: "
+        "per-depth overlap, contribution, and the exact RBO numerator/"
+        "denominator pair (rbo = rbo_num/rbo_den once, driver-side). "
+        "Plan: one token-filter scan (the IN pushes to the scan), a "
+        "per-doc aggregate, two row_numbers over the matched-docs-only "
+        "relation, and a 10-row bounded depth grid — the corpus never "
+        "meets the window because non-matching docs are filtered before "
+        "ranking; at 100 TB the ranked relation is |matched docs| and "
+        "the prefix-overlap join is depth-bounded."
+    ),
+    tags=("evals", "llm", "retrieval", "ranking"),
+)
+def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*_QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    scores = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("s_tf"),
+            F.sum(F.col("tf") * (F.col("n_docs") - F.col("df")))
+            .cast("bigint")
+            .alias("s_idf"),
+        )
+    )
+    # RBO@10 only consumes ranks <= DEPTH, so each ranker's prefix comes
+    # from a distributed TakeOrderedAndProject (orderBy + limit — partial
+    # top-k on every partition, never a corpus-wide window); the
+    # row_number windows then run over the DEPTH-row slices, bounded by
+    # construction like the calibration-bin frames.
+    wa = Window.orderBy(F.desc("s_tf"), F.asc("doc_id"))
+    wb = Window.orderBy(F.desc("s_idf"), F.asc("doc_id"))
+    topa = (
+        scores.orderBy(F.desc("s_tf"), F.asc("doc_id"))
+        .limit(_RBO_DEPTH)
+        .select("doc_id", F.row_number().over(wa).alias("rank_a"))
+    )
+    topb = (
+        scores.orderBy(F.desc("s_idf"), F.asc("doc_id"))
+        .limit(_RBO_DEPTH)
+        .select("doc_id", F.row_number().over(wb).alias("rank_b"))
+    )
+    ranked = topa.join(topb, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce("rank_a", F.lit(_RBO_DEPTH + 1)).alias("rank_a"),
+        F.coalesce("rank_b", F.lit(_RBO_DEPTH + 1)).alias("rank_b"),
+    )
+    depths = spark.range(1, _RBO_DEPTH + 1).select(F.col("id").alias("d"))
+    ov = (
+        depths.crossJoin(F.broadcast(ranked))
+        .groupBy("d")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("rank_a") <= F.col("d"))
+                    & (F.col("rank_b") <= F.col("d")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+    w_col = F.expr(_RBO_W_SQL)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ov.select(
+        F.col("d").cast("bigint").alias("d"),
+        "overlap",
+        (F.col("overlap") * w_col).cast("bigint").alias("contrib_num"),
+        F.sum(F.col("overlap") * w_col).over(w_all).cast("bigint").alias("rbo_num"),
+        F.lit(_RBO_DEN).cast("bigint").alias("rbo_den"),
+    )

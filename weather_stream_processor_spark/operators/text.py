@@ -3808,3 +3808,141 @@ def skipgram_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SKIP_TOPK)
         .select("w1", "w2", "c_xy", "ppmi", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-regressor scaling-law fit (round 9): the Chinchilla-style OLS kernel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scaling_law_ols_fit",
+    oracle="""
+        WITH cells AS (
+            SELECT source, lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY source, lang
+        ),
+        vocab AS (
+            SELECT source, lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT source, lang,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY source, lang
+        ),
+        pts AS (
+            SELECT c.source, c.lang, c.n_docs, c.n_tokens, vb.v,
+                   ln(c.n_docs) AS x1, ln(c.n_tokens) AS x2, ln(vb.v) AS y
+            FROM cells c JOIN vocab vb USING (source, lang)
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+                   SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+                   SUM(x2 * x2) AS s22,
+                   SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y,
+                   SUM(y * y) AS syy
+            FROM pts
+        )
+        SELECT m AS n_cells,
+               ROUND((sy * (s11 * s22 - s12 * s12)
+                      - s1 * (s1y * s22 - s12 * s2y)
+                      + s2 * (s1y * s12 - s11 * s2y))
+                     / (m * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)), 6) AS alpha,
+               ROUND((m * (s1y * s22 - s12 * s2y)
+                      - sy * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s2y - s1y * s2))
+                     / (m * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)), 6) AS beta_docs,
+               ROUND((m * (s11 * s2y - s1y * s12)
+                      - s1 * (s1 * s2y - s1y * s2)
+                      + sy * (s1 * s12 - s11 * s2))
+                     / (m * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2)), 6) AS beta_tokens
+        FROM mom
+    """,
+    doc=(
+        "TWO-REGRESSOR LOG-LOG OLS — the scaling-law regression kernel "
+        "(Hoffmann et al. 2022 fit L(N, D) on model size and token "
+        "count; Kaplan et al. 2020 likewise): here the capability proxy "
+        "is per-(source, lang) vocabulary, fitted as ln V = alpha + "
+        "beta_docs*ln(n_docs) + beta_tokens*ln(n_tokens) over the "
+        "bounded source-x-lang cell grid — a bivariate Heaps surface "
+        "that separates 'more documents' from 'longer documents' "
+        "vocabulary growth, which the single-regressor heaps_law_fit "
+        "cannot. The 3x3 normal equations are solved in closed form by "
+        "Cramer's rule on ten whole-corpus moments, so the distributed "
+        "work is exactly: one (source, lang) aggregate, one vocab-"
+        "bounded distinct aggregate, and a 1-row moment reduction — no "
+        "iteration, no driver-side solver. ln() runs on exact BIGINT "
+        "cell counts (the heaps_law_fit determinism argument) and the "
+        "three coefficients are the only rounded doubles (6dp, margin-"
+        "audited). At 100 TB the cell grid is dimension-sized and the "
+        "moment reduction is a map-side combine."
+    ),
+    tags=("text", "llm", "stats", "scaling"),
+)
+def scaling_law_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(t)).cast("bigint").alias("n_tokens"),
+    )
+    vocab = (
+        docs.select("source", "lang", F.explode(t).alias("tok"))
+        .groupBy("source", "lang")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    pts = cells.join(vocab, ["source", "lang"]).select(
+        F.log(F.col("n_docs")).alias("x1"),
+        F.log(F.col("n_tokens")).alias("x2"),
+        F.log(F.col("v")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m, s1, s2, sy = F.col("m"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        m * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det_a = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det_b = (
+        m * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det_c = (
+        m * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    return mom.select(
+        m.alias("n_cells"),
+        F.round(det_a / det, 6).alias("alpha"),
+        F.round(det_b / det, 6).alias("beta_docs"),
+        F.round(det_c / det, 6).alias("beta_tokens"),
+    )
