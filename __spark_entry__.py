@@ -60,12 +60,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # completes in r10-r11. Slots 112-116 stage the five round-9 additions
 # (corpus BLEU components, leave-one-source-out influence, Condorcet
 # cycle audit, rank-biased overlap, scaling-law OLS fit), margin-audited
-# with the rest of the window.
+# with the rest of the window. Slots 117-121 stage the five round-9
+# batch-2 additions (Kruskal-Wallis H, Welch ANOVA, chrF components,
+# Flesch readability panel, quadratic-kernel MMD moments), each
+# oracle-green at all three fixture scales and margin-audited at
+# sf0.01 + sf0.1 (0 findings).
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
-# excluded from the hash window by construction. All 111 are oracle-backed
-# and green under the driver-strict local sweep (tools/oracle_check.py).
-# Names not listed keep registry order, i.e. the 289 already-verified
-# names trail the window.
+# excluded from the hash window by construction. All staged names are
+# oracle-backed and green under the driver-strict local sweep
+# (tools/oracle_check.py). Names not listed keep registry order, i.e.
+# the 289 already-verified names trail the window.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     "global_sorted_supplier_ledger", "percentile_bucketing", "time_range_window_sum",
     "batch_sessionization", "revenue_contribution_pareto", "session_depth_stats",
@@ -107,6 +111,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "bitext_margin_mining",
     "corpus_bleu_eval", "loo_source_influence", "condorcet_cycle_audit",
     "rank_biased_overlap", "scaling_law_ols_fit",
+    "kruskal_wallis_h", "welch_anova_sources", "chrf_generation_eval",
+    "flesch_readability_panel", "embedding_mmd_two_sample",
 )
 
 

@@ -1,0 +1,339 @@
+"""Round-9 operator tests, batch 2: Kruskal-Wallis H, Welch ANOVA, chrF
+components, the Flesch readability panel, and the quadratic-kernel MMD
+two-sample moments — each checked against an independent pure-Python
+rederivation on a CONSTRUCTED table where the expected behavior is known
+in closed form (fixture oracle parity is covered by tools/oracle_check.py;
+these tests pin the semantics the oracle merely mirrors).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import duckdb
+import pandas as pd
+import pytest
+
+from weather_stream_processor_spark.registry import all_queries
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    rows = pd.DataFrame(
+        {
+            "doc_id": list(range(1, n + 1)),
+            "text": texts,
+            "lang": langs or ["en"] * n,
+            "source": sources or [f"s{i % 2}" for i in range(n)],
+            "n_chars": pd.array([len(t) for t in texts], dtype="Int64"),
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM rows) TO '{tmp_path}/documents.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+
+def _write_events(tmp_path, types_values):
+    n = len(types_values)
+    rows = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": pd.to_datetime(
+                [f"2024-01-01 00:{i % 60:02d}:00" for i in range(n)]
+            ),
+            "user_id": pd.array([i % 7 for i in range(n)], dtype="Int64"),
+            "event_type": [t for t, _ in types_values],
+            "value": [v for _, v in types_values],
+            "props": ["{}"] * n,
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM rows) TO '{tmp_path}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+
+# --------------------------------------------------------------------------
+# kruskal_wallis_h
+# --------------------------------------------------------------------------
+
+
+def _py_kruskal(types_values):
+    """Classic mid-rank Kruskal-Wallis on the 0.1-bucketed values."""
+    buckets = sorted({math.floor(v * 10) for _, v in types_values})
+    per_bucket = Counter(math.floor(v * 10) for _, v in types_values)
+    below, ranks2 = 0, {}
+    for b in buckets:
+        t = per_bucket[b]
+        ranks2[b] = 2 * below + t + 1  # 2 * mid-rank, exact integer
+        below += t
+    groups = sorted({t for t, _ in types_values})
+    n_total = len(types_values)
+    stats = {}
+    for g in groups:
+        vals = [math.floor(v * 10) for t, v in types_values if t == g]
+        stats[g] = (len(vals), sum(ranks2[b] for b in vals))
+    h_raw = (
+        3.0
+        / (n_total * (n_total + 1))
+        * sum(r2 * r2 / n_g for n_g, r2 in stats.values())
+        - 3.0 * (n_total + 1)
+    )
+    ties = sum(t**3 - t for t in per_bucket.values())
+    c = 1.0 - ties / (n_total**3 - n_total)
+    return stats, n_total, h_raw, h_raw / c
+
+
+def test_kruskal_wallis_matches_python_rederivation(spark, tmp_path):
+    # three groups: one clearly shifted, heavy ties via shared buckets
+    tv = (
+        [("click", 0.15)] * 4
+        + [("click", 0.35)] * 3
+        + [("view", 0.15)] * 2
+        + [("view", 0.55), ("view", 0.75)]
+        + [("purchase", 9.15), ("purchase", 9.35), ("purchase", 0.15)]
+    )
+    _write_events(str(tmp_path), tv)
+    spec = all_queries()["kruskal_wallis_h"]
+    rows = {r["grp"]: r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()}
+    stats, n_total, h_raw, h_adj = _py_kruskal(tv)
+    assert set(rows) == set(stats)
+    for g, (n_g, r2) in stats.items():
+        assert int(rows[g]["n_g"]) == n_g
+        assert int(rows[g]["rank_sum2"]) == r2
+        assert int(rows[g]["n_total"]) == n_total
+        assert int(rows[g]["k"]) == len(stats)
+        assert float(rows[g]["h_raw"]) == pytest.approx(h_raw, abs=1e-6)
+        assert float(rows[g]["h_adj"]) == pytest.approx(h_adj, abs=1e-6)
+        assert 0.0 <= float(rows[g]["p_wilson_hilferty"]) <= 1.0
+    # a genuinely shifted group must push H above the all-same-values floor
+    assert h_adj > 2.0
+
+
+def test_kruskal_rank_sum_identity(spark, tmp_path):
+    # sum of all mid-ranks == N(N+1)/2, i.e. sum(rank_sum2) == N(N+1)
+    tv = [("a", 0.1), ("a", 0.2), ("b", 0.2), ("b", 0.3), ("c", 0.9)]
+    _write_events(str(tmp_path), tv)
+    spec = all_queries()["kruskal_wallis_h"]
+    rows = spec.builder(spark, str(tmp_path)).collect()
+    n = len(tv)
+    assert sum(int(r["rank_sum2"]) for r in rows) == n * (n + 1)
+
+
+# --------------------------------------------------------------------------
+# welch_anova_sources
+# --------------------------------------------------------------------------
+
+
+def _py_welch(lengths_by_source):
+    k = len(lengths_by_source)
+    w_sum = wm_sum = 0.0
+    per = {}
+    for s, xs in lengths_by_source.items():
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        per[s] = (n, sum(xs), sum(x * x for x in xs), n / v, m)
+        w_sum += n / v
+        wm_sum += (n / v) * m
+    grand = wm_sum / w_sum
+    a_num = sum(w * (m - grand) ** 2 for (_, _, _, w, m) in per.values())
+    lam = sum(
+        (1 - w / w_sum) ** 2 / (n - 1) for (n, _, _, w, _) in per.values()
+    )
+    f = (a_num / (k - 1)) / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    df2 = (k * k - 1) / (3 * lam)
+    return per, f, df2
+
+
+def test_welch_anova_matches_python_rederivation(spark, tmp_path):
+    by_src = {
+        "s0": [10, 12, 14, 16],  # tight, low mean
+        "s1": [100, 140, 90, 160, 110],  # wide, high mean
+        "s2": [50, 52, 49, 51],  # tight, middle
+    }
+    texts, sources = [], []
+    for s, xs in by_src.items():
+        for ln in xs:
+            texts.append("x" * ln)
+            sources.append(s)
+    _write_docs(str(tmp_path), texts, sources=sources)
+    spec = all_queries()["welch_anova_sources"]
+    rows = {r["source"]: r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()}
+    per, f, df2 = _py_welch(by_src)
+    assert set(rows) == set(per)
+    for s, (n, s1, s2, _, _) in per.items():
+        assert int(rows[s]["n_g"]) == n
+        assert int(rows[s]["sum_chars"]) == s1
+        assert int(rows[s]["sumsq_chars"]) == s2
+        assert int(rows[s]["k"]) == len(per)
+        assert int(rows[s]["df1"]) == len(per) - 1
+        assert float(rows[s]["welch_f"]) == pytest.approx(f, rel=1e-6)
+        assert float(rows[s]["df2"]) == pytest.approx(df2, rel=1e-6)
+    # the constructed groups are clearly separated: F must be large
+    assert f > 10.0
+
+
+# --------------------------------------------------------------------------
+# chrf_generation_eval
+# --------------------------------------------------------------------------
+
+
+def _py_chrf_components(texts, drop=5, max_n=6):
+    comp = {}
+    for n in range(1, max_n + 1):
+        ov = ct = rt = 0
+        for t in texts:
+            toks = t.split(" ")
+            cand = "".join(
+                w for i, w in enumerate(toks, start=1) if i % drop != 0
+            )
+            ref = "".join(toks)
+            cg = Counter(cand[i : i + n] for i in range(len(cand) - n + 1))
+            rg = Counter(ref[i : i + n] for i in range(len(ref) - n + 1))
+            ov += sum(min(c, rg[g]) for g, c in cg.items())
+            ct += sum(cg.values())
+            rt += sum(rg.values())
+        comp[n] = (ov, ct, rt)
+    return comp
+
+
+def test_chrf_matches_python_rederivation(spark, tmp_path):
+    texts = [
+        "the cat sat on the mat",  # drops 'the' (token 5): char overlap stays high
+        "abcdef",  # single token, survives whole
+        "a bb ccc dddd eeeee ffffff g",  # 7 tokens, drops 'eeeee'
+        "xy",  # shorter than most n: empty gram sets guard
+    ]
+    _write_docs(str(tmp_path), texts)
+    spec = all_queries()["chrf_generation_eval"]
+    got = {
+        int(r["n"]): (
+            int(r["overlap_total"]),
+            int(r["cand_total"]),
+            int(r["ref_total"]),
+        )
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_chrf_components(texts)
+    # chrF2 finish over the component table is well-defined and in [0, 1]
+    scores = [
+        (ov / ct, ov / rt) for ov, ct, rt in got.values() if ct and rt
+    ]
+    chrf2 = sum(
+        5 * p * r / (4 * p + r) for p, r in scores if (4 * p + r) > 0
+    ) / len(scores)
+    assert 0.0 < chrf2 <= 1.0
+
+
+# --------------------------------------------------------------------------
+# flesch_readability_panel
+# --------------------------------------------------------------------------
+
+
+def _py_syllables(word):
+    import re
+
+    runs = len(re.findall(r"[aeiouy]+", word.lower()))
+    return max(1, runs)
+
+
+def test_flesch_matches_python_rederivation(spark, tmp_path):
+    texts = [
+        "the cat sat. the dog ran! did it?",  # 3 sentences
+        "rhythm crwth tsk",  # zero-vowel words: floor-1 correction binds
+        "beautiful examination onomatopoeia",  # long vowel runs
+        "no terminator here",  # 0 marks -> sentence floor of 1
+    ]
+    sources = ["s0", "s0", "s1", "s1"]
+    _write_docs(str(tmp_path), texts, sources=sources)
+    spec = all_queries()["flesch_readability_panel"]
+    rows = {r["source"]: r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()}
+    import re
+
+    for src in ("s0", "s1"):
+        docs = [t for t, s in zip(texts, sources) if s == src]
+        words = sum(len(t.split(" ")) for t in docs)
+        syl = sum(_py_syllables(w) for t in docs for w in t.split(" "))
+        sent = sum(max(1, len(re.findall(r"[.!?]+", t))) for t in docs)
+        r = rows[src]
+        assert int(r["n_docs"]) == len(docs)
+        assert int(r["words"]) == words
+        assert int(r["syllables"]) == syl
+        assert int(r["sentences"]) == sent
+        fre = 206.835 - 1.015 * words / sent - 84.6 * syl / words
+        fkgl = 0.39 * words / sent + 11.8 * syl / words - 15.59
+        assert float(r["flesch_reading_ease"]) == pytest.approx(fre, abs=1e-6)
+        assert float(r["fk_grade_level"]) == pytest.approx(fkgl, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# embedding_mmd_two_sample
+# --------------------------------------------------------------------------
+
+
+def test_mmd_moments_match_bruteforce_kernel(spark, tmp_path):
+    import numpy as np
+
+    from weather_stream_processor_spark.operators.similarity import (
+        _MMD_SCALE,
+        mmd2_from_moments,
+    )
+
+    rng_rows = []
+    # group 0 drawn near one shape, group 1 scaled: MMD must be > 0
+    for i in range(1, 21):
+        base = [(((i * 5 + j * 11) % 17) - 8) / 20.0 for j in range(8)]
+        if i % 2 == 1:
+            base = [2.0 * x for x in base]
+        rng_rows.append((i, base, i % 2))
+    emb = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rng_rows],
+            "embedding": [r[1] for r in rng_rows],
+            "label": pd.array([r[2] for r in rng_rows], dtype="int32"),
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM emb) TO '{tmp_path}/embeddings.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    spec = all_queries()["embedding_mmd_two_sample"]
+    rows = spec.builder(spark, str(tmp_path)).collect()
+
+    K = {
+        i: np.floor(np.array(v) * float(_MMD_SCALE) + 0.5).astype("int64")
+        for i, v, _ in rng_rows
+    }
+    grp = {i: g % 2 for i, _, g in ((r[0], r[1], r[2]) for r in rng_rows)}
+    A = [K[i] for i in K if grp[i] == 0]
+    B = [K[i] for i in K if grp[i] == 1]
+
+    # moment-table exactness: every (i, j) cell equals the direct sum
+    for r in rows:
+        i, j = int(r["i"]) - 1, int(r["j"]) - 1
+        assert int(r["s_a"]) == sum(int(x[i]) * int(x[j]) for x in A)
+        assert int(r["s_b"]) == sum(int(x[i]) * int(x[j]) for x in B)
+        assert int(r["n_a"]) == len(A) and int(r["n_b"]) == len(B)
+        assert int(r["q4_a"]) == sum(int(x @ x) ** 2 for x in A)
+        assert int(r["q4_b"]) == sum(int(x @ x) ** 2 for x in B)
+
+    # finish seam vs the O(n^2) kernel definition it avoids computing
+    def kern(x, y):
+        return float(int(x @ y)) ** 2
+
+    n_a, n_b = len(A), len(B)
+    e_aa = sum(
+        kern(x, y) for xi, x in enumerate(A) for yi, y in enumerate(A) if xi != yi
+    ) / (n_a * (n_a - 1))
+    e_bb = sum(
+        kern(x, y) for xi, x in enumerate(B) for yi, y in enumerate(B) if xi != yi
+    ) / (n_b * (n_b - 1))
+    e_ab = sum(kern(x, y) for x in A for y in B) / (n_a * n_b)
+    direct = (e_aa + e_bb - 2 * e_ab) / float(_MMD_SCALE) ** 4
+    via_moments = mmd2_from_moments(rows)
+    assert via_moments == pytest.approx(direct, rel=1e-12)
+    # the scaled group genuinely shifts the second moments
+    assert via_moments > 0

@@ -132,6 +132,10 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('lifetime_days ASC NULLS FIRST',),
         'distinct-lifetime day grid (bounded by the dataset day span)',
     ),
+    'kruskal_wallis_h': (
+        ('bucket ASC NULLS FIRST',),
+        '0.1-quantized bucket grid (bounded value domain)',
+    ),
     'ks_drift_two_sample': (
         ('bucket ASC NULLS FIRST',),
         '0.1-quantized bucket grid (bounded value domain)',
@@ -477,6 +481,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
     ),
+    'kruskal_wallis_h': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # 1-row totals + |event_types|-row group table
+    ),
     'ks_drift_two_sample': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
@@ -612,6 +620,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'weekday_hour_heatmap': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
+    ),
+    'welch_anova_sources': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # 1-row weighted totals onto the |sources| rows
     ),
     'woe_iv_binning': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),

@@ -3195,3 +3195,124 @@ def rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("overlap") * w_col).over(w_all).cast("bigint").alias("rbo_num"),
         F.lit(_RBO_DEN).cast("bigint").alias("rbo_den"),
     )
+
+
+# ---------------------------------------------------------------------------
+# chrF: character n-gram F-score — the BLEU-orthogonal generation metric.
+# ---------------------------------------------------------------------------
+
+_CHRF_MAX_N = 6
+_CHRF_DROP = 5  # candidate = reference with every 5th token removed
+
+
+@register(
+    "chrf_generation_eval",
+    oracle=f"""
+        WITH split AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        strs AS (
+            SELECT doc_id,
+                   replace(text, ' ', '') AS ref_s,
+                   array_to_string([toks[i] FOR i IN range(1, len(toks) + 1)
+                                    IF i % {_CHRF_DROP} != 0], '') AS cand_s
+            FROM split JOIN documents USING (doc_id)
+        ),
+        grams AS (
+            SELECT doc_id, n,
+                   unnest([substr(cand_s, i, n)
+                           FOR i IN range(1, greatest(len(cand_s) - n + 2, 1))])
+                       AS gram,
+                   1 AS from_cand
+            FROM strs, (SELECT unnest(range(1, {_CHRF_MAX_N} + 1)) AS n)
+            UNION ALL
+            SELECT doc_id, n,
+                   unnest([substr(ref_s, i, n)
+                           FOR i IN range(1, greatest(len(ref_s) - n + 2, 1))])
+                       AS gram,
+                   0 AS from_cand
+            FROM strs, (SELECT unnest(range(1, {_CHRF_MAX_N} + 1)) AS n)
+        ),
+        counts AS (
+            SELECT doc_id, n, gram,
+                   CAST(SUM(from_cand) AS BIGINT) AS cc,
+                   CAST(COUNT(*) - SUM(from_cand) AS BIGINT) AS cr
+            FROM grams GROUP BY doc_id, n, gram
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS overlap_total,
+               CAST(SUM(cc) AS BIGINT) AS cand_total,
+               CAST(SUM(cr) AS BIGINT) AS ref_total
+        FROM counts GROUP BY n
+    """,
+    doc=(
+        "chrF sufficient statistics (Popovic 2015): CHARACTER-level "
+        "generation quality, the F-beta family member that survives "
+        "morphology-rich text, sub-word errors, and tokenizer "
+        "disagreements where any word-identity metric scores a stemmed "
+        "variant zero — a character 6-gram still credits the shared "
+        "stem. Whitespace is stripped first (the chrF convention); the "
+        f"synthetic hypothesis removes every {_CHRF_DROP}th word, a "
+        "different corruption period than the word-level eval uses, so "
+        "the two metrics observe independent perturbations. Emitted per "
+        "character-gram order 1..6: matched mass (min of the two "
+        "per-document multiplicity counts, summed), hypothesis mass, "
+        "and reference mass — exact BIGINTs; the F2 combination "
+        "5PR/(4P+R) and its average over orders live in one 6-row "
+        "driver-side expression, never in the hashed result. Matching "
+        "is per (doc_id, order, gram) in a single hash-partitioned "
+        "aggregate with partial combine; volume is 6x corpus "
+        "characters, the CDC byte-pass class, and the character-window "
+        "sequence() span is floored at zero (the r7 audit class) so "
+        "sub-order-length documents contribute empty sets rather than "
+        "descending sequences."
+    ),
+    tags=("evals", "llm", "text", "generation"),
+)
+def chrf_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    cand_s = F.array_join(
+        F.filter(toks, lambda t, i: (i + 1) % _CHRF_DROP != 0), ""
+    )
+    ref_s = F.array_join(toks, "")
+    strs = docs.select("doc_id", ref_s.alias("ref_s"), cand_s.alias("cand_s"))
+
+    def char_ngrams(col: str, n: int):
+        s = F.col(col)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.length(s) - (n - 1)),
+            lambda i: F.substring(s, i, F.lit(n)),
+        )
+        # Guard: sub-n-char strings yield an EMPTY set (Spark's sequence
+        # would otherwise count DOWN for negative spans — the audited
+        # F.sequence class).
+        return F.when(F.length(s) >= n, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    def gram_rows(col: str, flag: int) -> DataFrame:
+        parts = [
+            strs.select(
+                "doc_id",
+                F.lit(n).cast("bigint").alias("n"),
+                F.explode(char_ngrams(col, n)).alias("gram"),
+                F.lit(flag).alias("from_cand"),
+            )
+            for n in range(1, _CHRF_MAX_N + 1)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    grams = gram_rows("cand_s", 1).unionAll(gram_rows("ref_s", 0))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.sum("from_cand").cast("bigint").alias("cc"),
+        (F.count(F.lit(1)) - F.sum("from_cand")).cast("bigint").alias("cr"),
+    )
+    return counts.groupBy("n").agg(
+        F.sum(F.least("cc", "cr")).cast("bigint").alias("overlap_total"),
+        F.sum("cc").cast("bigint").alias("cand_total"),
+        F.sum("cr").cast("bigint").alias("ref_total"),
+    )

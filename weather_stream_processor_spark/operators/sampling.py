@@ -1801,6 +1801,333 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kruskal-Wallis H: the K-SAMPLE generalization of Mann-Whitney.
+# ---------------------------------------------------------------------------
+
+
+def _normal_sf_signed_sql(z: str) -> str:
+    # A&S 26.2.17 is stated for z >= 0; extend to the whole line by the
+    # symmetry sf(z) = 1 - sf(-z) so both engines evaluate ONE identical
+    # branch expression for any sign of z.
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN {_normal_sf_sql(f'({z})')} "
+        f"ELSE 1.0 - {_normal_sf_sql(f'(-({z}))')} END)"
+    )
+
+
+@register(
+    "kruskal_wallis_h",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type AS grp,
+                   CAST(floor(value * 10) AS BIGINT) AS bucket
+            FROM events
+        ),
+        cnt AS (
+            SELECT bucket, grp, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket, grp
+        ),
+        tb AS (
+            SELECT bucket, CAST(SUM(n) AS BIGINT) AS t FROM cnt GROUP BY bucket
+        ),
+        run AS (
+            SELECT bucket, t,
+                   CAST(COALESCE(SUM(t) OVER (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS below
+            FROM tb
+        ),
+        grps AS (
+            SELECT cnt.grp,
+                   CAST(SUM(cnt.n) AS BIGINT) AS n_g,
+                   CAST(SUM(cnt.n * (2 * run.below + run.t + 1))
+                        AS BIGINT) AS rank_sum2
+            FROM cnt JOIN run USING (bucket)
+            GROUP BY cnt.grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term,
+                   (SELECT COUNT(*) FROM grps) AS k
+            FROM tb
+        ),
+        h AS (
+            SELECT (SELECT 3.0 / (n_total * (n_total + 1.0))
+                           * SUM(rank_sum2 * 1.0 * rank_sum2 / n_g)
+                    FROM grps)
+                   - 3.0 * (n_total + 1) AS h_raw,
+                   1.0 - tie_term * 1.0 / (n_total * 1.0 * n_total * n_total
+                                           - n_total) AS c_ties,
+                   k * 1.0 - 1.0 AS df,
+                   n_total, k
+            FROM tot
+        ),
+        wh AS (
+            SELECT grp, n_g, rank_sum2, n_total, k,
+                   h_raw, h_raw / c_ties AS h_adj, df,
+                   (pow((h_raw / c_ties) / df, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z_wh
+            FROM grps CROSS JOIN h
+        )
+        SELECT grp, n_g, rank_sum2, n_total, CAST(k AS BIGINT) AS k,
+               ROUND(h_raw, 6) AS h_raw,
+               ROUND(h_adj, 6) AS h_adj,
+               ROUND({_normal_sf_signed_sql("z_wh")}, 6) AS p_wilson_hilferty
+        FROM wh
+    """,
+    doc=(
+        "KRUSKAL-WALLIS H: the K-SAMPLE rank test the drift suite "
+        "lacked — Mann-Whitney compares TWO event-value distributions; "
+        "this ranks ALL five event types at once and asks whether any "
+        "one of them is location-shifted (the omnibus screen run before "
+        "pairwise tests, exactly as ANOVA precedes t-tests). Same "
+        "FLOOR(value*10) bucket grid as the KS/MW twins; mid-ranks come "
+        "from the grid identity 2*rank = 2*below + t + 1, so every "
+        "per-group rank sum is an EXACT integer when lifted by 2 "
+        "(rank_sum2) — the hashed per-group columns carry no float "
+        "arithmetic at all. H = 3/(N(N+1)) * sum(rank_sum2^2/n_g) "
+        "- 3(N+1) (the x2 lift folds the classic 12 to 3), tie-corrected "
+        "by C = 1 - sum(t^3-t)/(N^3-N), and the p-value uses the "
+        "WILSON-HILFERTY cube-root chi-square-to-normal map (works for "
+        "any df, closed-form, both engines evaluate the identical "
+        "literal expression) through the shared A&S tail polynomial "
+        "extended to negative z by sf(z) = 1-sf(-z). Plan: one "
+        "conditional-count aggregate to the bounded value-bucket grid "
+        "(<=4901 buckets at any corpus size — value is a bounded "
+        "metric), one ordered window over THAT GRID ONLY, one 5-row "
+        "group rollup; the corpus never meets a window, identical shape "
+        "to the MW/KS plan at 100 TB."
+    ),
+    tags=("sampling", "drift", "statistics", "quality"),
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("bucket"),
+    )
+    cnt = b.groupBy("bucket", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tb = cnt.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("t"))
+    w_below = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    run = tb.select(
+        "bucket",
+        "t",
+        F.coalesce(F.sum("t").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    grps = (
+        cnt.join(run, "bucket")
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("n") * (2 * F.col("below") + F.col("t") + 1)
+            )
+            .cast("bigint")
+            .alias("rank_sum2"),
+        )
+    )
+    tot = tb.agg(
+        F.sum("t").cast("bigint").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    kdf = grps.agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    # tot and kdf are 1-row aggregates: the cross joins broadcast them.
+    g = grps.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(kdf))
+    n_tot = F.col("n_total").cast("double")
+    h_raw_df = g.groupBy(
+        "n_total", "tie_term", "k"
+    ).agg(
+        (
+            F.lit(3.0)
+            / (n_tot * (n_tot + 1))
+            * F.sum(
+                F.col("rank_sum2")
+                * F.lit(1.0)
+                * F.col("rank_sum2")
+                / F.col("n_g")
+            )
+            - F.lit(3.0) * (n_tot + 1)
+        ).alias("h_raw")
+    )
+    g = g.join(F.broadcast(h_raw_df), ["n_total", "tie_term", "k"])
+    c_ties = F.lit(1.0) - F.col("tie_term") * F.lit(1.0) / (
+        n_tot * n_tot * n_tot - n_tot
+    )
+    df_ = F.col("k") * F.lit(1.0) - F.lit(1.0)
+    h_adj = F.col("h_raw") / c_ties
+    z_wh = (
+        F.pow(h_adj / df_, F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df_))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * df_))
+
+    def _sf_pos(az):
+        tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+        poly = tt * (
+            F.lit(_AS_B[0])
+            + tt
+            * (
+                F.lit(_AS_B[1])
+                + tt
+                * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
+            )
+        )
+        return (
+            F.exp(-az * az / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi)) * poly
+        )
+
+    p_wh = F.when(z_wh >= 0, _sf_pos(z_wh)).otherwise(
+        F.lit(1.0) - _sf_pos(-z_wh)
+    )
+    return g.select(
+        "grp",
+        "n_g",
+        "rank_sum2",
+        "n_total",
+        "k",
+        F.round(F.col("h_raw"), 6).alias("h_raw"),
+        F.round(h_adj, 6).alias("h_adj"),
+        F.round(p_wh, 6).alias("p_wilson_hilferty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's one-way ANOVA: the parametric k-sample twin of Kruskal-Wallis.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_anova_sources",
+    oracle="""
+        WITH g AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(n_chars) AS BIGINT) AS s1,
+                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n_g, s1, s2,
+                   s1 * 1.0 / n_g AS m,
+                   (n_g * 1.0 * s2 - s1 * 1.0 * s1)
+                       / (n_g * 1.0 * (n_g - 1.0)) AS v
+            FROM g
+        ),
+        ww AS (SELECT *, n_g / v AS wt FROM w),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   SUM(wt) AS w_sum,
+                   SUM(wt * m) AS wm_sum
+            FROM ww
+        ),
+        parts AS (
+            SELECT k, w_sum,
+                   SUM(wt * (m - wm_sum / w_sum)
+                          * (m - wm_sum / w_sum)) AS a_num,
+                   SUM((1.0 - wt / w_sum) * (1.0 - wt / w_sum)
+                       / (n_g - 1.0)) AS lam
+            FROM ww CROSS JOIN tot
+            GROUP BY k, w_sum
+        ),
+        f AS (
+            SELECT k,
+                   (a_num / (k - 1.0))
+                   / (1.0 + 2.0 * (k - 2.0) / (k * 1.0 * k - 1.0) * lam)
+                       AS f_stat,
+                   (k * 1.0 * k - 1.0) / (3.0 * lam) AS df2
+            FROM parts
+        )
+        SELECT g.source, g.n_g, g.s1 AS sum_chars, g.s2 AS sumsq_chars,
+               CAST(f.k AS BIGINT) AS k,
+               ROUND(f.f_stat, 6) AS welch_f,
+               CAST(f.k - 1 AS BIGINT) AS df1,
+               ROUND(f.df2, 6) AS df2
+        FROM g CROSS JOIN f
+    """,
+    doc=(
+        "WELCH'S ONE-WAY ANOVA of document length across sources — the "
+        "PARAMETRIC k-sample location test beside the rank-based "
+        "Kruskal-Wallis twin, in the heteroscedastic (Welch 1951) form "
+        "because per-source length variances genuinely differ and "
+        "classic ANOVA's pooled variance would be wrong exactly when "
+        "the answer matters (deciding whether a source's length profile "
+        "is shifted enough to need its own mixture weight). Every "
+        "per-source sufficient statistic (n, sum, sum-of-squares of the "
+        "BIGINT n_chars) is an EXACT integer in the hashed output; the "
+        "Welch weights w_g = n_g/var_g, the weighted grand mean, the "
+        "between-group numerator A/(k-1), the Satterthwaite-style "
+        "denominator 1 + 2(k-2)/(k^2-1)*lambda and df2 = (k^2-1)/"
+        "(3*lambda) are closed forms over those integers, mirrored "
+        "literally in both engines and rounded once at the end. Plan: "
+        "ONE map-side-combined aggregate corpus scan to |sources| rows, "
+        "then two 1-row reductions over that 20-row table re-attached "
+        "by broadcast cross join — at 100 TB the only corpus-sized "
+        "stage is the first partial aggregate; everything after is "
+        "metadata-sized."
+    ),
+    tags=("sampling", "statistics", "quality", "llm"),
+)
+def welch_anova_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("s2"),
+    )
+    m = F.col("s1") * F.lit(1.0) / F.col("n_g")
+    v = (
+        F.col("n_g") * F.lit(1.0) * F.col("s2")
+        - F.col("s1") * F.lit(1.0) * F.col("s1")
+    ) / (F.col("n_g") * F.lit(1.0) * (F.col("n_g") - F.lit(1.0)))
+    ww = g.select("source", "n_g", "s1", "s2", m.alias("m"), (F.col("n_g") / v).alias("wt"))
+    tot = ww.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("wt").alias("w_sum"),
+        F.sum(F.col("wt") * F.col("m")).alias("wm_sum"),
+    )
+    j = ww.crossJoin(F.broadcast(tot))
+    dev = F.col("m") - F.col("wm_sum") / F.col("w_sum")
+    parts = j.groupBy("k", "w_sum").agg(
+        F.sum(F.col("wt") * dev * dev).alias("a_num"),
+        F.sum(
+            (F.lit(1.0) - F.col("wt") / F.col("w_sum"))
+            * (F.lit(1.0) - F.col("wt") / F.col("w_sum"))
+            / (F.col("n_g") - F.lit(1.0))
+        ).alias("lam"),
+    )
+    kd = F.col("k") * F.lit(1.0)
+    f = parts.select(
+        "k",
+        (
+            (F.col("a_num") / (kd - 1))
+            / (
+                F.lit(1.0)
+                + F.lit(2.0) * (kd - 2) / (kd * kd - 1) * F.col("lam")
+            )
+        ).alias("f_stat"),
+        ((kd * kd - 1) / (F.lit(3.0) * F.col("lam"))).alias("df2"),
+    )
+    return g.crossJoin(F.broadcast(f)).select(
+        "source",
+        "n_g",
+        F.col("s1").alias("sum_chars"),
+        F.col("s2").alias("sumsq_chars"),
+        "k",
+        F.round(F.col("f_stat"), 6).alias("welch_f"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        F.round(F.col("df2"), 6).alias("df2"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic corpus shuffle (round-5m): reproducible training order.
 # ---------------------------------------------------------------------------
 

@@ -3781,3 +3781,208 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     return best.orderBy(ratio.desc(), F.asc("x_id")).limit(_BITEXT_TOPN)
+
+
+# ---------------------------------------------------------------------------
+# Kernel two-sample test (MMD^2, quadratic kernel) from exact moments.
+# ---------------------------------------------------------------------------
+
+_MMD_SCALE = 100  # k = floor(x*100 + 0.5): |k| <= ~60 on unit-ish embeddings
+_MMD_N_LIMIT = 200_000_000  # int64-exact bound for the q4 fourth-moment sums
+
+
+def mmd2_from_moments(rows) -> float:
+    """Finish MMD^2 (quadratic kernel k(x,y) = (x.y)^2) from the
+    embedding_mmd_two_sample moment table — THE one place the finish
+    lives (the covariance-spectrum consumer-seam rule). rows carry the
+    upper triangle (i <= j) of both group second-moment matrices plus
+    the per-group row counts and fourth-moment scalars; exact Python
+    ints throughout, one float division at the end.
+
+    E[(x.y)^2] over independent x~A, y~B is <Sa, Sb>_F / (na*nb); the
+    unbiased within-group terms subtract the diagonal q4 = sum ||x||^4
+    before dividing by n(n-1). Result is in original embedding units
+    (the 1/SCALE^4 de-quantization happens here, never in the hashed
+    output)."""
+    fro_aa = fro_bb = fro_ab = 0
+    n_a = n_b = q4_a = q4_b = None
+    for r in rows:
+        mult = 1 if r.i == r.j else 2  # upper triangle -> full matrix
+        fro_aa += mult * r.s_a * r.s_a
+        fro_bb += mult * r.s_b * r.s_b
+        fro_ab += mult * r.s_a * r.s_b
+        n_a, n_b, q4_a, q4_b = r.n_a, r.n_b, r.q4_a, r.q4_b
+    e_aa = (fro_aa - q4_a) / (n_a * (n_a - 1))
+    e_bb = (fro_bb - q4_b) / (n_b * (n_b - 1))
+    e_ab = fro_ab / (n_a * n_b)
+    return (e_aa + e_bb - 2.0 * e_ab) / float(_MMD_SCALE) ** 4
+
+
+@register(
+    "embedding_mmd_two_sample",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label % 2 AS grp,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * {_MMD_SCALE}.0 + 0.5) AS BIGINT) AS k,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        g AS (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(SUM(CASE WHEN a.grp = 0 THEN a.k * b.k ELSE 0 END)
+                        AS BIGINT) AS s_a,
+                   CAST(SUM(CASE WHEN a.grp = 1 THEN a.k * b.k ELSE 0 END)
+                        AS BIGINT) AS s_b
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2
+        ),
+        rownorm AS (
+            SELECT vec_id, grp, SUM(k * k) AS sq FROM e GROUP BY vec_id, grp
+        ),
+        scal AS (
+            SELECT CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b,
+                   CAST(SUM(CASE WHEN grp = 0 THEN sq * sq ELSE 0 END)
+                        AS BIGINT) AS q4_a,
+                   CAST(SUM(CASE WHEN grp = 1 THEN sq * sq ELSE 0 END)
+                        AS BIGINT) AS q4_b
+            FROM rownorm
+        )
+        SELECT g.i, g.j, g.s_a, g.s_b,
+               scal.n_a, scal.n_b, scal.q4_a, scal.q4_b
+        FROM g CROSS JOIN scal
+    """,
+    doc=(
+        "KERNEL TWO-SAMPLE TEST moments (MMD^2 with the QUADRATIC kernel "
+        "k(x,y) = (x.y)^2, Gretton et al. 2012) between two embedding "
+        "populations (label parity as the fixture's two 'sources') — the "
+        "DISTRIBUTION-level shift detector the drift suite lacked for "
+        "embeddings: centroid-shift (loo_source_influence) only sees "
+        "FIRST-moment drift; the quadratic-kernel MMD also detects "
+        "covariance/shape drift between corpora embedded by the same "
+        "model, because E[(x.y)^2] = <E[xx^T], E[yy^T]>_F contracts the "
+        "full SECOND-moment matrices. That identity is the whole scale "
+        "story: MMD^2 needs NO pairwise n^2 kernel matrix — each "
+        "partition computes its local int64 Gram (the covariance-"
+        "spectrum pass, extended with per-group split and the per-row "
+        "fourth-moment scalar q4 = sum ||x||^4 that unbiases the "
+        "within-group terms), one hash aggregate sums the d(d+1)/2 "
+        "triangle, and the hashed output is the ALL-INTEGER moment "
+        f"table. Cells are lifted by floor(x*{_MMD_SCALE} + 0.5) (the "
+        "identical IEEE expression in numpy and DuckDB); with |k| <= "
+        "~60, q4 per row is <= ~3.3e10, so the int64 cliff sits at "
+        f"~{_MMD_N_LIMIT:.0e} rows per group — ENFORCED loudly in both "
+        "the Arrow pass (numpy int64 wraps silently) and the final "
+        "plan (non-ANSI Spark sums NULL silently), the CKA guard rule. "
+        "mmd2_from_moments() is the single driver-side finish seam; "
+        "shuffle volume is #partitions x d^2/2 rows regardless of "
+        "corpus size, the 100 TB plan identical to the fixture plan."
+    ),
+    tags=("similarity", "llm", "statistics", "drift", "pandas-udf", "scale"),
+)
+def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+
+    part_schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("j", LongType()),
+            StructField("s_a", LongType()),
+            StructField("s_b", LongType()),
+            StructField("n_a", LongType()),
+            StructField("n_b", LongType()),
+            StructField("q4_a", LongType()),
+            StructField("q4_b", LongType()),
+        ]
+    )
+
+    def local_moments(batches):
+        G = {0: None, 1: None}
+        n = {0: 0, 1: 0}
+        q4 = {0: 0, 1: 0}
+        d = None
+        for pdf in batches:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            if len(X) == 0:
+                continue
+            K = np.floor(X * float(_MMD_SCALE) + 0.5).astype(np.int64)
+            grp = (pdf["label"].to_numpy() % 2).astype(np.int64)
+            d = K.shape[1]
+            for g in (0, 1):
+                Kg = K[grp == g]
+                if len(Kg) == 0:
+                    continue
+                if G[g] is None:
+                    G[g] = np.zeros((d, d), dtype=np.int64)
+                G[g] += Kg.T @ Kg
+                sq = (Kg * Kg).sum(axis=1)  # <= d*k_max^2, int64-safe
+                rowq = sq * sq  # <= ~3.3e10 per row at |k|<=60
+                # numpy int64 wraps SILENTLY on overflow: enforce the
+                # documented bound against the batch's actual magnitudes
+                # before summing (the CKA loud-guard rule, Arrow side).
+                if len(rowq) and int(rowq.max()) * len(rowq) >= 2**62:
+                    raise ValueError(
+                        "embedding_mmd_two_sample: partition fourth-moment "
+                        "sum would overflow int64; corpus exceeds the "
+                        f"documented bound (~{_MMD_N_LIMIT} rows/group) — "
+                        "run on a sample"
+                    )
+                q4[g] += int(rowq.sum())
+                n[g] += len(Kg)
+        if d is None:
+            return
+        for g in (0, 1):
+            if G[g] is None:
+                G[g] = np.zeros((d, d), dtype=np.int64)
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": (iu + 1).astype(np.int64),
+                "j": (ju + 1).astype(np.int64),
+                "s_a": G[0][iu, ju],
+                "s_b": G[1][iu, ju],
+                "n_a": np.full(len(iu), n[0], dtype=np.int64),
+                "n_b": np.full(len(iu), n[1], dtype=np.int64),
+                "q4_a": np.full(len(iu), q4[0], dtype=np.int64),
+                "q4_b": np.full(len(iu), q4[1], dtype=np.int64),
+            }
+        )
+
+    partials = spread(emb, "vec_id").mapInPandas(local_moments, schema=part_schema)
+    agg = partials.groupBy("i", "j").agg(
+        F.sum("s_a").alias("s_a"),
+        F.sum("s_b").alias("s_b"),
+        F.sum("n_a").alias("n_a"),
+        F.sum("n_b").alias("n_b"),
+        F.sum("q4_a").alias("q4_a"),
+        F.sum("q4_b").alias("q4_b"),
+    )
+    # Loud bound on the CROSS-partition q4 sum too (Spark-side int64 sums
+    # NULL silently under non-ANSI past 2^63) — woven into the output
+    # column so Catalyst cannot prune it, the CKA guard rule.
+    guard = F.col("n_a") + F.col("n_b") <= F.lit(2 * _MMD_N_LIMIT)
+    err = F.raise_error(
+        F.lit(
+            "embedding_mmd_two_sample: rows exceed the int64-exact bound "
+            f"({_MMD_N_LIMIT}/group); run on a sample"
+        )
+    ).cast("bigint")
+    return agg.select(
+        "i",
+        "j",
+        "s_a",
+        "s_b",
+        "n_a",
+        "n_b",
+        F.when(guard, F.col("q4_a")).otherwise(err).alias("q4_a"),
+        F.when(guard, F.col("q4_b")).otherwise(err).alias("q4_b"),
+    )

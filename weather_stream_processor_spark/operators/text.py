@@ -3946,3 +3946,133 @@ def scaling_law_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det_b / det, 6).alias("beta_docs"),
         F.round(det_c / det, 6).alias("beta_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability panel: the syllable-heuristic corpus filter feature.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flesch_readability_panel",
+    oracle="""
+        WITH per_word AS (
+            SELECT doc_id, source,
+                   greatest(1,
+                       length(regexp_replace(lower(w), '[aeiouy]+', '#', 'g'))
+                       - length(regexp_replace(lower(w), '[aeiouy]+', '', 'g'))
+                   ) AS syl
+            FROM (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM documents)
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   CAST(COUNT(*) AS BIGINT) AS words,
+                   CAST(SUM(syl) AS BIGINT) AS syllables
+            FROM per_word GROUP BY doc_id, source
+        ),
+        sent AS (
+            SELECT doc_id,
+                   greatest(1,
+                       length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                       - length(regexp_replace(text, '[.!?]+', '', 'g'))
+                   ) AS sentences
+            FROM documents
+        ),
+        per_src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS words,
+                   CAST(SUM(sentences) AS BIGINT) AS sentences,
+                   CAST(SUM(syllables) AS BIGINT) AS syllables
+            FROM per_doc JOIN sent USING (doc_id)
+            GROUP BY source
+        )
+        SELECT source, n_docs, words, sentences, syllables,
+               ROUND(206.835 - 1.015 * (words * 1.0 / sentences)
+                             - 84.6 * (syllables * 1.0 / words), 6)
+                   AS flesch_reading_ease,
+               ROUND(0.39 * (words * 1.0 / sentences)
+                     + 11.8 * (syllables * 1.0 / words) - 15.59, 6)
+                   AS fk_grade_level
+        FROM per_src
+    """,
+    doc=(
+        "FLESCH READABILITY PANEL per source — the classic readability "
+        "corpus-filter feature family (used by quality-filter stacks "
+        "beside stopword/length heuristics, e.g. as a pre-training "
+        "selection signal for educational-value screens): words per "
+        "sentence and syllables per word feed Flesch Reading Ease "
+        "(206.835 - 1.015*W/S - 84.6*Y/W) and the Flesch-Kincaid grade "
+        "level. Syllables use the standard vowel-group heuristic, "
+        "counted ENGINE-STABLY as the length delta between replacing "
+        "each [aeiouy]+ run with one marker vs with nothing (split-"
+        "semantics differ between engines at string edges; a pure "
+        "regexp_replace length delta does not), with the floor-1-per-"
+        "word correction; sentences count [.!?]+ terminator runs with "
+        "the same delta trick, floored at 1 per document. The hashed "
+        "per-source counts (n_docs, words, sentences, syllables) are "
+        "EXACT BIGINTs; the two readability scores are one mirrored "
+        "rounded expression each. Plan: one token explode -> per-doc "
+        "aggregate (map-side combined, doc-local keys), one projection "
+        "for sentence counts joined on doc_id, one |sources|-row "
+        "rollup — linear in corpus tokens, nothing global, no windows; "
+        "at 100 TB this is the same shape as the quality_scores pass."
+    ),
+    tags=("text", "llm", "quality", "readability"),
+)
+def flesch_readability_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _run_count(col, pat):
+        return F.length(F.regexp_replace(col, pat, "#")) - F.length(
+            F.regexp_replace(col, pat, "")
+        )
+
+    per_word = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), _run_count(F.lower(F.col("w")), "[aeiouy]+")).alias(
+            "syl"
+        ),
+    )
+    per_doc = per_word.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("words"),
+        F.sum("syl").cast("bigint").alias("syllables"),
+    )
+    sent = docs.select(
+        "doc_id",
+        F.greatest(F.lit(1), _run_count(F.col("text"), "[.!?]+")).alias(
+            "sentences"
+        ),
+    )
+    per_src = (
+        per_doc.join(sent, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("words"),
+            F.sum("sentences").cast("bigint").alias("sentences"),
+            F.sum("syllables").cast("bigint").alias("syllables"),
+        )
+    )
+    w_per_s = F.col("words") * F.lit(1.0) / F.col("sentences")
+    y_per_w = F.col("syllables") * F.lit(1.0) / F.col("words")
+    return per_src.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * w_per_s - F.lit(84.6) * y_per_w, 6
+        ).alias("flesch_reading_ease"),
+        F.round(
+            F.lit(0.39) * w_per_s + F.lit(11.8) * y_per_w - F.lit(15.59), 6
+        ).alias("fk_grade_level"),
+    )
