@@ -62,9 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # cycle audit, rank-biased overlap, scaling-law OLS fit), margin-audited
 # with the rest of the window. Slots 117-121 stage the five round-9
 # batch-2 additions (Kruskal-Wallis H, Welch ANOVA, chrF components,
-# Flesch readability panel, quadratic-kernel MMD moments), each
-# oracle-green at all three fixture scales and margin-audited at
-# sf0.01 + sf0.1 (0 findings).
+# Flesch readability panel, quadratic-kernel MMD moments) and slots
+# 122-125 the batch-3 additions (Brown-Forsythe spread test, Cochran's
+# Q, Cronbach's alpha, CCF lead-lag panel), each oracle-green at all
+# three fixture scales and margin-audited at sf0.01 + sf0.1
+# (0 findings).
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
 # excluded from the hash window by construction. All staged names are
 # oracle-backed and green under the driver-strict local sweep
@@ -113,6 +115,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "rank_biased_overlap", "scaling_law_ols_fit",
     "kruskal_wallis_h", "welch_anova_sources", "chrf_generation_eval",
     "flesch_readability_panel", "embedding_mmd_two_sample",
+    "brown_forsythe_spread_test", "cochran_q_screens",
+    "cronbach_alpha_reliability", "ccf_click_purchase_leadlag",
 )
 
 

@@ -337,3 +337,198 @@ def test_mmd_moments_match_bruteforce_kernel(spark, tmp_path):
     assert via_moments == pytest.approx(direct, rel=1e-12)
     # the scaled group genuinely shifts the second moments
     assert via_moments > 0
+
+
+# --------------------------------------------------------------------------
+# brown_forsythe_spread_test
+# --------------------------------------------------------------------------
+
+
+def _py_brown_forsythe(types_values):
+    cents = {}
+    for t, v in types_values:
+        cents.setdefault(t, []).append(math.floor(v * 100 + 0.5))
+    med = {}
+    for t, xs in cents.items():
+        xs = sorted(xs)
+        # lower median: smallest value whose cumulative count doubles past n
+        cum = 0
+        for x in xs:
+            cum += 1
+            if 2 * cum >= len(xs):
+                med[t] = x
+                break
+    z = {t: [abs(x - med[t]) for x in xs] for t, xs in cents.items()}
+    k = len(z)
+    n_total = sum(len(v) for v in z.values())
+    grand = sum(sum(v) for v in z.values()) / n_total
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in z.values())
+    ssw = sum(
+        sum(x * x for x in v) - sum(v) ** 2 / len(v) for v in z.values()
+    )
+    f = (ssb / (k - 1)) / (ssw / (n_total - k))
+    stats = {
+        t: (len(v), med[t], sum(v), sum(x * x for x in v))
+        for t, v in z.items()
+    }
+    return stats, f, k, n_total
+
+
+def test_brown_forsythe_matches_python_rederivation(spark, tmp_path):
+    tv = (
+        [("a", 0.10), ("a", 0.12), ("a", 0.14), ("a", 0.16)]  # tight
+        + [("b", 0.10), ("b", 1.50), ("b", 3.00), ("b", 9.90)]  # wide
+        + [("c", 0.50), ("c", 0.50), ("c", 0.52)]  # ties at the median
+    )
+    _write_events(str(tmp_path), tv)
+    spec = all_queries()["brown_forsythe_spread_test"]
+    rows = {r["grp"]: r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()}
+    stats, f, k, n_total = _py_brown_forsythe(tv)
+    assert set(rows) == set(stats)
+    for g, (n_g, m, sz, ssz) in stats.items():
+        r = rows[g]
+        assert int(r["n_g"]) == n_g
+        assert int(r["med_cents"]) == m
+        assert int(r["sum_z"]) == sz
+        assert int(r["sumsq_z"]) == ssz
+        assert int(r["k"]) == k
+        assert int(r["df1"]) == k - 1
+        assert int(r["df2"]) == n_total - k
+        assert float(r["bf_f"]) == pytest.approx(f, rel=1e-6)
+    # the wide group must dominate: F clearly above 1
+    assert f > 1.0
+
+
+# --------------------------------------------------------------------------
+# cochran_q_screens
+# --------------------------------------------------------------------------
+
+
+def test_cochran_q_matches_python_rederivation(spark, tmp_path):
+    # construct docs that disagree across the three screens
+    long_doc = "tok " * 99 + "tok"  # 100 tokens, 1 distinct: fails unique
+    rich_doc = " ".join(f"w{i}" for i in range(60))  # passes tokens+unique
+    short_doc = "a b a"  # fails all but unique (2 distinct of 3)
+    texts = [long_doc, rich_doc, short_doc, rich_doc]
+    _write_docs(str(tmp_path), texts)
+    spec = all_queries()["cochran_q_screens"]
+    r = spec.builder(spark, str(tmp_path)).collect()[0].asDict()
+    flags = []
+    for t in texts:
+        toks = t.split(" ")
+        flags.append(
+            (
+                1 if len(t) >= 300 else 0,
+                1 if len(toks) >= 50 else 0,
+                1 if 2 * len(set(toks)) >= len(toks) else 0,
+            )
+        )
+    c = [sum(fl[j] for fl in flags) for j in range(3)]
+    rsum = sum(sum(fl) for fl in flags)
+    r2sum = sum(sum(fl) ** 2 for fl in flags)
+    q = 2.0 * (3.0 * sum(x * x for x in c) - rsum**2) / (3.0 * rsum - r2sum)
+    assert int(r["n"]) == len(texts)
+    assert [int(r["c_len"]), int(r["c_tok"]), int(r["c_uniq"])] == c
+    assert int(r["sum_r"]) == rsum and int(r["sum_r2"]) == r2sum
+    assert float(r["q_stat"]) == pytest.approx(q, abs=1e-6)
+    assert float(r["p_value"]) == pytest.approx(math.exp(-q / 2), abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# cronbach_alpha_reliability
+# --------------------------------------------------------------------------
+
+
+def test_cronbach_alpha_matches_python_rederivation(spark, tmp_path):
+    texts = [
+        " ".join(f"w{i}" for i in range(10)),
+        " ".join(f"w{i % 5}" for i in range(30)),
+        "x " * 199 + "x",
+        " ".join(f"t{i}" for i in range(80)),
+    ]
+    _write_docs(str(tmp_path), texts)
+    spec = all_queries()["cronbach_alpha_reliability"]
+    r = spec.builder(spark, str(tmp_path)).collect()[0].asDict()
+    items = []
+    for t in texts:
+        toks = t.split(" ")
+        items.append((min(len(t), 400), len(toks), len(set(toks))))
+    n = len(items)
+    totals = [sum(it) for it in items]
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    alpha = 1.5 * (
+        1 - sum(var([it[j] for it in items]) for j in range(3)) / var(totals)
+    )
+    assert int(r["n"]) == n
+    for j, (s_col, ss_col) in enumerate(
+        [("s1", "ss1"), ("s2", "ss2"), ("s3", "ss3")]
+    ):
+        assert int(r[s_col]) == sum(it[j] for it in items)
+        assert int(r[ss_col]) == sum(it[j] ** 2 for it in items)
+    assert int(r["st"]) == sum(totals)
+    assert int(r["sst"]) == sum(t * t for t in totals)
+    assert float(r["cronbach_alpha"]) == pytest.approx(alpha, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# ccf_click_purchase_leadlag
+# --------------------------------------------------------------------------
+
+
+def test_ccf_detects_constructed_lead(spark, tmp_path):
+    # clicks on day d, purchases echo exactly 2 days later: ccf peak at +2
+    import itertools
+
+    rows = []
+    counts = [5, 9, 2, 7, 3, 8, 1, 6, 4, 10]
+    eid = itertools.count(1)
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append(("click", d))
+        for _ in range(c):
+            rows.append(("purchase", d + 2))
+    n = len(rows)
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": pd.to_datetime(
+                [f"2024-01-{d + 1:02d} 12:00:00" for _, d in rows]
+            ),
+            "user_id": pd.array([i % 5 for i in range(n)], dtype="Int64"),
+            "event_type": [t for t, _ in rows],
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmp_path}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    spec = all_queries()["ccf_click_purchase_leadlag"]
+    got = {
+        int(r["lag"]): r.asDict()
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(-7, 8))
+    # the echoed series correlates perfectly at lag +2
+    assert float(got[2]["ccf"]) == pytest.approx(1.0, abs=1e-6)
+    # moments are exact integers: verify one lag by hand
+    x = {d: c for d, c in enumerate(counts)}  # clicks per day
+    y = {d + 2: c for d, c in enumerate(counts)}  # purchases per day
+    days = sorted(set(x) | set(y))
+    xs = {d: x.get(d, 0) for d in days}
+    ys = {d: y.get(d, 0) for d in days}
+    lag = 2
+    pairs = [(xs[d], ys[d + lag]) for d in days if d + lag in ys or d + lag in xs]
+    # replicate the operator's overlap rule: day grid join on d + lag
+    pairs = [
+        (xs[d], ys.get(d + lag, 0)) for d in days if (d + lag) in days
+    ]
+    assert int(got[lag]["n_days"]) == len(pairs)
+    assert int(got[lag]["sx"]) == sum(p[0] for p in pairs)
+    assert int(got[lag]["sy"]) == sum(p[1] for p in pairs)
+    assert int(got[lag]["sxy"]) == sum(p[0] * p[1] for p in pairs)

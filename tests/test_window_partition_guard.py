@@ -349,9 +349,17 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
     ),
+    'brown_forsythe_spread_test': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # 1-row grand totals + |groups|-row ANOVA parts
+    ),
     'capture_recapture_dup_estimate': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
+    ),
+    'ccf_click_purchase_leadlag': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',),
+        'bounded-build',  # 15-row lag grid onto the |days| grid
     ),
     'cohens_kappa_agreement': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),

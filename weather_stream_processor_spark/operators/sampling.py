@@ -2577,3 +2577,162 @@ def horvitz_thompson_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(pop, build)
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe: k-sample EQUALITY-OF-SPREAD test (location tests above
+# assume it; this checks it).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brown_forsythe_spread_test",
+    oracle="""
+        WITH c AS (
+            SELECT event_type AS grp,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+            FROM events
+        ),
+        cnt AS (
+            SELECT grp, cent, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY grp, cent
+        ),
+        ng AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS n_g FROM cnt GROUP BY grp),
+        cum AS (
+            SELECT grp, cent, n,
+                   CAST(SUM(n) OVER (PARTITION BY grp ORDER BY cent)
+                        AS BIGINT) AS cum
+            FROM cnt
+        ),
+        med AS (
+            SELECT cum.grp, CAST(MIN(cent) AS BIGINT) AS med_cents
+            FROM cum JOIN ng ON cum.grp = ng.grp
+            WHERE 2 * cum.cum >= ng.n_g
+            GROUP BY cum.grp
+        ),
+        z AS (
+            SELECT c.grp, abs(c.cent - med.med_cents) AS z
+            FROM c JOIN med ON c.grp = med.grp
+        ),
+        g AS (
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(z) AS BIGINT) AS sum_z,
+                   CAST(SUM(z * z) AS BIGINT) AS sumsq_z
+            FROM z GROUP BY grp
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(SUM(sum_z) AS BIGINT) AS sum_z_all
+            FROM g
+        ),
+        parts AS (
+            SELECT k, n_total,
+                   SUM(n_g * (sum_z * 1.0 / n_g - sum_z_all * 1.0 / n_total)
+                           * (sum_z * 1.0 / n_g - sum_z_all * 1.0 / n_total))
+                       AS ssb,
+                   SUM(sumsq_z - sum_z * 1.0 * sum_z / n_g) AS ssw
+            FROM g CROSS JOIN tot
+            GROUP BY k, n_total
+        )
+        SELECT g.grp, g.n_g, med.med_cents, g.sum_z, g.sumsq_z,
+               CAST(parts.k AS BIGINT) AS k,
+               ROUND((parts.ssb / (parts.k - 1.0))
+                     / (parts.ssw / (parts.n_total - parts.k)), 6) AS bf_f,
+               CAST(parts.k - 1 AS BIGINT) AS df1,
+               CAST(parts.n_total - parts.k AS BIGINT) AS df2
+        FROM g JOIN med ON g.grp = med.grp CROSS JOIN parts
+    """,
+    doc=(
+        "BROWN-FORSYTHE EQUALITY-OF-SPREAD TEST across event types — the "
+        "check every k-sample LOCATION test above silently assumes: are "
+        "the group DISPERSIONS comparable, or is one event type's value "
+        "distribution wider (which inflates location-test false "
+        "positives and, operationally, flags the metric whose variance "
+        "needs per-group modeling)? Levene's test centered on the mean "
+        "is outlier-fragile; the Brown-Forsythe variant centers each "
+        "observation on its GROUP MEDIAN and runs one-way ANOVA on the "
+        "absolute deviations. Everything is exact integer arithmetic on "
+        "the 0.01-quantized cent grid: the group median is the smallest "
+        "cent whose within-group cumulative count doubles past n_g "
+        "(lower median — an integer, no midpoint float), deviations "
+        "|cent - med| are integers, and the hashed per-group columns "
+        "(n, median, sum, sum-of-squares of deviations) carry no float "
+        "at all; the F statistic assembles from them in one mirrored "
+        "rounded expression (sum-of-squares cliff ~4e9 rows/group at "
+        "this grid width — document-scale, not web-scale; past it, "
+        "lift to DECIMAL). Plan: one aggregate to the bounded "
+        "(group x cent) grid, the cumulative window runs PARTITIONED "
+        "by group over that grid only, medians broadcast back for one "
+        "more map-side pass, then |groups|-row reductions — at 100 TB "
+        "two corpus scans (count grid, deviation moments), no global "
+        "window, no corpus-sized shuffle beyond the grid keys."
+    ),
+    tags=("sampling", "statistics", "drift", "quality"),
+)
+def brown_forsythe_spread_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cent"),
+    )
+    cnt = c.groupBy("grp", "cent").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ng = cnt.groupBy("grp").agg(F.sum("n").cast("bigint").alias("n_g"))
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("cent")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.select("grp", "cent", F.sum("n").over(w_cum).cast("bigint").alias("cum"))
+    med = (
+        cum.join(ng, "grp")
+        .filter(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("grp")
+        .agg(F.min("cent").cast("bigint").alias("med_cents"))
+    )
+    z = c.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(F.col("cent") - F.col("med_cents")).alias("z")
+    )
+    g = z.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("sum_z"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("sumsq_z"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n_total"),
+        F.sum("sum_z").cast("bigint").alias("sum_z_all"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    dev = F.col("sum_z") * F.lit(1.0) / F.col("n_g") - F.col("sum_z_all") * F.lit(
+        1.0
+    ) / F.col("n_total")
+    parts = j.groupBy("k", "n_total").agg(
+        F.sum(F.col("n_g") * dev * dev).alias("ssb"),
+        F.sum(
+            F.col("sumsq_z")
+            - F.col("sum_z") * F.lit(1.0) * F.col("sum_z") / F.col("n_g")
+        ).alias("ssw"),
+    )
+    kd = F.col("k") * F.lit(1.0)
+    nd = F.col("n_total") * F.lit(1.0)
+    return (
+        g.join(F.broadcast(med), "grp")
+        .crossJoin(F.broadcast(parts))
+        .select(
+            "grp",
+            "n_g",
+            "med_cents",
+            "sum_z",
+            "sumsq_z",
+            "k",
+            F.round(
+                (F.col("ssb") / (kd - 1)) / (F.col("ssw") / (nd - kd)), 6
+            ).alias("bf_f"),
+            (F.col("k") - 1).cast("bigint").alias("df1"),
+            (F.col("n_total") - F.col("k")).cast("bigint").alias("df2"),
+        )
+    )
