@@ -64,9 +64,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # batch-2 additions (Kruskal-Wallis H, Welch ANOVA, chrF components,
 # Flesch readability panel, quadratic-kernel MMD moments) and slots
 # 122-125 the batch-3 additions (Brown-Forsythe spread test, Cochran's
-# Q, Cronbach's alpha, CCF lead-lag panel), each oracle-green at all
-# three fixture scales and margin-audited at sf0.01 + sf0.1
-# (0 findings).
+# Q, Cronbach's alpha, CCF lead-lag panel), and slots 126-128 the
+# batch-4 additions (character error rate via the ASCII-projected
+# levenshtein contract, the one-vs-rest effect-size panel, the partial
+# correlation screen), each oracle-green at all three fixture scales
+# and margin-audited at sf0.01 + sf0.1 (0 findings).
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
 # excluded from the hash window by construction. All staged names are
 # oracle-backed and green under the driver-strict local sweep
@@ -117,6 +119,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "flesch_readability_panel", "embedding_mmd_two_sample",
     "brown_forsythe_spread_test", "cochran_q_screens",
     "cronbach_alpha_reliability", "ccf_click_purchase_leadlag",
+    "cer_generation_eval", "effect_size_panel",
+    "partial_correlation_screen",
 )
 
 

@@ -532,3 +532,130 @@ def test_ccf_detects_constructed_lead(spark, tmp_path):
     assert int(got[lag]["sx"]) == sum(p[0] for p in pairs)
     assert int(got[lag]["sy"]) == sum(p[1] for p in pairs)
     assert int(got[lag]["sxy"]) == sum(p[0] * p[1] for p in pairs)
+
+
+# --------------------------------------------------------------------------
+# cer_generation_eval
+# --------------------------------------------------------------------------
+
+
+def _py_lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def test_cer_matches_python_rederivation(spark, tmp_path):
+    import re
+
+    texts = [
+        "the cat sat on the mat today",  # 7 tokens: drops token 6 ('mat')
+        "a b c d e f g h i j k l",  # 12 tokens: drops 2
+        "short",  # survives whole, edits = 0
+        "naïve café test µ",  # non-ASCII: projection contract binds
+    ]
+    sources = ["s0", "s0", "s1", "s1"]
+    _write_docs(str(tmp_path), texts, sources=sources)
+    spec = all_queries()["cer_generation_eval"]
+    rows = {r["source"]: r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()}
+    for src in ("s0", "s1"):
+        docs = [t for t, s in zip(texts, sources) if s == src]
+        edits = chars = 0
+        for t in docs:
+            toks = t.split(" ")
+            cand = " ".join(
+                w for i, w in enumerate(toks, start=1) if i % 6 != 0
+            )
+            proj = lambda s: re.sub(r"[^\x20-\x7e]", "#", s)
+            edits += _py_lev(proj(cand), proj(t))
+            chars += len(proj(t))
+        r = rows[src]
+        assert int(r["n_docs"]) == len(docs)
+        assert int(r["total_edits"]) == edits
+        assert int(r["total_ref_chars"]) == chars
+        assert float(r["cer"]) == pytest.approx(edits / chars, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# effect_size_panel
+# --------------------------------------------------------------------------
+
+
+def test_effect_size_matches_python_rederivation(spark, tmp_path):
+    by_src = {"s0": [10, 12, 14], "s1": [100, 120, 140, 160], "s2": [50, 52]}
+    texts, sources = [], []
+    for s, xs in by_src.items():
+        for ln in xs:
+            texts.append("y" * ln)
+            sources.append(s)
+    _write_docs(str(tmp_path), texts, sources=sources)
+    spec = all_queries()["effect_size_panel"]
+    rows = {r["source"]: r.asDict() for r in spec.builder(spark, str(tmp_path)).collect()}
+    for s, xs in by_src.items():
+        rest = []
+        for s2, xs2 in by_src.items():
+            if s2 != s:
+                rest.extend(xs2)
+        n_g, n_r = len(xs), len(rest)
+        m_g, m_r = sum(xs) / n_g, sum(rest) / n_r
+        css_g = sum((x - m_g) ** 2 for x in xs)
+        css_r = sum((x - m_r) ** 2 for x in rest)
+        pooled = math.sqrt((css_g + css_r) / (n_g + n_r - 2))
+        d = (m_g - m_r) / pooled
+        g_h = d * (1 - 3 / (4 * (n_g + n_r) - 9))
+        r = rows[s]
+        assert int(r["n_g"]) == n_g
+        assert int(r["sum_chars"]) == sum(xs)
+        assert int(r["sumsq_chars"]) == sum(x * x for x in xs)
+        assert float(r["cohens_d"]) == pytest.approx(d, abs=1e-6)
+        assert float(r["hedges_g"]) == pytest.approx(g_h, abs=1e-6)
+        assert float(r["log_mean_ratio"]) == pytest.approx(
+            math.log(m_g / m_r), abs=1e-6
+        )
+
+
+# --------------------------------------------------------------------------
+# partial_correlation_screen
+# --------------------------------------------------------------------------
+
+
+def test_partial_correlation_identity_on_fixture(spark):
+    """On the smoke fixture: partials must satisfy the defining identity
+    against raw correlations computed independently by DuckDB."""
+    from tests.conftest import SF_SMOKE
+
+    spec = all_queries()["partial_correlation_screen"]
+    rows = {r["pair"]: r.asDict() for r in spec.builder(spark, SF_SMOKE).collect()}
+    con = duckdb.connect()
+    r_qp, r_qd, r_pd = con.execute(
+        f"""SELECT corr(l_quantity, l_extendedprice),
+                   corr(l_quantity, l_discount),
+                   corr(l_extendedprice, l_discount)
+            FROM read_parquet('{SF_SMOKE}/lineitem.parquet')"""
+    ).fetchone()
+
+    def part(rxy, rxz, ryz):
+        return (rxy - rxz * ryz) / math.sqrt(
+            (1 - rxz * rxz) * (1 - ryz * ryz)
+        )
+
+    assert float(
+        rows["quantity__extendedprice"]["r_partial"]
+    ) == pytest.approx(part(r_qp, r_qd, r_pd), abs=2e-6)
+    assert float(rows["quantity__discount"]["r_partial"]) == pytest.approx(
+        part(r_qd, r_qp, r_pd), abs=2e-6
+    )
+    assert float(
+        rows["extendedprice__discount"]["r_partial"]
+    ) == pytest.approx(part(r_pd, r_qp, r_qd), abs=2e-6)
+    # controlling a near-independent third variable barely moves r
+    assert abs(
+        float(rows["quantity__extendedprice"]["r_raw"])
+        - float(rows["quantity__extendedprice"]["r_partial"])
+    ) < 0.2

@@ -413,6 +413,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
     ),
+    'effect_size_panel': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row global moments onto the |sources| rows
+    ),
     'embedding_eval_decontam': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',

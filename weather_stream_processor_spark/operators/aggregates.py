@@ -2121,3 +2121,97 @@ def extreme_value_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(o, build)
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation: the confounder-controlled twin of corr_covar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "partial_correlation_screen",
+    oracle="""
+        WITH r AS (
+            SELECT corr(l_quantity, l_extendedprice) AS r_qp,
+                   corr(l_quantity, l_discount) AS r_qd,
+                   corr(l_extendedprice, l_discount) AS r_pd,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+        )
+        SELECT pair, control_var, n,
+               ROUND(r_raw, 6) AS r_raw,
+               ROUND(r_partial, 6) AS r_partial
+        FROM (
+            SELECT 'quantity__extendedprice' AS pair,
+                   'discount' AS control_var, n, r_qp AS r_raw,
+                   (r_qp - r_qd * r_pd)
+                   / sqrt((1.0 - r_qd * r_qd) * (1.0 - r_pd * r_pd))
+                       AS r_partial
+            FROM r
+            UNION ALL
+            SELECT 'quantity__discount', 'extendedprice', n, r_qd,
+                   (r_qd - r_qp * r_pd)
+                   / sqrt((1.0 - r_qp * r_qp) * (1.0 - r_pd * r_pd))
+            FROM r
+            UNION ALL
+            SELECT 'extendedprice__discount', 'quantity', n, r_pd,
+                   (r_pd - r_qp * r_qd)
+                   / sqrt((1.0 - r_qp * r_qp) * (1.0 - r_qd * r_qd))
+            FROM r
+        )
+        ORDER BY pair
+    """,
+    doc=(
+        "FIRST-ORDER PARTIAL CORRELATION screen over the lineitem "
+        "measures — the confounder-controlled companion to the raw "
+        "corr_covar matrix: for each measure pair, how much of the "
+        "association survives after regressing out the THIRD measure "
+        "(r_xy.z = (r_xy - r_xz*r_yz)/sqrt((1-r_xz^2)(1-r_yz^2)))? A "
+        "raw correlation that collapses when controlled is a routing "
+        "artifact (both legs follow the confounder); one that survives "
+        "is a candidate direct relationship — the screen run before "
+        "any causal story is attached to a feature pair. All three raw "
+        "correlations come from ONE mergeable co-moment aggregate over "
+        "ONE scan (the corr_covar plan); the partials are closed-form "
+        "expressions over those three doubles, evaluated before the "
+        "single ROUND on each (mirrored literally in the oracle; "
+        "co-moment accumulation order differs between engines, hence "
+        "rounded on both sides like the rest of the corr family). At "
+        "100 TB: one scan, a 1-row shuffle, a 3-row result."
+    ),
+    tags=("aggregate", "statistics"),
+)
+def partial_correlation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r_qp"),
+        F.corr("l_quantity", "l_discount").alias("r_qd"),
+        F.corr("l_extendedprice", "l_discount").alias("r_pd"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+
+    def partial(rxy, rxz, ryz):
+        return (F.col(rxy) - F.col(rxz) * F.col(ryz)) / F.sqrt(
+            (F.lit(1.0) - F.col(rxz) * F.col(rxz))
+            * (F.lit(1.0) - F.col(ryz) * F.col(ryz))
+        )
+
+    wide = r.select(
+        "n",
+        F.round(F.col("r_qp"), 6).alias("raw_qp"),
+        F.round(F.col("r_qd"), 6).alias("raw_qd"),
+        F.round(F.col("r_pd"), 6).alias("raw_pd"),
+        F.round(partial("r_qp", "r_qd", "r_pd"), 6).alias("p_qp"),
+        F.round(partial("r_qd", "r_qp", "r_pd"), 6).alias("p_qd"),
+        F.round(partial("r_pd", "r_qp", "r_qd"), 6).alias("p_pd"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(3, "
+            "'extendedprice__discount', 'quantity', raw_pd, p_pd, "
+            "'quantity__discount', 'extendedprice', raw_qd, p_qd, "
+            "'quantity__extendedprice', 'discount', raw_qp, p_qp) "
+            "AS (pair, control_var, r_raw, r_partial)"
+        ),
+        "n",
+    ).select("pair", "control_var", "n", "r_raw", "r_partial")

@@ -3520,3 +3520,94 @@ def cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cronbach_alpha"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character error rate: the ALIGNMENT-based generation metric (BLEU and
+# chrF above are overlap-based; edit distance penalizes order).
+# ---------------------------------------------------------------------------
+
+_CER_DROP = 6  # candidate = reference with every 6th token removed
+# Both engines ship levenshtein() built in, but they disagree OFF ASCII:
+# Spark counts UTF-16 characters, DuckDB counts UTF-8 BYTES ('héllo' ->
+# 'hello' is 1 in Spark, 2 in DuckDB). The registered contract therefore
+# projects both strings to printable ASCII first (every other byte -> '#'),
+# where bytes == characters and the two engines agree for ANY input — the
+# same engine-stability move as the Flesch regexp-delta syllables.
+_CER_PROJ = "[^\\x20-\\x7e]"
+
+
+@register(
+    "cer_generation_eval",
+    oracle=f"""
+        WITH split AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        strs AS (
+            SELECT doc_id, source,
+                   regexp_replace(array_to_string(toks, ' '),
+                                  '{_CER_PROJ}', '#', 'g') AS ref_s,
+                   regexp_replace(array_to_string(
+                       [toks[i] FOR i IN range(1, len(toks) + 1)
+                        IF i % {_CER_DROP} != 0], ' '),
+                       '{_CER_PROJ}', '#', 'g') AS cand_s
+            FROM split
+        ),
+        per_doc AS (
+            SELECT source,
+                   CAST(levenshtein(cand_s, ref_s) AS BIGINT) AS edits,
+                   CAST(len(ref_s) AS BIGINT) AS ref_chars
+            FROM strs
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(edits) AS BIGINT) AS total_edits,
+               CAST(SUM(ref_chars) AS BIGINT) AS total_ref_chars,
+               ROUND(SUM(edits) * 1.0 / SUM(ref_chars), 6) AS cer
+        FROM per_doc GROUP BY source
+    """,
+    doc=(
+        "CHARACTER ERROR RATE per source — the ALIGNMENT-based "
+        "generation metric beside the overlap-based BLEU/chrF pair: "
+        "edit distance charges word-order scrambles and placement "
+        "errors that bag-of-n-gram overlap forgives (a candidate with "
+        "every n-gram present but shuffled scores high overlap, high "
+        "CER). Levenshtein distance between the reference text and the "
+        f"deterministic candidate (every {_CER_DROP}th token removed — "
+        "a third, independent corruption period), both projected to "
+        "printable ASCII first because the two engines' built-in "
+        "levenshtein units differ off ASCII (Spark counts characters, "
+        "DuckDB counts UTF-8 bytes; on the projection they provably "
+        "agree for any input). Per-source totals (docs, edit "
+        "operations, reference characters) are EXACT BIGINTs; CER = "
+        "edits/chars is the one mirrored rounded column. Plan: one "
+        "corpus scan, the DP runs inside whole-stage codegen per row "
+        "(O(|cand|*|ref|) per document — fine at document lengths; "
+        "book-length texts should chunk first, the CDC operator's "
+        "job), one |sources|-row aggregate; nothing shuffles but "
+        "partial aggregates at any corpus size."
+    ),
+    tags=("evals", "llm", "text", "generation"),
+)
+def cer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    cand = F.array_join(
+        F.filter(toks, lambda t, i: (i + 1) % _CER_DROP != 0), " "
+    )
+    ref_s = F.regexp_replace(F.array_join(toks, " "), _CER_PROJ, "#")
+    cand_s = F.regexp_replace(cand, _CER_PROJ, "#")
+    per_doc = docs.select(
+        "source",
+        F.levenshtein(cand_s, ref_s).cast("bigint").alias("edits"),
+        F.length(ref_s).cast("bigint").alias("ref_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("edits").cast("bigint").alias("total_edits"),
+        F.sum("ref_chars").cast("bigint").alias("total_ref_chars"),
+        F.round(
+            F.sum("edits") * F.lit(1.0) / F.sum("ref_chars"), 6
+        ).alias("cer"),
+    )
