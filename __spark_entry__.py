@@ -67,8 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # Q, Cronbach's alpha, CCF lead-lag panel), and slots 126-128 the
 # batch-4 additions (character error rate via the ASCII-projected
 # levenshtein contract, the one-vs-rest effect-size panel, the partial
-# correlation screen), each oracle-green at all three fixture scales
-# and margin-audited at sf0.01 + sf0.1 (0 findings).
+# correlation screen), and slot 129 the batch-5 addition (perceptual-
+# hash image near-dup through the real netpbm codec seam), each
+# oracle-green at all three fixture scales and margin-audited at
+# sf0.01 + sf0.1 (0 findings; the phash output is all-BIGINT).
 # Rows-only queries (sketches, whitening audit, BPE entropy, zlib) are
 # excluded from the hash window by construction. All staged names are
 # oracle-backed and green under the driver-strict local sweep
@@ -120,7 +122,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "brown_forsythe_spread_test", "cochran_q_screens",
     "cronbach_alpha_reliability", "ccf_click_purchase_leadlag",
     "cer_generation_eval", "effect_size_panel",
-    "partial_correlation_screen",
+    "partial_correlation_screen", "image_phash_near_dup",
 )
 
 

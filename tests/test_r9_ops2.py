@@ -659,3 +659,61 @@ def test_partial_correlation_identity_on_fixture(spark):
         float(rows["quantity__extendedprice"]["r_raw"])
         - float(rows["quantity__extendedprice"]["r_partial"])
     ) < 0.2
+
+
+# --------------------------------------------------------------------------
+# image_phash_near_dup
+# --------------------------------------------------------------------------
+
+
+def test_image_phash_matches_bruteforce_all_pairs(spark):
+    """Brute-force rederivation on the smoke fixture: recompute every
+    asset's aHash bands from the pixel closed form in numpy, then compare
+    (a) every band integer and (b) the banded join's partner counts
+    against an ALL-PAIRS Hamming scan — empirically certifying the
+    pigeonhole exact-recall lemma (4 bands, threshold 3)."""
+    import numpy as np
+
+    from tests.conftest import SF_SMOKE
+    from weather_stream_processor_spark.operators.multimodal import (
+        _PH_HAM_MAX,
+        _ahash_bands,
+    )
+
+    spec = all_queries()["image_phash_near_dup"]
+    rows = {
+        int(r["asset_id"]): r.asDict()
+        for r in spec.builder(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    ids = [
+        i
+        for (i,) in con.execute(
+            f"SELECT doc_id FROM read_parquet('{SF_SMOKE}/documents.parquet') "
+            "WHERE doc_id % 3 = 0"
+        ).fetchall()
+    ]
+    assert set(rows) == set(ids)
+    bands = {}
+    for aid in ids:
+        w, h = aid % 32 + 4, aid % 24 + 4
+        rr = (np.arange(h, dtype=np.int64) * 31)[:, None]
+        cc = (np.arange(w, dtype=np.int64) * 13)[None, :]
+        arr = ((aid * 7 + rr + cc) % 256).astype(np.int64)
+        bands[aid] = _ahash_bands(arr)
+        got = rows[aid]
+        assert [int(got[f"band{i}"]) for i in range(4)] == bands[aid]
+    # all-pairs truth vs the banded join's partner counts
+    partners = {aid: 0 for aid in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(bands[a], bands[b])
+            )
+            if ham <= _PH_HAM_MAX:
+                partners[a] += 1
+                partners[b] += 1
+    for aid in ids:
+        assert int(rows[aid]["near_dups"]) == partners[aid], aid
+    # the fixture genuinely contains near-duplicate images
+    assert sum(partners.values()) > 0

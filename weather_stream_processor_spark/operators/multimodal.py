@@ -646,3 +646,238 @@ def decode_audio_stats(assets: DataFrame) -> DataFrame:
 )
 def multimodal_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_stats(synthesize_wav_assets(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup: the LAION-style near-duplicate pipeline,
+# run through the REAL codec seam end to end.
+# ---------------------------------------------------------------------------
+
+_PH_GRID = 8  # aHash block grid: 8x8 = 64 bits
+_PH_BANDS = 4  # 4 x 16-bit bands; pigeonhole => exact recall at Hamming <= 3
+_PH_HAM_MAX = 3
+
+
+def _ahash_bands(arr):
+    """64-bit average-hash of a decoded grayscale array, as four 16-bit
+    band integers. Pure integer arithmetic: bit(br, bc) = 1 iff
+    block_sum * total_px > total_sum * block_px (cross-multiplied mean
+    comparison — no division, exact in any engine); empty blocks (images
+    narrower than the grid) compare 0 > 0 and yield 0."""
+    import numpy as np
+
+    h, w = arr.shape
+    r_blk = np.arange(h, dtype=np.int64) * _PH_GRID // h
+    c_blk = np.arange(w, dtype=np.int64) * _PH_GRID // w
+    sums = np.zeros((_PH_GRID, _PH_GRID), dtype=np.int64)
+    cnts = np.zeros((_PH_GRID, _PH_GRID), dtype=np.int64)
+    np.add.at(sums, (r_blk[:, None], c_blk[None, :]), arr.astype(np.int64))
+    np.add.at(cnts, (r_blk[:, None], c_blk[None, :]), 1)
+    tot_s = int(arr.sum(dtype=np.int64))
+    tot_n = h * w
+    bits = (sums * tot_n > tot_s * cnts).astype(np.int64).ravel()
+    bands = []
+    for b in range(_PH_BANDS):
+        chunk = bits[b * 16 : (b + 1) * 16]
+        bands.append(int((chunk << np.arange(16, dtype=np.int64)).sum()))
+    return bands
+
+
+@register(
+    "image_phash_near_dup",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id AS asset_id,
+                   {IMG_DIMS[0]} AS w, {IMG_DIMS[1]} AS h
+            FROM documents WHERE doc_id % 3 = 0
+        ),
+        rows_ AS (
+            SELECT asset_id, w, h, unnest(range(0, h)) AS r FROM img
+        ),
+        cells AS (
+            SELECT asset_id, w, h, r, unnest(range(0, w)) AS c FROM rows_
+        ),
+        px AS (
+            SELECT asset_id, w, h,
+                   r * {_PH_GRID} // h AS br, c * {_PH_GRID} // w AS bc,
+                   (asset_id * 7 + r * 31 + c * 13) % 256 AS v
+            FROM cells
+        ),
+        blocks AS (
+            SELECT asset_id, br, bc,
+                   CAST(SUM(v) AS BIGINT) AS bs,
+                   CAST(COUNT(*) AS BIGINT) AS bn
+            FROM px GROUP BY asset_id, br, bc
+        ),
+        tot AS (
+            SELECT asset_id, CAST(SUM(bs) AS BIGINT) AS ts,
+                   CAST(SUM(bn) AS BIGINT) AS tn
+            FROM blocks GROUP BY asset_id
+        ),
+        grid AS (
+            SELECT img.asset_id, g.br, g.bc
+            FROM img, (SELECT a.a AS br, b.b AS bc
+                       FROM (SELECT unnest(range(0, {_PH_GRID})) AS a) a,
+                            (SELECT unnest(range(0, {_PH_GRID})) AS b) b) g
+        ),
+        bits AS (
+            SELECT grid.asset_id, grid.br, grid.bc,
+                   CASE WHEN COALESCE(blocks.bs, 0) * tot.tn
+                             > tot.ts * COALESCE(blocks.bn, 0)
+                        THEN 1 ELSE 0 END AS bit
+            FROM grid
+            LEFT JOIN blocks ON blocks.asset_id = grid.asset_id
+                            AND blocks.br = grid.br AND blocks.bc = grid.bc
+            JOIN tot ON tot.asset_id = grid.asset_id
+        ),
+        hashes AS (
+            SELECT asset_id,
+                   CAST(SUM(CASE WHEN (br * {_PH_GRID} + bc) // 16 = 0
+                       THEN bit << ((br * {_PH_GRID} + bc) % 16) ELSE 0 END)
+                       AS BIGINT) AS band0,
+                   CAST(SUM(CASE WHEN (br * {_PH_GRID} + bc) // 16 = 1
+                       THEN bit << ((br * {_PH_GRID} + bc) % 16) ELSE 0 END)
+                       AS BIGINT) AS band1,
+                   CAST(SUM(CASE WHEN (br * {_PH_GRID} + bc) // 16 = 2
+                       THEN bit << ((br * {_PH_GRID} + bc) % 16) ELSE 0 END)
+                       AS BIGINT) AS band2,
+                   CAST(SUM(CASE WHEN (br * {_PH_GRID} + bc) // 16 = 3
+                       THEN bit << ((br * {_PH_GRID} + bc) % 16) ELSE 0 END)
+                       AS BIGINT) AS band3
+            FROM bits GROUP BY asset_id
+        ),
+        cand AS (
+            SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                   bit_count(xor(a.band0, b.band0))
+                   + bit_count(xor(a.band1, b.band1))
+                   + bit_count(xor(a.band2, b.band2))
+                   + bit_count(xor(a.band3, b.band3)) AS hamming
+            FROM hashes a JOIN hashes b
+              ON a.asset_id < b.asset_id
+             AND (a.band0 = b.band0 OR a.band1 = b.band1
+                  OR a.band2 = b.band2 OR a.band3 = b.band3)
+        ),
+        np_ AS (
+            SELECT asset_a AS asset_id, COUNT(*) AS c FROM cand
+            WHERE hamming <= {_PH_HAM_MAX} GROUP BY asset_a
+            UNION ALL
+            SELECT asset_b, COUNT(*) FROM cand
+            WHERE hamming <= {_PH_HAM_MAX} GROUP BY asset_b
+        ),
+        partners AS (
+            SELECT asset_id, CAST(SUM(c) AS BIGINT) AS near_dups
+            FROM np_ GROUP BY asset_id
+        )
+        SELECT h.asset_id, h.band0, h.band1, h.band2, h.band3,
+               CAST(COALESCE(p.near_dups, 0) AS BIGINT) AS near_dups
+        FROM hashes h LEFT JOIN partners p ON h.asset_id = p.asset_id
+    """,
+    doc=(
+        "PERCEPTUAL-HASH NEAR-DUPLICATE DETECTION for the image "
+        "modality — the visual dedup step a LAION-class corpus runs "
+        "that no text fingerprint covers (re-encoded, renamed, or "
+        "lightly edited copies of one picture carry different bytes "
+        "and different captions but the same visual content). aHash: "
+        "partition each raster into an 8x8 block grid, bit = 1 iff "
+        "block mean exceeds image mean, evaluated as the cross-"
+        "multiplied comparison block_sum*total_px > total_sum*block_px "
+        "so no division exists and every bit is identical under numpy "
+        "or SQL; rasters narrower than the grid leave empty blocks "
+        "pinned to bit 0 by the same comparison. Matching: the 64 "
+        "bits ship as four 16-bit BAND integers, pairs equi-join on "
+        "(band_id, band_value), and the pigeonhole lemma makes recall "
+        "at Hamming<=3 EXACT (3 differing bits cannot touch 4 bands) "
+        "— never an all-pairs pass. Per raster the result row carries "
+        "its four band integers and near-dup partner count. Parity is "
+        "certified through the whole chain (bytes -> parse -> hash -> "
+        "banded join) because the pixels follow the deterministic "
+        "generation formula the cross-engine check can re-derive "
+        "relationally. At 100 TB: hashing rides the payload scan, the "
+        "pair search is |assets| x 4 equi-join keys with candidate "
+        "volume set by band selectivity, and a brute-force test pins "
+        "the recall lemma."
+    ),
+    tags=("multimodal", "dedup", "llm", "pandas-udf", "scale"),
+)
+def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = synthesize_netpbm_assets(spark, sf_dir)
+
+    def _hash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"asset_id": [], "band0": [], "band1": [], "band2": [], "band3": []}
+            for aid, b in zip(pdf["asset_id"], pdf["payload"]):
+                arr, _maxval = decode_payload(bytes(b), "image")
+                bands = _ahash_bands(arr)
+                out["asset_id"].append(int(aid))
+                for i in range(_PH_BANDS):
+                    out[f"band{i}"].append(bands[i])
+            yield pd.DataFrame(out)
+
+    hashes = assets.mapInPandas(
+        _hash,
+        schema="asset_id bigint, band0 bigint, band1 bigint, "
+        "band2 bigint, band3 bigint",
+    )
+    # LSH banding EQUI-join (the SimHash-twin shape): explode each hash to
+    # (band_id, band_val) keys and shuffle-hash-join on those — an OR of
+    # band equalities would plan a nested-loop over |assets|^2, exactly
+    # the all-pairs class this operator exists to avoid.
+    keyed = hashes.select(
+        "asset_id",
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.col(f"band{i}").alias("band_val"),
+                    )
+                    for i in range(_PH_BANDS)
+                ]
+            )
+        ).alias("k"),
+    ).select("asset_id", "band0", "band1", "band2", "band3", "k.band_id", "k.band_val")
+    a = keyed.select(
+        *[F.col(c).alias(f"a_{c}") for c in ("asset_id", "band0", "band1", "band2", "band3")],
+        "band_id",
+        "band_val",
+    )
+    b = keyed.select(
+        *[F.col(c).alias(f"b_{c}") for c in ("asset_id", "band0", "band1", "band2", "band3")],
+        "band_id",
+        "band_val",
+    )
+    hamming = None
+    for i in range(_PH_BANDS):
+        h = F.bit_count(
+            F.col(f"a_band{i}").bitwiseXOR(F.col(f"b_band{i}"))
+        )
+        hamming = h if hamming is None else (hamming + h)
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a_asset_id") < F.col("b_asset_id"))
+        .select(
+            F.col("a_asset_id").alias("asset_a"),
+            F.col("b_asset_id").alias("asset_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= _PH_HAM_MAX)
+    )
+    partners = (
+        cand.select(F.col("asset_a").alias("asset_id"))
+        .unionAll(cand.select(F.col("asset_b").alias("asset_id")))
+        .groupBy("asset_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("near_dups"))
+    )
+    return hashes.join(partners, "asset_id", "left").select(
+        "asset_id",
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+        F.coalesce(F.col("near_dups"), F.lit(0)).cast("bigint").alias("near_dups"),
+    )
