@@ -717,3 +717,34 @@ def test_image_phash_matches_bruteforce_all_pairs(spark):
         assert int(rows[aid]["near_dups"]) == partners[aid], aid
     # the fixture genuinely contains near-duplicate images
     assert sum(partners.values()) > 0
+
+
+def test_chrf_single_pass_equals_union_form(spark, tmp_path):
+    """The registered single-pass (grid-explode) chrF plan must be
+    bit-identical to the 12-way unioned twin it replaced (the CDC
+    explode-form pattern): both build the same gram multiset, so the
+    exact-integer component tables cannot differ — this test pins that
+    the plan rewrite stays a pure reformulation."""
+    from weather_stream_processor_spark.operators.evals import (
+        _chrf_union_form,
+        chrf_generation_eval,
+    )
+
+    texts = [
+        "the cat sat on the mat today and yesterday",
+        "abcdef",
+        "a bb ccc dddd eeeee ffffff g",
+        "xy",
+        "",  # empty doc: zero grams at every order
+    ]
+    _write_docs(str(tmp_path), texts)
+    for sf_dir in (str(tmp_path), "/root/testdata/sf0.001"):
+        new = {
+            int(r["n"]): (int(r["overlap_total"]), int(r["cand_total"]), int(r["ref_total"]))
+            for r in chrf_generation_eval(spark, sf_dir).collect()
+        }
+        old = {
+            int(r["n"]): (int(r["overlap_total"]), int(r["cand_total"]), int(r["ref_total"]))
+            for r in _chrf_union_form(spark, sf_dir).collect()
+        }
+        assert new == old
