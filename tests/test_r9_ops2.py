@@ -748,3 +748,34 @@ def test_chrf_single_pass_equals_union_form(spark, tmp_path):
             for r in _chrf_union_form(spark, sf_dir).collect()
         }
         assert new == old
+
+
+def test_mmd_null_label_contract(spark, tmp_path):
+    """NULL-labeled vectors are EXCLUDED by explicit contract on both
+    engines (the oracle's conditional sums would silently drop them while
+    the numpy % crashes on object dtype — the asymmetric edge-contract
+    class the r8 advice flagged)."""
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5, 6],
+            "embedding": [[0.1 * i, -0.2 * i, 0.05] for i in range(1, 7)],
+            "label": pd.array([0, 1, None, 0, 1, None], dtype="Int32"),
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM emb) TO '{tmp_path}/embeddings.parquet' "
+        "(FORMAT PARQUET)"
+    )
+    spec = all_queries()["embedding_mmd_two_sample"]
+    rows = spec.builder(spark, str(tmp_path)).collect()
+    assert rows, "non-null labels must still produce the moment table"
+    for r in rows:
+        assert int(r["n_a"]) == 2 and int(r["n_b"]) == 2
+    oracle = duckdb.connect()
+    oracle.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    opdf = oracle.execute(spec.oracle).fetchdf()
+    assert len(opdf) == len(rows)
+    assert int(opdf["n_a"].iloc[0]) == 2 and int(opdf["n_b"].iloc[0]) == 2

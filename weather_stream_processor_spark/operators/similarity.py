@@ -3826,7 +3826,7 @@ def mmd2_from_moments(rows) -> float:
                    CAST(floor(CAST(unnest(embedding) AS DOUBLE)
                               * {_MMD_SCALE}.0 + 0.5) AS BIGINT) AS k,
                    generate_subscripts(embedding, 1) AS i
-            FROM embeddings
+            FROM embeddings WHERE label IS NOT NULL
         ),
         g AS (
             SELECT a.i AS i, b.i AS j,
@@ -3888,8 +3888,14 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
+    # Explicit NULL-label contract, mirrored in the oracle's WHERE: a NULL
+    # grp would silently drop out of the oracle's conditional sums while
+    # the numpy `% 2` CRASHES on object dtype — the asymmetric edge-
+    # contract class the r8 advice flagged on the prefix-sum joins.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("label").isNotNull())
+        .select("vec_id", "embedding", "label")
     )
 
     part_schema = StructType(
