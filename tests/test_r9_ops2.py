@@ -481,11 +481,8 @@ def test_cronbach_alpha_matches_python_rederivation(spark, tmp_path):
 
 def test_ccf_detects_constructed_lead(spark, tmp_path):
     # clicks on day d, purchases echo exactly 2 days later: ccf peak at +2
-    import itertools
-
     rows = []
     counts = [5, 9, 2, 7, 3, 8, 1, 6, 4, 10]
-    eid = itertools.count(1)
     for d, c in enumerate(counts):
         for _ in range(c):
             rows.append(("click", d))
@@ -523,8 +520,7 @@ def test_ccf_detects_constructed_lead(spark, tmp_path):
     xs = {d: x.get(d, 0) for d in days}
     ys = {d: y.get(d, 0) for d in days}
     lag = 2
-    pairs = [(xs[d], ys[d + lag]) for d in days if d + lag in ys or d + lag in xs]
-    # replicate the operator's overlap rule: day grid join on d + lag
+    # the operator's overlap rule: day-grid self-join on d + lag
     pairs = [
         (xs[d], ys.get(d + lag, 0)) for d in days if (d + lag) in days
     ]
@@ -737,8 +733,10 @@ def test_chrf_single_pass_equals_union_form(spark, tmp_path):
         "xy",
         "",  # empty doc: zero grams at every order
     ]
+    from tests.conftest import SF_SMOKE
+
     _write_docs(str(tmp_path), texts)
-    for sf_dir in (str(tmp_path), "/root/testdata/sf0.001"):
+    for sf_dir in (str(tmp_path), SF_SMOKE):
         new = {
             int(r["n"]): (int(r["overlap_total"]), int(r["cand_total"]), int(r["ref_total"]))
             for r in chrf_generation_eval(spark, sf_dir).collect()

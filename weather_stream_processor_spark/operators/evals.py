@@ -3464,7 +3464,7 @@ _CQ_TOK_CUT = 50
 )
 def cochran_q_screens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))
     a = F.when(F.col("n_chars") >= _CQ_LEN_CUT, 1).otherwise(0)
     b = F.when(F.size(toks) >= _CQ_TOK_CUT, 1).otherwise(0)
     u = F.when(2 * F.size(F.array_distinct(toks)) >= F.size(toks), 1).otherwise(0)
@@ -3561,7 +3561,7 @@ _CRA_LEN_SAT = 400
 )
 def cronbach_alpha_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))
     items = docs.select(
         F.least(F.col("n_chars"), F.lit(_CRA_LEN_SAT)).alias("i1"),
         F.size(toks).cast("bigint").alias("i2"),

@@ -818,66 +818,75 @@ def image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="asset_id bigint, band0 bigint, band1 bigint, "
         "band2 bigint, band3 bigint",
     )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
     # LSH banding EQUI-join (the SimHash-twin shape): explode each hash to
     # (band_id, band_val) keys and shuffle-hash-join on those — an OR of
     # band equalities would plan a nested-loop over |assets|^2, exactly
-    # the all-pairs class this operator exists to avoid.
-    keyed = hashes.select(
-        "asset_id",
-        "band0",
-        "band1",
-        "band2",
-        "band3",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_id"),
-                        F.col(f"band{i}").alias("band_val"),
-                    )
-                    for i in range(_PH_BANDS)
-                ]
+    # the all-pairs class this operator exists to avoid. The hash table is
+    # consumed in THREE subtrees (both join sides + the final partner
+    # attach), so it runs under persisted_result — otherwise the whole
+    # Python encode->decode->hash chain re-executes per subtree.
+    def _build(hashes: DataFrame) -> DataFrame:
+        keyed = hashes.select(
+            "asset_id",
+            "band0",
+            "band1",
+            "band2",
+            "band3",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.col(f"band{i}").alias("band_val"),
+                        )
+                        for i in range(_PH_BANDS)
+                    ]
+                )
+            ).alias("k"),
+        ).select(
+            "asset_id", "band0", "band1", "band2", "band3", "k.band_id", "k.band_val"
+        )
+        cols = ("asset_id", "band0", "band1", "band2", "band3")
+        a = keyed.select(
+            *[F.col(c).alias(f"a_{c}") for c in cols], "band_id", "band_val"
+        )
+        b = keyed.select(
+            *[F.col(c).alias(f"b_{c}") for c in cols], "band_id", "band_val"
+        )
+        hamming = None
+        for i in range(_PH_BANDS):
+            h = F.bit_count(
+                F.col(f"a_band{i}").bitwiseXOR(F.col(f"b_band{i}"))
             )
-        ).alias("k"),
-    ).select("asset_id", "band0", "band1", "band2", "band3", "k.band_id", "k.band_val")
-    a = keyed.select(
-        *[F.col(c).alias(f"a_{c}") for c in ("asset_id", "band0", "band1", "band2", "band3")],
-        "band_id",
-        "band_val",
-    )
-    b = keyed.select(
-        *[F.col(c).alias(f"b_{c}") for c in ("asset_id", "band0", "band1", "band2", "band3")],
-        "band_id",
-        "band_val",
-    )
-    hamming = None
-    for i in range(_PH_BANDS):
-        h = F.bit_count(
-            F.col(f"a_band{i}").bitwiseXOR(F.col(f"b_band{i}"))
+            hamming = h if hamming is None else (hamming + h)
+        cand = (
+            a.join(b, ["band_id", "band_val"])
+            .filter(F.col("a_asset_id") < F.col("b_asset_id"))
+            .select(
+                F.col("a_asset_id").alias("asset_a"),
+                F.col("b_asset_id").alias("asset_b"),
+                hamming.alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= _PH_HAM_MAX)
         )
-        hamming = h if hamming is None else (hamming + h)
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("a_asset_id") < F.col("b_asset_id"))
-        .select(
-            F.col("a_asset_id").alias("asset_a"),
-            F.col("b_asset_id").alias("asset_b"),
-            hamming.alias("hamming"),
+        partners = (
+            cand.select(F.col("asset_a").alias("asset_id"))
+            .unionAll(cand.select(F.col("asset_b").alias("asset_id")))
+            .groupBy("asset_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("near_dups"))
         )
-        .distinct()
-        .filter(F.col("hamming") <= _PH_HAM_MAX)
-    )
-    partners = (
-        cand.select(F.col("asset_a").alias("asset_id"))
-        .unionAll(cand.select(F.col("asset_b").alias("asset_id")))
-        .groupBy("asset_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("near_dups"))
-    )
-    return hashes.join(partners, "asset_id", "left").select(
-        "asset_id",
-        "band0",
-        "band1",
-        "band2",
-        "band3",
-        F.coalesce(F.col("near_dups"), F.lit(0)).cast("bigint").alias("near_dups"),
-    )
+        return hashes.join(partners, "asset_id", "left").select(
+            "asset_id",
+            "band0",
+            "band1",
+            "band2",
+            "band3",
+            F.coalesce(F.col("near_dups"), F.lit(0))
+            .cast("bigint")
+            .alias("near_dups"),
+        )
+
+    return persisted_result(hashes, _build)

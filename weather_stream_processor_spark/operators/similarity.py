@@ -3921,8 +3921,28 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(X) == 0:
                 continue
             K = np.floor(X * float(_MMD_SCALE) + 0.5).astype(np.int64)
-            grp = (pdf["label"].to_numpy() % 2).astype(np.int64)
+            # TRUNCATED modulo (np.fmod), not numpy's floored `%`: the
+            # oracle's `label % 2` and Spark SQL `%` both keep the sign of
+            # the dividend, so label -1 maps to -1 and falls in NEITHER
+            # group on either engine; numpy `%` would have claimed it for
+            # group 1 — a divergence fixture labels (0..9) cannot surface.
+            grp = np.fmod(
+                pdf["label"].to_numpy(dtype=np.int64), 2
+            ).astype(np.int64)
             d = K.shape[1]
+            # Loud overflow guards BEFORE any product that could wrap
+            # (numpy int64 wraps silently; a guard that reads a possibly
+            # wrapped value can pass on garbage). Python-int arithmetic
+            # throughout the checks, so the checks themselves cannot wrap:
+            # k_max^2 * d bounds every row's sq; sq_max^2 * rows bounds
+            # the partition q4 sum.
+            k_max = int(np.abs(K).max()) if K.size else 0
+            if k_max * k_max * d >= 2**62:
+                raise ValueError(
+                    "embedding_mmd_two_sample: |quantized cell| too large "
+                    f"({k_max}); row norm sum would overflow int64 — "
+                    "rescale or run on a sample"
+                )
             for g in (0, 1):
                 Kg = K[grp == g]
                 if len(Kg) == 0:
@@ -3930,18 +3950,16 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if G[g] is None:
                     G[g] = np.zeros((d, d), dtype=np.int64)
                 G[g] += Kg.T @ Kg
-                sq = (Kg * Kg).sum(axis=1)  # <= d*k_max^2, int64-safe
-                rowq = sq * sq  # <= ~3.3e10 per row at |k|<=60
-                # numpy int64 wraps SILENTLY on overflow: enforce the
-                # documented bound against the batch's actual magnitudes
-                # before summing (the CKA loud-guard rule, Arrow side).
-                if len(rowq) and int(rowq.max()) * len(rowq) >= 2**62:
+                sq = (Kg * Kg).sum(axis=1)  # int64-safe by the k_max guard
+                sq_max = int(sq.max())
+                if sq_max * sq_max * len(sq) >= 2**62:
                     raise ValueError(
                         "embedding_mmd_two_sample: partition fourth-moment "
                         "sum would overflow int64; corpus exceeds the "
                         f"documented bound (~{_MMD_N_LIMIT} rows/group) — "
                         "run on a sample"
                     )
+                rowq = sq * sq  # safe: guarded above, pre-product
                 q4[g] += int(rowq.sum())
                 n[g] += len(Kg)
         if d is None:
@@ -3975,7 +3993,15 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Loud bound on the CROSS-partition q4 sum too (Spark-side int64 sums
     # NULL silently under non-ANSI past 2^63) — woven into the output
     # column so Catalyst cannot prune it, the CKA guard rule.
-    guard = F.col("n_a") + F.col("n_b") <= F.lit(2 * _MMD_N_LIMIT)
+    # Documented-bound check plus a wrap tripwire: each partition emits a
+    # non-negative q4 partial (the Arrow pass guards its own sums), so a
+    # negative TOTAL can only mean the cross-partition int64 sum wrapped
+    # (non-ANSI Spark wraps bigint sums silently rather than erroring).
+    guard = (
+        (F.col("n_a") + F.col("n_b") <= F.lit(2 * _MMD_N_LIMIT))
+        & (F.col("q4_a") >= 0)
+        & (F.col("q4_b") >= 0)
+    )
     err = F.raise_error(
         F.lit(
             "embedding_mmd_two_sample: rows exceed the int64-exact bound "
