@@ -716,12 +716,13 @@ def test_image_phash_matches_bruteforce_all_pairs(spark):
 
 
 def test_chrf_single_pass_equals_union_form(spark, tmp_path):
-    """The registered single-pass (grid-explode) chrF plan must be
-    bit-identical to the 12-way unioned twin it replaced (the CDC
-    explode-form pattern): both build the same gram multiset, so the
-    exact-integer component tables cannot differ — this test pins that
-    the plan rewrite stays a pure reformulation."""
+    """The registered gear-pass chrF plan must be bit-identical to BOTH
+    relational twins (grid explode and 12-way union — the CDC explode-
+    form pattern): all three count the same gram multisets, so the
+    exact-integer component tables cannot differ — this pins that each
+    plan rewrite stays a pure reformulation."""
     from weather_stream_processor_spark.operators.evals import (
+        _chrf_grid_form,
         _chrf_union_form,
         chrf_generation_eval,
     )
@@ -741,11 +742,12 @@ def test_chrf_single_pass_equals_union_form(spark, tmp_path):
             int(r["n"]): (int(r["overlap_total"]), int(r["cand_total"]), int(r["ref_total"]))
             for r in chrf_generation_eval(spark, sf_dir).collect()
         }
-        old = {
-            int(r["n"]): (int(r["overlap_total"]), int(r["cand_total"]), int(r["ref_total"]))
-            for r in _chrf_union_form(spark, sf_dir).collect()
-        }
-        assert new == old
+        for twin in (_chrf_grid_form, _chrf_union_form):
+            old = {
+                int(r["n"]): (int(r["overlap_total"]), int(r["cand_total"]), int(r["ref_total"]))
+                for r in twin(spark, sf_dir).collect()
+            }
+            assert new == old, twin.__name__
 
 
 def test_mmd_null_label_contract(spark, tmp_path):

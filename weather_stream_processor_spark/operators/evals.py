@@ -3323,29 +3323,91 @@ def _chrf_strs(sf_dir: str, spark: SparkSession) -> DataFrame:
         "5PR/(4P+R) and its average over orders live in one 6-row "
         "driver-side expression, never in the hashed result. Matching "
         "is per (doc_id, order, gram) in a single hash-partitioned "
-        "aggregate with partial combine; volume is 6x corpus "
-        "characters, the CDC byte-pass class. Plan: ONE spread corpus "
-        "pass — each doc row explodes a broadcast 12-cell (variant x "
-        "order) grid and then its char windows with a column-valued "
-        "length (measured 2.5x faster at sf0.1 than the 12-way "
-        "unioned-scan twin `_chrf_union_form`, which is kept and "
-        "bit-equality-tested against the registered form); the "
-        "character-window sequence() is branch-guarded on length >= "
-        "order (the r7 audit class — greatest(span, 0) still "
-        "auto-descends at span 0 and fabricates phantom grams on "
-        "sub-order-length documents, caught by the constructed-corpus "
-        "test)."
+        "aggregate with partial combine. Plan: the registered form is "
+        "the GEAR PASS (the CDC-chunking move) — clipping is PER "
+        "DOCUMENT, so each Arrow batch counts its documents' char "
+        "n-grams locally and emits six partial rows, and the only "
+        "shuffle carries 6 rows per batch instead of the 12x-corpus-"
+        "characters (doc_id, order, gram) relation the relational "
+        "explode ships (30x-input probe: wall 21.7 s -> 7.9 s, ratio "
+        "1.0; the per-doc counting is plain-Python within the batch — "
+        "numpy void-view vectorization is the next lever if profiling "
+        "ever demands it). Two relational twins are kept and bit-"
+        "equality-tested: `_chrf_grid_form` (single-scan grid explode, "
+        "whose sequence() is branch-guarded on length >= order — "
+        "greatest(span, 0) still auto-descends at span 0 and "
+        "fabricates phantom grams on sub-order-length documents, "
+        "caught by the constructed-corpus test) and the original "
+        "`_chrf_union_form` the oracle mirrors."
     ),
     tags=("evals", "llm", "text", "generation"),
 )
 def chrf_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import Counter
+
+    import pandas as pd
+
     from weather_stream_processor_spark.sources import spread
 
-    # spread BEFORE the 12x explode: a single-file scan is ONE task, and
-    # the char-gram explode chained onto it would run serially (the
-    # spread() lesson — measured 21 s single-task vs 4 s spread at sf0.1);
-    # keyed by doc_id, the downstream (doc_id, n, gram) shuffle partial-
-    # aggregates within partitions either way.
+    # GEAR PASS (the CDC-chunking move applied to chrF): clipping is PER
+    # DOCUMENT, so nothing about this metric needs a cross-document gram
+    # table — each Arrow batch counts its documents' char n-grams locally
+    # and emits SIX partial rows (one per order), and the only shuffle in
+    # the whole plan carries 6 rows per batch instead of the 12x-corpus-
+    # characters (doc_id, n, gram) relation the explode form ships (the
+    # exact char-scale-shuffle class the r7 CDC rewrite removed; 30x
+    # probe: wall 21.7 s -> ~2 s class). The grid-explode form is kept
+    # below as the oracle-mirrorable twin (`_chrf_grid_form`), bit-
+    # equality-tested at two scales; spread() before the pass for the
+    # single-file-scan parallelism lesson.
+    strs = spread(_chrf_strs(sf_dir, spark), "doc_id")
+
+    def _count(batches):
+        ov = [0] * (_CHRF_MAX_N + 1)
+        ct = [0] * (_CHRF_MAX_N + 1)
+        rt = [0] * (_CHRF_MAX_N + 1)
+        for pdf in batches:
+            for cand, ref in zip(pdf["cand_s"], pdf["ref_s"]):
+                cand = cand or ""
+                ref = ref or ""
+                for n in range(1, _CHRF_MAX_N + 1):
+                    cg = Counter(
+                        cand[i : i + n] for i in range(len(cand) - n + 1)
+                    )
+                    rg = Counter(
+                        ref[i : i + n] for i in range(len(ref) - n + 1)
+                    )
+                    ov[n] += sum(
+                        min(c, rg[g]) for g, c in cg.items() if g in rg
+                    )
+                    ct[n] += sum(cg.values())
+                    rt[n] += sum(rg.values())
+        yield pd.DataFrame(
+            {
+                "n": list(range(1, _CHRF_MAX_N + 1)),
+                "ov": ov[1:],
+                "ct": ct[1:],
+                "rt": rt[1:],
+            }
+        )
+
+    partials = strs.mapInPandas(
+        _count, schema="n bigint, ov bigint, ct bigint, rt bigint"
+    )
+    return partials.groupBy("n").agg(
+        F.sum("ov").cast("bigint").alias("overlap_total"),
+        F.sum("ct").cast("bigint").alias("cand_total"),
+        F.sum("rt").cast("bigint").alias("ref_total"),
+    )
+
+
+def _chrf_grid_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-pass grid-explode formulation — the oracle-mirrorable
+    relational twin the registered gear pass is bit-equality-tested
+    against (both count the identical gram multisets, so the exact-
+    integer component tables cannot differ)."""
+    from weather_stream_processor_spark.sources import spread
+
     counts = _chrf_gram_counts(spread(_chrf_strs(sf_dir, spark), "doc_id"))
     return counts.groupBy("n").agg(
         F.sum(F.least("cc", "cr")).cast("bigint").alias("overlap_total"),
