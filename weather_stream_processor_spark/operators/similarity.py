@@ -3997,8 +3997,13 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-negative q4 partial (the Arrow pass guards its own sums), so a
     # negative TOTAL can only mean the cross-partition int64 sum wrapped
     # (non-ANSI Spark wraps bigint sums silently rather than erroring).
+    # Per-group bound (not the weaker combined-sum form): one group at
+    # 390M rows with the other at 10M must trip even though the sum fits,
+    # and a wrapped int64 sum can land non-negative so the q4 tripwire
+    # alone is not airtight.
     guard = (
-        (F.col("n_a") + F.col("n_b") <= F.lit(2 * _MMD_N_LIMIT))
+        (F.col("n_a") <= F.lit(_MMD_N_LIMIT))
+        & (F.col("n_b") <= F.lit(_MMD_N_LIMIT))
         & (F.col("q4_a") >= 0)
         & (F.col("q4_b") >= 0)
     )
