@@ -35,6 +35,21 @@ def main() -> None:
         "(DuckDB hash parity at sf0.01), the rest rows-only with quality-gate "
         "tests (recall/determinism/verified-pairs equality).",
         "",
+        "**Modality closure (final):** the codec seam "
+        "(`operators/multimodal.py::decode_payload`) is REAL for image "
+        "(netpbm P5/P6, from-scratch numpy parser) and audio (RIFF/WAV "
+        "16-bit PCM, stdlib `wave`), each certified end-to-end by an "
+        "oracle-hash-checked decode-stats query. Video is closed as a "
+        "documented seam: no stdlib/numpy-parseable video container with "
+        "compressed frames exists, so there is nothing a from-scratch "
+        "decoder could honestly decode in this environment — in "
+        "production the branch dispatches to ffmpeg; the Spark-side "
+        "plumbing a video pipeline needs (typed metadata, partitioning, "
+        "Arrow batch shape, uniform-stride frame selection) is "
+        "demonstrated and hash-checked by `frame_sample_manifest` "
+        "without decoding. The seam's `NotImplementedError` is the "
+        "repo's only one, kept deliberately loud.",
+        "",
     ]
     for tag in sorted(by_tag):
         lines.append(f"## {tag} ({len(by_tag[tag])})")
