@@ -54,7 +54,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # (evals/experimentation tail, labeling family, report capstones, geo
 # pair); slots 51-82 pre-stage the rest (codec pair, bitext miner, the
 # round-9 statistics/generation-eval/drift crop, phash) so the drain
-# completes in r10. chrf_generation_eval (slot 72) is staged on its
+# completes in r10. Slots 83-93 stage the round-9 session crop (the
+# lexical-diversity pair, the survival-inference pair, the agreement
+# pair, B-cubed, the Hanley-McNeil AUC interval, covariate-balance SMD,
+# fixed-effect meta-analysis, and the Wald SPRT monitor), each
+# oracle-green at all three fixture
+# scales and margin-audited at sf0.01 + sf0.1 (0 tie-proximity
+# findings). chrf_generation_eval (slot 72) is staged on its
 # numpy-packed gear pass (r8 verdict task 5), bit-equality-tested
 # against both relational twins; embedding_mmd_two_sample (slot 74)
 # carries the per-group int64 guard (r8 ADVICE). All staged names except
@@ -94,6 +100,12 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "cronbach_alpha_reliability", "ccf_click_purchase_leadlag",
     "cer_generation_eval", "effect_size_panel",
     "partial_correlation_screen", "image_phash_near_dup",
+    "yule_k_lexical_diversity", "nucleus_topp_vocab",
+    "logrank_test_arms", "rmst_restricted_mean_survival",
+    "krippendorff_alpha_nominal", "kendall_w_concordance",
+    "bcubed_cluster_eval", "auc_hanley_mcneil_ci",
+    "smd_covariate_balance", "meta_analysis_fixed_effect",
+    "sprt_conversion_monitor",
 )
 
 

@@ -232,6 +232,23 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('c DESC NULLS LAST, tok ASC NULLS FIRST',),
         'top-200 vocabulary slice',
     ),
+    # --- round-9 crop ---
+    'logrank_test_arms': (
+        ('lifetime_days ASC NULLS FIRST',),
+        'distinct-lifetime day grid (bounded by the dataset day span)',
+    ),
+    'auc_hanley_mcneil_ci': (
+        ('<no order>', 'score ASC NULLS FIRST',),
+        '4-dp distinct-score grid (<=10^4 rows by quantization)',
+    ),
+    'meta_analysis_fixed_effect': (
+        ('<no order>',),
+        'bounded source grid (~20 study rows)',
+    ),
+    'sprt_conversion_monitor': (
+        ('<no order>', 'd ASC NULLS FIRST',),
+        'distinct-day grid (bounded by the dataset day span)',
+    ),
 }
 
 
@@ -639,6 +656,28 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     ),
     'woe_iv_binning': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    # --- round-9 crop: every Cross below broadcasts a 1-row aggregate
+    # (horizon / totals / moment summaries) into a keyed stream ---
+    'logrank_test_arms': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 3,
+        'bounded-build',
+    ),
+    'rmst_restricted_mean_survival': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 3,
+        'bounded-build',
+    ),
+    'krippendorff_alpha_nominal': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'kendall_w_concordance': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 3,
+        'bounded-build',
+    ),
+    'smd_covariate_balance': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 3,
         'bounded-build',
     ),
 }

@@ -2876,3 +2876,414 @@ def competing_risks_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cif_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test + restricted mean survival time (round 9): the two-group
+# INFERENCE and EFFECT-SIZE layers over the Kaplan-Meier machinery above
+# (kaplan_meier_retention estimates one curve; these compare two).
+# ---------------------------------------------------------------------------
+
+# same cross-engine Knuth multiplicative arm hash as operators/evals.py
+_LR_KNUTH = 2654435761
+_LR_MOD = 2147483647
+_LR_ARM_SQL = f"(((o_custkey % {_LR_MOD}) * {_LR_KNUTH}) >> 16) % 2"
+# A&S 26.2.17 normal-tail literals (same constants as the MW/MK tests)
+_LR_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_LR_AS_P = 0.2316419
+
+
+def _lr_sf_sql(z: str) -> str:
+    """A&S 26.2.17 upper-tail as a literal SQL expression (z >= 0) —
+    identical evaluation in both engines (sampling.py convention)."""
+    t = f"(1.0 / (1.0 + {_LR_AS_P} * {z}))"
+    poly = (
+        f"({t} * ({_LR_AS_B[0]} + {t} * ({_LR_AS_B[1]} + {t} * ({_LR_AS_B[2]}"
+        f" + {t} * ({_LR_AS_B[3]} + {t} * {_LR_AS_B[4]})))))"
+    )
+    return f"(exp(-({z}) * ({z}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+
+_LIVES_SQL = f"""
+        horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        lives AS (
+            SELECT {_LR_ARM_SQL} AS arm,
+                   CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        AS BIGINT) AS lifetime_days,
+                   CASE WHEN date_diff('day', MAX(o_orderdate), ho.h)
+                             > {_CHURN_HORIZON_DAYS}
+                        THEN 1 ELSE 0 END AS churned
+            FROM orders CROSS JOIN horizon ho
+            GROUP BY o_custkey, ho.h
+        )
+"""
+
+
+def _lives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer (arm, lifetime_days, churned) — the shared survival
+    construction of kaplan_meier_retention with the deterministic
+    Knuth-hash arm split added (same hash family as operators/evals.py)."""
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (
+                F.shiftright(
+                    (F.col("o_custkey") % _LR_MOD) * F.lit(_LR_KNUTH), 16
+                )
+                % 2
+            ).alias("arm"),
+            F.datediff("last_order", "first_order")
+            .cast("bigint")
+            .alias("lifetime_days"),
+            F.when(
+                F.datediff(F.col("h"), F.col("last_order"))
+                > _CHURN_HORIZON_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+
+
+@register(
+    "logrank_test_arms",
+    oracle=f"""
+        WITH {_LIVES_SQL},
+        tot AS (
+            SELECT
+                CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n0,
+                CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1
+            FROM lives
+        ),
+        grid AS (
+            SELECT lifetime_days,
+                   CAST(SUM(CASE WHEN arm = 0 THEN churned ELSE 0 END)
+                        AS BIGINT) AS d0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN churned ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS e0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS e1
+            FROM lives GROUP BY lifetime_days
+        ),
+        risk AS (
+            SELECT lifetime_days, d0, d1,
+                   CAST(t.n0 - COALESCE(SUM(e0) OVER w, 0) AS BIGINT)
+                       AS r0,
+                   CAST(t.n1 - COALESCE(SUM(e1) OVER w, 0) AS BIGINT)
+                       AS r1,
+                   t.n0, t.n1
+            FROM grid CROSS JOIN tot t
+            WINDOW w AS (ORDER BY lifetime_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        terms AS (
+            SELECT n0, n1, d1,
+                   (d0 + d1) * 1.0 * r1 / (r0 + r1) AS e1_t,
+                   CASE WHEN r0 + r1 > 1 THEN
+                       (d0 + d1) * 1.0 * r0 * r1
+                           * (r0 + r1 - d0 - d1)
+                           / ((r0 + r1) * 1.0 * (r0 + r1) * (r0 + r1 - 1))
+                   ELSE 0.0 END AS v_t
+            FROM risk WHERE d0 + d1 > 0
+        ),
+        s AS (
+            SELECT MAX(n0) AS n_control, MAX(n1) AS n_treat,
+                   CAST(SUM(d1) AS BIGINT) AS observed_treat,
+                   SUM(e1_t) AS e1_sum, SUM(v_t) AS v_sum
+            FROM terms
+        ),
+        zed AS (
+            SELECT n_control, n_treat, observed_treat, e1_sum, v_sum,
+                   (observed_treat - e1_sum) / SQRT(v_sum) AS z
+            FROM s
+        )
+        SELECT n_control, n_treat, observed_treat,
+               ROUND(e1_sum, 6) AS expected_treat,
+               ROUND(v_sum, 6) AS variance,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {_lr_sf_sql("abs(z)")}, 6) AS p_value
+        FROM zed
+    """,
+    doc=(
+        "LOG-RANK TEST between the two deterministic Knuth-hash arms "
+        "over the Kaplan-Meier lifetime construction — THE standard "
+        "two-group survival comparison (Mantel-Cox): at every distinct "
+        "event time the treated group's observed churn is set against "
+        "its hypergeometric expectation given the pooled risk sets, "
+        "O-E summed, variance from the hypergeometric form with the "
+        "(n_t - d_t)/(n_t - 1) finite-population factor, z = "
+        "(O-E)/sqrt(V), two-sided p from the shared A&S 26.2.17 tail "
+        "literal. This is the INFERENCE layer the KM curve lacks (two "
+        "curves always differ somewhere; log-rank says whether beyond "
+        "chance) — under the null the hash arms are exchangeable, so "
+        "the fixture's expected answer is 'no difference', and the "
+        "operator proves the machinery honest. At-risk counts come "
+        "from integer cumulatives over the bounded distinct-lifetime "
+        "grid (day-span-bounded, the KM window class); every d/e/r is "
+        "an exact BIGINT; doubles appear only in the per-time E/V "
+        "terms and their final rounded sums. One per-customer hash "
+        "aggregate is the only corpus-scale shuffle at 100 TB."
+    ),
+    tags=("analytics", "retention", "statistics", "experimentation", "window"),
+)
+def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    lives = _lives(spark, sf_dir)
+    tot = lives.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    grid = lives.groupBy("lifetime_days").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("e0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("e1"),
+    )
+    w = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grid.crossJoin(F.broadcast(tot)).select(
+        "d0",
+        "d1",
+        "n0",
+        "n1",
+        (F.col("n0") - F.coalesce(F.sum("e0").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("r0"),
+        (F.col("n1") - F.coalesce(F.sum("e1").over(w), F.lit(0)))
+        .cast("bigint")
+        .alias("r1"),
+    )
+    d = F.col("d0") + F.col("d1")
+    r = F.col("r0") + F.col("r1")
+    terms = risk.filter(d > 0).select(
+        "n0",
+        "n1",
+        "d1",
+        (d * F.lit(1.0) * F.col("r1") / r).alias("e1_t"),
+        F.when(
+            r > 1,
+            d
+            * F.lit(1.0)
+            * F.col("r0")
+            * F.col("r1")
+            * (r - d)
+            / (r * F.lit(1.0) * r * (r - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v_t"),
+    )
+    s = terms.agg(
+        F.max("n0").alias("n_control"),
+        F.max("n1").alias("n_treat"),
+        F.sum("d1").cast("bigint").alias("observed_treat"),
+        F.sum("e1_t").alias("e1_sum"),
+        F.sum("v_t").alias("v_sum"),
+    )
+    z = (F.col("observed_treat") - F.col("e1_sum")) / F.sqrt(F.col("v_sum"))
+    az = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_LR_AS_P) * az)
+    poly = tt * (
+        F.lit(_LR_AS_B[0])
+        + tt
+        * (
+            F.lit(_LR_AS_B[1])
+            + tt
+            * (
+                F.lit(_LR_AS_B[2])
+                + tt * (F.lit(_LR_AS_B[3]) + tt * F.lit(_LR_AS_B[4]))
+            )
+        )
+    )
+    sf = (
+        F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
+        * poly
+    )
+    return s.select(
+        "n_control",
+        "n_treat",
+        "observed_treat",
+        F.round(F.col("e1_sum"), 6).alias("expected_treat"),
+        F.round(F.col("v_sum"), 6).alias("variance"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * sf, 6).alias("p_value"),
+    )
+
+
+_RMST_TAU = 1460  # restriction horizon (days) — inside the fixture's
+# ~2500-day lifetime span so the restricted area reflects real events;
+# groups with NO event grid rows at or below tau still emit rmst = tau
+# exactly (S = 1 throughout the restriction window) via the left-join
+# guard below, rather than silently vanishing.
+
+
+@register(
+    "rmst_restricted_mean_survival",
+    oracle=f"""
+        WITH {_LIVES_SQL},
+        tot AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm
+            FROM lives GROUP BY arm
+        ),
+        grid AS (
+            SELECT arm, lifetime_days,
+                   CAST(SUM(churned) AS BIGINT) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS e
+            FROM lives GROUP BY arm, lifetime_days
+        ),
+        risk AS (
+            SELECT g.arm, lifetime_days, d,
+                   CAST(t.n_arm - COALESCE(SUM(e) OVER w, 0) AS BIGINT) AS r,
+                   t.n_arm
+            FROM grid g JOIN tot t USING (arm)
+            WINDOW w AS (PARTITION BY g.arm ORDER BY lifetime_days
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        surv AS (
+            SELECT arm, lifetime_days, d, n_arm,
+                   EXP(SUM(LN(1.0 - d * 1.0 / r)) OVER (
+                       PARTITION BY arm ORDER BY lifetime_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                       AS s
+            FROM risk
+        ),
+        capped AS (
+            SELECT arm, lifetime_days, d, s,
+                   LAG(s, 1, 1.0) OVER (PARTITION BY arm
+                                        ORDER BY lifetime_days) AS s_prev,
+                   LAG(lifetime_days, 1, 0) OVER (PARTITION BY arm
+                                                  ORDER BY lifetime_days)
+                       AS t_prev
+            FROM surv WHERE lifetime_days <= {_RMST_TAU}
+        ),
+        area AS (
+            SELECT arm,
+                   CAST(SUM(d) AS BIGINT) AS n_events,
+                   SUM(s_prev * (lifetime_days - t_prev))
+                       + MAX_BY(s, lifetime_days)
+                         * ({_RMST_TAU} - MAX(lifetime_days)) AS a
+            FROM capped GROUP BY arm
+        )
+        SELECT t.arm,
+               t.n_arm AS n_customers,
+               CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+               ROUND(COALESCE(a.a, {_RMST_TAU}.0), 6) AS rmst_days,
+               ROUND(COALESCE(a.a, {_RMST_TAU}.0) / {_RMST_TAU}.0, 6)
+                   AS rmst_share
+        FROM tot t LEFT JOIN area a USING (arm)
+    """,
+    doc=(
+        "RESTRICTED MEAN SURVIVAL TIME per deterministic arm at tau = "
+        f"{_RMST_TAU} days — the EFFECT-SIZE companion to "
+        "logrank_test_arms (a log-rank p says 'the curves differ'; the "
+        "RMST difference says BY HOW MANY DAYS of expected retention, "
+        "the clinically-reportable number hazard ratios obscure when "
+        "hazards cross): the area under the Kaplan-Meier curve up to "
+        "tau, computed exactly as sum of S(t_{{i-1}})(t_i - t_{{i-1}}) "
+        "rectangle strips over the bounded distinct-lifetime grid plus "
+        "the terminal strip S(t_last)(tau - t_last) via MAX_BY. The KM "
+        "product runs as exp-of-running-ln-sum in window order on both "
+        "engines (the kaplan_meier_retention float contract), at-risk "
+        "counts are integer cumulatives, and the windows are "
+        "partitioned by arm over the day-span-bounded grid. One "
+        "per-customer hash aggregate is the only corpus-scale shuffle."
+    ),
+    tags=("analytics", "retention", "statistics", "experimentation", "window"),
+)
+def rmst_restricted_mean_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lives = _lives(spark, sf_dir)
+    tot = lives.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_arm")
+    )
+    grid = lives.groupBy("arm", "lifetime_days").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("arm")
+        .orderBy("lifetime_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("arm")
+        .orderBy("lifetime_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_lag = Window.partitionBy("arm").orderBy("lifetime_days")
+    risk = grid.join(F.broadcast(tot), "arm").select(
+        "arm",
+        "lifetime_days",
+        "d",
+        "n_arm",
+        (F.col("n_arm") - F.coalesce(F.sum("e").over(w_prev), F.lit(0)))
+        .cast("bigint")
+        .alias("r"),
+    )
+    surv = risk.select(
+        "arm",
+        "lifetime_days",
+        "d",
+        "n_arm",
+        F.exp(
+            F.sum(F.log(F.lit(1.0) - F.col("d") * F.lit(1.0) / F.col("r"))).over(
+                w_run
+            )
+        ).alias("s"),
+    )
+    capped = surv.filter(F.col("lifetime_days") <= _RMST_TAU).select(
+        "arm",
+        "lifetime_days",
+        "d",
+        "s",
+        F.lag("s", 1, 1.0).over(w_lag).alias("s_prev"),
+        F.lag("lifetime_days", 1, 0).over(w_lag).alias("t_prev"),
+    )
+    a_expr = F.sum(
+        F.col("s_prev") * (F.col("lifetime_days") - F.col("t_prev"))
+    ) + F.max_by("s", "lifetime_days") * (
+        F.lit(_RMST_TAU) - F.max("lifetime_days")
+    )
+    area = capped.groupBy("arm").agg(
+        F.sum("d").cast("bigint").alias("n_events"),
+        a_expr.alias("a"),
+    )
+    return tot.join(area, "arm", "left").select(
+        "arm",
+        F.col("n_arm").alias("n_customers"),
+        F.coalesce(F.col("n_events"), F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.round(F.coalesce(F.col("a"), F.lit(float(_RMST_TAU))), 6).alias(
+            "rmst_days"
+        ),
+        F.round(
+            F.coalesce(F.col("a"), F.lit(float(_RMST_TAU)))
+            / F.lit(float(_RMST_TAU)),
+            6,
+        ).alias("rmst_share"),
+    )

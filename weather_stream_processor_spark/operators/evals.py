@@ -3854,3 +3854,576 @@ def cer_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("edits") * F.lit(1.0) / F.sum("ref_chars"), 6
         ).alias("cer"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Hanley-McNeil AUC confidence interval, covariate-balance SMD,
+# fixed-effect meta-analysis, and the SPRT sequential monitor — the
+# inference-layer completions of the AUC / experimentation families.
+# ---------------------------------------------------------------------------
+
+_HM_Z = 1.96  # 95% normal quantile, literal in both engines
+
+
+@register(
+    "auc_hanley_mcneil_ci",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        grid AS (
+            SELECT score,
+                   CAST(SUM(label) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg
+            FROM scored GROUP BY score
+        ),
+        run AS (
+            SELECT pos, neg,
+                   COALESCE(SUM(neg) OVER (
+                       ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS neg_below,
+                   CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
+                   CAST(SUM(neg) OVER () AS BIGINT) AS n_neg
+            FROM grid
+        ),
+        a AS (
+            SELECT n_pos, n_neg,
+                   SUM(pos * (neg_below + 0.5 * neg))
+                       / (n_pos * 1.0 * n_neg) AS auc
+            FROM run GROUP BY n_pos, n_neg
+        ),
+        se AS (
+            SELECT n_pos, n_neg, auc,
+                   SQRT((auc * (1.0 - auc)
+                         + (n_pos - 1) * (auc / (2.0 - auc) - auc * auc)
+                         + (n_neg - 1) * (2.0 * auc * auc / (1.0 + auc)
+                                          - auc * auc))
+                        / (n_pos * 1.0 * n_neg)) AS se_hm
+            FROM a
+        )
+        SELECT n_pos, n_neg,
+               ROUND(auc, 6) AS auc,
+               ROUND(se_hm, 6) AS se_hm,
+               ROUND(auc - {_HM_Z} * se_hm, 6) AS ci_low,
+               ROUND(auc + {_HM_Z} * se_hm, 6) AS ci_high
+        FROM se
+    """,
+    doc=(
+        "HANLEY-McNEIL 95% CONFIDENCE INTERVAL around the exact "
+        "distributed AUC — the uncertainty layer roc_auc_exact lacks "
+        "(an AUC of 0.61 on 300 positives and 0.61 on 3M positives are "
+        "different findings; the CI says which): SE^2 = (A(1-A) + "
+        "(n_pos-1)(Q1-A^2) + (n_neg-1)(Q2-A^2)) / (n_pos n_neg) with "
+        "the classic exponential-family closed forms Q1 = A/(2-A), "
+        "Q2 = 2A^2/(1+A) (Hanley-McNeil 1982 — the documented "
+        "approximation the field quotes; exact DeLong needs per-"
+        "observation placements). Reuses roc_auc_exact's bounded "
+        "4-dp score grid verbatim — the one ordered window is "
+        "<=10^4 rows at any corpus size — and appends pure closed-form "
+        "arithmetic; z = 1.96 is a shared literal. One documents scan, "
+        "one hash aggregate, grid-sized everything after."
+    ),
+    tags=("evals", "llm", "statistics"),
+)
+def auc_hanley_mcneil_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    grid = s.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
+    )
+    w_below = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = grid.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
+        F.sum("neg").over(w_all).cast("bigint").alias("n_neg"),
+    )
+    a = run.groupBy("n_pos", "n_neg").agg(
+        (
+            F.sum(F.col("pos") * (F.col("neg_below") + 0.5 * F.col("neg")))
+            / (F.col("n_pos") * F.lit(1.0) * F.col("n_neg"))
+        ).alias("auc")
+    )
+    auc = F.col("auc")
+    q1 = auc / (F.lit(2.0) - auc)
+    q2 = F.lit(2.0) * auc * auc / (F.lit(1.0) + auc)
+    se = F.sqrt(
+        (
+            auc * (F.lit(1.0) - auc)
+            + (F.col("n_pos") - 1) * (q1 - auc * auc)
+            + (F.col("n_neg") - 1) * (q2 - auc * auc)
+        )
+        / (F.col("n_pos") * F.lit(1.0) * F.col("n_neg"))
+    )
+    withse = a.select("n_pos", "n_neg", "auc", se.alias("se_hm"))
+    return withse.select(
+        "n_pos",
+        "n_neg",
+        F.round(F.col("auc"), 6).alias("auc"),
+        F.round(F.col("se_hm"), 6).alias("se_hm"),
+        F.round(F.col("auc") - F.lit(_HM_Z) * F.col("se_hm"), 6).alias(
+            "ci_low"
+        ),
+        F.round(F.col("auc") + F.lit(_HM_Z) * F.col("se_hm"), 6).alias(
+            "ci_high"
+        ),
+    )
+
+
+_SMD_FLAG = 0.1  # the conventional imbalance threshold
+
+
+@register(
+    "smd_covariate_balance",
+    oracle=f"""
+        WITH span AS (
+            SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+            FROM events
+        ),
+        pre AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clicks,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                        AS value_cents
+            FROM events CROSS JOIN span
+            WHERE 2 * epoch_us(ts) < lo + hi
+            GROUP BY user_id
+        ),
+        armed AS (
+            SELECT {_ARM_SQL} AS arm, n_events, n_clicks, value_cents
+            FROM pre
+        ),
+        mom AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_events) AS BIGINT) AS s1,
+                   CAST(SUM(n_events * n_events) AS BIGINT) AS ss1,
+                   CAST(SUM(n_clicks) AS BIGINT) AS s2,
+                   CAST(SUM(n_clicks * n_clicks) AS BIGINT) AS ss2,
+                   CAST(SUM(value_cents) AS BIGINT) AS s3,
+                   CAST(SUM(value_cents * value_cents) AS BIGINT) AS ss3
+            FROM armed GROUP BY arm
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                MAX(CASE WHEN arm = 0 THEN s1 END) AS s1_0,
+                MAX(CASE WHEN arm = 1 THEN s1 END) AS s1_1,
+                MAX(CASE WHEN arm = 0 THEN ss1 END) AS ss1_0,
+                MAX(CASE WHEN arm = 1 THEN ss1 END) AS ss1_1,
+                MAX(CASE WHEN arm = 0 THEN s2 END) AS s2_0,
+                MAX(CASE WHEN arm = 1 THEN s2 END) AS s2_1,
+                MAX(CASE WHEN arm = 0 THEN ss2 END) AS ss2_0,
+                MAX(CASE WHEN arm = 1 THEN ss2 END) AS ss2_1,
+                MAX(CASE WHEN arm = 0 THEN s3 END) AS s3_0,
+                MAX(CASE WHEN arm = 1 THEN s3 END) AS s3_1,
+                MAX(CASE WHEN arm = 0 THEN ss3 END) AS ss3_0,
+                MAX(CASE WHEN arm = 1 THEN ss3 END) AS ss3_1
+            FROM mom
+        ),
+        longf AS (
+            SELECT 'pre_events' AS covariate,
+                   n0, n1, s1_0 AS s0, s1_1 AS s1x, ss1_0 AS ss0,
+                   ss1_1 AS ss1x
+            FROM wide
+            UNION ALL
+            SELECT 'pre_clicks', n0, n1, s2_0, s2_1, ss2_0, ss2_1 FROM wide
+            UNION ALL
+            SELECT 'pre_value_cents', n0, n1, s3_0, s3_1, ss3_0, ss3_1
+            FROM wide
+        )
+        SELECT covariate, n0 AS n_control, n1 AS n_treat,
+               ROUND(s0 * 1.0 / n0, 6) AS mean_control,
+               ROUND(s1x * 1.0 / n1, 6) AS mean_treat,
+               ROUND((s1x * 1.0 / n1 - s0 * 1.0 / n0)
+                     / SQRT((((ss0 - s0 * 1.0 * s0 / n0) / (n0 - 1))
+                             + ((ss1x - s1x * 1.0 * s1x / n1) / (n1 - 1)))
+                            / 2.0), 6) AS smd,
+               CASE WHEN ABS((s1x * 1.0 / n1 - s0 * 1.0 / n0)
+                     / SQRT((((ss0 - s0 * 1.0 * s0 / n0) / (n0 - 1))
+                             + ((ss1x - s1x * 1.0 * s1x / n1) / (n1 - 1)))
+                            / 2.0)) > {_SMD_FLAG}
+                    THEN 1 ELSE 0 END AS imbalanced
+        FROM longf
+    """,
+    doc=(
+        "STANDARDIZED-MEAN-DIFFERENCE COVARIATE BALANCE CHECK between "
+        "the deterministic experiment arms over PRE-PERIOD covariates "
+        "(events, clicks, integer-cents value in the first half of the "
+        "observation span — split on an exact integer epoch-microsecond "
+        "midpoint "
+        "so both engines cut identically): SMD = (mean_t - mean_c) / "
+        "sqrt((var_t + var_c)/2) per covariate, |SMD| > 0.1 flagged — "
+        "the table every experiment readout should show FIRST, because "
+        "a randomization that failed balance invalidates the lift "
+        "downstream (the design-stage companion to "
+        "sample_ratio_mismatch_check: SRM tests assignment COUNTS, "
+        "this tests assignment COVARIATES). All moments are exact "
+        "BIGINTs from one per-user aggregate + one 2-row arm rollup; "
+        "the long-form pivot is over three literal covariate rows. At "
+        "100 TB the per-user aggregate is the only shuffle."
+    ),
+    tags=("evals", "statistics", "experimentation"),
+)
+def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+    )
+    pre = (
+        ev.crossJoin(F.broadcast(span))
+        .filter(2 * F.unix_micros("ts") < F.col("lo") + F.col("hi"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicks"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+        )
+    )
+    armed = pre.select(
+        _arm(F.col("user_id")).alias("arm"),
+        "n_events",
+        "n_clicks",
+        "value_cents",
+    )
+    mom = armed.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_events").cast("bigint").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("ss1"),
+        F.sum("n_clicks").cast("bigint").alias("s2"),
+        F.sum(F.col("n_clicks") * F.col("n_clicks")).cast("bigint").alias("ss2"),
+        F.sum("value_cents").cast("bigint").alias("s3"),
+        F.sum(F.col("value_cents") * F.col("value_cents"))
+        .cast("bigint")
+        .alias("ss3"),
+    )
+
+    def pick(col: str, arm: int):
+        return F.max(F.when(F.col("arm") == arm, F.col(col)))
+
+    wide = mom.agg(
+        pick("n", 0).alias("n0"),
+        pick("n", 1).alias("n1"),
+        *[
+            pick(c, a).alias(f"{c}_{a}")
+            for c in ("s1", "ss1", "s2", "ss2", "s3", "ss3")
+            for a in (0, 1)
+        ],
+    )
+    rows = []
+    for name, s, ss in (
+        ("pre_events", "s1", "ss1"),
+        ("pre_clicks", "s2", "ss2"),
+        ("pre_value_cents", "s3", "ss3"),
+    ):
+        rows.append(
+            wide.select(
+                F.lit(name).alias("covariate"),
+                F.col("n0"),
+                F.col("n1"),
+                F.col(f"{s}_0").alias("s0"),
+                F.col(f"{s}_1").alias("s1x"),
+                F.col(f"{ss}_0").alias("ss0"),
+                F.col(f"{ss}_1").alias("ss1x"),
+            )
+        )
+    longf = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    m0 = F.col("s0") * F.lit(1.0) / F.col("n0")
+    m1 = F.col("s1x") * F.lit(1.0) / F.col("n1")
+    v0 = (F.col("ss0") - F.col("s0") * F.lit(1.0) * F.col("s0") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    v1 = (
+        F.col("ss1x") - F.col("s1x") * F.lit(1.0) * F.col("s1x") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    smd = (m1 - m0) / F.sqrt((v0 + v1) / F.lit(2.0))
+    return longf.select(
+        "covariate",
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treat"),
+        F.round(m0, 6).alias("mean_control"),
+        F.round(m1, 6).alias("mean_treat"),
+        F.round(smd, 6).alias("smd"),
+        F.when(F.abs(smd) > _SMD_FLAG, 1).otherwise(0).alias("imbalanced"),
+    )
+
+
+@register(
+    "meta_analysis_fixed_effect",
+    oracle=f"""
+        WITH {_SCORE_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,")},
+        lifted AS (
+            SELECT source,
+                   CAST(ROUND(score * 10000) AS BIGINT) AS s4
+            FROM scored
+        ),
+        studies AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(s4) AS BIGINT) AS s,
+                   CAST(SUM(s4 * s4) AS BIGINT) AS ss
+            FROM lifted GROUP BY source
+        ),
+        eff AS (
+            SELECT source, n_docs,
+                   s * 1.0 / n_docs / 10000.0 AS effect,
+                   ((ss - s * 1.0 * s / n_docs) / (n_docs - 1))
+                       / n_docs / 1e8 AS variance
+            FROM studies
+        ),
+        pooledw AS (
+            SELECT source, n_docs, effect, variance,
+                   1.0 / variance AS w,
+                   SUM(1.0 / variance) OVER () AS sw,
+                   SUM(effect / variance) OVER () AS swe,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS k
+            FROM eff
+        )
+        SELECT source, n_docs,
+               ROUND(effect, 6) AS effect,
+               ROUND(variance, 10) AS variance,
+               ROUND(w / sw, 6) AS weight_share,
+               ROUND(swe / sw, 6) AS pooled_effect,
+               ROUND(SUM((effect - swe / sw) * (effect - swe / sw) * w)
+                         OVER (), 6) AS cochran_q_het,
+               CAST(k - 1 AS BIGINT) AS df,
+               ROUND(GREATEST(
+                   (SUM((effect - swe / sw) * (effect - swe / sw) * w)
+                        OVER () - (k - 1))
+                   / SUM((effect - swe / sw) * (effect - swe / sw) * w)
+                        OVER (), 0.0) * 100.0, 6) AS i2_pct
+        FROM pooledw
+    """,
+    doc=(
+        "FIXED-EFFECT META-ANALYSIS of the per-source quality-score "
+        "means: each source is a 'study' with effect = its mean 4-dp "
+        "lexical-diversity score and variance = s^2/n, pooled by "
+        "inverse-variance weights (the precision-weighted average that "
+        "is optimal when one true effect underlies all sources), with "
+        "Cochran's Q heterogeneity (weighted squared deviations from "
+        "the pooled effect — NOT the same statistic as the registered "
+        "cochran_q_screens, which tests correlated binary screens) and "
+        "Higgins' I^2 = max(0, (Q - df)/Q) as the share of variation "
+        "beyond chance — the 'is per-source quality one number or many' "
+        "decision that gates whether a single corpus-wide quality "
+        "threshold is defensible. Moments are exact BIGINTs of the "
+        "10^4-lifted rounded scores from ONE scan; the pooled/Q/I2 "
+        "columns are whole-frame windows over the bounded source grid "
+        "(~20 rows). At 100 TB the per-source aggregate is the only "
+        "shuffle."
+    ),
+    tags=("evals", "statistics", "window"),
+)
+def meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+    )
+    lifted = docs.select(
+        "source",
+        F.round(score * 10000).cast("bigint").alias("s4"),
+    )
+    studies = lifted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("s4").cast("bigint").alias("s"),
+        F.sum(F.col("s4") * F.col("s4")).cast("bigint").alias("ss"),
+    )
+    eff = studies.select(
+        "source",
+        "n_docs",
+        (F.col("s") * F.lit(1.0) / F.col("n_docs") / F.lit(10000.0)).alias(
+            "effect"
+        ),
+        (
+            (
+                (
+                    F.col("ss")
+                    - F.col("s") * F.lit(1.0) * F.col("s") / F.col("n_docs")
+                )
+                / (F.col("n_docs") - 1)
+            )
+            / F.col("n_docs")
+            / F.lit(1e8)
+        ).alias("variance"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w = F.lit(1.0) / F.col("variance")
+    pooledw = eff.select(
+        "source",
+        "n_docs",
+        "effect",
+        "variance",
+        w.alias("w"),
+        F.sum(w).over(w_all).alias("sw"),
+        F.sum(F.col("effect") / F.col("variance")).over(w_all).alias("swe"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("k"),
+    )
+    pooled = F.col("swe") / F.col("sw")
+    q = F.sum((F.col("effect") - pooled) * (F.col("effect") - pooled) * F.col("w")).over(
+        w_all
+    )
+    return pooledw.select(
+        "source",
+        "n_docs",
+        F.round(F.col("effect"), 6).alias("effect"),
+        F.round(F.col("variance"), 10).alias("variance"),
+        F.round(F.col("w") / F.col("sw"), 6).alias("weight_share"),
+        F.round(pooled, 6).alias("pooled_effect"),
+        F.round(q, 6).alias("cochran_q_het"),
+        (F.col("k") - 1).cast("bigint").alias("df"),
+        F.round(
+            F.greatest((q - (F.col("k") - 1)) / q, F.lit(0.0)) * F.lit(100.0),
+            6,
+        ).alias("i2_pct"),
+    )
+
+
+# SPRT (Wald 1945) sequential conversion monitor: H0 p=0.30 vs H1 p=0.35,
+# alpha = beta = 0.05. The per-observation log-likelihood increments and
+# the two decision boundaries are Python-computed literals baked into
+# BOTH plans (repr round-trips to the identical IEEE double in each
+# engine), so no libm call differs.
+_SPRT_P0, _SPRT_P1 = 0.30, 0.35
+_SPRT_LA = math.log(_SPRT_P1 / _SPRT_P0)  # conversion increment
+_SPRT_LB = math.log((1.0 - _SPRT_P1) / (1.0 - _SPRT_P0))  # miss increment
+_SPRT_UP = math.log(19.0)  # ln((1-beta)/alpha), alpha=beta=0.05
+_SPRT_LOW = -math.log(19.0)
+
+
+@register(
+    "sprt_conversion_monitor",
+    oracle=f"""
+        WITH ud AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        grid AS (
+            SELECT d, CAST(COUNT(*) AS BIGINT) AS trials,
+                   CAST(SUM(converted) AS BIGINT) AS conversions
+            FROM ud GROUP BY d
+        ),
+        run AS (
+            SELECT d, trials, conversions,
+                   SUM(conversions * {_SPRT_LA!r}
+                       + (trials - conversions) * {_SPRT_LB!r}) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS llr
+            FROM grid
+        ),
+        crossed AS (
+            SELECT d, trials, conversions, llr,
+                   MIN(CASE WHEN llr >= {_SPRT_UP!r} THEN d END) OVER ()
+                       AS first_up,
+                   MIN(CASE WHEN llr <= {_SPRT_LOW!r} THEN d END) OVER ()
+                       AS first_low
+            FROM run
+        )
+        SELECT d, trials, conversions, ROUND(llr, 6) AS llr,
+               CASE
+                   WHEN first_up IS NOT NULL
+                        AND (first_low IS NULL OR first_up <= first_low)
+                       THEN 'accept_h1'
+                   WHEN first_low IS NOT NULL THEN 'accept_h0'
+                   ELSE 'continue'
+               END AS final_decision,
+               CASE WHEN first_up IS NOT NULL
+                         AND (first_low IS NULL OR first_up <= first_low)
+                    THEN first_up ELSE first_low END AS decided_on
+        FROM crossed
+    """,
+    doc=(
+        "WALD SPRT SEQUENTIAL CONVERSION MONITOR over the daily grid — "
+        "the sequentially-VALID decision rule the ab_conversion_lift "
+        "docstring promises downstream (peeking at a fixed-horizon z "
+        "test inflates false positives; the SPRT's log-likelihood "
+        "random walk with ln((1-b)/a) boundaries is the classic "
+        "always-valid alternative): each user-day is a Bernoulli trial "
+        "(converted = any purchase that day), the cumulative LLR for "
+        "H1 p=0.35 vs H0 p=0.30 runs over the bounded day grid, and "
+        "the decision is the FIRST boundary crossing (earlier crossing "
+        "wins when both occur). The per-trial increments and "
+        "boundaries are Python-computed literals baked identically "
+        "into both engines' plans, the running sum is the windowed "
+        "float contract over the day-span-bounded grid, and the "
+        "first-crossing days are whole-frame conditional MINs over the "
+        "same grid. One (user, day) hash aggregate is the only "
+        "corpus-scale shuffle at 100 TB; the monitor itself is "
+        "grid-sized and incrementally maintainable."
+    ),
+    tags=("evals", "statistics", "experimentation", "window"),
+)
+def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    grid = ud.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("trials"),
+        F.sum("converted").cast("bigint").alias("conversions"),
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = grid.select(
+        "d",
+        "trials",
+        "conversions",
+        F.sum(
+            F.col("conversions") * F.lit(_SPRT_LA)
+            + (F.col("trials") - F.col("conversions")) * F.lit(_SPRT_LB)
+        )
+        .over(w_run)
+        .alias("llr"),
+    )
+    crossed = run.select(
+        "d",
+        "trials",
+        "conversions",
+        "llr",
+        F.min(F.when(F.col("llr") >= _SPRT_UP, F.col("d")))
+        .over(w_all)
+        .alias("first_up"),
+        F.min(F.when(F.col("llr") <= _SPRT_LOW, F.col("d")))
+        .over(w_all)
+        .alias("first_low"),
+    )
+    up_wins = F.col("first_up").isNotNull() & (
+        F.col("first_low").isNull() | (F.col("first_up") <= F.col("first_low"))
+    )
+    return crossed.select(
+        "d",
+        "trials",
+        "conversions",
+        F.round(F.col("llr"), 6).alias("llr"),
+        F.when(up_wins, F.lit("accept_h1"))
+        .when(F.col("first_low").isNotNull(), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("final_decision"),
+        F.when(up_wins, F.col("first_up"))
+        .otherwise(F.col("first_low"))
+        .alias("decided_on"),
+    )

@@ -1514,3 +1514,446 @@ def condorcet_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cycles))
         .select("n_brands", "n_edges", "n_ties", "n_cycles")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Krippendorff's alpha (nominal, missing-tolerant), Kendall's W
+# judge concordance, and B-cubed — the three agreement/eval completions.
+# ---------------------------------------------------------------------------
+
+_KRIP_ABSENT_MOD = 5  # annotator r=2 abstains on ~20% of docs
+_KRIP_ABSENT_SALT = 17
+
+
+def _krip_absent_sql() -> str:
+    return (
+        f"((((doc_id * 31 + {_KRIP_ABSENT_SALT}) % {_MOD}) * {_KNUTH}) >> 16)"
+        f" % {_KRIP_ABSENT_MOD} = 0"
+    )
+
+
+@register(
+    "krippendorff_alpha_nominal",
+    oracle=f"""
+        WITH ann AS (
+            SELECT doc_id,
+                   unnest([{", ".join(str(r) for r in range(_N_ANN))}]) AS r
+            FROM documents
+        ),
+        votes AS (
+            SELECT doc_id, r,
+                   CASE WHEN {_flip_sql("r")} THEN 1 ELSE 0 END AS v
+            FROM ann
+            WHERE NOT (r = {_N_ANN - 1} AND {_krip_absent_sql()})
+        ),
+        per_val AS (
+            SELECT doc_id, v, CAST(COUNT(*) AS BIGINT) AS m_uc
+            FROM votes GROUP BY doc_id, v
+        ),
+        per_unit AS (
+            SELECT doc_id,
+                   CAST(SUM(m_uc) AS BIGINT) AS m_u,
+                   CAST(SUM(m_uc * (m_uc - 1)) AS BIGINT) AS same_pairs
+            FROM per_val GROUP BY doc_id
+        ),
+        lifted AS (
+            -- coincidence contributions lifted by 2/(m_u - 1), an exact
+            -- INTEGER for m_u in {{2, 3}} (2 raters -> x2, 3 raters -> x1)
+            SELECT CAST(SUM(m_u) AS BIGINT) AS n_vals,
+                   CAST(SUM(CASE WHEN m_u = 2 THEN 2 * same_pairs
+                                 ELSE same_pairs END) AS BIGINT) AS o2_diag,
+                   CAST(COUNT(*) AS BIGINT) AS n_units
+            FROM per_unit WHERE m_u >= 2
+        ),
+        margins AS (
+            SELECT CAST(SUM(CASE WHEN v = 0 THEN m_uc ELSE 0 END) AS BIGINT)
+                       AS n_c0,
+                   CAST(SUM(CASE WHEN v = 1 THEN m_uc ELSE 0 END) AS BIGINT)
+                       AS n_c1
+            FROM per_val p JOIN per_unit u USING (doc_id) WHERE u.m_u >= 2
+        )
+        SELECT n_units, n_vals, n_c0, n_c1, o2_diag,
+               ROUND((n_vals - o2_diag / 2.0) / n_vals, 6) AS d_o,
+               ROUND((n_vals * 1.0 * n_vals - (n_c0 * 1.0 * n_c0
+                       + n_c1 * 1.0 * n_c1))
+                     / (n_vals * 1.0 * (n_vals - 1)), 6) AS d_e,
+               ROUND(1.0 - (n_vals - 1) * 1.0 * (2 * n_vals - o2_diag)
+                     / (2.0 * (n_vals * 1.0 * n_vals
+                               - (n_c0 * 1.0 * n_c0 + n_c1 * 1.0 * n_c1))),
+                     6) AS alpha
+        FROM lifted CROSS JOIN margins
+    """,
+    doc=(
+        "KRIPPENDORFF'S ALPHA (nominal) over the synthetic annotator "
+        "panel WITH MISSING DATA — the agreement coefficient that "
+        "Cohen's kappa (2 raters, complete) and Fleiss' kappa (fixed "
+        "rater count) cannot express: annotator "
+        f"{_N_ANN - 1} deterministically abstains on ~1/"
+        f"{_KRIP_ABSENT_MOD} of documents (the house Knuth hash on a "
+        "salted doc key), so units carry 2 OR 3 pairable values and "
+        "alpha weights each unit's coincidence contributions by "
+        "1/(m_u - 1) exactly as Krippendorff 1970 prescribes. The "
+        "whole computation is EXACT INTEGER arithmetic: the per-unit "
+        "weight 2/(m_u - 1) is an integer for m_u in {2, 3}, so the "
+        "lifted diagonal o2_diag, the value marginals, and n are all "
+        "BIGINTs, and alpha = 1 - (n-1)(2n - o2)/(2(n^2 - sum n_c^2)) "
+        "is one rounded division at the end — the hash cannot drift. "
+        "Plan: explode to <=3 votes per doc, two doc-keyed hash "
+        "aggregates, two one-row reductions; no windows, no joins "
+        "beyond the doc-keyed merge. At 100 TB the per-doc aggregate "
+        "is the only corpus-scale shuffle."
+    ),
+    tags=("labeling", "llm", "statistics"),
+)
+def krippendorff_alpha_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ann = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(r) for r in range(_N_ANN)])).alias("r"),
+    )
+    flip = (
+        F.shiftright(
+            ((F.col("doc_id") * 31 + F.col("r")) % _MOD) * F.lit(_KNUTH), 16
+        )
+        % _FLIP_MOD
+        == 0
+    )
+    absent = (
+        F.shiftright(
+            ((F.col("doc_id") * 31 + F.lit(_KRIP_ABSENT_SALT)) % _MOD)
+            * F.lit(_KNUTH),
+            16,
+        )
+        % _KRIP_ABSENT_MOD
+        == 0
+    )
+    votes = ann.filter(~((F.col("r") == _N_ANN - 1) & absent)).select(
+        "doc_id", F.when(flip, 1).otherwise(0).alias("v")
+    )
+    per_val = votes.groupBy("doc_id", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_uc")
+    )
+    per_unit = per_val.groupBy("doc_id").agg(
+        F.sum("m_uc").cast("bigint").alias("m_u"),
+        F.sum(F.col("m_uc") * (F.col("m_uc") - 1))
+        .cast("bigint")
+        .alias("same_pairs"),
+    )
+    lifted = per_unit.filter(F.col("m_u") >= 2).agg(
+        F.sum("m_u").cast("bigint").alias("n_vals"),
+        F.sum(
+            F.when(F.col("m_u") == 2, 2 * F.col("same_pairs")).otherwise(
+                F.col("same_pairs")
+            )
+        )
+        .cast("bigint")
+        .alias("o2_diag"),
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+    )
+    margins = (
+        per_val.join(per_unit.select("doc_id", "m_u"), "doc_id")
+        .filter(F.col("m_u") >= 2)
+        .agg(
+            F.sum(F.when(F.col("v") == 0, F.col("m_uc")).otherwise(0))
+            .cast("bigint")
+            .alias("n_c0"),
+            F.sum(F.when(F.col("v") == 1, F.col("m_uc")).otherwise(0))
+            .cast("bigint")
+            .alias("n_c1"),
+        )
+    )
+    n = F.col("n_vals") * F.lit(1.0)
+    sq = F.col("n_c0") * F.lit(1.0) * F.col("n_c0") + F.col("n_c1") * F.lit(
+        1.0
+    ) * F.col("n_c1")
+    return lifted.crossJoin(margins).select(
+        "n_units",
+        "n_vals",
+        "n_c0",
+        "n_c1",
+        "o2_diag",
+        F.round((F.col("n_vals") - F.col("o2_diag") / F.lit(2.0)) / n, 6).alias(
+            "d_o"
+        ),
+        F.round((n * n - sq) / (n * (n - 1)), 6).alias("d_e"),
+        F.round(
+            F.lit(1.0)
+            - (F.col("n_vals") - 1)
+            * F.lit(1.0)
+            * (2 * F.col("n_vals") - F.col("o2_diag"))
+            / (F.lit(2.0) * (n * n - sq)),
+            6,
+        ).alias("alpha"),
+    )
+
+
+_KW_M = 3  # judges: revenue, quantity, line count
+
+
+@register(
+    "kendall_w_concordance",
+    oracle=f"""
+        WITH metrics AS (
+            SELECT p.p_brand AS brand,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        ),
+        longf AS (
+            SELECT brand, 1 AS judge, rev_c AS metric FROM metrics
+            UNION ALL
+            SELECT brand, 2 AS judge, qty AS metric FROM metrics
+            UNION ALL
+            SELECT brand, 3 AS judge, cnt AS metric FROM metrics
+        ),
+        ranked AS (
+            SELECT brand, judge, metric,
+                   CAST(2 * RANK() OVER (PARTITION BY judge ORDER BY metric)
+                        + COUNT(*) OVER (PARTITION BY judge, metric) - 1
+                        AS BIGINT) AS r2
+            FROM longf
+        ),
+        per_item AS (
+            SELECT brand, CAST(SUM(r2) AS BIGINT) AS r2_sum
+            FROM ranked GROUP BY brand
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_item),
+        s4 AS (
+            SELECT CAST(SUM((r2_sum - {_KW_M} * (n + 1))
+                            * (r2_sum - {_KW_M} * (n + 1))) AS BIGINT) AS s4
+            FROM per_item CROSS JOIN nn
+        ),
+        ties AS (
+            SELECT CAST(COALESCE(SUM(t * t * t - t), 0) AS BIGINT) AS tie_term
+            FROM (SELECT judge, metric, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM longf GROUP BY judge, metric)
+        )
+        SELECT n.n AS n_items,
+               CAST({_KW_M} AS BIGINT) AS m_judges,
+               s.s4, t.tie_term,
+               ROUND(3.0 * s.s4
+                     / ({_KW_M} * {_KW_M} * 1.0 * (n.n * n.n * n.n - n.n)
+                        - {_KW_M} * 1.0 * t.tie_term), 6) AS kendall_w,
+               ROUND({_KW_M} * (n.n - 1) * 3.0 * s.s4
+                     / ({_KW_M} * {_KW_M} * 1.0 * (n.n * n.n * n.n - n.n)
+                        - {_KW_M} * 1.0 * t.tie_term), 6) AS chi2_approx
+        FROM nn n CROSS JOIN s4 s CROSS JOIN ties t
+    """,
+    doc=(
+        "KENDALL'S W COEFFICIENT OF CONCORDANCE across three 'judges' "
+        "ranking the brand domain — total revenue, total quantity, and "
+        "line count each induce a brand ranking; W in [0,1] says how "
+        "much the three orderings agree (the multi-ranking "
+        "generalization of the pairwise tau already registered: tau "
+        "compares TWO rankings, W scores a PANEL, the form "
+        "annotator-preference and multi-metric leaderboard audits "
+        "need). Tie-corrected Kendall 1939 form with mid-ranks: ranks "
+        "are x2-lifted integers (2*rank + ties - 1), the squared "
+        "deviation sum S4 = sum(R2_i - m(n+1))^2 is exact BIGINT "
+        "arithmetic, the tie term sums t^3 - t per (judge, value) "
+        "group, and W = 3*S4 / (m^2(n^3 - n) - m*T) is one rounded "
+        "division; chi2 = m(n-1)W is the large-n significance "
+        "approximation. Plan: one fact-scale join+aggregate to the "
+        "bounded brand grid (~25 rows); the rank windows run over that "
+        "grid partitioned by judge — never over the fact table. At "
+        "100 TB the brand aggregate is the only corpus-scale shuffle."
+    ),
+    tags=("labeling", "statistics", "window"),
+)
+def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    metrics = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    longf = (
+        metrics.select("brand", F.lit(1).alias("judge"), F.col("rev_c").alias("metric"))
+        .unionAll(
+            metrics.select(
+                "brand", F.lit(2).alias("judge"), F.col("qty").alias("metric")
+            )
+        )
+        .unionAll(
+            metrics.select(
+                "brand", F.lit(3).alias("judge"), F.col("cnt").alias("metric")
+            )
+        )
+    )
+    w_rank = Window.partitionBy("judge").orderBy("metric")
+    w_tie = Window.partitionBy("judge", "metric")
+    ranked = longf.select(
+        "brand",
+        "judge",
+        "metric",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    per_item = ranked.groupBy("brand").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum")
+    )
+    nn = per_item.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dev = F.col("r2_sum") - F.lit(_KW_M) * (F.col("n") + 1)
+    s4 = per_item.crossJoin(F.broadcast(nn)).agg(
+        F.sum(dev * dev).cast("bigint").alias("s4")
+    )
+    ties = (
+        longf.groupBy("judge", "metric")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n_ = F.col("n")
+    denom = F.lit(_KW_M) * F.lit(_KW_M) * F.lit(1.0) * (
+        n_ * n_ * n_ - n_
+    ) - F.lit(_KW_M) * F.lit(1.0) * F.col("tie_term")
+    w_stat = F.lit(3.0) * F.col("s4") / denom
+    return (
+        nn.crossJoin(s4)
+        .crossJoin(ties)
+        .select(
+            n_.alias("n_items"),
+            F.lit(_KW_M).cast("bigint").alias("m_judges"),
+            "s4",
+            "tie_term",
+            F.round(w_stat, 6).alias("kendall_w"),
+            F.round(F.lit(_KW_M) * (n_ - 1) * w_stat, 6).alias("chi2_approx"),
+        )
+    )
+
+
+def _bcubed_oracle() -> str:
+    from weather_stream_processor_spark.operators.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
+        _kmeans_oracle,
+    )
+
+    km = _kmeans_oracle(_KMEANS_K, _KMEANS_ITERS)
+    return f"""
+        WITH assign AS ({km}),
+        cont AS (
+            SELECT a.cluster_id, e.label, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM assign a JOIN embeddings e USING (vec_id)
+            GROUP BY 1, 2
+        ),
+        ca AS (SELECT cluster_id, CAST(SUM(nij) AS BIGINT) AS ai
+               FROM cont GROUP BY 1),
+        cb AS (SELECT label, CAST(SUM(nij) AS BIGINT) AS bj
+               FROM cont GROUP BY 1),
+        tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT cluster_id) AS BIGINT)
+                           AS n_clusters,
+                       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+                FROM cont),
+        sums AS (
+            SELECT SUM(1.0 * c.nij * c.nij / a.ai) AS p_num,
+                   SUM(1.0 * c.nij * c.nij / b.bj) AS r_num
+            FROM cont c
+            JOIN ca a USING (cluster_id)
+            JOIN cb b USING (label)
+        )
+        SELECT t.n AS n_points, t.n_clusters, t.n_labels,
+               ROUND(s.p_num / t.n, 6) AS bcubed_precision,
+               ROUND(s.r_num / t.n, 6) AS bcubed_recall,
+               ROUND(2.0 * (s.p_num / t.n) * (s.r_num / t.n)
+                     / (s.p_num / t.n + s.r_num / t.n), 6) AS bcubed_f1
+        FROM tot t CROSS JOIN sums s
+    """
+
+
+@register(
+    "bcubed_cluster_eval",
+    oracle=_bcubed_oracle(),
+    doc=(
+        "B-CUBED PRECISION / RECALL / F1 of the registered "
+        "deterministic k-means against the embeddings' label column — "
+        "the per-ELEMENT clustering evaluation (Bagga-Baldwin 1998) "
+        "that entity-resolution and coreference shared tasks "
+        "standardized on because, unlike pair-counting ARI, it weights "
+        "every element equally (a mega-cluster error costs its members, "
+        "not its quadratic pair count) and unlike purity it punishes "
+        "over-splitting through the recall side. Both averages reduce "
+        "to contingency-cell arithmetic: precision = sum n_ij^2/a_i "
+        "over cells / n, recall = sum n_ij^2/b_j / n — so the whole "
+        "evaluation is O(k x |labels|) cells after one hash aggregate, "
+        "the same bounded table clustering_external_metrics reads "
+        "(this operator completes that panel's purity/ARI/NMI with the "
+        "fourth standard external metric). Cell terms are "
+        "deterministic per-cell doubles summed over <=80 cells and "
+        "rounded at 6dp; counts are exact BIGINTs. At 100 TB the "
+        "kmeans rounds dominate; the eval is free."
+    ),
+    tags=("labeling", "evals", "clustering", "llm", "statistics"),
+)
+def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    assign = _REGISTRY["kmeans_embedding_clusters"].builder(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cont = (
+        assign.join(emb, "vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+
+    def build(cont: DataFrame) -> DataFrame:
+        ca = cont.groupBy("cluster_id").agg(
+            F.sum("nij").cast("bigint").alias("ai")
+        )
+        cb = cont.groupBy("label").agg(F.sum("nij").cast("bigint").alias("bj"))
+        tot = cont.agg(
+            F.sum("nij").cast("bigint").alias("n"),
+            F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+        )
+        sums = (
+            cont.join(ca, "cluster_id")
+            .join(cb, "label")
+            .agg(
+                F.sum(
+                    F.lit(1.0) * F.col("nij") * F.col("nij") / F.col("ai")
+                ).alias("p_num"),
+                F.sum(
+                    F.lit(1.0) * F.col("nij") * F.col("nij") / F.col("bj")
+                ).alias("r_num"),
+            )
+        )
+        p = F.col("p_num") / F.col("n")
+        r = F.col("r_num") / F.col("n")
+        return tot.crossJoin(sums).select(
+            F.col("n").alias("n_points"),
+            "n_clusters",
+            "n_labels",
+            F.round(p, 6).alias("bcubed_precision"),
+            F.round(r, 6).alias("bcubed_recall"),
+            F.round(F.lit(2.0) * p * r / (p + r), 6).alias("bcubed_f1"),
+        )
+
+    # the contingency feeds four aggregate subtrees — persist it so the
+    # kmeans rounds execute once (clustering_external_metrics pattern)
+    return persisted_result(cont, build)

@@ -4076,3 +4076,256 @@ def flesch_readability_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.39) * w_per_s + F.lit(11.8) * y_per_w - F.lit(15.59), 6
         ).alias("fk_grade_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical-diversity statistics (round 9): Yule's K + Simpson's D.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yule_k_lexical_diversity",
+    oracle="""
+        WITH tc AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY source, tok
+        ),
+        fof AS (
+            SELECT source, cnt, CAST(COUNT(*) AS BIGINT) AS f_r
+            FROM tc GROUP BY source, cnt
+        ),
+        agg AS (
+            SELECT source,
+                   CAST(SUM(cnt * f_r) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f_r) AS BIGINT) AS vocab_size,
+                   CAST(SUM(cnt * cnt * f_r) AS BIGINT) AS m2,
+                   CAST(SUM(cnt * (cnt - 1) * f_r) AS BIGINT) AS rep_pairs,
+                   CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN f_r END), 0)
+                        AS BIGINT) AS hapax
+            FROM fof GROUP BY source
+        )
+        SELECT source, n_tokens, vocab_size, hapax,
+               ROUND(10000.0 * (m2 - n_tokens)
+                     / (n_tokens * 1.0 * n_tokens), 6) AS yule_k,
+               ROUND(rep_pairs * 1.0
+                     / (n_tokens * 1.0 * (n_tokens - 1)), 6) AS simpson_d,
+               ROUND(hapax * 1.0 / vocab_size, 6) AS hapax_share
+        FROM agg
+    """,
+    doc=(
+        "YULE'S K + SIMPSON'S D lexical diversity per source — the two "
+        "classic LENGTH-INVARIANT repeat-rate statistics (type-token "
+        "ratio falls mechanically with corpus size, which is exactly "
+        "why Yule built K on the second moment of the frequency "
+        "spectrum instead): K = 10^4 (sum m^2 V_m - N)/N^2 over the "
+        "frequency-of-frequencies V_m, Simpson's D = the probability "
+        "two tokens drawn without replacement are the same type = "
+        "sum m(m-1)V_m / (N(N-1)), plus the hapax share (singleton "
+        "types / vocabulary) as the fresh-vocabulary gauge. High K / "
+        "high D = repetitive template-like text; the per-source panel "
+        "is the screen that catches a boilerplate-heavy source the "
+        "compression-ratio screen sees only per-document. Every moment "
+        "is an exact BIGINT off the bounded frequency-of-frequencies "
+        "grid (the good_turing/heaps machinery); doubles appear only "
+        "in the final rounded divisions, so the hash is safe by "
+        "construction. Plan: token hash aggregate -> per-source "
+        "frequency-of-frequencies aggregate (bounded by distinct "
+        "counts) -> per-source one-row reduction; at 100 TB the token "
+        "aggregate is the only corpus-scale shuffle and it is "
+        "map-side-combined."
+    ),
+    tags=("text", "llm", "statistics", "quality"),
+)
+def yule_k_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    fof = tc.groupBy("source", "cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_r")
+    )
+    agg = fof.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("f_r")).cast("bigint").alias("n_tokens"),
+        F.sum("f_r").cast("bigint").alias("vocab_size"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("f_r"))
+        .cast("bigint")
+        .alias("m2"),
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) * F.col("f_r"))
+        .cast("bigint")
+        .alias("rep_pairs"),
+        F.coalesce(F.sum(F.when(F.col("cnt") == 1, F.col("f_r"))), F.lit(0))
+        .cast("bigint")
+        .alias("hapax"),
+    )
+    n = F.col("n_tokens")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        "hapax",
+        F.round(
+            F.lit(10000.0) * (F.col("m2") - n) / (n * F.lit(1.0) * n), 6
+        ).alias("yule_k"),
+        F.round(
+            F.col("rep_pairs") * F.lit(1.0) / (n * F.lit(1.0) * (n - 1)), 6
+        ).alias("simpson_d"),
+        F.round(F.col("hapax") * F.lit(1.0) / F.col("vocab_size"), 6).alias(
+            "hapax_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nucleus (top-p) vocabulary truncation statistics (round 9).
+# ---------------------------------------------------------------------------
+
+_NUCLEUS_P_NUM, _NUCLEUS_P_DEN = 9, 10  # p = 0.9 as an exact rational
+
+
+@register(
+    "nucleus_topp_vocab",
+    oracle=f"""
+        WITH tc AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY source, tok
+        ),
+        fof AS (
+            SELECT source, cnt, CAST(COUNT(*) AS BIGINT) AS f_r
+            FROM tc GROUP BY source, cnt
+        ),
+        tot AS (
+            SELECT source,
+                   CAST(SUM(cnt * f_r) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f_r) AS BIGINT) AS vocab_size
+            FROM fof GROUP BY source
+        ),
+        cum AS (
+            SELECT source, cnt, f_r,
+                   CAST(COALESCE(SUM(f_r) OVER w, 0) AS BIGINT)
+                       AS types_above,
+                   CAST(COALESCE(SUM(cnt * f_r) OVER w, 0) AS BIGINT)
+                       AS mass_above
+            FROM fof
+            WINDOW w AS (PARTITION BY source ORDER BY cnt DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ),
+        hit AS (
+            SELECT c.source, c.cnt AS boundary_freq, c.f_r, c.types_above,
+                   c.mass_above, t.n_tokens, t.vocab_size,
+                   CAST(FLOOR(({_NUCLEUS_P_NUM} * t.n_tokens
+                               + {_NUCLEUS_P_DEN} - 1) * 1.0
+                              / {_NUCLEUS_P_DEN}) AS BIGINT) AS target
+            FROM cum c JOIN tot t USING (source)
+        )
+        SELECT source, n_tokens, vocab_size, boundary_freq,
+               CAST(types_above
+                    + FLOOR((target - mass_above + boundary_freq - 1) * 1.0
+                            / boundary_freq) AS BIGINT) AS p90_vocab,
+               ROUND((types_above
+                      + FLOOR((target - mass_above + boundary_freq - 1) * 1.0
+                              / boundary_freq)) * 1.0 / vocab_size, 6)
+                   AS p90_vocab_share,
+               CAST(mass_above
+                    + FLOOR((target - mass_above + boundary_freq - 1) * 1.0
+                            / boundary_freq) * boundary_freq
+                    AS BIGINT) AS covered_mass
+        FROM hit
+        WHERE mass_above < target
+          AND mass_above + boundary_freq * f_r >= target
+    """,
+    doc=(
+        "NUCLEUS (TOP-P) VOCABULARY TRUNCATION statistics per source: "
+        "the smallest number of most-frequent types whose combined "
+        "token mass reaches p=0.9 of the source — the corpus-side twin "
+        "of nucleus sampling's vocabulary cut and the 'how head-heavy "
+        "is this source' diagnostic (a tiny p90 vocabulary = template "
+        "text; a p90 share near the full vocabulary = flat, diverse "
+        "usage). Exact integer arithmetic throughout: the target is "
+        "ceil(9N/10) as an integer, cumulative type/mass counts run "
+        "over the frequency-of-frequencies grid in descending-frequency "
+        "order (never over tokens or types), and the partial take at "
+        "the boundary frequency is an integer ceiling division — no "
+        "float enters until the final rounded share. The cumulative "
+        "window is PARTITIONED by source and ordered over the distinct-"
+        "frequency grid, whose cardinality is O(sqrt(source tokens)) "
+        "(a frequency f needs f tokens, so distinct frequencies are "
+        "bounded by the square root of the mass) — the documented-"
+        "bounded window class. One corpus-scale map-side-combined "
+        "token aggregate; everything after is grid-sized."
+    ),
+    tags=("text", "llm", "statistics", "window"),
+)
+def nucleus_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    fof = tc.groupBy("source", "cnt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f_r")
+    )
+    tot = fof.groupBy("source").agg(
+        F.sum(F.col("cnt") * F.col("f_r")).cast("bigint").alias("n_tokens"),
+        F.sum("f_r").cast("bigint").alias("vocab_size"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = fof.select(
+        "source",
+        "cnt",
+        "f_r",
+        F.coalesce(F.sum("f_r").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("types_above"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("f_r")).over(w), F.lit(0))
+        .cast("bigint")
+        .alias("mass_above"),
+    )
+    hit = cum.join(F.broadcast(tot), "source").withColumn(
+        "target",
+        F.floor(
+            (
+                F.lit(_NUCLEUS_P_NUM) * F.col("n_tokens")
+                + F.lit(_NUCLEUS_P_DEN - 1)
+            )
+            * F.lit(1.0)
+            / F.lit(_NUCLEUS_P_DEN)
+        ).cast("bigint"),
+    )
+    take = F.floor(
+        (F.col("target") - F.col("mass_above") + F.col("cnt") - 1)
+        * F.lit(1.0)
+        / F.col("cnt")
+    ).cast("bigint")
+    return (
+        hit.filter(
+            (F.col("mass_above") < F.col("target"))
+            & (F.col("mass_above") + F.col("cnt") * F.col("f_r") >= F.col("target"))
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab_size",
+            F.col("cnt").alias("boundary_freq"),
+            (F.col("types_above") + take).cast("bigint").alias("p90_vocab"),
+            F.round(
+                (F.col("types_above") + take)
+                * F.lit(1.0)
+                / F.col("vocab_size"),
+                6,
+            ).alias("p90_vocab_share"),
+            (F.col("mass_above") + take * F.col("cnt"))
+            .cast("bigint")
+            .alias("covered_mass"),
+        )
+    )
