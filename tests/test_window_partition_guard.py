@@ -249,6 +249,16 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>', 'd ASC NULLS FIRST',),
         'distinct-day grid (bounded by the dataset day span)',
     ),
+    'mantel_haenszel_pooled_or': (
+        ('<no order>',),
+        'pooled MH sums over the ~25-row nation-stratum grid',
+    ),
+    'dunn_posthoc_pairs': (
+        ('<no order>', 'bucket ASC NULLS FIRST', 'i DESC NULLS LAST',
+         'p ASC NULLS FIRST, grp_a ASC NULLS FIRST, grp_b ASC NULLS FIRST',),
+        'KW bucket grid (<=4901 rows) + the K(K-1)/2 pair family '
+        '(BH rank/step-up windows over <=10 rows)',
+    ),
 }
 
 
@@ -679,5 +689,26 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'smd_covariate_balance': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 3,
         'bounded-build',
+    ),
+    # --- round-9 second crop: 1-row aggregates broadcast, plus two
+    # bounded non-equi pair joins (K-row group table, 5x5 marginals) ---
+    'mantel_haenszel_pooled_or': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',
+    ),
+    'dunn_posthoc_pairs': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',
+         'BroadcastNestedLoopJoin BuildRight Inner'),
+        'bounded-build',  # grp_a < grp_b over the |event_type| grid
+    ),
+    'jonckheere_terpstra_trend': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 3,
+        'bounded-build',  # K-row group list x bucket spine + 1-row totals
+    ),
+    'weighted_kappa_ordinal': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',
+         'BroadcastNestedLoopJoin BuildRight Cross',
+         'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # 5x5 marginal cross product + 1-row totals
     ),
 }

@@ -4427,3 +4427,278 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("first_low"))
         .alias("decided_on"),
     )
+
+
+@register(
+    "mantel_haenszel_pooled_or",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_cust
+            FROM spend
+        ),
+        labeled AS (
+            SELECT n.n_name AS stratum,
+                   (((s.o_custkey % {_MOD}) * {_KNUTH}) >> 16) % 2 AS exposed,
+                   -- integer cross-multiply: spend >= mean without division
+                   CASE WHEN s.cents * t.n_cust >= t.total_cents
+                        THEN 1 ELSE 0 END AS outcome
+            FROM spend s
+            JOIN customer c ON s.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            CROSS JOIN tot t
+        ),
+        cells AS (
+            SELECT stratum,
+                   CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+                   CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+                   CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+                   CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+            FROM labeled GROUP BY stratum
+        ),
+        terms AS (
+            SELECT stratum, a, b, c, d,
+                   a + b + c + d AS n,
+                   a * 1.0 * d / (a + b + c + d) AS ad_n,
+                   b * 1.0 * c / (a + b + c + d) AS bc_n,
+                   (a + b) * 1.0 * (a + c) / (a + b + c + d) AS e_a,
+                   CASE WHEN a + b + c + d > 1 THEN
+                       (a + b) * 1.0 * (c + d) * (a + c) * (b + d)
+                       / ((a + b + c + d) * 1.0 * (a + b + c + d)
+                          * (a + b + c + d - 1))
+                   ELSE 0.0 END AS v_a
+            FROM cells
+        )
+        SELECT stratum, a, b, c, d,
+               ROUND(SUM(ad_n) OVER () / SUM(bc_n) OVER (), 6) AS mh_or,
+               ROUND((ABS(SUM(a) OVER () - SUM(e_a) OVER ()) - 0.5)
+                     * (ABS(SUM(a) OVER () - SUM(e_a) OVER ()) - 0.5)
+                     / SUM(v_a) OVER (), 6) AS mh_chi2,
+               ROUND(CASE WHEN a * d > 0 AND b * c > 0
+                          THEN a * 1.0 * d / (b * 1.0 * c) END, 6)
+                   AS stratum_or
+        FROM terms
+    """,
+    doc=(
+        "MANTEL-HAENSZEL POOLED ODDS RATIO across nation strata — the "
+        "stratified 2x2 estimator that ANSWERS the registered "
+        "simpson_paradox_detector (Simpson's detector says 'the "
+        "aggregate direction is confounded by segment'; MH says what "
+        "the common within-stratum association actually is, weighting "
+        "each stratum by b*c/n): exposure = the deterministic Knuth "
+        "arm, outcome = customer lifetime spend at or above the mean "
+        "(the comparison is an exact integer cross-multiplication "
+        "spend*n >= total — no division, no float, no tie ambiguity), "
+        "strata = customer nations. MH OR = sum(ad/n)/sum(bc/n) with "
+        "the continuity-corrected MH chi-square from exact "
+        "hypergeometric moments. All 2x2 cells are exact BIGINTs from "
+        "one per-customer aggregate + broadcast dimension joins; the "
+        "pooled columns are whole-frame windows over the ~25-row "
+        "nation grid. Under the null (hash arms are exchangeable) the "
+        "expected OR is ~1 — the operator certifies the machinery, "
+        "not a finding. At 100 TB the per-customer aggregate is the "
+        "only corpus-scale shuffle."
+    ),
+    tags=("evals", "statistics", "experimentation", "window"),
+)
+def mantel_haenszel_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = spend.agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+    )
+    labeled = (
+        spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("stratum"),
+            _arm(F.col("o_custkey")).alias("exposed"),
+            F.when(
+                F.col("cents") * F.col("n_cust") >= F.col("total_cents"), 1
+            )
+            .otherwise(0)
+            .alias("outcome"),
+        )
+    )
+    cells = labeled.groupBy("stratum").agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("bigint").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("bigint")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") * F.lit(1.0) * F.col("d") / n).alias("ad_n"),
+        (F.col("b") * F.lit(1.0) * F.col("c") / n).alias("bc_n"),
+        (
+            (F.col("a") + F.col("b"))
+            * F.lit(1.0)
+            * (F.col("a") + F.col("c"))
+            / n
+        ).alias("e_a"),
+        F.when(
+            n > 1,
+            (F.col("a") + F.col("b"))
+            * F.lit(1.0)
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (n * F.lit(1.0) * n * (n - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v_a"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    dev = F.abs(
+        F.sum("a").over(w_all) - F.sum("e_a").over(w_all)
+    ) - F.lit(0.5)
+    return terms.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(
+            F.sum("ad_n").over(w_all) / F.sum("bc_n").over(w_all), 6
+        ).alias("mh_or"),
+        F.round(dev * dev / F.sum("v_a").over(w_all), 6).alias("mh_chi2"),
+        F.round(
+            F.when(
+                (F.col("a") * F.col("d") > 0) & (F.col("b") * F.col("c") > 0),
+                F.col("a")
+                * F.lit(1.0)
+                * F.col("d")
+                / (F.col("b") * F.lit(1.0) * F.col("c")),
+            ),
+            6,
+        ).alias("stratum_or"),
+    )
+
+
+@register(
+    "wilson_score_intervals",
+    oracle=f"""
+        WITH arms AS (
+            SELECT user_id,
+                   {_ARM_SQL} AS arm,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                             >= {_CONV_SHARE}
+                        THEN 1 ELSE 0 END AS converted
+            FROM events
+            GROUP BY user_id
+        ),
+        per_arm AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(converted) AS BIGINT) AS conv
+            FROM arms GROUP BY arm
+        ),
+        p AS (
+            SELECT arm, n, conv, conv * 1.0 / n AS rate,
+                   {_HM_Z} * {_HM_Z} AS z2
+            FROM per_arm
+        )
+        SELECT arm, n, conv,
+               ROUND(rate, 6) AS rate,
+               ROUND((rate + z2 / (2.0 * n)
+                      - {_HM_Z} * SQRT(rate * (1.0 - rate) / n
+                                       + z2 / (4.0 * n * n)))
+                     / (1.0 + z2 / n), 6) AS wilson_low,
+               ROUND((rate + z2 / (2.0 * n)
+                      + {_HM_Z} * SQRT(rate * (1.0 - rate) / n
+                                       + z2 / (4.0 * n * n)))
+                     / (1.0 + z2 / n), 6) AS wilson_high,
+               ROUND(rate - {_HM_Z} * SQRT(rate * (1.0 - rate) / n), 6)
+                   AS wald_low,
+               ROUND(rate + {_HM_Z} * SQRT(rate * (1.0 - rate) / n), 6)
+                   AS wald_high
+        FROM p
+    """,
+    doc=(
+        "WILSON SCORE 95% INTERVALS for each arm's conversion rate — "
+        "the binomial interval that stays inside [0,1] and keeps "
+        "near-nominal coverage at extreme rates and small n, where "
+        "the Wald interval (emitted alongside for comparison) "
+        "collapses to zero width at p=0/1 and undercovers everywhere "
+        "near the edges (Brown-Cai-DasGupta 2001 — 'use Wilson or "
+        "Agresti-Coull, never Wald'): invert the score test, center "
+        "(p + z^2/2n)/(1 + z^2/n), half-width z*sqrt(p(1-p)/n + "
+        "z^2/4n^2)/(1 + z^2/n), z = 1.96 shared literal. The "
+        "per-rate uncertainty layer beside ab_conversion_lift's "
+        "difference z-test, from the SAME deterministic arm/conversion "
+        "construction. One per-user hash aggregate + a 2-row rollup; "
+        "closed-form arithmetic after."
+    ),
+    tags=("evals", "statistics", "experimentation"),
+)
+def wilson_score_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(_arm(F.col("user_id")).alias("arm"), "converted")
+    per_arm = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    rate = F.col("conv") * F.lit(1.0) / F.col("n")
+    z2 = F.lit(_HM_Z * _HM_Z)
+    nn = F.col("n")
+    half = F.lit(_HM_Z) * F.sqrt(
+        rate * (F.lit(1.0) - rate) / nn + z2 / (F.lit(4.0) * nn * nn)
+    )
+    denom = F.lit(1.0) + z2 / nn
+    wald_half = F.lit(_HM_Z) * F.sqrt(rate * (F.lit(1.0) - rate) / nn)
+    return per_arm.select(
+        "arm",
+        "n",
+        "conv",
+        F.round(rate, 6).alias("rate"),
+        F.round((rate + z2 / (F.lit(2.0) * nn) - half) / denom, 6).alias(
+            "wilson_low"
+        ),
+        F.round((rate + z2 / (F.lit(2.0) * nn) + half) / denom, 6).alias(
+            "wilson_high"
+        ),
+        F.round(rate - wald_half, 6).alias("wald_low"),
+        F.round(rate + wald_half, 6).alias("wald_high"),
+    )

@@ -1957,3 +1957,120 @@ def bcubed_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the contingency feeds four aggregate subtrees — persist it so the
     # kmeans rounds execute once (clustering_external_metrics pattern)
     return persisted_result(cont, build)
+
+
+_WK_BINS = 5  # ordinal rating bins
+
+
+@register(
+    "weighted_kappa_ordinal",
+    oracle=f"""
+        WITH rated AS (
+            SELECT LEAST(CAST(FLOOR(
+                       ROUND(len(list_distinct(string_split(text, ' ')))
+                             * 1.0 / len(string_split(text, ' ')), 4)
+                       * {_WK_BINS}) AS BIGINT), {_WK_BINS - 1}) AS ra,
+                   LEAST(CAST(FLOOR(n_chars / 200) AS BIGINT),
+                         {_WK_BINS - 1}) AS rb
+            FROM documents
+        ),
+        cont AS (
+            SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS o
+            FROM rated GROUP BY ra, rb
+        ),
+        ma AS (SELECT ra, CAST(SUM(o) AS BIGINT) AS r FROM cont GROUP BY ra),
+        mb AS (SELECT rb, CAST(SUM(o) AS BIGINT) AS c FROM cont GROUP BY rb),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cont),
+        num AS (
+            SELECT CAST(SUM((ra - rb) * (ra - rb) * o) AS BIGINT) AS qo,
+                   CAST(SUM(ABS(ra - rb) * o) AS BIGINT) AS lo
+            FROM cont
+        ),
+        den AS (
+            SELECT CAST(SUM((a.ra - b.rb) * (a.ra - b.rb) * a.r * b.c)
+                        AS BIGINT) AS qe,
+                   CAST(SUM(ABS(a.ra - b.rb) * a.r * b.c) AS BIGINT) AS le
+            FROM ma a CROSS JOIN mb b
+        )
+        SELECT n.n AS n_docs, num.qo, den.qe,
+               ROUND(1.0 - n.n * 1.0 * num.qo / den.qe, 6)
+                   AS kappa_quadratic,
+               ROUND(1.0 - n.n * 1.0 * num.lo / den.le, 6) AS kappa_linear
+        FROM nn n CROSS JOIN num CROSS JOIN den
+    """,
+    doc=(
+        "WEIGHTED KAPPA (quadratic + linear) between two ORDINAL "
+        "raters — the agreement coefficient for graded labels that "
+        "Cohen's nominal kappa throws away (disagreeing by one quality "
+        "grade is not the same error as disagreeing by four; quadratic "
+        "weights (i-j)^2 are the ML-community standard, e.g. QWK "
+        "leaderboards): rater A bins the 4-dp lexical-diversity score "
+        f"into {_WK_BINS} fixed intervals, rater B bins document "
+        "length (200-char steps, capped) — two independent ordinal "
+        "views of 'quality'. Both kappas are EXACT RATIONALS: kappa_w "
+        "= 1 - n*sum(w_ij O_ij) / sum(w_ij r_i c_j) where the "
+        "(i-j)^2 / |i-j| weights, the contingency counts, and the "
+        "marginal products are all BIGINTs, so the only float is the "
+        "final rounded division. Plan: one projection + one hash "
+        f"aggregate to the {_WK_BINS}x{_WK_BINS} contingency; the "
+        f"expected-weight table is a {_WK_BINS}^2 marginal cross "
+        "product. One corpus-scale scan at 100 TB."
+    ),
+    tags=("labeling", "llm", "statistics"),
+)
+def weighted_kappa_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+    )
+    rated = docs.select(
+        F.least(
+            F.floor(score * _WK_BINS).cast("bigint"), F.lit(_WK_BINS - 1)
+        ).alias("ra"),
+        F.least(
+            F.floor(F.col("n_chars") / 200).cast("bigint"),
+            F.lit(_WK_BINS - 1),
+        ).alias("rb"),
+    )
+    cont = rated.groupBy("ra", "rb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    ma = cont.groupBy("ra").agg(F.sum("o").cast("bigint").alias("r"))
+    mb = cont.groupBy("rb").agg(F.sum("o").cast("bigint").alias("c"))
+    nn = cont.agg(F.sum("o").cast("bigint").alias("n"))
+    d = F.col("ra") - F.col("rb")
+    num = cont.agg(
+        F.sum(d * d * F.col("o")).cast("bigint").alias("qo"),
+        F.sum(F.abs(d) * F.col("o")).cast("bigint").alias("lo"),
+    )
+    den = (
+        ma.crossJoin(mb)
+        .agg(
+            F.sum(d * d * F.col("r") * F.col("c")).cast("bigint").alias("qe"),
+            F.sum(F.abs(d) * F.col("r") * F.col("c"))
+            .cast("bigint")
+            .alias("le"),
+        )
+    )
+    return (
+        nn.crossJoin(num)
+        .crossJoin(den)
+        .select(
+            F.col("n").alias("n_docs"),
+            "qo",
+            "qe",
+            F.round(
+                F.lit(1.0)
+                - F.col("n") * F.lit(1.0) * F.col("qo") / F.col("qe"),
+                6,
+            ).alias("kappa_quadratic"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n") * F.lit(1.0) * F.col("lo") / F.col("le"),
+                6,
+            ).alias("kappa_linear"),
+        )
+    )

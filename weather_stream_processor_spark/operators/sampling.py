@@ -2838,3 +2838,459 @@ def effect_size_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d * corr_h, 6).alias("hedges_g"),
         F.round(F.log(m_g / m_r), 6).alias("log_mean_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Dunn's post-hoc pairwise test — the follow-up kruskal_wallis_h
+# needs (a significant H says 'some group differs'; Dunn says WHICH pairs),
+# with Benjamini-Hochberg adjustment across the bounded pair family.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dunn_posthoc_pairs",
+    oracle=f"""
+        WITH b AS (
+            SELECT event_type AS grp,
+                   CAST(FLOOR(value * 10) AS BIGINT) AS bucket
+            FROM events
+        ),
+        cnt AS (
+            SELECT bucket, grp, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket, grp
+        ),
+        tb AS (
+            SELECT bucket, CAST(SUM(n) AS BIGINT) AS t
+            FROM cnt GROUP BY bucket
+        ),
+        run AS (
+            SELECT bucket, t,
+                   CAST(COALESCE(SUM(t) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS below
+            FROM tb
+        ),
+        grps AS (
+            SELECT grp,
+                   CAST(SUM(n) AS BIGINT) AS n_g,
+                   CAST(SUM(n * (2 * below + t + 1)) AS BIGINT) AS rank_sum2
+            FROM cnt JOIN run USING (bucket)
+            GROUP BY grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+                   CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+            FROM tb
+        ),
+        pairs AS (
+            SELECT g1.grp AS grp_a, g2.grp AS grp_b,
+                   g1.n_g AS n_a, g2.n_g AS n_b,
+                   -- mean ranks from the x2-lifted exact rank sums
+                   (g1.rank_sum2 * 1.0 / (2 * g1.n_g)
+                    - g2.rank_sum2 * 1.0 / (2 * g2.n_g))
+                   / SQRT((t.n_total * 1.0 * (t.n_total + 1) / 12.0
+                           - t.tie_term * 1.0 / (12.0 * (t.n_total - 1)))
+                          * (1.0 / g1.n_g + 1.0 / g2.n_g)) AS z
+            FROM grps g1 JOIN grps g2 ON g1.grp < g2.grp
+            CROSS JOIN tot t
+        ),
+        pvals AS (
+            SELECT grp_a, grp_b, n_a, n_b, z,
+                   2.0 * {_normal_sf_sql("abs(z)")} AS p
+            FROM pairs
+        ),
+        ranked AS (
+            SELECT grp_a, grp_b, n_a, n_b, z, p,
+                   ROW_NUMBER() OVER (ORDER BY p, grp_a, grp_b) AS i,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM pvals
+        )
+        SELECT grp_a, grp_b, n_a, n_b,
+               ROUND(z, 6) AS z_score,
+               ROUND(p, 6) AS p_value,
+               ROUND(MIN(p * m / i) OVER (
+                   ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS p_bh
+        FROM ranked
+    """,
+    doc=(
+        "DUNN'S POST-HOC PAIRWISE TEST after Kruskal-Wallis, "
+        "BH-adjusted — the follow-up a significant H statistic "
+        "requires (H says SOME group distribution differs; Dunn says "
+        "WHICH pairs, using the SAME pooled mid-ranks rather than "
+        "re-ranking each pair, which is what distinguishes it from "
+        "running pairwise Mann-Whitney tests): z_ij = (Rbar_i - "
+        "Rbar_j) / sqrt((N(N+1)/12 - T/(12(N-1)))(1/n_i + 1/n_j)) "
+        "with the tie correction T = sum(t^3 - t), two-sided p from "
+        "the shared A&S tail literal, and Benjamini-Hochberg step-up "
+        "across the K(K-1)/2 pair family as a reverse cumulative MIN "
+        "over the bounded pair table. Mean ranks derive from the "
+        "exact x2-lifted integer rank sums of the kruskal_wallis_h "
+        "bucket grid (<=4901 rows by quantization); the pair join is "
+        "K^2 over the |event_type| domain. One corpus-scale hash "
+        "aggregate; everything after is grid- or pair-sized."
+    ),
+    tags=("sampling", "statistics", "window"),
+)
+def dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("bucket"),
+    )
+    cnt = b.groupBy("bucket", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tb = cnt.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("t"))
+    w_below = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    run = tb.select(
+        "bucket",
+        "t",
+        F.coalesce(F.sum("t").over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    grps = (
+        cnt.join(run, "bucket")
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_g"),
+            F.sum(F.col("n") * (2 * F.col("below") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("rank_sum2"),
+        )
+    )
+    tot = tb.agg(
+        F.sum("t").cast("bigint").alias("n_total"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    g1 = grps.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n_g").alias("n_a"),
+        F.col("rank_sum2").alias("rs2_a"),
+    )
+    g2 = grps.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n_g").alias("n_b"),
+        F.col("rank_sum2").alias("rs2_b"),
+    )
+    pairs = (
+        g1.join(g2, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(tot))
+    )
+    nt = F.col("n_total") * F.lit(1.0)
+    z = (
+        F.col("rs2_a") * F.lit(1.0) / (2 * F.col("n_a"))
+        - F.col("rs2_b") * F.lit(1.0) / (2 * F.col("n_b"))
+    ) / F.sqrt(
+        (
+            nt * (nt + 1) / F.lit(12.0)
+            - F.col("tie_term") * F.lit(1.0) / (F.lit(12.0) * (nt - 1))
+        )
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    az = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+    poly = tt * (
+        F.lit(_AS_B[0])
+        + tt
+        * (
+            F.lit(_AS_B[1])
+            + tt
+            * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
+        )
+    )
+    p = (
+        F.lit(2.0)
+        * F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
+        * poly
+    )
+    pvals = pairs.select("grp_a", "grp_b", "n_a", "n_b", z.alias("z"), p.alias("p"))
+    w_rank = Window.orderBy("p", "grp_a", "grp_b")
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pvals.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        "z",
+        "p",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    w_rev = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return ranked.select(
+        "grp_a",
+        "grp_b",
+        "n_a",
+        "n_b",
+        F.round(F.col("z"), 6).alias("z_score"),
+        F.round(F.col("p"), 6).alias("p_value"),
+        F.round(
+            F.min(F.col("p") * F.col("m") / F.col("i")).over(w_rev), 6
+        ).alias("p_bh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Jonckheere-Terpstra ordered-alternative trend test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "jonckheere_terpstra_trend",
+    oracle=f"""
+        WITH b AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket
+            FROM orders
+        ),
+        cnt AS (
+            SELECT grp, bucket, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY grp, bucket
+        ),
+        -- expand every group onto the FULL bucket spine before the
+        -- cumulative: group i's below-count must be known at every
+        -- bucket where group j has mass, including buckets where i has
+        -- none (a bucket-equality join on i's own rows silently drops
+        -- those cross terms — caught by the pure-Python replay test)
+        spine AS (SELECT DISTINCT bucket FROM cnt),
+        grid AS (
+            SELECT g.grp, s.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+            FROM (SELECT DISTINCT grp FROM cnt) g
+            CROSS JOIN spine s
+            LEFT JOIN cnt c ON c.grp = g.grp AND c.bucket = s.bucket
+        ),
+        cum AS (
+            SELECT grp, bucket, n,
+                   CAST(COALESCE(SUM(n) OVER (
+                       PARTITION BY grp ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS below
+            FROM grid
+        ),
+        -- x2-lifted pairwise Mann-Whitney masses for every ORDERED group
+        -- pair (priority strings order by their leading digit)
+        j2 AS (
+            SELECT CAST(SUM(2 * cj.n * ci.below + ci.n * cj.n) AS BIGINT)
+                       AS j2
+            FROM cum ci JOIN cnt cj
+              ON ci.bucket = cj.bucket AND ci.grp < cj.grp
+        ),
+        grps AS (
+            SELECT grp, CAST(SUM(n) AS BIGINT) AS n_g
+            FROM cnt GROUP BY grp
+        ),
+        gm AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g * n_g) AS BIGINT) AS sq,
+                   CAST(SUM(n_g * (n_g - 1) * (2 * n_g + 5)) AS BIGINT)
+                       AS g25,
+                   CAST(SUM(n_g * (n_g - 1) * (n_g - 2)) AS BIGINT) AS g3,
+                   CAST(SUM(n_g * (n_g - 1)) AS BIGINT) AS g2
+            FROM grps
+        ),
+        ties AS (
+            SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t25,
+                   CAST(SUM(t * (t - 1) * (t - 2)) AS BIGINT) AS t3,
+                   CAST(SUM(t * (t - 1)) AS BIGINT) AS t2
+            FROM (SELECT bucket, CAST(SUM(n) AS BIGINT) AS t
+                  FROM cnt GROUP BY bucket)
+        ),
+        stat AS (
+            SELECT j2, n_total, k,
+                   (n_total * 1.0 * n_total - sq) / 4.0 AS e_j,
+                   (n_total * 1.0 * (n_total - 1) * (2 * n_total + 5)
+                    - g25 - t25) / 72.0
+                   + g3 * 1.0 * t3
+                     / (36.0 * n_total * (n_total - 1) * (n_total - 2))
+                   + g2 * 1.0 * t2 / (8.0 * n_total * (n_total - 1))
+                       AS var_j
+            FROM j2 CROSS JOIN gm CROSS JOIN ties
+        ),
+        zed AS (
+            SELECT j2, n_total, k, e_j, var_j,
+                   (j2 / 2.0 - e_j) / SQRT(var_j) AS z
+            FROM stat
+        )
+        SELECT n_total, k, j2,
+               ROUND(e_j, 6) AS e_j,
+               ROUND(var_j, 6) AS var_j,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {_normal_sf_sql("abs(z)")}, 6) AS p_value
+        FROM zed
+    """,
+    doc=(
+        "JONCKHEERE-TERPSTRA ORDERED-ALTERNATIVE TREND TEST: does "
+        "order value trend MONOTONICALLY across the five priority "
+        "levels (1-URGENT .. 5-LOW — the natural ordering their "
+        "leading digit gives)? Kruskal-Wallis tests 'any difference'; "
+        "JT tests the ORDERED alternative and therefore has power "
+        "exactly where a priority effect would live. J = sum of "
+        "pairwise Mann-Whitney masses over ordered group pairs, "
+        "computed as exact x2-lifted BIGINTs from the per-(group, "
+        "bucket) count grid and each group's within-grid cumulative "
+        "(n_j at bucket x n_i strictly below + half the same-bucket "
+        "ties) — never a row-level pair join. Null mean (N^2 - sum "
+        "n_i^2)/4 and the FULL Hollander-Wolfe tie-corrected variance "
+        "(group and tie third-moment terms, all exact integer sums "
+        "over bounded grids); two-sided p from the shared A&S tail. "
+        "Grid: $1000 price buckets (~600 rows) x 5 groups. Under the "
+        "TPC-H-ish fixture priorities are value-independent, so the "
+        "expected answer is 'no trend' — the null certifies the "
+        "machinery. One corpus-scale hash aggregate; the pair join is "
+        "K^2 x buckets, grid-sized."
+    ),
+    tags=("sampling", "statistics", "window"),
+)
+def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    b = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket"),
+    )
+    cnt = b.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # expand onto the full bucket spine first: group i's below-count must
+    # exist at every bucket where group j has mass (see oracle comment)
+    spine = cnt.select("bucket").distinct()
+    grp_list = cnt.select("grp").distinct()
+    grid = (
+        grp_list.crossJoin(spine)
+        .join(cnt, ["grp", "bucket"], "left")
+        .select(
+            "grp",
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "grp",
+        "bucket",
+        "n",
+        F.coalesce(F.sum("n").over(w_cum), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+    )
+    ci = cum.select(
+        F.col("grp").alias("grp_i"),
+        F.col("bucket").alias("bucket_i"),
+        F.col("n").alias("n_i"),
+        F.col("below").alias("below_i"),
+    )
+    cj = cnt.select(
+        F.col("grp").alias("grp_j"),
+        F.col("bucket").alias("bucket_j"),
+        F.col("n").alias("n_j"),
+    )
+    j2 = (
+        ci.join(
+            cj,
+            (F.col("bucket_i") == F.col("bucket_j"))
+            & (F.col("grp_i") < F.col("grp_j")),
+        )
+        .agg(
+            F.sum(
+                2 * F.col("n_j") * F.col("below_i")
+                + F.col("n_i") * F.col("n_j")
+            )
+            .cast("bigint")
+            .alias("j2")
+        )
+    )
+    grps = cnt.groupBy("grp").agg(F.sum("n").cast("bigint").alias("n_g"))
+    ng = F.col("n_g")
+    gm = grps.agg(
+        F.sum(ng).cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(ng * ng).cast("bigint").alias("sq"),
+        F.sum(ng * (ng - 1) * (2 * ng + 5)).cast("bigint").alias("g25"),
+        F.sum(ng * (ng - 1) * (ng - 2)).cast("bigint").alias("g3"),
+        F.sum(ng * (ng - 1)).cast("bigint").alias("g2"),
+    )
+    tb = cnt.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("t"))
+    t_ = F.col("t")
+    ties = tb.agg(
+        F.sum(t_ * (t_ - 1) * (2 * t_ + 5)).cast("bigint").alias("t25"),
+        F.sum(t_ * (t_ - 1) * (t_ - 2)).cast("bigint").alias("t3"),
+        F.sum(t_ * (t_ - 1)).cast("bigint").alias("t2"),
+    )
+    nt = F.col("n_total") * F.lit(1.0)
+    stat = (
+        j2.crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "j2",
+            "n_total",
+            "k",
+            ((nt * nt - F.col("sq")) / F.lit(4.0)).alias("e_j"),
+            (
+                (
+                    nt * (nt - 1) * (2 * F.col("n_total") + 5)
+                    - F.col("g25")
+                    - F.col("t25")
+                )
+                / F.lit(72.0)
+                + F.col("g3")
+                * F.lit(1.0)
+                * F.col("t3")
+                / (F.lit(36.0) * nt * (nt - 1) * (nt - 2))
+                + F.col("g2")
+                * F.lit(1.0)
+                * F.col("t2")
+                / (F.lit(8.0) * nt * (nt - 1))
+            ).alias("var_j"),
+        )
+    )
+    z = (F.col("j2") / F.lit(2.0) - F.col("e_j")) / F.sqrt(F.col("var_j"))
+    az = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+    poly = tt * (
+        F.lit(_AS_B[0])
+        + tt
+        * (
+            F.lit(_AS_B[1])
+            + tt
+            * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
+        )
+    )
+    sf = (
+        F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
+        * poly
+    )
+    return stat.select(
+        "n_total",
+        "k",
+        "j2",
+        F.round(F.col("e_j"), 6).alias("e_j"),
+        F.round(F.col("var_j"), 6).alias("var_j"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * sf, 6).alias("p_value"),
+    )

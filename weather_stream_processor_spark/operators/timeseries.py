@@ -2682,3 +2682,181 @@ def ccf_click_purchase_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syy",
         F.round(num / den, 6).alias("ccf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Western Electric runs rules — the pattern-based control-chart
+# monitor beside the cumulative CUSUM and the EWMA smoother.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "western_electric_rules",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(cents * cents) AS BIGINT) AS ss
+            FROM daily GROUP BY event_type
+        ),
+        zed AS (
+            SELECT d.event_type, d.d, d.cents,
+                   (d.cents - m.s * 1.0 / m.n)
+                   / SQRT(m.ss * 1.0 / m.n
+                          - (m.s * 1.0 / m.n) * (m.s * 1.0 / m.n)) AS z
+            FROM daily d JOIN mom m USING (event_type)
+        ),
+        flags AS (
+            SELECT event_type, d, cents, z,
+                   CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END AS r1,
+                   CASE WHEN SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END)
+                            OVER w3 >= 2
+                          OR SUM(CASE WHEN z < -2.0 THEN 1 ELSE 0 END)
+                            OVER w3 >= 2
+                        THEN 1 ELSE 0 END AS r2,
+                   CASE WHEN SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END)
+                            OVER w5 >= 4
+                          OR SUM(CASE WHEN z < -1.0 THEN 1 ELSE 0 END)
+                            OVER w5 >= 4
+                        THEN 1 ELSE 0 END AS r3,
+                   CASE WHEN SUM(CASE WHEN z > 0.0 THEN 1 ELSE 0 END)
+                            OVER w8 = 8
+                          OR SUM(CASE WHEN z < 0.0 THEN 1 ELSE 0 END)
+                            OVER w8 = 8
+                        THEN 1 ELSE 0 END AS r4
+            FROM zed
+            WINDOW w3 AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+                   w5 AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                   w8 AS (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, d, cents, ROUND(z, 6) AS z_score,
+               r1, r2, r3, r4,
+               CASE WHEN r1 + r2 + r3 + r4 > 0 THEN 1 ELSE 0 END
+                   AS any_signal
+        FROM flags
+        WHERE r1 + r2 + r3 + r4 > 0
+    """,
+    doc=(
+        "WESTERN ELECTRIC RUNS RULES over the per-type daily value "
+        "series — the pattern-based control-chart monitor that catches "
+        "what a single-point 3-sigma check misses (drifts and "
+        "sustained shifts that never breach 3 sigma): R1 = point "
+        "beyond 3 sigma; R2 = 2 of 3 consecutive beyond 2 sigma on "
+        "the same side; R3 = 4 of 5 consecutive beyond 1 sigma same "
+        "side; R4 = 8 consecutive on one side of center. Completes "
+        "the monitoring family: CUSUM accumulates small persistent "
+        "shifts, EWMA smooths, WE rules pattern-match the zones. "
+        "Center/sigma are the per-type population moments of the "
+        "DAILY-GRID values, computed from exact BIGINT cents sums "
+        "with the identical double expression in both engines (IEEE "
+        "ops in the same order are bit-deterministic, sqrt is "
+        "correctly rounded); the rule windows are short lag frames "
+        "(2/4/7 preceding) over the day-span-bounded grid partitioned "
+        "by type. Same-side counting is literal ('2 of 3 ABOVE +2' OR "
+        "'2 of 3 BELOW -2'), not net-sign arithmetic. One (type, day) "
+        "hash aggregate is the only corpus-scale shuffle; the output "
+        "is the flagged-day exception report."
+    ),
+    tags=("timeseries", "statistics", "monitoring", "window"),
+)
+def western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    var = F.col("ss") * F.lit(1.0) / F.col("n") - mean * mean
+    zed = daily.join(F.broadcast(mom), "event_type").select(
+        "event_type",
+        "d",
+        "cents",
+        ((F.col("cents") - mean) / F.sqrt(var)).alias("z"),
+    )
+    w3 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-2, 0)
+    )
+    w5 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-4, 0)
+    )
+    w8 = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, 0)
+    )
+
+    def above(th):
+        return F.when(F.col("z") > th, 1).otherwise(0)
+
+    def below(th):
+        return F.when(F.col("z") < th, 1).otherwise(0)
+
+    flags = zed.select(
+        "event_type",
+        "d",
+        "cents",
+        "z",
+        F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0).alias("r1"),
+        F.when(
+            (F.sum(above(2.0)).over(w3) >= 2)
+            | (F.sum(below(-2.0)).over(w3) >= 2),
+            1,
+        )
+        .otherwise(0)
+        .alias("r2"),
+        F.when(
+            (F.sum(above(1.0)).over(w5) >= 4)
+            | (F.sum(below(-1.0)).over(w5) >= 4),
+            1,
+        )
+        .otherwise(0)
+        .alias("r3"),
+        F.when(
+            (F.sum(above(0.0)).over(w8) == 8)
+            | (F.sum(below(0.0)).over(w8) == 8),
+            1,
+        )
+        .otherwise(0)
+        .alias("r4"),
+    )
+    return flags.filter(
+        F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") > 0
+    ).select(
+        "event_type",
+        "d",
+        "cents",
+        F.round(F.col("z"), 6).alias("z_score"),
+        "r1",
+        "r2",
+        "r3",
+        "r4",
+        F.when(
+            F.col("r1") + F.col("r2") + F.col("r3") + F.col("r4") > 0, 1
+        )
+        .otherwise(0)
+        .alias("any_signal"),
+    )
