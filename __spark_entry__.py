@@ -57,10 +57,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # completes in r10. Slots 83-93 stage the round-9 session crop (the
 # lexical-diversity pair, the survival-inference pair, the agreement
 # pair, B-cubed, the Hanley-McNeil AUC interval, covariate-balance SMD,
-# fixed-effect meta-analysis, and the Wald SPRT monitor) and slots
+# fixed-effect meta-analysis, and the Wald SPRT monitor), slots
 # 94-99 the second session crop (Mantel-Haenszel pooled OR, Dunn's
 # post-hoc pairs, the Jonckheere-Terpstra ordered trend test, weighted
-# kappa, Western Electric runs rules, Wilson score intervals), each
+# kappa, Western Electric runs rules, Wilson score intervals), and
+# slots 100-102 the third (embedding isotropy audit, Cochran-Armitage
+# binary trend, Bland-Altman header-vs-detail agreement), each
 # oracle-green at all three fixture
 # scales and margin-audited at sf0.01 + sf0.1 (0 tie-proximity
 # findings). chrf_generation_eval (slot 72) is staged on its
@@ -112,6 +114,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "mantel_haenszel_pooled_or", "dunn_posthoc_pairs",
     "jonckheere_terpstra_trend", "weighted_kappa_ordinal",
     "western_electric_rules", "wilson_score_intervals",
+    "embedding_isotropy_audit", "cochran_armitage_trend",
+    "bland_altman_agreement",
 )
 
 

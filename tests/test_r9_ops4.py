@@ -330,3 +330,128 @@ def test_wilson_matches_python(spark):
         assert r["wilson_high"] == pytest.approx((center + half) / denom, abs=2e-6)
         # Wilson stays inside [0, 1]; Wald need not
         assert 0.0 <= r["wilson_low"] <= r["wilson_high"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# embedding_isotropy_audit
+# --------------------------------------------------------------------------
+
+
+def test_isotropy_matches_python(spark):
+    import numpy as np
+
+    rows = duckdb.connect().execute(
+        f"SELECT vec_id, embedding, label FROM "
+        f"read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    ).fetchall()
+    by_label = defaultdict(list)
+    for _, emb, lab in rows:
+        v = np.asarray(emb, dtype=np.float64)
+        by_label[str(lab)].append(v / math.sqrt(float(v @ v)))
+    got = {
+        r["label"]: r
+        for r in all_queries()["embedding_isotropy_audit"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    all_vecs = [v for vs in by_label.values() for v in vs]
+    for lab, vs in list(by_label.items()) + [("__ALL__", all_vecs)]:
+        n = len(vs)
+        s = np.sum(vs, axis=0)
+        s2 = float(s @ s)
+        mean_pw = (s2 - n) / (n * (n - 1))
+        # identity check: direct pairwise mean equals the resultant form
+        if lab != "__ALL__" and n <= 60:
+            direct = np.mean(
+                [
+                    float(vs[i] @ vs[j])
+                    for i in range(n)
+                    for j in range(n)
+                    if i != j
+                ]
+            )
+            assert mean_pw == pytest.approx(direct, abs=1e-9)
+        r = got[lab]
+        assert r["n"] == n
+        assert r["mean_pairwise_cos"] == pytest.approx(mean_pw, abs=2e-6)
+        assert r["resultant_norm_share"] == pytest.approx(
+            math.sqrt(s2) / n, abs=2e-6
+        )
+
+
+# --------------------------------------------------------------------------
+# cochran_armitage_trend
+# --------------------------------------------------------------------------
+
+
+def test_cochran_armitage_matches_python(spark):
+    ev = duckdb.connect().execute(
+        f"""
+        SELECT LEAST(CAST(FLOOR(COUNT(*) / 20) AS BIGINT), 4) AS lvl,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) * 1.0 / COUNT(*) >= 0.22
+                    THEN 1 ELSE 0 END AS conv
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY user_id
+        """
+    ).fetchall()
+    n = len(ev)
+    r_tot = sum(c for _, c in ev)
+    cells = defaultdict(lambda: [0, 0])
+    for lvl, c in ev:
+        cells[lvl][0] += 1
+        cells[lvl][1] += c
+    wr = sum(lvl * rc for lvl, (_, rc) in cells.items())
+    wn = sum(lvl * ni for lvl, (ni, _) in cells.items())
+    wwn = sum(lvl * lvl * ni for lvl, (ni, _) in cells.items())
+    t = (n * wr - r_tot * wn) / n
+    p = r_tot / n
+    var = p * (1 - p) * (wwn - wn * wn / n)
+    z = t / math.sqrt(var)
+    got = (
+        all_queries()["cochran_armitage_trend"].builder(spark, SF_SMOKE).collect()[0]
+    )
+    assert got["n_users"] == n and got["n_converted"] == r_tot
+    assert got["t_stat"] == pytest.approx(t, abs=2e-6)
+    assert got["var_t"] == pytest.approx(var, rel=2e-9)
+    assert got["z_score"] == pytest.approx(z, abs=2e-6)
+    assert got["p_value"] == pytest.approx(2 * _as_sf(abs(z)), abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# bland_altman_agreement
+# --------------------------------------------------------------------------
+
+
+def test_bland_altman_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                   - d.detail_cents AS diff
+        FROM read_parquet('{SF_SMOKE}/orders.parquet') o
+        JOIN (SELECT l_orderkey,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                          AS BIGINT) AS detail_cents
+              FROM read_parquet('{SF_SMOKE}/lineitem.parquet')
+              GROUP BY l_orderkey) d
+          ON o.o_orderkey = d.l_orderkey
+        """
+    ).fetchall()
+    diffs = [int(d) for (d,) in rows]
+    n = len(diffs)
+    s = sum(diffs)
+    ss = sum(d * d for d in diffs)  # python ints: no overflow
+    bias = s / n
+    sd = math.sqrt((ss - s * s / n) / (n - 1))
+    lo, hi = bias - 1.96 * sd, bias + 1.96 * sd
+    n_out = sum(1 for d in diffs if d < lo or d > hi)
+    got = (
+        all_queries()["bland_altman_agreement"].builder(spark, SF_SMOKE).collect()[0]
+    )
+    assert got["n_orders"] == n
+    assert got["bias_cents"] == pytest.approx(bias, abs=2e-2)
+    assert got["sd_cents"] == pytest.approx(sd, abs=2e-2)
+    assert got["loa_low"] == pytest.approx(lo, abs=2e-2)
+    assert got["loa_high"] == pytest.approx(hi, abs=2e-2)
+    assert got["n_outside"] == n_out
+    assert got["share_outside"] == pytest.approx(n_out / n, abs=2e-6)

@@ -4702,3 +4702,298 @@ def wilson_score_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate - wald_half, 6).alias("wald_low"),
         F.round(rate + wald_half, 6).alias("wald_high"),
     )
+
+
+_CA_BIN = 20  # activity-level bin width (events per user)
+_CA_MAX = 4  # highest ordinal level (5 levels, 0..4)
+
+
+@register(
+    "cochran_armitage_trend",
+    oracle=f"""
+        WITH users AS (
+            SELECT user_id,
+                   LEAST(CAST(FLOOR(COUNT(*) / {_CA_BIN}) AS BIGINT),
+                         {_CA_MAX}) AS lvl,
+                   CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*)
+                             >= {_CONV_SHARE}
+                        THEN 1 ELSE 0 END AS converted
+            FROM events GROUP BY user_id
+        ),
+        cells AS (
+            SELECT lvl,
+                   CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(converted) AS BIGINT) AS r_i
+            FROM users GROUP BY lvl
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(r_i) AS BIGINT) AS r,
+                   CAST(SUM(lvl * r_i) AS BIGINT) AS wr,
+                   CAST(SUM(lvl * n_i) AS BIGINT) AS wn,
+                   CAST(SUM(lvl * lvl * n_i) AS BIGINT) AS wwn
+            FROM cells
+        ),
+        stat AS (
+            SELECT n, r, wr, wn, wwn,
+                   -- T = sum w_i (r_i - n_i R/N), x N lift: N*wr - R*wn
+                   (n * wr - r * wn) * 1.0 / n AS t_stat,
+                   (r * 1.0 / n) * (1.0 - r * 1.0 / n)
+                   * (wwn - wn * 1.0 * wn / n) AS var_t
+            FROM tot
+        ),
+        zed AS (
+            SELECT n, r, t_stat, var_t, t_stat / SQRT(var_t) AS z FROM stat
+        )
+        SELECT n AS n_users, r AS n_converted,
+               ROUND(t_stat, 6) AS t_stat,
+               ROUND(var_t, 6) AS var_t,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {{SF}}, 6) AS p_value
+        FROM zed
+    """.replace("{SF}", "(exp(-abs(z) * abs(z) / 2.0) / sqrt(2.0 * pi())"
+                " * ((1.0 / (1.0 + 0.2316419 * abs(z)))"
+                " * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
+                " * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
+                " * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
+                " * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
+                " * 1.330274429))))))"),
+    doc=(
+        "COCHRAN-ARMITAGE TREND TEST: does conversion propensity trend "
+        "MONOTONICALLY across ordered user-activity levels (event "
+        f"count binned in steps of {_CA_BIN}, capped at level "
+        f"{_CA_MAX})? The binary-outcome member of the ordered-"
+        "alternative family (Jonckheere-Terpstra handles a continuous "
+        "response; CA is its 2xK contingency specialization, the test "
+        "dose-response and engagement-ladder questions actually need): "
+        "T = sum w_i (r_i - n_i R/N) with integer scores w_i = level, "
+        "Var(T) = p(1-p)(sum w^2 n - (sum w n)^2/N), z = T/sqrt(Var), "
+        "two-sided A&S p. The T numerator is computed as the exact "
+        "integer lift N*sum(w r) - R*sum(w n) divided once by N. One "
+        "per-user hash aggregate -> a 5-row level table -> closed "
+        "forms; nothing else shuffles at 100 TB."
+    ),
+    tags=("evals", "statistics", "experimentation"),
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math as _m
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.least(
+            F.floor(F.count(F.lit(1)) / _CA_BIN).cast("bigint"),
+            F.lit(_CA_MAX).cast("bigint"),
+        ).alias("lvl"),
+        F.when(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            * 1.0
+            / F.count(F.lit(1))
+            >= _CONV_SHARE,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+    )
+    cells = users.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("converted").cast("bigint").alias("r_i"),
+    )
+    tot = cells.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("lvl") * F.col("r_i")).cast("bigint").alias("wr"),
+        F.sum(F.col("lvl") * F.col("n_i")).cast("bigint").alias("wn"),
+        F.sum(F.col("lvl") * F.col("lvl") * F.col("n_i"))
+        .cast("bigint")
+        .alias("wwn"),
+    )
+    p = F.col("r") * F.lit(1.0) / F.col("n")
+    t_stat = (F.col("n") * F.col("wr") - F.col("r") * F.col("wn")) * F.lit(
+        1.0
+    ) / F.col("n")
+    var_t = (
+        p
+        * (F.lit(1.0) - p)
+        * (F.col("wwn") - F.col("wn") * F.lit(1.0) * F.col("wn") / F.col("n"))
+    )
+    stat = tot.select(
+        "n", "r", t_stat.alias("t_stat"), var_t.alias("var_t")
+    )
+    z = F.col("t_stat") / F.sqrt(F.col("var_t"))
+    az = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * az)
+    poly = tt * (
+        F.lit(_FDR_AS_B[0])
+        + tt
+        * (
+            F.lit(_FDR_AS_B[1])
+            + tt
+            * (
+                F.lit(_FDR_AS_B[2])
+                + tt * (F.lit(_FDR_AS_B[3]) + tt * F.lit(_FDR_AS_B[4]))
+            )
+        )
+    )
+    sf = (
+        F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
+        * poly
+    )
+    return stat.select(
+        F.col("n").alias("n_users"),
+        F.col("r").alias("n_converted"),
+        F.round(F.col("t_stat"), 6).alias("t_stat"),
+        F.round(F.col("var_t"), 6).alias("var_t"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * sf, 6).alias("p_value"),
+    )
+
+
+@register(
+    "bland_altman_agreement",
+    oracle=f"""
+        WITH detail AS (
+            SELECT l_orderkey AS ok,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS detail_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        paired AS (
+            SELECT o.o_orderkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+                   d.detail_cents,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                       - d.detail_cents AS diff_cents
+            FROM orders o JOIN detail d ON o.o_orderkey = d.ok
+        ),
+        mom AS (
+            -- squared diffs overflow int64 at sf0.1 (~5e19): accumulate
+            -- in HUGEINT (Spark: DECIMAL(38,0)) and convert to double
+            -- once, the linear-CKA exact-moment pattern
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(diff_cents) AS BIGINT) AS s,
+                   SUM(CAST(diff_cents AS HUGEINT) * diff_cents) AS ss
+            FROM paired
+        ),
+        lim AS (
+            SELECT n, s,
+                   s * 1.0 / n AS bias,
+                   SQRT((CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                        / (n - 1)) AS sd
+            FROM mom
+        ),
+        outside AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_outside
+            FROM paired p CROSS JOIN lim
+            WHERE p.diff_cents < lim.bias - {_HM_Z} * lim.sd
+               OR p.diff_cents > lim.bias + {_HM_Z} * lim.sd
+        )
+        SELECT l.n AS n_orders,
+               ROUND(l.bias, 2) AS bias_cents,
+               ROUND(l.sd, 2) AS sd_cents,
+               ROUND(l.bias - {_HM_Z} * l.sd, 2) AS loa_low,
+               ROUND(l.bias + {_HM_Z} * l.sd, 2) AS loa_high,
+               o.n_outside,
+               ROUND(o.n_outside * 1.0 / l.n, 6) AS share_outside
+        FROM lim l CROSS JOIN outside o
+    """,
+    doc=(
+        "BLAND-ALTMAN AGREEMENT ANALYSIS between two measurements of "
+        "the same quantity — the order HEADER total (o_totalprice) vs "
+        "the DETAIL sum of its line items — the method-comparison "
+        "statistic (Bland-Altman 1986) that answers 'do two pipelines "
+        "measuring the same thing agree, and within what limits' where "
+        "a correlation coefficient deceives (two systematically-offset "
+        "measures correlate perfectly): bias = mean difference in "
+        "exact integer cents, limits of agreement = bias +- 1.96 sd, "
+        "and the share of orders outside the LoA. This is the "
+        "header-vs-detail reconciliation audit every warehouse runs, "
+        "with the agreement statistics attached (rounded at 2dp — "
+        "sub-cent digits would be false precision). Difference moments "
+        "are exact integers (the squared sum in DECIMAL(38,0)/HUGEINT "
+        "since it overflows int64 at scale) from one per-order "
+        "aggregate + one "
+        "broadcast equi-join; the outside-count comparison evaluates "
+        "the same double threshold in both engines. Two corpus-scale "
+        "hash aggregates (detail rollup, diff moments) at 100 TB."
+    ),
+    tags=("evals", "statistics", "quality"),
+)
+def bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    detail = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("detail_cents")
+    )
+    paired = o.join(detail, o.o_orderkey == detail.ok).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("header_cents"),
+        "detail_cents",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            - F.col("detail_cents")
+        ).alias("diff_cents"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(paired: DataFrame) -> DataFrame:
+        # squared diffs overflow int64 at sf0.1: exact DECIMAL(38,0)
+        # accumulation, single conversion to double (linear-CKA pattern)
+        mom = paired.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("diff_cents").cast("bigint").alias("s"),
+            F.sum(
+                F.col("diff_cents").cast("decimal(38,0)")
+                * F.col("diff_cents")
+            ).alias("ss"),
+        )
+        bias = F.col("s") * F.lit(1.0) / F.col("n")
+        sd = F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double")
+                * F.col("s").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        )
+        lim = mom.select("n", bias.alias("bias"), sd.alias("sd"))
+        outside = (
+            paired.crossJoin(F.broadcast(lim))
+            .filter(
+                (
+                    F.col("diff_cents")
+                    < F.col("bias") - F.lit(_HM_Z) * F.col("sd")
+                )
+                | (
+                    F.col("diff_cents")
+                    > F.col("bias") + F.lit(_HM_Z) * F.col("sd")
+                )
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_outside"))
+        )
+        return lim.crossJoin(outside).select(
+            F.col("n").alias("n_orders"),
+            F.round(F.col("bias"), 2).alias("bias_cents"),
+            F.round(F.col("sd"), 2).alias("sd_cents"),
+            F.round(F.col("bias") - F.lit(_HM_Z) * F.col("sd"), 2).alias(
+                "loa_low"
+            ),
+            F.round(F.col("bias") + F.lit(_HM_Z) * F.col("sd"), 2).alias(
+                "loa_high"
+            ),
+            "n_outside",
+            F.round(F.col("n_outside") * F.lit(1.0) / F.col("n"), 6).alias(
+                "share_outside"
+            ),
+        )
+
+    # the paired diff table feeds the moment pass AND the outside-count
+    # re-scan — persist so the header-detail join executes once
+    return persisted_result(paired, build)

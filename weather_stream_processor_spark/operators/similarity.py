@@ -4023,3 +4023,131 @@ def embedding_mmd_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(guard, F.col("q4_a")).otherwise(err).alias("q4_a"),
         F.when(guard, F.col("q4_b")).otherwise(err).alias("q4_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: embedding isotropy audit — anisotropy is the classic failure
+# mode of LLM embedding spaces (Mu-Viswanath 2018, Ethayarajh 2019).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_isotropy_audit",
+    oracle="""
+        WITH nrm AS (
+            SELECT vec_id,
+                   SQRT(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n2
+            FROM embeddings
+        ),
+        comp AS (
+            SELECT CAST(e.label AS VARCHAR) AS label, gs.i,
+                   SUM(CAST(e.embedding[gs.i] AS DOUBLE) / n.n2) AS s
+            FROM embeddings e
+            JOIN nrm n USING (vec_id)
+            CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) gs
+            GROUP BY e.label, gs.i
+        ),
+        per_label AS (
+            SELECT CAST(label AS VARCHAR) AS label,
+                   CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+            FROM embeddings GROUP BY label
+        ),
+        s2 AS (
+            SELECT label, SUM(s * s) AS s2 FROM comp GROUP BY label
+        ),
+        unioned AS (
+            SELECT p.label, p.n, s2.s2 FROM per_label p JOIN s2 USING (label)
+            UNION ALL
+            SELECT '__ALL__' AS label,
+                   CAST(SUM(p.n) AS BIGINT) AS n,
+                   (SELECT SUM(t.s * t.s) FROM (
+                        SELECT i, SUM(s) AS s FROM comp GROUP BY i) t) AS s2
+            FROM per_label p
+        )
+        SELECT label, n,
+               ROUND((s2 - n) / (n * 1.0 * (n - 1)), 6)
+                   AS mean_pairwise_cos,
+               ROUND(SQRT(s2) / n, 6) AS resultant_norm_share
+        FROM unioned
+    """,
+    doc=(
+        "EMBEDDING ISOTROPY AUDIT per label and corpus-wide — "
+        "anisotropy ('embeddings live in a narrow cone') is THE classic "
+        "degeneracy of learned embedding spaces (Mu-Viswanath's "
+        "all-but-the-top, Ethayarajh 2019): when mean pairwise cosine "
+        "is high, cosine similarity stops discriminating and every "
+        "downstream near-dup/ANN threshold silently recalibrates. The "
+        "audit needs NO pairs: for unit-normalized vectors, sum of all "
+        "pairwise cosines = ||sum v||^2 - n exactly, so mean pairwise "
+        "cos = (S2 - n)/(n(n-1)) and the resultant-vector share "
+        "||sum v||/n (= mean cosine to the mean direction) both derive "
+        "from ONE per-(label, dimension) sum table — the von Mises "
+        "resultant-length trick. Plan: one normalized posexplode with "
+        "map-side combine to |labels| x 64 component sums; the '__ALL__' "
+        "row re-aggregates those 64-row partials, never the corpus. "
+        "Per-dimension float sums are order-sensitive doubles rounded "
+        "at 6dp (house float contract). At 100 TB the explode-aggregate "
+        "is the only shuffle and it carries 64 rows per partition after "
+        "partial aggregation."
+    ),
+    tags=("similarity", "llm", "statistics", "quality"),
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _with_norm drops label; compute the norm inline on the spread scan
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.col("label").cast("string").alias("label"),
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    comp = (
+        emb.select(
+            "label",
+            F.posexplode("embedding").alias("i0", "x"),
+            F.col("nrm"),
+        )
+        .select(
+            "label",
+            (F.col("i0") + 1).alias("i"),
+            (F.col("x").cast("double") / F.col("nrm")).alias("xn"),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("xn").alias("s"))
+    )
+    per_label = emb.groupBy("label").agg(
+        F.count_distinct("vec_id").cast("bigint").alias("n")
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(comp: DataFrame) -> DataFrame:
+        s2 = comp.groupBy("label").agg(
+            F.sum(F.col("s") * F.col("s")).alias("s2")
+        )
+        lab = per_label.join(s2, "label")
+        all_s2 = (
+            comp.groupBy("i")
+            .agg(F.sum("s").alias("s"))
+            .agg(F.sum(F.col("s") * F.col("s")).alias("s2"))
+        )
+        all_n = per_label.agg(F.sum("n").cast("bigint").alias("n"))
+        allrow = all_n.crossJoin(all_s2).select(
+            F.lit("__ALL__").alias("label"), "n", "s2"
+        )
+        both = lab.select("label", "n", "s2").unionAll(allrow)
+        return both.select(
+            "label",
+            "n",
+            F.round(
+                (F.col("s2") - F.col("n"))
+                / (F.col("n") * F.lit(1.0) * (F.col("n") - 1)),
+                6,
+            ).alias("mean_pairwise_cos"),
+            F.round(F.sqrt(F.col("s2")) / F.col("n"), 6).alias(
+                "resultant_norm_share"
+            ),
+        )
+
+    # the component table feeds both the per-label and corpus-wide
+    # reductions — persist so the normalized explode runs once
+    return persisted_result(comp, build)
