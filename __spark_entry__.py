@@ -62,7 +62,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # post-hoc pairs, the Jonckheere-Terpstra ordered trend test, weighted
 # kappa, Western Electric runs rules, Wilson score intervals), and
 # slots 100-102 the third (embedding isotropy audit, Cochran-Armitage
-# binary trend, Bland-Altman header-vs-detail agreement), each
+# binary trend, Bland-Altman header-vs-detail agreement) plus the
+# streaming Wald SPRT monitor at slot 103 (hash-checked through the
+# real incremental engine, closed-form LLR from integer counts), each
 # oracle-green at all three fixture
 # scales and margin-audited at sf0.01 + sf0.1 (0 tie-proximity
 # findings). chrf_generation_eval (slot 72) is staged on its
@@ -115,7 +117,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "jonckheere_terpstra_trend", "weighted_kappa_ordinal",
     "western_electric_rules", "wilson_score_intervals",
     "embedding_isotropy_audit", "cochran_armitage_trend",
-    "bland_altman_agreement",
+    "bland_altman_agreement", "streaming_sprt_monitor",
 )
 
 

@@ -1076,3 +1076,78 @@ def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("user_id", "attr_value", "valid_from", "valid_to", "version")
+
+
+@register(
+    "streaming_sprt_monitor",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, event_id, ts,
+                   CASE WHEN value >= {CUT} THEN 1 ELSE 0 END AS succ
+            FROM events
+        ),
+        run AS (
+            SELECT event_type, event_id, ts,
+                   SUM(succ * {LA} + (1 - succ) * {LB}) OVER w AS llr,
+                   ROW_NUMBER() OVER w AS rn
+            FROM q
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        firstx AS (
+            SELECT event_type,
+                   MIN(CASE WHEN llr >= {UP} THEN rn END) AS up_rn,
+                   MIN(CASE WHEN llr <= {LOW} THEN rn END) AS dn_rn
+            FROM run GROUP BY event_type
+        )
+        SELECT r.event_type, r.event_id, r.ts,
+               ROUND(r.llr, 6) AS llr,
+               CASE WHEN f.up_rn IS NOT NULL AND f.up_rn <= r.rn
+                         AND (f.dn_rn IS NULL OR f.up_rn <= f.dn_rn)
+                        THEN 'accept_h1'
+                    WHEN f.dn_rn IS NOT NULL AND f.dn_rn <= r.rn
+                        THEN 'accept_h0'
+                    ELSE 'continue'
+               END AS decision
+        FROM run r JOIN firstx f USING (event_type)
+    """.replace("{CUT}", "50.0")
+    .replace("{LA}", "0.10536051565782635")
+    .replace("{LB}", "-0.0953101798043249")
+    .replace("{UP}", "2.9444389791664403")
+    .replace("{LOW}", "-2.9444389791664403"),
+    doc=(
+        "STREAMING WALD SPRT MONITOR (applyInPandasWithState): the "
+        "online form of the sequential probability ratio test — per "
+        "event type, every event nudges a cumulative log-likelihood "
+        "walk for H1 'share of high-value events is 0.50' vs H0 '0.45' "
+        "(value >= 50.0, increments and ln(19) boundaries are module "
+        "literals mirrored verbatim into the oracle; the LLR at each "
+        "row is the CLOSED FORM s*LA + (t-s)*LB over integer "
+        "cumulative counts — a float window SUM accumulates in tree "
+        "order and flipped one 6-dp rounding at sf0.1), and the decision "
+        "LATCHES at the first boundary crossing while the LLR column "
+        "keeps accumulating — which is what makes the whole output "
+        "hash-checkable against the batch oracle's ordered window sum "
+        "at every row, decided rows included. Sequential tests are "
+        "native to streams (this is the operator sprt_conversion_"
+        "monitor's day-grid batch form approximates offline); state is "
+        "(llr double, decided int) per key — O(#keys) — and the float "
+        "state is bit-reproducible across micro-batches because "
+        "additions happen in the same (ts, event_id) order the oracle "
+        "windows by. The replay source is time-ordered and rows are "
+        "sorted per key within each batch (the streaming_cusum_monitor "
+        "delivery contract)."
+    ),
+    tags=("streaming", "stateful", "pandas-udf", "statistics"),
+)
+def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.streaming.stateful import (
+        sprt_decision_stream,
+    )
+
+    ev = events_replay_source(spark, sf_dir)
+    out = run_to_memory(
+        sprt_decision_stream(ev),
+        _sink_name("streaming_sprt_monitor"),
+        output_mode="append",
+    )
+    return out.select("event_type", "event_id", "ts", "llr", "decision")

@@ -313,3 +313,79 @@ def scd2_closed_versions(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SPRT_SCHEMA = (
+    "event_type string, event_id bigint, ts timestamp, "
+    "llr double, decision string"
+)
+SPRT_STATE_SCHEMA = "s bigint, t bigint, decided int"
+# Wald SPRT per event type: H0 p=0.45 vs H1 p=0.50 for the share of
+# high-value events (value >= 50.0), alpha = beta = 0.05. Increments and
+# boundaries are module literals mirrored verbatim into the oracle, so
+# no libm call differs. The LLR is NEVER accumulated as a float: the
+# walk is linear, llr_t = s_t*LA + (t - s_t)*LB, so both engines derive
+# it in closed form from INTEGER cumulative counts (DuckDB's windowed
+# float SUM uses tree-order accumulation, which diverged from the
+# sequential walk in the last ulp and flipped one 6-dp rounding at
+# sf0.1 — integer counts make the value order-free and bit-identical).
+SPRT_P0, SPRT_P1 = 0.45, 0.50
+SPRT_VALUE_CUT = 50.0
+import math as _math
+
+SPRT_LA = _math.log(SPRT_P1 / SPRT_P0)
+SPRT_LB = _math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+SPRT_UP = _math.log(19.0)
+SPRT_LOW = -_math.log(19.0)
+
+
+def _sprt_monitor(key, pdfs, state: GroupState):
+    """Per-key Wald SPRT with latched first-crossing decision. State is
+    (successes, trials, decided) — three scalars per key, O(#keys); the
+    LLR at every row is the CLOSED FORM s*LA + (t-s)*LB over the exact
+    integer cumulative counts, never a float accumulator, so it equals
+    the batch oracle's value bit-for-bit regardless of micro-batch
+    boundaries or either engine's summation tree. The decision keeps
+    emitting after latching while the LLR column keeps evolving — which
+    is what makes every output row hash-checkable."""
+    s_cnt, t_cnt, decided = state.get if state.exists else (0, 0, 0)
+    chunks = [pdf for pdf in pdfs]
+    if not chunks:
+        state.update((s_cnt, t_cnt, decided))
+        return
+    rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+    labels = {0: "continue", 1: "accept_h1", 2: "accept_h0"}
+    out = []
+    for row in rows.itertuples(index=False):
+        t_cnt += 1
+        if row.value >= SPRT_VALUE_CUT:
+            s_cnt += 1
+        llr = s_cnt * SPRT_LA + (t_cnt - s_cnt) * SPRT_LB
+        if decided == 0:
+            if llr >= SPRT_UP:
+                decided = 1
+            elif llr <= SPRT_LOW:
+                decided = 2
+        out.append(
+            (key[0], row.event_id, row.ts, round(llr, 6), labels[decided])
+        )
+    state.update((s_cnt, t_cnt, decided))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["event_type", "event_id", "ts", "llr", "decision"]
+        )
+
+
+def sprt_decision_stream(stream: DataFrame) -> DataFrame:
+    """Per-event-type streaming Wald SPRT (see _sprt_monitor)."""
+    return (
+        stream.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _sprt_monitor,
+            outputStructType=SPRT_SCHEMA,
+            stateStructType=SPRT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
