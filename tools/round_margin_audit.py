@@ -46,37 +46,6 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def _swap_rounds(sql: str) -> str:
-    """Replace each ROUND(...) call with probe_round1/probe_round2 by
-    top-level argument count (paren-matched — regex can't see nesting)."""
-    out = []
-    i = 0
-    pat = re.compile(r"\bROUND\s*\(", re.I)
-    while True:
-        m = pat.search(sql, i)
-        if not m:
-            out.append(sql[i:])
-            break
-        out.append(sql[i : m.start()])
-        j = m.end()
-        depth = 1
-        commas = 0
-        while j < len(sql) and depth:
-            ch = sql[j]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            elif ch == "," and depth == 1:
-                commas += 1
-            j += 1
-        body = sql[m.end() : j]  # includes the closing paren
-        fn = "probe_round2(" if commas else "probe_round1("
-        out.append(fn + _swap_rounds(body[:-1]) + ")")
-        i = j
-    return "".join(out)
-
-
 def _final_block_start(sql: str) -> int:
     """Offset of the first paren-depth-0 SELECT — the main query block
     after any WITH clause (CTE bodies are parenthesized, so they never
@@ -140,6 +109,7 @@ def _swap_final_block_rounds(sql: str) -> tuple[str, int]:
             out.append(tail[i : m.end()])
             i = m.end()
             continue
+        # count top-level commas of THIS call to pick the macro arity
         j = m.end()
         depth = 1
         commas = 0
@@ -152,10 +122,15 @@ def _swap_final_block_rounds(sql: str) -> tuple[str, int]:
             elif ch == "," and depth == 1:
                 commas += 1
             j += 1
-        body = tail[m.end() : j]
         fn = "probe_round2(" if commas else "probe_round1("
-        out.append(tail[i : m.start()] + fn + _swap_rounds(body[:-1]) + ")")
-        i = j
+        out.append(tail[i : m.start()] + fn)
+        # resume INSIDE the body (not past it): nested ROUNDs are then
+        # re-screened against the SAME subquery-depth map, so a scalar
+        # subquery's internal ROUND inside a probed expression stays
+        # intact instead of being handed to the depth-unaware
+        # _swap_rounds (which would re-create the cascade-corruption
+        # class the subquery scoping exists to prevent)
+        i = m.end()
     return head + "".join(out), inner
 
 

@@ -2888,20 +2888,11 @@ def competing_risks_incidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LR_KNUTH = 2654435761
 _LR_MOD = 2147483647
 _LR_ARM_SQL = f"(((o_custkey % {_LR_MOD}) * {_LR_KNUTH}) >> 16) % 2"
-# A&S 26.2.17 normal-tail literals (same constants as the MW/MK tests)
-_LR_AS_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
-_LR_AS_P = 0.2316419
-
-
-def _lr_sf_sql(z: str) -> str:
-    """A&S 26.2.17 upper-tail as a literal SQL expression (z >= 0) —
-    identical evaluation in both engines (sampling.py convention)."""
-    t = f"(1.0 / (1.0 + {_LR_AS_P} * {z}))"
-    poly = (
-        f"({t} * ({_LR_AS_B[0]} + {t} * ({_LR_AS_B[1]} + {t} * ({_LR_AS_B[2]}"
-        f" + {t} * ({_LR_AS_B[3]} + {t} * {_LR_AS_B[4]})))))"
-    )
-    return f"(exp(-({z}) * ({z}) / 2.0) / sqrt(2.0 * pi()) * {poly})"
+# A&S 26.2.17 normal tail: shared literals/forms (operators/_normal_tail)
+from weather_stream_processor_spark.operators._normal_tail import (
+    normal_sf_col as _lr_sf_col,
+    normal_sf_sql as _lr_sf_sql,
+)
 
 _LIVES_SQL = f"""
         horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
@@ -3038,8 +3029,6 @@ def _lives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "retention", "statistics", "experimentation", "window"),
 )
 def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _m
-
     lives = _lives(spark, sf_dir)
     tot = lives.agg(
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
@@ -3105,25 +3094,7 @@ def logrank_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v_t").alias("v_sum"),
     )
     z = (F.col("observed_treat") - F.col("e1_sum")) / F.sqrt(F.col("v_sum"))
-    az = F.abs(z)
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_LR_AS_P) * az)
-    poly = tt * (
-        F.lit(_LR_AS_B[0])
-        + tt
-        * (
-            F.lit(_LR_AS_B[1])
-            + tt
-            * (
-                F.lit(_LR_AS_B[2])
-                + tt * (F.lit(_LR_AS_B[3]) + tt * F.lit(_LR_AS_B[4]))
-            )
-        )
-    )
-    sf = (
-        F.exp(-az * az / F.lit(2.0))
-        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
-        * poly
-    )
+    sf = _lr_sf_col(F.abs(z))
     return s.select(
         "n_control",
         "n_treat",

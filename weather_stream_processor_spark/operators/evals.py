@@ -73,10 +73,11 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "roc_auc_exact",
-    oracle=f"""
-        WITH {_SCORE_CTE},
+# Shared Mann-Whitney run construction over the bounded 4-dp score grid
+# — the single source both roc_auc_exact and auc_hanley_mcneil_ci build
+# on (oracle CTE chain + builder), so the score/grid/tie contract can
+# only ever change in one place.
+_AUC_RUN_CTES = f"""{_SCORE_CTE},
         grid AS (
             SELECT score,
                    CAST(SUM(label) AS BIGINT) AS pos,
@@ -92,7 +93,38 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
                    CAST(SUM(neg) OVER () AS BIGINT) AS n_neg
             FROM grid
-        )
+        )"""
+
+
+def _auc_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pos, neg, neg_below, n_pos, n_neg) over the bounded score grid;
+    ordered + whole-frame windows run over <=10^4 rows regardless of
+    corpus size, and documents is scanned exactly ONCE (totals come from
+    the grid itself — Catalyst does not dedupe common subtrees)."""
+    s = _scored(spark, sf_dir)
+    grid = s.groupBy("score").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
+    )
+    w_below = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return grid.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
+        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
+        F.sum("neg").over(w_all).cast("bigint").alias("n_neg"),
+    )
+
+
+@register(
+    "roc_auc_exact",
+    oracle=f"""
+        WITH {_AUC_RUN_CTES}
         SELECT n_pos, n_neg,
                ROUND(SUM(pos * (neg_below + 0.5 * neg))
                      / (n_pos * 1.0 * n_neg), 6) AS auc,
@@ -118,28 +150,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("evals", "llm", "statistics", "headline"),
 )
 def roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _scored(spark, sf_dir)
-    grid = s.groupBy("score").agg(
-        F.sum("label").cast("bigint").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
-    )
-    # ordered + whole-frame windows over the <=10^4-row rounded-score
-    # grid (bounded); totals come from the grid itself so documents is
-    # scanned exactly ONCE (a separate agg would re-scan — Catalyst does
-    # not dedupe common subtrees)
-    w_below = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    run = grid.select(
-        "pos",
-        "neg",
-        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
-        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
-        F.sum("neg").over(w_all).cast("bigint").alias("n_neg"),
-    )
+    run = _auc_run(spark, sf_dir)
     num = F.sum(F.col("pos") * (F.col("neg_below") + 0.5 * F.col("neg")))
     return (
         run.groupBy("n_pos", "n_neg")
@@ -3868,23 +3879,7 @@ _HM_Z = 1.96  # 95% normal quantile, literal in both engines
 @register(
     "auc_hanley_mcneil_ci",
     oracle=f"""
-        WITH {_SCORE_CTE},
-        grid AS (
-            SELECT score,
-                   CAST(SUM(label) AS BIGINT) AS pos,
-                   CAST(COUNT(*) - SUM(label) AS BIGINT) AS neg
-            FROM scored GROUP BY score
-        ),
-        run AS (
-            SELECT pos, neg,
-                   COALESCE(SUM(neg) OVER (
-                       ORDER BY score
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) AS neg_below,
-                   CAST(SUM(pos) OVER () AS BIGINT) AS n_pos,
-                   CAST(SUM(neg) OVER () AS BIGINT) AS n_neg
-            FROM grid
-        ),
+        WITH {_AUC_RUN_CTES},
         a AS (
             SELECT n_pos, n_neg,
                    SUM(pos * (neg_below + 0.5 * neg))
@@ -3925,24 +3920,7 @@ _HM_Z = 1.96  # 95% normal quantile, literal in both engines
     tags=("evals", "llm", "statistics"),
 )
 def auc_hanley_mcneil_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _scored(spark, sf_dir)
-    grid = s.groupBy("score").agg(
-        F.sum("label").cast("bigint").alias("pos"),
-        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("neg"),
-    )
-    w_below = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    run = grid.select(
-        "pos",
-        "neg",
-        F.coalesce(F.sum("neg").over(w_below), F.lit(0)).alias("neg_below"),
-        F.sum("pos").over(w_all).cast("bigint").alias("n_pos"),
-        F.sum("neg").over(w_all).cast("bigint").alias("n_neg"),
-    )
+    run = _auc_run(spark, sf_dir)
     a = run.groupBy("n_pos", "n_neg").agg(
         (
             F.sum(F.col("pos") * (F.col("neg_below") + 0.5 * F.col("neg")))
@@ -4777,8 +4755,6 @@ _CA_MAX = 4  # highest ordinal level (5 levels, 0..4)
     tags=("evals", "statistics", "experimentation"),
 )
 def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _m
-
     ev = load_table(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.least(
@@ -4820,26 +4796,12 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     stat = tot.select(
         "n", "r", t_stat.alias("t_stat"), var_t.alias("var_t")
     )
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
     z = F.col("t_stat") / F.sqrt(F.col("var_t"))
-    az = F.abs(z)
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_FDR_AS_P) * az)
-    poly = tt * (
-        F.lit(_FDR_AS_B[0])
-        + tt
-        * (
-            F.lit(_FDR_AS_B[1])
-            + tt
-            * (
-                F.lit(_FDR_AS_B[2])
-                + tt * (F.lit(_FDR_AS_B[3]) + tt * F.lit(_FDR_AS_B[4]))
-            )
-        )
-    )
-    sf = (
-        F.exp(-az * az / F.lit(2.0))
-        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
-        * poly
-    )
+    sf = normal_sf_col(F.abs(z))
     return stat.select(
         F.col("n").alias("n_users"),
         F.col("r").alias("n_converted"),

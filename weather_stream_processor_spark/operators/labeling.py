@@ -1831,6 +1831,11 @@ def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ * n_ * n_ - n_
     ) - F.lit(_KW_M) * F.lit(1.0) * F.col("tie_term")
     w_stat = F.lit(3.0) * F.col("s4") / denom
+    # chi2 mirrors the oracle's association ORDER exactly
+    # (m * (n-1) * 3.0 * s4, THEN the single division) — multiplying the
+    # already-divided w_stat would round in a different order and can
+    # drift an ulp, the mirrored-verbatim float contract
+    chi2 = F.lit(_KW_M) * (n_ - 1) * F.lit(3.0) * F.col("s4") / denom
     return (
         nn.crossJoin(s4)
         .crossJoin(ties)
@@ -1840,7 +1845,7 @@ def kendall_w_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s4",
             "tie_term",
             F.round(w_stat, 6).alias("kendall_w"),
-            F.round(F.lit(_KW_M) * (n_ - 1) * w_stat, 6).alias("chi2_approx"),
+            F.round(chi2, 6).alias("chi2_approx"),
         )
     )
 

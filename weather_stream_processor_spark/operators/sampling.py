@@ -2935,8 +2935,6 @@ def effect_size_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "statistics", "window"),
 )
 def dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _m
-
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -2999,23 +2997,11 @@ def dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
     )
-    az = F.abs(z)
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
-    poly = tt * (
-        F.lit(_AS_B[0])
-        + tt
-        * (
-            F.lit(_AS_B[1])
-            + tt
-            * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
-        )
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
     )
-    p = (
-        F.lit(2.0)
-        * F.exp(-az * az / F.lit(2.0))
-        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
-        * poly
-    )
+
+    p = F.lit(2.0) * normal_sf_col(F.abs(z))
     pvals = pairs.select("grp_a", "grp_b", "n_a", "n_b", z.alias("z"), p.alias("p"))
     w_rank = Window.orderBy("p", "grp_a", "grp_b")
     w_all = Window.partitionBy().rowsBetween(
@@ -3160,8 +3146,6 @@ def dunn_posthoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sampling", "statistics", "window"),
 )
 def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math as _m
-
     from pyspark.sql.window import Window
 
     o = load_table(spark, sf_dir, "orders")
@@ -3268,23 +3252,12 @@ def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_j"),
         )
     )
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
     z = (F.col("j2") / F.lit(2.0) - F.col("e_j")) / F.sqrt(F.col("var_j"))
-    az = F.abs(z)
-    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
-    poly = tt * (
-        F.lit(_AS_B[0])
-        + tt
-        * (
-            F.lit(_AS_B[1])
-            + tt
-            * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
-        )
-    )
-    sf = (
-        F.exp(-az * az / F.lit(2.0))
-        / F.sqrt(F.lit(2.0) * F.lit(_m.pi))
-        * poly
-    )
+    sf = normal_sf_col(F.abs(z))
     return stat.select(
         "n_total",
         "k",

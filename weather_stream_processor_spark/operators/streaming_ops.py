@@ -1087,8 +1087,15 @@ def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         run AS (
+            -- integer cumulatives only; the LLR is the closed form
+            -- s*LA + (t - s)*LB. A float window SUM would accumulate in
+            -- whatever order the engine's segment tree chooses, which
+            -- diverges from the sequential walk in the last ulp and
+            -- flipped one 6-dp rounding at sf0.1.
             SELECT event_type, event_id, ts,
-                   SUM(succ * {LA} + (1 - succ) * {LB}) OVER w AS llr,
+                   CAST(SUM(succ) OVER w AS BIGINT) * {LA}
+                   + (ROW_NUMBER() OVER w
+                      - CAST(SUM(succ) OVER w AS BIGINT)) * {LB} AS llr,
                    ROW_NUMBER() OVER w AS rn
             FROM q
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
@@ -1125,17 +1132,16 @@ def streaming_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cumulative counts — a float window SUM accumulates in tree "
         "order and flipped one 6-dp rounding at sf0.1), and the decision "
         "LATCHES at the first boundary crossing while the LLR column "
-        "keeps accumulating — which is what makes the whole output "
-        "hash-checkable against the batch oracle's ordered window sum "
-        "at every row, decided rows included. Sequential tests are "
-        "native to streams (this is the operator sprt_conversion_"
-        "monitor's day-grid batch form approximates offline); state is "
-        "(llr double, decided int) per key — O(#keys) — and the float "
-        "state is bit-reproducible across micro-batches because "
-        "additions happen in the same (ts, event_id) order the oracle "
-        "windows by. The replay source is time-ordered and rows are "
-        "sorted per key within each batch (the streaming_cusum_monitor "
-        "delivery contract)."
+        "keeps evolving — which is what makes the whole output "
+        "hash-checkable against the batch oracle at every row, decided "
+        "rows included. Sequential tests are native to streams (this "
+        "is the operator sprt_conversion_monitor's day-grid batch form "
+        "approximates offline); state is (successes, trials, decided) "
+        "— three integer scalars per key, O(#keys), NO float state — "
+        "so the emitted value is order-free and bit-identical across "
+        "engines and micro-batch boundaries. The replay source is "
+        "time-ordered and rows are sorted per key within each batch "
+        "(the streaming_cusum_monitor delivery contract)."
     ),
     tags=("streaming", "stateful", "pandas-udf", "statistics"),
 )
