@@ -116,10 +116,23 @@ def test_registered_builders_leave_nothing_cached(spark):
         assert after == before, f"{name} left a DataFrame cache behind"
 
 
+# Rows-only queries deliberately staged in the driver window: the r8
+# verdict (task 2) asked for the three r01-era sketch queries — whose
+# cumulative driver record still ends on a pre-conversion red hash row —
+# to be re-sampled so the record closes on their CURRENT rows-only
+# contract. Any OTHER rows-only name in the priority is still a bug.
+_ROWS_ONLY_STAGED = {
+    "approx_count_distinct_parts",
+    "approx_percentile_prices",
+    "hll_mergeable_rollup",
+}
+
+
 def test_sample_priority_names_resolve(spark):
     """__spark_entry__._SAMPLE_PRIORITY must stay a subset of the registry
     (a renamed operator would silently fall out of the driver's sample
-    window) and must keep every entry oracle-backed."""
+    window) and must keep every entry oracle-backed, except the three
+    deliberately re-staged rows-only sketches (_ROWS_ONLY_STAGED)."""
     import __spark_entry__ as entry
 
     qs = entry.queries()
@@ -127,7 +140,11 @@ def test_sample_priority_names_resolve(spark):
     assert set(entry._SAMPLE_PRIORITY) <= set(qs)
     assert len(set(entry._SAMPLE_PRIORITY)) == len(entry._SAMPLE_PRIORITY)
     for name in entry._SAMPLE_PRIORITY:
-        assert name in oracles, f"{name} has no oracle; priority slots are for hash-checked rows"
+        assert name in oracles or name in _ROWS_ONLY_STAGED, (
+            f"{name} has no oracle; priority slots are for hash-checked "
+            "rows (rows-only re-staging needs an explicit entry in "
+            "_ROWS_ONLY_STAGED with a verdict rationale)"
+        )
     assert list(qs)[: len(entry._SAMPLE_PRIORITY)] == list(entry._SAMPLE_PRIORITY)
 
 
