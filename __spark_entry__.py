@@ -62,9 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # post-hoc pairs, the Jonckheere-Terpstra ordered trend test, weighted
 # kappa, Western Electric runs rules, Wilson score intervals), and
 # slots 100-102 the third (embedding isotropy audit, Cochran-Armitage
-# binary trend, Bland-Altman header-vs-detail agreement) plus the
+# binary trend, Bland-Altman header-vs-detail agreement), the
 # streaming Wald SPRT monitor at slot 103 (hash-checked through the
-# real incremental engine, closed-form LLR from integer counts), each
+# real incremental engine, closed-form LLR from integer counts), and
+# slots 104-106 the fourth crop (Friedman blocked rank test, Theil's U
+# asymmetric association, Hosmer-Lemeshow calibration GOF), each
 # oracle-green at all three fixture
 # scales and margin-audited at sf0.01 + sf0.1 (0 tie-proximity
 # findings). chrf_generation_eval (slot 72) is staged on its
@@ -118,6 +120,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "western_electric_rules", "wilson_score_intervals",
     "embedding_isotropy_audit", "cochran_armitage_trend",
     "bland_altman_agreement", "streaming_sprt_monitor",
+    "friedman_test_daily", "theils_u_uncertainty", "hosmer_lemeshow_gof",
 )
 
 

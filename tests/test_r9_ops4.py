@@ -455,3 +455,129 @@ def test_bland_altman_matches_python(spark):
     assert got["loa_high"] == pytest.approx(hi, abs=2e-2)
     assert got["n_outside"] == n_out
     assert got["share_outside"] == pytest.approx(n_out / n, abs=2e-6)
+
+
+# --------------------------------------------------------------------------
+# friedman_test_daily
+# --------------------------------------------------------------------------
+
+
+def test_friedman_matches_python(spark):
+    df = duckdb.connect().execute(
+        f"""
+        SELECT CAST(ts AS DATE) AS d, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY CAST(ts AS DATE), event_type
+        """
+    ).fetchall()
+    types = sorted({t for _, t, _ in df})
+    k = len(types)
+    by_day = defaultdict(dict)
+    for d, t, c in df:
+        by_day[d][t] = c
+    blocks = {d: v for d, v in by_day.items() if len(v) == k}
+    n = len(blocks)
+    r2_sum = Counter()
+    a2 = 0
+    for d, v in blocks.items():
+        vals = sorted(v.values())
+        for t, c in v.items():
+            below = sum(1 for x in vals if x < c)
+            ties = sum(1 for x in vals if x == c)
+            r2 = 2 * below + ties + 1
+            r2_sum[t] += r2
+            a2 += r2 * r2
+    num = sum((r2_sum[t] - n * (k + 1)) ** 2 for t in types)
+    chi2 = (k - 1) * num / (a2 - n * k * (k + 1) ** 2)
+    got = {
+        r["event_type"]: r
+        for r in all_queries()["friedman_test_daily"]
+        .builder(spark, SF_SMOKE)
+        .collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        assert got[t]["r2_sum"] == r2_sum[t]
+        assert got[t]["n_blocks"] == n and got[t]["k"] == k
+        assert got[t]["friedman_chi2"] == pytest.approx(chi2, rel=2e-9)
+    # Wilson-Hilferty p in range
+    assert all(0.0 <= r["p_wilson_hilferty"] <= 1.0 for r in got.values())
+
+
+# --------------------------------------------------------------------------
+# theils_u_uncertainty
+# --------------------------------------------------------------------------
+
+
+def test_theils_u_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"SELECT lang, source FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    n = len(rows)
+    cl = Counter(l for l, _ in rows)
+    cs = Counter(s for _, s in rows)
+    cc = Counter(rows)
+    h_l = -sum(v / n * math.log(v / n) for v in cl.values())
+    h_s = -sum(v / n * math.log(v / n) for v in cs.values())
+    mi = sum(
+        v / n * math.log(n * v / (cl[l] * cs[s]))
+        for (l, s), v in cc.items()
+    )
+    got = (
+        all_queries()["theils_u_uncertainty"].builder(spark, SF_SMOKE).collect()[0]
+    )
+    assert got["n_docs"] == n
+    assert got["h_lang"] == pytest.approx(h_l, abs=2e-6)
+    assert got["h_source"] == pytest.approx(h_s, abs=2e-6)
+    assert got["mutual_information"] == pytest.approx(mi, abs=2e-6)
+    assert got["u_lang_given_source"] == pytest.approx(mi / h_l, abs=2e-6)
+    assert got["u_source_given_lang"] == pytest.approx(mi / h_s, abs=2e-6)
+    # U is a [0,1] coefficient in each direction
+    assert 0.0 <= got["u_lang_given_source"] <= 1.0
+    assert 0.0 <= got["u_source_given_lang"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# hosmer_lemeshow_gof
+# --------------------------------------------------------------------------
+
+
+def test_hosmer_lemeshow_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT LEAST(CAST(FLOOR(
+                   ROUND(len(list_distinct(string_split(text, ' ')))
+                         * 1.0 / len(string_split(text, ' ')), 4) * 10)
+                   AS BIGINT), 9) AS bin,
+               CAST(ROUND(ROUND(len(list_distinct(string_split(text, ' ')))
+                         * 1.0 / len(string_split(text, ' ')), 4) * 10000)
+                   AS BIGINT) AS s4,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    bins = defaultdict(lambda: [0, 0, 0])  # n, observed, s4_sum
+    for b, s4, lab in rows:
+        bins[b][0] += 1
+        bins[b][1] += lab
+        bins[b][2] += s4
+    chi2 = 0.0
+    for n, o, s4s in bins.values():
+        e = s4s / 10000.0
+        p_bar = s4s / (n * 10000.0)
+        chi2 += (o - e) ** 2 / (e * (1 - p_bar))
+    g = len(bins)
+    got = (
+        all_queries()["hosmer_lemeshow_gof"].builder(spark, SF_SMOKE).collect()
+    )
+    assert len(got) == g
+    for r in got:
+        n, o, s4s = bins[r["bin"]]
+        assert r["n"] == n and r["observed"] == o
+        assert r["p_bar"] == pytest.approx(s4s / (n * 10000.0), abs=2e-6)
+        assert r["hl_chi2"] == pytest.approx(chi2, abs=1e-6)
+        assert r["df"] == g - 2
+        assert 0.0 <= r["p_wilson_hilferty"] <= 1.0

@@ -259,6 +259,14 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         'KW bucket grid (<=4901 rows) + the K(K-1)/2 pair family '
         '(BH rank/step-up windows over <=10 rows)',
     ),
+    'friedman_test_daily': (
+        ('<no order>',),
+        'whole-frame deviation sum over the k-row treatment table',
+    ),
+    'hosmer_lemeshow_gof': (
+        ('<no order>',),
+        '10-row calibration bin table',
+    ),
 }
 
 
@@ -710,5 +718,9 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
          'BroadcastNestedLoopJoin BuildRight Cross',
          'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',  # 5x5 marginal cross product + 1-row totals
+    ),
+    'friedman_test_daily': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 4,
+        'bounded-build',  # 1-row k / block-completeness / totals frames
     ),
 }

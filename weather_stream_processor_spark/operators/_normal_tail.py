@@ -49,3 +49,13 @@ def normal_sf_col(az: Column) -> Column:
     return (
         F.exp(-az * az / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi)) * poly
     )
+
+
+def normal_sf_signed_sql(z: str) -> str:
+    """Tail for ANY sign of z via sf(z) = 1 - sf(-z) — one identical
+    branch expression in both engines (sampling.py's historical
+    convention, shared here for new call sites)."""
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN {normal_sf_sql(f'({z})')} "
+        f"ELSE 1.0 - {normal_sf_sql(f'(-({z}))')} END)"
+    )

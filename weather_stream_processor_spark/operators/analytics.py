@@ -3258,3 +3258,131 @@ def rmst_restricted_mean_survival(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("rmst_share"),
     )
+
+
+@register(
+    "theils_u_uncertainty",
+    oracle="""
+        WITH cont AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY lang, source
+        ),
+        ml AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl
+               FROM cont GROUP BY lang),
+        ms AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns
+               FROM cont GROUP BY source),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cont),
+        ents AS (
+            SELECT
+                (SELECT SUM(-1.0 * nl / t.nt * LN(1.0 * nl / t.nt))
+                 FROM ml) AS h_lang,
+                (SELECT SUM(-1.0 * ns / t.nt * LN(1.0 * ns / t.nt))
+                 FROM ms) AS h_source,
+                (SELECT SUM(1.0 * c.n / t.nt
+                            * LN((1.0 * t.nt * c.n)
+                                 / (1.0 * ml.nl * ms.ns)))
+                 FROM cont c
+                 JOIN ml USING (lang) JOIN ms USING (source)) AS mi,
+                t.nt
+            FROM tot t
+        )
+        SELECT nt AS n_docs,
+               ROUND(h_lang, 6) AS h_lang,
+               ROUND(h_source, 6) AS h_source,
+               ROUND(mi, 6) AS mutual_information,
+               ROUND(mi / h_lang, 6) AS u_lang_given_source,
+               ROUND(mi / h_source, 6) AS u_source_given_lang
+        FROM ents
+    """,
+    doc=(
+        "THEIL'S U (uncertainty coefficient) for the lang x source "
+        "contingency, BOTH directions — the ASYMMETRIC categorical "
+        "association the registered chi-square/Cramer's-V audit cannot "
+        "express: U(lang|source) = I(lang;source)/H(lang) says how much "
+        "knowing the source reduces language uncertainty, and "
+        "U(source|lang) answers the reverse — which is the actual "
+        "curation question ('does source determine language?' is NOT "
+        "'does language determine source?'; V conflates them). "
+        "Entropies and mutual information reduce to per-cell "
+        "deterministic ln terms over the bounded |langs| x |sources| "
+        "contingency and its marginals, summed over <=100 cells and "
+        "rounded at 6dp. One hash aggregate to the contingency; "
+        "everything after is cell arithmetic. One corpus-scale shuffle "
+        "at 100 TB."
+    ),
+    tags=("analytics", "statistics", "quality", "llm"),
+)
+def theils_u_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    docs = load_table(spark, sf_dir, "documents")
+    cont = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+
+    def build(cont: DataFrame) -> DataFrame:
+        ml = cont.groupBy("lang").agg(F.sum("n").cast("bigint").alias("nl"))
+        ms = cont.groupBy("source").agg(
+            F.sum("n").cast("bigint").alias("ns")
+        )
+        tot = cont.agg(F.sum("n").cast("bigint").alias("nt"))
+        nt = F.col("nt")
+        h_lang = (
+            ml.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    F.lit(-1.0)
+                    * F.col("nl")
+                    / nt
+                    * F.log(F.lit(1.0) * F.col("nl") / nt)
+                ).alias("h_lang")
+            )
+        )
+        h_source = (
+            ms.crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    F.lit(-1.0)
+                    * F.col("ns")
+                    / nt
+                    * F.log(F.lit(1.0) * F.col("ns") / nt)
+                ).alias("h_source")
+            )
+        )
+        mi = (
+            cont.join(ml, "lang")
+            .join(ms, "source")
+            .crossJoin(F.broadcast(tot))
+            .agg(
+                F.sum(
+                    F.lit(1.0)
+                    * F.col("n")
+                    / nt
+                    * F.log(
+                        (F.lit(1.0) * nt * F.col("n"))
+                        / (F.lit(1.0) * F.col("nl") * F.col("ns"))
+                    )
+                ).alias("mi")
+            )
+        )
+        return (
+            tot.crossJoin(h_lang)
+            .crossJoin(h_source)
+            .crossJoin(mi)
+            .select(
+                F.col("nt").alias("n_docs"),
+                F.round(F.col("h_lang"), 6).alias("h_lang"),
+                F.round(F.col("h_source"), 6).alias("h_source"),
+                F.round(F.col("mi"), 6).alias("mutual_information"),
+                F.round(F.col("mi") / F.col("h_lang"), 6).alias(
+                    "u_lang_given_source"
+                ),
+                F.round(F.col("mi") / F.col("h_source"), 6).alias(
+                    "u_source_given_lang"
+                ),
+            )
+        )
+
+    # the contingency feeds four aggregate subtrees — persist it so the
+    # documents scan executes once
+    return persisted_result(cont, build)

@@ -4959,3 +4959,137 @@ def bland_altman_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the paired diff table feeds the moment pass AND the outside-count
     # re-scan — persist so the header-detail join executes once
     return persisted_result(paired, build)
+
+
+from weather_stream_processor_spark.operators._normal_tail import (
+    normal_sf_signed_sql as _normal_sf_signed_sql_local,
+)
+
+
+@register(
+    "hosmer_lemeshow_gof",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        lifted AS (
+            SELECT LEAST(CAST(FLOOR(score * {_N_CAL_BINS}) AS BIGINT),
+                         {_N_CAL_BINS - 1}) AS bin,
+                   CAST(ROUND(score * 10000) AS BIGINT) AS s4,
+                   label
+            FROM scored
+        ),
+        per_bin AS (
+            SELECT bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(label) AS BIGINT) AS observed,
+                   CAST(SUM(s4) AS BIGINT) AS s4_sum
+            FROM lifted GROUP BY bin
+        ),
+        terms AS (
+            SELECT bin, n, observed,
+                   s4_sum / (n * 10000.0) AS p_bar,
+                   (observed - s4_sum / 10000.0)
+                   * (observed - s4_sum / 10000.0)
+                   / (s4_sum / 10000.0
+                      * (1.0 - s4_sum / (n * 10000.0))) AS hl_term,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS g
+            FROM per_bin
+        ),
+        stat AS (
+            SELECT bin, n, observed, p_bar, hl_term,
+                   SUM(hl_term) OVER () AS hl_chi2,
+                   g * 1.0 - 2.0 AS df
+            FROM terms
+        )
+        SELECT bin, n, observed,
+               ROUND(p_bar, 6) AS p_bar,
+               ROUND(hl_term, 6) AS hl_term,
+               ROUND(hl_chi2, 6) AS hl_chi2,
+               CAST(df AS BIGINT) AS df,
+               ROUND({_normal_sf_signed_sql_local(
+                   "((pow(hl_chi2 / df, 1.0 / 3.0)"
+                   " - (1.0 - 2.0 / (9.0 * df)))"
+                   " / sqrt(2.0 / (9.0 * df)))"
+               )}, 6) AS p_wilson_hilferty
+        FROM stat
+    """,
+    doc=(
+        "HOSMER-LEMESHOW GOODNESS-OF-FIT over the same "
+        f"{_N_CAL_BINS}-bin calibration table as calibration_bins_ece — "
+        "the SIGNIFICANCE layer ECE lacks (ECE says how big the "
+        "calibration gaps are; HL says whether gaps this big are "
+        "consistent with a calibrated score at this sample size): "
+        "per bin, (O - E)^2 / (E(1 - p_bar)) with E = the sum of "
+        "predicted probabilities, chi2 = the sum over bins, df = "
+        "bins - 2, p through the Wilson-Hilferty cube-root map and the "
+        "shared A&S tail. Expected counts come from EXACT integer "
+        "sums of the 10^4-lifted 4-dp scores (never a float mean "
+        "re-multiplied), so both engines difference identical "
+        "quantities; the per-bin terms and the whole-frame chi2 run "
+        f"over the {_N_CAL_BINS}-row bin table. One corpus-scale hash "
+        "aggregate at 100 TB."
+    ),
+    tags=("evals", "llm", "statistics", "window"),
+)
+def hosmer_lemeshow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    s = _scored(spark, sf_dir)
+    lifted = s.select(
+        F.least(
+            F.floor(F.col("score") * _N_CAL_BINS).cast("bigint"),
+            F.lit(_N_CAL_BINS - 1),
+        ).alias("bin"),
+        F.round(F.col("score") * 10000).cast("bigint").alias("s4"),
+        "label",
+    )
+    per_bin = lifted.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("observed"),
+        F.sum("s4").cast("bigint").alias("s4_sum"),
+    )
+    e = F.col("s4_sum") / F.lit(10000.0)
+    p_bar = F.col("s4_sum") / (F.col("n") * F.lit(10000.0))
+    hl_term = (
+        (F.col("observed") - e)
+        * (F.col("observed") - e)
+        / (e * (F.lit(1.0) - p_bar))
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = per_bin.select(
+        "bin",
+        "n",
+        "observed",
+        p_bar.alias("p_bar"),
+        hl_term.alias("hl_term"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("g"),
+    )
+    stat = terms.select(
+        "bin",
+        "n",
+        "observed",
+        "p_bar",
+        "hl_term",
+        F.sum("hl_term").over(w_all).alias("hl_chi2"),
+        (F.col("g") * F.lit(1.0) - F.lit(2.0)).alias("df"),
+    )
+    z_wh = (
+        F.pow(F.col("hl_chi2") / F.col("df"), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+    p_wh = F.when(z_wh >= 0, normal_sf_col(z_wh)).otherwise(
+        F.lit(1.0) - normal_sf_col(-z_wh)
+    )
+    return stat.select(
+        "bin",
+        "n",
+        "observed",
+        F.round(F.col("p_bar"), 6).alias("p_bar"),
+        F.round(F.col("hl_term"), 6).alias("hl_term"),
+        F.round(F.col("hl_chi2"), 6).alias("hl_chi2"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(p_wh, 6).alias("p_wilson_hilferty"),
+    )

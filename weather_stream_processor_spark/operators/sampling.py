@@ -3267,3 +3267,161 @@ def jonckheere_terpstra_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.round(F.lit(2.0) * sf, 6).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: Friedman test — the BLOCKED (repeated-measures) member of the
+# rank-test family (KW = independent groups; Friedman = k treatments
+# measured within each block).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "friedman_test_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, event_type,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+        ),
+        kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+               FROM daily),
+        complete_blocks AS (
+            SELECT d FROM daily CROSS JOIN kk
+            GROUP BY d, kk.k HAVING COUNT(*) = ANY_VALUE(kk.k)
+        ),
+        ranked AS (
+            SELECT daily.d, event_type,
+                   CAST(2 * RANK() OVER (PARTITION BY daily.d
+                                         ORDER BY cents)
+                        + COUNT(*) OVER (PARTITION BY daily.d, cents) - 1
+                        AS BIGINT) AS r2
+            FROM daily JOIN complete_blocks USING (d)
+        ),
+        treat AS (
+            SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum
+            FROM ranked GROUP BY event_type
+        ),
+        tots AS (
+            SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n_blocks,
+                   CAST(SUM(r2 * r2) AS BIGINT) AS a2
+            FROM ranked
+        ),
+        stat AS (
+            SELECT t.event_type, t.r2_sum, o.n_blocks, kk.k,
+                   (kk.k - 1) * 1.0
+                   * SUM((t.r2_sum - o.n_blocks * (kk.k + 1))
+                         * (t.r2_sum - o.n_blocks * (kk.k + 1))) OVER ()
+                   / (o.a2 - o.n_blocks * kk.k * (kk.k + 1) * (kk.k + 1))
+                       AS chi2
+            FROM treat t CROSS JOIN tots o CROSS JOIN kk
+        )
+        SELECT event_type, r2_sum, n_blocks, k,
+               ROUND(chi2, 6) AS friedman_chi2,
+               ROUND({_normal_sf_signed_sql(
+                   "((pow(chi2 / (k - 1.0), 1.0 / 3.0)"
+                   " - (1.0 - 2.0 / (9.0 * (k - 1.0))))"
+                   " / sqrt(2.0 / (9.0 * (k - 1.0))))"
+               )}, 6) AS p_wilson_hilferty
+        FROM stat
+    """,
+    doc=(
+        "FRIEDMAN TEST over (day x event type) daily value totals — the "
+        "BLOCKED rank test that completes the family: Kruskal-Wallis "
+        "compares independent groups, Friedman compares k treatments "
+        "measured WITHIN each block (here: do the event types keep the "
+        "same value ordering day after day?), which removes the "
+        "between-day variance KW would drown in. Only COMPLETE blocks "
+        "(days where all k types appear) enter, per the textbook "
+        "design. Within-block mid-ranks are x2-lifted exact integers "
+        "(2*rank + ties - 1 over the k-row block), the tie-general "
+        "Conover form chi2 = (k-1) sum_j (R2_j - n(k+1))^2 / "
+        "(A2 - n k (k+1)^2) is ALL integer arithmetic up to one "
+        "division (the x4 lifts cancel exactly), and the p-value maps "
+        "through the same Wilson-Hilferty cube-root + shared A&S tail "
+        "the KW operator uses. Plan: one (day, type) hash aggregate; "
+        "rank windows are partitioned per day over k rows; everything "
+        "after is k-row arithmetic. One corpus-scale shuffle at 100 TB."
+    ),
+    tags=("sampling", "statistics", "window"),
+)
+def friedman_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    kk = daily.agg(F.count_distinct("event_type").cast("bigint").alias("k"))
+    complete = (
+        daily.crossJoin(F.broadcast(kk))
+        .groupBy("d", "k")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == F.col("k"))
+        .select("d")
+    )
+    w_rank = Window.partitionBy("d").orderBy("cents")
+    w_tie = Window.partitionBy("d", "cents")
+    ranked = daily.join(complete, "d").select(
+        "d",
+        "event_type",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    treat = ranked.groupBy("event_type").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum")
+    )
+    tots = ranked.agg(
+        F.count_distinct("d").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("a2"),
+    )
+    g = treat.crossJoin(F.broadcast(tots)).crossJoin(F.broadcast(kk))
+    dev = F.col("r2_sum") - F.col("n_blocks") * (F.col("k") + 1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi2 = (
+        (F.col("k") - 1)
+        * F.lit(1.0)
+        * F.sum(dev * dev).over(w_all)
+        / (
+            F.col("a2")
+            - F.col("n_blocks")
+            * F.col("k")
+            * (F.col("k") + 1)
+            * (F.col("k") + 1)
+        )
+    )
+    stat = g.select(
+        "event_type", "r2_sum", "n_blocks", "k", chi2.alias("chi2")
+    )
+    df_ = F.col("k") * F.lit(1.0) - F.lit(1.0)
+    z_wh = (
+        F.pow(F.col("chi2") / df_, F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * df_))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * df_))
+    p_wh = F.when(z_wh >= 0, normal_sf_col(z_wh)).otherwise(
+        F.lit(1.0) - normal_sf_col(-z_wh)
+    )
+    return stat.select(
+        "event_type",
+        "r2_sum",
+        "n_blocks",
+        "k",
+        F.round(F.col("chi2"), 6).alias("friedman_chi2"),
+        F.round(p_wh, 6).alias("p_wilson_hilferty"),
+    )
