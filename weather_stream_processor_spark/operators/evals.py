@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.functions import tokens
+from weather_stream_processor_spark.operators._normal_tail import normal_sf_sql
 from weather_stream_processor_spark.operators.text import _BM25_ORACLE
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table
@@ -4156,11 +4157,16 @@ def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lifted GROUP BY source
         ),
         eff AS (
+            -- precondition (r9 ADVICE): a 1-document study has no sample
+            -- variance (division by n-1 = 0 -> NULL), and one NULL would
+            -- poison every whole-frame window below; exclude it instead
+            -- of silently degrading the entire result.
             SELECT source, n_docs,
                    s * 1.0 / n_docs / 10000.0 AS effect,
                    ((ss - s * 1.0 * s / n_docs) / (n_docs - 1))
                        / n_docs / 1e8 AS variance
             FROM studies
+            WHERE n_docs >= 2
         ),
         pooledw AS (
             SELECT source, n_docs, effect, variance,
@@ -4197,7 +4203,11 @@ def smd_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Higgins' I^2 = max(0, (Q - df)/Q) as the share of variation "
         "beyond chance — the 'is per-source quality one number or many' "
         "decision that gates whether a single corpus-wide quality "
-        "threshold is defensible. Moments are exact BIGINTs of the "
+        "threshold is defensible. PRECONDITION: only sources with "
+        ">= 2 documents enter the pool (a 1-doc study has undefined "
+        "sample variance; one NULL would poison the whole-frame "
+        "windows) — filtered identically in both engines. Moments are "
+        "exact BIGINTs of the "
         "10^4-lifted rounded scores from ONE scan; the pooled/Q/I2 "
         "columns are whole-frame windows over the bounded source grid "
         "(~20 rows). At 100 TB the per-source aggregate is the only "
@@ -4220,7 +4230,10 @@ def meta_analysis_fixed_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s4").cast("bigint").alias("s"),
         F.sum(F.col("s4") * F.col("s4")).cast("bigint").alias("ss"),
     )
-    eff = studies.select(
+    # precondition (mirrors the oracle): n_docs >= 2 — a single-document
+    # study has undefined sample variance and would NULL the whole-frame
+    # pooled/Q/I2 windows for every row.
+    eff = studies.where(F.col("n_docs") >= 2).select(
         "source",
         "n_docs",
         (F.col("s") * F.lit(1.0) / F.col("n_docs") / F.lit(10000.0)).alias(
@@ -4298,14 +4311,28 @@ _SPRT_LOW = -math.log(19.0)
                    CAST(SUM(converted) AS BIGINT) AS conversions
             FROM ud GROUP BY d
         ),
-        run AS (
+        cum AS (
+            -- BIGINT running counts, closed-form LLR (r9 ADVICE): a float
+            -- window SUM of per-day double increments accumulates in
+            -- engine-specific order (DuckDB's tree-order sum flipped one
+            -- 6-dp rounding on the sibling streaming monitor at sf0.1);
+            -- llr = s*LA + (t-s)*LB over integer window sums is order-free.
             SELECT d, trials, conversions,
-                   SUM(conversions * {_SPRT_LA!r}
-                       + (trials - conversions) * {_SPRT_LB!r}) OVER (
+                   SUM(conversions) OVER (
                        ORDER BY d
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS llr
+                       AS cum_conv,
+                   SUM(trials) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_trials
             FROM grid
+        ),
+        run AS (
+            SELECT d, trials, conversions,
+                   cum_conv * {_SPRT_LA!r}
+                       + (cum_trials - cum_conv) * {_SPRT_LB!r} AS llr
+            FROM cum
         ),
         crossed AS (
             SELECT d, trials, conversions, llr,
@@ -4340,8 +4367,11 @@ _SPRT_LOW = -math.log(19.0)
         "the decision is the FIRST boundary crossing (earlier crossing "
         "wins when both occur). The per-trial increments and "
         "boundaries are Python-computed literals baked identically "
-        "into both engines' plans, the running sum is the windowed "
-        "float contract over the day-span-bounded grid, and the "
+        "into both engines' plans, the LLR is the CLOSED FORM "
+        "s*LA + (t-s)*LB over exact BIGINT running counts (order-free "
+        "— a float window sum of double increments accumulates in "
+        "engine-specific order, the divergence the sibling "
+        "streaming_sprt_monitor documented and fixed), and the "
         "first-crossing days are whole-frame conditional MINs over the "
         "same grid. One (user, day) hash aggregate is the only "
         "corpus-scale shuffle at 100 TB; the monitor itself is "
@@ -4366,16 +4396,25 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    run = grid.select(
+    # Closed-form LLR from BIGINT window sums (r9 ADVICE, mirroring the
+    # streaming_sprt_monitor fix): the running counts are exact integers,
+    # so llr = s*LA + (t-s)*LB is the same double in both engines
+    # regardless of window-accumulation order.
+    cum = grid.select(
         "d",
         "trials",
         "conversions",
-        F.sum(
-            F.col("conversions") * F.lit(_SPRT_LA)
-            + (F.col("trials") - F.col("conversions")) * F.lit(_SPRT_LB)
-        )
-        .over(w_run)
-        .alias("llr"),
+        F.sum("conversions").over(w_run).alias("cum_conv"),
+        F.sum("trials").over(w_run).alias("cum_trials"),
+    )
+    run = cum.select(
+        "d",
+        "trials",
+        "conversions",
+        (
+            F.col("cum_conv") * F.lit(_SPRT_LA)
+            + (F.col("cum_trials") - F.col("cum_conv")) * F.lit(_SPRT_LB)
+        ).alias("llr"),
     )
     crossed = run.select(
         "d",
@@ -4476,7 +4515,9 @@ def sprt_conversion_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "strata = customer nations. MH OR = sum(ad/n)/sum(bc/n) with "
         "the continuity-corrected MH chi-square from exact "
         "hypergeometric moments. All 2x2 cells are exact BIGINTs from "
-        "one per-customer aggregate + broadcast dimension joins; the "
+        "one per-customer aggregate joined to customer (optimizer-"
+        "chosen strategy — customer is corpus-scale, never hinted "
+        "broadcast) + broadcast nation/total dims; the "
         "pooled columns are whole-frame windows over the ~25-row "
         "nation grid. Under the null (hash arms are exchangeable) the "
         "expected OR is ~1 — the operator certifies the machinery, "
@@ -4502,8 +4543,11 @@ def mantel_haenszel_pooled_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
     )
+    # customer is corpus-scale (one row per customer, same cardinality as
+    # the spend aggregate) — no broadcast hint; the optimizer picks the
+    # join strategy. nation (~25 rows) and tot (1 row) stay broadcast.
     labeled = (
-        spend.join(F.broadcast(cust), spend.o_custkey == cust.c_custkey)
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .crossJoin(F.broadcast(tot))
         .select(
@@ -4728,15 +4772,9 @@ _CA_MAX = 4  # highest ordinal level (5 levels, 0..4)
                ROUND(t_stat, 6) AS t_stat,
                ROUND(var_t, 6) AS var_t,
                ROUND(z, 6) AS z_score,
-               ROUND(2.0 * {{SF}}, 6) AS p_value
+               ROUND(2.0 * {normal_sf_sql("abs(z)")}, 6) AS p_value
         FROM zed
-    """.replace("{SF}", "(exp(-abs(z) * abs(z) / 2.0) / sqrt(2.0 * pi())"
-                " * ((1.0 / (1.0 + 0.2316419 * abs(z)))"
-                " * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
-                " * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
-                " * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
-                " * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z)))"
-                " * 1.330274429))))))"),
+    """,
     doc=(
         "COCHRAN-ARMITAGE TREND TEST: does conversion propensity trend "
         "MONOTONICALLY across ordered user-activity levels (event "
