@@ -1150,7 +1150,11 @@ def embedding_truncation_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contiguous subspaces of PQ_DSUB dims; per subspace a PQ_K-codeword
 # codebook is TRAINED with PQ_ITERS deterministic Lloyd rounds (init = the
 # subvectors of the first PQ_K vectors, the same pinned-init convention as
-# kmeans_embedding_clusters), and each subvector is replaced by its nearest
+# kmeans_embedding_clusters) on the PINNED SAMPLE vec_id < PQ_TRAIN_N —
+# nobody trains PQ on the full corpus at 100 TB; the codebook converges on
+# a bounded training set and the corpus is touched exactly ONCE, by the
+# final encoding pass (r9 verdict task 3; previously every Lloyd round was
+# a full-corpus pass). Each subvector is then replaced by its nearest
 # codeword id. Memory per vector drops from d*4 bytes to PQ_M bytes, and a
 # query scores the WHOLE corpus with PQ_M table lookups per vector
 # (asymmetric distance, ADC) instead of a d-term dot product; the ADC
@@ -1161,16 +1165,21 @@ PQ_DSUB = 4
 PQ_K = 16
 PQ_ITERS = 3
 PQ_SHORTLIST = 100
+PQ_TRAIN_N = 256  # pinned Lloyd training sample: vec_id < PQ_TRAIN_N
 
 
-def _pq_oracle(m: int, dsub: int, k: int, iters: int, shortlist: int) -> str:
+def _pq_oracle(
+    m: int, dsub: int, k: int, iters: int, shortlist: int, train_n: int
+) -> str:
     """Trained PQ replayed in SQL: the per-subspace Lloyd rounds are the
     kmeans_embedding_clusters CTE unrolling with the subspace id joining
-    every key (one chain trains all m codebooks at once); distances and
-    centroid means are rounded to 6dp each round, argmins tie-break on
-    codeword id, so the trained codebooks — and therefore the codes, the
-    ADC shortlist, and the reranked top-10 — are bit-reproducible
-    cross-engine."""
+    every key (one chain trains all m codebooks at once), restricted to
+    the pinned training sample ``vec_id < train_n`` — only the FINAL
+    encoding assignment touches the full corpus, mirroring the Spark
+    plan's single corpus pass. Distances and centroid means are rounded
+    to 6dp each round, argmins tie-break on codeword id, so the trained
+    codebooks — and therefore the codes, the ADC shortlist, and the
+    reranked top-10 — are bit-reproducible cross-engine."""
     sql = [
         f"""
         WITH e AS (
@@ -1182,15 +1191,19 @@ def _pq_oracle(m: int, dsub: int, k: int, iters: int, shortlist: int) -> str:
             SELECT vec_id, CAST((i - 1) // {dsub} AS BIGINT) AS s, i, x
             FROM e
         ),
+        samp AS (SELECT vec_id, s, i, x FROM se WHERE vec_id < {train_n}),
         c0 AS (SELECT vec_id AS cid, s, i, x FROM se WHERE vec_id < {k})"""
     ]
     for t in range(1, iters + 1):
+        # training rounds (t < iters) assign the SAMPLE only; the final
+        # round is the corpus-wide encoding pass
+        rel = "se" if t == iters else "samp"
         sql.append(
             f""",
         a{t} AS (
-            SELECT se.vec_id, se.s, c.cid,
-                   ROUND(SUM((se.x - c.x) * (se.x - c.x)), 6) AS d
-            FROM se JOIN c{t - 1} c ON se.i = c.i
+            SELECT {rel}.vec_id, {rel}.s, c.cid,
+                   ROUND(SUM(({rel}.x - c.x) * ({rel}.x - c.x)), 6) AS d
+            FROM {rel} JOIN c{t - 1} c ON {rel}.i = c.i
             GROUP BY 1, 2, 3
         ),
         b{t} AS (
@@ -1204,9 +1217,9 @@ def _pq_oracle(m: int, dsub: int, k: int, iters: int, shortlist: int) -> str:
             sql.append(
                 f""",
         c{t} AS (
-            SELECT b.cid, se.s, se.i, ROUND(AVG(se.x), 6) AS x
+            SELECT b.cid, samp.s, samp.i, ROUND(AVG(samp.x), 6) AS x
             FROM (SELECT vec_id, s, cid FROM b{t} WHERE rn = 1) b
-            JOIN se ON se.vec_id = b.vec_id AND se.s = b.s
+            JOIN samp ON samp.vec_id = b.vec_id AND samp.s = b.s
             GROUP BY 1, 2, 3
         )"""
             )
@@ -1243,29 +1256,31 @@ def _pq_oracle(m: int, dsub: int, k: int, iters: int, shortlist: int) -> str:
 
 @register(
     "ann_pq_topk",
-    oracle=_pq_oracle(PQ_M, PQ_DSUB, PQ_K, PQ_ITERS, PQ_SHORTLIST),
+    oracle=_pq_oracle(PQ_M, PQ_DSUB, PQ_K, PQ_ITERS, PQ_SHORTLIST, PQ_TRAIN_N),
     doc=(
         "Trained product-quantization ANN top-10 for query vec_id 0 "
         "(Jegou et al. TPAMI 2011, the FAISS IndexPQ-with-refine shape): "
-        "(1) per-subspace codebooks trained with PQ_ITERS Lloyd rounds — "
-        "each round is ONE blocked Arrow assignment pass over the corpus "
-        "(numpy against the broadcast PQ_M*PQ_K*PQ_DSUB codebook, the "
-        "ann_ivf_topk architecture) plus one (subspace, codeword, dim)-"
-        "keyed re-centering aggregate whose output — PQ_M*PQ_K rounded "
-        "centroids, ~KB — is the only thing ever collected, per round, "
-        "bounded regardless of corpus size; (2) the final pass encodes "
-        "every vector as PQ_M codeword ids (16x compression; raw "
-        "embeddings are never touched again until rerank); (3) the "
-        "query's ADC table (PQ_M*PQ_K rows, computed driver-side from "
-        "the already-collected codebook) broadcast onto the codes, one "
-        "SUM per vector, top-PQ_SHORTLIST kept via TakeOrderedAndProject; "
-        "(4) the shortlist — a fixed candidate count, so a VANISHING "
-        "corpus fraction at scale — reranked by exact L2. Distances and "
+        "(1) per-subspace codebooks trained with PQ_ITERS Lloyd rounds "
+        "ON THE PINNED SAMPLE vec_id < PQ_TRAIN_N — one bounded collect "
+        "(<= PQ_TRAIN_N vectors, ~130 KB regardless of corpus size), "
+        "Lloyd driver-side in numpy; the corpus itself is scanned "
+        "exactly ONCE, by the encoding pass (r9 verdict task 3 — the "
+        "prior shape re-scanned the full corpus per round, 3x avoidable "
+        "IO at 100 TB); (2) that single blocked Arrow pass encodes "
+        "every vector as PQ_M codeword ids against the broadcast "
+        "PQ_M*PQ_K*PQ_DSUB codebook (16x compression; raw embeddings "
+        "are never touched again until rerank); (3) the query's ADC "
+        "table (PQ_M*PQ_K rows, computed driver-side from the trained "
+        "codebook) broadcast onto the codes, one SUM per vector, "
+        "top-PQ_SHORTLIST kept via TakeOrderedAndProject; (4) the "
+        "shortlist — a fixed candidate count, so a VANISHING corpus "
+        "fraction at scale — reranked by exact L2. Distances and "
         "centroid means are rounded to 6dp each round with codeword-id "
         "tie-breaks (quantize-before-argmax), so codebooks, codes, "
         "shortlist, and the final ranking are bit-reproducible "
-        "cross-engine and value-hash-checked. Recall@10 vs the exact L2 "
-        "scan is recorded in ANN_QUALITY.json."
+        "cross-engine and value-hash-checked (the oracle's training "
+        "CTEs are restricted to the same pinned sample). Recall@10 vs "
+        "the exact L2 scan is recorded in ANN_QUALITY.json."
     ),
     tags=("similarity", "llm", "quantization", "pq", "pandas-udf"),
 )
@@ -1281,47 +1296,66 @@ def ann_pq_topk(
     # cosine_topk_exact on why replica recall needs deeper lists)
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import LongType, StructField, StructType
 
     emb_raw = spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         "vec_id",
     )
 
-    # init codebook: subvectors of the first PQ_K vectors (bounded collect,
-    # the same pinned-init convention as kmeans_embedding_clusters / IVF)
-    cb_rows = sorted(
-        emb_raw.filter(F.col("vec_id") < PQ_K).collect(), key=lambda r: r.vec_id
+    # pinned Lloyd training sample — bounded collect: <= PQ_TRAIN_N rows
+    # (256 vectors x 64 float64 dims ~ 130 KB) regardless of corpus size.
+    # Training runs entirely driver-side in numpy, so the corpus is
+    # scanned exactly once, by the encoding pass below (previously each
+    # Lloyd round was a full-corpus mapInPandas pass + collect).
+    train_rows = sorted(
+        emb_raw.filter(F.col("vec_id") < PQ_TRAIN_N).collect(),
+        key=lambda r: r.vec_id,
     )
-    CB = np.array([r.embedding for r in cb_rows], dtype=np.float64)
+    T = np.array([r.embedding for r in train_rows], dtype=np.float64)
+    Ts = T.reshape(len(T), PQ_M, PQ_DSUB)
+    # init codebook: subvectors of the first PQ_K vectors (PQ_K <=
+    # PQ_TRAIN_N, so the init rows are inside the sample), the same
+    # pinned-init convention as kmeans_embedding_clusters / IVF.
     # cbs[s]: list of (cid, centroid) sorted by cid — empty codewords can
     # drop during training, so codeword ids are tracked explicitly
     cbs: list[list[tuple[int, np.ndarray]]] = [
-        [(c, CB[c, s * PQ_DSUB : (s + 1) * PQ_DSUB]) for c in range(PQ_K)]
+        [(c, T[c, s * PQ_DSUB : (s + 1) * PQ_DSUB]) for c in range(PQ_K)]
         for s in range(PQ_M)
     ]
+    for _ in range(PQ_ITERS - 1):
+        new_cbs: list[list[tuple[int, np.ndarray]]] = []
+        for s in range(PQ_M):
+            cids = np.array([c for c, _ in cbs[s]], dtype=np.int64)
+            C = np.array([v for _, v in cbs[s]], dtype=np.float64)
+            # distances rounded to 6dp BEFORE the argmin; argmin ties ->
+            # lowest cid via the cid-sorted codebook (ORDER BY d, cid)
+            dists = np.round(
+                ((Ts[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6
+            )
+            best = cids[np.argmin(dists, axis=1)]
+            new_cbs.append(
+                [
+                    # centroid mean rounded to 6dp — ROUND(AVG(x), 6)
+                    (int(cid), np.round(Ts[best == cid, s, :].mean(axis=0), 6))
+                    for cid in np.unique(best)
+                ]
+            )
+        cbs = new_cbs
 
-    def assign_pass(cbs_bc, with_elems: bool):
-        """One blocked Arrow pass: (vec_id, s, cid[, i, x]) for every
-        vector's nearest codeword per subspace. Distances rounded to 6dp
-        BEFORE the argmin (ties -> lowest cid via the cid-sorted codebook)
-        — mirrors the oracle's ORDER BY d, cid."""
-        fields = [
-            StructField("vec_id", LongType()),
-            StructField("s", LongType()),
-            StructField("cid", LongType()),
-        ]
-        if with_elems:
-            fields += [
-                StructField("i", LongType()),
-                StructField("x", DoubleType()),
+    def assign_pass(cbs_bc):
+        """The single corpus pass — one blocked Arrow scan emitting
+        (vec_id, s, cid): every vector's nearest trained codeword per
+        subspace. Distances rounded to 6dp BEFORE the argmin (ties ->
+        lowest cid via the cid-sorted codebook) — mirrors the oracle's
+        ORDER BY d, cid."""
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("s", LongType()),
+                StructField("cid", LongType()),
             ]
-        schema = StructType(fields)
+        )
 
         def work(batches):
             books = cbs_bc.value
@@ -1339,77 +1373,24 @@ def ann_pq_topk(
                         ((Xs[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2),
                         6,
                     )
-                    best = cids[np.argmin(dists, axis=1)]
-                    base = {
-                        "vec_id": ids,
-                        "s": np.full(len(ids), s, dtype=np.int64),
-                        "cid": best,
-                    }
-                    if with_elems:
-                        # long form for re-centering: one row per dim
-                        rep = np.repeat(np.arange(len(ids)), PQ_DSUB)
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "vec_id": ids[rep],
-                                    "s": np.full(
-                                        len(rep), s, dtype=np.int64
-                                    ),
-                                    "cid": best[rep],
-                                    "i": np.tile(
-                                        np.arange(
-                                            s * PQ_DSUB + 1,
-                                            (s + 1) * PQ_DSUB + 1,
-                                            dtype=np.int64,
-                                        ),
-                                        len(ids),
-                                    ),
-                                    "x": Xs[:, s, :].reshape(-1),
-                                }
-                            )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": ids,
+                                "s": np.full(len(ids), s, dtype=np.int64),
+                                "cid": cids[np.argmin(dists, axis=1)],
+                            }
                         )
-                    else:
-                        frames.append(pd.DataFrame(base))
+                    )
                 yield pd.concat(frames, ignore_index=True)
 
         return emb_raw.mapInPandas(work, schema=schema)
 
-    sc = spark.sparkContext
-    for _ in range(PQ_ITERS - 1):
-        bc = sc.broadcast(cbs)
-        recentered = (
-            assign_pass(bc, with_elems=True)
-            .groupBy("s", "cid", "i")
-            .agg(F.round(F.avg("x"), 6).alias("x"))
-            .collect()  # PQ_M * PQ_K * PQ_DSUB rows, bounded
-        )
-        by_key: dict[tuple[int, int], dict[int, float]] = {}
-        for r in recentered:
-            by_key.setdefault((r.s, r.cid), {})[r.i] = r.x
-        cbs = [
-            [
-                (
-                    cid,
-                    np.array(
-                        [
-                            vals[i]
-                            for i in sorted(vals)
-                        ],
-                        dtype=np.float64,
-                    ),
-                )
-                for (s2, cid), vals in sorted(by_key.items())
-                if s2 == s
-            ]
-            for s in range(PQ_M)
-        ]
-
-    final_bc = sc.broadcast(cbs)
-    codes = assign_pass(final_bc, with_elems=False)
+    codes = assign_pass(spark.sparkContext.broadcast(cbs))
 
     # the query's ADC table, driver-side from the trained codebook (the
-    # query vector is codeword-init row 0, available from the same collect)
-    qsub = CB[0].reshape(PQ_M, PQ_DSUB)
+    # query vector is sample row 0, available from the same collect)
+    qsub = T[0].reshape(PQ_M, PQ_DSUB)
     dt_rows = [
         (s, int(cid), float(np.round(((qsub[s] - v) ** 2).sum(), 6)))
         for s in range(PQ_M)
