@@ -177,6 +177,32 @@ def main() -> None:
     spark.range(400_000_000).selectExpr("sum(id * 2 + 1)").collect()
     calib = round(time.perf_counter() - t0, 3)
 
+    # Python-worker calibration probe (r9 verdict task 2): calib_sec sees
+    # only the JVM codegen path, but about half the headline set spends
+    # its wall in Python workers + Arrow serialization — the r9 session's
+    # uniform 1.21x headline drift was invisible to the JVM probe (1.04x)
+    # precisely because the Python side was never priced. This is a
+    # fixed-work mapInPandas job: 8M rows shipped to 32 partitions over
+    # Arrow, a fixed numpy kernel per batch, scalars back. A cross-round
+    # drift that tracks calib_py_sec but not calib_sec is Python-runtime /
+    # host noise, not a plan regression; one that tracks neither is real.
+    def _py_probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            x = pdf["id"].to_numpy(dtype=_np.float64)
+            acc = 0.0
+            for _ in range(40):
+                acc += float(_np.dot(x, x))
+            yield _pd.DataFrame({"v": [acc]})
+
+    t0 = time.perf_counter()
+    spark.range(8_000_000).repartition(32).mapInPandas(
+        _py_probe, "v double"
+    ).write.mode("overwrite").format("noop").save()
+    calib_py = round(time.perf_counter() - t0, 3)
+
     def run_pass(at_dir: str) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in HEADLINE:
@@ -201,6 +227,7 @@ def main() -> None:
         "queries_passes": {k: [p1[k], p2[k]] for k in p1},
         "sf": sf,
         "calib_sec": calib,
+        "calib_py_sec": calib_py,
         "agg": "min_of_2_passes",
     }
 
@@ -284,6 +311,7 @@ def main() -> None:
         "unit": out["unit"],
         "sf": out["sf"],
         "calib_sec": out["calib_sec"],
+        "calib_py_sec": out["calib_py_sec"],
         "agg": out["agg"],
         "detail": "BENCH_DETAIL.json",
         # per-query walls rounded to 2dp keep the line ~1.4k chars for the

@@ -50,6 +50,16 @@ def main() -> None:
         "without decoding. The seam's `NotImplementedError` is the "
         "repo's only one, kept deliberately loud.",
         "",
+        "**Sketch-query driver contract (final):** `no_oracle` is the "
+        "TERMINAL driver record for `approx_count_distinct_parts`, "
+        "`approx_percentile_prices`, and `hll_mergeable_rollup` — "
+        "HLL/t-digest sketch internals are engine-specific, so each "
+        "carries property/accuracy pytest gates instead of a DuckDB "
+        "twin. Their CORRECTNESS history closed on the rows-only check "
+        "in r09 by design (r8 verdict task 2); the r01 red rows predate "
+        "the rows-only conversion and are settled — not to be "
+        "re-litigated.",
+        "",
     ]
     for tag in sorted(by_tag):
         lines.append(f"## {tag} ({len(by_tag[tag])})")

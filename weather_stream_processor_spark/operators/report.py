@@ -125,12 +125,15 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # than materializing the text column into the block store, and the
     # persist barrier splits what is otherwise ONE fully-parallel job
     # into sequential materialize-then-consume phases; each tier's
-    # dominant cost is its own shuffle, not the scan. So the tiers
-    # deliberately share the LOGICAL plan only
+    # dominant cost is its own shuffle, not the scan. RE-MEASURED r10
+    # (registry 2x larger, sf0.1, x3 passes after warm-up): no-persist
+    # 4.3-5.9s vs persist 6.5-7.7s — the same ~1.4x penalty; decision
+    # re-confirmed. So the tiers deliberately share the LOGICAL plan only
     # (the cores below are the registered operators' exact bodies); at
     # 100 TB the same reasoning holds harder — nobody caches the raw
     # text column of a corpus, and scan-amortization belongs to the
-    # storage layer. See BASELINE.md (r6 cascade-persist measurement).
+    # storage layer. See BASELINE.md (r6 + r10 cascade-persist
+    # measurements).
     docs_scan = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _build(docs: DataFrame) -> DataFrame:

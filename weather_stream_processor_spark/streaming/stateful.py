@@ -20,10 +20,11 @@ Semantics and scale notes:
 API note: Spark 4 adds transformWithStateInPandas (StatefulProcessor with
 typed value/list/map state and timers) as the successor API; probed here
 (RocksDB provider configured) its driver-side Python worker crashes in
-this sandbox (re-probed round 7 on a file source + availableNow:
-STREAM_FAILED / "TransformWithStateInPySpark driver worker exited
-unexpectedly (crashed)" SQLSTATE XXKST before the first micro-batch),
-so the operators stay on applyInPandasWithState — the
+this sandbox (probed round 7, RE-PROBED round 10 on this build's Spark
+4.1.2 with a minimal ValueState processor over a file source +
+availableNow: identical STREAM_FAILED / "TransformWithStateInPySpark
+driver worker exited unexpectedly (crashed)" SQLSTATE XXKST before the
+first micro-batch), so the operators stay on applyInPandasWithState — the
 semantics (per-key state across micro-batches) are identical, and a
 deployment on a healthy cluster can port each processor mechanically.
 """
