@@ -84,6 +84,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "frequent_directions_sketch", "bpe_merge_induction", "alias_method_sampling_table",
     "compression_ratio_quality", "pacf_durbin_levinson", "v_optimal_histogram",
     "bradley_terry_strengths",
+    # round-10 session crop (never sampled; drains after the r9 backlog)
+    "ljung_box_autocorr", "wald_wolfowitz_runs", "turning_point_test",
 )
 
 

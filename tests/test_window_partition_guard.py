@@ -396,6 +396,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildLeft Cross',),
         'bounded-build',  # 15-row lag grid onto the |days| grid
     ),
+    'ljung_box_autocorr': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',),
+        'bounded-build',  # 7-row lag grid onto the per-type |days| grid
+    ),
     'cohens_kappa_agreement': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',

@@ -14,6 +14,10 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_stream_processor_spark.operators._normal_tail import (
+    normal_sf_signed_sql,
+    normal_sf_sql,
+)
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table
 
@@ -2859,4 +2863,479 @@ def western_electric_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(0)
         .alias("any_signal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 randomness/autocorrelation diagnostics: Ljung-Box, the
+# Wald-Wolfowitz runs test, and the turning-point test — the "is this
+# series even serially dependent / non-random" screens that partner the
+# monitoring family (CUSUM/EWMA/Western-Electric say WHERE a shift is;
+# these say whether the residual series is white at all).
+# ---------------------------------------------------------------------------
+
+_LB_MAX_LAG = 7  # Ljung-Box lags tested (df = m); matches the CCF band
+
+
+@register(
+    "ljung_box_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+            -- squared daily cents overflow int64 at large scale:
+            -- accumulate in HUGEINT (Spark: DECIMAL(38,0)), the
+            -- bland_altman / linear-CKA exact-moment convention
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   SUM(CAST(cents AS HUGEINT) * cents) AS ss
+            FROM daily GROUP BY event_type
+        ),
+        lags AS (SELECT unnest(range(1, {_LB_MAX_LAG} + 1)) AS lag),
+        lagged AS (
+            SELECT a.event_type, lags.lag,
+                   SUM(CAST(a.cents AS HUGEINT) * b.cents) AS c_k,
+                   CAST(SUM(b.cents) AS BIGINT) AS head_k,
+                   CAST(SUM(a.cents) AS BIGINT) AS tail_k,
+                   CAST(COUNT(*) AS BIGINT) AS n_k
+            FROM lags
+            JOIN daily a ON TRUE
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.d = a.d - lags.lag
+            GROUP BY 1, 2
+        ),
+        rk AS (
+            -- r_k scaled by n^2 in both numerator and denominator so
+            -- every term is an exact HUGEINT before ONE double division:
+            -- n^2*num = n^2*C_k - n*S*(head+tail) + n_k*S^2
+            -- n^2*den = n^2*SS - n*S^2
+            SELECT l.event_type, l.lag, m.n,
+                   CAST(CAST(m.n AS HUGEINT) * m.n * l.c_k
+                        - CAST(m.n AS HUGEINT) * m.s * (l.head_k + l.tail_k)
+                        + CAST(l.n_k AS HUGEINT) * m.s * m.s AS DOUBLE)
+                   / CAST(CAST(m.n AS HUGEINT) * m.n * m.ss
+                          - CAST(m.n AS HUGEINT) * m.s * m.s AS DOUBLE)
+                       AS r_k
+            FROM lagged l JOIN mom m USING (event_type)
+        ),
+        q AS (
+            SELECT event_type, MAX(n) AS n,
+                   SUM(r_k * r_k / (n - lag)) AS qsum,
+                   MAX(CASE WHEN lag = 1 THEN r_k END) AS r1,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM rk GROUP BY event_type
+        ),
+        stat AS (
+            SELECT event_type, n AS n_days, m AS df, r1,
+                   n * (n + 2.0) * qsum AS lb_q
+            FROM q
+        ),
+        wh AS (
+            SELECT event_type, n_days, df, r1, lb_q,
+                   (pow(lb_q / df, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z_wh
+            FROM stat
+        )
+        SELECT event_type, n_days, CAST(df AS BIGINT) AS df,
+               ROUND(r1, 6) AS r1,
+               ROUND(lb_q, 6) AS lb_q,
+               ROUND({normal_sf_signed_sql("z_wh")}, 6) AS p_wilson_hilferty
+        FROM wh
+    """,
+    doc=(
+        "LJUNG-BOX PORTMANTEAU TEST per event_type on the daily cents "
+        f"series: Q = n(n+2) * sum_k r_k^2/(n-k) over lags 1..{_LB_MAX_LAG} "
+        "— the 'is there ANY serial correlation' omnibus that must "
+        "reject before an AR model (pacf_durbin_levinson picks the "
+        "order) or a monitoring chart (CUSUM/EWMA assume exchangeable "
+        "residuals) is trusted. Autocorrelations use the standard "
+        "full-series-mean ACF (not per-lag Pearson): each r_k is the "
+        "exact integer form n^2*C_k - n*S*(head+tail) + n_k*S^2 over "
+        "n^2*SS - n*S^2, accumulated in HUGEINT/DECIMAL(38,0) because "
+        "squared daily cents overflow int64 at corpus scale, divided "
+        "ONCE into a double. p via the Wilson-Hilferty cube-root map "
+        "at df=m through the shared signed A&S tail. Plan: one "
+        "corpus-scale (type, day) aggregate; the lag co-moments are a "
+        f"{_LB_MAX_LAG}-band self-join ON THE BOUNDED DAY GRID (day-span "
+        "x lags tuples per type, a constant of the observation window); "
+        "nothing else shuffles at 100 TB."
+    ),
+    tags=("timeseries", "statistics", "quality", "monitoring"),
+)
+def ljung_box_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("bigint").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    dec = "decimal(38,0)"
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss"),
+    )
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("da"),
+        F.col("cents").alias("ca"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("d").alias("db"),
+        F.col("cents").alias("cb"),
+    )
+    # the CCF construction: broadcast the bounded lag frame onto the day
+    # grid, then EQUI-join the lagged side on the computed day key — the
+    # only nested-loop site is the 7-row lags cross (bounded-build)
+    lagged = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(
+            b,
+            (F.col("et_b") == F.col("et"))
+            & (F.col("db") == F.col("da") - F.col("lag")),
+        )
+        .groupBy(F.col("et").alias("event_type"), "lag")
+        .agg(
+            F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("c_k"),
+            F.sum("cb").cast("bigint").alias("head_k"),
+            F.sum("ca").cast("bigint").alias("tail_k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        )
+    )
+    num = (
+        F.col("n").cast(dec) * F.col("n") * F.col("c_k")
+        - F.col("n").cast(dec) * F.col("s") * (F.col("head_k") + F.col("tail_k"))
+        + F.col("n_k").cast(dec) * F.col("s") * F.col("s")
+    ).cast("double")
+    den = (
+        F.col("n").cast(dec) * F.col("n") * F.col("ss")
+        - F.col("n").cast(dec) * F.col("s") * F.col("s")
+    ).cast("double")
+    rk = lagged.join(mom, "event_type").select(
+        "event_type", "lag", "n", (num / den).alias("r_k")
+    )
+    q = rk.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("r_k") * F.col("r_k") / (F.col("n") - F.col("lag"))).alias(
+            "qsum"
+        ),
+        F.max(F.when(F.col("lag") == 1, F.col("r_k"))).alias("r1"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    n = F.col("n").cast("double")
+    df_ = F.col("m").cast("double")
+    lb_q = n * (n + 2) * F.col("qsum")
+    stat = q.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("m").alias("df"),
+        "r1",
+        lb_q.alias("lb_q"),
+        df_.alias("dfd"),
+    )
+    z_wh = (
+        F.pow(F.col("lb_q") / F.col("dfd"), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("dfd")))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("dfd")))
+    p = F.when(z_wh >= 0, normal_sf_col(z_wh)).otherwise(
+        F.lit(1.0) - normal_sf_col(-z_wh)
+    )
+    return stat.select(
+        "event_type",
+        "n_days",
+        F.col("df").cast("bigint").alias("df"),
+        F.round("r1", 6).alias("r1"),
+        F.round("lb_q", 6).alias("lb_q"),
+        F.round(p, 6).alias("p_wilson_hilferty"),
+    )
+
+
+@register(
+    "wald_wolfowitz_runs",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s
+            FROM daily GROUP BY event_type
+        ),
+        signs AS (
+            -- above/below the per-type mean decided by the exact integer
+            -- cross-multiplication cents*n <> s (the mantel_haenszel
+            -- outcome convention: no division, no float, no tie
+            -- ambiguity); exact-equal days are excluded, the standard
+            -- runs-test treatment of cutpoint ties
+            SELECT d.event_type, d.d,
+                   CASE WHEN d.cents * m.n > m.s THEN 1 ELSE 0 END AS sgn
+            FROM daily d JOIN mom m USING (event_type)
+            WHERE d.cents * m.n <> m.s
+        ),
+        runs AS (
+            SELECT event_type,
+                   CAST(SUM(sgn) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n2,
+                   CAST(1 + SUM(CASE WHEN sgn <> prev THEN 1 ELSE 0 END)
+                        AS BIGINT) AS r
+            FROM (
+                SELECT event_type, sgn,
+                       LAG(sgn) OVER (
+                           PARTITION BY event_type ORDER BY d) AS prev
+                FROM signs)
+            GROUP BY event_type
+        ),
+        stat AS (
+            SELECT event_type, n1, n2, r,
+                   2.0 * n1 * n2 / (n1 + n2) + 1.0 AS e_r,
+                   (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+                   / ((n1 + n2) * 1.0 * (n1 + n2) * (n1 + n2 - 1)) AS var_r
+            FROM runs
+            WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+        ),
+        zed AS (
+            SELECT event_type, n1, n2, r, e_r,
+                   (r - e_r) / sqrt(var_r) AS z
+            FROM stat
+        )
+        SELECT event_type, n1 AS n_above, n2 AS n_below, r AS n_runs,
+               ROUND(e_r, 6) AS expected_runs,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {{SF}}, 6) AS p_value
+        FROM zed
+    """.replace("{SF}", normal_sf_sql("abs(z)")),
+    doc=(
+        "WALD-WOLFOWITZ RUNS TEST per event_type on the daily cents "
+        "series: is the sequence of above-mean/below-mean days RANDOM, "
+        "or does it cluster (too few runs = regime persistence / level "
+        "shifts; too many = oscillation)? The distribution-free "
+        "randomness screen that complements Ljung-Box (which sees "
+        "linear autocorrelation only — runs clustering catches "
+        "nonlinear persistence too). Above/below is decided by the "
+        "exact integer cross-product cents*n vs s — no float mean, no "
+        "tie ambiguity; exact-equal days are excluded per the standard "
+        "treatment. R = 1 + sign changes via LAG over the bounded "
+        "per-type day grid; E[R] = 2*n1*n2/(n1+n2) + 1 and the classic "
+        "variance give z, two-sided p through the shared A&S tail. "
+        "Types with a degenerate split (n1=0 or n2=0) are excluded — "
+        "the statistic is undefined there. One corpus-scale (type, "
+        "day) aggregate; everything after lives on the day grid."
+    ),
+    tags=("timeseries", "statistics", "quality", "monitoring"),
+)
+def wald_wolfowitz_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+    )
+    signs = (
+        daily.join(mom, "event_type")
+        .filter(F.col("cents") * F.col("n") != F.col("s"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("cents") * F.col("n") > F.col("s"), 1)
+            .otherwise(0)
+            .alias("sgn"),
+        )
+    )
+    # per-type day grid: bounded by the observation window, never corpus
+    w_day = Window.partitionBy("event_type").orderBy("d")
+    runs = (
+        signs.select(
+            "event_type", "sgn", F.lag("sgn").over(w_day).alias("prev")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("sgn").cast("bigint").alias("n1"),
+            (F.count(F.lit(1)) - F.sum("sgn")).cast("bigint").alias("n2"),
+            (
+                1
+                + F.sum(
+                    F.when(F.col("sgn") != F.col("prev"), 1).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    e_r = F.lit(2.0) * n1 * n2 / (n1 + n2) + F.lit(1.0)
+    var_r = (
+        F.lit(2.0) * n1 * n2 * (F.lit(2.0) * n1 * n2 - n1 - n2)
+    ) / ((n1 + n2) * F.lit(1.0) * (n1 + n2) * (n1 + n2 - 1))
+    stat = runs.filter((n1 > 0) & (n2 > 0) & (n1 + n2 > 1)).select(
+        "event_type", "n1", "n2", "r", e_r.alias("e_r"), var_r.alias("var_r")
+    )
+    z = (F.col("r") - F.col("e_r")) / F.sqrt(F.col("var_r"))
+    return stat.select(
+        "event_type",
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.round(F.col("e_r"), 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * normal_sf_col(F.abs(z)), 6).alias("p_value"),
+    )
+
+
+@register(
+    "turning_point_test",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        nb AS (
+            SELECT event_type, cents,
+                   LAG(cents) OVER (
+                       PARTITION BY event_type ORDER BY d) AS prev,
+                   LEAD(cents) OVER (
+                       PARTITION BY event_type ORDER BY d) AS nxt
+            FROM daily
+        ),
+        tp AS (
+            SELECT event_type,
+                   CAST(COUNT(*) + 2 AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN (prev < cents AND nxt < cents)
+                                   OR (prev > cents AND nxt > cents)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS t
+            FROM nb
+            WHERE prev IS NOT NULL AND nxt IS NOT NULL
+            GROUP BY event_type
+        ),
+        stat AS (
+            SELECT event_type, n, t,
+                   2.0 * (n - 2) / 3.0 AS e_t,
+                   (16.0 * n - 29.0) / 90.0 AS var_t
+            FROM tp WHERE n > 3
+        ),
+        zed AS (
+            SELECT event_type, n, t, e_t,
+                   (t - e_t) / sqrt(var_t) AS z
+            FROM stat
+        )
+        SELECT event_type, n AS n_days, t AS n_turning,
+               ROUND(e_t, 6) AS expected_turning,
+               ROUND(z, 6) AS z_score,
+               ROUND(2.0 * {{SF}}, 6) AS p_value
+        FROM zed
+    """.replace("{SF}", normal_sf_sql("abs(z)")),
+    doc=(
+        "TURNING-POINT TEST per event_type on the daily cents series "
+        "(Kendall's classic randomness check): count interior days that "
+        "are a STRICT local max or min of their 3-day neighborhood; "
+        "under i.i.d. randomness E[T] = 2(n-2)/3 and Var[T] = "
+        "(16n-29)/90, so too few turning points flags trend/persistence "
+        "and too many flags alternation — the third member of the "
+        "randomness-diagnostics trio (Ljung-Box: linear "
+        "autocorrelation; runs test: above-mean clustering; turning "
+        "points: local-extremum rate). Strict inequalities on exact "
+        "integer cents make tie handling deterministic (a flat "
+        "neighbor is NOT a turning point, the conservative "
+        "convention); types with n <= 3 are excluded (the moments are "
+        "undefined). LAG/LEAD run on the bounded per-type day grid; "
+        "the single corpus-scale operation is the (type, day) "
+        "aggregate, identical in shape to every daily-series operator "
+        "at 100 TB."
+    ),
+    tags=("timeseries", "statistics", "quality", "monitoring"),
+)
+def turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w_day = Window.partitionBy("event_type").orderBy("d")
+    nb = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents").over(w_day).alias("prev"),
+        F.lead("cents").over(w_day).alias("nxt"),
+    )
+    is_tp = (
+        ((F.col("prev") < F.col("cents")) & (F.col("nxt") < F.col("cents")))
+        | ((F.col("prev") > F.col("cents")) & (F.col("nxt") > F.col("cents")))
+    )
+    tp = (
+        nb.filter(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            (F.count(F.lit(1)) + 2).cast("bigint").alias("n"),
+            F.sum(F.when(is_tp, 1).otherwise(0)).cast("bigint").alias("t"),
+        )
+    )
+    n, t = F.col("n"), F.col("t")
+    e_t = F.lit(2.0) * (n - 2) / F.lit(3.0)
+    var_t = (F.lit(16.0) * n - F.lit(29.0)) / F.lit(90.0)
+    stat = tp.filter(n > 3).select(
+        "event_type", "n", "t", e_t.alias("e_t"), var_t.alias("var_t")
+    )
+    z = (F.col("t") - F.col("e_t")) / F.sqrt(F.col("var_t"))
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("t").alias("n_turning"),
+        F.round(F.col("e_t"), 6).alias("expected_turning"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * normal_sf_col(F.abs(z)), 6).alias("p_value"),
     )
