@@ -189,3 +189,214 @@ def test_turning_point_tie_convention():
 
     assert count([1, 5, 5, 1]) == 0
     assert count([1, 5, 1]) == 1
+
+
+# --------------------------------------------------------------------------
+# jarque_bera_normality
+# --------------------------------------------------------------------------
+
+
+def test_jarque_bera_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT source,
+               CAST(ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')) * 10000) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    by_src: dict[str, list[int]] = {}
+    for src, s4 in rows:
+        by_src.setdefault(src, []).append(int(s4))
+    out = {
+        r.source: r for r in _run(spark, "jarque_bera_normality").collect()
+    }
+    for src, xs in by_src.items():
+        n = len(xs)
+        if n < 2:
+            assert src not in out
+            continue
+        xb = sum(xs) / n
+        m2 = sum((x - xb) ** 2 for x in xs) / n
+        if m2 == 0:
+            assert src not in out
+            continue
+        m3 = sum((x - xb) ** 3 for x in xs) / n
+        m4 = sum((x - xb) ** 4 for x in xs) / n
+        skew = m3 / m2**1.5
+        exk = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + exk**2 / 4.0)
+        row = out[src]
+        assert row.n_docs == n
+        assert abs(row.skewness - skew) < 1e-4
+        assert abs(row.ex_kurtosis - exk) < 1e-4
+        assert abs(row.jb_stat - jb) < max(1e-3, 1e-5 * abs(jb))
+        assert abs(row.p_value - math.exp(-jb / 2.0)) < 1e-4
+
+
+def test_jarque_bera_normal_vs_skewed_construction():
+    """The statistic itself: a symmetric light-tailed sample scores far
+    lower than an exponential-ish skewed one of the same size."""
+
+    def jb(xs):
+        n = len(xs)
+        xb = sum(xs) / n
+        m2 = sum((x - xb) ** 2 for x in xs) / n
+        m3 = sum((x - xb) ** 3 for x in xs) / n
+        m4 = sum((x - xb) ** 4 for x in xs) / n
+        s, k = m3 / m2**1.5, m4 / m2**2 - 3.0
+        return n / 6.0 * (s**2 + k**2 / 4.0)
+
+    sym = [i for i in range(-50, 51)]  # uniform: skew 0, mild kurtosis
+    # geometric growth at the same n: extreme skew AND kurtosis
+    skewed = [int(1.6**i) for i in range(101)]
+    assert jb(skewed) > 10 * jb(sym)
+
+
+# --------------------------------------------------------------------------
+# bartlett_variance_test
+# --------------------------------------------------------------------------
+
+
+def test_bartlett_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        """
+    ).fetchall()
+    by_grp: dict[str, list[int]] = {}
+    for g, cent in rows:
+        by_grp.setdefault(g, []).append(int(cent))
+    variances = {}
+    for g, xs in by_grp.items():
+        n = len(xs)
+        if n < 2:
+            continue
+        xb = sum(xs) / n
+        s2 = sum((x - xb) ** 2 for x in xs) / (n - 1)
+        if s2 > 0:
+            variances[g] = (n, s2)
+    k = len(variances)
+    n_total = sum(n for n, _ in variances.values())
+    sp2 = sum((n - 1) * s2 for n, s2 in variances.values()) / (n_total - k)
+    t = (
+        (n_total - k) * math.log(sp2)
+        - sum((n - 1) * math.log(s2) for n, s2 in variances.values())
+    ) / (
+        1.0
+        + (
+            sum(1.0 / (n - 1) for n, _ in variances.values())
+            - 1.0 / (n_total - k)
+        )
+        / (3.0 * (k - 1))
+    )
+    out = _run(spark, "bartlett_variance_test").collect()
+    assert len(out) == k
+    for row in out:
+        n, s2 = variances[row.grp]
+        assert row.n_g == n
+        assert abs(row.variance_cents2 - s2) < max(1e-2, 1e-6 * s2)
+        assert abs(row.bartlett_t - t) < max(1e-3, 1e-5 * abs(t))
+        assert row.df == k - 1
+
+
+# --------------------------------------------------------------------------
+# mood_median_test
+# --------------------------------------------------------------------------
+
+
+def test_mood_median_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        """
+    ).fetchall()
+    cents = sorted(c for _, c in rows)
+    # min cent with 2*cum >= N (the operator's grid-walk median)
+    n_all, cum, med = len(cents), 0, None
+    from collections import Counter
+
+    for c, cnt in sorted(Counter(cents).items()):
+        cum += cnt
+        if 2 * cum >= n_all:
+            med = c
+            break
+    cells: dict[str, list[int]] = {}
+    for g, c in rows:
+        a = cells.setdefault(g, [0, 0])
+        if c > med:
+            a[0] += 1
+        elif c < med:
+            a[1] += 1
+    k = len(cells)
+    a_all = sum(v[0] for v in cells.values())
+    b_all = sum(v[1] for v in cells.values())
+    n_inc = a_all + b_all
+    chi2 = 0.0
+    for above, below in cells.values():
+        rn = above + below
+        ea, eb = rn * a_all / n_inc, rn * b_all / n_inc
+        chi2 += (above - ea) ** 2 / ea + (below - eb) ** 2 / eb
+    out = _run(spark, "mood_median_test").collect()
+    assert len(out) == k
+    for row in out:
+        assert (row.n_above, row.n_below) == tuple(cells[row.grp])
+        assert abs(row.chi2 - chi2) < max(1e-3, 1e-5 * chi2)
+        assert row.df == k - 1
+
+
+# --------------------------------------------------------------------------
+# page_trend_test
+# --------------------------------------------------------------------------
+
+
+def test_page_trend_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT date_trunc('month', o_orderdate) AS d,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/orders.parquet')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    blocks: dict = {}
+    for d, lvl, c in rows:
+        blocks.setdefault(d, {})[int(lvl)] = int(c)
+    k = len({lvl for b in blocks.values() for lvl in b})
+    complete = {d: b for d, b in blocks.items() if len(b) == k}
+    r2_sum = {lvl: 0 for lvl in range(1, k + 1)}
+    for b in complete.values():
+        vals = sorted(b.values())
+        for lvl, c in b.items():
+            rank = vals.index(c) + 1  # min rank of the tie group
+            ties = vals.count(c)
+            r2_sum[lvl] += 2 * rank + ties - 1
+    nb = len(complete)
+    l2 = sum(lvl * r for lvl, r in r2_sum.items())
+    e_l2 = nb * k * (k + 1) ** 2 / 2.0
+    var_l2 = nb * (k**3 - k) ** 2 / (36.0 * (k - 1))
+    z = (l2 - e_l2) / math.sqrt(var_l2)
+    out = {r.priority_level: r for r in _run(spark, "page_trend_test").collect()}
+    assert len(out) == k
+    for lvl, row in out.items():
+        assert row.r2_sum == r2_sum[lvl]
+        assert row.n_blocks == nb and row.page_l2 == l2
+        assert abs(row.z_score - z) < 1e-5
+        p = _as_sf(z) if z >= 0 else 1.0 - _as_sf(-z)
+        assert abs(row.p_one_sided - p) < 1e-4
+
+
+def test_page_l_extremes():
+    """Closed form: with b identical blocks ranked 1..k in the scored
+    order, L = b * sum j^2 (the maximum); in the reversed order
+    L = b * sum j*(k+1-j) (the minimum)."""
+    k, b = 5, 7
+    lmax = b * sum(j * j for j in range(1, k + 1))
+    lmin = b * sum(j * (k + 1 - j) for j in range(1, k + 1))
+    e_l = b * k * (k + 1) ** 2 / 4.0
+    assert lmin < e_l < lmax

@@ -263,6 +263,16 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>',),
         'whole-frame deviation sum over the k-row treatment table',
     ),
+    'mood_median_test': (
+        ('<no order>', 'cent ASC NULLS FIRST'),
+        'global-median cumulative over the bounded integer-cent grid '
+        '(<=|distinct cents| rows) + whole-frame chi2 over the k-row '
+        'group grid',
+    ),
+    'page_trend_test': (
+        ('<no order>',),
+        'whole-frame L sum over the k-row treatment table',
+    ),
     'hosmer_lemeshow_gof': (
         ('<no order>',),
         '10-row calibration bin table',
@@ -724,6 +734,18 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         'bounded-build',  # 5x5 marginal cross product + 1-row totals
     ),
     'friedman_test_daily': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 4,
+        'bounded-build',  # 1-row k / block-completeness / totals frames
+    ),
+    'bartlett_variance_test': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row pooled-variance totals frame
+    ),
+    'mood_median_test': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 5,
+        'bounded-build',  # 1-row total / median / margin frames
+    ),
+    'page_trend_test': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 4,
         'bounded-build',  # 1-row k / block-completeness / totals frames
     ),

@@ -5131,3 +5131,141 @@ def hosmer_lemeshow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df").cast("bigint").alias("df"),
         F.round(p_wh, 6).alias("p_wilson_hilferty"),
     )
+
+
+@register(
+    "jarque_bera_normality",
+    oracle=f"""
+        WITH {_SCORE_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,")},
+        lifted AS (
+            SELECT source,
+                   CAST(ROUND(score * 10000) AS BIGINT) AS s4
+            FROM scored
+        ),
+        mom AS (
+            -- raw power sums up to the 4th are exact HUGEINTs
+            -- (s4 <= 1e4, so sum(s4^4) <= n * 1e16 — int64 dies at
+            -- n ~ 1e3, HUGEINT/DECIMAL(38,0) holds to n ~ 1e22)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(s4) AS BIGINT) AS s,
+                   SUM(CAST(s4 AS HUGEINT) * s4) AS ss,
+                   SUM(CAST(s4 AS HUGEINT) * s4 * s4) AS sss,
+                   SUM(CAST(s4 AS HUGEINT) * s4 * s4 * s4) AS ssss
+            FROM lifted GROUP BY source
+            HAVING COUNT(*) >= 2
+        ),
+        cm AS (
+            -- central moments as ONE mirrored double expression over the
+            -- exact integer raw sums (identical expression tree in both
+            -- engines; the 1e4 lift cancels inside the scale-free
+            -- skewness/kurtosis ratios)
+            SELECT source, n,
+                   CAST(s AS DOUBLE) / n AS xb,
+                   CAST(ss AS DOUBLE) / n
+                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                       AS m2,
+                   CAST(sss AS DOUBLE) / n
+                       - 3.0 * (CAST(s AS DOUBLE) / n)
+                             * (CAST(ss AS DOUBLE) / n)
+                       + 2.0 * (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n) AS m3,
+                   CAST(ssss AS DOUBLE) / n
+                       - 4.0 * (CAST(s AS DOUBLE) / n)
+                             * (CAST(sss AS DOUBLE) / n)
+                       + 6.0 * (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n)
+                             * (CAST(ss AS DOUBLE) / n)
+                       - 3.0 * (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n) AS m4
+            FROM mom
+        ),
+        stat AS (
+            SELECT source, n,
+                   m3 / pow(m2, 1.5) AS skewness,
+                   m4 / (m2 * m2) - 3.0 AS ex_kurtosis,
+                   n / 6.0 * (m3 / pow(m2, 1.5) * (m3 / pow(m2, 1.5))
+                              + (m4 / (m2 * m2) - 3.0)
+                                * (m4 / (m2 * m2) - 3.0) / 4.0) AS jb
+            FROM cm WHERE m2 > 0
+        )
+        SELECT source, n AS n_docs,
+               ROUND(skewness, 6) AS skewness,
+               ROUND(ex_kurtosis, 6) AS ex_kurtosis,
+               ROUND(jb, 6) AS jb_stat,
+               ROUND(exp(-jb / 2.0), 6) AS p_value
+        FROM stat
+    """,
+    doc=(
+        "JARQUE-BERA NORMALITY TEST of the per-source quality-score "
+        "distributions: JB = n/6 * (S^2 + K^2/4) from sample skewness "
+        "S = m3/m2^1.5 and excess kurtosis K = m4/m2^2 - 3 — the "
+        "moments-only normality screen that gates every operator "
+        "quoting a normal-theory interval on these scores (Welch "
+        "ANOVA, the effect-size panel, meta-analysis): if JB rejects, "
+        "those intervals are decorative. Raw power sums of the "
+        "10^4-lifted scores up to the 4th are EXACT "
+        "HUGEINT/DECIMAL(38,0) integers from one scan (sum(s4^4) "
+        "overflows int64 at ~1e3 rows, same guard class as "
+        "bland_altman); central moments are one mirrored double "
+        "expression over those integers; the 1e4 lift cancels inside "
+        "the scale-free S and K. Under H0, JB ~ chi-square(2), whose "
+        "survival function is EXACTLY exp(-x/2) — no polynomial "
+        "approximation, bit-identical in both engines. Degenerate "
+        "sources (n < 2 or zero variance) are excluded, mirrored. One "
+        "per-source aggregate is the only corpus-scale shuffle."
+    ),
+    tags=("evals", "statistics", "quality"),
+)
+def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+    )
+    lifted = docs.select(
+        "source",
+        F.round(score * 10000).cast("bigint").alias("s4"),
+    )
+    dec = "decimal(38,0)"
+    s4 = F.col("s4")
+    mom = (
+        lifted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("s4").cast("bigint").alias("s"),
+            F.sum(s4.cast(dec) * s4).alias("ss"),
+            F.sum(s4.cast(dec) * s4 * s4).alias("sss"),
+            F.sum(s4.cast(dec) * s4 * s4 * s4).alias("ssss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    xb = F.col("s").cast("double") / n
+    m2 = F.col("ss").cast("double") / n - xb * xb
+    m3 = (
+        F.col("sss").cast("double") / n
+        - F.lit(3.0) * xb * (F.col("ss").cast("double") / n)
+        + F.lit(2.0) * xb * xb * xb
+    )
+    m4 = (
+        F.col("ssss").cast("double") / n
+        - F.lit(4.0) * xb * (F.col("sss").cast("double") / n)
+        + F.lit(6.0) * xb * xb * (F.col("ss").cast("double") / n)
+        - F.lit(3.0) * xb * xb * xb * xb
+    )
+    cm = mom.select("source", "n", m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    skew = F.col("m3") / F.pow(F.col("m2"), F.lit(1.5))
+    exk = F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)
+    jb = F.col("n") / F.lit(6.0) * (skew * skew + exk * exk / F.lit(4.0))
+    return cm.filter(F.col("m2") > 0).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("ex_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.round(F.exp(-jb / F.lit(2.0)), 6).alias("p_value"),
+    )

@@ -3425,3 +3425,508 @@ def friedman_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("chi2"), 6).alias("friedman_chi2"),
         F.round(p_wh, 6).alias("p_wilson_hilferty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 inference closers: Bartlett's variance test (the parametric
+# twin of Brown-Forsythe), Mood's median test (the robust 2xK location
+# screen), and Page's trend test (the BLOCKED ordered alternative —
+# Friedman : Kruskal-Wallis :: Page : Jonckheere-Terpstra).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bartlett_variance_test",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type AS grp,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+            FROM events
+        ),
+        g AS (
+            -- squared cents sums overflow int64 at corpus scale:
+            -- HUGEINT/DECIMAL(38,0), the house exact-moment guard
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(cent) AS BIGINT) AS s,
+                   SUM(CAST(cent AS HUGEINT) * cent) AS ss
+            FROM c GROUP BY grp
+            HAVING COUNT(*) >= 2
+        ),
+        v AS (
+            SELECT grp, n_g,
+                   (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_g)
+                       / (n_g - 1) AS s2
+            FROM g
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_g) AS BIGINT) AS n_total,
+                   SUM((n_g - 1) * s2) AS ssw,
+                   SUM((n_g - 1) * ln(s2)) AS sum_ln,
+                   SUM(1.0 / (n_g - 1)) AS sum_inv
+            FROM v WHERE s2 > 0
+        ),
+        stat AS (
+            SELECT v.grp, v.n_g, v.s2, tot.k,
+                   ((tot.n_total - tot.k)
+                        * ln(tot.ssw / (tot.n_total - tot.k))
+                    - tot.sum_ln)
+                   / (1.0 + (tot.sum_inv - 1.0 / (tot.n_total - tot.k))
+                            / (3.0 * (tot.k - 1.0))) AS t_stat,
+                   tot.k - 1.0 AS df
+            FROM v CROSS JOIN tot
+        ),
+        wh AS (
+            SELECT grp, n_g, s2, k, t_stat, df,
+                   (pow(t_stat / df, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z_wh
+            FROM stat
+        )
+        SELECT grp, n_g,
+               ROUND(s2, 4) AS variance_cents2,
+               CAST(k AS BIGINT) AS k,
+               ROUND(t_stat, 6) AS bartlett_t,
+               CAST(df AS BIGINT) AS df,
+               ROUND({{SIGNED_SF}}, 6) AS p_wilson_hilferty
+        FROM wh
+    """.replace("{SIGNED_SF}", _normal_sf_signed_sql("z_wh")),
+    doc=(
+        "BARTLETT'S TEST of equal variances across event types — the "
+        "PARAMETRIC twin of the registered brown_forsythe_spread_test "
+        "(Bartlett is the uniformly-most-powerful choice when the "
+        "groups are near-normal, but is notoriously sensitive to "
+        "kurtosis — which is exactly why both belong in the suite, and "
+        "why jarque_bera_normality gates the choice between them): "
+        "T = [(N-k) ln(sp^2) - sum (n_i-1) ln(s_i^2)] / C with the "
+        "classic Bartlett correction C, chi-square(k-1) under H0, p "
+        "via the shared Wilson-Hilferty + signed A&S tail. Group "
+        "variances come from exact integer cent moments (squared sums "
+        "in HUGEINT/DECIMAL(38,0), one double conversion); ln is "
+        "evaluated on identical doubles in both engines (the theils_u "
+        "/ Dunning-G2 precedent). Zero-variance or singleton groups "
+        "are excluded, mirrored. One corpus-scale hash aggregate; "
+        "everything after is k-row arithmetic."
+    ),
+    tags=("sampling", "statistics", "quality"),
+)
+def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cent"),
+    )
+    dec = "decimal(38,0)"
+    g = (
+        c.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum("cent").cast("bigint").alias("s"),
+            F.sum(F.col("cent").cast(dec) * F.col("cent")).alias("ss"),
+        )
+        .filter(F.col("n_g") >= 2)
+    )
+    s2 = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n_g")
+    ) / (F.col("n_g") - 1)
+    v = g.select("grp", "n_g", s2.alias("s2")).filter(F.col("s2") > 0)
+    tot = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n_total"),
+        F.sum((F.col("n_g") - 1) * F.col("s2")).alias("ssw"),
+        F.sum((F.col("n_g") - 1) * F.log(F.col("s2"))).alias("sum_ln"),
+        F.sum(F.lit(1.0) / (F.col("n_g") - 1)).alias("sum_inv"),
+    )
+    j = v.crossJoin(F.broadcast(tot))
+    nk = F.col("n_total") - F.col("k")
+    t_stat = (
+        nk * F.log(F.col("ssw") / nk) - F.col("sum_ln")
+    ) / (
+        F.lit(1.0)
+        + (F.col("sum_inv") - F.lit(1.0) / nk)
+        / (F.lit(3.0) * (F.col("k") - F.lit(1.0)))
+    )
+    df_ = F.col("k") * F.lit(1.0) - F.lit(1.0)
+    stat = j.select(
+        "grp", "n_g", "s2", "k", t_stat.alias("t_stat"), df_.alias("df")
+    )
+    z_wh = (
+        F.pow(F.col("t_stat") / F.col("df"), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+
+    def _sf_pos(az):
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+        poly = t * (
+            F.lit(_AS_B[0])
+            + t
+            * (
+                F.lit(_AS_B[1])
+                + t * (F.lit(_AS_B[2]) + t * (F.lit(_AS_B[3]) + t * F.lit(_AS_B[4])))
+            )
+        )
+        return (
+            F.exp(-az * az / F.lit(2.0))
+            / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+            * poly
+        )
+
+    p_wh = F.when(z_wh >= 0, _sf_pos(z_wh)).otherwise(
+        F.lit(1.0) - _sf_pos(-z_wh)
+    )
+    return stat.select(
+        "grp",
+        "n_g",
+        F.round(F.col("s2"), 4).alias("variance_cents2"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(F.col("t_stat"), 6).alias("bartlett_t"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(p_wh, 6).alias("p_wilson_hilferty"),
+    )
+
+
+@register(
+    "mood_median_test",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type AS grp,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+            FROM events
+        ),
+        cnt AS (
+            SELECT cent, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY cent
+        ),
+        tot0 AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cnt),
+        cum AS (
+            SELECT cent,
+                   CAST(SUM(n) OVER (ORDER BY cent) AS BIGINT) AS cum
+            FROM cnt
+        ),
+        med AS (
+            SELECT CAST(MIN(cent) AS BIGINT) AS med_cents
+            FROM cum CROSS JOIN tot0
+            WHERE 2 * cum >= n_all
+        ),
+        cells AS (
+            -- exact-median ties EXCLUDED (the runs-test convention:
+            -- integer cents make equality exact and deterministic)
+            SELECT grp,
+                   CAST(SUM(CASE WHEN cent > med_cents THEN 1 ELSE 0 END)
+                        AS BIGINT) AS above,
+                   CAST(SUM(CASE WHEN cent < med_cents THEN 1 ELSE 0 END)
+                        AS BIGINT) AS below
+            FROM c CROSS JOIN med
+            GROUP BY grp
+        ),
+        marg AS (
+            SELECT CAST(SUM(above) AS BIGINT) AS a_all,
+                   CAST(SUM(below) AS BIGINT) AS b_all,
+                   CAST(SUM(above + below) AS BIGINT) AS n_inc,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM cells
+        ),
+        chi AS (
+            SELECT c.grp, c.above, c.below, m.k,
+                   SUM((c.above - (c.above + c.below) * 1.0 * m.a_all / m.n_inc)
+                       * (c.above - (c.above + c.below) * 1.0 * m.a_all / m.n_inc)
+                       / ((c.above + c.below) * 1.0 * m.a_all / m.n_inc)
+                       + (c.below - (c.above + c.below) * 1.0 * m.b_all / m.n_inc)
+                       * (c.below - (c.above + c.below) * 1.0 * m.b_all / m.n_inc)
+                       / ((c.above + c.below) * 1.0 * m.b_all / m.n_inc))
+                       OVER () AS chi2,
+                   m.k - 1.0 AS df
+            FROM cells c CROSS JOIN marg m
+        ),
+        wh AS (
+            SELECT grp, above, below, k, chi2, df,
+                   (pow(chi2 / df, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z_wh
+            FROM chi
+        )
+        SELECT grp, above AS n_above, below AS n_below,
+               CAST(k AS BIGINT) AS k,
+               ROUND(chi2, 6) AS chi2,
+               CAST(df AS BIGINT) AS df,
+               ROUND({{SIGNED_SF}}, 6) AS p_wilson_hilferty
+        FROM wh
+    """.replace("{SIGNED_SF}", _normal_sf_signed_sql("z_wh")),
+    doc=(
+        "MOOD'S MEDIAN TEST across event types: the 2xK contingency "
+        "chi-square of above-GLOBAL-median vs below counts — the "
+        "maximally-robust k-sample location screen (it uses only the "
+        "side of the median each value falls on, so single wild "
+        "outliers cannot move it at all; less powerful than "
+        "Kruskal-Wallis when tails are clean, indispensable when they "
+        "are not — which is why the suite carries both). The global "
+        "median comes from the cumulative-count walk over the bounded "
+        "integer-cent grid (the brown_forsythe construction, global "
+        "instead of per-group); exact-median ties are EXCLUDED, made "
+        "deterministic by integer cents. All 2xK cells are exact "
+        "BIGINTs; chi2 = sum (o-e)^2/e over the k-row grid, df = k-1, "
+        "p via the shared Wilson-Hilferty + signed A&S tail. One "
+        "conditional-count aggregate to the bounded cent grid + one "
+        "k-row rollup shuffle at 100 TB."
+    ),
+    tags=("sampling", "statistics", "drift", "window"),
+)
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cent"),
+    )
+    cnt = c.groupBy("cent").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot0 = cnt.agg(F.sum("n").cast("bigint").alias("n_all"))
+    # cumulative over the bounded cent grid only (<= |distinct cents| rows)
+    w_cum = Window.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select("cent", F.sum("n").over(w_cum).cast("bigint").alias("cum"))
+    med = (
+        cum.crossJoin(F.broadcast(tot0))
+        .filter(2 * F.col("cum") >= F.col("n_all"))
+        .agg(F.min("cent").cast("bigint").alias("med_cents"))
+    )
+    cells = (
+        c.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("cent") > F.col("med_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("above"),
+            F.sum(F.when(F.col("cent") < F.col("med_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("below"),
+        )
+    )
+    marg = cells.agg(
+        F.sum("above").cast("bigint").alias("a_all"),
+        F.sum("below").cast("bigint").alias("b_all"),
+        F.sum(F.col("above") + F.col("below")).cast("bigint").alias("n_inc"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    j = cells.crossJoin(F.broadcast(marg))
+    row_n = (F.col("above") + F.col("below")) * F.lit(1.0)
+    e_a = row_n * F.col("a_all") / F.col("n_inc")
+    e_b = row_n * F.col("b_all") / F.col("n_inc")
+    term = (
+        (F.col("above") - e_a) * (F.col("above") - e_a) / e_a
+        + (F.col("below") - e_b) * (F.col("below") - e_b) / e_b
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    chi = j.select(
+        "grp",
+        "above",
+        "below",
+        "k",
+        F.sum(term).over(w_all).alias("chi2"),
+        (F.col("k") * F.lit(1.0) - 1).alias("df"),
+    )
+    z_wh = (
+        F.pow(F.col("chi2") / F.col("df"), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+
+    def _sf_pos(az):
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+        poly = t * (
+            F.lit(_AS_B[0])
+            + t
+            * (
+                F.lit(_AS_B[1])
+                + t * (F.lit(_AS_B[2]) + t * (F.lit(_AS_B[3]) + t * F.lit(_AS_B[4])))
+            )
+        )
+        return (
+            F.exp(-az * az / F.lit(2.0))
+            / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+            * poly
+        )
+
+    p_wh = F.when(z_wh >= 0, _sf_pos(z_wh)).otherwise(
+        F.lit(1.0) - _sf_pos(-z_wh)
+    )
+    return chi.select(
+        F.col("grp"),
+        F.col("above").alias("n_above"),
+        F.col("below").alias("n_below"),
+        F.col("k").cast("bigint").alias("k"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(p_wh, 6).alias("p_wilson_hilferty"),
+    )
+
+
+@register(
+    "page_trend_test",
+    oracle=f"""
+        WITH daily AS (
+            SELECT date_trunc('month', o_orderdate) AS d,
+                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        kk AS (SELECT CAST(COUNT(DISTINCT lvl) AS BIGINT) AS k FROM daily),
+        complete_blocks AS (
+            SELECT d FROM daily CROSS JOIN kk
+            GROUP BY d, kk.k HAVING COUNT(*) = ANY_VALUE(kk.k)
+        ),
+        ranked AS (
+            SELECT daily.d, lvl,
+                   CAST(2 * RANK() OVER (PARTITION BY daily.d
+                                         ORDER BY cents)
+                        + COUNT(*) OVER (PARTITION BY daily.d, cents) - 1
+                        AS BIGINT) AS r2
+            FROM daily JOIN complete_blocks USING (d)
+        ),
+        treat AS (
+            SELECT lvl, CAST(SUM(r2) AS BIGINT) AS r2_sum
+            FROM ranked GROUP BY lvl
+        ),
+        tots AS (
+            SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS b FROM ranked
+        ),
+        stat AS (
+            SELECT t.lvl, t.r2_sum, o.b, kk.k,
+                   CAST(SUM(t.lvl * t.r2_sum) OVER () AS BIGINT) AS l2,
+                   o.b * kk.k * (kk.k + 1.0) * (kk.k + 1.0) / 2.0 AS e_l2,
+                   o.b * (kk.k * kk.k * kk.k - kk.k)
+                       * (kk.k * kk.k * kk.k - kk.k)
+                       / (36.0 * (kk.k - 1.0)) AS var_l2
+            FROM treat t CROSS JOIN tots o CROSS JOIN kk
+        ),
+        zed AS (
+            SELECT lvl, r2_sum, b, k, l2, e_l2,
+                   (l2 - e_l2) / sqrt(var_l2) AS z
+            FROM stat
+        )
+        SELECT lvl AS priority_level, r2_sum, b AS n_blocks, k,
+               l2 AS page_l2,
+               ROUND(e_l2, 6) AS expected_l2,
+               ROUND(z, 6) AS z_score,
+               ROUND({{SIGNED_SF}}, 6) AS p_one_sided
+        FROM zed
+    """.replace("{SIGNED_SF}", _normal_sf_signed_sql("z")),
+    doc=(
+        "PAGE'S TREND TEST over (order-MONTH block x order-priority "
+        "treatment) daily revenue: does daily revenue trend "
+        "MONOTONICALLY across the five a-priori-ORDERED priority "
+        "levels ('1-URGENT'..'5-LOW', scores = the leading digit, an "
+        "ordering that exists BEFORE the data — Page's precondition)? "
+        "The blocked ordered-alternative member completing the "
+        "2x2 test family: Friedman : Kruskal-Wallis :: Page : "
+        "Jonckheere-Terpstra (Friedman asks 'any difference within "
+        "blocks'; Page asks 'THIS ordered difference', buying power "
+        "exactly when the ordering is right). L = sum_j j*R_j on "
+        "within-block mid-ranks; everything is x2-lifted so L2 = "
+        "sum j*R2_j is an EXACT BIGINT; E[L2] = b*k(k+1)^2/2 and "
+        "Var[L2] = b(k^3-k)^2/(36(k-1)) (the classic no-tie variance "
+        "with mid-ranks — ties across priorities in integer daily "
+        "cents are rare and the convention is documented), one-sided "
+        "upper p via the shared signed A&S tail. Complete blocks only "
+        "(every priority present in the month), the friedman_test_daily "
+        "construction on the orders table with MONTH blocks (day blocks "
+        "are too sparse for complete k-level coverage at small scale "
+        "and the monthly design is the standard seasonal framing). One "
+        "(month, priority) hash aggregate; rank windows live on k-row "
+        "blocks; k-row arithmetic after."
+    ),
+    tags=("sampling", "statistics", "window"),
+)
+def page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("d"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("lvl"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    kk = daily.agg(F.count_distinct("lvl").cast("bigint").alias("k"))
+    complete = (
+        daily.crossJoin(F.broadcast(kk))
+        .groupBy("d", "k")
+        .agg(F.count(F.lit(1)).alias("_nt"))
+        .filter(F.col("_nt") == F.col("k"))
+        .select("d")
+    )
+    w_rank = Window.partitionBy("d").orderBy("cents")
+    w_tie = Window.partitionBy("d", "cents")
+    ranked = daily.join(complete, "d").select(
+        "d",
+        "lvl",
+        (
+            F.lit(2) * F.rank().over(w_rank)
+            + F.count(F.lit(1)).over(w_tie)
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    treat = ranked.groupBy("lvl").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum")
+    )
+    tots = ranked.agg(F.count_distinct("d").cast("bigint").alias("b"))
+    g = treat.crossJoin(F.broadcast(tots)).crossJoin(F.broadcast(kk))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    kf = F.col("k") * F.lit(1.0)
+    l2 = F.sum(F.col("lvl") * F.col("r2_sum")).over(w_all).cast("bigint")
+    e_l2 = F.col("b") * kf * (kf + 1) * (kf + 1) / F.lit(2.0)
+    var_l2 = (
+        F.col("b")
+        * (kf * kf * kf - kf)
+        * (kf * kf * kf - kf)
+        / (F.lit(36.0) * (kf - 1))
+    )
+    stat = g.select(
+        "lvl",
+        "r2_sum",
+        "b",
+        "k",
+        l2.alias("l2"),
+        e_l2.alias("e_l2"),
+        var_l2.alias("var_l2"),
+    )
+    z = (F.col("l2") - F.col("e_l2")) / F.sqrt(F.col("var_l2"))
+
+    def _sf_pos(az):
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+        poly = t * (
+            F.lit(_AS_B[0])
+            + t
+            * (
+                F.lit(_AS_B[1])
+                + t * (F.lit(_AS_B[2]) + t * (F.lit(_AS_B[3]) + t * F.lit(_AS_B[4])))
+            )
+        )
+        return (
+            F.exp(-az * az / F.lit(2.0))
+            / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+            * poly
+        )
+
+    p = F.when(z >= 0, _sf_pos(z)).otherwise(F.lit(1.0) - _sf_pos(-z))
+    return stat.select(
+        F.col("lvl").alias("priority_level"),
+        "r2_sum",
+        F.col("b").alias("n_blocks"),
+        "k",
+        F.col("l2").alias("page_l2"),
+        F.round(F.col("e_l2"), 6).alias("expected_l2"),
+        F.round(z, 6).alias("z_score"),
+        F.round(p, 6).alias("p_one_sided"),
+    )
