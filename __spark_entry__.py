@@ -87,7 +87,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     # round-10 session crop (never sampled; drains after the r9 backlog)
     "ljung_box_autocorr", "wald_wolfowitz_runs", "turning_point_test",
     "jarque_bera_normality", "bartlett_variance_test", "mood_median_test",
-    "page_trend_test",
+    "page_trend_test", "err_retrieval_eval", "spiegelhalter_z_calibration",
+    "kupiec_pof_backtest",
 )
 
 

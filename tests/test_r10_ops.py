@@ -400,3 +400,145 @@ def test_page_l_extremes():
     lmin = b * sum(j * (k + 1 - j) for j in range(1, k + 1))
     e_l = b * k * (k + 1) ** 2 / 4.0
     assert lmin < e_l < lmax
+
+
+# --------------------------------------------------------------------------
+# err_retrieval_eval
+# --------------------------------------------------------------------------
+
+
+def test_err_matches_python(spark):
+    """Recompute ERR@k from the operator's own (grade, rank) output —
+    pins the cascade recursion AND the exact-integer witness: err_num
+    must equal ERR * 8^10 * 2520 computed in exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    out = sorted(_run(spark, "err_retrieval_eval").collect(), key=lambda r: r.rnk)
+    assert [r.rnk for r in out] == list(range(1, 11))
+    err, miss = Fraction(0), Fraction(1)
+    den = 8**10 * 2520
+    for r in out:
+        ri = Fraction(2**r.grade - 1, 8)
+        assert abs(r.stop_mass - float(ri * miss)) < 1e-6
+        err += ri / r.rnk * miss
+        miss *= 1 - ri
+        witness = err * den
+        assert witness.denominator == 1
+        assert r.err_num == witness.numerator, (r.rnk, r.err_num, witness)
+        assert abs(r.err_at_k - float(err)) < 1e-6, (r.rnk, r.err_at_k)
+
+
+def test_err_cascade_semantics():
+    """The property that separates ERR from NDCG: a perfect document at
+    rank 1 makes later relevant documents nearly worthless."""
+
+    def err(grades, gmax=3):
+        total, miss = 0.0, 1.0
+        for i, g in enumerate(grades, 1):
+            ri = (2**g - 1) / 2**gmax
+            total += ri / i * miss
+            miss *= 1 - ri
+        return total
+
+    front = err([3, 3, 3] + [0] * 7)
+    spread = err([0, 0, 0, 0, 0, 0, 0, 3, 3, 3])
+    assert front > 4 * spread
+    # and the rank-1 stop probability dominates: ERR([3,0,...]) ~ 7/8
+    assert abs(err([3] + [0] * 9) - 7 / 8) < 1e-12
+
+
+# --------------------------------------------------------------------------
+# spiegelhalter_z_calibration
+# --------------------------------------------------------------------------
+
+
+def test_spiegelhalter_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CAST(ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')) * 10000) AS BIGINT),
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    num = sum((y * 10000 - s4) * (10000 - 2 * s4) for s4, y in rows)
+    den = sum((10000 - 2 * s4) ** 2 * s4 * (10000 - s4) for s4, y in rows)
+    z = num / math.sqrt(den)
+    row = _run(spark, "spiegelhalter_z_calibration").collect()[0]
+    assert row.n_docs == len(rows)
+    assert abs(row.z_spiegelhalter - z) < 1e-5
+    assert abs(row.p_value - 2.0 * _as_sf(abs(z))) < 1e-4
+
+
+def test_spiegelhalter_perfectly_calibrated_construction():
+    """A perfectly calibrated score (p equal to the true rate within
+    each score group, balanced groups) gives z = 0 exactly when the
+    group's empirical rate equals p."""
+    # p=0.5 groups with exactly half positives: each pair contributes
+    # (1-2p)=0 to every term -> z numerator 0 (0/0 guarded by p=0.25 rows)
+    rows = [(2500, 1), (2500, 0), (2500, 0), (2500, 0)]  # p=.25, rate=.25
+    num = sum((y * 10000 - s4) * (10000 - 2 * s4) for s4, y in rows)
+    assert num == 0
+
+
+# --------------------------------------------------------------------------
+# kupiec_pof_backtest
+# --------------------------------------------------------------------------
+
+
+def test_kupiec_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    import datetime
+
+    split = datetime.datetime(2024, 1, 16)
+    by_type: dict[str, dict] = {}
+    for et, day, cents in rows:
+        if not isinstance(day, datetime.datetime):
+            day = datetime.datetime.combine(day, datetime.time())
+        d = by_type.setdefault(et, {"train": [], "test": []})
+        d["train" if day < split else "test"].append(int(cents))
+    out = {r.event_type: r for r in _run(spark, "kupiec_pof_backtest").collect()}
+    p0 = 0.1
+    for et, d in by_type.items():
+        if not d["train"] or not d["test"]:
+            assert et not in out
+            continue
+        xs = sorted(d["train"])
+        var90 = xs[max(math.ceil(0.9 * len(xs)), 1) - 1]
+        n = len(d["test"])
+        x = sum(1 for c in d["test"] if c > var90)
+        lr = -2.0 * (
+            (n - x) * math.log(1 - p0)
+            + x * math.log(p0)
+            - ((n - x) * math.log(1 - x / n) if x < n else 0.0)
+            - (x * math.log(x / n) if x > 0 else 0.0)
+        )
+        row = out[et]
+        assert (row.n_test_days, row.n_breaches) == (n, x)
+        assert abs(row.lr_pof - lr) < max(1e-4, 1e-6 * abs(lr))
+        assert abs(row.p_value - 2.0 * _as_sf(math.sqrt(lr))) < 1e-4
+
+
+def test_kupiec_boundary_cases():
+    """x = 0 and x = n are legal and finite under the 0*ln(0) = 0
+    convention; LR is 0 exactly when x/n = p0."""
+    p0 = 0.1
+
+    def lr(n, x):
+        return -2.0 * (
+            (n - x) * math.log(1 - p0)
+            + x * math.log(p0)
+            - ((n - x) * math.log(1 - x / n) if x < n else 0.0)
+            - (x * math.log(x / n) if x > 0 else 0.0)
+        )
+
+    assert lr(100, 0) > 0 and math.isfinite(lr(100, 0))
+    assert lr(100, 100) > 0 and math.isfinite(lr(100, 100))
+    assert abs(lr(100, 10)) < 1e-12  # observed rate == promised rate

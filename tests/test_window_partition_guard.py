@@ -164,6 +164,10 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'grade DESC NULLS LAST', 'rnk ASC NULLS FIRST',),
         'top-k run list + <=4-row grade histogram',
     ),
+    'err_retrieval_eval': (
+        ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'rnk ASC NULLS FIRST'),
+        'top-k run list (20 rows) + the rank-ordered prefix windows over it',
+    ),
     'nelson_aalen_hazard': (
         ('lifetime_days ASC NULLS FIRST',),
         'distinct-lifetime day grid (bounded by the dataset day span)',
@@ -573,6 +577,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'ndcg_retrieval_eval': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
+    ),
+    'err_retrieval_eval': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # bm25 run's 1-row IDF/len frames (inherited plan)
     ),
     'nelson_aalen_hazard': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),

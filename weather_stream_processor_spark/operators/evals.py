@@ -5269,3 +5269,245 @@ def jarque_bera_normality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(jb, 6).alias("jb_stat"),
         F.round(F.exp(-jb / F.lit(2.0)), 6).alias("p_value"),
     )
+
+
+_ERR_GMAX = 3  # max possible grade = |_QUERY_TERMS| (a-priori, not data-max)
+_ERR_BASE = 2**_ERR_GMAX  # 8: stop-prob denominators are dyadic eighths
+# common denominator of every ERR@k term at k <= 10: 8^10 * lcm(1..10).
+# ERR * _ERR_DEN is an EXACT BIGINT (term_i = num_i * P_{i-1} * 8^(10-i)
+# * (2520/i) <= 7 * 8^9 * 2520 ~ 2.4e12), so the running metric is an
+# order-free integer window sum — the margin audit caught the original
+# float formulation sitting EXACTLY on a 6-dp half-boundary (ERR of
+# dyadic stop probabilities IS a dyadic rational, e.g. 0.9296875).
+_ERR_LCM = 2520  # lcm(1..10)
+_ERR_DEN = _ERR_BASE**10 * _ERR_LCM
+
+
+@register(
+    "err_retrieval_eval",
+    oracle=f"""
+        WITH run AS ({{BM25}}),
+        {{REL}},
+        ranked AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk,
+                   run.doc_id,
+                   COALESCE(r.grade, 0) AS grade
+            FROM run LEFT JOIN rel r USING (doc_id)
+        ),
+        topk AS (SELECT * FROM ranked WHERE rnk <= {{K}}),
+        probs AS (
+            SELECT rnk, doc_id, grade,
+                   CAST(POWER(2, grade) - 1 AS BIGINT) AS num,
+                   CAST({_ERR_BASE} - (POWER(2, grade) - 1) AS BIGINT) AS miss
+            FROM topk
+        ),
+        pfx AS (
+            -- P_{{i-1}} = prod of prior miss factors, an exact integer
+            -- <= 8^9 recovered from exp(sum ln) by integer rounding
+            -- (relative error ~1e-15 * 1e9 << 0.5, both engines land on
+            -- the same integer)
+            SELECT rnk, doc_id, grade, num,
+                   CAST(ROUND(EXP(COALESCE(SUM(LN(miss)) OVER (
+                       ORDER BY rnk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0.0))) AS BIGINT) AS p_prev
+            FROM probs
+        ),
+        terms AS (
+            SELECT rnk, doc_id, grade, num, p_prev,
+                   num * p_prev
+                       * CAST(POWER({_ERR_BASE}, {{K}} - rnk) AS BIGINT)
+                       * ({_ERR_LCM} // rnk) AS term_int
+            FROM pfx
+        )
+        SELECT rnk, doc_id, grade,
+               ROUND(CAST(num * p_prev AS DOUBLE)
+                     / POWER({_ERR_BASE}, rnk), 6) AS stop_mass,
+               CAST(SUM(term_int) OVER (
+                   ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS err_num,
+               ROUND(CAST(SUM(term_int) OVER (
+                   ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / {_ERR_DEN}, 6) AS err_at_k
+        FROM terms
+    """.replace("{BM25}", _BM25_ORACLE)
+       .replace("{REL}", _rel_sql())
+       .replace("{K}", str(_NDCG_K)),
+    doc=(
+        "EXPECTED RECIPROCAL RANK of the bm25_top_docs run (Chapelle "
+        "2009) — the CASCADE-model ranking metric NDCG cannot replace: "
+        "NDCG assumes the user examines every position with a fixed "
+        "discount, ERR models a user who STOPS at the first satisfying "
+        "document (stop probability R_i = (2^g - 1)/2^gmax per rank), "
+        "so a relevant document buried under other relevant documents "
+        "is worth almost nothing — exactly the early-precision behavior "
+        "navigational queries have. ERR@k = sum_i (1/i) R_i "
+        "prod_{j<i}(1 - R_j); gmax = 3 is the a-priori maximum (the "
+        "query has 3 terms). ALL-INTEGER FORM: the stop probabilities "
+        "are dyadic eighths, so ERR * 8^10 * lcm(1..10) is an exact "
+        "BIGINT — emitted as err_num, the hash-certified witness; the "
+        "prefix miss-product (an integer <= 8^9) is recovered exactly "
+        "from exp(sum ln) by integer rounding, and the running metric "
+        "is an order-free INTEGER window sum divided once. The margin "
+        "audit caught the first float formulation sitting exactly on a "
+        "6-dp half-boundary (ERR of dyadic rationals IS dyadic: "
+        "0.9296875) — the integer lift removes the boundary, the same "
+        "cure as linear-CKA's. stop_mass = R_i * prod(1-R_j), the "
+        "per-rank probability the user stops HERE. The retrieved list "
+        "reuses bm25_top_docs' registered plan; every window is "
+        "top-k-bounded."
+    ),
+    tags=("evals", "retrieval", "llm"),
+)
+def err_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    run = _REGISTRY["bm25_top_docs"].builder(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    rel = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(*_QUERY_TERMS))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("grade"))
+    )
+    w_rank = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # 20-row frame
+    ranked = (
+        run.join(rel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.coalesce("grade", F.lit(0)).cast("bigint").alias("grade"),
+        )
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _NDCG_K)
+    )
+    num = (F.pow(F.lit(2.0), F.col("grade")) - 1).cast("bigint")
+    miss = (F.lit(_ERR_BASE) - num).cast("bigint")
+    probs = ranked.select(
+        "rnk", "doc_id", "grade", num.alias("num"), miss.alias("miss")
+    )
+    w_prev = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    # exact integer prefix product recovered from exp(sum ln): <= 8^9,
+    # so the float error (~1e-6 absolute) is far from the 0.5 boundary
+    p_prev = (
+        F.round(
+            F.exp(
+                F.coalesce(
+                    F.sum(F.log(F.col("miss").cast("double"))).over(w_prev),
+                    F.lit(0.0),
+                )
+            )
+        )
+    ).cast("bigint")
+    pfx = probs.select("rnk", "doc_id", "grade", "num", p_prev.alias("p_prev"))
+    term_int = (
+        F.col("num")
+        * F.col("p_prev")
+        * F.pow(F.lit(float(_ERR_BASE)), F.lit(_NDCG_K) - F.col("rnk"))
+        .cast("bigint")
+        * (F.lit(_ERR_LCM) / F.col("rnk")).cast("bigint")
+    )
+    terms = pfx.select(
+        "rnk", "doc_id", "grade", "num", "p_prev", term_int.alias("term_int")
+    )
+    cum = F.sum("term_int").over(w_run).cast("bigint")
+    return terms.select(
+        "rnk",
+        "doc_id",
+        "grade",
+        F.round(
+            (F.col("num") * F.col("p_prev")).cast("double")
+            / F.pow(F.lit(float(_ERR_BASE)), F.col("rnk")),
+            6,
+        ).alias("stop_mass"),
+        cum.alias("err_num"),
+        F.round(cum.cast("double") / F.lit(float(_ERR_DEN)), 6).alias(
+            "err_at_k"
+        ),
+    )
+
+
+@register(
+    "spiegelhalter_z_calibration",
+    oracle=f"""
+        WITH {_SCORE_CTE},
+        lifted AS (
+            SELECT CAST(ROUND(score * 10000) AS BIGINT) AS s4,
+                   CAST(label AS BIGINT) AS y
+            FROM scored
+        ),
+        mom AS (
+            -- numerator lifted by 10^8, denominator by 10^16: every
+            -- per-row term is an exact integer; HUGEINT because the
+            -- denominator's 1e16-per-row terms pass int64 at ~1e3 rows
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(y * 10000 - s4 AS HUGEINT)
+                       * (10000 - 2 * s4)) AS num8,
+                   SUM(CAST(10000 - 2 * s4 AS HUGEINT) * (10000 - 2 * s4)
+                       * s4 * (10000 - s4)) AS den16
+            FROM lifted
+        ),
+        stat AS (
+            -- the 10^8 lifts cancel exactly: z = num8 / sqrt(den16)
+            SELECT n, CAST(num8 AS DOUBLE) / sqrt(CAST(den16 AS DOUBLE)) AS z
+            FROM mom WHERE den16 > 0
+        )
+        SELECT n AS n_docs,
+               ROUND(z, 6) AS z_spiegelhalter,
+               ROUND(2.0 * {{SF}}, 6) AS p_value
+        FROM stat
+    """.replace("{SF}", normal_sf_sql("abs(z)")),
+    doc=(
+        "SPIEGELHALTER'S Z CALIBRATION TEST of the quality score as a "
+        "probability of the en label: z = sum (y-p)(1-2p) / "
+        "sqrt(sum (1-2p)^2 p(1-p)) — the SIGNIFICANCE layer the "
+        "calibration diagnostics stack was missing (ECE measures the "
+        "miscalibration magnitude, Hosmer-Lemeshow tests the binned "
+        "curve, Brier decomposes the loss; Spiegelhalter tests the "
+        "UNBINNED calibration component of the Brier score directly, "
+        "no binning choices at all). With 10^4-lifted scores every "
+        "per-row term is an exact integer: the numerator lifted by "
+        "10^8 and the denominator by 10^16 (HUGEINT/DECIMAL(38,0) — "
+        "1e16-per-row terms pass int64 at ~1e3 rows), and the lifts "
+        "cancel exactly in z = num/sqrt(den). Two-sided p through the "
+        "shared A&S tail. ONE corpus-scale aggregate, one row out."
+    ),
+    tags=("evals", "statistics", "llm"),
+)
+def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    lifted = s.select(
+        F.round(F.col("score") * 10000).cast("bigint").alias("s4"),
+        F.col("label").cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    one_minus_2p = F.lit(10000) - 2 * F.col("s4")
+    mom = lifted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("y") * 10000 - F.col("s4")).cast(dec) * one_minus_2p
+        ).alias("num8"),
+        F.sum(
+            one_minus_2p.cast(dec)
+            * one_minus_2p
+            * F.col("s4")
+            * (F.lit(10000) - F.col("s4"))
+        ).alias("den16"),
+    )
+    z = F.col("num8").cast("double") / F.sqrt(F.col("den16").cast("double"))
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    return (
+        mom.filter(F.col("den16") > 0)
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round(z, 6).alias("z_spiegelhalter"),
+            F.round(F.lit(2.0) * normal_sf_col(F.abs(z)), 6).alias("p_value"),
+        )
+    )

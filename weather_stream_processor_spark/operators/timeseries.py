@@ -3339,3 +3339,138 @@ def turning_point_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.round(F.lit(2.0) * normal_sf_col(F.abs(z)), 6).alias("p_value"),
     )
+
+
+_KUPIEC_P = 0.1  # VaR coverage under test: P(breach) = 1 - 0.9
+
+
+@register(
+    "kupiec_pof_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        train AS (
+            SELECT event_type, cents FROM daily
+            WHERE day < TIMESTAMP '{_PINBALL_SPLIT}'
+        ),
+        qs AS (
+            SELECT event_type,
+                   CAST(quantile_disc(cents, 0.9) AS BIGINT) AS var90
+            FROM train GROUP BY event_type
+        ),
+        test AS (
+            SELECT event_type, cents FROM daily
+            WHERE day >= TIMESTAMP '{_PINBALL_SPLIT}'
+        ),
+        breaches AS (
+            SELECT t.event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN t.cents > q.var90
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM test t JOIN qs q USING (event_type)
+            GROUP BY t.event_type
+        ),
+        lr AS (
+            -- x*ln(x/n) and (n-x)*ln(1-x/n) with the 0*ln(0) = 0
+            -- convention made explicit (x = 0 and x = n are legal)
+            SELECT event_type, n, x,
+                   -2.0 * ((n - x) * ln(1.0 - {_KUPIEC_P!r})
+                           + x * ln({_KUPIEC_P!r})
+                           - (CASE WHEN x < n
+                                   THEN (n - x) * ln(1.0 - x * 1.0 / n)
+                                   ELSE 0.0 END)
+                           - (CASE WHEN x > 0
+                                   THEN x * ln(x * 1.0 / n)
+                                   ELSE 0.0 END)) AS lr_pof
+            FROM breaches WHERE n > 0
+        )
+        SELECT event_type, n AS n_test_days, x AS n_breaches,
+               ROUND(x * 1.0 / n, 6) AS breach_rate,
+               ROUND(lr_pof, 6) AS lr_pof,
+               ROUND(2.0 * {{SF}}, 6) AS p_value
+        FROM lr
+    """.replace("{SF}", normal_sf_sql("sqrt(lr_pof)")),
+    doc=(
+        "KUPIEC PROPORTION-OF-FAILURES BACKTEST of the q90 daily-revenue "
+        "VaR forecast: the likelihood-ratio test LR = -2 ln[(1-p)^(n-x) "
+        "p^x / ((1-x/n)^(n-x) (x/n)^x)] of whether the OBSERVED breach "
+        "count x out of n held-out days is consistent with the promised "
+        "10% breach rate — the SIGNIFICANCE layer pinball_loss_backtest's "
+        "raw coverage_80 column lacks (12% observed vs 10% promised: "
+        "bad luck or a broken forecast? Kupiec answers with a p-value; "
+        "this is the Basel-style VaR validation run against every "
+        "quantile forecaster). Same train/test split and exact integer "
+        "quantile convention as pinball_loss_backtest (quantile_disc on "
+        "integer daily cents); x and n are exact BIGINTs; the 0*ln(0)=0 "
+        "boundary cases (x=0, x=n) are explicit mirrored CASE branches. "
+        "Under H0 LR ~ chi-square(1), whose survival is EXACTLY "
+        "2*Phi-bar(sqrt(LR)) — the shared A&S tail, no Wilson-Hilferty "
+        "needed at df=1. One (type, day) aggregate; day-grid arithmetic "
+        "after."
+    ),
+    tags=("timeseries", "statistics", "evals"),
+)
+def kupiec_pof_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit(_PINBALL_SPLIT).cast("timestamp")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    train = daily.filter(F.col("day") < split)
+    # exact discrete q90 via the sorted-array selection on the bounded
+    # per-type day list (the pinball_loss_backtest convention)
+    xs = train.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("cents")).alias("xs")
+    )
+    # quantile_disc convention: element at ceil(q * n) (1-based) — the
+    # exact pinball_loss_backtest selection
+    idx = F.greatest(F.ceil(0.9 * F.size("xs")), F.lit(1)).cast("int")
+    qs = xs.select(
+        "event_type", F.element_at("xs", idx).cast("bigint").alias("var90")
+    )
+    test = daily.filter(F.col("day") >= split)
+    breaches = (
+        test.join(qs, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("cents") > F.col("var90"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    n, x = F.col("n"), F.col("x")
+    rate = x * F.lit(1.0) / n
+    lr = F.lit(-2.0) * (
+        (n - x) * F.lit(math.log(1.0 - _KUPIEC_P))
+        + x * F.lit(math.log(_KUPIEC_P))
+        - F.when(x < n, (n - x) * F.log(F.lit(1.0) - rate)).otherwise(
+            F.lit(0.0)
+        )
+        - F.when(x > 0, x * F.log(rate)).otherwise(F.lit(0.0))
+    )
+    stat = breaches.filter(n > 0).select(
+        "event_type", "n", "x", lr.alias("lr_pof")
+    )
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_test_days"),
+        F.col("x").alias("n_breaches"),
+        F.round(F.col("x") * F.lit(1.0) / F.col("n"), 6).alias("breach_rate"),
+        F.round(F.col("lr_pof"), 6).alias("lr_pof"),
+        F.round(
+            F.lit(2.0) * normal_sf_col(F.sqrt(F.col("lr_pof"))), 6
+        ).alias("p_value"),
+    )
