@@ -88,7 +88,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "ljung_box_autocorr", "wald_wolfowitz_runs", "turning_point_test",
     "jarque_bera_normality", "bartlett_variance_test", "mood_median_test",
     "page_trend_test", "err_retrieval_eval", "spiegelhalter_z_calibration",
-    "kupiec_pof_backtest",
+    "kupiec_pof_backtest", "cramer_von_mises_drift", "anderson_darling_drift",
+    "poisson_dispersion_test",
 )
 
 

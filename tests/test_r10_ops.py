@@ -542,3 +542,141 @@ def test_kupiec_boundary_cases():
     assert lr(100, 0) > 0 and math.isfinite(lr(100, 0))
     assert lr(100, 100) > 0 and math.isfinite(lr(100, 100))
     assert abs(lr(100, 10)) < 1e-12  # observed rate == promised rate
+
+
+# --------------------------------------------------------------------------
+# cramer_von_mises_drift / anderson_darling_drift
+# --------------------------------------------------------------------------
+
+
+def _bucketed_two_sample():
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+               CAST(FLOOR(value * 10) AS BIGINT) AS bucket
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        WHERE event_type IN ('click', 'purchase')
+        """
+    ).fetchall()
+    from collections import Counter
+
+    ca = Counter(b for g, b in rows if g == 0)
+    cb = Counter(b for g, b in rows if g == 1)
+    return ca, cb
+
+
+def test_cvm_matches_python(spark):
+    ca, cb = _bucketed_two_sample()
+    na, nb = sum(ca.values()), sum(cb.values())
+    n = na + nb
+    cum_a = cum_b = 0
+    t_num = 0
+    for bucket in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(bucket, 0)
+        cum_b += cb.get(bucket, 0)
+        t_k = ca.get(bucket, 0) + cb.get(bucket, 0)
+        t_num += t_k * (cum_a * nb - cum_b * na) ** 2
+    t = t_num / (n * n * na * nb)
+    row = _run(spark, "cramer_von_mises_drift").collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.cvm_t - t) < 1e-6
+    assert row.drifted == (t > 0.461)
+
+
+def test_ad_matches_python(spark):
+    ca, cb = _bucketed_two_sample()
+    na, nb = sum(ca.values()), sum(cb.values())
+    n = na + nb
+    cum_a = h = 0
+    s = 0.0
+    for bucket in sorted(set(ca) | set(cb)):
+        cum_a += ca.get(bucket, 0)
+        t_k = ca.get(bucket, 0) + cb.get(bucket, 0)
+        h += t_k
+        if h < n:
+            s += t_k * (cum_a * n - na * h) ** 2 / (h * (n - h))
+    a2 = s / (na * nb)
+    row = _run(spark, "anderson_darling_drift").collect()[0]
+    assert (row.n_a, row.n_b) == (na, nb)
+    assert abs(row.ad_a2 - a2) < max(1e-5, 1e-8 * a2)
+    assert row.drifted == (a2 > 2.492)
+
+
+def test_drift_quartet_sensitivity_profiles():
+    """The reason all four drift tests ship: a TAIL-ONLY shift moves AD
+    proportionally far more than CvM. Constructed grids, pure Python."""
+
+    def stats(ca, cb):
+        na, nb = sum(ca.values()), sum(cb.values())
+        n = na + nb
+        cum_a = cum_b = h = 0
+        t_num, ad = 0, 0.0
+        for bucket in sorted(set(ca) | set(cb)):
+            cum_a += ca.get(bucket, 0)
+            cum_b += cb.get(bucket, 0)
+            t_k = ca.get(bucket, 0) + cb.get(bucket, 0)
+            h += t_k
+            t_num += t_k * (cum_a * nb - cum_b * na) ** 2
+            if h < n:
+                ad += t_k * (cum_a * n - na * h) ** 2 / (h * (n - h))
+        return t_num / (n * n * na * nb), ad / (na * nb)
+
+    base = {i: 100 for i in range(10)}
+    # tail-only drift: sample b moves 3% of mass from bucket 9 to a new
+    # extreme bucket 30
+    tail = dict(base)
+    tail[9] = 70
+    tail[30] = 30
+    # center drift of the same mass: bucket 4 -> 5
+    center = dict(base)
+    center[4] = 70
+    center[5] = 130
+    cvm_tail, ad_tail = stats(base, tail)
+    cvm_center, ad_center = stats(base, center)
+    # AD amplifies the tail case relative to CvM
+    assert ad_tail / ad_center > 2.0 * (cvm_tail / cvm_center)
+
+
+# --------------------------------------------------------------------------
+# poisson_dispersion_test
+# --------------------------------------------------------------------------
+
+
+def test_poisson_dispersion_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, _, x in rows:
+        by_type.setdefault(et, []).append(int(x))
+    out = {r.event_type: r for r in _run(spark, "poisson_dispersion_test").collect()}
+    for et, xs in by_type.items():
+        n, s = len(xs), sum(xs)
+        if n < 2 or s == 0:
+            assert et not in out
+            continue
+        ss = sum(x * x for x in xs)
+        d = (n * ss - s * s) / s
+        vmr = (n * ss - s * s) / (n * s) * n / (n - 1)
+        row = out[et]
+        assert (row.n_days, row.n_events) == (n, s)
+        assert abs(row.dispersion_chi2 - d) < max(1e-4, 1e-7 * d)
+        assert abs(row.vmr - vmr) < 1e-4
+        assert row.df == n - 1
+
+
+def test_poisson_dispersion_closed_forms():
+    """A perfectly regular series (constant counts) has D = 0; a maximally
+    bursty one (all events on one day) has D = s*(n-1)/... specifically
+    D = (n*s^2 - s^2)/s = s*(n-1)."""
+    xs = [7] * 30
+    n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+    assert n * ss - s * s == 0
+    burst = [0] * 29 + [100]
+    n, s, ss = len(burst), sum(burst), sum(x * x for x in burst)
+    assert (n * ss - s * s) / s == s * (n - 1) / 1  # == 2900

@@ -140,6 +140,16 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('bucket ASC NULLS FIRST',),
         '0.1-quantized bucket grid (bounded value domain)',
     ),
+    'cramer_von_mises_drift': (
+        ('<no order>', 'bucket ASC NULLS FIRST'),
+        '0.1-quantized bucket grid (bounded value domain) + whole-frame '
+        'totals over it',
+    ),
+    'anderson_darling_drift': (
+        ('<no order>', 'bucket ASC NULLS FIRST'),
+        '0.1-quantized bucket grid (bounded value domain) + whole-frame '
+        'totals over it',
+    ),
     'lang_source_chi_square': (
         ('<no order>',),
         '|langs| x |sources| contingency grid',

@@ -3474,3 +3474,128 @@ def kupiec_pof_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.0) * normal_sf_col(F.sqrt(F.col("lr_pof"))), 6
         ).alias("p_value"),
     )
+
+
+@register(
+    "poisson_dispersion_test",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+            -- squared daily counts overflow int64 at corpus scale:
+            -- HUGEINT/DECIMAL(38,0), the house exact-moment guard
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   SUM(CAST(x AS HUGEINT) * x) AS ss
+            FROM daily GROUP BY event_type
+            HAVING COUNT(*) >= 2 AND SUM(x) > 0
+        ),
+        stat AS (
+            -- chi2 = sum (x - xbar)^2 / xbar = (n*ss - s^2) / s exactly:
+            -- one double division of exact integers
+            SELECT event_type, n, s,
+                   CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+                        AS DOUBLE) / s AS d_stat,
+                   CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+                        AS DOUBLE) / (CAST(n AS DOUBLE) * s) * n / (n - 1.0)
+                       AS vmr,
+                   n - 1.0 AS df
+            FROM mom
+        ),
+        wh AS (
+            SELECT event_type, n, s, d_stat, vmr, df,
+                   (pow(d_stat / df, 1.0 / 3.0)
+                    - (1.0 - 2.0 / (9.0 * df)))
+                   / sqrt(2.0 / (9.0 * df)) AS z_wh
+            FROM stat
+        )
+        SELECT event_type, n AS n_days, s AS n_events,
+               ROUND(vmr, 6) AS vmr,
+               ROUND(d_stat, 6) AS dispersion_chi2,
+               CAST(df AS BIGINT) AS df,
+               ROUND({{SIGNED_SF}}, 6) AS p_wilson_hilferty
+        FROM wh
+    """.replace("{SIGNED_SF}", normal_sf_signed_sql("z_wh")),
+    doc=(
+        "POISSON DISPERSION TEST per event_type on the daily COUNT "
+        "series (Fisher's index-of-dispersion / variance test): under "
+        "a homogeneous Poisson arrival process the daily counts have "
+        "variance = mean, and D = sum (x - xbar)^2 / xbar ~ "
+        "chi-square(n-1); D >> df means OVERDISPERSION (bursty, "
+        "clustered arrivals — the signature of bot traffic, batch "
+        "imports, and incident storms) and D << df means suspicious "
+        "regularity (rate-limited or synthetic traffic). The "
+        "arrival-process diagnostic under the whole monitoring family: "
+        "CUSUM/EWMA/WE-rules assume a stable in-control distribution, "
+        "and this test says whether 'Poisson daily counts' is even the "
+        "right null. D is computed as (n*ss - s^2)/s — ONE double "
+        "division of exact integers (squared counts in "
+        "HUGEINT/DECIMAL(38,0) since they pass int64 at corpus scale); "
+        "the sample VMR (variance-to-mean ratio, Fisher-corrected "
+        "n/(n-1)) is emitted beside it. Wilson-Hilferty p through the "
+        "shared signed A&S tail. One (type, day) count aggregate is "
+        "the only corpus-scale stage; token_burstiness covers the "
+        "per-token VMR analog — this is the per-ARRIVAL-process one."
+    ),
+    tags=("timeseries", "statistics", "monitoring", "quality"),
+)
+def poisson_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    dec = "decimal(38,0)"
+    mom = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum(F.col("x").cast(dec) * F.col("x")).alias("ss"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    num = (
+        F.col("n").cast(dec) * F.col("ss")
+        - F.col("s").cast(dec) * F.col("s")
+    ).cast("double")
+    d_stat = num / F.col("s")
+    vmr = (
+        num
+        / (F.col("n").cast("double") * F.col("s"))
+        * F.col("n")
+        / (F.col("n") - F.lit(1.0))
+    )
+    df_ = F.col("n") * F.lit(1.0) - F.lit(1.0)
+    stat = mom.select(
+        "event_type",
+        "n",
+        "s",
+        d_stat.alias("d_stat"),
+        vmr.alias("vmr"),
+        df_.alias("df"),
+    )
+    z_wh = (
+        F.pow(F.col("d_stat") / F.col("df"), F.lit(1.0) / F.lit(3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * F.col("df")))
+    p = F.when(z_wh >= 0, normal_sf_col(z_wh)).otherwise(
+        F.lit(1.0) - normal_sf_col(-z_wh)
+    )
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.round(F.col("vmr"), 6).alias("vmr"),
+        F.round(F.col("d_stat"), 6).alias("dispersion_chi2"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(p, 6).alias("p_wilson_hilferty"),
+    )
