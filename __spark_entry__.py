@@ -89,7 +89,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "jarque_bera_normality", "bartlett_variance_test", "mood_median_test",
     "page_trend_test", "err_retrieval_eval", "spiegelhalter_z_calibration",
     "kupiec_pof_backtest", "cramer_von_mises_drift", "anderson_darling_drift",
-    "poisson_dispersion_test",
+    "poisson_dispersion_test", "seasonal_mann_kendall",
+    "theil_inequality_decomposition", "holm_bonferroni_stepdown",
 )
 
 

@@ -680,3 +680,169 @@ def test_poisson_dispersion_closed_forms():
     burst = [0] * 29 + [100]
     n, s, ss = len(burst), sum(burst), sum(x * x for x in burst)
     assert (n * ss - s * s) / s == s * (n - 1) / 1  # == 2900
+
+
+# --------------------------------------------------------------------------
+# seasonal_mann_kendall
+# --------------------------------------------------------------------------
+
+
+def test_seasonal_mk_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS lvl,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/orders.parquet')
+        GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    series: dict[int, dict[int, list[tuple[int, int]]]] = {}
+    for lvl, yr, mo, c in rows:
+        series.setdefault(int(lvl), {}).setdefault(int(mo), []).append(
+            (int(yr), int(c))
+        )
+    out = {
+        r.priority_level: r
+        for r in _run(spark, "seasonal_mann_kendall").collect()
+    }
+    from collections import Counter
+
+    for lvl, months in series.items():
+        s_tot, var_tot, n_pts = 0, 0.0, 0
+        for mo, pts in months.items():
+            pts.sort()
+            vals = [c for _, c in pts]
+            n = len(vals)
+            n_pts += n
+            for i in range(n):
+                for j in range(i + 1, n):
+                    s_tot += (vals[j] > vals[i]) - (vals[j] < vals[i])
+            ties = Counter(vals)
+            tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+            var_tot += (n * (n - 1) * (2 * n + 5) - tie_term) / 18.0
+        z = (
+            (s_tot - 1) / math.sqrt(var_tot)
+            if s_tot > 0
+            else (s_tot + 1) / math.sqrt(var_tot)
+            if s_tot < 0
+            else 0.0
+        )
+        row = out[lvl]
+        assert row.smk_s == s_tot
+        assert row.n_points == n_pts and row.n_seasons == len(months)
+        assert abs(row.var_s - var_tot) < 1e-4
+        assert abs(row.z_score - z) < 1e-5
+        assert abs(row.p_value - 2.0 * _as_sf(abs(z))) < 1e-4
+
+
+def test_seasonal_mk_excludes_cross_season_pairs():
+    """The defining property: a pure seasonal cycle with NO cross-year
+    trend yields S = 0 under the seasonal form, while plain MK on the
+    same series sees a huge |S| from cross-season comparisons."""
+    # 3 years x 4 seasons, strong cycle, zero trend
+    seasons = {m: [(y, 100 * m) for y in range(3)] for m in range(1, 5)}
+    s_seasonal = 0
+    for pts in seasons.values():
+        vals = [c for _, c in pts]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s_seasonal += (vals[j] > vals[i]) - (vals[j] < vals[i])
+    assert s_seasonal == 0
+    flat = [100 * m for _ in range(3) for m in range(1, 5)]
+    s_plain = sum(
+        (flat[j] > flat[i]) - (flat[j] < flat[i])
+        for i in range(len(flat))
+        for j in range(i + 1, len(flat))
+    )
+    assert abs(s_plain) > 0  # the cycle alone fabricates comparisons
+
+
+# --------------------------------------------------------------------------
+# theil_inequality_decomposition
+# --------------------------------------------------------------------------
+
+
+def test_theil_matches_python_and_decomposes(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT source, CAST(n_chars AS BIGINT)
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        WHERE n_chars > 0
+        """
+    ).fetchall()
+    by_src: dict[str, list[int]] = {}
+    for src, x in rows:
+        by_src.setdefault(src, []).append(int(x))
+    n = sum(len(v) for v in by_src.values())
+    s = sum(sum(v) for v in by_src.values())
+    mu = s / n
+    theil_total = sum(
+        x * math.log(x) for v in by_src.values() for x in v
+    ) / s - math.log(mu)
+    between = within = 0.0
+    per_src = {}
+    for src, v in by_src.items():
+        sg, ng = sum(v), len(v)
+        mug = sg / ng
+        tg = sum(x * math.log(x) for x in v) / sg - math.log(mug)
+        share = sg / s
+        per_src[src] = (ng, sg, tg, share * math.log(mug / mu), share * tg)
+        between += share * math.log(mug / mu)
+        within += share * tg
+    # Theil's additive decomposition identity
+    assert abs(theil_total - (between + within)) < 1e-12
+    out = {
+        r.source: r
+        for r in _run(spark, "theil_inequality_decomposition").collect()
+    }
+    for src, (ng, sg, tg, bt, wt) in per_src.items():
+        row = out[src]
+        assert (row.n_docs, row.total_chars) == (ng, sg)
+        assert abs(row.theil_within_source - tg) < 1e-4
+        assert abs(row.between_contribution - bt) < 1e-4
+        assert abs(row.within_contribution - wt) < 1e-4
+        assert abs(row.theil_total - theil_total) < 1e-4
+        assert abs(row.theil_between - between) < 1e-4
+        assert abs(row.theil_within - within) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# holm_bonferroni_stepdown
+# --------------------------------------------------------------------------
+
+
+def test_holm_stepdown_properties(spark):
+    """Holm invariants against the operator output: p_adj is monotone
+    non-decreasing in rank order, >= raw p, <= min(1, m*p) (Bonferroni),
+    and equals max_j<=i (m-j+1)p_(j) recomputed from the raw p column."""
+    out = _run(spark, "holm_bonferroni_stepdown").collect()
+    m = len(out)
+    rows = sorted(out, key=lambda r: (r.p_value, r.source))
+    run_max, prev_adj = 0.0, 0.0
+    for i, r in enumerate(rows, 1):
+        run_max = max(run_max, r.p_value * (m - i + 1))
+        expect = min(run_max, 1.0)
+        assert abs(r.p_adj - expect) < 2e-5, (r.source, r.p_adj, expect)
+        assert r.p_adj >= r.p_value - 1e-9
+        assert r.p_adj <= min(1.0, m * r.p_value) + 2e-5
+        assert r.p_adj >= prev_adj - 1e-9  # monotone step-down
+        prev_adj = r.p_adj
+        assert r.significant == (r.p_adj < 0.05)
+
+
+def test_holm_vs_bh_ordering_construction():
+    """On any p family: Holm adjustments are >= BH adjustments (FWER
+    control is stricter than FDR control)."""
+    ps = [0.001, 0.004, 0.012, 0.02, 0.09, 0.3, 0.7]
+    m = len(ps)
+    holm, run = [], 0.0
+    for i, p in enumerate(ps, 1):
+        run = max(run, p * (m - i + 1))
+        holm.append(min(run, 1.0))
+    bh, best = [0.0] * m, 1.0
+    for i in range(m, 0, -1):
+        best = min(best, ps[i - 1] * m / i)
+        bh[i - 1] = best
+    assert all(h >= b - 1e-12 for h, b in zip(holm, bh))

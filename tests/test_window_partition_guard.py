@@ -277,6 +277,10 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>',),
         'whole-frame deviation sum over the k-row treatment table',
     ),
+    'theil_inequality_decomposition': (
+        ('<no order>',),
+        'whole-frame between/within sums over the |sources|-row grid',
+    ),
     'mood_median_test': (
         ('<no order>', 'cent ASC NULLS FIRST'),
         'global-median cumulative over the bounded integer-cent grid '
@@ -758,6 +762,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'bartlett_variance_test': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',  # 1-row pooled-variance totals frame
+    ),
+    'theil_inequality_decomposition': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row corpus totals frame
     ),
     'mood_median_test': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 5,

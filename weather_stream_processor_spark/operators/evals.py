@@ -5511,3 +5511,173 @@ def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(2.0) * normal_sf_col(F.abs(z)), 6).alias("p_value"),
         )
     )
+
+
+@register(
+    "holm_bonferroni_stepdown",
+    oracle=f"""
+        WITH {_SCORE_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,")},
+        lifted AS (
+            SELECT source,
+                   CAST(ROUND(score * 10000) AS BIGINT) AS s4
+            FROM scored
+        ),
+        mom AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS ns,
+                   CAST(SUM(s4) AS BIGINT) AS ss,
+                   SUM(CAST(s4 AS HUGEINT) * s4) AS sss
+            FROM lifted GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(ns) AS BIGINT) AS n,
+                   CAST(SUM(ss) AS BIGINT) AS s,
+                   SUM(sss) AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS m
+            FROM mom
+        ),
+        tests AS (
+            SELECT mom.source, mom.ns, t.m,
+                   ROUND(mom.ss * 1.0 / mom.ns / 10000.0, 6) AS mean_score,
+                   (mom.ss * 1.0 / mom.ns
+                    - (t.s - mom.ss) * 1.0 / (t.n - mom.ns))
+                   / sqrt(
+                       ((CAST(mom.sss AS DOUBLE) / mom.ns
+                         - (mom.ss * 1.0 / mom.ns)
+                           * (mom.ss * 1.0 / mom.ns))
+                        * mom.ns / (mom.ns - 1.0)) / mom.ns
+                       + ((CAST(t.sq - mom.sss AS DOUBLE) / (t.n - mom.ns)
+                           - ((t.s - mom.ss) * 1.0 / (t.n - mom.ns))
+                             * ((t.s - mom.ss) * 1.0 / (t.n - mom.ns)))
+                          * (t.n - mom.ns)
+                          / ((t.n - mom.ns) - 1.0)) / (t.n - mom.ns)
+                     ) AS z
+            FROM mom CROSS JOIN tot t
+        ),
+        pvals AS (
+            SELECT source, ns, m, mean_score,
+                   ROUND(z, 6) AS z_score,
+                   2.0 * {_fdr_sf_sql("abs(z)")} AS p,
+                   ROW_NUMBER() OVER (
+                       ORDER BY 2.0 * {_fdr_sf_sql("abs(z)")} ASC, source ASC
+                   ) AS rnk
+            FROM tests
+        ),
+        adj AS (
+            -- Holm step-DOWN: p_adj(i) = min(1, max_(j<=i) (m-j+1)*p_j)
+            -- — a FORWARD cumulative max, the mirror image of BH's
+            -- reverse cumulative min
+            SELECT source, ns, mean_score, z_score, p, rnk,
+                   LEAST(MAX(p * (m - rnk + 1)) OVER (
+                       ORDER BY rnk ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 1.0) AS p_adj
+            FROM pvals
+        )
+        SELECT source, ns AS n_docs, mean_score, z_score,
+               ROUND(p, 6) AS p_value,
+               ROUND(p_adj, 6) AS p_adj,
+               p_adj < {_FDR_ALPHA} AS significant
+        FROM adj
+    """,
+    doc=(
+        "HOLM-BONFERRONI STEP-DOWN correction over the per-source "
+        "QUALITY-SCORE test family (each source's mean lexical-"
+        "diversity score Welch-z-tested against the rest of the corpus "
+        "via total-minus-source moments, one scan): p_adj(i) = min(1, "
+        "max_j<=i (m-j+1)*p_(j)) — the FWER-controlling discipline "
+        "that pairs with bh_fdr_correction's FDR control (BH bounds "
+        "the expected FALSE-DISCOVERY share and is the right gate for "
+        "exploratory segment reports; Holm bounds the probability of "
+        "ANY false positive and is the right gate when a single flag "
+        "triggers an expensive action — uniformly more powerful than "
+        "plain Bonferroni at the same guarantee, never weaker). "
+        "Structurally BH's mirror image: a FORWARD cumulative max over "
+        "the ranked p-value grid instead of a reverse cumulative min; "
+        "the two operators differ in exactly the window that encodes "
+        "the inferential contract — deliberate, documented pairing. "
+        "Score moments are exact integers (squared 10^4-lifted scores "
+        "in HUGEINT/DECIMAL(38,0)); the p grid is |sources|-row "
+        "bounded. One corpus-scale aggregate."
+    ),
+    tags=("evals", "experimentation", "statistics", "quality"),
+)
+def holm_bonferroni_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+    )
+    lifted = docs.select(
+        "source", F.round(score * 10000).cast("bigint").alias("s4")
+    )
+    dec = "decimal(38,0)"
+    mom = lifted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("s4").cast("bigint").alias("ss"),
+        F.sum(F.col("s4").cast(dec) * F.col("s4")).alias("sss"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def build(mom_c: DataFrame) -> DataFrame:
+        tot = mom_c.agg(
+            F.sum("ns").cast("bigint").alias("n"),
+            F.sum("ss").cast("bigint").alias("s"),
+            F.sum("sss").alias("sq"),
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+        )
+        j = mom_c.crossJoin(F.broadcast(tot))
+        mean_s = F.col("ss") * F.lit(1.0) / F.col("ns")
+        nr = F.col("n") - F.col("ns")
+        mean_r = (F.col("s") - F.col("ss")) * F.lit(1.0) / nr
+        var_s = (
+            (F.col("sss").cast("double") / F.col("ns") - mean_s * mean_s)
+            * F.col("ns")
+            / (F.col("ns") - F.lit(1.0))
+        )
+        var_r = (
+            (
+                (F.col("sq") - F.col("sss")).cast("double") / nr
+                - mean_r * mean_r
+            )
+            * nr
+            / (nr - F.lit(1.0))
+        )
+        z = (mean_s - mean_r) / F.sqrt(var_s / F.col("ns") + var_r / nr)
+        from weather_stream_processor_spark.operators._normal_tail import (
+            normal_sf_col,
+        )
+
+        p = F.lit(2.0) * normal_sf_col(F.abs(z))
+        w_rank = Window.orderBy(F.asc("p"), F.asc("source"))  # |sources| rows
+        pvals = j.select(
+            "source",
+            "ns",
+            "m",
+            F.round(mean_s / F.lit(10000.0), 6).alias("mean_score"),
+            F.round(z, 6).alias("z_score"),
+            p.alias("p"),
+        ).withColumn("rnk", F.row_number().over(w_rank))
+        w_fwd = Window.orderBy(F.asc("rnk")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        adj = pvals.withColumn(
+            "p_adj",
+            F.least(
+                F.max(
+                    F.col("p") * (F.col("m") - F.col("rnk") + 1)
+                ).over(w_fwd),
+                F.lit(1.0),
+            ),
+        )
+        return adj.select(
+            "source",
+            F.col("ns").alias("n_docs"),
+            "mean_score",
+            "z_score",
+            F.round("p", 6).alias("p_value"),
+            F.round("p_adj", 6).alias("p_adj"),
+            (F.col("p_adj") < _FDR_ALPHA).alias("significant"),
+        )
+
+    return persisted_result(mom, build)

@@ -4329,3 +4329,124 @@ def nucleus_topp_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("covered_mass"),
         )
     )
+
+
+@register(
+    "theil_inequality_decomposition",
+    oracle="""
+        WITH grid AS (
+            -- (source, n_chars) grid: n_chars is a bounded integer
+            -- domain, so the x*ln(x) sum runs over the grid, never raw
+            -- rows — the same quantized-grid trick as the KS family
+            SELECT source, CAST(n_chars AS BIGINT) AS x,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM documents WHERE n_chars > 0
+            GROUP BY source, n_chars
+        ),
+        g AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_g,
+                   CAST(SUM(cnt * x) AS BIGINT) AS s_g,
+                   SUM(cnt * x * ln(x * 1.0)) AS xl_g
+            FROM grid GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   SUM(xl_g) AS xl
+            FROM g
+        ),
+        parts AS (
+            SELECT g.source, g.n_g, g.s_g,
+                   g.xl_g / g.s_g - ln(g.s_g * 1.0 / g.n_g) AS theil_g,
+                   (g.s_g * 1.0 / t.s)
+                       * ln((g.s_g * 1.0 / g.n_g) / (t.s * 1.0 / t.n))
+                       AS between_term,
+                   (g.s_g * 1.0 / t.s)
+                       * (g.xl_g / g.s_g - ln(g.s_g * 1.0 / g.n_g))
+                       AS within_term,
+                   t.xl / t.s - ln(t.s * 1.0 / t.n) AS theil_total
+            FROM g CROSS JOIN tot t
+        )
+        SELECT source, n_g AS n_docs, s_g AS total_chars,
+               ROUND(theil_g, 6) AS theil_within_source,
+               ROUND(between_term, 6) AS between_contribution,
+               ROUND(within_term, 6) AS within_contribution,
+               ROUND(theil_total, 6) AS theil_total,
+               ROUND(SUM(between_term) OVER (), 6) AS theil_between,
+               ROUND(SUM(within_term) OVER (), 6) AS theil_within
+        FROM parts
+    """,
+    doc=(
+        "THEIL-T INEQUALITY DECOMPOSITION of document length (n_chars) "
+        "by source: the inequality measure the registered Gini/Lorenz "
+        "pair CANNOT provide — Theil's T = (1/N) sum (x/mu) ln(x/mu) "
+        "is ADDITIVELY DECOMPOSABLE (Theil 1967): T_total = T_between "
+        "+ T_within exactly, so the report answers 'is corpus length "
+        "inequality driven by sources having different typical lengths "
+        "(between) or by spread inside each source (within)' — the "
+        "question that decides whether length-balancing a training mix "
+        "should reweight SOURCES or re-chunk DOCUMENTS. Per-source "
+        "rows carry the within-source Theil, each source's "
+        "share-weighted contribution to both components, and the "
+        "global T/between/within (the identity is replay-tested). "
+        "x*ln(x) sums run over the bounded (source, n_chars) GRID — "
+        "one conditional-count aggregate, never a per-row float sum "
+        "over the corpus; counts and char sums are exact BIGINTs; "
+        "ln on identical integer-valued doubles in both engines "
+        "(theils_u precedent). Zero-length docs excluded, mirrored."
+    ),
+    tags=("text", "llm", "statistics", "quality", "window"),
+)
+def theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grid = (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy("source", F.col("n_chars").cast("bigint").alias("x"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    g = grid.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_g"),
+        F.sum(F.col("cnt") * F.col("x")).cast("bigint").alias("s_g"),
+        F.sum(
+            F.col("cnt") * F.col("x") * F.log(F.col("x") * F.lit(1.0))
+        ).alias("xl_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("xl_g").alias("xl"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    mu_g = F.col("s_g") * F.lit(1.0) / F.col("n_g")
+    mu = F.col("s") * F.lit(1.0) / F.col("n")
+    theil_g = F.col("xl_g") / F.col("s_g") - F.log(mu_g)
+    share = F.col("s_g") * F.lit(1.0) / F.col("s")
+    between = share * F.log(mu_g / mu)
+    within = share * theil_g
+    theil_total = F.col("xl") / F.col("s") - F.log(mu)
+    parts = j.select(
+        "source",
+        "n_g",
+        "s_g",
+        theil_g.alias("theil_g"),
+        between.alias("between_term"),
+        within.alias("within_term"),
+        theil_total.alias("theil_total"),
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return parts.select(
+        "source",
+        F.col("n_g").alias("n_docs"),
+        F.col("s_g").alias("total_chars"),
+        F.round(F.col("theil_g"), 6).alias("theil_within_source"),
+        F.round(F.col("between_term"), 6).alias("between_contribution"),
+        F.round(F.col("within_term"), 6).alias("within_contribution"),
+        F.round(F.col("theil_total"), 6).alias("theil_total"),
+        F.round(F.sum("between_term").over(w_all), 6).alias("theil_between"),
+        F.round(F.sum("within_term").over(w_all), 6).alias("theil_within"),
+    )
