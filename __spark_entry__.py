@@ -91,6 +91,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "kupiec_pof_backtest", "cramer_von_mises_drift", "anderson_darling_drift",
     "poisson_dispersion_test", "seasonal_mann_kendall",
     "theil_inequality_decomposition", "holm_bonferroni_stepdown",
+    "funnel_conformance_sequences", "temperature_scaling_fit",
 )
 
 

@@ -846,3 +846,129 @@ def test_holm_vs_bh_ordering_construction():
         best = min(best, ps[i - 1] * m / i)
         bh[i - 1] = best
     assert all(h >= b - 1e-12 for h, b in zip(holm, bh))
+
+
+# --------------------------------------------------------------------------
+# funnel_conformance_sequences
+# --------------------------------------------------------------------------
+
+
+def test_funnel_conformance_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT user_id, substr(event_type, 1, 1) AS letter, MIN(ts)
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for uid, letter, ts in rows:
+        by_user.setdefault(uid, []).append((ts, letter))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    from collections import Counter
+
+    seqs = Counter(
+        "".join(l for _, l in sorted(pts)) for pts in by_user.values()
+    )
+    n = sum(seqs.values())
+    out = {r.first_seq: r for r in _run(spark, "funnel_conformance_sequences").collect()}
+    assert set(out) == set(seqs)
+    for seq, cnt in seqs.items():
+        row = out[seq]
+        assert row.n_users == cnt
+        assert row.edit_distance == lev(seq, "svcp"), seq
+        assert abs(row.user_share - cnt / n) < 1e-6
+
+
+def test_funnel_conformance_bounded_output():
+    """First-occurrence sequences are permutations of subsets of 4
+    letters: at most sum_k P(4,k) = 65 variants at ANY corpus size."""
+    total = sum(
+        math.factorial(4) // math.factorial(4 - k) for k in range(0, 5)
+    )
+    assert total == 65
+
+
+# --------------------------------------------------------------------------
+# temperature_scaling_fit
+# --------------------------------------------------------------------------
+
+
+def test_temperature_scaling_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT CAST(ROUND(len(list_distinct(string_split(text, ' '))) * 1.0
+                          / len(string_split(text, ' ')) * 10000) AS BIGINT),
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+        FROM read_parquet('{SF_SMOKE}/documents.parquet')
+        """
+    ).fetchall()
+    pts = [(s4, y) for s4, y in rows if 0 < s4 < 10000]
+
+    def newton(iters=6):
+        t = 1.0
+        for _ in range(iters):
+            g = h = 0.0
+            for s4, y in pts:
+                z = math.log(s4 / (10000 - s4))
+                sg = 1.0 / (1.0 + math.exp(-z / t))
+                g += (sg - y) * (-z) / (t * t)
+                h += sg * (1 - sg) * z * z / t**4 + (sg - y) * 2 * z / t**3
+            t = max(t - g / h, 0.25)
+        return t
+
+    def nll(t):
+        s = 0.0
+        for s4, y in pts:
+            u = math.log(s4 / (10000 - s4)) / t
+            s += max(u, 0.0) - y * u + math.log(1.0 + math.exp(-abs(u)))
+        return s / len(pts)
+
+    t_hat = newton()
+    row = _run(spark, "temperature_scaling_fit").collect()[0]
+    assert row.n_docs == len(pts)
+    assert abs(row.t_hat - t_hat) < 1e-4
+    assert abs(row.nll_per_doc_t1 - nll(1.0)) < 1e-4
+    assert abs(row.nll_per_doc_that - nll(t_hat)) < 1e-4
+    # the fitted temperature can only improve (or match) the NLL
+    assert row.nll_per_doc_that <= row.nll_per_doc_t1 + 1e-9
+
+
+def test_temperature_scaling_recovers_known_temperature():
+    """Construction: scores produced by sigmoid(z/T*) with labels drawn
+    to match sigmoid(z) exactly (deterministic fractional counts) are
+    re-calibrated to T ~ T*."""
+    # grid of logits, 'counts' via weights: y=1 mass sigma(z), y=0 rest
+    zs = [(-6 + 0.5 * i) for i in range(25)]
+    T_STAR = 2.0
+
+    def fit(iters=40):
+        t = 1.0
+        for _ in range(iters):
+            g = h = 0.0
+            for z in zs:
+                # observed z' = z * T_STAR (over-confident logits)
+                zz = z * T_STAR
+                p1 = 1.0 / (1.0 + math.exp(-z))  # true label mass
+                for y, w in ((1, p1), (0, 1 - p1)):
+                    sg = 1.0 / (1.0 + math.exp(-zz / t))
+                    g += w * (sg - y) * (-zz) / (t * t)
+                    h += w * (
+                        sg * (1 - sg) * zz * zz / t**4
+                        + (sg - y) * 2 * zz / t**3
+                    )
+            t = max(t - g / h, 0.25)
+        return t
+
+    assert abs(fit() - T_STAR) < 1e-6

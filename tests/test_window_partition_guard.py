@@ -767,6 +767,14 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',  # 1-row corpus totals frame
     ),
+    'funnel_conformance_sequences': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row user-count frame
+    ),
+    'temperature_scaling_fit': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',) * 7,
+        'bounded-build',  # 6 Newton-step 1-row T frames + the final one
+    ),
     'mood_median_test': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 5,
         'bounded-build',  # 1-row total / median / margin frames

@@ -3386,3 +3386,94 @@ def theils_u_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the contingency feeds four aggregate subtrees — persist it so the
     # documents scan executes once
     return persisted_result(cont, build)
+
+
+@register(
+    "funnel_conformance_sequences",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, substr(event_type, 1, 1) AS letter,
+                   MIN(ts) AS first_ts
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+            GROUP BY 1, 2
+        ),
+        seqs AS (
+            SELECT user_id,
+                   string_agg(letter, '' ORDER BY first_ts, letter)
+                       AS first_seq
+            FROM firsts GROUP BY user_id
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seqs)
+        SELECT first_seq,
+               CAST(levenshtein(first_seq, 'svcp') AS BIGINT)
+                   AS edit_distance,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(COUNT(*) * 1.0 / n, 6) AS user_share
+        FROM seqs CROSS JOIN tot
+        GROUP BY first_seq, n
+    """,
+    doc=(
+        "PROCESS-MINING CONFORMANCE of user adoption journeys: each "
+        "user's FIRST-OCCURRENCE sequence over the funnel event types "
+        "(the order in which signup/view/click/purchase first appear "
+        "in their history, error events excluded as process noise) is "
+        "compared to the canonical adoption path 'svcp' by edit "
+        "distance — the conformance-checking step of process mining "
+        "(van der Aalst): top_event_paths says which raw trigram paths "
+        "are common, event_pattern_regex finds ONE pattern, this "
+        "scores EVERY user's journey against the designed process and "
+        "histograms the variants (distance 0 = textbook adopters; "
+        "distance 2+ = journeys the funnel design never anticipated — "
+        "the rows a PM actually reads). The first-occurrence trick "
+        "bounds each user's trace at <= 4 letters, so the "
+        "per-sequence levenshtein is O(16) and the output is bounded "
+        "by the <= 65 subset-permutations regardless of corpus size; "
+        "the letters are ASCII so Spark's code-point levenshtein and "
+        "DuckDB's byte levenshtein agree (the CER contract). Ties on "
+        "first_ts break by letter, mirrored. One (user, type) MIN "
+        "aggregate + one per-user fold; nothing else is corpus-scale."
+    ),
+    tags=("analytics", "funnel", "llm", "quality"),
+)
+def funnel_conformance_sequences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(
+            F.col("event_type").isin("signup", "view", "click", "purchase")
+        )
+        .groupBy(
+            "user_id", F.substring("event_type", 1, 1).alias("letter")
+        )
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    # array_sort on (first_ts, letter) structs = the oracle's ORDER BY
+    seqs = firsts.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("first_ts", "letter"))),
+                lambda s: s.letter,
+            ),
+        ).alias("first_seq")
+    )
+    tot = seqs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        seqs.crossJoin(F.broadcast(tot))
+        .groupBy("first_seq", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            "first_seq",
+            F.levenshtein(F.col("first_seq"), F.lit("svcp"))
+            .cast("bigint")
+            .alias("edit_distance"),
+            "n_users",
+            F.round(F.col("n_users") * F.lit(1.0) / F.col("n"), 6).alias(
+                "user_share"
+            ),
+        )
+    )

@@ -5681,3 +5681,160 @@ def holm_bonferroni_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(mom, build)
+
+
+_TSCAL_ITERS = 6
+_TSCAL_TMIN = 0.25  # Newton clamp: keeps |logit/T| <= 37, sigma in (0,1)
+
+
+def _tscal_oracle() -> str:
+    """Six unrolled Newton steps for the scalar temperature, each one
+    aggregate over the bounded (s4, y) grid — the PQ-Lloyd CTE-unroll
+    convention applied to a 1-parameter MLE."""
+    sig = "(1.0 / (1.0 + exp(-(z / t))))"
+    gterm = f"cnt * ({sig} - y) * (-(z)) / (t * t)"
+    hterm = (
+        f"cnt * ({sig} * (1.0 - {sig}) * z * z / (t * t * t * t)"
+        f" + ({sig} - y) * 2.0 * z / (t * t * t))"
+    )
+    # numerically stable BCE: max(u,0) - y*u + ln(1+exp(-|u|))
+    def nll(tref: str) -> str:
+        u = f"(z / {tref})"
+        return (
+            f"SUM(cnt * (GREATEST({u}, 0.0) - y * {u}"
+            f" + ln(1.0 + exp(-abs({u})))))"
+        )
+
+    sql = [
+        f"""
+        WITH {_SCORE_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,")},
+        lifted AS (
+            SELECT CAST(ROUND(score * 10000) AS BIGINT) AS s4,
+                   CAST(label AS BIGINT) AS y
+            FROM scored
+            WHERE ROUND(score * 10000) > 0 AND ROUND(score * 10000) < 10000
+        ),
+        grid AS (
+            SELECT s4, y, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   ln(s4 * 1.0 / (10000 - s4)) AS z
+            FROM lifted GROUP BY s4, y
+        ),
+        t0 AS (SELECT CAST(1.0 AS DOUBLE) AS t)"""
+    ]
+    for k in range(1, _TSCAL_ITERS + 1):
+        sql.append(
+            f""",
+        t{k} AS (
+            SELECT GREATEST(MAX(t) - SUM({gterm}) / SUM({hterm}),
+                            {_TSCAL_TMIN!r}) AS t
+            FROM grid CROSS JOIN t{k - 1}
+        )"""
+        )
+    sql.append(
+        f""",
+        fin AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   {nll("1.0")} AS nll_t1,
+                   {nll("t")} AS nll_that,
+                   MAX(t) AS t_hat
+            FROM grid CROSS JOIN t{_TSCAL_ITERS}
+        )
+        SELECT n_docs,
+               ROUND(t_hat, 6) AS t_hat,
+               ROUND(nll_t1 / n_docs, 6) AS nll_per_doc_t1,
+               ROUND(nll_that / n_docs, 6) AS nll_per_doc_that
+        FROM fin"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "temperature_scaling_fit",
+    oracle=_tscal_oracle(),
+    doc=(
+        "TEMPERATURE SCALING FIT (Guo et al. 2017) of the quality score "
+        "as a probability of the en label: the one-parameter "
+        "calibration REPAIR that completes the calibration stack — "
+        "ECE/Hosmer-Lemeshow/Spiegelhalter DIAGNOSE miscalibration, "
+        "isotonic_calibration_bins repairs nonparametrically (and can "
+        "overfit small bins), temperature scaling divides every logit "
+        "by one scalar T fitted by maximum likelihood, provably "
+        "preserving ranking (AUC unchanged) while fixing confidence — "
+        "the standard post-hoc calibration for neural classifiers. T "
+        f"is found by {_TSCAL_ITERS} unrolled NEWTON steps (closed-form "
+        "gradient and Hessian of the binary NLL in T), each ONE "
+        "aggregate over the bounded (lifted-score, label) grid — the "
+        "PQ-Lloyd unroll convention for a 1-parameter MLE; no "
+        "driver-side loop, no collect. Logits come from the exact "
+        "4-dp score grid (degenerate 0/1 scores excluded, mirrored); "
+        "the NLL uses the numerically stable max(u,0) - y*u + "
+        "ln(1+exp(-|u|)) form; T is clamped to >= 0.25 so sigma never "
+        "saturates to an exact float 1.0. Emits T-hat and per-doc NLL "
+        "at T=1 vs T-hat (the improvement IS the miscalibration "
+        "evidence). One corpus-scale aggregate builds the grid; "
+        "everything after is grid-bounded."
+    ),
+    tags=("evals", "llm", "statistics", "calibration"),
+)
+def temperature_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _scored(spark, sf_dir)
+    s4 = F.round(F.col("score") * 10000)
+    lifted = s.filter((s4 > 0) & (s4 < 10000)).select(
+        s4.cast("bigint").alias("s4"),
+        F.col("label").cast("bigint").alias("y"),
+    )
+    grid = lifted.groupBy("s4", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).select(
+        "s4",
+        "y",
+        "cnt",
+        F.log(F.col("s4") * F.lit(1.0) / (F.lit(10000) - F.col("s4"))).alias(
+            "z"
+        ),
+    )
+
+    def sig(t):
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") / t)))
+
+    tdf = spark.range(1).select(F.lit(1.0).cast("double").alias("t"))
+    for _ in range(_TSCAL_ITERS):
+        j = grid.crossJoin(F.broadcast(tdf))
+        t = F.col("t")
+        sg = sig(t)
+        gterm = F.col("cnt") * (sg - F.col("y")) * (-F.col("z")) / (t * t)
+        hterm = F.col("cnt") * (
+            sg * (F.lit(1.0) - sg) * F.col("z") * F.col("z") / (t * t * t * t)
+            + (sg - F.col("y")) * F.lit(2.0) * F.col("z") / (t * t * t)
+        )
+        tdf = j.agg(
+            F.greatest(
+                F.max("t") - F.sum(gterm) / F.sum(hterm),
+                F.lit(_TSCAL_TMIN),
+            ).alias("t")
+        )
+
+    def nll(u):
+        return F.sum(
+            F.col("cnt")
+            * (
+                F.greatest(u, F.lit(0.0))
+                - F.col("y") * u
+                + F.log(F.lit(1.0) + F.exp(-F.abs(u)))
+            )
+        )
+
+    fin = grid.crossJoin(F.broadcast(tdf)).agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        nll(F.col("z") / F.lit(1.0)).alias("nll_t1"),
+        nll(F.col("z") / F.col("t")).alias("nll_that"),
+        F.max("t").alias("t_hat"),
+    )
+    return fin.select(
+        "n_docs",
+        F.round(F.col("t_hat"), 6).alias("t_hat"),
+        F.round(F.col("nll_t1") / F.col("n_docs"), 6).alias("nll_per_doc_t1"),
+        F.round(F.col("nll_that") / F.col("n_docs"), 6).alias(
+            "nll_per_doc_that"
+        ),
+    )
