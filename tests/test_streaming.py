@@ -989,3 +989,64 @@ def test_streaming_sprt_state_across_micro_batches(spark, duck):
     # the latch must actually engage on the fixture (otherwise this test
     # proves nothing about decided-state persistence)
     assert any(d != "continue" for _, _, _, d in got)
+
+
+def test_streaming_funnel_discovery_state_crosses_micro_batches(spark, duck):
+    """Split the replay into 4 time-ordered micro-batches (one file per
+    trigger): a user's funnel prefix must continue across batch
+    boundaries — a letter first seen in batch 1 must NOT re-emit in
+    batch 3 — and the full emission set must equal the relational
+    oracle's windowed reconstruction."""
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.registry import all_queries
+    from weather_stream_processor_spark.sources import load_table
+    from weather_stream_processor_spark.streaming.replay import run_to_memory
+    from weather_stream_processor_spark.streaming.stateful import (
+        funnel_discovery_stream,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    quart = ev.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        quart.filter(F.col("q") == i).drop("q").coalesce(1).write.parquet(
+            f"{src}/part{i}.parquet"
+        )
+        t = time.time() + i
+        for root, _, files in os.walk(f"{src}/part{i}.parquet"):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*.parquet")
+    )
+    rows = run_to_memory(
+        funnel_discovery_stream(stream), "funnel_xbatch", output_mode="append"
+    ).collect()
+    got = {(r.user_id, r.event_id, r.step, r.seq_so_far) for r in rows}
+
+    oracle = all_queries()["streaming_funnel_discovery"].oracle
+    expected = {
+        (r.user_id, r.event_id, r.step, r.seq_so_far)
+        for r in duck.execute(oracle).fetchdf().itertuples(index=False)
+    }
+    assert got == expected
+    # per-user emissions are a strict prefix chain: step k's sequence is
+    # step k-1's plus one letter, and no letter ever repeats
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.step, r.seq_so_far))
+    for chain in by_user.values():
+        chain.sort()
+        for (s1, q1), (s2, q2) in zip(chain, chain[1:]):
+            assert s2 == s1 + 1 and q2.startswith(q1) and len(q2) == s2
+            assert len(set(q2)) == len(q2)

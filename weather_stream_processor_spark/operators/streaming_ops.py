@@ -1157,3 +1157,61 @@ def streaming_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("event_type", "event_id", "ts", "llr", "decision")
+
+
+@register(
+    "streaming_funnel_discovery",
+    oracle="""
+        WITH f AS (
+            SELECT user_id, substr(event_type, 1, 1) AS letter,
+                   ts, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, substr(event_type, 1, 1)
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+            WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+        ),
+        firsts AS (SELECT * FROM f WHERE rn = 1)
+        SELECT user_id, event_id, ts,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS step,
+               string_agg(letter, '') OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seq_so_far
+        FROM firsts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc=(
+        "STREAMING FUNNEL DISCOVERY (applyInPandasWithState): the "
+        "ONLINE form of funnel_conformance_sequences — per user, the "
+        "stream emits a row at exactly the moment a NEW funnel stage "
+        "(signup/view/click/purchase; error filtered as process noise "
+        "BEFORE the stateful operator) first appears, carrying the "
+        "triggering event's id/ts, the step number, and the "
+        "first-occurrence prefix so far. This is the live 'user just "
+        "reached stage k by path X' signal activation systems key on, "
+        "where the batch twin only reports yesterday's journeys. State "
+        "is ONE <=4-ASCII-letter string per user — bounded, no floats, "
+        "its value a pure function of the event SET seen, so emissions "
+        "are identical across any micro-batch boundaries and every "
+        "output row hash-checks against the batch oracle's windowed "
+        "reconstruction (first event per (user, letter) by (ts, "
+        "event_id), prefix string_agg over the per-user <=4-row "
+        "window). The replay source is time-ordered and rows sort per "
+        "key within each batch (the streaming_cusum_monitor delivery "
+        "contract). At 100 TB the per-(user, letter) first-occurrence "
+        "dedup is the only corpus-scale state."
+    ),
+    tags=("streaming", "stateful", "pandas-udf", "funnel"),
+)
+def streaming_funnel_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.streaming.stateful import (
+        funnel_discovery_stream,
+    )
+
+    ev = events_replay_source(spark, sf_dir)
+    out = run_to_memory(
+        funnel_discovery_stream(ev),
+        _sink_name("streaming_funnel_discovery"),
+        output_mode="append",
+    )
+    return out.select("user_id", "event_id", "ts", "step", "seq_so_far")

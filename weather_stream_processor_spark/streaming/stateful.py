@@ -390,3 +390,59 @@ def sprt_decision_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, "
+    "step bigint, seq_so_far string"
+)
+FUNNEL_STATE_SCHEMA = "seq string"
+# adoption-funnel letters tracked by the discovery stream (error events
+# are process noise and are filtered out BEFORE the stateful operator,
+# so they never consume state or emit)
+FUNNEL_TYPES = ("signup", "view", "click", "purchase")
+
+
+def _funnel_discovery(key, pdfs, state: GroupState):
+    """Per-user funnel-discovery tracker: state is the user's
+    first-occurrence letter sequence so far (ONE string of at most 4
+    ASCII letters — bounded, no floats, order-free value), and a row is
+    emitted exactly when an event contributes a NEW letter, carrying
+    that event's id/ts, the step number, and the sequence prefix. The
+    emitted prefix depends only on the set of events seen so far, never
+    on micro-batch boundaries, so every output row hash-checks against
+    the batch oracle's windowed reconstruction."""
+    (seq,) = state.get if state.exists else ("",)
+    chunks = [pdf for pdf in pdfs]
+    if not chunks:
+        state.update((seq,))
+        return
+    rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+    out = []
+    for row in rows.itertuples(index=False):
+        letter = row.event_type[0]
+        if letter not in seq:
+            seq += letter
+            out.append((key[0], row.event_id, row.ts, len(seq), seq))
+    state.update((seq,))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_id", "ts", "step", "seq_so_far"],
+        )
+
+
+def funnel_discovery_stream(stream: DataFrame) -> DataFrame:
+    """Per-user streaming funnel discovery (see _funnel_discovery)."""
+    return (
+        stream.filter(F.col("event_type").isin(*FUNNEL_TYPES))
+        .select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_discovery,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
