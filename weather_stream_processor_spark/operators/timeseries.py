@@ -3079,10 +3079,17 @@ def ljung_box_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS cents
             FROM events GROUP BY 1, 2
         ),
-        mom AS (
-            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(cents) AS BIGINT) AS s
-            FROM daily GROUP BY event_type
+        withtot AS (
+            -- per-type totals as WINDOWS over the bounded day grid, not
+            -- a join back to a re-aggregated copy: the join form made
+            -- Catalyst scan the events parquet twice (caught by the
+            -- test_plans scan pin); the window runs on the grid only
+            SELECT event_type, d, cents,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS s
+            FROM daily
         ),
         signs AS (
             -- above/below the per-type mean decided by the exact integer
@@ -3090,10 +3097,10 @@ def ljung_box_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- outcome convention: no division, no float, no tie
             -- ambiguity); exact-equal days are excluded, the standard
             -- runs-test treatment of cutpoint ties
-            SELECT d.event_type, d.d,
-                   CASE WHEN d.cents * m.n > m.s THEN 1 ELSE 0 END AS sgn
-            FROM daily d JOIN mom m USING (event_type)
-            WHERE d.cents * m.n <> m.s
+            SELECT event_type, d,
+                   CASE WHEN cents * n > s THEN 1 ELSE 0 END AS sgn
+            FROM withtot
+            WHERE cents * n <> s
         ),
         runs AS (
             SELECT event_type,
@@ -3165,20 +3172,24 @@ def wald_wolfowitz_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    mom = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
+    # per-type totals as windows over the bounded day grid — the join
+    # form re-scanned the events parquet (test_plans scan pin)
+    w_type = Window.partitionBy("event_type")
+    withtot = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.count(F.lit(1)).over(w_type).cast("bigint").alias("n"),
+        F.sum("cents").over(w_type).cast("bigint").alias("s"),
     )
-    signs = (
-        daily.join(mom, "event_type")
-        .filter(F.col("cents") * F.col("n") != F.col("s"))
-        .select(
-            "event_type",
-            "d",
-            F.when(F.col("cents") * F.col("n") > F.col("s"), 1)
-            .otherwise(0)
-            .alias("sgn"),
-        )
+    signs = withtot.filter(
+        F.col("cents") * F.col("n") != F.col("s")
+    ).select(
+        "event_type",
+        "d",
+        F.when(F.col("cents") * F.col("n") > F.col("s"), 1)
+        .otherwise(0)
+        .alias("sgn"),
     )
     # per-type day grid: bounded by the observation window, never corpus
     w_day = Window.partitionBy("event_type").orderBy("d")
