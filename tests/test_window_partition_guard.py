@@ -281,12 +281,6 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>',),
         'whole-frame between/within sums over the |sources|-row grid',
     ),
-    'mood_median_test': (
-        ('<no order>', 'cent ASC NULLS FIRST'),
-        'global-median cumulative over the bounded integer-cent grid '
-        '(<=|distinct cents| rows) + whole-frame chi2 over the k-row '
-        'group grid',
-    ),
     'page_trend_test': (
         ('<no order>',),
         'whole-frame L sum over the k-row treatment table',
@@ -423,10 +417,6 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'ccf_click_purchase_leadlag': (
         ('BroadcastNestedLoopJoin BuildLeft Cross',),
         'bounded-build',  # 15-row lag grid onto the |days| grid
-    ),
-    'ljung_box_autocorr': (
-        ('BroadcastNestedLoopJoin BuildLeft Cross',),
-        'bounded-build',  # 7-row lag grid onto the per-type |days| grid
     ),
     'cohens_kappa_agreement': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
@@ -774,10 +764,6 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'temperature_scaling_fit': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 7,
         'bounded-build',  # 6 Newton-step 1-row T frames + the final one
-    ),
-    'mood_median_test': (
-        ('BroadcastNestedLoopJoin BuildRight Cross',) * 5,
-        'bounded-build',  # 1-row total / median / margin frames
     ),
     'page_trend_test': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 4,

@@ -3597,9 +3597,17 @@ def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
             FROM events
         ),
+        grid AS (
+            -- ONE corpus aggregate; every later stage (global counts,
+            -- median walk, 2xK cells) derives from this bounded grid —
+            -- the raw-row formulation re-scanned events six times (r10
+            -- scan-count audit)
+            SELECT grp, cent, CAST(COUNT(*) AS BIGINT) AS n
+            FROM c GROUP BY grp, cent
+        ),
         cnt AS (
-            SELECT cent, CAST(COUNT(*) AS BIGINT) AS n
-            FROM c GROUP BY cent
+            SELECT cent, CAST(SUM(n) AS BIGINT) AS n
+            FROM grid GROUP BY cent
         ),
         tot0 AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM cnt),
         cum AS (
@@ -3616,11 +3624,11 @@ def bartlett_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- exact-median ties EXCLUDED (the runs-test convention:
             -- integer cents make equality exact and deterministic)
             SELECT grp,
-                   CAST(SUM(CASE WHEN cent > med_cents THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN cent > med_cents THEN n ELSE 0 END)
                         AS BIGINT) AS above,
-                   CAST(SUM(CASE WHEN cent < med_cents THEN 1 ELSE 0 END)
+                   CAST(SUM(CASE WHEN cent < med_cents THEN n ELSE 0 END)
                         AS BIGINT) AS below
-            FROM c CROSS JOIN med
+            FROM grid CROSS JOIN med
             GROUP BY grp
         ),
         marg AS (
@@ -3683,7 +3691,21 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cent"),
     )
-    cnt = c.groupBy("cent").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # ONE corpus aggregate to the bounded (grp, cent) grid; persisted so
+    # the median walk and the 2xK cells don't re-scan the corpus (the
+    # raw-row formulation planned SIX parquet scans — r10 audit)
+    grid0 = c.groupBy("grp", "cent").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    return persisted_result(grid0, _mood_build)
+
+
+def _mood_build(grid: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cnt = grid.groupBy("cent").agg(F.sum("n").cast("bigint").alias("n"))
     tot0 = cnt.agg(F.sum("n").cast("bigint").alias("n_all"))
     # cumulative over the bounded cent grid only (<= |distinct cents| rows)
     w_cum = Window.orderBy("cent").rowsBetween(Window.unboundedPreceding, 0)
@@ -3694,13 +3716,17 @@ def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cent").cast("bigint").alias("med_cents"))
     )
     cells = (
-        c.crossJoin(F.broadcast(med))
+        grid.crossJoin(F.broadcast(med))
         .groupBy("grp")
         .agg(
-            F.sum(F.when(F.col("cent") > F.col("med_cents"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("cent") > F.col("med_cents"), F.col("n")).otherwise(0)
+            )
             .cast("bigint")
             .alias("above"),
-            F.sum(F.when(F.col("cent") < F.col("med_cents"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("cent") < F.col("med_cents"), F.col("n")).otherwise(0)
+            )
             .cast("bigint")
             .alias("below"),
         )

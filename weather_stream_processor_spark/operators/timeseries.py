@@ -2987,39 +2987,59 @@ def ljung_box_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     dec = "decimal(38,0)"
-    mom = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss"),
-    )
-    lags = spark.range(1, _LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
-    a = daily.select(
-        F.col("event_type").alias("et"), F.col("d").alias("da"),
-        F.col("cents").alias("ca"),
-    )
-    b = daily.select(
-        F.col("event_type").alias("et_b"), F.col("d").alias("db"),
-        F.col("cents").alias("cb"),
-    )
-    # the CCF construction: broadcast the bounded lag frame onto the day
-    # grid, then EQUI-join the lagged side on the computed day key — the
-    # only nested-loop site is the 7-row lags cross (bounded-build)
-    lagged = (
-        F.broadcast(lags)
-        .crossJoin(a)
-        .join(
-            b,
-            (F.col("et_b") == F.col("et"))
-            & (F.col("db") == F.col("da") - F.col("lag")),
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    # the day grid feeds the moment pass AND both sides of the lag
+    # self-join: without the persist, Catalyst plans THREE scans of the
+    # events parquet (the scan-count audit that followed the
+    # wald_wolfowitz pin found it) — persist the bounded grid (~day-span
+    # x |types| rows) so the corpus is scanned once
+    def _build(daily: DataFrame) -> DataFrame:
+        spark = daily.sparkSession
+        mom = daily.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss"),
         )
-        .groupBy(F.col("et").alias("event_type"), "lag")
-        .agg(
-            F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("c_k"),
-            F.sum("cb").cast("bigint").alias("head_k"),
-            F.sum("ca").cast("bigint").alias("tail_k"),
-            F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        lags = spark.range(1, _LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
+        a = daily.select(
+            F.col("event_type").alias("et"), F.col("d").alias("da"),
+            F.col("cents").alias("ca"),
         )
+        b = daily.select(
+            F.col("event_type").alias("et_b"), F.col("d").alias("db"),
+            F.col("cents").alias("cb"),
+        )
+        # the CCF construction: broadcast the bounded lag frame onto the
+        # day grid, then EQUI-join the lagged side on the computed day
+        # key — the only nested-loop site is the 7-row lags cross
+        lagged = (
+            F.broadcast(lags)
+            .crossJoin(a)
+            .join(
+                b,
+                (F.col("et_b") == F.col("et"))
+                & (F.col("db") == F.col("da") - F.col("lag")),
+            )
+            .groupBy(F.col("et").alias("event_type"), "lag")
+            .agg(
+                F.sum(F.col("ca").cast(dec) * F.col("cb")).alias("c_k"),
+                F.sum("cb").cast("bigint").alias("head_k"),
+                F.sum("ca").cast("bigint").alias("tail_k"),
+                F.count(F.lit(1)).cast("bigint").alias("n_k"),
+            )
+        )
+        return _ljung_finish(lagged, mom)
+
+    return persisted_result(daily, _build)
+
+
+def _ljung_finish(lagged: DataFrame, mom: DataFrame) -> DataFrame:
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
     )
+
+    dec = "decimal(38,0)"
     num = (
         F.col("n").cast(dec) * F.col("n") * F.col("c_k")
         - F.col("n").cast(dec) * F.col("s") * (F.col("head_k") + F.col("tail_k"))
@@ -3704,6 +3724,19 @@ def seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    # the monthly grid feeds both sides of the season pair join AND the
+    # tie-term rollup — three parquet scans without the persist (the r10
+    # scan-count audit); the grid is ~|priorities| x 12 x years rows
+    return persisted_result(monthly, _smk_build)
+
+
+def _smk_build(monthly: DataFrame) -> DataFrame:
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
     a = monthly.select(
         F.col("lvl").alias("et"), F.col("mo").alias("moa"),
         F.col("yr").alias("ya"), F.col("cents").alias("ca"),
