@@ -116,15 +116,34 @@ def test_registered_builders_leave_nothing_cached(spark):
         assert after == before, f"{name} left a DataFrame cache behind"
 
 
-# Rows-only queries deliberately staged in the driver window: the r8
+# Rows-only queries deliberately staged in the driver window. The r8
 # verdict (task 2) asked for the three r01-era sketch queries — whose
-# cumulative driver record still ends on a pre-conversion red hash row —
-# to be re-sampled so the record closes on their CURRENT rows-only
-# contract. Any OTHER rows-only name in the priority is still a bug.
+# cumulative driver record still ended on a pre-conversion red hash row —
+# to be re-sampled so the record closed on their CURRENT rows-only
+# contract (that closed in r09). The r9 verdict (task 1) then asked for
+# the ENTIRE never-driver-sampled backlog to drain, which includes the
+# registry's remaining rows-only names (sketch internals, LAPACK SVD,
+# iterative inductions — each carries property/replay pytest gates
+# instead of a DuckDB twin); staging them completes the full-registry
+# driver record with their documented rows-only contract. Any OTHER
+# rows-only name in the priority is still a bug.
 _ROWS_ONLY_STAGED = {
+    # r8-verdict re-staging (record closed on no_oracle in r09)
     "approx_count_distinct_parts",
     "approx_percentile_prices",
     "hll_mergeable_rollup",
+    # r9-verdict backlog drain (first-time sampling of the rows-only set)
+    "theta_sketch_set_algebra",
+    "kll_quantile_mergeable_rollup",
+    "embedding_whitening_audit",
+    "embedding_procrustes_drift",
+    "frequent_directions_sketch",
+    "bpe_merge_induction",
+    "alias_method_sampling_table",
+    "compression_ratio_quality",
+    "pacf_durbin_levinson",
+    "v_optimal_histogram",
+    "bradley_terry_strengths",
 }
 
 
