@@ -92,7 +92,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "poisson_dispersion_test", "seasonal_mann_kendall",
     "theil_inequality_decomposition", "holm_bonferroni_stepdown",
     "funnel_conformance_sequences", "temperature_scaling_fit",
-    "streaming_funnel_discovery",
+    "streaming_funnel_discovery", "source_lm_divergence_matrix",
 )
 
 

@@ -972,3 +972,67 @@ def test_temperature_scaling_recovers_known_temperature():
         return t
 
     assert abs(fit() - T_STAR) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# source_lm_divergence_matrix
+# --------------------------------------------------------------------------
+
+
+def test_lm_divergence_matches_python(spark):
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM read_parquet('{SF_SMOKE}/documents.parquet'))
+        GROUP BY source, tok
+        """
+    ).fetchall()
+    cnts: dict[str, dict[str, int]] = {}
+    for src, tok, c in rows:
+        cnts.setdefault(src, {})[tok] = int(c)
+    totals = {s: sum(d.values()) for s, d in cnts.items()}
+    v = len({t for d in cnts.values() for t in d})
+    out = {
+        (r.source_a, r.source_b): r
+        for r in _run(spark, "source_lm_divergence_matrix").collect()
+    }
+    srcs = sorted(cnts)
+    assert len(out) == len(srcs) ** 2
+    import random
+
+    random.seed(7)
+    for a in srcs:
+        h_self = -sum(
+            (c / totals[a]) * math.log(c / totals[a]) for c in cnts[a].values()
+        )
+        for b_ in random.sample(srcs, 4):
+            h_cross = -sum(
+                (c / totals[a])
+                * math.log((cnts[b_].get(tok, 0) + 1.0) / (totals[b_] + v))
+                for tok, c in cnts[a].items()
+            )
+            row = out[(a, b_)]
+            assert row.n_tokens_a == totals[a]
+            assert abs(row.cross_entropy - h_cross) < 1e-4
+            assert abs(row.self_entropy_a - h_self) < 1e-4
+            assert abs(row.kl_a_to_b - (h_cross - h_self)) < 1e-4
+
+
+def test_lm_divergence_gibbs_inequality(spark):
+    """Information-theoretic invariants on the operator output: KL(a||b)
+    is minimized at b = a for every row-source (Gibbs' inequality up to
+    the smoothing floor), and the matrix is genuinely asymmetric."""
+    out = _run(spark, "source_lm_divergence_matrix").collect()
+    by_a: dict[str, dict[str, float]] = {}
+    for r in out:
+        by_a.setdefault(r.source_a, {})[r.source_b] = r.kl_a_to_b
+    asym = 0
+    for a, row in by_a.items():
+        # the diagonal must be the row minimum (smoothing adds the same
+        # +1/(n+V) floor everywhere, preserving the argmin)
+        assert row[a] == min(row.values()), a
+        for b_, v in row.items():
+            if abs(v - by_a[b_][a]) > 1e-6:
+                asym += 1
+    assert asym > 0  # directional: KL(a||b) != KL(b||a) somewhere

@@ -304,3 +304,157 @@ def source_concentration_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shannon").alias("token_entropy"),
         )
     )
+
+
+@register(
+    "source_lm_divergence_matrix",
+    oracle="""
+        WITH cnts AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY source, tok
+        ),
+        totals AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS n
+            FROM cnts GROUP BY source
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM cnts
+        ),
+        selfent AS (
+            -- MLE self-entropy per source: -sum p ln p over its own
+            -- observed tokens (vocabulary-bounded float sum, 6-dp
+            -- contract as in the perplexity family)
+            SELECT c.source,
+                   -SUM((c.c * 1.0 / t.n) * ln(c.c * 1.0 / t.n)) AS h_self
+            FROM cnts c JOIN totals t USING (source)
+            GROUP BY c.source
+        ),
+        pairs AS (
+            -- p-side tokens expanded against every q source; missing
+            -- q counts take the add-1 smoothing floor via the left join
+            SELECT a.source AS source_a, tb.source AS source_b,
+                   ta.n AS n_a, tb.n AS n_b,
+                   a.c AS c_a, COALESCE(b.c, 0) AS c_b, vocab.v
+            FROM cnts a
+            JOIN totals ta ON ta.source = a.source
+            CROSS JOIN totals tb
+            LEFT JOIN cnts b ON b.source = tb.source AND b.tok = a.tok
+            CROSS JOIN vocab
+        ),
+        ce AS (
+            SELECT source_a, source_b,
+                   CAST(MAX(n_a) AS BIGINT) AS n_tokens_a,
+                   -SUM((c_a * 1.0 / n_a)
+                        * ln((c_b + 1.0) / (n_b + v))) AS h_cross
+            FROM pairs GROUP BY source_a, source_b
+        )
+        SELECT ce.source_a, ce.source_b, ce.n_tokens_a,
+               ROUND(ce.h_cross, 6) AS cross_entropy,
+               ROUND(s.h_self, 6) AS self_entropy_a,
+               ROUND(ce.h_cross - s.h_self, 6) AS kl_a_to_b
+        FROM ce JOIN selfent s ON s.source = ce.source_a
+    """,
+    doc=(
+        "SOURCE LANGUAGE-MODEL DIVERGENCE MATRIX: for every ordered "
+        "source pair (a, b), the cross-entropy (nats/token) of source "
+        "a's unigram distribution under source b's add-1-smoothed "
+        "unigram LM, a's MLE self-entropy, and the KL excess — the "
+        "DOMAIN-AFFINITY matrix mixture design actually uses (DoReMi/ "
+        "DoGE-class reweighting and curriculum ordering need 'which "
+        "sources are linguistically close', and the shingle-Jaccard "
+        "cross_source_overlap_matrix cannot say it: passage overlap "
+        "sees literal duplication, cross-entropy sees DISTRIBUTIONAL "
+        "kinship with no shared text at all — and it is ASYMMETRIC, "
+        "distinguishing 'a is predictable under b' from the reverse, "
+        "which matters when one source is a subset-register of "
+        "another). mixture_drift_kl covers the label-level mixture; "
+        "this is the content-level affinity. Plan: ONE token explode "
+        "into the (source, token) count table (vocabulary-bounded); "
+        "the pair expansion joins that table to the |sources|-row "
+        "totals and back to itself per token — |vocab| x |sources| "
+        "rows, bounded by vocabulary not corpus; per-pair sums follow "
+        "the perplexity family's 6-dp float contract; smoothing "
+        "constants (add-1 over the shared vocab) are identical integer "
+        "expressions in both engines. Output is the |sources|^2 "
+        "matrix. At 100 TB estimate the per-source LMs on a sampled "
+        "slice; the plan shape is unchanged."
+    ),
+    tags=("mixture", "llm", "statistics", "curation"),
+)
+def source_lm_divergence_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    # the count table feeds totals, vocab, self-entropy, and BOTH sides
+    # of the pair expansion — persist the vocabulary-bounded grid so the
+    # corpus explodes once (the r10 scan-count discipline)
+    return persisted_result(cnts, _lm_divergence_build)
+
+
+def _lm_divergence_build(cnts: DataFrame) -> DataFrame:
+    totals = cnts.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    vocab = cnts.agg(F.count_distinct("tok").cast("bigint").alias("v"))
+    p = F.col("c") * F.lit(1.0) / F.col("n")
+    selfent = (
+        cnts.join(totals, "source")
+        .groupBy("source")
+        .agg((-F.sum(p * F.log(p))).alias("h_self"))
+    )
+    a = cnts.select(
+        F.col("source").alias("source_a"), "tok", F.col("c").alias("c_a")
+    )
+    b = cnts.select(
+        F.col("source").alias("sb"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("c_b"),
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    pairs = (
+        a.join(F.broadcast(ta), "source_a")
+        .crossJoin(F.broadcast(tb))
+        .join(
+            b,
+            (F.col("sb") == F.col("source_b"))
+            & (F.col("tok_b") == F.col("tok")),
+            "left",
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    h_cross = -F.sum(
+        (F.col("c_a") * F.lit(1.0) / F.col("n_a"))
+        * F.log(
+            (F.coalesce(F.col("c_b"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n_b") + F.col("v"))
+        )
+    )
+    ce = pairs.groupBy("source_a", "source_b").agg(
+        F.max("n_a").cast("bigint").alias("n_tokens_a"),
+        h_cross.alias("h_cross"),
+    )
+    return ce.join(
+        selfent.select(
+            F.col("source").alias("source_a"), F.col("h_self")
+        ),
+        "source_a",
+    ).select(
+        "source_a",
+        "source_b",
+        "n_tokens_a",
+        F.round(F.col("h_cross"), 6).alias("cross_entropy"),
+        F.round(F.col("h_self"), 6).alias("self_entropy_a"),
+        F.round(F.col("h_cross") - F.col("h_self"), 6).alias("kl_a_to_b"),
+    )
