@@ -93,6 +93,8 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     # object columns) raises `unhashable type: 'list'` on array values —
     # exactly how array_set_operations failed the r5 driver while the old
     # tuple-coercing mirror passed it. Fail here, before sorting.
+    import decimal
+
     for frame, side in ((spark_pdf, "spark"), (oracle_pdf, "oracle")):
         for c in frame.columns:
             s = frame[c]
@@ -103,6 +105,22 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
                         f"col {c!r} ({side}): non-scalar {type(v).__name__} "
                         "values — the driver canonicalizer cannot hash "
                         "arrays; emit array_join/to_json strings instead"
+                    )
+                # Driver-strictness gate #1b (the r10 loo_source_influence
+                # lesson): a raw DECIMAL output column lands as Python
+                # Decimal objects on the Spark side but float64 on DuckDB's
+                # fetchdf() side; Decimal == float compares NUMERICALLY in
+                # the object-equality branch below, so the mirror passed
+                # what the driver's canonical-string hash failed
+                # ('1487435822' vs '1.4874e+09'-class rendering). Reject
+                # raw Decimal outright, like the non-scalar gate — builders
+                # must CAST to BIGINT/DOUBLE/STRING before emission.
+                elif isinstance(v, decimal.Decimal):
+                    errs.append(
+                        f"col {c!r} ({side}): raw Decimal values — the "
+                        "driver hashes the rendered string, which differs "
+                        "between Decimal and float64; CAST the output to "
+                        "BIGINT/DOUBLE/STRING in both engines"
                     )
     if errs:
         return errs

@@ -520,14 +520,17 @@ _LOO_LIFT_SPARK = (
         ),
         tot AS (
             SELECT CAST(SUM(n_g) AS BIGINT) AS n,
-                   (SELECT CAST(SUM(s_i * s_i) AS DECIMAL(38, 0)) FROM td)
+                   (SELECT CAST(CAST(SUM(s_i * s_i) AS DECIMAL(38, 0))
+                                AS BIGINT) FROM td)
                        AS stt
             FROM cnt
         ),
         mom AS (
             SELECT gd.source,
-                   CAST(SUM(gd.s_gi * gd.s_gi) AS DECIMAL(38, 0)) AS sgg,
-                   CAST(SUM(gd.s_gi * td.s_i) AS DECIMAL(38, 0)) AS sgt
+                   CAST(CAST(SUM(gd.s_gi * gd.s_gi) AS DECIMAL(38, 0))
+                        AS BIGINT) AS sgg,
+                   CAST(CAST(SUM(gd.s_gi * td.s_i) AS DECIMAL(38, 0))
+                        AS BIGINT) AS sgt
             FROM gd JOIN td USING (i) GROUP BY gd.source
         )
         SELECT c.source, c.n_g, t.n, m.sgg, m.sgt, t.stt
@@ -539,10 +542,17 @@ _LOO_LIFT_SPARK = (
         "source's documents are removed? With exact integer group sums "
         "S_g and total S, mu_all - mu_without_g = (n*S_g - n_g*S) / "
         "(n*(n - n_g)) per dimension, so the squared shift's numerator "
-        "is n^2*sgg - 2*n*n_g*sgt + n_g^2*stt over the three hashed "
-        "DECIMAL(38,0) moments (sgg = |S_g|^2, sgt = S_g.S, stt = |S|^2) "
-        "— the consumer divides by (n*(n - n_g))^2 once, outside the "
-        "hashed result (the covariance-spectrum all-integer contract). "
+        "is n^2*sgg - 2*n*n_g*sgt + n_g^2*stt over the three moments "
+        "(sgg = |S_g|^2, sgt = S_g.S, stt = |S|^2) — the consumer "
+        "divides by (n*(n - n_g))^2 once, outside the hashed result "
+        "(the covariance-spectrum all-integer contract). The moments "
+        "accumulate in DECIMAL(38,0) internally but EMIT as BIGINT in "
+        "both engines: Spark's Decimal objects and DuckDB's float64 "
+        "rendering of the same DECIMAL(38,0) value hash differently "
+        "(the r10 driver red), while int64 is wire-identical. BIGINT "
+        "emission is exact while 32*(n_g*1e4)^2 < 2^63, i.e. to ~5e4 "
+        "docs/source worst-case and ~5e6 under the observed mixed-sign "
+        "cancellation; past that, re-emit as STRING, not DECIMAL. "
         "Plan: one doc-embedding join (vec_id = doc_id), one hash "
         "aggregate to |sources| rows of 32 per-dim sums, a 1-row total "
         "broadcast back — per-source work is a single corpus scan, "
@@ -592,7 +602,7 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_g",
         "n",
-        sq_dot("s_g", "s_g").alias("sgg"),
-        sq_dot("s_g", "s").alias("sgt"),
-        sq_dot("s", "s").alias("stt"),
+        sq_dot("s_g", "s_g").cast("bigint").alias("sgg"),
+        sq_dot("s_g", "s").cast("bigint").alias("sgt"),
+        sq_dot("s", "s").cast("bigint").alias("stt"),
     )
