@@ -1007,15 +1007,20 @@ def test_daily_grid_ops_one_corpus_aggregate(spark):
 
 
 def test_temperature_scaling_grid_is_single_scan(spark):
-    """six Newton steps must NOT mean six corpus scans: the builder
-    chains aggregates over the (score, label) grid, so the corpus
-    parquet is scanned once per Newton aggregate ONLY if the grid is
-    rebuilt — the plan is allowed multiple scans of the small grid but
-    the heavy documents scan appears once per final-plan subtree; pin
-    the CHEAPER invariant that holds today: no more scans than Newton
-    steps + final (7), and every scan reads only (text, lang)."""
-    df = _df(spark, "temperature_scaling_fit")
-    ops = operator_names(df)
-    assert ops.count("Scan parquet") <= 7
-    for cols in read_schema_columns(df):
+    """six Newton steps must NOT mean six corpus scans (r10 ADVICE):
+    the grid is built by exactly ONE corpus scan (the lazy twin pins
+    count == 1 and the read schema), then persisted so the Newton
+    unroll and the final NLL consume cached partitions — the registered
+    builder's returned plan is a checkpoint scan with ZERO parquet
+    scans, proving nothing downstream re-reads the corpus."""
+    from weather_stream_processor_spark.operators.evals import (
+        temperature_scaling_grid_plan,
+    )
+
+    grid = temperature_scaling_grid_plan(spark, SF_SMOKE)
+    ops = operator_names(grid)
+    assert ops.count("Scan parquet") == 1, ops
+    for cols in read_schema_columns(grid):
         assert set(cols) <= {"text", "lang", "doc_id", "source"}
+    df = _df(spark, "temperature_scaling_fit")
+    assert operator_names(df).count("Scan parquet") == 0

@@ -5532,12 +5532,11 @@ def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot AS (
             SELECT CAST(SUM(ns) AS BIGINT) AS n,
                    CAST(SUM(ss) AS BIGINT) AS s,
-                   SUM(sss) AS sq,
-                   CAST(COUNT(*) AS BIGINT) AS m
+                   SUM(sss) AS sq
             FROM mom
         ),
         tests AS (
-            SELECT mom.source, mom.ns, t.m,
+            SELECT mom.source, mom.ns,
                    ROUND(mom.ss * 1.0 / mom.ns / 10000.0, 6) AS mean_score,
                    (mom.ss * 1.0 / mom.ns
                     - (t.s - mom.ss) * 1.0 / (t.n - mom.ns))
@@ -5553,9 +5552,20 @@ def spiegelhalter_z_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                           / ((t.n - mom.ns) - 1.0)) / (t.n - mom.ns)
                      ) AS z
             FROM mom CROSS JOIN tot t
+            -- precondition (r10 ADVICE, the meta_analysis_fixed_effect
+            -- discipline): a 1-doc source has undefined sample variance
+            -- (ns-1 = 0) and a source holding all-but-one doc leaves a
+            -- 1-doc complement ((n-ns)-1 = 0) — both yield Inf/NaN
+            -- p-values with engine-divergent NULL semantics that poison
+            -- the rank and cumulative-max windows. Tested family = sources
+            -- with ns >= 2 AND n-ns >= 2; the rest-of-corpus moments stay
+            -- full-corpus (singleton docs still count as evidence), but m
+            -- counts only the TESTED hypotheses.
+            WHERE mom.ns >= 2 AND t.n - mom.ns >= 2
         ),
         pvals AS (
-            SELECT source, ns, m, mean_score,
+            SELECT source, ns, mean_score,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m,
                    ROUND(z, 6) AS z_score,
                    2.0 * {_fdr_sf_sql("abs(z)")} AS p,
                    ROW_NUMBER() OVER (
@@ -5624,9 +5634,15 @@ def holm_bonferroni_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ns").cast("bigint").alias("n"),
             F.sum("ss").cast("bigint").alias("s"),
             F.sum("sss").alias("sq"),
-            F.count(F.lit(1)).cast("bigint").alias("m"),
         )
-        j = mom_c.crossJoin(F.broadcast(tot))
+        # precondition (r10 ADVICE, mirrored in the oracle's tests CTE):
+        # only sources with ns >= 2 and a >= 2-doc complement are TESTED
+        # (Welch variance divides by ns-1 and (n-ns)-1); totals stay
+        # full-corpus, and m counts the tested family below.
+        j = (
+            mom_c.crossJoin(F.broadcast(tot))
+            .filter((F.col("ns") >= 2) & (F.col("n") - F.col("ns") >= 2))
+        )
         mean_s = F.col("ss") * F.lit(1.0) / F.col("ns")
         nr = F.col("n") - F.col("ns")
         mean_r = (F.col("s") - F.col("ss")) * F.lit(1.0) / nr
@@ -5650,14 +5666,18 @@ def holm_bonferroni_stepdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         p = F.lit(2.0) * normal_sf_col(F.abs(z))
         w_rank = Window.orderBy(F.asc("p"), F.asc("source"))  # |sources| rows
-        pvals = j.select(
-            "source",
-            "ns",
-            "m",
-            F.round(mean_s / F.lit(10000.0), 6).alias("mean_score"),
-            F.round(z, 6).alias("z_score"),
-            p.alias("p"),
-        ).withColumn("rnk", F.row_number().over(w_rank))
+        w_all = Window.partitionBy()  # bounded tested-family frame
+        pvals = (
+            j.select(
+                "source",
+                "ns",
+                F.round(mean_s / F.lit(10000.0), 6).alias("mean_score"),
+                F.round(z, 6).alias("z_score"),
+                p.alias("p"),
+            )
+            .withColumn("m", F.count(F.lit(1)).over(w_all).cast("bigint"))
+            .withColumn("rnk", F.row_number().over(w_rank))
+        )
         w_fwd = Window.orderBy(F.asc("rnk")).rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
@@ -5748,6 +5768,36 @@ def _tscal_oracle() -> str:
     return "".join(sql)
 
 
+def temperature_scaling_grid_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lazy twin of the fitted grid for plan tests: ONE corpus scan
+    builds the bounded (s4, y) grid (<= 2*10^4 rows by quantization);
+    the registered builder persists this and runs the Newton unroll over
+    the cached partitions (r10 ADVICE: the unwrapped form re-derived the
+    grid lineage inside each of the 6 Newton crossJoins plus the final
+    aggregate — up to 7 parquet scans of the corpus)."""
+    s = _scored(spark, sf_dir)
+    s4 = F.round(F.col("score") * 10000)
+    lifted = s.filter((s4 > 0) & (s4 < 10000)).select(
+        s4.cast("bigint").alias("s4"),
+        F.col("label").cast("bigint").alias("y"),
+    )
+    return (
+        lifted.groupBy("s4", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .select(
+            "s4",
+            "y",
+            "cnt",
+            F.log(
+                F.col("s4") * F.lit(1.0) / (F.lit(10000) - F.col("s4"))
+            ).alias("z"),
+        )
+    )
+
+
+
 @register(
     "temperature_scaling_fit",
     oracle=_tscal_oracle(),
@@ -5771,70 +5821,69 @@ def _tscal_oracle() -> str:
         "ln(1+exp(-|u|)) form; T is clamped to >= 0.25 so sigma never "
         "saturates to an exact float 1.0. Emits T-hat and per-doc NLL "
         "at T=1 vs T-hat (the improvement IS the miscalibration "
-        "evidence). One corpus-scale aggregate builds the grid; "
-        "everything after is grid-bounded."
+        "evidence). ONE corpus-scale aggregate builds the grid, which "
+        "is persisted (persisted_result, the mood/ljung/seasonal-MK "
+        "scan discipline) so the Newton steps and the final NLL all "
+        "consume the cached grid — exactly one parquet scan of the "
+        "corpus, not one per Newton step."
     ),
     tags=("evals", "llm", "statistics", "calibration"),
 )
 def temperature_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _scored(spark, sf_dir)
-    s4 = F.round(F.col("score") * 10000)
-    lifted = s.filter((s4 > 0) & (s4 < 10000)).select(
-        s4.cast("bigint").alias("s4"),
-        F.col("label").cast("bigint").alias("y"),
-    )
-    grid = lifted.groupBy("s4", "y").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
-    ).select(
-        "s4",
-        "y",
-        "cnt",
-        F.log(F.col("s4") * F.lit(1.0) / (F.lit(10000) - F.col("s4"))).alias(
-            "z"
-        ),
-    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    grid = temperature_scaling_grid_plan(spark, sf_dir)
 
     def sig(t):
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("z") / t)))
 
-    tdf = spark.range(1).select(F.lit(1.0).cast("double").alias("t"))
-    for _ in range(_TSCAL_ITERS):
-        j = grid.crossJoin(F.broadcast(tdf))
-        t = F.col("t")
-        sg = sig(t)
-        gterm = F.col("cnt") * (sg - F.col("y")) * (-F.col("z")) / (t * t)
-        hterm = F.col("cnt") * (
-            sg * (F.lit(1.0) - sg) * F.col("z") * F.col("z") / (t * t * t * t)
-            + (sg - F.col("y")) * F.lit(2.0) * F.col("z") / (t * t * t)
-        )
-        tdf = j.agg(
-            F.greatest(
-                F.max("t") - F.sum(gterm) / F.sum(hterm),
-                F.lit(_TSCAL_TMIN),
-            ).alias("t")
-        )
-
-    def nll(u):
-        return F.sum(
-            F.col("cnt")
-            * (
-                F.greatest(u, F.lit(0.0))
-                - F.col("y") * u
-                + F.log(F.lit(1.0) + F.exp(-F.abs(u)))
+    def build(grid_c: DataFrame) -> DataFrame:
+        tdf = spark.range(1).select(F.lit(1.0).cast("double").alias("t"))
+        for _ in range(_TSCAL_ITERS):
+            j = grid_c.crossJoin(F.broadcast(tdf))
+            t = F.col("t")
+            sg = sig(t)
+            gterm = F.col("cnt") * (sg - F.col("y")) * (-F.col("z")) / (t * t)
+            hterm = F.col("cnt") * (
+                sg
+                * (F.lit(1.0) - sg)
+                * F.col("z")
+                * F.col("z")
+                / (t * t * t * t)
+                + (sg - F.col("y")) * F.lit(2.0) * F.col("z") / (t * t * t)
             )
+            tdf = j.agg(
+                F.greatest(
+                    F.max("t") - F.sum(gterm) / F.sum(hterm),
+                    F.lit(_TSCAL_TMIN),
+                ).alias("t")
+            )
+
+        def nll(u):
+            return F.sum(
+                F.col("cnt")
+                * (
+                    F.greatest(u, F.lit(0.0))
+                    - F.col("y") * u
+                    + F.log(F.lit(1.0) + F.exp(-F.abs(u)))
+                )
+            )
+
+        fin = grid_c.crossJoin(F.broadcast(tdf)).agg(
+            F.sum("cnt").cast("bigint").alias("n_docs"),
+            nll(F.col("z") / F.lit(1.0)).alias("nll_t1"),
+            nll(F.col("z") / F.col("t")).alias("nll_that"),
+            F.max("t").alias("t_hat"),
+        )
+        return fin.select(
+            "n_docs",
+            F.round(F.col("t_hat"), 6).alias("t_hat"),
+            F.round(F.col("nll_t1") / F.col("n_docs"), 6).alias(
+                "nll_per_doc_t1"
+            ),
+            F.round(F.col("nll_that") / F.col("n_docs"), 6).alias(
+                "nll_per_doc_that"
+            ),
         )
 
-    fin = grid.crossJoin(F.broadcast(tdf)).agg(
-        F.sum("cnt").cast("bigint").alias("n_docs"),
-        nll(F.col("z") / F.lit(1.0)).alias("nll_t1"),
-        nll(F.col("z") / F.col("t")).alias("nll_that"),
-        F.max("t").alias("t_hat"),
-    )
-    return fin.select(
-        "n_docs",
-        F.round(F.col("t_hat"), 6).alias("t_hat"),
-        F.round(F.col("nll_t1") / F.col("n_docs"), 6).alias("nll_per_doc_t1"),
-        F.round(F.col("nll_that") / F.col("n_docs"), 6).alias(
-            "nll_per_doc_that"
-        ),
-    )
+    return persisted_result(grid, build)

@@ -3459,13 +3459,18 @@ def friedman_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (n_g - 1) AS s2
             FROM g
         ),
+        -- zero-variance exclusion shared by BOTH tot and the output rows
+        -- (r10 advice: stat formerly read the unfiltered v, so a
+        -- degenerate constant-cent group would appear as an output row
+        -- here but not in the Spark plan)
+        v2 AS (SELECT * FROM v WHERE s2 > 0),
         tot AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS k,
                    CAST(SUM(n_g) AS BIGINT) AS n_total,
                    SUM((n_g - 1) * s2) AS ssw,
                    SUM((n_g - 1) * ln(s2)) AS sum_ln,
                    SUM(1.0 / (n_g - 1)) AS sum_inv
-            FROM v WHERE s2 > 0
+            FROM v2
         ),
         stat AS (
             SELECT v.grp, v.n_g, v.s2, tot.k,
@@ -3475,7 +3480,7 @@ def friedman_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (1.0 + (tot.sum_inv - 1.0 / (tot.n_total - tot.k))
                             / (3.0 * (tot.k - 1.0))) AS t_stat,
                    tot.k - 1.0 AS df
-            FROM v CROSS JOIN tot
+            FROM v2 AS v CROSS JOIN tot
         ),
         wh AS (
             SELECT grp, n_g, s2, k, t_stat, df,

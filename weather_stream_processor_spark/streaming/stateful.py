@@ -409,9 +409,16 @@ def _funnel_discovery(key, pdfs, state: GroupState):
     ASCII letters — bounded, no floats, order-free value), and a row is
     emitted exactly when an event contributes a NEW letter, carrying
     that event's id/ts, the step number, and the sequence prefix. The
-    emitted prefix depends only on the set of events seen so far, never
-    on micro-batch boundaries, so every output row hash-checks against
-    the batch oracle's windowed reconstruction."""
+    SET of letters in state is batch-boundary-free, but first-occurrence
+    ORDER (and hence the emitted event_id/step attribution) relies on
+    the replay source's time-ordered delivery contract plus the per-key
+    (ts, event_id) sort WITHIN each batch (the streaming_cusum_monitor
+    contract): two funnel events with EQUAL ts split across micro-batch
+    boundaries would be tie-broken by arrival, not by the batch oracle's
+    global (ts, event_id) order (r10 ADVICE caveat). Under that delivery
+    contract every output row hash-checks against the batch oracle's
+    windowed reconstruction — which the 3-scale replay and the
+    4-micro-batch split test verify."""
     (seq,) = state.get if state.exists else ("",)
     chunks = [pdf for pdf in pdfs]
     if not chunks:
