@@ -77,6 +77,9 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "funnel_conformance_sequences", "temperature_scaling_fit",
     "streaming_funnel_discovery", "source_lm_divergence_matrix",
     # round-11 session crop (new operators, appended as they land)
+    "periodogram_fisher_g", "hurst_rescaled_range",
+    "durbin_watson_trend_residuals", "binseg_change_point",
+    "anytime_confidence_sequence",
 )
 
 

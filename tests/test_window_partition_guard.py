@@ -150,6 +150,11 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         '0.1-quantized bucket grid (bounded value domain) + whole-frame '
         'totals over it',
     ),
+    'anytime_confidence_sequence': (
+        ('<no order>', 'd ASC NULLS FIRST'),
+        'day spine (O(days), never data-sized): running trial/success '
+        'prefix sums + the one-row corpus total',
+    ),
     'lang_source_chi_square': (
         ('<no order>',),
         '|langs| x |sources| contingency grid',
@@ -761,9 +766,17 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',  # 1-row user-count frame
     ),
-    'temperature_scaling_fit': (
-        ('BroadcastNestedLoopJoin BuildRight Cross',) * 7,
-        'bounded-build',  # 6 Newton-step 1-row T frames + the final one
+    # temperature_scaling_fit: removed r11 — the registered plan is now a
+    # checkpoint scan (persisted grid, r10 ADVICE #3); its Newton
+    # crossJoins execute inside persisted_result and are pinned by
+    # tests/test_plans.py::test_temperature_scaling_grid_is_single_scan
+    'periodogram_fisher_g': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 16-row Fourier-frequency spine x day grid
+    ),
+    'hurst_rescaled_range': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 3-row block-size spine x day grid
     ),
     'page_trend_test': (
         ('BroadcastNestedLoopJoin BuildRight Cross',) * 4,

@@ -3800,3 +3800,910 @@ def _smk_build(monthly: DataFrame) -> DataFrame:
         F.round(F.lit(2.0) * normal_sf_col(F.abs(z)), 6).alias("p_value"),
         (z > 0).alias("increasing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 spectral / long-memory / residual-diagnostic closers. The daily
+# cents grid (the ljung_box construction) gains the frequency domain
+# (periodogram + Fisher's g), the long-range-dependence axis (Hurst R/S),
+# the trend-residual autocorrelation check (Durbin-Watson), and offline
+# change-point LOCALIZATION (binary segmentation) to complement the
+# cusum_level_shift detector's online form.
+# ---------------------------------------------------------------------------
+
+_PG_KMAX = 16  # Fourier frequencies scanned: k = 1..min(KMAX, (n-1)/2)
+_TWO_PI = 6.283185307179586  # literal in BOTH engines (no fold-order risk)
+
+_DAILY_CENTS_CTE = """
+        daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        )"""
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+
+
+@register(
+    "periodogram_fisher_g",
+    oracle=f"""
+        WITH {_DAILY_CENTS_CTE},
+        idx AS (
+            SELECT event_type, d, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d
+                   ) - 1 AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS s
+            FROM daily
+        ),
+        ks AS (SELECT unnest(range(1, {_PG_KMAX} + 1)) AS k),
+        terms AS (
+            SELECT i.event_type, ks.k, i.n,
+                   CAST(i.cents * i.n - i.s AS DOUBLE) / i.n AS xd,
+                   {_TWO_PI} * (CAST((ks.k * i.t) % i.n AS DOUBLE) / i.n)
+                       AS angle
+            FROM idx i CROSS JOIN ks
+            WHERE 2 * ks.k <= i.n - 1
+        ),
+        fk AS (
+            SELECT event_type, k, MAX(n) AS n,
+                   SUM(CAST(FLOOR(xd * cos(angle) * 1000000.0 + 0.5)
+                            AS HUGEINT)) AS ck,
+                   SUM(CAST(FLOOR(xd * sin(angle) * 1000000.0 + 0.5)
+                            AS HUGEINT)) AS sk
+            FROM terms GROUP BY 1, 2
+        ),
+        ii AS (
+            SELECT event_type, k, n, ck * ck + sk * sk AS i_int
+            FROM fk
+        ),
+        ranked AS (
+            SELECT event_type, k, n, i_int,
+                   SUM(i_int) OVER (PARTITION BY event_type) AS i_sum,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY i_int DESC, k ASC
+                   ) AS rk
+            FROM ii
+        )
+        SELECT event_type, n AS n_days, m AS m_band,
+               CAST(k AS BIGINT) AS peak_k,
+               ROUND(CAST(n AS DOUBLE) / k, 6) AS period_days,
+               ROUND(CAST(i_int AS DOUBLE) / CAST(i_sum AS DOUBLE), 6)
+                   AS fisher_g,
+               ROUND(LEAST(1.0,
+                   CAST(m AS DOUBLE)
+                   * pow(1.0 - CAST(i_int AS DOUBLE) / CAST(i_sum AS DOUBLE),
+                         CAST(m AS DOUBLE) - 1.0)), 6) AS p_upper_bound
+        FROM ranked
+        WHERE rk = 1 AND m >= 2 AND i_sum > 0
+    """,
+    doc=(
+        "PERIODOGRAM PEAK + FISHER'S g TEST per event_type on the daily "
+        "cents series: the frequency-domain completion of the "
+        "time-domain diagnostics (Ljung-Box asks 'any autocorrelation', "
+        "seasonal-MK assumes a KNOWN period; Fisher's g finds WHICH "
+        f"period). Power at Fourier frequencies k = 1..min({_PG_KMAX}, "
+        "(n-1)/2) — the low-frequency band where business seasonality "
+        "lives; at multi-year spans widen _PG_KMAX, the plan shape is "
+        "unchanged — with g = max I_k / sum I_k and the standard "
+        "m*(1-g)^(m-1) upper bound for its null tail (the first term "
+        "of Fisher's exact alternating series, exact to ~1e-3 at "
+        "fixture m). Engine parity: the DFT angle is reduced mod n "
+        "BEFORE cos/sin (exact bigint (k*t) % n, so libm never sees a "
+        "large argument), the centered series (cents*n - s)/n is one "
+        "identical double per row, and each cos/sin term is dyadically "
+        "lifted (floor(x*1e6 + 0.5)) into DECIMAL(38,0)/HUGEINT so the "
+        "per-frequency sums are ORDER-FREE exact integers — the "
+        "covariance-spectrum contract applied to spectral moments; "
+        "|C_k| < 1e18 holds to ~10-year spans at 1e8 daily cents, so "
+        "C_k^2 + S_k^2 stays inside DECIMAL(38,0). Plan: one corpus "
+        "scan to the (type, day) grid, per-type windows for the index, "
+        f"a {_PG_KMAX}-row broadcast frequency spine, one hash "
+        "aggregate to |types| x m rows; nothing else shuffles at "
+        "100 TB."
+    ),
+    tags=("timeseries", "statistics", "monitoring"),
+)
+def periodogram_fisher_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("t"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("n"),
+        F.sum("cents").over(w_t).cast("bigint").alias("s"),
+    )
+    ks = spark.range(1, _PG_KMAX + 1).select(F.col("id").alias("k"))
+    j = idx.crossJoin(F.broadcast(ks)).filter(
+        2 * F.col("k") <= F.col("n") - 1
+    )
+    xd = (F.col("cents") * F.col("n") - F.col("s")).cast("double") / F.col(
+        "n"
+    )
+    angle = F.lit(_TWO_PI) * (
+        ((F.col("k") * F.col("t")) % F.col("n")).cast("double") / F.col("n")
+    )
+    dec = "decimal(38,0)"
+    term_c = F.floor(xd * F.cos(angle) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        dec
+    )
+    term_s = F.floor(xd * F.sin(angle) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        dec
+    )
+    fk = j.groupBy("event_type", "k").agg(
+        F.max("n").alias("n"),
+        F.sum(term_c).alias("ck"),
+        F.sum(term_s).alias("sk"),
+    )
+    ii = fk.select(
+        "event_type",
+        "k",
+        "n",
+        (F.col("ck") * F.col("ck") + F.col("sk") * F.col("sk")).alias(
+            "i_int"
+        ),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("i_int"), F.asc("k")
+    )
+    ranked = ii.select(
+        "event_type",
+        "k",
+        "n",
+        "i_int",
+        F.sum("i_int").over(w_t).alias("i_sum"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("m"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    top = ranked.filter(
+        (F.col("rk") == 1) & (F.col("m") >= 2) & (F.col("i_sum") > 0)
+    )
+    g = F.col("i_int").cast("double") / F.col("i_sum").cast("double")
+    md = F.col("m").cast("double")
+    p = F.least(
+        F.lit(1.0), md * F.pow(F.lit(1.0) - g, md - F.lit(1.0))
+    )
+    return top.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("m").alias("m_band"),
+        F.col("k").cast("bigint").alias("peak_k"),
+        F.round(F.col("n").cast("double") / F.col("k"), 6).alias(
+            "period_days"
+        ),
+        F.round(g, 6).alias("fisher_g"),
+        F.round(p, 6).alias("p_upper_bound"),
+    )
+
+
+_HURST_WS = (4, 8, 16)  # dyadic block sizes; H = endpoint slope in log2
+
+
+@register(
+    "hurst_rescaled_range",
+    oracle=f"""
+        WITH {_DAILY_CENTS_CTE},
+        idx AS (
+            SELECT event_type, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d
+                   ) - 1 AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM daily
+        ),
+        ws AS (SELECT unnest([{", ".join(str(w) for w in _HURST_WS)}]) AS w),
+        blk AS (
+            SELECT i.event_type, ws.w, i.t, i.cents,
+                   CAST((i.t - (i.t % ws.w)) / ws.w AS BIGINT) AS blockno
+            FROM idx i CROSS JOIN ws
+            WHERE i.t < i.n - (i.n % ws.w)
+        ),
+        dev AS (
+            SELECT event_type, w, blockno, t, cents,
+                   CAST(SUM(cents) OVER (
+                       PARTITION BY event_type, w, blockno
+                   ) AS BIGINT) AS bs,
+                   SUM(CAST(cents AS HUGEINT) * cents) OVER (
+                       PARTITION BY event_type, w, blockno
+                   ) AS ssq
+            FROM blk
+        ),
+        cum AS (
+            SELECT event_type, w, blockno, bs, ssq,
+                   CAST(SUM(cents * w - bs) OVER (
+                       PARTITION BY event_type, w, blockno
+                       ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS z
+            FROM dev
+        ),
+        rsq AS (
+            SELECT event_type, w, blockno,
+                   MAX(z) - MIN(z) AS zrange,
+                   CAST(MAX(w) AS HUGEINT) * MAX(ssq)
+                       - CAST(MAX(bs) AS HUGEINT) * MAX(bs) AS dd
+            FROM cum GROUP BY 1, 2, 3
+        ),
+        lift AS (
+            SELECT event_type, w,
+                   CAST(FLOOR(CAST(zrange AS DOUBLE)
+                              / sqrt(CAST(dd AS DOUBLE))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS rs_q
+            FROM rsq WHERE dd > 0
+        ),
+        per_w AS (
+            SELECT event_type, w,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   (CAST(SUM(rs_q) AS DOUBLE) / COUNT(*)) / 1000000000.0
+                       AS rs_mean
+            FROM lift GROUP BY 1, 2
+        ),
+        piv AS (
+            SELECT event_type,
+                   COALESCE(MAX(CASE WHEN w = 4 THEN nb END), 0) AS nb4,
+                   COALESCE(MAX(CASE WHEN w = 8 THEN nb END), 0) AS nb8,
+                   COALESCE(MAX(CASE WHEN w = 16 THEN nb END), 0) AS nb16,
+                   MAX(CASE WHEN w = 4 THEN rs_mean END) AS rs4,
+                   MAX(CASE WHEN w = 8 THEN rs_mean END) AS rs8,
+                   MAX(CASE WHEN w = 16 THEN rs_mean END) AS rs16
+            FROM per_w GROUP BY event_type
+        )
+        SELECT p.event_type,
+               MAX(i.n) AS n_days,
+               p.nb4, p.nb8, p.nb16,
+               ROUND(p.rs4, 6) AS rs_w4,
+               ROUND(p.rs8, 6) AS rs_w8,
+               ROUND(p.rs16, 6) AS rs_w16,
+               ROUND(CASE WHEN p.rs4 > 0 AND p.rs16 > 0
+                          THEN ln(p.rs16 / p.rs4) / 1.3862943611198906
+                     END, 6) AS hurst_exponent
+        FROM piv p JOIN (SELECT DISTINCT event_type, n FROM idx) i
+            USING (event_type)
+        GROUP BY p.event_type, p.nb4, p.nb8, p.nb16,
+                 p.rs4, p.rs8, p.rs16
+    """,
+    doc=(
+        "HURST EXPONENT by RESCALED-RANGE (R/S) ANALYSIS per event_type "
+        "on the daily cents series — the long-range-dependence axis the "
+        "rest of the diagnostic suite cannot see (Ljung-Box detects "
+        "short-lag correlation; H > 0.5 detects PERSISTENT long memory, "
+        "H < 0.5 anti-persistence; white noise sits at 0.5). The series "
+        f"is cut into complete blocks of w in {_HURST_WS} days; per "
+        "block, R = range of the cumulative deviations from the block "
+        "mean and S = population std, with R/S computed as ONE double "
+        "division of two exact integers: the cumulative deviations are "
+        "kept x w-scaled (cents*w - blocksum, an exact BIGINT prefix "
+        "sum) and w^2*S^2 = w*ssq - bs^2 in HUGEINT/DECIMAL(38,0), so "
+        "R/S = (maxZ - minZ)/sqrt(w*ssq - bs^2) — the w cancels. "
+        "Per-block ratios are dyadically lifted (floor(x*1e9 + 0.5)) "
+        "before the cross-block mean so the average is an order-free "
+        "integer sum; H = ln(RS_16/RS_4)/ln(16/4), the exact OLS slope "
+        "for equally-log-spaced sizes (endpoint form). Zero-variance "
+        "blocks are excluded, mirrored; types lacking either endpoint "
+        "size emit NULL H rather than a fabricated slope. Plan: one "
+        "corpus scan to the day grid, a 3-row broadcast size spine, "
+        "per-(type,w,block) windows — everything after the first "
+        "aggregate is day-grid-bounded at any corpus size."
+    ),
+    tags=("timeseries", "statistics", "quality"),
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("t"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("n"),
+    )
+    ws = spark.createDataFrame(
+        [(w,) for w in _HURST_WS], "w bigint"
+    )
+    blk = idx.crossJoin(F.broadcast(ws)).filter(
+        F.col("t") < F.col("n") - (F.col("n") % F.col("w"))
+    )
+    blk = blk.select(
+        "event_type",
+        "w",
+        "t",
+        "cents",
+        "n",
+        ((F.col("t") - (F.col("t") % F.col("w"))) / F.col("w"))
+        .cast("bigint")
+        .alias("blockno"),
+    )
+    dec = "decimal(38,0)"
+    w_blk = Window.partitionBy("event_type", "w", "blockno")
+    dev = blk.select(
+        "event_type",
+        "w",
+        "blockno",
+        "t",
+        "cents",
+        "n",
+        F.sum("cents").over(w_blk).cast("bigint").alias("bs"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents"))
+        .over(w_blk)
+        .alias("ssq"),
+    )
+    w_cum = Window.partitionBy("event_type", "w", "blockno").orderBy(
+        "t"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dev.select(
+        "event_type",
+        "w",
+        "blockno",
+        "bs",
+        "ssq",
+        "n",
+        F.sum(F.col("cents") * F.col("w") - F.col("bs"))
+        .over(w_cum)
+        .cast("bigint")
+        .alias("z"),
+    )
+    rsq = cum.groupBy("event_type", "w", "blockno").agg(
+        (F.max("z") - F.min("z")).alias("zrange"),
+        (
+            F.max("w").cast(dec) * F.max("ssq")
+            - F.max("bs").cast(dec) * F.max("bs")
+        ).alias("dd"),
+        F.max("n").alias("n"),
+    )
+    lift = rsq.filter(F.col("dd") > 0).select(
+        "event_type",
+        "w",
+        "n",
+        F.floor(
+            F.col("zrange").cast("double")
+            / F.sqrt(F.col("dd").cast("double"))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("rs_q"),
+    )
+    per_w = lift.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        (
+            (F.sum("rs_q").cast("double") / F.count(F.lit(1)))
+            / F.lit(1000000000.0)
+        ).alias("rs_mean"),
+        F.max("n").alias("n"),
+    )
+    piv = per_w.groupBy("event_type").agg(
+        F.coalesce(
+            F.max(F.when(F.col("w") == 4, F.col("nb"))), F.lit(0)
+        ).cast("bigint").alias("nb4"),
+        F.coalesce(
+            F.max(F.when(F.col("w") == 8, F.col("nb"))), F.lit(0)
+        ).cast("bigint").alias("nb8"),
+        F.coalesce(
+            F.max(F.when(F.col("w") == 16, F.col("nb"))), F.lit(0)
+        ).cast("bigint").alias("nb16"),
+        F.max(F.when(F.col("w") == 4, F.col("rs_mean"))).alias("rs4"),
+        F.max(F.when(F.col("w") == 8, F.col("rs_mean"))).alias("rs8"),
+        F.max(F.when(F.col("w") == 16, F.col("rs_mean"))).alias("rs16"),
+        F.max("n").alias("n_days"),
+    )
+    hurst = F.when(
+        (F.col("rs4") > 0) & (F.col("rs16") > 0),
+        F.log(F.col("rs16") / F.col("rs4")) / F.lit(1.3862943611198906),
+    )
+    return piv.select(
+        "event_type",
+        "n_days",
+        "nb4",
+        "nb8",
+        "nb16",
+        F.round("rs4", 6).alias("rs_w4"),
+        F.round("rs8", 6).alias("rs_w8"),
+        F.round("rs16", 6).alias("rs_w16"),
+        F.round(hurst, 6).alias("hurst_exponent"),
+    )
+
+
+@register(
+    "durbin_watson_trend_residuals",
+    oracle=f"""
+        WITH {_DAILY_CENTS_CTE},
+        idx AS (
+            SELECT event_type, d, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d
+                   ) - 1 AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM daily
+        ),
+        ctr AS (
+            -- symmetric integer time 2t-(n-1): sum(tc) == 0 exactly, so
+            -- the OLS intercept decouples and every residual is exact
+            SELECT event_type, t, cents, n, 2 * t - (n - 1) AS tc
+            FROM idx
+        ),
+        mom AS (
+            SELECT event_type, t, cents, n, tc,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS sx,
+                   CAST(SUM(tc * cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS bnum,
+                   CAST(SUM(tc * tc) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS delta
+            FROM ctr
+        ),
+        resid AS (
+            -- E_t = n*delta*e_t: the x n*delta lift makes the OLS
+            -- residual an EXACT integer (covariance-spectrum contract)
+            SELECT event_type, t, n, sx, bnum, delta,
+                   CAST(n AS HUGEINT) * delta * cents
+                       - CAST(delta AS HUGEINT) * sx
+                       - CAST(n AS HUGEINT) * bnum * tc AS e
+            FROM mom
+        ),
+        lagged AS (
+            SELECT event_type, n, bnum, delta, e,
+                   LAG(e) OVER (
+                       PARTITION BY event_type ORDER BY t
+                   ) AS e_prev
+            FROM resid
+        ),
+        agg AS (
+            SELECT event_type, MAX(n) AS n_days,
+                   MAX(bnum) AS bnum, MAX(delta) AS delta,
+                   SUM(CASE WHEN e_prev IS NOT NULL
+                            THEN (e - e_prev) * (e - e_prev) END) AS num,
+                   SUM(e * e) AS den
+            FROM lagged GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               ROUND((2.0 * CAST(bnum AS DOUBLE)) / CAST(delta AS DOUBLE),
+                     6) AS trend_slope_cents_per_day,
+               ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                   AS dw_stat,
+               ROUND(1.0 - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                           / 2.0, 6) AS rho_lag1
+        FROM agg
+        WHERE n_days >= 3 AND den > 0
+    """,
+    doc=(
+        "DURBIN-WATSON TEST on the residuals of a per-type linear DAY "
+        "TREND — the diagnostic that closes the trend-fitting loop: "
+        "mann_kendall_trend DETECTS monotone trend, theilsen/OLS FIT "
+        "it, and DW asks whether what the line leaves behind is still "
+        "serially correlated (DW ~ 2(1 - rho1); near 0 = positive "
+        "autocorrelation, the residual structure that invalidates the "
+        "fit's naive standard errors and any iid-residual monitor "
+        "downstream). Exactness: time is re-centered to the symmetric "
+        "integer grid tc = 2t-(n-1) (sum tc = 0, so the intercept "
+        "decouples), and every residual is kept x n*delta-scaled — "
+        "E_t = n*delta*cents - delta*Sx - n*Bnum*tc, an EXACT "
+        "DECIMAL(38,0)/HUGEINT integer (the scale factor cancels in "
+        "the DW ratio), so numerator and denominator are order-free "
+        "integer sums with ONE double division each; exact within "
+        "DECIMAL(38,0) to ~1-year day spans at 1e8 daily |cents| "
+        "(|E| <= ~7e18, E^2 <= ~5e37), beyond which re-center cents "
+        "first. Constant series (den = 0) and n < 3 are excluded, "
+        "mirrored. Plan: one corpus scan to the day grid; per-type "
+        "windows and one k-row aggregate after."
+    ),
+    tags=("timeseries", "statistics", "quality"),
+)
+def durbin_watson_trend_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("t"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("n"),
+    )
+    ctr = idx.select(
+        "event_type",
+        "t",
+        "cents",
+        "n",
+        (2 * F.col("t") - (F.col("n") - 1)).alias("tc"),
+    )
+    mom = ctr.select(
+        "event_type",
+        "t",
+        "cents",
+        "n",
+        "tc",
+        F.sum("cents").over(w_t).cast("bigint").alias("sx"),
+        F.sum(F.col("tc") * F.col("cents"))
+        .over(w_t)
+        .cast("bigint")
+        .alias("bnum"),
+        F.sum(F.col("tc") * F.col("tc"))
+        .over(w_t)
+        .cast("bigint")
+        .alias("delta"),
+    )
+    dec = "decimal(38,0)"
+    e = (
+        F.col("n").cast(dec) * F.col("delta") * F.col("cents")
+        - F.col("delta").cast(dec) * F.col("sx")
+        - F.col("n").cast(dec) * F.col("bnum") * F.col("tc")
+    )
+    resid = mom.select(
+        "event_type", "t", "n", "bnum", "delta", e.alias("e")
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("t")
+    lagged = resid.select(
+        "event_type",
+        "n",
+        "bnum",
+        "delta",
+        "e",
+        F.lag("e").over(w_lag).alias("e_prev"),
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.max("bnum").alias("bnum"),
+        F.max("delta").alias("delta"),
+        F.sum(
+            F.when(
+                F.col("e_prev").isNotNull(),
+                (F.col("e") - F.col("e_prev"))
+                * (F.col("e") - F.col("e_prev")),
+            )
+        ).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+    )
+    dw = F.col("num").cast("double") / F.col("den").cast("double")
+    return agg.filter((F.col("n_days") >= 3) & (F.col("den") > 0)).select(
+        "event_type",
+        "n_days",
+        F.round(
+            (F.lit(2.0) * F.col("bnum").cast("double"))
+            / F.col("delta").cast("double"),
+            6,
+        ).alias("trend_slope_cents_per_day"),
+        F.round(dw, 6).alias("dw_stat"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_lag1"),
+    )
+
+
+@register(
+    "binseg_change_point",
+    oracle=f"""
+        WITH {_DAILY_CENTS_CTE},
+        idx AS (
+            SELECT event_type, d, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d
+                   ) AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS s,
+                   SUM(CAST(cents AS HUGEINT) * cents) OVER (
+                       PARTITION BY event_type
+                   ) AS ssq
+            FROM daily
+        ),
+        pre AS (
+            SELECT event_type, d, t, n, s, ssq,
+                   CAST(SUM(cents) OVER (
+                       PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS p
+            FROM idx
+        ),
+        cand AS (
+            SELECT event_type, d, t, n, s, ssq, p,
+                   CAST(n AS HUGEINT) * p - CAST(t AS HUGEINT) * s AS gap,
+                   CAST(n AS HUGEINT) * ssq
+                       - CAST(s AS HUGEINT) * s AS tss_n
+            FROM pre WHERE t < n
+        ),
+        scored AS (
+            SELECT event_type, d, t, n, s, p, tss_n,
+                   CAST(gap * gap AS DOUBLE)
+                       / CAST(t * (n - t) AS DOUBLE) AS score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(gap * gap AS DOUBLE)
+                                / CAST(t * (n - t) AS DOUBLE) DESC,
+                                t ASC
+                   ) AS rk
+            FROM cand
+        )
+        SELECT event_type, n AS n_days,
+               CAST(t AS BIGINT) AS tau,
+               d AS split_epoch_day,
+               ROUND((CAST(p AS DOUBLE) / t) / 100.0, 6)
+                   AS mean_before_value,
+               ROUND((CAST(s - p AS DOUBLE) / (n - t)) / 100.0, 6)
+                   AS mean_after_value,
+               ROUND((score / CAST(tss_n AS DOUBLE)) * n, 6) AS r2_split
+        FROM scored
+        WHERE rk = 1 AND n >= 4 AND tss_n > 0
+    """,
+    doc=(
+        "BINARY-SEGMENTATION CHANGE-POINT LOCALIZATION per event_type "
+        "on the daily cents series — the OFFLINE complement of the "
+        "online detectors (cusum_level_shift raises a flag as data "
+        "arrives; binseg answers WHERE the level shifted, the first "
+        "split of the classic recursive segmentation). For every "
+        "candidate split tau the between-segment sum of squares is the "
+        "exact integer form BSS(tau) = (n*P_tau - tau*S)^2 / "
+        "(n*tau*(n-tau)) over the prefix sums P — numerator an exact "
+        "HUGEINT/DECIMAL(38,0) square (n*P <= ~1.3e15 at 10-year spans "
+        "x 1e8 daily cents, squared ~1.7e30, well inside 38 digits), "
+        "denominator one double division per row so the argmax "
+        "compares IDENTICAL doubles in both engines, tie-broken to the "
+        "earliest tau. Emits the split day, segment means, and "
+        "r2_split = BSS/TSS (the variance share one break explains, "
+        "with n*TSS = n*SSQ - S^2 exact). Degenerate series (constant "
+        "cents, n < 4) are excluded, mirrored. Plan: one corpus scan "
+        "to the day grid; per-type ordered windows over it; one "
+        "rank-1 slice — day-grid-bounded forever."
+    ),
+    tags=("timeseries", "statistics", "monitoring"),
+)
+def binseg_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    w_t = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    idx = daily.select(
+        "event_type",
+        "d",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("d"))
+        .alias("t"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("n"),
+        F.sum("cents").over(w_t).cast("bigint").alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents"))
+        .over(w_t)
+        .alias("ssq"),
+    )
+    w_pre = Window.partitionBy("event_type").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = idx.select(
+        "event_type",
+        "d",
+        "t",
+        "n",
+        "s",
+        "ssq",
+        F.sum("cents").over(w_pre).cast("bigint").alias("p"),
+    )
+    cand = pre.filter(F.col("t") < F.col("n")).select(
+        "event_type",
+        "d",
+        "t",
+        "n",
+        "s",
+        "p",
+        (
+            F.col("n").cast(dec) * F.col("p")
+            - F.col("t").cast(dec) * F.col("s")
+        ).alias("gap"),
+        (
+            F.col("n").cast(dec) * F.col("ssq")
+            - F.col("s").cast(dec) * F.col("s")
+        ).alias("tss_n"),
+    )
+    score = (F.col("gap") * F.col("gap")).cast("double") / (
+        F.col("t") * (F.col("n") - F.col("t"))
+    ).cast("double")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        score.desc(), F.asc("t")
+    )
+    scored = cand.select(
+        "event_type",
+        "d",
+        "t",
+        "n",
+        "s",
+        "p",
+        "tss_n",
+        score.alias("score"),
+        F.row_number().over(w_rank).alias("rk"),
+    )
+    return scored.filter(
+        (F.col("rk") == 1) & (F.col("n") >= 4) & (F.col("tss_n") > 0)
+    ).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("t").cast("bigint").alias("tau"),
+        F.col("d").alias("split_epoch_day"),
+        F.round(
+            (F.col("p").cast("double") / F.col("t")) / F.lit(100.0), 6
+        ).alias("mean_before_value"),
+        F.round(
+            ((F.col("s") - F.col("p")).cast("double") / (F.col("n") - F.col("t")))
+            / F.lit(100.0),
+            6,
+        ).alias("mean_after_value"),
+        F.round(
+            (F.col("score") / F.col("tss_n").cast("double")) * F.col("n"), 6
+        ).alias("r2_split"),
+    )
+
+
+@register(
+    "anytime_confidence_sequence",
+    oracle="""
+        WITH daily AS (
+            SELECT date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS m_d,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS s_d
+            FROM events GROUP BY 1
+        ),
+        run AS (
+            SELECT d,
+                   CAST(SUM(m_d) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS m_cum,
+                   CAST(SUM(s_d) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS s_cum,
+                   CAST(SUM(m_d) OVER () AS BIGINT) AS m_tot,
+                   CAST(SUM(s_d) OVER () AS BIGINT) AS s_tot
+            FROM daily
+        ),
+        band AS (
+            SELECT d, m_cum, s_cum,
+                   CAST(s_cum AS DOUBLE) / m_cum AS p_hat,
+                   CAST(s_tot AS DOUBLE) / m_tot AS p_fin,
+                   1.7 * sqrt((ln(ln(2.0 * m_cum)) + 3.8430274173849486)
+                              / m_cum) AS radius
+            FROM run
+        )
+        SELECT d AS epoch_day, m_cum AS trials_cum, s_cum AS successes_cum,
+               ROUND(p_hat, 6) AS p_hat,
+               ROUND(radius, 6) AS radius,
+               ROUND(GREATEST(0.0, p_hat - radius), 6) AS ci_lo,
+               ROUND(LEAST(1.0, p_hat + radius), 6) AS ci_hi,
+               (p_fin >= GREATEST(0.0, p_hat - radius)
+                AND p_fin <= LEAST(1.0, p_hat + radius))
+                   AS final_in_interval
+        FROM band
+    """,
+    doc=(
+        "ANYTIME-VALID CONFIDENCE SEQUENCE for the running purchase "
+        "share — the always-valid inference the fixed-n intervals "
+        "cannot give: wilson_score_intervals is valid at ONE "
+        "preplanned n, while a confidence sequence holds "
+        "SIMULTANEOUSLY over every prefix, so the monitor can peek "
+        "daily and stop on the first boundary crossing without "
+        "inflating alpha (the continuous-monitoring discipline behind "
+        "sprt_conversion_monitor, in interval rather than decision "
+        "form). Radius is the stitched sub-Gaussian boundary of "
+        "Howard et al. 2021 with the standard practical constants, "
+        "1.7*sqrt((ln ln(2t) + 0.72*ln(10.4/alpha))/t) at alpha=0.05 "
+        "— 0.72*ln(208) is precomputed to the literal "
+        "3.8430274173849486 so neither engine folds it differently. "
+        "Cumulative trials/successes are exact integer prefix sums; "
+        "every emitted double derives from them by one identical "
+        "expression. final_in_interval tracks whether the corpus-final "
+        "share sits inside each day's band — the coverage diagnostic. "
+        "Plan: one corpus scan to the day grid; ordered windows over "
+        "the O(days) spine only."
+    ),
+    tags=("timeseries", "experimentation", "statistics", "streaming"),
+)
+def anytime_confidence_sequence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_d"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_d"),
+    )
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    run = daily.select(
+        "d",
+        F.sum("m_d").over(w_run).cast("bigint").alias("m_cum"),
+        F.sum("s_d").over(w_run).cast("bigint").alias("s_cum"),
+        F.sum("m_d").over(w_all).cast("bigint").alias("m_tot"),
+        F.sum("s_d").over(w_all).cast("bigint").alias("s_tot"),
+    )
+    p_hat = F.col("s_cum").cast("double") / F.col("m_cum")
+    p_fin = F.col("s_tot").cast("double") / F.col("m_tot")
+    radius = F.lit(1.7) * F.sqrt(
+        (
+            F.log(F.log(F.lit(2.0) * F.col("m_cum")))
+            + F.lit(3.8430274173849486)
+        )
+        / F.col("m_cum")
+    )
+    band = run.select(
+        "d",
+        "m_cum",
+        "s_cum",
+        p_hat.alias("p_hat"),
+        p_fin.alias("p_fin"),
+        radius.alias("radius"),
+    )
+    lo = F.greatest(F.lit(0.0), F.col("p_hat") - F.col("radius"))
+    hi = F.least(F.lit(1.0), F.col("p_hat") + F.col("radius"))
+    return band.select(
+        F.col("d").alias("epoch_day"),
+        F.col("m_cum").alias("trials_cum"),
+        F.col("s_cum").alias("successes_cum"),
+        F.round("p_hat", 6).alias("p_hat"),
+        F.round("radius", 6).alias("radius"),
+        F.round(lo, 6).alias("ci_lo"),
+        F.round(hi, 6).alias("ci_hi"),
+        ((F.col("p_fin") >= lo) & (F.col("p_fin") <= hi)).alias(
+            "final_in_interval"
+        ),
+    )
