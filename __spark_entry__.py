@@ -80,6 +80,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "periodogram_fisher_g", "hurst_rescaled_range",
     "durbin_watson_trend_residuals", "binseg_change_point",
     "anytime_confidence_sequence",
+    "lilliefors_normal_drift", "mood_scale_rank_test",
+    "dp_contribution_clipping_audit", "matryoshka_truncation_recall",
 )
 
 

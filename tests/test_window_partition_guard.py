@@ -171,6 +171,11 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>', 'bucket ASC NULLS FIRST',),
         '0.1-quantized bucket grid (bounded value domain)',
     ),
+    'mood_scale_rank_test': (
+        ('<no order>', 'bucket ASC NULLS FIRST',),
+        '0.1-quantized bucket grid (bounded value domain) — the '
+        'mann_whitney plan shape with squared-midrank scores',
+    ),
     'mrr_first_relevant': (
         ('<no order>',),
         'per-source best-hit aggregate (|sources| rows)',
@@ -554,6 +559,13 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'knn_join_topk': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
+    ),
+    'matryoshka_truncation_recall': (
+        ('BroadcastNestedLoopJoin BuildLeft Cross',
+         'BroadcastNestedLoopJoin BuildLeft Cross',
+         'BroadcastNestedLoopJoin BuildRight Cross',
+         'BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 8-query x 3-width spine (24 rows) broadcast
     ),
     'kruskal_wallis_h': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),

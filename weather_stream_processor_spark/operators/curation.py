@@ -606,3 +606,146 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         sq_dot("s_g", "s").cast("bigint").alias("sgt"),
         sq_dot("s", "s").cast("bigint").alias("stt"),
     )
+
+
+@register(
+    "dp_contribution_clipping_audit",
+    oracle="""
+        WITH contrib AS (
+            SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ),
+        hist AS (
+            SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS n_c
+            FROM contrib GROUP BY 1, 2
+        ),
+        run AS (
+            SELECT event_type, c, n_c,
+                   CAST(SUM(n_c) OVER (
+                       PARTITION BY event_type ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_users,
+                   CAST(SUM(c * n_c) OVER (
+                       PARTITION BY event_type ORDER BY c
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_mass,
+                   CAST(SUM(n_c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS tot_users,
+                   CAST(SUM(c * n_c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS tot_mass,
+                   CAST(MAX(c) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS max_c
+            FROM hist
+        ),
+        ret AS (
+            SELECT event_type, c, cum_users, tot_users, tot_mass, max_c,
+                   cum_mass + c * (tot_users - cum_users) AS retained
+            FROM run
+        ),
+        pick AS (
+            SELECT event_type, c, cum_users, tot_users, tot_mass, max_c,
+                   retained,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY c ASC
+                   ) AS rk
+            FROM ret
+            WHERE retained * 20 >= tot_mass * 19
+        )
+        SELECT event_type,
+               tot_users AS n_users,
+               tot_mass AS total_contributions,
+               max_c AS max_contribution,
+               c AS clip_c,
+               retained AS retained_contributions,
+               ROUND(CAST(retained AS DOUBLE) / tot_mass, 6)
+                   AS retained_fraction,
+               tot_users - cum_users AS clipped_users,
+               c AS l1_sensitivity
+        FROM pick WHERE rk = 1
+    """,
+    doc=(
+        "DIFFERENTIAL-PRIVACY CONTRIBUTION-CLIPPING AUDIT per "
+        "event_type: the deterministic sizing pass every user-level DP "
+        "release starts with — a DP count/sum's noise scales with the "
+        "L1 sensitivity, which is the per-user contribution CAP, so "
+        "the engineering question is 'what is the smallest clip C that "
+        "keeps >= 95% of the contribution mass' (clip too high and the "
+        "Laplace/Gaussian noise drowns the statistic; too low and the "
+        "clipping bias does). Per-user counts roll to a contribution "
+        "HISTOGRAM (bounded by max contribution, metadata-sized), "
+        "running sums give retained(C) = mass_below + C * users_above "
+        "for every candidate C, and the 95% gate is the exact integer "
+        "comparison retained*20 >= 19*total (no float threshold "
+        "anywhere); the chosen C IS the L1 sensitivity the release "
+        "would use, and clipped_users counts who the cap touches. The "
+        "noise injection itself is the (seeded) release step, out of "
+        "scope by the determinism contract — this operator is the "
+        "sizing audit. Plan: one corpus scan to the (type, user) "
+        "aggregate, one histogram aggregate, ordered windows on the "
+        "bounded histogram; at 100 TB the only data-sized stage is "
+        "the first aggregate."
+    ),
+    tags=("curation", "privacy", "llm", "statistics"),
+)
+def dp_contribution_clipping_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    contrib = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    hist = contrib.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    run = hist.select(
+        "event_type",
+        "c",
+        "n_c",
+        F.sum("n_c").over(w_run).cast("bigint").alias("cum_users"),
+        F.sum(F.col("c") * F.col("n_c"))
+        .over(w_run)
+        .cast("bigint")
+        .alias("cum_mass"),
+        F.sum("n_c").over(w_all).cast("bigint").alias("tot_users"),
+        F.sum(F.col("c") * F.col("n_c"))
+        .over(w_all)
+        .cast("bigint")
+        .alias("tot_mass"),
+        F.max("c").over(w_all).cast("bigint").alias("max_c"),
+    )
+    ret = run.select(
+        "event_type",
+        "c",
+        "cum_users",
+        "tot_users",
+        "tot_mass",
+        "max_c",
+        (
+            F.col("cum_mass") + F.col("c") * (F.col("tot_users") - F.col("cum_users"))
+        ).alias("retained"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(F.asc("c"))
+    pick = (
+        ret.filter(F.col("retained") * 20 >= F.col("tot_mass") * 19)
+        .withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+    )
+    return pick.select(
+        "event_type",
+        F.col("tot_users").alias("n_users"),
+        F.col("tot_mass").alias("total_contributions"),
+        F.col("max_c").alias("max_contribution"),
+        F.col("c").alias("clip_c"),
+        F.col("retained").alias("retained_contributions"),
+        F.round(
+            F.col("retained").cast("double") / F.col("tot_mass"), 6
+        ).alias("retained_fraction"),
+        (F.col("tot_users") - F.col("cum_users")).alias("clipped_users"),
+        F.col("c").alias("l1_sensitivity"),
+    )

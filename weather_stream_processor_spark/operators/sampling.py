@@ -4210,3 +4210,377 @@ def anderson_darling_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drifted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 distribution closers: Lilliefors (one-sample KS against the
+# FITTED normal — the composite-null member the two-sample drift suite
+# lacks) and Mood's rank-based scale test (the nonparametric third leg of
+# the equal-variance triple: Bartlett parametric / Brown-Forsythe robust /
+# Mood rank).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lilliefors_normal_drift",
+    oracle=f"""
+        WITH c AS (
+            SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cent
+            FROM events
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cent) AS BIGINT) AS s,
+                   SUM(CAST(cent AS HUGEINT) * cent) AS ss
+            FROM c GROUP BY event_type
+        ),
+        grid AS (
+            SELECT event_type, cent, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM c GROUP BY event_type, cent
+        ),
+        cum AS (
+            SELECT event_type, cent, cnt,
+                   CAST(SUM(cnt) OVER (
+                       PARTITION BY event_type ORDER BY cent
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cumc
+            FROM grid
+        ),
+        gaps AS (
+            SELECT g.event_type, m.n, m.s, m.ss,
+                   CAST(m.n AS HUGEINT) * m.ss
+                       - CAST(m.s AS HUGEINT) * m.s AS d2,
+                   GREATEST(
+                       ABS(CAST(g.cumc AS DOUBLE) / m.n
+                           - (1.0 - {_normal_sf_signed_sql(
+                               "CAST(g.cent * m.n - m.s AS DOUBLE)"
+                               " / sqrt(CAST(CAST(m.n AS HUGEINT) * m.ss"
+                               " - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)"
+                               " * m.n / (m.n - 1.0))")})),
+                       ABS((1.0 - {_normal_sf_signed_sql(
+                               "CAST(g.cent * m.n - m.s AS DOUBLE)"
+                               " / sqrt(CAST(CAST(m.n AS HUGEINT) * m.ss"
+                               " - CAST(m.s AS HUGEINT) * m.s AS DOUBLE)"
+                               " * m.n / (m.n - 1.0))")})
+                           - CAST(g.cumc - g.cnt AS DOUBLE) / m.n)
+                   ) AS gap
+            FROM cum g JOIN mom m USING (event_type)
+            -- degenerate guard BEFORE the z division (Spark runs ANSI:
+            -- a constant series would raise DIVIDE_BY_ZERO inside the
+            -- expression, not merely produce an excludable row)
+            WHERE m.n >= 4
+              AND CAST(m.n AS HUGEINT) * m.ss
+                  - CAST(m.s AS HUGEINT) * m.s > 0
+        ),
+        d AS (
+            SELECT event_type, MAX(n) AS n, MAX(d2) AS d2,
+                   MAX(gap) AS d_stat
+            FROM gaps GROUP BY event_type
+        )
+        SELECT event_type, n AS n_events,
+               ROUND(d_stat, 6) AS d_stat,
+               ROUND(d_stat * (sqrt(CAST(n AS DOUBLE)) - 0.01
+                               + 0.85 / sqrt(CAST(n AS DOUBLE))), 6)
+                   AS d_modified,
+               d_stat * (sqrt(CAST(n AS DOUBLE)) - 0.01
+                         + 0.85 / sqrt(CAST(n AS DOUBLE))) > 0.895
+                   AS reject_5pct
+        FROM d
+        WHERE n >= 4 AND d2 > 0
+    """,
+    doc=(
+        "LILLIEFORS TEST per event_type: one-sample KS distance between "
+        "the empirical value CDF and the NORMAL FITTED to the same data "
+        "— the composite-null member the drift suite lacks (ks_drift "
+        "compares two samples; Jarque-Bera tests normality through "
+        "moments and misses shape deviations with matching "
+        "skew/kurtosis; Lilliefors tests the whole CDF against "
+        "N(mean, s) with the parameter-estimation penalty folded into "
+        "Stephens' modified statistic D*(sqrt(n) - 0.01 + 0.85/sqrt(n)) "
+        "vs the 0.895 5%-critical constant — both literals, no table). "
+        "D is the sup over the integer-cent grid of the two one-sided "
+        "gaps (F_emp vs Phi at and just below each atom); the z "
+        "argument is assembled drift-free as (cent*n - s) / "
+        "sqrt((n*ss - s^2) * n/(n-1)) — exact HUGEINT/DECIMAL(38,0) "
+        "integers into ONE division — and Phi is the shared A&S "
+        "26.2.17 polynomial both engines evaluate identically. "
+        "Constant series (d2 = 0) and n < 4 excluded, mirrored. Plan: "
+        "one corpus scan feeding the moment aggregate and the bounded "
+        "cent grid; ordered windows on the grid only. The per-type "
+        "max-gap compares identical doubles, so the hash is stable."
+    ),
+    tags=("sampling", "drift", "statistics", "quality"),
+)
+def lilliefors_normal_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from weather_stream_processor_spark.operators._normal_tail import (
+        normal_sf_col,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "cent"
+        ),
+    )
+    dec = "decimal(38,0)"
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _build(c_c: DataFrame) -> DataFrame:
+        mom = c_c.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cent").cast("bigint").alias("s"),
+            F.sum(F.col("cent").cast(dec) * F.col("cent")).alias("ss"),
+        )
+        grid = c_c.groupBy("event_type", "cent").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy("cent")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = grid.select(
+            "event_type",
+            "cent",
+            "cnt",
+            F.sum("cnt").over(w_cum).cast("bigint").alias("cumc"),
+        )
+        d2 = F.col("n").cast(dec) * F.col("ss") - F.col("s").cast(
+            dec
+        ) * F.col("s")
+        # degenerate guard BEFORE the z division (ANSI divide-by-zero)
+        j = cum.join(mom, "event_type").filter(
+            (F.col("n") >= 4) & (d2 > 0)
+        )
+        z = (F.col("cent") * F.col("n") - F.col("s")).cast(
+            "double"
+        ) / F.sqrt(
+            d2.cast("double") * F.col("n") / (F.col("n") - F.lit(1.0))
+        )
+        phi = F.when(z >= 0, F.lit(1.0) - normal_sf_col(z)).otherwise(
+            F.lit(1.0) - (F.lit(1.0) - normal_sf_col(-z))
+        )
+        gap = F.greatest(
+            F.abs(F.col("cumc").cast("double") / F.col("n") - phi),
+            F.abs(
+                phi
+                - (F.col("cumc") - F.col("cnt")).cast("double") / F.col("n")
+            ),
+        )
+        gaps = j.select(
+            "event_type", "n", d2.alias("d2"), gap.alias("gap")
+        )
+        d = gaps.groupBy("event_type").agg(
+            F.max("n").alias("n"),
+            F.max("d2").alias("d2"),
+            F.max("gap").alias("d_stat"),
+        )
+        nd = F.col("n").cast("double")
+        dmod = F.col("d_stat") * (
+            F.sqrt(nd) - F.lit(0.01) + F.lit(0.85) / F.sqrt(nd)
+        )
+        return d.filter((F.col("n") >= 4) & (F.col("d2") > 0)).select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("d_stat", 6).alias("d_stat"),
+            F.round(dmod, 6).alias("d_modified"),
+            (dmod > F.lit(0.895)).alias("reject_5pct"),
+        )
+
+    return persisted_result(c, _build)
+
+
+@register(
+    "mood_scale_rank_test",
+    oracle=f"""
+        WITH b AS (
+            SELECT CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS g,
+                   CAST(floor(value * 10) AS BIGINT) AS bucket
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        counts AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_a,
+                   CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_b
+            FROM b GROUP BY bucket
+        ),
+        run AS (
+            SELECT bucket, n_a, n_b, n_a + n_b AS t,
+                   CAST(COALESCE(SUM(n_a + n_b) OVER (
+                       ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS below,
+                   CAST(SUM(n_a) OVER () AS BIGINT) AS ta,
+                   CAST(SUM(n_b) OVER () AS BIGINT) AS tb,
+                   CAST(SUM(n_a + n_b) OVER () AS BIGINT) AS nn
+            FROM counts
+        ),
+        scores AS (
+            -- u = 2*midrank - (N+1) is an EXACT integer per bucket:
+            -- 2*(below + (t+1)/2) - (N+1) = 2*below + t - N
+            SELECT n_a, n_b, t, ta, tb, nn,
+                   2 * below + t - nn AS u
+            FROM run
+        ),
+        agg AS (
+            SELECT MAX(ta) AS ta, MAX(tb) AS tb, MAX(nn) AS nn,
+                   SUM(CAST(n_a AS HUGEINT) * u * u) AS t4,
+                   SUM(CAST(t AS HUGEINT) * u * u) AS s1,
+                   SUM(CAST(t AS HUGEINT) * u * u * u * u) AS s2
+            FROM scores
+        )
+        SELECT ta AS n_a, tb AS n_b,
+               CAST(t4 AS BIGINT) AS t4_stat,
+               ROUND(CAST(CAST(nn AS HUGEINT) * t4 AS DOUBLE)
+                     / CAST(CAST(ta AS HUGEINT) * s1 AS DOUBLE), 6)
+                   AS dispersion_ratio,
+               ROUND(CAST(CAST(nn AS HUGEINT) * t4
+                          - CAST(ta AS HUGEINT) * s1 AS DOUBLE)
+                     / sqrt(CAST(ta AS DOUBLE) * tb
+                            * CAST(CAST(nn AS HUGEINT) * s2
+                                   - s1 * s1 AS DOUBLE)
+                            / (nn - 1.0)), 6) AS z_score,
+               ROUND(2.0 * {_normal_sf_sql(
+                   "abs(CAST(CAST(nn AS HUGEINT) * t4"
+                   " - CAST(ta AS HUGEINT) * s1 AS DOUBLE)"
+                   " / sqrt(CAST(ta AS DOUBLE) * tb"
+                   " * CAST(CAST(nn AS HUGEINT) * s2"
+                   " - s1 * s1 AS DOUBLE)"
+                   " / (nn - 1.0)))")}, 6) AS p_value
+        FROM agg
+        WHERE ta >= 2 AND tb >= 2 AND nn * s2 > s1 * s1
+    """,
+    doc=(
+        "MOOD'S RANK-BASED SCALE TEST between the click and view value "
+        "distributions — the NONPARAMETRIC third leg of the "
+        "equal-dispersion triple (bartlett_variance_test is the "
+        "parametric UMP-near-normal leg, brown_forsythe the "
+        "median-robust ANOVA leg; Mood needs no moments at all: under "
+        "H0 the squared centered midranks of one sample are an "
+        "exchangeable draw). T = sum over the first sample of "
+        "(r_i - (N+1)/2)^2, computed x4-lifted so every score is the "
+        "EXACT integer u^2 with u = 2*below + t - N from the same "
+        "FLOOR(value*10) bucket grid as mann_whitney (midranks make "
+        "the statistic tie-safe); mean and variance use the general "
+        "linear-rank-statistic forms E = n_a*S1/N and Var = "
+        "n_a*n_b*(N*S2 - S1^2)/(N^2*(N-1)) with S1 = sum t*u^2, S2 = "
+        "sum t*u^4 — all HUGEINT/DECIMAL(38,0) exact (u^4*N bounds "
+        "exactness at ~3e7 rows/pair, the CvM documentation "
+        "convention; past that, subsample or widen to a 128-bit "
+        "accumulator), z assembled from ONE double division. Plan: "
+        "two conditional counts to the bounded bucket grid, ordered "
+        "windows over that grid only — the mann_whitney plan shape "
+        "with quadratic scores."
+    ),
+    tags=("sampling", "drift", "statistics", "quality"),
+)
+def mood_scale_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    b = ev.select(
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("g"),
+        F.floor(F.col("value") * 10).cast("bigint").alias("bucket"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    w_below = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = F.col("n_a") + F.col("n_b")
+    run = counts.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w_below), F.lit(0))
+        .cast("bigint")
+        .alias("below"),
+        F.sum("n_a").over(w_all).cast("bigint").alias("ta"),
+        F.sum("n_b").over(w_all).cast("bigint").alias("tb"),
+        F.sum(t).over(w_all).cast("bigint").alias("nn"),
+    )
+    scores = run.select(
+        "n_a",
+        "n_b",
+        "t",
+        "ta",
+        "tb",
+        "nn",
+        (2 * F.col("below") + F.col("t") - F.col("nn")).alias("u"),
+    )
+    dec = "decimal(38,0)"
+    u2 = F.col("u") * F.col("u")
+    agg = scores.agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.max("nn").alias("nn"),
+        F.sum(F.col("n_a").cast(dec) * u2).alias("t4"),
+        F.sum(F.col("t").cast(dec) * u2).alias("s1"),
+        F.sum(F.col("t").cast(dec) * u2 * u2).alias("s2"),
+    )
+    num = (
+        F.col("nn").cast(dec) * F.col("t4")
+        - F.col("ta").cast(dec) * F.col("s1")
+    ).cast("double")
+    den = F.sqrt(
+        F.col("ta").cast("double")
+        * F.col("tb")
+        * (F.col("nn").cast(dec) * F.col("s2") - F.col("s1") * F.col("s1"))
+        .cast("double")
+        / (F.col("nn") - F.lit(1.0))
+    )
+    z = num / den
+    az = F.abs(z)
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * az)
+    poly = tt * (
+        F.lit(_AS_B[0])
+        + tt
+        * (
+            F.lit(_AS_B[1])
+            + tt
+            * (F.lit(_AS_B[2]) + tt * (F.lit(_AS_B[3]) + tt * F.lit(_AS_B[4])))
+        )
+    )
+    sf = (
+        F.exp(-az * az / F.lit(2.0))
+        / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+        * poly
+    )
+    return agg.filter(
+        (F.col("ta") >= 2)
+        & (F.col("tb") >= 2)
+        & (
+            F.col("nn").cast(dec) * F.col("s2")
+            > F.col("s1") * F.col("s1")
+        )
+    ).select(
+        F.col("ta").alias("n_a"),
+        F.col("tb").alias("n_b"),
+        F.col("t4").cast("bigint").alias("t4_stat"),
+        F.round(
+            (F.col("nn").cast(dec) * F.col("t4")).cast("double")
+            / (F.col("ta").cast(dec) * F.col("s1")).cast("double"),
+            6,
+        ).alias("dispersion_ratio"),
+        F.round(z, 6).alias("z_score"),
+        F.round(F.lit(2.0) * sf, 6).alias("p_value"),
+    )

@@ -4132,3 +4132,151 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the component table feeds both the per-label and corpus-wide
     # reductions — persist so the normalized explode runs once
     return persisted_result(comp, build)
+
+
+_MRL_DIMS = (8, 16)  # truncation prefixes evaluated against the full 32
+_MRL_QUERIES = 8
+_MRL_K = 10
+
+
+@register(
+    "matryoshka_truncation_recall",
+    oracle=f"""
+        WITH d AS (SELECT unnest([{", ".join(str(d) for d in _MRL_DIMS)}, 32])
+                       AS dims),
+        e AS (
+            SELECT vec_id, unnest(embedding) AS ex,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, unnest(embedding) AS qx,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id < {_MRL_QUERIES}
+        ),
+        dots AS (
+            SELECT d.dims, q.qid, e.vec_id,
+                   SUM(CAST(e.ex AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
+                   SUM(CAST(e.ex AS DOUBLE) * CAST(e.ex AS DOUBLE)) AS na2,
+                   SUM(CAST(q.qx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS nq2
+            FROM e JOIN q ON e.i = q.i CROSS JOIN d
+            WHERE e.i <= d.dims AND e.vec_id <> q.qid
+            GROUP BY 1, 2, 3
+        ),
+        sims AS (
+            SELECT dims, qid, vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dims, qid
+                       ORDER BY ROUND(dot / (sqrt(na2) * sqrt(nq2)), 6)
+                                    DESC, vec_id
+                   ) AS rn
+            FROM dots
+        ),
+        top AS (SELECT dims, qid, vec_id FROM sims WHERE rn <= {_MRL_K}),
+        per_q AS (
+            SELECT t.dims, t.qid,
+                   CAST(SUM(CASE WHEN f.vec_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS matches
+            FROM (SELECT * FROM top WHERE dims < 32) t
+            LEFT JOIN (SELECT * FROM top WHERE dims = 32) f
+              ON t.qid = f.qid AND t.vec_id = f.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT CAST(dims AS BIGINT) AS dims,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST({_MRL_K} AS BIGINT) AS k,
+               CAST(SUM(matches) AS BIGINT) AS total_matches,
+               ROUND(CAST(SUM(matches) AS DOUBLE)
+                     / (COUNT(*) * {_MRL_K}.0), 6) AS mean_recall,
+               ROUND(CAST(MIN(matches) AS DOUBLE) / {_MRL_K}.0, 6)
+                   AS min_recall
+        FROM per_q GROUP BY dims
+    """,
+    doc=(
+        "MATRYOSHKA TRUNCATION RECALL (Kusupati et al. 2022): top-"
+        f"{_MRL_K} retrieval recall when the embedding is truncated to "
+        f"its first d in {_MRL_DIMS} dimensions, against the full-32 "
+        "exact top-k — the RETRIEVAL-grade answer to 'how many "
+        "dimensions does this index actually need', completing the "
+        "truncation triptych: embedding_truncation_energy measures "
+        "variance retained, linear_cka_truncation_audit measures "
+        "representational similarity, and this measures the thing "
+        "production cares about — whether the short index returns the "
+        "same neighbors (the standard Matryoshka/MRL deployment "
+        "question, since a d/4 index is ~4x cheaper to scan and "
+        "store). Per (prefix, query): exact cosine top-k with the "
+        "6-dp-rounded-before-ranking + vec_id tie-break contract of "
+        "cosine_topk_exact; per-query matches against the full-width "
+        "list are exact integers, so mean/min recall are single "
+        f"divisions. Plan: the {_MRL_QUERIES} queries x 3 prefix "
+        "widths broadcast into ONE corpus scan (slice + dot per "
+        "pair); per-(width, query) window top-k — the knn_join_topk "
+        "shape with a 3-row width spine, linear in the corpus at any "
+        "scale."
+    ),
+    tags=("similarity", "llm", "evals"),
+)
+def matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "embedding"
+    )
+    dims = spark.createDataFrame(
+        [(d,) for d in (*_MRL_DIMS, 32)], "dims bigint"
+    )
+    q = emb.filter(F.col("vec_id") < _MRL_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    qd = q.crossJoin(dims).select(
+        "qid",
+        "dims",
+        F.slice(F.col("q_emb"), F.lit(1), F.col("dims")).alias("q_emb"),
+    )
+    pairs = emb.crossJoin(F.broadcast(qd)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    e_d = F.slice(F.col("embedding"), F.lit(1), F.col("dims"))
+    cos = F.round(
+        dot(e_d, F.col("q_emb")) / (l2_norm(e_d) * l2_norm(F.col("q_emb"))),
+        6,
+    )
+    sims = pairs.select("dims", "qid", "vec_id", cos.alias("cosine_sim"))
+    w = Window.partitionBy("dims", "qid").orderBy(
+        F.desc("cosine_sim"), F.asc("vec_id")
+    )
+    top = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MRL_K)
+        .select("dims", "qid", "vec_id")
+    )
+    trunc = top.filter(F.col("dims") < 32)
+    full = top.filter(F.col("dims") == 32).select(
+        F.col("qid").alias("f_qid"), F.col("vec_id").alias("f_vid")
+    )
+    per_q = (
+        trunc.join(
+            full,
+            (trunc.qid == full.f_qid) & (trunc.vec_id == full.f_vid),
+            "left",
+        )
+        .groupBy("dims", "qid")
+        .agg(
+            F.sum(F.when(F.col("f_vid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("matches")
+        )
+    )
+    return per_q.groupBy("dims").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.lit(_MRL_K).cast("bigint").alias("k"),
+        F.sum("matches").cast("bigint").alias("total_matches"),
+        F.round(
+            F.sum("matches").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(_MRL_K))),
+            6,
+        ).alias("mean_recall"),
+        F.round(
+            F.min("matches").cast("double") / F.lit(float(_MRL_K)), 6
+        ).alias("min_recall"),
+    )
