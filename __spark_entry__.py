@@ -82,6 +82,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "anytime_confidence_sequence",
     "lilliefors_normal_drift", "mood_scale_rank_test",
     "dp_contribution_clipping_audit", "matryoshka_truncation_recall",
+    "streaming_anytime_cs_monitor",
 )
 
 

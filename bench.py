@@ -112,6 +112,12 @@ HEADLINE = [
     "content_defined_chunking",
     "bpe_pair_frequencies",
     "bom_rollup_explosion",
+    # round-11 additions (r10 verdict task 7 — the attestation record is
+    # closing, so the newest plan families join the headline map as
+    # ADDITIONS, the r4c precedent): the vocab-grid LM divergence matrix
+    # and the first-occurrence funnel-conformance plan
+    "source_lm_divergence_matrix",
+    "funnel_conformance_sequences",
 ]
 
 # the sf1-equivalent (10x replica) subset: the heaviest headliners

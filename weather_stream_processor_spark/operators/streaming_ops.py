@@ -1215,3 +1215,88 @@ def streaming_funnel_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return out.select("user_id", "event_id", "ts", "step", "seq_so_far")
+
+
+@register(
+    "streaming_anytime_cs_monitor",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, event_id, ts,
+                   CASE WHEN value >= {CUT} THEN 1 ELSE 0 END AS succ
+            FROM events
+        ),
+        run AS (
+            -- integer cumulatives only (the SPRT-monitor discipline):
+            -- p_hat and the stitched radius are closed forms of the
+            -- exact counts, never float accumulators
+            SELECT event_type, event_id, ts,
+                   CAST(ROW_NUMBER() OVER w AS BIGINT) AS trials,
+                   CAST(SUM(succ) OVER w AS BIGINT) AS successes
+            FROM q
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ),
+        band AS (
+            SELECT event_type, event_id, ts, trials, successes,
+                   CAST(successes AS DOUBLE) / trials AS p_hat,
+                   1.7 * sqrt((ln(ln(2.0 * trials)) + {C}) / trials)
+                       AS radius
+            FROM run
+        )
+        SELECT event_type, event_id, ts, trials, successes,
+               ROUND(p_hat, 6) AS p_hat,
+               ROUND(radius, 6) AS radius,
+               ROUND(GREATEST(0.0, p_hat - radius), 6) AS ci_lo,
+               ROUND(LEAST(1.0, p_hat + radius), 6) AS ci_hi,
+               (GREATEST(0.0, p_hat - radius) <= {P0}
+                AND {P0} <= LEAST(1.0, p_hat + radius)) AS h0_in_band
+        FROM band
+    """.replace("{CUT}", "50.0")
+    .replace("{C}", "3.8430274173849486")
+    .replace("{P0}", "0.45"),
+    doc=(
+        "STREAMING ANYTIME CONFIDENCE SEQUENCE (applyInPandasWithState): "
+        "the INTERVAL form of sequential inference, deliberately paired "
+        "with streaming_sprt_monitor's DECISION form on the same "
+        "quantity (share of value >= 50.0 events per type, p0 = 0.45): "
+        "SPRT tells you when to stop, the CS tells you what you can "
+        "claim at every moment in between — the band is simultaneously "
+        "valid over ALL prefixes (Howard et al. 2021 stitched "
+        "sub-Gaussian boundary, the same 1.7/0.72-literal constants as "
+        "the batch twin anytime_confidence_sequence), so h0_in_band "
+        "flipping false IS a valid-at-first-look rejection. State is "
+        "(successes, trials) — two integer scalars per key, O(#keys), "
+        "NO float state; every emitted double is a closed form of the "
+        "exact integer cumulatives (one division, ln-ln, sqrt on "
+        "identical doubles), so each output row hash-checks against "
+        "the batch oracle's windowed reconstruction regardless of "
+        "micro-batch boundaries. The replay source is time-ordered and "
+        "rows sort per key within each batch (the "
+        "streaming_cusum_monitor delivery contract)."
+    ),
+    tags=("streaming", "stateful", "pandas-udf", "statistics"),
+)
+def streaming_anytime_cs_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from weather_stream_processor_spark.streaming.stateful import (
+        cs_band_stream,
+    )
+
+    ev = events_replay_source(spark, sf_dir)
+    out = run_to_memory(
+        cs_band_stream(ev),
+        _sink_name("streaming_anytime_cs_monitor"),
+        output_mode="append",
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "trials",
+        "successes",
+        "p_hat",
+        "radius",
+        "ci_lo",
+        "ci_hi",
+        "h0_in_band",
+    )

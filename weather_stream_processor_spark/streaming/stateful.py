@@ -453,3 +453,105 @@ def funnel_discovery_stream(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CS_SCHEMA = (
+    "event_type string, event_id bigint, ts timestamp, "
+    "trials bigint, successes bigint, p_hat double, radius double, "
+    "ci_lo double, ci_hi double, h0_in_band boolean"
+)
+CS_STATE_SCHEMA = "s bigint, t bigint"
+# Anytime confidence sequence per event type for the share of
+# high-value events (same value >= 50.0 cut and p0 = 0.45 reference as
+# the SPRT monitor — SPRT emits the DECISION form of sequential
+# inference, this emits the INTERVAL form, the deliberate pairing).
+# The stitched-boundary constant 0.72*ln(10.4/0.05) is the same literal
+# as the batch twin anytime_confidence_sequence.
+CS_VALUE_CUT = 50.0
+CS_RADIUS_CONST = 3.8430274173849486
+CS_P0 = 0.45
+
+
+def _round6_half_away(x: float) -> float:
+    """6-dp round-half-away-from-zero, the ROUND semantic of Spark and
+    DuckDB. Python's built-in round is banker's and ALREADY diverged on
+    this operator: p_hat = 49/128 = 0.3828125 is exactly dyadic, lands
+    exactly on the 6-dp half grid, and round() gave 0.382812 where both
+    engines give 0.382813 (caught by the first oracle run). All CS
+    values are non-negative, so floor(x*1e6 + 0.5) suffices."""
+    return _math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _cs_monitor(key, pdfs, state: GroupState):
+    """Per-key anytime confidence sequence. State is (successes, trials)
+    — two integer scalars per key, O(#keys), NO float state; p_hat and
+    the stitched radius at every row are CLOSED FORMS of the exact
+    integer cumulatives (one division, one ln-ln, one sqrt on identical
+    doubles), so every emitted row equals the batch oracle's windowed
+    reconstruction bit-for-bit regardless of micro-batch boundaries.
+    The replay source's time-ordered delivery + per-key (ts, event_id)
+    batch sort is the streaming_cusum_monitor contract."""
+    s_cnt, t_cnt = state.get if state.exists else (0, 0)
+    chunks = [pdf for pdf in pdfs]
+    if not chunks:
+        state.update((s_cnt, t_cnt))
+        return
+    rows = pd.concat(chunks).sort_values(["ts", "event_id"])
+    out = []
+    for row in rows.itertuples(index=False):
+        t_cnt += 1
+        if row.value >= CS_VALUE_CUT:
+            s_cnt += 1
+        p_hat = s_cnt / t_cnt
+        radius = 1.7 * _math.sqrt(
+            (_math.log(_math.log(2.0 * t_cnt)) + CS_RADIUS_CONST) / t_cnt
+        )
+        lo = max(0.0, p_hat - radius)
+        hi = min(1.0, p_hat + radius)
+        out.append(
+            (
+                key[0],
+                row.event_id,
+                row.ts,
+                t_cnt,
+                s_cnt,
+                _round6_half_away(p_hat),
+                _round6_half_away(radius),
+                _round6_half_away(lo),
+                _round6_half_away(hi),
+                bool(lo <= CS_P0 <= hi),
+            )
+        )
+    state.update((s_cnt, t_cnt))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "event_type",
+                "event_id",
+                "ts",
+                "trials",
+                "successes",
+                "p_hat",
+                "radius",
+                "ci_lo",
+                "ci_hi",
+                "h0_in_band",
+            ],
+        )
+
+
+def cs_band_stream(stream: DataFrame) -> DataFrame:
+    """Per-event-type streaming anytime confidence sequence (see
+    _cs_monitor)."""
+    return (
+        stream.select("event_type", "event_id", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _cs_monitor,
+            outputStructType=CS_SCHEMA,
+            stateStructType=CS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
