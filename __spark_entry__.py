@@ -83,6 +83,8 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "lilliefors_normal_drift", "mood_scale_rank_test",
     "dp_contribution_clipping_audit", "matryoshka_truncation_recall",
     "streaming_anytime_cs_monitor",
+    "hilbert_vs_zorder_locality", "eb_rate_shrinkage",
+    "alpha_dcg_novelty_eval",
 )
 
 

@@ -184,6 +184,10 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'grade DESC NULLS LAST', 'rnk ASC NULLS FIRST',),
         'top-k run list + <=4-row grade histogram',
     ),
+    'alpha_dcg_novelty_eval': (
+        ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'rnk ASC NULLS FIRST',),
+        'top-k run list (<=30 rank x subtopic rows)',
+    ),
     'err_retrieval_eval': (
         ('bm25 DESC NULLS LAST, doc_id ASC NULLS FIRST', 'rnk ASC NULLS FIRST'),
         'top-k run list (20 rows) + the rank-ordered prefix windows over it',
@@ -598,6 +602,11 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'ndcg_retrieval_eval': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
+    ),
+    'alpha_dcg_novelty_eval': (
+        ('BroadcastNestedLoopJoin BuildRight Cross',
+         'BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # bm25 run's 1-row IDF/avgdl broadcasts
     ),
     'err_retrieval_eval': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),

@@ -5887,3 +5887,183 @@ def temperature_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(grid, build)
+
+
+_ADCG_ALPHA_POW = 10  # gains lifted x2^10: (1-alpha)=0.5 => 2^(10-c) exact
+
+
+@register(
+    "alpha_dcg_novelty_eval",
+    oracle=f"""
+        WITH run AS ({{BM25}}),
+        ranked AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)
+                       AS rnk
+            FROM run
+        ),
+        topk AS (SELECT * FROM ranked WHERE rnk <= 10),
+        cover AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE tok IN ('spark', 'join', 'window')
+        ),
+        j AS (
+            SELECT t.rnk, t.doc_id, c.tok
+            FROM topk t LEFT JOIN cover c USING (doc_id)
+        ),
+        nov AS (
+            SELECT rnk, doc_id, tok,
+                   CASE WHEN tok IS NULL THEN NULL
+                        ELSE COALESCE(SUM(1) OVER (
+                            PARTITION BY tok ORDER BY rnk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                   END AS c_before
+            FROM j
+        ),
+        per_rank AS (
+            SELECT rnk, doc_id,
+                   CAST(SUM(CASE WHEN tok IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS subtopics_covered,
+                   CAST(SUM(CASE WHEN c_before = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS new_subtopics,
+                   CAST(COALESCE(SUM(CASE WHEN tok IS NOT NULL THEN
+                       CAST(pow(2.0, {_ADCG_ALPHA_POW} - c_before)
+                            AS BIGINT) END), 0) AS BIGINT) AS gain_int
+            FROM nov GROUP BY rnk, doc_id
+        ),
+        lifted AS (
+            SELECT rnk, doc_id, subtopics_covered, new_subtopics, gain_int,
+                   CAST(FLOOR((gain_int / 1024.0)
+                              / (ln(rnk + 1.0) / ln(2.0))
+                              * 1000000000.0 + 0.5) AS BIGINT) AS contrib_q
+            FROM per_rank
+        )
+        SELECT rnk, doc_id, subtopics_covered, new_subtopics,
+               -- exact dyadic (x2^10 lift): no ROUND — 23.4375-class
+               -- values sit exactly ON the 6-dp half grid and the lift
+               -- makes them bit-identical without one (margin audit)
+               gain_int / 1024.0 AS novelty_gain,
+               ROUND(CAST(SUM(contrib_q) OVER (
+                   ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 1000000000.0, 6) AS alpha_dcg,
+               ROUND(CAST(SUM(new_subtopics) OVER (
+                   ORDER BY rnk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 3.0, 6) AS subtopic_recall
+        FROM lifted
+    """.replace("{BM25}", _BM25_ORACLE),
+    doc=(
+        "ALPHA-DCG NOVELTY/DIVERSITY EVALUATION of the bm25_top_docs "
+        "run (Clarke et al. 2008): the diversity-aware gain the plain "
+        "NDCG scorecard cannot see — each query term is a SUBTOPIC, "
+        "and a doc's gain at rank i is sum_t J(d,t)*(1-alpha)^(count "
+        "of earlier docs already covering t) with alpha = 0.5, so the "
+        "third consecutive doc about the same subtopic earns 1/4 the "
+        "credit and a list of near-duplicates scores like one document "
+        "(mmr_diversified_rerank OPTIMIZES for this property; this "
+        "MEASURES it on any run). alpha = 0.5 makes every gain an "
+        "exact DYADIC rational — lifted x2^10 they are exact integers, "
+        "and each rank's log2-discounted contribution is dyadically "
+        "1e9-lifted so the running alpha-DCG is an ORDER-FREE integer "
+        "prefix sum (the SPRT lesson: a float window SUM accumulates "
+        "in tree order); subtopic_recall tracks coverage of the 3 "
+        "subtopics. The ideal (normalizing) permutation is NP-hard "
+        "and conventionally greedy — deliberately not fabricated "
+        "here; diversity ablations compare unnormalized alpha-DCG on "
+        "a fixed query set, which this emits exactly. All windows run "
+        "over the <=30-row (rank x subtopic) frame; the run reuses "
+        "bm25_top_docs' registered plan."
+    ),
+    tags=("evals", "retrieval", "llm"),
+)
+def alpha_dcg_novelty_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.registry import _REGISTRY
+
+    run = _REGISTRY["bm25_top_docs"].builder(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    w_rank = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # 20-row frame
+    topk = (
+        run.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", "doc_id")
+    )
+    cover = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin("spark", "join", "window"))
+        .distinct()
+    )
+    j = topk.join(cover, "doc_id", "left")
+    w_nov = (
+        Window.partitionBy("tok")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nov = j.select(
+        "rnk",
+        "doc_id",
+        "tok",
+        F.when(
+            F.col("tok").isNull(), F.lit(None).cast("bigint")
+        ).otherwise(
+            F.coalesce(F.sum(F.lit(1)).over(w_nov), F.lit(0))
+        ).alias("c_before"),
+    )
+    per_rank = nov.groupBy("rnk", "doc_id").agg(
+        F.sum(F.when(F.col("tok").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("subtopics_covered"),
+        F.sum(F.when(F.col("c_before") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_subtopics"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("tok").isNotNull(),
+                    F.pow(
+                        F.lit(2.0), F.lit(_ADCG_ALPHA_POW) - F.col("c_before")
+                    ).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("gain_int"),
+    )
+    contrib_q = (
+        F.floor(
+            (F.col("gain_int") / F.lit(1024.0))
+            / (F.log(F.col("rnk") + F.lit(1.0)) / F.log(F.lit(2.0)))
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    lifted = per_rank.select(
+        "rnk",
+        "doc_id",
+        "subtopics_covered",
+        "new_subtopics",
+        "gain_int",
+        contrib_q.alias("contrib_q"),
+    )
+    w_run = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return lifted.select(
+        "rnk",
+        "doc_id",
+        "subtopics_covered",
+        "new_subtopics",
+        (F.col("gain_int") / F.lit(1024.0)).alias("novelty_gain"),
+        F.round(
+            F.sum("contrib_q").over(w_run).cast("double")
+            / F.lit(1000000000.0),
+            6,
+        ).alias("alpha_dcg"),
+        F.round(
+            F.sum("new_subtopics").over(w_run).cast("double") / F.lit(3.0), 6
+        ).alias("subtopic_recall"),
+    )

@@ -4584,3 +4584,366 @@ def mood_scale_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.round(F.lit(2.0) * sf, 6).alias("p_value"),
     )
+
+
+def _hilbert_stage_sql(prev: str, s: int) -> str:
+    """One unrolled stage of the Hilbert xy2d walk (side s), as a CTE
+    body over columns (xb, yb, d [, carried cols]). Integer CASE
+    arithmetic only — no xor function, no floats — so both engines
+    compute identical values by construction."""
+    rx = f"(CASE WHEN (xb & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (yb & {s}) > 0 THEN 1 ELSE 0 END)"
+    inc = (
+        f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+        f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+        f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+    )
+    x_new = (
+        f"(CASE WHEN {ry} = 1 THEN xb "
+        f"WHEN {rx} = 1 THEN {s} - 1 - yb ELSE yb END)"
+    )
+    y_new = (
+        f"(CASE WHEN {ry} = 1 THEN yb "
+        f"WHEN {rx} = 1 THEN {s} - 1 - xb ELSE xb END)"
+    )
+    return (
+        f"SELECT x0, y0, n_orders, d + {s * s} * {inc} AS d, "
+        f"{x_new} AS xb, {y_new} AS yb FROM {prev}"
+    )
+
+
+def _hilbert_col(x0, y0):
+    """Mirrored Spark form of the unrolled Hilbert walk: same CASE
+    arithmetic, same stage order."""
+    x, y, d = x0, y0, F.lit(0)
+    for s in (8, 4, 2, 1):
+        rx = F.when((x.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        ry = F.when((y.bitwiseAND(F.lit(s))) > 0, 1).otherwise(0)
+        inc = (
+            F.when((rx == 0) & (ry == 0), 0)
+            .when((rx == 0) & (ry == 1), 1)
+            .when((rx == 1) & (ry == 1), 2)
+            .otherwise(3)
+        )
+        d = d + F.lit(s * s) * inc
+        x_new = (
+            F.when(ry == 1, x)
+            .when(rx == 1, F.lit(s) - 1 - y)
+            .otherwise(y)
+        )
+        y_new = (
+            F.when(ry == 1, y)
+            .when(rx == 1, F.lit(s) - 1 - x)
+            .otherwise(x)
+        )
+        x, y = x_new, y_new
+    return d
+
+
+def _hilbert_oracle() -> str:
+    stages = []
+    prev = "h0"
+    for i, s in enumerate((8, 4, 2, 1), start=1):
+        stages.append(f"h{i} AS ({_hilbert_stage_sql(prev, s)})")
+        prev = f"h{i}"
+    chain = ",\n        ".join(stages)
+    return f"""
+        WITH cells AS (
+            SELECT CAST(o_custkey % 16 AS BIGINT) AS x0,
+                   CAST((epoch_ms(o_orderdate) // 86400000 // 180) % 16
+                        AS BIGINT) AS y0,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1, 2
+        ),
+        h0 AS (SELECT x0, y0, n_orders, 0 AS d, x0 AS xb, y0 AS yb
+               FROM cells),
+        {chain},
+        keys AS (
+            SELECT x0, y0, n_orders, d AS hcell,
+                   {_interleave_duckdb('x0', 'y0')} AS zcell
+            FROM h4
+        ),
+        curves AS (
+            SELECT CASE WHEN tag = 0 THEN 'zorder' ELSE 'hilbert' END
+                       AS curve,
+                   CASE WHEN tag = 0 THEN zcell ELSE hcell END AS k,
+                   x0, y0, n_orders
+            FROM keys CROSS JOIN (SELECT unnest([0, 1]) AS tag)
+        ),
+        adj AS (
+            SELECT curve, n_orders,
+                   ABS(x0 - LAG(x0) OVER w) + ABS(y0 - LAG(y0) OVER w)
+                       AS l1
+            FROM curves
+            WINDOW w AS (PARTITION BY curve ORDER BY k)
+        )
+        SELECT curve,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+               ROUND(CAST(SUM(l1) AS DOUBLE) / COUNT(l1), 6)
+                   AS mean_adjacent_l1,
+               CAST(MAX(l1) AS BIGINT) AS max_adjacent_l1
+        FROM adj GROUP BY curve
+    """
+
+
+@register(
+    "hilbert_vs_zorder_locality",
+    oracle=_hilbert_oracle(),
+    doc=(
+        "HILBERT vs Z-ORDER LAYOUT LOCALITY AUDIT on the same 16x16 "
+        "(customer-bucket x half-year) cell grid as zorder_cell_stats: "
+        "for each curve, walk the occupied cells in KEY order and "
+        "measure the L1 grid distance between consecutive cells — the "
+        "metric that decides which space-filling curve to cluster a "
+        "100 TB table by. A perfect Hilbert walk moves exactly 1 cell "
+        "per step (adjacent keys are ALWAYS grid-adjacent, so a "
+        "contiguous key-range scan touches a compact blob and parquet "
+        "min/max zones stay tight in both dimensions), while Z-order "
+        "takes 2^k-sized jumps at bit boundaries (mean ~1.88, max 16 "
+        "on the full grid) — cheaper to compute, worse tail locality; "
+        "this operator puts the actual numbers for the actual data "
+        "side by side. The Hilbert index is the standard xy2d walk "
+        "UNROLLED into 4 integer CASE stages (reflect-then-swap "
+        "rotation, no xor builtin, no floats — both engines compute "
+        "identical integers by construction; the adjacency-1 property "
+        "of the variant is pinned in tests). Plan: ONE corpus scan to "
+        "the <=256-row cell grid; the two curve walks explode from "
+        "that grid (no second scan) and the windows partition by "
+        "curve. mean_adjacent_l1 is one division of exact integers."
+    ),
+    tags=("sampling", "layout", "scale"),
+)
+def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    x0 = (F.col("o_custkey") % 16).cast("bigint")
+    y0 = (
+        F.expr("unix_micros(o_orderdate) div 86400000000 div 180") % 16
+    ).cast("bigint")
+    cells = (
+        orders.select(x0.alias("x0"), y0.alias("y0"))
+        .groupBy("x0", "y0")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    zc = F.lit(0)
+    for i in range(4):
+        zc = zc + F.shiftright(F.col("x0").cast("int"), i).bitwiseAND(1) * (
+            1 << (2 * i)
+        )
+        zc = zc + F.shiftright(F.col("y0").cast("int"), i).bitwiseAND(1) * (
+            1 << (2 * i + 1)
+        )
+    keys = cells.select(
+        "x0",
+        "y0",
+        "n_orders",
+        _hilbert_col(F.col("x0"), F.col("y0")).alias("hcell"),
+        zc.cast("bigint").alias("zcell"),
+    )
+    curves = keys.select(
+        "x0",
+        "y0",
+        "n_orders",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("curve"),
+                    F.col("zcell").alias("k"),
+                ),
+                F.struct(
+                    F.lit("hilbert").alias("curve"),
+                    F.col("hcell").alias("k"),
+                ),
+            )
+        ).alias("c"),
+    ).select("x0", "y0", "n_orders", F.col("c.curve").alias("curve"), F.col("c.k").alias("k"))
+    w = Window.partitionBy("curve").orderBy("k")
+    adj = curves.select(
+        "curve",
+        "n_orders",
+        (
+            F.abs(F.col("x0") - F.lag("x0").over(w))
+            + F.abs(F.col("y0") - F.lag("y0").over(w))
+        ).alias("l1"),
+    )
+    return adj.groupBy("curve").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("n_orders").cast("bigint").alias("total_orders"),
+        F.round(
+            F.sum("l1").cast("double") / F.count("l1"), 6
+        ).alias("mean_adjacent_l1"),
+        F.max("l1").cast("bigint").alias("max_adjacent_l1"),
+    )
+
+
+@register(
+    "eb_rate_shrinkage",
+    oracle="""
+        WITH src AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS k
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                   CAST(SUM(k) AS BIGINT) AS kk,
+                   CAST(COUNT(*) AS BIGINT) AS ng
+            FROM src
+        ),
+        lifted AS (
+            -- per-source squared deviation and reciprocal, dyadically
+            -- lifted (x1e12) so the cross-source sums are ORDER-FREE
+            -- exact integers (K-row double sums are the known
+            -- summation-order hash hazard)
+            SELECT s.source, s.n, s.k, t.nn, t.kk, t.ng,
+                   CAST(FLOOR(
+                       (CAST(s.k AS DOUBLE) / s.n
+                        - CAST(t.kk AS DOUBLE) / t.nn)
+                       * (CAST(s.k AS DOUBLE) / s.n
+                          - CAST(t.kk AS DOUBLE) / t.nn)
+                       * 1000000000000.0 + 0.5) AS BIGINT) AS dev2_q,
+                   CAST(FLOOR(1000000000000.0 / s.n + 0.5) AS BIGINT)
+                       AS inv_q
+            FROM src s CROSS JOIN tot t
+        ),
+        hyper AS (
+            SELECT MAX(nn) AS nn, MAX(kk) AS kk, MAX(ng) AS ng,
+                   CAST(SUM(dev2_q) AS BIGINT) AS sdev2,
+                   CAST(SUM(inv_q) AS BIGINT) AS sinv
+            FROM lifted
+        ),
+        tau AS (
+            SELECT nn, kk, ng, sdev2, sinv,
+                   CAST(kk AS DOUBLE) / nn AS pbar,
+                   GREATEST(0.0,
+                       CAST(sdev2 AS DOUBLE) / 1000000000000.0 / (ng - 1)
+                       - (CAST(kk AS DOUBLE) / nn)
+                         * (1.0 - CAST(kk AS DOUBLE) / nn)
+                         / ng
+                         * (CAST(sinv AS DOUBLE) / 1000000000000.0))
+                       AS tau2
+            FROM hyper
+        )
+        SELECT s.source,
+               s.n AS n_docs,
+               s.k AS en_docs,
+               ROUND(CAST(s.k AS DOUBLE) / s.n, 6) AS raw_rate,
+               ROUND(t.pbar, 6) AS pooled_rate,
+               ROUND(t.tau2, 8) AS tau2,
+               ROUND(t.tau2
+                     / (t.tau2 + t.pbar * (1.0 - t.pbar) / s.n), 6)
+                   AS shrinkage_weight,
+               ROUND(t.pbar
+                     + t.tau2 / (t.tau2 + t.pbar * (1.0 - t.pbar) / s.n)
+                       * (CAST(s.k AS DOUBLE) / s.n - t.pbar), 6)
+                   AS shrunk_rate
+        FROM src s CROSS JOIN tau t
+        WHERE t.kk > 0 AND t.kk < t.nn AND t.ng >= 2
+    """,
+    doc=(
+        "EMPIRICAL-BAYES RATE SHRINKAGE (James-Stein / random-effects "
+        "MoM) of the per-source English share: the partial-pooling "
+        "estimator every per-segment league table should use instead "
+        "of raw rates — a 10-doc source's 0.9 is mostly noise, a "
+        "10k-doc source's 0.9 is signal, and the EB weight B_i = "
+        "tau^2/(tau^2 + pbar(1-pbar)/n_i) encodes exactly that (B -> 0 "
+        "pools completely, B -> 1 trusts the raw rate; the "
+        "source_quality_league ranks raw, this REPAIRS). tau^2 is the "
+        "DerSimonian-Laird-flavored method-of-moments between-source "
+        "variance, max(0, between-var - mean sampling var), clamped at "
+        "zero so complete pooling is the degenerate answer rather than "
+        "a negative variance. Determinism: the two cross-source sums "
+        "(squared deviations, reciprocals) are dyadically 1e12-lifted "
+        "per source before summation so they are ORDER-FREE exact "
+        "integers — the K-row double sum is the known summation-order "
+        "hash hazard; everything after is per-row arithmetic on "
+        "identical doubles. Degenerate pools (all-en, no-en, single "
+        "source) excluded, mirrored. Plan: one corpus scan to the "
+        "|sources| grid; 1-row hyperparameter broadcast back."
+    ),
+    tags=("sampling", "statistics", "quality", "llm"),
+)
+def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _build(src_c: DataFrame) -> DataFrame:
+        tot = src_c.agg(
+            F.sum("n").cast("bigint").alias("nn"),
+            F.sum("k").cast("bigint").alias("kk"),
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+        )
+        j = src_c.crossJoin(F.broadcast(tot))
+        r = F.col("k").cast("double") / F.col("n")
+        pbar = F.col("kk").cast("double") / F.col("nn")
+        lifted = j.select(
+            "source",
+            "n",
+            "k",
+            "nn",
+            "kk",
+            "ng",
+            F.floor((r - pbar) * (r - pbar) * F.lit(1e12) + F.lit(0.5))
+            .cast("bigint")
+            .alias("dev2_q"),
+            F.floor(F.lit(1e12) / F.col("n") + F.lit(0.5))
+            .cast("bigint")
+            .alias("inv_q"),
+        )
+        hyper = lifted.agg(
+            F.max("nn").alias("nn"),
+            F.max("kk").alias("kk"),
+            F.max("ng").alias("ng"),
+            F.sum("dev2_q").cast("bigint").alias("sdev2"),
+            F.sum("inv_q").cast("bigint").alias("sinv"),
+        )
+        pbar2 = F.col("kk").cast("double") / F.col("nn")
+        tau2 = F.greatest(
+            F.lit(0.0),
+            F.col("sdev2").cast("double")
+            / F.lit(1e12)
+            / (F.col("ng") - 1)
+            - pbar2
+            * (F.lit(1.0) - pbar2)
+            / F.col("ng")
+            * (F.col("sinv").cast("double") / F.lit(1e12)),
+        )
+        tau = hyper.select(
+            "nn",
+            "kk",
+            "ng",
+            pbar2.alias("pbar"),
+            tau2.alias("tau2"),
+        )
+        out = src_c.crossJoin(F.broadcast(tau))
+        r2 = F.col("k").cast("double") / F.col("n")
+        b = F.col("tau2") / (
+            F.col("tau2")
+            + F.col("pbar") * (F.lit(1.0) - F.col("pbar")) / F.col("n")
+        )
+        return out.filter(
+            (F.col("kk") > 0) & (F.col("kk") < F.col("nn")) & (F.col("ng") >= 2)
+        ).select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("k").alias("en_docs"),
+            F.round(r2, 6).alias("raw_rate"),
+            F.round(F.col("pbar"), 6).alias("pooled_rate"),
+            F.round(F.col("tau2"), 8).alias("tau2"),
+            F.round(b, 6).alias("shrinkage_weight"),
+            F.round(
+                F.col("pbar") + b * (r2 - F.col("pbar")), 6
+            ).alias("shrunk_rate"),
+        )
+
+    return persisted_result(src, _build)

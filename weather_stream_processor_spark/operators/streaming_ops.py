@@ -1243,10 +1243,17 @@ def streaming_funnel_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM run
         )
         SELECT event_type, event_id, ts, trials, successes,
-               ROUND(p_hat, 6) AS p_hat,
-               ROUND(radius, 6) AS radius,
-               ROUND(GREATEST(0.0, p_hat - radius), 6) AS ci_lo,
-               ROUND(LEAST(1.0, p_hat + radius), 6) AS ci_hi,
+               -- floor-lift instead of ROUND: p_hat is a ratio of small
+               -- integers and lands EXACTLY on the 6-dp half grid (e.g.
+               -- 49/128); the handler rounds half-away via
+               -- floor(x*1e6 + 0.5)/1e6, so the oracle uses the literal
+               -- same form — floor has no half-grid (margin audit)
+               FLOOR(p_hat * 1000000.0 + 0.5) / 1000000.0 AS p_hat,
+               FLOOR(radius * 1000000.0 + 0.5) / 1000000.0 AS radius,
+               FLOOR(GREATEST(0.0, p_hat - radius) * 1000000.0 + 0.5)
+                   / 1000000.0 AS ci_lo,
+               FLOOR(LEAST(1.0, p_hat + radius) * 1000000.0 + 0.5)
+                   / 1000000.0 AS ci_hi,
                (GREATEST(0.0, p_hat - radius) <= {P0}
                 AND {P0} <= LEAST(1.0, p_hat + radius)) AS h0_in_band
         FROM band
