@@ -84,7 +84,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "dp_contribution_clipping_audit", "matryoshka_truncation_recall",
     "streaming_anytime_cs_monitor",
     "hilbert_vs_zorder_locality", "eb_rate_shrinkage",
-    "alpha_dcg_novelty_eval",
+    "alpha_dcg_novelty_eval", "distance_correlation_daily",
 )
 
 

@@ -173,3 +173,56 @@ def test_confidence_sequence_shrinks_and_covers(spark, tmp_path):
     t = 200.0
     expect = 1.7 * math.sqrt((math.log(math.log(2 * t)) + 0.72 * math.log(10.4 / 0.05)) / t)
     assert out[-1]["radius"] == pytest.approx(expect, abs=1e-6)
+
+
+def _write_xy_days(tmp_path, day_xy):
+    """day_xy: list of (day, n_clicks, purchase_value) -> events where
+    day has n_clicks 'click' rows and ONE 'purchase' row of the value."""
+    rows = []
+    for d, nx, pv in day_xy:
+        for _ in range(nx):
+            rows.append((d, "click", 1.0))
+        rows.append((d, "purchase", pv))
+    n = len(rows)
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=2)
+                for d, _, _ in rows
+            ],
+            "user_id": pd.array([i % 5 for i in range(n)], dtype="Int64"),
+            "event_type": [t for _, t, _ in rows],
+            "value": [v for _, _, v in rows],
+            "props": ["{}"] * n,
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmp_path}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+
+def test_dcor_sees_v_shape_pearson_misses(spark, tmp_path):
+    # y = |x - 5| (V-shape): Pearson ~0 by symmetry, dCor decisively > 0
+    xs = list(range(11))
+    _write_xy_days(
+        str(tmp_path), [(d, x, float(abs(x - 5)) + 0.01) for d, x in enumerate(xs)]
+    )
+    r = _run(spark, "distance_correlation_daily", tmp_path)[0].asDict()
+    assert abs(r["pearson_r"]) < 0.05
+    assert r["dcor"] > 0.4
+
+
+def test_dcor_equals_one_on_perfect_line(spark, tmp_path):
+    _write_xy_days(
+        str(tmp_path), [(d, x, float(2 * x) + 0.005) for d, x in enumerate(range(1, 13))]
+    )
+    r = _run(spark, "distance_correlation_daily", tmp_path)[0].asDict()
+    assert r["pearson_r"] == pytest.approx(1.0, abs=1e-6)
+    assert r["dcor"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dcor_constant_series_excluded(spark, tmp_path):
+    _write_xy_days(str(tmp_path), [(d, 3, 5.0) for d in range(10)])
+    assert _run(spark, "distance_correlation_daily", tmp_path) == []

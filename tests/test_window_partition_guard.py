@@ -564,13 +564,12 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
     ),
-    'matryoshka_truncation_recall': (
-        ('BroadcastNestedLoopJoin BuildLeft Cross',
-         'BroadcastNestedLoopJoin BuildLeft Cross',
-         'BroadcastNestedLoopJoin BuildRight Cross',
-         'BroadcastNestedLoopJoin BuildRight Cross',),
-        'bounded-build',  # 8-query x 3-width spine (24 rows) broadcast
-    ),
+    # matryoshka_truncation_recall: removed from the surface r11 — the
+    # <=240-row top-k frame is now persisted (persisted_result) before
+    # the trunc/full split, which formerly duplicated the corpus cosine
+    # lineage into both branches (4 parquet scans); the spine crossJoins
+    # execute inside the persist and the registered plan is a
+    # checkpoint scan (pinned in tests/test_r11_plans.py)
     'kruskal_wallis_h': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',  # 1-row totals + |event_types|-row group table

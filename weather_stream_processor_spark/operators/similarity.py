@@ -4245,28 +4245,42 @@ def matryoshka_truncation_recall(
     w = Window.partitionBy("dims", "qid").orderBy(
         F.desc("cosine_sim"), F.asc("vec_id")
     )
-    top = (
+    top0 = (
         sims.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _MRL_K)
         .select("dims", "qid", "vec_id")
     )
-    trunc = top.filter(F.col("dims") < 32)
-    full = top.filter(F.col("dims") == 32).select(
-        F.col("qid").alias("f_qid"), F.col("vec_id").alias("f_vid")
-    )
-    per_q = (
-        trunc.join(
-            full,
-            (trunc.qid == full.f_qid) & (trunc.vec_id == full.f_vid),
-            "left",
+    # the trunc and full branches both consume the top-k frame; without
+    # a materialization boundary Catalyst duplicates the ENTIRE corpus
+    # cosine lineage into each branch (4 parquet scans — caught by the
+    # r11 plan audit). The frame is <=240 rows (3 widths x 8 queries x
+    # k), so persist-and-split halves the job.
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _recall(top: DataFrame) -> DataFrame:
+        trunc = top.filter(F.col("dims") < 32)
+        full = top.filter(F.col("dims") == 32).select(
+            F.col("qid").alias("f_qid"), F.col("vec_id").alias("f_vid")
         )
-        .groupBy("dims", "qid")
-        .agg(
-            F.sum(F.when(F.col("f_vid").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("matches")
+        per_q = (
+            trunc.join(
+                full,
+                (trunc.qid == full.f_qid) & (trunc.vec_id == full.f_vid),
+                "left",
+            )
+            .groupBy("dims", "qid")
+            .agg(
+                F.sum(F.when(F.col("f_vid").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("matches")
+            )
         )
-    )
+        return _mrl_finish(per_q)
+
+    return persisted_result(top0, _recall)
+
+
+def _mrl_finish(per_q: DataFrame) -> DataFrame:
     return per_q.groupBy("dims").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
         F.lit(_MRL_K).cast("bigint").alias("k"),
