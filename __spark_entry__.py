@@ -53,10 +53,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # temperature_scaling_fit — all inside this window) re-verified
 # oracle-green at sf0.001/sf0.01 after their fixes, then (3) operators
 # new in round 11, appended as they land. This completes the
-# full-registry driver record: every registered name will have at least
-# one driver-green (or contractual rows-only) row across r01-r11.
-# Names not listed keep registry order, i.e. already-attested names
-# trail the window.
+# full-registry driver record for every pre-r11 name: each will have at
+# least one driver-green (or contractual rows-only) row across r01-r11.
+# The staged list holds 52 names against the driver's ~50-sample, so the
+# LAST TWO r11 additions (alpha_dcg_novelty_eval,
+# distance_correlation_daily — both judge-verified green at
+# sf0.001/sf0.01 this round) may spill to the r12 window; every other
+# name fits. Names not listed keep registry order, i.e.
+# already-attested names trail the window.
 _SAMPLE_PRIORITY: tuple[str, ...] = (
     # the r10 red, fixed (BIGINT emission both engines) — close it green
     "loo_source_influence",
