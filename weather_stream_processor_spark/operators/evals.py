@@ -6067,3 +6067,205 @@ def alpha_dcg_novelty_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_subtopics").over(w_run).cast("double") / F.lit(3.0), 6
         ).alias("subtopic_recall"),
     )
+
+
+@register(
+    "jackknife_source_se",
+    oracle=f"""
+        WITH {_SCORE_CTE.replace("SELECT doc_id,", "SELECT doc_id, source,")},
+        lifted AS (
+            SELECT source,
+                   CAST(ROUND(score * 10000) AS BIGINT) AS s4
+            FROM scored
+        ),
+        grp AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(SUM(s4) AS BIGINT) AS s_i
+            FROM lifted GROUP BY source
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(s_i) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS g
+            FROM grp
+        ),
+        loo AS (
+            SELECT grp.source, grp.n_i, t.n, t.s, t.g,
+                   CAST(t.s - grp.s_i AS DOUBLE) / (t.n - grp.n_i)
+                       / 10000.0 AS theta_loo,
+                   CAST(FLOOR(CAST(t.s - grp.s_i AS DOUBLE)
+                              / (t.n - grp.n_i) / 10000.0
+                              * 1000000000000.0 + 0.5) AS BIGINT) AS tq
+            FROM grp CROSS JOIN tot t
+            WHERE t.g >= 2 AND t.n - grp.n_i >= 1
+        ),
+        mj AS (
+            SELECT MAX(n) AS n, MAX(s) AS s, MAX(g) AS g,
+                   CAST(SUM(tq) AS BIGINT) AS stq
+            FROM loo
+        ),
+        dev AS (
+            SELECT l.source, l.n_i, l.theta_loo, m.n, m.s, m.g, m.stq,
+                   CAST(FLOOR(
+                       (l.theta_loo
+                        - (CAST(m.stq AS DOUBLE) / m.g) / 1000000000000.0)
+                       * (l.theta_loo
+                          - (CAST(m.stq AS DOUBLE) / m.g) / 1000000000000.0)
+                       * 1000000000000.0 + 0.5) AS BIGINT) AS dq
+            FROM loo l CROSS JOIN mj m
+        ),
+        fin AS (
+            SELECT MAX(n) AS n, MAX(s) AS s, MAX(g) AS g, MAX(stq) AS stq,
+                   CAST(SUM(dq) AS BIGINT) AS sdq
+            FROM dev
+        )
+        SELECT d.source,
+               d.n_i AS n_docs,
+               ROUND(CAST(f.s AS DOUBLE) / f.n / 10000.0, 6) AS theta_full,
+               ROUND(d.theta_loo, 6) AS theta_loo,
+               ROUND(f.g * (CAST(f.s AS DOUBLE) / f.n / 10000.0)
+                     - (f.g - 1) * d.theta_loo, 6) AS pseudo_value,
+               ROUND(sqrt((f.g - 1.0) / f.g
+                          * (CAST(f.sdq AS DOUBLE) / 1000000000000.0)), 8)
+                   AS jack_se,
+               ROUND((f.g - 1.0)
+                     * ((CAST(f.stq AS DOUBLE) / f.g) / 1000000000000.0
+                        - CAST(f.s AS DOUBLE) / f.n / 10000.0), 8)
+                   AS jack_bias
+        FROM dev d CROSS JOIN fin f
+    """,
+    doc=(
+        "DELETE-GROUP JACKKNIFE over sources for the corpus mean "
+        "quality score: the RESAMPLING-inference twin the suite lacked "
+        "— poisson_bootstrap_ci resamples DOCUMENTS (right when docs "
+        "are exchangeable), but training corpora cluster by SOURCE, "
+        "and the honest uncertainty for 'what if we'd crawled a "
+        "different source mix' deletes whole sources: theta_(i) = "
+        "(S - s_i)/(n - n_i) from exact total-minus-group integer "
+        "moments (zero extra scans — the loo_source_influence "
+        "identity applied to INFERENCE rather than attribution), "
+        "SE_jack = sqrt((g-1)/g * sum(theta_(i) - mean)^2), "
+        "bias_jack = (g-1)(mean_loo - theta_full), plus each source's "
+        "Tukey pseudo-value g*theta - (g-1)*theta_(i) (the outlier "
+        "diagnostic: a pseudo-value far from the pack marks the source "
+        "whose removal moves the estimate most). The g-row cross-"
+        "source sums are dyadically 1e12-lifted before summation "
+        "(the eb_rate_shrinkage discipline — K-row double sums are "
+        "the summation-order hash hazard). Single-source corpora "
+        "excluded, mirrored. Plan: one corpus scan to the |sources| "
+        "grid; everything after is g-row arithmetic."
+    ),
+    tags=("evals", "statistics", "sampling", "llm"),
+)
+def jackknife_source_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.round(
+        F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 4
+    )
+    lifted = docs.select(
+        "source", F.round(score * 10000).cast("bigint").alias("s4")
+    )
+    grp = lifted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("s4").cast("bigint").alias("s_i"),
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _build(grp_c: DataFrame) -> DataFrame:
+        tot = grp_c.agg(
+            F.sum("n_i").cast("bigint").alias("n"),
+            F.sum("s_i").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("g"),
+        )
+        theta_loo = (
+            (F.col("s") - F.col("s_i")).cast("double")
+            / (F.col("n") - F.col("n_i"))
+            / F.lit(10000.0)
+        )
+        loo = (
+            grp_c.crossJoin(F.broadcast(tot))
+            .filter(
+                (F.col("g") >= 2) & (F.col("n") - F.col("n_i") >= 1)
+            )
+            .select(
+                "source",
+                "n_i",
+                "n",
+                "s",
+                "g",
+                theta_loo.alias("theta_loo"),
+                F.floor(theta_loo * F.lit(1e12) + F.lit(0.5))
+                .cast("bigint")
+                .alias("tq"),
+            )
+        )
+        mj = loo.agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.max("g").alias("g"),
+            F.sum("tq").cast("bigint").alias("stq"),
+        )
+        mean_loo = (F.col("stq").cast("double") / F.col("g")) / F.lit(1e12)
+        dev = (
+            loo.drop("n", "s", "g")
+            .crossJoin(F.broadcast(mj))
+            .select(
+                "source",
+                "n_i",
+                "theta_loo",
+                "n",
+                "s",
+                "g",
+                "stq",
+                F.floor(
+                    (F.col("theta_loo") - mean_loo)
+                    * (F.col("theta_loo") - mean_loo)
+                    * F.lit(1e12)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("dq"),
+            )
+        )
+        fin = dev.agg(
+            F.max("n").alias("n"),
+            F.max("s").alias("s"),
+            F.max("g").alias("g"),
+            F.max("stq").alias("stq"),
+            F.sum("dq").cast("bigint").alias("sdq"),
+        )
+        theta_full = F.col("s").cast("double") / F.col("n") / F.lit(10000.0)
+        j = dev.select("source", "n_i", "theta_loo").crossJoin(
+            F.broadcast(fin)
+        )
+        return j.select(
+            "source",
+            F.col("n_i").alias("n_docs"),
+            F.round(theta_full, 6).alias("theta_full"),
+            F.round(F.col("theta_loo"), 6).alias("theta_loo"),
+            F.round(
+                F.col("g") * theta_full
+                - (F.col("g") - 1) * F.col("theta_loo"),
+                6,
+            ).alias("pseudo_value"),
+            F.round(
+                F.sqrt(
+                    (F.col("g") - F.lit(1.0))
+                    / F.col("g")
+                    * (F.col("sdq").cast("double") / F.lit(1e12))
+                ),
+                8,
+            ).alias("jack_se"),
+            F.round(
+                (F.col("g") - F.lit(1.0))
+                * (
+                    (F.col("stq").cast("double") / F.col("g")) / F.lit(1e12)
+                    - theta_full
+                ),
+                8,
+            ).alias("jack_bias"),
+        )
+
+    return persisted_result(grp, _build)
