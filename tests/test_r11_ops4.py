@@ -138,3 +138,123 @@ def test_jackknife_synthetic_two_point(spark, tmp_path):
         assert got[src]["pseudo_value"] == pytest.approx(
             pseudo[src], abs=1e-5
         )
+
+
+# --------------------------------------------------------------------------
+# weibull_survival_fit
+# --------------------------------------------------------------------------
+
+
+def _py_weibull_from_lives(lives):
+    """lives: [(lifetime_days, churned)] -> operator output dict, via an
+    independent KM + probability-plot OLS implementation."""
+    n = len(lives)
+    grid = {}
+    for t, c in lives:
+        d, e = grid.get(t, (0, 0))
+        grid[t] = (d + c, e + 1)
+    at_risk, pts, surv = n, [], 1.0
+    for t in sorted(grid):
+        d, e = grid[t]
+        surv *= 1.0 - d / at_risk
+        s6 = round(surv, 6)
+        if t > 0 and d > 0 and 0.0 < s6 < 1.0:
+            pts.append((math.log(t), math.log(-math.log(s6))))
+        at_risk -= e
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    icept = (sy - slope * sx) / m
+    return {
+        "n_points": m,
+        "shape_k": slope,
+        "scale_days": math.exp(-icept / slope),
+        "r2": (m * sxy - sx * sy) ** 2
+        / ((m * sxx - sx * sx) * (m * syy - sy * sy)),
+        "s180_weibull": math.exp(-math.exp(icept + slope * math.log(180.0))),
+        "s365_weibull": math.exp(-math.exp(icept + slope * math.log(365.0))),
+    }
+
+
+def _fixture_lives():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF_SMOKE}/orders.parquet'"
+    )
+    return con.execute(
+        """
+        WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders)
+        SELECT CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                    AS BIGINT),
+               CASE WHEN date_diff('day', MAX(o_orderdate), ho.h) > 90
+                    THEN 1 ELSE 0 END
+        FROM orders CROSS JOIN horizon ho
+        GROUP BY o_custkey, ho.h
+        """
+    ).fetchall()
+
+
+def test_weibull_matches_python_rederivation(spark):
+    (row,) = _run(spark, "weibull_survival_fit")
+    exp = _py_weibull_from_lives(_fixture_lives())
+    assert row["n_points"] == exp["n_points"]
+    for k in ("shape_k", "scale_days", "r2", "s180_weibull", "s365_weibull"):
+        assert row[k] == pytest.approx(exp[k], abs=2e-5), k
+
+
+def _write_orders(tmp_path, custs):
+    """custs: [(custkey, first_day, last_day)] with day 0 = 2024-01-01;
+    two orders per customer pin (first, last)."""
+    import datetime
+
+    base = datetime.date(2024, 1, 1)
+    rows = []
+    for ck, a, b in custs:
+        rows.append((ck, base + datetime.timedelta(days=a)))
+        rows.append((ck, base + datetime.timedelta(days=b)))
+    pdf = pd.DataFrame(rows, columns=["o_custkey", "o_orderdate"])
+    duckdb.connect().execute(
+        f"COPY (SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate "
+        f"FROM pdf) TO '{tmp_path}/orders.parquet' (FORMAT PARQUET)"
+    )
+
+
+def test_weibull_recovers_planted_shape(spark, tmp_path):
+    """Plant S(t) ~ exp(-(t/100)^2) on a 2000-customer cohort (all
+    churned; one sentinel far in the future sets the horizon and is
+    censored): the fit must recover shape ~2, scale ~100, r2 ~1."""
+    n = 2000
+    ts = [25, 50, 75, 100, 125, 150]
+    cum = [round(n * (1.0 - math.exp(-((t / 100.0) ** 2)))) for t in ts]
+    custs, ck, prev = [], 1, 0
+    for t, c in zip(ts, cum):
+        for _ in range(c - prev):
+            custs.append((ck, 0, t))
+            ck += 1
+        prev = c
+    # survivors: last order within the 90-day churn horizon of the
+    # anchor, so they are CENSORED (not a 7th event time)
+    for _ in range(n - prev):
+        custs.append((ck, 0, 340))
+        ck += 1
+    custs.append((ck, 0, 400))  # sentinel: horizon anchor, censored
+    _write_orders(str(tmp_path), custs)
+    (row,) = _run(spark, "weibull_survival_fit", tmp_path)
+    assert row["n_points"] == len(ts)
+    assert row["shape_k"] == pytest.approx(2.0, abs=0.05)
+    assert row["scale_days"] == pytest.approx(100.0, abs=2.0)
+    assert row["r2"] > 0.999
+    assert 0.0 < row["s365_weibull"] < row["s180_weibull"] < 1.0
+
+
+def test_weibull_single_event_time_excluded(spark, tmp_path):
+    """One distinct event time -> m = 1 -> zero x-variance: no fit row
+    (the mirrored degenerate-fit guard)."""
+    custs = [(i, 0, 50) for i in range(1, 40)]
+    custs.append((99, 300, 400))  # horizon sentinel (censored)
+    _write_orders(str(tmp_path), custs)
+    assert _run(spark, "weibull_survival_fit", tmp_path) == []

@@ -256,6 +256,11 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('<no order>', 'bucket ASC NULLS FIRST',),
         '0.1-quantized bucket grid (bounded value domain)',
     ),
+    'weibull_survival_fit': (
+        ('lifetime_days ASC NULLS FIRST',),
+        'distinct-lifetime day grid (bounded by the dataset day span; '
+        'the kaplan_meier_retention window reused for the plot points)',
+    ),
     'zipf_law_fit': (
         ('c DESC NULLS LAST, tok ASC NULLS FIRST',),
         'top-200 vocabulary slice',
@@ -718,6 +723,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
     'weekday_hour_heatmap': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',
+    ),
+    'weibull_survival_fit': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # 1-row horizon + 1-row n onto grid, as in KM
     ),
     'welch_anova_sources': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),

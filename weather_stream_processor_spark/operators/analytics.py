@@ -1674,6 +1674,202 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter((F.col("n_churned") > 0) | (F.col("n_at_risk") > 0))
 
 
+@register(
+    "weibull_survival_fit",
+    oracle=f"""
+        WITH horizon AS (SELECT MAX(o_orderdate) AS h FROM orders),
+        lives AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                        AS BIGINT) AS lifetime_days,
+                   CASE WHEN date_diff('day', MAX(o_orderdate), ho.h)
+                             > {_CHURN_HORIZON_DAYS}
+                        THEN 1 ELSE 0 END AS churned
+            FROM orders CROSS JOIN horizon ho
+            GROUP BY o_custkey, ho.h
+        ),
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lives),
+        grid AS (
+            SELECT lifetime_days,
+                   CAST(SUM(churned) AS BIGINT) AS n_churned,
+                   CAST(COUNT(*) AS BIGINT) AS n_ending
+            FROM lives GROUP BY lifetime_days
+        ),
+        risk AS (
+            SELECT lifetime_days, n_churned,
+                   CAST(t.n - COALESCE(SUM(n_ending) OVER (
+                       ORDER BY lifetime_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS n_at_risk
+            FROM grid CROSS JOIN n_tot t
+        ),
+        km AS (
+            SELECT lifetime_days, n_churned,
+                   ROUND(EXP(SUM(LN(1.0 - n_churned * 1.0 / n_at_risk))
+                       OVER (ORDER BY lifetime_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)), 6) AS survival
+            FROM risk
+        ),
+        pts AS (
+            SELECT LN(CAST(lifetime_days AS DOUBLE)) AS x,
+                   LN(-LN(survival)) AS y
+            FROM km
+            WHERE lifetime_days > 0 AND n_churned > 0
+              AND survival > 0.0 AND survival < 1.0
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                   SUM(y * y) AS syy
+            FROM pts
+        )
+        SELECT m AS n_points,
+               ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                   AS shape_k,
+               ROUND(EXP(-((sy - (m * sxy - sx * sy)
+                                 / (m * sxx - sx * sx) * sx) / m)
+                         / ((m * sxy - sx * sy) / (m * sxx - sx * sx))), 6)
+                   AS scale_days,
+               ROUND((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                     / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6)
+                   AS r2,
+               ROUND(EXP(-EXP((sy - (m * sxy - sx * sy)
+                                    / (m * sxx - sx * sx) * sx) / m
+                              + (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                                * LN(180.0))), 6) AS s180_weibull,
+               ROUND(EXP(-EXP((sy - (m * sxy - sx * sy)
+                                    / (m * sxx - sx * sx) * sx) / m
+                              + (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                                * LN(365.0))), 6) AS s365_weibull
+        FROM mom
+        WHERE m >= 2 AND (m * sxx - sx * sx) > 0
+              AND (m * syy - sy * sy) > 0
+    """,
+    doc=(
+        "PARAMETRIC WEIBULL SURVIVAL FIT on the Kaplan-Meier churn "
+        "curve — the EXTRAPOLATION member the survival family lacked: "
+        "KM/Nelson-Aalen/RMST stop dead at the observation horizon, "
+        "but capacity planning needs S(t) BEYOND it, and the Weibull "
+        "probability plot (Nelson 1972) delivers it in closed form: "
+        "S(t) = exp(-(t/lambda)^k) linearizes to ln(-ln S) = k ln t - "
+        "k ln lambda, so an OLS of y = ln(-ln S_KM(t)) on x = ln t "
+        "over the event-time grid recovers shape k (slope; k < 1 = "
+        "infant-mortality churn, k > 1 = wear-out) and scale lambda = "
+        "exp(-intercept/slope) (the 63.2%-churned lifetime), with r2 "
+        "as the is-it-actually-Weibull diagnostic and the 180/365-day "
+        "extrapolated survivals as the payoff columns. The regression "
+        "consumes the 6dp-ROUNDED KM survival (kaplan_meier_retention's "
+        "emission contract — both engines see bit-identical inputs, "
+        "the scaling_law_ols_fit determinism argument applied to the "
+        "survival axis); censoring is handled where it belongs, inside "
+        "KM. Degenerate fits (fewer than 2 event times, zero x- or "
+        "y-variance) are excluded, mirrored. Plan: one per-customer "
+        "aggregate -> day-span-bounded grid -> the documented-bounded "
+        "KM window -> a 1-row moment reduction; no iteration, no "
+        "driver-side solver."
+    ),
+    tags=("analytics", "retention", "statistics", "window"),
+)
+def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("h"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_order", "first_order")
+            .cast("bigint")
+            .alias("lifetime_days"),
+            F.when(
+                F.datediff(F.col("h"), F.col("last_order")) > _CHURN_HORIZON_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    n_tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = per_cust.groupBy("lifetime_days").agg(
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+    )
+    w_prev = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.orderBy("lifetime_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = (
+        grid.crossJoin(F.broadcast(n_tot))
+        .select(
+            "lifetime_days",
+            "n_churned",
+            (
+                F.col("n")
+                - F.coalesce(F.sum("n_ending").over(w_prev), F.lit(0))
+            ).alias("n_at_risk"),
+        )
+        .select(
+            "lifetime_days",
+            "n_churned",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(1.0 - F.col("n_churned") / F.col("n_at_risk"))
+                    ).over(w_run)
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
+    pts = km.filter(
+        (F.col("lifetime_days") > 0)
+        & (F.col("n_churned") > 0)
+        & (F.col("survival") > 0.0)
+        & (F.col("survival") < 1.0)
+    ).select(
+        F.log(F.col("lifetime_days").cast("double")).alias("x"),
+        F.log(-F.log("survival")).alias("y"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    m, sx, sy = F.col("m"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    intercept = (sy - slope * sx) / m
+    return mom.filter(
+        (m >= 2) & ((m * sxx - sx * sx) > 0) & ((m * syy - sy * sy) > 0)
+    ).select(
+        m.alias("n_points"),
+        F.round(slope, 6).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 6).alias("scale_days"),
+        F.round(
+            (m * sxy - sx * sy)
+            * (m * sxy - sx * sy)
+            / ((m * sxx - sx * sx) * (m * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+        F.round(
+            F.exp(-F.exp(intercept + slope * F.log(F.lit(180.0)))), 6
+        ).alias("s180_weibull"),
+        F.round(
+            F.exp(-F.exp(intercept + slope * F.log(F.lit(365.0)))), 6
+        ).alias("s365_weibull"),
+    )
+
+
 _ABSORB_ROUNDS = 8
 
 
