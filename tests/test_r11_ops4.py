@@ -258,3 +258,111 @@ def test_weibull_single_event_time_excluded(spark, tmp_path):
     custs.append((99, 300, 400))  # horizon sentinel (censored)
     _write_orders(str(tmp_path), custs)
     assert _run(spark, "weibull_survival_fit", tmp_path) == []
+
+
+# --------------------------------------------------------------------------
+# crps_ensemble_backtest
+# --------------------------------------------------------------------------
+
+
+def _write_events(tmp_path, day_values, event_type="purchase"):
+    """day_values: [(day_offset_from_2024_01_01, value or [values])]."""
+    rows = []
+    for day, vals in day_values:
+        if not isinstance(vals, (list, tuple)):
+            vals = [vals]
+        for v in vals:
+            rows.append((day, v))
+    n = len(rows)
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=1)
+                for d, _ in rows
+            ],
+            "user_id": pd.array([i % 5 for i in range(n)], dtype="Int64"),
+            "event_type": [event_type] * n,
+            "value": [v for _, v in rows],
+            "props": ["{}"] * n,
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmp_path}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+
+def _py_crps(train_cents, test_cents):
+    """Empirical-ensemble CRPS decomposition, independent O(N*M) form."""
+    m, n = len(train_cents), len(test_cents)
+    tot_abs = sum(abs(y - x) for y in test_cents for x in train_cents)
+    pair = sum(
+        abs(a - b) for a in train_cents for b in train_cents
+    )  # includes both orders = 2 * sum_{i<j}
+    abs_term = tot_abs / (n * m) / 100.0
+    spread_term = pair / (2.0 * m * m) / 100.0
+    return abs_term - spread_term, abs_term, spread_term
+
+
+def test_crps_matches_python_rederivation(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    daily = con.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    split = pd.Timestamp("2024-01-16")
+    tr, te = {}, {}
+    for et, day, cents in daily:
+        (tr if pd.Timestamp(day) < split else te).setdefault(et, []).append(
+            cents
+        )
+    got = {r["event_type"]: r.asDict() for r in _run(spark, "crps_ensemble_backtest")}
+    expect_types = {et for et in tr if et in te}
+    assert set(got) == expect_types
+    for et in expect_types:
+        crps, abs_t, spr_t = _py_crps(tr[et], te[et])
+        row = got[et]
+        assert row["n_ens"] == len(tr[et])
+        assert row["n_test_days"] == len(te[et])
+        assert row["crps"] == pytest.approx(crps, abs=2e-4), et
+        assert row["abs_term"] == pytest.approx(abs_t, abs=1e-4)
+        assert row["spread_term"] == pytest.approx(spr_t, abs=1e-4)
+        assert row["crps"] >= 0
+
+
+def test_crps_point_ensemble_is_mae(spark, tmp_path):
+    """A single training day makes the ensemble a POINT forecast:
+    spread term 0, CRPS = plain MAE — the degenerate identity that
+    pins the decomposition."""
+    # train: one day at 100.0; test: days at 110.0 and 90.0 -> MAE 10
+    _write_events(
+        str(tmp_path), [(0, 100.0), (20, 110.0), (21, 90.0)]
+    )
+    (row,) = _run(spark, "crps_ensemble_backtest", tmp_path)
+    assert row["n_ens"] == 1
+    assert row["n_test_days"] == 2
+    assert row["spread_term"] == pytest.approx(0.0)
+    assert row["crps"] == pytest.approx(10.0, abs=1e-4)
+    assert row["abs_term"] == pytest.approx(10.0, abs=1e-4)
+
+
+def test_crps_sharp_beats_vague_on_centered_truth(spark, tmp_path):
+    """Two ensembles with the same mean 100: tight {99,100,101} vs
+    vague {60,100,140}; truth at 100 every test day. The proper score
+    must prefer the sharp one."""
+    tight = [(d, [99.0, 100.0, 101.0][d % 3]) for d in range(0, 9)]
+    vague = [(d, [60.0, 100.0, 140.0][d % 3]) for d in range(0, 9)]
+    tests = [(d, 100.0) for d in range(20, 26)]
+    _write_events(str(tmp_path), tight + tests)
+    (sharp_row,) = _run(spark, "crps_ensemble_backtest", tmp_path)
+    _write_events(str(tmp_path), vague + tests)
+    (vague_row,) = _run(spark, "crps_ensemble_backtest", tmp_path)
+    assert sharp_row["crps"] < vague_row["crps"]
+    assert sharp_row["spread_term"] < vague_row["spread_term"]
