@@ -90,7 +90,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "hilbert_vs_zorder_locality", "eb_rate_shrinkage",
     "alpha_dcg_novelty_eval", "distance_correlation_daily",
     "jackknife_source_se", "weibull_survival_fit",
-    "crps_ensemble_backtest",
+    "crps_ensemble_backtest", "subclassification_ate",
 )
 
 

@@ -366,3 +366,176 @@ def test_crps_sharp_beats_vague_on_centered_truth(spark, tmp_path):
     (vague_row,) = _run(spark, "crps_ensemble_backtest", tmp_path)
     assert sharp_row["crps"] < vague_row["crps"]
     assert sharp_row["spread_term"] < vague_row["spread_term"]
+
+
+# --------------------------------------------------------------------------
+# subclassification_ate
+# --------------------------------------------------------------------------
+
+
+def _write_user_events(tmp_path, rows):
+    """rows: [(user_id, day_offset, event_type, value)]."""
+    n = len(rows)
+    pdf = pd.DataFrame(
+        {
+            "event_id": list(range(1, n + 1)),
+            "ts": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(days=d, hours=1)
+                for _, d, _, _ in rows
+            ],
+            "user_id": pd.array([u for u, _, _, _ in rows], dtype="Int64"),
+            "event_type": [t for _, _, t, _ in rows],
+            "value": [v for _, _, _, v in rows],
+            "props": ["{}"] * n,
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmp_path}/events.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+
+def _py_subclass(users):
+    """users: [(pre_n, pre_clicks, post_cents)] -> operator row dict,
+    independent implementation of the quantile/stratify/pool pipeline."""
+    n = len(users)
+
+    def qdisc(vals, q):
+        s = sorted(vals)
+        return s[max(math.ceil(q * n), 1) - 1]
+
+    q50 = qdisc([c for _, c, _ in users], 0.5)
+    b = [qdisc([e for e, _, _ in users], q) for q in (0.25, 0.5, 0.75)]
+    cells = {}
+    for e, c, y in users:
+        t = 1 if c >= q50 else 0
+        s = sum(1 for bk in b if e >= bk)
+        kk = cells.setdefault(s, {0: [0, 0], 1: [0, 0]})
+        kk[t][0] += 1
+        kk[t][1] += y
+    kept = {
+        s: v
+        for s, v in cells.items()
+        if v[0][0] >= 1 and v[1][0] >= 1
+    }
+    n_treat = sum(v[1][0] for v in kept.values())
+    n_control = sum(v[0][0] for v in kept.values())
+    st = sum(v[1][1] for v in kept.values())
+    sc = sum(v[0][1] for v in kept.values())
+    n_kept = n_treat + n_control
+    naive = (st / n_treat - sc / n_control) / 100.0
+    wdiff = sum(
+        (v[0][0] + v[1][0]) * (v[1][1] / v[1][0] - v[0][1] / v[0][0])
+        for v in kept.values()
+    )
+    adj = wdiff / n_kept / 100.0
+    return {
+        "n_strata": len(kept),
+        "n_treat": n_treat,
+        "n_control": n_control,
+        "naive_diff": naive,
+        "subclass_ate": adj,
+        "confounding_bias": naive - adj,
+    }
+
+
+def _fixture_users():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    return con.execute(
+        """
+        WITH span AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) lo,
+                             CAST(MAX(epoch_us(ts)) AS BIGINT) hi
+                      FROM events)
+        SELECT CAST(SUM(CASE WHEN 2*epoch_us(ts) < lo+hi THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN 2*epoch_us(ts) < lo+hi
+                              AND event_type='click' THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(SUM(CASE WHEN 2*epoch_us(ts) >= lo+hi
+                              AND event_type='purchase'
+                             THEN CAST(ROUND(value*100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT)
+        FROM events CROSS JOIN span GROUP BY user_id
+        """
+    ).fetchall()
+
+
+def test_subclass_matches_python_rederivation(spark):
+    (row,) = _run(spark, "subclassification_ate")
+    exp = _py_subclass(_fixture_users())
+    assert row["n_strata"] == exp["n_strata"]
+    assert row["n_treat"] == exp["n_treat"]
+    assert row["n_control"] == exp["n_control"]
+    for k in ("naive_diff", "subclass_ate", "confounding_bias"):
+        assert row[k] == pytest.approx(exp[k], abs=2e-4), k
+
+
+def test_subclass_removes_planted_confounding(spark, tmp_path):
+    """Within every stratum the exposure has ZERO effect, but heavy
+    users both click more and buy more: naive_diff must be visibly
+    positive while subclass_ate is exactly 0 — the definitional
+    deconfounding check."""
+    rows = []
+
+    def add_user(u, pre_n, pre_clicks, cents):
+        for i in range(pre_clicks):
+            rows.append((u, i % 10, "click", 1.0))
+        for i in range(pre_n - pre_clicks):
+            rows.append((u, i % 10, "view", 1.0))
+        rows.append((u, 25, "purchase", cents / 100.0))
+
+    # stratum L (pre_n=4): outcome 100 regardless of arm
+    add_user(1, 4, 1, 10000)
+    add_user(2, 4, 1, 10000)
+    add_user(3, 4, 3, 10000)
+    add_user(4, 4, 3, 10000)
+    # stratum H (pre_n=8): outcome 300 regardless of arm
+    add_user(5, 8, 1, 30000)
+    add_user(6, 8, 3, 30000)
+    add_user(7, 8, 3, 30000)
+    add_user(8, 8, 3, 30000)
+    _write_user_events(str(tmp_path), rows)
+    (row,) = _run(spark, "subclassification_ate", tmp_path)
+    # treatment = clicks >= median(=3); strata split 4s from 8s
+    assert row["n_strata"] == 2
+    assert row["naive_diff"] > 50.0
+    assert row["subclass_ate"] == pytest.approx(0.0, abs=1e-9)
+    assert row["confounding_bias"] == pytest.approx(
+        row["naive_diff"], abs=1e-9
+    )
+
+
+def test_subclass_single_arm_strata_dropped(spark, tmp_path):
+    """A stratum where everyone is treated violates positivity and
+    must be excluded from BOTH the ATE and the pooled counts."""
+    rows = []
+
+    def add_user(u, pre_n, pre_clicks, cents):
+        for i in range(pre_clicks):
+            rows.append((u, i % 10, "click", 1.0))
+        for i in range(pre_n - pre_clicks):
+            rows.append((u, i % 10, "view", 1.0))
+        rows.append((u, 25, "purchase", cents / 100.0))
+
+    # mixed stratum (pre_n=8): both arms
+    add_user(1, 8, 1, 10000)
+    add_user(2, 8, 5, 20000)
+    add_user(3, 8, 1, 10000)
+    add_user(4, 8, 5, 20000)
+    # all-treated stratum (pre_n=16): must be dropped
+    add_user(5, 16, 5, 90000)
+    add_user(6, 16, 5, 90000)
+    add_user(7, 16, 5, 90000)
+    add_user(8, 16, 5, 90000)
+    _write_user_events(str(tmp_path), rows)
+    (row,) = _run(spark, "subclassification_ate", tmp_path)
+    exp = _py_subclass(
+        [(8, 1, 10000), (8, 5, 20000), (8, 1, 10000), (8, 5, 20000),
+         (16, 5, 90000), (16, 5, 90000), (16, 5, 90000), (16, 5, 90000)]
+    )
+    assert row["n_strata"] == exp["n_strata"] == 1
+    assert row["n_treat"] == 2 and row["n_control"] == 2
+    assert row["subclass_ate"] == pytest.approx(100.0, abs=1e-9)

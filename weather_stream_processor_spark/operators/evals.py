@@ -6269,3 +6269,255 @@ def jackknife_source_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(grp, _build)
+
+
+@register(
+    "subclassification_ate",
+    oracle="""
+        WITH span AS (
+            SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS lo,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS hi
+            FROM events
+        ),
+        users AS (
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN 2 * epoch_us(ts) < lo + hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+                   CAST(SUM(CASE WHEN 2 * epoch_us(ts) < lo + hi
+                                  AND event_type = 'click'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pre_clicks,
+                   CAST(SUM(CASE WHEN 2 * epoch_us(ts) >= lo + hi
+                                  AND event_type = 'purchase'
+                                 THEN CAST(ROUND(value * 100) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS post_cents
+            FROM events CROSS JOIN span
+            GROUP BY user_id
+        ),
+        ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM users),
+        chist AS (
+            SELECT pre_clicks AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM users GROUP BY pre_clicks
+        ),
+        ccum AS (
+            SELECT v, SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM chist
+        ),
+        med AS (
+            SELECT MIN(v) AS q50 FROM ccum CROSS JOIN ntot
+            WHERE cum >= CEIL(0.5 * n)
+        ),
+        ehist AS (
+            SELECT pre_n AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM users GROUP BY pre_n
+        ),
+        ecum AS (
+            SELECT v, SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM ehist
+        ),
+        brk AS (
+            SELECT MIN(CASE WHEN cum >= CEIL(0.25 * n) THEN v END) AS b1,
+                   MIN(CASE WHEN cum >= CEIL(0.50 * n) THEN v END) AS b2,
+                   MIN(CASE WHEN cum >= CEIL(0.75 * n) THEN v END) AS b3
+            FROM ecum CROSS JOIN ntot
+        ),
+        assigned AS (
+            SELECT CASE WHEN u.pre_clicks >= m.q50 THEN 1 ELSE 0 END AS t,
+                   (CASE WHEN u.pre_n >= b.b1 THEN 1 ELSE 0 END
+                    + CASE WHEN u.pre_n >= b.b2 THEN 1 ELSE 0 END
+                    + CASE WHEN u.pre_n >= b.b3 THEN 1 ELSE 0 END)
+                       AS stratum,
+                   u.post_cents
+            FROM users u CROSS JOIN med m CROSS JOIN brk b
+        ),
+        cells AS (
+            SELECT stratum, t, CAST(COUNT(*) AS BIGINT) AS n_c,
+                   CAST(SUM(post_cents) AS BIGINT) AS s_c
+            FROM assigned GROUP BY stratum, t
+        ),
+        strata AS (
+            SELECT stratum,
+                   MAX(CASE WHEN t = 1 THEN n_c END) AS n1,
+                   MAX(CASE WHEN t = 1 THEN s_c END) AS s1,
+                   MAX(CASE WHEN t = 0 THEN n_c END) AS n0,
+                   MAX(CASE WHEN t = 0 THEN s_c END) AS s0
+            FROM cells GROUP BY stratum
+        ),
+        kept AS (
+            SELECT stratum, n1, s1, n0, s0, n1 + n0 AS n_s
+            FROM strata
+            WHERE n1 IS NOT NULL AND n0 IS NOT NULL
+                  AND n1 >= 1 AND n0 >= 1
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(n_s) AS BIGINT) AS n_kept,
+                   CAST(SUM(n1) AS BIGINT) AS n_treat,
+                   CAST(SUM(n0) AS BIGINT) AS n_control,
+                   CAST(SUM(s1) AS BIGINT) AS st,
+                   CAST(SUM(s0) AS BIGINT) AS sc,
+                   SUM(n_s * (CAST(s1 AS DOUBLE) / n1
+                              - CAST(s0 AS DOUBLE) / n0)) AS wdiff
+            FROM kept
+        )
+        SELECT n_strata,
+               n_treat, n_control,
+               ROUND((CAST(st AS DOUBLE) / n_treat
+                      - CAST(sc AS DOUBLE) / n_control) / 100.0, 4)
+                   AS naive_diff,
+               ROUND(wdiff / n_kept / 100.0, 4) AS subclass_ate,
+               ROUND((CAST(st AS DOUBLE) / n_treat
+                      - CAST(sc AS DOUBLE) / n_control) / 100.0
+                     - wdiff / n_kept / 100.0, 4) AS confounding_bias
+        FROM agg
+        WHERE n_strata >= 1
+    """,
+    doc=(
+        "SUBCLASSIFICATION (STRATIFIED) ATE, Cochran 1968 — the "
+        "OBSERVATIONAL causal-adjustment member the experimentation "
+        "family lacked: smd_covariate_balance CHECKS whether arms are "
+        "comparable, diff_in_diff adjusts with TIME, cuped with a "
+        "pre-metric — this one adjusts a SELF-SELECTED exposure by "
+        "stratifying on the confounder and reweighting. Exposure T = "
+        "'pre-period clicks >= the exact discrete median'; outcome = "
+        "post-period purchase cents; confounder strata = quartile "
+        "cells of pre-period activity. Naive diff compares raw arm "
+        "means (confounded: heavy users click more AND buy more); "
+        "subclass ATE = sum_s (n_s/n) (ybar_t,s - ybar_c,s) over "
+        "strata where BOTH arms are present (the positivity/overlap "
+        "rule, mirrored), and confounding_bias = naive - adjusted is "
+        "the headline 'how wrong was the naive read'. All thresholds "
+        "are exact discrete quantiles selected from per-user COUNT "
+        "HISTOGRAMS (value-domain-bounded grids, the mann_whitney "
+        "bucket discipline — no corpus-scale sort, no collect), all "
+        "moments exact integer cents; the per-user aggregate computes "
+        "pre/post in ONE corpus scan via conditional sums on the "
+        "exact epoch-microsecond midpoint split (the "
+        "smd_covariate_balance convention). Output is one row; the "
+        "only doubles are the final weighted means."
+    ),
+    tags=("evals", "statistics", "experimentation", "causal"),
+)
+def subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("lo"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("hi"),
+    )
+    is_pre = 2 * F.unix_micros("ts") < F.col("lo") + F.col("hi")
+    users = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(is_pre, 1).otherwise(0))
+            .cast("bigint")
+            .alias("pre_n"),
+            F.sum(
+                F.when(is_pre & (F.col("event_type") == "click"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("pre_clicks"),
+            F.sum(
+                F.when(
+                    (~is_pre) & (F.col("event_type") == "purchase"),
+                    F.round(F.col("value") * 100).cast("bigint"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("post_cents"),
+        )
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _build(users_c: DataFrame) -> DataFrame:
+        ntot = users_c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        w_cum = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+
+        def hist_cum(col: str) -> DataFrame:
+            h = users_c.groupBy(F.col(col).alias("v")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("c")
+            )
+            return h.select("v", F.sum("c").over(w_cum).alias("cum"))
+
+        ccum = hist_cum("pre_clicks").crossJoin(F.broadcast(ntot))
+        med = ccum.filter(
+            F.col("cum") >= F.ceil(0.5 * F.col("n"))
+        ).agg(F.min("v").alias("q50"))
+        ecum = hist_cum("pre_n").crossJoin(F.broadcast(ntot))
+        brk = ecum.agg(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(0.25 * F.col("n")), F.col("v"))
+            ).alias("b1"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(0.50 * F.col("n")), F.col("v"))
+            ).alias("b2"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(0.75 * F.col("n")), F.col("v"))
+            ).alias("b3"),
+        )
+        assigned = (
+            users_c.crossJoin(F.broadcast(med))
+            .crossJoin(F.broadcast(brk))
+            .select(
+                F.when(F.col("pre_clicks") >= F.col("q50"), 1)
+                .otherwise(0)
+                .alias("t"),
+                (
+                    F.when(F.col("pre_n") >= F.col("b1"), 1).otherwise(0)
+                    + F.when(F.col("pre_n") >= F.col("b2"), 1).otherwise(0)
+                    + F.when(F.col("pre_n") >= F.col("b3"), 1).otherwise(0)
+                ).alias("stratum"),
+                "post_cents",
+            )
+        )
+        cells = assigned.groupBy("stratum", "t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_c"),
+            F.sum("post_cents").cast("bigint").alias("s_c"),
+        )
+        strata = cells.groupBy("stratum").agg(
+            F.max(F.when(F.col("t") == 1, F.col("n_c"))).alias("n1"),
+            F.max(F.when(F.col("t") == 1, F.col("s_c"))).alias("s1"),
+            F.max(F.when(F.col("t") == 0, F.col("n_c"))).alias("n0"),
+            F.max(F.when(F.col("t") == 0, F.col("s_c"))).alias("s0"),
+        )
+        kept = strata.filter(
+            F.col("n1").isNotNull()
+            & F.col("n0").isNotNull()
+            & (F.col("n1") >= 1)
+            & (F.col("n0") >= 1)
+        ).select("*", (F.col("n1") + F.col("n0")).alias("n_s"))
+        agg = kept.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+            F.sum("n_s").cast("bigint").alias("n_kept"),
+            F.sum("n1").cast("bigint").alias("n_treat"),
+            F.sum("n0").cast("bigint").alias("n_control"),
+            F.sum("s1").cast("bigint").alias("st"),
+            F.sum("s0").cast("bigint").alias("sc"),
+            F.sum(
+                F.col("n_s")
+                * (
+                    F.col("s1").cast("double") / F.col("n1")
+                    - F.col("s0").cast("double") / F.col("n0")
+                )
+            ).alias("wdiff"),
+        )
+        naive = (
+            F.col("st").cast("double") / F.col("n_treat")
+            - F.col("sc").cast("double") / F.col("n_control")
+        ) / F.lit(100.0)
+        adj = F.col("wdiff") / F.col("n_kept") / F.lit(100.0)
+        return agg.filter(F.col("n_strata") >= 1).select(
+            "n_strata",
+            "n_treat",
+            "n_control",
+            F.round(naive, 4).alias("naive_diff"),
+            F.round(adj, 4).alias("subclass_ate"),
+            F.round(naive - adj, 4).alias("confounding_bias"),
+        )
+
+    return persisted_result(users, _build)
