@@ -539,3 +539,91 @@ def test_subclass_single_arm_strata_dropped(spark, tmp_path):
     assert row["n_strata"] == exp["n_strata"] == 1
     assert row["n_treat"] == 2 and row["n_control"] == 2
     assert row["subclass_ate"] == pytest.approx(100.0, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# rouge_n_generation_eval
+# --------------------------------------------------------------------------
+
+
+def _py_rouge(texts, max_n=2, drop=5):
+    """Independent ROUGE-N macro implementation with the 1e9 lifts."""
+    from collections import Counter
+
+    agg = {n: [0, 0, 0, 0] for n in range(1, max_n + 1)}  # rq,pq,fq,docs
+    for text in texts:
+        ref = text.split(" ")
+        cand = [t for i, t in enumerate(ref) if (i + 1) % drop != 0]
+        for n in range(1, max_n + 1):
+            rg = Counter(
+                " ".join(ref[i : i + n]) for i in range(len(ref) - n + 1)
+            )
+            cg = Counter(
+                " ".join(cand[i : i + n]) for i in range(len(cand) - n + 1)
+            )
+            refn, candn = sum(rg.values()), sum(cg.values())
+            if refn == 0 or candn == 0:
+                continue
+            match = sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+            r, p = match / refn, match / candn
+            f1 = 0.0 if match == 0 else 2.0 * p * r / (p + r)
+            agg[n][0] += math.floor(r * 1e9 + 0.5)
+            agg[n][1] += math.floor(p * 1e9 + 0.5)
+            agg[n][2] += math.floor(f1 * 1e9 + 0.5)
+            agg[n][3] += 1
+    return {
+        n: {
+            "n_docs": d,
+            "macro_recall": rq / d / 1e9,
+            "macro_precision": pq / d / 1e9,
+            "macro_f1": fq / d / 1e9,
+        }
+        for n, (rq, pq, fq, d) in agg.items()
+        if d
+    }
+
+
+def test_rouge_matches_python_rederivation(spark):
+    texts = [
+        t
+        for (t,) in duckdb.connect()
+        .execute(f"SELECT text FROM '{SF_SMOKE}/documents.parquet'")
+        .fetchall()
+    ]
+    exp = _py_rouge(texts)
+    got = {r["n"]: r.asDict() for r in _run(spark, "rouge_n_generation_eval")}
+    assert set(got) == set(exp)
+    for n in exp:
+        assert got[n]["n_docs"] == exp[n]["n_docs"]
+        for k in ("macro_recall", "macro_precision", "macro_f1"):
+            assert got[n][k] == pytest.approx(exp[n][k], abs=2e-6), (n, k)
+
+
+def test_rouge_exact_on_five_token_doc(spark, tmp_path):
+    """'a b c d e' drops only 'e': ROUGE-1 R=4/5 P=1 F1=8/9;
+    ROUGE-2 R=3/4 P=1 F1=6/7 — checked to the digit."""
+    _write_docs(str(tmp_path), [("s", "a b c d e")])
+    got = {
+        r["n"]: r.asDict()
+        for r in _run(spark, "rouge_n_generation_eval", tmp_path)
+    }
+    assert got[1]["macro_recall"] == pytest.approx(0.8)
+    assert got[1]["macro_precision"] == pytest.approx(1.0)
+    assert got[1]["macro_f1"] == pytest.approx(8.0 / 9.0, abs=1e-6)
+    assert got[2]["macro_recall"] == pytest.approx(0.75)
+    assert got[2]["macro_precision"] == pytest.approx(1.0)
+    assert got[2]["macro_f1"] == pytest.approx(6.0 / 7.0, abs=1e-6)
+
+
+def test_rouge_gap_bigram_breaks_precision(spark, tmp_path):
+    """Dropping a token invents the cross-gap bigram 'd f', so ROUGE-2
+    precision < 1 while ROUGE-1 precision stays exactly 1 (a dropped
+    token can never invent a unigram)."""
+    _write_docs(str(tmp_path), [("s", "a b c d e f g h i j")])
+    got = {
+        r["n"]: r.asDict()
+        for r in _run(spark, "rouge_n_generation_eval", tmp_path)
+    }
+    assert got[1]["macro_precision"] == pytest.approx(1.0)
+    assert got[2]["macro_precision"] == pytest.approx(6.0 / 7.0, abs=1e-6)
+    assert got[2]["macro_recall"] == pytest.approx(6.0 / 9.0, abs=1e-6)

@@ -6521,3 +6521,155 @@ def subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(users, _build)
+
+
+_ROUGE_MAX_N = 2
+_ROUGE_DROP = 5  # candidate = reference with every 5th token removed
+
+
+@register(
+    "rouge_n_generation_eval",
+    oracle=f"""
+        WITH split AS (
+            SELECT doc_id, string_split(text, ' ') AS ref FROM documents
+        ),
+        toks AS (
+            SELECT doc_id, ref,
+                   [ref[i] FOR i IN range(1, len(ref) + 1)
+                           IF i % {_ROUGE_DROP} != 0] AS cand
+            FROM split
+        ),
+        grams AS (
+            SELECT doc_id, n,
+                   unnest([array_to_string(cand[i:i+n-1], ' ')
+                           FOR i IN range(1, len(cand) - n + 2)]) AS gram,
+                   1 AS from_cand
+            FROM toks, (SELECT unnest(range(1, {_ROUGE_MAX_N} + 1)) AS n)
+            UNION ALL
+            SELECT doc_id, n,
+                   unnest([array_to_string(ref[i:i+n-1], ' ')
+                           FOR i IN range(1, len(ref) - n + 2)]) AS gram,
+                   0 AS from_cand
+            FROM toks, (SELECT unnest(range(1, {_ROUGE_MAX_N} + 1)) AS n)
+        ),
+        counts AS (
+            SELECT doc_id, n, gram,
+                   CAST(SUM(from_cand) AS BIGINT) AS cc,
+                   CAST(COUNT(*) - SUM(from_cand) AS BIGINT) AS cr
+            FROM grams GROUP BY doc_id, n, gram
+        ),
+        per_doc AS (
+            SELECT doc_id, n,
+                   CAST(SUM(LEAST(cc, cr)) AS BIGINT) AS match_n,
+                   CAST(SUM(cr) AS BIGINT) AS refn,
+                   CAST(SUM(cc) AS BIGINT) AS candn
+            FROM counts GROUP BY doc_id, n
+        ),
+        lifted AS (
+            SELECT n,
+                   CAST(FLOOR(CAST(match_n AS DOUBLE) / refn
+                              * 1000000000.0 + 0.5) AS BIGINT) AS rq,
+                   CAST(FLOOR(CAST(match_n AS DOUBLE) / candn
+                              * 1000000000.0 + 0.5) AS BIGINT) AS pq,
+                   CAST(FLOOR(CASE WHEN match_n = 0 THEN 0.0
+                        ELSE 2.0 * (CAST(match_n AS DOUBLE) / candn)
+                             * (CAST(match_n AS DOUBLE) / refn)
+                             / (CAST(match_n AS DOUBLE) / candn
+                                + CAST(match_n AS DOUBLE) / refn)
+                        END * 1000000000.0 + 0.5) AS BIGINT) AS fq
+            FROM per_doc
+            WHERE refn > 0 AND candn > 0
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(CAST(SUM(rq) AS DOUBLE) / COUNT(*) / 1000000000.0, 6)
+                   AS macro_recall,
+               ROUND(CAST(SUM(pq) AS DOUBLE) / COUNT(*) / 1000000000.0, 6)
+                   AS macro_precision,
+               ROUND(CAST(SUM(fq) AS DOUBLE) / COUNT(*) / 1000000000.0, 6)
+                   AS macro_f1
+        FROM lifted GROUP BY n
+    """,
+    doc=(
+        "ROUGE-N GENERATION EVAL (Lin 2004), n = 1..2 — the RECALL-"
+        "oriented, MACRO-averaged complement of corpus_bleu_eval "
+        "(BLEU: corpus-micro clipped PRECISION + brevity penalty; "
+        "ROUGE: per-document clipped recall/precision/F1, then the "
+        "unweighted document mean — the summarization-eval convention "
+        "where every document counts equally, so one long document "
+        "cannot dominate the corpus number the way it does in micro "
+        "averaging). Candidate = the reference with every "
+        f"{_ROUGE_DROP}th token dropped (a different lossy rate than "
+        "BLEU's, so the two metrics are not measuring the same "
+        "string); dropping cannot invent unigrams but DOES invent "
+        "novel bigrams across each gap, so ROUGE-2 precision < 1 and "
+        "the clipping machinery is exercised for real. Per-document "
+        "P/R/F1 are ratios of exact per-doc integers (identical IEEE "
+        "doubles in both engines), floor-lifted at 1e9 BEFORE the "
+        "cross-document sum so the macro average is an ORDER-FREE "
+        "integer sum (the corpus-scale-sum hash discipline); docs "
+        "with zero ref or cand n-grams at a given n are excluded "
+        "mirrored, and match=0 pins F1 = 0 ahead of the 0/0 form. "
+        "Plan: one corpus scan, one (doc_id, n, gram) hash aggregate "
+        "with map-side combine, one per-doc rollup, one 2-row macro "
+        "reduction."
+    ),
+    tags=("evals", "llm", "text", "generation"),
+)
+def rouge_n_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.functions import word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = tokens(F.col("text"))
+    cand = F.filter(ref, lambda t, i: (i + 1) % _ROUGE_DROP != 0)
+    toks = docs.select("doc_id", ref.alias("ref"), cand.alias("cand"))
+
+    def gram_rows(col: str, flag: int) -> DataFrame:
+        parts = []
+        for n in range(1, _ROUGE_MAX_N + 1):
+            parts.append(
+                toks.select(
+                    "doc_id",
+                    F.lit(n).cast("bigint").alias("n"),
+                    F.explode(word_ngrams(F.col(col), n)).alias("gram"),
+                    F.lit(flag).alias("from_cand"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    grams = gram_rows("cand", 1).unionAll(gram_rows("ref", 0))
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.sum("from_cand").cast("bigint").alias("cc"),
+        (F.count(F.lit(1)) - F.sum("from_cand")).cast("bigint").alias("cr"),
+    )
+    per_doc = counts.groupBy("doc_id", "n").agg(
+        F.sum(F.least("cc", "cr")).cast("bigint").alias("match_n"),
+        F.sum("cr").cast("bigint").alias("refn"),
+        F.sum("cc").cast("bigint").alias("candn"),
+    )
+    r = F.col("match_n").cast("double") / F.col("refn")
+    p = F.col("match_n").cast("double") / F.col("candn")
+    f1 = F.when(F.col("match_n") == 0, F.lit(0.0)).otherwise(
+        2.0 * p * r / (p + r)
+    )
+    lifted = per_doc.filter((F.col("refn") > 0) & (F.col("candn") > 0)).select(
+        "n",
+        F.floor(r * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("rq"),
+        F.floor(p * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("pq"),
+        F.floor(f1 * F.lit(1e9) + F.lit(0.5)).cast("bigint").alias("fq"),
+    )
+    return lifted.groupBy("n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("rq").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 6
+        ).alias("macro_recall"),
+        F.round(
+            F.sum("pq").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 6
+        ).alias("macro_precision"),
+        F.round(
+            F.sum("fq").cast("double") / F.count(F.lit(1)) / F.lit(1e9), 6
+        ).alias("macro_f1"),
+    )
