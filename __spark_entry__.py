@@ -91,7 +91,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "alpha_dcg_novelty_eval", "distance_correlation_daily",
     "jackknife_source_se", "weibull_survival_fit",
     "crps_ensemble_backtest", "subclassification_ate",
-    "rouge_n_generation_eval",
+    "rouge_n_generation_eval", "bloom_filter_sizing_advisor",
 )
 
 

@@ -627,3 +627,51 @@ def test_rouge_gap_bigram_breaks_precision(spark, tmp_path):
     assert got[1]["macro_precision"] == pytest.approx(1.0)
     assert got[2]["macro_precision"] == pytest.approx(6.0 / 7.0, abs=1e-6)
     assert got[2]["macro_recall"] == pytest.approx(6.0 / 9.0, abs=1e-6)
+
+
+# --------------------------------------------------------------------------
+# bloom_filter_sizing_advisor
+# --------------------------------------------------------------------------
+
+
+def test_bloom_sizing_matches_python_rederivation(spark):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    keys = [
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ]
+    got = {
+        r["key_column"]: r.asDict()
+        for r in _run(spark, "bloom_filter_sizing_advisor")
+    }
+    assert set(got) == {f"{t}.{c}" for t, c in keys}
+    bpk, ln2 = 9.585962623247, 0.693147180560
+    for t, c in keys:
+        (n,) = con.execute(f"SELECT COUNT(DISTINCT {c}) FROM {t}").fetchone()
+        row = got[f"{t}.{c}"]
+        m = math.ceil(n * bpk)
+        k = math.floor(m / n * ln2 + 0.5)
+        assert row["n_keys"] == n
+        assert row["m_bits"] == m
+        assert row["k_hashes"] == k
+        assert row["bits_per_key"] == pytest.approx(m / n, abs=5e-3)
+        assert row["mbytes"] == pytest.approx(m / 8 / 1048576, abs=5e-4)
+        fpp = (1.0 - math.exp(-(k * n) / m)) ** k
+        assert row["achieved_fpp"] == pytest.approx(fpp, abs=2e-6)
+
+
+def test_bloom_sizing_hits_the_one_percent_target(spark):
+    """Optimal integer-k sizing must land within a small neighborhood of
+    the 1% FPP target (k = 7 at ~9.59 bits/key is the textbook point),
+    never above ~1.25% or below ~0.8%."""
+    for row in _run(spark, "bloom_filter_sizing_advisor"):
+        assert row["k_hashes"] == 7
+        assert 9.58 <= row["bits_per_key"] <= 9.66
+        assert 0.008 <= row["achieved_fpp"] <= 0.0125

@@ -1432,3 +1432,132 @@ def walk_forward_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_test",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sizing advisor: the parameter pass behind runtime bloom joins
+# and the semi-join decontamination filter.
+# ---------------------------------------------------------------------------
+
+# -ln(0.01) / ln(2)^2 and ln(2) as ppb-precision LITERALS (the benford
+# literal-constant discipline): neither engine evaluates a transcendental
+# on the sizing path, so CEIL/FLOOR land on identical doubles.
+_BLOOM_BITS_PER_KEY = "9.585962623247"
+_BLOOM_LN2 = "0.693147180560"
+_BLOOM_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _bloom_oracle() -> str:
+    parts = []
+    for tbl, col in _BLOOM_KEYS:
+        parts.append(
+            f"SELECT '{tbl}.{col}' AS key_column,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_keys"
+            f" FROM {tbl}"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+        WITH ndv AS ({union}),
+        sized AS (
+            SELECT key_column, n_keys,
+                   CAST(CEIL(n_keys * {_BLOOM_BITS_PER_KEY}) AS BIGINT)
+                       AS m_bits,
+                   CAST(FLOOR(CEIL(n_keys * {_BLOOM_BITS_PER_KEY})
+                              / n_keys * {_BLOOM_LN2} + 0.5) AS BIGINT)
+                       AS k_hashes
+            FROM ndv WHERE n_keys >= 1
+        )
+        SELECT key_column, n_keys, m_bits, k_hashes,
+               ROUND(CAST(m_bits AS DOUBLE) / n_keys, 2) AS bits_per_key,
+               ROUND(CAST(m_bits AS DOUBLE) / 8.0 / 1048576.0, 3)
+                   AS mbytes,
+               ROUND(POWER(1.0 - EXP(-(CAST(k_hashes AS DOUBLE) * n_keys)
+                                     / m_bits), k_hashes), 6)
+                   AS achieved_fpp
+        FROM sized
+    """
+
+
+@register(
+    "bloom_filter_sizing_advisor",
+    oracle=_bloom_oracle(),
+    doc=(
+        "BLOOM-FILTER SIZING ADVISOR over the fixture's five join-key "
+        "columns — the PARAMETER pass behind both runtime bloom-join "
+        "pushdown (Spark's spark.sql.optimizer.runtime.bloomFilter "
+        "semi-join reduction: a bloom built on the dim side pruning "
+        "the 100 TB fact scan before the shuffle) and this repo's own "
+        "bloom_filter_decontam (which BUILDS a filter; this op says "
+        "HOW BIG it must be): per column the exact NDV n, then the "
+        "closed-form optimum for target FPP 1% — m = ceil(n * "
+        "(-ln p / ln^2 2)), k = round(m/n * ln 2), bits/key, MB at "
+        "NDV, and the ACHIEVED false-positive rate (1 - e^(-kn/m))^k "
+        "with the integer-rounded k, which is what production gets "
+        "(the ideal 0.01 is not attainable with integer k; the gap is "
+        "the point of emitting it). The two irrational constants are "
+        "ppb-precision LITERALS (the benford discipline) so no "
+        "transcendental is evaluated on the CEIL/FLOOR path and both "
+        "engines size on identical doubles. Plan: one distinct-"
+        "aggregate per key column (each a map-side partial aggregate "
+        "on the key), a 5-row advisor table after; at 100 TB swap the "
+        "exact NDVs for the already-registered HLL sketches "
+        "(hll_mergeable_rollup) without touching the sizing math."
+    ),
+    tags=("infra", "advisor", "dedup", "planner"),
+)
+def bloom_filter_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bits_per_key = float(_BLOOM_BITS_PER_KEY)
+    ln2 = float(_BLOOM_LN2)
+    parts = []
+    for tbl, col in _BLOOM_KEYS:
+        t = load_table(spark, sf_dir, tbl)
+        parts.append(
+            t.agg(
+                F.countDistinct(col).cast("bigint").alias("n_keys")
+            ).select(
+                F.lit(f"{tbl}.{col}").alias("key_column"), "n_keys"
+            )
+        )
+    ndv = parts[0]
+    for p in parts[1:]:
+        ndv = ndv.unionAll(p)
+    m_bits = F.ceil(F.col("n_keys") * F.lit(bits_per_key)).cast("bigint")
+    sized = ndv.filter(F.col("n_keys") >= 1).select(
+        "key_column",
+        "n_keys",
+        m_bits.alias("m_bits"),
+        F.floor(
+            m_bits / F.col("n_keys") * F.lit(ln2) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("k_hashes"),
+    )
+    return sized.select(
+        "key_column",
+        "n_keys",
+        "m_bits",
+        "k_hashes",
+        F.round(F.col("m_bits").cast("double") / F.col("n_keys"), 2).alias(
+            "bits_per_key"
+        ),
+        F.round(
+            F.col("m_bits").cast("double") / F.lit(8.0) / F.lit(1048576.0), 3
+        ).alias("mbytes"),
+        F.round(
+            F.pow(
+                F.lit(1.0)
+                - F.exp(
+                    -(F.col("k_hashes").cast("double") * F.col("n_keys"))
+                    / F.col("m_bits")
+                ),
+                F.col("k_hashes"),
+            ),
+            6,
+        ).alias("achieved_fpp"),
+    )
