@@ -675,3 +675,102 @@ def test_bloom_sizing_hits_the_one_percent_target(spark):
         assert row["k_hashes"] == 7
         assert 9.58 <= row["bits_per_key"] <= 9.66
         assert 0.008 <= row["achieved_fpp"] <= 0.0125
+
+
+# --------------------------------------------------------------------------
+# davies_bouldin_index
+# --------------------------------------------------------------------------
+
+
+def test_db_index_consistent_with_kmeans_operator(spark):
+    """n_members and S_i must agree with the independently-verified
+    kmeans operator's own output (mean of sqrt(dist2) per cluster with
+    the 1e6 lift), and db_index must equal the mean of the emitted
+    r_max values — the internal identity."""
+    km = _run(spark, "kmeans_embedding_clusters")
+    sizes, sums = {}, {}
+    for r in km:
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+        sums[r["cluster_id"]] = sums.get(r["cluster_id"], 0) + math.floor(
+            math.sqrt(r["dist2"]) * 1e6 + 0.5
+        )
+    rows = [r.asDict() for r in _run(spark, "davies_bouldin_index")]
+    assert {r["cluster_id"] for r in rows} == set(sizes)
+    for r in rows:
+        cid = r["cluster_id"]
+        assert r["n_members"] == sizes[cid]
+        exp_s = math.floor(sums[cid] / sizes[cid] + 0.5) / 1e6
+        assert r["s_intra"] == pytest.approx(exp_s, abs=2e-6)
+        assert r["worst_pair"] != cid
+        assert r["r_max"] > 0
+    db = rows[0]["db_index"]
+    assert all(r["db_index"] == db for r in rows)
+    assert db == pytest.approx(
+        sum(r["r_max"] for r in rows) / len(rows), abs=2e-4
+    )
+
+
+def _write_embeddings(tmp_path, vecs):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT vec_id, CAST(embedding AS FLOAT[]) AS embedding, "
+        f"CAST(label AS INTEGER) AS label FROM pdf) "
+        f"TO '{tmp_path}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+
+
+def test_db_index_zero_on_perfect_clusters(spark, tmp_path):
+    """Vectors sitting exactly on 8 well-separated points (the first 8
+    vec_ids are the init centroids): S_i = 0 everywhere, so every R_ij
+    and the DB index are exactly 0 — the definitional floor."""
+    import itertools
+
+    dim = 16
+    protos = []
+    for c in range(8):
+        v = [0.0] * dim
+        v[c] = 50.0
+        protos.append(v)
+    vecs = list(protos)
+    for extra in range(24):  # 3 copies of each prototype
+        vecs.append(protos[extra % 8])
+    _write_embeddings(str(tmp_path), vecs)
+    rows = [r.asDict() for r in _run(spark, "davies_bouldin_index", tmp_path)]
+    assert len(rows) == 8
+    for r in rows:
+        assert r["n_members"] == 4
+        assert r["s_intra"] == pytest.approx(0.0)
+        assert r["r_max"] == pytest.approx(0.0)
+        assert r["db_index"] == pytest.approx(0.0)
+
+
+def test_db_index_tight_beats_loose(spark, tmp_path):
+    """Same centroids, wider within-cluster spread -> larger DB index
+    (the monotonicity that makes it a model-selection score)."""
+
+    def blobs(spread_amt):
+        dim = 16
+        vecs = []
+        for c in range(8):
+            proto = [0.0] * dim
+            proto[c] = 50.0
+            vecs.append(list(proto))
+        for extra in range(24):
+            c = extra % 8
+            v = [0.0] * dim
+            v[c] = 50.0
+            v[(c + 1) % dim] = spread_amt * (1 + extra % 3)
+            vecs.append(v)
+        return vecs
+
+    _write_embeddings(str(tmp_path), blobs(0.5))
+    tight = _run(spark, "davies_bouldin_index", tmp_path)[0]["db_index"]
+    _write_embeddings(str(tmp_path), blobs(5.0))
+    loose = _run(spark, "davies_bouldin_index", tmp_path)[0]["db_index"]
+    assert 0 < tight < loose

@@ -561,6 +561,13 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',
     ),
+    'davies_bouldin_index': (
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        # final-round k-row centroid broadcast, the k x k centroid-pair
+        # cross, and the 1-row DB total onto the k picked rows; earlier
+        # Lloyd rounds sit behind eager k x dim checkpoints
+        'bounded-build',
+    ),
     'kneser_ney_bigram_probs': (
         ('BroadcastNestedLoopJoin BuildRight Cross',),
         'bounded-build',

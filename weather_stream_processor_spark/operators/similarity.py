@@ -4294,3 +4294,248 @@ def _mrl_finish(per_q: DataFrame) -> DataFrame:
             F.min("matches").cast("double") / F.lit(float(_MRL_K)), 6
         ).alias("min_recall"),
     )
+
+
+def _davies_bouldin_oracle(k: int, iters: int) -> str:
+    """The kmeans CTE chain (same unrolled Lloyd rounds, same 6dp
+    quantization contract) extended with the Davies-Bouldin reduction:
+    per-member sqrt distances are 1e6-floor-lifted before the
+    cross-member cluster sum (sqrt IS correctly rounded in IEEE 754, so
+    the lift input is an identical double in both engines), centroid
+    separations round the cross-dim squared sum at 6dp BEFORE the sqrt
+    (the kmeans convention), and the k-row R_i maxima are 1e9-lifted
+    before the final mean."""
+    base = _kmeans_oracle(k, iters)
+    final = f"SELECT vec_id, cid AS cluster_id, d AS dist2\n        FROM b{iters} WHERE rn = 1"
+    assert final in base
+    prefix = base.replace(final, "").rstrip().rstrip(",")
+    return f"""{prefix},
+        members AS (
+            SELECT vec_id, cid, d FROM b{iters} WHERE rn = 1
+        ),
+        s AS (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_m,
+                   CAST(SUM(CAST(FLOOR(SQRT(d) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sq
+            FROM members GROUP BY cid
+        ),
+        pairs AS (
+            SELECT a.cid AS ci, b.cid AS cj,
+                   SQRT(ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6)) AS m
+            FROM c{iters - 1} a JOIN c{iters - 1} b USING (i)
+            WHERE a.cid != b.cid
+            GROUP BY a.cid, b.cid
+        ),
+        r AS (
+            SELECT p.ci, p.cj,
+                   (CAST(si.sq AS DOUBLE) / si.n_m / 1000000.0
+                    + CAST(sj.sq AS DOUBLE) / sj.n_m / 1000000.0) / p.m
+                       AS rij
+            FROM pairs p
+            JOIN s si ON si.cid = p.ci
+            JOIN s sj ON sj.cid = p.cj
+            WHERE p.m > 0
+        ),
+        picked AS (
+            SELECT ci, cj, rij,
+                   ROW_NUMBER() OVER (PARTITION BY ci
+                                      ORDER BY rij DESC, cj) AS rn
+            FROM r
+        ),
+        lifted AS (
+            SELECT ci, cj, rij,
+                   CAST(FLOOR(rij * 1000000000.0 + 0.5) AS BIGINT) AS rq
+            FROM picked WHERE rn = 1
+        ),
+        db AS (
+            SELECT CAST(SUM(rq) AS BIGINT) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS kk
+            FROM lifted
+        )
+        SELECT l.ci AS cluster_id,
+               s.n_m AS n_members,
+               CAST(FLOOR(CAST(s.sq AS DOUBLE) / s.n_m + 0.5) AS BIGINT)
+                   / 1000000.0 AS s_intra,
+               l.cj AS worst_pair,
+               ROUND(l.rij, 6) AS r_max,
+               ROUND(CAST(d.tot AS DOUBLE) / d.kk / 1000000000.0, 6)
+                   AS db_index
+        FROM lifted l JOIN s ON s.cid = l.ci CROSS JOIN db d
+    """
+
+
+@register(
+    "davies_bouldin_index",
+    oracle=_davies_bouldin_oracle(_KMEANS_K, _KMEANS_ITERS),
+    doc=(
+        "DAVIES-BOULDIN INDEX of the registered k-means clustering — "
+        "the INTERNAL cluster-validity twin of simplified_silhouette "
+        "(silhouette scores each POINT against its own and nearest "
+        "cluster; DB scores each CLUSTER against its worst neighbor: "
+        "R_ij = (S_i + S_j) / M_ij with S = mean member-to-centroid "
+        "distance and M = centroid separation, DB = mean_i max_j "
+        "R_ij — lower is better, and the k that minimizes it is the "
+        "standard model-selection rule). Consumes EXACTLY "
+        "kmeans_embedding_clusters' pinned Lloyd state (same init, "
+        "same 6dp per-round quantization, same argmin tie-break), so "
+        "the oracle replays the identical CTE chain and extends it "
+        "with the DB reduction. Determinism: sqrt is CORRECTLY "
+        "ROUNDED in IEEE 754, so per-member sqrt(d) of the 6dp-"
+        "rounded assignment distance is an identical double in both "
+        "engines and the 1e6 floor-lift before the corpus-scale "
+        "cluster sum is exact; centroid separations round the 64-dim "
+        "squared sum at 6dp BEFORE the sqrt (the kmeans convention "
+        "for cross-dim sums); the k-row maxima are 1e9-lifted before "
+        "the final mean; s_intra is emitted via floor-lift, not ROUND "
+        "(a ratio of exact integers CAN sit exactly on the 6dp half "
+        "grid — the margin audit caught 967310.5 doing it at sf0.01); zero-separation pairs excluded mirrored, "
+        "worst-pair ties broken on cluster id. Per-cluster output "
+        "(n_members, S_i, worst neighbor, R_i) with the corpus DB "
+        "index repeated — the drill-down a cluster-count sweep reads. "
+        "Plan: the kmeans rounds (k-row broadcast crossJoins + "
+        "per-vec argmin windows), one corpus-scale cluster aggregate, "
+        "then k^2-row arithmetic."
+    ),
+    tags=("similarity", "llm", "clustering", "evals"),
+)
+def davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cent = emb.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    best = None
+    for it in range(_KMEANS_ITERS):
+        d = F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            6,
+        )
+        assigned = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid", d.alias("d")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        best = assigned.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        if it < _KMEANS_ITERS - 1:
+            # eager k x dim checkpoint per round: each corpus scan runs
+            # exactly ONCE, instead of re-executing per downstream
+            # consumer (the matryoshka persist-boundary lesson — the
+            # first build re-expanded the Lloyd lineage into 26 crosses)
+            cent = truncate_lineage(
+                best.select("cid", F.posexplode("v").alias("i", "x"))
+                .groupBy("cid", "i")
+                .agg(F.round(F.avg("x"), 6).alias("x"))
+                .groupBy("cid")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("i", "x"))).alias(
+                        "sx"
+                    )
+                )
+                .select(
+                    "cid",
+                    F.transform("sx", lambda s: s.getField("x")).alias("c"),
+                )
+            )
+    s = truncate_lineage(best.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_m"),
+        F.sum(
+            F.floor(F.sqrt("d") * F.lit(1e6) + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sq"),
+    ))
+    ca = cent.select(F.col("cid").alias("ci"), F.col("c").alias("va"))
+    cb = cent.select(F.col("cid").alias("cj"), F.col("c").alias("vb"))
+    pairs = (
+        ca.crossJoin(F.broadcast(cb))
+        .filter(F.col("ci") != F.col("cj"))
+        .select(
+            "ci",
+            "cj",
+            F.sqrt(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("va"),
+                            F.col("vb"),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, z: acc + z,
+                    ),
+                    6,
+                )
+            ).alias("m"),
+        )
+    )
+    si = s.select(
+        F.col("cid").alias("ci"),
+        F.col("n_m").alias("n_i"),
+        F.col("sq").alias("sq_i"),
+    )
+    sj = s.select(
+        F.col("cid").alias("cj"),
+        F.col("n_m").alias("n_j"),
+        F.col("sq").alias("sq_j"),
+    )
+    rij = (
+        F.col("sq_i").cast("double") / F.col("n_i") / F.lit(1e6)
+        + F.col("sq_j").cast("double") / F.col("n_j") / F.lit(1e6)
+    ) / F.col("m")
+    r = (
+        pairs.join(F.broadcast(si), "ci")
+        .join(F.broadcast(sj), "cj")
+        .filter(F.col("m") > 0)
+        .select("ci", "cj", rij.alias("rij"))
+    )
+    w_pick = Window.partitionBy("ci").orderBy(
+        F.col("rij").desc(), F.col("cj")
+    )
+    lifted = (
+        r.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "ci",
+            "cj",
+            "rij",
+            F.floor(F.col("rij") * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rq"),
+        )
+    )
+    db = lifted.agg(
+        F.sum("rq").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("kk"),
+    )
+    return (
+        lifted.join(
+            F.broadcast(s.withColumnRenamed("cid", "ci")), "ci"
+        )
+        .crossJoin(F.broadcast(db))
+        .select(
+            F.col("ci").alias("cluster_id"),
+            F.col("n_m").alias("n_members"),
+            (
+                F.floor(
+                    F.col("sq").cast("double") / F.col("n_m") + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1e6)
+            ).alias("s_intra"),
+            F.col("cj").alias("worst_pair"),
+            F.round(F.col("rij"), 6).alias("r_max"),
+            F.round(
+                F.col("tot").cast("double") / F.col("kk") / F.lit(1e9), 6
+            ).alias("db_index"),
+        )
+    )
