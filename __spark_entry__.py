@@ -92,7 +92,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "jackknife_source_se", "weibull_survival_fit",
     "crps_ensemble_backtest", "subclassification_ate",
     "rouge_n_generation_eval", "bloom_filter_sizing_advisor",
-    "davies_bouldin_index",
+    "davies_bouldin_index", "negative_binomial_fit",
 )
 
 

@@ -774,3 +774,94 @@ def test_db_index_tight_beats_loose(spark, tmp_path):
     _write_embeddings(str(tmp_path), blobs(5.0))
     loose = _run(spark, "davies_bouldin_index", tmp_path)[0]["db_index"]
     assert 0 < tight < loose
+
+
+# --------------------------------------------------------------------------
+# negative_binomial_fit
+# --------------------------------------------------------------------------
+
+
+def _py_nb_fit(cells, n_users, n_days):
+    """cells: {(type, user, day): count} -> {type: row}, independent."""
+    out = {}
+    by_type = {}
+    for (et, _, _), c in cells.items():
+        nnz, s, ss = by_type.get(et, (0, 0, 0))
+        by_type[et] = (nnz + 1, s + c, ss + c * c)
+    n = n_users * n_days
+    for et, (nnz, s, ss) in by_type.items():
+        mu = s / n
+        v = (n * ss - s * s) / (n * (n - 1))
+        if n < 2 or v <= mu:
+            continue
+        r = mu * mu / (v - mu)
+        out[et] = {
+            "n_cells": n,
+            "n_nonzero": nnz,
+            "mean_count": mu,
+            "var_count": v,
+            "nb_r": r,
+            "obs_zero_frac": (n - nnz) / n,
+            "poisson_zero_frac": math.exp(-mu),
+            "nb_zero_frac": (r / (r + mu)) ** r,
+        }
+    return out
+
+
+def test_nb_fit_matches_python_rederivation(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    rows = con.execute(
+        """
+        SELECT event_type, user_id, date_trunc('day', ts), COUNT(*)
+        FROM events GROUP BY 1, 2, 3
+        """
+    ).fetchall()
+    cells = {(et, u, d): c for et, u, d, c in rows}
+    n_users = len({u for _, u, _ in cells})
+    n_days = len({d for _, _, d in cells})
+    exp = _py_nb_fit(cells, n_users, n_days)
+    got = {r["event_type"]: r.asDict() for r in _run(spark, "negative_binomial_fit")}
+    assert set(got) == set(exp)
+    for et in exp:
+        for k in exp[et]:
+            assert got[et][k] == pytest.approx(exp[et][k], abs=2e-6), (et, k)
+
+
+def test_nb_fit_closed_form_tiny_grid(spark, tmp_path):
+    """2 users x 2 days, counts {8, 1, 1} + one empty cell: N=4, S=10,
+    SS=66 -> mean 2.5, var 41/3, r = 6.25/(41/3 - 2.5) — to the digit,
+    and NB's zero prediction must beat Poisson's against the observed
+    25% zeros."""
+    rows = []
+    for _ in range(8):
+        rows.append((1, 0, "purchase", 1.0))
+    rows.append((2, 0, "purchase", 1.0))
+    rows.append((2, 1, "purchase", 1.0))
+    _write_user_events(str(tmp_path), rows)
+    (row,) = _run(spark, "negative_binomial_fit", tmp_path)
+    assert row["n_cells"] == 4 and row["n_nonzero"] == 3
+    mu, v = 2.5, (4 * 66 - 100) / 12
+    r = mu * mu / (v - mu)
+    assert row["mean_count"] == pytest.approx(mu)
+    assert row["var_count"] == pytest.approx(v, abs=1e-6)
+    assert row["nb_r"] == pytest.approx(r, abs=1e-6)
+    assert row["obs_zero_frac"] == pytest.approx(0.25)
+    nb0, po0 = (r / (r + mu)) ** r, math.exp(-mu)
+    assert row["nb_zero_frac"] == pytest.approx(nb0, abs=1e-6)
+    assert row["poisson_zero_frac"] == pytest.approx(po0, abs=1e-6)
+    assert abs(row["nb_zero_frac"] - 0.25) < abs(
+        row["poisson_zero_frac"] - 0.25
+    )
+
+
+def test_nb_fit_excludes_equidispersed(spark, tmp_path):
+    """Every user-day cell holding exactly one event has zero variance:
+    var <= mean, NB undefined, the type must be excluded (mirrored)."""
+    rows = [
+        (u, d, "purchase", 1.0) for u in range(1, 4) for d in range(0, 3)
+    ]
+    _write_user_events(str(tmp_path), rows)
+    assert _run(spark, "negative_binomial_fit", tmp_path) == []

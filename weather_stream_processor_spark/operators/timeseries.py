@@ -5100,3 +5100,122 @@ def crps_ensemble_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(daily, _build)
+
+
+@register(
+    "negative_binomial_fit",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type, user_id, date_trunc('day', ts) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2, 3
+        ),
+        spine AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+            FROM cells
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS nnz,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS ss
+            FROM cells GROUP BY event_type
+        ),
+        fit AS (
+            SELECT m.event_type,
+                   sp.n_users * sp.n_days AS n,
+                   m.nnz, m.s, m.ss,
+                   CAST(m.s AS DOUBLE) / (sp.n_users * sp.n_days) AS mu,
+                   (CAST(sp.n_users * sp.n_days AS DOUBLE) * m.ss
+                    - CAST(m.s AS DOUBLE) * m.s)
+                   / (CAST(sp.n_users * sp.n_days AS DOUBLE)
+                      * (sp.n_users * sp.n_days - 1)) AS v
+            FROM mom m CROSS JOIN spine sp
+        )
+        SELECT event_type,
+               n AS n_cells,
+               nnz AS n_nonzero,
+               ROUND(mu, 6) AS mean_count,
+               ROUND(v, 6) AS var_count,
+               ROUND(mu * mu / (v - mu), 6) AS nb_r,
+               ROUND(CAST(n - nnz AS DOUBLE) / n, 6) AS obs_zero_frac,
+               ROUND(EXP(-mu), 6) AS poisson_zero_frac,
+               ROUND(POWER((mu * mu / (v - mu))
+                           / ((mu * mu / (v - mu)) + mu),
+                           mu * mu / (v - mu)), 6) AS nb_zero_frac
+        FROM fit
+        WHERE n >= 2 AND v > mu
+    """,
+    doc=(
+        "NEGATIVE-BINOMIAL METHOD-OF-MOMENTS FIT per event_type on the "
+        "(user x day) count grid — the MODELING follow-up to "
+        "poisson_dispersion_test (that op DETECTS overdispersion; "
+        "this one FITS the model you switch to once it is detected, "
+        "and scores the switch on the zeros): NB with mean mu and "
+        "shape r = mu^2/(var - mu) (MoM on the gamma-Poisson mixture), "
+        "scored by the three zero fractions side by side — observed "
+        "P(count = 0), Poisson's e^(-mu), and NB's (r/(r+mu))^r — the "
+        "columns a capacity/anomaly model reads to decide which "
+        "arrival law to simulate user-days under. The zero-filled "
+        "spine is NEVER materialized: N = n_users * n_days, zero "
+        "cells = N - nonzero, and the spine moments are algebraic in "
+        "the nonzero-cell integer sums (S, SS unchanged by zeros) — "
+        "one corpus scan to the nonzero (type, user, day) cells, "
+        "global distinct counts from the same persisted frame, per-"
+        "type closed forms after. Under-dispersed or equi-dispersed "
+        "types (var <= mean: NB undefined, Poisson already fits) "
+        "excluded, mirrored. All inputs to every double expression "
+        "are exact BIGINTs, so both engines evaluate identical IEEE "
+        "arithmetic; the six emitted doubles are 6dp-rounded and "
+        "margin-audited."
+    ),
+    tags=("timeseries", "statistics", "llm"),
+)
+def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def _build(cells_c: DataFrame) -> DataFrame:
+        spine = cells_c.agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.countDistinct("day").cast("bigint").alias("n_days"),
+        )
+        mom = cells_c.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("nnz"),
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        )
+        n = F.col("n_users") * F.col("n_days")
+        mu = F.col("s").cast("double") / n
+        v = (n.cast("double") * F.col("ss") - F.col("s").cast("double") * F.col("s")) / (
+            n.cast("double") * (n - 1)
+        )
+        fit = mom.crossJoin(F.broadcast(spine)).select(
+            "event_type",
+            n.alias("n"),
+            "nnz",
+            mu.alias("mu"),
+            v.alias("v"),
+        )
+        mu2, v2 = F.col("mu"), F.col("v")
+        r2 = mu2 * mu2 / (v2 - mu2)
+        return fit.filter((F.col("n") >= 2) & (v2 > mu2)).select(
+            "event_type",
+            F.col("n").alias("n_cells"),
+            F.col("nnz").alias("n_nonzero"),
+            F.round(mu2, 6).alias("mean_count"),
+            F.round(v2, 6).alias("var_count"),
+            F.round(r2, 6).alias("nb_r"),
+            F.round(
+                (F.col("n") - F.col("nnz")).cast("double") / F.col("n"), 6
+            ).alias("obs_zero_frac"),
+            F.round(F.exp(-mu2), 6).alias("poisson_zero_frac"),
+            F.round(F.pow(r2 / (r2 + mu2), r2), 6).alias("nb_zero_frac"),
+        )
+
+    return persisted_result(cells, _build)
