@@ -865,3 +865,106 @@ def test_nb_fit_excludes_equidispersed(spark, tmp_path):
     ]
     _write_user_events(str(tmp_path), rows)
     assert _run(spark, "negative_binomial_fit", tmp_path) == []
+
+
+# --------------------------------------------------------------------------
+# soundex_phonetic_blocking
+# --------------------------------------------------------------------------
+
+
+def _py_soundex(word):
+    """Third, independent US-Census soundex (textbook recursion) that
+    pins BOTH the Spark builtin and the oracle's translate chain."""
+    codes = {}
+    for letters, d in (
+        ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"),
+        ("L", "4"), ("MN", "5"), ("R", "6"),
+    ):
+        for ch in letters:
+            codes[ch] = d
+    u = word.upper()
+    first = u[0]
+    out, prev = [], codes.get(first, "")
+    for ch in u[1:]:
+        if ch in "HW":
+            continue  # transparent: prev code survives across H/W
+        d = codes.get(ch, "")
+        if d and d != prev:
+            out.append(d)
+        prev = d  # vowels reset prev (break adjacency)
+    return first + ("".join(out) + "000")[:3]
+
+
+def test_soundex_textbook_vector():
+    vec = {
+        "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+        "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+        "honeyman": "H555", "washington": "W252", "lee": "L000",
+    }
+    for w, sx in vec.items():
+        assert _py_soundex(w) == sx, w
+
+
+def test_soundex_three_implementations_agree(spark):
+    """Spark's JVM builtin, the oracle's translate/regexp chain, and
+    the textbook Python recursion must agree on EVERY head token in the
+    fixture vocabulary."""
+    from pyspark.sql import functions as F
+
+    from weather_stream_processor_spark.operators.dedup import _soundex_sql
+
+    toks = [
+        t
+        for (t,) in duckdb.connect()
+        .execute(
+            f"SELECT DISTINCT string_split(p_name, ' ')[-1] "
+            f"FROM '{SF_SMOKE}/part.parquet'"
+        )
+        .fetchall()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE toks(t VARCHAR)")
+    con.executemany("INSERT INTO toks VALUES (?)", [(t,) for t in toks])
+    oracle = dict(
+        con.execute(f"SELECT t, {_soundex_sql('t')} FROM toks").fetchall()
+    )
+    spark_sx = {
+        r.t: r.sx
+        for r in spark.createDataFrame([(t,) for t in toks], "t string")
+        .select("t", F.soundex("t").alias("sx"))
+        .collect()
+    }
+    for t in toks:
+        assert spark_sx[t] == oracle[t] == _py_soundex(t), t
+
+
+def _write_part(tmp_path, names):
+    pdf = pd.DataFrame(
+        {"p_partkey": list(range(1, len(names) + 1)), "p_name": names}
+    )
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM pdf) TO '{tmp_path}/part.parquet' "
+        "(FORMAT PARQUET)"
+    )
+
+
+def test_soundex_blocking_recovers_spelling_variant(spark, tmp_path):
+    """'smith'/'smyth' share S530 but not the exact head token: the
+    pair must appear with exact_block_miss = 1, while same-head pairs
+    carry 0 and phonetically distinct heads never pair."""
+    _write_part(
+        str(tmp_path),
+        ["alpha smith", "alpha smyth", "beta smith", "gamma jones"],
+    )
+    rows = {
+        (r["name_a"], r["name_b"]): r.asDict()
+        for r in _run(spark, "soundex_phonetic_blocking", tmp_path)
+    }
+    key = ("alpha smith", "alpha smyth")
+    assert key in rows
+    assert rows[key]["exact_block_miss"] == 1
+    assert rows[key]["edit_distance"] == 1
+    assert rows[key]["block_code"] == "S530"
+    same_head = ("alpha smith", "beta smith")
+    assert same_head in rows and rows[same_head]["exact_block_miss"] == 0
+    assert not any("jones" in a or "jones" in b for a, b in rows)
