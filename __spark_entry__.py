@@ -93,7 +93,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "crps_ensemble_backtest", "subclassification_ate",
     "rouge_n_generation_eval", "bloom_filter_sizing_advisor",
     "davies_bouldin_index", "negative_binomial_fit",
-    "soundex_phonetic_blocking",
+    "soundex_phonetic_blocking", "markov_entropy_rate",
 )
 
 

@@ -968,3 +968,90 @@ def test_soundex_blocking_recovers_spelling_variant(spark, tmp_path):
     same_head = ("alpha smith", "beta smith")
     assert same_head in rows and rows[same_head]["exact_block_miss"] == 0
     assert not any("jones" in a or "jones" in b for a, b in rows)
+
+
+# --------------------------------------------------------------------------
+# markov_entropy_rate
+# --------------------------------------------------------------------------
+
+
+def _py_entropy_rate(trans):
+    """trans: {(src, dst): count} -> row dict, independent plug-in."""
+    row = {}
+    for (s, _), c in trans.items():
+        row[s] = row.get(s, 0) + c
+    n = sum(row.values())
+    ht = sum(
+        math.floor(-(c / n) * math.log2(c / row[s]) * 1e9 + 0.5)
+        for (s, _), c in trans.items()
+    )
+    hm = sum(
+        math.floor(-(r / n) * math.log2(r / n) * 1e9 + 0.5)
+        for r in row.values()
+    )
+    return {
+        "n_transitions": n,
+        "n_states": len(row),
+        "cond_entropy_bits": ht / 1e9,
+        "marginal_entropy_bits": hm / 1e9,
+        "predictability_gain_bits": (hm - ht) / 1e9,
+        "transition_perplexity": 2.0 ** (ht / 1e9),
+    }
+
+
+def test_entropy_rate_matches_python_rederivation(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    rows = con.execute(
+        """
+        WITH seq AS (
+            SELECT event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        )
+        SELECT event_type, nxt, COUNT(*) FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    exp = _py_entropy_rate({(s, d): c for s, d, c in rows})
+    (row,) = _run(spark, "markov_entropy_rate")
+    for k in exp:
+        assert row[k] == pytest.approx(exp[k], abs=2e-5), k
+
+
+def test_entropy_rate_deterministic_chain_is_zero(spark, tmp_path):
+    """A strictly periodic per-user sequence (view -> click -> view ->
+    click...) has ONE possible next state everywhere: conditional
+    entropy 0, perplexity 1, while the marginal entropy stays 1 bit —
+    the full gap is predictability."""
+    rows = []
+    for u in (1, 2):
+        for i in range(20):
+            rows.append((u, i, "view" if i % 2 == 0 else "click", 1.0))
+    _write_user_events(str(tmp_path), rows)
+    (row,) = _run(spark, "markov_entropy_rate", tmp_path)
+    assert row["cond_entropy_bits"] == pytest.approx(0.0)
+    assert row["transition_perplexity"] == pytest.approx(1.0)
+    assert row["marginal_entropy_bits"] == pytest.approx(1.0, abs=0.02)
+    assert row["predictability_gain_bits"] == pytest.approx(
+        row["marginal_entropy_bits"], abs=1e-9
+    )
+
+
+def test_entropy_rate_uniform_chain_has_no_gain(spark, tmp_path):
+    """A sequence whose next state is uniform over 2 types regardless
+    of the current one: conditional entropy = marginal entropy = 1 bit,
+    gain ~ 0, perplexity ~ 2 (memoryless stream)."""
+    pat = ["view", "view", "click", "click"]  # every (src,dst) pair once
+    rows = []
+    for u in (1, 2, 3):
+        for i in range(40):
+            rows.append((u, i, pat[i % 4], 1.0))
+    _write_user_events(str(tmp_path), rows)
+    (row,) = _run(spark, "markov_entropy_rate", tmp_path)
+    assert row["predictability_gain_bits"] == pytest.approx(0.0, abs=0.01)
+    assert row["transition_perplexity"] == pytest.approx(2.0, abs=0.05)

@@ -5219,3 +5219,162 @@ def negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(cells, _build)
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        tm AS (
+            SELECT event_type AS src, next_type AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        row_tot AS (
+            SELECT src, CAST(SUM(c) AS BIGINT) AS r FROM tm GROUP BY src
+        ),
+        tot AS (
+            SELECT CAST(SUM(r) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_states
+            FROM row_tot
+        ),
+        cond_terms AS (
+            SELECT CAST(FLOOR(
+                       -(CAST(t.c AS DOUBLE) / n.n)
+                       * LOG2(CAST(t.c AS DOUBLE) / r.r)
+                       * 1000000000.0 + 0.5) AS BIGINT) AS tq
+            FROM tm t
+            JOIN row_tot r USING (src)
+            CROSS JOIN tot n
+        ),
+        marg_terms AS (
+            SELECT CAST(FLOOR(
+                       -(CAST(r.r AS DOUBLE) / n.n)
+                       * LOG2(CAST(r.r AS DOUBLE) / n.n)
+                       * 1000000000.0 + 0.5) AS BIGINT) AS mq
+            FROM row_tot r CROSS JOIN tot n
+        ),
+        hsum AS (
+            SELECT (SELECT CAST(SUM(tq) AS BIGINT) FROM cond_terms) AS ht,
+                   (SELECT CAST(SUM(mq) AS BIGINT) FROM marg_terms) AS hm
+        )
+        SELECT t.n AS n_transitions,
+               t.n_states,
+               ROUND(CAST(h.ht AS DOUBLE) / 1000000000.0, 6)
+                   AS cond_entropy_bits,
+               ROUND(CAST(h.hm AS DOUBLE) / 1000000000.0, 6)
+                   AS marginal_entropy_bits,
+               ROUND(CAST(h.hm - h.ht AS DOUBLE) / 1000000000.0, 6)
+                   AS predictability_gain_bits,
+               ROUND(POWER(2.0, CAST(h.ht AS DOUBLE) / 1000000000.0), 6)
+                   AS transition_perplexity
+        FROM hsum h CROSS JOIN tot t
+        WHERE t.n >= 1
+    """,
+    doc=(
+        "MARKOV ENTROPY RATE of the per-user event stream — the "
+        "PREDICTABILITY reduction of event_transition_matrix (that op "
+        "emits the k x k transition counts; this one answers the "
+        "question they exist for: how many bits does the NEXT action "
+        "cost once you know the current one): plug-in conditional "
+        "entropy H(X_next | X_cur) = -sum_ij (n_ij/N) log2(n_ij/n_i) "
+        "over the same (user-partitioned, ts/event_id-ordered) LEAD "
+        "pairs, beside the iid baseline H(X) on the from-state "
+        "marginal — their gap is the predictability the sequence "
+        "structure buys (0 bits = memoryless stream; the gap is what "
+        "a next-event model can ever exploit), and 2^H is the "
+        "effective branching factor (transition perplexity, the "
+        "capacity number a session-simulator or prefetcher sizes "
+        "against). Every probability is a ratio of exact BIGINT "
+        "counts (identical IEEE doubles both engines); the k^2 "
+        "entropy terms are 1e9-floor-lifted before summation so the "
+        "cross-row sums of transcendental outputs are order-free "
+        "integer sums (the eb_rate_shrinkage discipline at the "
+        "periodogram's transcendental-lift scale). Plan: one corpus "
+        "scan through the per-user LEAD window, a k^2-row aggregate, "
+        "k^2-row arithmetic after; deterministic rows (p = 1) "
+        "contribute an exact 0."
+    ),
+    tags=("timeseries", "statistics", "llm", "window"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    tm = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _build(tm_c: DataFrame) -> DataFrame:
+        row_tot = tm_c.groupBy("src").agg(
+            F.sum("c").cast("bigint").alias("r")
+        )
+        tot = row_tot.agg(
+            F.sum("r").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_states"),
+        )
+        cond = (
+            tm_c.join(F.broadcast(row_tot), "src")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.floor(
+                    -(F.col("c").cast("double") / F.col("n"))
+                    * F.log2(F.col("c").cast("double") / F.col("r"))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("tq")
+            )
+            .agg(F.sum("tq").cast("bigint").alias("ht"))
+        )
+        marg = (
+            row_tot.crossJoin(F.broadcast(tot))
+            .select(
+                F.floor(
+                    -(F.col("r").cast("double") / F.col("n"))
+                    * F.log2(F.col("r").cast("double") / F.col("n"))
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("mq")
+            )
+            .agg(F.sum("mq").cast("bigint").alias("hm"))
+        )
+        h = F.col("ht").cast("double") / F.lit(1e9)
+        return (
+            cond.crossJoin(F.broadcast(marg))
+            .crossJoin(F.broadcast(tot))
+            .filter(F.col("n") >= 1)
+            .select(
+                F.col("n").alias("n_transitions"),
+                "n_states",
+                F.round(h, 6).alias("cond_entropy_bits"),
+                F.round(F.col("hm").cast("double") / F.lit(1e9), 6).alias(
+                    "marginal_entropy_bits"
+                ),
+                F.round(
+                    (F.col("hm") - F.col("ht")).cast("double") / F.lit(1e9),
+                    6,
+                ).alias("predictability_gain_bits"),
+                F.round(F.pow(F.lit(2.0), h), 6).alias(
+                    "transition_perplexity"
+                ),
+            )
+        )
+
+    return persisted_result(tm, _build)
