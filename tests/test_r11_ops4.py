@@ -1055,3 +1055,87 @@ def test_entropy_rate_uniform_chain_has_no_gain(spark, tmp_path):
     (row,) = _run(spark, "markov_entropy_rate", tmp_path)
     assert row["predictability_gain_bits"] == pytest.approx(0.0, abs=0.01)
     assert row["transition_perplexity"] == pytest.approx(2.0, abs=0.05)
+
+
+# --------------------------------------------------------------------------
+# newey_west_robust_se
+# --------------------------------------------------------------------------
+
+
+def _py_newey_west(cents, L=7):
+    """cents: day-ordered list -> row dict, independent implementation."""
+    n = len(cents)
+    s = sum(cents)
+    z = [n * x - s for x in cents]
+    lk = {
+        k: sum(z[t] * z[t + k] for t in range(n - k)) for k in range(L + 1)
+    }
+    g0 = lk[0] / (n ** 3)
+    g2 = sum(2.0 * (1 - k / (L + 1)) * lk[k] for k in range(1, L + 1)) / (
+        n ** 3
+    )
+    se_iid2 = g0 * n / (n - 1) / n
+    var_nw = (g0 + g2) / n
+    return {
+        "n_days": n,
+        "sd_daily_usd": math.sqrt(g0) / 100.0,
+        "se_iid_usd": math.sqrt(se_iid2) / 100.0,
+        "se_newey_west_usd": math.sqrt(max(var_nw, 0.0)) / 100.0,
+        "ess_ratio": se_iid2 / var_nw,
+    }
+
+
+def test_newey_west_matches_python_rederivation(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    rows = con.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, _, c in rows:
+        series.setdefault(et, []).append(c)
+    got = {r["event_type"]: r.asDict() for r in _run(spark, "newey_west_robust_se")}
+    exp = {
+        et: _py_newey_west(cs)
+        for et, cs in series.items()
+        if len(cs) > 8 and any(c != cs[0] for c in cs)
+    }
+    exp = {et: e for et, e in exp.items() if e["se_newey_west_usd"] > 0}
+    assert set(got) == set(exp)
+    for et in exp:
+        for k in exp[et]:
+            assert got[et][k] == pytest.approx(
+                exp[et][k], rel=1e-4, abs=1e-5
+            ), (et, k)
+
+
+def test_newey_west_positive_autocorr_inflates_se(spark, tmp_path):
+    """Long same-level blocks (strong positive autocorrelation): the
+    honest SE must exceed the iid SE, i.e. the effective sample size
+    deflates (ess_ratio < 1)."""
+    days = [(d, 10.0 if (d // 8) % 2 == 0 else 20.0) for d in range(32)]
+    _write_events(str(tmp_path), days)
+    (row,) = _run(spark, "newey_west_robust_se", tmp_path)
+    assert row["se_newey_west_usd"] > row["se_iid_usd"]
+    assert row["ess_ratio"] < 1.0
+    exp = _py_newey_west([1000 if (d // 8) % 2 == 0 else 2000 for d in range(32)])
+    assert row["se_newey_west_usd"] == pytest.approx(
+        exp["se_newey_west_usd"], rel=1e-5
+    )
+
+
+def test_newey_west_alternating_deflates_se(spark, tmp_path):
+    """Strict alternation (negative lag-1 autocorrelation): the mean is
+    BETTER estimated than iid sampling suggests — se_nw < se_iid and
+    ess_ratio > 1."""
+    days = [(d, 10.0 if d % 2 == 0 else 20.0) for d in range(32)]
+    _write_events(str(tmp_path), days)
+    (row,) = _run(spark, "newey_west_robust_se", tmp_path)
+    assert row["se_newey_west_usd"] < row["se_iid_usd"]
+    assert row["ess_ratio"] > 1.0

@@ -5378,3 +5378,190 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(tm, _build)
+
+
+_NW_MAX_LAG = 7
+
+
+@register(
+    "newey_west_robust_se",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, cents,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day) AS BIGINT)
+                       AS t
+            FROM daily
+        ),
+        tot AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s
+            FROM idx GROUP BY event_type
+        ),
+        centered AS (
+            SELECT i.event_type, i.t, t.n, t.s,
+                   t.n * i.cents - t.s AS z
+            FROM idx i JOIN tot t USING (event_type)
+        ),
+        lags AS (
+            SELECT a.event_type, b.t - a.t AS k,
+                   CAST(SUM(a.z * b.z) AS BIGINT) AS lk,
+                   MAX(a.n) AS n
+            FROM centered a
+            JOIN centered b
+              ON a.event_type = b.event_type
+             AND b.t - a.t BETWEEN 0 AND {_NW_MAX_LAG}
+            GROUP BY a.event_type, b.t - a.t
+        ),
+        gam AS (
+            SELECT event_type, n,
+                   SUM(CASE WHEN k = 0 THEN CAST(lk AS DOUBLE) END)
+                       / (CAST(n AS DOUBLE) * n * n) AS g0,
+                   SUM(CASE WHEN k > 0 THEN
+                       2.0 * (1.0 - CAST(k AS DOUBLE)
+                              / ({_NW_MAX_LAG} + 1.0))
+                       * CAST(lk AS DOUBLE) END)
+                       / (CAST(n AS DOUBLE) * n * n) AS g2
+            FROM lags GROUP BY event_type, n
+        )
+        SELECT event_type,
+               n AS n_days,
+               ROUND(SQRT(g0) / 100.0, 6) AS sd_daily_usd,
+               ROUND(SQRT(g0 * n / (n - 1.0) / n) / 100.0, 6)
+                   AS se_iid_usd,
+               ROUND(SQRT(GREATEST(
+                   (g0 + COALESCE(g2, 0.0)) / n, 0.0)) / 100.0, 6)
+                   AS se_newey_west_usd,
+               ROUND((g0 * n / (n - 1.0) / n)
+                     / ((g0 + COALESCE(g2, 0.0)) / n), 6) AS ess_ratio
+        FROM gam
+        WHERE n > {_NW_MAX_LAG} + 1 AND g0 > 0
+              AND (g0 + COALESCE(g2, 0.0)) > 0
+    """,
+    doc=(
+        "NEWEY-WEST (HAC) ROBUST STANDARD ERROR of the daily-cents "
+        "mean per event_type — the honest-uncertainty member for "
+        "SERIALLY CORRELATED series, completing the inference family "
+        "(poisson_bootstrap_ci assumes exchangeable docs, "
+        "jackknife_source_se clusters by source — both assume "
+        "independent units; a DAILY series is autocorrelated, so the "
+        "iid s/sqrt(n) understates the SE exactly when Ljung-Box "
+        "fires): Var_NW(xbar) = (gamma_0 + 2 sum_k (1 - k/(L+1)) "
+        f"gamma_k)/n with the Bartlett kernel at L = {_NW_MAX_LAG} "
+        "(PSD by construction, clamped mirrored anyway), emitted in DOLLARS (sqrt scale — the margin audit flagged raw "
+        "cents^2 gamma_0 at ~1e15 as sub-ulp for a 6dp grid) next "
+        "to the iid SE and their squared ratio — the EFFECTIVE-"
+        "SAMPLE-SIZE deflation (ess_ratio 0.5 means your 30 days "
+        "carry 15 days of information; the number that corrects "
+        "every downstream CI on the series). Every lag covariance is "
+        "an EXACT integer: centering lifts by n (z_t = n*x_t - S), "
+        "so L_k = sum z_t z_(t+k) is an exact BIGINT and gamma_k = "
+        "L_k/n^3 — identical IEEE doubles both engines; the lag "
+        "pairing is a banded self-join on the day index (day-span x "
+        "(L+1) rows per type, never data-sized). Short series "
+        "(n <= L+1) and constant series excluded mirrored. Plan: one "
+        "corpus scan to the day grid, a type-partitioned row_number, "
+        "one banded equi-range join on the bounded grid."
+    ),
+    tags=("timeseries", "statistics", "window"),
+)
+def newey_west_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    from weather_stream_processor_spark.plans.caching import persisted_result
+
+    def _build(daily_c: DataFrame) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy("day")
+        idx = daily_c.select(
+            "event_type",
+            "cents",
+            F.row_number().over(w).cast("bigint").alias("t"),
+        )
+        tot = idx.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s"),
+        )
+        centered = idx.join(F.broadcast(tot), "event_type").select(
+            "event_type",
+            "t",
+            "n",
+            (F.col("n") * F.col("cents") - F.col("s")).alias("z"),
+        )
+        a = centered.select(
+            "event_type",
+            F.col("t").alias("ta"),
+            F.col("z").alias("za"),
+            "n",
+        )
+        b = centered.select(
+            "event_type", F.col("t").alias("tb"), F.col("z").alias("zb")
+        )
+        lags = (
+            a.join(b, "event_type")
+            .filter(
+                (F.col("tb") - F.col("ta") >= 0)
+                & (F.col("tb") - F.col("ta") <= _NW_MAX_LAG)
+            )
+            .groupBy("event_type", (F.col("tb") - F.col("ta")).alias("k"))
+            .agg(
+                F.sum(F.col("za") * F.col("zb")).cast("bigint").alias("lk"),
+                F.max("n").alias("n"),
+            )
+        )
+        n_d = F.col("n").cast("double")
+        gam = lags.groupBy("event_type", "n").agg(
+            (
+                F.sum(
+                    F.when(F.col("k") == 0, F.col("lk").cast("double"))
+                )
+                / (n_d * F.col("n") * F.col("n"))
+            ).alias("g0"),
+            (
+                F.sum(
+                    F.when(
+                        F.col("k") > 0,
+                        F.lit(2.0)
+                        * (
+                            F.lit(1.0)
+                            - F.col("k").cast("double")
+                            / F.lit(_NW_MAX_LAG + 1.0)
+                        )
+                        * F.col("lk").cast("double"),
+                    )
+                )
+                / (n_d * F.col("n") * F.col("n"))
+            ).alias("g2"),
+        )
+        g0, g2 = F.col("g0"), F.coalesce(F.col("g2"), F.lit(0.0))
+        se_iid2 = g0 * F.col("n") / (F.col("n") - F.lit(1.0)) / F.col("n")
+        var_nw = (g0 + g2) / F.col("n")
+        return gam.filter(
+            (F.col("n") > _NW_MAX_LAG + 1)
+            & (g0 > 0)
+            & ((g0 + g2) > 0)
+        ).select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(F.sqrt(g0) / F.lit(100.0), 6).alias("sd_daily_usd"),
+            F.round(F.sqrt(se_iid2) / F.lit(100.0), 6).alias("se_iid_usd"),
+            F.round(
+                F.sqrt(F.greatest(var_nw, F.lit(0.0))) / F.lit(100.0), 6
+            ).alias("se_newey_west_usd"),
+            F.round(se_iid2 / var_nw, 6).alias("ess_ratio"),
+        )
+
+    return persisted_result(daily, _build)
