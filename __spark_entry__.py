@@ -94,7 +94,7 @@ _SAMPLE_PRIORITY: tuple[str, ...] = (
     "rouge_n_generation_eval", "bloom_filter_sizing_advisor",
     "davies_bouldin_index", "negative_binomial_fit",
     "soundex_phonetic_blocking", "markov_entropy_rate",
-    "newey_west_robust_se",
+    "newey_west_robust_se", "cooks_distance_trend",
 )
 
 

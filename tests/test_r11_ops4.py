@@ -1139,3 +1139,92 @@ def test_newey_west_alternating_deflates_se(spark, tmp_path):
     (row,) = _run(spark, "newey_west_robust_se", tmp_path)
     assert row["se_newey_west_usd"] < row["se_iid_usd"]
     assert row["ess_ratio"] > 1.0
+
+
+# --------------------------------------------------------------------------
+# cooks_distance_trend
+# --------------------------------------------------------------------------
+
+
+def _py_cooks(cents):
+    """cents: day-ordered list -> [(t, resid_usd, lev, cd, flag)]."""
+    n = len(cents)
+    tcs = [2 * t - (n - 1) for t in range(n)]
+    s = sum(cents)
+    bnum = sum(tc * y for tc, y in zip(tcs, cents))
+    delta = sum(tc * tc for tc in tcs)
+    es = [
+        n * delta * y - delta * s - n * bnum * tc
+        for tc, y in zip(tcs, cents)
+    ]
+    sse = sum(e * e for e in es)
+    out = []
+    for t, (tc, e) in enumerate(zip(tcs, es)):
+        hnum = delta + n * tc * tc
+        onemh = n * delta - delta - n * tc * tc
+        cd = (
+            (e * e / sse) * (n - 2) * hnum * n * delta
+            / (2.0 * onemh * onemh)
+        )
+        out.append(
+            (
+                t,
+                e / (n * delta) / 100.0,
+                hnum / (n * delta),
+                cd,
+                1 if cd * n > 4.0 else 0,
+            )
+        )
+    return out
+
+
+def test_cooks_matches_python_rederivation(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF_SMOKE}/events.parquet'"
+    )
+    rows = con.execute(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series = {}
+    for et, _, c in rows:
+        series.setdefault(et, []).append(c)
+    got = {}
+    for r in _run(spark, "cooks_distance_trend"):
+        got[(r["event_type"], r["day_index"])] = r.asDict()
+    for et, cs in series.items():
+        for t, resid, lev, cd, flag in _py_cooks(cs):
+            row = got[(et, t)]
+            assert row["resid_usd"] == pytest.approx(resid, abs=2e-6)
+            assert row["leverage"] == pytest.approx(lev, abs=1e-6)
+            assert row["cooks_d"] == pytest.approx(cd, abs=2e-6)
+            assert row["influential"] == flag
+    assert len(got) == sum(len(cs) for cs in series.values())
+
+
+def test_cooks_flags_planted_outlier(spark, tmp_path):
+    """A perfect line plus one massive end-day spike: only the spike
+    day is influential, and endpoint leverage is the maximum."""
+    days = [(d, float(100 + 10 * d)) for d in range(20)]
+    days[19] = (19, 5000.0)  # the spike
+    _write_events(str(tmp_path), days)
+    rows = {r["day_index"]: r.asDict() for r in _run(spark, "cooks_distance_trend", tmp_path)}
+    assert rows[19]["influential"] == 1
+    flagged = [t for t, r in rows.items() if r["influential"] == 1]
+    assert flagged == [19]
+    max_lev = max(r["leverage"] for r in rows.values())
+    assert rows[19]["leverage"] == pytest.approx(max_lev)
+    assert rows[0]["leverage"] == pytest.approx(max_lev)
+
+
+def test_cooks_leverage_sums_to_two(spark, tmp_path):
+    """sum_t h_t = p = 2 for the two-parameter fit — the trace
+    identity that pins the leverage formula."""
+    days = [(d, float(100 + 7 * d + (d % 3))) for d in range(15)]
+    _write_events(str(tmp_path), days)
+    rows = _run(spark, "cooks_distance_trend", tmp_path)
+    assert sum(r["leverage"] for r in rows) == pytest.approx(2.0, abs=1e-4)

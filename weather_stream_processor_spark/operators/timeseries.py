@@ -5565,3 +5565,190 @@ def newey_west_robust_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return persisted_result(daily, _build)
+
+
+@register(
+    "cooks_distance_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01',
+                             CAST(date_trunc('day', ts) AS DATE)) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type, d, cents,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY d
+                   ) - 1 AS t,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM daily
+        ),
+        ctr AS (
+            SELECT event_type, d, t, cents, n, 2 * t - (n - 1) AS tc
+            FROM idx
+        ),
+        mom AS (
+            SELECT event_type, d, t, cents, n, tc,
+                   CAST(SUM(cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS sx,
+                   CAST(SUM(tc * cents) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS bnum,
+                   CAST(SUM(tc * tc) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS delta
+            FROM ctr
+        ),
+        resid AS (
+            SELECT event_type, d, t, n, tc, delta,
+                   CAST(n AS HUGEINT) * delta * cents
+                       - CAST(delta AS HUGEINT) * sx
+                       - CAST(n AS HUGEINT) * bnum * tc AS e
+            FROM mom
+        ),
+        sums AS (
+            SELECT event_type,
+                   SUM(CAST(e AS HUGEINT) * e) AS sse
+            FROM resid GROUP BY event_type
+        ),
+        scored AS (
+            SELECT r.event_type, r.d, r.t, r.n, r.tc, r.delta, r.e, s.sse,
+                   CAST(r.e AS DOUBLE)
+                       / (CAST(r.n AS DOUBLE) * r.delta) / 100.0
+                       AS resid_usd,
+                   (CAST(r.delta AS DOUBLE) + r.n * r.tc * r.tc)
+                       / (CAST(r.n AS DOUBLE) * r.delta) AS lev,
+                   (CAST(r.e AS DOUBLE) * CAST(r.e AS DOUBLE)
+                    / CAST(s.sse AS DOUBLE))
+                   * (r.n - 2)
+                   * (CAST(r.delta AS DOUBLE) + r.n * r.tc * r.tc)
+                   * r.n * CAST(r.delta AS DOUBLE)
+                   / (2.0 * (CAST(r.n AS DOUBLE) * r.delta - r.delta
+                             - r.n * r.tc * r.tc)
+                          * (CAST(r.n AS DOUBLE) * r.delta - r.delta
+                             - r.n * r.tc * r.tc)) AS cd
+            FROM resid r JOIN sums s USING (event_type)
+            WHERE r.n >= 4 AND r.delta > 0 AND s.sse > 0
+        )
+        SELECT event_type,
+               CAST(t AS BIGINT) AS day_index,
+               ROUND(resid_usd, 6) AS resid_usd,
+               ROUND(lev, 6) AS leverage,
+               ROUND(cd, 6) AS cooks_d,
+               CASE WHEN cd * n > 4.0 THEN 1 ELSE 0 END AS influential
+        FROM scored
+    """,
+    doc=(
+        "COOK'S DISTANCE + LEVERAGE per day for the per-type daily "
+        "linear-day-trend fit — the INFLUENCE diagnostic that closes "
+        "the trend loop (mann_kendall DETECTS, theilsen/OLS FIT, "
+        "durbin_watson checks residual AUTOCORRELATION; this names "
+        "WHICH DAYS the fitted slope actually rests on): D_t = "
+        "e_t^2 h_t / (p s^2 (1-h_t)^2) with p = 2, flagged at the "
+        "standard 4/n cut — a flagged day is one whose removal moves "
+        "the trend line materially (the single-day outage or bot "
+        "burst that manufactures a fake trend). Shares durbin_"
+        "watson's EXACT residual lift verbatim (symmetric integer "
+        "time tc = 2t-(n-1) decouples the intercept; E_t = n*delta*"
+        "y_t - delta*S - n*bnum*tc is an exact HUGEINT/DECIMAL(38,0) "
+        "integer), leverage h_t = (delta + n tc^2)/(n delta) is a "
+        "ratio of exact integers, and D_t algebra is arranged so "
+        "every factor is a ratio/product of exact integers cast to "
+        "double in the SAME order in both engines — E^2 and "
+        "sum(E^2) stay exact 128-bit/DECIMAL(38,0) integers "
+        "(~1e28 at fixture scale, documented bound |E| < 1e19 ceil). "
+        "resid_usd emitted in dollars (the newey_west sub-ulp "
+        "lesson). Degenerate fits (n < 4, zero delta or SSE) "
+        "excluded mirrored. Plan: one corpus scan to the day grid, "
+        "type-partitioned windows, one per-type SSE aggregate "
+        "broadcast back — day-grid-bounded everywhere."
+    ),
+    tags=("timeseries", "statistics", "window"),
+)
+def cooks_distance_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    daily = _daily_cents(spark, sf_dir)
+    w_t = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("d")
+            )
+            - 1
+        ).alias("t"),
+        F.count(F.lit(1)).over(w_t).cast("bigint").alias("n"),
+    )
+    ctr = idx.select(
+        "event_type",
+        "t",
+        "cents",
+        "n",
+        (2 * F.col("t") - (F.col("n") - 1)).alias("tc"),
+    )
+    mom = ctr.select(
+        "event_type",
+        "t",
+        "cents",
+        "n",
+        "tc",
+        F.sum("cents").over(w_t).cast("bigint").alias("sx"),
+        F.sum(F.col("tc") * F.col("cents"))
+        .over(w_t)
+        .cast("bigint")
+        .alias("bnum"),
+        F.sum(F.col("tc") * F.col("tc"))
+        .over(w_t)
+        .cast("bigint")
+        .alias("delta"),
+    )
+    dec = "decimal(38,0)"
+    e = (
+        F.col("n").cast(dec) * F.col("delta") * F.col("cents")
+        - F.col("delta").cast(dec) * F.col("sx")
+        - F.col("n").cast(dec) * F.col("bnum") * F.col("tc")
+    )
+    resid = mom.select(
+        "event_type", "t", "n", "tc", "delta", e.alias("e")
+    )
+    sums = resid.groupBy("event_type").agg(
+        F.sum(F.col("e") * F.col("e")).alias("sse")
+    )
+    nd = F.col("n").cast("double")
+    dd = F.col("delta").cast("double")
+    ed = F.col("e").cast("double")
+    hnum = dd + F.col("n") * F.col("tc") * F.col("tc")
+    onemh = nd * F.col("delta") - F.col("delta") - F.col("n") * F.col(
+        "tc"
+    ) * F.col("tc")
+    cd = (
+        (ed * ed / F.col("sse").cast("double"))
+        * (F.col("n") - 2)
+        * hnum
+        * F.col("n")
+        * dd
+        / (F.lit(2.0) * onemh.cast("double") * onemh.cast("double"))
+    )
+    scored = (
+        resid.join(F.broadcast(sums), "event_type")
+        .filter(
+            (F.col("n") >= 4) & (F.col("delta") > 0) & (F.col("sse") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("t").cast("bigint").alias("day_index"),
+            F.round(ed / (nd * F.col("delta")) / F.lit(100.0), 6).alias(
+                "resid_usd"
+            ),
+            F.round(hnum / (nd * F.col("delta")), 6).alias("leverage"),
+            F.round(cd, 6).alias("cooks_d"),
+            F.when(cd * F.col("n") > 4.0, 1).otherwise(0).alias(
+                "influential"
+            ),
+        )
+    )
+    return scored
