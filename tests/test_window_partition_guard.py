@@ -554,8 +554,8 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         'bounded-build',
     ),
     'kaplan_meier_retention': (
-        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
-        'bounded-build',
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row n onto the checkpointed day grid
     ),
     'kmeans_embedding_clusters': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
@@ -732,8 +732,8 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         'bounded-build',
     ),
     'weibull_survival_fit': (
-        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
-        'bounded-build',  # 1-row horizon + 1-row n onto grid, as in KM
+        ('BroadcastNestedLoopJoin BuildRight Cross',),
+        'bounded-build',  # 1-row n onto the checkpointed day grid
     ),
     'welch_anova_sources': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),

@@ -1639,11 +1639,18 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
-    n_tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    grid = per_cust.groupBy("lifetime_days").agg(
-        F.sum("churned").cast("bigint").alias("n_churned"),
-        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+    # day-span-bounded grid, eagerly checkpointed (r11 scan audit, with
+    # the weibull fit): the customer-scale aggregate and its orders
+    # scans run once; n derives from the grid's own cell sizes
+    grid = truncate_lineage(
+        per_cust.groupBy("lifetime_days").agg(
+            F.sum("churned").cast("bigint").alias("n_churned"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        )
     )
+    n_tot = grid.agg(F.sum("n_ending").cast("bigint").alias("n"))
     w_prev = (
         Window.orderBy("lifetime_days")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1794,11 +1801,19 @@ def weibull_survival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
-    n_tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    grid = per_cust.groupBy("lifetime_days").agg(
-        F.sum("churned").cast("bigint").alias("n_churned"),
-        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+    # day-span-bounded grid, eagerly checkpointed: the customer-scale
+    # per_cust lineage (and its orders scans) runs exactly once, with
+    # n derived from the grid's own cell sizes — the per_cust.agg +
+    # multi-consumer form re-scanned orders four times (plan audit)
+    grid = truncate_lineage(
+        per_cust.groupBy("lifetime_days").agg(
+            F.sum("churned").cast("bigint").alias("n_churned"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        )
     )
+    n_tot = grid.agg(F.sum("n_ending").cast("bigint").alias("n"))
     w_prev = Window.orderBy("lifetime_days").rowsBetween(
         Window.unboundedPreceding, -1
     )

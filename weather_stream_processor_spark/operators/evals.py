@@ -6624,23 +6624,27 @@ def rouge_n_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.filter(ref, lambda t, i: (i + 1) % _ROUGE_DROP != 0)
     toks = docs.select("doc_id", ref.alias("ref"), cand.alias("cand"))
 
-    def gram_rows(col: str, flag: int) -> DataFrame:
-        parts = []
-        for n in range(1, _ROUGE_MAX_N + 1):
-            parts.append(
-                toks.select(
-                    "doc_id",
-                    F.lit(n).cast("bigint").alias("n"),
-                    F.explode(word_ngrams(F.col(col), n)).alias("gram"),
-                    F.lit(flag).alias("from_cand"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
+    # ONE corpus scan: every (n, side) n-gram list is tagged into a
+    # struct array on the same row and a single explode fans them out —
+    # the union-of-branches form re-scanned the parquet once per
+    # (n, side) combination (4 scans, caught by the plan check)
+    def tagged(col: str, n: int, flag: int):
+        return F.transform(
+            word_ngrams(F.col(col), n),
+            lambda g: F.struct(
+                F.lit(n).cast("bigint").alias("n"),
+                g.alias("gram"),
+                F.lit(flag).alias("from_cand"),
+            ),
+        )
 
-    grams = gram_rows("cand", 1).unionAll(gram_rows("ref", 0))
+    all_grams = F.concat(
+        *[tagged("cand", n, 1) for n in range(1, _ROUGE_MAX_N + 1)],
+        *[tagged("ref", n, 0) for n in range(1, _ROUGE_MAX_N + 1)],
+    )
+    grams = toks.select(
+        "doc_id", F.explode(all_grams).alias("g")
+    ).select("doc_id", "g.n", "g.gram", "g.from_cand")
     counts = grams.groupBy("doc_id", "n", "gram").agg(
         F.sum("from_cand").cast("bigint").alias("cc"),
         (F.count(F.lit(1)) - F.sum("from_cand")).cast("bigint").alias("cr"),

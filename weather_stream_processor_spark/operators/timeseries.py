@@ -5712,8 +5712,13 @@ def cooks_distance_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("delta").cast(dec) * F.col("sx")
         - F.col("n").cast(dec) * F.col("bnum") * F.col("tc")
     )
-    resid = mom.select(
-        "event_type", "t", "n", "tc", "delta", e.alias("e")
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+    # the residual frame is day-grid bounded: one eager checkpoint means
+    # the corpus scan runs once instead of once per consumer (sums +
+    # scored — the plan audit saw 2 parquet scans)
+    resid = truncate_lineage(
+        mom.select("event_type", "t", "n", "tc", "delta", e.alias("e"))
     )
     sums = resid.groupBy("event_type").agg(
         F.sum(F.col("e") * F.col("e")).alias("sse")
