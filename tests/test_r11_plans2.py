@@ -66,6 +66,10 @@ def test_bloom_advisor_scans_one_key_column_each(spark):
         "cooks_distance_trend",
         "weibull_survival_fit",
         "kaplan_meier_retention",
+        # bleu: tagged-struct single-scan form + checkpointed gram
+        # counts feeding both the precision rows and the length totals
+        # (was 9 scans: 8 union branches + the separate length agg)
+        "corpus_bleu_eval",
     ],
 )
 def test_checkpoint_boundary_hides_corpus_lineage(spark, name):

@@ -3002,26 +3002,41 @@ def corpus_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.filter(ref, lambda t, i: (i + 1) % _BLEU_DROP != 0)
     toks = docs.select("doc_id", ref.alias("ref"), cand.alias("cand"))
 
-    def gram_rows(col: str, flag: int) -> DataFrame:
-        parts = []
-        for n in range(1, _BLEU_MAX_N + 1):
-            parts.append(
-                toks.select(
-                    "doc_id",
-                    F.lit(n).cast("bigint").alias("n"),
-                    F.explode(word_ngrams(F.col(col), n)).alias("gram"),
-                    F.lit(flag).alias("from_cand"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        return out
+    # ONE corpus scan (r11 scan audit, with rouge_n_generation_eval):
+    # every (n, side) n-gram list is tagged into a struct array on the
+    # same row and a single explode fans them out — the
+    # union-of-branches form re-scanned the parquet once per branch
+    # (8 gram branches + the length aggregate: 9 scans)
+    def tagged(col: str, n: int, flag: int):
+        return F.transform(
+            word_ngrams(F.col(col), n),
+            lambda g: F.struct(
+                F.lit(n).cast("bigint").alias("n"),
+                g.alias("gram"),
+                F.lit(flag).alias("from_cand"),
+            ),
+        )
 
-    grams = gram_rows("cand", 1).unionAll(gram_rows("ref", 0))
-    counts = grams.groupBy("doc_id", "n", "gram").agg(
-        F.sum("from_cand").cast("bigint").alias("cc"),
-        (F.count(F.lit(1)) - F.sum("from_cand")).cast("bigint").alias("cr"),
+    all_grams = F.concat(
+        *[tagged("cand", n, 1) for n in range(1, _BLEU_MAX_N + 1)],
+        *[tagged("ref", n, 0) for n in range(1, _BLEU_MAX_N + 1)],
+    )
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+    # (doc, n, gram)-keyed counts + the 1-row length totals both come
+    # off this one bounded-ish keyed frame; the gram-count frame is
+    # shuffled once and checkpointed so the corpus scan runs exactly
+    # once for BOTH consumers
+    grams = toks.select(
+        "doc_id", F.explode(all_grams).alias("g")
+    ).select("doc_id", "g.n", "g.gram", "g.from_cand")
+    counts = truncate_lineage(
+        grams.groupBy("doc_id", "n", "gram").agg(
+            F.sum("from_cand").cast("bigint").alias("cc"),
+            (F.count(F.lit(1)) - F.sum("from_cand"))
+            .cast("bigint")
+            .alias("cr"),
+        )
     )
     prec = (
         counts.filter(F.col("cc") > 0)
@@ -3031,9 +3046,12 @@ def corpus_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cc").cast("bigint").alias("cand_total"),
         )
     )
-    lens = toks.agg(
-        F.sum(F.size("cand")).cast("bigint").alias("cand_len"),
-        F.sum(F.size("ref")).cast("bigint").alias("ref_len"),
+    # total unigram OCCURRENCES are exactly the corpus token lengths,
+    # so the brevity-penalty inputs come off the same checkpointed
+    # gram-count frame — no second corpus scan
+    lens = counts.filter(F.col("n") == 1).agg(
+        F.sum("cc").cast("bigint").alias("cand_len"),
+        F.sum("cr").cast("bigint").alias("ref_len"),
     )
     return prec.crossJoin(F.broadcast(lens)).select(
         "n", "clipped_total", "cand_total", "cand_len", "ref_len"
