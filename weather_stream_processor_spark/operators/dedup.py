@@ -80,7 +80,7 @@ def exact_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+def _exploded_shingles(docs: DataFrame, n: int = 3, hashed: bool = False) -> DataFrame:
     """(doc_id, shingle, n_shingles): exploded distinct word n-grams.
 
     Plan-shape detail that matters: the interpreted HOF building the
@@ -91,10 +91,19 @@ def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     evaluations (measured 4.6x slower at sf0.1). Set sizes come from a
     window count over the exploded rows instead; ``spread`` already
     hash-partitioned by doc_id, so the window adds a sort but no exchange.
+
+    ``hashed=True`` replaces the shingle STRING with its xxhash64 long
+    right after the explode (r11, guide §2.3): consumers whose shingle
+    key is internal — equi-join matches and counts only, never emitted —
+    shuffle/sort/probe 8-byte longs instead of ~25-char strings. Set
+    sizes are distinct-string counts either way (xxhash64 collisions are
+    the MinHash-verifier bound, ~|shingles|^2/2^64, accepted repo-wide).
     """
     expl = spread(docs, "doc_id").select(
         "doc_id", F.explode(word_shingles(tokens(F.col("text")), n)).alias("shingle")
     )
+    if hashed:
+        expl = expl.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     return expl.withColumn(
         "n_shingles", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
@@ -163,8 +172,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ngram_jaccard_core(docs: DataFrame) -> DataFrame:
     """Jaccard-pair plan over an arbitrary (doc_id, text) frame — lets the
-    dedup cascade feed one persisted documents scan into several tiers."""
-    exploded = _exploded_shingles(docs)
+    dedup cascade feed one persisted documents scan into several tiers.
+
+    r11: the self-join runs on hashed shingles (see _exploded_shingles
+    ``hashed``) — the pair search only needs equality, and the hot join
+    stage's CPU was dominated by string hashing/comparison (measured
+    ~43 CPU-s at sf0.1 on strings)."""
+    exploded = _exploded_shingles(docs, hashed=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     # size-band prune inside the join condition: jaccard >= t implies
@@ -1736,14 +1750,26 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     w = 8  # oracle's t[i:i+7] is an INCLUSIVE DuckDB slice: 8 tokens
+    # r11 optimization (guide §2.3): the shingle key is internal — only
+    # DISTINCT-counts and equi-join matches survive to the output — so an
+    # 8-byte xxhash64 replaces the 64-char sha2 hex string. Measured: the
+    # distinct's shuffle dropped ~16.3 MB -> ~3 MB at sf0.1 and the
+    # explode stage loses the sha256 cost; collision odds over the whole
+    # corpus shingle set are ~|shingles|^2/2^64 (~1e-9 here), the same
+    # accepted bound as the MinHash/prefix-filter verifiers. The oracle
+    # keeps its own (engine-local) shingle key; outputs are identical.
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (w - 1)),
-        lambda i: F.sha2(F.array_join(F.slice(toks, i, w), " "), 256),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i, w), " ")),
     )
     guarded = F.when(F.size(toks) >= w, grams).otherwise(
-        F.array().cast("array<string>")
+        F.array().cast("array<bigint>")
     )
-    sh = docs.select("source", F.explode(guarded).alias("h")).distinct()
+    # spread: the single-file scan is one task; without it the explode +
+    # partial-distinct runs single-core (~2.5s/stage measured r11)
+    sh = spread(docs, "doc_id").select(
+        "source", F.explode(guarded).alias("h")
+    ).distinct()
     per = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "h")
     b = sh.select(F.col("source").alias("source_b"), "h")

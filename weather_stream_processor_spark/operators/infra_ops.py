@@ -761,6 +761,19 @@ _BOM_FANOUT = 4  # parent(k) = k div 4 — a deterministic forest over p_partkey
 _BOM_MAX_DEPTH = 12  # covers keys < 4^12 ≈ 16.7M (sf100-equivalent headroom)
 
 
+def _bom_anc_chain(key: str) -> "F.Column":
+    """The ancestor chain of ``key`` under parent(k) = k div FANOUT, as an
+    array: [k, k div 4, ..., first value < FANOUT]. Closed form of the
+    oracle's recursion — integer-exact `div`, bounded by _BOM_MAX_DEPTH.
+    The index-0 guard keeps the base row for root key 0 (the recursion's
+    `anc >= 4` stop means 0's chain is just [0], but 0 fails the a >= 1
+    filter that trims every other chain's tail)."""
+    chain = F.array(
+        *[F.expr(f"{key} div {_BOM_FANOUT ** j}") for j in range(_BOM_MAX_DEPTH + 1)]
+    )
+    return F.filter(chain, lambda a, i: (i == F.lit(0)) | (a >= 1))
+
+
 @register(
     "bom_rollup_explosion",
     oracle=f"""
@@ -812,38 +825,37 @@ _BOM_MAX_DEPTH = 12  # covers keys < 4^12 ≈ 16.7M (sf100-equivalent headroom)
     tags=("analytics", "warehouse", "iterative", "join"),
 )
 def bom_rollup_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 optimization (guide §1.1 first-principles): the r10 plan built
+    # the closure as a 12-round LAZY frontier-join loop — ~157 join
+    # subtrees / ~180 parquet scans in one 6000-line physical plan,
+    # consumed twice (rollup + depth). But parent(k) = k div 4 is pure
+    # arithmetic, so the transitive closure the oracle expresses with
+    # WITH RECURSIVE has a CLOSED FORM per row: ancestors(k) =
+    # [k div 4^j while the previous level >= 4], exactly the recursion
+    # unrolled. One generate replaces every join; depth(k) is the chain
+    # length, computed as a projection on the aggregate output. Plan:
+    # scan -> explode(chain) -> one hash aggregate -> project. Zero
+    # joins, one exchange (was: 12 frontier joins x 2 consumers). A real
+    # BOM with an arbitrary edge RELATION still needs the iterative
+    # closure (see dedup.py:_cc_label_propagation, the surviving
+    # exemplar); this operator's hierarchy is deterministic arithmetic,
+    # and the optimizer can never discover that — we can (guide §8).
     part = load_table(spark, sf_dir, "part")
-    cents = part.select(
-        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("c")
+    exploded = part.select(
+        F.explode(_bom_anc_chain("p_partkey")).alias("part_key"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("c"),
     )
-    edges = part.filter(F.col("p_partkey") >= _BOM_FANOUT).select(
-        F.col("p_partkey").alias("child"),
-        F.expr(f"p_partkey div {_BOM_FANOUT}").alias("parent"),
+    rollup = exploded.groupBy("part_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("c").cast("bigint").alias("subtree_cost_cents"),
     )
-    base = part.select(
-        F.col("p_partkey").alias("anc"), F.col("p_partkey").alias("descd")
-    )
-    closure = base
-    frontier = base
-    for _ in range(_BOM_MAX_DEPTH):
-        frontier = frontier.join(
-            edges, frontier["anc"] == edges["child"]
-        ).select(F.col("parent").alias("anc"), F.col("descd"))
-        closure = closure.unionAll(frontier)
-    rollup = (
-        closure.join(cents, closure["descd"] == cents["p_partkey"])
-        .groupBy("anc")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.sum("c").cast("bigint").alias("subtree_cost_cents"),
-        )
-        .select(F.col("anc").alias("part_key"), "n_nodes", "subtree_cost_cents")
-    )
-    depth = closure.groupBy("descd").agg(
-        F.count(F.lit(1)).cast("bigint").alias("depth")
-    ).select(F.col("descd").alias("part_key"), "depth")
-    return rollup.join(depth, "part_key").select(
-        "part_key", "depth", "n_nodes", "subtree_cost_cents"
+    # every part is its own ancestor, so rollup's key set is exactly the
+    # part-key set and depth is a per-row arithmetic projection
+    return rollup.select(
+        "part_key",
+        F.size(_bom_anc_chain("part_key")).cast("bigint").alias("depth"),
+        "n_nodes",
+        "subtree_cost_cents",
     )
 
 

@@ -822,14 +822,22 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one explode pass: per-(doc, bigram) multiplicity k; the global
     # bigram counts derive from it (sum of k) so the corpus is never
     # re-exploded, and the scoring join carries distinct bigrams per doc
+    # spread both explode subtrees: a single-file scan is ONE task, and
+    # the bigram/unigram explode + partial aggregation is the dominant
+    # CPU of this query — measured r11 (stage profile): 2 single-task
+    # stages of ~4.2s wall each vs ~0.25s once hash-partitioned to the
+    # session parallelism (guide §2.5: fix input under-parallelism at
+    # the source)
     db = (
-        docs.select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
         .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("k"))
     )
     bic = db.groupBy("bigram").agg(F.sum("k").alias("c_xy"))
     uni = (
-        docs.select(F.explode(tokens(F.col("text"))).alias("x"))
+        spread(docs, "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("x"))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1350,19 +1358,35 @@ def rake_from_docs(docs: DataFrame, topk: int = _RAKE_TOPK) -> DataFrame:
     )
     from weather_stream_processor_spark.plans.caching import persisted_result
 
-    def build(cand: DataFrame) -> DataFrame:
-        phr = cand.groupBy("doc_id", "isl").agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.tok,
-                ),
-                " ",
-            ).alias("phrase"),
-            F.count(F.lit(1)).alias("plen"),
+    # r11 restructure (guide §2.4: remove shuffles outright): the r10 plan
+    # joined the token-grain cand table back onto phrases TWICE on
+    # (doc_id, isl) — for word stats and again for scoring — i.e. two
+    # token-scale shuffled joins. A phrase row can instead CARRY its own
+    # ordered token array out of the islands aggregate; both consumers
+    # then re-derive token occurrences by exploding the (persisted)
+    # phrase table, which removes every (doc_id, isl) join from the plan.
+    # Identical arithmetic: explode(toks) reproduces exactly cand's
+    # (doc_id, isl, tok) occurrence multiset.
+    phr = (
+        cand.groupBy("doc_id", "isl")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ).alias("toks")
         )
+        .select(
+            "doc_id",
+            "isl",
+            "toks",
+            F.array_join("toks", " ").alias("phrase"),
+            F.size("toks").alias("plen"),
+        )
+    )
+
+    def build(phr: DataFrame) -> DataFrame:
         ws = (
-            cand.join(phr.select("doc_id", "isl", "plen"), ["doc_id", "isl"])
+            phr.select(F.explode("toks").alias("tok"), "plen")
             .groupBy("tok")
             .agg(
                 F.count(F.lit(1)).alias("freq"),
@@ -1370,7 +1394,7 @@ def rake_from_docs(docs: DataFrame, topk: int = _RAKE_TOPK) -> DataFrame:
             )
         )
         scored = (
-            phr.join(cand.select("doc_id", "isl", "tok"), ["doc_id", "isl"])
+            phr.select("doc_id", "isl", "phrase", F.explode("toks").alias("tok"))
             .join(F.broadcast(ws), "tok")
             .groupBy("doc_id", "isl", "phrase")
             .agg(
@@ -1386,7 +1410,7 @@ def rake_from_docs(docs: DataFrame, topk: int = _RAKE_TOPK) -> DataFrame:
             .limit(topk)
         )
 
-    return persisted_result(cand, build)
+    return persisted_result(phr, build)
 
 
 _OOV_VOCAB_K = 1000
@@ -2099,12 +2123,18 @@ def memorization_risk_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.functions import word_ngrams
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    # r11 optimization (guide §2.3): the window digest is internal (only
+    # shared/total counts reach the output), so xxhash64 longs replace
+    # sha2 hex strings — the digest shuffle dropped ~15.3 MB -> ~3 MB at
+    # sf0.1 and the per-window hash is ~10x cheaper; collision odds are
+    # the MinHash-verifier bound (~|windows|^2/2^64), negligible and
+    # oracle-checked at every SF.
     win = docs.select(
         "doc_id",
         F.explode(
             F.transform(
                 word_ngrams(tokens(F.col("text")), _MEMO_WIN),
-                lambda g: F.sha2(g, 256),
+                lambda g: F.xxhash64(g),
             )
         ).alias("w"),
     )
