@@ -252,9 +252,12 @@ def _doc_index(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
         "doc_id",
         F.xxhash64("shingle").alias("h"),
     ).withColumn("h32", F.col("h").bitwiseAND(F.lit(0xFFFFFFFF)))
+    # r11: lanes built as parsed SQL expressions (one py4j call each)
+    # instead of ~6 Column-method round trips per lane — same tree,
+    # ~0.4s less builder() wall (timed inside the bench's query wall)
     mins = [
-        F.min(
-            (F.col("h32") * F.lit(_MH_MULT[i]) + F.lit(_MH_ADD[i])) % F.lit(_MH_PRIME)
+        F.expr(
+            f"min((h32 * {_MH_MULT[i]} + {_MH_ADD[i]}) % {_MH_PRIME})"
         ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
@@ -500,20 +503,24 @@ def _simhash_buckets_core(docs_in: DataFrame) -> DataFrame:
     toksh = toks.join(vhash, "tok", "left").select(
         "doc_id", F.coalesce("h", F.lit(0)).alias("h")
     )
+    # r11: the 62 per-bit aggregates and the 62-term assembly are built as
+    # TWO parsed SQL expressions instead of ~250 Column-method py4j round
+    # trips — identical expression trees, but builder() construction
+    # drops ~1.9s -> ~0.03s (measured; the bench times builder() inside
+    # the query wall, and the cascade builds this subtree a second time)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)")
+        .alias(f"b{i}")
         for i in range(_SH_BITS)
     ]
     sums = toksh.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for i in range(_SH_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    simhash = F.expr(
+        " ^ ".join(
+            f"(CASE WHEN b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+            "ELSE CAST(0 AS BIGINT) END)"
+            for i in range(_SH_BITS)
         )
-        term = F.shiftleft(bit, i)
-        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    )
     return sums.select(
         "doc_id",
         simhash.alias("simhash"),

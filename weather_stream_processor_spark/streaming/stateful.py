@@ -122,34 +122,47 @@ def make_cusum_monitor(cutoff):
             state.update((n, s1, s2, c, t))
             return
         rows = pd.concat(chunks).sort_values(["ts", "event_id"])
-        out = []
-        for row in rows.itertuples(index=False):
-            xi = _half_away(row.value * 100000)
-            if row.ts < cutoff:
-                n, s1, s2 = n + 1, s1 + xi, s2 + xi * xi
-                continue
-            t, c = t + 1, c + xi
-            if n < 2:
-                continue
-            dev = c - t * (s1 // n)
-            sigma = math.sqrt(
-                (float(n) * float(s2) - float(s1) * float(s1))
-                / (float(n) * (n - 1.0))
-            )
-            out.append(
-                (
-                    key[0],
-                    row.event_id,
-                    row.ts,
-                    round(dev / 100000, 5),
-                    bool(abs(float(dev)) > CUSUM_H * sigma),
+        # r11 vectorization (guide §4.2): the itertuples walk was ~21
+        # CPU-s at sf0.1. The sequential semantics survive vectorization
+        # because calibration rows (ts < cutoff) always SORT before
+        # monitored rows within a batch, so the baseline moments are
+        # fixed for the whole monitored suffix, and the monitored walk
+        # is t_k = t0+k, c_k = c0+cumsum(xi) — a closed form. Per-row
+        # arithmetic (half-away quantization, int64 moments, banker's
+        # 5dp round) is element-for-element the old loop's.
+        import numpy as np
+
+        v = rows["value"].to_numpy(dtype=np.float64) * 100000
+        xi = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        pre = (rows["ts"] < cutoff).to_numpy()
+        n += int(pre.sum())
+        s1 += int(xi[pre].sum())
+        s2 += int((xi[pre] * xi[pre]).sum())
+        post = ~pre
+        m = int(post.sum())
+        if m:
+            t_k = t + 1 + np.arange(m, dtype=np.int64)
+            c_k = c + np.cumsum(xi[post])
+            t, c = int(t_k[-1]), int(c_k[-1])
+            if n >= 2:
+                dev = c_k - t_k * (s1 // n)
+                sigma = math.sqrt(
+                    (float(n) * float(s2) - float(s1) * float(s1))
+                    / (float(n) * (n - 1.0))
                 )
-            )
+                state.update((n, s1, s2, c, t))
+                yield pd.DataFrame(
+                    {
+                        "event_type": np.full(m, key[0], dtype=object),
+                        "event_id": rows["event_id"].to_numpy(np.int64)[post],
+                        "ts": rows["ts"].to_numpy()[post],
+                        "cusum": np.round(dev / 100000.0, 5),
+                        "is_alert": np.abs(dev.astype(np.float64))
+                        > CUSUM_H * sigma,
+                    }
+                )
+                return
         state.update((n, s1, s2, c, t))
-        if out:
-            yield pd.DataFrame(
-                out, columns=["event_type", "event_id", "ts", "cusum", "is_alert"]
-            )
 
     return monitor
 
@@ -271,30 +284,49 @@ def _scd2_tracker(key, pdfs, state: GroupState):
     warehouse MERGE. State is one string + two bigints per key."""
     cur, vf_us, ver = state.get if state.exists else (None, 0, 0)
     uid = key[0]
-    out = []
     chunks = [pdf for pdf in pdfs]
-    if chunks:
+    n_closed = 0
+    if chunks and sum(len(c) for c in chunks):
+        import numpy as np
+
         rows = pd.concat(chunks).sort_values(["ts", "event_id"])
-        for row in rows.itertuples(index=False):
-            ts_us = row.ts.value // 1000  # pandas ns -> micros
-            if cur is None:
-                cur, vf_us, ver = row.event_type, ts_us, 1
-            elif row.event_type != cur:
-                out.append(
-                    (
-                        uid,
-                        cur,
-                        pd.Timestamp(vf_us * 1000),
-                        pd.Timestamp(ts_us * 1000),
-                        ver,
-                    )
-                )
-                cur, vf_us, ver = row.event_type, ts_us, ver + 1
+        # r11 vectorization (guide §4.2): the former per-row itertuples
+        # walk was the hottest Python stage of the whole bench (~78 CPU-s
+        # at sf0.1). The same sequential semantics in closed form: a
+        # version boundary sits wherever the attribute differs from the
+        # previous effective attribute (the carried open version before
+        # row 0); each boundary closes the previous segment. numpy finds
+        # the boundaries; segment starts/attrs/versions follow by
+        # concatenation — identical emissions row-for-row.
+        ts_us = rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        et = rows["event_type"].to_numpy(dtype=object)
+        change = np.empty(len(et), dtype=bool)
+        change[0] = (cur is not None) and (et[0] != cur)
+        change[1:] = et[1:] != et[:-1]
+        idx = np.flatnonzero(change)
+        first_attr = et[0] if cur is None else cur
+        first_vf = ts_us[0] if cur is None else vf_us
+        first_ver = 1 if cur is None else ver
+        seg_attr = np.concatenate(([first_attr], et[idx]))
+        seg_start = np.concatenate(([first_vf], ts_us[idx]))
+        n_closed = len(idx)
+        cur = seg_attr[-1]
+        vf_us = int(seg_start[-1])
+        ver = first_ver + n_closed
     state.update((cur, vf_us, ver))
-    if out:
+    if n_closed:
         yield pd.DataFrame(
-            out,
-            columns=["user_id", "attr_value", "valid_from", "valid_to", "version"],
+            {
+                "user_id": np.full(n_closed, uid, dtype=np.int64),
+                "attr_value": seg_attr[:-1],
+                "valid_from": pd.Series(seg_start[:-1] * 1000).astype(
+                    "datetime64[ns]"
+                ),
+                "valid_to": pd.Series(seg_start[1:] * 1000).astype(
+                    "datetime64[ns]"
+                ),
+                "version": np.arange(first_ver, first_ver + n_closed, dtype=np.int64),
+            }
         )
 
 
@@ -356,25 +388,43 @@ def _sprt_monitor(key, pdfs, state: GroupState):
         return
     rows = pd.concat(chunks).sort_values(["ts", "event_id"])
     labels = {0: "continue", 1: "accept_h1", 2: "accept_h0"}
-    out = []
-    for row in rows.itertuples(index=False):
-        t_cnt += 1
-        if row.value >= SPRT_VALUE_CUT:
-            s_cnt += 1
-        llr = s_cnt * SPRT_LA + (t_cnt - s_cnt) * SPRT_LB
+    # r11 vectorization (guide §4.2): same per-row semantics in closed
+    # form — the LLR already is s*LA + (t-s)*LB over integer cumulatives,
+    # so a cumsum reproduces the walk; the latch is "first index whose
+    # LLR crosses either boundary" (UP > 0 > LOW, so one row can cross
+    # only one of them), constant afterwards.
+    import numpy as np
+
+    m = len(rows)
+    if m:
+        succ = (
+            rows["value"].to_numpy(dtype=np.float64) >= SPRT_VALUE_CUT
+        ).astype(np.int64)
+        s_k = s_cnt + np.cumsum(succ)
+        t_k = t_cnt + 1 + np.arange(m, dtype=np.int64)
+        llr = s_k * SPRT_LA + (t_k - s_k) * SPRT_LB
+        dec = np.full(m, decided, dtype=np.int64)
         if decided == 0:
-            if llr >= SPRT_UP:
-                decided = 1
-            elif llr <= SPRT_LOW:
-                decided = 2
-        out.append(
-            (key[0], row.event_id, row.ts, round(llr, 6), labels[decided])
-        )
-    state.update((s_cnt, t_cnt, decided))
-    if out:
+            cross = np.flatnonzero((llr >= SPRT_UP) | (llr <= SPRT_LOW))
+            if len(cross):
+                f = int(cross[0])
+                decided = 1 if llr[f] >= SPRT_UP else 2
+                dec[f:] = decided
+        s_cnt, t_cnt = int(s_k[-1]), int(t_k[-1])
+        state.update((s_cnt, t_cnt, decided))
         yield pd.DataFrame(
-            out, columns=["event_type", "event_id", "ts", "llr", "decision"]
+            {
+                "event_type": np.full(m, key[0], dtype=object),
+                "event_id": rows["event_id"].to_numpy(np.int64),
+                "ts": rows["ts"].to_numpy(),
+                "llr": np.round(llr, 6),
+                "decision": np.array(
+                    [labels[0], labels[1], labels[2]], dtype=object
+                )[dec],
+            }
         )
+        return
+    state.update((s_cnt, t_cnt, decided))
 
 
 def sprt_decision_stream(stream: DataFrame) -> DataFrame:
