@@ -413,13 +413,25 @@ def test_winnowing_windows_all_keyed_on_doc(spark):
 
 
 def test_allknn_no_cartesian_and_pruned_scan(spark):
-    # the all-kNN grid is applyInPandas over an exploded cell key: the plan
-    # must contain the Arrow python runner and no join of any kind
+    # the all-kNN grid is applyInPandas over an exploded cell key: the LAZY
+    # grid plan must contain the Arrow python runner and no join of any
+    # kind. mutual_knn_pairs lineage-cuts the O(n*k) grid output (r11: it
+    # feeds both join sides, and without the cut the GEMM ran twice), so
+    # the Arrow runner is asserted on the lazy twin and the registered
+    # plan is checked for the no-quadratic-join property only.
+    from weather_stream_processor_spark.operators.similarity import (
+        MUTUAL_K,
+        _allknn_directed,
+    )
+
+    require_plan(
+        _allknn_directed(spark, SF_SMOKE, MUTUAL_K),
+        contains=("FlatMapGroupsInPandas",),
+        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
     for name in ("mutual_knn_pairs", "knn_hubness_audit"):
-        df = _df(spark, name)
         require_plan(
-            df,
-            contains=("FlatMapGroupsInPandas",),
+            _df(spark, name),
             not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
         )
 
@@ -632,13 +644,29 @@ def test_conformal_model_and_width_tables_broadcast(spark):
 
 def test_lof_reuses_allknn_grid_no_quadratic_join(spark):
     # LOF's kNN lists come from the B-block Arrow grid; everything after
-    # is keyed equi-joins over the O(n*k) neighbor table — the plan must
-    # show the Arrow runner and no quadratic join of the corpus
+    # is keyed equi-joins over the O(n*k) neighbor table. r11: the grid
+    # output is lineage-cut (it feeds kd/reach/lrd subtrees — without the
+    # cut the GEMM re-ran per consumer), so the Arrow runner lives in the
+    # lazy grid twin; the registered plan must still be free of quadratic
+    # joins and of any re-expansion of the Arrow grid.
+    from weather_stream_processor_spark.operators.similarity import (
+        _LOF_K,
+        _allknn_directed,
+    )
+
+    require_plan(
+        _allknn_directed(spark, SF_SMOKE, _LOF_K),
+        contains=("FlatMapGroupsInPandas",),
+        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+    )
     df = _df(spark, "lof_outlier_scores")
     require_plan(
         df,
-        contains=("FlatMapGroupsInPandas",),
-        not_contains=("CartesianProduct", "BroadcastNestedLoopJoin"),
+        not_contains=(
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "FlatMapGroupsInPandas",  # grid runs ONCE, behind the cut
+        ),
     )
 
 

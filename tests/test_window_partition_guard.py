@@ -611,8 +611,10 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         'bounded-build',
     ),
     'ndcg_retrieval_eval': (
-        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
-        'bounded-build',
+        ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
+        'bounded-build',  # r11: grade is now a per-row array_intersect (no
+        # explode/distinct lanes), and idcg/dcg attach as the two remaining
+        # 1-row cross frames — the other two bounded crosses disappeared
     ),
     'alpha_dcg_novelty_eval': (
         ('BroadcastNestedLoopJoin BuildRight Cross',

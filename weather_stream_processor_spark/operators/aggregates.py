@@ -22,6 +22,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_stream_processor_spark.plans.caching import truncate_lineage
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table, load_tables, spread
 
@@ -1805,10 +1806,19 @@ def countmin_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
-    tc = toks.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    # r11 (guide §2.4): tc and vh each fed TWO subtrees (sketch + probe
+    # paths), and vh re-ran the corpus explode for its vocabulary — the
+    # physical plan expanded the token explode four times (8 scans, 28
+    # exchanges). Both frames are vocab-bounded: lineage-cut them, and
+    # derive the vocabulary from tc's checkpoint instead of a second
+    # corpus explode — ONE token explode total, everything downstream
+    # reads vocab-scale checkpoints.
+    tc = truncate_lineage(
+        toks.groupBy("source", "tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
     )
-    vh = _vocab_hash(toks)
+    vh = truncate_lineage(_vocab_hash(tc))
     tch = tc.join(vh, "tok")
     cells = tch.select("source", "cnt", _cms_cells().alias("cell")).select(
         "source", F.col("cell.r").alias("r"), F.col("cell.bucket").alias("bucket"), "cnt"

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from weather_stream_processor_spark.functions import tokens
 from weather_stream_processor_spark.operators._normal_tail import normal_sf_sql
 from weather_stream_processor_spark.operators.text import _BM25_ORACLE
+from weather_stream_processor_spark.plans.caching import truncate_lineage
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table
 
@@ -344,18 +345,31 @@ def _rel_sql() -> str:
 def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.registry import _REGISTRY
 
-    run = _REGISTRY["bm25_top_docs"].builder(spark, sf_dir)
+    # r11 restructure (guide §2.3/§2.4, measured in OPTIMIZATION_r11.md):
+    # the old plan computed `rel` by token EXPLODE -> isin -> distinct ->
+    # groupBy (three exchanges over token-mass rows) and consumed it in
+    # THREE subtrees (run join, grade histogram, n_rel), so the physical
+    # plan ran that explode pipeline three times (16 corpus scans, 44
+    # exchanges). The grade is a per-row expression — the number of
+    # distinct query terms in the token array is size(array_intersect) —
+    # so `rel` is now a shuffle-FREE map over the scan; the <=3-row grade
+    # histogram is lineage-cut once and feeds both idcg and n_rel; the
+    # 20-row bm25 run is lineage-cut (it was consumed twice) and its
+    # grades come from a broadcast pre-filter of `rel` instead of a
+    # corpus-side sort-merge join.
+    run = truncate_lineage(_REGISTRY["bm25_top_docs"].builder(spark, sf_dir))
     docs = load_table(spark, sf_dir, "documents")
-    rel = (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-        .filter(F.col("tok").isin(*_QUERY_TERMS))
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("grade"))
-    )
+    qterms = F.array(*[F.lit(t) for t in _QUERY_TERMS])
+    rel = docs.select(
+        "doc_id",
+        F.size(F.array_intersect(tokens(F.col("text")), qterms))
+        .cast("bigint")
+        .alias("grade"),
+    ).filter(F.col("grade") > 0)
     w_rank = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))  # 20-row frame
+    rel_run = rel.join(F.broadcast(run.select("doc_id")), "doc_id")
     ranked = (
-        run.join(rel, "doc_id", "left")
+        run.join(F.broadcast(rel_run), "doc_id", "left")
         .select(
             "doc_id",
             "bm25",
@@ -365,8 +379,10 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _NDCG_K)
     )
 
-    hist = rel.filter(F.col("grade") > 0).groupBy("grade").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    hist = truncate_lineage(
+        rel.groupBy("grade").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        )
     )
     w_used = Window.orderBy(F.desc("grade")).rowsBetween(
         Window.unboundedPreceding, -1
@@ -391,9 +407,9 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("gain") / (F.log(F.col("slot") + 1.0) / F.log(F.lit(2.0))))
         .alias("idcg")
     )
-    n_rel = rel.filter(F.col("grade") > 0).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
+    # n_rel = total docs with grade > 0 — a sum over the <=3-row
+    # histogram, not a fourth pass over the corpus
+    n_rel = hist.agg(F.sum("n").cast("bigint").alias("n"))
 
     w_run = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
     hit = F.when(F.col("grade") > 0, 1).otherwise(0)

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from weather_stream_processor_spark.plans.caching import truncate_lineage
 from weather_stream_processor_spark.registry import _REGISTRY, register
 from weather_stream_processor_spark.sources import load_table
 
@@ -161,14 +162,33 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             part = df.select("doc_id", F.lit(rank).alias("tier_rank"))
             flags = part if flags is None else flags.unionAll(part)
 
-        firsts = flags.groupBy("doc_id").agg(
-            F.min("tier_rank").alias("first_tier")
+        # r11 (guide §2.4): `flags` used to feed TWO aggregations (min
+        # tier per doc, countDistinct per tier) with different groupings,
+        # so the physical plan duplicated the ENTIRE four-tier union —
+        # every shuffle and scan executed twice (112 Exchange+Scan nodes,
+        # two mirrored subtrees). One doc-keyed aggregate now captures
+        # both facts (first tier + the per-doc tier set, ≤4 ints), and a
+        # lineage cut materializes that flagged-docs-scale frame ONCE;
+        # both report aggregates consume the checkpoint scan. This is NOT
+        # the rejected r6/r10 cascade persist (which cached the corpus
+        # TEXT scan and serialized the tier jobs): the tiers still run as
+        # one fully-parallel job, and what persists is O(flagged docs) of
+        # narrow ints — at 100 TB the tier outputs, never the corpus.
+        per_doc = truncate_lineage(
+            flags.groupBy("doc_id").agg(
+                F.min("tier_rank").alias("first_tier"),
+                F.collect_set("tier_rank").alias("tiers"),
+            )
         )
-        news = firsts.groupBy(F.col("first_tier").alias("tier_rank")).agg(
+        news = per_doc.groupBy(F.col("first_tier").alias("tier_rank")).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_new")
         )
-        own = flags.groupBy("tier_rank").agg(
-            F.countDistinct("doc_id").cast("bigint").alias("n_flagged")
+        # tiers is a per-doc SET, so after the explode each (doc, tier)
+        # pair appears exactly once: count == the old countDistinct
+        own = (
+            per_doc.select(F.explode("tiers").alias("tier_rank"))
+            .groupBy("tier_rank")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_flagged"))
         )
         n_docs = docs.count()  # 1-row driver scalar, bounded; reads the cache
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from weather_stream_processor_spark.functions import dot, l2_norm
+from weather_stream_processor_spark.plans.caching import truncate_lineage
 from weather_stream_processor_spark.registry import register
 from weather_stream_processor_spark.sources import load_table, spread
 
@@ -1843,7 +1844,10 @@ def _allknn_directed(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     tags=("similarity", "llm", "pandas-udf", "scale"),
 )
 def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    knn = _allknn_directed(spark, sf_dir, MUTUAL_K)
+    # r11 (guide §2.4): knn feeds BOTH join sides (fwd + rev), which
+    # physically re-ran the whole B-block GEMM grid twice; the O(n*k)
+    # narrow list is lineage-cut so the grid runs once.
+    knn = truncate_lineage(_allknn_directed(spark, sf_dir, MUTUAL_K))
     fwd = knn.select(
         F.col("vec_id").alias("vec_id_a"),
         F.col("nbr_id").alias("vec_id_b"),
@@ -2515,10 +2519,18 @@ _LOF_K = 10
     tags=("similarity", "llm", "curation", "pandas-udf", "scale", "headline"),
 )
 def lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    knn_k = _allknn_directed(spark, sf_dir, _LOF_K).select(
-        F.col("vec_id").alias("va"),
-        F.col("nbr_id").alias("vb"),
-        F.round(1 - F.col("cosine_sim"), 6).alias("dist"),
+    # r11 (guide §2.4): the LOF dataflow references knn_k / kd / lrd in
+    # several subtrees each; without a materialization boundary Spark
+    # re-expanded the whole B-block GEMM grid per reference (12 parquet
+    # scans, 36 exchanges — the grid ran up to 12x). knn_k is O(n*k)
+    # narrow rows, lrd O(n): lineage-cut both, so the GEMM runs ONCE and
+    # everything downstream is keyed joins/aggregates over checkpoints.
+    knn_k = truncate_lineage(
+        _allknn_directed(spark, sf_dir, _LOF_K).select(
+            F.col("vec_id").alias("va"),
+            F.col("nbr_id").alias("vb"),
+            F.round(1 - F.col("cosine_sim"), 6).alias("dist"),
+        )
     )
     kd = knn_k.groupBy(F.col("va").alias("v")).agg(
         F.max("dist").alias("kdist")
@@ -2526,10 +2538,14 @@ def lof_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     reach = knn_k.join(kd, knn_k.vb == kd.v).select(
         "va", "vb", F.greatest("kdist", "dist").alias("rdist")
     )
-    lrd = reach.groupBy(F.col("va").alias("v")).agg(
-        F.round(
-            F.lit(float(_LOF_K)) / F.greatest(F.sum("rdist"), F.lit(1e-12)), 6
-        ).alias("lrd")
+    lrd = truncate_lineage(
+        reach.groupBy(F.col("va").alias("v")).agg(
+            F.round(
+                F.lit(float(_LOF_K))
+                / F.greatest(F.sum("rdist"), F.lit(1e-12)),
+                6,
+            ).alias("lrd")
+        )
     )
     lo = lrd.select(F.col("v").alias("vb_"), F.col("lrd").alias("lrd_nbr"))
     lp = lrd.select(F.col("v").alias("va_"), F.col("lrd").alias("lrd_self"))
