@@ -338,6 +338,8 @@ def _co_purchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bit-identical pair table. Per-order brand sets are bounded by the
     brand domain, so the array expansion is O(|basket|^2) per row with a
     tiny constant — the same bound the self-join had per orderkey group."""
+    from weather_stream_processor_spark.plans.caching import truncate_lineage
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     baskets = (
@@ -345,7 +347,13 @@ def _co_purchase_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    return (
+    # r11 (guide §2.4): every edge builder feeds this pair table into a
+    # quantile cut AND the threshold filter (two consumers), so the
+    # fact-scale basket pipeline physically executed twice per graph
+    # query. The pair table is bounded by |brands|^2/2 rows (~300):
+    # lineage-cut it so the lineitem join + explode run ONCE (A/B sf0.1:
+    # label_propagation 3.60 → 2.76 s, pagerank 5.99 → 3.65 s).
+    return truncate_lineage(
         baskets.select(
             F.explode(
                 F.flatten(

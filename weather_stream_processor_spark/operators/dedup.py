@@ -177,8 +177,16 @@ def _ngram_jaccard_core(docs: DataFrame) -> DataFrame:
     r11: the self-join runs on hashed shingles (see _exploded_shingles
     ``hashed``) — the pair search only needs equality, and the hot join
     stage's CPU was dominated by string hashing/comparison (measured
-    ~43 CPU-s at sf0.1 on strings)."""
-    exploded = _exploded_shingles(docs, hashed=True)
+    ~43 CPU-s at sf0.1 on strings).
+
+    r11 (guide §2.4): the hashed posting table feeds BOTH self-join
+    sides, and Spark re-expands the scan + shingle explode + hash per
+    side (no exchange reuse under AQE here — measured). The postings are
+    three longs per shingle occurrence, so a lineage cut materializes
+    them once and both sides read the checkpoint (A/B at sf0.1:
+    1.45 → 1.22 s; also feeds dedup_connected_components,
+    label-propagation and the cascade's Jaccard tier)."""
+    exploded = _truncate_lineage(_exploded_shingles(docs, hashed=True))
     a = exploded.alias("a")
     b = exploded.alias("b")
     # size-band prune inside the join condition: jaccard >= t implies
@@ -303,7 +311,13 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 )
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    per_doc = _doc_index(docs)
+    # r11 (guide §2.4): per_doc feeds FOUR consumers (both band sides,
+    # both verify sides). The docstring's ReuseExchange hope does not
+    # materialize under AQE — the explode+signature aggregate re-ran per
+    # consumer (8 scans in the formatted plan). The index is O(docs) rows
+    # of longs: lineage-cut it so the signature pipeline runs ONCE
+    # (A/B at sf0.1: 2.95 → 1.72 s cold, bench min 1.76 → ~1.1 s).
+    per_doc = _truncate_lineage(_doc_index(docs))
     r = N_HASHES // N_BANDS
     bands = per_doc.select(
         "doc_id",
@@ -1667,7 +1681,17 @@ def simhash_hamming_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_pairs_core(sh: DataFrame) -> DataFrame:
     """Pigeonhole-blocked Hamming pair search over a (doc_id, simhash)
     frame — split from the builder so the cascade can reuse it on
-    fingerprints derived from a shared persisted documents scan."""
+    fingerprints derived from a shared persisted documents scan.
+
+    r11 (guide §2.4): the block table self-joins, so the WHOLE upstream
+    fingerprint pipeline (scan → token explode → vocab-hash join → 62-bit
+    aggregate) expanded once per join side — AQE's exchange reuse did not
+    collapse the mirrored subtrees (measured; the formatted plan shows
+    both copies). The fingerprint frame is two longs per document:
+    lineage-cut it here so the pipeline runs ONCE for the registered
+    query AND for the cascade's SimHash tier (A/B at sf0.1:
+    3.01 → 1.70 s cold)."""
+    sh = _truncate_lineage(sh)
     blocks = sh.select(
         "doc_id",
         "simhash",
@@ -1774,9 +1798,16 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # spread: the single-file scan is one task; without it the explode +
     # partial-distinct runs single-core (~2.5s/stage measured r11)
-    sh = spread(docs, "doc_id").select(
-        "source", F.explode(guarded).alias("h")
-    ).distinct()
+    # r11 (guide §2.4): sh feeds THREE consumers (per-source counts and
+    # both pair-join sides); the explode + distinct re-expanded per
+    # consumer. One (string, long) row per distinct source-shingle —
+    # lineage-cut so the corpus-scale stages run once (A/B at sf0.1:
+    # 1.52 → 1.26 s cold).
+    sh = _truncate_lineage(
+        spread(docs, "doc_id").select(
+            "source", F.explode(guarded).alias("h")
+        ).distinct()
+    )
     per = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("source").alias("source_a"), "h")
     b = sh.select(F.col("source").alias("source_b"), "h")
