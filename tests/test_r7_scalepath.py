@@ -179,15 +179,28 @@ def test_cdc_gear_pass_equals_explode_form(spark):
 
 def test_cdc_gear_pass_plan_has_no_char_explode(spark):
     """The registered plan must shuffle chunks, not characters: no
-    Generate/explode node, one Arrow eval over docs."""
+    Generate/explode node, one Arrow eval over docs. r11: the gear-pass
+    output is lineage-cut (it fed two consumers, running the Python stage
+    twice), so the Arrow node is asserted on the lazy cdc_gear_fps twin
+    and the registered plan is checked for no explode/window AND no
+    re-expansion of the Arrow stage (it must run behind the cut, once)."""
+    from weather_stream_processor_spark.operators.dedup import cdc_gear_fps
     from weather_stream_processor_spark.plans import operator_names
+
+    lazy = operator_names(cdc_gear_fps(spark, SF_SMOKE))
+    assert not any("Generate" in n for n in lazy), lazy
+    assert any(
+        "ArrowEvalPython" in n or "MapInPandas" in n for n in lazy
+    ), lazy
 
     names = operator_names(
         all_queries()["content_defined_chunking"].builder(spark, SF_SMOKE)
     )
     assert not any("Generate" in n for n in names), names
     assert not any("Window" in n for n in names), names
-    assert any("ArrowEvalPython" in n or "MapInPandas" in n for n in names), names
+    assert not any(
+        "ArrowEvalPython" in n or "MapInPandas" in n for n in names
+    ), names  # gear pass runs ONCE, behind the cut
 
 
 def test_two_phase_prefix_property_random_sparse_keys(spark):

@@ -2892,6 +2892,15 @@ _CDC_FP_MOD = 1_000_000_007
     tags=("dedup", "llm", "multimodal", "scale", "pandas-udf"),
 )
 def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cdc_dedup_tail(cdc_gear_fps(spark, sf_dir))
+
+
+def cdc_gear_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY Arrow gear pass — (doc_id, chunk_id, chunk_len, fp), one
+    mapInPandas over the pruned documents scan. Split from the registered
+    builder so plan tests can assert the Arrow node and the no-explode
+    property on the un-truncated tree (the registered plan lineage-cuts
+    this frame in _cdc_dedup_tail, hiding it behind a checkpoint scan)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
@@ -2967,11 +2976,10 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    fps = (
+    return (
         spread(docs.select("doc_id", "text", "n_chars"), "doc_id")
         .mapInPandas(gear_pass, schema=fp_schema)
     )
-    return _cdc_dedup_tail(fps)
 
 
 def _cdc_dedup_tail(fps: DataFrame) -> DataFrame:
