@@ -1206,9 +1206,12 @@ def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the postings and the hot-shingle join skew drops with it "
         "(frequent shingles land in nobody's prefix). Candidates then "
         "verify against true Jaccard on the full 64-bit-hashed shingle "
-        "sets, after the PPJoin positional filter (overlap upper bound "
-        "from the shared token's ranks vs the Jaccard-implied minimum "
-        "ceil(t/(1+t)*(na+nb))) discards candidates that cannot verify. "
+        "sets, after TWO positional filters discard candidates that "
+        "cannot verify: the per-row PPJoin bound (overlap upper bound "
+        "from one shared token's ranks vs the Jaccard-implied minimum "
+        "ceil(t/(1+t)*(na+nb))), then the pair-level bound c + "
+        "min(na-max_pa, nb-max_pb) over ALL shared prefix tokens, "
+        "aggregated on the same exchange the old distinct() paid. "
         "ceil(t*n) is computed in integer arithmetic derived from the "
         "exact rational form of JACCARD_THRESHOLD (t=p/q => "
         "(p*n + q - 1) div q), never float, so a float ceil(0.8*5)=5 "
@@ -1307,16 +1310,46 @@ def _prefix_filter_tree(h: DataFrame, t: float, p: int, q: int) -> DataFrame:
         + 1
         + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
     )
+    min_overlap = F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}")
+    # r11 optimization round (guide §2.3/§3.2 — shrink the expensive side
+    # before it meets the heavy payload): the pair-LEVEL PPJoin bound.
+    # distinct() kept every pair that any single shared prefix token let
+    # through; the 10x replica point measured 4.17M candidates for 250.6k
+    # true pairs, and the verify tail then shuffled both docs' full hashed
+    # shingle ARRAYS onto all 4.17M rows (8.7 of 15.9 s). Aggregating the
+    # shared prefix tokens per pair (the same exchange the distinct paid)
+    # gives the classic PPJoin bound: with c shared prefix tokens and
+    # (mpa, mpb) the max shared ranks, any common token not among the c is
+    # ordered after BOTH (sorted consistently by global (df, h) on both
+    # sides — a common token before mpa in a and outside b's counted set
+    # would rank before mpb in b, i.e. be one of the c; contradiction), so
+    # overlap <= c + min(na - mpa, nb - mpb). Strictly tighter than the
+    # per-row bound (which charged min(pa,pb)-1 assumed-common tokens
+    # up-front), so it only removes pairs that cannot verify: recall stays
+    # exact (pinned by test_prefix_filter_equals_exhaustive_join at two
+    # thresholds). Rows the per-row filter drops prove their PAIR is
+    # unverifiable (the row bound is already a pair-overlap bound), so the
+    # undercounted c only ever tightens the bound on already-dead pairs.
     cand = (
         a.join(b, "h")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             # same float size-band expression as the exhaustive oracle
             & (F.least("na", "nb") >= t * F.greatest("na", "nb"))
-            & (overlap_bound >= F.expr(f"({p} * (na + nb) + {p + q - 1}) div {p + q}"))
+            & (overlap_bound >= min_overlap)
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pa").alias("mpa"),
+            F.max("pb").alias("mpb"),
+        )
+        .filter(
+            F.col("c")
+            + F.least(F.col("na") - F.col("mpa"), F.col("nb") - F.col("mpb"))
+            >= min_overlap
         )
         .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
     )
     # verify on per-doc hashed shingle SETS (same pattern as the MinHash
     # verifier): two doc-keyed joins against the candidate pairs plus a
