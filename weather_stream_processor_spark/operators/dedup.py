@@ -1265,10 +1265,14 @@ def prefix_filter_lazy_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-materialized plan of prefix_filter_jaccard_join — no
     persist, no lineage cut — for plan-shape inspection in tests."""
     t, p, q = _jaccard_rational()
-    return _prefix_filter_tree(_prefix_filter_postings(spark, sf_dir), t, p, q)
+    return _prefix_filter_tree(
+        _prefix_filter_postings(spark, sf_dir), t, p, q, cut_sets=False
+    )
 
 
-def _prefix_filter_tree(h: DataFrame, t: float, p: int, q: int) -> DataFrame:
+def _prefix_filter_tree(
+    h: DataFrame, t: float, p: int, q: int, cut_sets: bool = True
+) -> DataFrame:
     # r11 (guide §2.4: two operations keyed the same way share one
     # exchange): document frequency used to be groupBy("h") + join back
     # onto the postings — TWO shuffles of the token-scale posting table
@@ -1355,8 +1359,18 @@ def _prefix_filter_tree(h: DataFrame, t: float, p: int, q: int) -> DataFrame:
     # verifier): two doc-keyed joins against the candidate pairs plus a
     # per-row array_intersect, instead of re-joining candidates to the
     # postings table at shingle granularity — the old form shuffled
-    # |candidates| x avg(n_shingles) posting rows through a re-aggregation
+    # |candidates| x avg(n_shingles) posting rows through a re-aggregation.
+    # r11 session 4 (§2.4, the minhash _doc_index precedent): sets feeds
+    # BOTH verify sides, so its lane (cached-postings read + doc-keyed
+    # exchange + collect_list) physically executed twice. Lineage-cut the
+    # O(docs)-rows-of-longs index once; interleaved min-of A/B: sf0.1
+    # 2.97 → 1.76 s, 10x replica 7.88 → 6.49 s (same-session pairs).
+    # cut_sets=False is the lazy plan-test twin (prefix_filter_lazy_plan).
     sets = h.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+    if cut_sets:
+        from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+        sets = truncate_lineage(sets)
     pa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("sh_a"))
     pb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("sh_b"))
     inter = (

@@ -1185,10 +1185,18 @@ def dawid_skene_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from weather_stream_processor_spark.plans.caching import persisted_result
 
     def build(votes_c: DataFrame) -> DataFrame:
-        # consensus derives from the PERSISTED votes so its three
-        # consumers (confusion matrix, priors, final join) never
-        # re-execute the vote explode
-        cons = (
+        # consensus derives from the PERSISTED votes so its consumers
+        # never re-execute the vote explode — but the votes persist alone
+        # left the DOCS scan + join + groupBy inside cons, and cons feeds
+        # FOUR subtrees (confusion matrix, n_docs, priors, final join),
+        # so the corpus scan physically executed four times (r11 phase
+        # profile: build 2.22 s, exec 0.03). cons is (doc_id, consensus)
+        # — two narrow columns per doc, the cuttable class (guide §2.4);
+        # lineage-cutting it runs the scan+join+agg once. A/B sf0.1
+        # min-of-2: 2.02 → 1.35 s, output collected and compared equal.
+        from weather_stream_processor_spark.plans.caching import truncate_lineage
+
+        cons = truncate_lineage(
             votes_c.join(docs.select("doc_id", "lang"), "doc_id")
             .groupBy("doc_id")
             .agg(
