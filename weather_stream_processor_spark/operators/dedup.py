@@ -1765,24 +1765,29 @@ def _simhash_pairs_core(sh: DataFrame) -> DataFrame:
     ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cand = (
+    # r11 session 4 (guide §2.3: filter before the exchange): the Hamming
+    # verify is a per-row bit op on columns already on the joined row, so
+    # it runs BEFORE the distinct — the dedup exchange then carries only
+    # true pairs (output-scale) instead of every multi-block candidate
+    # (<= 4x duplicated, plus all far-pair false candidates). Fingerprints
+    # are unique per doc, so distinct over (doc_a, doc_b, hamming) is the
+    # same pair set. A/B min-of-2: sf0.1 1.56 → 1.30 s, 10x parity;
+    # output collected and compared equal.
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
             & (F.col("a.block_val") == F.col("b.block_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(hamming <= HAMMING_MAX)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.simhash").alias("hb"),
+            hamming.cast("bigint").alias("hamming"),
         )
         .distinct()
-    )
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.filter(hamming <= HAMMING_MAX).select(
-        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
     )
 
 
