@@ -31,8 +31,8 @@ ALLOWLIST: dict[tuple[str, str, str], int] = {
     ('operators/analytics.py', '_bfs_tree', 'collect'): 1,
     ('operators/analytics.py', '_hits_tree.l1_normalize', 'collect'): 1,
     ('operators/analytics.py', 'lang_source_chi_square', 'first'): 1,
-    ('operators/analytics.py', 'markov_removal_attribution.build', 'collect'): 1,
-    ('operators/analytics.py', 'markov_removal_attribution.build.solve', 'collect'): 1,
+    ('operators/analytics.py', 'markov_absorption_conversion', 'collect'): 1,
+    ('operators/analytics.py', 'markov_removal_attribution', 'collect'): 2,
     ('operators/dedup.py', '_cc_label_propagation', 'collect'): 1,
     ('operators/dedup.py', '_cc_two_phase', 'collect'): 1,
     ('operators/dedup.py', 'bloom_filter_decontam', 'collect'): 1,

@@ -1955,11 +1955,13 @@ def _absorption_oracle() -> str:
         "into converting states. Plan: the DISTRIBUTED part is the "
         "transition-count aggregate (one user-keyed lead() window + one "
         "hash agg — the same shape at any corpus size); the matrix "
-        "itself is bounded by the event-type domain, so each iteration "
-        "round is a |states|^2 join — the oracle unrolls the SAME "
-        "rounds as generated CTEs and every round's arithmetic is "
-        "hash-verified at 6dp (per-round sums span <= |states| terms, "
-        "far inside double's reassociation tolerance)."
+        "itself is bounded by the event-type domain (<= |states|^2 rows "
+        "at ANY corpus size), so it is collected once and the value "
+        "iteration runs on the driver in deterministic sorted order — "
+        "the oracle unrolls the SAME rounds as generated CTEs and every "
+        "round's arithmetic is hash-verified at 6dp (per-round sums "
+        "span <= |states| terms, far inside double's reassociation "
+        "tolerance)."
     ),
     tags=("analytics", "attribution", "iterative", "statistics"),
 )
@@ -1983,39 +1985,33 @@ def markov_absorption_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy("s"))
         ).alias("pr"),
     )
-    from weather_stream_processor_spark.plans.caching import persisted_result
-
-    def build(pm: DataFrame) -> DataFrame:
-        from weather_stream_processor_spark.operators.dedup import (
-            _truncate_lineage,
-        )
-
-        # truncate per round: the value vector is <= |states| rows, but an
-        # un-cut chain nests one broadcast stage per prior round and the
-        # sequential micro-jobs dominate cold wall (measured ~98 s -> ~8 s
-        # at sf0.1); same pattern as the k-core/BFS loops
-        v = pm.select(F.col("s").alias("state")).distinct().select(
-            "state", F.lit(0.0).alias("v")
-        )
-        for _ in range(_ABSORB_ROUNDS):
-            v = _truncate_lineage(
-                pm.join(
-                    F.broadcast(v.withColumnRenamed("state", "nxt")),
-                    "nxt",
-                    "left",
-                )
-                .groupBy(F.col("s").alias("state"))
-                .agg(
-                    F.sum(
-                        F.when(F.col("nxt") == "purchase", F.col("pr")).otherwise(
-                            F.col("pr") * F.coalesce(F.col("v"), F.lit(0.0))
-                        )
-                    ).alias("v")
-                )
+    # r11 (guide §1.2/§5): the 8 value-iteration rounds used to run as 8
+    # sequential lineage-cut micro-jobs over the transition matrix — pure
+    # job-scheduling overhead, since the matrix is bounded by the
+    # event-type enum (|states|^2 <= a few dozen rows at ANY corpus size).
+    # Collect it ONCE (bounded by construction) and value-iterate on the
+    # driver — the distributed work (corpus-scale lead() window +
+    # transition-count aggregate) is unchanged; same driver-side-solve
+    # precedent as ann_pq_topk's codebooks and bradley_terry_strengths.
+    # Deterministic (s, nxt)-sorted sum order; per-state sums span
+    # <= |states| terms, far inside double's reassociation tolerance at
+    # the 6dp emission grain (the docstring's existing argument).
+    rows = sorted((r.s, r.nxt, r.pr) for r in p.collect())
+    states = sorted({s for s, _, _ in rows})
+    v = {s: 0.0 for s in states}
+    for _ in range(_ABSORB_ROUNDS):
+        v = {
+            s: sum(
+                pr if nxt == "purchase" else pr * v.get(nxt, 0.0)
+                for ss, nxt, pr in rows
+                if ss == s
             )
-        return v.select("state", F.round("v", 6).alias("p_convert"))
-
-    return persisted_result(p, build)
+            for s in states
+        }
+    out = spark.createDataFrame(
+        [(s, v[s]) for s in states], "state string, v double"
+    )
+    return out.select("state", F.round("v", 6).alias("p_convert"))
 
 
 _ATTRIB_CHANNELS = ("click", "error", "signup", "view")
@@ -2127,16 +2123,16 @@ def _removal_oracle() -> str:
         "recursion solved once per variant (baseline + |channels|), "
         "conversion totals weighted by the first-event start "
         "distribution. The DISTRIBUTED work (transition counts, start "
-        "shares) happens once; each re-solve is a |states|^2 join "
-        "iterated over the bounded matrix — the oracle unrolls every "
-        "variant's rounds as generated MATERIALIZED CTEs, so all five "
-        "value iterations are hash-verified end to end."
+        "shares) happens once; the matrix and start shares are bounded "
+        "by the event-type domain, so both are collected once and every "
+        "variant's value iteration runs on the driver in deterministic "
+        "sorted order — the oracle unrolls every variant's rounds as "
+        "generated MATERIALIZED CTEs, so all five value iterations are "
+        "hash-verified end to end."
     ),
     tags=("analytics", "attribution", "iterative", "statistics"),
 )
 def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_stream_processor_spark.plans.caching import persisted_result
-
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
@@ -2160,68 +2156,52 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) / F.lit(float(n_users))).alias("share")
     )
 
-    def build(pm: DataFrame) -> DataFrame:
-        st = pm.sparkSession.createDataFrame(
-            [(r.state, r.share) for r in starts.collect()], "state string, share double"
-        )
+    # r11 (guide §1.2/§5): the 5 variant solves (baseline + one per
+    # channel) each ran 8 lineage-cut micro-jobs plus a collect — ~45
+    # sequential tiny Spark jobs over a matrix bounded by the event-type
+    # enum. Collect the matrix and start shares ONCE (both bounded by
+    # construction: <= |states|^2 and <= |states| rows at ANY corpus
+    # size) and run every value iteration on the driver — the
+    # distributed work (lead() window, transition counts, start shares)
+    # is unchanged. Deterministic sorted sum order; per-state sums span
+    # <= |states| terms (see markov_absorption_conversion).
+    rows = sorted((r.s, r.nxt, r.pr) for r in p.collect())
+    start_rows = sorted((r.state, r.share) for r in starts.collect())
 
-        from weather_stream_processor_spark.operators.dedup import (
-            _truncate_lineage,
-        )
-
-        def solve(removed: str | None):
-            m = pm
-            if removed is not None:
-                m = pm.filter((F.col("s") != removed) & (F.col("nxt") != removed))
-            v = m.select(F.col("s").alias("state")).distinct().select(
-                "state", F.lit(0.0).alias("v")
-            )
-            for _ in range(_ABSORB_ROUNDS):
-                # per-round lineage cut: see markov_absorption_conversion
-                v = _truncate_lineage(
-                    m.join(
-                        F.broadcast(v.withColumnRenamed("state", "nxt")),
-                        "nxt",
-                        "left",
-                    )
-                    .groupBy(F.col("s").alias("state"))
-                    .agg(
-                        F.sum(
-                            F.when(
-                                F.col("nxt") == "purchase", F.col("pr")
-                            ).otherwise(F.col("pr") * F.coalesce("v", F.lit(0.0)))
-                        ).alias("v")
-                    )
-                )
-            term = (
-                F.when(F.col("state") == "purchase", 1.0)
-                .when(
-                    F.lit(removed is not None) & (F.col("state") == (removed or "")),
-                    0.0,
-                )
-                .otherwise(F.coalesce("v", F.lit(0.0)))
-            )
-            return (
-                st.join(v, "state", "left")
-                .agg(F.sum(F.col("share") * term).alias("conv"))
-                .collect()[0]
-                .conv
-            )
-
-        base = solve(None)
-        effects = [
-            (c, 1.0 - solve(c) / base) for c in _ATTRIB_CHANNELS
+    def solve(removed: str | None) -> float:
+        m = [
+            (s, nxt, pr)
+            for s, nxt, pr in rows
+            if removed is None or (s != removed and nxt != removed)
         ]
-        tot = sum(e for _, e in effects)
-        return pm.sparkSession.createDataFrame(
-            [
-                (c, round(e, 6), round(e / tot, 6))
-                for c, e in effects
-            ],
-            "channel string, removal_effect double, attribution_share double",
-        )
+        states = sorted({s for s, _, _ in m})
+        v = {s: 0.0 for s in states}
+        for _ in range(_ABSORB_ROUNDS):
+            v = {
+                s: sum(
+                    pr if nxt == "purchase" else pr * v.get(nxt, 0.0)
+                    for ss, nxt, pr in m
+                    if ss == s
+                )
+                for s in states
+            }
+        conv = 0.0
+        for state, share in start_rows:
+            if state == "purchase":
+                conv += share
+            elif removed is not None and state == removed:
+                pass
+            else:
+                conv += share * v.get(state, 0.0)
+        return conv
 
-    return persisted_result(p, build)
+    base = solve(None)
+    effects = [(c, 1.0 - solve(c) / base) for c in _ATTRIB_CHANNELS]
+    tot = sum(e for _, e in effects)
+    return spark.createDataFrame(
+        [(c, round(e, 6), round(e / tot, 6)) for c, e in effects],
+        "channel string, removal_effect double, attribution_share double",
+    )
 
 
 # --- HITS on the bipartite purchase graph (round 5) -------------------------
