@@ -499,17 +499,19 @@ def _pagerank_oracle() -> str:
 def pagerank_brand_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the directed edge list feeds every one of the _PR_ITERS rounds plus
     # the degree/count/seed subtrees, and Catalyst does not dedupe common
-    # subexpressions — persisted_result makes the co-purchase join execute
-    # once instead of ~3x per round (measured 15.2 s -> 3 s at sf0.1)
-    from weather_stream_processor_spark.plans.caching import persisted_result
+    # subexpressions — the r11 lineage cut inside _brand_median_edges makes
+    # the co-purchase join execute once instead of ~3x per round (the r9
+    # persist form measured 15.2 s -> 3 s at sf0.1; the cut+repartition
+    # form shaves the doubled round stages on top, 4.04 -> 3.46 s)
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
 
-    return persisted_result(_brand_median_edges(spark, sf_dir), _pagerank_tree)
+    return _truncate_lineage(_pagerank_tree(_brand_median_edges(spark, sf_dir)))
 
 
 def pagerank_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The un-materialized pagerank plan (no persist, no lineage cut) —
     for plan-shape inspection in tests."""
-    return _pagerank_tree(_brand_median_edges(spark, sf_dir))
+    return _pagerank_tree(_brand_median_edges(spark, sf_dir, cut=False))
 
 
 def _pagerank_tree(edges: DataFrame) -> DataFrame:
@@ -837,12 +839,15 @@ def _lpa_oracle() -> str:
     tags=("analytics", "graph", "iterative"),
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from weather_stream_processor_spark.plans.caching import persisted_result
+    # r11: the edge frame arrives lineage-cut and AQE-sized from
+    # _brand_median_edges (see its docstring), so the rounds run over a
+    # materialized right-sized frame; the result cut keeps the
+    # persisted_result contract (O(result) storage, nothing cached).
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
 
-    def build(edges: DataFrame) -> DataFrame:
-        return _lpa_rounds(edges, _LPA_ITERS)
-
-    return persisted_result(_brand_median_edges(spark, sf_dir), build)
+    return _truncate_lineage(
+        _lpa_rounds(_brand_median_edges(spark, sf_dir), _LPA_ITERS)
+    )
 
 
 def _lpa_rounds(edges: DataFrame, iters: int) -> DataFrame:
@@ -872,16 +877,32 @@ def _lpa_rounds(edges: DataFrame, iters: int) -> DataFrame:
     )
 
 
-def _brand_median_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _brand_median_edges(
+    spark: SparkSession, sf_dir: str, cut: bool = True
+) -> DataFrame:
     """Undirected (both directions) above-MEDIAN-support co-purchase edges —
     the pagerank_brand_graph construction, shared by label propagation.
-    Pair counts come from the shared basket-array builder."""
+    Pair counts come from the shared basket-array builder.
+
+    r11 (guide §2.2/§2.6): the unionAll doubles the upstream partition
+    count, so every iteration round of the consumers (pagerank / LPA)
+    scheduled doubled map stages over a |brands|²-bounded edge table —
+    task scheduling, not compute. repartition("src") lets AQE size the
+    frame to its bytes (REPARTITION_BY_COL allows coalescing) and the
+    lineage cut materializes it once for all rounds. A/B on pagerank at
+    sf0.1 (interleaved, 3 pairs): 4.04 → 3.46 s min-of-3. ``cut=False``
+    keeps the lazy twin un-truncated for plan-shape tests."""
     pairs = _co_purchase_support(spark, sf_dir)
-    cut = pairs.agg(F.percentile("support", F.lit(0.5)).alias("q"))
-    kept = pairs.crossJoin(F.broadcast(cut)).filter(F.col("support") > F.col("q"))
+    q = pairs.agg(F.percentile("support", F.lit(0.5)).alias("q"))
+    kept = pairs.crossJoin(F.broadcast(q)).filter(F.col("support") > F.col("q"))
     fwd = kept.select(F.col("b1").alias("src"), F.col("b2").alias("dst"))
     rev = kept.select(F.col("b2").alias("src"), F.col("b1").alias("dst"))
-    return fwd.unionAll(rev)
+    edges = fwd.unionAll(rev)
+    if not cut:
+        return edges
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
+
+    return _truncate_lineage(edges.repartition("src"))
 
 
 _PATH_LEN = 5

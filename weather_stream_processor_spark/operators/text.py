@@ -2511,9 +2511,23 @@ def textrank_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _textrank_tree(und: DataFrame) -> DataFrame:
-    edges = und.select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
-    ).unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    from weather_stream_processor_spark.operators.dedup import _truncate_lineage
+
+    # r11 (guide §2.2/§2.6): the unionAll doubles the persisted und's
+    # partition count (32+32 = 64), and every one of the ~11 sequential
+    # round jobs (broadcast builds + dst-keyed aggregates + final sort)
+    # scheduled 64-task map stages over a collocation table of a few
+    # hundred rows — the wall was task scheduling, not compute. One
+    # repartition("src") exchange lets AQE size the edge frame to its
+    # bytes (1-2 partitions at fixture scale, proportionally more at
+    # 100 TB — REPARTITION_BY_COL allows coalescing), and the lineage
+    # cut materializes it once for every round. A/B at sf0.01
+    # (interleaved min-of-3): 8.33 → 2.42 s, outputs identical.
+    edges = _truncate_lineage(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+        .repartition("src")
+    )
     wdeg = edges.groupBy(F.col("src").alias("term")).agg(
         F.sum("w").alias("wdeg")
     )
