@@ -436,76 +436,104 @@ def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     digs = docs.select("doc_id", F.sha2("text", 256).alias("dig"))
     keeper = F.min("doc_id").over(Window.partitionBy("dig"))
-    g1 = (
-        digs.select("doc_id", keeper.alias("keeper"))
-        .filter(F.col("doc_id") != F.col("keeper"))
-        .select("doc_id")
-    )
-    g2 = (
-        _REGISTRY["near_dup_keep_list"]
-        .builder(spark, sf_dir)
-        .filter(~F.col("keep"))
-        .select("doc_id")
-    )
-    g3 = (
-        _REGISTRY["gopher_quality_rules"]
-        .builder(spark, sf_dir)
-        .filter(~F.col("keep"))
-        .select("doc_id")
-    )
-    g4 = (
-        _REGISTRY["repetition_quality_filter"]
-        .builder(spark, sf_dir)
-        .filter(~F.col("keep"))
-        .select("doc_id")
-    )
-    g5 = _REGISTRY["decontamination_overlap"].builder(spark, sf_dir).select(
-        "doc_id"
-    )
-    g6 = (
-        _REGISTRY["memorization_risk_scores"]
-        .builder(spark, sf_dir)
-        .filter(F.col("action") == "trim")
-        .select("doc_id")
-    )
-    dk = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.floor(F.col("n_chars") / _PRIV_LEN_BUCKET)
-        .cast("bigint")
-        .alias("len_bucket"),
-    )
-    pk = (
-        _REGISTRY["k_anonymity_audit"]
-        .builder(spark, sf_dir)
-        .filter(F.col("at_risk") == 1)
-        .select("lang", "source", "len_bucket")
-    )
-    pl = (
-        _REGISTRY["l_diversity_audit"]
-        .builder(spark, sf_dir)
-        .filter(
-            (F.col("at_risk_distinct") == 1) | (F.col("at_risk_entropy") == 1)
+
+    # r11 (guide §2.6, the cascade precedent): several gate builders are
+    # EAGER (near_dup_keep_list runs the connected-components rounds,
+    # memorization/decontamination cut their index frames), so calling
+    # them sequentially serialized their internal jobs. The seven gate
+    # frames are independent — build them from a thread pool so each
+    # eager job back-fills executors freed by the others' tails.
+    def _g1() -> DataFrame:
+        return (
+            digs.select("doc_id", keeper.alias("keeper"))
+            .filter(F.col("doc_id") != F.col("keeper"))
+            .select("doc_id")
         )
-        .select("lang", "len_bucket")
-    )
-    pt = (
-        _REGISTRY["t_closeness_audit"]
-        .builder(spark, sf_dir)
-        .filter(F.col("at_risk") == 1)
-        .select("lang", "len_bucket")
-    )
-    g7 = (
-        dk.join(F.broadcast(pk), ["lang", "source", "len_bucket"])
-        .select("doc_id")
-        .union(dk.join(F.broadcast(pl), ["lang", "len_bucket"]).select("doc_id"))
-        .union(dk.join(F.broadcast(pt), ["lang", "len_bucket"]).select("doc_id"))
-        .distinct()
-    )
-    gate_dfs = dict(
-        zip([g for _, g in _RELEASE_GATES], [g1, g2, g3, g4, g5, g6, g7])
-    )
+
+    def _g2() -> DataFrame:
+        return (
+            _REGISTRY["near_dup_keep_list"]
+            .builder(spark, sf_dir)
+            .filter(~F.col("keep"))
+            .select("doc_id")
+        )
+
+    def _g3() -> DataFrame:
+        return (
+            _REGISTRY["gopher_quality_rules"]
+            .builder(spark, sf_dir)
+            .filter(~F.col("keep"))
+            .select("doc_id")
+        )
+
+    def _g4() -> DataFrame:
+        return (
+            _REGISTRY["repetition_quality_filter"]
+            .builder(spark, sf_dir)
+            .filter(~F.col("keep"))
+            .select("doc_id")
+        )
+
+    def _g5() -> DataFrame:
+        return _REGISTRY["decontamination_overlap"].builder(spark, sf_dir).select(
+            "doc_id"
+        )
+
+    def _g6() -> DataFrame:
+        return (
+            _REGISTRY["memorization_risk_scores"]
+            .builder(spark, sf_dir)
+            .filter(F.col("action") == "trim")
+            .select("doc_id")
+        )
+
+    def _g7() -> DataFrame:
+        dk = docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / _PRIV_LEN_BUCKET)
+            .cast("bigint")
+            .alias("len_bucket"),
+        )
+        pk = (
+            _REGISTRY["k_anonymity_audit"]
+            .builder(spark, sf_dir)
+            .filter(F.col("at_risk") == 1)
+            .select("lang", "source", "len_bucket")
+        )
+        pl = (
+            _REGISTRY["l_diversity_audit"]
+            .builder(spark, sf_dir)
+            .filter(
+                (F.col("at_risk_distinct") == 1) | (F.col("at_risk_entropy") == 1)
+            )
+            .select("lang", "len_bucket")
+        )
+        pt = (
+            _REGISTRY["t_closeness_audit"]
+            .builder(spark, sf_dir)
+            .filter(F.col("at_risk") == 1)
+            .select("lang", "len_bucket")
+        )
+        return (
+            dk.join(F.broadcast(pk), ["lang", "source", "len_bucket"])
+            .select("doc_id")
+            .union(dk.join(F.broadcast(pl), ["lang", "len_bucket"]).select("doc_id"))
+            .union(dk.join(F.broadcast(pt), ["lang", "len_bucket"]).select("doc_id"))
+            .distinct()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        gate_frames = [
+            fut.result()
+            for fut in [
+                pool.submit(t) for t in (_g1, _g2, _g3, _g4, _g5, _g6, _g7)
+            ]
+        ]
+    gate_dfs = dict(zip([g for _, g in _RELEASE_GATES], gate_frames))
     flags = None
     for rank, gate in _RELEASE_GATES:
         part = gate_dfs[gate].select(
@@ -514,6 +542,15 @@ def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         flags = part if flags is None else flags.unionAll(part)
+    # r11 (guide §2.4): `flags` feeds TWO aggregations (per-gate distinct
+    # counts and the any-gate distinct count), so the physical plan
+    # duplicated the ENTIRE seven-gate union — 45 parquet scans / 72
+    # Exchanges, every gate executed twice. The flag set is O(flagged
+    # docs) rows of (int, string, long) — the §2.4 cuttable class, never
+    # the corpus — so one lineage cut materializes the gates ONCE (one
+    # fully-parallel union job) and both report aggregates consume the
+    # checkpoint scan. Same shape as dedup_cascade_report's per_doc cut.
+    flags = truncate_lineage(flags)
     n_docs = docs.count()  # 1-row driver scalar, bounded (cascade precedent)
     # left-join the 7-row gate spec so zero-flag gates still report
     # (a 0 is sign-off information, not absence)
