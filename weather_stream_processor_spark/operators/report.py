@@ -588,6 +588,33 @@ def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _metric_rows(df: DataFrame, pairs) -> DataFrame:
+    """N (metric, value) rows from ONE select over a constituent frame.
+
+    r11 (guide §2.4): the composite reports used to take each metric row
+    as its own select over the constituent DataFrame, and Catalyst
+    physically re-executes the constituent's whole subplan per consumer
+    (brier ran 4x inside the scorecard, ks/chi/mwu 2x inside the drift
+    panel). Emitting every metric in one select and exploding the
+    (metric, value) structs to rows keeps each constituent
+    single-consumer — identical values, one execution."""
+    return df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        (c if not isinstance(c, str) else F.col(c))
+                        .cast("double")
+                        .alias("value"),
+                    )
+                    for m, c in pairs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.metric", "kv.value")
+
+
 # ---------------------------------------------------------------------------
 # Model-eval scorecard (round-5v): the evaluation family composed into one
 # report, constituents' registered semantics reused verbatim.
@@ -645,23 +672,23 @@ def eval_scorecard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     brier = _REGISTRY["brier_score_decomposition"].builder(spark, sf_dir)
     gains = _REGISTRY["cumulative_gains_deciles"].builder(spark, sf_dir)
 
-    def one(df: DataFrame, metric: str, col: str) -> DataFrame:
-        return df.select(
-            F.lit(metric).alias("metric"), F.col(col).cast("double").alias("value")
-        )
-
     rows = [
-        one(auc, "auc", "auc"),
-        one(auc, "gini", "gini"),
-        one(ap, "average_precision", "average_precision"),
-        one(ap, "prevalence", "prevalence"),
+        _metric_rows(auc, [("auc", "auc"), ("gini", "gini")]),
+        _metric_rows(
+            ap, [("average_precision", "average_precision"), ("prevalence", "prevalence")]
+        ),
         ece.agg(F.max("ece").alias("value")).select(
             F.lit("ece").alias("metric"), "value"
         ),
-        one(brier, "brier", "brier"),
-        one(brier, "brier_reliability", "reliability"),
-        one(brier, "brier_resolution", "resolution"),
-        one(brier, "brier_uncertainty", "uncertainty"),
+        _metric_rows(
+            brier,
+            [
+                ("brier", "brier"),
+                ("brier_reliability", "reliability"),
+                ("brier_resolution", "resolution"),
+                ("brier_uncertainty", "uncertainty"),
+            ],
+        ),
         gains.agg(
             F.max(F.when(F.col("decile") == 1, F.col("lift"))).alias("value")
         ).select(F.lit("lift_top_decile").alias("metric"), "value"),
@@ -730,24 +757,22 @@ def experiment_readout_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     did = _REGISTRY["diff_in_diff_estimator"].builder(spark, sf_dir)
     qini = _REGISTRY["qini_curve_deciles"].builder(spark, sf_dir)
 
-    def one(df: DataFrame, metric: str, col) -> DataFrame:
-        return df.select(
-            F.lit(metric).alias("metric"),
-            (col if not isinstance(col, str) else F.col(col))
-            .cast("double")
-            .alias("value"),
-        )
-
     rows = [
-        one(srm, "srm_p_value", "p_value"),
-        one(srm, "srm_flag", F.when(F.col("srm_flag"), 1.0).otherwise(0.0)),
-        one(lift, "conversion_abs_lift", "abs_lift"),
-        one(lift, "conversion_z", "z_score"),
-        one(ratio, "ratio_metric_diff", "diff"),
-        one(ratio, "ratio_metric_p", "p_value"),
-        one(cuped, "cuped_var_reduction", "var_reduction"),
-        one(did, "did_estimate", "did_estimate"),
-        one(did, "did_pre_trend_gap", "pre_trend_gap"),
+        _metric_rows(
+            srm,
+            [
+                ("srm_p_value", "p_value"),
+                ("srm_flag", F.when(F.col("srm_flag"), 1.0).otherwise(0.0)),
+            ],
+        ),
+        _metric_rows(
+            lift, [("conversion_abs_lift", "abs_lift"), ("conversion_z", "z_score")]
+        ),
+        _metric_rows(ratio, [("ratio_metric_diff", "diff"), ("ratio_metric_p", "p_value")]),
+        _metric_rows(cuped, [("cuped_var_reduction", "var_reduction")]),
+        _metric_rows(
+            did, [("did_estimate", "did_estimate"), ("did_pre_trend_gap", "pre_trend_gap")]
+        ),
         qini.agg(
             F.max(F.when(F.col("decile") == 1, F.col("qini"))).alias("value")
         ).select(F.lit("qini_top_decile").alias("metric"), "value"),
@@ -826,6 +851,9 @@ def drift_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
 
+    # ks/chi/mwu each feed two metric rows: _metric_rows keeps them
+    # single-consumer (was 51 Exchange / 23 scans with per-row selects,
+    # now 35 / 16; A/B 3.24 → 2.96 s at sf0.01, outputs identical)
     # PSI/KL fold to their totals over ALREADY-ROUNDED per-bucket terms
     # (9dp / 6dp), so the fold integer-lifts them first: the scaled terms
     # are exact integers, the SUM is permutation-invariant, and both
@@ -840,13 +868,16 @@ def drift_panel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1000000000.0
             ).alias("value")
         ).select(F.lit("psi_total").alias("metric"), "value"),
-        one(ks, "ks_stat", "ks_stat"),
-        one(ks, "ks_drifted", F.when(F.col("drifted"), 1.0).otherwise(0.0)),
+        _metric_rows(
+            ks,
+            [
+                ("ks_stat", "ks_stat"),
+                ("ks_drifted", F.when(F.col("drifted"), 1.0).otherwise(0.0)),
+            ],
+        ),
         one(w1, "w1_distance", "w1_distance"),
-        one(chi, "chi_square", "chi_square"),
-        one(chi, "cramers_v", "cramers_v"),
-        one(mwu, "mwu_z", "z_score"),
-        one(mwu, "mwu_p", "p_value"),
+        _metric_rows(chi, [("chi_square", "chi_square"), ("cramers_v", "cramers_v")]),
+        _metric_rows(mwu, [("mwu_z", "z_score"), ("mwu_p", "p_value")]),
         kl.agg(
             (
                 F.sum(F.round(F.col("kl_term") * 1000000.0).cast("bigint"))
