@@ -309,8 +309,40 @@ def main() -> None:
     # --- output framing: full detail to file, compact line to stdout ---
     detail_path = Path(_REPO) / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    print(compact_bench_line(out))
 
-    _MAX_LINE = 1900  # driver tail window is ~2000 chars; stay inside it
+
+_MAX_LINE = 1900  # driver tail window is ~2000 chars; stay inside it
+
+# Shedding priority when the compact line outgrows the tail window (r12,
+# the r11 verdict's task 7): every key here is round-invariant metadata or
+# a secondary scalar that ALSO lives in BENCH_DETAIL.json, so each is shed
+# before a single per-query wall is lost — the map's cross-round evidence
+# is the valuable part. Ordered least-valuable-on-stdout first. The
+# contract keys (metric, value, unit, sf, queries) are never shed.
+_SHED_ORDER = (
+    "detail",
+    "agg",
+    "calib_py_sec",
+    "calib_sec",
+    "sf_third",
+    "value_third",
+    "sf_secondary",
+    "value_secondary",
+)
+
+
+def compact_bench_line(out: dict, max_line: int = _MAX_LINE) -> str:
+    """Render the one-line stdout summary from the full detail dict.
+
+    Degrades GRACEFULLY as the headline map grows (r6 verdict task 5):
+    first shed the metadata keys in _SHED_ORDER (all recorded in
+    BENCH_DETAIL.json), then — only if the map alone still overflows —
+    shed the longest-named query walls one at a time with an explicit
+    "q_dropped" count, never silently losing the whole map (the r4
+    lost-evidence failure mode). tests/test_bench_line_budget.py pins
+    that at headline-map size +5 no wall is shed.
+    """
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -320,46 +352,43 @@ def main() -> None:
         "calib_py_sec": out["calib_py_sec"],
         "agg": out["agg"],
         "detail": "BENCH_DETAIL.json",
-        # per-query walls rounded to 2dp keep the line ~1.4k chars for the
-        # 38 headliners; the guard below drops them rather than overflow
-        "queries": {name: round(sec, 2) for name, sec in timings.items()},
+        # per-query walls rounded to 2dp keep each entry ~28 chars
+        "queries": {name: round(sec, 2) for name, sec in out["queries"].items()},
     }
     for key in ("sf_secondary", "value_secondary", "sf_third", "value_third"):
         if key in out:
             compact[key] = out[key]
-    # compact separators buy ~120 chars — enough to keep the full
-    # 56-headliner map inside the driver's tail window (r6). If the set
-    # ever outgrows the window, degrade GRACEFULLY (r6 verdict task 5):
-    # shed the longest-named entries one at a time and say how many were
-    # shed ("q_dropped") — never silently lose the whole map (the r4
-    # lost-evidence failure mode). Full walls always in BENCH_DETAIL.json.
     line = json.dumps(compact, separators=(",", ":"))
-    # r11: the 58-entry map is ~24 chars over the window; shed the STATIC
-    # metadata keys first (their content is round-invariant and recorded
-    # in BASELINE.md / BENCH_DETAIL.json) before losing any per-query
-    # wall — the map's cross-round evidence is the valuable part.
-    for key in ("detail", "agg"):
-        if len(line) > _MAX_LINE:
-            compact.pop(key, None)
-            line = json.dumps(compact, separators=(",", ":"))
+    for key in _SHED_ORDER:
+        if len(line) <= max_line:
+            break
+        compact.pop(key, None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > max_line:
+        # next rung before losing any entry: coarsen every wall to 1dp
+        # (~1 char/entry; full 3dp precision is in BENCH_DETAIL.json) and
+        # say so ("q_1dp") so a cross-round reader prices the rounding in
+        compact["q_1dp"] = 1
+        compact["queries"] = {
+            n: round(s, 1) for n, s in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     dropped = 0
-    while len(line) > _MAX_LINE and compact["queries"]:
+    while len(line) > max_line and compact["queries"]:
         longest = max(compact["queries"], key=len)
         del compact["queries"][longest]
         dropped += 1
         compact["q_dropped"] = dropped
         line = json.dumps(compact, separators=(",", ":"))
-    # last-ditch: if the line is STILL over after the map emptied (can't
-    # happen with today's keys, but the tail-window guarantee must hold
-    # unconditionally — r8 advice), shed the remaining optional keys too.
-    if len(line) > _MAX_LINE:
-        for key in ("queries", "q_dropped", "sf_third", "value_third",
-                    "sf_secondary", "value_secondary", "agg", "detail"):
+    # last-ditch: the tail-window guarantee must hold unconditionally
+    # (r8 advice) even if the contract keys alone ever outgrow it.
+    if len(line) > max_line:
+        for key in ("queries", "q_dropped"):
             compact.pop(key, None)
             line = json.dumps(compact, separators=(",", ":"))
-            if len(line) <= _MAX_LINE:
+            if len(line) <= max_line:
                 break
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

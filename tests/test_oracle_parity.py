@@ -17,23 +17,28 @@ def _specs():
 
 
 @pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
-def test_query_matches_oracle(spark, duck, name, spec):
-    sdf = spec.builder(spark, SF_SMOKE)
+def test_query_matches_oracle(registry_walk, duck, name, spec):
+    # build + execution happen ONCE per query in the shared parallel
+    # registry walk (conftest.registry_walk); this test consumes the
+    # recorded frame and does the DuckDB comparison on the main thread
+    rec = registry_walk[name]
+    if rec.error is not None:
+        raise rec.error
     if spec.oracle is not None:
         # Registry guard (VERDICT r5 #1/#7): the driver's value hash can
         # only digest scalar columns — an oracle-backed query must never
         # emit array/map/struct (r5's array_set_operations failure).
         from pyspark.sql.types import ArrayType, MapType, StructType
 
-        for f_ in sdf.schema.fields:
+        for f_ in rec.schema.fields:
             assert not isinstance(f_.dataType, (ArrayType, MapType, StructType)), (
                 f"{name}: oracle-backed query emits non-scalar column "
                 f"{f_.name!r} ({f_.dataType.simpleString()}) — the driver "
                 "canonicalizer cannot hash it; array_join/to_json it"
             )
-    spark_pdf = sdf.toPandas()
+    spark_pdf = rec.pdf
     if spec.oracle is None:
-        assert len(sdf.schema.fields) > 0
+        assert len(rec.schema.fields) > 0
         return
     oracle_pdf = duck.execute(spec.oracle).fetchdf()
     errs = compare(spark_pdf, oracle_pdf)

@@ -47,13 +47,16 @@ def _has_decimal(dt) -> bool:
 
 
 @pytest.mark.parametrize("name,spec", _specs(), ids=[n for n, _ in _specs()])
-def test_no_raw_decimal_output_column(spark, name, spec):
+def test_no_raw_decimal_output_column(registry_walk, name, spec):
     """Plan-construction-only scan: DECIMAL is a legitimate INTERNAL
     accumulator contract (exact integer moments past int64), but it must
     never reach the emitted schema — the driver hash renders Decimal and
-    float64 differently even when values are identical (r10 red)."""
-    sdf = spec.builder(spark, SF_SMOKE)
-    for f_ in sdf.schema.fields:
+    float64 differently even when values are identical (r10 red).
+    Schemas come from the shared parallel registry walk (r12)."""
+    rec = registry_walk[name]
+    if rec.error is not None:
+        raise rec.error
+    for f_ in rec.schema.fields:
         assert not _has_decimal(f_.dataType), (
             f"{name}: output column {f_.name!r} is "
             f"{f_.dataType.simpleString()} — raw DecimalType output is "

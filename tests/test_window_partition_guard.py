@@ -28,7 +28,6 @@ import pytest
 
 from tests.conftest import SF_SMOKE
 from tools.window_audit import nested_loop_joins, unpartitioned_specs
-from weather_stream_processor_spark.registry import all_queries
 
 # query -> (sorted unpartitioned-window signatures, boundedness rationale)
 ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
@@ -312,19 +311,19 @@ ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
 
 
 @pytest.fixture(scope="module")
-def plan_surfaces(spark):
-    """ONE walk over every registered query's executed plan, feeding both
-    screens (plan builds are the expensive part — ~4 min for the full
-    registry at the smoke fixture)."""
+def plan_surfaces(registry_walk):
+    """Both screens parse the plan strings recorded by the shared
+    parallel registry walk (conftest.registry_walk, r12) — previously a
+    second serial 488-builder walk of its own (~6.5 min of the suite)."""
     windows: dict[str, tuple[str, ...]] = {}
     joins: dict[str, tuple[str, ...]] = {}
-    for name, spec in all_queries().items():
-        df = spec.builder(spark, SF_SMOKE)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        wsigs = tuple(sorted(set(unpartitioned_specs(plan))))
+    for name, rec in registry_walk.items():
+        if rec.error is not None:
+            raise rec.error
+        wsigs = tuple(sorted(set(unpartitioned_specs(rec.plan))))
         if wsigs:
             windows[name] = wsigs
-        jsigs = tuple(nested_loop_joins(plan))
+        jsigs = tuple(nested_loop_joins(rec.plan))
         if jsigs:
             joins[name] = jsigs
     return windows, joins
@@ -671,9 +670,12 @@ JOIN_ALLOWLIST: dict[str, tuple[tuple[str, ...], str]] = {
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',  # 1-row doc count, 10-row depth grid, <=2*DEPTH ranked slice
     ),
-    # release_audit_report's three bounded crosses moved behind the r11
-    # flags lineage cut (they execute inside the gate-union job, not the
-    # registered plan) — entry removed when the guard flagged it stale
+    # release_audit_report's bounded crosses moved behind the r11 flags
+    # lineage cut (they execute inside the gate-union job, not the
+    # registered plan) — entry removed when the guard flagged it stale.
+    # r12: the LAZY flags-union twin is audited explicitly by
+    # tests/test_r12_guard.py::test_release_audit_gate_union_surface, so
+    # the eager cut no longer shrinks guard coverage (r11 advice).
     'rocchio_query_expansion': (
         ('BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross', 'BroadcastNestedLoopJoin BuildRight Cross'),
         'bounded-build',

@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for headline queries into plans/r11/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
-Usage: python tools/capture_plans.py before|after [name ...]
-Default query set: the full bench HEADLINE list.
+Usage: [PLANS_ROUND=r12] python tools/capture_plans.py before|after [name ...]
+Default query set: the full bench HEADLINE list; default round dir: r12.
 """
 
 from __future__ import annotations
@@ -26,7 +26,7 @@ def main() -> None:
     names = sys.argv[2:] or HEADLINE
     spark = get_spark("capture-plans")
     specs = all_queries()
-    out_dir = Path(_REPO) / "plans" / "r11"
+    out_dir = Path(_REPO) / "plans" / os.environ.get("PLANS_ROUND", "r12")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     import contextlib

@@ -170,7 +170,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_jaccard_core(load_table(spark, sf_dir, "documents"))
 
 
-def _ngram_jaccard_core(docs: DataFrame) -> DataFrame:
+def _ngram_jaccard_core(docs: DataFrame, contract: bool = True) -> DataFrame:
     """Jaccard-pair plan over an arbitrary (doc_id, text) frame — lets the
     dedup cascade feed one persisted documents scan into several tiers.
 
@@ -185,10 +185,86 @@ def _ngram_jaccard_core(docs: DataFrame) -> DataFrame:
     three longs per shingle occurrence, so a lineage cut materializes
     them once and both sides read the checkpoint (A/B at sf0.1:
     1.45 → 1.22 s; also feeds dedup_connected_components,
-    label-propagation and the cascade's Jaccard tier)."""
+    label-propagation and the cascade's Jaccard tier).
+
+    r12 (guide §8 "decide with small rows"): duplicate-class CONTRACTION
+    before the quadratic self-join. Docs with identical shingle SETS are
+    grouped into classes by a set signature (count + bit_xor + min + max
+    over the per-doc xxhash64'd shingles — rides the doc_id partitioning
+    the explode already paid, no new exchange); only class REPRESENTATIVES
+    (min doc_id) enter the pair join, and the rep-level pairs are
+    expanded back to doc-level pairs afterwards. EXACT by construction:
+    members of a class have identical shingle sets, so jaccard(x, y) =
+    jaccard(rep(x), rep(y)) for cross-class pairs and exactly 1.0 (>= t)
+    within a class; docs with zero shingles never appear in postings, in
+    classes, or in the exhaustive join's output. The signature collision
+    surface (different sets agreeing on count, xor, min AND max of their
+    64-bit hashes) is the repo-accepted xxhash64-key class. Pinned by
+    test_contraction_equals_exhaustive_pairs on a dup-heavy corpus. At a
+    dup-free corpus the machinery is three doc-scale narrow frames
+    (measured ~neutral at sf0.1); on dup-heavy corpora the join work
+    falls with the SQUARE of the dup rate (10x clone replica: the edge
+    join collapses ~100x — the r11 verdict's CC task).
+
+    ``contract=False`` is the exhaustive twin: every doc enters the
+    self-join directly. It exists so the equality test can pin
+    contraction against the exhaustive plan and plan tests can inspect
+    the un-contracted join shape."""
     exploded = _truncate_lineage(_exploded_shingles(docs, hashed=True))
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    if not contract:
+        a = exploded.alias("a")
+        b = exploded.alias("b")
+        return _jaccard_pairs_from_postings(a, b)
+    # signature components are all overflow-free under ANSI (a plain SUM
+    # of 64-bit hashes overflows): count + xor + min + max of the per-doc
+    # hash set — equal sets always agree; disagreement on any component
+    # separates the classes
+    sigs = exploded.groupBy("doc_id", "n_shingles").agg(
+        F.bit_xor("shingle").alias("sig_xor"),
+        F.min("shingle").alias("sig_min"),
+        F.max("shingle").alias("sig_max"),
+    )
+    wsig = Window.partitionBy("n_shingles", "sig_xor", "sig_min", "sig_max")
+    # (doc_id, rep_id) for every doc with >= 1 shingle; doc-scale, two
+    # longs — cut so the four consumers below read one materialization
+    cls = _truncate_lineage(
+        sigs.select("doc_id", F.min("doc_id").over(wsig).alias("rep_id"))
+    )
+    reps = cls.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    rep_postings = exploded.join(reps, "doc_id")
+    rep_pairs = _jaccard_pairs_from_postings(
+        rep_postings.alias("a"), rep_postings.alias("b")
+    )
+    # expansion back to doc-level pairs: class members inherit their
+    # rep pair's jaccard (identical sets), ordered least/greatest; pairs
+    # WITHIN a class are exact duplicates (jaccard exactly 1.0 >= t).
+    # Both joins are output-scale x class-membership — broadcast of the
+    # doc-scale (doc_id, rep_id) map, never a corpus shuffle.
+    ma = cls.select(F.col("rep_id").alias("ra"), F.col("doc_id").alias("xa"))
+    mb = cls.select(F.col("rep_id").alias("rb"), F.col("doc_id").alias("xb"))
+    cross = (
+        rep_pairs.join(F.broadcast(ma), F.col("doc_a") == F.col("ra"))
+        .join(F.broadcast(mb), F.col("doc_b") == F.col("rb"))
+        .select(
+            F.least("xa", "xb").alias("doc_a"),
+            F.greatest("xa", "xb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = ma.join(
+        F.broadcast(mb), (F.col("ra") == F.col("rb")) & (F.col("xa") < F.col("xb"))
+    ).select(
+        F.col("xa").alias("doc_a"),
+        F.col("xb").alias("doc_b"),
+        F.round(F.lit(1.0), 6).alias("jaccard"),
+    )
+    return cross.unionByName(intra)
+
+
+def _jaccard_pairs_from_postings(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The exact Jaccard >= t pair join over two aliased posting frames
+    (doc_id, shingle, n_shingles) — the shared tail of both the
+    contracted and exhaustive paths of ``_ngram_jaccard_core``."""
     # size-band prune inside the join condition: jaccard >= t implies
     # min(|A|,|B|) >= t * max(|A|,|B|), so impossible pairs never reach the
     # pair-counting shuffle (cuts the intermediate by ~an order of

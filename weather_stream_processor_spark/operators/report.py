@@ -431,9 +431,70 @@ def _release_oracle() -> str:
     tags=("report", "llm", "curation", "privacy", "dedup", "headline"),
 )
 def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    flags = release_audit_flags_plan(spark, sf_dir, docs)
+    # r11 (guide §2.4): `flags` feeds TWO aggregations (per-gate distinct
+    # counts and the any-gate distinct count), so the physical plan
+    # duplicated the ENTIRE seven-gate union — 45 parquet scans / 72
+    # Exchanges, every gate executed twice. The flag set is O(flagged
+    # docs) rows of (int, string, long) — the §2.4 cuttable class, never
+    # the corpus — so one lineage cut materializes the gates ONCE (one
+    # fully-parallel union job) and both report aggregates consume the
+    # checkpoint scan. Same shape as dedup_cascade_report's per_doc cut.
+    # The bounded joins that execute inside this checkpoint job are
+    # audited on the LAZY twin by test_release_audit_gate_union_surface
+    # (r11 advice: eager cuts must not shrink guard coverage).
+    flags = truncate_lineage(flags)
+    n_docs = docs.count()  # 1-row driver scalar, bounded (cascade precedent)
+    # left-join the 7-row gate spec so zero-flag gates still report
+    # (a 0 is sign-off information, not absence)
+    gates = spark.createDataFrame(
+        list(_RELEASE_GATES), "gate_rank int, gate string"
+    )
+    per_gate = (
+        gates.join(
+            flags.select("gate_rank", "doc_id"), "gate_rank", "left"
+        )
+        .groupBy("gate_rank", "gate")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_flagged"))
+    )
+    anyg = flags.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_any")
+    )
+    summary = anyg.select(
+        F.lit(8).alias("gate_rank"),
+        F.lit("any_gate").alias("gate"),
+        F.col("n_any").alias("n_flagged"),
+    ).unionAll(
+        anyg.select(
+            F.lit(9).alias("gate_rank"),
+            F.lit("released_clean").alias("gate"),
+            (F.lit(n_docs) - F.col("n_any")).cast("bigint").alias("n_flagged"),
+        )
+    )
+    return per_gate.unionAll(summary).select(
+        "gate_rank",
+        "gate",
+        "n_flagged",
+        F.round(F.col("n_flagged") * 1.0 / F.lit(float(n_docs)), 6).alias(
+            "corpus_frac"
+        ),
+    )
+
+
+def release_audit_flags_plan(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """The seven-gate flags union, UN-truncated — the lazy twin the join
+    guard inspects (the registered query cuts it, which would otherwise
+    hide the gates' bounded joins from the plan screens). The gate
+    builders themselves may still execute eagerly (their own internal
+    cuts); what stays lazy here is the union + g1/g7 join layer this
+    operator adds."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     digs = docs.select("doc_id", F.sha2("text", 256).alias("dig"))
     keeper = F.min("doc_id").over(Window.partitionBy("dig"))
 
@@ -542,50 +603,7 @@ def release_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
         )
         flags = part if flags is None else flags.unionAll(part)
-    # r11 (guide §2.4): `flags` feeds TWO aggregations (per-gate distinct
-    # counts and the any-gate distinct count), so the physical plan
-    # duplicated the ENTIRE seven-gate union — 45 parquet scans / 72
-    # Exchanges, every gate executed twice. The flag set is O(flagged
-    # docs) rows of (int, string, long) — the §2.4 cuttable class, never
-    # the corpus — so one lineage cut materializes the gates ONCE (one
-    # fully-parallel union job) and both report aggregates consume the
-    # checkpoint scan. Same shape as dedup_cascade_report's per_doc cut.
-    flags = truncate_lineage(flags)
-    n_docs = docs.count()  # 1-row driver scalar, bounded (cascade precedent)
-    # left-join the 7-row gate spec so zero-flag gates still report
-    # (a 0 is sign-off information, not absence)
-    gates = spark.createDataFrame(
-        list(_RELEASE_GATES), "gate_rank int, gate string"
-    )
-    per_gate = (
-        gates.join(
-            flags.select("gate_rank", "doc_id"), "gate_rank", "left"
-        )
-        .groupBy("gate_rank", "gate")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_flagged"))
-    )
-    anyg = flags.agg(
-        F.countDistinct("doc_id").cast("bigint").alias("n_any")
-    )
-    summary = anyg.select(
-        F.lit(8).alias("gate_rank"),
-        F.lit("any_gate").alias("gate"),
-        F.col("n_any").alias("n_flagged"),
-    ).unionAll(
-        anyg.select(
-            F.lit(9).alias("gate_rank"),
-            F.lit("released_clean").alias("gate"),
-            (F.lit(n_docs) - F.col("n_any")).cast("bigint").alias("n_flagged"),
-        )
-    )
-    return per_gate.unionAll(summary).select(
-        "gate_rank",
-        "gate",
-        "n_flagged",
-        F.round(F.col("n_flagged") * 1.0 / F.lit(float(n_docs)), 6).alias(
-            "corpus_frac"
-        ),
-    )
+    return flags
 
 
 def _metric_rows(df: DataFrame, pairs) -> DataFrame:

@@ -38,6 +38,22 @@ def truncate_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Reclamation model for CHAINED cuts (r11 advice): when a cut frame feeds
+# another cut (e.g. _co_purchase_support -> _brand_median_edges, the
+# minhash doc index -> cascade tiers), the INTERMEDIATE checkpoint's
+# blocks are reclaimed by ContextCleaner when its RDD is GC'd — there is
+# no PySpark handle on the LogicalRDD's underlying checkpointed RDD to
+# unpersist explicitly. This differs from the round-3 persist() leak in
+# the two ways that matter: (a) every such intermediate is, by the repo's
+# cut rule, a narrow/bounded frame (never corpus text), so the worst-case
+# window between materialization and GC holds O(result)-class blocks, not
+# O(input); and (b) the reference is dropped at builder return, so one
+# driver GC cycle frees it — bounded per invocation, not session-lifetime
+# accumulation. Reliable checkpoint() files are likewise reclaimed on RDD
+# GC via spark.cleaner.referenceTracking.cleanCheckpoints=true (session
+# factory).
+
+
 def persisted_result(
     input_df: DataFrame, build: Callable[[DataFrame], DataFrame]
 ) -> DataFrame:

@@ -11,6 +11,7 @@ never pre-``collect`` or pre-cache here.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -46,10 +47,22 @@ def ensure_session_defaults(spark: SparkSession) -> None:
     off and those columns arrive as plain TimestampType with identical
     epoch values (the session timezone is UTC). All three confs are
     runtime-settable, so the data-access choke points pin them defensively.
+
+    Pinned ONCE per session (r11 advice): load_table is called from
+    pooled gate/tier builders, and per-call conf.set both mutates shared
+    session state from several threads and pays 3 py4j round trips per
+    table load. The WeakSet guard makes this true session SETUP — the
+    first load in a session pins the confs, later loads are a set lookup.
     """
+    if spark in _DEFAULTED_SESSIONS:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    _DEFAULTED_SESSIONS.add(spark)
+
+
+_DEFAULTED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
