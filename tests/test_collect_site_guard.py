@@ -33,6 +33,10 @@ ALLOWLIST: dict[tuple[str, str, str], int] = {
     ('operators/analytics.py', 'lang_source_chi_square', 'first'): 1,
     ('operators/analytics.py', 'markov_absorption_conversion', 'collect'): 1,
     ('operators/analytics.py', 'markov_removal_attribution', 'collect'): 2,
+    # _ngram_jaccard_core's contraction gate: ONE 2-long row (count +
+    # approx distinct text hashes) deciding contracted vs exhaustive plan
+    # — both plans exact, so the collect picks a plan, never an answer
+    ('operators/dedup.py', '_ngram_jaccard_core', 'collect'): 1,
     ('operators/dedup.py', '_cc_label_propagation', 'collect'): 1,
     ('operators/dedup.py', '_cc_two_phase', 'collect'): 1,
     ('operators/dedup.py', 'bloom_filter_decontam', 'collect'): 1,

@@ -64,3 +64,24 @@ def test_contraction_no_duplicate_pairs(spark):
     n_distinct = pairs.select("doc_a", "doc_b").distinct().count()
     assert n == n_distinct
     assert pairs.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+
+def test_contraction_gate_measures_dup_rate(spark):
+    """contract=None gates on the measured duplicate-text rate: the
+    ~0.2%-dup fixture stays on the exhaustive join (no expansion Union
+    at the plan top), the clone-heavy corpus contracts (Union of the
+    cross-class and intra-class expansion branches)."""
+    from weather_stream_processor_spark.sources import load_table
+
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    p_fixture = (
+        _ngram_jaccard_core(base)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Union" not in p_fixture
+    p_dup = (
+        _ngram_jaccard_core(_dup_heavy_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Union" in p_dup

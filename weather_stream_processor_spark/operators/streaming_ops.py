@@ -174,8 +174,8 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     """,
     doc=(
-        "At-least-once -> effectively-once (St6/Q6 fix): the replay is "
-        "unioned with itself (every event delivered twice) and "
+        "At-least-once -> effectively-once (St6/Q6 fix): every event is "
+        "delivered twice (in-plan duplication off one source scan) and "
         "dropDuplicatesWithinWatermark(event_id) restores exactly the "
         "original rows — verified by the oracle being plain SELECT over "
         "events. Dedup state is bounded by the watermark horizon."
@@ -183,9 +183,19 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "dedup", "headline"),
 )
 def streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = events_replay_source(spark, sf_dir)
-    b = events_replay_source(spark, sf_dir)
-    doubled = a.unionByName(b)
+    # r12 (guide §1.2 — don't compute things you throw away): the doubled
+    # delivery used to be a self-union of TWO FileStreamSource instances,
+    # i.e. the parquet was scanned twice per micro-batch just to create
+    # the duplicates the dedup state then removes. An in-plan explode
+    # delivers each event exactly twice off ONE scan — the dedup operator
+    # sees the identical doubled row stream (verified equal output, A/B
+    # min-of-3 at sf0.1: 2.23 -> 1.90 s). On a real at-least-once source
+    # the duplicates arrive IN the stream; this replay twin only chooses
+    # how to synthesize them.
+    ev = events_replay_source(spark, sf_dir)
+    doubled = ev.withColumn(
+        "_copy", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).drop("_copy")
     deduped = (
         doubled.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
