@@ -36,7 +36,7 @@ ALLOWLIST: dict[tuple[str, str, str], int] = {
     # _ngram_jaccard_core's contraction gate: ONE 2-long row (count +
     # approx distinct text hashes) deciding contracted vs exhaustive plan
     # — both plans exact, so the collect picks a plan, never an answer
-    ('operators/dedup.py', '_ngram_jaccard_core', 'collect'): 1,
+    ('operators/dedup.py', '_ngram_jaccard_core._dup_rate_row', 'collect'): 1,
     ('operators/dedup.py', '_cc_label_propagation', 'collect'): 1,
     ('operators/dedup.py', '_cc_two_phase', 'collect'): 1,
     ('operators/dedup.py', 'bloom_filter_decontam', 'collect'): 1,

@@ -227,13 +227,25 @@ def _ngram_jaccard_core(docs: DataFrame, contract: bool | None = None) -> DataFr
     so the equality test can pin contraction against the exhaustive plan
     and plan tests can inspect either join shape."""
     if contract is None:
-        # bounded collect: 2 longs (guarded in test_collect_site_guard)
-        r = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(F.xxhash64("text")).alias("d"),
-        ).collect()[0]
+        # bounded collect: 2 longs (guarded in test_collect_site_guard).
+        # Submitted from a thread so the gate job overlaps the postings
+        # lineage-cut job below — both paths always pay that cut, so the
+        # gate's wall cost is max(cut, gate) - cut ≈ 0 (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _dup_rate_row():
+            return docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct(F.xxhash64("text")).alias("d"),
+            ).collect()[0]
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(_dup_rate_row)
+            exploded = _truncate_lineage(_exploded_shingles(docs, hashed=True))
+            r = fut.result()
         contract = r.n > 0 and (1.0 - r.d / r.n) >= _CONTRACT_DUP_GATE
-    exploded = _truncate_lineage(_exploded_shingles(docs, hashed=True))
+    else:
+        exploded = _truncate_lineage(_exploded_shingles(docs, hashed=True))
     if not contract:
         a = exploded.alias("a")
         b = exploded.alias("b")

@@ -828,24 +828,37 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stages of ~4.2s wall each vs ~0.25s once hash-partitioned to the
     # session parallelism (guide §2.5: fix input under-parallelism at
     # the source)
+    # r12 (guide §2.3 — narrower types through the exchanges): neither the
+    # bigram nor the unigram STRING is ever emitted — every downstream use
+    # is equality (group keys, the two scoring joins) — so both are
+    # xxhash64'd once at explode time and all exchanges/joins carry longs
+    # instead of ~12-25-char strings (the repo-accepted internal-key
+    # class, ~|vocab|^2/2^64 collision odds; the shared oracle hash-checks
+    # the scores every round). A/B min-of-3 at sf0.1: 1.43 → 1.29 s,
+    # outputs identical row-for-row.
     db = (
         spread(docs, "doc_id")
         .select("doc_id", F.explode(F.expr(_BIGRAM_EXPR)).alias("bigram"))
-        .groupBy("doc_id", "bigram")
+        .select(
+            "doc_id",
+            F.xxhash64("bigram").alias("hxy"),
+            F.xxhash64(F.split("bigram", " ")[0]).alias("hx"),
+        )
+        .groupBy("doc_id", "hxy", "hx")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    bic = db.groupBy("bigram").agg(F.sum("k").alias("c_xy"))
+    bic = db.groupBy("hxy").agg(F.sum("k").alias("c_xy"))
     uni = (
         spread(docs, "doc_id")
         .select(F.explode(tokens(F.col("text"))).alias("x"))
-        .groupBy("x")
+        .select(F.xxhash64("x").alias("hx"))
+        .groupBy("hx")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     v = uni.agg(F.count(F.lit(1)).alias("v"))
     scored = (
-        db.join(bic, "bigram")
-        .withColumn("x", F.split("bigram", " ")[0])
-        .join(uni, "x")
+        db.join(bic, "hxy")
+        .join(uni, "hx")
         .crossJoin(F.broadcast(v))
         .withColumn("logp", F.log((F.col("c_xy") + 1.0) / (F.col("c") + F.col("v"))))
     )
